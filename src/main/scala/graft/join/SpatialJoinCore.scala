@@ -1,0 +1,184 @@
+package graft.join
+
+import graft.spatial.{GeoKit, Geodesic, GeomSpec, SpatialPredicate}
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.classic.ClassicConversions._
+import org.locationtech.jts.geom.Geometry
+import org.locationtech.jts.index.strtree.{ItemBoundable, ItemDistance, STRtree}
+
+/**
+ * Broadcast spatial join kernel: collect + index the broadcast side with an
+ * STRtree, flatMap the iterated side probing the index.
+ *
+ * Contract (pinned by the reference's behavior at
+ * src/main/scala/me/valik/spark/transformer/BroadcastSpatialJoin.scala:456-478
+ * and README.md:180-186):
+ *  - output = one row per (iterated row, matching broadcast row) pair;
+ *  - predicate is evaluated as `iterated op broadcast`;
+ *  - `nearest` emits exactly one match per iterated row — the candidate
+ *    closest in JTS coordinate-space distance (degrees), considering only
+ *    candidates that pass the extra condition; deterministic tie-break by
+ *    broadcast-row index;
+ *  - `withindist N` prefilters with an envelope expanded by the conservative
+ *    1° ≈ 35 km radius, then refines with the exact geodesic centroid
+ *    distance ≤ N metres;
+ *  - null geometries on either side drop out (inner-join semantics);
+ *  - the result RDD keeps the iterated side's partitioning (flatMap).
+ *
+ * Scale notes: the broadcast side is shipped as WKB + rows once per
+ * executor; the STRtree is built lazily once per executor (not per task).
+ * Geometries on the iterated side are materialized one row at a time inside
+ * the partition iterator — nothing is collected to the driver except the
+ * declared-small broadcast side. For joins where neither side fits in
+ * memory, use [[graft.join.GridSpatialJoin]] instead.
+ */
+object SpatialJoinCore {
+
+  /** Packed broadcast side: rows + WKB geometries; index built lazily per executor. */
+  final class PackedIndex(val rows: Array[Row], val wkbs: Array[Array[Byte]])
+      extends Serializable {
+
+    @transient @volatile private var cache: (Array[Geometry], STRtree) = _
+
+    private def ensure(): (Array[Geometry], STRtree) = {
+      var c = cache
+      if (c == null) synchronized {
+        c = cache
+        if (c == null) {
+          val gs = wkbs.map(GeoKit.wkbToGeom) // null wkb → null geometry
+          val t = new STRtree()
+          var i = 0
+          while (i < gs.length) {
+            if (gs(i) != null) t.insert(gs(i).getEnvelopeInternal, Integer.valueOf(i))
+            i += 1
+          }
+          t.build() // STRtree is read-thread-safe only once built
+          c = (gs, t)
+          cache = c
+        }
+      }
+      c
+    }
+
+    def geoms: Array[Geometry] = ensure()._1
+    def tree: STRtree = ensure()._2
+    def indexedCount: Int = { ensure(); wkbs.count(_ != null) }
+  }
+
+  private object GeomItemDistance extends ItemDistance with Serializable {
+    private def geomOf(b: ItemBoundable, geoms: Array[Geometry]): Geometry =
+      b.getItem match {
+        case i: Integer  => geoms(i)
+        case g: Geometry => g
+      }
+    // bound via thread-local because ItemDistance gets no context argument
+    val currentGeoms = new ThreadLocal[Array[Geometry]]
+    def distance(a: ItemBoundable, b: ItemBoundable): Double =
+      geomOf(a, currentGeoms.get).distance(geomOf(b, currentGeoms.get))
+  }
+
+  /**
+   * @return RDD of (iteratedRow, broadcastRow, distanceMeters); distance is
+   *         0 unless `needDistance` or the predicate is withindist.
+   */
+  def join(
+      iterated: DataFrame,
+      broadcasted: DataFrame,
+      iteratedGeom: GeomSpec,
+      broadcastGeom: GeomSpec,
+      predicate: SpatialPredicate,
+      condition: Option[CompiledCondition],
+      needDistance: Boolean): RDD[(Row, Row, Int)] = {
+
+    val spark = iterated.sparkSession
+    // Collect the (pruned, declared-small) broadcast side on the driver and
+    // pack geometries as WKB — smaller and cheaper to ship than JTS objects.
+    val rows = broadcasted.collect()
+    val wkbs = rows.map { r =>
+      val g = broadcastGeom.geometry(r)
+      if (g == null) null else GeoKit.geomToWkb(g)
+    }
+    val bc = spark.sparkContext.broadcast(new PackedIndex(rows, wkbs))
+    val computeDist = needDistance || predicate.isInstanceOf[SpatialPredicate.WithinDist]
+
+    iterated.rdd.mapPartitions { it =>
+      val idx = bc.value
+      val geoms = idx.geoms
+      val tree = idx.tree
+      val empty = idx.indexedCount == 0
+      val condEval: (Row, Int) => Boolean =
+        condition.map(_.indexedEvaluator(idx.rows)).getOrElse((_, _) => true)
+
+      def emit(row: Row, g: Geometry, i: Int, dist: => Int): (Row, Row, Int) =
+        (row, idx.rows(i), if (computeDist) dist else 0)
+
+      it.flatMap { row =>
+        val g = iteratedGeom.geometry(row)
+        if (g == null || empty) Iterator.empty
+        else predicate match {
+          case SpatialPredicate.Nearest =>
+            GeomItemDistance.currentGeoms.set(geoms)
+            nearestMatch(row, g, tree, geoms, condEval) match {
+              case -1 => Iterator.empty
+              case i  => Iterator.single(emit(row, g, i, Geodesic.centroidDistance(g, geoms(i))))
+            }
+          case wd: SpatialPredicate.WithinDist =>
+            val env = g.getEnvelopeInternal.copy()
+            env.expandBy(wd.degrees) // coarse, over-approximating prefilter
+            candidates(tree, env).flatMap { i =>
+              if (!condEval(row, i)) None
+              else {
+                val d = Geodesic.centroidDistance(g, geoms(i)) // exact refine
+                if (d <= wd.meters.toInt) Some((row, idx.rows(i), d)) else None
+              }
+            }.iterator
+          case rel =>
+            candidates(tree, g.getEnvelopeInternal).flatMap { i =>
+              if (rel.relates(g, geoms(i)) && condEval(row, i))
+                Some(emit(row, g, i, Geodesic.centroidDistance(g, geoms(i))))
+              else None
+            }.iterator
+        }
+      }
+    }
+  }
+
+  private def candidates(tree: STRtree, env: org.locationtech.jts.geom.Envelope): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    tree.query(env, (item: Any) => out += item.asInstanceOf[Integer].intValue())
+    out.result()
+  }
+
+  /**
+   * Index of the nearest (JTS coordinate distance) broadcast geometry that
+   * passes the condition, or -1. Grows k geometrically so the common
+   * no-condition case is a single k=1 probe.
+   */
+  private def nearestMatch(
+      row: Row,
+      g: Geometry,
+      tree: STRtree,
+      geoms: Array[Geometry],
+      condEval: (Row, Int) => Boolean): Int = {
+    val total = geoms.count(_ != null)
+    val env = g.getEnvelopeInternal
+    var k = 1
+    var tried = 0
+    while (tried < total) {
+      val found = tree
+        .nearestNeighbour(env, g, GeomItemDistance, math.min(k, total))
+        .map(_.asInstanceOf[Integer].intValue())
+      // JTS does not guarantee order: sort by (distance, index) for determinism
+      val sorted = found.sortBy(i => (g.distance(geoms(i)), i))
+      sorted.find(i => condEval(row, i)) match {
+        case Some(i) => return i
+        case None =>
+          tried = found.length
+          if (tried >= total) return -1
+          k = math.min(k * 4, total)
+      }
+    }
+    -1
+  }
+}

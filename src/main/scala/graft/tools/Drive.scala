@@ -1,0 +1,109 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import graft.SparkEntry
+import graft.transformer.BroadcastSpatialJoin
+
+/** Manual end-to-end drive of the spatial join engine over real testdata
+  * parquet — the library's runtime surface, used for verification. */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-drive")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val dir = "/root/testdata/sf0.001"
+
+    println("=== 1. flagship entry(): nearest supplier per customer, distance_m ===")
+    val flagship = SparkEntry.entry(spark)
+    flagship.show(5, truncate = false)
+    println(s"rows=${flagship.count()} (customers=150, expect 150)")
+
+    val customers = SparkEntry.customerPoints(spark, dir)
+    SparkEntry.supplierPoints(spark, dir).createOrReplaceTempView("drive_sup")
+
+    println("=== 2. withindist 2000000 (2000 km), distance col, broadcast=dataset ===")
+    val wd = new BroadcastSpatialJoin()
+      .setDataset("drive_sup").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("s_suppkey").setBroadcast("dataset")
+      .setPredicate("withindist 2000000").setDistColAlias("dist_m")
+      .transform(customers)
+    wd.show(5)
+    val maxD = wd.agg(org.apache.spark.sql.functions.max("dist_m")).head.getInt(0)
+    println(s"rows=${wd.count()}, max dist_m=$maxD (must be <= 2000000)")
+
+    println("=== 3. contains: supplier grid-cell polygons (WKT) contain customer points ===")
+    import org.apache.spark.sql.functions._
+    spark.sql("select * from drive_sup")
+      .withColumn("wkt", concat(
+        lit("POLYGON(("),
+        round(col("lon") - 5, 4), lit(" "), round(col("lat") - 5, 4), lit(","),
+        round(col("lon") + 5, 4), lit(" "), round(col("lat") - 5, 4), lit(","),
+        round(col("lon") + 5, 4), lit(" "), round(col("lat") + 5, 4), lit(","),
+        round(col("lon") - 5, 4), lit(" "), round(col("lat") + 5, 4), lit(","),
+        round(col("lon") - 5, 4), lit(" "), round(col("lat") - 5, 4), lit("))")))
+      .createOrReplaceTempView("drive_sup_poly")
+    val cont = new BroadcastSpatialJoin()
+      .setDataset("drive_sup_poly").setDatasetWKT("wkt").setInputPoint("lon, lat")
+      .setDataColumns("s_suppkey as cell_owner").setBroadcast("input")
+      .setPredicate("contains")
+      .transform(customers.limit(20))
+    cont.show(5)
+    println(s"rows=${cont.count()}")
+
+    println("=== 4. filter + condition + aliases combined ===")
+    val cond = new BroadcastSpatialJoin()
+      .setDataset("drive_sup").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("s_suppkey as sk, s_acctbal as bal")
+      .setBroadcast("dataset").setPredicate("nearest")
+      .setDatasetFilter("s_acctbal > 0")
+      .setJoinCondition("right.s_nationkey != left.c_nationkey")
+      .transform(customers)
+    cond.show(5)
+    val bad = cond.filter("bal <= 0").count()
+    println(s"rows=${cond.count()}, rows violating filter=$bad (expect 0)")
+
+    println("=== 5. probe: garbage numPartitions (reference: silent no-op) ===")
+    val np = new BroadcastSpatialJoin()
+      .setDataset("drive_sup").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("s_suppkey").setNumPartitions("not-a-number")
+      .transform(customers)
+    println(s"rows=${np.count()} (no exception expected)")
+
+    println("=== 6. probe: bad condition string must throw IllegalArgumentException ===")
+    try {
+      new BroadcastSpatialJoin()
+        .setDataset("drive_sup").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+        .setDataColumns("s_suppkey").setJoinCondition("left.zorp ==== right.blag")
+        .transform(customers).count()
+      println("ERROR: no exception thrown")
+    } catch {
+      case e: IllegalArgumentException => println(s"OK threw: ${e.getMessage.take(120)}")
+    }
+
+    println("=== 7. probe: missing geometry params must throw ===")
+    try {
+      new BroadcastSpatialJoin().setDataset("drive_sup")
+        .setDataColumns("s_suppkey").setInputPoint("lon, lat")
+        .transform(customers).count()
+      println("ERROR: no exception thrown")
+    } catch {
+      case e: IllegalArgumentException => println(s"OK threw: ${e.getMessage.take(120)}")
+    }
+
+    println("=== 8. probe: nonexistent dataset table ===")
+    try {
+      new BroadcastSpatialJoin().setDataset("no_such_table")
+        .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+        .setDataColumns("x").transform(customers).count()
+      println("ERROR: no exception thrown")
+    } catch {
+      case e: Exception => println(s"OK threw ${e.getClass.getSimpleName}: ${e.getMessage.take(100)}")
+    }
+
+    spark.stop()
+  }
+}

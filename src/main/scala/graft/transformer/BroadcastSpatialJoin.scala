@@ -1,0 +1,253 @@
+package graft.transformer
+
+import graft.join.{CompiledCondition, PairCondition, SpatialJoinCore}
+import graft.spatial.{GeomSpec, SpatialPredicate}
+import graft.toolbox.StringToolbox._
+import org.apache.spark.ml.Transformer
+import org.apache.spark.ml.param.{Param, ParamMap, Params}
+import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.types.{DataTypes, StructField, StructType}
+
+import scala.util.Try
+
+/**
+ * spark.ml Transformer joining the input DataFrame with a catalog-registered
+ * "external" table by a spatial relation, appending selected external
+ * columns (and optionally a geodesic distance column, Int metres).
+ *
+ * Drop-in parameter surface of the reference transformer
+ * (reference: src/main/scala/me/valik/spark/transformer/
+ * BroadcastSpatialJoin.scala:83-151 — 12 string params, same names and
+ * defaults). Differences, all Spark-first redesigns rather than behavior
+ * changes visible to the reference's tests:
+ *  - the external table is loaded with `spark.table(name)` instead of
+ *    interpolated SQL (closes the injection surface of reference :178-180);
+ *  - `transformSchema` is derived statically from params + catalog lookup —
+ *    no empty-DataFrame execution (replaces the hack at reference :278-301);
+ *  - the extra `condition` accepts ANY Spark SQL boolean expression over
+ *    `left.`/`right.` columns (generalizes the two hardcoded strings of
+ *    reference :493-533); `left` = iterated side, `right` = broadcast side;
+ *  - appended columns follow the user's dataColumns order (the reference
+ *    emits external-schema order; its tests are insensitive to order).
+ *
+ * Join semantics (pinned by the reference's 16 golden tests, ported in
+ * graft.transformer.BroadcastSpatialJoinSpec): inner join; `broadcast`
+ * picks which side is collected+indexed ("input" default, or "external"/
+ * anything-else meaning the external dataset); the other side is iterated;
+ * predicate evaluates `iterated op broadcast`; `nearest` yields exactly one
+ * row per iterated row.
+ */
+class BroadcastSpatialJoin(override val uid: String)
+    extends Transformer with DefaultParamsWritable {
+
+  def this() = this(Identifiable.randomUID("spatial_join"))
+
+  import BroadcastSpatialJoin._
+
+  // --- the 12-param surface ---------------------------------------------
+
+  /** Extra join condition over `left.`/`right.` columns, any Spark SQL
+    * boolean expression; e.g. `right.fulldate_ts between left.start_ts and left.end_ts`. */
+  final val condition = new Param[String](this, "condition", "extra predicate to push into SpatialJoin")
+  setDefault(condition, "")
+  def setJoinCondition(value: String): this.type = set(condition, value)
+
+  /** Spark SQL filter applied to the external dataset before the join. */
+  final val filter = new Param[String](this, "filter", "dataset filter")
+  setDefault(filter, "")
+  def setDatasetFilter(value: String): this.type = set(filter, value)
+
+  /** Which side is broadcast: "input" (default) or "external". */
+  final val broadcast = new Param[String](this, "broadcast", "which DF will be broadcasted: 'input' or 'external'")
+  setDefault(broadcast, input)
+  def setBroadcast(value: String): this.type = set(broadcast, value)
+
+  /** Spatial op: withindist N, within, contains, intersects, overlaps, nearest. */
+  final val predicate = new Param[String](this, "predicate", "spatial op, one of: withindist, within, contains, intersects, overlaps, nearest")
+  setDefault(predicate, nearest)
+  def setPredicate(value: String): this.type = set(predicate, value)
+
+  /** External dataset: a table/view name registered in the SQL catalog. */
+  final val dataset = new Param[String](this, "dataset", "external dataset name, should be registered in sql metastore")
+  setDefault(dataset, "")
+  def setDataset(value: String): this.type = set(dataset, value)
+
+  /** External columns appended to the input, CSV with optional aliases:
+    * `id as poi_id, name`. */
+  final val dataColumns = new Param[String](this, "dataColumns", "external ds column names to join to input, in csv format")
+  setDefault(dataColumns, "")
+  def setDataColumns(value: String): this.type = set(dataColumns, value)
+
+  /** Non-empty ⇒ append centroid geodesic distance (Int metres) as last column. */
+  final val distanceColumnAlias = new Param[String](this, "distanceColumnAlias", "alias for added `distance` column")
+  setDefault(distanceColumnAlias, "")
+  def setDistColAlias(value: String): this.type = set(distanceColumnAlias, value)
+
+  final val datasetWKT = new Param[String](this, "datasetWKT", "external ds geometry column name")
+  setDefault(datasetWKT, "")
+  def setDatasetWKT(value: String): this.type = set(datasetWKT, value)
+
+  final val datasetPoint = new Param[String](this, "datasetPoint", "external dataset point columns, e.g. `lon, lat`")
+  setDefault(datasetPoint, "")
+  def setDatasetPoint(colnames: String): this.type = set(datasetPoint, colnames)
+
+  final val inputWKT = new Param[String](this, "inputWKT", "input ds geometry column name")
+  setDefault(inputWKT, "")
+  def setInputWKT(value: String): this.type = set(inputWKT, value)
+
+  final val inputPoint = new Param[String](this, "inputPoint", "input point columns, e.g. `lon, lat`")
+  setDefault(inputPoint, "")
+  def setInputPoint(colnames: String): this.type = set(inputPoint, colnames)
+
+  final val numPartitions = new Param[String](this, "numPartitions", "external dataset repartition parameter, no repartition if empty")
+  setDefault(numPartitions, "")
+  def setNumPartitions(value: String): this.type = set(numPartitions, value)
+
+  // --- config ------------------------------------------------------------
+
+  private val csvSep = Separators(",")
+  private val asSep = Separators("as")
+
+  private def checkParams(): Unit = {
+    def checkGeomCols(wkt: String, point: String, name: String): Unit = {
+      require(Seq(point.nonEmpty, wkt.nonEmpty).count(identity) == 1,
+        s"You must specify one and only one property of (${name}WKT, ${name}Point)")
+      require(point.isEmpty || point.splitTrim(csvSep).length == 2,
+        s"${name}Point property should be empty or contain string like 'lon, lat'")
+    }
+    checkGeomCols(trimmed(datasetWKT), trimmed(datasetPoint), "dataset")
+    checkGeomCols(trimmed(inputWKT), trimmed(inputPoint), "input")
+    require(trimmed(dataset).nonEmpty, "dataset property must contain table or view name")
+    require(trimmed(dataColumns).splitTrim(csvSep).nonEmpty,
+      "dataColumns property must contain at least one column name")
+  }
+
+  private def trimmed(p: Param[String]): String = getOrDefault(p).trim
+
+  private def geomSpecOf(wkt: String, point: String): GeomSpec = {
+    if (wkt.nonEmpty) GeomSpec.WktCol(wkt)
+    else {
+      val Array(lon, lat) = point.splitTrim(csvSep)
+      GeomSpec.PointCols(lon, lat)
+    }
+  }
+
+  /** Everything `transform` needs, parsed once per call on the driver. */
+  private case class JoinConfig(
+      externalDF: DataFrame,       // filtered + pruned + repartitioned, lazy plan
+      externalSpec: GeomSpec,
+      inputSpec: GeomSpec,
+      dataCols: Seq[String],       // external column names to append
+      aliases: Seq[String],        // their output names
+      distanceAlias: String,
+      spatialPredicate: SpatialPredicate,
+      conditionSql: String,
+      broadcastInput: Boolean)
+
+  private def makeConfig(spark: SparkSession): JoinConfig = {
+    checkParams()
+
+    // "id as poi_id, name" → (Seq(id, name), Seq(poi_id, name))
+    val pairs =
+      for (Array(name, alias @ _*) <- trimmed(dataColumns).splitTrim(csvSep).map(_.splitTrim(asSep)))
+        yield (name, alias.headOption.getOrElse(name))
+    val (dataCols, aliases) = (pairs.toSeq.map(_._1), pairs.toSeq.map(_._2))
+
+    val broadcastInput = trimmed(broadcast) == input
+    val conditionSql = trimmed(condition)
+    val (condLeftCols, condRightCols) = PairCondition.referencedColumns(conditionSql)
+    // external side plays `left` (iterated) when the input is broadcast
+    val condExternalCols = if (broadcastInput) condLeftCols else condRightCols
+
+    val externalSpec = geomSpecOf(trimmed(datasetWKT), trimmed(datasetPoint))
+    val externalDF = {
+      val cols = (dataCols ++ externalSpec.columnNames ++ condExternalCols).distinct
+      val df = spark.table(trimmed(dataset))
+      val missing = condExternalCols.filterNot(df.columns.contains)
+      require(missing.isEmpty,
+        s"Spatial join transformer error: unknown extra condition `$conditionSql` " +
+          s"(columns ${missing.mkString(", ")} not found in external dataset)")
+      val filtered = if (trimmed(filter).nonEmpty) df.filter(trimmed(filter)) else df
+      val projected = filtered.select(cols.head, cols.tail: _*)
+      Try(projected.repartition(trimmed(numPartitions).toInt)).getOrElse(projected)
+    }
+
+    JoinConfig(
+      externalDF = externalDF,
+      externalSpec = externalSpec,
+      inputSpec = geomSpecOf(trimmed(inputWKT), trimmed(inputPoint)),
+      dataCols = dataCols,
+      aliases = aliases,
+      distanceAlias = trimmed(distanceColumnAlias),
+      spatialPredicate = SpatialPredicate.parse(trimmed(predicate)),
+      conditionSql = conditionSql,
+      broadcastInput = broadcastInput)
+  }
+
+  /** Output schema = input fields ++ aliased selected external fields ++
+    * optional Int distance. Statically derivable — shared by transform and
+    * transformSchema so the two can never diverge. */
+  private def outputSchema(inputSchema: StructType, cfg: JoinConfig): StructType = {
+    val extSchema = cfg.externalDF.schema
+    val appended = cfg.dataCols.zip(cfg.aliases).map { case (n, a) =>
+      extSchema(extSchema.fieldIndex(n)).copy(name = a)
+    }
+    val fields = inputSchema.fields ++ appended
+    if (cfg.distanceAlias.nonEmpty)
+      StructType(fields :+ StructField(cfg.distanceAlias, DataTypes.IntegerType))
+    else StructType(fields)
+  }
+
+  // --- transformer -------------------------------------------------------
+
+  override def copy(extra: ParamMap): BroadcastSpatialJoin = defaultCopy(extra)
+
+  override def transformSchema(schema: StructType): StructType = {
+    val spark = SparkSession.builder().getOrCreate()
+    outputSchema(schema, makeConfig(spark))
+  }
+
+  override def transform(inputDS: Dataset[_]): DataFrame = {
+    val spark = inputDS.sparkSession.asInstanceOf[SparkSession]
+    val input = inputDS.toDF
+    val cfg = makeConfig(spark)
+
+    val (iterDF, iterSpec, bcDF, bcSpec) =
+      if (cfg.broadcastInput) (cfg.externalDF, cfg.externalSpec, input, cfg.inputSpec)
+      else (input, cfg.inputSpec, cfg.externalDF, cfg.externalSpec)
+
+    val compiled: Option[CompiledCondition] =
+      PairCondition.compile(spark, cfg.conditionSql, iterDF.schema, bcDF.schema)
+
+    val needDistance = cfg.distanceAlias.nonEmpty
+    val joined = SpatialJoinCore.join(
+      iterDF, bcDF, iterSpec, bcSpec, cfg.spatialPredicate, compiled, needDistance)
+
+    // normalize to (externalRow, inputRow, distance)
+    val tuples =
+      if (cfg.broadcastInput) joined
+      else joined.map { case (l, r, d) => (r, l, d) }
+
+    val extSchema = cfg.externalDF.schema
+    val selIdx = cfg.dataCols.map(extSchema.fieldIndex).toArray
+    val schema = outputSchema(input.schema, cfg)
+    val rows = tuples.map { case (ext, in, d) =>
+      val vals = in.toSeq ++ selIdx.map(ext.get)
+      Row.fromSeq(if (needDistance) vals :+ d else vals)
+    }
+    spark.createDataFrame(rows, schema)
+  }
+}
+
+object BroadcastSpatialJoin extends DefaultParamsReadable[BroadcastSpatialJoin] {
+
+  override def load(path: String): BroadcastSpatialJoin = super.load(path)
+
+  /** Default `broadcast` value: broadcast the transformer's input. */
+  val input = "input"
+
+  /** Default spatial predicate. */
+  val nearest = "nearest"
+}

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.classic.SparkSession
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.scalatest.Assertions._
+
+/** One SparkSession for the whole forked test JVM, plus DataFrame equality
+  * helpers (column-order-insensitive, row-order-insensitive multiset
+  * compare; schema compared on names+types, nullability ignored). */
+object SparkTestKit {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  def assertDataFrameEquals(actual: Dataset[_], expected: Dataset[_]): Unit = {
+    val expCols = expected.schema.fieldNames.toSeq
+    val act = actual.toDF.select(expCols.head, expCols.tail: _*)
+
+    val actTypes = act.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    val expTypes = expected.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(actTypes == expTypes,
+      s"schema mismatch:\n actual:   $actTypes\n expected: $expTypes")
+
+    val a = act.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    val e = expected.toDF.collect().map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|"))
+    assert(a.length == e.length && a.zip(e).forall(p => p._1 == p._2),
+      s"rows mismatch:\n actual:\n${a.map(_.mkString(", ")).mkString("\n")}\n" +
+        s" expected:\n${e.map(_.mkString(", ")).mkString("\n")}")
+  }
+}
