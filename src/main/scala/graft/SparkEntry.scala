@@ -1,33 +1,85 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextFunctions
 import graft.transformer.BroadcastSpatialJoin
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/**
+ * Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+ *
+ * Every query here has a DuckDB oracle designed to match BIT-EXACTLY:
+ *  - synthetic coordinates are integer arithmetic + one IEEE division;
+ *  - ratios/Jaccard are single IEEE divisions of exact integer counts;
+ *  - hashes are md5 (identical hex in both engines);
+ *  - `withindist`/distance queries run on the equator, where the WGS84
+ *    geodesic is exactly `a · Δλ` — reproducible by `6378137 * radians(Δlon)`
+ *    (see graft.spatial.Geodesic; the Vincenty iteration converges to
+ *    machine precision, residual ~nanometres);
+ *  - floats are summed in deterministic order or rounded to 6 decimals.
+ */
 object SparkEntry {
 
-  /** Deterministic synthetic WGS84 coordinates derived from an integer key.
-    * Pure integer arithmetic then one IEEE division — bit-identical in any
-    * engine (used by the DuckDB oracles too). Spread over lon [-60,60),
-    * lat [-45,45) to stay far from poles/antimeridian. */
-  def lonOf(key: String): org.apache.spark.sql.Column =
+  // --- synthetic WGS84 coordinates -------------------------------------
+
+  /** Deterministic synthetic coordinates from an integer key: pure integer
+    * arithmetic then one IEEE division — bit-identical in any engine.
+    * Lon spreads over [-60,60), lat over [-45,45) (away from poles and the
+    * antimeridian). */
+  def lonOf(key: String): Column =
     (((col(key) * 7919L + 104729L) % 1200000L).cast("double") / 10000.0d) - 60.0d
-  def latOf(key: String): org.apache.spark.sql.Column =
+  def latOf(key: String): Column =
     (((col(key) * 6007L + 15485863L) % 900000L).cast("double") / 10000.0d) - 45.0d
 
-  /** customer with synthetic point coordinates. */
-  def customerPoints(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/customer.parquet")
-      .withColumn("lon", lonOf("c_custkey"))
-      .withColumn("lat", latOf("c_custkey"))
+  /** The same derivations as DuckDB SQL fragments. */
+  private def lonSql(key: String) = s"((($key*7919 + 104729) % 1200000)/10000.0 - 60.0)"
+  private def latSql(key: String) = s"((($key*6007 + 15485863) % 900000)/10000.0 - 45.0)"
 
-  /** supplier as the external POI table with synthetic coordinates. */
+  private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** customer/supplier with synthetic point coordinates. */
+  def customerPoints(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .withColumn("lon", lonOf("c_custkey")).withColumn("lat", latOf("c_custkey"))
   def supplierPoints(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/supplier.parquet")
-      .withColumn("lon", lonOf("s_suppkey"))
-      .withColumn("lat", latOf("s_suppkey"))
+    tbl(spark, dir, "supplier")
+      .withColumn("lon", lonOf("s_suppkey")).withColumn("lat", latOf("s_suppkey"))
+
+  /** Equator variants: geodesic distance is exactly a·Δλ there. */
+  private def customerEq(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"), lonOf("c_custkey").as("lon"), lit(0.0d).as("lat"))
+  private def supplierEq(spark: SparkSession, dir: String): DataFrame =
+    tbl(spark, dir, "supplier")
+      .select(col("s_suppkey"), col("s_acctbal"), lonOf("s_suppkey").as("lon"), lit(0.0d).as("lat"))
+
+  /** Axis-aligned rectangle WKT around (lon, lat) with half-widths wx, wy.
+    * Doubles render via Java Double.toString (round-trip exact), so the JTS
+    * geometry carries exactly the computed coordinates. */
+  private def rectWkt(lon: Column, lat: Column, wx: Double, wy: Double): Column = {
+    val (x1, x2, y1, y2) = (lon - wx, lon + wx, lat - wy, lat + wy)
+    concat(lit("POLYGON(("),
+      x1, lit(" "), y1, lit(","), x2, lit(" "), y1, lit(","),
+      x2, lit(" "), y2, lit(","), x1, lit(" "), y2, lit(","),
+      x1, lit(" "), y1, lit("))"))
+  }
+
+  // customer rect half-widths (smaller) and supplier rect half-widths.
+  // Off the 1e-4 coordinate grid so boundary coincidences cannot occur.
+  private val CWX = 1.50015d
+  private val CWY = 1.00035d
+  private val SWX = 3.00035d
+  private val SWY = 2.00075d
+
+  private def bsj(view: String): BroadcastSpatialJoin =
+    new BroadcastSpatialJoin().setDataset(view)
+      .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+
+  // --- flagship ---------------------------------------------------------
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Nearest-supplier spatial join: every customer point joined to its
@@ -35,21 +87,363 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
     supplierPoints(spark, dir).createOrReplaceTempView("graft_suppliers")
-    new BroadcastSpatialJoin()
-      .setDataset("graft_suppliers")
-      .setDatasetPoint("lon, lat")
-      .setInputPoint("lon, lat")
+    bsj("graft_suppliers")
       .setDataColumns("s_suppkey as nearest_suppkey, s_name as nearest_supplier")
-      .setBroadcast("dataset")
-      .setPredicate("nearest")
-      .setDistColAlias("distance_m")
+      .setBroadcast("dataset").setPredicate("nearest").setDistColAlias("distance_m")
       .transform(customerPoints(spark, dir))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  // --- the operator queries --------------------------------------------
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // J1 nearest, broadcast=dataset: one row per input (customer)
+    "j1_nearest" -> ((s, dir) => {
+      supplierPoints(s, dir).createOrReplaceTempView("v_j1_sup")
+      bsj("v_j1_sup").setDataColumns("s_suppkey")
+        .setBroadcast("dataset").setPredicate("nearest")
+        .transform(customerPoints(s, dir).select("c_custkey", "lon", "lat"))
+        .select("c_custkey", "s_suppkey")
+    }),
+
+    // J1 under broadcast flip: one row per external (supplier)
+    "j1_nearest_flip" -> ((s, dir) => {
+      supplierPoints(s, dir).createOrReplaceTempView("v_j1f_sup")
+      bsj("v_j1f_sup").setDataColumns("s_suppkey")
+        .setBroadcast("input").setPredicate("nearest")
+        .transform(customerPoints(s, dir).select("c_custkey", "lon", "lat"))
+        .select("c_custkey", "s_suppkey")
+    }),
+
+    // J2 withindist + G4/G5 distance column (equator-exact oracle)
+    "j2_withindist" -> ((s, dir) => {
+      supplierEq(s, dir).createOrReplaceTempView("v_j2_sup")
+      bsj("v_j2_sup").setDataColumns("s_suppkey")
+        .setBroadcast("dataset").setPredicate("withindist 300000")
+        .setDistColAlias("dist_m")
+        .transform(customerEq(s, dir).select("c_custkey", "lon", "lat"))
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_m").cast("long"))
+    }),
+
+    // J3 within: customer points strictly inside supplier rectangles (WKT)
+    "j3_within" -> ((s, dir) => {
+      supplierPoints(s, dir)
+        .withColumn("wkt", rectWkt(col("lon"), col("lat"), SWX, SWY))
+        .createOrReplaceTempView("v_j3_sup")
+      bsj("v_j3_sup").setDatasetPoint("").setDatasetWKT("wkt")
+        .setDataColumns("s_suppkey").setBroadcast("dataset").setPredicate("within")
+        .transform(customerPoints(s, dir).select("c_custkey", "lon", "lat"))
+        .select("c_custkey", "s_suppkey")
+    }),
+
+    // J4 contains under broadcast flip: supplier rectangle contains point
+    "j4_contains" -> ((s, dir) => {
+      supplierPoints(s, dir)
+        .withColumn("wkt", rectWkt(col("lon"), col("lat"), SWX, SWY))
+        .createOrReplaceTempView("v_j4_sup")
+      bsj("v_j4_sup").setDatasetPoint("").setDatasetWKT("wkt")
+        .setDataColumns("s_suppkey").setBroadcast("input").setPredicate("contains")
+        .transform(customerPoints(s, dir).select("c_custkey", "lon", "lat"))
+        .select("c_custkey", "s_suppkey")
+    }),
+
+    // J5 intersects: customer rects × supplier rects
+    "j5_intersects" -> ((s, dir) => {
+      supplierPoints(s, dir)
+        .withColumn("wkt", rectWkt(col("lon"), col("lat"), SWX, SWY))
+        .createOrReplaceTempView("v_j5_sup")
+      bsj("v_j5_sup").setDatasetPoint("").setDatasetWKT("wkt")
+        .setInputPoint("").setInputWKT("wkt")
+        .setDataColumns("s_suppkey").setBroadcast("dataset").setPredicate("intersects")
+        .transform(customerPoints(s, dir).select(col("c_custkey"),
+          rectWkt(col("lon"), col("lat"), CWX, CWY).as("wkt")))
+        .select("c_custkey", "s_suppkey")
+    }),
+
+    // J6 overlaps: partial rectangle overlap, no containment
+    "j6_overlaps" -> ((s, dir) => {
+      supplierPoints(s, dir)
+        .withColumn("wkt", rectWkt(col("lon"), col("lat"), SWX, SWY))
+        .createOrReplaceTempView("v_j6_sup")
+      bsj("v_j6_sup").setDatasetPoint("").setDatasetWKT("wkt")
+        .setInputPoint("").setInputWKT("wkt")
+        .setDataColumns("s_suppkey").setBroadcast("dataset").setPredicate("overlaps")
+        .transform(customerPoints(s, dir).select(col("c_custkey"),
+          rectWkt(col("lon"), col("lat"), CWX, CWY).as("wkt")))
+        .select("c_custkey", "s_suppkey")
+    }),
+
+    // J7 generalized extra condition: nearest with an inequality veto
+    "j7_condition_neq" -> ((s, dir) => {
+      supplierPoints(s, dir).createOrReplaceTempView("v_j7_sup")
+      bsj("v_j7_sup").setDataColumns("s_suppkey")
+        .setBroadcast("dataset").setPredicate("nearest")
+        .setJoinCondition("right.s_nationkey != left.c_nationkey")
+        .transform(customerPoints(s, dir).select("c_custkey", "c_nationkey", "lon", "lat"))
+        .select("c_custkey", "s_suppkey")
+    }),
+
+    // J7 band form: withindist + `between` condition (equator-exact)
+    "j7_condition_band" -> ((s, dir) => {
+      supplierEq(s, dir).createOrReplaceTempView("v_j7b_sup")
+      bsj("v_j7b_sup").setDataColumns("s_suppkey")
+        .setBroadcast("dataset").setPredicate("withindist 500000")
+        .setDistColAlias("dist_m")
+        .setJoinCondition(
+          "right.s_acctbal between left.c_acctbal - 3000.0 and left.c_acctbal + 3000.0")
+        .transform(customerEq(s, dir))
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_m").cast("long"))
+    }),
+
+    // P1 dataset pre-filter (+ P2 pruning, P3/P4 aliasing exercised)
+    "p1_filter" -> ((s, dir) => {
+      supplierPoints(s, dir).createOrReplaceTempView("v_p1_sup")
+      bsj("v_p1_sup").setDataColumns("s_suppkey as sk")
+        .setBroadcast("dataset").setPredicate("nearest")
+        .setDatasetFilter("s_acctbal > 0.0")
+        .transform(customerPoints(s, dir).select("c_custkey", "lon", "lat"))
+        .select("c_custkey", "sk")
+    }),
+
+    // --- training-data pipeline: dedup ---------------------------------
+
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactCanon(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
+
+    // --- text analysis -------------------------------------------------
+
+    "text_tokens" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(toks).as("n_tokens"),
+        length(col("text")).cast("long").as("len_chars"),
+        TextFunctions.avgTokenLen(toks).as("avg_token_len"))
+    }),
+
+    "text_quality" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.stopwordRatio(toks).as("stop_ratio"),
+        TextFunctions.distinctTokenRatio(toks).as("distinct_ratio"))
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))),
+
+    "text_fingerprint" -> ((s, dir) => {
+      val toks = TextFunctions.tokens(col("text"))
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.md5Fingerprint(col("text")).as("fp_md5"),
+        TextFunctions.minShingleFingerprint(toks).as("fp_shingle"))
+    }),
+
+    // --- similarity search ---------------------------------------------
+
+    "simsearch_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.cosineTopK(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
+    // --- relational: aggregation + event-time windows -------------------
+
+    "agg_q1" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          avg(col("l_quantity")).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))),
+
+    "events_window" -> ((s, dir) => {
+      // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
+      // default; read it as nanosecond longs and bucket with exact integer
+      // arithmetic (same hour boundaries as the oracle's date_trunc).
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      tbl(s, dir, "events")
+        .groupBy((expr("ts DIV 3600000000000") * 3600).as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+    })
+  )
+
+  // --- DuckDB oracles ---------------------------------------------------
+
+  private val cPts =
+    s"SELECT c_custkey, c_nationkey, c_acctbal, ${lonSql("c_custkey")} lon, ${latSql("c_custkey")} lat FROM customer"
+  private val sPts =
+    s"SELECT s_suppkey, s_nationkey, s_acctbal, ${lonSql("s_suppkey")} lon, ${latSql("s_suppkey")} lat FROM supplier"
+  private val cEq = s"SELECT c_custkey, c_acctbal, ${lonSql("c_custkey")} lon FROM customer"
+  private val sEq = s"SELECT s_suppkey, s_acctbal, ${lonSql("s_suppkey")} lon FROM supplier"
+
+  /** Squared Euclidean degree distance (JTS coordinate distance ordering). */
+  private val d2 = "(c.lon-s.lon)*(c.lon-s.lon)+(c.lat-s.lat)*(c.lat-s.lat)"
+  /** Equator-exact WGS84 geodesic metres, rounded like math.round. */
+  private val eqDist = "round(6378137.0 * radians(abs(c.lon - s.lon)))"
+
+  private val tokensSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private val shingleCte =
+    s"""t AS (SELECT doc_id, $tokensSql ws FROM documents),
+       |sh AS (SELECT doc_id, list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sl FROM t WHERE len(ws) >= 3)""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH $shingleCte,
+       |e AS (SELECT doc_id, unnest(sl) s FROM sh),
+       |sz AS (SELECT doc_id, len(sl) n FROM sh),
+       |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
+       |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
+       |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
+       |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin
+
+  private def langScore(markers: Seq[String]) =
+    s"len(list_filter(ws, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "j1_nearest" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
+         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+
+    "j1_nearest_flip" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |         row_number() OVER (PARTITION BY s.s_suppkey ORDER BY $d2, c.c_custkey) rn
+         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+
+    "j2_withindist" ->
+      s"""WITH c AS ($cEq), s AS ($sEq)
+         |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
+         |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
+
+    "j3_within" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
+         |WHERE c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
+         |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin,
+
+    "j4_contains" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
+         |WHERE c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
+         |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin,
+
+    "j5_intersects" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
+         |WHERE c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX
+         |  AND c.lat - $CWY <= s.lat + $SWY AND s.lat - $SWY <= c.lat + $CWY""".stripMargin,
+
+    "j6_overlaps" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
+         |WHERE c.lon - $CWX < s.lon + $SWX AND s.lon - $SWX < c.lon + $CWX
+         |  AND c.lat - $CWY < s.lat + $SWY AND s.lat - $SWY < c.lat + $CWY
+         |  AND NOT (s.lon - $SWX <= c.lon - $CWX AND c.lon + $CWX <= s.lon + $SWX
+         |       AND s.lat - $SWY <= c.lat - $CWY AND c.lat + $CWY <= s.lat + $SWY)
+         |  AND NOT (c.lon - $CWX <= s.lon - $SWX AND s.lon + $SWX <= c.lon + $CWX
+         |       AND c.lat - $CWY <= s.lat - $SWY AND s.lat + $SWY <= c.lat + $CWY)""".stripMargin,
+
+    "j7_condition_neq" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
+         |  FROM c CROSS JOIN s WHERE s.s_nationkey != c.c_nationkey) WHERE rn = 1""".stripMargin,
+
+    "j7_condition_band" ->
+      s"""WITH c AS ($cEq), s AS ($sEq)
+         |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
+         |FROM c CROSS JOIN s
+         |WHERE $eqDist <= 500000
+         |  AND s.s_acctbal BETWEEN c.c_acctbal - 3000.0 AND c.c_acctbal + 3000.0""".stripMargin,
+
+    "p1_filter" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c_custkey, sk FROM (
+         |  SELECT c.c_custkey, s.s_suppkey sk,
+         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
+         |  FROM c CROSS JOIN s WHERE s.s_acctbal > 0.0) WHERE rn = 1""".stripMargin,
+
+    "dedup_exact" ->
+      "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon_id FROM documents",
+
+    "dedup_jaccard" -> jaccardOracle,
+    "dedup_minhash" -> jaccardOracle,
+
+    "text_tokens" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) n_tokens,
+         |       CAST(length(text) AS BIGINT) len_chars,
+         |       CASE WHEN len(ws) > 0 THEN
+         |         CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE)
+         |           / CAST(len(ws) AS DOUBLE) END avg_token_len
+         |FROM t""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    CAST(${langScore(TextFunctions.Stopwords)} AS DOUBLE) / CAST(len(ws) AS DOUBLE) END stop_ratio,
+         |  CASE WHEN len(ws) > 0 THEN
+         |    CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END distinct_ratio
+         |FROM t""".stripMargin,
+
+    "text_langid" -> {
+      val scores = TextFunctions.LangMarkers.map { case (lang, ws) => lang -> langScore(ws) }
+      val caseChain = scores.zipWithIndex.map { case ((lang, sc), i) =>
+        val others = scores.zipWithIndex.collect { case ((_, o), j) if j != i => o }
+        s"WHEN ${others.map(o => s"$sc >= $o").mkString(" AND ")} THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents)
+         |SELECT doc_id,
+         |  CASE WHEN ${scores.map(_._2).mkString(" + ")} > 0
+         |       THEN (CASE $caseChain ELSE 'und' END) ELSE 'und' END lang_pred
+         |FROM t""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),
+         |sh AS (SELECT doc_id, list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sl FROM t WHERE len(ws) >= 3)
+         |SELECT t.doc_id, md5(t.text) fp_md5,
+         |       list_min(list_transform(sh.sl, s -> md5(s))) fp_shingle
+         |FROM t LEFT JOIN sh ON t.doc_id = sh.doc_id""".stripMargin,
+
+    "simsearch_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 20),
+        |s AS (SELECT qid, e.vec_id cid,
+        |        round(list_inner_product(qv, v)
+        |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) cos_r6
+        |      FROM q CROSS JOIN e WHERE e.vec_id != qid)
+        |SELECT qid, cid, cos_r6, rnk FROM (
+        |  SELECT qid, cid, cos_r6,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
+        |  FROM s) WHERE rnk <= 10""".stripMargin,
+
+    "agg_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) sum_qty, count(*) cnt, avg(l_quantity) avg_qty,
+        |  min(l_extendedprice) min_price, max(l_extendedprice) max_price
+        |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    "events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) hour_ts, event_type,
+        |  count(*) cnt, round(sum(value), 2) sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
 }

@@ -152,8 +152,11 @@ object SpatialJoinCore {
 
   /**
    * Index of the nearest (JTS coordinate distance) broadcast geometry that
-   * passes the condition, or -1. Grows k geometrically so the common
-   * no-condition case is a single k=1 probe.
+   * passes the condition, or -1. Deterministic under distance ties: among
+   * all tied nearest candidates the smallest broadcast index wins — so k
+   * grows until either every entry was seen or the k-th distance strictly
+   * exceeds the best passing distance (guaranteeing all ties were seen).
+   * Starts at k=2 so the common unique-nearest case needs a single probe.
    */
   private def nearestMatch(
       row: Row,
@@ -162,22 +165,26 @@ object SpatialJoinCore {
       geoms: Array[Geometry],
       condEval: (Row, Int) => Boolean): Int = {
     val total = geoms.count(_ != null)
+    if (total == 0) return -1
     val env = g.getEnvelopeInternal
-    var k = 1
-    var tried = 0
-    while (tried < total) {
+    var k = 2
+    while (true) {
+      val kk = math.min(k, total)
       val found = tree
-        .nearestNeighbour(env, g, GeomItemDistance, math.min(k, total))
+        .nearestNeighbour(env, g, GeomItemDistance, kk)
         .map(_.asInstanceOf[Integer].intValue())
       // JTS does not guarantee order: sort by (distance, index) for determinism
       val sorted = found.sortBy(i => (g.distance(geoms(i)), i))
+      val kthDist = sorted.iterator.map(i => g.distance(geoms(i))).max
       sorted.find(i => condEval(row, i)) match {
-        case Some(i) => return i
+        case Some(i) =>
+          // unseen candidates are all at >= kthDist; strict > means no
+          // unseen tie can exist at the best distance
+          if (kk == total || kthDist > g.distance(geoms(i))) return i
         case None =>
-          tried = found.length
-          if (tried >= total) return -1
-          k = math.min(k * 4, total)
+          if (kk == total) return -1
       }
+      k = kk * 4
     }
     -1
   }

@@ -1,0 +1,106 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`array<float>`):
+ *
+ *  - [[cosineTopK]]: exact brute-force cosine top-k — the baseline;
+ *  - [[lshCosineTopK]]: random-hyperplane (SimHash) LSH-bucketed
+ *    approximate top-k — the scale path: candidates come only from
+ *    colliding buckets, turning the O(Q·N) cross product into a bucket
+ *    join that is near-linear in N for clustered data.
+ *
+ * All math is `zip_with`/`aggregate` over doubles (a sequential left
+ * fold — deterministic summation order), no UDFs. The query side is
+ * broadcast; the candidate side streams — no shuffle of the big side in
+ * the brute-force path, one hash-partition shuffle in the LSH path.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, rounded to `scale` decimals for cross-engine
+    * comparability (summation-order noise lives below 1e-12). */
+  def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =
+    round(dot(a, b) / (l2norm(a) * l2norm(b)), scale)
+
+  /**
+   * Exact brute-force top-k: for every query row, the k nearest candidate
+   * rows by cosine (descending), ties broken by candidate id ascending.
+   * Output: (query id, candidate id, cos_r6, rank 1..k). Self-pairs
+   * (same id) are excluded.
+   *
+   * The query side is `broadcast()` — candidates never shuffle; ranking
+   * shuffles only Q·N slim rows keyed by query id.
+   */
+  def cosineTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(
+      col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+    val c = candidates.select(
+      col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosineRounded(col("qv"), col("cv")).as("cos_r6"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
+  /**
+   * Deterministic pseudo-random hyperplane component for (plane p, dim i):
+   * a reproducible value in [-0.5, 0.5) derived from md5 — no RNG state,
+   * stable across executors and engines.
+   */
+  private def planeComponent(seed: Column, p: Column, i: Column): Column =
+    (conv(substring(md5(concat_ws(":", seed.cast("string"), p.cast("string"), i.cast("string"))
+      .cast("binary")), 1, 8),
+      16, 10).cast("long").cast("double") / lit(4294967296.0d)) - 0.5d
+
+  /** SimHash bucket id: `planes`-bit sign pattern of random-hyperplane
+    * projections of the (unnormalized) vector; `seed` picks an independent
+    * plane family (one per LSH table). */
+  def simhashBucket(vec: Column, planes: Int, seed: Column): Column =
+    aggregate(
+      sequence(lit(0), lit(planes - 1)),
+      lit(0L),
+      (acc, p) => {
+        val proj = aggregate(
+          zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(seed, p, i)),
+            (x, w) => x * w),
+          lit(0.0d), (s, x) => s + x)
+        acc * 2 + when(proj >= 0, 1L).otherwise(0L)
+      })
+
+  /**
+   * Approximate top-k: candidates restricted to rows sharing the query's
+   * SimHash bucket in at least one of `tables` independent hash tables.
+   * Recall rises with tables, cost falls with planes. Output contract
+   * matches [[cosineTopK]] (rank within retrieved candidates).
+   */
+  def lshCosineTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      planes: Int = 8, tables: Int = 4): DataFrame = {
+    def bucketed(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
+        posexplode(transform(sequence(lit(0), lit(tables - 1)),
+          t => simhashBucket(col(vecCol).cast("array<double>"), planes, t))))
+        .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val q = bucketed(queries, "qid", "qv")
+    val c = bucketed(candidates, "cid", "cv")
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), cosineRounded(col("qv"), col("cv")).as("cos_r6"))
+      .dropDuplicates("qid", "cid")
+    val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+}

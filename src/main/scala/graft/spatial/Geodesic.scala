@@ -60,7 +60,10 @@ object Geodesic {
       val prev = lambda
       lambda = L + (1.0 - c) * f * sinAlpha *
         (sigma + c * sinSigma * (cos2SigmaM + c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
-      if (math.abs(lambda - prev) < 1e-12) converged = true
+      // converge to machine precision: the iteration contracts by ~f per
+      // step, so the residual after stopping is O(1e-15·f) rad ≈ nanometres
+      // — keeps round-to-metre results stable against oracle recomputation
+      if (math.abs(lambda - prev) < 1e-15) converged = true
       iter += 1
     }
     val uSq = cos2Alpha * (a * a - b * b) / (b * b)

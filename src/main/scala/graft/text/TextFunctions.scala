@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis column functions for large-scale training-data pipelines:
+ * tokenization, quality scoring, language-ID heuristic, shingling and
+ * document fingerprinting.
+ *
+ * Everything here is composed from `org.apache.spark.sql.functions` only
+ * (higher-order array functions + hashes) — whole-stage-codegen friendly, no
+ * UDFs, no driver-side work; scales linearly with a narrow map-only plan.
+ *
+ * Determinism contract: each function is reproducible bit-for-bit by an
+ * ANSI-SQL oracle (DuckDB): tokenization is a literal single-space split,
+ * ratios are one IEEE division of exact integer counts, and hashes are md5
+ * (identical hex in every engine).
+ */
+object TextFunctions {
+
+  /** Whitespace tokens: split on a single space, empties dropped.
+    * Oracle: `list_filter(string_split(text, ' '), x -> x != '')`. */
+  def tokens(text: Column): Column = filter(split(text, " ", -1), _ =!= "")
+
+  def tokenCount(toks: Column): Column = size(toks).cast("long")
+
+  /** Average token length: exact integer sum, then one IEEE division. */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double")
+        / size(toks).cast("double"))
+
+  /** Count of tokens contained in `words`. */
+  def wordSetCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast("long")
+
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  /** Stopword share of tokens — a classic quality signal. */
+  def stopwordRatio(toks: Column, words: Seq[String] = Stopwords): Column =
+    when(size(toks) > 0,
+      wordSetCount(toks, words).cast("double") / size(toks).cast("double"))
+
+  /** Distinct-token share — low values indicate repetitive/spammy text. */
+  def distinctTokenRatio(toks: Column): Column =
+    when(size(toks) > 0,
+      size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+
+  /** Language marker words; heuristic n-gram-free language ID. Priority
+    * order (ties resolve to the earlier entry) is part of the contract. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "es" -> Seq("el", "los", "y", "es"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "fr" -> Seq("le", "les", "et", "est"),
+    "zh" -> Seq("的", "是", "了", "在"))
+
+  /** Heuristic language ID: argmax of marker-word hit counts with the
+    * LangMarkers priority order on ties; null-safe ("und" = undetermined
+    * when no marker hits at all). */
+  def langId(toks: Column): Column = {
+    val scores = LangMarkers.map { case (lang, ws) => lang -> wordSetCount(toks, ws) }
+    val anyHit = scores.map(_._2).reduce(_ + _) > 0
+    // CASE chain: first language whose score >= every other score
+    val cases = scores.zipWithIndex.map { case ((lang, s), i) =>
+      val others = scores.zipWithIndex.collect { case ((_, o), j) if j != i => o }
+      (others.map(o => s >= o).reduce(_ && _), lit(lang))
+    }
+    val chain = cases.foldRight(lit("und")) { case ((cond, v), acc) => when(cond, v).otherwise(acc) }
+    when(anyHit, chain).otherwise(lit("und"))
+  }
+
+  /** Distinct word n-gram shingles, space-joined; empty array when the
+    * document has fewer than n tokens. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      array_distinct(transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact-content fingerprint: md5 hex of the full text. */
+  def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Near-dup-robust fingerprint: the minimum md5 over the document's word
+    * n-gram shingles (winnowing with window = whole doc). Documents sharing
+    * any low-hash shingle region collide — a 1-hash MinHash. */
+  def minShingleFingerprint(toks: Column, n: Int = 3): Column = {
+    val sh = shingles(toks, n)
+    when(size(sh) > 0, array_min(transform(sh, s => md5(s.cast("binary")))))
+  }
+}

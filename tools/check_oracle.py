@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: compare graft.Verify parquet
+dumps against the DuckDB oracle SQL, column-name-sorted, row-sorted.
+
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+"""
+import json
+import sys
+
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(str(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [cols[i] for i in order], out
+
+
+def main(sf_dir, out_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    fails = 0
+    for name, sql in sorted(oracle.items()):
+        try:
+            import glob
+            files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            tbl = pq.read_table(files[0]) if len(files) == 1 else \
+                pq.read_table(f"{out_dir}/{name}")
+            acols = tbl.column_names
+            arows = [tuple(c[i] for c in tbl.columns)
+                     for i in range(tbl.num_rows)]
+            acols2, arows2 = norm(arows, acols)
+            res = con.execute(sql)
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+            ocols2, orows2 = norm(orows, ocols)
+            if acols2 != ocols2:
+                print(f"FAIL {name}: columns {acols2} vs oracle {ocols2}")
+                fails += 1
+            elif len(arows2) != len(orows2):
+                print(f"FAIL {name}: rows {len(arows2)} vs oracle {len(orows2)}")
+                fails += 1
+            elif arows2 != orows2:
+                bad = sum(1 for a, b in zip(arows2, orows2) if a != b)
+                print(f"FAIL {name}: {bad}/{len(arows2)} differing rows; "
+                      f"first: {next((a, b) for a, b in zip(arows2, orows2) if a != b)}")
+                fails += 1
+            else:
+                print(f"OK   {name}: {len(arows2)} rows")
+        except Exception as e:
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+            fails += 1
+    print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} "
+          f"({len(oracle)} queries)")
+    return 1 if fails else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
