@@ -218,31 +218,34 @@ object SparkEntry {
 
     // --- text analysis -------------------------------------------------
 
-    "text_tokens" -> ((s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      tbl(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.tokenCount(toks).as("n_tokens"),
-        length(col("text")).cast("long").as("len_chars"),
-        TextFunctions.avgTokenLen(toks).as("avg_token_len"))
-    }),
+    "text_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("ws")).as("n_tokens"),
+          length(col("text")).cast("long").as("len_chars"),
+          TextFunctions.avgTokenLen(col("ws")).as("avg_token_len"))),
 
-    "text_quality" -> ((s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      tbl(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.stopwordRatio(toks).as("stop_ratio"),
-        TextFunctions.distinctTokenRatio(toks).as("distinct_ratio"))
-    }),
+    "text_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          TextFunctions.stopwordRatio(col("ws")).as("stop_ratio"),
+          TextFunctions.distinctTokenRatio(col("ws")).as("distinct_ratio"))),
 
     "text_langid" -> ((s, dir) =>
-      tbl(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.langId(TextFunctions.tokens(col("text"))).as("lang_pred"))),
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), TextFunctions.langId(col("ws")).as("lang_pred"))),
 
-    "text_fingerprint" -> ((s, dir) => {
-      val toks = TextFunctions.tokens(col("text"))
-      tbl(s, dir, "documents").select(col("doc_id"),
-        TextFunctions.md5Fingerprint(col("text")).as("fp_md5"),
-        TextFunctions.minShingleFingerprint(toks).as("fp_shingle"))
-    }),
+    "text_fingerprint" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("text"), TextFunctions.shingles(col("ws"), 3).as("sh"))
+        .select(col("doc_id"),
+          TextFunctions.md5Fingerprint(col("text")).as("fp_md5"),
+          when(size(col("sh")) > 0,
+            array_min(transform(col("sh"), s => md5(s.cast("binary"))))).as("fp_shingle"))),
 
     // --- similarity search ---------------------------------------------
 

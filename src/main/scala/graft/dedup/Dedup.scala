@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.WordShingles
 import graft.text.TextFunctions
 
 /**
@@ -16,11 +17,11 @@ import graft.text.TextFunctions
  *    exact Jaccard verification — the 100 TB path (candidates shrink the
  *    quadratic pair space to near-linear; every emitted pair is exact).
  *
- * All plans are pure DataFrame ops: narrow maps + shuffles keyed on
- * digests/shingles, no driver-side collection, no UDFs. Hashing is md5
- * (bit-identical across engines, so every operator is oracle-checkable);
- * for throughput-critical deployments swap `md5` for `xxhash64` via the
- * `hashFn` parameter — the plan shape is unchanged.
+ * All plans are pure DataFrame ops plus two codegen'd native expressions
+ * (WordShingles, MinhashSignature): narrow maps + shuffles keyed on
+ * digests/shingles, no driver-side collection, no UDFs. Emitted pair
+ * results are exact Jaccard values — single IEEE divisions of integer
+ * counts, reproducible bit-for-bit by an external SQL oracle.
  *
  * Scale notes (100 TB):
  *  - exactCanon shuffles 16-byte digests, never full texts;
@@ -41,11 +42,19 @@ object Dedup {
       min(col(idCol)).over(Window.partitionBy(md5(col(textCol).cast("binary"))))
         .as("canon_id"))
 
-  /** (docId, shingleArray) projection shared by the dedup operators. */
+  /** (docId, shingleArray) projection shared by the dedup operators.
+    * Tokens materialize as a column first: higher-order lambdas over a bound
+    * array column evaluate it once per row, whereas inlining the tokenizer
+    * expression would re-tokenize per shingle position (O(tokens²)). */
   private def shingled(df: DataFrame, idCol: String, textCol: String, n: Int) =
-    df.select(
-      col(idCol).as("doc"),
-      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), n).as("sh"))
+    df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      // spread docs across the cluster before the expensive fan-out stages:
+      // a small input file would otherwise pin explode/join work to its few
+      // scan partitions (shuffles only (id, text) pairs)
+      .repartition(col("doc"))
+      // codegen'd native expression — the composed higher-order built-ins
+      // run interpreted and cost ~10x more (see graft.functions.WordShingles)
+      .select(col("doc"), WordShingles.wordShingles(col("txt"), n).as("sh"))
 
   /** Exact Jaccard: one IEEE division of exact integer counts — identical
     * in any engine. */
@@ -64,34 +73,61 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       tau: Double, n: Int = 3, maxDocFreq: Option[Int] = None): DataFrame = {
-    val sh = shingled(df, idCol, textCol, n)
-    val sizes = sh.select(col("doc"), size(col("sh")).as("nsh"))
-    val inv0 = sh.select(col("doc"), explode(col("sh")).as("s"))
+    // single-pass inverted index carrying each doc's shingle count — no
+    // separate sizes join; the self-join's two branches share one shuffle
+    // (identical canonical plans → Catalyst ReuseExchange)
+    val inv0 = shingled(df, idCol, textCol, n)
+      .select(col("doc"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
     val inv = maxDocFreq.fold(inv0) { cap =>
       val hot = inv0.groupBy("s").agg(count(lit(1)).as("df")).where(col("df") > cap).select("s")
       inv0.join(broadcast(hot), Seq("s"), "left_anti")
     }
-    val counts = inv.as("a")
-      .join(inv.as("b"), col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
-      .groupBy(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
+    // shuffle-hash: at scale the inverted index must never broadcast, and
+    // hash beats sort-merge here (no ordering needed, bounded bucket sizes)
+    inv.as("a").hint("shuffle_hash")
+      .join(inv.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"),
+        col("a.nsh").as("ni"), col("b.nsh").as("nj"))
       .agg(count(lit(1)).as("c"))
-    counts
-      .join(sizes.withColumnRenamed("doc", "doc_i").withColumnRenamed("nsh", "ni"), "doc_i")
-      .join(sizes.withColumnRenamed("doc", "doc_j").withColumnRenamed("nsh", "nj"), "doc_j")
       .select(col("doc_i"), col("doc_j"), jaccard(col("c"), col("ni"), col("nj")).as("jac"))
       .where(col("jac") >= tau)
   }
 
+  /** Mersenne prime 2^31 - 1: the MinHash field. Affine products of
+    * 31-bit values stay under 2^62 — no long overflow under ANSI mode. */
+  val MinhashP: Long = 2147483647L
+
   /**
-   * MinHash signature: for each of `numHashes` hash families i, the minimum
-   * `hashFn(i || ':' || shingle)` over the document's shingles. With the
-   * default md5 the signature is engine-reproducible hex strings.
+   * MinHash signature over universal affine hash families mod 2^31-1: one
+   * xxhash64 per shingle folded into the field, then `numHashes`
+   * multiply-add-mods per shingle hash. Orders of magnitude cheaper than
+   * hashing every (family, shingle) string pair.
    */
-  def minhashSignature(
-      sh: Column, numHashes: Int,
-      hashFn: Column => Column = c => md5(c.cast("binary"))): Column =
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    signatureFromHashes(transform(sh, s => pmod(xxhash64(s), lit(MinhashP))), numHashes)
+
+  /** Signature from pre-materialized field-folded shingle hashes (callers
+    * should bind `hs` to a column so base hashes compute once per row). */
+  def signatureFromHashes(hs: Column, numHashes: Int): Column = {
+    val as = array(MinhashCoeff.take(numHashes).map(c => lit(c._1)): _*)
+    val bs = array(MinhashCoeff.take(numHashes).map(c => lit(c._2)): _*)
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => hashFn(concat(i.cast("string"), lit(":"), s)))))
+      i => array_min(transform(hs,
+        h => pmod(h * element_at(as, i + 1) + element_at(bs, i + 1), lit(MinhashP)))))
+  }
+
+  /** Fixed multipliers in [1, p-1] + offsets in [0, p-1] for the affine
+    * families (derived from a splitmix-style LCG; any fixed values work). */
+  private val MinhashCoeff: Seq[(Long, Long)] = {
+    var x = 0x9e3779b97f4a7c15L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    Seq.fill(64) {
+      val a = java.lang.Long.remainderUnsigned(next(), MinhashP - 1) + 1
+      val b = java.lang.Long.remainderUnsigned(next(), MinhashP)
+      (a, b)
+    }
+  }
 
   /**
    * MinHash-LSH near-dup pairs: signatures → banding (bandRows rows/band)
@@ -106,22 +142,27 @@ object Dedup {
     require(numHashes % bandRows == 0, "numHashes must be a multiple of bandRows")
     val numBands = numHashes / bandRows
     val sh = shingled(df, idCol, textCol, n).where(size(col("sh")) > 0)
-    val sig = sh.select(col("doc"), col("sh"),
-      minhashSignature(col("sh"), numHashes).as("sig"))
-    // (doc, band index, band key = md5 of the band's signature slice)
-    val bands = sig.select(col("doc"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-        b => md5(concat_ws("|", slice(col("sig"), b * bandRows + 1, lit(bandRows))).cast("binary")))))
+    // slim band rows (doc, band, bkey) — the band shuffle never carries
+    // shingle payloads; shingle arrays rejoin only for surviving candidates
+    val bands = sh
+      // codegen'd native signature (graft.functions.MinhashSignature): the
+      // composed higher-order form runs interpreted and costs ~50x more
+      .select(col("doc"),
+        graft.functions.MinhashSignature.minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(concat_ws("|", slice(col("sig"), b * bandRows + 1, lit(bandRows)))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"),
-        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
       .dropDuplicates("doc_i", "doc_j")
     // exact verification on the bounded per-doc shingle arrays
     cands
+      .join(sh.select(col("doc").as("doc_i"), col("sh").as("sha")), "doc_i")
+      .join(sh.select(col("doc").as("doc_j"), col("sh").as("shb")), "doc_j")
       .select(col("doc_i"), col("doc_j"),
         jaccard(size(array_intersect(col("sha"), col("shb"))),
           size(col("sha")), size(col("shb"))).as("jac"))

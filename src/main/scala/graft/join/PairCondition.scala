@@ -99,7 +99,7 @@ final case class CompiledCondition(
     val rConv = CatalystTypeConverters.createToCatalystConverter(rightSchema)
     val rightInternal: Array[InternalRow] =
       rightRows.map(r => rConv(r).asInstanceOf[InternalRow])
-    val pred = Predicate.createInterpreted(bound)
+    val pred = Predicate.create(bound) // codegen, interpreted fallback
     pred.initialize(0)
     val joined = new JoinedRow
     var cachedLeft: Row = null

@@ -124,8 +124,23 @@ object SpatialJoinCore {
               case i  => Iterator.single(emit(row, g, i, Geodesic.centroidDistance(g, geoms(i))))
             }
           case wd: SpatialPredicate.WithinDist =>
+            // coarse, strictly over-approximating prefilter. Latitude: any
+            // path of length D moves < D/110500 m-per-deg of latitude
+            // (minimum meridian arc/degree is ~110574 m). Longitude: the
+            // parallel-circle radius is >= a·cos(phi), and a geodesic of
+            // length D cannot excurse more than D/110500 deg beyond its
+            // endpoints' latitude band — so cos at the band edge (+2x
+            // margin) bounds the longitude displacement. ~3x tighter than
+            // the reference's flat 1 deg = 35 km constant, never under.
             val env = g.getEnvelopeInternal.copy()
-            env.expandBy(wd.degrees) // coarse, over-approximating prefilter
+            val latDeg = wd.meters / 110500.0
+            val phiMax = math.min(89.9,
+              math.max(math.abs(env.getMinY), math.abs(env.getMaxY)) + 2 * latDeg)
+            val cosPhi = math.cos(math.toRadians(phiMax))
+            val lonDeg =
+              if (cosPhi <= 1e-6) 360.0
+              else wd.meters / (Geodesic.SemiMajorA * cosPhi * math.Pi / 180.0)
+            env.expandBy(lonDeg, latDeg)
             candidates(tree, env).flatMap { i =>
               if (!condEval(row, i)) None
               else {

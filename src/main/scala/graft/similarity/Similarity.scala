@@ -43,13 +43,19 @@ object Similarity {
   def cosineTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    // norms materialize per side BEFORE the join — computing them inside
+    // the pair expression would redo a full fold per pair row
     val q = queries.select(
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
     val c = candidates.select(
       col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .repartition(col("cid")) // parallelize scoring beyond the scan's partitioning
+      .withColumn("cn", l2norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosineRounded(col("qv"), col("cv")).as("cos_r6"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_r6"))
     val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
