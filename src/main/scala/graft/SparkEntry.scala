@@ -195,6 +195,29 @@ object SparkEntry {
         .select(col("c_custkey"), col("s_suppkey"), col("dist_m").cast("long"))
     }),
 
+    // Grid (partitioned) physical strategy — same semantics as
+    // j2_withindist / j5_intersects, no broadcast of either side
+    "j2_withindist_grid" -> ((s, dir) => {
+      supplierEq(s, dir).createOrReplaceTempView("v_j2g_sup")
+      bsj("v_j2g_sup").setDataColumns("s_suppkey")
+        .setBroadcast("none").setPredicate("withindist 300000")
+        .setDistColAlias("dist_m")
+        .transform(customerEq(s, dir).select("c_custkey", "lon", "lat"))
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_m").cast("long"))
+    }),
+
+    "j5_intersects_grid" -> ((s, dir) => {
+      supplierPoints(s, dir)
+        .withColumn("wkt", rectWkt(col("lon"), col("lat"), SWX, SWY))
+        .createOrReplaceTempView("v_j5g_sup")
+      bsj("v_j5g_sup").setDatasetPoint("").setDatasetWKT("wkt")
+        .setInputPoint("").setInputWKT("wkt")
+        .setDataColumns("s_suppkey").setBroadcast("none").setPredicate("intersects")
+        .transform(customerPoints(s, dir).select(col("c_custkey"),
+          rectWkt(col("lon"), col("lat"), CWX, CWY).as("wkt")))
+        .select("c_custkey", "s_suppkey")
+    }),
+
     // P1 dataset pre-filter (+ P2 pruning, P3/P4 aliasing exercised)
     "p1_filter" -> ((s, dir) => {
       supplierPoints(s, dir).createOrReplaceTempView("v_p1_sup")
@@ -333,6 +356,16 @@ object SparkEntry {
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
          |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
 
+    "j2_withindist_grid" ->
+      s"""WITH c AS ($cEq), s AS ($sEq)
+         |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
+         |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
+
+    "j2_withindist_grid" ->
+      s"""WITH c AS ($cEq), s AS ($sEq)
+         |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
+         |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
+
     "j3_within" ->
       s"""WITH c AS ($cPts), s AS ($sPts)
          |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
@@ -346,6 +379,18 @@ object SparkEntry {
          |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin,
 
     "j5_intersects" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
+         |WHERE c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX
+         |  AND c.lat - $CWY <= s.lat + $SWY AND s.lat - $SWY <= c.lat + $CWY""".stripMargin,
+
+    "j5_intersects_grid" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
+         |WHERE c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX
+         |  AND c.lat - $CWY <= s.lat + $SWY AND s.lat - $SWY <= c.lat + $CWY""".stripMargin,
+
+    "j5_intersects_grid" ->
       s"""WITH c AS ($cPts), s AS ($sPts)
          |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
          |WHERE c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX

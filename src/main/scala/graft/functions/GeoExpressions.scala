@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.locationtech.jts.geom.{Envelope, Geometry}
+
+import graft.spatial.{GeoKit, Geodesic, SpatialPredicate}
+
+/**
+ * WKB-geometry Catalyst expressions for the partitioned (grid) spatial
+ * join — the scale path where neither side is collected or broadcast.
+ * Geometry travels as WKB `BinaryType` columns inside one Catalyst plan;
+ * every expression is codegen'd via a static helper call, so the stages
+ * around them stay in whole-stage codegen. JTS readers/factories are
+ * thread-local (GeoKit) — no serialization of JTS objects, ever.
+ */
+object GeoExpressions {
+
+  // --- Column API -------------------------------------------------------
+
+  /** WKT string → WKB (null/empty → null). */
+  def wkbFromWkt(wkt: Column): Column =
+    ColumnBridge.column(WkbFromWkt(ColumnBridge.expression(wkt)))
+
+  /** (lon, lat) doubles → WKB point. */
+  def wkbPoint(lon: Column, lat: Column): Column =
+    ColumnBridge.column(WkbPoint(ColumnBridge.expression(lon), ColumnBridge.expression(lat)))
+
+  /** Grid cell ids overlapped by the geometry's envelope expanded by
+    * `expandMeters` (latitude-aware, strictly over-approximating — same
+    * bound as the broadcast kernel). Cell id = cellX * 2^20 + cellY. */
+  def gridCells(wkb: Column, cellDeg: Double, expandMeters: Double = 0): Column =
+    ColumnBridge.column(GridCells(ColumnBridge.expression(wkb), cellDeg, expandMeters))
+
+  /** The unique "emit" cell of a candidate pair: the cell containing the
+    * reference point (max of the two expanded-envelope minima). A pair
+    * sharing k cells passes `gridCells` k times; filtering on
+    * `cell === refCell` keeps exactly one copy with no extra shuffle. */
+  def refCell(lwkb: Column, rwkb: Column, cellDeg: Double, lExpandMeters: Double = 0): Column =
+    ColumnBridge.column(RefCell(ColumnBridge.expression(lwkb), ColumnBridge.expression(rwkb),
+      cellDeg, lExpandMeters))
+
+  /** Exact JTS relation `left op right` (within/contains/intersects/overlaps). */
+  def stRelates(lwkb: Column, rwkb: Column, predicate: String): Column =
+    ColumnBridge.column(StRelates(ColumnBridge.expression(lwkb), ColumnBridge.expression(rwkb),
+      predicate))
+
+  /** WGS84 geodesic centroid distance, whole metres (graft.spatial.Geodesic). */
+  def geodesicMeters(lwkb: Column, rwkb: Column): Column =
+    ColumnBridge.column(GeodesicMeters(ColumnBridge.expression(lwkb), ColumnBridge.expression(rwkb)))
+
+  // --- static helpers shared by eval and generated code -----------------
+
+  val CellBits = 20
+  val MaxCell: Int = (1 << CellBits) - 1
+
+  def computeWkbFromWkt(wkt: UTF8String): Array[Byte] = {
+    val g = GeoKit.wktToGeom(wkt.toString)
+    if (g == null) null else GeoKit.geomToWkb(g)
+  }
+
+  def computeWkbPoint(lon: Double, lat: Double): Array[Byte] =
+    GeoKit.geomToWkb(GeoKit.point(lon, lat))
+
+  private def cellOf(x: Double, y: Double, cellDeg: Double): Long = {
+    val cx = math.min(MaxCell, math.max(0, math.floor((x + 180.0) / cellDeg).toInt))
+    val cy = math.min(MaxCell, math.max(0, math.floor((y + 90.0) / cellDeg).toInt))
+    (cx.toLong << CellBits) | cy.toLong
+  }
+
+  /** Latitude-aware conservative envelope expansion by metres — identical
+    * bound to SpatialJoinCore's withindist prefilter. */
+  def expandedBounds(env: Envelope, meters: Double): (Double, Double, Double, Double) = {
+    if (meters <= 0) return (env.getMinX, env.getMaxX, env.getMinY, env.getMaxY)
+    val latDeg = meters / 110500.0
+    val phiMax = math.min(89.9,
+      math.max(math.abs(env.getMinY), math.abs(env.getMaxY)) + 2 * latDeg)
+    val cosPhi = math.cos(math.toRadians(phiMax))
+    val lonDeg =
+      if (cosPhi <= 1e-6) 360.0
+      else meters / (Geodesic.SemiMajorA * cosPhi * math.Pi / 180.0)
+    (env.getMinX - lonDeg, env.getMaxX + lonDeg, env.getMinY - latDeg, env.getMaxY + latDeg)
+  }
+
+  def computeGridCells(wkb: Array[Byte], cellDeg: Double, expandMeters: Double): ArrayData = {
+    val g = GeoKit.wkbToGeom(wkb)
+    if (g == null) return new GenericArrayData(Array.empty[Any])
+    val (minX, maxX, minY, maxY) = expandedBounds(g.getEnvelopeInternal, expandMeters)
+    val cx0 = math.min(MaxCell, math.max(0, math.floor((minX + 180.0) / cellDeg).toInt))
+    val cx1 = math.min(MaxCell, math.max(0, math.floor((maxX + 180.0) / cellDeg).toInt))
+    val cy0 = math.min(MaxCell, math.max(0, math.floor((minY + 90.0) / cellDeg).toInt))
+    val cy1 = math.min(MaxCell, math.max(0, math.floor((maxY + 90.0) / cellDeg).toInt))
+    val out = new Array[Any]((cx1 - cx0 + 1) * (cy1 - cy0 + 1))
+    var i = 0; var cx = cx0
+    while (cx <= cx1) {
+      var cy = cy0
+      while (cy <= cy1) { out(i) = (cx.toLong << CellBits) | cy.toLong; i += 1; cy += 1 }
+      cx += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def computeRefCell(lwkb: Array[Byte], rwkb: Array[Byte], cellDeg: Double,
+      lExpandMeters: Double): Long = {
+    val lg = GeoKit.wkbToGeom(lwkb); val rg = GeoKit.wkbToGeom(rwkb)
+    val (lMinX, _, lMinY, _) = expandedBounds(lg.getEnvelopeInternal, lExpandMeters)
+    val re = rg.getEnvelopeInternal
+    cellOf(math.max(lMinX, re.getMinX), math.max(lMinY, re.getMinY), cellDeg)
+  }
+
+  def computeRelates(lwkb: Array[Byte], rwkb: Array[Byte], predOrdinal: Int): Boolean = {
+    val lg = GeoKit.wkbToGeom(lwkb); val rg = GeoKit.wkbToGeom(rwkb)
+    if (lg == null || rg == null) false
+    else predOrdinal match {
+      case 0 => lg.within(rg)
+      case 1 => lg.contains(rg)
+      case 2 => lg.intersects(rg)
+      case 3 => lg.overlaps(rg)
+    }
+  }
+
+  def predOrdinal(predicate: String): Int = SpatialPredicate.parse(predicate) match {
+    case SpatialPredicate.Within     => 0
+    case SpatialPredicate.Contains   => 1
+    case SpatialPredicate.Intersects => 2
+    case SpatialPredicate.Overlaps   => 3
+    case p => throw new IllegalArgumentException(s"not a relation predicate: $p")
+  }
+
+  def computeGeodesicMeters(lwkb: Array[Byte], rwkb: Array[Byte]): Int =
+    Geodesic.centroidDistance(GeoKit.wkbToGeom(lwkb), GeoKit.wkbToGeom(rwkb))
+}
+
+case class WkbFromWkt(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GeoExpressions.computeWkbFromWkt(v.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoExpressions.computeWkbFromWkt($c)")
+  override protected def withNewChildInternal(n: Expression): WkbFromWkt = copy(child = n)
+  override def prettyName: String = "wkb_from_wkt"
+}
+
+case class WkbPoint(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(DoubleType, DoubleType)
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(lon: Any, lat: Any): Any =
+    GeoExpressions.computeWkbPoint(lon.asInstanceOf[Double], lat.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoExpressions.computeWkbPoint($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): WkbPoint =
+    copy(left = l, right = r)
+  override def prettyName: String = "wkb_point"
+}
+
+case class GridCells(child: Expression, cellDeg: Double, expandMeters: Double)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GeoExpressions.computeGridCells(v.asInstanceOf[Array[Byte]], cellDeg, expandMeters)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.GeoExpressions.computeGridCells($c, $cellDeg, $expandMeters)")
+  override protected def withNewChildInternal(n: Expression): GridCells = copy(child = n)
+  override def prettyName: String = "grid_cells"
+}
+
+case class RefCell(left: Expression, right: Expression, cellDeg: Double, lExpandMeters: Double)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GeoExpressions.computeRefCell(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]],
+      cellDeg, lExpandMeters)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GeoExpressions.computeRefCell($a, $b, $cellDeg, $lExpandMeters)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RefCell =
+    copy(left = l, right = r)
+  override def prettyName: String = "grid_ref_cell"
+}
+
+case class StRelates(left: Expression, right: Expression, predicate: String)
+    extends BinaryExpression with ExpectsInputTypes {
+  private val ord = GeoExpressions.predOrdinal(predicate)
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GeoExpressions.computeRelates(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]], ord)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoExpressions.computeRelates($a, $b, $ord)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StRelates =
+    copy(left = l, right = r)
+  override def prettyName: String = s"st_$predicate"
+}
+
+case class GeodesicMeters(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GeoExpressions.computeGeodesicMeters(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoExpressions.computeGeodesicMeters($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): GeodesicMeters =
+    copy(left = l, right = r)
+  override def prettyName: String = "geodesic_meters"
+}

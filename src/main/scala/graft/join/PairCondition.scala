@@ -34,6 +34,15 @@ object PairCondition {
       refs.collect { case ("right", c) => c }.distinct)
   }
 
+  /** Rewrite `left.x` / `right.y` references with the given renamers —
+    * used by the grid path, where the condition becomes a plain Catalyst
+    * filter over the joined row instead of a pair evaluator. */
+  def rewriteSides(condition: String, leftRef: String => String,
+      rightRef: String => String): String =
+    SideRef.replaceAllIn(condition, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (m.group(1).equalsIgnoreCase("left")) leftRef(m.group(2)) else rightRef(m.group(2))))
+
   /** Compile on the driver; None for an empty condition string. */
   def compile(
       spark: SparkSession,

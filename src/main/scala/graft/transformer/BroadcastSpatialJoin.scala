@@ -1,11 +1,12 @@
 package graft.transformer
 
-import graft.join.{CompiledCondition, PairCondition, SpatialJoinCore}
+import graft.join.{CompiledCondition, GridSpatialJoin, PairCondition, SpatialJoinCore}
 import graft.spatial.{GeomSpec, SpatialPredicate}
 import graft.toolbox.StringToolbox._
 import org.apache.spark.ml.Transformer
 import org.apache.spark.ml.param.{Param, ParamMap, Params}
 import org.apache.spark.ml.util.{DefaultParamsReadable, DefaultParamsWritable, Identifiable}
+import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.classic.SparkSession
 import org.apache.spark.sql.types.{DataTypes, StructField, StructType}
@@ -144,7 +145,8 @@ class BroadcastSpatialJoin(override val uid: String)
       distanceAlias: String,
       spatialPredicate: SpatialPredicate,
       conditionSql: String,
-      broadcastInput: Boolean)
+      broadcastInput: Boolean,
+      gridMode: Boolean)
 
   private def makeConfig(spark: SparkSession): JoinConfig = {
     checkParams()
@@ -155,10 +157,12 @@ class BroadcastSpatialJoin(override val uid: String)
         yield (name, alias.headOption.getOrElse(name))
     val (dataCols, aliases) = (pairs.toSeq.map(_._1), pairs.toSeq.map(_._2))
 
-    val broadcastInput = trimmed(broadcast) == input
+    val gridMode = Seq("none", "grid").contains(trimmed(broadcast).toLowerCase)
+    val broadcastInput = !gridMode && trimmed(broadcast) == input
     val conditionSql = trimmed(condition)
     val (condLeftCols, condRightCols) = PairCondition.referencedColumns(conditionSql)
-    // external side plays `left` (iterated) when the input is broadcast
+    // external side plays `left` (iterated) when the input is broadcast;
+    // in grid mode orientation matches broadcast=dataset (external = right)
     val condExternalCols = if (broadcastInput) condLeftCols else condRightCols
 
     val externalSpec = geomSpecOf(trimmed(datasetWKT), trimmed(datasetPoint))
@@ -183,7 +187,8 @@ class BroadcastSpatialJoin(override val uid: String)
       distanceAlias = trimmed(distanceColumnAlias),
       spatialPredicate = SpatialPredicate.parse(trimmed(predicate)),
       conditionSql = conditionSql,
-      broadcastInput = broadcastInput)
+      broadcastInput = broadcastInput,
+      gridMode = gridMode)
   }
 
   /** Output schema = input fields ++ aliased selected external fields ++
@@ -214,6 +219,8 @@ class BroadcastSpatialJoin(override val uid: String)
     val input = inputDS.toDF
     val cfg = makeConfig(spark)
 
+    if (cfg.gridMode) return gridTransform(spark, input, cfg)
+
     val (iterDF, iterSpec, bcDF, bcSpec) =
       if (cfg.broadcastInput) (cfg.externalDF, cfg.externalSpec, input, cfg.inputSpec)
       else (input, cfg.inputSpec, cfg.externalDF, cfg.externalSpec)
@@ -238,6 +245,51 @@ class BroadcastSpatialJoin(override val uid: String)
       Row.fromSeq(if (needDistance) vals :+ d else vals)
     }
     spark.createDataFrame(rows, schema)
+  }
+
+  /** Partitioned grid join (broadcast="none"): neither side collected,
+    * one Catalyst plan end-to-end — see graft.join.GridSpatialJoin.
+    * Orientation matches broadcast=dataset: predicate is `input op
+    * external`, condition `left` = input, `right` = external. `nearest`
+    * is rejected (no cell-local formulation). */
+  private def gridTransform(spark: SparkSession, input: DataFrame, cfg: JoinConfig): DataFrame = {
+    import graft.functions.GeoExpressions
+
+    def wkbOf(spec: GeomSpec, rename: String => String): org.apache.spark.sql.Column = spec match {
+      case GeomSpec.WktCol(w) => GeoExpressions.wkbFromWkt(F.col(rename(w)))
+      case GeomSpec.PointCols(lon, lat) =>
+        GeoExpressions.wkbPoint(F.col(rename(lon)).cast("double"), F.col(rename(lat)).cast("double"))
+    }
+
+    val pref = "__r_"
+    val ext = cfg.externalDF.columns.foldLeft(cfg.externalDF)((d, c) =>
+      d.withColumnRenamed(c, pref + c))
+
+    val extraCond: Option[org.apache.spark.sql.Column] = {
+      val trimmedCond = cfg.conditionSql.trim
+      if (trimmedCond.isEmpty) None
+      else Some(F.expr(PairCondition.rewriteSides(trimmedCond,
+        l => s"`$l`", r => s"`$pref$r`")))
+    }
+
+    val radius = cfg.spatialPredicate match {
+      case SpatialPredicate.WithinDist(m) => m
+      case _ => 0.0
+    }
+    val cellDeg = math.max(1.0, 2.0 * radius / 110500.0)
+
+    val needDistance = cfg.distanceAlias.nonEmpty
+    val joined = GridSpatialJoin.join(
+      input, ext,
+      wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
+      cfg.spatialPredicate, cellDeg, extraCond,
+      if (needDistance) Some(cfg.distanceAlias) else None)
+
+    val outCols =
+      input.columns.map(F.col) ++
+        cfg.dataCols.zip(cfg.aliases).map { case (n, a) => F.col(pref + n).as(a) } ++
+        (if (needDistance) Seq(F.col(cfg.distanceAlias)) else Nil)
+    joined.select(outCols.toIndexedSeq: _*)
   }
 }
 

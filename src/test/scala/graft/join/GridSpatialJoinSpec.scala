@@ -1,0 +1,85 @@
+package graft.join
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestKit.spark
+import graft.transformer.BroadcastSpatialJoin
+
+/** The grid (partitioned) join must produce exactly the broadcast
+  * kernel's results for every non-nearest predicate — two physical
+  * strategies, one semantics. */
+class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
+
+  import spark.implicits._
+
+  behavior of "GridSpatialJoin via transformer broadcast=none"
+
+  private def pts(n: Int, idPrefix: String): DataFrame = {
+    // deterministic scatter over ~3 grid cells incl. cell-boundary crossers
+    (0 until n).map { i =>
+      (s"$idPrefix$i", (i * 37 % 300) / 100.0, (i * 53 % 300) / 100.0)
+    }.toDF("id", "lon", "lat")
+  }
+
+  private def run(predicate: String, mode: String, dist: Boolean = false): Set[String] = {
+    val input = pts(40, "i")
+    val data = pts(25, "d").toDF("poi_id", "lon", "lat")
+    data.createOrReplaceTempView(s"grid_poi_${predicate.takeWhile(_.isLetter)}_$mode")
+    val t = new BroadcastSpatialJoin()
+      .setDataset(s"grid_poi_${predicate.takeWhile(_.isLetter)}_$mode")
+      .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("poi_id").setPredicate(predicate).setBroadcast(mode)
+    val out = if (dist) t.setDistColAlias("dm") else t
+    out.transform(input)
+      .collect().map(r => r.mkString("|")).toSet
+  }
+
+  it should "match the broadcast kernel on withindist (+ distance column)" in {
+    run("withindist 80000", "none", dist = true) shouldBe
+      run("withindist 80000", "dataset", dist = true)
+  }
+
+  it should "match the broadcast kernel on withindist with a condition" in {
+    val input = pts(40, "i")
+    val data = pts(25, "d").toDF("poi_id", "lon", "lat")
+    data.createOrReplaceTempView("grid_poi_cond")
+    def go(mode: String) = new BroadcastSpatialJoin()
+      .setDataset("grid_poi_cond")
+      .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("poi_id").setPredicate("withindist 120000")
+      .setJoinCondition("right.poi_id != left.id").setBroadcast(mode)
+      .transform(input).collect().map(_.mkString("|")).toSet
+    go("none") shouldBe go("dataset")
+  }
+
+  it should "match the broadcast kernel on polygon predicates" in {
+    val input = pts(40, "i")
+    // WKT triangles around each point
+    val data = pts(25, "d").toDF("poi_id", "lon", "lat").selectExpr("poi_id",
+      "concat('POLYGON((', lon-0.4, ' ', lat-0.3, ',', lon+0.4, ' ', lat-0.3, ',', lon, ' ', lat+0.4, ',', lon-0.4, ' ', lat-0.3, '))') as wkt")
+    data.createOrReplaceTempView("grid_poi_poly")
+    def go(mode: String, pred: String) = new BroadcastSpatialJoin()
+      .setDataset("grid_poi_poly")
+      .setDatasetWKT("wkt").setInputPoint("lon, lat")
+      .setDataColumns("poi_id").setPredicate(pred).setBroadcast(mode)
+      .transform(input).collect().map(_.mkString("|")).toSet
+    // point within polygon (iterated = input under broadcast=dataset)
+    go("none", "within") shouldBe go("dataset", "within")
+    go("none", "within").nonEmpty shouldBe true
+    go("none", "intersects") shouldBe go("dataset", "intersects")
+  }
+
+  it should "reject nearest in grid mode" in {
+    val input = pts(5, "i")
+    val data = pts(3, "d").toDF("poi_id", "lon", "lat")
+    data.createOrReplaceTempView("grid_poi_nearest")
+    an[IllegalArgumentException] should be thrownBy {
+      new BroadcastSpatialJoin().setDataset("grid_poi_nearest")
+        .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+        .setDataColumns("poi_id").setPredicate("nearest").setBroadcast("none")
+        .transform(input).count()
+    }
+  }
+}
