@@ -293,13 +293,28 @@ object SparkEntry {
 
     "events_window" -> ((s, dir) => {
       // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default; read it as nanosecond longs and bucket with exact integer
-      // arithmetic (same hour boundaries as the oracle's date_trunc).
+      // default; read as nanosecond longs, convert to microsecond
+      // timestamps, then run the SAME batch/stream-unified windowed
+      // aggregation Structured Streaming uses (graft.streaming).
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      tbl(s, dir, "events")
-        .groupBy((expr("ts DIV 3600000000000") * 3600).as("hour_ts"),
-          col("event_type"))
-        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+      graft.streaming.EventWindows.hourly(
+        tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    }),
+
+    // --- multimodal: binary assets + typed metadata ---------------------
+
+    "multimodal_meta" -> ((s, dir) => {
+      // documents as opaque binary assets; metadata decoded partition-wise
+      // through the real mapPartitions plumbing (stub codec, see
+      // graft.multimodal.Multimodal)
+      val assets = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      graft.multimodal.Multimodal.withDecodedMeta(assets, "content")
+        .select(col("doc_id"),
+          length(col("content")).cast("long").as("n_bytes"),
+          col("meta.kind").as("kind"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"), col("meta.n_frames").as("n_frames"))
     })
   )
 
@@ -492,6 +507,23 @@ object SparkEntry {
     "events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) hour_ts, event_type,
         |  count(*) cnt, round(sum(value), 2) sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // mirrors Multimodal.StubCodec byte-arithmetic on the (all-ASCII) text
+    "multimodal_meta" ->
+      """WITH a AS (SELECT doc_id, octet_length(text::BLOB) nb,
+        |  ascii(substr(text,1,1)) b0, ascii(substr(text,2,1)) b1,
+        |  ascii(substr(text,3,1)) b2, ascii(substr(text,4,1)) b3 FROM documents)
+        |SELECT doc_id, CAST(nb AS BIGINT) n_bytes,
+        |  CASE b0%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+        |  CASE b0%3 WHEN 0 THEN CAST(64 + b1%192 AS INT)
+        |            WHEN 2 THEN CAST(320 + b1%64 AS INT) END width,
+        |  CASE b0%3 WHEN 0 THEN CAST(64 + b2%192 AS INT)
+        |            WHEN 2 THEN CAST(240 + b2%64 AS INT) END height,
+        |  CASE b0%3 WHEN 1 THEN CAST(8000 + 100*b1 AS INT) END sample_rate,
+        |  CASE b0%3 WHEN 1 THEN CAST(1000 + b2*37 AS BIGINT)
+        |            WHEN 2 THEN CAST(2000 + b3*53 AS BIGINT) END duration_ms,
+        |  CASE b0%3 WHEN 2 THEN CAST(24 + b3%36 AS INT) END n_frames
+        |FROM a""".stripMargin
   )
 }

@@ -1,0 +1,131 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Multimodal (image/audio/video) column support for training-data
+ * pipelines: content is an opaque `binary` column plus a typed metadata
+ * struct; decode / feature-extract / resize / frame-sample run
+ * partition-wise so a real codec binds once per partition (the actual
+ * image/audio libraries are not in this container — the codec here is a
+ * clearly-marked DETERMINISTIC STUB parsing a fake header, but the Spark
+ * plumbing — schema, encoders, partition batching, null handling — is
+ * real and tested).
+ *
+ * Scale notes: all operators are narrow (mapPartitions — no shuffle);
+ * binary payloads never leave their partition; metadata-only consumers
+ * should project the struct so Parquet column pruning drops the bytes.
+ */
+object Multimodal {
+
+  /** Typed metadata carried alongside every binary asset. */
+  val MetaSchema: StructType = StructType(Seq(
+    StructField("kind", StringType),         // image | audio | video | unknown
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("n_frames", IntegerType)))
+
+  /**
+   * STUB CODEC — stands in for e.g. libjpeg/ffmpeg bindings, which are not
+   * available in this environment. Deterministic: derives metadata from
+   * the first bytes of the payload. A real deployment replaces only this
+   * object; every operator below is codec-agnostic.
+   */
+  object StubCodec {
+    def decode(content: Array[Byte]): Row = {
+      if (content == null || content.length < 4) return Row("unknown", null, null, null, null, null)
+      def b(i: Int): Int = content(i) & 0xff
+      b(0) % 3 match {
+        case 0 => Row("image", 64 + b(1) % 192, 64 + b(2) % 192, null, null, null)
+        case 1 => Row("audio", null, null, 8000 + 100 * b(1), (1000L + b(2) * 37L), null)
+        case 2 => Row("video", 320 + b(1) % 64, 240 + b(2) % 64, null, (2000L + b(3) * 53L), 24 + b(3) % 36)
+      }
+    }
+    /** STUB resize: a real codec re-encodes pixels; this re-headers. */
+    def resizeImage(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val out = content.clone()
+      if (out.length >= 3) { out(1) = (w % 192).toByte; out(2) = (h % 192).toByte }
+      out
+    }
+  }
+
+  /**
+   * Decode metadata for a binary content column, appended as a `meta`
+   * struct. Partition-wise: the codec binds once per partition (the shape
+   * a JNI codec needs), rows stream through without materializing the
+   * whole partition.
+   */
+  def withDecodedMeta(df: DataFrame, contentCol: String): DataFrame = {
+    val schema = df.schema.add("meta", MetaSchema)
+    val idx = df.schema.fieldIndex(contentCol)
+    implicit val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      // per-partition codec initialization would happen here (JNI handle …)
+      it.map(row => Row.fromSeq(row.toSeq :+ StubCodec.decode(row.getAs[Array[Byte]](idx))))
+    }.toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** Resize every image asset (non-images pass through unchanged). */
+  def resizeImages(df: DataFrame, contentCol: String, w: Int, h: Int): DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
+    implicit val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val decoded = StubCodec.decode(bytes)
+        if (decoded.getString(0) != "image") row
+        else Row.fromSeq(row.toSeq.updated(idx, StubCodec.resizeImage(bytes, w, h)))
+      }
+    }.toDF(df.schema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /**
+   * Sample every `everyN`-th fixed-size frame chunk of a video payload
+   * into (frame_index, frame_bytes) rows — the explode shape a frame
+   * extractor produces. Real byte slicing; the chunk length stands in for
+   * codec-determined frame boundaries.
+   */
+  def sampleFrames(df: DataFrame, idCol: String, contentCol: String,
+      frameBytes: Int = 256, everyN: Int = 2): DataFrame = {
+    val out = StructType(Seq(
+      StructField("asset_id", df.schema(idCol).dataType),
+      StructField("frame_index", IntegerType),
+      StructField("frame", BinaryType)))
+    val (idIdx, cIdx) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(contentCol))
+    implicit val enc = RowEncoder.encoderFor(out)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val bytes = row.getAs[Array[Byte]](cIdx)
+        if (bytes == null) Iterator.empty
+        else (0 until bytes.length by frameBytes).zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .map { case (off, fi) =>
+            Row(row.get(idIdx), fi,
+              java.util.Arrays.copyOfRange(bytes, off, math.min(off + frameBytes, bytes.length)))
+          }.iterator
+      }
+    }.toDF("asset_id", "frame_index", "frame")
+  }
+
+  /** Real feature extractor: 256-bin byte histogram (array<long>) — a
+    * cheap content signature usable with graft.similarity. Narrow, no
+    * shuffle, one pass per payload. */
+  def byteHistogram(df: DataFrame, contentCol: String, outCol: String = "histogram"): DataFrame = {
+    val idx = df.schema.fieldIndex(contentCol)
+    val schema = df.schema.add(outCol, ArrayType(LongType, containsNull = false))
+    implicit val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val h = new Array[Long](256)
+        if (bytes != null) { var i = 0; while (i < bytes.length) { h(bytes(i) & 0xff) += 1; i += 1 } }
+        Row.fromSeq(row.toSeq :+ h.toSeq)
+      }
+    }.toDF(schema.fieldNames.toIndexedSeq: _*)
+  }
+}

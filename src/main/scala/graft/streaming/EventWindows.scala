@@ -1,0 +1,35 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-time windowed aggregation, batch/stream unified: the same
+ * function serves the batch `events_window` oracle query and a
+ * Structured Streaming pipeline (watermark + tumbling window + partial
+ * aggregation). In streaming mode Spark maintains window state and
+ * emits on watermark expiry; in batch mode the identical plan is a
+ * plain hash aggregate — one definition, two execution modes.
+ */
+object EventWindows {
+
+  /**
+   * Tumbling hourly counts and value sums per event type over an
+   * event-time `ts` timestamp column. Output: hour_ts (epoch seconds,
+   * long), event_type, cnt, sum_value (rounded to cents).
+   *
+   * @param watermark late-data bound; only meaningful for streams (a
+   *                  batch plan ignores it).
+   */
+  def hourly(events: DataFrame, tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm
+      .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
+      .agg(count(lit(1)).as("cnt"), round(sum(col(valueCol)), 2).as("sum_value"))
+      .select(col("window.start").cast("long").as("hour_ts"), col(typeCol),
+        col("cnt"), col("sum_value"))
+  }
+}
