@@ -94,7 +94,31 @@ object Drive {
       case e: IllegalArgumentException => println(s"OK threw: ${e.getMessage.take(120)}")
     }
 
-    println("=== 8. probe: nonexistent dataset table ===")
+    println("=== 8. grid join (broadcast=none): same results as broadcast kernel ===")
+    val bcast = new BroadcastSpatialJoin()
+      .setDataset("drive_sup").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("s_suppkey").setPredicate("withindist 500000")
+      .setBroadcast("dataset").transform(customers)
+      .collect().map(_.mkString("|")).toSet
+    val grid = new BroadcastSpatialJoin()
+      .setDataset("drive_sup").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("s_suppkey").setPredicate("withindist 500000")
+      .setBroadcast("none").transform(customers)
+      .collect().map(_.mkString("|")).toSet
+    println(s"rows=${grid.size}, equal to broadcast kernel: ${grid == bcast} (expect true)")
+
+    println("=== 9. pipeline ops: dedup + text + simsearch over testdata ===")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val jac = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+    println(s"rows=${jac.count()} near-dup pairs (jaccard>=0.8)")
+    val mh = graft.dedup.Dedup.minhashPairs(docs, "doc_id", "text", 0.8)
+    println(s"rows=${mh.count()} via minhash-LSH (must equal jaccard count)")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val topk = graft.similarity.Similarity.cosineTopK(
+      emb.where("vec_id < 5"), emb, "vec_id", "embedding", 5)
+    println(s"rows=${topk.count()} similarity results (expect 25)")
+
+    println("=== 10. probe: nonexistent dataset table ===")
     try {
       new BroadcastSpatialJoin().setDataset("no_such_table")
         .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
