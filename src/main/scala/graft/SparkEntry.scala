@@ -195,6 +195,21 @@ object SparkEntry {
         .select(col("c_custkey"), col("s_suppkey"), col("dist_m").cast("long"))
     }),
 
+    // J1 at scale: expanding-ring grid nearest, neither side broadcast,
+    // explicit key tie-break — same oracle as j1_nearest
+    "j1_nearest_gridscale" -> ((s, dir) => {
+      import graft.functions.GeoExpressions
+      val cust = customerPoints(s, dir).select("c_custkey", "lon", "lat")
+      val sup = supplierPoints(s, dir)
+        .select(col("s_suppkey"), col("lon").as("slon"), col("lat").as("slat"))
+      graft.join.GridNearestJoin.nearest(
+        cust, sup,
+        GeoExpressions.wkbPoint(col("lon"), col("lat")),
+        GeoExpressions.wkbPoint(col("slon"), col("slat")),
+        cellDeg = 4.0, tieBreak = Some(col("s_suppkey")))
+        .select("c_custkey", "s_suppkey")
+    }),
+
     // Grid (partitioned) physical strategy — same semantics as
     // j2_withindist / j5_intersects, no broadcast of either side
     "j2_withindist_grid" -> ((s, dir) => {
@@ -371,10 +386,24 @@ object SparkEntry {
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
          |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
 
+    "j1_nearest_gridscale" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
+         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+
     "j2_withindist_grid" ->
       s"""WITH c AS ($cEq), s AS ($sEq)
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
          |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
+
+    "j1_nearest_gridscale" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
+         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
 
     "j2_withindist_grid" ->
       s"""WITH c AS ($cEq), s AS ($sEq)

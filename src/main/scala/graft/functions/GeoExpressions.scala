@@ -54,6 +54,11 @@ object GeoExpressions {
   def geodesicMeters(lwkb: Column, rwkb: Column): Column =
     ColumnBridge.column(GeodesicMeters(ColumnBridge.expression(lwkb), ColumnBridge.expression(rwkb)))
 
+  /** JTS coordinate-space (degree) distance — the broadcast kernel's
+    * nearest ordering. */
+  def stDistance(lwkb: Column, rwkb: Column): Column =
+    ColumnBridge.column(StDistance(ColumnBridge.expression(lwkb), ColumnBridge.expression(rwkb)))
+
   // --- static helpers shared by eval and generated code -----------------
 
   val CellBits = 20
@@ -134,6 +139,9 @@ object GeoExpressions {
 
   def computeGeodesicMeters(lwkb: Array[Byte], rwkb: Array[Byte]): Int =
     Geodesic.centroidDistance(GeoKit.wkbToGeom(lwkb), GeoKit.wkbToGeom(rwkb))
+
+  def computeStDistance(lwkb: Array[Byte], rwkb: Array[Byte]): Double =
+    GeoKit.wkbToGeom(lwkb).distance(GeoKit.wkbToGeom(rwkb))
 }
 
 case class WkbFromWkt(child: Expression) extends UnaryExpression with ExpectsInputTypes {
@@ -201,6 +209,19 @@ case class StRelates(left: Expression, right: Expression, predicate: String)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StRelates =
     copy(left = l, right = r)
   override def prettyName: String = s"st_$predicate"
+}
+
+case class StDistance(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType, BinaryType)
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GeoExpressions.computeStDistance(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.GeoExpressions.computeStDistance($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistance =
+    copy(left = l, right = r)
+  override def prettyName: String = "st_distance"
 }
 
 case class GeodesicMeters(left: Expression, right: Expression)

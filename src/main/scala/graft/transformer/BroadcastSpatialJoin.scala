@@ -1,6 +1,6 @@
 package graft.transformer
 
-import graft.join.{CompiledCondition, GridSpatialJoin, PairCondition, SpatialJoinCore}
+import graft.join.{CompiledCondition, GridNearestJoin, GridSpatialJoin, PairCondition, SpatialJoinCore}
 import graft.spatial.{GeomSpec, SpatialPredicate}
 import graft.toolbox.StringToolbox._
 import org.apache.spark.ml.Transformer
@@ -251,7 +251,9 @@ class BroadcastSpatialJoin(override val uid: String)
     * one Catalyst plan end-to-end — see graft.join.GridSpatialJoin.
     * Orientation matches broadcast=dataset: predicate is `input op
     * external`, condition `left` = input, `right` = external. `nearest`
-    * is rejected (no cell-local formulation). */
+    * runs the expanding-ring GridNearestJoin (point input side only,
+    * no extra condition yet; ties break by WKB bytes rather than the
+    * kernel's broadcast row index). */
   private def gridTransform(spark: SparkSession, input: DataFrame, cfg: JoinConfig): DataFrame = {
     import graft.functions.GeoExpressions
 
@@ -279,11 +281,26 @@ class BroadcastSpatialJoin(override val uid: String)
     val cellDeg = math.max(1.0, 2.0 * radius / 110500.0)
 
     val needDistance = cfg.distanceAlias.nonEmpty
-    val joined = GridSpatialJoin.join(
-      input, ext,
-      wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
-      cfg.spatialPredicate, cellDeg, extraCond,
-      if (needDistance) Some(cfg.distanceAlias) else None)
+    val joined = cfg.spatialPredicate match {
+      case SpatialPredicate.Nearest =>
+        require(cfg.conditionSql.trim.isEmpty,
+          "grid nearest does not support an extra condition yet; use broadcast mode")
+        require(cfg.inputSpec.isInstanceOf[GeomSpec.PointCols],
+          "grid nearest requires inputPoint (point-typed input side)")
+        val base = GridNearestJoin.nearest(
+          input, ext,
+          wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
+          cellDeg)
+        if (!needDistance) base
+        else base.withColumn(cfg.distanceAlias, graft.functions.GeoExpressions.geodesicMeters(
+          wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _)))
+      case _ =>
+        GridSpatialJoin.join(
+          input, ext,
+          wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
+          cfg.spatialPredicate, cellDeg, extraCond,
+          if (needDistance) Some(cfg.distanceAlias) else None)
+    }
 
     val outCols =
       input.columns.map(F.col) ++

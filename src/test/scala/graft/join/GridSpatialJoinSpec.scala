@@ -71,15 +71,30 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     go("none", "intersects") shouldBe go("dataset", "intersects")
   }
 
-  it should "reject nearest in grid mode" in {
-    val input = pts(5, "i")
-    val data = pts(3, "d").toDF("poi_id", "lon", "lat")
+  it should "match the broadcast kernel on nearest (expanding-ring grid search)" in {
+    val input = pts(60, "i")
+    val data = pts(30, "d").toDF("poi_id", "lon", "lat")
     data.createOrReplaceTempView("grid_poi_nearest")
-    an[IllegalArgumentException] should be thrownBy {
-      new BroadcastSpatialJoin().setDataset("grid_poi_nearest")
-        .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
-        .setDataColumns("poi_id").setPredicate("nearest").setBroadcast("none")
-        .transform(input).count()
-    }
+    def go(mode: String) = new BroadcastSpatialJoin().setDataset("grid_poi_nearest")
+      .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("poi_id").setPredicate("nearest").setBroadcast(mode)
+      .transform(input).collect().map(_.mkString("|")).toSet
+    val grid = go("none")
+    grid should have size 60
+    grid shouldBe go("dataset")
+  }
+
+  it should "fall back to an exhaustive pass for isolated points" in {
+    import spark.implicits._
+    // one candidate very far away: every ring misses, fallback must find it
+    val input = Seq(("i0", 0.5, 0.5), ("i1", 1.5, 1.5)).toDF("id", "lon", "lat")
+    val data = Seq(("far", 55.0, 40.0)).toDF("poi_id", "plon", "plat")
+    data.createOrReplaceTempView("grid_poi_far")
+    val out = new BroadcastSpatialJoin().setDataset("grid_poi_far")
+      .setDatasetPoint("plon, plat").setInputPoint("lon, lat")
+      .setDataColumns("poi_id").setPredicate("nearest").setBroadcast("none")
+      .transform(input)
+    out.select("id", "poi_id").collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("i0", "far"), ("i1", "far"))
   }
 }
