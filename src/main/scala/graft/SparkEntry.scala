@@ -206,7 +206,7 @@ object SparkEntry {
         cust, sup,
         GeoExpressions.wkbPoint(col("lon"), col("lat")),
         GeoExpressions.wkbPoint(col("slon"), col("slat")),
-        cellDeg = 4.0, tieBreak = Some(col("s_suppkey")))
+        cellDeg = 4.0, tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L)
         .select("c_custkey", "s_suppkey")
     }),
 

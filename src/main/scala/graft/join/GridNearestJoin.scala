@@ -48,7 +48,9 @@ object GridNearestJoin {
       leftWkb: Column, rightWkb: Column,
       cellDeg: Double = 1.0,
       maxRings: Int = 8,
-      tieBreak: Option[Column] = None): DataFrame = {
+      tieBreak: Option[Column] = None,
+      initialHorizon: Int = 2,
+      fallbackBelow: Long = 2000L): DataFrame = {
 
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
@@ -81,12 +83,13 @@ object GridNearestJoin {
         .groupBy(col(lid))
         .agg(min(candStruct).as(best))
 
-    // ring-k cell ids via literal (dx, dy) offset arrays (Chebyshev ring);
-    // out-of-bounds neighbours become null and are filtered
-    def ringCells(k: Int): Column = {
+    // annulus cell ids (lo < Chebyshev distance <= hi) via literal
+    // (dx, dy) offset arrays; out-of-bounds neighbours → null, filtered
+    def ringCells(lo: Int, hi: Int): Column = {
       val offsets = for {
-        dx <- -k to k; dy <- -k to k
-        if math.max(math.abs(dx), math.abs(dy)) == k
+        dx <- -hi to hi; dy <- -hi to hi
+        cheb = math.max(math.abs(dx), math.abs(dy))
+        if cheb > lo && cheb <= hi
       } yield (dx, dy)
       val dxs = array(offsets.map(o => lit(o._1.toLong)): _*)
       val dys = array(offsets.map(o => lit(o._2.toLong)): _*)
@@ -104,32 +107,43 @@ object GridNearestJoin {
     }
 
     val out = new scala.collection.mutable.ArrayBuffer[DataFrame]
+    // materialize the binned right side once — every round reuses it
+    val rMat = r.localCheckpoint(true)
     var unresolved = l0.localCheckpoint(true)
+    var unresolvedLeft = unresolved.count()
     var carried: DataFrame = null // (lid, best-so-far) for unresolved rows
-    var k = 0
-    while (k <= maxRings && !unresolved.isEmpty) {
+    // geometric search horizons: round j covers the annulus (H_{j-1}, H_j];
+    // once few rows remain, the exhaustive fallback is cheaper than more
+    // ring rounds (each round costs a handful of Spark jobs)
+    var lo = -1
+    var hi = math.max(1, initialHorizon)
+    var round = 0
+    while (round <= maxRings && unresolvedLeft > fallbackBelow &&
+        hi <= 2 * GeoExpressions.MaxCell) {
       val cands = unresolved
-        .withColumn("__g_probe", explode(ringCells(k)))
+        .withColumn("__g_probe", explode(ringCells(lo, hi)))
         .drop(cell).withColumnRenamed("__g_probe", cell)
-        .join(r, cell)
+        .join(rMat, cell)
       val roundBest0 = bestOf(cands)
       val roundBest =
         if (carried == null) roundBest0
         else carried.union(roundBest0).groupBy(col(lid)).agg(min(col(best)).as(best))
-      // join best back to the (slim) unresolved left rows
-      val scored = unresolved.join(roundBest, Seq(lid), "left")
-      val bound = lit(k.toDouble * cellDeg)
-      val resolvedNow = scored
-        .where(col(best).isNotNull && col(best)(dist) <= bound)
-      out += finalize(resolvedNow, leftCols, rightCols, best).localCheckpoint(true)
+      // ONE materialization per round; the three splits below are cheap
+      // filters over the checkpointed snapshot
+      val scored = unresolved.join(roundBest, Seq(lid), "left").localCheckpoint(true)
+      val bound = lit(hi.toDouble * cellDeg)
+      out += finalize(
+        scored.where(col(best).isNotNull && col(best)(dist) <= bound), leftCols, rightCols, best)
       unresolved = scored.where(col(best).isNull || col(best)(dist) > bound)
         .select((leftCols.map(col) :+ col(lw) :+ col(lid) :+ col(cell)): _*)
-        .localCheckpoint(true)
       carried = scored.where(col(best).isNotNull && col(best)(dist) > bound)
-        .select(col(lid), col(best)).localCheckpoint(true)
-      k += 1
+        .select(col(lid), col(best))
+      unresolvedLeft = unresolved.count()
+      lo = hi
+      hi = hi * 2
+      round += 1
     }
-    if (!unresolved.isEmpty) {
+    if (unresolvedLeft > 0) {
       // fallback: exhaustive pass for the stragglers (e.g. empty regions)
       val cands = unresolved.drop(cell).crossJoin(right
         .withColumn(rw, rightWkb).where(col(rw).isNotNull))

@@ -84,6 +84,30 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     grid shouldBe go("dataset")
   }
 
+  it should "resolve through ring rounds when fallback is disabled" in {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GeoExpressions
+    val input = pts(80, "i")
+    val data = pts(40, "d").toDF("poi_id", "plon", "plat")
+    val grid = GridNearestJoin.nearest(
+      input, data,
+      GeoExpressions.wkbPoint(col("lon"), col("lat")),
+      GeoExpressions.wkbPoint(col("plon"), col("plat")),
+      cellDeg = 0.5, tieBreak = Some(col("poi_id")),
+      initialHorizon = 1, fallbackBelow = 0L)
+      .select("id", "poi_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // brute-force argmin as oracle
+    val brute = input.crossJoin(data)
+      .withColumn("d2", (col("lon") - col("plon")) * (col("lon") - col("plon"))
+        + (col("lat") - col("plat")) * (col("lat") - col("plat")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("d2"), col("poi_id"))))
+      .where(col("rn") === 1)
+      .select("id", "poi_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    grid shouldBe brute
+  }
+
   it should "fall back to an exhaustive pass for isolated points" in {
     import spark.implicits._
     // one candidate very far away: every ring misses, fallback must find it
