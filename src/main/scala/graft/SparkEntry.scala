@@ -294,6 +294,16 @@ object SparkEntry {
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
+    // ANN scale path — rows-only check (approximate recall, no oracle);
+    // exactness of retrieved ranks is still deterministic
+    "simsearch_lsh" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.Similarity.lshCosineTopK(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
+        planes = 6, tables = 4)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
     // --- relational: aggregation + event-time windows -------------------
 
     "agg_q1" -> ((s, dir) =>

@@ -1,0 +1,43 @@
+package graft
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestKit.spark
+
+/** The custom expressions must be callable as plain SQL functions. */
+class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
+
+  behavior of "GraftExtensions SQL surface"
+
+  GraftExtensions.register(spark)
+
+  it should "expose word_shingles and minhash_signature in SQL" in {
+    val r = spark.sql(
+      "SELECT word_shingles('a b c d', 3) sh, size(minhash_signature(word_shingles('a b c d', 3), 16)) n")
+      .head
+    r.getSeq[String](0) shouldBe Seq("a b c", "b c d")
+    r.getInt(1) shouldBe 16
+  }
+
+  it should "expose geometry functions in SQL" in {
+    val r = spark.sql(
+      """SELECT geodesic_meters(wkb_point(1D, 1D), wkb_point(1.1D, 1.1D)) m,
+        |       st_distance(wkb_point(0D, 0D), wkb_point(3D, 4D)) d,
+        |       st_relates(wkb_point(1.5D, 1.5D),
+        |                  wkb_from_wkt('POLYGON((1 1,2 1,2 2,1 2,1 1))'), 'within') w,
+        |       size(grid_cells(wkb_from_wkt('POLYGON((0.5 0.5,2.5 0.5,2.5 1.5,0.5 1.5,0.5 0.5))'),
+        |                       1.0D, 0.0D)) nc""".stripMargin).head
+    r.getInt(0) shouldBe 15689 // the reference's golden geodesic value
+    r.getDouble(1) shouldBe 5.0
+    r.getBoolean(2) shouldBe true
+    r.getInt(3) shouldBe 6 // 3 x 2 cells
+  }
+
+  it should "reject non-literal config args with a clear error" in {
+    val e = intercept[Exception] {
+      spark.sql("SELECT word_shingles('a b c', cast(rand()*3 as int))").collect()
+    }
+    e.getMessage should include("literal int")
+  }
+}

@@ -82,6 +82,20 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     lsh shouldBe exact
   }
 
+  it should "stay sound under a maxDocFreq skew cap (capped pairs are a subset)" in {
+    // dropping hot shingles removes them from intersection counts only, so
+    // capped Jaccard <= exact Jaccard: the cap may lose pairs (documented
+    // recall trade-off) but can never invent them
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", tau = 0.5, maxDocFreq = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    capped.subsetOf(exact) shouldBe true
+    // a generous cap changes nothing
+    Dedup.jaccardPairs(docs, "doc_id", "text", tau = 0.5, maxDocFreq = Some(100))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe exact
+  }
+
   behavior of "TextFunctions"
 
   it should "count tokens and compute exact ratios" in {
