@@ -306,6 +306,18 @@ object SparkEntry {
 
     // --- relational: aggregation + event-time windows -------------------
 
+    // join + deterministic global top-k (sort/limit with tie-break)
+    "q_topk_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val top = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .where(col("rnk") <= 20)
+      top.select(col("rnk"), col("o_orderkey"), col("o_totalprice"),
+        col("c_name"), col("c_mktsegment"))
+    }),
+
     "agg_q1" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
@@ -536,6 +548,12 @@ object SparkEntry {
         |  SELECT qid, cid, cos_r6,
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
         |  FROM s) WHERE rnk <= 10""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) rnk,
+        |       o_orderkey, o_totalprice, c_name, c_mktsegment
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
 
     "agg_q1" ->
       """SELECT l_returnflag, l_linestatus,

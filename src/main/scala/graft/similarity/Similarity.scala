@@ -60,30 +60,11 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
 
-  /**
-   * Deterministic pseudo-random hyperplane component for (plane p, dim i):
-   * a reproducible value in [-0.5, 0.5) derived from md5 — no RNG state,
-   * stable across executors and engines.
-   */
-  private def planeComponent(seed: Column, p: Column, i: Column): Column =
-    (conv(substring(md5(concat_ws(":", seed.cast("string"), p.cast("string"), i.cast("string"))
-      .cast("binary")), 1, 8),
-      16, 10).cast("long").cast("double") / lit(4294967296.0d)) - 0.5d
-
-  /** SimHash bucket id: `planes`-bit sign pattern of random-hyperplane
-    * projections of the (unnormalized) vector; `seed` picks an independent
-    * plane family (one per LSH table). */
-  def simhashBucket(vec: Column, planes: Int, seed: Column): Column =
-    aggregate(
-      sequence(lit(0), lit(planes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(vec, transform(sequence(lit(0), size(vec) - 1), i => planeComponent(seed, p, i)),
-            (x, w) => x * w),
-          lit(0.0d), (s, x) => s + x)
-        acc * 2 + when(proj >= 0, 1L).otherwise(0L)
-      })
+  /** SimHash bucket ids, one per hash table — codegen'd native expression
+    * (graft.functions.SimhashBuckets); plane components are stateless
+    * splitmix64-derived values keyed by (table, plane, dim). */
+  def simhashBuckets(vec: Column, planes: Int, tables: Int): Column =
+    graft.functions.SimhashBuckets.simhashBuckets(vec, planes, tables)
 
   /**
    * Approximate top-k: candidates restricted to rows sharing the query's
@@ -97,8 +78,7 @@ object Similarity {
       planes: Int = 8, tables: Int = 4): DataFrame = {
     def bucketed(df: DataFrame, id: String, vec: String) =
       df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
-        posexplode(transform(sequence(lit(0), lit(tables - 1)),
-          t => simhashBucket(col(vecCol).cast("array<double>"), planes, t))))
+        posexplode(simhashBuckets(col(vecCol).cast("array<double>"), planes, tables)))
         .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     val q = bucketed(queries, "qid", "qv")
     val c = bucketed(candidates, "cid", "cv")
