@@ -270,8 +270,12 @@ class BroadcastSpatialJoin(override val uid: String)
     val extraCond: Option[org.apache.spark.sql.Column] = {
       val trimmedCond = cfg.conditionSql.trim
       if (trimmedCond.isEmpty) None
-      else Some(F.expr(PairCondition.rewriteSides(trimmedCond,
+      else try Some(F.expr(PairCondition.rewriteSides(trimmedCond,
         l => s"`$l`", r => s"`$pref$r`")))
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"Spatial join transformer error: unknown extra condition `$trimmedCond`: ${e.getMessage}", e)
+      }
     }
 
     val radius = cfg.spatialPredicate match {
