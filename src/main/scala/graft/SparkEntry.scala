@@ -420,18 +420,6 @@ object SparkEntry {
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
          |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
 
-    "j1_nearest_gridscale" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c_custkey, s_suppkey FROM (
-         |  SELECT c.c_custkey, s.s_suppkey,
-         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
-         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
-
-    "j2_withindist_grid" ->
-      s"""WITH c AS ($cEq), s AS ($sEq)
-         |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
-         |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
-
     "j3_within" ->
       s"""WITH c AS ($cPts), s AS ($sPts)
          |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
@@ -445,12 +433,6 @@ object SparkEntry {
          |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin,
 
     "j5_intersects" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
-         |WHERE c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX
-         |  AND c.lat - $CWY <= s.lat + $SWY AND s.lat - $SWY <= c.lat + $CWY""".stripMargin,
-
-    "j5_intersects_grid" ->
       s"""WITH c AS ($cPts), s AS ($sPts)
          |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
          |WHERE c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX

@@ -94,41 +94,6 @@ object Dedup {
       .where(col("jac") >= tau)
   }
 
-  /** Mersenne prime 2^31 - 1: the MinHash field. Affine products of
-    * 31-bit values stay under 2^62 — no long overflow under ANSI mode. */
-  val MinhashP: Long = 2147483647L
-
-  /**
-   * MinHash signature over universal affine hash families mod 2^31-1: one
-   * xxhash64 per shingle folded into the field, then `numHashes`
-   * multiply-add-mods per shingle hash. Orders of magnitude cheaper than
-   * hashing every (family, shingle) string pair.
-   */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
-    signatureFromHashes(transform(sh, s => pmod(xxhash64(s), lit(MinhashP))), numHashes)
-
-  /** Signature from pre-materialized field-folded shingle hashes (callers
-    * should bind `hs` to a column so base hashes compute once per row). */
-  def signatureFromHashes(hs: Column, numHashes: Int): Column = {
-    val as = array(MinhashCoeff.take(numHashes).map(c => lit(c._1)): _*)
-    val bs = array(MinhashCoeff.take(numHashes).map(c => lit(c._2)): _*)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(hs,
-        h => pmod(h * element_at(as, i + 1) + element_at(bs, i + 1), lit(MinhashP)))))
-  }
-
-  /** Fixed multipliers in [1, p-1] + offsets in [0, p-1] for the affine
-    * families (derived from a splitmix-style LCG; any fixed values work). */
-  private val MinhashCoeff: Seq[(Long, Long)] = {
-    var x = 0x9e3779b97f4a7c15L
-    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
-    Seq.fill(64) {
-      val a = java.lang.Long.remainderUnsigned(next(), MinhashP - 1) + 1
-      val b = java.lang.Long.remainderUnsigned(next(), MinhashP)
-      (a, b)
-    }
-  }
-
   /**
    * MinHash-LSH near-dup pairs: signatures → banding (bandRows rows/band)
    * → candidate pairs sharing >= 1 band → exact Jaccard verification

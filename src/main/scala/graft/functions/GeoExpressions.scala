@@ -94,7 +94,10 @@ object GeoExpressions {
 
   def computeGridCells(wkb: Array[Byte], cellDeg: Double, expandMeters: Double): ArrayData = {
     val g = GeoKit.wkbToGeom(wkb)
-    if (g == null) return new GenericArrayData(Array.empty[Any])
+    // empty geometries (e.g. POLYGON EMPTY) have a null envelope: bin to
+    // no cell so they drop out, matching the broadcast kernel's inner-join
+    // null semantics instead of crashing on centroid access downstream
+    if (g == null || g.isEmpty) return new GenericArrayData(Array.empty[Any])
     val (minX, maxX, minY, maxY) = expandedBounds(g.getEnvelopeInternal, expandMeters)
     val cx0 = math.min(MaxCell, math.max(0, math.floor((minX + 180.0) / cellDeg).toInt))
     val cx1 = math.min(MaxCell, math.max(0, math.floor((maxX + 180.0) / cellDeg).toInt))

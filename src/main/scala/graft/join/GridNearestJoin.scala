@@ -36,7 +36,9 @@ import graft.functions.GeoExpressions
  * resolve in ring 0-2 when `cellDeg` is near the typical NN distance.
  *
  * @param left     side iterated (one output row per left row with any
- *                 right candidate); left geometries must be points
+ *                 right candidate); left geometries must be points.
+ *                 Right-side columns ride through a min(struct(...))
+ *                 aggregation, so they must be orderable types (no maps)
  * @param right    candidate side, any geometry
  * @param k        currently 1 (nearest); the structure generalizes to
  *                 top-k with min_by -> collect/top-k per group
@@ -50,7 +52,8 @@ object GridNearestJoin {
       maxRings: Int = 8,
       tieBreak: Option[Column] = None,
       initialHorizon: Int = 2,
-      fallbackBelow: Long = 2000L): DataFrame = {
+      fallbackBelow: Long = 2000L,
+      maxHorizon: Int = 16): DataFrame = {
 
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
@@ -62,10 +65,15 @@ object GridNearestJoin {
     val r = right.withColumn(rw, rightWkb).where(col(rw).isNotNull)
       .withColumn(cell, explode(GeoExpressions.gridCells(col(rw), cellDeg)))
 
-    // left side: unique row id (per-plan-deterministic) + center cell
+    // left side: unique row id (per-plan-deterministic) + center cell;
+    // empty geometries bin to no cell and drop (inner-join semantics —
+    // element_at on the empty array would throw under ANSI mode)
     val l0 = left.withColumn(lw, leftWkb).where(col(lw).isNotNull)
+      .withColumn("__g_cells", GeoExpressions.gridCells(col(lw), cellDeg))
+      .where(size(col("__g_cells")) > 0)
       .withColumn(lid, monotonically_increasing_id())
-      .withColumn(cell, element_at(GeoExpressions.gridCells(col(lw), cellDeg), 1))
+      .withColumn(cell, element_at(col("__g_cells"), 1))
+      .drop("__g_cells")
 
     val leftCols = left.columns
     val rightCols = right.columns
@@ -118,8 +126,11 @@ object GridNearestJoin {
     var lo = -1
     var hi = math.max(1, initialHorizon)
     var round = 0
-    while (round <= maxRings && unresolvedLeft > fallbackBelow &&
-        hi <= 2 * GeoExpressions.MaxCell) {
+    // hard horizon cap: annulus offset literals grow quadratically with
+    // the horizon (a 512-cell horizon would mean ~800k-element literal
+    // arrays and per-row explosions of the same size) — past maxHorizon
+    // the exhaustive fallback is strictly cheaper
+    while (round <= maxRings && unresolvedLeft > fallbackBelow && hi <= maxHorizon) {
       val cands = unresolved
         .withColumn("__g_probe", explode(ringCells(lo, hi)))
         .drop(cell).withColumnRenamed("__g_probe", cell)

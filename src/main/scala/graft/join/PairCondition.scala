@@ -27,9 +27,43 @@ object PairCondition {
 
   private val SideRef = raw"(?i)\b(left|right)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)".r
 
+  /** Copy of `s` with every character inside quoted regions ('...'
+    * strings with backslash escapes, "..." and `...` quoted identifiers)
+    * replaced by a space — so side-reference matching can never fire
+    * inside a literal like `'left.handed'`. Quote characters themselves
+    * are preserved, so match positions in the masked string map 1:1 onto
+    * the original. */
+  private def maskQuoted(s: String): String = {
+    val arr = s.toCharArray
+    var i = 0
+    var quote: Char = 0
+    while (i < arr.length) {
+      val c = arr(i)
+      if (quote == 0) {
+        if (c == '\'' || c == '"' || c == '`') quote = c
+      } else if (c == '\\' && quote != '`' && i + 1 < arr.length) {
+        arr(i) = ' '; arr(i + 1) = ' '; i += 1 // skip the escaped char too
+      } else if (c == quote) quote = 0
+      else arr(i) = ' '
+      i += 1
+    }
+    new String(arr)
+  }
+
+  private def replaceSideRefs(s: String)(repl: scala.util.matching.Regex.Match => String): String = {
+    val sb = new StringBuilder
+    var last = 0
+    for (m <- SideRef.findAllMatchIn(maskQuoted(s))) {
+      sb.append(s.substring(last, m.start)).append(repl(m))
+      last = m.end
+    }
+    sb.append(s.substring(last)).toString
+  }
+
   /** Column names referenced per side: (left columns, right columns). */
   def referencedColumns(condition: String): (Seq[String], Seq[String]) = {
-    val refs = SideRef.findAllMatchIn(condition).map(m => (m.group(1).toLowerCase, m.group(2))).toSeq
+    val refs = SideRef.findAllMatchIn(maskQuoted(condition))
+      .map(m => (m.group(1).toLowerCase, m.group(2))).toSeq
     (refs.collect { case ("left", c) => c }.distinct,
       refs.collect { case ("right", c) => c }.distinct)
   }
@@ -39,9 +73,8 @@ object PairCondition {
     * filter over the joined row instead of a pair evaluator. */
   def rewriteSides(condition: String, leftRef: String => String,
       rightRef: String => String): String =
-    SideRef.replaceAllIn(condition, m =>
-      scala.util.matching.Regex.quoteReplacement(
-        if (m.group(1).equalsIgnoreCase("left")) leftRef(m.group(2)) else rightRef(m.group(2))))
+    replaceSideRefs(condition)(m =>
+      if (m.group(1).equalsIgnoreCase("left")) leftRef(m.group(2)) else rightRef(m.group(2)))
 
   /** Compile on the driver; None for an empty condition string. */
   def compile(
@@ -52,7 +85,7 @@ object PairCondition {
     val trimmed = condition.trim
     if (trimmed.isEmpty) None
     else {
-      val rewritten = SideRef.replaceAllIn(trimmed, m =>
+      val rewritten = replaceSideRefs(trimmed)(m =>
         (if (m.group(1).equalsIgnoreCase("left")) "`__l_" else "`__r_") + m.group(2) + "`")
       val merged = StructType(
         leftSchema.fields.map(f => f.copy(name = "__l_" + f.name)) ++

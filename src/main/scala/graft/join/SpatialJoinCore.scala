@@ -106,6 +106,12 @@ object SpatialJoinCore {
       val idx = bc.value
       val geoms = idx.geoms
       val tree = idx.tree
+      // bind the geometry array for nearestNeighbour's ItemDistance once
+      // per task, and clear it on completion so pooled executor threads
+      // do not pin the broadcast array after the job ends
+      GeomItemDistance.currentGeoms.set(geoms)
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => GeomItemDistance.currentGeoms.remove()))
       val empty = idx.indexedCount == 0
       val condEval: (Row, Int) => Boolean =
         condition.map(_.indexedEvaluator(idx.rows)).getOrElse((_, _) => true)
@@ -118,7 +124,6 @@ object SpatialJoinCore {
         if (g == null || empty) Iterator.empty
         else predicate match {
           case SpatialPredicate.Nearest =>
-            GeomItemDistance.currentGeoms.set(geoms)
             nearestMatch(row, g, tree, geoms, condEval) match {
               case -1 => Iterator.empty
               case i  => Iterator.single(emit(row, g, i, Geodesic.centroidDistance(g, geoms(i))))

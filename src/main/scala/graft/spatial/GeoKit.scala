@@ -36,9 +36,15 @@ object GeoKit {
   def factory: GeometryFactory = tlFactory.get()
 
   /** WKT → Geometry; null/empty input → null (nulls flow, join drops them —
-    * reference: DatasetGeometry.scala:40-42). Invalid WKT throws. */
+    * reference: DatasetGeometry.scala:40-42). Empty geometries (e.g.
+    * `POLYGON EMPTY`, null JTS envelope, no centroid) also map to null so
+    * every join path drops them uniformly. Invalid WKT throws. */
   def wktToGeom(wkt: String): Geometry =
-    if (wkt == null || wkt.isEmpty) null else tlWktReader.get().read(wkt)
+    if (wkt == null || wkt.isEmpty) null
+    else {
+      val g = tlWktReader.get().read(wkt)
+      if (g == null || g.isEmpty) null else g
+    }
 
   def geomToWkt(g: Geometry): String = if (g == null) null else tlWktWriter.get().write(g)
 

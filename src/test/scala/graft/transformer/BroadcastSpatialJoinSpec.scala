@@ -268,6 +268,31 @@ class BroadcastSpatialJoinSpec extends AnyFlatSpec with Matchers {
     out.select("id").collect().map(_.getString(0)).toSeq shouldBe Seq("i1")
   }
 
+  it should "not rewrite side references inside string literals of a condition" in {
+    val input = points("i1, 1, 1 | i2, 2, 2")
+    val data = pois("d1, 1.1, 1.1, a | d2, 2.1, 2.1, left.name")
+    // the literal 'left.name' must stay a literal: it equals d2's name
+    // column value, so the condition vetoes d2's nearest match (i2)
+    val out = makeTransformer(data, "poi_litcond")
+      .setJoinCondition("left.name != 'left.name'")
+      .transform(input)
+    assertDataFrameEquals(out,
+      joined("i1, 1, 1, d1").selectExpr("id", "lon", "lat", "poi_id"))
+  }
+
+  it should "drop empty geometries (POLYGON EMPTY) like nulls in all strategies" in {
+    import spark.implicits._
+    val input = Seq(("i1", "POINT(1 1)"), ("i2", "POLYGON EMPTY")).toDF("id", "wkt")
+    val data = pois("d1, 1.1, 1.1")
+    def run(mode: String) = makeTransformer(data, s"poi_empty_$mode")
+      .setInputPoint("").setInputWKT("wkt")
+      .setBroadcast(mode).setPredicate("withindist 100000")
+      .transform(input)
+      .select("id").collect().map(_.getString(0)).toSeq
+    run("dataset") shouldBe Seq("i1")
+    run("none") shouldBe Seq("i1")
+  }
+
   it should "reject invalid parameter combinations" in {
     val data = pois("d1, 1.1, 1.1")
     data.createOrReplaceTempView("poi_badparams")
