@@ -306,6 +306,30 @@ object SparkEntry {
 
     // --- relational: aggregation + event-time windows -------------------
 
+    // set operations: union / intersect / except compose in one plan
+    "setop_keys" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").select(col("c_custkey").as("k"))
+      val o = tbl(s, dir, "orders").select(col("o_custkey").as("k"))
+      val buyers = c.intersect(o)            // customers with orders
+      val inactive = c.except(o)             // customers without orders
+      buyers.withColumn("tag", lit("buyer"))
+        .unionByName(inactive.withColumn("tag", lit("inactive")))
+    }),
+
+    // analytic window functions: lag over event time per user
+    "window_lag" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      // microsecond precision: DuckDB timestamps are always micros
+      tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("ts DIV 1000").as("ts_us"))
+        .withColumn("prev_gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
+        .withColumn("seq", row_number().over(w).cast("long"))
+        .select("event_id", "user_id", "seq", "prev_gap_us")
+    }),
+
     // join + deterministic global top-k (sort/limit with tie-break)
     "q_topk_orders" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -530,6 +554,19 @@ object SparkEntry {
         |  SELECT qid, cid, cos_r6,
         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
         |  FROM s) WHERE rnk <= 10""".stripMargin,
+
+    "setop_keys" ->
+      """SELECT k, 'buyer' tag FROM
+        |  (SELECT c_custkey k FROM customer INTERSECT SELECT o_custkey k FROM orders)
+        |UNION ALL
+        |SELECT k, 'inactive' tag FROM
+        |  (SELECT c_custkey k FROM customer EXCEPT SELECT o_custkey k FROM orders)""".stripMargin,
+
+    "window_lag" ->
+      """SELECT event_id, user_id,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) seq,
+        |  CAST(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) prev_gap_us
+        |FROM events""".stripMargin,
 
     "q_topk_orders" ->
       """SELECT CAST(row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) rnk,
