@@ -1,9 +1,7 @@
 package graft.join
 
 import org.apache.spark.sql.{Row, functions => F}
-import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{AttributeSeq, BindReferences, Expression, JoinedRow, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{AttributeSeq, BindReferences, Expression}
 import org.apache.spark.sql.catalyst.plans.logical
 import org.apache.spark.sql.classic.SparkSession
 import org.apache.spark.sql.types.{StructField, StructType}
@@ -123,32 +121,11 @@ object PairCondition {
 }
 
 /**
- * A bound, serializable pair predicate. `bound` contains only
- * BoundReferences/literals/functions — safe to ship to executors.
+ * A bound pair predicate over the concatenated (left ++ right) row —
+ * `bound` contains only BoundReferences/literals/functions, evaluated
+ * natively on InternalRows inside graft.plans.BroadcastSpatialJoinExec.
  */
 final case class CompiledCondition(
     bound: Expression,
     leftSchema: StructType,
-    rightSchema: StructType) {
-
-  /**
-   * Per-partition evaluator over (left external Row, right-row index).
-   * Right rows are converted to InternalRow once per partition (they are
-   * the broadcast side and may be probed many times per partition).
-   */
-  def indexedEvaluator(rightRows: Array[Row]): (Row, Int) => Boolean = {
-    val lConv = CatalystTypeConverters.createToCatalystConverter(leftSchema)
-    val rConv = CatalystTypeConverters.createToCatalystConverter(rightSchema)
-    val rightInternal: Array[InternalRow] =
-      rightRows.map(r => rConv(r).asInstanceOf[InternalRow])
-    val pred = Predicate.create(bound) // codegen, interpreted fallback
-    pred.initialize(0)
-    val joined = new JoinedRow
-    var cachedLeft: Row = null
-    var cachedLeftInternal: InternalRow = null
-    (l: Row, rIdx: Int) => {
-      if (l ne cachedLeft) { cachedLeft = l; cachedLeftInternal = lConv(l).asInstanceOf[InternalRow] }
-      pred.eval(joined(cachedLeftInternal, rightInternal(rIdx)))
-    }
-  }
-}
+    rightSchema: StructType)

@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.locationtech.jts.geom.{Envelope, Geometry}
+import org.locationtech.jts.index.strtree.{ItemBoundable, ItemDistance, STRtree}
+
+import graft.spatial.{GeoKit, Geodesic, SpatialPredicate}
+
+/**
+ * Broadcast-side packed spatial index: WKB payload ships once per
+ * executor, JTS geometries + STRtree build lazily per executor (JTS
+ * objects never serialize). `rows` is the broadcast side's row payload in
+ * whatever row representation the caller uses.
+ */
+final class PackedSpatialIndex[T](val rows: Array[T], val wkbs: Array[Array[Byte]])
+    extends Serializable {
+
+  @transient @volatile private var cache: (Array[Geometry], STRtree) = _
+
+  private def ensure(): (Array[Geometry], STRtree) = {
+    var c = cache
+    if (c == null) synchronized {
+      c = cache
+      if (c == null) {
+        val gs = wkbs.map(GeoKit.wkbToGeom) // null wkb → null geometry
+        val t = new STRtree()
+        var i = 0
+        while (i < gs.length) {
+          if (gs(i) != null) t.insert(gs(i).getEnvelopeInternal, Integer.valueOf(i))
+          i += 1
+        }
+        t.build() // STRtree is read-thread-safe only once built
+        c = (gs, t)
+        cache = c
+      }
+    }
+    c
+  }
+
+  def geoms: Array[Geometry] = ensure()._1
+  def tree: STRtree = ensure()._2
+  def indexedCount: Int = { ensure(); wkbs.count(_ != null) }
+}
+
+/**
+ * Row-representation-agnostic probe kernel over a packed index: nearest
+ * (deterministic min-index tie-break), withindist (latitude-aware strictly
+ * over-approximating envelope prefilter + exact geodesic refine), and the
+ * JTS relation predicates. Semantics pinned by the reference's 16 golden
+ * tests (see graft.transformer.BroadcastSpatialJoinSpec).
+ */
+final class SpatialProbe(geoms: Array[Geometry], tree: STRtree) {
+
+  private val total = geoms.count(_ != null)
+
+  def isEmpty: Boolean = total == 0
+
+  /** (rightIndex, geodesicMetres) matches of `g` under `predicate`;
+    * `condEval` vetoes candidate indices; distance is 0 when neither the
+    * predicate nor `needDist` requires it. */
+  def matches(g: Geometry, predicate: SpatialPredicate,
+      condEval: Int => Boolean, needDist: Boolean): Iterator[(Int, Int)] = {
+    if (g == null || isEmpty) return Iterator.empty
+    predicate match {
+      case SpatialPredicate.Nearest =>
+        nearestMatch(g, condEval) match {
+          case -1 => Iterator.empty
+          case i => Iterator.single(
+            (i, if (needDist) Geodesic.centroidDistance(g, geoms(i)) else 0))
+        }
+      case wd: SpatialPredicate.WithinDist =>
+        val env = g.getEnvelopeInternal.copy()
+        // coarse, strictly over-approximating prefilter: latitude by the
+        // minimum meridian arc (~110574 m/deg); longitude by a*cos(phi) at
+        // the latitude band edge (+2x excursion margin). ~3x tighter than
+        // the reference's flat 1 deg = 35 km, never under-selecting.
+        val latDeg = wd.meters / 110500.0
+        val phiMax = math.min(89.9,
+          math.max(math.abs(env.getMinY), math.abs(env.getMaxY)) + 2 * latDeg)
+        val cosPhi = math.cos(math.toRadians(phiMax))
+        val lonDeg =
+          if (cosPhi <= 1e-6) 360.0
+          else wd.meters / (Geodesic.SemiMajorA * cosPhi * math.Pi / 180.0)
+        env.expandBy(lonDeg, latDeg)
+        candidates(env).iterator.flatMap { i =>
+          if (!condEval(i)) None
+          else {
+            val d = Geodesic.centroidDistance(g, geoms(i)) // exact refine
+            if (d <= wd.meters.toInt) Some((i, d)) else None
+          }
+        }
+      case rel =>
+        candidates(g.getEnvelopeInternal).iterator.flatMap { i =>
+          if (rel.relates(g, geoms(i)) && condEval(i))
+            Some((i, if (needDist) Geodesic.centroidDistance(g, geoms(i)) else 0))
+          else None
+        }
+    }
+  }
+
+  private def candidates(env: Envelope): Seq[Int] = {
+    val out = Seq.newBuilder[Int]
+    tree.query(env, (item: Any) => out += item.asInstanceOf[Integer].intValue())
+    out.result()
+  }
+
+  private object GeomDist extends ItemDistance {
+    private def geomOf(b: ItemBoundable): Geometry = b.getItem match {
+      case i: Integer  => geoms(i)
+      case g: Geometry => g
+    }
+    def distance(a: ItemBoundable, b: ItemBoundable): Double =
+      geomOf(a).distance(geomOf(b))
+  }
+
+  /**
+   * Index of the nearest (JTS coordinate distance) indexed geometry
+   * passing the condition, or -1. Deterministic under distance ties: the
+   * smallest index among tied nearest candidates wins — k grows until the
+   * k-th distance strictly exceeds the best passing distance, so every
+   * tie was seen. Starts at k=2: the common unique-nearest case is one
+   * probe.
+   */
+  def nearestMatch(g: Geometry, condEval: Int => Boolean): Int = {
+    if (total == 0) return -1
+    val env = g.getEnvelopeInternal
+    var k = 2
+    while (true) {
+      val kk = math.min(k, total)
+      val found = tree.nearestNeighbour(env, g, GeomDist, kk)
+        .map(_.asInstanceOf[Integer].intValue())
+      // JTS does not guarantee order: sort by (distance, index)
+      val sorted = found.sortBy(i => (g.distance(geoms(i)), i))
+      val kthDist = sorted.iterator.map(i => g.distance(geoms(i))).max
+      sorted.find(condEval) match {
+        case Some(i) =>
+          if (kk == total || kthDist > g.distance(geoms(i))) return i
+        case None =>
+          if (kk == total) return -1
+      }
+      k = kk * 4
+    }
+    -1
+  }
+}

@@ -1,6 +1,6 @@
 package graft.transformer
 
-import graft.join.{CompiledCondition, GridNearestJoin, GridSpatialJoin, PairCondition, SpatialJoinCore}
+import graft.join.{CompiledCondition, GridNearestJoin, GridSpatialJoin, PairCondition}
 import graft.spatial.{GeomSpec, SpatialPredicate}
 import graft.toolbox.StringToolbox._
 import org.apache.spark.ml.Transformer
@@ -225,26 +225,63 @@ class BroadcastSpatialJoin(override val uid: String)
       if (cfg.broadcastInput) (cfg.externalDF, cfg.externalSpec, input, cfg.inputSpec)
       else (input, cfg.inputSpec, cfg.externalDF, cfg.externalSpec)
 
+    // Catalyst-native path: the custom BroadcastSpatialJoinPlan keeps the
+    // whole transform in one plan — no RDD drop-out, no createDataFrame
+    // barrier (fixes the reference's opaque-scan re-entry, SURVEY §4)
+    val lwName = "__graft_wkb_l"
+    val rwName = "__graft_wkb_r"
+    val leftD = iterDF.withColumn(lwName, wkbColOf(iterSpec))
+    val rightD = bcDF.withColumn(rwName, wkbColOf(bcSpec))
     val compiled: Option[CompiledCondition] =
-      PairCondition.compile(spark, cfg.conditionSql, iterDF.schema, bcDF.schema)
+      PairCondition.compile(spark, cfg.conditionSql, leftD.schema, rightD.schema)
 
+    ensureStrategy(spark)
+    val lp = leftD.queryExecution.analyzed
+    val rp = rightD.queryExecution.analyzed
+    val lAttr = lp.output.find(_.name == lwName).get
+    val rAttr = rp.output.find(_.name == rwName).get
     val needDistance = cfg.distanceAlias.nonEmpty
-    val joined = SpatialJoinCore.join(
-      iterDF, bcDF, iterSpec, bcSpec, cfg.spatialPredicate, compiled, needDistance)
+    val distAttr =
+      if (needDistance)
+        Some(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+          cfg.distanceAlias, DataTypes.IntegerType, nullable = false)())
+      else None
 
-    // normalize to (externalRow, inputRow, distance)
-    val tuples =
-      if (cfg.broadcastInput) joined
-      else joined.map { case (l, r, d) => (r, l, d) }
+    val plan = graft.plans.BroadcastSpatialJoinPlan(
+      lp, rp, lAttr, rAttr, cfg.spatialPredicate, compiled.map(_.bound), distAttr)
+    val joinedDF = org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, plan)
 
-    val extSchema = cfg.externalDF.schema
-    val selIdx = cfg.dataCols.map(extSchema.fieldIndex).toArray
-    val schema = outputSchema(input.schema, cfg)
-    val rows = tuples.map { case (ext, in, d) =>
-      val vals = in.toSeq ++ selIdx.map(ext.get)
-      Row.fromSeq(if (needDistance) vals :+ d else vals)
+    // final projection BY ATTRIBUTE (names may repeat across the sides):
+    // input columns ++ alias-renamed selected external columns ++ distance
+    val (inputOut, extOut) =
+      if (cfg.broadcastInput) (rp.output.filterNot(_.exprId == rAttr.exprId), lp.output)
+      else (lp.output.filterNot(_.exprId == lAttr.exprId), rp.output)
+    def extAttr(name: String) = extOut.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"dataColumns column `$name` not found in external dataset"))
+    val outCols =
+      inputOut.map(a => org.apache.spark.sql.graft.ColumnBridge.column(a)) ++
+        cfg.dataCols.zip(cfg.aliases).map { case (n, a) =>
+          org.apache.spark.sql.graft.ColumnBridge.column(extAttr(n)).as(a) } ++
+        distAttr.map(a => org.apache.spark.sql.graft.ColumnBridge.column(a))
+    joinedDF.select(outCols.toIndexedSeq: _*)
+  }
+
+  /** GeomSpec → WKB column (same coercions as the reference's per-row
+    * matrix: lon/lat cast to double, WKT parsed null-safe). */
+  private def wkbColOf(spec: GeomSpec): org.apache.spark.sql.Column = {
+    import graft.functions.GeoExpressions
+    spec match {
+      case GeomSpec.WktCol(w) => GeoExpressions.wkbFromWkt(F.col(w))
+      case GeomSpec.PointCols(lon, lat) =>
+        GeoExpressions.wkbPoint(F.col(lon).cast("double"), F.col(lat).cast("double"))
     }
-    spark.createDataFrame(rows, schema)
+  }
+
+  /** Register the spatial join planner strategy on this session (idempotent). */
+  private def ensureStrategy(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraStrategies
+    if (!cur.contains(graft.plans.SpatialJoinStrategy))
+      spark.experimental.extraStrategies = cur :+ graft.plans.SpatialJoinStrategy
   }
 
   /** Partitioned grid join (broadcast="none"): neither side collected,

@@ -10,3 +10,11 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge to the private[sql] Dataset.ofRows constructor, for building a
+  * DataFrame from a custom logical plan. */
+object DatasetBridge {
+  def ofRows(spark: org.apache.spark.sql.classic.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(spark, plan)
+}
