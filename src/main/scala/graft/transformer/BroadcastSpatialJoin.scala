@@ -237,7 +237,16 @@ class BroadcastSpatialJoin(override val uid: String)
 
     ensureStrategy(spark)
     val lp = leftD.queryExecution.analyzed
-    val rp = rightD.queryExecution.analyzed
+    val rp0 = rightD.queryExecution.analyzed
+    // self-join safety: when both sides stem from the same plan their
+    // attributes share exprIds and downstream by-attribute resolution
+    // would collapse onto one side — re-alias the right side with fresh
+    // exprIds (ordinal-bound condition is unaffected: positions match)
+    val rp: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+      if (lp.outputSet.intersect(rp0.outputSet).isEmpty) rp0
+      else org.apache.spark.sql.catalyst.plans.logical.Project(
+        rp0.output.map(a =>
+          org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()), rp0)
     val lAttr = lp.output.find(_.name == lwName).get
     val rAttr = rp.output.find(_.name == rwName).get
     val needDistance = cfg.distanceAlias.nonEmpty
