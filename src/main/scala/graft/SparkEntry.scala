@@ -254,6 +254,15 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
+    // embedding-cosine near-dup pairs (exact, oracle-checked)
+    "dedup_embedding" -> ((s, dir) =>
+      Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.5)),
+
+    // SimHash near-dup pairs — rows-only check (xxhash-based fingerprints
+    // are engine-internal); recall pinned by spec against jaccard pairs
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text")),
+
     // --- text analysis -------------------------------------------------
 
     "text_tokens" -> ((s, dir) =>
@@ -503,6 +512,14 @@ object SparkEntry {
       "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon_id FROM documents",
 
     "dedup_jaccard" -> jaccardOracle,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT doc_i, doc_j, cos_r6 FROM (
+        |  SELECT a.vec_id doc_i, b.vec_id doc_j,
+        |    round(list_inner_product(a.v, b.v)
+        |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) cos_r6
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos_r6 >= 0.5""".stripMargin,
     "dedup_minhash" -> jaccardOracle,
 
     "text_tokens" ->

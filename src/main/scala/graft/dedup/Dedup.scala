@@ -133,4 +133,57 @@ object Dedup {
           size(col("sha")), size(col("shb"))).as("jac"))
       .where(col("jac") >= tau)
   }
+
+  /**
+   * SimHash near-dup pairs: 64-bit document fingerprints
+   * (graft.functions.TextSimhash), candidates generated by the pigeonhole
+   * banding of 4x16-bit chunks (Hamming distance <= 3 implies at least one
+   * identical chunk), verified by exact popcount. Output:
+   * (doc_i, doc_j, hamming). Linear shuffle volume: 4 slim band rows/doc.
+   */
+  def simhashPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "banding with 4 chunks guarantees recall only for maxHamming <= 3")
+    val fp = df
+      .select(col(idCol).as("doc"), col(textCol).as("txt")).repartition(col("doc"))
+      .select(col("doc"), graft.functions.TextSimhash.textSimhash(
+        graft.functions.WordShingles.wordShingles(col("txt"), 1)).as("fp"))
+    // chunk extraction without a column-typed shift amount: divide by the
+    // per-chunk power of two (fp is reinterpreted unsigned via the mask)
+    val chunks = (0 until 4).map { b =>
+      shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
+    }
+    val bands = fp.select(col("doc"), col("fp"),
+      posexplode(array(chunks: _*)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .dropDuplicates("doc_i", "doc_j")
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Embedding-cosine near-dup pairs: all (i < j) with cosine similarity
+   * >= tau over a vector column. Exact brute-force formulation (each
+   * side's norm precomputed; deterministic-fold dot product rounded to 6
+   * decimals); at scale restrict candidates first with
+   * graft.similarity.Similarity.lshCosineTopK-style bucketing.
+   */
+  def embeddingPairs(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
+    import graft.similarity.Similarity
+    val v = df.select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v"))
+      .repartition(col("doc"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val a = v.select(col("doc").as("doc_i"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("doc").as("doc_j"), col("v").as("vb"), col("nrm").as("nb"))
+    a.crossJoin(b).where(col("doc_i") < col("doc_j"))
+      .select(col("doc_i"), col("doc_j"),
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_r6"))
+      .where(col("cos_r6") >= tau)
+  }
 }

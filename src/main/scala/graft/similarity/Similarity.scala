@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays — codegen'd native
+    * expression (same summation order as the composed aggregate/zip_with
+    * form, ~20x cheaper; see graft.functions.VectorDot). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+    graft.functions.VectorDot.vectorDot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -96,6 +96,24 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe exact
   }
 
+  it should "find exact duplicates by SimHash (identical fingerprints)" in {
+    // exact duplicates have identical fingerprints (hamming 0)
+    Dedup.simhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet should contain((0L, 3L))
+    Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 0)
+      .where("doc_i = 0 and doc_j = 3").head.getInt(2) shouldBe 0
+  }
+
+  it should "find embedding-cosine near-dup pairs exactly" in {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.1f, 0.0f)),
+      (1L, Array(0.99f, 0.12f, 0.01f)), // near-parallel to 0
+      (2L, Array(-0.5f, 0.9f, 0.0f))).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(vecs, "vec_id", "embedding", tau = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((0L, 1L))
+  }
+
   behavior of "TextFunctions"
 
   it should "count tokens and compute exact ratios" in {
