@@ -17,6 +17,7 @@ import graft.functions._
  *   — or on a live session: `GraftExtensions.register(spark)`
  *
  * Functions: word_shingles(text, n), minhash_signature(shingles, n),
+ * text_simhash(tokens), vector_dot(a, b), simhash_buckets(vec, p, t),
  * wkb_from_wkt(wkt), wkb_point(lon, lat), st_distance(l, r),
  * geodesic_meters(l, r), st_relates(l, r, 'within'|...),
  * grid_cells(wkb, cellDeg, expandMeters).
@@ -67,7 +68,14 @@ object GraftExtensions {
       (es: Seq[Expression]) => StRelates(es(0), es(1), stringArg(es(2), "st_relates"))),
     ("grid_cells", "grid_cells(wkb, cellDeg, expandMeters) - overlapped grid cell ids",
       (es: Seq[Expression]) => GridCells(es(0),
-        doubleArg(es(1), "grid_cells"), doubleArg(es(2), "grid_cells")))
+        doubleArg(es(1), "grid_cells"), doubleArg(es(2), "grid_cells"))),
+    ("text_simhash", "text_simhash(tokens) - 64-bit document SimHash fingerprint",
+      (es: Seq[Expression]) => TextSimhash(es(0))),
+    ("vector_dot", "vector_dot(a, b) - sequential-fold dot product of double arrays",
+      (es: Seq[Expression]) => VectorDot(es(0), es(1))),
+    ("simhash_buckets", "simhash_buckets(vec, planes, tables) - LSH bucket ids",
+      (es: Seq[Expression]) => SimhashBuckets(es(0),
+        intArg(es(1), "simhash_buckets"), intArg(es(2), "simhash_buckets")))
   ).map { case (name, usage, builder) =>
     (FunctionIdentifier(name), info(name, usage), builder)
   }

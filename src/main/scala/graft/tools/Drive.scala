@@ -118,7 +118,15 @@ object Drive {
       emb.where("vec_id < 5"), emb, "vec_id", "embedding", 5)
     println(s"rows=${topk.count()} similarity results (expect 25)")
 
-    println("=== 10. probe: nonexistent dataset table ===")
+    println("=== 10. SQL function surface (GraftExtensions.register) ===")
+    graft.GraftExtensions.register(spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
+    val sqlRow = spark.sql(
+      "SELECT geodesic_meters(wkb_point(1D,1D), wkb_point(1.1D,1.1D)) m, " +
+      "size(word_shingles('a b c d e', 3)) ns, " +
+      "vector_dot(array(1D,2D), array(3D,4D)) d").head
+    println(s"rows=1, geodesic=${sqlRow.getInt(0)} (expect 15689), shingles=${sqlRow.getInt(1)}, dot=${sqlRow.getDouble(2)}")
+
+    println("=== 11. probe: nonexistent dataset table ===")
     try {
       new BroadcastSpatialJoin().setDataset("no_such_table")
         .setDatasetPoint("lon, lat").setInputPoint("lon, lat")

@@ -34,6 +34,16 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     r.getInt(3) shouldBe 6 // 3 x 2 cells
   }
 
+  it should "expose simhash and vector functions in SQL" in {
+    val r = spark.sql(
+      """SELECT text_simhash(word_shingles('a b c d', 1)) fp,
+        |       vector_dot(array(1D,2D,3D), array(4D,5D,6D)) d,
+        |       size(simhash_buckets(array(1D,0D), 4, 2)) nb""".stripMargin).head
+    r.getLong(0) should not be 0L
+    r.getDouble(1) shouldBe 32.0
+    r.getInt(2) shouldBe 2
+  }
+
   it should "reject non-literal config args with a clear error" in {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles('a b c', cast(rand()*3 as int))").collect()
