@@ -85,11 +85,16 @@ object GridNearestJoin {
     def candStruct: Column = struct(
       (col(dist) +: tb.as("__g_tb") +: rightCols.map(col)): _*)
 
+    // group by the full left payload (lid + carried columns): the
+    // per-round aggregation then needs NO join-back to recover left rows —
+    // one shuffle per round instead of two. Null right rows (left-outer
+    // ring join misses) contribute no candidate but keep the left row.
+    val groupKeys = (lid +: cell +: lw +: leftCols.toSeq).map(col)
     def bestOf(cands: DataFrame): DataFrame =
       cands
         .withColumn(dist, GeoExpressions.stDistance(col(lw), col(rw)))
-        .groupBy(col(lid))
-        .agg(min(candStruct).as(best))
+        .groupBy(groupKeys: _*)
+        .agg(min(when(col(rw).isNotNull, candStruct)).as("__g_best0"))
 
     // annulus cell ids (lo < Chebyshev distance <= hi) via literal
     // (dx, dy) offset arrays; out-of-bounds neighbours → null, filtered
@@ -130,25 +135,26 @@ object GridNearestJoin {
     // the horizon (a 512-cell horizon would mean ~800k-element literal
     // arrays and per-row explosions of the same size) — past maxHorizon
     // the exhaustive fallback is strictly cheaper
+    val rProbe = rMat.withColumnRenamed(cell, "__g_probe")
     while (round <= maxRings && unresolvedLeft > fallbackBelow && hi <= maxHorizon) {
       val cands = unresolved
         .withColumn("__g_probe", explode(ringCells(lo, hi)))
-        .drop(cell).withColumnRenamed("__g_probe", cell)
-        .join(rMat, cell)
-      val roundBest0 = bestOf(cands)
-      val roundBest =
-        if (carried == null) roundBest0
-        else carried.union(roundBest0).groupBy(col(lid)).agg(min(col(best)).as(best))
-      // ONE materialization per round; the three splits below are cheap
-      // filters over the checkpointed snapshot
-      val scored = unresolved.join(roundBest, Seq(lid), "left").localCheckpoint(true)
+        .join(rProbe, Seq("__g_probe"), "left_outer")
+      val grouped = bestOf(cands)
+      val withCarry =
+        if (carried == null) grouped.withColumn(best, col("__g_best0"))
+        else grouped.join(carried, Seq(lid), "left")
+          .withColumn(best, least(col("__g_best0"), col("__g_carry")))
+      // ONE materialization per round; the splits below are cheap filters
+      // over the checkpointed snapshot
+      val scored = withCarry.drop("__g_best0", "__g_carry").localCheckpoint(true)
       val bound = lit(hi.toDouble * cellDeg)
       out += finalize(
         scored.where(col(best).isNotNull && col(best)(dist) <= bound), leftCols, rightCols, best)
       unresolved = scored.where(col(best).isNull || col(best)(dist) > bound)
         .select((leftCols.map(col) :+ col(lw) :+ col(lid) :+ col(cell)): _*)
       carried = scored.where(col(best).isNotNull && col(best)(dist) > bound)
-        .select(col(lid), col(best))
+        .select(col(lid), col(best).as("__g_carry"))
       unresolvedLeft = unresolved.count()
       lo = hi
       hi = hi * 2
@@ -156,12 +162,14 @@ object GridNearestJoin {
     }
     if (unresolvedLeft > 0) {
       // fallback: exhaustive pass for the stragglers (e.g. empty regions)
-      val cands = unresolved.drop(cell).crossJoin(right
+      val cands = unresolved.crossJoin(right
         .withColumn(rw, rightWkb).where(col(rw).isNotNull))
-      val bestAll =
-        if (carried == null) bestOf(cands)
-        else carried.union(bestOf(cands)).groupBy(col(lid)).agg(min(col(best)).as(best))
-      out += finalize(unresolved.join(bestAll, Seq(lid), "inner"), leftCols, rightCols, best)
+      val grouped = bestOf(cands)
+      val withCarry =
+        if (carried == null) grouped.withColumn(best, col("__g_best0"))
+        else grouped.join(carried, Seq(lid), "left")
+          .withColumn(best, least(col("__g_best0"), col("__g_carry")))
+      out += finalize(withCarry.where(col(best).isNotNull), leftCols, rightCols, best)
     }
     if (out.isEmpty) finalizeSchemaOnly(left, right, leftCols, rightCols)
     else out.reduce(_ union _)
