@@ -329,7 +329,9 @@ object SparkEntry {
     "window_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val w = Window.partitionBy("user_id").orderBy("ts")
+      // event_id tie-break: equal (user_id, ts) pairs would otherwise
+      // order arbitrarily and flake against the oracle
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       // microsecond precision: DuckDB timestamps are always micros
       tbl(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"),
@@ -581,8 +583,8 @@ object SparkEntry {
 
     "window_lag" ->
       """SELECT event_id, user_id,
-        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) seq,
-        |  CAST(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) prev_gap_us
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) seq,
+        |  CAST(epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) prev_gap_us
         |FROM events""".stripMargin,
 
     "q_topk_orders" ->

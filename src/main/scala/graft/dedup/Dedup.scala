@@ -144,10 +144,16 @@ object Dedup {
   def simhashPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "banding with 4 chunks guarantees recall only for maxHamming <= 3")
+    // token-less docs all share fingerprint 0 — drop them (consistent with
+    // the other dedup operators' empty-shingle semantics). Large exact-dup
+    // clusters still pair quadratically BY DESIGN (they are all near-dups);
+    // run exactCanon first to collapse exact duplicates cheaply.
     val fp = df
       .select(col(idCol).as("doc"), col(textCol).as("txt")).repartition(col("doc"))
-      .select(col("doc"), graft.functions.TextSimhash.textSimhash(
-        graft.functions.WordShingles.wordShingles(col("txt"), 1)).as("fp"))
+      .select(col("doc"),
+        graft.functions.WordShingles.wordShingles(col("txt"), 1).as("ws"))
+      .where(size(col("ws")) > 0)
+      .select(col("doc"), graft.functions.TextSimhash.textSimhash(col("ws")).as("fp"))
     // chunk extraction without a column-typed shift amount: divide by the
     // per-chunk power of two (fp is reinterpreted unsigned via the mask)
     val chunks = (0 until 4).map { b =>

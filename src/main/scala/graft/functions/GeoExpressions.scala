@@ -79,7 +79,7 @@ object GeoExpressions {
   }
 
   /** Latitude-aware conservative envelope expansion by metres — identical
-    * bound to SpatialJoinCore's withindist prefilter. */
+    * bound to graft.plans.SpatialProbe's withindist prefilter. */
   def expandedBounds(env: Envelope, meters: Double): (Double, Double, Double, Double) = {
     if (meters <= 0) return (env.getMinX, env.getMaxX, env.getMinY, env.getMaxY)
     val latDeg = meters / 110500.0

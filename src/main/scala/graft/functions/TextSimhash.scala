@@ -40,6 +40,8 @@ object TextSimhash {
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
+      if (tokens.isNullAt(i)) { i += 1 }
+      else {
       val u = tokens.getUTF8String(i)
       val h = XXH64.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
       var b = 0
@@ -48,6 +50,7 @@ object TextSimhash {
         b += 1
       }
       i += 1
+      }
     }
     var fp = 0L
     var b = 0

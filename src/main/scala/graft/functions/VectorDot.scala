@@ -12,9 +12,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
  * expression — a sequential left-to-right fold, bit-identical to the
  * composed `aggregate(zip_with(a, b, _*_), 0d, _+_)` formulation but
  * without the interpreted higher-order-function overhead (~20× cheaper
- * on 64-dim vectors). Shorter array length bounds the loop (zip_with
- * pads with null → the composed form yields null; this treats missing
- * tail elements as absent, callers use equal-length vectors).
+ * on 64-dim vectors). Null propagation matches the composed form:
+ * ragged lengths or a null element yield NULL (a silently-truncated dot
+ * product would hide corrupt embeddings behind plausible numbers).
  */
 case class VectorDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -22,11 +22,16 @@ case class VectorDot(left: Expression, right: Expression)
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType), ArrayType(DoubleType))
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorDot.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorDot.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double ${ev.value}_r = graft.functions.VectorDot.compute($a, $b);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r.doubleValue(); }""")
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDot =
     copy(left = l, right = r)
@@ -39,12 +44,18 @@ object VectorDot {
   def vectorDot(a: Column, b: Column): Column =
     ColumnBridge.column(VectorDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  /** Called from generated code; sequential fold — deterministic order. */
-  def compute(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Called from generated code; sequential fold — deterministic order.
+    * Returns null (boxed) for ragged lengths or null elements. */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0d
     var i = 0
-    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     acc
   }
 }

@@ -38,7 +38,9 @@ import graft.functions.GeoExpressions
  * @param left     side iterated (one output row per left row with any
  *                 right candidate); left geometries must be points.
  *                 Right-side columns ride through a min(struct(...))
- *                 aggregation, so they must be orderable types (no maps)
+ *                 aggregation and left-side columns through a groupBy, so
+ *                 both sides' columns must be orderable/groupable types
+ *                 (no map columns)
  * @param right    candidate side, any geometry
  * @param k        currently 1 (nearest); the structure generalizes to
  *                 top-k with min_by -> collect/top-k per group

@@ -71,15 +71,24 @@ case class BroadcastSpatialJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastSpatialJoinExec =
     copy(left = newLeft, right = newRight)
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  // collect + pack + broadcast the right side once per physical plan —
+  // Dataset caches its QueryExecution, so repeated actions on the same
+  // transformed DataFrame reuse one broadcast instead of re-collecting
+  // (the broadcast lives as long as the plan; ContextCleaner reclaims it
+  // when the Dataset is garbage-collected, as with Spark's own
+  // BroadcastExchangeExec)
+  @transient private lazy val packedBroadcast = {
     val rIdx = right.output.indexWhere(_.exprId == rightWkb.exprId)
-    val lIdx = left.output.indexWhere(_.exprId == leftWkb.exprId)
-    require(rIdx >= 0 && lIdx >= 0, "wkb attributes must be in child outputs")
-
-    // collect + pack the broadcast side once on the driver
+    require(rIdx >= 0, "right wkb attribute must be in child output")
     val rightRows: Array[InternalRow] = right.executeCollect().map(_.copy())
     val wkbs = rightRows.map(r => if (r.isNullAt(rIdx)) null else r.getBinary(rIdx))
-    val bc = sparkContext.broadcast(new PackedSpatialIndex(rightRows, wkbs))
+    sparkContext.broadcast(new PackedSpatialIndex(rightRows, wkbs))
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lIdx = left.output.indexWhere(_.exprId == leftWkb.exprId)
+    require(lIdx >= 0, "left wkb attribute must be in child output")
+    val bc = packedBroadcast
 
     val needDist = distAttr.isDefined
     val outAttrs = output
