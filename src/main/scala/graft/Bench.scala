@@ -14,6 +14,11 @@ object Bench {
     // charged for JVM startup costs
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // isolate queries from each other's leftovers: dropped broadcasts and
+      // checkpoint blocks only release after a GC, and their memory pressure
+      // skews job-heavy iterative queries
+      spark.catalog.clearCache()
+      System.gc()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
