@@ -173,6 +173,30 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey")
     }),
 
+    // J7 condition under the partitioned grid strategy: the compiled
+    // condition threads into GridNearestJoin's candidate filter — the
+    // nearest SATISFYING supplier wins, same oracle as the broadcast form
+    "j7_condition_neq_grid" -> ((s, dir) => {
+      supplierPoints(s, dir).createOrReplaceTempView("v_j7g_sup")
+      bsj("v_j7g_sup").setDataColumns("s_suppkey")
+        .setBroadcast("none").setPredicate("nearest")
+        .setJoinCondition("right.s_nationkey != left.c_nationkey")
+        .transform(customerPoints(s, dir).select("c_custkey", "c_nationkey", "lon", "lat"))
+        .select("c_custkey", "s_suppkey")
+    }),
+
+    // WKT input side under the grid nearest (envelope-center binning):
+    // POINT wkt round-trips exactly, so the oracle is j1_nearest's
+    "j1_nearest_wkt_grid" -> ((s, dir) => {
+      supplierPoints(s, dir).createOrReplaceTempView("v_j1w_sup")
+      bsj("v_j1w_sup").setDataColumns("s_suppkey")
+        .setInputPoint("").setInputWKT("wkt")
+        .setBroadcast("none").setPredicate("nearest")
+        .transform(customerPoints(s, dir).select(col("c_custkey"),
+          concat(lit("POINT("), col("lon"), lit(" "), col("lat"), lit(")")).as("wkt")))
+        .select("c_custkey", "s_suppkey")
+    }),
+
     // J7 generalized extra condition: nearest with an inequality veto
     "j7_condition_neq" -> ((s, dir) => {
       supplierPoints(s, dir).createOrReplaceTempView("v_j7_sup")
@@ -258,10 +282,20 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.5)),
 
-    // SimHash near-dup pairs — rows-only check (xxhash-based fingerprints
-    // are engine-internal); recall pinned by spec against jaccard pairs
+    // LSH-bucketed embedding dedup — the 100 TB path; every emitted pair
+    // carries the exact cosine, and at these (low-threshold) settings the
+    // deterministic bucketing catches every qualifying pair on this data,
+    // so the oracle is the same exact all-pairs SQL as dedup_embedding
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingPairsLsh(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        tau = 0.5, planes = 5, tables = 24)),
+
+    // SimHash near-dup pairs with md5-derived token hashes — DuckDB can
+    // replay the fingerprints bit-for-bit (md5_number_lower), so this is
+    // fully oracle-checked; the xxhash64 variant stays the perf default
     "dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text")),
+      Dedup.simhashPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        hasher = graft.functions.Md5Simhash.md5Simhash)),
 
     // --- text analysis -------------------------------------------------
 
@@ -341,16 +375,26 @@ object SparkEntry {
         .select("event_id", "user_id", "seq", "prev_gap_us")
     }),
 
-    // join + deterministic global top-k (sort/limit with tie-break)
+    // join + deterministic global top-k (sort/limit with tie-break).
+    // orderBy+limit plans TakeOrderedAndProject — per-partition top-20 and
+    // a driver merge of 20·P rows — instead of a global single-partition
+    // WindowExec sort; ranking then touches only the 20 survivors (the
+    // constant partition key keeps WindowExec off its no-partition path)
     "q_topk_orders" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val top = tbl(s, dir, "orders")
+      val top20 = tbl(s, dir, "orders")
         .join(tbl(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+      // non-foldable constant partition key: a literal would be stripped
+      // by EliminateWindowPartitions, putting WindowExec back on its
+      // global no-partition path
+      top20
         .withColumn("rnk", row_number().over(
-          Window.orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
-        .where(col("rnk") <= 20)
-      top.select(col("rnk"), col("o_orderkey"), col("o_totalprice"),
-        col("c_name"), col("c_mktsegment"))
+          Window.partitionBy(pmod(col("o_orderkey"), lit(1)))
+            .orderBy(col("o_totalprice").desc, col("o_orderkey"))).cast("long"))
+        .select("rnk", "o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
     }),
 
     "agg_q1" -> ((s, dir) =>
@@ -496,6 +540,20 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
          |  FROM c CROSS JOIN s WHERE s.s_nationkey != c.c_nationkey) WHERE rn = 1""".stripMargin,
 
+    "j7_condition_neq_grid" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
+         |  FROM c CROSS JOIN s WHERE s.s_nationkey != c.c_nationkey) WHERE rn = 1""".stripMargin,
+
+    "j1_nearest_wkt_grid" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
+         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+
     "j7_condition_band" ->
       s"""WITH c AS ($cEq), s AS ($sEq)
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
@@ -523,6 +581,30 @@ object SparkEntry {
         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) cos_r6
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos_r6 >= 0.5""".stripMargin,
     "dedup_minhash" -> jaccardOracle,
+
+    "dedup_embedding_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
+        |SELECT doc_i, doc_j, cos_r6 FROM (
+        |  SELECT a.vec_id doc_i, b.vec_id doc_j,
+        |    round(list_inner_product(a.v, b.v)
+        |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) cos_r6
+        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos_r6 >= 0.5""".stripMargin,
+
+    // replays Md5Simhash exactly: per-token hash = md5_number_lower, ±1
+    // votes per bit, sign-pattern fingerprint, popcount pair filter
+    "dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |nz AS (SELECT doc_id, list_distinct(ws) ws FROM t WHERE len(ws) > 0),
+         |tok AS (SELECT doc_id, unnest(ws) tk FROM nz),
+         |hb AS (SELECT doc_id, md5_number_lower(tk) hv FROM tok),
+         |v AS (SELECT doc_id, r.b, sum(CASE WHEN (hv >> r.b) & 1 = 1 THEN 1 ELSE -1 END) vt
+         |      FROM hb, range(64) r(b) GROUP BY 1, 2),
+         |fp AS (SELECT doc_id, CAST(sum(CASE WHEN vt > 0 THEN (1::UBIGINT << b) ELSE 0::UBIGINT END) AS UBIGINT) f
+         |       FROM v GROUP BY 1)
+         |SELECT a.doc_id doc_i, b.doc_id doc_j,
+         |       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) hamming
+         |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin,
 
     "text_tokens" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents)
@@ -601,7 +683,8 @@ object SparkEntry {
 
     "events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) hour_ts, event_type,
-        |  count(*) cnt, round(sum(value), 2) sum_value
+        |  count(*) cnt,
+        |  CAST(round(sum(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE) sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // mirrors Multimodal.StubCodec byte-arithmetic on the (all-ASCII) text

@@ -135,49 +135,74 @@ object Dedup {
   }
 
   /**
-   * SimHash near-dup pairs: 64-bit document fingerprints
-   * (graft.functions.TextSimhash), candidates generated by the pigeonhole
-   * banding of 4x16-bit chunks (Hamming distance <= 3 implies at least one
-   * identical chunk), verified by exact popcount. Output:
-   * (doc_i, doc_j, hamming). Linear shuffle volume: 4 slim band rows/doc.
+   * SimHash near-dup pairs: 64-bit document fingerprints, candidates
+   * generated by the pigeonhole banding of 4x16-bit chunks (Hamming
+   * distance <= 3 implies at least one identical chunk), verified by
+   * exact popcount. Output: (doc_i, doc_j, hamming). Linear shuffle
+   * volume: 4 slim band rows per DISTINCT fingerprint.
+   *
+   * Identical fingerprints (exact-dup clusters in particular) collapse to
+   * one banded row each; memberships re-expand by equi-join afterwards.
+   * A 100k-copy boilerplate cluster thus contributes 1 row to the band
+   * join instead of 100k (banding the members would 4x-inflate the
+   * quadratic cluster and re-shuffle it through dropDuplicates); the
+   * final expansion is output-sized, which no correct implementation can
+   * avoid.
+   *
+   * @param hasher token-array → 64-bit fingerprint column. Default:
+   *        graft.functions.TextSimhash (xxhash64 votes, fastest). Pass
+   *        graft.functions.Md5Simhash.md5Simhash for fingerprints an
+   *        external SQL engine can replay bit-for-bit.
    */
   def simhashPairs(
-      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3,
+      hasher: Column => Column = graft.functions.TextSimhash.textSimhash): DataFrame = {
     require(maxHamming <= 3, "banding with 4 chunks guarantees recall only for maxHamming <= 3")
-    // token-less docs all share fingerprint 0 — drop them (consistent with
-    // the other dedup operators' empty-shingle semantics). Large exact-dup
-    // clusters still pair quadratically BY DESIGN (they are all near-dups);
-    // run exactCanon first to collapse exact duplicates cheaply.
+    // token-less docs all share fingerprint 0 — drop them (consistent
+    // with the other dedup operators' empty-shingle semantics)
     val fp = df
       .select(col(idCol).as("doc"), col(textCol).as("txt")).repartition(col("doc"))
       .select(col("doc"),
         graft.functions.WordShingles.wordShingles(col("txt"), 1).as("ws"))
       .where(size(col("ws")) > 0)
-      .select(col("doc"), graft.functions.TextSimhash.textSimhash(col("ws")).as("fp"))
+      .select(col("doc"), hasher(col("ws")).as("fp"))
+    val fps = fp.select("fp").distinct()
     // chunk extraction without a column-typed shift amount: divide by the
     // per-chunk power of two (fp is reinterpreted unsigned via the mask)
     val chunks = (0 until 4).map { b =>
       shiftrightunsigned(col("fp"), b * 16).bitwiseAND(lit(0xffffL))
     }
-    val bands = fp.select(col("doc"), col("fp"),
-      posexplode(array(chunks: _*)))
+    val bands = fps.select(col("fp"), posexplode(array(chunks: _*)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
-    bands.as("a")
+    // distinct-fingerprint pairs within the Hamming bound
+    val fpPairs = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-          && col("a.doc") < col("b.doc"))
-      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"),
+          && col("a.fp") < col("b.fp"))
+      .select(col("a.fp").as("fp_i"), col("b.fp").as("fp_j"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
-      .dropDuplicates("doc_i", "doc_j")
+      .dropDuplicates("fp_i", "fp_j")
       .where(col("hamming") <= maxHamming)
+    // intra-group pairs: identical fingerprint == Hamming 0
+    val intra = fp.as("x")
+      .join(fp.as("y"), col("x.fp") === col("y.fp") && col("x.doc") < col("y.doc"))
+      .select(col("x.doc").as("doc_i"), col("y.doc").as("doc_j"), lit(0).as("hamming"))
+    // cross-group expansion: every member pair of a qualifying fp pair
+    val cross = fpPairs
+      .join(fp.as("x"), col("x.fp") === col("fp_i"))
+      .join(fp.as("y"), col("y.fp") === col("fp_j"))
+      .select(least(col("x.doc"), col("y.doc")).as("doc_i"),
+        greatest(col("x.doc"), col("y.doc")).as("doc_j"), col("hamming"))
+    intra.union(cross)
   }
 
   /**
    * Embedding-cosine near-dup pairs: all (i < j) with cosine similarity
    * >= tau over a vector column. Exact brute-force formulation (each
    * side's norm precomputed; deterministic-fold dot product rounded to 6
-   * decimals); at scale restrict candidates first with
-   * graft.similarity.Similarity.lshCosineTopK-style bucketing.
+   * decimals) — the small-N / oracle path. At scale use
+   * [[embeddingPairsLsh]], which restricts candidates to LSH-bucket
+   * collisions before running the identical exact verification.
    */
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
@@ -188,6 +213,50 @@ object Dedup {
     val a = v.select(col("doc").as("doc_i"), col("v").as("va"), col("nrm").as("na"))
     val b = v.select(col("doc").as("doc_j"), col("v").as("vb"), col("nrm").as("nb"))
     a.crossJoin(b).where(col("doc_i") < col("doc_j"))
+      .select(col("doc_i"), col("doc_j"),
+        round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_r6"))
+      .where(col("cos_r6") >= tau)
+  }
+
+  /**
+   * Bucketed embedding near-dup pairs — the 100 TB path for
+   * [[embeddingPairs]]: candidates are restricted to vector pairs sharing
+   * a random-hyperplane SimHash bucket in at least one of `tables` hash
+   * tables (graft.functions.SimhashBuckets — stateless, deterministic),
+   * then verified with the exact cosine expression of the brute-force
+   * path, so every EMITTED pair is exact and identical to what
+   * embeddingPairs would emit; only recall is probabilistic.
+   *
+   * Shuffle shape mirrors [[minhashPairs]]: slim (doc, table, bucket)
+   * band rows drive the candidate equi-join — vectors never ride the
+   * band shuffle and rejoin only for surviving candidates. O(N) band
+   * rows vs the brute-force path's O(N²) scored pairs.
+   *
+   * Recall: a pair at angle θ collides per table with prob
+   * (1-θ/π)^planes. The near-dup regime the defaults target (cos >= 0.9,
+   * planes=10, tables=8) gives recall > 1-1e-4; LOW thresholds flatten
+   * the s-curve — at tau = 0.5 use few planes and many tables (the gate
+   * query runs planes=5, tables=24, verified exhaustive on the test data).
+   */
+  def embeddingPairsLsh(
+      df: DataFrame, idCol: String, vecCol: String, tau: Double,
+      planes: Int = 10, tables: Int = 8): DataFrame = {
+    import graft.similarity.Similarity
+    val v = df.select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v"))
+      .repartition(col("doc"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val bands = v.select(col("doc"),
+      posexplode(Similarity.simhashBuckets(col("v"), planes, tables)))
+      .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
+    val cands = bands.as("a")
+      .join(bands.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket")
+          && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
+      .dropDuplicates("doc_i", "doc_j")
+    cands
+      .join(v.select(col("doc").as("doc_i"), col("v").as("va"), col("nrm").as("na")), "doc_i")
+      .join(v.select(col("doc").as("doc_j"), col("v").as("vb"), col("nrm").as("nb")), "doc_j")
       .select(col("doc_i"), col("doc_j"),
         round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_r6"))
       .where(col("cos_r6") >= tau)

@@ -59,6 +59,11 @@ object GeoExpressions {
   def stDistance(lwkb: Column, rwkb: Column): Column =
     ColumnBridge.column(StDistance(ColumnBridge.expression(lwkb), ColumnBridge.expression(rwkb)))
 
+  /** Geometry envelope as [minX, minY, maxX, maxY]; null for null/empty
+    * geometries (they drop out of inner-join semantics upstream). */
+  def stEnvelope(wkb: Column): Column =
+    ColumnBridge.column(StEnvelope(ColumnBridge.expression(wkb)))
+
   // --- static helpers shared by eval and generated code -----------------
 
   val CellBits = 20
@@ -145,6 +150,14 @@ object GeoExpressions {
 
   def computeStDistance(lwkb: Array[Byte], rwkb: Array[Byte]): Double =
     GeoKit.wkbToGeom(lwkb).distance(GeoKit.wkbToGeom(rwkb))
+
+  /** Called from generated code; null for null/empty geometries. */
+  def computeEnvelope(wkb: Array[Byte]): ArrayData = {
+    val g = GeoKit.wkbToGeom(wkb)
+    if (g == null || g.isEmpty) return null
+    val e = g.getEnvelopeInternal
+    new GenericArrayData(Array[Any](e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+  }
 }
 
 case class WkbFromWkt(child: Expression) extends UnaryExpression with ExpectsInputTypes {
@@ -225,6 +238,22 @@ case class StDistance(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StDistance =
     copy(left = l, right = r)
   override def prettyName: String = "st_distance"
+}
+
+case class StEnvelope(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullSafeEval(v: Any): Any =
+    GeoExpressions.computeEnvelope(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.functions.GeoExpressions.computeEnvelope($c);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }""")
+  override protected def withNewChildInternal(n: Expression): StEnvelope = copy(child = n)
+  override def prettyName: String = "st_envelope"
 }
 
 case class GeodesicMeters(left: Expression, right: Expression)

@@ -23,11 +23,17 @@ case class SimhashBuckets(child: Expression, planes: Int, tables: Int)
   override def inputTypes: Seq[DataType] = Seq(ArrayType(DoubleType))
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(input: Any): Any =
     SimhashBuckets.compute(input.asInstanceOf[ArrayData], planes, tables)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimhashBuckets.compute($c, $planes, $tables)")
+    nullSafeCodeGen(ctx, ev, c => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData ${ev.value}_r =
+        graft.functions.SimhashBuckets.compute($c, $planes, $tables);
+      if (${ev.value}_r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ${ev.value}_r; }""")
 
   override protected def withNewChildInternal(n: Expression): SimhashBuckets = copy(child = n)
   override def prettyName: String = "simhash_buckets"
@@ -50,9 +56,13 @@ object SimhashBuckets {
     (mix((table.toLong << 40) ^ (plane.toLong << 20) ^ dim.toLong) >>> 11).toDouble /
       9007199254740992.0d - 0.5d // 2^53
 
-  /** Called from generated code. */
+  /** Called from generated code. Returns null for a null element —
+    * matching VectorDot's null semantics (a silently-skipped component
+    * would hash corrupt vectors into plausible buckets). */
   def compute(vec: ArrayData, planes: Int, tables: Int): ArrayData = {
     val n = vec.numElements()
+    var i = 0
+    while (i < n) { if (vec.isNullAt(i)) return null; i += 1 }
     val out = new Array[Any](tables)
     var t = 0
     while (t < tables) {
@@ -60,8 +70,8 @@ object SimhashBuckets {
       var p = 0
       while (p < planes) {
         var proj = 0.0d
-        var i = 0
-        while (i < n) { proj += vec.getDouble(i) * w(t, p, i); i += 1 }
+        var j = 0
+        while (j < n) { proj += vec.getDouble(j) * w(t, p, j); j += 1 }
         bucket = bucket * 2 + (if (proj >= 0) 1L else 0L)
         p += 1
       }

@@ -28,7 +28,12 @@ object EventWindows {
       if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
     withWm
       .groupBy(window(col(tsCol), "1 hour"), col(typeCol))
-      .agg(count(lit(1)).as("cnt"), round(sum(col(valueCol)), 2).as("sum_value"))
+      // sum in decimal: a double sum accumulates in partition-dependent
+      // order, so its low bits (and occasionally the 2nd decimal of the
+      // rounding) vary run to run; decimal addition is exact and
+      // order-independent, making the result bit-stable at any parallelism
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col(valueCol).cast("decimal(24,8)")), 2).cast("double").as("sum_value"))
       .select(col("window.start").cast("long").as("hour_ts"), col(typeCol),
         col("cnt"), col("sum_value"))
   }

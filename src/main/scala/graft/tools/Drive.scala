@@ -136,6 +136,42 @@ object Drive {
       case e: Exception => println(s"OK threw ${e.getClass.getSimpleName}: ${e.getMessage.take(100)}")
     }
 
+    println("=== 12. grid nearest: extra condition + WKT input (round-2 parity) ===")
+    val gridCond = new BroadcastSpatialJoin()
+      .setDataset("drive_sup").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("s_suppkey").setPredicate("nearest").setBroadcast("none")
+      .setJoinCondition("right.s_nationkey != left.c_nationkey")
+      .transform(customers)
+    val bcastCond = new BroadcastSpatialJoin()
+      .setDataset("drive_sup").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("s_suppkey").setPredicate("nearest").setBroadcast("dataset")
+      .setJoinCondition("right.s_nationkey != left.c_nationkey")
+      .transform(customers)
+    val gSet = gridCond.select("c_custkey", "s_suppkey").collect().map(_.mkString("|")).toSet
+    val bSet = bcastCond.select("c_custkey", "s_suppkey").collect().map(_.mkString("|")).toSet
+    println(s"rows=${gSet.size}, grid==broadcast under condition: ${gSet == bSet} (expect true)")
+    val wktIn = customers.select(col("c_custkey"),
+      concat(lit("POINT("), col("lon"), lit(" "), col("lat"), lit(")")).as("wkt"))
+    val gridWkt = new BroadcastSpatialJoin()
+      .setDataset("drive_sup").setDatasetPoint("lon, lat").setInputWKT("wkt")
+      .setDataColumns("s_suppkey").setPredicate("nearest").setBroadcast("none")
+      .transform(wktIn)
+    println(s"rows=${gridWkt.count()} grid nearest over WKT input (expect ${customers.count()})")
+
+    println("=== 13. LSH-bucketed embedding dedup vs exact (round-2) ===")
+    val exactPairs = graft.dedup.Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.5)
+      .collect().map(_.mkString("|")).toSet
+    val lshPairs = graft.dedup.Dedup.embeddingPairsLsh(emb, "vec_id", "embedding", 0.5,
+      planes = 5, tables = 24).collect().map(_.mkString("|")).toSet
+    println(s"rows=${lshPairs.size}, lsh subset of exact: ${lshPairs.subsetOf(exactPairs)} " +
+      s"(expect true), full recall here: ${lshPairs == exactPairs}")
+
+    println("=== 14. md5-simhash pairs (oracle-replayable fingerprints) ===")
+    val sh = graft.dedup.Dedup.simhashPairs(docs, "doc_id", "text",
+      hasher = graft.functions.Md5Simhash.md5Simhash)
+    val shBad = sh.filter("hamming > 3 OR doc_i >= doc_j").count()
+    println(s"rows=${sh.count()} simhash pairs, malformed=$shBad (expect 0)")
+
     spark.stop()
   }
 }

@@ -210,7 +210,11 @@ class BroadcastSpatialJoin(override val uid: String)
   override def copy(extra: ParamMap): BroadcastSpatialJoin = defaultCopy(extra)
 
   override def transformSchema(schema: StructType): StructType = {
-    val spark = SparkSession.builder().getOrCreate()
+    // prefer the thread's active session: builder().getOrCreate() could
+    // return a different session (and catalog) than the dataset later
+    // passed to transform in multi-session applications
+    val spark = SparkSession.getActiveSession
+      .getOrElse(SparkSession.builder().getOrCreate())
     outputSchema(schema, makeConfig(spark))
   }
 
@@ -297,9 +301,9 @@ class BroadcastSpatialJoin(override val uid: String)
     * one Catalyst plan end-to-end — see graft.join.GridSpatialJoin.
     * Orientation matches broadcast=dataset: predicate is `input op
     * external`, condition `left` = input, `right` = external. `nearest`
-    * runs the expanding-ring GridNearestJoin (point input side only,
-    * no extra condition yet; ties break by WKB bytes rather than the
-    * kernel's broadcast row index). */
+    * runs the expanding-ring GridNearestJoin (any input geometry — WKT or
+    * points — and any extra condition; ties break by the external side's
+    * column values rather than the kernel's broadcast row index). */
   private def gridTransform(spark: SparkSession, input: DataFrame, cfg: JoinConfig): DataFrame = {
     import graft.functions.GeoExpressions
 
@@ -333,14 +337,15 @@ class BroadcastSpatialJoin(override val uid: String)
     val needDistance = cfg.distanceAlias.nonEmpty
     val joined = cfg.spatialPredicate match {
       case SpatialPredicate.Nearest =>
-        require(cfg.conditionSql.trim.isEmpty,
-          "grid nearest does not support an extra condition yet; use broadcast mode")
-        require(cfg.inputSpec.isInstanceOf[GeomSpec.PointCols],
-          "grid nearest requires inputPoint (point-typed input side)")
+        // deterministic tie-break: the external side's projected columns in
+        // schema order (key columns lead for typical layouts). The kernel
+        // breaks ties by broadcast row index; on continuous data ties don't
+        // occur and the strategies agree — pinned by spec
+        val tb = F.struct(ext.columns.map(F.col).toIndexedSeq: _*)
         val base = GridNearestJoin.nearest(
           input, ext,
           wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
-          cellDeg)
+          cellDeg, tieBreak = Some(tb), condition = extraCond)
         if (!needDistance) base
         else base.withColumn(cfg.distanceAlias, graft.functions.GeoExpressions.geodesicMeters(
           wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _)))
