@@ -108,6 +108,67 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     grid shouldBe brute
   }
 
+  it should "match the broadcast kernel on nearest with an extra condition" in {
+    val input = pts(60, "i")
+    val data = pts(30, "d").toDF("poi_id", "lon", "lat")
+    data.createOrReplaceTempView("grid_poi_nearest_cond")
+    // the condition diverts some rows from their unconditioned nearest:
+    // the nearest SATISFYING candidate must win in both strategies
+    def go(mode: String) = new BroadcastSpatialJoin().setDataset("grid_poi_nearest_cond")
+      .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("poi_id").setPredicate("nearest").setBroadcast(mode)
+      .setJoinCondition("substring(right.poi_id, 2) != substring(left.id, 2)")
+      .transform(input).collect().map(_.mkString("|")).toSet
+    val grid = go("none")
+    grid should have size 60
+    grid shouldBe go("dataset")
+  }
+
+  it should "match the broadcast kernel on nearest with polygon (WKT) input" in {
+    // non-point left rows: envelope-center binning + per-row margin
+    val input = pts(40, "i").selectExpr("id",
+      "concat('POLYGON((', lon-0.3, ' ', lat-0.2, ',', lon+0.3, ' ', lat-0.2, ',', lon, ' ', lat+0.3, ',', lon-0.3, ' ', lat-0.2, '))') as wkt")
+    val data = pts(25, "d").toDF("poi_id", "lon", "lat")
+    data.createOrReplaceTempView("grid_poi_nearest_wkt")
+    def go(mode: String) = new BroadcastSpatialJoin().setDataset("grid_poi_nearest_wkt")
+      .setDatasetPoint("lon, lat").setInputWKT("wkt")
+      .setDataColumns("poi_id").setPredicate("nearest").setBroadcast(mode)
+      .transform(input).collect().map(_.mkString("|")).toSet
+    val grid = go("none")
+    grid should have size 40
+    grid shouldBe go("dataset")
+  }
+
+  it should "run one Spark job per ring round (count rides the materialization)" in {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GeoExpressions
+    val sc = spark.sparkContext
+    // AQE splits one action into a job per shuffle stage — disable it so
+    // jobs == actions and the count is meaningful
+    val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val input = pts(50, "i")
+      val data = pts(30, "d").toDF("poi_id", "plon", "plat")
+      sc.setJobGroup("gnj-jobs", "grid nearest job count", interruptOnCancel = false)
+      val out = GridNearestJoin.nearest(
+        input, data,
+        GeoExpressions.wkbPoint(col("lon"), col("lat")),
+        GeoExpressions.wkbPoint(col("plon"), col("plat")),
+        // one big cell: every row resolves in round 1, no fallback
+        cellDeg = 10.0, tieBreak = Some(col("poi_id")),
+        initialHorizon = 1, fallbackBelow = 0L)
+      out.count() shouldBe 50
+      sc.clearJobGroup()
+      val jobs = sc.statusTracker.getJobIdsForGroup("gnj-jobs").length
+      // init count (materializes left) + round-1 count (materializes the
+      // ring snapshot AND the binned right side) + the final count action,
+      // plus one broadcast-exchange collect job for the small probe side.
+      // The pre-fix loop cost 2 jobs/round + 2 eager init jobs (>= 6 here)
+      jobs should be <= 4
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+  }
+
   it should "fall back to an exhaustive pass for isolated points" in {
     import spark.implicits._
     // one candidate very far away: every ring misses, fallback must find it

@@ -104,6 +104,71 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       .where("doc_i = 0 and doc_j = 3").head.getInt(2) shouldBe 0
   }
 
+  it should "emit exactly the brute-force SimHash pair set (fp-collapse is invisible)" in {
+    // many exact-dup clusters + near-dups: the collapsed (band distinct
+    // fingerprints, re-expand members) plan must equal all-pairs popcount
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta", "alpha beta gamma delta epsilon zeta",
+      "alpha beta gamma delta epsilon eta", "alpha beta gamma delta epsilon zeta",
+      "totally unrelated words here live now", "totally unrelated words here live now",
+      "moon sun star cloud rain snow wind")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (hasher <- Seq(
+        graft.functions.TextSimhash.textSimhash _,
+        graft.functions.Md5Simhash.md5Simhash _)) {
+      val fp = d.select(col("doc_id"),
+        hasher(graft.functions.WordShingles.wordShingles(col("text"), 1)).as("fp"))
+      val brute = fp.as("a").join(fp.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id"),
+          bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("h"))
+        .where(col("h") <= 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val banded = Dedup.simhashPairs(d, "doc_id", "text", hasher = hasher)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      banded shouldBe brute
+    }
+  }
+
+  it should "not inflate the band join on a massive exact-dup cluster" in {
+    // 10k byte-identical copies: the old per-doc banding would push
+    // 4·10k rows into the band join and dropDuplicates 2·10⁸ candidate
+    // pairs; the collapsed plan bands ONE row and the only quadratic
+    // stage is the output-sized member expansion
+    val n = 10000
+    val cluster = spark.range(n).selectExpr("id as doc_id",
+      "'same boilerplate text repeated everywhere' as text")
+      .unionByName(Seq((1000000L, "one genuinely different document text"))
+        .toDF("doc_id", "text"))
+    val pairs = Dedup.simhashPairs(cluster, "doc_id", "text")
+    pairs.count() shouldBe n.toLong * (n - 1) / 2
+  }
+
+  it should "recall clustered embedding pairs through LSH buckets with exact cosines" in {
+    // 3 tight clusters of near-parallel vectors + isolated noise: the
+    // near-dup regime the defaults target. LSH output must equal the
+    // exact brute-force pairs — same pairs, same cos_r6 values
+    val rnd = new scala.util.Random(7)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    def jitter(base: Array[Float]): Array[Float] =
+      base.zipWithIndex.map { case (x, i) => x + 0.02f * (((i * 31 + 7) % 5) - 2) }
+    val centers = Seq.fill(3)(unit(32))
+    val members = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 6).map(j => ((ci * 100 + j).toLong, if (j == 0) c else jitter(c)))
+    }
+    val noise = (0 until 40).map(i => ((1000 + i).toLong, unit(32)))
+    val vecs = (members ++ noise).toDF("vec_id", "embedding")
+    val exact = Dedup.embeddingPairs(vecs, "vec_id", "embedding", tau = 0.9)
+      .collect().map(_.mkString("|")).toSet
+    val lsh = Dedup.embeddingPairsLsh(vecs, "vec_id", "embedding", tau = 0.9)
+      .collect().map(_.mkString("|")).toSet
+    exact.size should be >= (3 * 6 * 5 / 2) // every intra-cluster pair qualifies
+    lsh shouldBe exact
+  }
+
   it should "find embedding-cosine near-dup pairs exactly" in {
     val vecs = Seq(
       (0L, Array(1.0f, 0.1f, 0.0f)),
