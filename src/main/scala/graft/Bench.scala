@@ -8,15 +8,52 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev aid: SPARK_GRAFT_STAGES=1 prints per-stage wall/task times
+    if (sys.env.contains("SPARK_GRAFT_STAGES"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val i = sc.stageInfo
+          val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
+          println(f"[stage ${i.stageId}%4d] $wall%7.2fs tasks=${i.numTasks}%4d ${i.name.takeWhile(_ != '\n')}")
+        }
+      })
     // warm up codegen/classloading so the first measured query isn't
     // charged for JVM startup costs
     spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().count()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // ... including the spatial kernel's heavy stages (WKB + JTS +
+    // min-struct aggregation + ring explode): tiny inputs, both the
+    // exhaustive-fallback and the ring path, results discarded; the
+    // per-query isolation below still clears every cached block
+    locally {
+      import org.apache.spark.sql.functions.col
+      import graft.functions.GeoExpressions
+      val c = SparkEntry.customerPoints(spark, sfDir).select("c_custkey", "lon", "lat").limit(300)
+      val s = SparkEntry.supplierPoints(spark, sfDir)
+        .select(col("s_suppkey"), col("lon").as("slon"), col("lat").as("slat")).limit(100)
+      def wkb(lon: String, lat: String) = GeoExpressions.wkbPoint(col(lon), col(lat))
+      graft.join.GridNearestJoin.nearest(c, s, wkb("lon", "lat"), wkb("slon", "slat"),
+        cellDeg = 8.0).count()
+      graft.join.GridNearestJoin.nearest(c, s, wkb("lon", "lat"), wkb("slon", "slat"),
+        cellDeg = 8.0, fallbackBelow = 0L, fallbackPairs = 0L).count()
+    }
+    // dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts to named queries for
+    // standalone re-measurement (the driver never sets it)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
       // isolate queries from each other's leftovers: dropped broadcasts and
       // checkpoint blocks only release after a GC, and their memory pressure
-      // skews job-heavy iterative queries
+      // skews job-heavy iterative queries. clearCache misses localCheckpoint
+      // snapshots (they are persistent RDDs, not cached plans) — unpersist
+      // them explicitly; safe here because the previous query's result has
+      // been fully consumed
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       System.gc()
       val t0 = System.nanoTime()

@@ -684,7 +684,7 @@ object SparkEntry {
     "events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) hour_ts, event_type,
         |  count(*) cnt,
-        |  CAST(round(sum(CAST(value AS DECIMAL(24,8))), 2) AS DOUBLE) sum_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     // mirrors Multimodal.StubCodec byte-arithmetic on the (all-ASCII) text

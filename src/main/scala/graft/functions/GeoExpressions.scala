@@ -45,6 +45,15 @@ object GeoExpressions {
     ColumnBridge.column(RefCell(ColumnBridge.expression(lwkb), ColumnBridge.expression(rwkb),
       cellDeg, lExpandMeters))
 
+  /** Annulus cell ids (lo < Chebyshev distance <= hi) around a center
+    * cell id, clamped to the grid bounds — the expanding-ring nearest
+    * join's probe set. A native expression, NOT a literal (dx, dy) offset
+    * array: at hi=16 the offset arrays are ~800 literals whose generated
+    * (and per-round recompiled) code dwarfs the actual work, and the
+    * higher-order `transform`/`filter` fallback evaluates interpreted. */
+  def ringCells(cell: Column, lo: Int, hi: Int): Column =
+    ColumnBridge.column(RingCells(ColumnBridge.expression(cell), lo, hi))
+
   /** Exact JTS relation `left op right` (within/contains/intersects/overlaps). */
   def stRelates(lwkb: Column, rwkb: Column, predicate: String): Column =
     ColumnBridge.column(StRelates(ColumnBridge.expression(lwkb), ColumnBridge.expression(rwkb),
@@ -116,6 +125,34 @@ object GeoExpressions {
       cx += 1
     }
     new GenericArrayData(out)
+  }
+
+  def computeRingCells(cell: Long, lo: Int, hi: Int): ArrayData = {
+    val cx = (cell >> CellBits).toInt
+    val cy = (cell & MaxCell).toInt
+    val out = new Array[Any]((2 * hi + 1) * (2 * hi + 1))
+    var i = 0
+    var dx = -hi
+    while (dx <= hi) {
+      val adx = math.abs(dx)
+      val nx = cx + dx
+      if (nx >= 0 && nx <= MaxCell) {
+        var dy = -hi
+        while (dy <= hi) {
+          val cheb = math.max(adx, math.abs(dy))
+          if (cheb > lo && cheb <= hi) {
+            val ny = cy + dy
+            if (ny >= 0 && ny <= MaxCell) {
+              out(i) = (nx.toLong << CellBits) | ny.toLong
+              i += 1
+            }
+          }
+          dy += 1
+        }
+      }
+      dx += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], i))
   }
 
   def computeRefCell(lwkb: Array[Byte], rwkb: Array[Byte], cellDeg: Double,
@@ -196,6 +233,18 @@ case class GridCells(child: Expression, cellDeg: Double, expandMeters: Double)
       s"graft.functions.GeoExpressions.computeGridCells($c, $cellDeg, $expandMeters)")
   override protected def withNewChildInternal(n: Expression): GridCells = copy(child = n)
   override def prettyName: String = "grid_cells"
+}
+
+case class RingCells(child: Expression, lo: Int, hi: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[DataType] = Seq(LongType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any): Any =
+    GeoExpressions.computeRingCells(v.asInstanceOf[Long], lo, hi)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GeoExpressions.computeRingCells($c, $lo, $hi)")
+  override protected def withNewChildInternal(n: Expression): RingCells = copy(child = n)
+  override def prettyName: String = "ring_cells"
 }
 
 case class RefCell(left: Expression, right: Expression, cellDeg: Double, lExpandMeters: Double)

@@ -28,7 +28,22 @@ import graft.functions.GeoExpressions
  *     comparison: a candidate at exactly the margin could still win on
  *     tie-break, so such rows fall through to the next ring.)
  *  4. rows still unresolved after `maxRings` fall back to one full
- *     cross-cell pass (correct, never silently dropped).
+ *     cross-cell pass (correct, never silently dropped). A left row whose
+ *     envelope is wider than the largest examined cell block can never
+ *     achieve a positive margin, so such rows skip the ring rounds and
+ *     go straight to the fallback instead of being re-exploded and
+ *     re-aggregated every round. The fallback also runs up front whenever
+ *     `unresolved · |right|` is under `fallbackPairs` — at that size one
+ *     exhaustive (broadcast-able) pass beats any number of fixed-cost
+ *     ring jobs, which is exactly what a cost-based planner would pick;
+ *     at genuinely large |right| the budget never triggers and the rings
+ *     carry the work.
+ *
+ * Coordinate domain: WGS84 lon/lat, lon in [-180, 180], lat in [-90, 90].
+ * Out-of-range coordinates are clamp-binned to the boundary cells (see
+ * GeoExpressions.gridCells), which keeps the search correct for values
+ * marginally outside the range (e.g. lon = 180.0000001 round-off) but is
+ * undefined for genuinely non-geographic coordinate systems.
  *
  * Distance is the JTS coordinate-space (degree) distance — identical
  * ordering to the broadcast kernel. Ties break by `tieBreak` (default:
@@ -46,10 +61,10 @@ import graft.functions.GeoExpressions
  *
  * @param left      side iterated (one output row per left row with any
  *                  right candidate passing `condition`). Right-side
- *                  columns ride through a min(struct(...)) aggregation
- *                  and left-side columns through a groupBy, so both
- *                  sides' columns must be orderable/groupable types
- *                  (no map columns)
+ *                  columns ride through a min(struct(...)) aggregation,
+ *                  so they must be orderable types (no map columns);
+ *                  left-side columns ride a first() aggregate keyed by a
+ *                  synthetic row id (any type)
  * @param right     candidate side, any geometry
  * @param condition optional extra predicate over both sides' columns;
  *                  a candidate pair failing it is skipped (the nearest
@@ -66,6 +81,34 @@ object GridNearestJoin {
     * `spark.sparkContext.setCheckpointDir(...)` to be set. */
   val ReliableMaterialize: DataFrame => DataFrame = _.checkpoint(false)
 
+  /** Density-derived default cell size: one cheap (column-pruned,
+    * map-side-combined) agg over the candidate side computes its
+    * envelope-center extent and count, and the cell is sized so a cell
+    * holds ~`targetRowsPerCell` rows — the expanding-ring search then
+    * resolves typical rows in the first round or two instead of burning
+    * rounds on near-empty cells (or flooding dense ones). Callers whose
+    * data distribution is known can skip the extra job by passing an
+    * explicit `cellDeg`. Degenerate extents (a single point, an empty
+    * side) fall back to 1 degree; the result is clamped to
+    * [0.001, 45] degrees. */
+  def autoCellDeg(right: DataFrame, rightWkb: Column,
+      targetRowsPerCell: Double = 2.0): Double = {
+    val e = GeoExpressions.stEnvelope(rightWkb)
+    val cx = (element_at(e, 1) + element_at(e, 3)) / 2.0d
+    val cy = (element_at(e, 2) + element_at(e, 4)) / 2.0d
+    val row = right
+      .agg(min(cx), max(cx), min(cy), max(cy), count(cx))
+      .head()
+    val n = row.getLong(4)
+    if (n == 0L || row.isNullAt(0)) 1.0
+    else {
+      val w = math.max(row.getDouble(1) - row.getDouble(0), 1e-6)
+      val h = math.max(row.getDouble(3) - row.getDouble(2), 1e-6)
+      val cells = math.max(1.0, n / math.max(targetRowsPerCell, 1e-3))
+      math.min(45.0, math.max(1e-3, math.sqrt(w * h / cells)))
+    }
+  }
+
   def nearest(
       left: DataFrame, right: DataFrame,
       leftWkb: Column, rightWkb: Column,
@@ -76,7 +119,8 @@ object GridNearestJoin {
       fallbackBelow: Long = 2000L,
       maxHorizon: Int = 16,
       condition: Option[Column] = None,
-      materialize: DataFrame => DataFrame = LocalMaterialize): DataFrame = {
+      materialize: DataFrame => DataFrame = LocalMaterialize,
+      fallbackPairs: Long = 32000000L): DataFrame = {
 
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
@@ -119,15 +163,22 @@ object GridNearestJoin {
     val candOk: Column =
       condition.fold(col(rw).isNotNull)(c => col(rw).isNotNull && coalesce(c, lit(false)))
 
-    // group by the full left payload (lid + carried columns): the
-    // per-round aggregation then needs NO join-back to recover left rows —
-    // one shuffle per round instead of two
-    val groupKeys = (lid +: cell +: lw +: env +: leftCols.toSeq).map(col)
+    // group by the synthetic row id ONLY and carry the left payload
+    // through a first() aggregate (identical within a group, hence
+    // deterministic) — no join-back needed, still one shuffle per round.
+    // Grouping by the full payload instead forces SortAggregate to order
+    // the entire candidate set by wide keys (WKB binary, the env double
+    // array — which Spark wraps in an interpreted normalize-floats lambda
+    // evaluated per row — and arbitrary user columns); a single long key
+    // radix-sorts and the payload rides along untouched
+    val lrowStruct = struct((cell +: lw +: env +: leftCols.toSeq).map(col): _*)
     def bestOf(cands: DataFrame): DataFrame =
       cands
         .withColumn(dist, GeoExpressions.stDistance(col(lw), col(rw)))
-        .groupBy(groupKeys: _*)
-        .agg(min(when(candOk, candStruct)).as("__g_best0"))
+        .groupBy(col(lid))
+        .agg(min(when(candOk, candStruct)).as("__g_best0"),
+          first(lrowStruct).as("__g_lrow"))
+        .select(col(lid), col("__g_best0"), col("__g_lrow.*"))
 
     // minimum degree distance from the row's envelope to the boundary of
     // the examined block (center cell ± hi); any unexamined candidate's
@@ -144,34 +195,47 @@ object GridNearestJoin {
         ((cy + hi + 1) * cellDeg - 90.0d) - element_at(col(env), 4)) - lit(cellDeg * 1e-9)
     }
 
-    // annulus cell ids (lo < Chebyshev distance <= hi) via literal
-    // (dx, dy) offset arrays; out-of-bounds neighbours → null, filtered
-    def ringCells(lo: Int, hi: Int): Column = {
-      val offsets = for {
-        dx <- -hi to hi; dy <- -hi to hi
-        cheb = math.max(math.abs(dx), math.abs(dy))
-        if cheb > lo && cheb <= hi
-      } yield (dx, dy)
-      val dxs = array(offsets.map(o => lit(o._1.toLong)): _*)
-      val dys = array(offsets.map(o => lit(o._2.toLong)): _*)
-      val cx = shiftright(col(cell), GeoExpressions.CellBits)
-      val cy = col(cell).bitwiseAND(lit(GeoExpressions.MaxCell.toLong))
-      filter(
-        transform(sequence(lit(1), lit(offsets.size)), i => {
-          val ncx = cx + element_at(dxs, i)
-          val ncy = cy + element_at(dys, i)
-          when(ncx >= 0 && ncx <= maxC && ncy >= 0 && ncy <= maxC,
-            shiftleft(ncx, GeoExpressions.CellBits) + ncy)
-        }),
-        c => c.isNotNull)
-    }
+    // annulus cell ids (lo < Chebyshev distance <= hi), codegen'd native
+    // expression (GeoExpressions.RingCells): the previous literal (dx, dy)
+    // offset-array + higher-order filter/transform form generated ~800
+    // literals at hi=16, recompiled per round, and evaluated interpreted —
+    // the Janino/interpretation overhead dominated every ring round
+    def ringCells(lo: Int, hi: Int): Column =
+      GeoExpressions.ringCells(col(cell), lo, hi)
 
     val out = new scala.collection.mutable.ArrayBuffer[DataFrame]
     // materialize the binned right side once — every round reuses it
     // (lazy: its blocks persist inside round 0's job)
     val rMat = materialize(r)
-    var unresolved = materialize(l0)
-    var unresolvedLeft = unresolved.count()
+    // a left envelope spanning >= 2·(maxHorizon+1) cells on either axis
+    // can never sit strictly inside any examined block, so its margin is
+    // <= 0 at every horizon — ring rounds would re-explode and
+    // re-aggregate it each round for nothing; route such rows straight
+    // to the exhaustive fallback
+    val maxSpan = 2.0 * (maxHorizon + 1) * cellDeg
+    val hopelessPred =
+      (element_at(col(env), 3) - element_at(col(env), 1) >= maxSpan) ||
+        (element_at(col(env), 4) - element_at(col(env), 2) >= maxSpan)
+    val l0m = materialize(l0)
+    // one job: total + hopeless counts off the same snapshot scan
+    val counts = l0m.agg(count(lit(1)), count(when(hopelessPred, lit(1)))).head()
+    val hopelessN = counts.getLong(1)
+    var unresolved = l0m.where(!hopelessPred)
+    var unresolvedLeft = counts.getLong(0) - hopelessN
+    // adaptive fallback: one exhaustive pass costs ~unresolved·|right|
+    // candidate pairs in a single shuffle-free (broadcast-able right) job,
+    // while every ring round costs a fixed job + snapshot. Below the pair
+    // budget the exhaustive pass is the plan any cost-based engine would
+    // pick; above it (any genuinely large right side) the rings carry the
+    // work and the budget never triggers. The count is a column-pruned
+    // scan — strictly cheaper than the ring path's bin-explode of the
+    // same side. fallbackPairs = 0 disables the budget (spec-pinned ring
+    // coverage; fallbackBelow = 0 likewise forces rings).
+    val rightN =
+      if (fallbackPairs <= 0L) Long.MaxValue
+      else math.max(1L, right.withColumn(rw, rightWkb).where(col(rw).isNotNull).count())
+    def ringsStillPay: Boolean =
+      fallbackPairs <= 0L || unresolvedLeft > fallbackPairs / rightN
     var carried: DataFrame = null // (lid, best-so-far) for unresolved rows
     // geometric search horizons: round j covers the annulus (H_{j-1}, H_j];
     // once few rows remain, the exhaustive fallback is cheaper than more
@@ -184,7 +248,7 @@ object GridNearestJoin {
     // arrays and per-row explosions of the same size) — past maxHorizon
     // the exhaustive fallback is strictly cheaper
     val rProbe = rMat.withColumnRenamed(cell, "__g_probe")
-    while (round <= maxRings && unresolvedLeft > fallbackBelow && hi <= maxHorizon) {
+    while (round <= maxRings && unresolvedLeft > fallbackBelow && ringsStillPay && hi <= maxHorizon) {
       val cands = unresolved
         .withColumn("__g_probe", explode(ringCells(lo, hi)))
         .join(rProbe, Seq("__g_probe"), "left_outer")
@@ -204,13 +268,36 @@ object GridNearestJoin {
       carried = scored.where(col(best).isNotNull && col(best)(dist) >= margin)
         .select(col(lid), col(best).as("__g_carry"))
       unresolvedLeft = unresolved.count()
+      if (sys.env.contains("GRAFT_DEBUG_RINGS")) {
+        val nullBest = scored.where(col(best).isNull).count()
+        val mFail = scored.where(col(best).isNotNull && col(best)(dist) >= margin).count()
+        val mstats = scored.where(col(best).isNotNull)
+          .agg(min(col(best)(dist)), max(col(best)(dist)), avg(col(best)(dist)), min(margin), max(margin)).head()
+        println(s"[gnj] round=$round hi=$hi unresolved=$unresolvedLeft nullBest=$nullBest marginFail=$mFail dist=[${mstats.get(0)},${mstats.get(1)},avg=${mstats.get(2)}] margin=[${mstats.get(3)},${mstats.get(4)}] t=${System.nanoTime()/1e9}")
+      }
       lo = hi
       hi = hi * 2
       round += 1
     }
-    if (unresolvedLeft > 0) {
+    // the binned-right snapshot only feeds the ring rounds (every round's
+    // result is itself a snapshot, and the fallback reads `right` raw) —
+    // release its blocks before the fallback instead of holding them
+    // until the result DataFrame is garbage-collected
+    unpersistSnapshot(rMat)
+    if (unresolvedLeft > 0 || hopelessN > 0) {
       // fallback: exhaustive pass for the stragglers (e.g. empty regions)
-      val cands = unresolved.crossJoin(right
+      // plus the rows routed around the ring rounds up front
+      val stragglers =
+        if (hopelessN == 0) unresolved
+        else unresolved.unionByName(
+          l0m.where(hopelessPred).select(unresolved.columns.map(col): _*))
+      // the cross join broadcasts the (small-or-budgeted) right side and
+      // keeps the left side's partitioning — which is ONE partition when
+      // the left snapshot stems from a single-file scan; spread the
+      // stragglers first or the whole exhaustive pass runs on one core
+      val shufflePartitions =
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+      val cands = stragglers.repartition(shufflePartitions).crossJoin(right
         .withColumn(rw, rightWkb).where(col(rw).isNotNull))
       val grouped = bestOf(cands)
       val withCarry =
@@ -222,6 +309,18 @@ object GridNearestJoin {
     if (out.isEmpty) finalizeSchemaOnly(left, right, leftCols, rightCols)
     else out.reduce(_ union _)
   }
+
+  /** Release the storage behind a materialized snapshot. Safe only once
+    * nothing downstream will read the snapshot again: for checkpoint-style
+    * materializers the blocks ARE the data (lineage is truncated), so a
+    * later read would fail rather than recompute. No-op for materializers
+    * that don't produce an RDD-backed plan (e.g. identity). */
+  private def unpersistSnapshot(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Empty result with the correct output schema (empty/null-geom input). */
   private def finalizeSchemaOnly(left: DataFrame, right: DataFrame,

@@ -29,8 +29,9 @@ import graft.spatial.SpatialPredicate
  * smaller cells → more fan-out rows but tighter candidate sets.
  *
  * `nearest` is not expressible as one cell-local pass (a point's nearest
- * neighbour may sit in a far cell); use the broadcast kernel, or at scale
- * a k-ring expanding grid search (future work).
+ * neighbour may sit in a far cell); it is served by the expanding-ring
+ * search in [[GridNearestJoin]] — the transformer's broadcast="none"
+ * nearest mode routes there automatically.
  */
 object GridSpatialJoin {
 
@@ -61,7 +62,8 @@ object GridSpatialJoin {
       case SpatialPredicate.WithinDist(m) => m
       case SpatialPredicate.Nearest =>
         throw new IllegalArgumentException(
-          "nearest is not supported by the grid join; use the broadcast kernel")
+          "nearest is served by GridNearestJoin.nearest (expanding-ring search), " +
+            "not the cell-equi-join grid join")
       case _ => 0.0
     }
 

@@ -31,9 +31,12 @@ object EventWindows {
       // sum in decimal: a double sum accumulates in partition-dependent
       // order, so its low bits (and occasionally the 2nd decimal of the
       // rounding) vary run to run; decimal addition is exact and
-      // order-independent, making the result bit-stable at any parallelism
+      // order-independent, making the result bit-stable at any parallelism.
+      // decimal(38,8) (not 24,8): a (24,8) cast silently nulls |value| >=
+      // 1e16 under non-ANSI and throws under ANSI — 38,8 keeps exactness
+      // with 1e30 of headroom
       .agg(count(lit(1)).as("cnt"),
-        round(sum(col(valueCol).cast("decimal(24,8)")), 2).cast("double").as("sum_value"))
+        round(sum(col(valueCol).cast("decimal(38,8)")), 2).cast("double").as("sum_value"))
       .select(col("window.start").cast("long").as("hour_ts"), col(typeCol),
         col("cnt"), col("sum_value"))
   }

@@ -94,7 +94,7 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
       GeoExpressions.wkbPoint(col("lon"), col("lat")),
       GeoExpressions.wkbPoint(col("plon"), col("plat")),
       cellDeg = 0.5, tieBreak = Some(col("poi_id")),
-      initialHorizon = 1, fallbackBelow = 0L)
+      initialHorizon = 1, fallbackBelow = 0L, fallbackPairs = 0L)
       .select("id", "poi_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
     // brute-force argmin as oracle
     val brute = input.crossJoin(data)
@@ -144,9 +144,13 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     import graft.functions.GeoExpressions
     val sc = spark.sparkContext
     // AQE splits one action into a job per shuffle stage — disable it so
-    // jobs == actions and the count is meaningful
+    // jobs == actions and the count is meaningful; auto-broadcast off so
+    // no planner-version-dependent broadcast-exchange collect jobs ride
+    // along (the bound then counts only the loop's own actions)
     val aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val input = pts(50, "i")
       val data = pts(30, "d").toDF("poi_id", "plon", "plat")
@@ -157,16 +161,19 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
         GeoExpressions.wkbPoint(col("plon"), col("plat")),
         // one big cell: every row resolves in round 1, no fallback
         cellDeg = 10.0, tieBreak = Some(col("poi_id")),
-        initialHorizon = 1, fallbackBelow = 0L)
+        initialHorizon = 1, fallbackBelow = 0L, fallbackPairs = 0L)
       out.count() shouldBe 50
       sc.clearJobGroup()
       val jobs = sc.statusTracker.getJobIdsForGroup("gnj-jobs").length
-      // init count (materializes left) + round-1 count (materializes the
-      // ring snapshot AND the binned right side) + the final count action,
-      // plus one broadcast-exchange collect job for the small probe side.
-      // The pre-fix loop cost 2 jobs/round + 2 eager init jobs (>= 6 here)
+      // init agg (materializes left) + round-1 count (materializes the
+      // ring snapshot AND the binned right side) + the final count action
+      // (+1 slack for scheduler-internal jobs). The pre-fix loop cost
+      // 2 jobs/round + 2 eager init jobs (>= 6 here)
       jobs should be <= 4
-    } finally spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    }
   }
 
   it should "fall back to an exhaustive pass for isolated points" in {
