@@ -32,8 +32,10 @@ _PARAMS = {
     "filter": ("Spark SQL filter applied to the external dataset before "
                "the join", "setDatasetFilter", ""),
     "broadcast": ("which side is broadcast: 'input' (default), 'external', "
-                  "or 'none' for the partitioned grid join", "setBroadcast",
-                  "input"),
+                  "'none' for the partitioned grid join, or 'auto' to pick "
+                  "external-vs-grid from the external table's size estimate "
+                  "against spark.sql.autoBroadcastJoinThreshold",
+                  "setBroadcast", "input"),
     "predicate": ("spatial op: withindist N, within, contains, intersects, "
                   "overlaps, nearest", "setPredicate", "nearest"),
     "dataset": ("external dataset name registered in the SQL catalog",

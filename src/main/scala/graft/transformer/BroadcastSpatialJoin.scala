@@ -60,8 +60,13 @@ class BroadcastSpatialJoin(override val uid: String)
   setDefault(filter, "")
   def setDatasetFilter(value: String): this.type = set(filter, value)
 
-  /** Which side is broadcast: "input" (default) or "external". */
-  final val broadcast = new Param[String](this, "broadcast", "which DF will be broadcasted: 'input' or 'external'")
+  /** Which side is broadcast: "input" (default), "external", "none"/"grid"
+    * for the partitioned grid kernel, or "auto" to pick external-broadcast
+    * vs grid from the external plan's size estimate against
+    * `spark.sql.autoBroadcastJoinThreshold` (both auto candidates share
+    * the broadcast=external orientation, so the choice is purely
+    * physical — results are identical either way). */
+  final val broadcast = new Param[String](this, "broadcast", "which DF will be broadcasted: 'input' or 'external'; or 'none' (partitioned grid), 'auto' (cost-based external-vs-grid)")
   setDefault(broadcast, input)
   def setBroadcast(value: String): this.type = set(broadcast, value)
 
@@ -152,6 +157,16 @@ class BroadcastSpatialJoin(override val uid: String)
 
   private def trimmed(p: Param[String]): String = getOrDefault(p).trim
 
+  /** True when `df`'s optimized-plan size estimate fits under
+    * `spark.sql.autoBroadcastJoinThreshold` (same config, same units as
+    * Spark's own broadcast-join planning; "-1" disables broadcasting). */
+  private def fitsAutoBroadcast(spark: SparkSession, df: DataFrame): Boolean = {
+    val raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    val threshold = Try(raw.toLong).getOrElse(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    threshold > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
+  }
+
   private def geomSpecOf(wkt: String, point: String): GeomSpec = {
     if (wkt.nonEmpty) GeomSpec.WktCol(wkt)
     else {
@@ -182,12 +197,15 @@ class BroadcastSpatialJoin(override val uid: String)
         yield (name, alias.headOption.getOrElse(name))
     val (dataCols, aliases) = (pairs.toSeq.map(_._1), pairs.toSeq.map(_._2))
 
-    val gridMode = Seq("none", "grid").contains(trimmed(broadcast).toLowerCase)
-    val broadcastInput = !gridMode && trimmed(broadcast) == input
+    val mode = trimmed(broadcast).toLowerCase
+    val autoMode = mode == "auto"
+    val fixedGridMode = Seq("none", "grid").contains(mode)
+    val broadcastInput = !fixedGridMode && !autoMode && trimmed(broadcast) == input
     val conditionSql = trimmed(condition)
     val (condLeftCols, condRightCols) = PairCondition.referencedColumns(conditionSql)
     // external side plays `left` (iterated) when the input is broadcast;
-    // in grid mode orientation matches broadcast=dataset (external = right)
+    // in grid and auto modes orientation matches broadcast=dataset
+    // (external = right), so auto's physical choice never flips semantics
     val condExternalCols = if (broadcastInput) condLeftCols else condRightCols
 
     val externalSpec = geomSpecOf(trimmed(datasetWKT), trimmed(datasetPoint))
@@ -202,6 +220,14 @@ class BroadcastSpatialJoin(override val uid: String)
       val projected = filtered.select(cols.head, cols.tail: _*)
       Try(projected.repartition(trimmed(numPartitions).toInt)).getOrElse(projected)
     }
+
+    // cost-based strategy: broadcast the external side when its optimized
+    // plan's size estimate fits under the session's broadcast threshold
+    // (parquet scans report file-size-derived stats, so the decision
+    // tracks the actual data, with filters and pruning applied); a plan
+    // too big for every executor's memory goes to the partitioned grid
+    val gridMode = fixedGridMode ||
+      (autoMode && !fitsAutoBroadcast(spark, externalDF))
 
     JoinConfig(
       externalDF = externalDF,
