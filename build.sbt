@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 Test / parallelExecution := false
+// CustomSparkSessionSpec hand-rolls its own local[1] SparkSession — one
+// SparkContext per JVM, so it runs in a separate forked JVM from the
+// suites sharing SparkTestKit's session
+Test / testGrouping := {
+  val opts = ForkOptions().withRunJVMOptions((Test / javaOptions).value.toVector)
+  val (custom, shared) = (Test / definedTests).value
+    .partition(_.name == "graft.transformer.CustomSparkSessionSpec")
+  Seq(
+    Tests.Group("shared-spark", shared, Tests.SubProcess(opts)),
+    Tests.Group("custom-spark", custom, Tests.SubProcess(opts)),
+  ).filter(_.tests.nonEmpty)
+}
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
