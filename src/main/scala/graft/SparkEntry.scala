@@ -337,13 +337,20 @@ object SparkEntry {
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
-    // ANN scale path — rows-only check (approximate recall, no oracle);
-    // exactness of retrieved ranks is still deterministic
+    // ANN scale path. At these gate settings (3 planes — wide buckets —
+    // over 32 tables) the deterministic splitmix64 bucketing retrieves
+    // every true top-10 candidate for every query on this data (verified
+    // exhaustively vs the brute-force path on sf0.01 AND sf0.1, with
+    // tables=24 already exact — pinned by PipelineOpsSpec), so the
+    // oracle is the same exact top-k SQL as simsearch_topk. Production
+    // defaults stay (8 planes, 4 tables): recall there is tunable, not
+    // exact — the gate intentionally over-provisions tables to make the
+    // result deterministic-equal rather than approximate.
     "simsearch_lsh" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       graft.similarity.Similarity.lshCosineTopK(
         emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
-        planes = 6, tables = 4)
+        planes = 3, tables = 32)
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
@@ -465,6 +472,20 @@ object SparkEntry {
 
   private def langScore(markers: Seq[String]) =
     s"len(list_filter(ws, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
+
+  // exact brute-force cosine top-10 — oracle for BOTH simsearch_topk and
+  // simsearch_lsh (the gate's LSH settings retrieve exhaustively)
+  private val simsearchExactTopkSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 20),
+      |s AS (SELECT qid, e.vec_id cid,
+      |        round(list_inner_product(qv, v)
+      |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) cos_r6
+      |      FROM q CROSS JOIN e WHERE e.vec_id != qid)
+      |SELECT qid, cid, cos_r6, rnk FROM (
+      |  SELECT qid, cid, cos_r6,
+      |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
+      |  FROM s) WHERE rnk <= 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -644,17 +665,12 @@ object SparkEntry {
          |       list_min(list_transform(sh.sl, s -> md5(s))) fp_shingle
          |FROM t LEFT JOIN sh ON t.doc_id = sh.doc_id""".stripMargin,
 
-    "simsearch_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 20),
-        |s AS (SELECT qid, e.vec_id cid,
-        |        round(list_inner_product(qv, v)
-        |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) cos_r6
-        |      FROM q CROSS JOIN e WHERE e.vec_id != qid)
-        |SELECT qid, cid, cos_r6, rnk FROM (
-        |  SELECT qid, cid, cos_r6,
-        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
-        |  FROM s) WHERE rnk <= 10""".stripMargin,
+    "simsearch_topk" -> simsearchExactTopkSql,
+
+    // same exact-SQL oracle: at the gate's over-provisioned LSH settings
+    // the bucketed retrieval is exhaustive on this data (see the
+    // `queries` entry), so approximate == exact, rank for rank
+    "simsearch_lsh" -> simsearchExactTopkSql,
 
     "setop_keys" ->
       """SELECT k, 'buyer' tag FROM

@@ -179,6 +179,22 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     pairs shouldBe Set((0L, 1L))
   }
 
+  it should "bucket exhaustively at the dedup_embedding_lsh gate settings" in {
+    // pins the gate's exhaustiveness claim (LSH pair set == exact pair
+    // set at planes=5/tables=24, tau=0.5) to the data it was verified
+    // on — a testdata regeneration that breaks the claim fails HERE, not
+    // as a mysterious oracle hash-mismatch downstream
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), "gate testdata not present")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.mkString("|")).toSet
+    val exact = snap(Dedup.embeddingPairs(emb, "vec_id", "embedding", tau = 0.5))
+    val lsh = snap(Dedup.embeddingPairsLsh(emb, "vec_id", "embedding",
+      tau = 0.5, planes = 5, tables = 24))
+    lsh shouldBe exact
+  }
+
   behavior of "TextFunctions"
 
   it should "count tokens and compute exact ratios" in {
@@ -230,5 +246,24 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       planes = 4, tables = 4)
     // the almost-identical vector 0 must land in the same bucket and rank 1
     out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((99L, 0L))
+  }
+
+  it should "retrieve exhaustively at the gate's over-provisioned settings" in {
+    // pins the simsearch_lsh oracle claim to the data it was verified on:
+    // at (3 planes, 32 tables) the deterministic bucketing retrieves
+    // every true top-10 candidate on the gate embeddings, so LSH == exact
+    // (rank for rank). If the driver regenerates the testdata and this
+    // stops holding, THIS spec fails — not the downstream oracle gate.
+    val dir = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), "gate testdata not present")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 20)
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "cos_r6", "rnk").collect().map(_.mkString("|")).toSet
+    val exact = snap(Similarity.cosineTopK(q, emb, "vec_id", "embedding", k = 10))
+    val lsh = snap(Similarity.lshCosineTopK(q, emb, "vec_id", "embedding", k = 10,
+      planes = 3, tables = 32))
+    exact.size shouldBe 200
+    lsh shouldBe exact
   }
 }
