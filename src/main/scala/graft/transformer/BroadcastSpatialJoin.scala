@@ -274,6 +274,10 @@ class BroadcastSpatialJoin(override val uid: String)
     val input = inputDS.toDF
     val cfg = makeConfig(spark)
 
+    // debug taps (elided in the production build — see companion show)
+    show(input, "input")
+    show(cfg.externalDF, "dataset")
+
     if (cfg.gridMode) return gridTransform(spark, input, cfg)
 
     val (iterDF, iterSpec, bcDF, bcSpec) =
@@ -327,7 +331,9 @@ class BroadcastSpatialJoin(override val uid: String)
         cfg.dataCols.zip(cfg.aliases).map { case (n, a) =>
           org.apache.spark.sql.graft.ColumnBridge.column(extAttr(n)).as(a) } ++
         distAttr.map(a => org.apache.spark.sql.graft.ColumnBridge.column(a))
-    joinedDF.select(outCols.toIndexedSeq: _*)
+    val result = joinedDF.select(outCols.toIndexedSeq: _*)
+    show(result, "join result")
+    result
   }
 
   /** GeomSpec → WKB column (same coercions as the reference's per-row
@@ -440,4 +446,21 @@ object BroadcastSpatialJoin extends DefaultParamsReadable[BroadcastSpatialJoin] 
 
   /** Default spatial predicate. */
   val nearest = "nearest"
+
+  /** Debug tap (reference U6 parity: an `@elidable(FINE)` `df.show`,
+    * reference BroadcastSpatialJoin.scala:343-347), double-gated:
+    * `@elidable(FINE)` lets a build with `-Xelide-below` above FINE
+    * remove it entirely, and the body no-ops unless the session conf
+    * `spark.graft.debug` is `true` — so by default a call site costs one
+    * conf lookup and never touches the plan. Unlike the reference, whose
+    * call sites interpolated `rdd.getNumPartitions` into the message
+    * argument (forcing physical planning whenever elision was off), all
+    * side effects live inside the gate. */
+  @scala.annotation.elidable(scala.annotation.elidable.FINE)
+  def show(df: DataFrame, txt: String = "spatial-join-debug",
+      n: Int = 7, truncate: Boolean = true): Unit =
+    if (df.sparkSession.conf.get("spark.graft.debug", "false") == "true") {
+      println(s"msg: `$txt` parts ${df.rdd.getNumPartitions}")
+      df.show(n, truncate)
+    }
 }
