@@ -272,6 +272,17 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactCanon(tbl(s, dir, "documents"), "doc_id", "text")),
 
+    // streaming dedup operator, exercised batch-mode: the identical
+    // function serves ingest streams (watermark-bounded state keyed by
+    // content digest); batch declares "first" = min event time (here
+    // doc_id stands in for arrival time), making it oracle-able
+    "dedup_stream_first" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+        .withColumn("ts", col("doc_id"))
+      graft.streaming.StreamingDedup.firstPerContent(docs, "text", "ts")
+        .select("doc_id", "text")
+    }),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
@@ -591,6 +602,11 @@ object SparkEntry {
 
     "dedup_exact" ->
       "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon_id FROM documents",
+
+    "dedup_stream_first" ->
+      """SELECT doc_id, text FROM (
+        |  SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
+        |  FROM documents) t WHERE rn = 1""".stripMargin,
 
     "dedup_jaccard" -> jaccardOracle,
 

@@ -78,15 +78,27 @@ object Similarity {
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
       planes: Int = 8, tables: Int = 4): DataFrame = {
-    def bucketed(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec),
-        posexplode(simhashBuckets(col(vecCol).cast("array<double>"), planes, tables)))
+    // norm computed ONCE per row, before the band explode — not per
+    // candidate pair (a per-pair norm would redo two full folds times
+    // the pair count times the bucket-collision multiplicity)
+    def bucketed(df: DataFrame, id: String, vec: String, norm: String) =
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(vec))
+        .withColumn(norm, l2norm(col(vec)))
+        .select(col(id), col(vec), col(norm),
+          posexplode(simhashBuckets(col(vec), planes, tables)))
         .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
-    val q = bucketed(queries, "qid", "qv")
-    val c = bucketed(candidates, "cid", "cv")
+    val q = bucketed(queries, "qid", "qv", "qn")
+    val c = bucketed(candidates, "cid", "cv", "cn")
+    // score per collision, then dedup on SLIM (qid, cid, cos) rows: a
+    // pair colliding in m of the `tables` hash tables pays m dot
+    // products, but the dedup shuffle stays 3 scalars wide. The
+    // alternative (dedup first, carrying vectors through the aggregate)
+    // trades the m-1 redundant folds for shuffling m full vectors per
+    // pair — measured strictly worse for any realistic dim/tables ratio
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"), cosineRounded(col("qv"), col("cv")).as("cos_r6"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_r6"))
       .dropDuplicates("qid", "cid")
     val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)

@@ -1,0 +1,57 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Streaming deduplication — the online counterpart of
+ * [[graft.dedup.Dedup]]'s batch operators, for ingest pipelines that
+ * must drop repeats before they ever land in the lake.
+ *
+ * Scale design (the state store is the bottleneck, not the stream):
+ *  - state is keyed by the 16-byte md5 content digest, never the text —
+ *    a billion distinct documents is ~16 GB of state keys spread over
+ *    the shuffle partitions, independent of document size;
+ *  - eviction is watermark-driven (`dropDuplicatesWithinWatermark`):
+ *    a digest older than the watermark delay is forgotten, so state is
+ *    bounded by the distinct-digest arrival rate times the window, not
+ *    by stream lifetime. Exact global dedup over an unbounded stream is
+ *    impossible in bounded memory — the watermark IS the contract;
+ *  - the same call works on a batch DataFrame (Spark executes it as a
+ *    plain dropDuplicates on the digest), keeping batch/stream parity
+ *    testable with one oracle.
+ */
+object StreamingDedup {
+
+  /**
+   * Keep the first event per exact text content within the watermark
+   * horizon; later arrivals with the same digest are dropped. Output
+   * schema = input schema (the internal digest column is dropped).
+   *
+   * @param tsCol     event-time column the watermark rides on
+   * @param watermark late-data bound AND dedup memory horizon, e.g.
+   *                  "10 minutes": a duplicate arriving later than this
+   *                  after the original may be emitted again
+   */
+  def firstPerContent(df: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
+    val digest = "__dedup_digest"
+    val withDigest = df.withColumn(digest, md5(col(textCol).cast("binary")))
+    if (df.isStreaming)
+      withDigest.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(digest)
+        .drop(digest)
+    else {
+      // batch: deterministic "first" — min event time per digest, ties
+      // by the remaining columns (a stream delivers arrival order; a
+      // batch table has none, so the order must be declared to be
+      // oracle-able). One shuffle, window over digest groups.
+      import org.apache.spark.sql.expressions.Window
+      val rn = "__dedup_rn"
+      val ord = (col(tsCol) +: df.columns.filterNot(_ == tsCol).map(col)).map(_.asc)
+      withDigest
+        .withColumn(rn, row_number().over(Window.partitionBy(col(digest)).orderBy(ord: _*)))
+        .where(col(rn) === 1).drop(rn, digest)
+    }
+  }
+}
