@@ -365,6 +365,18 @@ object SparkEntry {
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
+    // IVF ANN family. nprobe = nlist probes every cell, which is exact
+    // STRUCTURALLY (each candidate lives in exactly one of the nlist
+    // cells, each query probes all of them), so this oracle — unlike the
+    // LSH one — holds for any data; production uses nprobe << nlist
+    "simsearch_ivf" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      graft.similarity.Similarity.ivfTopK(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
+        nlist = 8, nprobe = 8)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
     // --- relational: aggregation + event-time windows -------------------
 
     // set operations: union / intersect / except compose in one plan
@@ -687,6 +699,10 @@ object SparkEntry {
     // the bucketed retrieval is exhaustive on this data (see the
     // `queries` entry), so approximate == exact, rank for rank
     "simsearch_lsh" -> simsearchExactTopkSql,
+
+    // same exact-SQL oracle, structurally data-independent at
+    // nprobe = nlist (every cell probed => all pairs scored)
+    "simsearch_ivf" -> simsearchExactTopkSql,
 
     "setop_keys" ->
       """SELECT k, 'buyer' tag FROM

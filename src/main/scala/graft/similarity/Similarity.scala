@@ -103,4 +103,73 @@ object Similarity {
     val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }
+
+  /**
+   * IVF (inverted-file) approximate top-k — the second ANN family next
+   * to [[lshCosineTopK]]: every candidate is assigned to its nearest of
+   * `nlist` coarse centroids (one cell each — the "inverted list"), and
+   * a query scores only the candidates in its `nprobe` nearest cells.
+   * `nprobe = nlist` degenerates to exact brute force (every cell
+   * probed), which is what the oracle-checked gate query runs; real
+   * deployments use `nprobe << nlist` for a `~nprobe/nlist` cost cut.
+   *
+   * Scale shape: centroids are tiny (nlist vectors) and ride the plan
+   * as literals — candidate assignment is one map-side pass (nlist
+   * dot products per row, no shuffle); the probe join shuffles only by
+   * cell id; each candidate lives in exactly ONE cell, so no dedup pass
+   * is needed (unlike multi-table LSH).
+   *
+   * The coarse quantizer is pluggable in spirit; here it is the
+   * deterministic id-ordered sample of the candidate set (first `nlist`
+   * vectors by id, L2-normalized). Production would train k-means
+   * offline and pass the centroids in — the operator's plan shape is
+   * identical either way.
+   */
+  def ivfTopK(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
+    // deterministic coarse centroids: first nlist candidate vectors by
+    // id, L2-normalized on the driver (nlist rows — not a data collect)
+    val cents: Array[Seq[Double]] = candidates
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .orderBy(col(idCol)).limit(nlist).collect()
+      .map(_.getSeq[Double](1))
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0) v else v.map(_ / n)
+      }
+    require(cents.nonEmpty, "IVF needs at least one candidate vector")
+
+    // per-row centroid scores: nlist literal-vector dot products
+    // (greatest(struct(dot, idx)) = argmax, ties to the larger idx)
+    def centScores(vec: Column): Seq[Column] =
+      cents.toIndexedSeq.zipWithIndex.map { case (cvec, i) =>
+        struct(dot(vec, typedLit(cvec)).as("s"), lit(i).as("cell"))
+      }
+    def nearestCell(vec: Column): Column =
+      greatest(centScores(vec): _*).getField("cell")
+    // top-nprobe cells for a query: sort the score structs descending,
+    // keep the first nprobe cell ids
+    def probeCells(vec: Column): Column =
+      slice(reverse(array_sort(array(centScores(vec): _*))), 1, math.max(1, nprobe))
+        .getField("cell")
+
+    val c = candidates.select(
+      col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+      .repartition(col("cid"))
+      .withColumn("cn", l2norm(col("cv")))
+      .withColumn("__cell", nearestCell(col("cv")))
+    val q = queries.select(
+      col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .withColumn("qn", l2norm(col("qv")))
+      .withColumn("__cell", explode(probeCells(col("qv"))))
+
+    val scored = c.join(broadcast(q), Seq("__cell"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_r6"))
+    val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
 }

@@ -248,6 +248,49 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((99L, 0L))
   }
 
+  it should "match exact top-k when IVF probes every cell (nprobe = nlist)" in {
+    // structural exactness: each candidate lives in exactly one cell and
+    // the query probes all of them, so every pair is scored — any data
+    val rnd = new scala.util.Random(11)
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "cos_r6", "rnk").collect().map(_.mkString("|")).toSet
+    val exact = snap(Similarity.cosineTopK(
+      vecs.where("vec_id < 5"), vecs, "vec_id", "embedding", k = 7))
+    val ivf = snap(Similarity.ivfTopK(
+      vecs.where("vec_id < 5"), vecs, "vec_id", "embedding", k = 7,
+      nlist = 6, nprobe = 6))
+    ivf shouldBe exact
+  }
+
+  it should "keep high recall with IVF probing a fraction of cells on clustered data" in {
+    // clusters around distinct centers: a query's true neighbors share
+    // its cell, so nprobe=2 of 8 cells must still find the true top-1
+    val rnd = new scala.util.Random(13)
+    def unit16(): Array[Float] = {
+      val v = Array.fill(16)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Seq.fill(4)(unit16())
+    val members = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 10).map { j =>
+        ((ci * 100 + j).toLong, c.zipWithIndex.map { case (x, d) =>
+          x + 0.03f * (((d * 17 + j * 7) % 5) - 2) })
+      }
+    }
+    val vecs = members.toDF("vec_id", "embedding")
+    val queries = vecs.where("vec_id % 100 = 0") // one per cluster
+    val exactTop1 = Similarity.cosineTopK(queries, vecs, "vec_id", "embedding", k = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfTop1 = Similarity.ivfTopK(queries, vecs, "vec_id", "embedding", k = 1,
+      nlist = 8, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    ivfTop1 shouldBe exactTop1
+  }
+
   it should "retrieve exhaustively at the gate's over-provisioned settings" in {
     // pins the simsearch_lsh oracle claim to the data it was verified on:
     // at (3 planes, 32 tables) the deterministic bucketing retrieves
