@@ -172,6 +172,23 @@ object Drive {
     val shBad = sh.filter("hamming > 3 OR doc_i >= doc_j").count()
     println(s"rows=${sh.count()} simhash pairs, malformed=$shBad (expect 0)")
 
+    println("=== 15. streaming dedup, batch parity (round-3) ===")
+    val sd = graft.streaming.StreamingDedup.firstPerContent(
+      docs.select("doc_id", "text").withColumn("ts", org.apache.spark.sql.functions.col("doc_id")),
+      "text", "ts")
+    val sdCanon = graft.dedup.Dedup.exactCanon(docs, "doc_id", "text")
+      .filter("doc_id = canon_id").count()
+    println(s"rows=${sd.count()} first-per-content (must equal ${sdCanon} canonical docs)")
+
+    println("=== 16. IVF ANN: exact at nprobe=nlist, subset below (round-3) ===")
+    val embIvf = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qs = embIvf.where("vec_id < 5")
+    val exactTk = graft.similarity.Similarity.cosineTopK(qs, embIvf, "vec_id", "embedding", 5)
+      .collect().map(_.mkString("|")).toSet
+    val ivfAll = graft.similarity.Similarity.ivfTopK(qs, embIvf, "vec_id", "embedding", 5,
+      nlist = 6, nprobe = 6).collect().map(_.mkString("|")).toSet
+    println(s"rows=${ivfAll.size} IVF full-probe results, exact match: ${ivfAll == exactTk} (expect true)")
+
     spark.stop()
   }
 }
