@@ -108,6 +108,54 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     grid shouldBe brute
   }
 
+  it should "equal brute force under randomized data and kernel configs" in {
+    // seeded-random scatter (clusters + uniform noise + empty regions) x
+    // config grid covering all three execution regimes: rings only,
+    // fallback only, and the adaptive mix — every combination must equal
+    // the brute-force argmin exactly
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GeoExpressions
+    for (seed <- Seq(1, 2)) {
+      val rnd = new scala.util.Random(seed)
+      def scatter(n: Int, p: String) = (0 until n).map { i =>
+        val clustered = i % 3 != 0
+        val (cx, cy) = if (clustered) (10.0 * (i % 4), 5.0 * (i % 3)) else (0.0, 0.0)
+        (s"$p$i",
+          cx + rnd.nextDouble() * (if (clustered) 0.8 else 60.0) - 10.0,
+          cy + rnd.nextDouble() * (if (clustered) 0.8 else 30.0) - 5.0)
+      }.toDF(if (p == "d") "poi_id" else "id",
+        if (p == "d") "plon" else "lon", if (p == "d") "plat" else "lat")
+      val input = scatter(150, "i")
+      val data = scatter(60, "d")
+      val brute = input.crossJoin(data)
+        .withColumn("d2", (col("lon") - col("plon")) * (col("lon") - col("plon"))
+          + (col("lat") - col("plat")) * (col("lat") - col("plat")))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("id")
+            .orderBy(col("d2"), col("poi_id"))))
+        .where(col("rn") === 1)
+        .select("id", "poi_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val configs = Seq(
+        (0.5, 1, 0L, 0L),                  // rings only, tiny cells
+        (4.0, 2, 0L, 0L),                  // rings only, coarse cells
+        (1.0, 2, Long.MaxValue, 0L),       // immediate fallbackBelow path
+        (1.0, 2, 0L, Long.MaxValue),       // immediate fallbackPairs budget path
+        (2.0, 1, 20L, 1000L))              // adaptive mix
+      for ((cd, ih, fb, fp) <- configs) {
+        val got = GridNearestJoin.nearest(
+          input, data,
+          GeoExpressions.wkbPoint(col("lon"), col("lat")),
+          GeoExpressions.wkbPoint(col("plon"), col("plat")),
+          cellDeg = cd, tieBreak = Some(col("poi_id")),
+          initialHorizon = ih, fallbackBelow = fb, fallbackPairs = fp)
+          .select("id", "poi_id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+        withClue(s"seed=$seed cellDeg=$cd ih=$ih fb=$fb fp=$fp: ") {
+          got shouldBe brute
+        }
+      }
+    }
+  }
+
   it should "match the broadcast kernel on nearest with an extra condition" in {
     val input = pts(60, "i")
     val data = pts(30, "d").toDF("poi_id", "lon", "lat")
