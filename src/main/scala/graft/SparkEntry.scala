@@ -447,6 +447,15 @@ object SparkEntry {
         tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
     }),
 
+    // gap-based session windows per user — the same batch/stream-unified
+    // function a streaming pipeline runs; DuckDB replays the session
+    // assignment via the lag/cumulative-sum islands construction
+    "events_sessions" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      graft.streaming.EventWindows.sessions(
+        tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+    }),
+
     // --- multimodal: binary assets + typed metadata ---------------------
 
     "multimodal_meta" -> ((s, dir) => {
@@ -734,6 +743,22 @@ object SparkEntry {
         |  count(*) cnt,
         |  CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // session windows: the lag/cumulative-sum islands construction; a
+    // break at gap >= 12h matches Spark's half-open session end (an event
+    // exactly at last + gap starts a new session); micros throughout
+    "events_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(value AS DECIMAL(38,8)) v,
+        |             epoch_ns(ts) // 1000 us FROM events),
+        |d AS (SELECT user_id, v, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |             OR us - lag(us) OVER w >= 43200000000 THEN 1 ELSE 0 END brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+        |s AS (SELECT user_id, v, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us) sid FROM d)
+        |SELECT user_id, min(us) start_ts, max(us) + 43200000000 end_ts,
+        |       count(*) cnt, CAST(round(sum(v), 2) AS DOUBLE) sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // mirrors Multimodal.StubCodec byte-arithmetic on the (all-ASCII) text
     "multimodal_meta" ->

@@ -40,4 +40,32 @@ object EventWindows {
       .select(col("window.start").cast("long").as("hour_ts"), col(typeCol),
         col("cnt"), col("sum_value"))
   }
+
+  /**
+   * Gap-based session windows per key, batch/stream unified like
+   * [[hourly]]: consecutive events of a key belong to one session while
+   * each starts strictly before the previous event's time + `gap`; the
+   * session's end is its last event + `gap` (Spark `session_window`
+   * semantics — an event landing exactly on the half-open end starts a
+   * new session). Output bounds are epoch MICROseconds (bigint) so a
+   * micros-precision oracle compares bit-exact.
+   *
+   * In streaming mode Spark merges/extends session state per key and
+   * emits once the watermark passes a session's end; the identical call
+   * on a batch frame is a plain aggregation over the same windows.
+   */
+  def sessions(events: DataFrame, tsCol: String = "ts",
+      keyCol: String = "user_id", valueCol: String = "value",
+      gap: String = "12 hours", watermark: String = "1 day"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col(valueCol).cast("decimal(38,8)")), 2).cast("double").as("sum_value"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("start_ts"),
+        unix_micros(col("session_window.end")).as("end_ts"),
+        col("cnt"), col("sum_value"))
+  }
 }

@@ -53,4 +53,55 @@ class EventWindowsSpec extends AnyFlatSpec with Matchers {
       got shouldBe batch
     } finally q.stop()
   }
+
+  behavior of "EventWindows.sessions"
+
+  private val sessionRows = Seq(
+    // user a: two events 10 min apart (one session), then a 2h gap (new session)
+    ("2024-01-01 10:00:00", "a", 1.0),
+    ("2024-01-01 10:10:00", "a", 2.0),
+    ("2024-01-01 12:30:00", "a", 4.0),
+    // user b: single event
+    ("2024-01-01 11:00:00", "b", 8.0))
+
+  private def toUserDf(s: Seq[(String, String, Double)]) =
+    s.toDF("t", "user_id", "value").selectExpr("timestamp(t) as ts", "user_id", "value")
+
+  it should "split sessions at the gap in batch mode" in {
+    val out = EventWindows.sessions(toUserDf(sessionRows), gap = "1 hour")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    def us(t: String) = Timestamp.valueOf(t).getTime * 1000L
+    val hour = 3600L * 1000000L
+    out shouldBe Set(
+      ("a", us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00") + hour, 2L, 3.0),
+      ("a", us("2024-01-01 12:30:00"), us("2024-01-01 12:30:00") + hour, 1L, 4.0),
+      ("b", us("2024-01-01 11:00:00"), us("2024-01-01 11:00:00") + hour, 1L, 8.0))
+  }
+
+  it should "produce the same sessions through a streaming query" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Double)]
+    val stream = EventWindows.sessions(
+      mem.toDF().toDF("t", "user_id", "value")
+        .selectExpr("timestamp(t) as ts", "user_id", "value"),
+      gap = "1 hour", watermark = "0 seconds")
+    stream.isStreaming shouldBe true
+    val q = stream.writeStream.format("memory").queryName("es_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(sessionRows: _*)
+      q.processAllAvailable()
+      // push the watermark past every session's end so all sessions emit
+      mem.addData(("2024-01-02 12:00:00", "zz", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("es_test").where("user_id != 'zz'").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      val batch = EventWindows.sessions(toUserDf(sessionRows), gap = "1 hour")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .toSet
+      got shouldBe batch
+    } finally q.stop()
+  }
 }
