@@ -470,6 +470,17 @@ object SparkEntry {
           col("meta.kind").as("kind"), col("meta.width").as("width"),
           col("meta.height").as("height"), col("meta.sample_rate").as("sample_rate"),
           col("meta.duration_ms").as("duration_ms"), col("meta.n_frames").as("n_frames"))
+    }),
+
+    // frame sampling through the real partition-wise byte-slicing
+    // plumbing (every 2nd 256-byte chunk); DuckDB replays offsets and
+    // chunk lengths exactly, so the explode shape is fully oracle-checked
+    "multimodal_frames" -> ((s, dir) => {
+      val assets = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      graft.multimodal.Multimodal.sampleFrames(assets, "doc_id", "content")
+        .select(col("asset_id"), col("frame_index").cast("long").as("frame_index"),
+          length(col("frame")).cast("long").as("frame_len"))
     })
   )
 
@@ -775,6 +786,17 @@ object SparkEntry {
         |  CASE b0%3 WHEN 1 THEN CAST(1000 + b2*37 AS BIGINT)
         |            WHEN 2 THEN CAST(2000 + b3*53 AS BIGINT) END duration_ms,
         |  CASE b0%3 WHEN 2 THEN CAST(24 + b3%36 AS INT) END n_frames
-        |FROM a""".stripMargin
+        |FROM a""".stripMargin,
+
+    // every 2nd 256-byte chunk => byte offsets 0, 512, 1024, ... < len;
+    // frame_index is the original chunk index (even), frame_len the
+    // clipped chunk size — all-ASCII text makes strlen == byte length
+    "multimodal_frames" ->
+      """WITH f AS (SELECT doc_id, strlen(text) len,
+        |             unnest(range(0, CAST(strlen(text) AS BIGINT), 512)) fo
+        |           FROM documents)
+        |SELECT doc_id asset_id, CAST(fo//256 AS BIGINT) frame_index,
+        |       CAST(least(256, len - fo) AS BIGINT) frame_len
+        |FROM f""".stripMargin
   )
 }
