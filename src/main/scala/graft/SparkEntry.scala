@@ -452,8 +452,12 @@ object SparkEntry {
     // assignment via the lag/cumulative-sum islands construction
     "events_sessions" -> ((s, dir) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // FLOOR division ns->us (not `DIV`, which truncates toward zero):
+      // the DuckDB oracle floors (`//`), and the two disagree on
+      // pre-epoch timestamps — harmless on this data, wrong in general
       graft.streaming.EventWindows.sessions(
-        tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+        tbl(s, dir, "events")
+          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000"))))
     }),
 
     // --- multimodal: binary assets + typed metadata ---------------------

@@ -83,29 +83,37 @@ object GridNearestJoin {
 
   /** Density-derived default cell size: one cheap (column-pruned,
     * map-side-combined) agg over the candidate side computes its
-    * envelope-center extent and count, and the cell is sized so a cell
-    * holds ~`targetRowsPerCell` rows — the expanding-ring search then
-    * resolves typical rows in the first round or two instead of burning
-    * rounds on near-empty cells (or flooding dense ones). Callers whose
+    * envelope-center extent, count, AND mean per-geometry envelope size,
+    * and the cell is sized so a cell holds ~`targetRowsPerCell` rows —
+    * the expanding-ring search then resolves typical rows in the first
+    * round or two instead of burning rounds on near-empty cells (or
+    * flooding dense ones). The mean geometry extent is a lower bound on
+    * the cell: a non-point right side binned to cells finer than its
+    * geometries would explode each geometry into (extent/cell)² bin
+    * rows — the floor keeps the per-geometry fan-out O(1). Callers whose
     * data distribution is known can skip the extra job by passing an
-    * explicit `cellDeg`. Degenerate extents (a single point, an empty
-    * side) fall back to 1 degree; the result is clamped to
-    * [0.001, 45] degrees. */
+    * explicit `cellDeg`. Degenerate sides (empty or a single geometry —
+    * any cell works, the adaptive fallback resolves them in one pass)
+    * get 1 degree; the result is clamped to [0.001, 45] degrees. */
   def autoCellDeg(right: DataFrame, rightWkb: Column,
       targetRowsPerCell: Double = 2.0): Double = {
     val e = GeoExpressions.stEnvelope(rightWkb)
     val cx = (element_at(e, 1) + element_at(e, 3)) / 2.0d
     val cy = (element_at(e, 2) + element_at(e, 4)) / 2.0d
     val row = right
-      .agg(min(cx), max(cx), min(cy), max(cy), count(cx))
+      .agg(min(cx), max(cx), min(cy), max(cy), count(cx),
+        avg(element_at(e, 3) - element_at(e, 1)),
+        avg(element_at(e, 4) - element_at(e, 2)))
       .head()
     val n = row.getLong(4)
-    if (n == 0L || row.isNullAt(0)) 1.0
+    if (n <= 1L || row.isNullAt(0)) 1.0
     else {
       val w = math.max(row.getDouble(1) - row.getDouble(0), 1e-6)
       val h = math.max(row.getDouble(3) - row.getDouble(2), 1e-6)
       val cells = math.max(1.0, n / math.max(targetRowsPerCell, 1e-3))
-      math.min(45.0, math.max(1e-3, math.sqrt(w * h / cells)))
+      val density = math.sqrt(w * h / cells)
+      val meanExtent = math.max(row.getDouble(5), row.getDouble(6))
+      math.min(45.0, math.max(1e-3, math.max(density, meanExtent)))
     }
   }
 
@@ -229,14 +237,23 @@ object GridNearestJoin {
     // pick; above it (any genuinely large right side) the rings carry the
     // work and the budget never triggers. The count is a column-pruned
     // scan — strictly cheaper than the ring path's bin-explode of the
-    // same side. fallbackPairs = 0 disables the budget (spec-pinned ring
-    // coverage; fallbackBelow = 0 likewise forces rings).
-    val rightN =
+    // same side — and lazy: when the loop never starts (few left rows,
+    // budget disabled) the count job never runs. fallbackPairs = 0
+    // disables the budget (spec-pinned ring coverage; fallbackBelow = 0
+    // likewise forces rings).
+    lazy val rightN =
       if (fallbackPairs <= 0L) Long.MaxValue
       else math.max(1L, right.withColumn(rw, rightWkb).where(col(rw).isNotNull).count())
     def ringsStillPay: Boolean =
       fallbackPairs <= 0L || unresolvedLeft > fallbackPairs / rightN
     var carried: DataFrame = null // (lid, best-so-far) for unresolved rows
+    // merge this round's per-lid best with the carried best-so-far —
+    // shared verbatim by the ring loop and the fallback so the two paths
+    // can never diverge on null/merge semantics
+    def mergeCarry(grouped: DataFrame): DataFrame =
+      if (carried == null) grouped.withColumn(best, col("__g_best0"))
+      else grouped.join(carried, Seq(lid), "left")
+        .withColumn(best, least(col("__g_best0"), col("__g_carry")))
     // geometric search horizons: round j covers the annulus (H_{j-1}, H_j];
     // once few rows remain, the exhaustive fallback is cheaper than more
     // ring rounds (each round costs one Spark job)
@@ -252,14 +269,9 @@ object GridNearestJoin {
       val cands = unresolved
         .withColumn("__g_probe", explode(ringCells(lo, hi)))
         .join(rProbe, Seq("__g_probe"), "left_outer")
-      val grouped = bestOf(cands)
-      val withCarry =
-        if (carried == null) grouped.withColumn(best, col("__g_best0"))
-        else grouped.join(carried, Seq(lid), "left")
-          .withColumn(best, least(col("__g_best0"), col("__g_carry")))
       // ONE materialization per round; the count below triggers it, so the
       // splits are cheap filters over the snapshot and no extra job runs
-      val scored = materialize(withCarry.drop("__g_best0", "__g_carry"))
+      val scored = materialize(mergeCarry(bestOf(cands)).drop("__g_best0", "__g_carry"))
       val margin = marginOf(hi)
       out += finalize(
         scored.where(col(best).isNotNull && col(best)(dist) < margin), leftCols, rightCols, best)
@@ -299,12 +311,8 @@ object GridNearestJoin {
         left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
       val cands = stragglers.repartition(shufflePartitions).crossJoin(right
         .withColumn(rw, rightWkb).where(col(rw).isNotNull))
-      val grouped = bestOf(cands)
-      val withCarry =
-        if (carried == null) grouped.withColumn(best, col("__g_best0"))
-        else grouped.join(carried, Seq(lid), "left")
-          .withColumn(best, least(col("__g_best0"), col("__g_carry")))
-      out += finalize(withCarry.where(col(best).isNotNull), leftCols, rightCols, best)
+      out += finalize(
+        mergeCarry(bestOf(cands)).where(col(best).isNotNull), leftCols, rightCols, best)
     }
     if (out.isEmpty) finalizeSchemaOnly(left, right, leftCols, rightCols)
     else out.reduce(_ union _)

@@ -33,6 +33,24 @@ object Similarity {
   def cosineRounded(a: Column, b: Column, scale: Int = 6): Column =
     round(dot(a, b) / (l2norm(a) * l2norm(b)), scale)
 
+  /** Shared tail of every top-k variant: exact rounded cosine from
+    * pre-hoisted norms, then rank-per-query with the SAME ordering and
+    * tie-break everywhere — the approximate variants' "equal to exact,
+    * rank for rank" oracles depend on the three paths never diverging
+    * here. Input columns: qid, cid, qv, cv, qn, cn. */
+  private def scoreAndRank(pairs: DataFrame, k: Int): DataFrame =
+    rank(pairs
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_r6")), k)
+
+  /** Rank (qid, cid, cos_r6) rows per query: descending cosine, ties by
+    * ascending candidate id, keep the top k. */
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
+    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+  }
+
   /**
    * Exact brute-force top-k: for every query row, the k nearest candidate
    * rows by cosine (descending), ties broken by candidate id ascending.
@@ -54,12 +72,7 @@ object Similarity {
       col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
       .repartition(col("cid")) // parallelize scoring beyond the scan's partitioning
       .withColumn("cn", l2norm(col("cv")))
-    val scored = c.crossJoin(broadcast(q))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_r6"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+    scoreAndRank(c.crossJoin(broadcast(q)), k)
   }
 
   /** SimHash bucket ids, one per hash table — codegen'd native expression
@@ -100,8 +113,7 @@ object Similarity {
       .select(col("qid"), col("cid"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_r6"))
       .dropDuplicates("qid", "cid")
-    val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+    rank(scored, k)
   }
 
   /**
@@ -139,16 +151,23 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0) v else v.map(_ / n)
       }
-    require(cents.nonEmpty, "IVF needs at least one candidate vector")
+    // no candidates => empty result with the contract schema (matches
+    // what cosineTopK/lshCosineTopK return for an empty side)
+    if (cents.isEmpty)
+      return queries.limit(0).select(
+        col(idCol).as("qid"), col(idCol).as("cid"),
+        lit(0.0).as("cos_r6"), lit(0L).as("rnk"))
 
     // per-row centroid scores: nlist literal-vector dot products
-    // (greatest(struct(dot, idx)) = argmax, ties to the larger idx)
+    // (greatest(struct(dot, idx)) = argmax, ties to the larger idx;
+    // greatest needs >= 2 args, so a single centroid is cell 0 directly)
     def centScores(vec: Column): Seq[Column] =
       cents.toIndexedSeq.zipWithIndex.map { case (cvec, i) =>
         struct(dot(vec, typedLit(cvec)).as("s"), lit(i).as("cell"))
       }
     def nearestCell(vec: Column): Column =
-      greatest(centScores(vec): _*).getField("cell")
+      if (cents.length == 1) lit(0)
+      else greatest(centScores(vec): _*).getField("cell")
     // top-nprobe cells for a query: sort the score structs descending,
     // keep the first nprobe cell ids
     def probeCells(vec: Column): Column =
@@ -165,11 +184,6 @@ object Similarity {
       .withColumn("qn", l2norm(col("qv")))
       .withColumn("__cell", explode(probeCells(col("qv"))))
 
-    val scored = c.join(broadcast(q), Seq("__cell"))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_r6"))
-    val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
+    scoreAndRank(c.join(broadcast(q), Seq("__cell")), k)
   }
 }

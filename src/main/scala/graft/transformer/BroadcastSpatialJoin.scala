@@ -274,7 +274,7 @@ class BroadcastSpatialJoin(override val uid: String)
     val input = inputDS.toDF
     val cfg = makeConfig(spark)
 
-    // debug taps (elided in the production build — see companion show)
+    // debug taps — no-ops unless spark.graft.debug=true (companion show)
     show(input, "input")
     show(cfg.externalDF, "dataset")
 
@@ -448,14 +448,17 @@ object BroadcastSpatialJoin extends DefaultParamsReadable[BroadcastSpatialJoin] 
   val nearest = "nearest"
 
   /** Debug tap (reference U6 parity: an `@elidable(FINE)` `df.show`,
-    * reference BroadcastSpatialJoin.scala:343-347), double-gated:
-    * `@elidable(FINE)` lets a build with `-Xelide-below` above FINE
-    * remove it entirely, and the body no-ops unless the session conf
-    * `spark.graft.debug` is `true` — so by default a call site costs one
-    * conf lookup and never touches the plan. Unlike the reference, whose
-    * call sites interpolated `rdd.getNumPartitions` into the message
-    * argument (forcing physical planning whenever elision was off), all
-    * side effects live inside the gate. */
+    * reference BroadcastSpatialJoin.scala:343-347), double-gated: the
+    * body no-ops unless the session conf `spark.graft.debug` is `true`
+    * (the shipped default — a call site costs one conf lookup and never
+    * touches the plan), and `@elidable(FINE)` additionally lets a user
+    * building the library with `-Xelide-below` above FINE compile the
+    * taps away entirely (this build does NOT set the flag — the conf
+    * gate is the default-off mechanism, and it keeps the tap testable).
+    * Unlike the reference, whose call sites interpolated
+    * `rdd.getNumPartitions` into the message argument (forcing physical
+    * planning whenever elision was off), all side effects live inside
+    * the gate. */
   @scala.annotation.elidable(scala.annotation.elidable.FINE)
   def show(df: DataFrame, txt: String = "spatial-join-debug",
       n: Int = 7, truncate: Boolean = true): Unit =

@@ -156,6 +156,31 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "floor the derived cell size at the mean geometry extent" in {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GeoExpressions
+    // 100 polygons ~0.5 deg wide whose centers cluster within ~0.1 deg:
+    // center density alone would derive a ~0.01-deg cell and explode
+    // every polygon into ~2500 bin rows; the mean-extent floor keeps the
+    // per-geometry fan-out O(1)
+    val polys = (0 until 100).map { i =>
+      val x = (i % 10) * 0.01; val y = (i / 10) * 0.01
+      (s"p$i", s"POLYGON(($x $y,${x + 0.5} $y,${x + 0.5} ${y + 0.5},$x ${y + 0.5},$x $y))")
+    }.toDF("id", "wkt")
+    val cell = GridNearestJoin.autoCellDeg(polys, GeoExpressions.wkbFromWkt(col("wkt")))
+    cell should be >= 0.5
+    // point data is unaffected: density continues to drive the size
+    val pointsDf = pts(100, "q")
+    val pcell = GridNearestJoin.autoCellDeg(pointsDf,
+      GeoExpressions.wkbPoint(col("lon"), col("lat")))
+    pcell should be < 0.5
+    // degenerate sides: empty and single-geometry both get 1 degree
+    GridNearestJoin.autoCellDeg(polys.limit(0),
+      GeoExpressions.wkbFromWkt(col("wkt"))) shouldBe 1.0
+    GridNearestJoin.autoCellDeg(polys.limit(1),
+      GeoExpressions.wkbFromWkt(col("wkt"))) shouldBe 1.0
+  }
+
   it should "match the broadcast kernel on nearest with an extra condition" in {
     val input = pts(60, "i")
     val data = pts(30, "d").toDF("poi_id", "lon", "lat")

@@ -265,6 +265,22 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     ivf shouldBe exact
   }
 
+  it should "handle IVF degenerate sides: one centroid, empty candidates" in {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    // nlist=1: a single coarse cell must behave like brute force
+    val one = Similarity.ivfTopK(vecs.where("vec_id = 0"), vecs,
+      "vec_id", "embedding", k = 2, nlist = 1, nprobe = 1)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    one shouldBe Seq(1L, 2L)
+    // empty candidate side: empty result with the contract schema
+    val empty = Similarity.ivfTopK(vecs, vecs.limit(0), "vec_id", "embedding", k = 2)
+    empty.columns.toSeq shouldBe Seq("qid", "cid", "cos_r6", "rnk")
+    empty.count() shouldBe 0
+  }
+
   it should "keep high recall with IVF probing a fraction of cells on clustered data" in {
     // clusters around distinct centers: a query's true neighbors share
     // its cell, so nprobe=2 of 8 cells must still find the true top-1

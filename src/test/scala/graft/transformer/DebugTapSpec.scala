@@ -8,9 +8,10 @@ import org.scalatest.matchers.should.Matchers
 
 /**
  * The U6 debug tap: `BroadcastSpatialJoin.show` prints a tagged preview +
- * partition count when invoked from code compiled without elision (this
- * suite), while the library's own internal call sites are compiled out
- * (`-Xelide-below 901` on Compile only) — transform must stay silent.
+ * partition count only when the session conf `spark.graft.debug` is
+ * `true`; by default every internal call site is a silent no-op (the
+ * `@elidable(FINE)` annotation additionally lets a user's build compile
+ * the taps out — this build does not, so the taps stay testable).
  */
 class DebugTapSpec extends AnyFlatSpec with Matchers {
 
