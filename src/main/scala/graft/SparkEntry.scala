@@ -286,6 +286,13 @@ object SparkEntry {
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
+    // near-dup clusters: connected components over the jaccard pair list
+    // (min-id label propagation, one shuffle round per component-diameter
+    // hop); DuckDB replays it with a recursive reachability CTE
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterPairs(
+        Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8))),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
@@ -645,6 +652,19 @@ object SparkEntry {
         |  FROM documents) t WHERE rn = 1""".stripMargin,
 
     "dedup_jaccard" -> jaccardOracle,
+
+    // components by recursive reachability: comp(src) = min node
+    // reachable from src over the (symmetrized) pair edges
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |jp AS (SELECT doc_i, doc_j FROM ($jaccardOracle) j0),
+         |edges AS (SELECT doc_i a, doc_j b FROM jp
+         |          UNION ALL SELECT doc_j, doc_i FROM jp),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n0
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
+         |SELECT src doc_id, min(node) cluster_id FROM reach GROUP BY src""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

@@ -261,4 +261,48 @@ object Dedup {
         round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_r6"))
       .where(col("cos_r6") >= tau)
   }
+
+  /**
+   * Near-dup CLUSTERS from a pair list (any of the pair operators above):
+   * connected components by min-id label propagation — each node's label
+   * starts as itself and every round takes the minimum over its
+   * neighbours' labels, until a fixpoint. Output: (doc_id, cluster_id)
+   * for every document appearing in at least one pair; cluster_id is the
+   * smallest member id (the same canonical choice as [[exactCanon]]).
+   *
+   * Scale shape: an iterative DataFrame algorithm in the
+   * [[graft.join.GridNearestJoin]] mold — one shuffle join + map-side-
+   * combined min aggregation per round, one snapshot per round
+   * (`materialize`, default lazy localCheckpoint) to cut the growing
+   * lineage, the convergence count riding the snapshot's job. Round
+   * count = component diameter; near-dup components are near-cliques
+   * (every member close to a common original), so 2-3 rounds in
+   * practice. `maxIters` caps adversarial chain components — labels are
+   * then still a valid clustering, just coarser-than-minimal, and the
+   * cap is a correctness-visible choice, never silent row loss.
+   */
+  def clusterPairs(pairs: DataFrame,
+      iCol: String = "doc_i", jCol: String = "doc_j",
+      maxIters: Int = 20,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+    val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
+      .unionByName(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+    var labels = materialize(
+      edges.select(col("a").as("node")).distinct().withColumn("comp", col("node")))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val neighborMin = edges.join(labels, col("b") === col("node"))
+        .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, col("node") === col("a"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+          coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg"))
+      val snap = materialize(next)
+      changed = snap.where(col("__chg")).count()
+      labels = snap.drop("__chg")
+      iter += 1
+    }
+    labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+  }
 }

@@ -179,6 +179,22 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     pairs shouldBe Set((0L, 1L))
   }
 
+  it should "cluster near-dup pairs into connected components" in {
+    // a 4-chain (needs multiple propagation rounds), a triangle, and an
+    // isolated pair — min member id labels each component
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),     // chain 1-2-3-4
+      (10L, 11L), (11L, 12L), (10L, 12L), // triangle
+      (20L, 21L))                        // pair
+      .toDF("doc_i", "doc_j")
+    val got = Dedup.clusterPairs(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 20L))
+  }
+
   it should "bucket exhaustively at the dedup_embedding_lsh gate settings" in {
     // pins the gate's exhaustiveness claim (LSH pair set == exact pair
     // set at planes=5/tables=24, tau=0.5) to the data it was verified
