@@ -285,8 +285,11 @@ object Dedup {
       iCol: String = "doc_i", jCol: String = "doc_j",
       maxIters: Int = 20,
       materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
-    val edges = pairs.select(col(iCol).as("a"), col(jCol).as("b"))
-      .unionByName(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+    // snapshot the symmetrized edge list ONCE — every round re-reads it,
+    // and leaving it lazy would re-run the (possibly expensive) pair
+    // computation upstream once per round
+    val edges = materialize(pairs.select(col(iCol).as("a"), col(jCol).as("b"))
+      .unionByName(pairs.select(col(jCol).as("a"), col(iCol).as("b"))))
     var labels = materialize(
       edges.select(col("a").as("node")).distinct().withColumn("comp", col("node")))
     var changed = 1L
