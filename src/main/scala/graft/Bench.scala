@@ -44,21 +44,39 @@ object Bench {
     // standalone re-measurement (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
-      // isolate queries from each other's leftovers: dropped broadcasts and
-      // checkpoint blocks only release after a GC, and their memory pressure
-      // skews job-heavy iterative queries. clearCache misses localCheckpoint
-      // snapshots (they are persistent RDDs, not cached plans) — unpersist
-      // them explicitly; safe here because the previous query's result has
-      // been fully consumed
+    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMillis: Long = {
+      var t = 0L; gcBeans.forEach(b => t += b.getCollectionTime); t
+    }
+    // isolate queries from each other's leftovers: dropped broadcasts and
+    // checkpoint blocks only release after a GC, and their memory pressure
+    // skews job-heavy iterative queries. clearCache misses localCheckpoint
+    // snapshots (they are persistent RDDs, not cached plans) — unpersist
+    // them explicitly; safe here because the previous query's result has
+    // been fully consumed
+    def isolate(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       spark.catalog.clearCache()
       System.gc()
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
+      // median-of-N (default 3), isolation before every run: a single run
+      // in-suite can be 6-14x inflated by neighboring queries' leftover
+      // block/GC pressure that one unpersist+gc doesn't fully drain; the
+      // median of three isolated runs converges on the standalone cost
+      val runs = (1 to runsPerQuery).map { i =>
+        isolate()
+        val g0 = gcMillis
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        System.err.println(f"[bench] $name run$i $dt%7.3fs gc=${gcMillis - g0}ms")
+        dt
+      }.sorted
+      name -> runs(runs.length / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

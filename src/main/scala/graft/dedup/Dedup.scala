@@ -271,20 +271,32 @@ object Dedup {
    * smallest member id (the same canonical choice as [[exactCanon]]).
    *
    * Scale shape: an iterative DataFrame algorithm in the
-   * [[graft.join.GridNearestJoin]] mold — one shuffle join + map-side-
-   * combined min aggregation per round, one snapshot per round
-   * (`materialize`, default lazy localCheckpoint) to cut the growing
-   * lineage, the convergence count riding the snapshot's job. Round
-   * count = component diameter; near-dup components are near-cliques
-   * (every member close to a common original), so 2-3 rounds in
-   * practice. `maxIters` caps adversarial chain components — labels are
-   * then still a valid clustering, just coarser-than-minimal, and the
-   * cap is a correctness-visible choice, never silent row loss.
+   * [[graft.join.GridNearestJoin]] mold — per round, one neighbour-min
+   * shuffle join + map-side-combined min aggregation, then a
+   * POINTER-JUMPING pass (comp ← comp(comp), label-doubling) so chains
+   * collapse in O(log diameter) rounds instead of O(diameter); one
+   * snapshot per round (`materialize`, default lazy localCheckpoint) to
+   * cut the growing lineage, the convergence count riding the snapshot's
+   * job. Near-dup components are near-cliques (every member close to a
+   * common original), so 2-3 rounds in practice; even a 1M-node path
+   * graph converges in ~20.
+   *
+   * `maxIters` is a runaway backstop, not a quality knob: a truncated
+   * min-label run is NOT merely "coarser" — it can split a connected
+   * component and emit labels that are not themselves canonical (a
+   * node's cluster_id may carry a different label). So hitting the cap
+   * before the fixpoint fails loudly by default; pass `onCapHit` to
+   * observe-and-continue (the handler receives the still-changing row
+   * count; returning normally keeps the truncated labels).
    */
   def clusterPairs(pairs: DataFrame,
       iCol: String = "doc_i", jCol: String = "doc_j",
       maxIters: Int = 20,
-      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false),
+      onCapHit: Long => Unit = changed => throw new IllegalStateException(
+        s"clusterPairs hit maxIters with $changed labels still changing — " +
+          "result would be a non-canonical (possibly split) clustering; " +
+          "raise maxIters or pass onCapHit to accept truncated labels")): DataFrame = {
     // snapshot the symmetrized edge list ONCE — every round re-reads it,
     // and leaving it lazy would re-run the (possibly expensive) pair
     // computation upstream once per round
@@ -297,15 +309,25 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
-      val next = labels.join(neighborMin, col("node") === col("a"), "left")
+      val relaxed = labels.join(neighborMin, col("node") === col("a"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
           coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg"))
+      // pointer jumping: comp ← comp(comp). Every comp value is itself a
+      // node id of the same component (labels only flow along edges), so
+      // the inner self-join is total; label chains halve each round,
+      // turning O(diameter) propagation into O(log diameter)
+      val next = relaxed.as("x")
+        .join(relaxed.select(col("node").as("jn"), col("comp").as("jc")).as("y"),
+          col("x.comp") === col("jn"))
+        .select(col("x.node").as("node"), col("jc").as("comp"),
+          (col("x.__chg") || col("jc") < col("x.comp")).as("__chg"))
       val snap = materialize(next)
       changed = snap.where(col("__chg")).count()
       labels = snap.drop("__chg")
       iter += 1
     }
+    if (changed > 0) onCapHit(changed)
     labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
   }
 }

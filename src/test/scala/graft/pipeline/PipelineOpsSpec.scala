@@ -195,13 +195,46 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       (20L, 20L), (21L, 20L))
   }
 
+  it should "converge a long chain in O(log diameter) rounds via pointer jumping" in {
+    // a 31-node path graph (diameter 30): plain min-label propagation
+    // needs ~30 rounds; the pointer-jumping pass collapses it in ~6.
+    // maxIters=10 would fail loudly under O(diameter) propagation.
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val got = Dedup.clusterPairs(chain, maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe (0L to 30L).map(i => (i, 0L)).toSet
+  }
+
+  it should "fail loudly when maxIters truncates propagation" in {
+    // diameter-4 chain at maxIters=2: labels are still moving when the
+    // cap hits, so the default handler must throw rather than hand back
+    // a possibly split / non-canonical clustering
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("doc_i", "doc_j")
+    val ex = intercept[IllegalStateException] {
+      Dedup.clusterPairs(chain, maxIters = 2).collect()
+    }
+    ex.getMessage should include("maxIters")
+    // observe-and-continue path: the handler sees the cap hit and the
+    // truncated labels come back (a valid partition refinement or not —
+    // caller's informed choice)
+    var sawChanged = -1L
+    val rows = Dedup.clusterPairs(chain, maxIters = 2,
+      onCapHit = c => sawChanged = c).collect()
+    sawChanged should be > 0L
+    rows.length shouldBe 5
+  }
+
   it should "bucket exhaustively at the dedup_embedding_lsh gate settings" in {
     // pins the gate's exhaustiveness claim (LSH pair set == exact pair
     // set at planes=5/tables=24, tau=0.5) to the data it was verified
     // on — a testdata regeneration that breaks the claim fails HERE, not
     // as a mysterious oracle hash-mismatch downstream
     val dir = "/root/testdata/sf0.01"
-    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), "gate testdata not present")
+    // HARD failure, not a skip: this spec is the pin for a gate-oracle
+    // exhaustiveness claim — silently skipping when the data moved is
+    // exactly the blind spot it exists to close
+    require(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      s"gate testdata missing at $dir — the exhaustiveness pin cannot run")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     def snap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(_.mkString("|")).toSet
@@ -330,7 +363,11 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     // (rank for rank). If the driver regenerates the testdata and this
     // stops holding, THIS spec fails — not the downstream oracle gate.
     val dir = "/root/testdata/sf0.01"
-    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), "gate testdata not present")
+    // HARD failure, not a skip: this spec is the pin for a gate-oracle
+    // exhaustiveness claim — silently skipping when the data moved is
+    // exactly the blind spot it exists to close
+    require(new java.io.File(s"$dir/embeddings.parquet").exists(),
+      s"gate testdata missing at $dir — the exhaustiveness pin cannot run")
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val q = emb.where(col("vec_id") < 20)
     def snap(df: org.apache.spark.sql.DataFrame) =
