@@ -492,6 +492,34 @@ object SparkEntry {
       graft.multimodal.Multimodal.sampleFrames(assets, "doc_id", "content")
         .select(col("asset_id"), col("frame_index").cast("long").as("frame_index"),
           length(col("frame")).cast("long").as("frame_len"))
+    }),
+
+    // resize through the partition-wise plumbing: image assets get the
+    // stub's byte-surgery re-header (bytes 1-2 := w%192, h%192), all
+    // other kinds pass through untouched; md5 over the FULL payload pins
+    // both the edit and the pass-through bit-for-bit, and re-decoding
+    // shows the new dimensions
+    "multimodal_resize" -> ((s, dir) => {
+      val assets = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      val resized = graft.multimodal.Multimodal.resizeImages(assets, "content", 100, 80)
+      graft.multimodal.Multimodal.withDecodedMeta(resized, "content")
+        .select(col("doc_id"), md5(col("content")).as("content_md5"),
+          col("meta.kind").as("kind"), col("meta.width").as("width"),
+          col("meta.height").as("height"))
+    }),
+
+    // 256-bin byte histogram (exact counting), exploded to sparse
+    // (doc_id, byte_val, cnt) rows so DuckDB can replay it by grouping
+    // per-character rows
+    "multimodal_histogram" -> ((s, dir) => {
+      val assets = tbl(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("content"))
+      graft.multimodal.Multimodal.byteHistogram(assets, "content")
+        .select(col("doc_id"), posexplode(col("histogram")))
+        .withColumnsRenamed(Map("pos" -> "byte_val", "col" -> "cnt"))
+        .where(col("cnt") > 0)
+        .select(col("doc_id"), col("byte_val").cast("long").as("byte_val"), col("cnt"))
     })
   )
 
@@ -814,13 +842,45 @@ object SparkEntry {
 
     // every 2nd 256-byte chunk => byte offsets 0, 512, 1024, ... < len;
     // frame_index is the original chunk index (even), frame_len the
-    // clipped chunk size — all-ASCII text makes strlen == byte length
+    // clipped chunk size — octet_length over the BLOB cast counts BYTES,
+    // matching the Spark side's binary slicing even for non-ASCII text
     "multimodal_frames" ->
-      """WITH f AS (SELECT doc_id, strlen(text) len,
-        |             unnest(range(0, CAST(strlen(text) AS BIGINT), 512)) fo
+      """WITH f AS (SELECT doc_id, octet_length(text::BLOB) len,
+        |             unnest(range(0, CAST(octet_length(text::BLOB) AS BIGINT), 512)) fo
         |           FROM documents)
         |SELECT doc_id asset_id, CAST(fo//256 AS BIGINT) frame_index,
         |       CAST(least(256, len - fo) AS BIGINT) frame_len
-        |FROM f""".stripMargin
+        |FROM f""".stripMargin,
+
+    // byte-surgery replay: images (b0%3=0) get bytes 1-2 set to 100, 80
+    // (= w%192, h%192); ASCII text makes string surgery == byte surgery,
+    // and chr(100)/chr(80) stay single-byte. md5 over VARCHAR hashes its
+    // UTF-8 bytes — identical to Spark's md5 over the binary payload.
+    "multimodal_resize" ->
+      """WITH a AS (SELECT doc_id, text, ascii(substr(text,1,1)) b0,
+        |             ascii(substr(text,2,1)) b1, ascii(substr(text,3,1)) b2 FROM documents),
+        |r AS (SELECT doc_id, b0,
+        |        CASE WHEN b0%3=0 THEN substr(text,1,1)||chr(100)||chr(80)||substr(text,4)
+        |             ELSE text END rt,
+        |        CASE WHEN b0%3=0 THEN 100 ELSE b1 END nb1,
+        |        CASE WHEN b0%3=0 THEN 80 ELSE b2 END nb2
+        |      FROM a)
+        |SELECT doc_id, md5(rt) content_md5,
+        |  CASE b0%3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+        |  CASE b0%3 WHEN 0 THEN CAST(64 + nb1%192 AS INT)
+        |            WHEN 2 THEN CAST(320 + nb1%64 AS INT) END width,
+        |  CASE b0%3 WHEN 0 THEN CAST(64 + nb2%192 AS INT)
+        |            WHEN 2 THEN CAST(240 + nb2%64 AS INT) END height
+        |FROM r""".stripMargin,
+
+    // exact byte counting: one row per character position, grouped —
+    // equals the sparse explode of the 256-bin histogram (ASCII text, so
+    // ascii() == the byte value and positions == byte offsets)
+    "multimodal_histogram" ->
+      """WITH f AS (SELECT doc_id, text,
+        |             unnest(range(1, octet_length(text::BLOB)+1)) i FROM documents),
+        |c AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) b FROM f)
+        |SELECT doc_id, CAST(b AS BIGINT) byte_val, CAST(count(*) AS BIGINT) cnt
+        |FROM c GROUP BY 1, 2""".stripMargin
   )
 }

@@ -303,14 +303,26 @@ object GridNearestJoin {
         if (hopelessN == 0) unresolved
         else unresolved.unionByName(
           l0m.where(hopelessPred).select(unresolved.columns.map(col): _*))
-      // the cross join broadcasts the (small-or-budgeted) right side and
-      // keeps the left side's partitioning — which is ONE partition when
-      // the left snapshot stems from a single-file scan; spread the
-      // stragglers first or the whole exhaustive pass runs on one core
-      val shufflePartitions =
-        left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
-      val cands = stragglers.repartition(shufflePartitions).crossJoin(right
-        .withColumn(rw, rightWkb).where(col(rw).isNotNull))
+      // the cross join keeps the left side's partitioning — which is ONE
+      // partition when the left snapshot stems from a single-file scan;
+      // spread the stragglers first or the whole exhaustive pass runs on
+      // one core. Non-integer shuffle.partitions (e.g. "auto" on some
+      // runtimes) degrades to the context's default parallelism.
+      val shufflePartitions = scala.util.Try(
+        left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+        .getOrElse(left.sparkSession.sparkContext.defaultParallelism)
+      val rightF = right.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+      // budget-entered fallback (the planner CHOSE the exhaustive pass
+      // because unresolved·|right| fit the pair budget): rightN is already
+      // counted — hint the broadcast explicitly when the right side is
+      // genuinely broadcast-sized, so Spark plans BroadcastNestedLoopJoin
+      // instead of a full CartesianProduct shuffle. On the exhaustion path
+      // (rings ran out of horizon/rounds with the budget disabled) the
+      // right side may be arbitrarily large: leave the strategy to Spark.
+      val rightHinted =
+        if (fallbackPairs > 0L && !ringsStillPay && rightN <= 4000000L) broadcast(rightF)
+        else rightF
+      val cands = stragglers.repartition(shufflePartitions).crossJoin(rightHinted)
       out += finalize(
         mergeCarry(bestOf(cands)).where(col(best).isNotNull), leftCols, rightCols, best)
     }
