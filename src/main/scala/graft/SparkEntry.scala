@@ -234,6 +234,23 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey")
     }),
 
+    // kNN (k = 3) through the same ring machinery: up to k ranked rows
+    // per customer, rank 1 = the nearest — generalizes the spatial
+    // family toward the ANN operators' top-k contract
+    "j1_knn_grid" -> ((s, dir) => {
+      import graft.functions.GeoExpressions
+      val cust = customerPoints(s, dir).select("c_custkey", "lon", "lat")
+      val sup = supplierPoints(s, dir)
+        .select(col("s_suppkey"), col("lon").as("slon"), col("lat").as("slat"))
+      graft.join.GridNearestJoin.knearest(
+        cust, sup,
+        GeoExpressions.wkbPoint(col("lon"), col("lat")),
+        GeoExpressions.wkbPoint(col("slon"), col("slat")),
+        k = 3, rankCol = "knn_rank",
+        cellDeg = 4.0, tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L)
+        .select("c_custkey", "s_suppkey", "knn_rank")
+    }),
+
     // Grid (partitioned) physical strategy — same semantics as
     // j2_withindist / j5_intersects, no broadcast of either side
     "j2_withindist_grid" -> ((s, dir) => {
@@ -596,6 +613,13 @@ object SparkEntry {
          |  SELECT c.c_custkey, s.s_suppkey,
          |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
          |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+
+    "j1_knn_grid" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c_custkey, s_suppkey, CAST(rn AS BIGINT) knn_rank FROM (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
+         |  FROM c CROSS JOIN s) WHERE rn <= 3""".stripMargin,
 
     "j2_withindist_grid" ->
       s"""WITH c AS ($cEq), s AS ($sEq)

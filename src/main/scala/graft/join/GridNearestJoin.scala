@@ -69,8 +69,18 @@ import graft.functions.GeoExpressions
  * @param condition optional extra predicate over both sides' columns;
  *                  a candidate pair failing it is skipped (the nearest
  *                  SATISFYING candidate wins — kernel semantics)
- * @param k         currently 1 (nearest); the structure generalizes to
- *                  top-k with min_by -> collect/top-k per group
+ *
+ * [[nearest]] is the k = 1 case (per-left minimum struct — radix-sortable
+ * single-long-key aggregation); [[knearest]] generalizes to bounded top-k:
+ * the per-round aggregate becomes slice(array_distinct(array_sort(
+ * collect_list(candidate))), 1, k) and a row resolves once its k-TH best
+ * beats the margin (every unexamined candidate is >= margin away, so none
+ * can displace any of the k). Right rows binned to several cells of one
+ * annulus (or seen again by the fallback) would duplicate inside the
+ * array, so each candidate carries a per-execution right-row id and
+ * array_distinct collapses the rebinned copies — genuinely duplicated
+ * right ROWS keep distinct ids and distinct output rows, matching SQL
+ * row_number() semantics.
  */
 object GridNearestJoin {
 
@@ -128,17 +138,72 @@ object GridNearestJoin {
       maxHorizon: Int = 16,
       condition: Option[Column] = None,
       materialize: DataFrame => DataFrame = LocalMaterialize,
+      fallbackPairs: Long = 32000000L): DataFrame =
+    run(left, right, leftWkb, rightWkb, 1, "__g_unused_rank", cellDeg, maxRings,
+      tieBreak, initialHorizon, fallbackBelow, maxHorizon, condition,
+      materialize, fallbackPairs)
+
+  /** Bounded k-nearest-neighbour join (k >= 1): up to k output rows per
+    * left row, ordered by (distance, tieBreak), with a 1-based `rankCol`
+    * (long). Same ring machinery, margins, budget, and condition
+    * semantics as [[nearest]]; a row resolves when its k-th best beats
+    * the margin. Rows with fewer than k candidates in the whole right
+    * side resolve through the exhaustive fallback with all they have. */
+  def knearest(
+      left: DataFrame, right: DataFrame,
+      leftWkb: Column, rightWkb: Column,
+      k: Int,
+      rankCol: String = "knn_rank",
+      cellDeg: Double = 1.0,
+      maxRings: Int = 8,
+      tieBreak: Option[Column] = None,
+      initialHorizon: Int = 2,
+      fallbackBelow: Long = 2000L,
+      maxHorizon: Int = 16,
+      condition: Option[Column] = None,
+      materialize: DataFrame => DataFrame = LocalMaterialize,
       fallbackPairs: Long = 32000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(!(left.columns ++ right.columns).contains(rankCol),
+      s"rank column `$rankCol` collides with an input column")
+    run(left, right, leftWkb, rightWkb, k, rankCol, cellDeg, maxRings,
+      tieBreak, initialHorizon, fallbackBelow, maxHorizon, condition,
+      materialize, fallbackPairs)
+  }
+
+  private def run(
+      left: DataFrame, right: DataFrame,
+      leftWkb: Column, rightWkb: Column,
+      k: Int,
+      rankCol: String,
+      cellDeg: Double,
+      maxRings: Int,
+      tieBreak: Option[Column],
+      initialHorizon: Int,
+      fallbackBelow: Long,
+      maxHorizon: Int,
+      condition: Option[Column],
+      materialize: DataFrame => DataFrame,
+      fallbackPairs: Long): DataFrame = {
 
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
 
     val lw = "__g_lwkb"; val rw = "__g_rwkb"; val lid = "__g_lid"
     val cell = "__g_cell"; val dist = "__g_dist"; val best = "__g_best"
-    val env = "__g_env"
+    val env = "__g_env"; val rid = "__g_rid"
 
-    // right side binned once to every overlapped cell
-    val r = right.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+    // right side binned once to every overlapped cell. For k > 1 each
+    // right ROW gets a per-execution id BEFORE the bin explode: its cell
+    // copies share the id, so the top-k array_distinct can collapse
+    // rebinned duplicates without collapsing genuinely identical rows.
+    // The id-stamped base is SNAPSHOTTED so the ring path and the
+    // exhaustive fallback see the same ids (monotonically_increasing_id
+    // re-planned twice could renumber)
+    val r0 = right.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+    val rBase = if (k == 1) r0
+      else materialize(r0.withColumn(rid, monotonically_increasing_id()))
+    val r = rBase
       .withColumn(cell, explode(GeoExpressions.gridCells(col(rw), cellDeg)))
 
     // left side: unique row id (per-plan-deterministic) + envelope +
@@ -161,10 +226,13 @@ object GridNearestJoin {
 
     // distance + tie-break + right payload, minimized as one struct;
     // default tie-break = WKB bytes (deterministic; pass an explicit
-    // unique orderable column to control tie order, e.g. a right-side key)
+    // unique orderable column to control tie order, e.g. a right-side
+    // key). For k > 1 the right-row id rides LAST (never decides order
+    // among distinct payloads, only separates true duplicates)
     val tb = tieBreak.getOrElse(col(rw).cast("string"))
     def candStruct: Column = struct(
-      (col(dist) +: tb.as("__g_tb") +: rightCols.map(col)): _*)
+      (col(dist) +: tb.as("__g_tb") +: rightCols.map(col))
+        ++ (if (k == 1) Nil else Seq(col(rid))): _*)
 
     // a candidate only counts when present (left-outer ring-join misses
     // keep the left row alive) AND satisfying the extra condition
@@ -180,13 +248,35 @@ object GridNearestJoin {
     // evaluated per row — and arbitrary user columns); a single long key
     // radix-sorts and the payload rides along untouched
     val lrowStruct = struct((cell +: lw +: env +: leftCols.toSeq).map(col): _*)
+    // k = 1: min(struct) — radix-sortable single-long-key aggregation.
+    // k > 1: bounded top-k SET aggregate (graft.functions.BoundedTopKSet):
+    // O(k) state per group at every stage, map-side truncation before the
+    // shuffle, dedup-on-insert collapsing rebinned duplicates (same
+    // right-row id) without letting them evict genuine candidates —
+    // the collect_list-then-slice formulation materializes EVERY
+    // candidate per group (measured 10× slower on the exhaustive
+    // fallback, unbounded memory at scale)
+    val bestAgg: Column =
+      if (k == 1) min(when(candOk, candStruct))
+      else graft.functions.BoundedTopKSet.topKSet(when(candOk, candStruct), k)
     def bestOf(cands: DataFrame): DataFrame =
       cands
         .withColumn(dist, GeoExpressions.stDistance(col(lw), col(rw)))
         .groupBy(col(lid))
-        .agg(min(when(candOk, candStruct)).as("__g_best0"),
+        .agg(bestAgg.as("__g_best0"),
           first(lrowStruct).as("__g_lrow"))
         .select(col(lid), col("__g_best0"), col("__g_lrow.*"))
+
+    // resolution test: the k-th best (the ONLY best for k = 1) must beat
+    // the margin — unexamined candidates are >= margin away and cannot
+    // displace any of the top k. `resolvedPred(m)` and its negation stay
+    // in one place so the ring loop and carry splits cannot diverge
+    def resolvedPred(margin: Column): Column =
+      if (k == 1) col(best).isNotNull && col(best)(dist) < margin
+      // try_element_at: ANSI mode makes element_at THROW out of bounds
+      else size(col(best)) >= k && try_element_at(col(best), lit(k))(dist) < margin
+    def hasAny: Column =
+      if (k == 1) col(best).isNotNull else size(col(best)) > 0
 
     // minimum degree distance from the row's envelope to the boundary of
     // the examined block (center cell ± hi); any unexamined candidate's
@@ -210,6 +300,19 @@ object GridNearestJoin {
     // the Janino/interpretation overhead dominated every ring round
     def ringCells(lo: Int, hi: Int): Column =
       GeoExpressions.ringCells(col(cell), lo, hi)
+
+    // k = 1 emits the single best's payload; k > 1 explodes the bounded
+    // array into up to k ranked rows (1-based rank, explode drops
+    // candidate-less rows — inner-join semantics, same as k = 1)
+    def finalize(df: DataFrame, leftCols: Seq[String], rightCols: Seq[String],
+        best: String): DataFrame =
+      if (k == 1)
+        df.select((leftCols.map(col) ++ rightCols.map(c => col(best)(c).as(c))): _*)
+      else df
+        .select((leftCols.map(col) :+ posexplode(col(best))): _*)
+        .select((leftCols.map(col)
+          ++ rightCols.map(c => col("col")(c).as(c))
+          :+ (col("pos") + 1).cast("long").as(rankCol)): _*)
 
     val out = new scala.collection.mutable.ArrayBuffer[DataFrame]
     // materialize the binned right side once — every round reuses it
@@ -253,7 +356,14 @@ object GridNearestJoin {
     def mergeCarry(grouped: DataFrame): DataFrame =
       if (carried == null) grouped.withColumn(best, col("__g_best0"))
       else grouped.join(carried, Seq(lid), "left")
-        .withColumn(best, least(col("__g_best0"), col("__g_carry")))
+        .withColumn(best,
+          if (k == 1) least(col("__g_best0"), col("__g_carry"))
+          // sorted-merge of the two bounded arrays; duplicates (a right
+          // row seen by both a ring round and the fallback) collapse on
+          // the right-row id inside the struct
+          else when(col("__g_carry").isNull, col("__g_best0"))
+            .otherwise(slice(array_distinct(array_sort(
+              concat(col("__g_best0"), col("__g_carry")))), 1, k)))
     // geometric search horizons: round j covers the annulus (H_{j-1}, H_j];
     // once few rows remain, the exhaustive fallback is cheaper than more
     // ring rounds (each round costs one Spark job)
@@ -273,18 +383,19 @@ object GridNearestJoin {
       // splits are cheap filters over the snapshot and no extra job runs
       val scored = materialize(mergeCarry(bestOf(cands)).drop("__g_best0", "__g_carry"))
       val margin = marginOf(hi)
-      out += finalize(
-        scored.where(col(best).isNotNull && col(best)(dist) < margin), leftCols, rightCols, best)
-      unresolved = scored.where(col(best).isNull || col(best)(dist) >= margin)
+      out += finalize(scored.where(resolvedPred(margin)), leftCols, rightCols, best)
+      unresolved = scored.where(!resolvedPred(margin))
         .select((leftCols.map(col) :+ col(lw) :+ col(env) :+ col(lid) :+ col(cell)): _*)
-      carried = scored.where(col(best).isNotNull && col(best)(dist) >= margin)
+      carried = scored.where(!resolvedPred(margin) && hasAny)
         .select(col(lid), col(best).as("__g_carry"))
       unresolvedLeft = unresolved.count()
       if (sys.env.contains("GRAFT_DEBUG_RINGS")) {
-        val nullBest = scored.where(col(best).isNull).count()
-        val mFail = scored.where(col(best).isNotNull && col(best)(dist) >= margin).count()
-        val mstats = scored.where(col(best).isNotNull)
-          .agg(min(col(best)(dist)), max(col(best)(dist)), avg(col(best)(dist)), min(margin), max(margin)).head()
+        val kDist: Column =
+          if (k == 1) col(best)(dist) else try_element_at(col(best), lit(k))(dist)
+        val nullBest = scored.where(!hasAny).count()
+        val mFail = scored.where(hasAny && !resolvedPred(margin)).count()
+        val mstats = scored.where(hasAny)
+          .agg(min(kDist), max(kDist), avg(kDist), min(margin), max(margin)).head()
         println(s"[gnj] round=$round hi=$hi unresolved=$unresolvedLeft nullBest=$nullBest marginFail=$mFail dist=[${mstats.get(0)},${mstats.get(1)},avg=${mstats.get(2)}] margin=[${mstats.get(3)},${mstats.get(4)}] t=${System.nanoTime()/1e9}")
       }
       lo = hi
@@ -311,7 +422,9 @@ object GridNearestJoin {
       val shufflePartitions = scala.util.Try(
         left.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt)
         .getOrElse(left.sparkSession.sparkContext.defaultParallelism)
-      val rightF = right.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+      // rBase: for k > 1 this is the SNAPSHOTTED id-stamped side, so
+      // fallback candidates carry the same right-row ids the rings saw
+      val rightF = rBase
       // budget-entered fallback (the planner CHOSE the exhaustive pass
       // because unresolved·|right| fit the pair budget): rightN is already
       // counted — hint the broadcast explicitly when the right side is
@@ -324,9 +437,9 @@ object GridNearestJoin {
         else rightF
       val cands = stragglers.repartition(shufflePartitions).crossJoin(rightHinted)
       out += finalize(
-        mergeCarry(bestOf(cands)).where(col(best).isNotNull), leftCols, rightCols, best)
+        mergeCarry(bestOf(cands)).where(hasAny), leftCols, rightCols, best)
     }
-    if (out.isEmpty) finalizeSchemaOnly(left, right, leftCols, rightCols)
+    if (out.isEmpty) finalizeSchemaOnly(left, right, leftCols, rightCols, k, rankCol)
     else out.reduce(_ union _)
   }
 
@@ -344,11 +457,9 @@ object GridNearestJoin {
 
   /** Empty result with the correct output schema (empty/null-geom input). */
   private def finalizeSchemaOnly(left: DataFrame, right: DataFrame,
-      leftCols: Seq[String], rightCols: Seq[String]): DataFrame =
-    left.limit(0).crossJoin(right.limit(0))
+      leftCols: Seq[String], rightCols: Seq[String], k: Int, rankCol: String): DataFrame = {
+    val base = left.limit(0).crossJoin(right.limit(0))
       .select((leftCols ++ rightCols).map(col): _*)
-
-  private def finalize(df: DataFrame, leftCols: Seq[String], rightCols: Seq[String],
-      best: String): DataFrame =
-    df.select((leftCols.map(col) ++ rightCols.map(c => col(best)(c).as(c))): _*)
+    if (k == 1) base else base.withColumn(rankCol, lit(1L))
+  }
 }

@@ -156,6 +156,67 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "equal brute-force top-k under all three kernel regimes (knearest)" in {
+    // k = 3 through rings-only, fallback-only, and the adaptive mix —
+    // ranked rows must equal the brute-force row_number() <= 3 exactly,
+    // including ranks
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GeoExpressions
+    val rnd = new scala.util.Random(5)
+    def scatter(n: Int, p: String) = (0 until n).map { i =>
+      val clustered = i % 3 != 0
+      val (cx, cy) = if (clustered) (10.0 * (i % 4), 5.0 * (i % 3)) else (0.0, 0.0)
+      (s"$p$i",
+        cx + rnd.nextDouble() * (if (clustered) 0.8 else 60.0) - 10.0,
+        cy + rnd.nextDouble() * (if (clustered) 0.8 else 30.0) - 5.0)
+    }.toDF(if (p == "d") "poi_id" else "id",
+      if (p == "d") "plon" else "lon", if (p == "d") "plat" else "lat")
+    val input = scatter(120, "i")
+    val data = scatter(50, "d")
+    val brute = input.crossJoin(data)
+      .withColumn("d2", (col("lon") - col("plon")) * (col("lon") - col("plon"))
+        + (col("lat") - col("plat")) * (col("lat") - col("plat")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("d2"), col("poi_id"))))
+      .where(col("rn") <= 3)
+      .select("id", "poi_id", "rn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2).toLong)).toSet
+    val configs = Seq(
+      (0.5, 1, 0L, 0L),                  // rings only
+      (1.0, 2, Long.MaxValue, 0L),       // immediate fallbackBelow path
+      (1.0, 2, 0L, Long.MaxValue),       // immediate fallbackPairs budget path
+      (2.0, 1, 20L, 1000L))              // adaptive mix
+    for ((cd, ih, fb, fp) <- configs) {
+      val got = GridNearestJoin.knearest(
+        input, data,
+        GeoExpressions.wkbPoint(col("lon"), col("lat")),
+        GeoExpressions.wkbPoint(col("plon"), col("plat")),
+        k = 3, cellDeg = cd, tieBreak = Some(col("poi_id")),
+        initialHorizon = ih, fallbackBelow = fb, fallbackPairs = fp)
+        .select("id", "poi_id", "knn_rank")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      withClue(s"cellDeg=$cd ih=$ih fb=$fb fp=$fp: ") {
+        got shouldBe brute
+      }
+    }
+  }
+
+  it should "emit all available ranked rows when the right side has fewer than k" in {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GeoExpressions
+    val input = pts(5, "i")
+    val data = pts(2, "d").toDF("poi_id", "plon", "plat")
+    val got = GridNearestJoin.knearest(
+      input, data,
+      GeoExpressions.wkbPoint(col("lon"), col("lat")),
+      GeoExpressions.wkbPoint(col("plon"), col("plat")),
+      k = 3, cellDeg = 1.0, tieBreak = Some(col("poi_id")))
+      .select("id", "poi_id", "knn_rank").collect()
+    got.length shouldBe 10 // 5 left rows x only 2 candidates each
+    got.map(_.getLong(2)).toSet shouldBe Set(1L, 2L)
+  }
+
   it should "floor the derived cell size at the mean geometry extent" in {
     import org.apache.spark.sql.functions.col
     import graft.functions.GeoExpressions
