@@ -140,19 +140,102 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
-      nlist: Int = 16, nprobe: Int = 4): DataFrame = {
-    // deterministic coarse centroids: first nlist candidate vectors by
-    // id, L2-normalized on the driver (nlist rows — not a data collect)
-    val cents: Array[Seq[Double]] = candidates
+      nlist: Int = 16, nprobe: Int = 4): DataFrame =
+    ivfCore(queries, candidates, idCol, vecCol, k,
+      idSampleCentroids(candidates, idCol, vecCol, nlist), nprobe)
+
+  /**
+   * IVF top-k with EXPLICIT centroids — the production overload: pass a
+   * trained quantizer ([[trainCentroids]], or any offline k-means) as a
+   * small DataFrame holding one centroid vector per row in `vecCol`.
+   * `nlist` = the centroid count; plan shape identical to [[ivfTopK]].
+   */
+  def ivfTopKWith(
+      queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    ivfCore(queries, candidates, idCol, vecCol, k,
+      centroids.select(col(vecCol).cast("array<double>")).collect()
+        .map(r => normalized(r.getSeq[Double](0))), nprobe)
+
+  /** Deterministic id-ordered sample quantizer (first `nlist` vectors by
+    * id, L2-normalized on the driver — nlist rows, not a data collect).
+    * Structurally exact at nprobe = nlist (the gate-oracle path), but a
+    * BIASED quantizer for nprobe << nlist: an id-ordered sample of a
+    * clustered corpus need not cover the cluster structure. Production
+    * recall wants [[trainCentroids]]. */
+  private def idSampleCentroids(
+      candidates: DataFrame, idCol: String, vecCol: String, nlist: Int): Array[Seq[Double]] =
+    candidates
       .select(col(idCol), col(vecCol).cast("array<double>"))
       .orderBy(col(idCol)).limit(nlist).collect()
-      .map(_.getSeq[Double](1))
-      .map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        if (n == 0) v else v.map(_ / n)
+      .map(r => normalized(r.getSeq[Double](1)))
+
+  private def normalized(v: Seq[Double]): Seq[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    if (n == 0) v else v.map(_ / n)
+  }
+
+  /**
+   * Deterministic spherical k-means for the IVF coarse quantizer:
+   * id-ordered sample init (reproducible — no RNG), then `iters` Lloyd
+   * rounds of assign-to-nearest-centroid (map-side: centroids ride as
+   * literals, exactly the serving path's assignment expression) and
+   * per-cell mean + renormalize. Empty cells keep their previous
+   * centroid. Returns one row per centroid: (cell, `vecCol`).
+   *
+   * Scale shape per round: one narrow assignment pass + one
+   * posexplode(cell, dim, value) shuffle aggregated map-side to
+   * nlist·dim cells — no iteration ever collects data rows; only the
+   * nlist·dim means come back to the driver.
+   */
+  def trainCentroids(
+      candidates: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 5): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    var cents: Array[Seq[Double]] = idSampleCentroids(candidates, idCol, vecCol, nlist)
+    if (cents.nonEmpty) {
+      // train on unit vectors: cosine assignment == dot with normalized
+      // centroids; the mean of a cell's unit vectors, renormalized, is
+      // the spherical-k-means update
+      val unit = candidates
+        .select(col(vecCol).cast("array<double>").as("__v"))
+        .withColumn("__n", l2norm(col("__v")))
+        .where(col("__n") > 0)
+        .select(transform(col("__v"), x => x / col("__n")).as("__v"))
+      for (_ <- 1 to iters) {
+        val assign = ivfAssignCell(cents)
+        val means = unit
+          .withColumn("__cell", assign(col("__v")))
+          .select(col("__cell"), posexplode(col("__v")))
+          .groupBy(col("__cell"), col("pos")).agg(avg(col("col")).as("m"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .view.mapValues(rows =>
+            normalized(rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq)).toMap
+        cents = cents.zipWithIndex.map { case (old, i) => means.getOrElse(i, old) }
       }
-    // no candidates => empty result with the contract schema (matches
-    // what cosineTopK/lshCosineTopK return for an empty side)
+    }
+    cents.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("cell", vecCol)
+  }
+
+  /** Map-side nearest-centroid assignment expression (argmax dot). */
+  private def ivfAssignCell(cents: Array[Seq[Double]]): Column => Column = {
+    def centScores(vec: Column): Seq[Column] =
+      cents.toIndexedSeq.zipWithIndex.map { case (cvec, i) =>
+        struct(dot(vec, typedLit(cvec)).as("s"), lit(i).as("cell"))
+      }
+    vec => if (cents.length == 1) lit(0)
+      else greatest(centScores(vec): _*).getField("cell")
+  }
+
+  private def ivfCore(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      cents: Array[Seq[Double]], nprobe: Int): DataFrame = {
+    // no candidates/centroids => empty result with the contract schema
+    // (matches what cosineTopK/lshCosineTopK return for an empty side)
     if (cents.isEmpty)
       return queries.limit(0).select(
         col(idCol).as("qid"), col(idCol).as("cid"),
@@ -165,9 +248,7 @@ object Similarity {
       cents.toIndexedSeq.zipWithIndex.map { case (cvec, i) =>
         struct(dot(vec, typedLit(cvec)).as("s"), lit(i).as("cell"))
       }
-    def nearestCell(vec: Column): Column =
-      if (cents.length == 1) lit(0)
-      else greatest(centScores(vec): _*).getField("cell")
+    val nearestCell: Column => Column = ivfAssignCell(cents)
     // top-nprobe cells for a query: sort the score structs descending,
     // keep the first nprobe cell ids
     def probeCells(vec: Column): Column =
