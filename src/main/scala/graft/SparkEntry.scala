@@ -234,6 +234,33 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey")
     }),
 
+    // the STREAMING surface as a correctness row: customers arrive as a
+    // real file stream (micro-batch execution, memory sink), the grid
+    // strategy (broadcast="none" — one Catalyst plan, so the SAME
+    // transformer is stream-capable) joins them stream-static against
+    // the supplier polygons, and the drained sink is oracle-compared to
+    // the batch `within` semantics
+    "j_stream_spatial" -> ((s, dir) => {
+      supplierPoints(s, dir)
+        .withColumn("wkt", rectWkt(col("lon"), col("lat"), SWX, SWY))
+        .createOrReplaceTempView("v_jss_sup")
+      val schema = s.read.parquet(s"$dir/customer.parquet").schema
+      // the testdata table is a single FILE; the file stream source wants
+      // a directory, so stream the sf dir filtered down to that file
+      val cust = s.readStream.schema(schema)
+        .option("pathGlobFilter", "customer.parquet").parquet(dir)
+        .withColumn("lon", lonOf("c_custkey")).withColumn("lat", latOf("c_custkey"))
+        .select("c_custkey", "lon", "lat")
+      val joined = bsj("v_jss_sup").setDatasetPoint("").setDatasetWKT("wkt")
+        .setDataColumns("s_suppkey").setBroadcast("none").setPredicate("within")
+        .transform(cust)
+        .select("c_custkey", "s_suppkey")
+      val q = joined.writeStream.format("memory").queryName("jss_sink")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("jss_sink")
+    }),
+
     // kNN (k = 3) through the same ring machinery: up to k ranked rows
     // per customer, rank 1 = the nearest — generalizes the spatial
     // family toward the ANN operators' top-k contract
@@ -613,6 +640,14 @@ object SparkEntry {
          |  SELECT c.c_custkey, s.s_suppkey,
          |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
          |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+
+    // identical semantics to j3_within — the streaming path must produce
+    // exactly the batch answer once the stream drains
+    "j_stream_spatial" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
+         |WHERE c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
+         |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin,
 
     "j1_knn_grid" ->
       s"""WITH c AS ($cPts), s AS ($sPts)
