@@ -310,6 +310,67 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "split a pathologically hot cell via AQE skew-join" in {
+    // the one untested scale scenario of the cell equi-join: EVERY right
+    // row in one grid cell (a mega-city candidate table) joined by many
+    // left rows in the same cell — one join key owns the whole shuffle.
+    // At 100 TB neither side broadcasts, so pin that with broadcast off,
+    // AQE's OptimizeSkewedJoin splits the hot key's partition into
+    // mapper-range chunks (replicating the other side) instead of
+    // running one giant task, and the results stay exact.
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GeoExpressions
+    import graft.spatial.SpatialPredicate
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // toy-size the skew thresholds (defaults are 256 MB / 64 MB)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "32k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16k")
+      // all coordinates inside ONE 1-degree cell; left rows padded so the
+      // hot partition clears the (lowered) byte thresholds
+      val left = (0 until 3000).map { i =>
+        (s"L$i", 0.1 + (i % 50) * 0.015, 0.1 + (i / 50) * 0.012, "x" * 200)
+      }.toDF("lid", "llon", "llat", "pad")
+      val right = (0 until 120).map { i =>
+        (s"R$i", 0.15 + (i % 12) * 0.06, 0.15 + (i / 12) * 0.07)
+      }.toDF("rid", "rlon", "rlat")
+      val out = GridSpatialJoin.join(
+        left, right,
+        GeoExpressions.wkbPoint(col("llon"), col("llat")),
+        GeoExpressions.wkbPoint(col("rlon"), col("rlat")),
+        SpatialPredicate.WithinDist(30000), cellDeg = 1.0)
+        .select("lid", "rid")
+      val rows = out.collect()
+      // exactness first: equals the brute-force refine
+      val brute = left.crossJoin(right)
+        .where(GeoExpressions.geodesicMeters(
+          GeoExpressions.wkbPoint(col("llon"), col("llat")),
+          GeoExpressions.wkbPoint(col("rlon"), col("rlat"))) <= 30000)
+        .select("lid", "rid").collect()
+      rows.map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+        brute.map(r => (r.getString(0), r.getString(1))).toSet
+      rows.length should be > 0
+      // and the executed plan must show the skew split engaged
+      val plan = out.queryExecution.executedPlan.toString
+      withClue(plan.linesIterator.filter(_.contains("Join")).mkString("\n")) {
+        plan should include("skew=true")
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   it should "fall back to an exhaustive pass for isolated points" in {
     import spark.implicits._
     // one candidate very far away: every ring misses, fallback must find it
