@@ -157,14 +157,14 @@ object GeoExpressions {
 
   def computeRefCell(lwkb: Array[Byte], rwkb: Array[Byte], cellDeg: Double,
       lExpandMeters: Double): Long = {
-    val lg = GeoKit.wkbToGeom(lwkb); val rg = GeoKit.wkbToGeom(rwkb)
+    val lg = GeoKit.wkbToGeomMemo(lwkb); val rg = GeoKit.wkbToGeomMemo(rwkb)
     val (lMinX, _, lMinY, _) = expandedBounds(lg.getEnvelopeInternal, lExpandMeters)
     val re = rg.getEnvelopeInternal
     cellOf(math.max(lMinX, re.getMinX), math.max(lMinY, re.getMinY), cellDeg)
   }
 
   def computeRelates(lwkb: Array[Byte], rwkb: Array[Byte], predOrdinal: Int): Boolean = {
-    val lg = GeoKit.wkbToGeom(lwkb); val rg = GeoKit.wkbToGeom(rwkb)
+    val lg = GeoKit.wkbToGeomMemo(lwkb); val rg = GeoKit.wkbToGeomMemo(rwkb)
     if (lg == null || rg == null) false
     else predOrdinal match {
       case 0 => lg.within(rg)
@@ -183,10 +183,10 @@ object GeoExpressions {
   }
 
   def computeGeodesicMeters(lwkb: Array[Byte], rwkb: Array[Byte]): Int =
-    Geodesic.centroidDistance(GeoKit.wkbToGeom(lwkb), GeoKit.wkbToGeom(rwkb))
+    Geodesic.centroidDistance(GeoKit.wkbToGeomMemo(lwkb), GeoKit.wkbToGeomMemo(rwkb))
 
   def computeStDistance(lwkb: Array[Byte], rwkb: Array[Byte]): Double =
-    GeoKit.wkbToGeom(lwkb).distance(GeoKit.wkbToGeom(rwkb))
+    GeoKit.wkbToGeomMemo(lwkb).distance(GeoKit.wkbToGeomMemo(rwkb))
 
   /** Called from generated code; null for null/empty geometries. */
   def computeEnvelope(wkb: Array[Byte]): ArrayData = {

@@ -51,6 +51,36 @@ object GeoKit {
   def wkbToGeom(wkb: Array[Byte]): Geometry =
     if (wkb == null || wkb.isEmpty) null else tlWkbReader.get().read(wkb)
 
+  // 2-slot per-thread parse memo for PAIRWISE hot paths (distance /
+  // relate / ref-cell evaluate two parses per candidate pair): in a
+  // nested-loop or sorted join the outer row's WKB re-arrives unchanged
+  // for every inner candidate, so one slot pins the outer geometry while
+  // the other slot churns — the outer side's parse cost drops from
+  // O(pairs) to O(rows). Content-keyed (UnsafeRow.getBinary returns a
+  // fresh copy each access, so reference equality never fires); a miss
+  // costs one short Arrays.equals. JTS geometries are immutable for all
+  // ops used here, so cross-row reuse is safe.
+  private val tlMemo = new ThreadLocal[Array[AnyRef]] {
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](4)
+  }
+
+  def wkbToGeomMemo(wkb: Array[Byte]): Geometry = {
+    if (wkb == null || wkb.isEmpty) return null
+    val m = tlMemo.get()
+    val a0 = m(0).asInstanceOf[Array[Byte]]
+    if (a0 != null && java.util.Arrays.equals(a0, wkb))
+      return m(1).asInstanceOf[Geometry]
+    val a1 = m(2).asInstanceOf[Array[Byte]]
+    if (a1 != null && java.util.Arrays.equals(a1, wkb)) {
+      val g = m(3) // promote, so an alternating (outer, inner) pattern keeps the outer pinned
+      m(2) = m(0); m(3) = m(1); m(0) = a1; m(1) = g
+      return g.asInstanceOf[Geometry]
+    }
+    val g = tlWkbReader.get().read(wkb)
+    m(2) = m(0); m(3) = m(1); m(0) = wkb; m(1) = g
+    g
+  }
+
   def geomToWkb(g: Geometry): Array[Byte] =
     if (g == null) null else tlWkbWriter.get().write(g)
 
