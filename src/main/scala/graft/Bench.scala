@@ -44,7 +44,8 @@ object Bench {
     // standalone re-measurement (the driver never sets it)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    val runsPerQuery = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
+    val runsPerQuery = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt).getOrElse(3))
     val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
     def gcMillis: Long = {
       var t = 0L; gcBeans.forEach(b => t += b.getCollectionTime); t

@@ -258,7 +258,13 @@ object SparkEntry {
       val q = joined.writeStream.format("memory").queryName("jss_sink")
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
-      s.table("jss_sink")
+      // snapshot the drained result OUT of the memory sink and drop the
+      // sink's temp view: otherwise the sink pins every output row in
+      // driver heap for the rest of the session (Bench's per-query
+      // isolation unpersists checkpoint blocks, so the snapshot is freed)
+      val out = s.table("jss_sink").localCheckpoint(true)
+      s.catalog.dropTempView("jss_sink")
+      out
     }),
 
     // kNN (k = 3) through the same ring machinery: up to k ranked rows

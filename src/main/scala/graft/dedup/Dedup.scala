@@ -309,10 +309,15 @@ object Dedup {
     while (changed > 0 && iter < maxIters) {
       val neighborMin = edges.join(labels, col("b") === col("node"))
         .groupBy(col("a")).agg(min(col("comp")).as("ncomp"))
-      val relaxed = labels.join(neighborMin, col("node") === col("a"), "left")
-        .select(col("node"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
-          coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg"))
+      // snapshot the relaxed labels BEFORE the jump self-join: both join
+      // sides read them, and an unmaterialized plan would re-execute the
+      // whole neighbour-min join+aggregation twice (ReuseExchange dedups
+      // exchanges, not the operators above them)
+      val relaxed = materialize(
+        labels.join(neighborMin, col("node") === col("a"), "left")
+          .select(col("node"),
+            least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"),
+            coalesce(col("ncomp") < col("comp"), lit(false)).as("__chg")))
       // pointer jumping: comp ← comp(comp). Every comp value is itself a
       // node id of the same component (labels only flow along edges), so
       // the inner self-join is total; label chains halve each round,

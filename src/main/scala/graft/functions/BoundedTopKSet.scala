@@ -67,12 +67,16 @@ case class BoundedTopKSet(
     mutable.TreeSet.empty[Any](ord)
 
   /** Insert keeping only the k smallest distinct values; rejected or
-    * duplicate values never allocate a defensive copy. */
+    * duplicate values never allocate a defensive copy (membership is
+    * checked on the UNCOPIED view first — an O(log k) compare against a
+    * full InternalRow copy in the rebinned-duplicate hot path). */
   private def add(buffer: mutable.TreeSet[Any], v: Any, copied: Boolean): Unit = {
     if (buffer.size < k) {
-      buffer += (if (copied) v else defensiveCopy(v))
+      if (copied) buffer += v
+      else if (!buffer.contains(v)) buffer += defensiveCopy(v)
     } else if (ord.compare(v, buffer.last) < 0) {
-      buffer += (if (copied) v else defensiveCopy(v))
+      if (copied) buffer += v
+      else if (!buffer.contains(v)) buffer += defensiveCopy(v)
       if (buffer.size > k) buffer -= buffer.last
     }
   }

@@ -309,10 +309,12 @@ object GridNearestJoin {
       if (k == 1)
         df.select((leftCols.map(col) ++ rightCols.map(c => col(best)(c).as(c))): _*)
       else df
-        .select((leftCols.map(col) :+ posexplode(col(best))): _*)
+        // prefixed generator output names — bare pos/col would collide
+        // with user columns of those (common) names
+        .select((leftCols.map(col) :+ posexplode(col(best)).as(Seq("__g_pos", "__g_col"))): _*)
         .select((leftCols.map(col)
-          ++ rightCols.map(c => col("col")(c).as(c))
-          :+ (col("pos") + 1).cast("long").as(rankCol)): _*)
+          ++ rightCols.map(c => col("__g_col")(c).as(c))
+          :+ (col("__g_pos") + 1).cast("long").as(rankCol)): _*)
 
     val out = new scala.collection.mutable.ArrayBuffer[DataFrame]
     // materialize the binned right side once — every round reuses it
@@ -375,7 +377,17 @@ object GridNearestJoin {
     // arrays and per-row explosions of the same size) — past maxHorizon
     // the exhaustive fallback is strictly cheaper
     val rProbe = rMat.withColumnRenamed(cell, "__g_probe")
-    while (round <= maxRings && unresolvedLeft > fallbackBelow && ringsStillPay && hi <= maxHorizon) {
+    // records that the loop STOPPED because the pair budget chose the
+    // exhaustive pass — evaluated only when the cheaper loop conditions
+    // already passed, so the lazy rightN count never runs on paths that
+    // exit via fallbackBelow/maxRings/maxHorizon
+    var budgetStopped = false
+    def ringsStillPayTracked: Boolean = {
+      val pay = ringsStillPay
+      if (!pay) budgetStopped = true
+      pay
+    }
+    while (round <= maxRings && unresolvedLeft > fallbackBelow && ringsStillPayTracked && hi <= maxHorizon) {
       val cands = unresolved
         .withColumn("__g_probe", explode(ringCells(lo, hi)))
         .join(rProbe, Seq("__g_probe"), "left_outer")
@@ -426,14 +438,19 @@ object GridNearestJoin {
       // fallback candidates carry the same right-row ids the rings saw
       val rightF = rBase
       // budget-entered fallback (the planner CHOSE the exhaustive pass
-      // because unresolved·|right| fit the pair budget): rightN is already
-      // counted — hint the broadcast explicitly when the right side is
-      // genuinely broadcast-sized, so Spark plans BroadcastNestedLoopJoin
-      // instead of a full CartesianProduct shuffle. On the exhaustion path
-      // (rings ran out of horizon/rounds with the budget disabled) the
-      // right side may be arbitrarily large: leave the strategy to Spark.
+      // because unresolved·|right| fit the pair budget): hint the
+      // broadcast explicitly when the right side is genuinely
+      // broadcast-sized BY BYTES (Catalyst's own size estimate, capped
+      // well under the 8 GB broadcast hard limit — a row count alone
+      // ignores row width), so Spark plans BroadcastNestedLoopJoin
+      // instead of a full CartesianProduct shuffle. On the exhaustion
+      // path (rings ran out of horizon/rounds, or the budget is
+      // disabled) the right side may be arbitrarily large: leave the
+      // strategy to Spark.
       val rightHinted =
-        if (fallbackPairs > 0L && !ringsStillPay && rightN <= 4000000L) broadcast(rightF)
+        if (budgetStopped &&
+          rightF.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(256L << 20))
+          broadcast(rightF)
         else rightF
       val cands = stragglers.repartition(shufflePartitions).crossJoin(rightHinted)
       out += finalize(

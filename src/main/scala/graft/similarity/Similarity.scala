@@ -220,15 +220,18 @@ object Similarity {
       .toDF("cell", vecCol)
   }
 
+  /** Per-centroid (dot score, cell id) structs — the ONE scoring
+    * definition shared by assignment (training + serving) and query-side
+    * probing, so the three can never desynchronize. */
+  private def ivfCentScores(cents: Array[Seq[Double]])(vec: Column): Seq[Column] =
+    cents.toIndexedSeq.zipWithIndex.map { case (cvec, i) =>
+      struct(dot(vec, typedLit(cvec)).as("s"), lit(i).as("cell"))
+    }
+
   /** Map-side nearest-centroid assignment expression (argmax dot). */
-  private def ivfAssignCell(cents: Array[Seq[Double]]): Column => Column = {
-    def centScores(vec: Column): Seq[Column] =
-      cents.toIndexedSeq.zipWithIndex.map { case (cvec, i) =>
-        struct(dot(vec, typedLit(cvec)).as("s"), lit(i).as("cell"))
-      }
+  private def ivfAssignCell(cents: Array[Seq[Double]]): Column => Column =
     vec => if (cents.length == 1) lit(0)
-      else greatest(centScores(vec): _*).getField("cell")
-  }
+      else greatest(ivfCentScores(cents)(vec): _*).getField("cell")
 
   private def ivfCore(
       queries: DataFrame, candidates: DataFrame,
@@ -244,15 +247,12 @@ object Similarity {
     // per-row centroid scores: nlist literal-vector dot products
     // (greatest(struct(dot, idx)) = argmax, ties to the larger idx;
     // greatest needs >= 2 args, so a single centroid is cell 0 directly)
-    def centScores(vec: Column): Seq[Column] =
-      cents.toIndexedSeq.zipWithIndex.map { case (cvec, i) =>
-        struct(dot(vec, typedLit(cvec)).as("s"), lit(i).as("cell"))
-      }
     val nearestCell: Column => Column = ivfAssignCell(cents)
     // top-nprobe cells for a query: sort the score structs descending,
-    // keep the first nprobe cell ids
+    // keep the first nprobe cell ids — same ivfCentScores definition as
+    // the assignment side
     def probeCells(vec: Column): Column =
-      slice(reverse(array_sort(array(centScores(vec): _*))), 1, math.max(1, nprobe))
+      slice(reverse(array_sort(array(ivfCentScores(cents)(vec): _*))), 1, math.max(1, nprobe))
         .getField("cell")
 
     val c = candidates.select(
