@@ -17,10 +17,11 @@ import graft.functions._
  *   — or on a live session: `GraftExtensions.register(spark)`
  *
  * Functions: word_shingles(text, n), minhash_signature(shingles, n),
- * text_simhash(tokens), vector_dot(a, b), simhash_buckets(vec, p, t),
- * wkb_from_wkt(wkt), wkb_point(lon, lat), st_distance(l, r),
- * geodesic_meters(l, r), st_relates(l, r, 'within'|...),
- * grid_cells(wkb, cellDeg, expandMeters).
+ * text_simhash(tokens), md5_simhash(tokens), vector_dot(a, b),
+ * simhash_buckets(vec, p, t), wkb_from_wkt(wkt), wkb_point(lon, lat),
+ * st_distance(l, r), geodesic_meters(l, r), st_relates(l, r,
+ * 'within'|...), grid_cells(wkb, cellDeg, expandMeters),
+ * ring_cells(cell, lo, hi), and the aggregate bounded_topk_set(expr, k).
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -75,7 +76,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => VectorDot(es(0), es(1))),
     ("simhash_buckets", "simhash_buckets(vec, planes, tables) - LSH bucket ids",
       (es: Seq[Expression]) => SimhashBuckets(es(0),
-        intArg(es(1), "simhash_buckets"), intArg(es(2), "simhash_buckets")))
+        intArg(es(1), "simhash_buckets"), intArg(es(2), "simhash_buckets"))),
+    ("md5_simhash", "md5_simhash(tokens) - 64-bit SimHash over md5 token hashes (oracle-replayable)",
+      (es: Seq[Expression]) => Md5Simhash(es(0))),
+    ("ring_cells", "ring_cells(cell, lo, hi) - annulus grid cell ids (lo < Chebyshev <= hi)",
+      (es: Seq[Expression]) => RingCells(es(0),
+        intArg(es(1), "ring_cells"), intArg(es(2), "ring_cells"))),
+    // aggregate: the analyzer wraps a bare AggregateFunction returned by
+    // a function builder into an AggregateExpression
+    ("bounded_topk_set", "bounded_topk_set(expr, k) - ascending array of the k smallest distinct values",
+      (es: Seq[Expression]) => BoundedTopKSet(es(0), intArg(es(1), "bounded_topk_set")))
   ).map { case (name, usage, builder) =>
     (FunctionIdentifier(name), info(name, usage), builder)
   }

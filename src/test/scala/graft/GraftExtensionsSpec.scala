@@ -44,6 +44,19 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     r.getInt(2) shouldBe 2
   }
 
+  it should "expose md5_simhash, ring_cells, and the bounded_topk_set aggregate in SQL" in {
+    val r = spark.sql(
+      """SELECT md5_simhash(word_shingles('a b c d', 1)) fp,
+        |       size(ring_cells(bigint(0), 0, 1)) nr""".stripMargin).head
+    r.getLong(0) should not be 0L
+    r.getInt(1) should be > 0
+    val agg = spark.sql(
+      """SELECT g, bounded_topk_set(v, 2) top FROM VALUES
+        |  ('a', 5L), ('a', 1L), ('a', 1L), ('a', 3L) AS t(g, v)
+        |GROUP BY g""".stripMargin).head
+    agg.getSeq[Long](1) shouldBe Seq(1L, 3L)
+  }
+
   it should "reject non-literal config args with a clear error" in {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles('a b c', cast(rand()*3 as int))").collect()
