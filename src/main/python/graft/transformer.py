@@ -53,6 +53,19 @@ _PARAMS = {
                    "setInputPoint", ""),
     "numPartitions": ("external dataset repartition count; no repartition "
                       "if empty", "setNumPartitions", ""),
+    # grid-strategy extensions (beyond the reference's 12-param surface)
+    "gridCellDeg": ("grid cell size in degrees for broadcast='none'; "
+                    "empty = density-derived", "setGridCellDeg", ""),
+    "gridFallbackBelow": ("grid nearest: unresolved-row count below which "
+                          "the exhaustive fallback runs; empty = default",
+                          "setGridFallbackBelow", ""),
+    "gridInitialHorizon": ("grid nearest: first-round search horizon in "
+                           "cells; empty = default",
+                           "setGridInitialHorizon", ""),
+    "gridKnn": ("grid nearest: k for k-nearest — up to k ranked rows per "
+                "input row plus a trailing knn_rank column; empty/1 = "
+                "plain nearest; requires predicate=nearest and "
+                "broadcast='none'", "setGridKnn", ""),
 }
 
 

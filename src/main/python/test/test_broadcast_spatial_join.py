@@ -103,6 +103,17 @@ class TestBroadcastSpatialJoin(object):
             broadcast="none")
         assert rows(t.transform(bag["input"])) == rows(bag["expected"])
 
+    def test_grid_knn(self, bag, local_spark):
+        # gridKnn=2 over the grid strategy: two ranked rows per input
+        # point with a trailing knn_rank column (1 = nearest)
+        t = BroadcastSpatialJoin(
+            dataset="poi", dataColumns="poi_id",
+            datasetPoint="plon, plat", inputPoint="lon, lat",
+            broadcast="none", predicate="nearest", gridKnn="2")
+        got = rows(t.transform(bag["input"]).select("id", "poi_id", "knn_rank"))
+        assert got == [("i1", "d1", 1), ("i1", "d2", 2),
+                       ("i2", "d1", 2), ("i2", "d2", 1)]
+
     def test_condition(self, bag, local_spark):
         # reference semantics: `right.` = the broadcast side (the input,
         # under the default broadcast="input"), `left.` = the iterated

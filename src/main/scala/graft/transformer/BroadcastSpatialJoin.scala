@@ -136,6 +136,15 @@ class BroadcastSpatialJoin(override val uid: String)
   setDefault(gridInitialHorizon, "")
   def setGridInitialHorizon(value: String): this.type = set(gridInitialHorizon, value)
 
+  /** k-nearest (k > 1) for the grid `nearest` strategy: up to k ranked
+    * rows per input row instead of one, a trailing `knn_rank` long
+    * column (1 = nearest) appended after the data/distance columns.
+    * Requires `predicate = nearest` and `broadcast = none|grid` (the
+    * broadcast kernel is k = 1 only). Empty or "1" = plain nearest. */
+  final val gridKnn = new Param[String](this, "gridKnn", "grid nearest: k for k-nearest (ranked rows + knn_rank column); empty/1 = plain nearest")
+  setDefault(gridKnn, "")
+  def setGridKnn(value: String): this.type = set(gridKnn, value)
+
   // --- config ------------------------------------------------------------
 
   private val csvSep = Separators(",")
@@ -186,7 +195,8 @@ class BroadcastSpatialJoin(override val uid: String)
       spatialPredicate: SpatialPredicate,
       conditionSql: String,
       broadcastInput: Boolean,
-      gridMode: Boolean)
+      gridMode: Boolean,
+      knn: Int)
 
   private def makeConfig(spark: SparkSession): JoinConfig = {
     checkParams()
@@ -229,6 +239,22 @@ class BroadcastSpatialJoin(override val uid: String)
     val gridMode = fixedGridMode ||
       (autoMode && !fitsAutoBroadcast(spark, externalDF))
 
+    val spatialPred = SpatialPredicate.parse(trimmed(predicate))
+    val knn = {
+      val s = trimmed(gridKnn)
+      if (s.isEmpty) 1
+      else Try(s.toInt).getOrElse(throw new IllegalArgumentException(
+        s"Spatial join transformer error: gridKnn must be numeric, got `$s`"))
+    }
+    require(knn >= 1, s"Spatial join transformer error: gridKnn must be >= 1, got $knn")
+    if (knn > 1) {
+      require(spatialPred == SpatialPredicate.Nearest,
+        "Spatial join transformer error: gridKnn requires predicate = nearest")
+      require(fixedGridMode,
+        "Spatial join transformer error: gridKnn requires broadcast = none " +
+          "(the broadcast kernel is k = 1 only)")
+    }
+
     JoinConfig(
       externalDF = externalDF,
       externalSpec = externalSpec,
@@ -236,10 +262,11 @@ class BroadcastSpatialJoin(override val uid: String)
       dataCols = dataCols,
       aliases = aliases,
       distanceAlias = trimmed(distanceColumnAlias),
-      spatialPredicate = SpatialPredicate.parse(trimmed(predicate)),
+      spatialPredicate = spatialPred,
       conditionSql = conditionSql,
       broadcastInput = broadcastInput,
-      gridMode = gridMode)
+      gridMode = gridMode,
+      knn = knn)
   }
 
   /** Output schema = input fields ++ aliased selected external fields ++
@@ -251,9 +278,12 @@ class BroadcastSpatialJoin(override val uid: String)
       extSchema(extSchema.fieldIndex(n)).copy(name = a)
     }
     val fields = inputSchema.fields ++ appended
-    if (cfg.distanceAlias.nonEmpty)
-      StructType(fields :+ StructField(cfg.distanceAlias, DataTypes.IntegerType))
-    else StructType(fields)
+    val withDist =
+      if (cfg.distanceAlias.nonEmpty)
+        fields :+ StructField(cfg.distanceAlias, DataTypes.IntegerType)
+      else fields
+    if (cfg.knn > 1) StructType(withDist :+ StructField("knn_rank", DataTypes.LongType))
+    else StructType(withDist)
   }
 
   // --- transformer -------------------------------------------------------
@@ -412,12 +442,22 @@ class BroadcastSpatialJoin(override val uid: String)
         // not unique — and narrow keys keep every ring-shuffle row slim
         // (the full-struct tie-break duplicated the whole external row)
         val tb = F.struct(cfg.dataCols.distinct.map(n => F.col(pref + n)): _*)
-        val base = GridNearestJoin.nearest(
-          input, ext,
-          wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
-          cellDeg, tieBreak = Some(tb), condition = extraCond,
-          fallbackBelow = numeric(gridFallbackBelow, _.toLong).getOrElse(2000L),
-          initialHorizon = numeric(gridInitialHorizon, _.toInt).getOrElse(2))
+        val fb = numeric(gridFallbackBelow, _.toLong).getOrElse(2000L)
+        val ih = numeric(gridInitialHorizon, _.toInt).getOrElse(2)
+        val base =
+          if (cfg.knn == 1)
+            GridNearestJoin.nearest(
+              input, ext,
+              wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
+              cellDeg, tieBreak = Some(tb), condition = extraCond,
+              fallbackBelow = fb, initialHorizon = ih)
+          else
+            GridNearestJoin.knearest(
+              input, ext,
+              wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
+              k = cfg.knn, rankCol = "knn_rank",
+              cellDeg = cellDeg, tieBreak = Some(tb), condition = extraCond,
+              fallbackBelow = fb, initialHorizon = ih)
         if (!needDistance) base
         else base.withColumn(cfg.distanceAlias, graft.functions.GeoExpressions.geodesicMeters(
           wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _)))
@@ -432,7 +472,8 @@ class BroadcastSpatialJoin(override val uid: String)
     val outCols =
       input.columns.map(F.col) ++
         cfg.dataCols.zip(cfg.aliases).map { case (n, a) => F.col(pref + n).as(a) } ++
-        (if (needDistance) Seq(F.col(cfg.distanceAlias)) else Nil)
+        (if (needDistance) Seq(F.col(cfg.distanceAlias)) else Nil) ++
+        (if (cfg.knn > 1) Seq(F.col("knn_rank")) else Nil)
     joined.select(outCols.toIndexedSeq: _*)
   }
 }

@@ -202,6 +202,49 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "expose kNN through the transformer (gridKnn param)" in {
+    import org.apache.spark.sql.functions.col
+    val input = pts(30, "i")
+    val data = pts(12, "d").toDF("poi_id", "plon", "plat")
+      .withColumnsRenamed(Map("plon" -> "lon", "plat" -> "lat"))
+    data.createOrReplaceTempView("grid_knn_poi")
+    val t = new BroadcastSpatialJoin()
+      .setDataset("grid_knn_poi").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+      .setDataColumns("poi_id").setPredicate("nearest").setBroadcast("none")
+      .setGridKnn("3")
+    // static schema carries the trailing knn_rank long
+    t.transformSchema(input.schema).fieldNames.last shouldBe "knn_rank"
+    val got = t.transform(input)
+      .select("id", "poi_id", "knn_rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    // order by sqrt(d2), not d2: the engine compares JTS distances
+    // (= sqrt doubles), and two d2 values differing in the last ulp can
+    // collapse to the SAME sqrt — a tie the engine then breaks by key
+    val brute = input.crossJoin(data.toDF("poi_id", "plon", "plat"))
+      .withColumn("d2", (col("lon") - col("plon")) * (col("lon") - col("plon"))
+        + (col("lat") - col("plat")) * (col("lat") - col("plat")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(org.apache.spark.sql.functions.sqrt(col("d2")), col("poi_id"))))
+      .where(col("rn") <= 3)
+      .collect().map(r => (r.getAs[String]("id"), r.getAs[String]("poi_id"),
+        r.getAs[Int]("rn").toLong)).toSet
+    got shouldBe brute
+    // invalid combos fail fast
+    intercept[IllegalArgumentException] {
+      new BroadcastSpatialJoin().setDataset("grid_knn_poi")
+        .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+        .setDataColumns("poi_id").setPredicate("nearest")
+        .setBroadcast("input").setGridKnn("3").transform(input)
+    }
+    intercept[IllegalArgumentException] {
+      new BroadcastSpatialJoin().setDataset("grid_knn_poi")
+        .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+        .setDataColumns("poi_id").setPredicate("intersects")
+        .setBroadcast("none").setGridKnn("3").transform(input)
+    }
+  }
+
   it should "emit all available ranked rows when the right side has fewer than k" in {
     import org.apache.spark.sql.functions.col
     import graft.functions.GeoExpressions
