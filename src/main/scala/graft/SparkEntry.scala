@@ -375,6 +375,13 @@ object SparkEntry {
           length(col("text")).cast("long").as("len_chars"),
           TextFunctions.avgTokenLen(col("ws")).as("avg_token_len"))),
 
+    // BPE-ish pre-tokenization count (words / digit runs / punctuation
+    // marks) — DuckDB's RE2 replays the lookaround-free alternation
+    // identically to Java's regex
+    "text_bpe" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))),
+
     "text_quality" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
@@ -791,6 +798,11 @@ object SparkEntry {
          |       CAST(bit_count(xor(a.f, b.f)) AS INTEGER) hamming
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin,
+
+    "text_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) bpe_tokens
+        |FROM documents""".stripMargin,
 
     "text_tokens" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents)

@@ -25,6 +25,17 @@ object TextFunctions {
 
   def tokenCount(toks: Column): Column = size(toks).cast("long")
 
+  /** BPE-ish token count: alphabetic runs, digit runs, and individual
+    * punctuation marks counted separately — the pre-tokenization split
+    * every BPE-family tokenizer applies before merges, so it tracks real
+    * subword-token counts far closer than whitespace counting (which
+    * sees "don't!" as one token; this sees 4: don, ', t, !). Pure
+    * codegen'd regexp built-in; the alternation avoids lookarounds so an
+    * RE2-based engine (the oracle) matches Java's semantics exactly. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast("long")
+
   /** Average token length: exact integer sum, then one IEEE division. */
   def avgTokenLen(toks: Column): Column =
     when(size(toks) > 0,

@@ -246,6 +246,20 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
 
   behavior of "TextFunctions"
 
+  it should "count BPE-ish tokens (words, digit runs, punctuation marks)" in {
+    val got = Seq(
+      "don't stop!",        // don ' t stop !        = 5
+      "a1b2",               // a 1 b 2               = 4
+      "  spaced   out  ",   // spaced out            = 2
+      "42",                 // 42                    = 1
+      "",                   //                       = 0
+      "...").               // . . .                 = 3
+      toDF("text")
+      .select(TextFunctions.bpeTokenCount(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    got shouldBe Seq(5L, 4L, 2L, 1L, 0L, 3L)
+  }
+
   it should "count tokens and compute exact ratios" in {
     val out = Seq("the cat the cat runs").toDF("text")
       .select(TextFunctions.tokens(col("text")).as("ws"))
