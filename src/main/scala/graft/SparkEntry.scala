@@ -799,10 +799,13 @@ object SparkEntry {
          |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.f, b.f)) <= 3""".stripMargin,
 
+    // the shared BpePattern constant carries explicit whitespace chars
+    // (Java \s and RE2 \s disagree on vertical tab), so both engines
+    // receive byte-identical character classes
     "text_bpe" ->
-      """SELECT doc_id,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) bpe_tokens
-        |FROM documents""".stripMargin,
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '${graft.text.TextFunctions.BpePattern}')) AS BIGINT) bpe_tokens
+         |FROM documents""".stripMargin,
 
     "text_tokens" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents)

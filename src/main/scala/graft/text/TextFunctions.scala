@@ -25,16 +25,21 @@ object TextFunctions {
 
   def tokenCount(toks: Column): Column = size(toks).cast("long")
 
+  /** The BPE pre-tokenization pattern, whitespace spelled as EXPLICIT
+    * characters: Java's `\s` includes vertical tab (U+000B) but RE2's
+    * does not, so a `\s` shorthand would silently diverge between this
+    * and an RE2-based oracle engine on VT-bearing text. No lookarounds,
+    * so both engines parse the alternation identically. */
+  val BpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\u000B\f\r]"
+
   /** BPE-ish token count: alphabetic runs, digit runs, and individual
     * punctuation marks counted separately — the pre-tokenization split
     * every BPE-family tokenizer applies before merges, so it tracks real
     * subword-token counts far closer than whitespace counting (which
     * sees "don't!" as one token; this sees 4: don, ', t, !). Pure
-    * codegen'd regexp built-in; the alternation avoids lookarounds so an
-    * RE2-based engine (the oracle) matches Java's semantics exactly. */
+    * codegen'd regexp built-in. */
   def bpeTokenCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
-      .cast("long")
+    size(regexp_extract_all(text, lit(BpePattern), lit(0))).cast("long")
 
   /** Average token length: exact integer sum, then one IEEE division. */
   def avgTokenLen(toks: Column): Column =

@@ -250,9 +250,18 @@ class BroadcastSpatialJoin(override val uid: String)
     if (knn > 1) {
       require(spatialPred == SpatialPredicate.Nearest,
         "Spatial join transformer error: gridKnn requires predicate = nearest")
-      require(fixedGridMode,
-        "Spatial join transformer error: gridKnn requires broadcast = none " +
-          "(the broadcast kernel is k = 1 only)")
+      // gridMode (not fixedGridMode): broadcast="auto" is fine when the
+      // cost-based choice lands on the grid kernel
+      require(gridMode,
+        "Spatial join transformer error: gridKnn requires the grid strategy " +
+          "(broadcast = none|grid, or auto resolving to grid) — " +
+          "the broadcast kernel is k = 1 only")
+      // the rank column is appended under a fixed name; a colliding
+      // distance alias or dataColumns alias would silently shadow it
+      val taken = trimmed(distanceColumnAlias) +: aliases
+      require(!taken.contains("knn_rank"),
+        "Spatial join transformer error: gridKnn appends a `knn_rank` column — " +
+          "that name cannot also be used as a distance or data-column alias")
     }
 
     JoinConfig(

@@ -253,11 +253,13 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       "  spaced   out  ",   // spaced out            = 2
       "42",                 // 42                    = 1
       "",                   //                       = 0
+      "ab",           // vertical tab = whitespace (explicit in the
+                            // pattern — Java \s and RE2 \s disagree on it)
       "...").               // . . .                 = 3
       toDF("text")
       .select(TextFunctions.bpeTokenCount(col("text")).as("n"))
       .collect().map(_.getLong(0)).toSeq
-    got shouldBe Seq(5L, 4L, 2L, 1L, 0L, 3L)
+    got shouldBe Seq(5L, 4L, 2L, 1L, 0L, 2L, 3L)
   }
 
   it should "count tokens and compute exact ratios" in {
