@@ -1,0 +1,159 @@
+# -*- coding: utf-8 -*-
+"""PySpark bindings for the graft training-data pipeline operators.
+
+Thin py4j wrappers over ``graft.api.PyFacade`` (flat-signature Scala
+facade): every function takes and returns PySpark DataFrames; all data
+stays on the JVM — only handles and scalar knobs cross the boundary.
+
+    from graft.pipeline import minhash_pairs, cosine_top_k, text_profile
+    pairs = minhash_pairs(docs, tau=0.8)
+    top = cosine_top_k(queries, corpus, k=10)
+"""
+
+from pyspark.sql import DataFrame
+
+
+def _facade(df):
+    return df.sparkSession._jvm.graft.api.PyFacade
+
+
+def _wrap(df, jdf):
+    return DataFrame(jdf, df.sparkSession)
+
+
+# --- dedup ---------------------------------------------------------------
+
+def exact_canon(df, id_col="doc_id", text_col="text"):
+    """(id, canon_id): minimum id among byte-identical texts."""
+    return _wrap(df, _facade(df).exactCanon(df._jdf, id_col, text_col))
+
+
+def jaccard_pairs(df, id_col="doc_id", text_col="text", tau=0.8, n=3,
+                  max_doc_freq=0):
+    """Exact word-n-gram Jaccard near-dup pairs (doc_i, doc_j, jac).
+    ``max_doc_freq > 0`` drops shingles hotter than that (skew cap)."""
+    return _wrap(df, _facade(df).jaccardPairs(
+        df._jdf, id_col, text_col, float(tau), int(n), int(max_doc_freq)))
+
+
+def minhash_pairs(df, id_col="doc_id", text_col="text", tau=0.8, n=3,
+                  num_hashes=32, band_rows=2):
+    """MinHash+LSH candidates with exact Jaccard verification — the
+    scale path; emitted pairs equal jaccard_pairs up to LSH recall."""
+    return _wrap(df, _facade(df).minhashPairs(
+        df._jdf, id_col, text_col, float(tau), int(n),
+        int(num_hashes), int(band_rows)))
+
+
+def simhash_pairs(df, id_col="doc_id", text_col="text", max_hamming=3,
+                  use_md5=False):
+    """SimHash near-dup pairs (doc_i, doc_j, hamming)."""
+    return _wrap(df, _facade(df).simhashPairs(
+        df._jdf, id_col, text_col, int(max_hamming), bool(use_md5)))
+
+
+def embedding_pairs(df, id_col="vec_id", vec_col="embedding", tau=0.9):
+    """Exact all-pairs cosine near-dups — the small-N path."""
+    return _wrap(df, _facade(df).embeddingPairs(
+        df._jdf, id_col, vec_col, float(tau)))
+
+
+def embedding_pairs_lsh(df, id_col="vec_id", vec_col="embedding", tau=0.9,
+                        planes=10, tables=8):
+    """LSH-bucketed embedding near-dups — the scale path; emitted pairs
+    carry exact cosines."""
+    return _wrap(df, _facade(df).embeddingPairsLsh(
+        df._jdf, id_col, vec_col, float(tau), int(planes), int(tables)))
+
+
+def cluster_pairs(pairs, i_col="doc_i", j_col="doc_j", max_iters=20):
+    """(doc_id, cluster_id) connected components over a pair list;
+    raises if max_iters truncates propagation."""
+    return _wrap(pairs, _facade(pairs).clusterPairs(
+        pairs._jdf, i_col, j_col, int(max_iters)))
+
+
+# --- similarity search ---------------------------------------------------
+
+def cosine_top_k(queries, candidates, id_col="vec_id", vec_col="embedding",
+                 k=10):
+    """Exact brute-force cosine top-k (qid, cid, cos_r6, rnk)."""
+    return _wrap(queries, _facade(queries).cosineTopK(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k)))
+
+
+def lsh_cosine_top_k(queries, candidates, id_col="vec_id",
+                     vec_col="embedding", k=10, planes=8, tables=4):
+    """Approximate top-k via random-hyperplane LSH buckets."""
+    return _wrap(queries, _facade(queries).lshCosineTopK(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k),
+        int(planes), int(tables)))
+
+
+def ivf_top_k(queries, candidates, id_col="vec_id", vec_col="embedding",
+              k=10, nlist=16, nprobe=4):
+    """Approximate top-k via IVF cells (id-sample quantizer)."""
+    return _wrap(queries, _facade(queries).ivfTopK(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k),
+        int(nlist), int(nprobe)))
+
+
+def train_centroids(candidates, id_col="vec_id", vec_col="embedding",
+                    nlist=16, iters=5):
+    """Deterministic spherical k-means for the IVF coarse quantizer:
+    one (cell, vec_col) row per centroid."""
+    return _wrap(candidates, _facade(candidates).trainCentroids(
+        candidates._jdf, id_col, vec_col, int(nlist), int(iters)))
+
+
+def ivf_top_k_with(queries, candidates, centroids, id_col="vec_id",
+                   vec_col="embedding", k=10, nprobe=4):
+    """IVF top-k with explicit (trained) centroids."""
+    return _wrap(queries, _facade(queries).ivfTopKWith(
+        queries._jdf, candidates._jdf, centroids._jdf, id_col, vec_col,
+        int(k), int(nprobe)))
+
+
+# --- text analysis -------------------------------------------------------
+
+def text_profile(df, id_col="doc_id", text_col="text"):
+    """Per-document profile: n_tokens, bpe_tokens, len_chars,
+    avg_token_len, stopword_ratio, distinct_ratio, lang, fingerprint."""
+    return _wrap(df, _facade(df).textProfile(df._jdf, id_col, text_col))
+
+
+# --- multimodal ----------------------------------------------------------
+
+def with_decoded_meta(df, content_col="content"):
+    """Append the typed `meta` struct decoded partition-wise."""
+    return _wrap(df, _facade(df).withDecodedMeta(df._jdf, content_col))
+
+
+def resize_images(df, content_col="content", w=224, h=224):
+    return _wrap(df, _facade(df).resizeImages(df._jdf, content_col,
+                                              int(w), int(h)))
+
+
+def sample_frames(df, id_col="doc_id", content_col="content",
+                  frame_bytes=256, every_n=2):
+    return _wrap(df, _facade(df).sampleFrames(
+        df._jdf, id_col, content_col, int(frame_bytes), int(every_n)))
+
+
+def byte_histogram(df, content_col="content", out_col="histogram"):
+    return _wrap(df, _facade(df).byteHistogram(df._jdf, content_col, out_col))
+
+
+# --- streaming-unified ---------------------------------------------------
+
+def first_per_content(df, text_col="text", ts_col="ts"):
+    """First row per byte-identical content (works on batch and
+    streaming frames — streaming keeps watermark-bounded state)."""
+    return _wrap(df, _facade(df).firstPerContent(df._jdf, text_col, ts_col))
+
+
+def event_sessions(events, ts_col="ts", key_col="user_id",
+                   value_col="value", gap="12 hours", watermark="1 day"):
+    """Gap-based session windows (batch/stream unified)."""
+    return _wrap(events, _facade(events).eventSessions(
+        events._jdf, ts_col, key_col, value_col, gap, watermark))

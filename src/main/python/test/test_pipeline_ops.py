@@ -1,0 +1,92 @@
+# -*- coding: utf-8 -*-
+"""e2e tests for the PySpark pipeline-operator bindings (graft.pipeline).
+
+Each test drives a real Spark job through py4j into the Scala operators;
+assertions replay the expected math in plain Python.
+"""
+
+import pytest
+
+from graft import pipeline as P
+
+
+@pytest.fixture(scope="module")
+def docs(local_spark):
+    return local_spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy cat"),
+         (2, "completely different text with other words entirely present"),
+         (3, "the quick brown fox jumps over the lazy dog"),
+         (4, "short one")],
+        ["doc_id", "text"])
+
+
+@pytest.fixture(scope="module")
+def vecs(local_spark):
+    return local_spark.createDataFrame(
+        [(0, [1.0, 0.1, 0.0]),
+         (1, [0.99, 0.12, 0.01]),
+         (2, [-0.5, 0.9, 0.0]),
+         (3, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"])
+
+
+class TestDedup(object):
+
+    def test_exact_canon(self, docs):
+        got = {r["doc_id"]: r["canon_id"] for r in P.exact_canon(docs).collect()}
+        assert got == {0: 0, 1: 1, 2: 2, 3: 0, 4: 4}
+
+    def test_minhash_equals_jaccard(self, docs):
+        jac = sorted(tuple(r) for r in P.jaccard_pairs(docs, tau=0.5).collect())
+        mh = sorted(tuple(r) for r in P.minhash_pairs(docs, tau=0.5).collect())
+        assert mh == jac
+        assert (0, 3, 1.0) in [(a, b, j) for a, b, j in jac]
+
+    def test_cluster_pairs(self, docs):
+        pairs = P.jaccard_pairs(docs, tau=0.5)
+        got = {r["doc_id"]: r["cluster_id"] for r in P.cluster_pairs(pairs).collect()}
+        assert got == {0: 0, 1: 0, 3: 0}  # 0-1-3 one near-dup component
+
+    def test_embedding_pairs(self, vecs):
+        got = [(r["doc_i"], r["doc_j"]) for r in
+               P.embedding_pairs(vecs, tau=0.99).collect()]
+        assert got == [(0, 1)]
+
+
+class TestSimilarity(object):
+
+    def test_cosine_top_k(self, vecs):
+        rows = P.cosine_top_k(vecs.where("vec_id = 0"), vecs, k=2).collect()
+        ranked = [r["cid"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert ranked == [1, 3]  # 1 near-parallel; 3 orthogonal beats 2 (negative)
+
+    def test_ivf_trained_centroids(self, vecs):
+        cents = P.train_centroids(vecs, nlist=2, iters=2)
+        assert cents.count() == 2
+        exact = {(r["qid"], r["cid"]) for r in
+                 P.cosine_top_k(vecs.where("vec_id = 0"), vecs, k=2).collect()}
+        full = {(r["qid"], r["cid"]) for r in
+                P.ivf_top_k_with(vecs.where("vec_id = 0"), vecs, cents,
+                                 k=2, nprobe=2).collect()}
+        assert full == exact  # nprobe = nlist probes every cell
+
+
+class TestText(object):
+
+    def test_text_profile(self, docs):
+        row = {r["doc_id"]: r for r in P.text_profile(docs).collect()}
+        assert row[0]["n_tokens"] == 9
+        assert row[0]["bpe_tokens"] == 9  # all plain words
+        assert row[4]["n_tokens"] == 2
+        assert row[0]["fingerprint"] == row[3]["fingerprint"]
+        assert row[0]["fingerprint"] != row[1]["fingerprint"]
+
+
+class TestStreamingUnified(object):
+
+    def test_first_per_content(self, docs, local_spark):
+        from pyspark.sql import functions as F
+        stamped = docs.withColumn("ts", F.col("doc_id").cast("long"))
+        got = sorted(r["doc_id"] for r in P.first_per_content(stamped).collect())
+        assert got == [0, 1, 2, 4]  # doc 3 is a byte-duplicate of 0

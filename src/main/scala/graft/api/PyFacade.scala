@@ -1,0 +1,121 @@
+package graft.api
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.text.TextFunctions
+
+/**
+ * py4j-friendly facade over the pipeline operators: flat signatures only
+ * (no `Option`, no default arguments, no `Column` parameters — none of
+ * which cross the py4j boundary), one method per operator, all taking and
+ * returning `DataFrame`. The PySpark module `graft/pipeline.py` binds to
+ * exactly this surface; Scala callers should use the richer per-package
+ * APIs directly.
+ *
+ * Convention: a non-positive value for an optional numeric knob selects
+ * the operator's default/disabled behavior (documented per method).
+ */
+object PyFacade {
+
+  // --- dedup ------------------------------------------------------------
+
+  def exactCanon(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    Dedup.exactCanon(df, idCol, textCol)
+
+  /** maxDocFreq <= 0 disables the skew cap (exact results). */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, n: Int, maxDocFreq: Int): DataFrame =
+    Dedup.jaccardPairs(df, idCol, textCol, tau, n,
+      if (maxDocFreq <= 0) None else Some(maxDocFreq))
+
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, n: Int, numHashes: Int, bandRows: Int): DataFrame =
+    Dedup.minhashPairs(df, idCol, textCol, tau, n, numHashes, bandRows)
+
+  /** useMd5 = true picks the oracle-replayable md5 fingerprint hasher. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int, useMd5: Boolean): DataFrame =
+    Dedup.simhashPairs(df, idCol, textCol, maxHamming,
+      if (useMd5) graft.functions.Md5Simhash.md5Simhash else graft.functions.TextSimhash.textSimhash)
+
+  def embeddingPairs(df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame =
+    Dedup.embeddingPairs(df, idCol, vecCol, tau)
+
+  def embeddingPairsLsh(df: DataFrame, idCol: String, vecCol: String,
+      tau: Double, planes: Int, tables: Int): DataFrame =
+    Dedup.embeddingPairsLsh(df, idCol, vecCol, tau, planes, tables)
+
+  /** Connected components over a pair list; fails loudly if `maxIters`
+    * truncates propagation (same default as the Scala API). */
+  def clusterPairs(pairs: DataFrame, iCol: String, jCol: String, maxIters: Int): DataFrame =
+    Dedup.clusterPairs(pairs, iCol, jCol, maxIters)
+
+  // --- similarity search ------------------------------------------------
+
+  def cosineTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame =
+    Similarity.cosineTopK(queries, candidates, idCol, vecCol, k)
+
+  def lshCosineTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, planes: Int, tables: Int): DataFrame =
+    Similarity.lshCosineTopK(queries, candidates, idCol, vecCol, k, planes, tables)
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame =
+    Similarity.ivfTopK(queries, candidates, idCol, vecCol, k, nlist, nprobe)
+
+  def ivfTopKWith(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
+    Similarity.ivfTopKWith(queries, candidates, centroids, idCol, vecCol, k, nprobe)
+
+  def trainCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): DataFrame =
+    Similarity.trainCentroids(candidates, idCol, vecCol, nlist, iters)
+
+  // --- text analysis ----------------------------------------------------
+
+  /** One-pass per-document text profile: token counts (whitespace and
+    * BPE-ish), length, quality ratios, language id, md5 fingerprint —
+    * the column-function surface flattened into a single DataFrame op
+    * (python callers cannot compose `Column` functions directly). */
+  def textProfile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), col(textCol).as("__t"),
+        TextFunctions.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol),
+        TextFunctions.tokenCount(col("__ws")).as("n_tokens"),
+        TextFunctions.bpeTokenCount(col("__t")).as("bpe_tokens"),
+        length(col("__t")).cast("long").as("len_chars"),
+        TextFunctions.avgTokenLen(col("__ws")).as("avg_token_len"),
+        TextFunctions.stopwordRatio(col("__ws")).as("stopword_ratio"),
+        TextFunctions.distinctTokenRatio(col("__ws")).as("distinct_ratio"),
+        TextFunctions.langId(col("__ws")).as("lang"),
+        TextFunctions.md5Fingerprint(col("__t")).as("fingerprint"))
+
+  // --- multimodal -------------------------------------------------------
+
+  def withDecodedMeta(df: DataFrame, contentCol: String): DataFrame =
+    graft.multimodal.Multimodal.withDecodedMeta(df, contentCol)
+
+  def resizeImages(df: DataFrame, contentCol: String, w: Int, h: Int): DataFrame =
+    graft.multimodal.Multimodal.resizeImages(df, contentCol, w, h)
+
+  def sampleFrames(df: DataFrame, idCol: String, contentCol: String,
+      frameBytes: Int, everyN: Int): DataFrame =
+    graft.multimodal.Multimodal.sampleFrames(df, idCol, contentCol, frameBytes, everyN)
+
+  def byteHistogram(df: DataFrame, contentCol: String, outCol: String): DataFrame =
+    graft.multimodal.Multimodal.byteHistogram(df, contentCol, outCol)
+
+  // --- streaming-unified ------------------------------------------------
+
+  def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =
+    graft.streaming.StreamingDedup.firstPerContent(df, textCol, tsCol)
+
+  /** gap/watermark as Spark interval strings, e.g. "12 hours". */
+  def eventSessions(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, gap: String, watermark: String): DataFrame =
+    graft.streaming.EventWindows.sessions(events, tsCol, keyCol, valueCol, gap, watermark)
+}
