@@ -245,6 +245,28 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "broadcast the right side when the pair budget picks the exhaustive pass" in {
+    // budget-entered fallback with a broadcast-sized right side must plan
+    // BroadcastNestedLoopJoin, not a CartesianProduct shuffle — the
+    // budgetStopped + stats.sizeInBytes gate (review finding, round 4)
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GeoExpressions
+    val input = pts(200, "i")
+    val data = pts(40, "d").toDF("poi_id", "plon", "plat")
+    val out = GridNearestJoin.nearest(
+      input, data,
+      GeoExpressions.wkbPoint(col("lon"), col("lat")),
+      GeoExpressions.wkbPoint(col("plon"), col("plat")),
+      cellDeg = 1.0, tieBreak = Some(col("poi_id")),
+      fallbackBelow = 0L, fallbackPairs = Long.MaxValue) // budget always wins
+    out.count() shouldBe 200
+    val plan = out.queryExecution.executedPlan.toString
+    withClue(plan.linesIterator.filter(_.contains("Join")).mkString("\n")) {
+      plan should include("BroadcastNestedLoopJoin")
+      plan should not include "CartesianProduct"
+    }
+  }
+
   it should "emit all available ranked rows when the right side has fewer than k" in {
     import org.apache.spark.sql.functions.col
     import graft.functions.GeoExpressions
