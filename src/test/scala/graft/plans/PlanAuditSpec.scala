@@ -68,4 +68,31 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     val plan = out.queryExecution.executedPlan.toString
     plan.linesIterator.count(_.trim.matches("[:+\\- ]*\\*\\(\\d+\\).*")) should be >= 3
   }
+
+  behavior of "pipeline-operator physical plans"
+
+  it should "prune the documents scan to the referenced columns" in {
+    // documents carries 5 columns (doc_id, text, lang, source, n_chars);
+    // the text/dedup operators reference only (doc_id, text) — the other
+    // three must never leave the parquet reader
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (q <- Seq(
+        graft.api.PyFacade.textProfile(docs, "doc_id", "text"),
+        graft.dedup.Dedup.exactCanon(docs, "doc_id", "text"))) {
+      val scan = q.queryExecution.executedPlan.toString
+        .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+      withClue(scan) {
+        scan should include("ReadSchema: struct<doc_id:bigint,text:string>")
+      }
+    }
+  }
+
+  it should "run the text profile as a narrow map-only plan (no shuffle)" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val plan = graft.api.PyFacade.textProfile(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    withClue(plan) { plan should not include "Exchange" }
+  }
 }
