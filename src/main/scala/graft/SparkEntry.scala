@@ -441,6 +441,25 @@ object SparkEntry {
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
+    // Trained-quantizer IVF end-to-end: deterministic spherical k-means
+    // (seeded by the id-ordered sample, 2 Lloyd rounds) feeds the
+    // explicit-centroid overload. Still nprobe = nlist, so the SAME
+    // structural argument as simsearch_ivf applies — every candidate
+    // lives in exactly one cell and every cell is probed, making the
+    // exact top-k oracle hold for ANY centroids; what this row pins is
+    // the training path (assignment expression, per-cell mean shuffle,
+    // renormalize) and the ivfTopKWith plumbing, not recall. Recall at
+    // nprobe << nlist is pinned separately by PipelineOpsSpec.
+    "simsearch_ivf_trained" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.similarity.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", nlist = 8, iters = 2)
+      graft.similarity.Similarity.ivfTopKWith(
+        emb.where(col("vec_id") < 20), emb, cents,
+        "vec_id", "embedding", k = 10, nprobe = 8)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
     // --- relational: aggregation + event-time windows -------------------
 
     // set operations: union / intersect / except compose in one plan
@@ -855,6 +874,12 @@ object SparkEntry {
     // same exact-SQL oracle, structurally data-independent at
     // nprobe = nlist (every cell probed => all pairs scored)
     "simsearch_ivf" -> simsearchExactTopkSql,
+
+    // identical structural argument with TRAINED centroids: nprobe =
+    // nlist is exhaustive for any quantizer, so the exact oracle pins
+    // the k-means + explicit-centroid path without depending on
+    // centroid quality
+    "simsearch_ivf_trained" -> simsearchExactTopkSql,
 
     "setop_keys" ->
       """SELECT k, 'buyer' tag FROM

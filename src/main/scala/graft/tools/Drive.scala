@@ -189,6 +189,14 @@ object Drive {
       nlist = 6, nprobe = 6).collect().map(_.mkString("|")).toSet
     println(s"rows=${ivfAll.size} IVF full-probe results, exact match: ${ivfAll == exactTk} (expect true)")
 
+    println("=== 17. trained IVF quantizer: k-means centroids, exact at full probe (round-4) ===")
+    val cents = graft.similarity.Similarity.trainCentroids(
+      embIvf, "vec_id", "embedding", nlist = 6, iters = 2)
+    val ivfTrained = graft.similarity.Similarity.ivfTopKWith(qs, embIvf, cents,
+      "vec_id", "embedding", 5, nprobe = 6).collect().map(_.mkString("|")).toSet
+    println(s"rows=${cents.count()} trained centroids (expect 6), " +
+      s"full-probe exact match: ${ivfTrained == exactTk} (expect true)")
+
     spark.stop()
   }
 }
