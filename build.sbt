@@ -40,4 +40,29 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // pin the heap and use the throughput collector: G1's adaptive sizing
+  // (reset by every explicit GC) intermittently shrinks the young gen
+  // under the pairwise joins' allocation bursts, promoting transient
+  // garbage and spending 10x the stage CPU in GC (JFR-measured 238s of
+  // in-task GC on a 21s-CPU stage). Parallel GC with a fixed heap keeps
+  // identical runs identical.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+UseParallelGC",
+  // ... and pin the young gen as well: ParallelGC's adaptive size policy
+  // re-shrinks it under pause-time pressure, recreating the same
+  // promotion storm non-deterministically
+  "-Xmn2g",
+  // Janino codegen loads thousands of classes; every Metaspace
+  // high-water-mark expansion from the default ~21 MB triggers a
+  // "Metadata GC Threshold" FULL collection — measured as 30s+ GC storms
+  // striking whichever query happens to cross the next threshold. Start
+  // the mark high enough that it never triggers.
+  "-XX:MetaspaceSize=512m",
+  // Janino whole-stage-codegen methods routinely exceed HotSpot's
+  // 8000-bytecode HugeMethodLimit; with the default DontCompileHugeMethods
+  // those methods run INTERPRETED forever — measured 20x on pairwise
+  // spatial stages (370s+ of executor CPU vs 24s for the same 15M-pair
+  // stage once compiled). Standard Spark deployment flag.
+  "-XX:-DontCompileHugeMethods",
+) ++ sys.env.get("GRAFT_JFR").map(f =>
+  s"-XX:StartFlightRecording=filename=$f,settings=profile").toSeq

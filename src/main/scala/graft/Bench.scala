@@ -18,7 +18,12 @@ object Bench {
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val i = sc.stageInfo
           val wall = (i.completionTime.getOrElse(0L) - i.submissionTime.getOrElse(0L)) / 1e3
-          println(f"[stage ${i.stageId}%4d] $wall%7.2fs tasks=${i.numTasks}%4d ${i.name.takeWhile(_ != '\n')}")
+          val m = i.taskMetrics
+          // run vs cpu vs gc discriminates compute-bound stages from
+          // waiting ones (GC pause, scheduler, spill) across all tasks
+          println(f"[stage ${i.stageId}%4d] $wall%7.2fs tasks=${i.numTasks}%4d " +
+            f"run=${m.executorRunTime / 1e3}%.1fs cpu=${m.executorCpuTime / 1e9}%.1fs " +
+            f"gc=${m.jvmGCTime / 1e3}%.1fs ${i.name.takeWhile(_ != '\n')}")
         }
       })
     // warm up codegen/classloading so the first measured query isn't

@@ -239,15 +239,24 @@ object GridNearestJoin {
     val candOk: Column =
       condition.fold(col(rw).isNotNull)(c => col(rw).isNotNull && coalesce(c, lit(false)))
 
-    // group by the synthetic row id ONLY and carry the left payload
-    // through a first() aggregate (identical within a group, hence
-    // deterministic) — no join-back needed, still one shuffle per round.
-    // Grouping by the full payload instead forces SortAggregate to order
-    // the entire candidate set by wide keys (WKB binary, the env double
-    // array — which Spark wraps in an interpreted normalize-floats lambda
-    // evaluated per row — and arbitrary user columns); a single long key
-    // radix-sorts and the payload rides along untouched
-    val lrowStruct = struct((cell +: lw +: env +: leftCols.toSeq).map(col): _*)
+    // group by the synthetic row id ONLY, aggregate ONLY the candidate
+    // struct, and join the left payload back on the single long key
+    // AFTER aggregation (groups, not pairs). Two designs were measured
+    // and rejected:
+    //  - grouping by the full left payload forces SortAggregate to order
+    //    the entire candidate set by wide keys (WKB binary, the env
+    //    double array — which Spark wraps in an interpreted
+    //    normalize-floats lambda evaluated per row — and arbitrary user
+    //    columns);
+    //  - carrying the left payload through a first(struct(...)) aggregate
+    //    avoids the join but evaluates that struct per PAIR: the
+    //    env-array + WKB + user-column copies dominated the whole stage
+    //    (JFR: UnsafeArrayData.copy / copyValue / getBinary, with the
+    //    15M-pair sort spilling) — ~10x the cost of the distance math
+    //    it decorated.
+    // With only (lid, dist, tb, right payload) in the aggregate input,
+    // the pre-agg sort radix-sorts slim rows, and the join-back touches
+    // one row per GROUP — pairs never carry the left payload at all.
     // k = 1: min(struct) — radix-sortable single-long-key aggregation.
     // k > 1: bounded top-k SET aggregate (graft.functions.BoundedTopKSet):
     // O(k) state per group at every stage, map-side truncation before the
@@ -263,9 +272,7 @@ object GridNearestJoin {
       cands
         .withColumn(dist, GeoExpressions.stDistance(col(lw), col(rw)))
         .groupBy(col(lid))
-        .agg(bestAgg.as("__g_best0"),
-          first(lrowStruct).as("__g_lrow"))
-        .select(col(lid), col("__g_best0"), col("__g_lrow.*"))
+        .agg(bestAgg.as("__g_best0"))
 
     // resolution test: the k-th best (the ONLY best for k = 1) must beat
     // the margin — unexamined candidates are >= margin away and cannot
@@ -352,6 +359,11 @@ object GridNearestJoin {
     def ringsStillPay: Boolean =
       fallbackPairs <= 0L || unresolvedLeft > fallbackPairs / rightN
     var carried: DataFrame = null // (lid, best-so-far) for unresolved rows
+    // restore the left payload (and the cell/env/lw the margin test and
+    // the next round need) after aggregation: one hash join keyed by the
+    // same long key the aggregation grouped on, touching one row per
+    // GROUP — the pair-side never carries any of it
+    def withLeft(grouped: DataFrame): DataFrame = grouped.join(l0m, Seq(lid))
     // merge this round's per-lid best with the carried best-so-far —
     // shared verbatim by the ring loop and the fallback so the two paths
     // can never diverge on null/merge semantics
@@ -393,7 +405,8 @@ object GridNearestJoin {
         .join(rProbe, Seq("__g_probe"), "left_outer")
       // ONE materialization per round; the count below triggers it, so the
       // splits are cheap filters over the snapshot and no extra job runs
-      val scored = materialize(mergeCarry(bestOf(cands)).drop("__g_best0", "__g_carry"))
+      val scored = materialize(
+        withLeft(mergeCarry(bestOf(cands)).drop("__g_best0", "__g_carry")))
       val margin = marginOf(hi)
       out += finalize(scored.where(resolvedPred(margin)), leftCols, rightCols, best)
       unresolved = scored.where(!resolvedPred(margin))
@@ -454,7 +467,8 @@ object GridNearestJoin {
         else rightF
       val cands = stragglers.repartition(shufflePartitions).crossJoin(rightHinted)
       out += finalize(
-        mergeCarry(bestOf(cands)).where(hasAny), leftCols, rightCols, best)
+        withLeft(mergeCarry(bestOf(cands)).drop("__g_best0", "__g_carry"))
+          .where(hasAny), leftCols, rightCols, best)
     }
     if (out.isEmpty) finalizeSchemaOnly(left, right, leftCols, rightCols, k, rankCol)
     else out.reduce(_ union _)

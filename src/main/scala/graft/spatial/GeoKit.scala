@@ -51,33 +51,40 @@ object GeoKit {
   def wkbToGeom(wkb: Array[Byte]): Geometry =
     if (wkb == null || wkb.isEmpty) null else tlWkbReader.get().read(wkb)
 
-  // 2-slot per-thread parse memo for PAIRWISE hot paths (distance /
-  // relate / ref-cell evaluate two parses per candidate pair): in a
-  // nested-loop or sorted join the outer row's WKB re-arrives unchanged
-  // for every inner candidate, so one slot pins the outer geometry while
-  // the other slot churns — the outer side's parse cost drops from
-  // O(pairs) to O(rows). Content-keyed (UnsafeRow.getBinary returns a
-  // fresh copy each access, so reference equality never fires); a miss
-  // costs one short Arrays.equals. JTS geometries are immutable for all
+  // Per-thread direct-mapped parse cache for PAIRWISE hot paths
+  // (distance / relate / ref-cell evaluate two parses per candidate
+  // pair). In a broadcast nested-loop join the STREAMED row's WKB
+  // re-arrives unchanged for every broadcast candidate AND the broadcast
+  // side's geometries rotate through per streamed row — a 2-slot memo
+  // (the previous design) pins the streamed side but re-parses the
+  // rotating side on EVERY pair, which at 15M pairs is 15M parses and
+  // 15M discarded JTS objects per pass; the resulting allocation storm
+  // measurably degraded whole stages (in-task GC growing run over run).
+  // A direct-mapped table keyed by WKB content (hash & mask → slot,
+  // collision = overwrite) caches the rotating side too: parses drop to
+  // O(distinct geometries) per thread and the garbage goes with them.
+  // Content-keyed (UnsafeRow.getBinary returns a fresh copy each access,
+  // so reference equality never fires); a hit costs one hashCode + one
+  // short Arrays.equals. Entries over `CacheMaxEntryBytes` bypass the
+  // cache (bounds per-thread memory: 4096 slots x ≤512 B WKB + parsed
+  // geometry, a few MB worst-case); JTS geometries are immutable for all
   // ops used here, so cross-row reuse is safe.
+  private val CacheSlots = 4096 // power of two
+  private val CacheMaxEntryBytes = 512
   private val tlMemo = new ThreadLocal[Array[AnyRef]] {
-    override def initialValue(): Array[AnyRef] = new Array[AnyRef](4)
+    override def initialValue(): Array[AnyRef] = new Array[AnyRef](CacheSlots * 2)
   }
 
   def wkbToGeomMemo(wkb: Array[Byte]): Geometry = {
     if (wkb == null || wkb.isEmpty) return null
+    if (wkb.length > CacheMaxEntryBytes) return tlWkbReader.get().read(wkb)
     val m = tlMemo.get()
-    val a0 = m(0).asInstanceOf[Array[Byte]]
-    if (a0 != null && java.util.Arrays.equals(a0, wkb))
-      return m(1).asInstanceOf[Geometry]
-    val a1 = m(2).asInstanceOf[Array[Byte]]
-    if (a1 != null && java.util.Arrays.equals(a1, wkb)) {
-      val g = m(3) // promote, so an alternating (outer, inner) pattern keeps the outer pinned
-      m(2) = m(0); m(3) = m(1); m(0) = a1; m(1) = g
-      return g.asInstanceOf[Geometry]
-    }
+    val i = (java.util.Arrays.hashCode(wkb) & (CacheSlots - 1)) << 1
+    val k = m(i).asInstanceOf[Array[Byte]]
+    if (k != null && java.util.Arrays.equals(k, wkb))
+      return m(i + 1).asInstanceOf[Geometry]
     val g = tlWkbReader.get().read(wkb)
-    m(2) = m(0); m(3) = m(1); m(0) = wkb; m(1) = g
+    m(i) = wkb; m(i + 1) = g
     g
   }
 
