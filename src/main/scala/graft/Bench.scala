@@ -72,7 +72,14 @@ object Bench {
       // median-of-N (default 3), isolation before every run: a single run
       // in-suite can be 6-14x inflated by neighboring queries' leftover
       // block/GC pressure that one unpersist+gc doesn't fully drain; the
-      // median of three isolated runs converges on the standalone cost
+      // median of three isolated runs converges on the standalone cost.
+      // One UNMEASURED warmup execution first: the first run of a query
+      // pays its codegen classes' JIT compilation (measured 2-4x on the
+      // pairwise spatial kernels), which belongs to the JVM, not the
+      // query — without it a 3-run median still carries warmup whenever
+      // the remaining variance puts the second-slowest run first
+      isolate()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       val runs = (1 to runsPerQuery).map { i =>
         isolate()
         val g0 = gcMillis
