@@ -325,8 +325,12 @@ object GridNearestJoin {
 
     val out = new scala.collection.mutable.ArrayBuffer[DataFrame]
     // materialize the binned right side once — every round reuses it
-    // (lazy: its blocks persist inside round 0's job)
-    val rMat = materialize(r)
+    // (lazy: its blocks persist inside round 0's job). Pre-partitioned by
+    // cell BEFORE the snapshot: localCheckpoint preserves
+    // outputPartitioning, so every ring round's probe join reads the
+    // snapshot exchange-free and shuffles only the (shrinking) left side
+    // — one up-front shuffle of the big side instead of one per round
+    val rMat = materialize(r.repartition(col(cell)))
     // a left envelope spanning >= 2·(maxHorizon+1) cells on either axis
     // can never sit strictly inside any examined block, so its margin is
     // <= 0 at every horizon — ring rounds would re-explode and
@@ -336,7 +340,11 @@ object GridNearestJoin {
     val hopelessPred =
       (element_at(col(env), 3) - element_at(col(env), 1) >= maxSpan) ||
         (element_at(col(env), 4) - element_at(col(env), 2) >= maxSpan)
-    val l0m = materialize(l0)
+    // pre-partitioned by the row id for the same reason: the per-round
+    // join-back (withLeft) and the carry merge then find both sides
+    // hash-partitioned on lid (groupBy output == repartition layout) and
+    // plan no exchange at all on the snapshot side
+    val l0m = materialize(l0.repartition(col(lid)))
     // one job: total + hopeless counts off the same snapshot scan
     val counts = l0m.agg(count(lit(1)), count(when(hopelessPred, lit(1)))).head()
     val hopelessN = counts.getLong(1)
