@@ -299,9 +299,15 @@ object Dedup {
           "raise maxIters or pass onCapHit to accept truncated labels")): DataFrame = {
     // snapshot the symmetrized edge list ONCE — every round re-reads it,
     // and leaving it lazy would re-run the (possibly expensive) pair
-    // computation upstream once per round
+    // computation upstream once per round. Pre-partitioned by the join
+    // key `b`: localCheckpoint preserves outputPartitioning, so every
+    // round's neighbour-min join reads the (big, static) edge snapshot
+    // exchange-free — the labels side is partitioned by `node` (below),
+    // and HashPartitioning(b) / HashPartitioning(node) are compatible on
+    // the b = node join, so the join plans NO exchange at all
     val edges = materialize(pairs.select(col(iCol).as("a"), col(jCol).as("b"))
-      .unionByName(pairs.select(col(jCol).as("a"), col(iCol).as("b"))))
+      .unionByName(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
+      .repartition(col("b")))
     var labels = materialize(
       edges.select(col("a").as("node")).distinct().withColumn("comp", col("node")))
     var changed = 1L
@@ -327,7 +333,11 @@ object Dedup {
           col("x.comp") === col("jn"))
         .select(col("x.node").as("node"), col("jc").as("comp"),
           (col("x.__chg") || col("jc") < col("x.comp")).as("__chg"))
-      val snap = materialize(next)
+      // re-key the round's output by `node` before snapshotting: the jump
+      // join leaves it partitioned by comp, but the NEXT round consumes
+      // it keyed by node (neighbour-min join + jump y-side) — one slim
+      // (node, comp) shuffle here buys two exchange-free joins there
+      val snap = materialize(next.repartition(col("node")))
       changed = snap.where(col("__chg")).count()
       labels = snap.drop("__chg")
       iter += 1
