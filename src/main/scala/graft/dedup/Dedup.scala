@@ -300,11 +300,13 @@ object Dedup {
     // snapshot the symmetrized edge list ONCE — every round re-reads it,
     // and leaving it lazy would re-run the (possibly expensive) pair
     // computation upstream once per round. Pre-partitioned by the join
-    // key `b`: localCheckpoint preserves outputPartitioning, so every
-    // round's neighbour-min join reads the (big, static) edge snapshot
-    // exchange-free — the labels side is partitioned by `node` (below),
-    // and HashPartitioning(b) / HashPartitioning(node) are compatible on
-    // the b = node join, so the join plans NO exchange at all
+    // key `b` (see tools/PartProbe + PlanAuditSpec's preservation pin):
+    // the snapshot's partitions are balanced by the key rather than
+    // inheriting the upstream layout, and on AQE-off sessions
+    // localCheckpoint preserves the partitioning so every round's
+    // neighbour-min join reads the (big, static) edge snapshot
+    // exchange-free against the node-keyed labels side. (AQE re-plans
+    // the snapshot-side exchange per round; the layout stays right.)
     val edges = materialize(pairs.select(col(iCol).as("a"), col(jCol).as("b"))
       .unionByName(pairs.select(col(jCol).as("a"), col(iCol).as("b")))
       .repartition(col("b")))
@@ -334,9 +336,11 @@ object Dedup {
         .select(col("x.node").as("node"), col("jc").as("comp"),
           (col("x.__chg") || col("jc") < col("x.comp")).as("__chg"))
       // re-key the round's output by `node` before snapshotting: the jump
-      // join leaves it partitioned by comp, but the NEXT round consumes
-      // it keyed by node (neighbour-min join + jump y-side) — one slim
-      // (node, comp) shuffle here buys two exchange-free joins there
+      // join leaves it partitioned (and possibly skewed) by comp, but the
+      // NEXT round consumes it keyed by node — one slim (node, comp)
+      // shuffle here keeps label partitions balanced as components merge
+      // (comp values concentrate on few labels; node stays uniform), and
+      // on AQE-off sessions makes the next round's joins exchange-free
       val snap = materialize(next.repartition(col("node")))
       changed = snap.where(col("__chg")).count()
       labels = snap.drop("__chg")

@@ -326,10 +326,17 @@ object GridNearestJoin {
     val out = new scala.collection.mutable.ArrayBuffer[DataFrame]
     // materialize the binned right side once — every round reuses it
     // (lazy: its blocks persist inside round 0's job). Pre-partitioned by
-    // cell BEFORE the snapshot: localCheckpoint preserves
-    // outputPartitioning, so every ring round's probe join reads the
-    // snapshot exchange-free and shuffles only the (shrinking) left side
-    // — one up-front shuffle of the big side instead of one per round
+    // cell BEFORE the snapshot, which buys two distinct things (see
+    // tools/PartProbe + PlanAuditSpec's preservation pin):
+    //  - ALWAYS: the snapshot's partitions are balanced by cell rather
+    //    than inheriting the scan layout (a single-file right side is ONE
+    //    partition otherwise — every ring round then reads the whole
+    //    snapshot on one core);
+    //  - with AQE off: localCheckpoint preserves outputPartitioning, so
+    //    every round's probe join reads the snapshot exchange-free and
+    //    shuffles only the shrinking left side. (AQE re-plans the
+    //    snapshot-side exchange per round — its skew/coalesce benefits
+    //    come at that price; the layout is correct either way.)
     val rMat = materialize(r.repartition(col(cell)))
     // a left envelope spanning >= 2·(maxHorizon+1) cells on either axis
     // can never sit strictly inside any examined block, so its margin is
@@ -340,10 +347,10 @@ object GridNearestJoin {
     val hopelessPred =
       (element_at(col(env), 3) - element_at(col(env), 1) >= maxSpan) ||
         (element_at(col(env), 4) - element_at(col(env), 2) >= maxSpan)
-    // pre-partitioned by the row id for the same reason: the per-round
-    // join-back (withLeft) and the carry merge then find both sides
-    // hash-partitioned on lid (groupBy output == repartition layout) and
-    // plan no exchange at all on the snapshot side
+    // pre-partitioned by the row id for the same two reasons: balanced
+    // parallelism for every round's join-back scan regardless of the
+    // left scan's file layout, and (AQE off) exchange-free join-backs —
+    // groupBy output and repartition layout are both hash(lid)
     val l0m = materialize(l0.repartition(col(lid)))
     // one job: total + hopeless counts off the same snapshot scan
     val counts = l0m.agg(count(lit(1)), count(when(hopelessPred, lit(1)))).head()

@@ -95,4 +95,44 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
       .queryExecution.executedPlan.toString
     withClue(plan) { plan should not include "Exchange" }
   }
+
+  it should "preserve snapshot partitioning across localCheckpoint when AQE is off (iterative-join contract)" in {
+    // GridNearestJoin and Dedup.clusterPairs pre-partition their
+    // long-lived snapshots. On AQE-OFF sessions that makes every
+    // per-round join read the snapshot exchange-free (localCheckpoint's
+    // LogicalRDD keeps outputPartitioning); under AQE — the default —
+    // the snapshot side is re-planned with its own exchange each round
+    // (probed exhaustively across lazy/eager and explicit-N in
+    // tools/PartProbe). Pin BOTH behaviors: a Spark upgrade that drops
+    // the AQE-off preservation silently re-shuffles big static snapshots
+    // every round on clusters that disable AQE, and one that STARTS
+    // preserving under AQE means the operators' comments (and possibly
+    // their layout choices) should be revisited — fail HERE either way.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def exchangesInJoinPlan(aqe: Boolean): Int = {
+      val prevB = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+      val prevA = spark.conf.getOption("spark.sql.adaptive.enabled")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", aqe.toString)
+      try {
+        val base = (1 to 1000).toDF("id").withColumn("payload", col("id") * 2)
+        val snap = base.repartition(col("id")).localCheckpoint(false)
+        val agg = base.groupBy("id").agg(count(lit(1)).as("n"))
+        val joined = agg.join(snap, Seq("id"))
+        joined.count() // let AQE finalize before reading the plan
+        joined.queryExecution.executedPlan.toString
+          .linesIterator.count(_.contains("Exchange hashpartitioning"))
+      } finally {
+        def restore(k: String, v: Option[String]): Unit =
+          v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+        restore("spark.sql.autoBroadcastJoinThreshold", prevB)
+        restore("spark.sql.adaptive.enabled", prevA)
+      }
+    }
+    // AQE off: only the agg side exchanges — the snapshot side is read
+    // in place. AQE on: both sides exchange (current Spark behavior).
+    exchangesInJoinPlan(aqe = false) shouldBe 1
+    exchangesInJoinPlan(aqe = true) shouldBe 2
+  }
 }
