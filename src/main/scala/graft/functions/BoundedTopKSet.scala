@@ -5,7 +5,7 @@ import scala.collection.mutable
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{CaseWhen, CreateNamedStruct, Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
@@ -87,7 +87,58 @@ case class BoundedTopKSet(
     case other => InternalRow.copyValue(other)
   }
 
+  // Quick-reject on the struct's FIRST field (the primary sort key,
+  // dist in the grid join): once the buffer is full, a candidate whose
+  // key is STRICTLY greater than the current k-th's key cannot enter
+  // the set under lexicographic struct ordering, no matter its
+  // tie-break fields — skip it before evaluating the full struct. The
+  // struct construction (an interpreted per-pair GenericInternalRow
+  // allocation) is the dominant update cost on exhaustive passes, and
+  // after the buffer warms, almost every candidate rejects. Key-EQUAL
+  // candidates fall through to the full compare (the tie-break could
+  // still beat the k-th). Recognizes the two shapes the grid join
+  // produces — bare struct(...) and when(cond, struct(...)); for the
+  // guarded shape the GUARD evaluates first and a false guard skips
+  // outright (the full eval would have produced null), so the key
+  // expression is only ever evaluated where the full eval would have —
+  // identical exception semantics.
+  @transient private lazy val quickKey: Option[(Option[Expression], Expression, Ordering[Any])] = {
+    val shape = child match {
+      case cns: CreateNamedStruct => Some((None: Option[Expression], cns))
+      case CaseWhen(Seq((cond, cns: CreateNamedStruct)), None) => Some((Some(cond), cns))
+      case _ => None
+    }
+    // deterministic-only: the guard/key re-evaluate alongside the full
+    // child.eval, which is only sound when repeated evaluation agrees
+    shape.filter { case (cond, cns) =>
+      cond.forall(_.deterministic) && cns.valExprs.head.deterministic
+    }.map { case (cond, cns) =>
+      val key = cns.valExprs.head
+      (cond, key, TypeUtils.getInterpretedOrdering(key.dataType))
+    }
+  }
+  @transient private lazy val keyType: DataType = child.dataType match {
+    case s: StructType => s.head.dataType
+    case other => other
+  }
+
   override def update(buffer: mutable.TreeSet[Any], input: InternalRow): mutable.TreeSet[Any] = {
+    quickKey match {
+      case Some((condOpt, keyExpr, keyOrd)) =>
+        condOpt match {
+          case Some(cond) =>
+            val c = cond.eval(input)
+            if (c == null || !c.asInstanceOf[Boolean]) return buffer // full eval => null
+          case None => ()
+        }
+        if (buffer.size >= k) {
+          val kv = keyExpr.eval(input)
+          if (kv != null &&
+            keyOrd.compare(kv, buffer.last.asInstanceOf[InternalRow].get(0, keyType)) > 0)
+            return buffer
+        }
+      case None => ()
+    }
     val v = child.eval(input)
     if (v != null) add(buffer, v, copied = false)
     buffer
