@@ -265,14 +265,26 @@ object GridNearestJoin {
     // the collect_list-then-slice formulation materializes EVERY
     // candidate per group (measured 10× slower on the exhaustive
     // fallback, unbounded memory at scale)
-    val bestAgg: Column =
-      if (k == 1) min(when(candOk, candStruct))
-      else graft.functions.BoundedTopKSet.topKSet(when(candOk, candStruct), k)
-    def bestOf(cands: DataFrame): DataFrame =
-      cands
+    // Both k regimes aggregate through BoundedTopKSet (hash aggregate
+    // with a primary-key quick-reject per pair). The k = 1 case
+    // previously used min(struct) — declarative, but a struct buffer
+    // forces SortAggregateExec, which SORTS every pair row before
+    // aggregating; the object-hash path touches each pair once and
+    // rejects most on a single double compare. k = 1 unwraps the
+    // single-element array back to the nullable struct the rest of the
+    // operator (least-merge, margin test, finalize) expects.
+    val topkAgg: Column =
+      graft.functions.BoundedTopKSet.topKSet(when(candOk, candStruct), k)
+    def bestOf(cands: DataFrame): DataFrame = {
+      val grouped = cands
         .withColumn(dist, GeoExpressions.stDistance(col(lw), col(rw)))
         .groupBy(col(lid))
-        .agg(bestAgg.as("__g_best0"))
+        .agg(topkAgg.as("__g_topk0"))
+      if (k == 1)
+        grouped.select(col(lid),
+          try_element_at(col("__g_topk0"), lit(1)).as("__g_best0"))
+      else grouped.withColumnRenamed("__g_topk0", "__g_best0")
+    }
 
     // resolution test: the k-th best (the ONLY best for k = 1) must beat
     // the margin — unexamined candidates are >= margin away and cannot
