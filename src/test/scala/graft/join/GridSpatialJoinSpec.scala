@@ -202,6 +202,45 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "apply the extra condition inside kNN ranking (nearest-satisfying, k > 1)" in {
+    // kNN + condition: the k ranked rows per input must be the k nearest
+    // rows SATISFYING the condition (candidates failing it never consume
+    // a rank) — the guarded when(cond, struct) aggregate shape, covering
+    // the quick-reject's guard-first path. Ring and fallback regimes
+    // must agree with the filtered brute force exactly, rank for rank.
+    import org.apache.spark.sql.functions.col
+    import graft.functions.GeoExpressions
+    val rnd = new scala.util.Random(11)
+    val input = (0 until 80).map(i =>
+      (s"i$i", rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 20 - 10, i % 3))
+      .toDF("id", "lon", "lat", "grp")
+    val data = (0 until 40).map(i =>
+      (s"d$i", rnd.nextDouble() * 40 - 20, rnd.nextDouble() * 20 - 10, i % 3))
+      .toDF("poi_id", "plon", "plat", "pgrp")
+    val brute = input.crossJoin(data)
+      .where(col("grp") =!= col("pgrp"))
+      .withColumn("d2", (col("lon") - col("plon")) * (col("lon") - col("plon"))
+        + (col("lat") - col("plat")) * (col("lat") - col("plat")))
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("id")
+          .orderBy(col("d2"), col("poi_id"))))
+      .where(col("rn") <= 2)
+      .select("id", "poi_id", "rn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2).toLong)).toSet
+    for ((fb, fp) <- Seq((0L, 0L), (Long.MaxValue, 0L))) { // rings-only, fallback-only
+      val got = GridNearestJoin.knearest(
+        input, data,
+        GeoExpressions.wkbPoint(col("lon"), col("lat")),
+        GeoExpressions.wkbPoint(col("plon"), col("plat")),
+        k = 2, cellDeg = 2.0, tieBreak = Some(col("poi_id")),
+        condition = Some(col("grp") =!= col("pgrp")),
+        fallbackBelow = fb, fallbackPairs = fp)
+        .select("id", "poi_id", "knn_rank")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      withClue(s"fallbackBelow=$fb fallbackPairs=$fp: ") { got shouldBe brute }
+    }
+  }
+
   it should "expose kNN through the transformer (gridKnn param)" in {
     import org.apache.spark.sql.functions.col
     val input = pts(30, "i")
