@@ -403,6 +403,28 @@ object SparkEntry {
           when(size(col("sh")) > 0,
             array_min(transform(col("sh"), s => md5(s.cast("binary"))))).as("fp_shingle"))),
 
+    // End-to-end curation pipeline — the composition the extension
+    // surface exists for: profile (tokens, quality ratios, language) →
+    // filter (predicted-English, long enough, not degenerate) → exact
+    // dedup keeping only canonical rows. One Catalyst plan: profiling is
+    // map-only, the dedup is the digest-keyed window, the final join
+    // prunes to the canonical survivors.
+    "pipeline_curate" -> ((s, dir) => {
+      val profiled = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), col("text"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          TextFunctions.stopwordRatio(col("ws")).as("stop_ratio"),
+          TextFunctions.distinctTokenRatio(col("ws")).as("distinct_ratio"),
+          TextFunctions.langId(col("ws")).as("lang_pred"))
+      val kept = profiled.where(col("lang_pred") === "en" &&
+        col("n_tokens") >= 5 && col("distinct_ratio") >= 0.3)
+      val canon = graft.dedup.Dedup.exactCanon(kept, "doc_id", "text")
+        .where(col("doc_id") === col("canon_id")).select("doc_id")
+      kept.join(canon, "doc_id")
+        .select("doc_id", "n_tokens", "stop_ratio", "lang_pred")
+    }),
+
     // --- similarity search ---------------------------------------------
 
     "simsearch_topk" -> ((s, dir) => {
@@ -631,6 +653,19 @@ object SparkEntry {
   private def langScore(markers: Seq[String]) =
     s"len(list_filter(ws, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
 
+  // marker-count argmax over a token list `ws` — the exact SQL mirror of
+  // TextFunctions.langId; shared by the text_langid and pipeline_curate
+  // oracles so the two can never drift
+  private val langPredSql: String = {
+    val scores = TextFunctions.LangMarkers.map { case (lang, ws) => lang -> langScore(ws) }
+    val caseChain = scores.zipWithIndex.map { case ((lang, sc), i) =>
+      val others = scores.zipWithIndex.collect { case ((_, o), j) if j != i => o }
+      s"WHEN ${others.map(o => s"$sc >= $o").mkString(" AND ")} THEN '$lang'"
+    }.mkString(" ")
+    s"""CASE WHEN ${scores.map(_._2).mkString(" + ")} > 0
+       |     THEN (CASE $caseChain ELSE 'und' END) ELSE 'und' END""".stripMargin
+  }
+
   // exact brute-force cosine top-10 — oracle for BOTH simsearch_topk and
   // simsearch_lsh (the gate's LSH settings retrieve exhaustively)
   private val simsearchExactTopkSql =
@@ -844,18 +879,28 @@ object SparkEntry {
          |    CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END distinct_ratio
          |FROM t""".stripMargin,
 
-    "text_langid" -> {
-      val scores = TextFunctions.LangMarkers.map { case (lang, ws) => lang -> langScore(ws) }
-      val caseChain = scores.zipWithIndex.map { case ((lang, sc), i) =>
-        val others = scores.zipWithIndex.collect { case ((_, o), j) if j != i => o }
-        s"WHEN ${others.map(o => s"$sc >= $o").mkString(" AND ")} THEN '$lang'"
-      }.mkString(" ")
+    "text_langid" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents)
-         |SELECT doc_id,
-         |  CASE WHEN ${scores.map(_._2).mkString(" + ")} > 0
-         |       THEN (CASE $caseChain ELSE 'und' END) ELSE 'und' END lang_pred
-         |FROM t""".stripMargin
-    },
+         |SELECT doc_id, $langPredSql lang_pred
+         |FROM t""".stripMargin,
+
+    // profile -> filter -> canonical-only exact dedup, mirroring the
+    // composed Spark pipeline stage for stage (same token/ratio/langid
+    // fragments as text_quality/text_langid, same min-id canonicalization
+    // as dedup_exact)
+    "pipeline_curate" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),
+         |p AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) n_tokens,
+         |        CASE WHEN len(ws) > 0 THEN
+         |          CAST(${langScore(TextFunctions.Stopwords)} AS DOUBLE) / CAST(len(ws) AS DOUBLE) END stop_ratio,
+         |        CASE WHEN len(ws) > 0 THEN
+         |          CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END distinct_ratio,
+         |        $langPredSql lang_pred
+         |      FROM t),
+         |k AS (SELECT * FROM p WHERE lang_pred = 'en' AND n_tokens >= 5 AND distinct_ratio >= 0.3),
+         |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon FROM k)
+         |SELECT k.doc_id, n_tokens, stop_ratio, lang_pred
+         |FROM k JOIN c ON k.doc_id = c.doc_id AND c.doc_id = c.canon""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),
