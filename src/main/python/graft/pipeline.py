@@ -122,6 +122,17 @@ def text_profile(df, id_col="doc_id", text_col="text"):
     return _wrap(df, _facade(df).textProfile(df._jdf, id_col, text_col))
 
 
+def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,
+           min_distinct_ratio=0.3):
+    """Profile -> language/length/degeneracy filter -> canonical-only
+    exact dedup, one Catalyst plan (the `pipeline_curate` gate path).
+    Output: (id, text, n_tokens, stop_ratio, distinct_ratio, lang_pred),
+    canonical rows only."""
+    return _wrap(df, _facade(df).curate(df._jdf, id_col, text_col, lang,
+                                        int(min_tokens),
+                                        float(min_distinct_ratio)))
+
+
 # --- multimodal ----------------------------------------------------------
 
 def with_decoded_meta(df, content_col="content"):

@@ -85,6 +85,15 @@ class TestText(object):
 
 class TestStreamingUnified(object):
 
+    def test_curate(self, docs):
+        # docs 0/1/3 are stopword-rich English; 3 duplicates 0 (dropped by
+        # canonical-only dedup); 2 has no stopwords -> langId 'und'; 4 is
+        # under min_tokens. Survivors: the canonical English rows 0 and 1.
+        got = P.curate(docs, min_tokens=5, min_distinct_ratio=0.3)
+        assert sorted(r["doc_id"] for r in got.collect()) == [0, 1]
+        row = {r["doc_id"]: r for r in got.collect()}[0]
+        assert row["lang_pred"] == "en" and row["n_tokens"] == 9
+
     def test_first_per_content(self, docs, local_spark):
         from pyspark.sql import functions as F
         stamped = docs.withColumn("ts", F.col("doc_id").cast("long"))

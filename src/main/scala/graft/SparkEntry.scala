@@ -409,21 +409,10 @@ object SparkEntry {
     // dedup keeping only canonical rows. One Catalyst plan: profiling is
     // map-only, the dedup is the digest-keyed window, the final join
     // prunes to the canonical survivors.
-    "pipeline_curate" -> ((s, dir) => {
-      val profiled = tbl(s, dir, "documents")
-        .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
-        .select(col("doc_id"), col("text"),
-          size(col("ws")).cast("long").as("n_tokens"),
-          TextFunctions.stopwordRatio(col("ws")).as("stop_ratio"),
-          TextFunctions.distinctTokenRatio(col("ws")).as("distinct_ratio"),
-          TextFunctions.langId(col("ws")).as("lang_pred"))
-      val kept = profiled.where(col("lang_pred") === "en" &&
-        col("n_tokens") >= 5 && col("distinct_ratio") >= 0.3)
-      val canon = graft.dedup.Dedup.exactCanon(kept, "doc_id", "text")
-        .where(col("doc_id") === col("canon_id")).select("doc_id")
-      kept.join(canon, "doc_id")
-        .select("doc_id", "n_tokens", "stop_ratio", "lang_pred")
-    }),
+    "pipeline_curate" -> ((s, dir) =>
+      graft.api.PyFacade.curate(tbl(s, dir, "documents"),
+        "doc_id", "text", lang = "en", minTokens = 5, minDistinctRatio = 0.3)
+        .select("doc_id", "n_tokens", "stop_ratio", "lang_pred")),
 
     // --- similarity search ---------------------------------------------
 

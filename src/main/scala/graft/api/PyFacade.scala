@@ -94,6 +94,29 @@ object PyFacade {
         TextFunctions.langId(col("__ws")).as("lang"),
         TextFunctions.md5Fingerprint(col("__t")).as("fingerprint"))
 
+  /** End-to-end curation: profile (tokens, quality ratios, language) →
+    * filter (predicted language, minimum length, degeneracy floor) →
+    * exact dedup keeping only canonical rows — one Catalyst plan. The
+    * composition the pipeline operators exist for; `pipeline_curate` in
+    * the correctness gate pins this exact method against a DuckDB
+    * oracle. Output: (idCol, textCol, n_tokens, stop_ratio,
+    * distinct_ratio, lang_pred), canonical rows only. */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      lang: String, minTokens: Int, minDistinctRatio: Double): DataFrame = {
+    val profiled = df
+      .select(col(idCol), col(textCol), TextFunctions.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), col(textCol),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        TextFunctions.stopwordRatio(col("__ws")).as("stop_ratio"),
+        TextFunctions.distinctTokenRatio(col("__ws")).as("distinct_ratio"),
+        TextFunctions.langId(col("__ws")).as("lang_pred"))
+    val kept = profiled.where(col("lang_pred") === lang &&
+      col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
+    val canon = graft.dedup.Dedup.exactCanon(kept, idCol, textCol)
+      .where(col(idCol) === col("canon_id")).select(col(idCol))
+    kept.join(canon, idCol)
+  }
+
   // --- multimodal -------------------------------------------------------
 
   def withDecodedMeta(df: DataFrame, contentCol: String): DataFrame =
