@@ -36,6 +36,13 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Heap size in MB resolved from SPARK_DRIVER_MEM ("8g" / "512m" / MB number)
+val graftHeapMb: Long = {
+  val s = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
+  val n = s.takeWhile(_.isDigit) match { case "" => 8192L; case d => d.toLong }
+  if (s.endsWith("g")) n * 1024 else if (s.endsWith("k")) math.max(n / 1024, 1L) else n
+}
+val graftYoungGenMb: Long = math.max(math.min(graftHeapMb / 4, 2048L), 16L)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
@@ -50,8 +57,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-XX:+UseParallelGC",
   // ... and pin the young gen as well: ParallelGC's adaptive size policy
   // re-shrinks it under pause-time pressure, recreating the same
-  // promotion storm non-deterministically
-  "-Xmn2g",
+  // promotion storm non-deterministically. Sized from the resolved heap
+  // (quarter of it, capped at the measured 2g sweet spot) so a small
+  // SPARK_DRIVER_MEM doesn't ask for a young gen larger than the heap.
+  s"-Xmn${graftYoungGenMb}m",
   // Janino codegen loads thousands of classes; every Metaspace
   // high-water-mark expansion from the default ~21 MB triggers a
   // "Metadata GC Threshold" FULL collection — measured as 30s+ GC storms

@@ -69,8 +69,19 @@ object Bench {
       spark.catalog.clearCache()
       System.gc()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter(q => only.isEmpty || only(q._1)).map { case (name, fn) =>
+    // a query that throws must produce a VISIBLY failed artifact: its
+    // error message is recorded per-query (never a fake ~0s timing that
+    // would make a broken run look faster) and the process exits nonzero
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // dev aid: SPARK_GRAFT_FAIL=1 injects a query that throws at run time,
+    // to exercise the failure path end-to-end (errors recorded, exit 1)
+    val injected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (sys.env.contains("SPARK_GRAFT_FAIL"))
+        Seq("zz_deliberate_failure" -> ((s: SparkSession, _: String) =>
+          s.range(1).selectExpr("assert_true(id > 0) ok")))
+      else Nil
+    val results = (SparkEntry.queries.toSeq ++ injected).sortBy(_._1)
+      .filter(q => only.isEmpty || only(q._1)).flatMap { case (name, fn) =>
       // median-of-N (default 3), isolation before every run: a single run
       // in-suite can be 6-14x inflated by neighboring queries' leftover
       // block/GC pressure that one unpersist+gc doesn't fully drain; the
@@ -80,23 +91,52 @@ object Bench {
       // pairwise spatial kernels), which belongs to the JVM, not the
       // query — without it a 3-run median still carries warmup whenever
       // the remaining variance puts the second-slowest run first
+      // full-evaluation action: the noop sink consumes every output row
+      // with all columns materialized. A bare count() lets Catalyst prune
+      // the computed columns away entirely — map-only queries (the text
+      // family) would measure the scan, not the work, and a query whose
+      // projection throws would "pass"
+      def execute(): Unit =
+        fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       isolate()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      val runs = (1 to runsPerQuery).map { i =>
-        isolate()
-        val g0 = gcMillis
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val dt = (System.nanoTime() - t0) / 1e9
-        System.err.println(f"[bench] $name run$i $dt%7.3fs gc=${gcMillis - g0}ms")
-        dt
-      }.sorted
-      name -> runs(runs.length / 2)
+      try {
+        execute() // warmup — a throw here fails the query
+        val runs = (1 to runsPerQuery).map { i =>
+          isolate()
+          val g0 = gcMillis
+          val t0 = System.nanoTime()
+          execute()
+          val dt = (System.nanoTime() - t0) / 1e9
+          System.err.println(f"[bench] $name run$i $dt%7.3fs gc=${gcMillis - g0}ms")
+          dt
+        }.sorted
+        Some(name -> runs(runs.length / 2))
+      } catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(300)}"
+          System.err.println(s"[bench] $name FAILED $msg")
+          errors(name) = msg
+          None
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""errors":$errJson,"sf":"$sfDir"}"""
+    println(json)
+    // sbt prefixes every forked stdout/stderr line with [info]/[error],
+    // which breaks the driver's JSON parse — also write the result line
+    // to a file it can read verbatim
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

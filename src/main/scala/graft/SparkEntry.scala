@@ -407,8 +407,8 @@ object SparkEntry {
     // surface exists for: profile (tokens, quality ratios, language) →
     // filter (predicted-English, long enough, not degenerate) → exact
     // dedup keeping only canonical rows. One Catalyst plan: profiling is
-    // map-only, the dedup is the digest-keyed window, the final join
-    // prunes to the canonical survivors.
+    // map-only, the dedup is a map-side-combined min-id-per-digest
+    // aggregation, and a semi-join prunes to the canonical survivors.
     "pipeline_curate" -> ((s, dir) =>
       graft.api.PyFacade.curate(tbl(s, dir, "documents"),
         "doc_id", "text", lang = "en", minTokens = 5, minDistinctRatio = 0.3)

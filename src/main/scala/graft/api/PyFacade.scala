@@ -112,9 +112,10 @@ object PyFacade {
         TextFunctions.langId(col("__ws")).as("lang_pred"))
     val kept = profiled.where(col("lang_pred") === lang &&
       col("n_tokens") >= minTokens && col("distinct_ratio") >= minDistinctRatio)
-    val canon = graft.dedup.Dedup.exactCanon(kept, idCol, textCol)
-      .where(col(idCol) === col("canon_id")).select(col(idCol))
-    kept.join(canon, idCol)
+    // canonical-only dedup: one map-side-combined min-id aggregation per
+    // digest (Dedup.canonIds — the skew-safe shape, see DedupSkewSpec),
+    // then a semi-join keeps exactly the surviving rows
+    kept.join(Dedup.canonIds(kept, idCol, textCol), Seq(idCol), "left_semi")
   }
 
   // --- multimodal -------------------------------------------------------

@@ -1,7 +1,6 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.WordShingles
@@ -35,12 +34,45 @@ import graft.text.TextFunctions
 object Dedup {
 
   /** For every row: the minimum id among rows with byte-identical text.
-    * Shuffles md5 digests (16 bytes/row), not text payloads. */
-  def exactCanon(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(
-      col(idCol),
-      min(col(idCol)).over(Window.partitionBy(md5(col(textCol).cast("binary"))))
-        .as("canon_id"))
+    * Shuffles md5 digests (16 bytes/row), not text payloads.
+    *
+    * Shape: groupBy(digest).agg(min(id)) + equi-join back — NOT a
+    * min-over-window-partitionBy(digest). The window form sends every row
+    * of a duplicate cluster to ONE task and sorts it there (no partial
+    * aggregation, and AQE cannot split a window partition), so a
+    * 100M-copy boilerplate cluster at 100 TB becomes a single straggler
+    * task. The aggregate form collapses a hot digest to one row per map
+    * task before the shuffle, and the join back is a plain equi-join
+    * that AQE's skewed-join split CAN break into mapper-range chunks
+    * (pinned by DedupSkewSpec with a pathological single-text cluster).
+    *
+    * The aggregation groups by (digest, prefix-of-digest). The derived
+    * second key changes nothing semantically (it is constant within a
+    * digest) but keeps the agg's output partitioning from satisfying the
+    * join's requirement, so the canon side re-shuffles its AGGREGATED
+    * rows (one per distinct digest — negligible) through a join-owned
+    * ENSURE_REQUIREMENTS exchange. Without it, Spark fuses the final
+    * aggregate into the join stage and OptimizeSkewedJoin's
+    * Sort+ShuffleRead pattern never matches — the hot probe partition
+    * would run as one giant task after all. */
+  def exactCanon(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val digests = df.select(col(idCol), md5(col(textCol).cast("binary")).as("__digest"))
+    val canon = digests
+      .groupBy(col("__digest"), substring(col("__digest"), 1, 4))
+      .agg(min(col(idCol)).as("canon_id"))
+      .select(col("__digest"), col("canon_id"))
+    digests.join(canon, "__digest").select(col(idCol), col("canon_id"))
+  }
+
+  /** Canonical-survivor ids only: the minimum id per distinct text. One
+    * map-side-combined aggregation, no join back — the right operand for
+    * "keep canonical rows" compositions ([[graft.api.PyFacade.curate]]),
+    * which semi-join the input against this instead of computing
+    * [[exactCanon]]'s full row→canon mapping and filtering id == canon. */
+  def canonIds(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol).cast("binary")).as("__digest"))
+      .groupBy(col("__digest")).agg(min(col(idCol)).as(idCol))
+      .select(idCol)
 
   /** (docId, shingleArray) projection shared by the dedup operators.
     * Tokens materialize as a column first: higher-order lambdas over a bound

@@ -109,9 +109,12 @@ case class BoundedTopKSet(
       case _ => None
     }
     // deterministic-only: the guard/key re-evaluate alongside the full
-    // child.eval, which is only sound when repeated evaluation agrees
+    // child.eval, which is only sound when repeated evaluation agrees.
+    // valExprs.nonEmpty: a zero-field struct is orderable (and passes
+    // checkInputDataTypes) but has no key — degrade to no optimization
     shape.filter { case (cond, cns) =>
-      cond.forall(_.deterministic) && cns.valExprs.head.deterministic
+      cns.valExprs.nonEmpty &&
+        cond.forall(_.deterministic) && cns.valExprs.head.deterministic
     }.map { case (cond, cns) =>
       val key = cns.valExprs.head
       (cond, key, TypeUtils.getInterpretedOrdering(key.dataType))
@@ -133,9 +136,13 @@ case class BoundedTopKSet(
         }
         if (buffer.size >= k) {
           val kv = keyExpr.eval(input)
-          if (kv != null &&
-            keyOrd.compare(kv, buffer.last.asInstanceOf[InternalRow].get(0, keyType)) > 0)
-            return buffer
+          if (kv != null) {
+            val bk = buffer.last.asInstanceOf[InternalRow].get(0, keyType)
+            // null k-th key: nulls sort first, so ALL buffered keys are
+            // null and a non-null candidate is strictly greater — reject
+            // (keyOrd.compare(kv, null) would NPE)
+            if (bk == null || keyOrd.compare(kv, bk) > 0) return buffer
+          }
         }
       case None => ()
     }

@@ -45,13 +45,18 @@ object StreamingDedup {
       // batch: deterministic "first" — min event time per digest, ties
       // by the remaining columns (a stream delivers arrival order; a
       // batch table has none, so the order must be declared to be
-      // oracle-able). One shuffle, window over digest groups.
-      import org.apache.spark.sql.expressions.Window
-      val rn = "__dedup_rn"
-      val ord = (col(tsCol) +: df.columns.filterNot(_ == tsCol).map(col)).map(_.asc)
-      withDigest
-        .withColumn(rn, row_number().over(Window.partitionBy(col(digest)).orderBy(ord: _*)))
-        .where(col(rn) === 1).drop(rn, digest)
+      // oracle-able). Shape: groupBy(digest).agg(min(struct(ts, rest)))
+      // — the lexicographic struct minimum IS the declared tie order,
+      // and partial (map-side) aggregation collapses a hot digest to one
+      // row per map task before the single shuffle. The previous
+      // row_number-over-window form sent every copy of a duplicate
+      // cluster to ONE task and sorted it there — the skew-prone shape
+      // Dedup.exactCanon also moved off (see DedupSkewSpec).
+      val ordCols = col(tsCol) +: df.columns.filterNot(_ == tsCol).map(col)
+      val first = "__dedup_first"
+      withDigest.groupBy(col(digest))
+        .agg(min(struct(ordCols: _*)).as(first))
+        .select(df.columns.map(c => col(s"$first.`$c`")): _*)
     }
   }
 }
