@@ -116,10 +116,17 @@ def ivf_top_k_with(queries, candidates, centroids, id_col="vec_id",
 
 # --- text analysis -------------------------------------------------------
 
-def text_profile(df, id_col="doc_id", text_col="text"):
+def text_profile(df, id_col="doc_id", text_col="text", unicode_tokens=False):
     """Per-document profile: n_tokens, bpe_tokens, len_chars,
-    avg_token_len, stopword_ratio, distinct_ratio, lang, fingerprint."""
-    return _wrap(df, _facade(df).textProfile(df._jdf, id_col, text_col))
+    avg_token_len, stopword_ratio, distinct_ratio, lang, fingerprint.
+    ``unicode_tokens=True`` tokenizes on runs of ANY Unicode whitespace
+    (tab / newline / NBSP / ideographic space) instead of the default
+    literal single-space split -- the opt-in for corpora that are not
+    single-space delimited."""
+    fac = _facade(df)
+    jdf = (fac.textProfileUnicode(df._jdf, id_col, text_col)
+           if unicode_tokens else fac.textProfile(df._jdf, id_col, text_col))
+    return _wrap(df, jdf)
 
 
 def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,

@@ -82,6 +82,17 @@ class TestText(object):
         assert row[0]["fingerprint"] == row[3]["fingerprint"]
         assert row[0]["fingerprint"] != row[1]["fingerprint"]
 
+    def test_text_profile_unicode(self, local_spark):
+        # tab / NBSP / ideographic-space delimited text: the default
+        # single-space tokenizer sees ONE token, the unicode opt-in four
+        docs = local_spark.createDataFrame(
+            [(0, u"alpha\tbeta gamma　delta")], ["doc_id", "text"])
+        legacy = P.text_profile(docs).collect()[0]
+        unicode_ = P.text_profile(docs, unicode_tokens=True).collect()[0]
+        assert legacy["n_tokens"] == 1
+        assert unicode_["n_tokens"] == 4
+        assert unicode_["avg_token_len"] == 4.75  # (5+4+5+5)/4
+
 
 class TestStreamingUnified(object):
 

@@ -11,6 +11,10 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // dev aid: SPARK_GRAFT_AQE=false measures the AQE-off behavior the
+      // iterative operators' exchange-free-round comments describe; the
+      // recorded bench always runs the Spark default (on)
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // dev aid: SPARK_GRAFT_STAGES=1 prints per-stage wall/task times
@@ -125,9 +129,17 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
     val qs = results.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // IVF quantizer recall as a RECORDED metric (deterministic clustered
+    // corpus, see graft.similarity.RecallProbe): a regression in the
+    // trained quantizer changes a number in the artifact, not just a
+    // pass/fail bit in the spec suite
+    val (recTrained, recSampled) =
+      try graft.similarity.RecallProbe.measure(spark)
+      catch { case e: Throwable => errors("ivf_recall_probe") = String.valueOf(e.getMessage); (-1.0, -1.0) }
+    val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ivf_recall_at10":{"trained":$recTrained,"sampled":$recSampled},""" +
       s""""errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes every forked stdout/stderr line with [info]/[error],

@@ -403,6 +403,20 @@ object SparkEntry {
           when(size(col("sh")) > 0,
             array_min(transform(col("sh"), s => md5(s.cast("binary"))))).as("fp_shingle"))),
 
+    // Unicode-aware tokenization (tokensUnicode): the corpus is
+    // single-space delimited, so the row would not exercise the class —
+    // inject REAL tab/NBSP delimiters deterministically first
+    // ('a' -> TAB, 'o' -> NBSP; DuckDB replays with chr(9)/chr(160))
+    "text_tokens_unicode" -> ((s, dir) => {
+      val tx = replace(replace(col("text"), lit("a"), lit("\t")),
+        lit("o"), lit("\u00A0"))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokensUnicode(tx).as("ws"))
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("ws")).as("n_tokens_u"),
+          TextFunctions.avgTokenLen(col("ws")).as("avg_token_len_u"))
+    }),
+
     // End-to-end curation pipeline — the composition the extension
     // surface exists for: profile (tokens, quality ratios, language) →
     // filter (predicted-English, long enough, not degenerate) → exact
@@ -897,6 +911,21 @@ object SparkEntry {
          |SELECT t.doc_id, md5(t.text) fp_md5,
          |       list_min(list_transform(sh.sl, s -> md5(s))) fp_shingle
          |FROM t LEFT JOIN sh ON t.doc_id = sh.doc_id""".stripMargin,
+
+    // the shared UnicodeSpaceClass constant rides into the RE2 pattern
+    // verbatim (explicit code points, no \s shorthand — Java and RE2
+    // disagree on it), and the tab/NBSP injection replays via chr()
+    "text_tokens_unicode" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_filter(regexp_split_to_array(
+         |    replace(replace(text, 'a', chr(9)), 'o', chr(160)),
+         |    '${TextFunctions.UnicodeSpaceClass}+'), x -> x != '') ws
+         |  FROM documents)
+         |SELECT doc_id, CAST(len(ws) AS BIGINT) n_tokens_u,
+         |       CASE WHEN len(ws) > 0 THEN
+         |         CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE)
+         |           / CAST(len(ws) AS DOUBLE) END avg_token_len_u
+         |FROM t""".stripMargin,
 
     "simsearch_topk" -> simsearchExactTopkSql,
 

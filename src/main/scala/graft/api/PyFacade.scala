@@ -82,8 +82,20 @@ object PyFacade {
     * the column-function surface flattened into a single DataFrame op
     * (python callers cannot compose `Column` functions directly). */
   def textProfile(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    profileWith(df, idCol, textCol, TextFunctions.tokens)
+
+  /** [[textProfile]] with Unicode-aware tokenization
+    * ([[TextFunctions.tokensUnicode]]): splits on runs of any Unicode
+    * whitespace (tab / newline / NBSP / the U+2000 block / ideographic
+    * space), the opt-in for corpora that are not single-space
+    * delimited. */
+  def textProfileUnicode(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    profileWith(df, idCol, textCol, TextFunctions.tokensUnicode)
+
+  private def profileWith(df: DataFrame, idCol: String, textCol: String,
+      tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
     df.select(col(idCol), col(textCol).as("__t"),
-        TextFunctions.tokens(col(textCol)).as("__ws"))
+        tokenize(col(textCol)).as("__ws"))
       .select(col(idCol),
         TextFunctions.tokenCount(col("__ws")).as("n_tokens"),
         TextFunctions.bpeTokenCount(col("__t")).as("bpe_tokens"),

@@ -1,0 +1,56 @@
+package graft.similarity
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * IVF quantizer recall as a MEASURED NUMBER, not just a pass/fail bit:
+ * recall@10 at nprobe = 2 of nlist = 8 on a deterministic clustered
+ * corpus, for the trained (spherical k-means) and the id-sample coarse
+ * quantizer. `graft.Bench` emits both values into its JSON artifact each
+ * round, so a quantizer regression changes a recorded number; the
+ * PipelineOpsSpec recall pin ("recover recall with trained IVF
+ * centroids") asserts thresholds over the same corpus.
+ *
+ * Corpus (seeded, reproducible): 8 tight unit-vector clusters of 10
+ * vectors each, ID-ORDERED so the first-8-by-id sample quantizer lands
+ * every centroid in cluster 0 — the worst case that separates quantizer
+ * quality from luck.
+ */
+object RecallProbe {
+
+  val Nlist = 8
+  val Nprobe = 2
+  val K = 10
+
+  def corpus(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
+      v.map(_ / n)
+    }
+    val centers = Seq.fill(Nlist)(unit(32))
+    (0 until 80).map { i =>
+      val c = centers(i / 10)
+      (i.toLong, c.zipWithIndex.map { case (x, j) => x + 0.05f * (((i * 31 + j * 7) % 5) - 2) })
+    }.toDF("vec_id", "embedding")
+  }
+
+  /** (trained, sampled) recall@10 against the exact brute-force top-k,
+    * one query per cluster. */
+  def measure(spark: SparkSession): (Double, Double) = {
+    val vecs = corpus(spark)
+    val q = vecs.where(col("vec_id") % 10 === 3)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(q, vecs, "vec_id", "embedding", K))
+    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding", Nlist, iters = 5)
+    val trained = pairs(Similarity.ivfTopKWith(q, vecs, cents, "vec_id", "embedding", K, Nprobe))
+    val sampled = pairs(Similarity.ivfTopK(q, vecs, "vec_id", "embedding", K, Nlist, Nprobe))
+    def recall(got: Set[(Long, Long)]): Double =
+      got.intersect(exact).size.toDouble / exact.size
+    (recall(trained), recall(sampled))
+  }
+}

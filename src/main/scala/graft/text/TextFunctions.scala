@@ -23,6 +23,27 @@ object TextFunctions {
     * Oracle: `list_filter(string_split(text, ' '), x -> x != '')`. */
   def tokens(text: Column): Column = filter(split(text, " ", -1), _ =!= "")
 
+  /** The Unicode whitespace set as ONE explicit character class — the
+    * same discipline as [[BpePattern]]: Java's `\s` and RE2's `\s`
+    * disagree (vertical tab), and neither covers NBSP / NEL / the
+    * typographic U+2000 block / ideographic space, so shorthands would
+    * silently diverge between this and an RE2-based oracle engine. The
+    * class spells the `\p{White_Space}` code points literally; both
+    * regex engines receive byte-identical bytes. */
+  val UnicodeSpaceClass: String =
+    "[ \t\n\u000B\f\r\u0085\u00A0\u1680\u2000-\u200A\u2028\u2029\u202F\u205F\u3000]"
+
+  /** Unicode-aware tokens: split on runs of ANY Unicode whitespace,
+    * empties dropped. [[tokens]] (a literal single-space split) stays
+    * the default for single-space corpora where the oracle contract
+    * wants the cheapest possible split; real corpora delimited by
+    * tab / newline / NBSP / ideographic space under-tokenize there —
+    * this variant is the opt-in for them.
+    * Oracle: `list_filter(regexp_split_to_array(text, '<class>+'), x -> x != '')`
+    * with the identical class. */
+  def tokensUnicode(text: Column): Column =
+    filter(split(text, UnicodeSpaceClass + "+", -1), _ =!= "")
+
   def tokenCount(toks: Column): Column = size(toks).cast("long")
 
   /** The BPE pre-tokenization pattern, whitespace spelled as EXPLICIT

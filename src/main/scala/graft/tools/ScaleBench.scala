@@ -1,0 +1,175 @@
+package graft.tools
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+import graft.dedup.Dedup
+import graft.functions.GeoExpressions
+import graft.transformer.BroadcastSpatialJoin
+
+/**
+ * Synthetic scale-up probe for the grid-join and dedup families: the
+ * testdata tops out at sf0.1, so every 100 TB design claim (O(groups·k)
+ * shuffle for kNN, O(N) band rows, log-diameter CC rounds) is otherwise
+ * argued from plan shape only. This main deterministically inflates the
+ * input tables by literal factors (default 1, 4, 8) and runs the five
+ * scale-sensitive gate queries at each factor, recording wall time,
+ * shuffle bytes, Spark job count, and output rows — evidence that cost
+ * grows with data (and with OUTPUT, where the query's result is itself
+ * super-linear), not with some hidden quadratic term.
+ *
+ * Inflation is pure plan-level `explode(sequence(0, f-1))`:
+ *  - customer/supplier: copy k gets key `key + k·10^8`; the synthetic
+ *    lon/lat derive from the NEW key (SparkEntry.lonOf/latOf), so copies
+ *    spread over the region like real rows — density grows ×f;
+ *  - documents: copy k gets doc_id `id + k·10^9` and every token
+ *    suffixed with `x<k>` — intra-copy near-dup structure is preserved
+ *    exactly while shingle sets stay disjoint across copies, so pair
+ *    and cluster counts scale ×f, not ×f² (the suffix is applied at
+ *    factor 1 too, keeping per-row work identical across factors).
+ *
+ * The ring-vs-fallback crossover is visible in the job counts: at
+ * factor 1, `unresolved·|right|` of the nearest joins fits the default
+ * 32M pair budget and the planner picks the one-job exhaustive pass; at
+ * ×4/×8 the budget no longer fits and the expanding-ring rounds engage
+ * (one job per round). Run with GRAFT_DEBUG_RINGS=1 to see the rounds.
+ *
+ * Measurement: one `count()` per (factor, query) — joins/aggregations
+ * cannot be pruned under count, rows come for free, and the growth
+ * CURVE needs comparable single runs, not medians (the first factor's
+ * queries double as everyone's JIT warmup, run unmeasured first).
+ *
+ * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+ * SPARK_GRAFT_FACTORS (default "1,4,8"), SPARK_GRAFT_CPUS (default 32),
+ * SPARK_GRAFT_SCALE_OUT (JSON-lines output file, default SCALE_RESULT.json).
+ */
+object ScaleBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val factors = sys.env.getOrElse("SPARK_GRAFT_FACTORS", "1,4,8")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sc = spark.sparkContext
+
+    // aggregated per-stage task metrics, accumulated across the run;
+    // per-query deltas are taken around each measured action
+    val shufWrite = new AtomicLong(0)
+    val shufRead = new AtomicLong(0)
+    sc.addSparkListener(new SparkListener {
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        }
+      }
+    })
+
+    // --- deterministic inflation ---------------------------------------
+
+    def keyed(name: String, key: String, f: Int, offset: Long): DataFrame =
+      spark.read.parquet(s"$sfDir/$name.parquet").select(col(key))
+        .select(explode(sequence(lit(0), lit(f - 1))).as("__k"), col(key))
+        .select((col(key) + col("__k") * lit(offset)).as(key))
+
+    def custPoints(f: Int): DataFrame =
+      keyed("customer", "c_custkey", f, 100000000L)
+        .select(col("c_custkey"),
+          SparkEntry.lonOf("c_custkey").as("lon"), SparkEntry.latOf("c_custkey").as("lat"))
+    def supPoints(f: Int): DataFrame =
+      keyed("supplier", "s_suppkey", f, 100000000L)
+        .select(col("s_suppkey"),
+          SparkEntry.lonOf("s_suppkey").as("slon"), SparkEntry.latOf("s_suppkey").as("slat"))
+    // equator variants for the withindist query (mirrors the gate's
+    // j2_withindist_grid geometry)
+    def custEq(f: Int): DataFrame =
+      keyed("customer", "c_custkey", f, 100000000L)
+        .select(col("c_custkey"), SparkEntry.lonOf("c_custkey").as("lon"), lit(0.0d).as("lat"))
+    def supEq(f: Int): DataFrame =
+      keyed("supplier", "s_suppkey", f, 100000000L)
+        .select(col("s_suppkey"), SparkEntry.lonOf("s_suppkey").as("lon"), lit(0.0d).as("lat"))
+
+    def docs(f: Int): DataFrame =
+      spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
+        .select(explode(sequence(lit(0), lit(f - 1))).as("__k"), col("doc_id"), col("text"))
+        .select((col("doc_id") + col("__k") * lit(1000000000L)).as("doc_id"),
+          concat_ws(" ", transform(split(col("text"), " ", -1),
+            t => when(t === "", t).otherwise(concat(t, lit("x"), col("__k"))))).as("text"))
+
+    // --- the five scale-sensitive queries at gate settings --------------
+
+    def wkb(lon: String, lat: String) = GeoExpressions.wkbPoint(col(lon), col(lat))
+
+    def queries(f: Int): Seq[(String, () => DataFrame)] = Seq(
+      "j1_nearest_gridscale" -> (() =>
+        graft.join.GridNearestJoin.nearest(
+          custPoints(f), supPoints(f), wkb("lon", "lat"), wkb("slon", "slat"),
+          cellDeg = 4.0, tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L)
+          .select("c_custkey", "s_suppkey")),
+      "j1_knn_grid" -> (() =>
+        graft.join.GridNearestJoin.knearest(
+          custPoints(f), supPoints(f), wkb("lon", "lat"), wkb("slon", "slat"),
+          k = 3, rankCol = "knn_rank",
+          cellDeg = 4.0, tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L)
+          .select("c_custkey", "s_suppkey", "knn_rank")),
+      "j2_withindist_grid" -> (() => {
+        supEq(f).createOrReplaceTempView("scale_j2_sup")
+        new BroadcastSpatialJoin().setDataset("scale_j2_sup")
+          .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+          .setDataColumns("s_suppkey").setBroadcast("none")
+          .setPredicate("withindist 300000").setDistColAlias("dist_m")
+          .transform(custEq(f).select("c_custkey", "lon", "lat"))
+          .select("c_custkey", "s_suppkey", "dist_m")
+      }),
+      "dedup_minhash" -> (() =>
+        Dedup.minhashPairs(docs(f), "doc_id", "text", tau = 0.8)),
+      "dedup_clusters" -> (() =>
+        Dedup.clusterPairs(
+          Dedup.jaccardPairs(docs(f), "doc_id", "text", tau = 0.8))))
+
+    def isolate(): Unit = {
+      sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
+    // unmeasured warmup at the smallest factor: JIT must not inflate the
+    // factor-1 points of the growth curve (that would OVERSTATE linearity)
+    queries(factors.min).foreach { case (_, q) => isolate(); q().count() }
+
+    val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (f <- factors; (name, q) <- queries(f)) {
+      isolate()
+      org.apache.spark.graft.ListenerBridge.drain(sc)
+      val (w0, r0) = (shufWrite.get(), shufRead.get())
+      sc.setJobGroup(s"scale-$name-$f", s"$name x$f")
+      val t0 = System.nanoTime()
+      val rows = q().count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      sc.clearJobGroup()
+      org.apache.spark.graft.ListenerBridge.drain(sc)
+      val jobs = sc.statusTracker.getJobIdsForGroup(s"scale-$name-$f").length
+      val line = f"""{"query":"$name","factor":$f,"wall_sec":$wall%.3f,""" +
+        s""""rows":$rows,"shuffle_write_bytes":${shufWrite.get() - w0},""" +
+        s""""shuffle_read_bytes":${shufRead.get() - r0},"jobs":$jobs}"""
+      System.err.println(s"[scale] $line")
+      lines += line
+    }
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_SCALE_OUT", "SCALE_RESULT.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    spark.stop()
+  }
+}

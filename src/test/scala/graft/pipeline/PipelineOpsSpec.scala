@@ -277,6 +277,32 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out.getDouble(3) shouldBe 16.0 / 5.0
   }
 
+  it should "tokenize Unicode whitespace (tab/NBSP/NEL/ideographic space) with tokensUnicode" in {
+    val got = Seq(
+      "hello\tworld\u00A0foo",   // tab + NBSP delimiters
+      "a  b\u3000c\n\nd",   // runs collapse: 2 spaces, ideographic space, newlines
+      // thin space / NEL / line-separator delimiters, trailing medium space
+      "\u2009lead\u0085mid\u2028trail\u205F",
+      "plain space only",   // agrees with tokens() on single-space text
+      "\u00A0\u3000\t",   // all-whitespace => no tokens
+      "")
+      .toDF("text")
+      .select(TextFunctions.tokensUnicode(col("text")).as("ws"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    got shouldBe List(
+      List("hello", "world", "foo"),
+      List("a", "b", "c", "d"),
+      List("lead", "mid", "trail"),
+      List("plain", "space", "only"),
+      Nil, Nil)
+    // the single-space split UNDER-tokenizes the same fixtures -- the
+    // documented reason the unicode variant exists
+    val legacy = Seq("hello\tworld\u00A0foo").toDF("text")
+      .select(TextFunctions.tokens(col("text")).as("ws"))
+      .head().getSeq[String](0)
+    legacy shouldBe Seq("hello\tworld\u00A0foo")
+  }
+
   it should "identify language by marker words with deterministic ties" in {
     val out = Seq("the cat and dog", "der hund und die katze", "xyzzy plugh")
       .toDF("text")
@@ -336,31 +362,13 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     // ALL its centroids in cluster 0 (worst case for the id sample);
     // trained spherical k-means must find the cluster structure and
     // push recall@10 >= 0.9 at nprobe = 2 of nlist = 8
-    val rnd = new scala.util.Random(13)
-    def unit(dim: Int): Array[Float] = {
-      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
-      val n = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
-      v.map(_ / n)
-    }
-    val centers = Seq.fill(8)(unit(32))
-    // ids 0..79: cluster = id / 10 — the first 8 by id are all cluster 0
-    val vecs = (0 until 80).map { i =>
-      val c = centers(i / 10)
-      (i.toLong, c.zipWithIndex.map { case (x, j) => x + 0.05f * (((i * 31 + j * 7) % 5) - 2) })
-    }.toDF("vec_id", "embedding")
-    val q = vecs.where(col("vec_id") % 10 === 3) // one query per cluster
-    def pairs(df: org.apache.spark.sql.DataFrame) =
-      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val exact = pairs(Similarity.cosineTopK(q, vecs, "vec_id", "embedding", k = 10))
-    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding", nlist = 8, iters = 5)
-    cents.count() shouldBe 8
-    val trained = pairs(Similarity.ivfTopKWith(q, vecs, cents, "vec_id", "embedding", 10, 2))
-    val sampled = pairs(Similarity.ivfTopK(q, vecs, "vec_id", "embedding", 10,
-      nlist = 8, nprobe = 2))
-    def recall(got: Set[(Long, Long)]) = got.intersect(exact).size.toDouble / exact.size
-    withClue(s"trained=${recall(trained)} sampled=${recall(sampled)}: ") {
-      recall(trained) should be >= 0.9
-      recall(sampled) should be <= recall(trained)
+    // corpus + measurement live in graft.similarity.RecallProbe so the
+    // bench can emit the same numbers as a recorded per-round artifact
+    // (a quantizer regression changes a number, not just this bit)
+    val (trained, sampled) = graft.similarity.RecallProbe.measure(spark)
+    withClue(s"trained=$trained sampled=$sampled: ") {
+      trained should be >= 0.9
+      sampled should be <= trained
     }
   }
 
