@@ -56,9 +56,11 @@ object Dedup {
     * Sort+ShuffleRead pattern never matches — the hot probe partition
     * would run as one giant task after all. */
   def exactCanon(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val digests = df.select(col(idCol), md5(col(textCol).cast("binary")).as("__digest"))
+    // unhex: a true 16-byte binary digest, not the 32-char hex string —
+    // ~40% narrower rows through both digest shuffles
+    val digests = df.select(col(idCol), unhex(md5(col(textCol).cast("binary"))).as("__digest"))
     val canon = digests
-      .groupBy(col("__digest"), substring(col("__digest"), 1, 4))
+      .groupBy(col("__digest"), substring(col("__digest"), 1, 2))
       .agg(min(col(idCol)).as("canon_id"))
       .select(col("__digest"), col("canon_id"))
     digests.join(canon, "__digest").select(col(idCol), col("canon_id"))
@@ -70,7 +72,7 @@ object Dedup {
     * which semi-join the input against this instead of computing
     * [[exactCanon]]'s full row→canon mapping and filtering id == canon. */
   def canonIds(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), md5(col(textCol).cast("binary")).as("__digest"))
+    df.select(col(idCol), unhex(md5(col(textCol).cast("binary"))).as("__digest"))
       .groupBy(col("__digest")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
 

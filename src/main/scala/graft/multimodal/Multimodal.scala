@@ -35,6 +35,34 @@ object Multimodal {
    * available in this environment. Deterministic: derives metadata from
    * the first bytes of the payload. A real deployment replaces only this
    * object; every operator below is codec-agnostic.
+   *
+   * ==JNI binding contract (what a real codec must provide, per operator)==
+   *
+   *  - '''Initialization''': one native handle per PARTITION, created at
+   *    the top of each `mapPartitions` closure (the marked line in
+   *    [[withDecodedMeta]]) and closed when the iterator is exhausted
+   *    (wrap the iterator; JNI handles must never be serialized into the
+   *    closure — create them executor-side only). Thread safety across
+   *    partitions is the codec's problem: Spark may run many partitions
+   *    per JVM concurrently, so either the handle is per-call cheap
+   *    (libjpeg-turbo style) or it pools.
+   *  - '''decode(bytes) → metadata''' ([[withDecodedMeta]]): must be
+   *    total — null/garbage/truncated payloads return the `unknown` row,
+   *    NEVER throw (a single corrupt asset must not kill a 100 TB scan);
+   *    fields it cannot determine stay null. Must not retain `bytes`.
+   *  - '''resizeImage(bytes, w, h) → bytes''' ([[resizeImages]]): full
+   *    re-encode; must return a NEW array (the input row may be reused
+   *    by Spark), and non-image/corrupt payloads return the input
+   *    unchanged (pass-through is pinned by the `multimodal_resize`
+   *    oracle row's md5-over-payload check).
+   *  - '''frame iteration''' ([[sampleFrames]]): replace the fixed-size
+   *    chunking with the codec's frame boundaries but KEEP the emitted
+   *    shape — (asset_id, frame_index, frame bytes) with `frame_index`
+   *    counting kept frames from 0; the downstream explode/schema
+   *    contract does not change.
+   *  - '''determinism''': same bytes → same outputs on every executor,
+   *    or the oracle rows (md5-over-payload) and speculative execution
+   *    both break. Codecs with threading-dependent output must be pinned.
    */
   object StubCodec {
     def decode(content: Array[Byte]): Row = {

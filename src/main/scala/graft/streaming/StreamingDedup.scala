@@ -36,7 +36,9 @@ object StreamingDedup {
   def firstPerContent(df: DataFrame, textCol: String = "text",
       tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
     val digest = "__dedup_digest"
-    val withDigest = df.withColumn(digest, md5(col(textCol).cast("binary")))
+    // unhex: the state/shuffle key is the true 16-byte binary digest,
+    // not the 32-char hex rendering
+    val withDigest = df.withColumn(digest, unhex(md5(col(textCol).cast("binary"))))
     if (df.isStreaming)
       withDigest.withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark(digest)
