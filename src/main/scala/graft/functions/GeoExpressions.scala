@@ -182,11 +182,51 @@ object GeoExpressions {
     case p => throw new IllegalArgumentException(s"not a relation predicate: $p")
   }
 
+  // --- zero-allocation fast path for 2-D point WKB ---------------------
+  // A JTS 2-D point WKB is exactly 21 bytes: byteOrder(1) + type(4) +
+  // x(8) + y(8). The pairwise refine kernels (withindist, distance
+  // column, ring-kernel st_distance) evaluate two geometry reads per
+  // CANDIDATE PAIR; for the point-point case — the dominant one —
+  // decoding the two doubles in place skips the WKB parse, the parse
+  // memo (which thrashes once distinct geometries exceed its 4096
+  // slots), and the per-pair JTS centroid allocation. Exactness: a
+  // point's centroid IS its coordinate and JTS point distance is
+  // sqrt(dx²+dy²) on the same doubles — bit-identical results, pinned
+  // by the unchanged golden/oracle rows. Anything not a plain 2-D point
+  // (SRID-flagged type, Z/M dims, other geometries) falls through to
+  // the JTS path.
+  @inline private def isPointWkb(b: Array[Byte]): Boolean =
+    b != null && b.length == 21 &&
+      (if (b(0) == 0) b(1) == 0 && b(2) == 0 && b(3) == 0 && b(4) == 1
+       else b(0) == 1 && b(1) == 1 && b(2) == 0 && b(3) == 0 && b(4) == 0)
+
+  @inline private def readDouble(b: Array[Byte], off: Int, bigEndian: Boolean): Double = {
+    var bits = 0L
+    if (bigEndian) {
+      var i = off; val e = off + 8
+      while (i < e) { bits = (bits << 8) | (b(i) & 0xffL); i += 1 }
+    } else {
+      var i = off + 7
+      while (i >= off) { bits = (bits << 8) | (b(i) & 0xffL); i -= 1 }
+    }
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
   def computeGeodesicMeters(lwkb: Array[Byte], rwkb: Array[Byte]): Int =
-    Geodesic.centroidDistance(GeoKit.wkbToGeomMemo(lwkb), GeoKit.wkbToGeomMemo(rwkb))
+    if (isPointWkb(lwkb) && isPointWkb(rwkb)) {
+      val lbe = lwkb(0) == 0; val rbe = rwkb(0) == 0
+      math.round(Geodesic.inverseMeters(
+        readDouble(lwkb, 13, lbe), readDouble(lwkb, 5, lbe),
+        readDouble(rwkb, 13, rbe), readDouble(rwkb, 5, rbe))).toInt
+    } else Geodesic.centroidDistance(GeoKit.wkbToGeomMemo(lwkb), GeoKit.wkbToGeomMemo(rwkb))
 
   def computeStDistance(lwkb: Array[Byte], rwkb: Array[Byte]): Double =
-    GeoKit.wkbToGeomMemo(lwkb).distance(GeoKit.wkbToGeomMemo(rwkb))
+    if (isPointWkb(lwkb) && isPointWkb(rwkb)) {
+      val lbe = lwkb(0) == 0; val rbe = rwkb(0) == 0
+      val dx = readDouble(lwkb, 5, lbe) - readDouble(rwkb, 5, rbe)
+      val dy = readDouble(lwkb, 13, lbe) - readDouble(rwkb, 13, rbe)
+      math.sqrt(dx * dx + dy * dy)
+    } else GeoKit.wkbToGeomMemo(lwkb).distance(GeoKit.wkbToGeomMemo(rwkb))
 
   /** Called from generated code; null for null/empty geometries. */
   def computeEnvelope(wkb: Array[Byte]): ArrayData = {
