@@ -41,6 +41,33 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
       run("withindist 80000", "dataset", dist = true)
   }
 
+  it should "spread a single-partition side when the other side broadcasts" in {
+    // the degenerate mid-scale layout: a 1-partition (single small file)
+    // left against a broadcastable right puts the ENTIRE explode->join->
+    // refine pipeline on one core if the left keeps the scan layout (no
+    // join-owned exchange exists in the broadcast regime). The guard
+    // must repartition the scan-shaped left; measured 57 s -> 3 s on a
+    // 42M-pair probe. Constructed, not read from parquet: coalesce(1)
+    // is still scan-shaped (Repartition nodes only match
+    // RepartitionOperation with shuffle = true... use a 1-slice range).
+    import org.apache.spark.sql.functions._
+    import graft.functions.GeoExpressions
+    import graft.spatial.SpatialPredicate
+    val left = spark.range(0, 2000, 1, 1) // ONE input partition
+      .select(col("id").as("lid"),
+        (col("id") % 50 / 20.0).as("llon"), (col("id") % 40 / 16.0).as("llat"))
+    val right = (0 until 30).map(i => (s"R$i", (i % 6) * 0.5, (i / 6) * 0.5))
+      .toDF("rid", "rlon", "rlat")
+    val out = GridSpatialJoin.join(
+      left, right,
+      GeoExpressions.wkbPoint(col("llon"), col("llat")),
+      GeoExpressions.wkbPoint(col("rlon"), col("rlat")),
+      SpatialPredicate.WithinDist(40000), cellDeg = 1.0)
+    out.count() should be > 0L
+    // the executed probe side must run wider than the 1-partition scan
+    out.rdd.getNumPartitions should be > 1
+  }
+
   it should "match the broadcast kernel on withindist with a condition" in {
     val input = pts(40, "i")
     val data = pts(25, "d").toDF("poi_id", "lon", "lat")
