@@ -73,6 +73,14 @@ def cluster_pairs(pairs, i_col="doc_i", j_col="doc_j", max_iters=20):
         pairs._jdf, i_col, j_col, int(max_iters)))
 
 
+def asof_join(left, right, keys="user_id", left_ts="ts", right_ts="ts"):
+    """As-of join: for every left row, the right row with the greatest
+    ``right_ts`` at-or-before ``left_ts`` sharing the key columns
+    (comma-separated ``keys``); inner -- unmatched left rows drop."""
+    return _wrap(left, _facade(left).asofJoin(
+        left._jdf, right._jdf, keys, left_ts, right_ts))
+
+
 # --- similarity search ---------------------------------------------------
 
 def cosine_top_k(queries, candidates, id_col="vec_id", vec_col="embedding",

@@ -105,6 +105,17 @@ class TestStreamingUnified(object):
         row = {r["doc_id"]: r for r in got.collect()}[0]
         assert row["lang_pred"] == "en" and row["n_tokens"] == 9
 
+    def test_asof_join(self, local_spark):
+        left = local_spark.createDataFrame(
+            [(1, 10, "a"), (1, 5, "b"), (2, 7, "c")], ["k", "lts", "pay"])
+        right = local_spark.createDataFrame(
+            [(1, 8, 80), (1, 3, 30), (2, 9, 90)], ["k", "rts", "v"])
+        got = {(r["k"], r["lts"], r["v"])
+               for r in P.asof_join(left, right, keys="k",
+                                    left_ts="lts", right_ts="rts").collect()}
+        # k=2's only right row is later than its left row -> inner drop
+        assert got == {(1, 10, 80), (1, 5, 30)}
+
     def test_first_per_content(self, docs, local_spark):
         from pyspark.sql import functions as F
         stamped = docs.withColumn("ts", F.col("doc_id").cast("long"))

@@ -568,6 +568,26 @@ object SparkEntry {
           .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000"))))
     }),
 
+    // as-of join: every event enriched with its user's latest COMPLETED
+    // hourly aggregate (right ts = window END <= event ts — the temporal
+    // state known at event time); events in their user's first hour have
+    // no completed hour yet and drop (inner, DuckDB ASOF JOIN semantics).
+    // Hourly sums ride decimal(38,8) for order-independent exactness
+    "j_asof_hourly" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = tbl(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+      val hourly = ev
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(round(sum(col("value").cast("decimal(38,8)")), 2).cast("double").as("h_value"))
+        .select(col("user_id"), col("window.end").as("h_end"), col("h_value"))
+      graft.join.AsOfJoin.asof(
+        ev.select("event_id", "user_id", "ts"), hourly,
+        keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end")
+        .select(col("event_id"), col("user_id"),
+          col("h_end").cast("long").as("h_ts"), col("h_value"))
+    }),
+
     // --- multimodal: binary assets + typed metadata ---------------------
 
     "multimodal_meta" -> ((s, dir) => {
@@ -974,6 +994,18 @@ object SparkEntry {
         |  count(*) cnt,
         |  CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // native DuckDB ASOF JOIN replays the operator: greatest completed
+    // hour end <= event time per user; microsecond-integer comparison
+    // (hend is whole seconds) keeps the boundary exact in both engines
+    "j_asof_hourly" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 us FROM events),
+        |h AS (SELECT user_id,
+        |        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 hend,
+        |        CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) h_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
+        |FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
 
     // session windows: the lag/cumulative-sum islands construction; a
     // break at gap >= 12h matches Spark's half-open session end (an event

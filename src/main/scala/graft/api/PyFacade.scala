@@ -53,6 +53,13 @@ object PyFacade {
   def clusterPairs(pairs: DataFrame, iCol: String, jCol: String, maxIters: Int): DataFrame =
     Dedup.clusterPairs(pairs, iCol, jCol, maxIters)
 
+  /** As-of join (latest right row at-or-before each left row's time per
+    * key); keys as a comma-separated list. */
+  def asofJoin(left: DataFrame, right: DataFrame, keysCsv: String,
+      leftTsCol: String, rightTsCol: String): DataFrame =
+    graft.join.AsOfJoin.asof(left, right,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol)
+
   // --- similarity search ------------------------------------------------
 
   def cosineTopK(queries: DataFrame, candidates: DataFrame,

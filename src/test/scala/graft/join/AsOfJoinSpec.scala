@@ -1,0 +1,60 @@
+package graft.join
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestKit.spark
+
+class AsOfJoinSpec extends AnyFlatSpec with Matchers {
+
+  import spark.implicits._
+
+  behavior of "AsOfJoin.asof"
+
+  it should "pick the greatest right ts at-or-before each left ts per key (inner)" in {
+    val l = Seq((1, 10L, "a"), (1, 5L, "b"), (2, 7L, "c"), (3, 4L, "d"))
+      .toDF("k", "lts", "lpay")
+    val r = Seq((1, 8L, 80), (1, 3L, 30), (1, 10L, 100), (2, 9L, 90))
+      .toDF("k", "rts", "v")
+    val out = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts")
+    out.columns.toSeq shouldBe Seq("k", "lts", "lpay", "rts", "v")
+    out.collect().map(x =>
+      (x.getInt(0), x.getLong(1), x.getString(2), x.getLong(3), x.getInt(4))).toSet shouldBe Set(
+      (1, 10L, "a", 10L, 100), // right row at EXACTLY lts matches (at-or-before)
+      (1, 5L, "b", 3L, 30))    // k=2: only rts 9 > 7 => drop; k=3: no right rows => drop
+  }
+
+  it should "break identical (key, ts) right ties by the greatest payload, deterministically" in {
+    val l = Seq((1, 6L)).toDF("k", "lts")
+    val r = Seq((1, 5L, 1), (1, 5L, 9), (1, 5L, 4)).toDF("k", "rts", "v")
+    val got = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts").collect()
+    got.length shouldBe 1
+    got.head.getInt(3) shouldBe 9
+  }
+
+  it should "reject overlapping non-key columns and missing keys" in {
+    val l = Seq((1, 1L, "x")).toDF("k", "ts", "pay")
+    val r = Seq((1, 1L, "y")).toDF("k", "rts", "pay")
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asof(l, r, Seq("k"), "ts", "rts")
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asof(l, r.withColumnRenamed("pay", "rpay"), Seq("nope"), "ts", "rts")
+  }
+
+  it should "match a window-free brute force on random data" in {
+    val rnd = new scala.util.Random(7)
+    val l = Seq.tabulate(300)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, i)).toDF("k", "lts", "lid")
+    val r = Seq.tabulate(200)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong * 7 % 997, i)).toDF("k", "rts", "rid")
+    // brute force: max (rts, rid) per left row via join + groupBy
+    import org.apache.spark.sql.functions._
+    val brute = l.join(r, Seq("k")).where(col("rts") <= col("lts"))
+      .groupBy(col("k"), col("lts"), col("lid"))
+      .agg(max(struct(col("rts"), col("rid"))).as("b"))
+      .select(col("lid"), col("b.rts").as("rts"), col("b.rid").as("rid"))
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2))).toSet
+    val got = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts")
+      .select("lid", "rts", "rid")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2))).toSet
+    got shouldBe brute
+  }
+}
