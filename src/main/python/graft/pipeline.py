@@ -81,6 +81,17 @@ def asof_join(left, right, keys="user_id", left_ts="ts", right_ts="ts"):
         left._jdf, right._jdf, keys, left_ts, right_ts))
 
 
+def range_join(points, intervals, point_col="v", lo_col="lo", hi_col="hi",
+               bucket_width=0.0):
+    """Range (interval) join: every (point, interval) pair with
+    ``lo <= v <= hi`` (inclusive) -- bucketed, no cartesian, neither side
+    broadcast. ``bucket_width <= 0`` derives the width from interval
+    statistics."""
+    return _wrap(points, _facade(points).rangeJoin(
+        points._jdf, intervals._jdf, point_col, lo_col, hi_col,
+        float(bucket_width)))
+
+
 # --- similarity search ---------------------------------------------------
 
 def cosine_top_k(queries, candidates, id_col="vec_id", vec_col="embedding",

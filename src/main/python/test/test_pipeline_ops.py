@@ -116,6 +116,15 @@ class TestStreamingUnified(object):
         # k=2's only right row is later than its left row -> inner drop
         assert got == {(1, 10, 80), (1, 5, 30)}
 
+    def test_range_join(self, local_spark):
+        pts = local_spark.createDataFrame(
+            [(1, 5.0), (2, 10.0), (3, 42.0)], ["pid", "v"])
+        ivs = local_spark.createDataFrame(
+            [("a", 5.0, 10.0), ("b", 40.0, 41.0)], ["iid", "lo", "hi"])
+        got = {(r["pid"], r["iid"]) for r in
+               P.range_join(pts, ivs, point_col="v").collect()}
+        assert got == {(1, "a"), (2, "a")}  # inclusive both ends; 42 > 41
+
     def test_first_per_content(self, docs, local_spark):
         from pyspark.sql import functions as F
         stamped = docs.withColumn("ts", F.col("doc_id").cast("long"))

@@ -588,6 +588,22 @@ object SparkEntry {
           col("h_end").cast("long").as("h_ts"), col("h_value"))
     }),
 
+    // range (band) join without broadcast or cartesian: customers whose
+    // balance falls inside a +-500 band around each supplier's balance.
+    // Doubles on BOTH engines (explicit casts), so boundary comparisons
+    // are the same IEEE operations bit-for-bit
+    "j_range_band" -> ((s, dir) => {
+      val pts = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").cast("double").as("c_bal"))
+      val ivs = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") - 500.0).as("lo"),
+          (col("s_acctbal").cast("double") + 500.0).as("hi"))
+      graft.join.RangeJoin.pointInInterval(
+        pts, ivs, col("c_bal"), col("lo"), col("hi"), bucketWidth = 500.0)
+        .select("c_custkey", "s_suppkey")
+    }),
+
     // --- multimodal: binary assets + typed metadata ---------------------
 
     "multimodal_meta" -> ((s, dir) => {
@@ -994,6 +1010,12 @@ object SparkEntry {
         |  count(*) cnt,
         |  CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "j_range_band" ->
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c JOIN supplier s
+        |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 500.0
+        | AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 500.0""".stripMargin,
 
     // native DuckDB ASOF JOIN replays the operator: greatest completed
     // hour end <= event time per user; microsecond-integer comparison

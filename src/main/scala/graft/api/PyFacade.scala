@@ -60,6 +60,16 @@ object PyFacade {
     graft.join.AsOfJoin.asof(left, right,
       keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol)
 
+  /** Range (interval) join: (point, interval) pairs with lo <= v <= hi;
+    * bucketWidth <= 0 derives the width from interval statistics. */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+    val w = if (bucketWidth > 0) bucketWidth
+      else graft.join.RangeJoin.autoWidth(intervals, col(loCol), col(hiCol))
+    graft.join.RangeJoin.pointInInterval(points, intervals,
+      col(pointCol), col(loCol), col(hiCol), w)
+  }
+
   // --- similarity search ------------------------------------------------
 
   def cosineTopK(queries: DataFrame, candidates: DataFrame,

@@ -1,9 +1,6 @@
 package graft.join
 
-import scala.util.Try
-
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, RepartitionOperation, Sort, Window}
 import org.apache.spark.sql.functions._
 
 import graft.functions.GeoExpressions
@@ -70,43 +67,12 @@ object GridSpatialJoin {
       case _ => 0.0
     }
 
-    // Mid-scale balance guard. When one side is small enough that
-    // Catalyst will BROADCAST it, the cell equi-join introduces no
-    // exchange, so the whole explode -> join -> refine pipeline inherits
-    // the other side's SCAN layout — and a single small parquet file is
-    // ONE partition, putting the entire join on one core even though its
-    // post-explode, post-join work is quadratically larger than its
-    // bytes (measured 57 s single-task vs ~4 s spread on a 42M-pair
-    // probe). Spread a side before its explode iff: the OTHER side fits
-    // Catalyst's own broadcast estimate (the only regime without a
-    // join-owned exchange), this side is scan-shaped (no shuffling
-    // operator below — `.rdd` is then exchange-free to plan and its
-    // partition count IS the file layout), and it has fewer partitions
-    // than cores. The genuinely-large regime (neither side broadcastable)
-    // keeps today's plan untouched: shuffle join on the cell id with
-    // AQE's hot-cell skew split (spec-pinned).
-    def broadcastable(df: DataFrame): Boolean = {
-      val raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
-      val thr = Try(raw.toLong).getOrElse(
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
-      thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
-    }
-    def spreadIfDegenerate(df: DataFrame): DataFrame = {
-      val scanShaped = df.queryExecution.optimizedPlan.collectFirst {
-        case p @ (_: Join | _: Aggregate | _: Sort | _: Window | _: RepartitionOperation) => p
-      }.isEmpty
-      if (!scanShaped) return df
-      val spark = df.sparkSession
-      val target = Try(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
-        .getOrElse(spark.sparkContext.defaultParallelism)
-      if (df.rdd.getNumPartitions * 2 <= target) df.repartition(target) else df
-    }
-    // Streaming sides cannot be batch-planned (stats/.rdd throw) and the
-    // micro-batch engine owns their partitioning — guard batch-only.
-    val (l0, r0) =
-      if (left.isStreaming || right.isStreaming) (left, right)
-      else (if (broadcastable(right)) spreadIfDegenerate(left) else left,
-        if (broadcastable(left)) spreadIfDegenerate(right) else right)
+    // Mid-scale balance guard (see JoinLayout): in the broadcast regime
+    // the cell equi-join adds no exchange, so a scan-shaped
+    // single-partition side would run the whole explode -> join -> refine
+    // pipeline on one core; the shuffle-join regime (AQE hot-cell skew
+    // split, spec-pinned) passes through untouched.
+    val (l0, r0) = JoinLayout.balance(left, right)
 
     val lw = "__graft_lwkb"; val rw = "__graft_rwkb"; val cell = "__graft_cell"
     val l = l0.withColumn(lw, leftWkb).where(col(lw).isNotNull)

@@ -1,0 +1,48 @@
+package graft.join
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestKit.spark
+
+class RangeJoinSpec extends AnyFlatSpec with Matchers {
+
+  import spark.implicits._
+
+  behavior of "RangeJoin.pointInInterval"
+
+  it should "join points to enclosing intervals inclusively on both ends" in {
+    val pts = Seq((1, 5.0), (2, 10.0), (3, 20.0), (4, -3.0)).toDF("pid", "v")
+    val ivs = Seq(("a", 5.0, 10.0), ("b", 9.0, 9.5), ("c", -10.0, 0.0), ("d", 30.0, 25.0))
+      .toDF("iid", "lo", "hi") // d inverted => dropped
+    val got = RangeJoin.pointInInterval(pts, ivs, col("v"), col("lo"), col("hi"), 5.0)
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    got shouldBe Set((1, "a"), (2, "a"), (4, "c")) // 5 and 10 are both IN [5,10]
+  }
+
+  it should "match the brute-force BETWEEN join on random data (negative values included)" in {
+    val rnd = new scala.util.Random(11)
+    val pts = Seq.tabulate(400)(i => (i, rnd.nextDouble() * 200 - 100)).toDF("pid", "v")
+    val ivs = Seq.tabulate(150) { i =>
+      val lo = rnd.nextDouble() * 200 - 100
+      (i, lo, lo + rnd.nextDouble() * 12)
+    }.toDF("iid", "lo", "hi")
+    val w = RangeJoin.autoWidth(ivs, col("lo"), col("hi"))
+    w should be > 0.0
+    val brute = pts.crossJoin(ivs).where(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val got = RangeJoin.pointInInterval(pts, ivs, col("v"), col("lo"), col("hi"), w)
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    got shouldBe brute
+    got.size should be > 0
+  }
+
+  it should "emit each qualifying pair exactly once even for multi-bucket intervals" in {
+    val pts = Seq((1, 7.0)).toDF("pid", "v")
+    val ivs = Seq(("wide", 0.0, 100.0)).toDF("iid", "lo", "hi") // spans many 1.0-buckets
+    val rows = RangeJoin.pointInInterval(pts, ivs, col("v"), col("lo"), col("hi"), 1.0)
+      .collect()
+    rows.length shouldBe 1
+  }
+}
