@@ -197,6 +197,37 @@ object Drive {
     println(s"rows=${cents.count()} trained centroids (expect 6), " +
       s"full-probe exact match: ${ivfTrained == exactTk} (expect true)")
 
+    println("=== 18. as-of join: latest at-or-before per key vs brute force (round-5) ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      val ev = docs.select(col("doc_id").as("eid"),
+        (col("doc_id") % 7).as("k"), (col("doc_id") * 13 % 101).as("ets"))
+      val st = docs.where("doc_id % 3 = 0").select(
+        (col("doc_id") % 7).as("k"), (col("doc_id") * 29 % 101).as("sts"),
+        col("doc_id").as("sid")).dropDuplicates("k", "sts")
+      val asof = graft.join.AsOfJoin.asof(ev, st, Seq("k"), "ets", "sts")
+        .select("eid", "sts", "sid").collect().map(_.mkString("|")).toSet
+      val brute = ev.join(st, "k").where(col("sts") <= col("ets"))
+        .groupBy("eid").agg(max(struct(col("sts"), col("sid"))).as("b"))
+        .select(col("eid"), col("b.sts"), col("b.sid"))
+        .collect().map(_.mkString("|")).toSet
+      println(s"rows=${asof.size} as-of matches, equals brute force: ${asof == brute} (expect true)")
+    }
+
+    println("=== 19. range join: bucketed BETWEEN vs brute force (round-5) ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      val pts = customers.select(col("c_custkey"), col("lon").as("v"))
+      val ivs = SparkEntry.supplierPoints(spark, dir).select(col("s_suppkey"),
+        (col("lon") - 1.5).as("lo"), (col("lon") + 1.5).as("hi"))
+      val w = graft.join.RangeJoin.autoWidth(ivs, col("lo"), col("hi"))
+      val rj = graft.join.RangeJoin.pointInInterval(pts, ivs, col("v"), col("lo"), col("hi"), w)
+        .select("c_custkey", "s_suppkey").collect().map(_.mkString("|")).toSet
+      val bruteR = pts.crossJoin(ivs).where(col("v") >= col("lo") && col("v") <= col("hi"))
+        .select("c_custkey", "s_suppkey").collect().map(_.mkString("|")).toSet
+      println(s"rows=${rj.size} range matches (autoWidth=$w), equals brute force: ${rj == bruteR} (expect true)")
+    }
+
     spark.stop()
   }
 }
