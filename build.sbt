@@ -36,7 +36,12 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-// Heap size in MB resolved from SPARK_DRIVER_MEM ("8g" / "512m" / MB number)
+// Heap size in MB resolved from SPARK_DRIVER_MEM ("8g" / "512m" / MB
+// number). All three heap flags (-Xmx/-Xms/-Xmn) derive from this ONE
+// parse, normalized back to an explicit "<n>m" — passing the raw env
+// string to -Xmx while parsing it differently here would let the parser
+// accept values the JVM launch rejects (e.g. a bare "512" is 512 MB
+// here but 512 BYTES to the JVM).
 val graftHeapMb: Long = {
   val s = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g").trim.toLowerCase
   val n = s.takeWhile(_.isDigit) match { case "" => 8192L; case d => d.toLong }
@@ -46,14 +51,14 @@ val graftYoungGenMb: Long = math.max(math.min(graftHeapMb / 4, 2048L), 16L)
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${graftHeapMb}m",
   // pin the heap and use the throughput collector: G1's adaptive sizing
   // (reset by every explicit GC) intermittently shrinks the young gen
   // under the pairwise joins' allocation bursts, promoting transient
   // garbage and spending 10x the stage CPU in GC (JFR-measured 238s of
   // in-task GC on a 21s-CPU stage). Parallel GC with a fixed heap keeps
   // identical runs identical.
-  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xms${graftHeapMb}m",
   "-XX:+UseParallelGC",
   // ... and pin the young gen as well: ParallelGC's adaptive size policy
   // re-shrinks it under pause-time pressure, recreating the same

@@ -57,8 +57,14 @@ object Dedup {
     * would run as one giant task after all. */
   def exactCanon(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     // unhex: a true 16-byte binary digest, not the 32-char hex string —
-    // ~40% narrower rows through both digest shuffles
-    val digests = df.select(col(idCol), unhex(md5(col(textCol).cast("binary"))).as("__digest"))
+    // ~40% narrower rows through both digest shuffles. NULL text maps to
+    // the EMPTY binary (no md5 is ever empty), so null-text rows form
+    // their own group and survive the join back — a bare null digest
+    // would silently drop them (equi-join keys never match on null),
+    // whereas the window form this replaced kept them.
+    val digest =
+      coalesce(unhex(md5(col(textCol).cast("binary"))), lit(Array.emptyByteArray))
+    val digests = df.select(col(idCol), digest.as("__digest"))
     val canon = digests
       .groupBy(col("__digest"), substring(col("__digest"), 1, 2))
       .agg(min(col(idCol)).as("canon_id"))

@@ -29,7 +29,15 @@ import org.apache.spark.sql.types.StructType
  * among right rows with identical (key, ts) the greatest right payload
  * struct wins (sides sort right-before-left on the tag at equal ts, and
  * right rows among themselves by their payload struct — total,
- * deterministic order).
+ * deterministic order). The right payload must therefore be ORDERABLE
+ * (no map columns) — the same constraint as the grid joins' aggregated
+ * side.
+ *
+ * Null semantics follow the SQL join conditions they stand in for: a
+ * null key or null ts can never satisfy `l.k = r.k AND l.ts >= r.ts`,
+ * so such rows drop from BOTH sides up front (without the filter, the
+ * nulls-first sort would hand a null-ts right row to left rows that
+ * should not match, and null keys would match each other).
  *
  * @param keys key column names, present on BOTH sides (the only shared
  *             names allowed); remaining column names must be disjoint
@@ -54,15 +62,20 @@ object AsOfJoin {
 
     val ts = "__asof_ts"; val tag = "__asof_tag"
     val lS = "__asof_l"; val rS = "__asof_r"; val carry = "__asof_carry"
+    // keys ride the shuffle once, as top-level columns; the payload
+    // structs carry only the NON-key columns of each side
+    val lPayloadCols = left.columns.filterNot(keys.contains).toSeq
     val rStructType = new StructType(rPayloadCols.map(c => right.schema(c)).toArray)
-    val lStructType = new StructType(left.schema.fields)
+    val lStructType = new StructType(lPayloadCols.map(c => left.schema(c)).toArray)
+    def nonNull(df: DataFrame, tsCol: String): DataFrame =
+      df.where((col(tsCol) +: keys.map(col)).map(_.isNotNull).reduce(_ && _))
 
-    val lTagged = left.select(
+    val lTagged = nonNull(left, leftTsCol).select(
       keys.map(col) ++ Seq(
         col(leftTsCol).as(ts), lit(1).as(tag),
-        struct(left.columns.map(col): _*).as(lS),
+        struct(lPayloadCols.map(col): _*).as(lS),
         lit(null).cast(rStructType).as(rS)): _*)
-    val rTagged = right.select(
+    val rTagged = nonNull(right, rightTsCol).select(
       keys.map(col) ++ Seq(
         col(rightTsCol).as(ts), lit(0).as(tag),
         lit(null).cast(lStructType).as(lS),
@@ -75,7 +88,8 @@ object AsOfJoin {
     lTagged.unionByName(rTagged)
       .withColumn(carry, last(col(rS), ignoreNulls = true).over(w))
       .where(col(tag) === 1 && col(carry).isNotNull)
-      .select(left.columns.map(c => col(s"$lS.`$c`"))
+      .select(left.columns.map(c =>
+          if (keys.contains(c)) col(c) else col(s"$lS.`$c`"))
         ++ rPayloadCols.map(c => col(s"$carry.`$c`")): _*)
   }
 }

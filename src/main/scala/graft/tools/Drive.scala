@@ -202,9 +202,14 @@ object Drive {
       import org.apache.spark.sql.functions._
       val ev = docs.select(col("doc_id").as("eid"),
         (col("doc_id") % 7).as("k"), (col("doc_id") * 13 % 101).as("ets"))
+      // deterministic dedup (min sid per (k, sts)): dropDuplicates keeps
+      // an ARBITRARY survivor and the plan re-executes for each of the
+      // two collects below — a different survivor per run would make
+      // this check flaky
       val st = docs.where("doc_id % 3 = 0").select(
         (col("doc_id") % 7).as("k"), (col("doc_id") * 29 % 101).as("sts"),
-        col("doc_id").as("sid")).dropDuplicates("k", "sts")
+        col("doc_id").as("sid"))
+        .groupBy("k", "sts").agg(min(col("sid")).as("sid"))
       val asof = graft.join.AsOfJoin.asof(ev, st, Seq("k"), "ets", "sts")
         .select("eid", "sts", "sid").collect().map(_.mkString("|")).toSet
       val brute = ev.join(st, "k").where(col("sts") <= col("ets"))

@@ -2,7 +2,7 @@ package graft.dedup
 
 import java.util.concurrent.atomic.AtomicLong
 
-import org.apache.spark.graft.SparkTestBridge
+import org.apache.spark.graft.ListenerBridge
 import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -54,7 +54,7 @@ class DedupSkewSpec extends AnyFlatSpec with Matchers {
     spark.sparkContext.addSparkListener(listener)
     try {
       body
-      SparkTestBridge.drainListenerBus(spark.sparkContext)
+      ListenerBridge.drain(spark.sparkContext)
       max.get()
     } finally spark.sparkContext.removeSparkListener(listener)
   }
@@ -110,6 +110,19 @@ class DedupSkewSpec extends AnyFlatSpec with Matchers {
     withClue(plan.linesIterator.filter(_.contains("Join")).mkString("\n")) {
       plan should include("skew=true")
     }
+  }
+
+  behavior of "Dedup.exactCanon null-text rows"
+
+  it should "keep null-text rows as their own group (the window form's semantics)" in {
+    import spark.implicits._
+    val df = Seq((1L, Option("x")), (2L, None), (3L, Option("x")), (4L, None))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactCanon(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // nulls group together (min id 2), never silently drop — an equi-join
+    // back on a bare null digest would lose rows 2 and 4
+    got shouldBe Set((1L, 1L), (3L, 1L), (2L, 2L), (4L, 2L))
   }
 
   behavior of "StreamingDedup.firstPerContent (batch path) on a pathological duplicate cluster"

@@ -32,6 +32,17 @@ class AsOfJoinSpec extends AnyFlatSpec with Matchers {
     got.head.getInt(3) shouldBe 9
   }
 
+  it should "drop null keys and null timestamps on both sides (SQL join-condition semantics)" in {
+    val l = Seq((Some(1), Some(10L), "a"), (Some(1), None, "b"), (None, Some(9L), "c"))
+      .toDF("k", "lts", "pay")
+    val r = Seq((Some(1), Some(8L), 80), (Some(1), None, 99), (None, Some(1L), 77))
+      .toDF("k", "rts", "v")
+    val got = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts").collect()
+    // only (k=1, lts=10) survives, matched to (rts=8, 80) — the null-ts
+    // right row must never be carried into it, null keys never match
+    got.map(x => (x.getInt(0), x.getLong(1), x.getInt(4))).toSeq shouldBe Seq((1, 10L, 80))
+  }
+
   it should "reject overlapping non-key columns and missing keys" in {
     val l = Seq((1, 1L, "x")).toDF("k", "ts", "pay")
     val r = Seq((1, 1L, "y")).toDF("k", "rts", "pay")
