@@ -52,6 +52,20 @@ class AsOfJoinSpec extends AnyFlatSpec with Matchers {
       AsOfJoin.asof(l, r.withColumnRenamed("pay", "rpay"), Seq("nope"), "ts", "rts")
   }
 
+  it should "execute as ONE keyed shuffle — no join, no pair blow-up (plan audit)" in {
+    val l = Seq.tabulate(50)(i => (i % 5, i.toLong, i)).toDF("k", "lts", "lid")
+    val r = Seq.tabulate(30)(i => (i % 5, i.toLong * 3, i)).toDF("k", "rts", "rid")
+    val out = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts")
+    out.count()
+    val plan = out.queryExecution.executedPlan.toString
+    withClue(plan) {
+      // union -> ONE hash(keys) exchange -> sort -> window; never a join
+      plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 1
+      plan should not include "Join"
+      plan should include("Window")
+    }
+  }
+
   it should "match a window-free brute force on random data" in {
     val rnd = new scala.util.Random(7)
     val l = Seq.tabulate(300)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, i)).toDF("k", "lts", "lid")

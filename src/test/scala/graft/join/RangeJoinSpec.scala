@@ -38,6 +38,31 @@ class RangeJoinSpec extends AnyFlatSpec with Matchers {
     got.size should be > 0
   }
 
+  it should "plan a bucket equi-join, never a cartesian, with broadcast disabled (plan audit)" in {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val pts = Seq.tabulate(100)(i => (i, i.toDouble)).toDF("pid", "v")
+      val ivs = Seq.tabulate(40)(i => (i, i * 2.0, i * 2.0 + 3.0)).toDF("iid", "lo", "hi")
+      val out = RangeJoin.pointInInterval(pts, ivs, col("v"), col("lo"), col("hi"), 2.0)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString
+      withClue(plan) {
+        // the 100 TB shape: shuffle equi-join on the bucket id
+        (plan should not).include("CartesianProduct")
+        (plan should not).include("BroadcastNestedLoopJoin")
+        plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 2
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   it should "emit each qualifying pair exactly once even for multi-bucket intervals" in {
     val pts = Seq((1, 7.0)).toDF("pid", "v")
     val ivs = Seq(("wide", 0.0, 100.0)).toDF("iid", "lo", "hi") // spans many 1.0-buckets
