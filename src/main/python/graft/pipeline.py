@@ -45,6 +45,15 @@ def minhash_pairs(df, id_col="doc_id", text_col="text", tau=0.8, n=3,
         int(num_hashes), int(band_rows)))
 
 
+def containment_pairs(df, id_col="doc_id", text_col="text", tau=0.8, n=3,
+                      max_doc_freq=0):
+    """Near-superset pairs (doc_i, doc_j, cont) by max-containment
+    ``|A n B| / min(|A|, |B|)`` -- catches quote-inclusion and
+    boilerplate-wrapping that union-normalized Jaccard misses."""
+    return _wrap(df, _facade(df).containmentPairs(
+        df._jdf, id_col, text_col, float(tau), int(n), int(max_doc_freq)))
+
+
 def simhash_pairs(df, id_col="doc_id", text_col="text", max_hamming=3,
                   use_md5=False):
     """SimHash near-dup pairs (doc_i, doc_j, hamming)."""
@@ -146,6 +155,11 @@ def text_profile(df, id_col="doc_id", text_col="text", unicode_tokens=False):
     jdf = (fac.textProfileUnicode(df._jdf, id_col, text_col)
            if unicode_tokens else fac.textProfile(df._jdf, id_col, text_col))
     return _wrap(df, jdf)
+
+
+def vocabulary(df, id_col="doc_id", text_col="text"):
+    """Corpus vocabulary statistics: (token, doc_freq, total_freq)."""
+    return _wrap(df, _facade(df).vocabulary(df._jdf, id_col, text_col))
 
 
 def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,

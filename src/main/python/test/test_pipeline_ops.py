@@ -116,6 +116,15 @@ class TestStreamingUnified(object):
         # k=2's only right row is later than its left row -> inner drop
         assert got == {(1, 10, 80), (1, 5, 30)}
 
+    def test_containment_and_vocabulary(self, docs):
+        # doc 3 duplicates doc 0 byte-for-byte -> containment 1.0
+        pairs = {(r["doc_i"], r["doc_j"]) for r in
+                 P.containment_pairs(docs, tau=0.9).collect()}
+        assert (0, 3) in pairs
+        vocab = {r["token"]: (r["doc_freq"], r["total_freq"])
+                 for r in P.vocabulary(docs).collect()}
+        assert vocab["the"][0] >= 2  # stopword spans multiple docs
+
     def test_range_join(self, local_spark):
         pts = local_spark.createDataFrame(
             [(1, 5.0), (2, 10.0), (3, 42.0)], ["pid", "v"])

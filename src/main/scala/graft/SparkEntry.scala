@@ -346,6 +346,12 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
+    // near-superset pairs: max-containment |A∩B|/min(|A|,|B|) catches
+    // quote-inclusion/boilerplate-wrapping that union-normalized Jaccard
+    // misses; same inverted index, different exact division
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
+
     // embedding-cosine near-dup pairs (exact, oracle-checked)
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.5)),
@@ -393,6 +399,14 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
         .select(col("doc_id"), TextFunctions.langId(col("ws")).as("lang_pred"))),
+
+    // corpus vocabulary: top 100 tokens by document frequency (total
+    // order via the unique token as the last sort key — deterministic
+    // top-k in both engines)
+    "text_vocab" -> ((s, dir) =>
+      TextFunctions.vocabulary(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("doc_freq").desc, col("total_freq").desc, col("token"))
+        .limit(100)),
 
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -846,6 +860,17 @@ object SparkEntry {
 
     "dedup_jaccard" -> jaccardOracle,
 
+    // identical intersection CTE, containment division: c / min(n1, n2)
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT doc_id, unnest(sl) s FROM sh),
+         |sz AS (SELECT doc_id, len(sl) n FROM sh),
+         |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
+         |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(least(s1.n, s2.n) AS DOUBLE) cont
+         |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
+         |WHERE CAST(c AS DOUBLE)/CAST(least(s1.n, s2.n) AS DOUBLE) >= 0.8""".stripMargin,
+
     // components by recursive reachability: comp(src) = min node
     // reachable from src over the (symmetrized) pair edges
     "dedup_clusters" ->
@@ -922,6 +947,14 @@ object SparkEntry {
       s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents)
          |SELECT doc_id, $langPredSql lang_pred
          |FROM t""".stripMargin,
+
+    "text_vocab" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) token FROM t)
+         |SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) doc_freq,
+         |       CAST(count(*) AS BIGINT) total_freq
+         |FROM tok GROUP BY token
+         |ORDER BY doc_freq DESC, total_freq DESC, token LIMIT 100""".stripMargin,
 
     // profile -> filter -> canonical-only exact dedup, mirroring the
     // composed Spark pipeline stage for stage (same token/ratio/langid

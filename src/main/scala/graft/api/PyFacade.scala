@@ -35,6 +35,13 @@ object PyFacade {
       tau: Double, n: Int, numHashes: Int, bandRows: Int): DataFrame =
     Dedup.minhashPairs(df, idCol, textCol, tau, n, numHashes, bandRows)
 
+  /** Near-superset pairs by max-containment; maxDocFreq <= 0 disables
+    * the skew cap. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, n: Int, maxDocFreq: Int): DataFrame =
+    Dedup.containmentPairs(df, idCol, textCol, tau, n,
+      if (maxDocFreq <= 0) None else Some(maxDocFreq))
+
   /** useMd5 = true picks the oracle-replayable md5 fingerprint hasher. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, useMd5: Boolean): DataFrame =
@@ -108,6 +115,10 @@ object PyFacade {
     * delimited. */
   def textProfileUnicode(df: DataFrame, idCol: String, textCol: String): DataFrame =
     profileWith(df, idCol, textCol, TextFunctions.tokensUnicode)
+
+  /** Corpus vocabulary: (token, doc_freq, total_freq). */
+  def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    TextFunctions.vocabulary(df, idCol, textCol)
 
   private def profileWith(df: DataFrame, idCol: String, textCol: String,
       tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =

@@ -112,10 +112,38 @@ object Dedup {
    */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      tau: Double, n: Int = 3, maxDocFreq: Option[Int] = None): DataFrame = {
-    // single-pass inverted index carrying each doc's shingle count — no
-    // separate sizes join; the self-join's two branches share one shuffle
-    // (identical canonical plans → Catalyst ReuseExchange)
+      tau: Double, n: Int = 3, maxDocFreq: Option[Int] = None): DataFrame =
+    shinglePairCounts(df, idCol, textCol, n, maxDocFreq)
+      .select(col("doc_i"), col("doc_j"), jaccard(col("c"), col("ni"), col("nj")).as("jac"))
+      .where(col("jac") >= tau)
+
+  /**
+   * All pairs (i < j) whose word-n-gram MAX-CONTAINMENT
+   * `|A ∩ B| / min(|A|, |B|)` >= tau, exactly — near-superset detection.
+   * A document QUOTING or boilerplate-wrapping another shares nearly all
+   * of the smaller side's shingles while Jaccard (÷ union) stays low
+   * (a 10x-longer wrapper caps Jaccard near 0.1), so threshold-based
+   * Jaccard dedup misses exactly the containment cases training-data
+   * curation cares about. Same single-shuffle inverted-index shape, skew
+   * cap, and exact-IEEE-division contract as [[jaccardPairs]].
+   * Output: (doc_i, doc_j, cont).
+   */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      tau: Double, n: Int = 3, maxDocFreq: Option[Int] = None): DataFrame =
+    shinglePairCounts(df, idCol, textCol, n, maxDocFreq)
+      .select(col("doc_i"), col("doc_j"),
+        (col("c").cast("double") / least(col("ni"), col("nj")).cast("double")).as("cont"))
+      .where(col("cont") >= tau)
+
+  /** Shared inverted-index core: per candidate pair (i < j), the exact
+    * shingle-intersection count plus both sides' shingle-set sizes —
+    * (doc_i, doc_j, ni, nj, c). Single-pass index carrying each doc's
+    * shingle count (no separate sizes join; the self-join's two branches
+    * share one shuffle — identical canonical plans → ReuseExchange). */
+  private def shinglePairCounts(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int, maxDocFreq: Option[Int]): DataFrame = {
     val inv0 = shingled(df, idCol, textCol, n)
       .select(col("doc"), size(col("sh")).as("nsh"), explode(col("sh")).as("s"))
     val inv = maxDocFreq.fold(inv0) { cap =>
@@ -130,8 +158,6 @@ object Dedup {
       .groupBy(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"),
         col("a.nsh").as("ni"), col("b.nsh").as("nj"))
       .agg(count(lit(1)).as("c"))
-      .select(col("doc_i"), col("doc_j"), jaccard(col("c"), col("ni"), col("nj")).as("jac"))
-      .where(col("jac") >= tau)
   }
 
   /**

@@ -116,6 +116,21 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i, lit(n))))))
       .otherwise(array().cast("array<string>"))
 
+  /** Corpus vocabulary statistics: per token, document frequency (#docs
+    * containing it) and total occurrence count — (token, doc_freq,
+    * total_freq). The classic input for stopword discovery, df-based
+    * shingle caps ([[graft.dedup.Dedup.jaccardPairs]]'s `maxDocFreq`),
+    * and TF-IDF weighting. One explode + one aggregation; exact distinct
+    * counts (count(distinct doc) expands per token — at extreme scale
+    * swap in approx_count_distinct, at the price of losing the
+    * bit-exact oracle). */
+  def vocabulary(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct(col("__doc")).as("doc_freq"),
+        count(lit(1)).as("total_freq"))
+
   /** Exact-content fingerprint: md5 hex of the full text. */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -233,6 +233,21 @@ object Drive {
       println(s"rows=${rj.size} range matches (autoWidth=$w), equals brute force: ${rj == bruteR} (expect true)")
     }
 
+    println("=== 20. containment dedup + corpus vocabulary (round-5) ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      // containment must be a superset of jaccard at the same tau
+      // (|A∩B|/min <= is never below |A∩B|/union)
+      val jp = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
+        .select("doc_i", "doc_j").collect().map(_.mkString("|")).toSet
+      val cp = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text", 0.8)
+        .select("doc_i", "doc_j").collect().map(_.mkString("|")).toSet
+      println(s"rows=${cp.size} containment pairs, jaccard subset: ${jp.subsetOf(cp)} (expect true)")
+      val vocab = graft.text.TextFunctions.vocabulary(docs, "doc_id", "text")
+      val bad = vocab.where(col("doc_freq") > col("total_freq")).count()
+      println(s"rows=${vocab.count()} vocabulary tokens, doc_freq>total_freq=$bad (expect 0)")
+    }
+
     spark.stop()
   }
 }

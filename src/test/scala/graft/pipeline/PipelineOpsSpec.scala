@@ -244,6 +244,21 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     lsh shouldBe exact
   }
 
+  it should "flag near-supersets by containment that Jaccard misses" in {
+    // doc 2 wraps doc 1's full text in 4x the boilerplate: containment of
+    // the smaller side is ~1.0 while Jaccard stays far below any useful
+    // dedup threshold
+    val core = (1 to 12).map(i => s"core$i").mkString(" ")
+    val wrap = (1 to 48).map(i => s"pad$i").mkString(" ")
+    val docs = Seq((1L, core), (2L, s"$core $wrap"), (3L, "entirely different text here okay"))
+      .toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(docs, "doc_id", "text", tau = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    cont.map(p => (p._1, p._2)).toSeq shouldBe Seq((1L, 2L))
+    cont.head._3 should be >= 0.9
+    Dedup.jaccardPairs(docs, "doc_id", "text", tau = 0.8).count() shouldBe 0
+  }
+
   behavior of "TextFunctions"
 
   it should "count BPE-ish tokens (words, digit runs, punctuation marks)" in {
