@@ -90,6 +90,15 @@ def asof_join(left, right, keys="user_id", left_ts="ts", right_ts="ts"):
         left._jdf, right._jdf, keys, left_ts, right_ts))
 
 
+def asof_join_bucketed(left, right, keys="user_id", left_ts="ts",
+                       right_ts="ts", bucket_width=3600.0):
+    """Hot-key-safe as-of join: identical result to ``asof_join`` but
+    every key is split by floor(ts / bucket_width) time buckets, so one
+    pathologically hot key never lands on a single task."""
+    return _wrap(left, _facade(left).asofJoinBucketed(
+        left._jdf, right._jdf, keys, left_ts, right_ts, float(bucket_width)))
+
+
 def range_join(points, intervals, point_col="v", lo_col="lo", hi_col="hi",
                bucket_width=0.0):
     """Range (interval) join: every (point, interval) pair with

@@ -125,6 +125,19 @@ class TestStreamingUnified(object):
                  for r in P.vocabulary(docs).collect()}
         assert vocab["the"][0] >= 2  # stopword spans multiple docs
 
+    def test_asof_join_bucketed(self, local_spark):
+        left = local_spark.createDataFrame(
+            [(1, 10, "a"), (1, 5, "b"), (2, 7, "c")], ["k", "lts", "pay"])
+        right = local_spark.createDataFrame(
+            [(1, 8, 80), (1, 3, 30), (2, 9, 90)], ["k", "rts", "v"])
+        plain = {(r["k"], r["lts"], r["v"]) for r in
+                 P.asof_join(left, right, keys="k",
+                             left_ts="lts", right_ts="rts").collect()}
+        bucketed = {(r["k"], r["lts"], r["v"]) for r in
+                    P.asof_join_bucketed(left, right, keys="k", left_ts="lts",
+                                         right_ts="rts", bucket_width=4.0).collect()}
+        assert bucketed == plain == {(1, 10, 80), (1, 5, 30)}
+
     def test_range_join(self, local_spark):
         pts = local_spark.createDataFrame(
             [(1, 5.0), (2, 10.0), (3, 42.0)], ["pid", "v"])

@@ -67,6 +67,17 @@ object PyFacade {
     graft.join.AsOfJoin.asof(left, right,
       keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol)
 
+  /** Hot-key-safe as-of join: every key additionally split by
+    * floor(ts / bucketWidth) buckets (ts read as double — epoch seconds
+    * for timestamps), so no task holds a whole key's timeline. */
+  def asofJoinBucketed(left: DataFrame, right: DataFrame, keysCsv: String,
+      leftTsCol: String, rightTsCol: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    graft.join.AsOfJoin.asofBucketed(left, right,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol,
+      t => floor(t.cast("double") / bucketWidth).cast("long"))
+  }
+
   /** Range (interval) join: (point, interval) pairs with lo <= v <= hi;
     * bucketWidth <= 0 derives the width from interval statistics. */
   def rangeJoin(points: DataFrame, intervals: DataFrame,

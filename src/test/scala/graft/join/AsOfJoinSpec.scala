@@ -66,6 +66,24 @@ class AsOfJoinSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "produce exactly the plain as-of result under any bucketing (hot-key-safe variant)" in {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(23)
+    val l = Seq.tabulate(300)(i => (rnd.nextInt(4), rnd.nextInt(1000).toLong, i)).toDF("k", "lts", "lid")
+    val r = Seq.tabulate(180)(i => (rnd.nextInt(4), rnd.nextInt(1000).toLong, i)).toDF("k", "rts", "rid")
+    val plain = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts")
+      .collect().map(_.mkString("|")).toSet
+    // width 1 = every ts its own bucket (carry-in does all the work);
+    // width 50 = mixed local/carry; width 1e6 = one bucket (degenerates
+    // to the plain shape)
+    for (w <- Seq(1.0, 50.0, 1e6)) {
+      val bucketed = AsOfJoin.asofBucketed(l, r, Seq("k"), "lts", "rts",
+        t => floor(t.cast("double") / w).cast("long"))
+        .collect().map(_.mkString("|")).toSet
+      withClue(s"bucketWidth=$w: ") { bucketed shouldBe plain }
+    }
+  }
+
   it should "match a window-free brute force on random data" in {
     val rnd = new scala.util.Random(7)
     val l = Seq.tabulate(300)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, i)).toDF("k", "lts", "lid")
