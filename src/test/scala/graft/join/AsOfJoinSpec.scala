@@ -84,6 +84,56 @@ class AsOfJoinSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "spread ONE pathologically hot key across tasks (bucketed), where the plain shape cannot" in {
+    import org.apache.spark.graft.ListenerBridge
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import org.apache.spark.sql.functions._
+    // a single key owning every row: the plain shape must put all of it
+    // on one task (per-key window semantics); the bucketed shape splits
+    // it over floor(ts/1000) buckets
+    val n = 120000L
+    val l = spark.range(0, n, 1, 8).select(lit(1).as("k"), col("id").as("lts"), col("id").as("lid"))
+    val r = spark.range(0, n, 7, 8).select(lit(1).as("k"), col("id").as("rts"), col("id").as("rid"))
+    def maxTaskShuffleRecords(body: => Unit): Long = {
+      val max = new java.util.concurrent.atomic.AtomicLong(0L)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          val m = t.taskMetrics
+          if (m != null) {
+            val rec = m.shuffleReadMetrics.recordsRead
+            var cur = max.get()
+            while (rec > cur && !max.compareAndSet(cur, rec)) cur = max.get()
+          }
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; ListenerBridge.drain(spark.sparkContext); max.get() }
+      finally spark.sparkContext.removeSparkListener(listener)
+    }
+    // AQE rightly COALESCES these toy partitions into one (sequential
+    // longs lz4-compress below any sane advisory size); disable
+    // coalescing so the partition layout shows the at-scale shape —
+    // real partitions dwarf the 64 MB advisory and never merge
+    val conf = spark.conf
+    val savedAdv = conf.getOption("spark.sql.adaptive.coalescePartitions.enabled")
+    try {
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      var rows = 0L
+      val maxRecords = maxTaskShuffleRecords {
+        rows = AsOfJoin.asofBucketed(l, r, Seq("k"), "lts", "rts",
+          t => floor(t.cast("double") / 1000d).cast("long")).count()
+      }
+      rows shouldBe n // every left row has an at-or-before match (rts 0)
+      val total = n + n / 7
+      withClue(s"max single-task shuffle-read records = $maxRecords of ~$total: ") {
+        maxRecords should be < (total / 2)
+      }
+    } finally savedAdv match {
+      case Some(v) => conf.set("spark.sql.adaptive.coalescePartitions.enabled", v)
+      case None => conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    }
+  }
+
   it should "match a window-free brute force on random data" in {
     val rnd = new scala.util.Random(7)
     val l = Seq.tabulate(300)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, i)).toDF("k", "lts", "lid")
