@@ -1,6 +1,6 @@
 package graft.join
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
@@ -46,42 +46,70 @@ import org.apache.spark.sql.types.StructType
  */
 object AsOfJoin {
 
-  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTsCol: String, rightTsCol: String): DataFrame = {
-    validate(left, right, keys, rightTsCol)
-    val rPayloadCols = right.columns.filterNot(keys.contains).toSeq
+  private val ts = "__asof_ts"; private val tag = "__asof_tag"
+  private val bkt = "__asof_bkt"
+  private val lS = "__asof_l"; private val rS = "__asof_r"
 
-    val ts = "__asof_ts"; val tag = "__asof_tag"
-    val lS = "__asof_l"; val rS = "__asof_r"; val carry = "__asof_carry"
-    // keys ride the shuffle once, as top-level columns; the payload
-    // structs carry only the NON-key columns of each side
+  /** The tagged-union construction BOTH variants build on — shared so
+    * their ordering/tie-break/null contracts can never drift apart.
+    * Keys ride the shuffle once, as top-level columns; the payload
+    * structs carry only the NON-key columns of each side; null keys and
+    * null ts drop; left rows tag 1, right rows tag 0 (at equal ts the
+    * right sorts first — at-or-before inclusivity). With `bucketOf` set,
+    * a `__asof_bkt` column rides along, and a bucket expression that
+    * evaluates to NULL on a non-null ts fails LOUDLY (the downstream
+    * bucket equi-join would otherwise silently drop the row). */
+  private def tagSides(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String,
+      bucketOf: Option[Column => Column]): (DataFrame, DataFrame, Seq[String], Seq[String]) = {
     val lPayloadCols = left.columns.filterNot(keys.contains).toSeq
+    val rPayloadCols = right.columns.filterNot(keys.contains).toSeq
     val rStructType = new StructType(rPayloadCols.map(c => right.schema(c)).toArray)
     val lStructType = new StructType(lPayloadCols.map(c => left.schema(c)).toArray)
     def nonNull(df: DataFrame, tsCol: String): DataFrame =
       df.where((col(tsCol) +: keys.map(col)).map(_.isNotNull).reduce(_ && _))
-
+    def bucketCols(tsCol: String): Seq[Column] = bucketOf.toSeq.map { f =>
+      val b = f(col(tsCol))
+      when(b.isNotNull, b).otherwise(raise_error(concat(
+        lit("asofBucketed: bucketOf returned null for non-null ts "),
+        col(tsCol).cast("string")))).as(bkt)
+    }
     val lTagged = nonNull(left, leftTsCol).select(
-      keys.map(col) ++ Seq(
-        col(leftTsCol).as(ts), lit(1).as(tag),
+      keys.map(col) ++ Seq(col(leftTsCol).as(ts)) ++ bucketCols(leftTsCol) ++ Seq(
+        lit(1).as(tag),
         struct(lPayloadCols.map(col): _*).as(lS),
         lit(null).cast(rStructType).as(rS)): _*)
     val rTagged = nonNull(right, rightTsCol).select(
-      keys.map(col) ++ Seq(
-        col(rightTsCol).as(ts), lit(0).as(tag),
+      keys.map(col) ++ Seq(col(rightTsCol).as(ts)) ++ bucketCols(rightTsCol) ++ Seq(
+        lit(0).as(tag),
         lit(null).cast(lStructType).as(lS),
         struct(rPayloadCols.map(col): _*).as(rS)): _*)
+    (lTagged, rTagged, lPayloadCols, rPayloadCols)
+  }
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(tag).asc, col(rS).asc_nulls_first)
+  /** The shared window ordering: (ts, side-tag, right payload) — the
+    * single definition of the tie-break contract. */
+  private def carryOrder(w: org.apache.spark.sql.expressions.WindowSpec) =
+    w.orderBy(col(ts).asc, col(tag).asc, col(rS).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    lTagged.unionByName(rTagged)
+  private def finalProject(out: DataFrame, left: DataFrame, keys: Seq[String],
+      rPayloadCols: Seq[String], matched: String): DataFrame =
+    out.select(left.columns.map(c =>
+        if (keys.contains(c)) col(c) else col(s"$lS.`$c`"))
+      ++ rPayloadCols.map(c => col(s"$matched.`$c`")): _*)
+
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String): DataFrame = {
+    validate(left, right, keys, rightTsCol)
+    val (lTagged, rTagged, _, rPayloadCols) =
+      tagSides(left, right, keys, leftTsCol, rightTsCol, None)
+    val carry = "__asof_carry"
+    val w = carryOrder(Window.partitionBy(keys.map(col): _*))
+    val out = lTagged.unionByName(rTagged)
       .withColumn(carry, last(col(rS), ignoreNulls = true).over(w))
       .where(col(tag) === 1 && col(carry).isNotNull)
-      .select(left.columns.map(c =>
-          if (keys.contains(c)) col(c) else col(s"$lS.`$c`"))
-        ++ rPayloadCols.map(c => col(s"$carry.`$c`")): _*)
+    finalProject(out, left, keys, rPayloadCols, carry)
   }
 
   /**
@@ -103,40 +131,21 @@ object AsOfJoin {
    *     left row's bucket, so a local match always beats the carry-in.
    *
    * @param bucketOf maps a ts column to its bucket id — any monotone
-   *                 non-decreasing, orderable derivation, e.g.
-   *                 `t => date_trunc("day", t)` or `t => floor(t / 1000)`
+   *                 non-decreasing, orderable, NEVER-NULL-on-non-null-ts
+   *                 derivation, e.g. `t => date_trunc("day", t)` or
+   *                 `t => floor(t / 1000)` (a null bucket fails loudly)
    */
   def asofBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      bucketOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
+      bucketOf: Column => Column): DataFrame = {
     validate(left, right, keys, rightTsCol)
-    val rPayloadCols = right.columns.filterNot(keys.contains).toSeq
-    val lPayloadCols = left.columns.filterNot(keys.contains).toSeq
-
-    val ts = "__asof_ts"; val tag = "__asof_tag"; val b = "__asof_bkt"
-    val lS = "__asof_l"; val rS = "__asof_r"
+    val (lTagged, rTagged, _, rPayloadCols) =
+      tagSides(left, right, keys, leftTsCol, rightTsCol, Some(bucketOf))
     val local = "__asof_local"; val fin = "__asof_fin"; val cin = "__asof_cin"
-    val rStructType = new StructType(rPayloadCols.map(c => right.schema(c)).toArray)
-    val lStructType = new StructType(lPayloadCols.map(c => left.schema(c)).toArray)
-    def nonNull(df: DataFrame, tsCol: String): DataFrame =
-      df.where((col(tsCol) +: keys.map(col)).map(_.isNotNull).reduce(_ && _))
-
-    val lTagged = nonNull(left, leftTsCol).select(
-      keys.map(col) ++ Seq(
-        col(leftTsCol).as(ts), bucketOf(col(leftTsCol)).as(b), lit(1).as(tag),
-        struct(lPayloadCols.map(col): _*).as(lS),
-        lit(null).cast(rStructType).as(rS)): _*)
-    val rTagged = nonNull(right, rightTsCol).select(
-      keys.map(col) ++ Seq(
-        col(rightTsCol).as(ts), bucketOf(col(rightTsCol)).as(b), lit(0).as(tag),
-        lit(null).cast(lStructType).as(lS),
-        struct(rPayloadCols.map(col): _*).as(rS)): _*)
 
     // 1. local carry within each (key, bucket) — same ordering contract
-    // as the plain asof, finer partitioning
-    val wLocal = Window.partitionBy((keys :+ b).map(col): _*)
-      .orderBy(col(ts).asc, col(tag).asc, col(rS).asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // as the plain asof (carryOrder), finer partitioning
+    val wLocal = carryOrder(Window.partitionBy((keys :+ bkt).map(col): _*))
     val localized = lTagged.unionByName(rTagged)
       .withColumn(local, last(col(rS), ignoreNulls = true).over(wLocal))
 
@@ -144,35 +153,33 @@ object AsOfJoin {
     // the struct, so max() is "latest ts, then greatest payload" — the
     // same winner the ordered window would carry
     val bucketFinal = rTagged
-      .groupBy((keys :+ b).map(col): _*)
+      .groupBy((keys :+ bkt).map(col): _*)
       .agg(max(struct(col(ts), col(rS).as("p"))).as(fin))
 
     // 3. carry-in per LEFT bucket: union distinct left buckets (tag 1)
-    // with the bucket finals (tag 0); per key, ordered by (bucket, tag),
-    // the frame ending ONE ROW BEFORE a left-bucket row sees exactly the
-    // finals of strictly earlier buckets (the same bucket's final sorts
-    // AFTER the left row — its rights are local, not carry-in).
+    // with the bucket finals (tag 0); per key, ordered by (bucket,
+    // tag desc — the left-bucket row sorts BEFORE its own bucket's
+    // final), the frame ending ONE ROW BEFORE a left-bucket row sees
+    // exactly the finals of strictly earlier buckets.
     // Window volume: #distinct buckets per key, not #rows.
-    val lBuckets = lTagged.select((keys :+ b).map(col): _*).distinct()
+    val lBuckets = lTagged.select((keys :+ bkt).map(col): _*).distinct()
       .withColumn(tag, lit(1)).withColumn(fin, lit(null).cast(bucketFinal.schema(fin).dataType))
     val rBuckets = bucketFinal.withColumn(tag, lit(0))
     val wCarry = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(b).asc, col(tag).desc)
+      .orderBy(col(bkt).asc, col(tag).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val carryIn = lBuckets.unionByName(rBuckets)
       .withColumn(cin, last(col(fin), ignoreNulls = true).over(wCarry))
       .where(col(tag) === 1)
-      .select((keys :+ b).map(col) :+ col(s"$cin.p").as(cin): _*)
+      .select((keys :+ bkt).map(col) :+ col(s"$cin.p").as(cin): _*)
 
     // 4. attach carry-in to the left rows of each (key, bucket) and pick
     // the local match when present (always at-or-later than any carry-in)
-    localized.where(col(tag) === 1)
-      .join(carryIn, keys :+ b)
+    val out = localized.where(col(tag) === 1)
+      .join(carryIn, keys :+ bkt)
       .withColumn(rS, coalesce(col(local), col(cin)))
       .where(col(rS).isNotNull)
-      .select(left.columns.map(c =>
-          if (keys.contains(c)) col(c) else col(s"$lS.`$c`"))
-        ++ rPayloadCols.map(c => col(s"$rS.`$c`")): _*)
+    finalProject(out, left, keys, rPayloadCols, rS)
   }
 
   private def validate(left: DataFrame, right: DataFrame,

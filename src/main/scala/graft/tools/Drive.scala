@@ -237,7 +237,7 @@ object Drive {
     locally {
       import org.apache.spark.sql.functions._
       // containment must be a superset of jaccard at the same tau
-      // (|A∩B|/min <= is never below |A∩B|/union)
+      // (|A∩B|/min is never below |A∩B|/union)
       val jp = graft.dedup.Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
         .select("doc_i", "doc_j").collect().map(_.mkString("|")).toSet
       val cp = graft.dedup.Dedup.containmentPairs(docs, "doc_id", "text", 0.8)

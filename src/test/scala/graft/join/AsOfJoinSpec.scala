@@ -134,6 +134,19 @@ class AsOfJoinSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "fail LOUDLY when bucketOf yields null for a non-null ts" in {
+    import org.apache.spark.sql.functions._
+    val l = Seq((1, 10L)).toDF("k", "lts")
+    val r = Seq((1, 5L, 50)).toDF("k", "rts", "v")
+    // a bucket function that nulls out some timestamps would make the
+    // final bucket equi-join silently drop rows — it must throw instead
+    val ex = intercept[Exception] {
+      AsOfJoin.asofBucketed(l, r, Seq("k"), "lts", "rts",
+        t => when(t < 0, t)).collect() // null bucket for every ts >= 0
+    }
+    ex.getMessage should include("bucketOf returned null")
+  }
+
   it should "match a window-free brute force on random data" in {
     val rnd = new scala.util.Random(7)
     val l = Seq.tabulate(300)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, i)).toDF("k", "lts", "lid")
