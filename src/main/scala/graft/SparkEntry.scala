@@ -352,6 +352,13 @@ object SparkEntry {
     "dedup_containment" -> ((s, dir) =>
       Dedup.containmentPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
+    // exact-substring dedup: longest shared verbatim token span per pair
+    // (k-token run-digest inverted index + island merge); k=8/minSpan=20
+    // suits this short-document corpus — production text uses k≈40-50
+    "dedup_substring" -> ((s, dir) =>
+      Dedup.substringPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        minSpan = 20, k = 8)),
+
     // embedding-cosine near-dup pairs (exact, oracle-checked)
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.5)),
@@ -883,6 +890,22 @@ object SparkEntry {
          |  UNION
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
          |SELECT src doc_id, min(node) cluster_id FROM reach GROUP BY src""".stripMargin,
+
+    // mirrors substringPairs stage for stage: k-token window md5 digests
+    // (hex here, unhex'd binary in Spark — same equality), the same
+    // inverted-index join, the same island construction; positions are
+    // 1-based here and 0-based in Spark, which cancels in diff/span
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |sh AS (SELECT doc_id, [struct_pack(pos := i, h := md5(array_to_string(ws[i:i+7], ' '))) for i in range(1, len(ws)-6)] l FROM t WHERE len(ws) >= 8),
+         |r AS (SELECT doc_id, s.pos pos, s.h h FROM (SELECT doc_id, unnest(l) s FROM sh)),
+         |p AS (SELECT a.doc_id doc_i, b.doc_id doc_j, a.pos pi, a.pos - b.pos diff
+         |      FROM r a JOIN r b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |g AS (SELECT doc_i, doc_j, diff, pi,
+         |        pi - row_number() OVER (PARTITION BY doc_i, doc_j, diff ORDER BY pi) isl FROM p),
+         |sp AS (SELECT doc_i, doc_j, max(pi) - min(pi) + 8 span FROM g GROUP BY doc_i, doc_j, diff, isl)
+         |SELECT doc_i, doc_j, CAST(max(span) AS BIGINT) span_len
+         |FROM sp GROUP BY 1, 2 HAVING max(span) >= 20""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

@@ -161,6 +161,73 @@ object Dedup {
   }
 
   /**
+   * Exact-substring dedup: all pairs (i < j) sharing a VERBATIM token
+   * span of at least `minSpan` tokens, with the longest such span —
+   * (doc_i, doc_j, span_len). The substring-level duplicate family the
+   * set-similarity operators miss: a long quote or syndicated passage
+   * inside an otherwise-different host document dilutes Jaccard (÷
+   * union, so a 10x-longer host caps it near 0.1) and containment only
+   * fires when nearly ALL of the smaller side is shared — a 500-token
+   * verbatim span between two 5000-token documents escapes both.
+   *
+   * Shape (bucketed, NOT suffix-array-over-corpus):
+   *  1. every k-token window hashes to a 16-byte run digest (md5 of the
+   *     space-joined window) — (doc, pos, digest) rows, O(tokens/doc);
+   *  2. inverted-index self-join on the digest — the same
+   *     single-shuffle ReuseExchange shape as [[jaccardPairs]]'s core.
+   *     At k ≈ 40 a run digest is near-unique across a corpus (df = 1
+   *     unless text is genuinely duplicated), so the join is linear in
+   *     matching runs; `maxDocFreq` caps pathological boilerplate runs
+   *     exactly like the shingle index;
+   *  3. matched positions merge into maximal spans: per (pair, pi−pj)
+   *     alignment offset, consecutive-position islands (pos minus
+   *     row_number) — window partitions are bounded by a DOCUMENT's
+   *     token count, never corpus-sized;
+   *  4. span_len = max(pi)−min(pi)+k per island; the pair's longest
+   *     span survives the `minSpan` filter.
+   *
+   * A shared span of L >= k tokens yields L−k+1 aligned window matches
+   * at one offset, so span_len is EXACT for every span >= k; spans
+   * shorter than k are invisible (choose k <= minSpan; enforced).
+   * Detection is exact modulo md5 run-digest collisions, which an md5
+   * oracle replays identically.
+   */
+  def substringPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minSpan: Int, k: Int = 40, maxDocFreq: Option[Int] = None): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k): spans shorter than k are invisible")
+    import org.apache.spark.sql.expressions.Window
+    // (doc, pos, run digest) — tokens materialize as a column first (see
+    // shingled); the slice per window position is O(k) on the bound array
+    val idx0 = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .repartition(col("doc"))
+      .select(col("doc"), TextFunctions.tokens(col("txt")).as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc"), posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
+        i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(k))).cast("binary"))))))
+      .withColumnsRenamed(Map("pos" -> "p", "col" -> "h"))
+    val idx = maxDocFreq.fold(idx0) { cap =>
+      val hot = idx0.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > cap).select("h")
+      idx0.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+    val pairs = idx.as("a").hint("shuffle_hash")
+      .join(idx.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"),
+        col("a.p").as("pi"), (col("a.p") - col("b.p")).as("diff"))
+    // islands of consecutive pi per (pair, alignment offset): window rows
+    // per partition <= the smaller doc's token count
+    val w = Window.partitionBy(col("doc_i"), col("doc_j"), col("diff")).orderBy(col("pi"))
+    pairs.withColumn("isl", col("pi") - row_number().over(w))
+      .groupBy(col("doc_i"), col("doc_j"), col("diff"), col("isl"))
+      .agg((max(col("pi")) - min(col("pi")) + k).as("span"))
+      .groupBy(col("doc_i"), col("doc_j"))
+      .agg(max(col("span")).cast("long").as("span_len"))
+      .where(col("span_len") >= minSpan)
+  }
+
+  /**
    * MinHash-LSH near-dup pairs: signatures → banding (bandRows rows/band)
    * → candidate pairs sharing >= 1 band → exact Jaccard verification
    * >= tau. Same output contract as [[jaccardPairs]]; emitted Jaccard

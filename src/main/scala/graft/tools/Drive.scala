@@ -248,6 +248,23 @@ object Drive {
       println(s"rows=${vocab.count()} vocabulary tokens, doc_freq>total_freq=$bad (expect 0)")
     }
 
+    println("=== 21. exact-substring dedup: verbatim span that Jaccard misses (round-6) ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      // a 40-token quote inside a 10x-longer host: Jaccard ~0.1, but the
+      // span is verbatim — substringPairs must report exactly 40
+      import spark.implicits._
+      val q = (0 until 40).map(i => s"q$i")
+      val host = (0 until 180).map(i => s"h$i") ++ q ++ (0 until 180).map(i => s"z$i")
+      val sdf = Seq((1L, q.mkString(" ")), (2L, host.mkString(" ")))
+        .toDF("doc_id", "text")
+      val sp = graft.dedup.Dedup.substringPairs(sdf, "doc_id", "text", minSpan = 20, k = 8)
+        .collect().map(_.mkString("|")).toSeq
+      println(s"rows=${sp.size} substring pairs, span exact: ${sp == Seq("1|2|40")} (expect true)")
+      val jac = graft.dedup.Dedup.jaccardPairs(sdf, "doc_id", "text", 0.3).count()
+      println(s"rows=$jac jaccard pairs at tau=0.3 on the same docs (expect 0)")
+    }
+
     spark.stop()
   }
 }
