@@ -11,6 +11,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // events.parquet carries TIMESTAMP(NANOS); read as ns longs (set
+      // here once — queries never mutate session state)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // dev aid: SPARK_GRAFT_AQE=false measures the AQE-off behavior the
       // iterative operators' exchange-free-round comments describe; the
       // recorded bench always runs the Spark default (on)

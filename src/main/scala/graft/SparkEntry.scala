@@ -521,7 +521,6 @@ object SparkEntry {
     // analytic window functions: lag over event time per user
     "window_lag" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // event_id tie-break: equal (user_id, ts) pairs would otherwise
       // order arbitrarily and flake against the oracle
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -568,10 +567,12 @@ object SparkEntry {
 
     "events_window" -> ((s, dir) => {
       // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default; read as nanosecond longs, convert to microsecond
-      // timestamps, then run the SAME batch/stream-unified windowed
-      // aggregation Structured Streaming uses (graft.streaming).
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // default; the harness sessions (Verify/Bench/ScaleBench/test kit)
+      // set spark.sql.legacy.parquet.nanosAsLong once at build time — no
+      // gate query mutates session state. Read as nanosecond longs,
+      // convert to microsecond timestamps, then run the SAME
+      // batch/stream-unified windowed aggregation Structured Streaming
+      // uses (graft.streaming).
       graft.streaming.EventWindows.hourly(
         tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
     }),
@@ -580,7 +581,6 @@ object SparkEntry {
     // function a streaming pipeline runs; DuckDB replays the session
     // assignment via the lag/cumulative-sum islands construction
     "events_sessions" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // FLOOR division ns->us (not `DIV`, which truncates toward zero):
       // the DuckDB oracle floors (`//`), and the two disagree on
       // pre-epoch timestamps — harmless on this data, wrong in general
@@ -595,7 +595,6 @@ object SparkEntry {
     // no completed hour yet and drop (inner, DuckDB ASOF JOIN semantics).
     // Hourly sums ride decimal(38,8) for order-independent exactness
     "j_asof_hourly" -> ((s, dir) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = tbl(s, dir, "events")
         .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
       val hourly = ev
@@ -605,6 +604,26 @@ object SparkEntry {
       graft.join.AsOfJoin.asof(
         ev.select("event_id", "user_id", "ts"), hourly,
         keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end")
+        .select(col("event_id"), col("user_id"),
+          col("h_end").cast("long").as("h_ts"), col("h_value"))
+    }),
+
+    // the hot-key-safe as-of variant on the SAME data and oracle: every
+    // (user, HOUR-BUCKET) windows independently, so one user owning 100M
+    // events spreads over its hours instead of straggling on one task;
+    // semantics are pinned identical to the plain shape (AsOfJoinSpec),
+    // and this row pins them against DuckDB's native ASOF JOIN directly
+    "j_asof_bucketed" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+      val hourly = ev
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(round(sum(col("value").cast("decimal(38,8)")), 2).cast("double").as("h_value"))
+        .select(col("user_id"), col("window.end").as("h_end"), col("h_value"))
+      graft.join.AsOfJoin.asofBucketed(
+        ev.select("event_id", "user_id", "ts"), hourly,
+        keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end",
+        bucketOf = t => date_trunc("hour", t))
         .select(col("event_id"), col("user_id"),
           col("h_end").cast("long").as("h_ts"), col("h_value"))
     }),
@@ -1077,6 +1096,17 @@ object SparkEntry {
     // hour end <= event time per user; microsecond-integer comparison
     // (hend is whole seconds) keeps the boundary exact in both engines
     "j_asof_hourly" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 us FROM events),
+        |h AS (SELECT user_id,
+        |        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 hend,
+        |        CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) h_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
+        |FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
+
+    // the bucketed variant must produce byte-identical results to the
+    // plain shape — same native ASOF oracle
+    "j_asof_bucketed" ->
       """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 us FROM events),
         |h AS (SELECT user_id,
         |        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 hend,

@@ -16,6 +16,9 @@ object SparkTestKit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match the harness sessions: event-time gate queries read
+      // TIMESTAMP(NANOS) parquet as nanosecond longs
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
