@@ -49,4 +49,35 @@ class BoundedTopKSetSpec extends AnyFlatSpec with Matchers {
     got.map(r => (r.getDouble(0), r.getString(1))) shouldBe
       Seq((1.0, "a"), (1.0, "z"), (2.0, "x"))
   }
+
+  it should "handle null-keyed structs in the quick-reject path (regression)" in {
+    // structs whose FIRST field (the quick-reject key) is null sort
+    // before every non-null key. Once the buffer is full of them, a
+    // non-null-keyed candidate must be rejected WITHOUT comparing
+    // against the null k-th key (keyOrd.compare(kv, null) would NPE).
+    // One partition + null rows first forces exactly that update order.
+    val df = Seq(
+      (1L, Option.empty[Double], "a"),
+      (1L, Option.empty[Double], "b"),
+      (1L, Some(5.0), "d"),
+      (1L, Some(7.0), "e")).toDF("g", "d", "s").coalesce(1)
+    val got = df.groupBy("g")
+      .agg(BoundedTopKSet.topKSet(struct(col("d"), col("s")), 2).as("top"))
+      .head.getSeq[org.apache.spark.sql.Row](1)
+    got.map(r => (if (r.isNullAt(0)) null else r.getDouble(0), r.getString(1))) shouldBe
+      Seq((null, "a"), (null, "b"))
+  }
+
+  it should "degrade gracefully on a zero-field struct (regression)" in {
+    // struct() is orderable (all instances compare equal) but has no
+    // primary key for the quick-reject — the optimization must disable
+    // itself instead of calling valExprs.head on an empty list
+    val df = Seq(("g", 1), ("g", 2), ("g", 3)).toDF("g", "v")
+    val got = df.groupBy("g")
+      .agg(BoundedTopKSet.topKSet(struct(), 1).as("top"))
+      .head.getSeq[org.apache.spark.sql.Row](1)
+    // all empty structs are duplicates of each other — one survivor
+    got.length shouldBe 1
+    got.head.length shouldBe 0
+  }
 }
