@@ -104,7 +104,9 @@ def range_join(points, intervals, point_col="v", lo_col="lo", hi_col="hi",
     """Range (interval) join: every (point, interval) pair with
     ``lo <= v <= hi`` (inclusive) -- bucketed, no cartesian, neither side
     broadcast. ``bucket_width <= 0`` derives the width from interval
-    statistics."""
+    statistics -- NOTE: that path runs an eager Spark job at CALL time
+    (one slim stats aggregate over the interval bounds); pass an explicit
+    width to stay fully lazy."""
     return _wrap(points, _facade(points).rangeJoin(
         points._jdf, intervals._jdf, point_col, lo_col, hi_col,
         float(bucket_width)))

@@ -644,6 +644,22 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey")
     }),
 
+    // the same band join with the width DERIVED from interval statistics
+    // (autoWidth: one slim agg pass) instead of hand-picked — the way a
+    // real caller uses the operator when spans are not known a priori
+    "j_range_auto" -> ((s, dir) => {
+      val pts = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").cast("double").as("c_bal"))
+      val ivs = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") - 500.0).as("lo"),
+          (col("s_acctbal").cast("double") + 500.0).as("hi"))
+      val w = graft.join.RangeJoin.autoWidth(ivs, col("lo"), col("hi"))
+      graft.join.RangeJoin.pointInInterval(
+        pts, ivs, col("c_bal"), col("lo"), col("hi"), bucketWidth = w)
+        .select("c_custkey", "s_suppkey")
+    }),
+
     // --- multimodal: binary assets + typed metadata ---------------------
 
     "multimodal_meta" -> ((s, dir) => {
@@ -1087,6 +1103,14 @@ object SparkEntry {
         |FROM events GROUP BY 1, 2""".stripMargin,
 
     "j_range_band" ->
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c JOIN supplier s
+        |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 500.0
+        | AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 500.0""".stripMargin,
+
+    // bucketing never changes the result set, so the derived-width row
+    // shares the literal-width oracle
+    "j_range_auto" ->
       """SELECT c.c_custkey, s.s_suppkey
         |FROM customer c JOIN supplier s
         |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 500.0

@@ -79,7 +79,13 @@ object PyFacade {
   }
 
   /** Range (interval) join: (point, interval) pairs with lo <= v <= hi;
-    * bucketWidth <= 0 derives the width from interval statistics. */
+    * bucketWidth <= 0 derives the width from interval statistics. NOTE:
+    * the derived-width path runs an EAGER Spark job at call time (one
+    * slim stats aggregate over the interval bounds, see
+    * [[graft.join.RangeJoin.autoWidth]]) — the only eager call in this
+    * otherwise lazy DataFrame-building API; the join itself re-evaluates
+    * the intervals plan lazily as usual. Pass an explicit width to stay
+    * fully lazy. */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
       pointCol: String, loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
     val w = if (bucketWidth > 0) bucketWidth

@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
  * rounding can only cost a candidate co-location never correctness —
  * bucket boundaries are computed on the same doubles both sides.
  *
+ * Fan-out bound: a single interval spanning B buckets explodes to B
+ * rows, so one domain-spanning outlier (a sentinel [0, MAX_LONG) row, a
+ * corrupt bound) would otherwise manufacture `span/bucketWidth`
+ * shuffle rows on its own — unbounded by either input's size. Intervals
+ * wider than `maxBucketsPerInterval` buckets therefore skip the explode
+ * entirely and join through a BROADCAST side-channel with the exact
+ * BETWEEN condition; the two channels partition the interval set, so
+ * pairs still meet exactly once. The wide set is small by construction
+ * in any sane workload (each member overlaps > cap·width of the value
+ * domain, and its matches are output-sized anyway); under AQE (default
+ * on) an EMPTY wide set is observed at runtime and the broadcast join
+ * collapses to an empty relation before the points side is ever
+ * re-scanned, so the guard is free unless it actually fires.
+ *
  * The classic uses: band joins (`a.v BETWEEN b.v - eps AND b.v + eps`),
  * IP-range lookups, histogram-bin assignment, time-slot matching.
  */
@@ -31,7 +45,9 @@ object RangeJoin {
 
   /** Bucket width from interval statistics: one column-pruned agg pass.
     * Wide enough that the mean interval spans O(1) buckets, no narrower
-    * than 1/target of the value domain. Degenerate inputs get 1.0. */
+    * than 1/target of the value domain. Degenerate inputs get 1.0.
+    * NOTE: runs a Spark job (an aggregate + head) at CALL time — one
+    * slim stats pass, not lazy like the join itself. */
   def autoWidth(intervals: DataFrame, loCol: Column, hiCol: Column,
       targetBuckets: Double = 4096.0): Double = {
     val row = intervals
@@ -54,27 +70,42 @@ object RangeJoin {
    * @param pointCol    value column/expression over `points`
    * @param loCol,hiCol bound columns/expressions over `intervals`
    * @param bucketWidth fixed bucket width (> 0); see [[autoWidth]]
+   * @param maxBucketsPerInterval fan-out cap: intervals spanning more
+   *                    buckets than this join via the broadcast
+   *                    side-channel instead of exploding (see scaladoc)
    * @return points.* ++ intervals.* — column names must be disjoint
    */
   def pointInInterval(
       points: DataFrame, intervals: DataFrame,
       pointCol: Column, loCol: Column, hiCol: Column,
-      bucketWidth: Double): DataFrame = {
+      bucketWidth: Double,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
     val dup = points.columns.toSet.intersect(intervals.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
 
     val v = "__rj_v"; val lo = "__rj_lo"; val hi = "__rj_hi"; val b = "__rj_b"
     val (p0, i0) = JoinLayout.balance(points, intervals)
-    val p = p0.withColumn(v, pointCol).where(col(v).isNotNull)
-      .withColumn(b, floor(col(v).cast("double") / bucketWidth).cast("long"))
+    val pv = p0.withColumn(v, pointCol).where(col(v).isNotNull)
+    val p = pv.withColumn(b, floor(col(v).cast("double") / bucketWidth).cast("long"))
     val i = i0.withColumn(lo, loCol).withColumn(hi, hiCol)
       .where(col(lo).isNotNull && col(hi).isNotNull && col(lo) <= col(hi))
-      .withColumn(b, explode(sequence(
-        floor(col(lo).cast("double") / bucketWidth).cast("long"),
-        floor(col(hi).cast("double") / bucketWidth).cast("long"))))
-    p.join(i, b)
+    val bLo = floor(col(lo).cast("double") / bucketWidth).cast("long")
+    val bHi = floor(col(hi).cast("double") / bucketWidth).cast("long")
+    // bucket span minus one: an interval covering (bHi - bLo + 1) buckets
+    // explodes iff that count stays within the cap
+    val spanB = bHi - bLo
+    val narrow = p
+      .join(i.where(spanB < maxBucketsPerInterval)
+        .withColumn(b, explode(sequence(bLo, bHi))), b)
       .where(col(v) >= col(lo) && col(v) <= col(hi))
       .drop(v, lo, hi, b)
+    val wide = pv
+      .join(broadcast(i.where(spanB >= maxBucketsPerInterval)),
+        col(v) >= col(lo) && col(v) <= col(hi))
+      .drop(v, lo, hi)
+    narrow.unionByName(wide)
   }
 }

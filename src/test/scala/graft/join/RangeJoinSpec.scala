@@ -70,4 +70,50 @@ class RangeJoinSpec extends AnyFlatSpec with Matchers {
       .collect()
     rows.length shouldBe 1
   }
+
+  /** Final physical plan after adaptive execution (the plan whose nodes
+    * carry real metrics). */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame) =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  it should "bound the explode fan-out of a domain-spanning interval (broadcast side-channel)" in {
+    // one sentinel interval spanning 2 BILLION 0.5-buckets: exploding it
+    // would manufacture 2e9 shuffle rows from a single input row. With
+    // the cap it joins via the broadcast channel; the explode (Generate)
+    // processes only the narrow intervals.
+    val pts = Seq.tabulate(200)(i => (i, i.toDouble)).toDF("pid", "v")
+    val ivs = (Seq.tabulate(50)(i => (i, i * 4.0, i * 4.0 + 2.0)) :+
+      ((999, -1e8, 1e9))).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, ivs, col("v"), col("lo"), col("hi"),
+      bucketWidth = 0.5, maxBucketsPerInterval = 1000)
+    val got = out.select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    val brute = pts.crossJoin(ivs).where(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("pid", "iid").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    got shouldBe brute
+    got.count(_._2 == 999) shouldBe 200 // the wide interval matches everything
+    // bounded fan-out, observed on the executed plan's own metrics: the
+    // Generate nodes emitted narrow-interval rows only (<= 50 intervals
+    // x 5 buckets each), nowhere near the 2e9 a capless explode produces
+    val generated = finalPlan(out).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g.metrics("numOutputRows").value
+    }.sum
+    withClue(s"explode output rows = $generated: ") {
+      generated should be <= 300L
+    }
+    finalPlan(out).toString should include("BroadcastNestedLoopJoin")
+  }
+
+  it should "collapse the empty wide channel under AQE (no extra pass over the points side)" in {
+    // no interval exceeds the cap: AQE observes the empty broadcast side
+    // at runtime and propagates the empty relation, so the final plan
+    // carries no nested-loop join and the points side is scanned once
+    val pts = Seq.tabulate(100)(i => (i, i.toDouble)).toDF("pid", "v")
+    val ivs = Seq.tabulate(40)(i => (i, i * 2.0, i * 2.0 + 3.0)).toDF("iid", "lo", "hi")
+    val out = RangeJoin.pointInInterval(pts, ivs, col("v"), col("lo"), col("hi"), 2.0)
+    out.count()
+    finalPlan(out).toString should not include "BroadcastNestedLoopJoin"
+  }
 }
