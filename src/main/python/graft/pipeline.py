@@ -173,6 +173,13 @@ def vocabulary(df, id_col="doc_id", text_col="text"):
     return _wrap(df, _facade(df).vocabulary(df._jdf, id_col, text_col))
 
 
+def tfidf_top_m(df, id_col="doc_id", text_col="text", m=5):
+    """TF-IDF top-m terms per document: (id_col, token, tfidf_r6, rnk)
+    with tfidf_r6 = round(tf * ln(N / df), 6); rank orders by
+    (tfidf_r6 desc, token)."""
+    return _wrap(df, _facade(df).tfidfTopM(df._jdf, id_col, text_col, int(m)))
+
+
 def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,
            min_distinct_ratio=0.3):
     """Profile -> language/length/degeneracy filter -> canonical-only

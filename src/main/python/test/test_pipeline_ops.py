@@ -116,6 +116,19 @@ class TestStreamingUnified(object):
         # k=2's only right row is later than its left row -> inner drop
         assert got == {(1, 10, 80), (1, 5, 30)}
 
+    def test_tfidf_top_m(self, local_spark):
+        docs = local_spark.createDataFrame(
+            [(0, "apple apple banana the"), (1, "banana the"), (2, "the")],
+            ["doc_id", "text"])
+        got = {(r["doc_id"], r["rnk"]): (r["token"], r["tfidf_r6"])
+               for r in P.tfidf_top_m(docs, m=2).collect()}
+        # 'the' is in every doc -> idf 0; 'apple' only in doc 0 (tf=2)
+        import math
+        assert got[(0, 1)] == ("apple", round(2 * math.log(3.0), 6))
+        assert got[(0, 2)] == ("banana", round(math.log(3.0 / 2.0), 6))
+        # doc 2 has only the zero-idf token
+        assert got[(2, 1)] == ("the", 0.0)
+
     def test_containment_and_vocabulary(self, docs):
         # doc 3 duplicates doc 0 byte-for-byte -> containment 1.0
         pairs = {(r["doc_i"], r["doc_j"]) for r in

@@ -415,6 +415,12 @@ object SparkEntry {
         .orderBy(col("doc_freq").desc, col("total_freq").desc, col("token"))
         .limit(100)),
 
+    // TF-IDF top-5 terms per document — the natural consumer of the
+    // vocabulary aggregate; rank ties break on the rounded score then
+    // the token, so both engines agree rank for rank
+    "text_tfidf" -> ((s, dir) =>
+      TextFunctions.tfidfTopM(tbl(s, dir, "documents"), "doc_id", "text", m = 5)),
+
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
@@ -1031,6 +1037,23 @@ object SparkEntry {
          |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon FROM k)
          |SELECT k.doc_id, n_tokens, stop_ratio, lang_pred
          |FROM k JOIN c ON k.doc_id = c.doc_id AND c.doc_id = c.canon""".stripMargin,
+
+    // same log/rounding contract: round(tf * ln(N/df), 6); ln's sub-ulp
+    // engine variation is absorbed by the rounding, and rank ORDER BY
+    // uses the rounded value so boundary ties resolve identically
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) token FROM t),
+         |tf AS (SELECT doc_id, token, count(*) tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) df FROM tf GROUP BY 1),
+         |n AS (SELECT count(DISTINCT doc_id) n FROM tf),
+         |s AS (SELECT doc_id, tf.token token,
+         |        round(tf * ln(CAST(n.n AS DOUBLE) / CAST(df AS DOUBLE)), 6) tfidf_r6
+         |      FROM tf JOIN dfq ON tf.token = dfq.token CROSS JOIN n)
+         |SELECT doc_id, token, tfidf_r6, rnk FROM (
+         |  SELECT doc_id, token, tfidf_r6,
+         |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r6 DESC, token) AS BIGINT) rnk
+         |  FROM s) WHERE rnk <= 5""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),

@@ -137,6 +137,10 @@ object PyFacade {
   def vocabulary(df: DataFrame, idCol: String, textCol: String): DataFrame =
     TextFunctions.vocabulary(df, idCol, textCol)
 
+  /** TF-IDF top-m terms per document: (idCol, token, tfidf_r6, rnk). */
+  def tfidfTopM(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame =
+    TextFunctions.tfidfTopM(df, idCol, textCol, m)
+
   private def profileWith(df: DataFrame, idCol: String, textCol: String,
       tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
     df.select(col(idCol), col(textCol).as("__t"),

@@ -131,6 +131,46 @@ object TextFunctions {
       .agg(countDistinct(col("__doc")).as("doc_freq"),
         count(lit(1)).as("total_freq"))
 
+  /** TF-IDF top-m terms per document: (idCol, token, tfidf_r6, rnk) with
+    * `tfidf_r6 = round(tf · ln(N / df), 6)` — tf the token's in-document
+    * count, df its document frequency from the [[vocabulary]] aggregate
+    * shape, N the number of documents with at least one token. Rank
+    * orders by (tfidf_r6 desc, token) — ties break on the ROUNDED value,
+    * so the order (and the rounded scores) replay exactly in an external
+    * SQL engine; ln is the only transcendental in the library's oracle
+    * surface and the 6-decimal rounding absorbs its sub-ulp
+    * engine-to-engine variation.
+    *
+    * Scale shape: one explode + two map-side-combined aggregations (tf
+    * keyed on (doc, token); df re-aggregates the already-collapsed tf
+    * rows by token), a token-keyed equi-join back (AQE broadcast/skew
+    * rules apply), and a per-doc [[graft.functions.BoundedTopKSet]] —
+    * O(m) state per document at every stage, so shuffle volume after
+    * scoring is O(docs · m) regardless of vocabulary size. N rides as a
+    * broadcast single-row aggregate, never a driver-side collect. */
+  def tfidfTopM(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, m: Int): org.apache.spark.sql.DataFrame = {
+    require(m >= 1, s"m must be >= 1, got $m")
+    import graft.functions.BoundedTopKSet
+    val tok = df.select(col(idCol).as("__doc"), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col("__doc"), col("token")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("__df"))
+    val n = tf.select(countDistinct(col("__doc")).as("__n"))
+    val scored = tf.join(dfreq, "token").crossJoin(broadcast(n))
+      .select(col("__doc"), col("token"),
+        round(col("__tf").cast("double")
+          * log(col("__n").cast("double") / col("__df").cast("double")), 6).as("tfidf_r6"))
+    // k-smallest of (-tfidf, token) = (tfidf desc, token asc) top-m; the
+    // negated sort key stays internal (ln(N/df) >= 0, so only -0.0 ever
+    // arises from negating a zero — never emitted)
+    scored.groupBy(col("__doc"))
+      .agg(BoundedTopKSet.topKSet(
+        struct((lit(0.0) - col("tfidf_r6")).as("o"), col("token"), col("tfidf_r6")), m).as("__top"))
+      .select(col("__doc").as(idCol), posexplode(col("__top")))
+      .select(col(idCol), col("col.token").as("token"),
+        col("col.tfidf_r6").as("tfidf_r6"), (col("pos") + 1).cast("long").as("rnk"))
+  }
+
   /** Exact-content fingerprint: md5 hex of the full text. */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
 
