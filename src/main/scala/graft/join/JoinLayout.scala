@@ -25,6 +25,23 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Repartition
  * key with AQE's hot-key skew split (spec-pinned). Streaming sides
  * cannot be batch-planned (stats/.rdd throw) and the micro-batch engine
  * owns their partitioning — they pass through unchanged.
+ *
+ * "Scan-shaped" deliberately excludes EVERY RepartitionOperation,
+ * including `coalesce` (Repartition with shuffle = false): a user who
+ * coalesced a side made an explicit layout choice, and silently undoing
+ * it would make the API fight its caller. The cost of honoring a
+ * coalesce(1) is the degenerate single-core pipeline the guard exists
+ * to prevent — so it is honored, not fixed; spread such a side
+ * explicitly if that is what you meant.
+ *
+ * The broadcast-regime test mirrors the planner's own decision as
+ * closely as a logical-plan-time guard can: under AQE the runtime
+ * broadcast threshold (`spark.sql.adaptive.autoBroadcastJoinThreshold`)
+ * takes precedence over the static one, exactly as Spark's
+ * JoinSelectionHelper resolves it. AQE may still flip a regime on
+ * fresher runtime stats than the optimizer estimate consulted here —
+ * at worst that costs one unneeded (or one missed) repartition of a
+ * small side, never correctness.
  */
 private[join] object JoinLayout {
 
@@ -34,9 +51,18 @@ private[join] object JoinLayout {
       if (broadcastable(left)) spreadIfDegenerate(right) else right)
 
   private def broadcastable(df: DataFrame): Boolean = {
-    val raw = df.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
-    val thr = Try(raw.toLong).getOrElse(
-      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw))
+    val conf = df.sparkSession.conf
+    def bytes(raw: String): Long =
+      Try(raw.trim.toLong).getOrElse(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes(raw.trim))
+    val static = bytes(conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB"))
+    // under AQE the runtime threshold wins when set (Spark resolves it
+    // the same way); its default is unset = fall back to the static one
+    val thr =
+      if (conf.get("spark.sql.adaptive.enabled", "true").toBoolean)
+        conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+          .filter(_.nonEmpty).map(bytes).getOrElse(static)
+      else static
     thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
   }
 

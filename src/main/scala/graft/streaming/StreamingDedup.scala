@@ -32,6 +32,15 @@ object StreamingDedup {
    * @param watermark late-data bound AND dedup memory horizon, e.g.
    *                  "10 minutes": a duplicate arriving later than this
    *                  after the original may be emitted again
+   *
+   * CHECKPOINT COMPATIBILITY: the streaming state key changed from the
+   * 32-char md5 HEX string to the 16-byte binary digest (unhex) in
+   * v0.1.0 — a streaming query restarted from a pre-change checkpoint
+   * fails state schema validation (string vs binary key) rather than
+   * silently re-admitting duplicates; restart such queries with a fresh
+   * checkpoint (the watermark horizon bounds the re-dedup exposure to
+   * one window). Future key changes follow the same contract: break
+   * loudly at restart, never degrade silently.
    */
   def firstPerContent(df: DataFrame, textCol: String = "text",
       tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {

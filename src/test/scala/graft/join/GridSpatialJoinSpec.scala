@@ -47,9 +47,11 @@ class GridSpatialJoinSpec extends AnyFlatSpec with Matchers {
     // refine pipeline on one core if the left keeps the scan layout (no
     // join-owned exchange exists in the broadcast regime). The guard
     // must repartition the scan-shaped left; measured 57 s -> 3 s on a
-    // 42M-pair probe. Constructed, not read from parquet: coalesce(1)
-    // is still scan-shaped (Repartition nodes only match
-    // RepartitionOperation with shuffle = true... use a 1-slice range).
+    // 42M-pair probe. Constructed with a 1-slice range, not coalesce(1):
+    // Catalyst's Repartition(shuffle = false) IS a RepartitionOperation,
+    // so a user coalesce reads as an explicit layout choice that the
+    // guard deliberately leaves alone (see JoinLayout's scaladoc) — only
+    // a genuine scan layout may be spread.
     import org.apache.spark.sql.functions._
     import graft.functions.GeoExpressions
     import graft.spatial.SpatialPredicate
