@@ -110,6 +110,45 @@ object ScaleBench {
           concat_ws(" ", transform(split(col("text"), " ", -1),
             t => when(t === "", t).otherwise(concat(t, lit("x"), col("__k"))))).as("text"))
 
+    // events: copy k gets new event AND user ids (per-user timeline
+    // density stays constant — volume grows ×f, key cardinality grows
+    // ×f, exactly how event data actually scales); ts/value unchanged
+    def events(f: Int): DataFrame =
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+          col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select((col("event_id") + col("__k") * lit(1000000000L)).as("event_id"),
+          (col("user_id") + col("__k") * lit(1000000L)).as("user_id"),
+          timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")).as("ts"),
+          col("value"))
+
+    // range join: inflate the POINTS side only (balances shifted by copy
+    // so band membership varies per copy); interval side fixed — output
+    // and shuffle must both grow ×f, never ×f²
+    def custBal(f: Int): DataFrame =
+      spark.read.parquet(s"$sfDir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal"))
+        .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+          col("c_custkey"), col("c_acctbal"))
+        .select((col("c_custkey") + col("__k") * lit(100000000L)).as("c_custkey"),
+          (col("c_acctbal").cast("double") + col("__k") * 37.0d).as("c_bal"))
+    def supBands(): DataFrame =
+      spark.read.parquet(s"$sfDir/supplier.parquet")
+        .select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") - 500.0).as("lo"),
+          (col("s_acctbal").cast("double") + 500.0).as("hi"))
+
+    // the hourly right side + as-of shape of the gate queries
+    def asofInputs(f: Int): (DataFrame, DataFrame) = {
+      val ev = events(f)
+      val hourly = ev
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(round(sum(col("value").cast("decimal(38,8)")), 2).cast("double").as("h_value"))
+        .select(col("user_id"), col("window.end").as("h_end"), col("h_value"))
+      (ev.select("event_id", "user_id", "ts"), hourly)
+    }
+
     // --- the five scale-sensitive queries at gate settings --------------
 
     def wkb(lon: String, lat: String) = GeoExpressions.wkbPoint(col(lon), col(lat))
@@ -139,7 +178,26 @@ object ScaleBench {
         Dedup.minhashPairs(docs(f), "doc_id", "text", tau = 0.8)),
       "dedup_clusters" -> (() =>
         Dedup.clusterPairs(
-          Dedup.jaccardPairs(docs(f), "doc_id", "text", tau = 0.8))))
+          Dedup.jaccardPairs(docs(f), "doc_id", "text", tau = 0.8))),
+      // O(L+R) claim of the as-of family: shuffle bytes must grow ∝ f
+      // (one keyed shuffle of the tagged union), wall sub-linearly —
+      // any pair term would show super-linear shuffle growth
+      "j_asof_hourly" -> (() => {
+        val (ev, hourly) = asofInputs(f)
+        graft.join.AsOfJoin.asof(ev, hourly,
+          keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end")
+      }),
+      "j_asof_bucketed" -> (() => {
+        val (ev, hourly) = asofInputs(f)
+        graft.join.AsOfJoin.asofBucketed(ev, hourly,
+          keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end",
+          bucketOf = t => date_trunc("hour", t))
+      }),
+      "j_range_band" -> (() =>
+        graft.join.RangeJoin.pointInInterval(custBal(f), supBands(),
+          col("c_bal"), col("lo"), col("hi"), bucketWidth = 500.0)),
+      "dedup_containment" -> (() =>
+        Dedup.containmentPairs(docs(f), "doc_id", "text", tau = 0.8)))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
