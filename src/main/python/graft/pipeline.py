@@ -36,6 +36,17 @@ def jaccard_pairs(df, id_col="doc_id", text_col="text", tau=0.8, n=3,
         df._jdf, id_col, text_col, float(tau), int(n), int(max_doc_freq)))
 
 
+def substring_pairs(df, id_col="doc_id", text_col="text", min_span=50,
+                    k=40, max_doc_freq=0):
+    """Exact-substring dedup: (doc_i, doc_j, span_len) pairs sharing a
+    verbatim token span of at least ``min_span`` tokens (longest span
+    reported; spans shorter than ``k`` are invisible, so ``k <=
+    min_span``). ``max_doc_freq <= 0`` disables the boilerplate-run
+    cap."""
+    return _wrap(df, _facade(df).substringPairs(
+        df._jdf, id_col, text_col, int(min_span), int(k), int(max_doc_freq)))
+
+
 def minhash_pairs(df, id_col="doc_id", text_col="text", tau=0.8, n=3,
                   num_hashes=32, band_rows=2):
     """MinHash+LSH candidates with exact Jaccard verification — the

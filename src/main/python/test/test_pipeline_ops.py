@@ -129,6 +129,15 @@ class TestStreamingUnified(object):
         # doc 2 has only the zero-idf token
         assert got[(2, 1)] == ("the", 0.0)
 
+    def test_substring_pairs(self, local_spark):
+        quote = " ".join(f"q{i}" for i in range(30))
+        host = " ".join(f"h{i}" for i in range(120)) + " " + quote
+        df = local_spark.createDataFrame(
+            [(1, quote), (2, host)], ["doc_id", "text"])
+        got = [(r["doc_i"], r["doc_j"], r["span_len"]) for r in
+               P.substring_pairs(df, min_span=20, k=8).collect()]
+        assert got == [(1, 2, 30)]
+
     def test_containment_and_vocabulary(self, docs):
         # doc 3 duplicates doc 0 byte-for-byte -> containment 1.0
         pairs = {(r["doc_i"], r["doc_j"]) for r in

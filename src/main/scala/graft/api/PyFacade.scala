@@ -42,6 +42,13 @@ object PyFacade {
     Dedup.containmentPairs(df, idCol, textCol, tau, n,
       if (maxDocFreq <= 0) None else Some(maxDocFreq))
 
+  /** Longest shared verbatim token span per pair (>= minSpan tokens);
+    * maxDocFreq <= 0 disables the boilerplate-run cap. */
+  def substringPairs(df: DataFrame, idCol: String, textCol: String,
+      minSpan: Int, k: Int, maxDocFreq: Int): DataFrame =
+    Dedup.substringPairs(df, idCol, textCol, minSpan, k,
+      if (maxDocFreq <= 0) None else Some(maxDocFreq))
+
   /** useMd5 = true picks the oracle-replayable md5 fingerprint hasher. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, useMd5: Boolean): DataFrame =
