@@ -197,7 +197,12 @@ object ScaleBench {
         graft.join.RangeJoin.pointInInterval(custBal(f), supBands(),
           col("c_bal"), col("lo"), col("hi"), bucketWidth = 500.0)),
       "dedup_containment" -> (() =>
-        Dedup.containmentPairs(docs(f), "doc_id", "text", tau = 0.8)))
+        Dedup.containmentPairs(docs(f), "doc_id", "text", tau = 0.8)),
+      // run-digest index: near-unique digests (k=8 windows over suffixed
+      // tokens) — matching runs, and therefore shuffle bytes, must grow
+      // ∝ f like the other inverted-index operators
+      "dedup_substring" -> (() =>
+        Dedup.substringPairs(docs(f), "doc_id", "text", minSpan = 20, k = 8)))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
