@@ -184,6 +184,20 @@ def vocabulary(df, id_col="doc_id", text_col="text"):
     return _wrap(df, _facade(df).vocabulary(df._jdf, id_col, text_col))
 
 
+def redact_pii(df, text_col="text", out_col="redacted"):
+    """Redact PII-shaped spans (emails, IPv4 literals, 13+-char digit
+    runs) with typed placeholders <EMAIL>/<IP>/<NUM>."""
+    return _wrap(df, _facade(df).redactPii(df._jdf, text_col, out_col))
+
+
+def token_chunks(df, id_col="doc_id", text_col="text", chunk=512, overlap=64):
+    """Sliding token-window chunks for context-window packing:
+    (id_col, chunk_index, chunk, n_tokens); the final chunk clips at the
+    document end, documents shorter than one chunk yield themselves."""
+    return _wrap(df, _facade(df).tokenChunks(
+        df._jdf, id_col, text_col, int(chunk), int(overlap)))
+
+
 def tfidf_top_m(df, id_col="doc_id", text_col="text", m=5):
     """TF-IDF top-m terms per document: (id_col, token, tfidf_r6, rnk)
     with tfidf_r6 = round(tf * ln(N / df), 6); rank orders by

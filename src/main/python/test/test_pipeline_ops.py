@@ -138,6 +138,17 @@ class TestStreamingUnified(object):
                P.substring_pairs(df, min_span=20, k=8).collect()]
         assert got == [(1, 2, 30)]
 
+    def test_redact_and_chunks(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "mail a@b.co ip 10.0.0.1 card 4111 1111 1111 1111 end")],
+            ["doc_id", "text"])
+        red = P.redact_pii(df).collect()[0]["redacted"]
+        assert red == "mail <EMAIL> ip <IP> card <NUM> end"
+        ch = {(r["chunk_index"], r["chunk"], r["n_tokens"]) for r in
+              P.token_chunks(df, chunk=4, overlap=1).collect()}
+        assert (0, "mail a@b.co ip 10.0.0.1", 4) in ch
+        assert len(ch) == 3
+
     def test_containment_and_vocabulary(self, docs):
         # doc 3 duplicates doc 0 byte-for-byte -> containment 1.0
         pairs = {(r["doc_i"], r["doc_j"]) for r in

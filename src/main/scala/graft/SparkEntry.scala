@@ -415,6 +415,29 @@ object SparkEntry {
         .orderBy(col("doc_freq").desc, col("total_freq").desc, col("token"))
         .limit(100)),
 
+    // PII redaction: the corpus carries no real PII, so inject
+    // deterministic email/IP/card-shaped spans from doc_id first (the
+    // same injection discipline as text_tokens_unicode), then scrub;
+    // the full redacted text is hash-compared, pinning pattern + order
+    "text_redact" -> ((s, dir) => {
+      val pii = concat(col("text"),
+        lit(" user"), col("doc_id"), lit("@example.com at 10.0."),
+        pmod(col("doc_id"), lit(256)), lit(".7 card 4111 1111 1111 "),
+        pmod(col("doc_id"), lit(10000)))
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.redactPii(pii).as("redacted"))
+    }),
+
+    // sliding 16-token windows with 4-token overlap — context-window
+    // packing; chunk text and exact per-chunk token counts
+    "text_chunks" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), posexplode(TextFunctions.tokenChunks(col("ws"), 16, 4)))
+        .select(col("doc_id"), col("pos").cast("long").as("chunk_index"),
+          col("col").as("chunk"),
+          TextFunctions.tokenCount(TextFunctions.tokens(col("col"))).as("n_tokens"))),
+
     // TF-IDF top-5 terms per document — the natural consumer of the
     // vocabulary aggregate; rank ties break on the rounded score then
     // the token, so both engines agree rank for rank
@@ -1037,6 +1060,36 @@ object SparkEntry {
          |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon FROM k)
          |SELECT k.doc_id, n_tokens, stop_ratio, lang_pred
          |FROM k JOIN c ON k.doc_id = c.doc_id AND c.doc_id = c.canon""".stripMargin,
+
+    // identical injection (CAST replays Spark's implicit numeric->string
+    // concat), identical RE2-safe patterns (shared constants — explicit
+    // classes, no shorthand), identical application order; 'g' = replace
+    // ALL matches like Spark's regexp_replace
+    "text_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' user' || CAST(doc_id AS VARCHAR) || '@example.com at 10.0.'
+         |       || CAST(doc_id % 256 AS VARCHAR) || '.7 card 4111 1111 1111 '
+         |       || CAST(doc_id % 10000 AS VARCHAR) piitext
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(regexp_replace(piitext,
+         |    '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.Ipv4Pattern}', '<IP>', 'g'),
+         |    '${TextFunctions.LongDigitRunPattern}', '<NUM>', 'g') redacted
+         |FROM p""".stripMargin,
+
+    // chunk starts 1, 13, 25, ... while start <= len - overlap; slices
+    // clip at the document end in both engines
+    "text_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |c AS (SELECT doc_id,
+         |        [array_to_string(ws[i:i+15], ' ') for i in range(1, greatest(len(ws)-4, 1)+1, 12)] l
+         |      FROM t),
+         |e AS (SELECT doc_id, unnest(l) chunk,
+         |        CAST(generate_subscripts(l, 1) - 1 AS BIGINT) chunk_index FROM c)
+         |SELECT doc_id, chunk_index, chunk,
+         |       CAST(len(list_filter(string_split(chunk, ' '), x -> x != '')) AS BIGINT) n_tokens
+         |FROM e""".stripMargin,
 
     // same log/rounding contract: round(tf * ln(N/df), 6); ln's sub-ulp
     // engine variation is absorbed by the rounding, and rank ORDER BY

@@ -148,6 +148,20 @@ object PyFacade {
   def tfidfTopM(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame =
     TextFunctions.tfidfTopM(df, idCol, textCol, m)
 
+  /** PII redaction (emails / IPv4s / long digit runs → typed
+    * placeholders) into `outCol`. */
+  def redactPii(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, TextFunctions.redactPii(col(textCol)))
+
+  /** Sliding token-window chunks: (idCol, chunk_index, chunk, n_tokens). */
+  def tokenChunks(df: DataFrame, idCol: String, textCol: String,
+      chunk: Int, overlap: Int): DataFrame =
+    df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), posexplode(TextFunctions.tokenChunks(col("__ws"), chunk, overlap)))
+      .select(col(idCol), col("pos").cast("long").as("chunk_index"),
+        col("col").as("chunk"),
+        TextFunctions.tokenCount(TextFunctions.tokens(col("col"))).as("n_tokens"))
+
   private def profileWith(df: DataFrame, idCol: String, textCol: String,
       tokenize: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame =
     df.select(col(idCol), col(textCol).as("__t"),

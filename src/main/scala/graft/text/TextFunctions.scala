@@ -131,6 +131,50 @@ object TextFunctions {
       .agg(countDistinct(col("__doc")).as("doc_freq"),
         count(lit(1)).as("total_freq"))
 
+  /** PII-ish patterns for corpus redaction, RE2-safe by the same
+    * discipline as [[BpePattern]]: explicit character classes, no
+    * shorthand (`\d`/`\w` definitions drift between engines under
+    * Unicode flags), no lookarounds — both regex engines receive
+    * byte-identical patterns. Coverage is the classic curation set:
+    * email addresses, IPv4 literals, and long digit runs
+    * (card/account/phone-shaped: 13+ chars of digits, spaces, dashes
+    * between digit endpoints). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+  val Ipv4Pattern = "[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?\\.[0-9][0-9]?[0-9]?"
+  val LongDigitRunPattern = "[0-9][0-9 -]{11,}[0-9]"
+
+  /** Redact PII-shaped spans with typed placeholders — the standard
+    * pre-training scrub. Order is part of the contract (emails first:
+    * they contain dot-runs an IP pattern could bite into; digit runs
+    * last). Pure codegen'd regexp_replace chain, map-only. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailPattern, "<EMAIL>"),
+        Ipv4Pattern, "<IP>"),
+      LongDigitRunPattern, "<NUM>")
+
+  /** Sliding token-window chunks for context-window packing:
+    * (chunk_index ascending from 0, chunk text, token count). Starts
+    * advance by `chunk - overlap` tokens; the final chunk clips at the
+    * document end (a start is emitted while it is <= n - overlap, so
+    * every token is covered and no chunk is pure overlap); documents
+    * shorter than one chunk yield themselves whole. Map-only explode —
+    * the shape every "split the corpus into N-token training windows
+    * with overlap" pipeline stage needs; O(tokens) per doc.
+    *
+    * Apply over a tokens array column; explode the result with
+    * `posexplode` for (index, chunk) rows. */
+  def tokenChunks(toks: Column, chunk: Int, overlap: Int): Column = {
+    require(chunk >= 1, s"chunk must be >= 1, got $chunk")
+    require(overlap >= 0 && overlap < chunk,
+      s"overlap must be in [0, chunk), got $overlap (chunk $chunk)")
+    val step = chunk - overlap
+    transform(
+      sequence(lit(1), greatest(size(toks) - overlap, lit(1)), lit(step)),
+      s => concat_ws(" ", slice(toks, s, lit(chunk))))
+  }
+
   /** TF-IDF top-m terms per document: (idCol, token, tfidf_r6, rnk) with
     * `tfidf_r6 = round(tf · ln(N / df), 6)` — tf the token's in-document
     * count, df its document frequency from the [[vocabulary]] aggregate

@@ -326,6 +326,43 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     out shouldBe Seq("en", "de", "und")
   }
 
+  it should "redact emails, IPv4s and long digit runs with typed placeholders" in {
+    val out = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "server 192.168.100.7 down",
+      "card 4111 1111 1111 1111 charged",
+      "short 12 34 numbers stay",          // too short for a digit run
+      "version 1.2.3 stays").toDF("text") // not 4 dot-groups -> no IP
+      .select(TextFunctions.redactPii(col("text")).as("r"))
+      .collect().map(_.getString(0)).toSeq
+    out shouldBe Seq(
+      "mail <EMAIL> now",
+      "server <IP> down",
+      "card <NUM> charged",
+      "short 12 34 numbers stay",
+      "version 1.2.3 stays")
+  }
+
+  it should "chunk token windows with overlap, clipping the final chunk" in {
+    def chunks(text: String, c: Int, o: Int): Seq[String] =
+      Seq(text).toDF("text")
+        .select(TextFunctions.tokenChunks(
+          TextFunctions.tokens(col("text")), c, o).as("ch"))
+        .head().getSeq[String](0)
+    // 10 tokens, chunk 4, overlap 1: starts 1, 4, 7 (10 > n - o = 9)
+    chunks("t1 t2 t3 t4 t5 t6 t7 t8 t9 t10", 4, 1) shouldBe Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10")
+    // 9 tokens: the final chunk clips short
+    chunks("t1 t2 t3 t4 t5 t6 t7 t8 t9", 4, 1) shouldBe Seq(
+      "t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9")
+    // shorter than one chunk: the whole doc, once
+    chunks("t1 t2", 4, 1) shouldBe Seq("t1 t2")
+    // zero overlap tiles exactly
+    chunks("t1 t2 t3 t4 t5", 4, 0) shouldBe Seq("t1 t2 t3 t4", "t5")
+    an[IllegalArgumentException] should be thrownBy
+      TextFunctions.tokenChunks(col("x"), 4, 4)
+  }
+
   behavior of "Similarity"
 
   it should "rank exact cosine top-k with id tie-breaks" in {
