@@ -184,6 +184,17 @@ def vocabulary(df, id_col="doc_id", text_col="text"):
     return _wrap(df, _facade(df).vocabulary(df._jdf, id_col, text_col))
 
 
+def pack_sequences(df, id_col="doc_id", text_col="text", budget=2048,
+                   target_groups=4096):
+    """Greedy sequence packing for training-sequence layout:
+    (id_col, n_tokens, bin_id, bin_offset) -- documents concatenate in
+    id order and the token stream cuts every ``budget`` tokens (a doc
+    may straddle a cut). Runs one eager min/max/count stats job at call
+    time."""
+    return _wrap(df, _facade(df).packSequences(
+        df._jdf, id_col, text_col, int(budget), int(target_groups)))
+
+
 def redact_pii(df, text_col="text", out_col="redacted"):
     """Redact PII-shaped spans (emails, IPv4 literals, 13+-char digit
     runs) with typed placeholders <EMAIL>/<IP>/<NUM>."""

@@ -138,6 +138,14 @@ class TestStreamingUnified(object):
                P.substring_pairs(df, min_span=20, k=8).collect()]
         assert got == [(1, 2, 30)]
 
+    def test_pack_sequences(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "a b c"), (2, "d e"), (3, "f g h i")], ["doc_id", "text"])
+        got = {r["doc_id"]: (r["n_tokens"], r["bin_id"], r["bin_offset"])
+               for r in P.pack_sequences(df, budget=4).collect()}
+        # starts 0, 3, 5 -> bins 0, 0, 1; offsets 0, 3, 1
+        assert got == {1: (3, 0, 0), 2: (2, 0, 3), 3: (4, 1, 1)}
+
     def test_redact_and_chunks(self, local_spark):
         df = local_spark.createDataFrame(
             [(1, "mail a@b.co ip 10.0.0.1 card 4111 1111 1111 1111 end")],

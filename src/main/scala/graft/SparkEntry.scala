@@ -438,6 +438,11 @@ object SparkEntry {
           col("col").as("chunk"),
           TextFunctions.tokenCount(TextFunctions.tokens(col("col"))).as("n_tokens"))),
 
+    // greedy sequence packing: concatenate docs in id order, cut every
+    // 256 tokens — each doc's bin and in-bin offset, exact integers
+    "text_pack" -> ((s, dir) =>
+      TextFunctions.packSequences(tbl(s, dir, "documents"), "doc_id", "text", budget = 256)),
+
     // TF-IDF top-5 terms per document — the natural consumer of the
     // vocabulary aggregate; rank ties break on the rounded score then
     // the token, so both engines agree rank for rank
@@ -1090,6 +1095,17 @@ object SparkEntry {
          |SELECT doc_id, chunk_index, chunk,
          |       CAST(len(list_filter(string_split(chunk, ' '), x -> x != '')) AS BIGINT) n_tokens
          |FROM e""".stripMargin,
+
+    // one global ordered cumsum replays the two-level computation
+    // exactly (positions are partitioning-independent by construction)
+    "text_pack" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) n_tokens FROM documents),
+         |c AS (SELECT doc_id, n_tokens,
+         |        CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |          - n_tokens strt
+         |      FROM t)
+         |SELECT doc_id, n_tokens, CAST(strt // 256 AS BIGINT) bin_id,
+         |       CAST(strt % 256 AS BIGINT) bin_offset FROM c""".stripMargin,
 
     // same log/rounding contract: round(tf * ln(N/df), 6); ln's sub-ulp
     // engine variation is absorbed by the rounding, and rank ORDER BY

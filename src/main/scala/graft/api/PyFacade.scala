@@ -148,6 +148,13 @@ object PyFacade {
   def tfidfTopM(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame =
     TextFunctions.tfidfTopM(df, idCol, textCol, m)
 
+  /** Greedy sequence packing: (idCol, n_tokens, bin_id, bin_offset) —
+    * docs concatenate in id order, cut every `budget` tokens. NOTE:
+    * runs one eager min/max/count stats job at call time. */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, targetGroups: Int): DataFrame =
+    TextFunctions.packSequences(df, idCol, textCol, budget, targetGroups)
+
   /** PII redaction (emails / IPv4s / long digit runs → typed
     * placeholders) into `outCol`. */
   def redactPii(df: DataFrame, textCol: String, outCol: String): DataFrame =

@@ -215,6 +215,63 @@ object TextFunctions {
         col("col.tfidf_r6").as("tfidf_r6"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Greedy sequence packing — the training-sequence layout step:
+    * documents concatenate in `idCol` order and the stream is cut every
+    * `budget` tokens; each document reports the bin holding its FIRST
+    * token and its offset inside that bin —
+    * (idCol, n_tokens, bin_id, bin_offset). A document may straddle a
+    * cut (GPT-style packing concatenates across boundaries); callers
+    * wanting no-straddle semantics can filter/re-pack on bin_offset.
+    *
+    * Scale shape — a global ordered cumulative sum without a global
+    * window: ids bucket into ORDER-CONTIGUOUS groups by value range
+    * (floor(id / span), span from one min/max stats pass targeting
+    * `targetGroups` groups); per group a local cumsum window runs where
+    * the group's rows land (bounded by ids-per-span — uniform for the
+    * dense synthetic/snapshot ids this targets); group TOTALS (one row
+    * per group, <= targetGroups rows) take a single tiny window for
+    * prefix offsets and broadcast-join back. Exact global positions,
+    * O(rows) work, no corpus-sized single-task sort — the two-level
+    * scan/prefix pattern every parallel cumsum uses.
+    *
+    * Determinism: positions derive only from (id order, token counts) —
+    * partitioning/grouping never changes the result, only the balance. */
+  def packSequences(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, budget: Int,
+      targetGroups: Int = 4096): org.apache.spark.sql.DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    require(targetGroups >= 1, s"targetGroups must be >= 1, got $targetGroups")
+    import org.apache.spark.sql.expressions.Window
+    val t = df.select(col(idCol).cast("long").as("__id"),
+      tokenCount(tokens(col(textCol))).as("n_tokens"))
+    // order-contiguous group span from one column-pruned stats pass
+    val stats = t.agg(min(col("__id")), max(col("__id")), count(lit(1))).head()
+    if (stats.getLong(2) == 0L)
+      return df.sparkSession.emptyDataFrame
+        .select(lit(0L).as(idCol), lit(0L).as("n_tokens"),
+          lit(0L).as("bin_id"), lit(0L).as("bin_offset")).limit(0)
+    val span = math.max(1L,
+      (stats.getLong(1) - stats.getLong(0) + 1) / math.max(targetGroups, 1))
+    val g = t.withColumn("__g", floor((col("__id") - stats.getLong(0)) / span).cast("long"))
+    // local cumsum per group (rows co-located by the window's own shuffle)
+    val wLocal = Window.partitionBy(col("__g")).orderBy(col("__id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = g.withColumn("__cum", sum(col("n_tokens")).over(wLocal))
+    // prefix offsets over GROUP TOTALS: <= targetGroups rows through one
+    // tiny window (non-foldable constant partition key keeps WindowExec
+    // off its global no-partition path, as in q_topk_orders)
+    val wPrefix = Window.partitionBy(pmod(col("__g"), lit(1)).cast("long")).orderBy(col("__g"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = g.groupBy(col("__g")).agg(sum(col("n_tokens")).as("__gsum"))
+      .withColumn("__off", coalesce(sum(col("__gsum")).over(wPrefix), lit(0L)))
+      .select(col("__g"), col("__off"))
+    local.join(broadcast(offsets), "__g")
+      .withColumn("__start", col("__off") + col("__cum") - col("n_tokens"))
+      .select(col("__id").as(idCol), col("n_tokens"),
+        floor(col("__start") / budget).cast("long").as("bin_id"),
+        pmod(col("__start"), lit(budget.toLong)).as("bin_offset"))
+  }
+
   /** Exact-content fingerprint: md5 hex of the full text. */
   def md5Fingerprint(text: Column): Column = md5(text.cast("binary"))
 

@@ -363,6 +363,35 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       TextFunctions.tokenChunks(col("x"), 4, 4)
   }
 
+  it should "pack sequences to the exact global cumsum positions, independent of grouping" in {
+    val rnd = new scala.util.Random(41)
+    // sparse, shuffled-insertion ids: grouping spans stay uneven
+    val rows = (0 until 500).map(i => (i * 7L + rnd.nextInt(5),
+      Seq.fill(1 + rnd.nextInt(30))("w").mkString(" ")))
+      .distinctBy(_._1)
+    val df = rows.toDF("doc_id", "text").repartition(7)
+    val got = TextFunctions.packSequences(df, "doc_id", "text", budget = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    // brute force: one sequential pass in id order
+    var cum = 0L
+    val expect = rows.sortBy(_._1).map { case (id, text) =>
+      val n = text.split(" ").count(_.nonEmpty).toLong
+      val start = cum; cum += n
+      (id, n, start / 64, start % 64)
+    }
+    got.toSeq shouldBe expect
+    // offsets stay inside the budget; bins are monotone in id order
+    all(got.map(_._4)) should be < 64L
+    got.map(_._3).toSeq shouldBe got.map(_._3).sorted.toSeq
+    // grouping granularity never changes positions (1 group == default)
+    val oneGroup = TextFunctions.packSequences(df, "doc_id", "text", budget = 64,
+      targetGroups = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    oneGroup.toSeq shouldBe expect
+  }
+
   behavior of "Similarity"
 
   it should "rank exact cosine top-k with id tie-breaks" in {
