@@ -96,6 +96,45 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     withClue(plan) { plan should not include "Exchange" }
   }
 
+  it should "share ONE shuffle across the substring run-index self-join (ReuseExchange)" in {
+    // the run-digest index feeds both sides of the candidate join; the
+    // canonical plans must be identical so the second side reads the
+    // first side's exchange instead of recomputing tokenize+hash+shuffle
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.dedup.Dedup.substringPairs(docs, "doc_id", "text", minSpan = 20, k = 8)
+    q.collect() // drive THIS QueryExecution: AQE reuses stages at runtime
+    val plan = q.queryExecution.executedPlan.toString
+    withClue(plan.linesIterator.filter(l => l.contains("Exchange") || l.contains("QueryStage"))
+        .mkString("\n")) {
+      (plan.contains("ReusedExchange") || plan.contains("ReusedQueryStage")) shouldBe true
+    }
+  }
+
+  it should "pack sequences with a broadcast prefix join — no second corpus-wide exchange" in {
+    // the offsets side is <= targetGroups rows: it must come back as a
+    // broadcast, and the corpus itself shuffles exactly once (the local
+    // cumsum window's hashpartitioning on the group key)
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.text.TextFunctions.packSequences(docs, "doc_id", "text", budget = 256)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include("BroadcastHashJoin")
+      // every exchange is either keyed on the group id (__g — the local
+      // cumsum window's corpus shuffle, plus the group-TOTALS aggregate
+      // whose partial aggregation collapses to <= targetGroups rows per
+      // task before shuffling) or the prefix window's constant key (_w0,
+      // <= targetGroups rows). Anything else is a corpus-sized shuffle
+      // this operator must not have.
+      val stray = plan.linesIterator.filter(l =>
+        l.contains("Exchange hashpartitioning")
+          && !l.contains("__g#") && !l.contains("_w0#")).toSeq
+      withClue(stray.mkString("\n")) { stray shouldBe empty }
+    }
+  }
+
   it should "preserve snapshot partitioning across localCheckpoint when AQE is off (iterative-join contract)" in {
     // GridNearestJoin and Dedup.clusterPairs pre-partition their
     // long-lived snapshots. On AQE-OFF sessions that makes every
