@@ -265,6 +265,27 @@ object Drive {
       println(s"rows=$jac jaccard pairs at tau=0.3 on the same docs (expect 0)")
     }
 
+    println("=== 22. tf-idf / redaction / chunking / packing (round-6) ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      val tfidf = graft.text.TextFunctions.tfidfTopM(docs, "doc_id", "text", 5)
+      val badRnk = tfidf.where(col("rnk") > 5 || col("rnk") < 1).count()
+      println(s"rows=${tfidf.count()} tfidf terms, out-of-range ranks=$badRnk (expect 0)")
+      import spark.implicits._
+      val red = Seq("mail a@b.co ip 10.1.2.3 card 4111 1111 1111 1111").toDF("text")
+        .select(graft.text.TextFunctions.redactPii(col("text")).as("r"))
+        .head.getString(0)
+      println(s"rows=1 redacted, placeholders present: ${
+        red == "mail <EMAIL> ip <IP> card <NUM>"} (expect true)")
+      val chunks = docs
+        .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), posexplode(graft.text.TextFunctions.tokenChunks(col("ws"), 16, 4)))
+      println(s"rows=${chunks.count()} chunks (16/4 windows over ${docs.count()} docs)")
+      val packed = graft.text.TextFunctions.packSequences(docs, "doc_id", "text", 256)
+      val overBudget = packed.where(col("bin_offset") >= 256).count()
+      println(s"rows=${packed.count()} packed docs, offsets past budget=$overBudget (expect 0)")
+    }
+
     spark.stop()
   }
 }
