@@ -216,6 +216,46 @@ def tfidf_top_m(df, id_col="doc_id", text_col="text", m=5):
     return _wrap(df, _facade(df).tfidfTopM(df._jdf, id_col, text_col, int(m)))
 
 
+def repetition_profile(df, id_col="doc_id", text_col="text", top_n=2, dup_n=5):
+    """Gopher-family repetition quality filter: (doc, n_tokens,
+    top_frac, dup_frac) — coverage of the most frequent top_n-gram and
+    of all duplicated dup_n-grams; short docs pass through with 0.0."""
+    return _wrap(df, _facade(df).repetitionProfile(
+        df._jdf, id_col, text_col, int(top_n), int(dup_n)))
+
+
+def decontaminate(corpus, bench, id_col="doc_id", text_col="text",
+                  bench_text_col="text", k=40, broadcast_bench=True):
+    """Benchmark decontamination: corpus docs sharing a verbatim k-token
+    run with `bench`, as (doc, hits, max_span). Anti-join the corpus on
+    `doc` for the clean split. With broadcast_bench the corpus side
+    never shuffles (the benchmark collapses to a broadcast digest set)."""
+    return _wrap(corpus, _facade(corpus).decontaminate(
+        corpus._jdf, id_col, text_col, bench._jdf, bench_text_col,
+        int(k), bool(broadcast_bench)))
+
+
+def quota_top_k(df, stratum_cols, score_col, id_col="doc_id", k=10,
+                descending=True):
+    """Deterministic quota sampling: the k best rows per stratum by a
+    numeric score, ties broken by ascending id — stratum cols +
+    (rank, id, score). O(k) state per stratum at every stage (no
+    per-stratum window sort), so a dominant domain cannot straggle."""
+    if isinstance(stratum_cols, str):
+        stratum_cols = [stratum_cols]
+    return _wrap(df, _facade(df).quotaTopK(
+        df._jdf, list(stratum_cols), score_col, id_col, int(k),
+        bool(descending)))
+
+
+def hash_sample(df, key_col, stratum_col, thresholds):
+    """Deterministic content-hash rate sampling: keep a row iff the
+    first 4 hex chars of md5(key) sort below thresholds[stratum]
+    (keep-rate = int(threshold, 16) / 65536); unlisted strata drop."""
+    return _wrap(df, _facade(df).hashSample(
+        df._jdf, key_col, stratum_col, dict(thresholds)))
+
+
 def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,
            min_distinct_ratio=0.3):
     """Profile -> language/length/degeneracy filter -> canonical-only

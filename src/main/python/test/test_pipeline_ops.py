@@ -193,3 +193,37 @@ class TestStreamingUnified(object):
         stamped = docs.withColumn("ts", F.col("doc_id").cast("long"))
         got = sorted(r["doc_id"] for r in P.first_per_content(stamped).collect())
         assert got == [0, 1, 2, 4]  # doc 3 is a byte-duplicate of 0
+
+    def test_decontaminate(self, local_spark):
+        quote = " ".join(f"q{i}" for i in range(20))
+        corpus = local_spark.createDataFrame(
+            [(1, " ".join(f"h{i}" for i in range(50)) + " " + quote),
+             (2, " ".join(f"u{i}" for i in range(30)))],
+            ["doc_id", "text"])
+        bench = local_spark.createDataFrame([(quote,)], ["text"])
+        got = [(r["doc"], r["hits"], r["max_span"]) for r in
+               P.decontaminate(corpus, bench, k=8).collect()]
+        assert got == [(1, 13, 20)]  # 20-8+1 window hits, exact span
+
+    def test_repetition_profile(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "a b a b a b"), (2, "t0 t1 t2 t3 t4 t5 t6 t7")],
+            ["doc_id", "text"])
+        got = {r["doc"]: (r["n_tokens"], r["top_frac"], r["dup_frac"])
+               for r in P.repetition_profile(df).collect()}
+        assert got[1] == (6, 0.6, 0.0)
+        assert got[2] == (8, 0.142857, 0.0)
+
+    def test_quota_and_hash_sample(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("s1", i, i % 5) for i in range(1, 21)],
+            ["source", "doc_id", "score"])
+        top = [(r["rank"], r["doc_id"], r["score"]) for r in
+               P.quota_top_k(df, "source", "score", k=3).collect()]
+        assert sorted(top) == [(1, 4, 4), (2, 9, 4), (3, 14, 4)]
+        from pyspark.sql import functions as F
+        keyed = df.withColumn("key", F.col("doc_id").cast("string"))
+        kept = P.hash_sample(keyed, "key", "source", {"s1": "8000"})
+        n = kept.count()
+        assert 0 < n < 20
+        assert kept.count() == n  # deterministic re-run

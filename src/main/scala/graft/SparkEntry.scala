@@ -359,6 +359,17 @@ object SparkEntry {
       Dedup.substringPairs(tbl(s, dir, "documents"), "doc_id", "text",
         minSpan = 20, k = 8)),
 
+    // benchmark decontamination: every 10th document plays the "eval
+    // suite", the rest are the training corpus; contaminated corpus
+    // docs with hit counts and longest contaminated run (k=8 matches
+    // the substring row's window on this short-document corpus)
+    "dedup_decontam" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.decontaminate(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", k = 8)
+    }),
+
     // embedding-cosine near-dup pairs (exact, oracle-checked)
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.5)),
@@ -448,6 +459,27 @@ object SparkEntry {
     // the token, so both engines agree rank for rank
     "text_tfidf" -> ((s, dir) =>
       TextFunctions.tfidfTopM(tbl(s, dir, "documents"), "doc_id", "text", m = 5)),
+
+    // Gopher-family repetition quality filter: most-frequent-2-gram
+    // coverage and duplicated-5-gram coverage per document, short docs
+    // pass through with 0.0
+    "text_repeat" -> ((s, dir) =>
+      TextFunctions.repetitionProfile(tbl(s, dir, "documents"), "doc_id", "text")),
+
+    // quota sampling: 5 longest documents per source, ties broken by
+    // doc_id — the skew-safe BoundedTopKSet shape, not a window sort
+    "sample_quota" -> ((s, dir) =>
+      graft.curation.Sampling.quotaTopK(
+        tbl(s, dir, "documents"), Seq("source"), "n_chars", "doc_id", k = 5)),
+
+    // deterministic content-hash rate sampling: even sources keep
+    // ~50% (threshold 0x8000), odd ~10% (0x1999); src19 has no
+    // threshold and is dropped entirely — the domain-mixing primitive
+    "sample_hash" -> ((s, dir) =>
+      graft.curation.Sampling.hashSample(
+        tbl(s, dir, "documents"), "text", "source",
+        (0 until 19).map(i => s"src$i" -> (if (i % 2 == 0) "8000" else "1999")).toMap)
+        .select(col("doc_id"), col("source"))),
 
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
@@ -976,6 +1008,22 @@ object SparkEntry {
          |SELECT doc_i, doc_j, CAST(max(span) AS BIGINT) span_len
          |FROM sp GROUP BY 1, 2 HAVING max(span) >= 20""".stripMargin,
 
+    // same run-digest extraction as dedup_substring, but an asymmetric
+    // semi-match: corpus windows against the DISTINCT digest set of the
+    // doc_id % 10 = 0 "benchmark" slice; islands per doc instead of per
+    // pair (1-based vs 0-based positions cancel in count and span)
+    "dedup_decontam" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |sh AS (SELECT doc_id, [struct_pack(pos := i, h := md5(array_to_string(ws[i:i+7], ' '))) for i in range(1, len(ws)-6)] l FROM t WHERE len(ws) >= 8),
+         |r AS (SELECT doc_id, s.pos pos, s.h h FROM (SELECT doc_id, unnest(l) s FROM sh)),
+         |b AS (SELECT DISTINCT h FROM r WHERE doc_id % 10 = 0),
+         |m AS (SELECT doc_id, pos FROM r JOIN b USING (h) WHERE doc_id % 10 <> 0),
+         |g AS (SELECT doc_id, pos,
+         |        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) isl FROM m),
+         |sp AS (SELECT doc_id, isl, count(*) c, max(pos) - min(pos) + 8 span FROM g GROUP BY 1, 2)
+         |SELECT doc_id doc, CAST(sum(c) AS BIGINT) hits, CAST(max(span) AS BIGINT) max_span
+         |FROM sp GROUP BY 1""".stripMargin,
+
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
         |SELECT doc_i, doc_j, cos_r6 FROM (
@@ -1123,6 +1171,41 @@ object SparkEntry {
          |  SELECT doc_id, token, tfidf_r6,
          |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r6 DESC, token) AS BIGINT) rnk
          |  FROM s) WHERE rnk <= 5""".stripMargin,
+
+    // one tagged gram stream for both sizes (2-gram coverage of the
+    // top gram, 5-gram duplicated coverage); DuckDB's `/` on integers
+    // is IEEE double division like Spark's; short docs come back via
+    // the left join with 0.0
+    "text_repeat" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |g AS (SELECT doc_id, 2 n, unnest([array_to_string(ws[i:i+1], ' ') for i in range(1, len(ws))]) g FROM t WHERE len(ws) >= 2
+         |      UNION ALL
+         |      SELECT doc_id, 5 n, unnest([array_to_string(ws[i:i+4], ' ') for i in range(1, len(ws)-3)]) g FROM t WHERE len(ws) >= 5),
+         |c AS (SELECT doc_id, n, g, count(*) c FROM g GROUP BY 1, 2, 3),
+         |a AS (SELECT doc_id, n, max(c) mx,
+         |        sum(CASE WHEN c > 1 THEN c ELSE 0 END) dup, sum(c) tot FROM c GROUP BY 1, 2),
+         |f AS (SELECT doc_id,
+         |        round(max(CASE WHEN n = 2 THEN mx / tot END), 6) top_frac,
+         |        round(max(CASE WHEN n = 5 THEN dup / tot END), 6) dup_frac
+         |      FROM a GROUP BY 1)
+         |SELECT t.doc_id doc, CAST(len(ws) AS BIGINT) n_tokens,
+         |  coalesce(top_frac, 0.0) top_frac, coalesce(dup_frac, 0.0) dup_frac
+         |FROM t LEFT JOIN f USING (doc_id)""".stripMargin,
+
+    "sample_quota" ->
+      """SELECT source, CAST(rn AS INT) rank, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
+
+    // md5-hex prefix vs per-stratum threshold, lexicographic (hex is
+    // fixed-width lower-case so lexicographic == numeric); src19 has
+    // no threshold and drops out
+    "sample_hash" ->
+      """SELECT doc_id, source FROM documents
+        |WHERE source <> 'src19'
+        |  AND substr(md5(text), 1, 4) <
+        |    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8000' ELSE '1999' END)""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),

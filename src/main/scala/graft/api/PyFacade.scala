@@ -148,6 +148,37 @@ object PyFacade {
   def tfidfTopM(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame =
     TextFunctions.tfidfTopM(df, idCol, textCol, m)
 
+  /** Repetition profile (Gopher-family quality filter):
+    * (doc, n_tokens, top_frac, dup_frac). */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
+      topN: Int, dupN: Int): DataFrame =
+    TextFunctions.repetitionProfile(df, idCol, textCol, topN, dupN)
+
+  /** Benchmark decontamination: contaminated corpus docs as
+    * (doc, hits, max_span); anti-join on the id for the clean corpus. */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int,
+      broadcastBench: Boolean): DataFrame =
+    graft.dedup.Dedup.decontaminate(corpus, idCol, textCol, bench, benchTextCol,
+      k, broadcastBench)
+
+  /** Quota sampling: k best rows per stratum by a numeric score —
+    * stratum cols + (rank, id, score). */
+  def quotaTopK(df: DataFrame, stratumCols: java.util.List[String],
+      scoreCol: String, idCol: String, k: Int, descending: Boolean): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.curation.Sampling.quotaTopK(df, stratumCols.asScala.toSeq, scoreCol,
+      idCol, k, descending)
+  }
+
+  /** Deterministic hash-rate sampling; thresholds map stratum → 4 hex
+    * chars (keep-rate = parseInt(threshold,16)/65536). */
+  def hashSample(df: DataFrame, keyCol: String, stratumCol: String,
+      thresholds: java.util.Map[String, String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.curation.Sampling.hashSample(df, keyCol, stratumCol, thresholds.asScala.toMap)
+  }
+
   /** Greedy sequence packing: (idCol, n_tokens, bin_id, bin_offset) —
     * docs concatenate in id order, cut every `budget` tokens. NOTE:
     * runs one eager min/max/count stats job at call time. */

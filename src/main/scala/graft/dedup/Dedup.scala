@@ -228,6 +228,62 @@ object Dedup {
   }
 
   /**
+   * Benchmark decontamination: which corpus documents contain a VERBATIM
+   * k-token run that also appears in a benchmark/eval corpus — the
+   * train/test-overlap scrub every LLM training pipeline runs before
+   * training (an eval question leaking into the corpus inflates the
+   * benchmark score without teaching the model anything). Output one row
+   * per CONTAMINATED corpus document: (doc, hits, max_span) — hits =
+   * number of k-token window positions whose run digest appears anywhere
+   * in the benchmark, max_span = the longest consecutive contaminated
+   * token run (exact for spans >= k, the same island argument as
+   * [[substringPairs]]: a shared span of L >= k tokens matches at
+   * L−k+1 consecutive positions). The clean corpus is the caller's
+   * `left_anti` of the corpus against this output on the id.
+   *
+   * Shape — asymmetric by design, unlike [[substringPairs]]'s self-join:
+   * the benchmark side collapses to DISTINCT 16-byte run digests first
+   * (a full eval suite is MBs of digests), so with `broadcastBench` the
+   * corpus side is a NARROW map-only scan probing a broadcast hash set —
+   * zero shuffle of corpus data, the only viable shape when the corpus
+   * is 100 TB and the benchmark is not. The per-doc island/span
+   * aggregation afterwards carries only MATCHED windows (output-sized),
+   * and its window partitions are bounded by a document's token count,
+   * never corpus-sized. `broadcastBench = false` degrades to one
+   * digest-keyed shuffle — still O(corpus windows + bench windows),
+   * never pairwise — for the rare giant-benchmark case.
+   */
+  def decontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      k: Int = 8, broadcastBench: Boolean = true): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    def runDigests(ws: Column): Column =
+      transform(sequence(lit(1), size(ws) - (k - 1)),
+        i => unhex(md5(concat_ws(" ", slice(ws, i, lit(k))).cast("binary"))))
+    val benchD0 = bench
+      .select(TextFunctions.tokens(col(benchTextCol)).as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(explode(runDigests(col("ws"))).as("h"))
+      .distinct()
+    val benchD = if (broadcastBench) broadcast(benchD0) else benchD0
+    val matched = corpus
+      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("doc"), posexplode(runDigests(col("ws"))))
+      .withColumnsRenamed(Map("pos" -> "p", "col" -> "h"))
+      .join(benchD, Seq("h"))
+    val w = Window.partitionBy(col("doc")).orderBy(col("p"))
+    matched.withColumn("isl", col("p") - row_number().over(w))
+      .groupBy(col("doc"), col("isl"))
+      .agg(count(lit(1)).as("c"), (max(col("p")) - min(col("p")) + k).as("span"))
+      .groupBy(col("doc"))
+      .agg(sum(col("c")).cast("long").as("hits"),
+        max(col("span")).cast("long").as("max_span"))
+  }
+
+  /**
    * MinHash-LSH near-dup pairs: signatures → banding (bandRows rows/band)
    * → candidate pairs sharing >= 1 band → exact Jaccard verification
    * >= tau. Same output contract as [[jaccardPairs]]; emitted Jaccard

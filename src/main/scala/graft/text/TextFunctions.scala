@@ -131,6 +131,55 @@ object TextFunctions {
       .agg(countDistinct(col("__doc")).as("doc_freq"),
         count(lit(1)).as("total_freq"))
 
+  /**
+   * Intra-document repetition profile — the Gopher-family repetition
+   * quality filter (Rae et al. 2021 §A1.1, "repetitious documents are
+   * low quality"): per document, what fraction of its n-gram positions
+   * is covered by the single most frequent n-gram (`top_frac`, machine-
+   * generated boilerplate pins this near 1) and what fraction sits in
+   * ANY n-gram occurring more than once (`dup_frac`, loops and copy-
+   * paste inflate it). Output: (doc, n_tokens, top_frac, dup_frac) for
+   * EVERY input document — too-short docs (fewer than topN/dupN tokens)
+   * get 0.0, a quality filter must pass them through, not drop them.
+   *
+   * Shape: both gram sizes ride ONE tagged explode → one (doc, n, gram)
+   * shuffle with map-side combine (gram counts collapse before the
+   * exchange), then two output-sized per-doc reductions. Linear in
+   * corpus tokens; no per-doc state beyond the aggregation buffers.
+   * Fractions are one IEEE division of exact integer counts rounded to
+   * 6 places — bit-replayable by the DuckDB oracle.
+   */
+  def repetitionProfile(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      topN: Int = 2, dupN: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"gram sizes must be >= 1, got ($topN, $dupN)")
+    require(topN != dupN,
+      s"topN and dupN must differ (got $topN): the tagged explode would double-count one gram size")
+    def grams(ws: Column, n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => struct(lit(n).as("n"), concat_ws(" ", slice(ws, i, lit(n))).as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    val t = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
+    val perN = t
+      .select(col("doc"), explode(concat(grams(col("ws"), topN), grams(col("ws"), dupN))).as("x"))
+      .groupBy(col("doc"), col("x.n").as("n"), col("x.g").as("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc"), col("n"))
+      .agg(max(col("c")).as("mx"),
+        sum(when(col("c") > 1, col("c")).otherwise(lit(0))).as("dup"),
+        sum(col("c")).as("tot"))
+    val frac = perN.groupBy(col("doc"))
+      .agg(
+        round(max(when(col("n") === topN, col("mx") / col("tot"))), 6).as("top_frac"),
+        round(max(when(col("n") === dupN, col("dup") / col("tot"))), 6).as("dup_frac"))
+    t.select(col("doc"), size(col("ws")).cast("long").as("n_tokens"))
+      .join(frac, Seq("doc"), "left")
+      .select(col("doc"), col("n_tokens"),
+        coalesce(col("top_frac"), lit(0.0)).as("top_frac"),
+        coalesce(col("dup_frac"), lit(0.0)).as("dup_frac"))
+  }
+
   /** PII-ish patterns for corpus redaction, RE2-safe by the same
     * discipline as [[BpePattern]]: explicit character classes, no
     * shorthand (`\d`/`\w` definitions drift between engines under

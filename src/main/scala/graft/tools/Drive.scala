@@ -286,6 +286,33 @@ object Drive {
       println(s"rows=${packed.count()} packed docs, offsets past budget=$overBudget (expect 0)")
     }
 
+    println("=== 23. decontamination / repetition filter / sampling (round-6) ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      // every 10th doc plays the eval suite; flagged corpus docs carry
+      // exact hit counts and the longest contaminated token run
+      val bench = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val dirty = graft.dedup.Dedup.decontaminate(
+        corpus, "doc_id", "text", bench, "text", k = 8)
+      val clean = corpus.join(dirty.withColumnRenamed("doc", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      println(s"rows=${dirty.count()} contaminated docs, clean corpus=${clean.count()} " +
+        s"of ${corpus.count()}")
+      val rep = graft.text.TextFunctions.repetitionProfile(docs, "doc_id", "text")
+      val bad = rep.where(col("top_frac") < 0 || col("top_frac") > 1
+        || col("dup_frac") < 0 || col("dup_frac") > 1).count()
+      println(s"rows=${rep.count()} repetition profiles (= ${docs.count()} docs), " +
+        s"out-of-range fractions=$bad (expect 0)")
+      val quota = graft.curation.Sampling.quotaTopK(
+        docs, Seq("source"), "n_chars", "doc_id", k = 3)
+      println(s"rows=${quota.count()} quota picks (3 per source, " +
+        s"${docs.select("source").distinct().count()} sources)")
+      val kept = graft.curation.Sampling.hashSample(docs, "text", "source",
+        (0 until 20).map(i => s"src$i" -> "8000").toMap)
+      println(s"rows=${kept.count()} hash-sampled of ${docs.count()} (~50% nominal)")
+    }
+
     spark.stop()
   }
 }

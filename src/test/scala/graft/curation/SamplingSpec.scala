@@ -1,0 +1,94 @@
+package graft.curation
+
+import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestKit
+
+/**
+ * Deterministic sampling contracts: quota selection equals the
+ * window-function formulation row for row (but never plans a window —
+ * the O(k)-state aggregate is the point), and hash sampling is a pure
+ * function of row content.
+ */
+class SamplingSpec extends AnyFlatSpec with Matchers with AdaptiveSparkPlanHelper {
+
+  lazy val spark = SparkTestKit.spark
+
+  behavior of "Sampling.quotaTopK"
+
+  it should "match the window-function formulation including ties, ranks and both directions" in {
+    import spark.implicits._
+    // scores collide on purpose: ties must break by ascending id
+    val df = (1L to 200L).map(i => (s"s${i % 7}", i, (i % 13).toInt))
+      .toDF("source", "doc_id", "score")
+
+    for (desc <- Seq(true, false)) {
+      val got = Sampling.quotaTopK(df, Seq("source"), "score", "doc_id", k = 4,
+        descending = desc)
+        .select("source", "rank", "doc_id", "score")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+
+      val ord = if (desc) col("score").desc else col("score").asc
+      val exp = df.withColumn("rank",
+        row_number().over(Window.partitionBy("source").orderBy(ord, col("doc_id"))))
+        .where(col("rank") <= 4)
+        .select("source", "rank", "doc_id", "score")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSeq
+
+      got.sorted shouldBe exp.sorted
+    }
+  }
+
+  it should "plan the bounded aggregate, not a per-stratum window sort" in {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => ("one-hot-stratum", i, i * 2)).toDF("source", "doc_id", "score")
+    val out = Sampling.quotaTopK(df, Seq("source"), "score", "doc_id", k = 3)
+    out.collect()
+    val plan = out.queryExecution.executedPlan
+    collectWithSubqueries(plan) { case w: WindowExec => w } shouldBe empty
+    collectWithSubqueries(plan) { case a: ObjectHashAggregateExec => a } should not be empty
+  }
+
+  it should "exclude null scores and ids up front" in {
+    import spark.implicits._
+    val df = Seq(
+      ("s", java.lang.Long.valueOf(1L), java.lang.Integer.valueOf(5)),
+      ("s", java.lang.Long.valueOf(2L), null.asInstanceOf[java.lang.Integer]),
+      ("s", null.asInstanceOf[java.lang.Long], java.lang.Integer.valueOf(9))
+    ).toDF("source", "doc_id", "score")
+    val got = Sampling.quotaTopK(df, Seq("source"), "score", "doc_id", k = 10)
+      .select("doc_id").as[Long].collect().toSeq
+    got shouldBe Seq(1L)
+  }
+
+  behavior of "Sampling.hashSample"
+
+  it should "select deterministically at close to the nominal rate and drop unlisted strata" in {
+    import spark.implicits._
+    val df = (1L to 4000L).map(i => (s"k$i", if (i % 2 == 0) "half" else "none"))
+      .toDF("key", "stratum")
+    val thr = Map("half" -> "8000") // rate 0x8000/0x10000 = 50%
+    val got = Sampling.hashSample(df, "key", "stratum", thr)
+    val again = Sampling.hashSample(df, "key", "stratum", thr)
+
+    got.where(col("stratum") === "none").count() shouldBe 0L
+    val kept = got.count()
+    kept shouldBe again.count() // bit-identical re-run
+    kept.toDouble should be(1000.0 +- 100.0) // 2000 candidates at ~50%
+  }
+
+  it should "reject malformed thresholds" in {
+    import spark.implicits._
+    val df = Seq(("a", "s")).toDF("key", "stratum")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSample(df, "key", "stratum", Map("s" -> "80"))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.hashSample(df, "key", "stratum", Map("s" -> "ZZZZ"))
+  }
+}
