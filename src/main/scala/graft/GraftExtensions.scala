@@ -55,6 +55,11 @@ object GraftExtensions {
       Seq[Expression] => Expression)] = Seq(
     ("word_shingles", "word_shingles(text, n) - distinct word n-gram shingles",
       (es: Seq[Expression]) => WordShingles(es(0), intArg(es(1), "word_shingles"))),
+    ("word_grams", "word_grams(text, n) - ALL word n-grams in position order (counting variant)",
+      (es: Seq[Expression]) => WordShingles(es(0), intArg(es(1), "word_grams"),
+        distinct = false)),
+    ("run_digests", "run_digests(text, k) - md5 digest per k-token window, position order",
+      (es: Seq[Expression]) => RunDigests(es(0), intArg(es(1), "run_digests"))),
     ("minhash_signature", "minhash_signature(shingles, n) - MinHash signature array",
       (es: Seq[Expression]) => MinhashSignature(es(0), intArg(es(1), "minhash_signature"))),
     ("wkb_from_wkt", "wkb_from_wkt(wkt) - parse WKT to WKB geometry",

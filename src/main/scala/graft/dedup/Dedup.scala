@@ -198,14 +198,12 @@ object Dedup {
     require(k >= 2, s"window size k must be >= 2, got $k")
     require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k): spans shorter than k are invisible")
     import org.apache.spark.sql.expressions.Window
-    // (doc, pos, run digest) — tokens materialize as a column first (see
-    // shingled); the slice per window position is O(k) on the bound array
+    // (doc, pos, run digest) — one codegen'd tokenize→window→md5 loop
+    // (graft.functions.RunDigests); the composed higher-order form runs
+    // interpreted and re-slices per position
     val idx0 = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
       .repartition(col("doc"))
-      .select(col("doc"), TextFunctions.tokens(col("txt")).as("ws"))
-      .where(size(col("ws")) >= k)
-      .select(col("doc"), posexplode(transform(sequence(lit(1), size(col("ws")) - (k - 1)),
-        i => unhex(md5(concat_ws(" ", slice(col("ws"), i, lit(k))).cast("binary"))))))
+      .select(col("doc"), posexplode(graft.functions.RunDigests.runDigests(col("txt"), k)))
       .withColumnsRenamed(Map("pos" -> "p", "col" -> "h"))
     val idx = maxDocFreq.fold(idx0) { cap =>
       val hot = idx0.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > cap).select("h")
@@ -259,19 +257,13 @@ object Dedup {
       k: Int = 8, broadcastBench: Boolean = true): DataFrame = {
     require(k >= 2, s"window size k must be >= 2, got $k")
     import org.apache.spark.sql.expressions.Window
-    def runDigests(ws: Column): Column =
-      transform(sequence(lit(1), size(ws) - (k - 1)),
-        i => unhex(md5(concat_ws(" ", slice(ws, i, lit(k))).cast("binary"))))
+    import graft.functions.RunDigests.runDigests
     val benchD0 = bench
-      .select(TextFunctions.tokens(col(benchTextCol)).as("ws"))
-      .where(size(col("ws")) >= k)
-      .select(explode(runDigests(col("ws"))).as("h"))
+      .select(explode(runDigests(col(benchTextCol), k)).as("h"))
       .distinct()
     val benchD = if (broadcastBench) broadcast(benchD0) else benchD0
     val matched = corpus
-      .select(col(idCol).as("doc"), TextFunctions.tokens(col(textCol)).as("ws"))
-      .where(size(col("ws")) >= k)
-      .select(col("doc"), posexplode(runDigests(col("ws"))))
+      .select(col(idCol).as("doc"), posexplode(runDigests(col(textCol), k)))
       .withColumnsRenamed(Map("pos" -> "p", "col" -> "h"))
       .join(benchD, Seq("h"))
     val w = Window.partitionBy(col("doc")).orderBy(col("p"))

@@ -26,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
  * single ASCII space, drop empties; shingles joined with one space;
  * distinct keeps first occurrence.
  */
-case class WordShingles(child: Expression, n: Int)
+case class WordShingles(child: Expression, n: Int, distinct: Boolean = true)
     extends UnaryExpression with ExpectsInputTypes {
 
   require(n >= 1, s"shingle size must be >= 1, got $n")
@@ -35,10 +35,10 @@ case class WordShingles(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
   override def nullSafeEval(input: Any): Any =
-    WordShingles.compute(input.asInstanceOf[UTF8String], n)
+    WordShingles.compute(input.asInstanceOf[UTF8String], n, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.WordShingles.compute($c, $n, $distinct)")
 
   override protected def withNewChildInternal(newChild: Expression): WordShingles =
     copy(child = newChild)
@@ -48,12 +48,48 @@ case class WordShingles(child: Expression, n: Int)
 
 object WordShingles {
 
-  /** Column-API entry point. */
+  /** Column-API entry point (distinct shingles — set semantics). */
   def wordShingles(text: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n))
 
+  /** ALL n-grams in position order, duplicates kept — the counting
+    * variant ([[graft.text.TextFunctions.repetitionProfile]] needs
+    * occurrence counts, which set semantics would destroy). */
+  def wordGrams(text: Column, n: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(text), n, distinct = false))
+
   /** Called from generated code — must stay public and static-shaped. */
-  def compute(text: UTF8String, n: Int): ArrayData = {
+  def compute(text: UTF8String, n: Int, distinct: Boolean): ArrayData = {
+    val toks = tokenize(text)
+    val m = toks.size - n + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val sb = new java.lang.StringBuilder()
+    if (distinct) {
+      val seen = new java.util.LinkedHashSet[String]()
+      var j = 0
+      while (j < m) {
+        seen.add(gram(toks, j, n, sb))
+        j += 1
+      }
+      val arr = new Array[Any](seen.size)
+      val it = seen.iterator()
+      var z = 0
+      while (it.hasNext) { arr(z) = UTF8String.fromString(it.next()); z += 1 }
+      new GenericArrayData(arr)
+    } else {
+      val arr = new Array[Any](m)
+      var j = 0
+      while (j < m) {
+        arr(j) = UTF8String.fromString(gram(toks, j, n, sb))
+        j += 1
+      }
+      new GenericArrayData(arr)
+    }
+  }
+
+  /** Single-space tokenizer shared by both variants (and by
+    * [[RunDigests]]) — identical to `TextFunctions.tokens`. */
+  private[functions] def tokenize(text: UTF8String): java.util.ArrayList[String] = {
     val s = text.toString
     val toks = new java.util.ArrayList[String]()
     val len = s.length
@@ -66,26 +102,18 @@ object WordShingles {
       }
       i += 1
     }
-    val m = toks.size - n + 1
-    if (m <= 0) return new GenericArrayData(Array.empty[Any])
-    val seen = new java.util.LinkedHashSet[String]()
-    val sb = new java.lang.StringBuilder()
-    var j = 0
-    while (j < m) {
-      sb.setLength(0)
-      var k = 0
-      while (k < n) {
-        if (k > 0) sb.append(' ')
-        sb.append(toks.get(j + k))
-        k += 1
-      }
-      seen.add(sb.toString)
-      j += 1
+    toks
+  }
+
+  private def gram(toks: java.util.ArrayList[String], j: Int, n: Int,
+      sb: java.lang.StringBuilder): String = {
+    sb.setLength(0)
+    var k = 0
+    while (k < n) {
+      if (k > 0) sb.append(' ')
+      sb.append(toks.get(j + k))
+      k += 1
     }
-    val arr = new Array[Any](seen.size)
-    val it = seen.iterator()
-    var z = 0
-    while (it.hasNext) { arr(z) = UTF8String.fromString(it.next()); z += 1 }
-    new GenericArrayData(arr)
+    sb.toString
   }
 }

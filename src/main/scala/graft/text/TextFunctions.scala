@@ -142,28 +142,27 @@ object TextFunctions {
    * EVERY input document — too-short docs (fewer than topN/dupN tokens)
    * get 0.0, a quality filter must pass them through, not drop them.
    *
-   * Shape: both gram sizes ride ONE tagged explode → one (doc, n, gram)
-   * shuffle with map-side combine (gram counts collapse before the
-   * exchange), then two output-sized per-doc reductions. Linear in
-   * corpus tokens; no per-doc state beyond the aggregation buffers.
-   * Fractions are one IEEE division of exact integer counts rounded to
-   * 6 places — bit-replayable by the DuckDB oracle.
+   * Shape: each gram size is one codegen'd tokenize→gram loop
+   * ([[graft.functions.WordShingles.wordGrams]]) exploded into a tagged
+   * union → one (doc, n, gram) shuffle with map-side combine (gram
+   * counts collapse before the exchange), then two output-sized per-doc
+   * reductions. Linear in corpus tokens; no per-doc state beyond the
+   * aggregation buffers. Fractions are one IEEE division of exact
+   * integer counts rounded to 6 places — bit-replayable by the DuckDB
+   * oracle.
    */
   def repetitionProfile(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String,
       topN: Int = 2, dupN: Int = 5): org.apache.spark.sql.DataFrame = {
     require(topN >= 1 && dupN >= 1, s"gram sizes must be >= 1, got ($topN, $dupN)")
     require(topN != dupN,
-      s"topN and dupN must differ (got $topN): the tagged explode would double-count one gram size")
-    def grams(ws: Column, n: Int): Column =
-      when(size(ws) >= n,
-        transform(sequence(lit(1), size(ws) - (n - 1)),
-          i => struct(lit(n).as("n"), concat_ws(" ", slice(ws, i, lit(n))).as("g"))))
-        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+      s"topN and dupN must differ (got $topN): the tagged union would double-count one gram size")
+    def gramRows(n: Int) = df
+      .select(col(idCol).as("doc"), lit(n).as("n"),
+        explode(graft.functions.WordShingles.wordGrams(col(textCol), n)).as("g"))
     val t = df.select(col(idCol).as("doc"), tokens(col(textCol)).as("ws"))
-    val perN = t
-      .select(col("doc"), explode(concat(grams(col("ws"), topN), grams(col("ws"), dupN))).as("x"))
-      .groupBy(col("doc"), col("x.n").as("n"), col("x.g").as("g"))
+    val perN = gramRows(topN).unionByName(gramRows(dupN))
+      .groupBy(col("doc"), col("n"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc"), col("n"))
       .agg(max(col("c")).as("mx"),

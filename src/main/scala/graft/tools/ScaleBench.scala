@@ -110,6 +110,16 @@ object ScaleBench {
           concat_ws(" ", transform(split(col("text"), " ", -1),
             t => when(t === "", t).otherwise(concat(t, lit("x"), col("__k"))))).as("text"))
 
+    // documents with stratum/score carried: copy k keeps the SOURCE
+    // (stratum count fixed, stratum size ×f) and perturbs the score so
+    // per-copy picks differ — the quota-sampling scale input
+    def docsFull(f: Int): DataFrame =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+          col("doc_id"), col("source"), col("n_chars"))
+        .select((col("doc_id") + col("__k") * lit(1000000000L)).as("doc_id"),
+          col("source"), (col("n_chars") + col("__k")).as("n_chars"))
+
     // events: copy k gets new event AND user ids (per-user timeline
     // density stays constant — volume grows ×f, key cardinality grows
     // ×f, exactly how event data actually scales); ts/value unchanged
@@ -202,7 +212,28 @@ object ScaleBench {
       // tokens) — matching runs, and therefore shuffle bytes, must grow
       // ∝ f like the other inverted-index operators
       "dedup_substring" -> (() =>
-        Dedup.substringPairs(docs(f), "doc_id", "text", minSpan = 20, k = 8)))
+        Dedup.substringPairs(docs(f), "doc_id", "text", minSpan = 20, k = 8)),
+      // decontamination scaling story: the benchmark (copy-0 slice) is
+      // FIXED while the corpus grows ×f — wall may grow with the corpus
+      // scan, but shuffle stays output-sized (matches only in copy 0,
+      // constant) because the corpus probes a broadcast digest set
+      "dedup_decontam" -> (() =>
+        Dedup.decontaminate(docs(f), "doc_id", "text",
+          docs(1).where(pmod(col("doc_id"), lit(10)) === 0), "text", k = 8)),
+      // repetition filter: one tagged gram shuffle — bytes ∝ f, and the
+      // per-doc output rows grow ×f with the inflated corpus. The
+      // non-constant-foldable filter defeats count()'s join elimination
+      // (the per-doc aggregate is unique on the join key, so a bare
+      // count would prune the whole gram pipeline and measure the scan)
+      "text_repeat" -> (() =>
+        graft.text.TextFunctions.repetitionProfile(docs(f), "doc_id", "text")
+          .where(col("top_frac") + col("dup_frac") >= 0)),
+      // quota sampling: stratum size grows ×f but output stays
+      // strata·k — the O(k)-state aggregate must keep shuffle bytes
+      // near-constant while the scan grows (the anti-window property)
+      "sample_quota" -> (() =>
+        graft.curation.Sampling.quotaTopK(docsFull(f), Seq("source"),
+          "n_chars", "doc_id", k = 5)))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -20,6 +20,17 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     r.getInt(1) shouldBe 16
   }
 
+  it should "expose word_grams (duplicates kept) and run_digests in SQL" in {
+    val r = spark.sql(
+      """SELECT word_grams('a b a b', 2) g,
+        |       run_digests('a b c', 2) d,
+        |       unhex(md5(cast('a b' as binary))) d0""".stripMargin).head
+    r.getSeq[String](0) shouldBe Seq("a b", "b a", "a b") // set variant would drop the repeat
+    val digests = r.getSeq[Array[Byte]](1)
+    digests should have size 2
+    digests.head shouldBe r.getAs[Array[Byte]](2) // md5 contract matches the built-in
+  }
+
   it should "expose geometry functions in SQL" in {
     val r = spark.sql(
       """SELECT geodesic_meters(wkb_point(1D, 1D), wkb_point(1.1D, 1.1D)) m,
