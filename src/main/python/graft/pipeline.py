@@ -86,6 +86,17 @@ def embedding_pairs_lsh(df, id_col="vec_id", vec_col="embedding", tau=0.9,
         df._jdf, id_col, vec_col, float(tau), int(planes), int(tables)))
 
 
+def minhash_pairs_across(new_df, old_df, id_col="doc_id", text_col="text",
+                         tau=0.8, n=3, num_hashes=32, band_rows=2):
+    """Cross-corpus incremental dedup: near-dups of new_df documents
+    against old_df (the already-ingested corpus) as (doc_i, doc_j, jac)
+    -- candidates only where a band collides ACROSS sides, so no
+    old-vs-old work is repeated; Jaccard values are exact."""
+    return _wrap(new_df, _facade(new_df).minhashPairsAcross(
+        new_df._jdf, old_df._jdf, id_col, text_col, float(tau), int(n),
+        int(num_hashes), int(band_rows)))
+
+
 def cluster_pairs(pairs, i_col="doc_i", j_col="doc_j", max_iters=20):
     """(doc_id, cluster_id) connected components over a pair list;
     raises if max_iters truncates propagation."""

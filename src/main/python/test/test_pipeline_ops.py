@@ -194,6 +194,16 @@ class TestStreamingUnified(object):
         got = sorted(r["doc_id"] for r in P.first_per_content(stamped).collect())
         assert got == [0, 1, 2, 4]  # doc 3 is a byte-duplicate of 0
 
+    def test_minhash_pairs_across(self, local_spark):
+        base = " ".join(f"w{i}" for i in range(50))
+        new = local_spark.createDataFrame(
+            [(1, base + " fresh"), (2, " ".join(f"u{i}" for i in range(40)))],
+            ["doc_id", "text"])
+        old = local_spark.createDataFrame([(10, base)], ["doc_id", "text"])
+        got = [(r["doc_i"], r["doc_j"]) for r in
+               P.minhash_pairs_across(new, old).collect()]
+        assert got == [(1, 10)]
+
     def test_decontaminate(self, local_spark):
         quote = " ".join(f"q{i}" for i in range(20))
         corpus = local_spark.createDataFrame(

@@ -359,6 +359,18 @@ object SparkEntry {
       Dedup.substringPairs(tbl(s, dir, "documents"), "doc_id", "text",
         minSpan = 20, k = 8)),
 
+    // cross-corpus incremental dedup: odd docs play the incoming crawl
+    // snapshot, even docs the already-ingested corpus; near-dups of new
+    // against old only (no old×old candidate work). Full oracle: the
+    // 32×2 banding recall argument of dedup_minhash applies unchanged
+    "dedup_cross" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.minhashPairsAcross(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        "doc_id", "text", tau = 0.8)
+    }),
+
     // benchmark decontamination: every 10th document plays the "eval
     // suite", the rest are the training corpus; contaminated corpus
     // docs with hit counts and longest contaminated run (k=8 matches
@@ -1032,6 +1044,20 @@ object SparkEntry {
         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) cos_r6
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos_r6 >= 0.5""".stripMargin,
     "dedup_minhash" -> jaccardOracle,
+
+    // exact cross-parity Jaccard — the banding only generates
+    // candidates, verification is exact, so the oracle is the plain
+    // set-similarity join restricted to (odd, even) pairs
+    "dedup_cross" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT doc_id, unnest(sl) s FROM sh),
+         |sz AS (SELECT doc_id, len(sl) n FROM sh),
+         |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
+         |          FROM e a JOIN e b ON a.s = b.s
+         |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
+         |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
+         |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
+         |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin,
 
     "dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

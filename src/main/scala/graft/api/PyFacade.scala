@@ -35,6 +35,11 @@ object PyFacade {
       tau: Double, n: Int, numHashes: Int, bandRows: Int): DataFrame =
     Dedup.minhashPairs(df, idCol, textCol, tau, n, numHashes, bandRows)
 
+  /** Cross-corpus incremental dedup: new-vs-old near-dup pairs only. */
+  def minhashPairsAcross(left: DataFrame, right: DataFrame, idCol: String,
+      textCol: String, tau: Double, n: Int, numHashes: Int, bandRows: Int): DataFrame =
+    Dedup.minhashPairsAcross(left, right, idCol, textCol, tau, n, numHashes, bandRows)
+
   /** Near-superset pairs by max-containment; maxDocFreq <= 0 disables
     * the skew cap. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,

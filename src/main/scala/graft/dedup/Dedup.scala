@@ -286,34 +286,74 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String, tau: Double,
       n: Int = 3, numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be a multiple of bandRows")
-    val numBands = numHashes / bandRows
     val sh = shingled(df, idCol, textCol, n).where(size(col("sh")) > 0)
-    // slim band rows (doc, band, bkey) — the band shuffle never carries
-    // shingle payloads; shingle arrays rejoin only for surviving candidates
-    val bands = sh
-      // codegen'd native signature (graft.functions.MinhashSignature): the
-      // composed higher-order form runs interpreted and costs ~50x more
-      .select(col("doc"),
-        graft.functions.MinhashSignature.minhashSignature(col("sh"), numHashes).as("sig"))
-      .select(col("doc"),
-        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
-          b => xxhash64(concat_ws("|", slice(col("sig"), b * bandRows + 1, lit(bandRows)))))))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+    val bands = minhashBands(sh, numHashes, bandRows)
     val cands = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
           && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
       .dropDuplicates("doc_i", "doc_j")
-    // exact verification on the bounded per-doc shingle arrays
+    verifyJaccard(cands, sh, sh, tau)
+  }
+
+  /**
+   * Cross-corpus MinHash-LSH near-dup pairs: which documents of `left`
+   * (a NEW crawl snapshot / incoming batch) near-duplicate a document
+   * of `right` (the corpus already ingested) — the incremental-dedup
+   * shape every continuously-fed training pipeline runs, where
+   * re-banding the union and discarding the old×old pairs would waste
+   * almost all of the candidate work. Output: (doc_i from left, doc_j
+   * from right, exact jaccard >= tau); ids may repeat across corpora —
+   * the sides are distinct tables and no `<` ordering applies.
+   *
+   * Same machinery and guarantees as [[minhashPairs]]: slim O(N) band
+   * rows per side, candidates only where a band collides ACROSS sides,
+   * exact verification on the bounded shingle arrays. At 32 hashes ×
+   * 2 rows/band, P(miss | jac = 0.8) ≈ 1e-7. In steady state the
+   * `right` band rows are re-derivable or persistable; the band join
+   * shuffles only (doc, band, bkey) triples, never text.
+   */
+  def minhashPairsAcross(
+      left: DataFrame, right: DataFrame, idCol: String, textCol: String,
+      tau: Double, n: Int = 3, numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+    require(numHashes % bandRows == 0, "numHashes must be a multiple of bandRows")
+    val shL = shingled(left, idCol, textCol, n).where(size(col("sh")) > 0)
+    val shR = shingled(right, idCol, textCol, n).where(size(col("sh")) > 0)
+    val cands = minhashBands(shL, numHashes, bandRows).as("a")
+      .join(minhashBands(shR, numHashes, bandRows).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
+      .dropDuplicates("doc_i", "doc_j")
+    verifyJaccard(cands, shL, shR, tau)
+  }
+
+  /** Slim band rows (doc, band, bkey) — the band shuffle never carries
+    * shingle payloads; shingle arrays rejoin only for surviving
+    * candidates. Signature via the codegen'd native
+    * `graft.functions.MinhashSignature` (the composed higher-order form
+    * runs interpreted and costs ~50x more). */
+  private def minhashBands(sh: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
+    val numBands = numHashes / bandRows
+    sh.select(col("doc"),
+        graft.functions.MinhashSignature.minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(col("doc"),
+        posexplode(transform(sequence(lit(0), lit(numBands - 1)),
+          b => xxhash64(concat_ws("|", slice(col("sig"), b * bandRows + 1, lit(bandRows)))))))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))
+  }
+
+  /** Exact Jaccard verification of candidate pairs on the bounded
+    * per-doc shingle arrays of each side. */
+  private def verifyJaccard(cands: DataFrame, shI: DataFrame, shJ: DataFrame,
+      tau: Double): DataFrame =
     cands
-      .join(sh.select(col("doc").as("doc_i"), col("sh").as("sha")), "doc_i")
-      .join(sh.select(col("doc").as("doc_j"), col("sh").as("shb")), "doc_j")
+      .join(shI.select(col("doc").as("doc_i"), col("sh").as("sha")), "doc_i")
+      .join(shJ.select(col("doc").as("doc_j"), col("sh").as("shb")), "doc_j")
       .select(col("doc_i"), col("doc_j"),
         jaccard(size(array_intersect(col("sha"), col("shb"))),
           size(col("sha")), size(col("shb"))).as("jac"))
       .where(col("jac") >= tau)
-  }
 
   /**
    * SimHash near-dup pairs: 64-bit document fingerprints, candidates

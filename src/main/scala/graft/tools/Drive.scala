@@ -311,6 +311,12 @@ object Drive {
       val kept = graft.curation.Sampling.hashSample(docs, "text", "source",
         (0 until 20).map(i => s"src$i" -> "8000").toMap)
       println(s"rows=${kept.count()} hash-sampled of ${docs.count()} (~50% nominal)")
+      // incremental dedup: odd docs = incoming snapshot, even = ingested
+      val cross = graft.dedup.Dedup.minhashPairsAcross(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", tau = 0.8)
+      val sameSide = cross.where((col("doc_i") % 2) === (col("doc_j") % 2)).count()
+      println(s"rows=${cross.count()} cross-corpus near-dup pairs, same-side leaks=$sameSide (expect 0)")
     }
 
     spark.stop()
