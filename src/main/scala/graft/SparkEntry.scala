@@ -371,6 +371,19 @@ object SparkEntry {
         "doc_id", "text", tau = 0.8)
     }),
 
+    // streaming decontamination flag, batch-parity path: one row per
+    // contaminated CONTENT; projected onto md5(text) so the gate is
+    // deterministic (dropDuplicates keeps an arbitrary row per digest,
+    // but every content-derived column is digest-determined)
+    "decontam_stream_flag" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.streaming.StreamingDecontam.contaminated(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        docs.where(pmod(col("doc_id"), lit(10)) === 0),
+        "text", "text", "ts", k = 8)
+        .select(md5(col("text")).as("content_md5"))
+    }),
+
     // benchmark decontamination: every 10th document plays the "eval
     // suite", the rest are the training corpus; contaminated corpus
     // docs with hit counts and longest contaminated run (k=8 matches
@@ -1019,6 +1032,16 @@ object SparkEntry {
          |sp AS (SELECT doc_i, doc_j, max(pi) - min(pi) + 8 span FROM g GROUP BY doc_i, doc_j, diff, isl)
          |SELECT doc_i, doc_j, CAST(max(span) AS BIGINT) span_len
          |FROM sp GROUP BY 1, 2 HAVING max(span) >= 20""".stripMargin,
+
+    // contaminated contents = corpus docs with any window digest in the
+    // benchmark digest set, collapsed to distinct md5(text)
+    "decontam_stream_flag" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |sh AS (SELECT doc_id, [md5(array_to_string(ws[i:i+7], ' ')) for i in range(1, len(ws)-6)] l FROM t WHERE len(ws) >= 8),
+         |r AS (SELECT doc_id, unnest(l) h FROM sh),
+         |b AS (SELECT DISTINCT h FROM r WHERE doc_id % 10 = 0),
+         |m AS (SELECT DISTINCT doc_id FROM r JOIN b USING (h) WHERE doc_id % 10 <> 0)
+         |SELECT DISTINCT md5(text) content_md5 FROM documents JOIN m USING (doc_id)""".stripMargin,
 
     // same run-digest extraction as dedup_substring, but an asymmetric
     // semi-match: corpus windows against the DISTINCT digest set of the

@@ -135,6 +135,48 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "prune the decontamination corpus scan and keep gram extraction codegen'd" in {
+    // the corpus side reads exactly (doc_id, text) — a scan dragging
+    // lang/source/n_chars through the digest explode multiplies scan
+    // bytes at 100 TB for nothing; and the RunDigests window loop must
+    // sit inside a WholeStageCodegen span, not an interpreted project
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.dedup.Dedup.decontaminate(
+      docs, "doc_id", "text",
+      docs.where(org.apache.spark.sql.functions.col("doc_id") % 10 === 0), "text", k = 8)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    val scans = plan.linesIterator.filter(s =>
+      s.contains("FileScan") && s.contains("documents")).toSeq
+    withClue(scans.mkString("\n")) {
+      scans should not be empty
+      scans.foreach { s =>
+        s should not include "lang"
+        s should not include "n_chars"
+      }
+    }
+    withClue(plan) { plan should include ("run_digests") }
+  }
+
+  it should "shuffle the repetition profile exactly once at corpus size (the tagged gram exchange)" in {
+    // gram counting shuffles (doc, n, gram) once; everything after is
+    // output-sized (per-doc reductions + the unique-key left join).
+    // A second corpus-sized exchange means map-side combine broke.
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val q = graft.text.TextFunctions.repetitionProfile(docs, "doc_id", "text")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the gram exchange is keyed (doc, n, g); per-doc stages key on doc
+    // alone — both appear, but nothing may shuffle on anything else
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    withClue(exchanges.mkString("\n")) {
+      exchanges.foreach(_ should include ("doc#"))
+    }
+  }
+
   it should "preserve snapshot partitioning across localCheckpoint when AQE is off (iterative-join contract)" in {
     // GridNearestJoin and Dedup.clusterPairs pre-partition their
     // long-lived snapshots. On AQE-OFF sessions that makes every
