@@ -213,6 +213,14 @@ object ScaleBench {
       // ∝ f like the other inverted-index operators
       "dedup_substring" -> (() =>
         Dedup.substringPairs(docs(f), "doc_id", "text", minSpan = 20, k = 8)),
+      // cross-corpus dedup: both sides inflate ×f (suffixed tokens keep
+      // pairs intra-copy), so matches and band-join shuffle grow ∝ f —
+      // never ×f² — like the self-join banding it shares machinery with
+      "dedup_cross" -> (() =>
+        Dedup.minhashPairsAcross(
+          docs(f).where(pmod(col("doc_id"), lit(2)) === 1),
+          docs(f).where(pmod(col("doc_id"), lit(2)) === 0),
+          "doc_id", "text", tau = 0.8)),
       // decontamination scaling story: the benchmark (copy-0 slice) is
       // FIXED while the corpus grows ×f — wall may grow with the corpus
       // scan, but shuffle stays output-sized (matches only in copy 0,
