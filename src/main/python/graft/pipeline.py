@@ -175,6 +175,18 @@ def ivf_top_k_with(queries, candidates, centroids, id_col="vec_id",
         int(k), int(nprobe)))
 
 
+def pq_top_k(queries, candidates, id_col="vec_id", vec_col="embedding",
+             k=10, m=8, ksub=16, iters=2, shortlist=0):
+    """Product-quantization ANN: train per-subspace codebooks on the
+    candidates, ADC-scan the m-byte codes, exact-re-rank the per-query
+    shortlist. ``shortlist<=0`` re-ranks everything (structurally exact);
+    a bounded shortlist is the production shape. Scores are exact
+    cosines either way."""
+    return _wrap(queries, _facade(queries).pqTopK(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k),
+        int(m), int(ksub), int(iters), int(shortlist)))
+
+
 # --- text analysis -------------------------------------------------------
 
 def text_profile(df, id_col="doc_id", text_col="text", unicode_tokens=False):
@@ -233,6 +245,26 @@ def repetition_profile(df, id_col="doc_id", text_col="text", top_n=2, dup_n=5):
     of all duplicated dup_n-grams; short docs pass through with 0.0."""
     return _wrap(df, _facade(df).repetitionProfile(
         df._jdf, id_col, text_col, int(top_n), int(dup_n)))
+
+
+def corpus_profile(df, text_col="text"):
+    """Per-language corpus report: (lang_pred, n_docs, total_tokens,
+    max_tokens, p50_tokens, p90_tokens). Quantiles are explicit-rank
+    order statistics computed over a token-count histogram (the window
+    runs over distinct lengths, never documents)."""
+    return _wrap(df, _facade(df).corpusProfile(df._jdf, text_col))
+
+
+def train_quality_score(df, id_col="doc_id", text_col="text",
+                        label_col="label", iters=20, lr=1.0, l2=0.0):
+    """Train a logistic quality classifier on the standard 4-feature
+    text profile against a 0/1 label column and score every row:
+    (id, label, q_score in [0,1]). Each training iteration is one
+    map-side-combined gradient aggregation; only the 5-element gradient
+    reaches the driver."""
+    return _wrap(df, _facade(df).trainQualityScore(
+        df._jdf, id_col, text_col, label_col, int(iters), float(lr),
+        float(l2)))
 
 
 def decontaminate(corpus, bench, id_col="doc_id", text_col="text",

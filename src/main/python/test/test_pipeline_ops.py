@@ -237,3 +237,37 @@ class TestStreamingUnified(object):
         n = kept.count()
         assert 0 < n < 20
         assert kept.count() == n  # deterministic re-run
+
+
+class TestModelAndProfile(object):
+
+    def test_pq_top_k_structural_exact(self, vecs):
+        exact = {(r["qid"], r["cid"], r["rnk"])
+                 for r in P.cosine_top_k(vecs, vecs, k=2).collect()}
+        pq = {(r["qid"], r["cid"], r["rnk"])
+              for r in P.pq_top_k(vecs, vecs, k=2, m=3, ksub=2,
+                                  iters=1, shortlist=0).collect()}
+        assert pq == exact  # unbounded shortlist == brute force
+
+    def test_train_quality_score(self, local_spark):
+        rows = [(i, "the quick and of is brown fox dog cat", 1.0)
+                for i in range(10)]
+        rows += [(100 + i, "zz zz zz zz zz zz zz zz", 0.0)
+                 for i in range(10)]
+        df = local_spark.createDataFrame(rows, ["doc_id", "text", "label"])
+        got = P.train_quality_score(df, iters=30, lr=2.0).collect()
+        scores = {r["doc_id"]: r["q_score"] for r in got}
+        assert all(0.0 <= s <= 1.0 for s in scores.values())
+        # the stopword-rich positives outscore the degenerate negatives
+        assert min(scores[i] for i in range(10)) > \
+            max(scores[100 + i] for i in range(10))
+
+    def test_corpus_profile(self, local_spark):
+        texts = ["the " * n for n in (1, 2, 3, 4, 5)] + ["xyz"]
+        df = local_spark.createDataFrame(
+            [(i, t.strip()) for i, t in enumerate(texts)], ["doc_id", "text"])
+        got = {r["lang_pred"]: r for r in P.corpus_profile(df).collect()}
+        en = got["en"]
+        assert (en["n_docs"], en["total_tokens"], en["max_tokens"]) == (5, 15, 5)
+        assert (en["p50_tokens"], en["p90_tokens"]) == (3, 5)
+        assert got["und"]["n_docs"] == 1

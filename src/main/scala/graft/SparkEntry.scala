@@ -485,6 +485,33 @@ object SparkEntry {
     "text_tfidf" -> ((s, dir) =>
       TextFunctions.tfidfTopM(tbl(s, dir, "documents"), "doc_id", "text", m = 5)),
 
+    // model-based quality filter: logistic scoring with FIXED literal
+    // weights over four exact-arithmetic features (the trained-weights
+    // path is pinned by LogisticSpec — gate rows hash bit-exactly, so
+    // they score a frozen model). q_logit is a left-associated
+    // multiply-add chain, replayable exactly; `keep` thresholds the
+    // unrounded logit
+    "text_qscore" -> ((s, dir) => {
+      val f = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), array(
+          TextFunctions.stopwordRatio(col("ws")),
+          TextFunctions.distinctTokenRatio(col("ws")),
+          when(size(col("ws")) > 0,
+            least(size(col("ws")).cast("double") / lit(1000.0d), lit(1.0d))),
+          TextFunctions.avgTokenLen(col("ws"))).as("f"))
+      val z = graft.ml.Logistic.logit(col("f"), QscoreWeights, QscoreBias)
+      f.select(col("doc_id"), round(z, 6).as("q_logit"),
+        (z >= lit(QscoreThreshold)).cast("int").as("keep"))
+    }),
+
+    // per-language corpus report with HISTOGRAM-rank quantiles (cumsum
+    // over distinct token counts — window partitions bounded by distinct
+    // lengths, never documents; the rank test is division-free integer
+    // arithmetic, identical in any engine)
+    "profile_corpus" -> ((s, dir) =>
+      graft.text.CorpusProfile.profile(tbl(s, dir, "documents"), "text")),
+
     // Gopher-family repetition quality filter: most-frequent-2-gram
     // coverage and duplicated-5-gram coverage per document, short docs
     // pass through with 0.0
@@ -594,6 +621,27 @@ object SparkEntry {
       graft.similarity.Similarity.ivfTopKWith(
         emb.where(col("vec_id") < 20), emb, cents,
         "vec_id", "embedding", k = 10, nprobe = 8)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
+    // PQ ADC + exact re-rank end-to-end: deterministic per-subspace
+    // k-means codebooks (id-ordered sample init, 2 Lloyd rounds), ADC
+    // scan over 8-byte codes, shortlist re-ranked EXACTLY on the
+    // original vectors. The gate runs an unbounded shortlist, which is
+    // exact STRUCTURALLY — every candidate passes through the exact
+    // re-rank, for any codebooks — the same data-independent argument as
+    // simsearch_ivf's nprobe = nlist (this corpus is near-uniform
+    // random, cos gaps ~1e-3, so no bounded shortlist is robustly
+    // exhaustive; clustered data — the ANN use case — needs only ~2k,
+    // pinned by ProductQuantizerSpec and the recorded pq_recall_at10
+    // bench metric at shortlist = 2k).
+    "simsearch_pq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cb = graft.similarity.ProductQuantizer.train(
+        emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+      graft.similarity.ProductQuantizer.topK(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
+        cb, shortlist = Int.MaxValue)
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
@@ -851,6 +899,14 @@ object SparkEntry {
     s"""CASE WHEN ${scores.map(_._2).mkString(" + ")} > 0
        |     THEN (CASE $caseChain ELSE 'und' END) ELSE 'und' END""".stripMargin
   }
+
+  // frozen quality-model coefficients shared by the text_qscore query
+  // and its oracle SQL (both derive from these values, so they cannot
+  // drift): features are (stop_ratio, distinct_ratio,
+  // capped-length/1000, avg_token_len)
+  private val QscoreWeights = Seq(2.0d, 1.5d, 0.5d, -0.25d)
+  private val QscoreBias = -1.0d
+  private val QscoreThreshold = 0.25d
 
   // exact brute-force cosine top-10 — oracle for BOTH simsearch_topk and
   // simsearch_lsh (the gate's LSH settings retrieve exhaustively)
@@ -1221,6 +1277,42 @@ object SparkEntry {
          |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r6 DESC, token) AS BIGINT) rnk
          |  FROM s) WHERE rnk <= 5""".stripMargin,
 
+    // logit chain generated from the SAME QscoreWeights as the query
+    // (left-associated `bias + w1*f1 + w2*f2 + ...` — SQL `+` is
+    // left-associative, so the summation order matches bit-for-bit)
+    "text_qscore" -> {
+      val feats = Seq(
+        s"CASE WHEN len(ws) > 0 THEN CAST(${langScore(TextFunctions.Stopwords)} AS DOUBLE) / CAST(len(ws) AS DOUBLE) END",
+        "CASE WHEN len(ws) > 0 THEN CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END",
+        "CASE WHEN len(ws) > 0 THEN least(CAST(len(ws) AS DOUBLE) / 1000.0, 1.0) END",
+        "CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, t -> length(t))) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END")
+      val chain = QscoreWeights.zipWithIndex
+        .map { case (w, i) => s"+ ($w)*COALESCE(f${i + 1}, 0.0)" }
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |f AS (SELECT doc_id, ${feats.zipWithIndex.map { case (f, i) => s"$f f${i + 1}" }.mkString(", ")} FROM t),
+         |z AS (SELECT doc_id, $QscoreBias ${chain.mkString(" ")} z FROM f)
+         |SELECT doc_id, round(z, 6) q_logit, CAST(z >= $QscoreThreshold AS INT) keep FROM z""".stripMargin
+    },
+
+    // histogram-rank quantiles: cum/n_docs comparisons stay in integer
+    // arithmetic (2·cum >= N and 10·cum >= 9·N ⟺ cum >= ceil(N/2) /
+    // ceil(9N/10)); the window runs over DISTINCT (lang, token-count)
+    // histogram rows
+    "profile_corpus" ->
+      s"""WITH t AS (SELECT $tokensSql ws FROM documents),
+         |p AS (SELECT $langPredSql lang_pred, CAST(len(ws) AS BIGINT) n FROM t),
+         |h AS (SELECT lang_pred, n, CAST(count(*) AS BIGINT) cnt FROM p GROUP BY 1, 2),
+         |c AS (SELECT lang_pred, n, cnt,
+         |        CAST(sum(cnt) OVER (PARTITION BY lang_pred ORDER BY n) AS BIGINT) cum FROM h),
+         |tot AS (SELECT lang_pred, CAST(sum(cnt) AS BIGINT) n_docs,
+         |          CAST(sum(n * cnt) AS BIGINT) total_tokens, max(n) max_tokens
+         |        FROM h GROUP BY 1)
+         |SELECT c.lang_pred, n_docs, total_tokens, max_tokens,
+         |  min(CASE WHEN 2 * cum >= n_docs THEN n END) p50_tokens,
+         |  min(CASE WHEN 10 * cum >= 9 * n_docs THEN n END) p90_tokens
+         |FROM c JOIN tot ON c.lang_pred = tot.lang_pred
+         |GROUP BY 1, 2, 3, 4""".stripMargin,
+
     // one tagged gram stream for both sizes (2-gram coverage of the
     // top gram, 5-gram duplicated coverage); DuckDB's `/` on integers
     // is IEEE double division like Spark's; short docs come back via
@@ -1294,6 +1386,9 @@ object SparkEntry {
     // the k-means + explicit-centroid path without depending on
     // centroid quality
     "simsearch_ivf_trained" -> simsearchExactTopkSql,
+    // PQ gate: the unbounded shortlist makes the row structurally exact
+    // (every candidate is exact-re-ranked), so the exact oracle applies
+    "simsearch_pq" -> simsearchExactTopkSql,
 
     "setop_keys" ->
       """SELECT k, 'buyer' tag FROM

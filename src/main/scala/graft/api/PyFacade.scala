@@ -128,6 +128,17 @@ object PyFacade {
       nlist: Int, iters: Int): DataFrame =
     Similarity.trainCentroids(candidates, idCol, vecCol, nlist, iters)
 
+  /** Product-quantization ANN end-to-end: train per-subspace codebooks
+    * on the candidates, ADC-scan, exact-re-rank the shortlist.
+    * `shortlist <= 0` means unbounded (structurally exact). */
+  def pqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      m: Int, ksub: Int, iters: Int, shortlist: Int): DataFrame = {
+    val cb = graft.similarity.ProductQuantizer.train(candidates, idCol, vecCol, m, ksub, iters)
+    graft.similarity.ProductQuantizer.topK(queries, candidates, idCol, vecCol, k,
+      cb, if (shortlist <= 0) Int.MaxValue else shortlist)
+  }
+
   // --- text analysis ----------------------------------------------------
 
   /** One-pass per-document text profile: token counts (whitespace and
@@ -158,6 +169,33 @@ object PyFacade {
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String,
       topN: Int, dupN: Int): DataFrame =
     TextFunctions.repetitionProfile(df, idCol, textCol, topN, dupN)
+
+  /** Per-language corpus report with histogram-rank quantiles:
+    * (lang_pred, n_docs, total_tokens, max_tokens, p50_tokens,
+    * p90_tokens). */
+  def corpusProfile(df: DataFrame, textCol: String): DataFrame =
+    graft.text.CorpusProfile.profile(df, textCol)
+
+  /** Train a logistic quality model on the standard 4-feature text
+    * profile (stop ratio, distinct ratio, capped length/1000, avg token
+    * len) against a 0/1 label column, then score every row:
+    * (idCol, labelCol, q_score). Training is `iters` map-side-combined
+    * gradient aggregations; only the 5-element gradient reaches the
+    * driver per round. */
+  def trainQualityScore(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, iters: Int, lr: Double, l2: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val feats = df.select(col(idCol), col(labelCol),
+      TextFunctions.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), col(labelCol), array(
+        coalesce(TextFunctions.stopwordRatio(col("__ws")), lit(0.0d)),
+        coalesce(TextFunctions.distinctTokenRatio(col("__ws")), lit(0.0d)),
+        coalesce(when(size(col("__ws")) > 0,
+          least(size(col("__ws")).cast("double") / lit(1000.0d), lit(1.0d))), lit(0.0d)),
+        coalesce(TextFunctions.avgTokenLen(col("__ws")), lit(0.0d))).as("__f"))
+    val model = graft.ml.Logistic.train(feats, "__f", labelCol, iters, lr, l2)
+    feats.select(col(idCol), col(labelCol), model.scoreCol(col("__f")).as("q_score"))
+  }
 
   /** Benchmark decontamination: contaminated corpus docs as
     * (doc, hits, max_span); anti-join on the id for the clean corpus. */

@@ -38,6 +38,21 @@ object RecallProbe {
     }.toDF("vec_id", "embedding")
   }
 
+  /** PQ recall@10 at a 2k ADC shortlist (m = 8 × 4-dim subspaces,
+    * ksub = 16, 3 Lloyd rounds) on the same clustered corpus — the
+    * production-shape retrieval number for the PQ family (the gate row
+    * runs the structurally-exact unbounded shortlist instead). */
+  def measurePq(spark: SparkSession): Double = {
+    val vecs = corpus(spark)
+    val q = vecs.where(col("vec_id") % 10 === 3)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(q, vecs, "vec_id", "embedding", K))
+    val cb = ProductQuantizer.train(vecs, "vec_id", "embedding", m = 8, ksub = 16, iters = 3)
+    val got = pairs(ProductQuantizer.topK(q, vecs, "vec_id", "embedding", K, cb, shortlist = 2 * K))
+    got.intersect(exact).size.toDouble / exact.size
+  }
+
   /** (trained, sampled) recall@10 against the exact brute-force top-k,
     * one query per cluster. */
   def measure(spark: SparkSession): (Double, Double) = {

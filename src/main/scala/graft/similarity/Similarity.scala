@@ -38,7 +38,7 @@ object Similarity {
     * tie-break everywhere — the approximate variants' "equal to exact,
     * rank for rank" oracles depend on the three paths never diverging
     * here. Input columns: qid, cid, qv, cv, qn, cn. */
-  private def scoreAndRank(pairs: DataFrame, k: Int): DataFrame =
+  private[similarity] def scoreAndRank(pairs: DataFrame, k: Int): DataFrame =
     rank(pairs
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
@@ -46,7 +46,7 @@ object Similarity {
 
   /** Rank (qid, cid, cos_r6) rows per query: descending cosine, ties by
     * ascending candidate id, keep the top k. */
-  private def rank(scored: DataFrame, k: Int): DataFrame = {
+  private[similarity] def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
     scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
   }

@@ -319,6 +319,40 @@ object Drive {
       println(s"rows=${cross.count()} cross-corpus near-dup pairs, same-side leaks=$sameSide (expect 0)")
     }
 
+    println("=== 24. PQ ANN / logistic quality model / corpus profile (round-6b) ===")
+    locally {
+      import org.apache.spark.sql.functions._
+      // PQ: codebooks on the document embeddings, exact re-rank contract
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cb = graft.similarity.ProductQuantizer.train(
+        emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+      val q = emb.where(col("vec_id") < 5)
+      val pq = graft.similarity.ProductQuantizer.topK(
+        q, emb, "vec_id", "embedding", k = 5, cb, shortlist = Int.MaxValue)
+      val exact = graft.similarity.Similarity.cosineTopK(
+        q, emb, "vec_id", "embedding", k = 5)
+      val diff = pq.select("qid", "cid", "rnk")
+        .exceptAll(exact.select("qid", "cid", "rnk")).count()
+      println(s"rows=${pq.count()} pq top-5, diff vs exact=$diff (expect 0)")
+      // logistic: train on a derived label (is-English), score with the model
+      val feats = docs
+        .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          array(coalesce(graft.text.TextFunctions.stopwordRatio(col("ws")), lit(0.0)),
+            coalesce(graft.text.TextFunctions.distinctTokenRatio(col("ws")), lit(0.0))).as("f"),
+          (graft.text.TextFunctions.langId(col("ws")) === "en").cast("double").as("y"))
+      val model = graft.ml.Logistic.train(feats, "f", "y", iters = 10, lr = 1.0)
+      val lossDown = model.losses.last < model.losses.head
+      val scoredRows = feats.select(model.scoreCol(col("f"))).count()
+      println(s"rows=$scoredRows scored docs, loss ${model.losses.head} -> " +
+        s"${model.losses.last} decreasing=$lossDown (expect true)")
+      // corpus profile: quantile ordering sanity
+      val prof = graft.text.CorpusProfile.profile(docs, "text")
+      val badQ = prof.where(col("p50_tokens") > col("p90_tokens")
+        || col("p90_tokens") > col("max_tokens")).count()
+      println(s"rows=${prof.count()} language profiles, quantile inversions=$badQ (expect 0)")
+    }
+
     spark.stop()
   }
 }

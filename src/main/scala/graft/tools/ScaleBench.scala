@@ -149,6 +149,18 @@ object ScaleBench {
           (col("s_acctbal").cast("double") - 500.0).as("lo"),
           (col("s_acctbal").cast("double") + 500.0).as("hi"))
 
+    // embeddings: copy k gets a new vec_id; vectors are reused verbatim
+    // (the ADC scan and shortlist costs are geometry-independent, and
+    // ties only affect which exact-scored rows win — not how many rows
+    // flow through each stage)
+    def embs(f: Int): DataFrame =
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+        .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+          col("vec_id"), col("embedding"))
+        .select((col("vec_id") + col("__k") * lit(10000000L)).as("vec_id"),
+          col("embedding"))
+
     // the hourly right side + as-of shape of the gate queries
     def asofInputs(f: Int): (DataFrame, DataFrame) = {
       val ev = events(f)
@@ -241,7 +253,40 @@ object ScaleBench {
       // near-constant while the scan grows (the anti-window property)
       "sample_quota" -> (() =>
         graft.curation.Sampling.quotaTopK(docsFull(f), Seq("source"),
-          "n_chars", "doc_id", k = 5)))
+          "n_chars", "doc_id", k = 5)),
+      // PQ at its production shape (BOUNDED shortlist, unlike the
+      // structurally-exact gate row): candidates ×f with fixed queries —
+      // the ADC scan and the slim (qid, cid, adc) shortlist shuffle grow
+      // ∝ f, the exact re-rank stays O(Q·shortlist) CONSTANT
+      "simsearch_pq" -> (() => {
+        val e = embs(f)
+        val cb = graft.similarity.ProductQuantizer.train(
+          e, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+        graft.similarity.ProductQuantizer.topK(
+          e.where(col("vec_id") < 20), e, "vec_id", "embedding", k = 10,
+          cb, shortlist = 100)
+      }),
+      // model scoring is map-only: wall ∝ scan, shuffle ~zero. The
+      // non-foldable filter defeats count()'s projection pruning (same
+      // reason as text_repeat)
+      "text_qscore" -> (() =>
+        docs(f)
+          .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ws"))
+          .select(col("doc_id"), array(
+            graft.text.TextFunctions.stopwordRatio(col("ws")),
+            graft.text.TextFunctions.distinctTokenRatio(col("ws")),
+            when(size(col("ws")) > 0,
+              least(size(col("ws")).cast("double") / lit(1000.0d), lit(1.0d))),
+            graft.text.TextFunctions.avgTokenLen(col("ws"))).as("f"))
+          .select(col("doc_id"),
+            graft.ml.Logistic.logit(col("f"), Seq(2.0, 1.5, 0.5, -0.25), -1.0).as("q_logit"))
+          .where(col("q_logit") > lit(-1e18))),
+      // corpus profile: input ×f but the histogram shuffle is keyed by
+      // (lang, DISTINCT token count) — suffixed copies keep the same
+      // length distribution, so shuffle rows stay ~CONSTANT while the
+      // scan grows (the histogram-vs-sort-window design claim)
+      "profile_corpus" -> (() =>
+        graft.text.CorpusProfile.profile(docs(f), "text")))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
