@@ -299,6 +299,17 @@ def hash_sample(df, key_col, stratum_col, thresholds):
         df._jdf, key_col, stratum_col, dict(thresholds)))
 
 
+def mixture_sample(df, key_col, stratum_col, weights):
+    """Downsample strata so the output composition matches target
+    mixture weights (e.g. {"web": 6, "code": 3, "books": 1}): the
+    binding stratum keeps 100%, everything else downsamples to
+    proportion via the deterministic content-hash rule; unlisted strata
+    drop. Runs one strata-sized counting job at call time."""
+    jw = {k: float(v) for k, v in weights.items()}
+    return _wrap(df, _facade(df).mixtureSample(
+        df._jdf, key_col, stratum_col, jw))
+
+
 def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,
            min_distinct_ratio=0.3):
     """Profile -> language/length/degeneracy filter -> canonical-only

@@ -271,3 +271,14 @@ class TestModelAndProfile(object):
         assert (en["n_docs"], en["total_tokens"], en["max_tokens"]) == (5, 15, 5)
         assert (en["p50_tokens"], en["p90_tokens"]) == (3, 5)
         assert got["und"]["n_docs"] == 1
+
+    def test_mixture_sample(self, local_spark):
+        rows = [(f"a{i}", "a") for i in range(100)]
+        rows += [(f"b{i}", "b") for i in range(4000)]
+        df = local_spark.createDataFrame(rows, ["key", "stratum"])
+        got = P.mixture_sample(df, "key", "stratum", {"a": 1, "b": 1})
+        from pyspark.sql import functions as F
+        counts = {r["stratum"]: r["n"] for r in
+                  got.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
+        assert counts["a"] == 100  # binding stratum kept whole
+        assert 60 <= counts["b"] <= 140  # ~100 of 4000 at the derived rate

@@ -533,6 +533,15 @@ object SparkEntry {
         (0 until 19).map(i => s"src$i" -> (if (i % 2 == 0) "8000" else "1999")).toMap)
         .select(col("doc_id"), col("source"))),
 
+    // mixture sampling: target a 3:1:1 source mix — per-stratum keep
+    // thresholds derive from the ACTUAL counts (one strata-sized
+    // aggregate) in a fixed IEEE operation order, so the oracle replays
+    // the derivation bit-for-bit; unlisted sources drop
+    "sample_mixture" -> ((s, dir) =>
+      graft.curation.Sampling.mixtureSample(
+        tbl(s, dir, "documents"), "text", "source", MixtureWeights.toMap)
+        .select(col("doc_id"), col("source"))),
+
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
@@ -899,6 +908,9 @@ object SparkEntry {
     s"""CASE WHEN ${scores.map(_._2).mkString(" + ")} > 0
        |     THEN (CASE $caseChain ELSE 'und' END) ELSE 'und' END""".stripMargin
   }
+
+  // mixture-sampling gate weights, shared by query and oracle
+  private val MixtureWeights = Seq("src0" -> 3.0d, "src1" -> 1.0d, "src2" -> 1.0d)
 
   // frozen quality-model coefficients shared by the text_qscore query
   // and its oracle SQL (both derive from these values, so they cannot
@@ -1347,6 +1359,26 @@ object SparkEntry {
         |WHERE source <> 'src19'
         |  AND substr(md5(text), 1, 4) <
         |    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8000' ELSE '1999' END)""".stripMargin,
+
+    // mixture thresholds replayed from counts with the identical IEEE
+    // operation order as Sampling.mixtureSample: ratio = (c·W)/w,
+    // T* = min(ratio), rate = (T*·w)/(W·c), h = floor(rate·65536);
+    // h >= 65536 (the binding stratum) bypasses the prefix test
+    "sample_mixture" -> {
+      val values = MixtureWeights
+        .map { case (s, w) => s"('$s', CAST($w AS DOUBLE))" }.mkString(", ")
+      val sumW = s"CAST(${MixtureWeights.map(_._2).sum} AS DOUBLE)"
+      s"""WITH w AS (SELECT * FROM (VALUES $values) t(source, w)),
+         |c AS (SELECT source, CAST(count(*) AS DOUBLE) c
+         |      FROM documents JOIN w USING (source) GROUP BY 1),
+         |j AS (SELECT c.source, c.c, w.w, (c.c * $sumW) / w.w ratio
+         |      FROM c JOIN w ON c.source = w.source),
+         |m AS (SELECT min(ratio) tstar FROM j),
+         |h AS (SELECT source, CAST(floor(((m.tstar * j.w) / ($sumW * j.c)) * 65536.0) AS BIGINT) h
+         |      FROM j CROSS JOIN m)
+         |SELECT doc_id, d.source FROM documents d JOIN h ON d.source = h.source
+         |WHERE h.h >= 65536 OR substr(md5(d.text), 1, 4) < printf('%04x', h.h)""".stripMargin
+    },
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),

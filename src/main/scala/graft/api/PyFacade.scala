@@ -222,6 +222,17 @@ object PyFacade {
     graft.curation.Sampling.hashSample(df, keyCol, stratumCol, thresholds.asScala.toMap)
   }
 
+  /** Mixture sampling: downsample strata to target mixture weights
+    * (binding stratum keeps 100%, no upsampling); deterministic
+    * content-hash selection. NOTE: runs one strata-sized counting job
+    * at call time. */
+  def mixtureSample(df: DataFrame, keyCol: String, stratumCol: String,
+      weights: java.util.Map[String, java.lang.Double]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.curation.Sampling.mixtureSample(df, keyCol, stratumCol,
+      weights.asScala.view.mapValues(_.doubleValue).toMap)
+  }
+
   /** Greedy sequence packing: (idCol, n_tokens, bin_id, bin_offset) —
     * docs concatenate in id order, cut every `budget` tokens. NOTE:
     * runs one eager min/max/count stats job at call time. */

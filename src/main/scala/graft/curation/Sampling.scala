@@ -78,4 +78,63 @@ object Sampling {
     }
     df.where(substring(md5(col(keyCol).cast("binary")), 1, 4) < thr)
   }
+
+  /**
+   * Mixture sampling: downsample strata so the OUTPUT composition matches
+   * target weights — "make the training mix 60% web, 30% code, 10%
+   * books" — keeping as much data as possible (the binding stratum, the
+   * one whose target share exceeds its supply the most, keeps 100%; every
+   * other stratum downsamples to proportion). No stratum is ever
+   * UPsampled, rows are kept/dropped by the same content-hash rule as
+   * [[hashSample]] (pure function of row content — reproducible across
+   * runs, engines, and incremental batches), and strata absent from
+   * `weights` are dropped.
+   *
+   * Derivation (all IEEE doubles in a FIXED operation order, so an
+   * external SQL oracle replays the thresholds bit-for-bit):
+   * with `c_s` the stratum's row count, `w_s` its weight, and
+   * `W = Σ w` (key-sorted summation):
+   *   ratio_s = (c_s · W) / w_s        — the total the mix could reach
+   *                                      if s were the binding stratum
+   *   T*      = min_s ratio_s          — the feasible mix total
+   *   rate_s  = (T* · w_s) / (W · c_s) — per-stratum keep rate (= 1 for
+   *                                      the binding stratum)
+   *   keep    = h < floor(rate_s · 65536) over the 16-bit md5(key) prefix
+   * (rate granularity 1/65536, like [[hashSample]]; floor(65536) means
+   * keep-all, bypassing the prefix test).
+   *
+   * Scale shape: ONE map-side-combined count aggregation collects one row
+   * per stratum (strata-sized, never data rows) to derive the thresholds
+   * on the driver; the kept-row filter is then map-only with the
+   * thresholds as literals — zero shuffle of data. NOTE: the counting
+   * aggregation runs EAGERLY at call time (same contract as
+   * `TextFunctions.packSequences`).
+   */
+  def mixtureSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "at least one stratum weight required")
+    require(weights.values.forall(w => w > 0 && !w.isInfinite),
+      s"weights must be positive finite, got ${weights.values.mkString(",")}")
+    val sumW = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val counts = df
+      .where(col(stratumCol).isInCollection(weights.keys.toSeq))
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .toMap
+    if (counts.isEmpty) return df.limit(0)
+    val tStar = counts.toSeq.map { case (s, c) => (c * sumW) / weights(s) }.min
+    val thresholds = counts.map { case (s, c) =>
+      s -> math.floor(((tStar * weights(s)) / (sumW * c)) * 65536.0).toLong
+    }
+    val thr: Column = thresholds.foldLeft(lit(null).cast("long")) {
+      case (acc, (stratum, h)) => when(col(stratumCol) === stratum, lit(h)).otherwise(acc)
+    }
+    // explicit null guard: format_string renders a null arg as the text
+    // "null" instead of propagating, and any hex prefix sorts below it —
+    // without the guard every UNLISTED stratum would be kept
+    df.where(thr.isNotNull && (thr >= lit(65536L) ||
+      substring(md5(col(keyCol).cast("binary")), 1, 4) < format_string("%04x", thr)))
+  }
 }

@@ -351,6 +351,14 @@ object Drive {
       val badQ = prof.where(col("p50_tokens") > col("p90_tokens")
         || col("p90_tokens") > col("max_tokens")).count()
       println(s"rows=${prof.count()} language profiles, quantile inversions=$badQ (expect 0)")
+      // mixture sampling: 3:1:1 target over three sources, rest dropped
+      val mixed = graft.curation.Sampling.mixtureSample(
+        docs, "text", "source", Map("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0))
+      val bySrc = mixed.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"rows=${mixed.count()} mixture-sampled " +
+        s"(src0=${bySrc.getOrElse("src0", 0L)} src1=${bySrc.getOrElse("src1", 0L)} " +
+        s"src2=${bySrc.getOrElse("src2", 0L)}, others dropped=${bySrc.size == 3}) (expect true)")
     }
 
     spark.stop()

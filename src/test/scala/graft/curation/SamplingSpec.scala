@@ -91,4 +91,40 @@ class SamplingSpec extends AnyFlatSpec with Matchers with AdaptiveSparkPlanHelpe
     an[IllegalArgumentException] should be thrownBy
       Sampling.hashSample(df, "key", "stratum", Map("s" -> "ZZZZ"))
   }
+
+  behavior of "Sampling.mixtureSample"
+
+  it should "keep the binding stratum whole and downsample the rest to proportion" in {
+    import spark.implicits._
+    // supply: a=1000, b=4000, c=4000; targets 2:1:1 — a is binding
+    // (its 50% target share is scarcest vs supply), so a keeps 100%
+    // (T* = 2000) and b/c keep 500/4000 = 12.5% each
+    val df = ((1L to 1000L).map(i => (s"ka$i", "a")) ++
+      (1L to 4000L).map(i => (s"kb$i", "b")) ++
+      (1L to 4000L).map(i => (s"kc$i", "c")))
+      .toDF("key", "stratum")
+    val got = Sampling.mixtureSample(df, "key", "stratum",
+      Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0)).cache()
+    got.where(col("stratum") === "a").count() shouldBe 1000L // rate 1: no hash test
+    val nb = got.where(col("stratum") === "b").count().toDouble
+    val nc = got.where(col("stratum") === "c").count().toDouble
+    nb should be(500.0 +- 75.0)
+    nc should be(500.0 +- 75.0)
+    // deterministic re-run selects the same rows
+    val again = Sampling.mixtureSample(df, "key", "stratum",
+      Map("a" -> 2.0, "b" -> 1.0, "c" -> 1.0))
+    again.exceptAll(got).count() shouldBe 0L
+    got.unpersist()
+  }
+
+  it should "drop unlisted strata and handle an all-absent mix" in {
+    import spark.implicits._
+    val df = Seq(("k1", "x"), ("k2", "y")).toDF("key", "stratum")
+    Sampling.mixtureSample(df, "key", "stratum", Map("x" -> 1.0))
+      .select("stratum").distinct().as[String].collect().toSeq shouldBe Seq("x")
+    Sampling.mixtureSample(df, "key", "stratum", Map("absent" -> 1.0))
+      .count() shouldBe 0L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.mixtureSample(df, "key", "stratum", Map("x" -> -1.0))
+  }
 }
