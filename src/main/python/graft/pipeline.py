@@ -239,6 +239,19 @@ def tfidf_top_m(df, id_col="doc_id", text_col="text", m=5):
     return _wrap(df, _facade(df).tfidfTopM(df._jdf, id_col, text_col, int(m)))
 
 
+def bigram_lm_score(df, id_col="doc_id", text_col="text", ref=None,
+                    ref_text_col=None, min_count=1):
+    """CCNet-style bigram-LM quality score: train an add-one bigram LM
+    on `ref` (default: df itself; vocabulary tail below min_count maps
+    to '<unk>'), then score each document's average bigram
+    log-probability -> (id_col, n_bigrams, bi_logp_r6); docs with < 2
+    tokens score 0.0. Low scores flag boilerplate/keyword-stuffing."""
+    ref = df if ref is None else ref
+    ref_text_col = text_col if ref_text_col is None else ref_text_col
+    return _wrap(df, _facade(df).bigramLmScore(
+        df._jdf, id_col, text_col, ref._jdf, ref_text_col, int(min_count)))
+
+
 def repetition_profile(df, id_col="doc_id", text_col="text", top_n=2, dup_n=5):
     """Gopher-family repetition quality filter: (doc, n_tokens,
     top_frac, dup_frac) — coverage of the most frequent top_n-gram and

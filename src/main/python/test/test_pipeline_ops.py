@@ -272,6 +272,16 @@ class TestModelAndProfile(object):
         assert (en["p50_tokens"], en["p90_tokens"]) == (3, 5)
         assert got["und"]["n_docs"] == 1
 
+    def test_bigram_lm_score(self, local_spark):
+        import math
+        # train corpus "a b","a b","a c": P(b|a)=3/7, P(c|a)=2/7 (V=4)
+        df = local_spark.createDataFrame(
+            [(1, "a b"), (2, "a b"), (3, "a c")], ["doc_id", "text"])
+        got = {r["doc_id"]: (r["n_bigrams"], r["bi_logp_r6"])
+               for r in P.bigram_lm_score(df).collect()}
+        assert got[1] == (1, round(math.log(3.0 / 7.0) * 1e6) / 1e6)
+        assert got[3] == (1, round(math.log(2.0 / 7.0) * 1e6) / 1e6)
+
     def test_mixture_sample(self, local_spark):
         rows = [(f"a{i}", "a") for i in range(100)]
         rows += [(f"b{i}", "b") for i in range(4000)]

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import graft.text.TextFunctions
+import graft.text.{NgramLm, TextFunctions}
 import graft.transformer.BroadcastSpatialJoin
 
 /**
@@ -484,6 +484,17 @@ object SparkEntry {
     // the token, so both engines agree rank for rank
     "text_tfidf" -> ((s, dir) =>
       TextFunctions.tfidfTopM(tbl(s, dir, "documents"), "doc_id", "text", m = 5)),
+
+    // bigram-LM quality scoring (CCNet-style perplexity filter): train
+    // an add-one bigram LM on the corpus itself (minCount=2 exercises
+    // the <unk> tail trim), score every document; per-position terms
+    // round to micro-nats and sum as LONGS, so the distributed
+    // aggregation order cannot perturb the hash
+    "text_lm_logp" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      NgramLm.score(docs, "doc_id", "text",
+        NgramLm.train(docs, "text", minCount = 2L))
+    }),
 
     // model-based quality filter: logistic scoring with FIXED literal
     // weights over four exact-arithmetic features (the trained-weights
@@ -1288,6 +1299,38 @@ object SparkEntry {
          |  SELECT doc_id, token, tfidf_r6,
          |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r6 DESC, token) AS BIGINT) rnk
          |  FROM s) WHERE rnk <= 5""".stripMargin,
+
+    // bigram LM replayed end-to-end: vocabulary trim at minCount=2 with
+    // misses mapped to '<unk>', position-ordered mapped arrays, list-
+    // comprehension bigrams (tokens cannot contain spaces, so the
+    // 'w1 w2' string key is unambiguous), Laplace (c12+1)/(c1+V), and
+    // the micro-nat contract: round(ln·1e6) AS BIGINT summed exactly —
+    // both engines round half away from zero at 0 places
+    "text_lm_logp" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |e AS (SELECT doc_id, unnest(ws) w, generate_subscripts(ws, 1) pos FROM t),
+         |uni AS (SELECT w, count(*) c FROM e GROUP BY 1),
+         |voc AS (SELECT w FROM uni WHERE c >= 2),
+         |vs AS (SELECT CAST(count(*) + 1 AS BIGINT) v FROM voc),
+         |mp AS (SELECT e.doc_id, e.pos,
+         |         CASE WHEN voc.w IS NULL THEN '<unk>' ELSE e.w END mw
+         |       FROM e LEFT JOIN voc ON e.w = voc.w),
+         |arr AS (SELECT doc_id, list(mw ORDER BY pos) a FROM mp GROUP BY 1),
+         |bg AS (SELECT doc_id, unnest([a[i] || ' ' || a[i+1] for i in range(1, len(a))]) b FROM arr),
+         |lm2 AS (SELECT b, count(*) c12 FROM bg GROUP BY 1),
+         |ctx AS (SELECT string_split(b, ' ')[1] w1, sum(c12) c1 FROM lm2 GROUP BY 1),
+         |term AS (SELECT g.doc_id,
+         |    CAST(round(ln(CAST(coalesce(l.c12, 0) + 1 AS DOUBLE)
+         |      / CAST(coalesce(x.c1, 0) + vs.v AS DOUBLE)) * 1000000.0, 0) AS BIGINT) tt
+         |  FROM bg g LEFT JOIN lm2 l ON g.b = l.b
+         |  LEFT JOIN ctx x ON string_split(g.b, ' ')[1] = x.w1
+         |  CROSS JOIN vs),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb, sum(tt) s FROM term GROUP BY 1),
+         |av AS (SELECT doc_id, nb, CASE WHEN s >= 0 THEN (s * 2 + nb) // (nb * 2)
+         |         ELSE -(((-s) * 2 + nb) // (nb * 2)) END m FROM sc)
+         |SELECT d.doc_id, coalesce(nb, 0) n_bigrams,
+         |       coalesce(CAST(m AS DOUBLE) / 1000000.0, 0.0) bi_logp_r6
+         |FROM documents d LEFT JOIN av ON d.doc_id = av.doc_id""".stripMargin,
 
     // logit chain generated from the SAME QscoreWeights as the query
     // (left-associated `bias + w1*f1 + w2*f2 + ...` — SQL `+` is

@@ -164,6 +164,15 @@ object PyFacade {
   def tfidfTopM(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame =
     TextFunctions.tfidfTopM(df, idCol, textCol, m)
 
+  /** Bigram-LM quality score (CCNet-style perplexity filter): train an
+    * add-one bigram LM on `ref` (vocabulary tail below `minCount` maps
+    * to `<unk>`), score every `df` document —
+    * (idCol, n_bigrams, bi_logp_r6). */
+  def bigramLmScore(df: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, minCount: Long): DataFrame =
+    graft.text.NgramLm.score(df, idCol, textCol,
+      graft.text.NgramLm.train(ref, refTextCol, minCount))
+
   /** Repetition profile (Gopher-family quality filter):
     * (doc, n_tokens, top_frac, dup_frac). */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String,

@@ -359,6 +359,14 @@ object Drive {
       println(s"rows=${mixed.count()} mixture-sampled " +
         s"(src0=${bySrc.getOrElse("src0", 0L)} src1=${bySrc.getOrElse("src1", 0L)} " +
         s"src2=${bySrc.getOrElse("src2", 0L)}, others dropped=${bySrc.size == 3}) (expect true)")
+      // bigram-LM scoring: self-trained corpus model; every doc scored,
+      // scores are negative log-probs (0.0 only for < 2-token docs)
+      val lmScores = graft.text.NgramLm.score(docs, "doc_id", "text",
+        graft.text.NgramLm.train(docs, "text", minCount = 2L)).cache()
+      val badLm = lmScores.where(col("n_bigrams") >= 1 && col("bi_logp_r6") >= 0.0).count()
+      println(s"rows=${lmScores.count()} LM-scored docs (expect 500), " +
+        s"nonneg logp on scoreable docs=$badLm (expect 0)")
+      lmScores.unpersist()
     }
 
     spark.stop()
