@@ -803,6 +803,24 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey")
     }),
 
+    // interval×interval overlap join: customer balance bands [b-200,
+    // b+200] against supplier bands [b-300, b+300] — overlap iff the
+    // balances sit within 500 of each other; bucket PBSM with the
+    // first-shared-bucket dedup rule, never a cartesian
+    "j_range_overlap" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast("double") - 200.0).as("alo"),
+          (col("c_acctbal").cast("double") + 200.0).as("ahi"))
+      val supp = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") - 300.0).as("blo"),
+          (col("s_acctbal").cast("double") + 300.0).as("bhi"))
+      graft.join.RangeJoin.overlapJoin(cust, supp,
+        col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = 400.0)
+        .select("c_custkey", "s_suppkey")
+    }),
+
     // the same band join with the width DERIVED from interval statistics
     // (autoWidth: one slim agg pass) instead of hand-picked — the way a
     // real caller uses the operator when spans are not known a priori
@@ -1501,6 +1519,15 @@ object SparkEntry {
         |FROM customer c JOIN supplier s
         |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 500.0
         | AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 500.0""".stripMargin,
+
+    // interval×interval overlap replayed as the raw inequality pair;
+    // the bound arithmetic (b±200 / b±300) is the same IEEE double ops
+    // in both engines, so the comparison is bit-exact
+    "j_range_overlap" ->
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c JOIN supplier s
+        |  ON CAST(c.c_acctbal AS DOUBLE) - 200.0 <= CAST(s.s_acctbal AS DOUBLE) + 300.0
+        | AND CAST(s.s_acctbal AS DOUBLE) - 300.0 <= CAST(c.c_acctbal AS DOUBLE) + 200.0""".stripMargin,
 
     // bucketing never changes the result set, so the derived-width row
     // shares the literal-width oracle

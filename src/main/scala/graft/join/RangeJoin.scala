@@ -108,4 +108,75 @@ object RangeJoin {
       .drop(v, lo, hi)
     narrow.unionByName(wide)
   }
+
+  /**
+   * Interval × interval OVERLAP join: every (left row, right row) pair
+   * whose closed intervals intersect — `aLo <= bHi AND bLo <= aHi`
+   * (touching endpoints match, SQL OVERLAPS-with-inclusive-ends
+   * semantics). The third member of the temporal-join family
+   * ([[AsOfJoin]] = latest-at-or-before, [[pointInInterval]] = point
+   * containment): meeting/interval intersection, reservation conflicts,
+   * time-range co-occurrence.
+   *
+   * Algorithm — the same bucket PBSM, both sides exploding to the
+   * buckets they overlap and equi-joining on the bucket id. A candidate
+   * pair shares every bucket its intersection covers, so the classic
+   * PBSM dedup rule keeps exactly one copy WITHOUT a distinct pass: the
+   * pair is counted only in the FIRST shared bucket,
+   * `b == greatest(floor(aLo/w), floor(bLo/w))` — a map-side filter on
+   * columns already present in the joined row.
+   *
+   * Fan-out bound, per side: intervals spanning more than
+   * `maxBucketsPerInterval` buckets skip the explode and meet the OTHER
+   * side through a broadcast side-channel with the exact overlap
+   * condition. The three channels partition the pair space exactly
+   * (narrow×narrow bucketed; wide-left × ALL right; narrow-left ×
+   * wide-right), so no pair is lost or doubled. Wide sets are small by
+   * construction (each member covers > cap·width of the domain) and
+   * empty wide relations collapse under AQE before costing anything.
+   *
+   * @param left,right  interval-carrying sides; rows with null/inverted
+   *                    bounds drop (inner semantics)
+   * @param leftLo,leftHi,rightLo,rightHi bound columns/expressions
+   * @param bucketWidth fixed bucket width (> 0); [[autoWidth]] on the
+   *                    union of both sides' spans is the derived choice
+   * @return left.* ++ right.* — column names must be disjoint
+   */
+  def overlapJoin(
+      left: DataFrame, right: DataFrame,
+      leftLo: Column, leftHi: Column, rightLo: Column, rightHi: Column,
+      bucketWidth: Double,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    require(maxBucketsPerInterval >= 1,
+      s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    val dup = left.columns.toSet.intersect(right.columns.toSet)
+    require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
+
+    val aLo = "__oj_alo"; val aHi = "__oj_ahi"; val bLo = "__oj_blo"; val bHi = "__oj_bhi"
+    val b = "__oj_b"
+    val (l0, r0) = JoinLayout.balance(left, right)
+    val a = l0.withColumn(aLo, leftLo).withColumn(aHi, leftHi)
+      .where(col(aLo).isNotNull && col(aHi).isNotNull && col(aLo) <= col(aHi))
+    val bb = r0.withColumn(bLo, rightLo).withColumn(bHi, rightHi)
+      .where(col(bLo).isNotNull && col(bHi).isNotNull && col(bLo) <= col(bHi))
+    def bkt(c: String): Column = floor(col(c).cast("double") / bucketWidth).cast("long")
+    val overlapExact = col(aLo) <= col(bHi) && col(bLo) <= col(aHi)
+
+    val aSpan = bkt(aHi) - bkt(aLo)
+    val bSpan = bkt(bHi) - bkt(bLo)
+    val aNarrow = a.where(aSpan < maxBucketsPerInterval)
+    val bNarrow = bb.where(bSpan < maxBucketsPerInterval)
+    // narrow × narrow: bucketed, dedup by the first-shared-bucket rule
+    val bucketed = aNarrow.withColumn(b, explode(sequence(bkt(aLo), bkt(aHi))))
+      .join(bNarrow.withColumn(b, explode(sequence(bkt(bLo), bkt(bHi)))), b)
+      .where(overlapExact && col(b) === greatest(bkt(aLo), bkt(bLo)))
+      .drop(b)
+    // wide-left meets EVERYTHING right; wide-right meets only narrow-left
+    val wideA = bb.join(broadcast(a.where(aSpan >= maxBucketsPerInterval)), overlapExact)
+    val wideB = aNarrow.join(broadcast(bb.where(bSpan >= maxBucketsPerInterval)), overlapExact)
+    bucketed.unionByName(wideA.select(bucketed.columns.map(col).toIndexedSeq: _*))
+      .unionByName(wideB.select(bucketed.columns.map(col).toIndexedSeq: _*))
+      .drop(aLo, aHi, bLo, bHi)
+  }
 }

@@ -231,6 +231,17 @@ object Drive {
       val bruteR = pts.crossJoin(ivs).where(col("v") >= col("lo") && col("v") <= col("hi"))
         .select("c_custkey", "s_suppkey").collect().map(_.mkString("|")).toSet
       println(s"rows=${rj.size} range matches (autoWidth=$w), equals brute force: ${rj == bruteR} (expect true)")
+      // interval×interval overlap on the same data: customer ±1.0 bands
+      // against supplier ±1.5 bands, vs brute force
+      val cIv = customers.select(col("c_custkey"),
+        (col("lon") - 1.0).as("alo"), (col("lon") + 1.0).as("ahi"))
+      val oj = graft.join.RangeJoin.overlapJoin(cIv, ivs.withColumnsRenamed(
+          Map("lo" -> "blo", "hi" -> "bhi")),
+        col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = 2.0)
+        .select("c_custkey", "s_suppkey").collect().map(_.mkString("|")).toSet
+      val bruteO = cIv.crossJoin(ivs).where(col("alo") <= col("hi") && col("lo") <= col("ahi"))
+        .select("c_custkey", "s_suppkey").collect().map(_.mkString("|")).toSet
+      println(s"rows=${oj.size} overlap matches, equals brute force: ${oj == bruteO} (expect true)")
     }
 
     println("=== 20. containment dedup + corpus vocabulary (round-5) ===")

@@ -116,4 +116,87 @@ class RangeJoinSpec extends AnyFlatSpec with Matchers {
     out.count()
     finalPlan(out).toString should not include "BroadcastNestedLoopJoin"
   }
+
+  behavior of "RangeJoin.overlapJoin"
+
+  it should "match intervals that intersect, touching endpoints included" in {
+    val a = Seq((1, 0.0, 5.0), (2, 10.0, 12.0), (3, 20.0, 19.0)).toDF("aid", "alo", "ahi")
+    val b = Seq(("x", 5.0, 8.0), ("y", 6.0, 9.9), ("z", -3.0, 0.0)).toDF("bid", "blo", "bhi")
+    val got = RangeJoin.overlapJoin(a, b,
+      col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = 4.0)
+      .select("aid", "bid").collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    // 3 is inverted => dropped; [0,5] touches [5,8] and [-3,0]
+    got shouldBe Set((1, "x"), (1, "z"))
+  }
+
+  it should "match the brute-force overlap join exactly once per pair on random data" in {
+    val rnd = new scala.util.Random(23)
+    def ivs(n: Int, seed: Int) = Seq.tabulate(n) { i =>
+      val lo = rnd.nextDouble() * 200 - 100
+      (i, lo, lo + rnd.nextDouble() * 15)
+    }
+    val a = ivs(300, 1).toDF("aid", "alo", "ahi")
+    val b = ivs(200, 2).toDF("bid", "blo", "bhi")
+    val brute = a.crossJoin(b)
+      .where(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val got = RangeJoin.overlapJoin(a, b,
+      col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = 7.0)
+      .select("aid", "bid").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    // multiset equality: no pair lost, none double-counted by the
+    // shared-bucket dedup rule
+    got.sorted shouldBe brute.sorted
+    got.size should be > 100
+  }
+
+  it should "plan the overlap join as a bucket equi-join, never a cartesian (plan audit)" in {
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val a = Seq.tabulate(100)(i => (i, i * 1.0, i * 1.0 + 2.0)).toDF("aid", "alo", "ahi")
+      val b = Seq.tabulate(80)(i => (i, i * 1.5, i * 1.5 + 1.0)).toDF("bid", "blo", "bhi")
+      val out = RangeJoin.overlapJoin(a, b,
+        col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = 2.0)
+      out.count()
+      val plan = out.queryExecution.executedPlan.toString
+      withClue(plan) {
+        (plan should not).include("CartesianProduct")
+        (plan should not).include("BroadcastNestedLoopJoin")
+        plan.linesIterator.count(_.contains("Exchange hashpartitioning")) shouldBe 2
+      }
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  it should "bound the fan-out of domain-spanning intervals on either side" in {
+    // one sentinel on EACH side spanning ~2e9 half-width buckets; both
+    // must route through the broadcast channels, and the pair space
+    // still partitions exactly (wide-left meets all right, wide-right
+    // meets narrow-left only => the wide-wide pair appears once)
+    val a = (Seq.tabulate(60)(i => (i, i * 3.0, i * 3.0 + 2.0)) :+
+      ((888, -1e8, 1e9))).toDF("aid", "alo", "ahi")
+    val b = (Seq.tabulate(40)(i => (i, i * 4.0, i * 4.0 + 2.0)) :+
+      ((999, -1e8, 1e9))).toDF("bid", "blo", "bhi")
+    val out = RangeJoin.overlapJoin(a, b,
+      col("alo"), col("ahi"), col("blo"), col("bhi"),
+      bucketWidth = 0.5, maxBucketsPerInterval = 1000)
+    val got = out.select("aid", "bid").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    val brute = a.crossJoin(b)
+      .where(col("alo") <= col("bhi") && col("blo") <= col("ahi"))
+      .select("aid", "bid").collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+    got.sorted shouldBe brute.sorted
+    got.count(_ == ((888, 999))) shouldBe 1 // wide-wide exactly once
+    val generated = finalPlan(out).collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g.metrics("numOutputRows").value
+    }.sum
+    withClue(s"explode output rows = $generated: ") {
+      generated should be <= 700L // narrow intervals only, ~5 buckets each
+    }
+  }
 }
