@@ -239,6 +239,17 @@ def tfidf_top_m(df, id_col="doc_id", text_col="text", m=5):
     return _wrap(df, _facade(df).tfidfTopM(df._jdf, id_col, text_col, int(m)))
 
 
+def bm25_top_k(queries, corpus, q_id_col="qid", q_text_col="qtext",
+               id_col="doc_id", text_col="text", k=10, k1=1.2, b=0.75):
+    """BM25 top-k lexical retrieval: score `corpus` documents against
+    each query (Okapi BM25, Lucene non-negative idf, distinct query
+    terms) -> (q_id_col, id_col, bm25_r6, rnk), k best docs per query,
+    rank ordered by (score desc, id asc)."""
+    return _wrap(corpus, _facade(corpus).bm25TopK(
+        queries._jdf, corpus._jdf, q_id_col, q_text_col, id_col, text_col,
+        int(k), float(k1), float(b)))
+
+
 def bigram_lm_score(df, id_col="doc_id", text_col="text", ref=None,
                     ref_text_col=None, min_count=1):
     """CCNet-style bigram-LM quality score: train an add-one bigram LM

@@ -282,6 +282,16 @@ class TestModelAndProfile(object):
         assert got[1] == (1, round(math.log(3.0 / 7.0) * 1e6) / 1e6)
         assert got[3] == (1, round(math.log(2.0 / 7.0) * 1e6) / 1e6)
 
+    def test_bm25_top_k(self, local_spark):
+        corpus = local_spark.createDataFrame(
+            [(1, "x x y"), (2, "x z"), (3, "y z z")], ["doc_id", "text"])
+        queries = local_spark.createDataFrame(
+            [(10, "x y x"), (20, "z")], ["qid", "qtext"])
+        got = [(r["qid"], r["doc_id"], r["rnk"])
+               for r in P.bm25_top_k(queries, corpus, k=2).collect()]
+        # q1 {x,y}: d1 holds both terms -> rank 1; q2 {z}: d3 has tf=2
+        assert sorted(got) == [(10, 1, 1), (10, 2, 2), (20, 2, 2), (20, 3, 1)]
+
     def test_mixture_sample(self, local_spark):
         rows = [(f"a{i}", "a") for i in range(100)]
         rows += [(f"b{i}", "b") for i in range(4000)]

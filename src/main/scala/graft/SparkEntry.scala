@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import graft.text.{NgramLm, TextFunctions}
+import graft.text.{Bm25, NgramLm, TextFunctions}
 import graft.transformer.BroadcastSpatialJoin
 
 /**
@@ -484,6 +484,19 @@ object SparkEntry {
     // the token, so both engines agree rank for rank
     "text_tfidf" -> ((s, dir) =>
       TextFunctions.tfidfTopM(tbl(s, dir, "documents"), "doc_id", "text", m = 5)),
+
+    // BM25 top-10 retrieval: every 100th document's first 8 tokens act
+    // as the query set against the full corpus — the sparse twin of the
+    // simsearch family; integer micro-unit scores make the distributed
+    // sum and the rank order engine-exact (the synthetic 31-token
+    // vocabulary produces mass ties, exactly the boundary worth gating)
+    "text_bm25" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val queries = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)).as("qtext"))
+      Bm25.topK(queries, docs, "qid", "qtext", "doc_id", "text", k = 10)
+    }),
 
     // bigram-LM quality scoring (CCNet-style perplexity filter): train
     // an add-one bigram LM on the corpus itself (minCount=2 exercises
@@ -1317,6 +1330,37 @@ object SparkEntry {
          |  SELECT doc_id, token, tfidf_r6,
          |         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r6 DESC, token) AS BIGINT) rnk
          |  FROM s) WHERE rnk <= 5""".stripMargin,
+
+    // BM25 replayed end-to-end on the micro-unit contract: one double
+    // expression per (query-term, doc) rounded to an integer, integer
+    // sums, integer rank comparison — ln's sub-ulp engine variation is
+    // absorbed by the micro-unit rounding exactly as in text_lm_logp
+    "text_bm25" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) token FROM t),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) n,
+         |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) avgdl FROM dl),
+         |qt AS (SELECT DISTINCT doc_id qid, unnest(ws[1:8]) token FROM t
+         |       WHERE doc_id % 100 = 0),
+         |term AS (SELECT qt.qid, tf.doc_id,
+         |    CAST(round(ln(1.0 + (CAST(st.n - dfq.df AS DOUBLE) + 0.5)
+         |                    / (CAST(dfq.df AS DOUBLE) + 0.5))
+         |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf.tf AS DOUBLE)
+         |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+         |      * 1000000.0, 0) AS BIGINT) u
+         |  FROM qt JOIN tf ON qt.token = tf.token
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfq ON tf.token = dfq.token
+         |  CROSS JOIN st),
+         |s AS (SELECT qid, doc_id, CAST(sum(u) AS BIGINT) su FROM term GROUP BY 1, 2)
+         |SELECT qid, doc_id, bm25_r6, rnk FROM (
+         |  SELECT qid, doc_id, CAST(su AS DOUBLE) / 1000000.0 bm25_r6,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY su DESC, doc_id) AS BIGINT) rnk
+         |  FROM s) WHERE rnk <= 10""".stripMargin,
 
     // bigram LM replayed end-to-end: vocabulary trim at minCount=2 with
     // misses mapped to '<unk>', position-ordered mapped arrays, list-

@@ -164,6 +164,13 @@ object PyFacade {
   def tfidfTopM(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame =
     TextFunctions.tfidfTopM(df, idCol, textCol, m)
 
+  /** BM25 top-k retrieval of corpus docs per query:
+    * (qIdCol, idCol, bm25_r6, rnk). */
+  def bm25TopK(queries: DataFrame, corpus: DataFrame,
+      qIdCol: String, qTextCol: String, idCol: String, textCol: String,
+      k: Int, k1: Double, b: Double): DataFrame =
+    graft.text.Bm25.topK(queries, corpus, qIdCol, qTextCol, idCol, textCol, k, k1, b)
+
   /** Bigram-LM quality score (CCNet-style perplexity filter): train an
     * add-one bigram LM on `ref` (vocabulary tail below `minCount` maps
     * to `<unk>`), score every `df` document —

@@ -378,6 +378,22 @@ object Drive {
       println(s"rows=${lmScores.count()} LM-scored docs (expect 500), " +
         s"nonneg logp on scoreable docs=$badLm (expect 0)")
       lmScores.unpersist()
+      // BM25 retrieval (query-by-example over a 31-token vocabulary:
+      // prefixes are NOT discriminative, so rank-1 self-retrieval is not
+      // an invariant here — the structural contract is: k hits per
+      // query, contiguous ranks, scores non-increasing in rank)
+      val bmQueries = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("qid"), concat_ws(" ",
+          slice(graft.text.TextFunctions.tokens(col("text")), 1, 8)).as("qtext"))
+      val bm = graft.text.Bm25.topK(
+        bmQueries, docs, "qid", "qtext", "doc_id", "text", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+      val byQ = bm.groupBy(_._1).values
+      val ranksOk = byQ.forall(_.map(_._4).sorted.sameElements(1L to 5L))
+      val monoOk = byQ.forall { h =>
+        val s = h.sortBy(_._4).map(_._3); s.zip(s.tail).forall { case (a, c) => a >= c } }
+      println(s"rows=${bm.length} BM25 hits for ${bmQueries.count()} queries, " +
+        s"ranks contiguous=$ranksOk scores monotone=$monoOk (expect true true)")
     }
 
     spark.stop()
