@@ -47,6 +47,18 @@ def substring_pairs(df, id_col="doc_id", text_col="text", min_span=50,
         df._jdf, id_col, text_col, int(min_span), int(k), int(max_doc_freq)))
 
 
+def winnowed_substring_pairs(df, id_col="doc_id", text_col="text",
+                             min_span_lb=50, k=40, w=8, max_doc_freq=0):
+    """Winnowed exact-substring dedup: like :func:`substring_pairs` but
+    the inverted index keeps only winnowing-selected fingerprints
+    (~2/(w+1) density) — the 100 TB shape. Detection is guaranteed for
+    shared spans of at least ``w+k-1`` tokens; ``span_lb`` is a lower
+    bound on the true span, tight to ``2*(w-1)`` tokens."""
+    return _wrap(df, _facade(df).winnowedSubstringPairs(
+        df._jdf, id_col, text_col, int(min_span_lb), int(k), int(w),
+        int(max_doc_freq)))
+
+
 def minhash_pairs(df, id_col="doc_id", text_col="text", tau=0.8, n=3,
                   num_hashes=32, band_rows=2):
     """MinHash+LSH candidates with exact Jaccard verification — the

@@ -138,6 +138,17 @@ class TestStreamingUnified(object):
                P.substring_pairs(df, min_span=20, k=8).collect()]
         assert got == [(1, 2, 30)]
 
+    def test_winnowed_substring_pairs(self, local_spark):
+        quote = " ".join(f"q{i}" for i in range(30))
+        host = " ".join(f"h{i}" for i in range(120)) + " " + quote
+        df = local_spark.createDataFrame(
+            [(1, quote), (2, host)], ["doc_id", "text"])
+        got = [(r["doc_i"], r["doc_j"], r["span_lb"]) for r in
+               P.winnowed_substring_pairs(df, min_span_lb=18, k=8, w=4).collect()]
+        # span_lb lower-bounds the true 30, tight to 2*(w-1) = 6
+        assert len(got) == 1 and got[0][:2] == (1, 2)
+        assert 24 <= got[0][2] <= 30
+
     def test_pack_sequences(self, local_spark):
         df = local_spark.createDataFrame(
             [(1, "a b c"), (2, "d e"), (3, "f g h i")], ["doc_id", "text"])

@@ -359,6 +359,14 @@ object SparkEntry {
       Dedup.substringPairs(tbl(s, dir, "documents"), "doc_id", "text",
         minSpan = 20, k = 8)),
 
+    // winnowed substring dedup: the same span detection through the
+    // 2/(w+1)-density winnowing fingerprint index (k=8, w=4 — fingerprint
+    // rows shrink ~2.5x); span_lb is a lower bound tight to 2(w-1)=6
+    // tokens, so minSpanLb=14 keeps every true span >= 20 detectable
+    "dedup_winnow" -> ((s, dir) =>
+      Dedup.winnowedSubstringPairs(tbl(s, dir, "documents"), "doc_id", "text",
+        minSpanLb = 14, k = 8, w = 4)),
+
     // cross-corpus incremental dedup: odd docs play the incoming crawl
     // snapshot, even docs the already-ingested corpus; near-dups of new
     // against old only (no old×old candidate work). Full oracle: the
@@ -1142,6 +1150,34 @@ object SparkEntry {
          |sp AS (SELECT doc_i, doc_j, max(pi) - min(pi) + 8 span FROM g GROUP BY doc_i, doc_j, diff, isl)
          |SELECT doc_i, doc_j, CAST(max(span) AS BIGINT) span_len
          |FROM sp GROUP BY 1, 2 HAVING max(span) >= 20""".stripMargin,
+
+    // winnowing replayed in SQL: per doc, windows of w=4 consecutive
+    // digest positions (one window covering all when fewer than 4),
+    // rank-1 per window by (h ASC, pos DESC) — lowercase-hex md5 order
+    // IS unsigned binary digest order, so both engines select the same
+    // fingerprints; islands break on position gap > 4, span = max-min+8
+    "dedup_winnow" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |sh AS (SELECT doc_id, [struct_pack(pos := i, h := md5(array_to_string(ws[i:i+7], ' '))) for i in range(1, len(ws)-6)] l FROM t WHERE len(ws) >= 8),
+         |r AS (SELECT doc_id, s.pos pos, s.h h FROM (SELECT doc_id, unnest(l) s FROM sh)),
+         |mc AS (SELECT doc_id, count(*) m FROM r GROUP BY 1),
+         |wi AS (SELECT doc_id, unnest(range(1, greatest(m - 3, 1) + 1)) i FROM mc),
+         |sel AS (SELECT DISTINCT doc_id, pos, h FROM (
+         |    SELECT wi.doc_id, wi.i, r.pos, r.h,
+         |           row_number() OVER (PARTITION BY wi.doc_id, wi.i ORDER BY r.h ASC, r.pos DESC) rn
+         |    FROM wi JOIN r ON r.doc_id = wi.doc_id AND r.pos BETWEEN wi.i AND wi.i + 3)
+         |  WHERE rn = 1),
+         |p AS (SELECT a.doc_id doc_i, b.doc_id doc_j, a.pos pi, a.pos - b.pos diff
+         |      FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |lg AS (SELECT doc_i, doc_j, diff, pi,
+         |         lag(pi) OVER (PARTITION BY doc_i, doc_j, diff ORDER BY pi) lpi FROM p),
+         |g AS (SELECT doc_i, doc_j, diff, pi,
+         |        sum(CASE WHEN pi - lpi > 4 THEN 1 ELSE 0 END)
+         |          OVER (PARTITION BY doc_i, doc_j, diff ORDER BY pi ROWS UNBOUNDED PRECEDING) isl
+         |      FROM lg),
+         |sp AS (SELECT doc_i, doc_j, max(pi) - min(pi) + 8 span FROM g GROUP BY doc_i, doc_j, diff, isl)
+         |SELECT doc_i, doc_j, CAST(max(span) AS BIGINT) span_lb
+         |FROM sp GROUP BY 1, 2 HAVING max(span) >= 14""".stripMargin,
 
     // contaminated contents = corpus docs with any window digest in the
     // benchmark digest set, collapsed to distinct md5(text)

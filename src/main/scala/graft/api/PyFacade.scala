@@ -54,6 +54,14 @@ object PyFacade {
     Dedup.substringPairs(df, idCol, textCol, minSpan, k,
       if (maxDocFreq <= 0) None else Some(maxDocFreq))
 
+  /** Winnowed substring dedup: (doc_i, doc_j, span_lb), detection
+    * guaranteed for spans >= w+k-1, span_lb tight to 2(w-1);
+    * maxDocFreq <= 0 disables the boilerplate-run cap. */
+  def winnowedSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      minSpanLb: Int, k: Int, w: Int, maxDocFreq: Int): DataFrame =
+    Dedup.winnowedSubstringPairs(df, idCol, textCol, minSpanLb, k, w,
+      if (maxDocFreq <= 0) None else Some(maxDocFreq))
+
   /** useMd5 = true picks the oracle-replayable md5 fingerprint hasher. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int, useMd5: Boolean): DataFrame =

@@ -226,6 +226,72 @@ object Dedup {
   }
 
   /**
+   * Winnowed exact-substring dedup — [[substringPairs]] with the
+   * inverted index shrunk ~(w+1)/2 x by winnowing fingerprint selection
+   * (Schleimer et al., SIGMOD 2003; [[graft.functions.WinnowDigests]]):
+   * instead of indexing EVERY k-token run digest, each document keeps
+   * only the minimum digest of every `w` consecutive digest positions.
+   * At 100 TB this is the substring-dedup shape to prefer: the
+   * per-document index rows — and therefore the one digest-keyed
+   * shuffle THE self-join pays — shrink by the winnow factor before
+   * leaving the scan, at the price of span resolution, not recall:
+   *
+   *  - DETECTION IS GUARANTEED for any shared verbatim span of at least
+   *    w+k-1 tokens (such a span contains a full digest window; both
+   *    docs select the same digest at the same span-relative position);
+   *  - `span_lb` is a LOWER bound on the true longest shared span,
+   *    tight to within 2(w-1) tokens (the first/last selected
+   *    fingerprint can sit up to w-1 positions inside the span edge);
+   *    set `minSpanLb` accordingly — a caller that must not miss true
+   *    spans >= S should pass minSpanLb = S - 2(w-1).
+   *
+   * Matched fingerprints inside one shared span sit at most w positions
+   * apart (the winnow density guarantee), so islands split where the
+   * position gap exceeds w; splitting a span at a boundary effect can
+   * only LOWER span_lb — the lower-bound contract survives.
+   * w = 1 degenerates to every position selected — [[substringPairs]]
+   * exactly.
+   */
+  def winnowedSubstringPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      minSpanLb: Int, k: Int = 40, w: Int = 8,
+      maxDocFreq: Option[Int] = None): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    require(w >= 1, s"winnow window w must be >= 1, got $w")
+    require(minSpanLb >= k, s"minSpanLb ($minSpanLb) must be >= k ($k)")
+    import org.apache.spark.sql.expressions.Window
+    val idx0 = df.select(col(idCol).as("doc"), col(textCol).as("txt"))
+      .repartition(col("doc"))
+      .select(col("doc"),
+        explode(graft.functions.WinnowDigests.winnowDigests(col("txt"), k, w)).as("s"))
+      .select(col("doc"), col("s.p").as("p"), col("s.h").as("h"))
+    val idx = maxDocFreq.fold(idx0) { cap =>
+      val hot = idx0.groupBy("h").agg(count(lit(1)).as("df")).where(col("df") > cap).select("h")
+      idx0.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+    val pairs = idx.as("a").hint("shuffle_hash")
+      .join(idx.as("b").hint("shuffle_hash"),
+        col("a.h") === col("b.h") && col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"),
+        col("a.p").as("pi"), (col("a.p") - col("b.p")).as("diff"))
+    // selected positions are SPARSE: islands break on gap > w (not on
+    // non-consecutive positions); same bounded-partition argument as
+    // substringPairs — window rows per (pair, diff) <= the smaller
+    // doc's fingerprint count
+    val win = Window.partitionBy(col("doc_i"), col("doc_j"), col("diff")).orderBy(col("pi"))
+    pairs
+      .withColumn("gap",
+        // first row per partition: lag is null, null > w is null -> 0
+        when(col("pi") - lag(col("pi"), 1).over(win) > w, 1).otherwise(0))
+      .withColumn("isl", sum(col("gap")).over(win.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("doc_i"), col("doc_j"), col("diff"), col("isl"))
+      .agg((max(col("pi")) - min(col("pi")) + k).as("span"))
+      .groupBy(col("doc_i"), col("doc_j"))
+      .agg(max(col("span")).cast("long").as("span_lb"))
+      .where(col("span_lb") >= minSpanLb)
+  }
+
+  /**
    * Benchmark decontamination: which corpus documents contain a VERBATIM
    * k-token run that also appears in a benchmark/eval corpus — the
    * train/test-overlap scrub every LLM training pipeline runs before

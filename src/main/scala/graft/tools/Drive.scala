@@ -274,6 +274,14 @@ object Drive {
       println(s"rows=${sp.size} substring pairs, span exact: ${sp == Seq("1|2|40")} (expect true)")
       val jac = graft.dedup.Dedup.jaccardPairs(sdf, "doc_id", "text", 0.3).count()
       println(s"rows=$jac jaccard pairs at tau=0.3 on the same docs (expect 0)")
+      // winnowed variant: same pair through the 2/(w+1)-density
+      // fingerprint index; span_lb in [40 - 2(w-1), 40] = [34, 40]
+      val wn = graft.dedup.Dedup.winnowedSubstringPairs(
+        sdf, "doc_id", "text", minSpanLb = 20, k = 8, w = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      val lbOk = wn.size == 1 && wn.head._1 == 1L && wn.head._2 == 2L &&
+        wn.head._3 >= 34L && wn.head._3 <= 40L
+      println(s"rows=${wn.size} winnowed pairs, span_lb in [34,40]: $lbOk (expect true)")
     }
 
     println("=== 22. tf-idf / redaction / chunking / packing (round-6) ===")
