@@ -392,3 +392,15 @@ def event_sessions(events, ts_col="ts", key_col="user_id",
     """Gap-based session windows (batch/stream unified)."""
     return _wrap(events, _facade(events).eventSessions(
         events._jdf, ts_col, key_col, value_col, gap, watermark))
+
+
+def interval_join(left, right, key_col, left_ts_col, right_ts_col,
+                  upper, lower="0 seconds", watermark="1 hour"):
+    """Event-time interval join (batch/stream unified): pair left events
+    with same-key right events whose timestamp lies in
+    [left_ts + lower, left_ts + upper]. On streams both sides are
+    watermarked and the two-sided bound keeps join state evictable.
+    Frames must not share non-key column names."""
+    return _wrap(left, _facade(left).intervalJoin(
+        left._jdf, right._jdf, key_col, left_ts_col, right_ts_col,
+        upper, lower, watermark))

@@ -205,6 +205,19 @@ class TestStreamingUnified(object):
         got = sorted(r["doc_id"] for r in P.first_per_content(stamped).collect())
         assert got == [0, 1, 2, 4]  # doc 3 is a byte-duplicate of 0
 
+    def test_interval_join(self, local_spark):
+        clicks = local_spark.createDataFrame(
+            [(1, "u1", "2024-01-01 10:00:00"), (2, "u2", "2024-01-01 10:00:00")],
+            ["click_id", "user_id", "t"]).selectExpr(
+                "click_id", "user_id", "timestamp(t) as ts")
+        buys = local_spark.createDataFrame(
+            [(101, "u1", "2024-01-01 10:20:00"), (102, "u2", "2024-01-01 11:20:00")],
+            ["buy_id", "user_id", "bt"]).selectExpr(
+                "buy_id", "user_id", "timestamp(bt) as b_ts")
+        got = {(r["click_id"], r["buy_id"]) for r in P.interval_join(
+            clicks, buys, "user_id", "ts", "b_ts", upper="30 minutes").collect()}
+        assert got == {(1, 101)}  # buy 102 is 80 minutes out
+
     def test_minhash_pairs_across(self, local_spark):
         base = " ".join(f"w{i}" for i in range(50))
         new = local_spark.createDataFrame(

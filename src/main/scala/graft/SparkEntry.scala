@@ -267,6 +267,32 @@ object SparkEntry {
       out
     }),
 
+    // stream-stream event-time interval join: both sides STREAM the
+    // events table and pair each event with the same user's events in
+    // the following 30 minutes (self-pairs dropped) — the watermarked
+    // two-sided-bound state-evicting join, drained through a memory
+    // sink; the batch replay is a plain key equi-join + range filter
+    "j_stream_interval" -> ((s, dir) => {
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def evStream = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+      val left = evStream.select(col("event_id").as("l_event"), col("user_id"), col("ts"))
+      val right = evStream.select(col("event_id").as("r_event"),
+        col("user_id"), col("ts").as("r_ts"))
+      val joined = graft.streaming.EventWindows.intervalJoin(
+        left, right, "user_id", "ts", "r_ts", upper = "30 minutes")
+        .where(col("l_event") =!= col("r_event"))
+        .select(col("l_event"), col("r_event"), col("user_id"),
+          unix_micros(col("r_ts")).as("r_us"))
+      val q = joined.writeStream.format("memory").queryName("jsi_sink")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      val out = s.table("jsi_sink").localCheckpoint(true)
+      s.catalog.dropTempView("jsi_sink")
+      out
+    }),
+
     // kNN (k = 3) through the same ring machinery: up to k ranked rows
     // per customer, rank 1 = the nearest — generalizes the spatial
     // family toward the ANN operators' top-k contract
@@ -1628,6 +1654,15 @@ object SparkEntry {
         |      FROM events GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
         |FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
+
+    // the streamed interval join replays as the raw batch inequality
+    // pair — micros arithmetic, self-pairs excluded on event_id
+    "j_stream_interval" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 us FROM events)
+        |SELECT a.event_id l_event, b.event_id r_event, a.user_id, b.us r_us
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        | AND b.us >= a.us AND b.us <= a.us + 1800000000
+        | AND a.event_id <> b.event_id""".stripMargin,
 
     // the bucketed variant must produce byte-identical results to the
     // plain shape — same native ASOF oracle

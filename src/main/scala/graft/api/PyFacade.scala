@@ -340,4 +340,12 @@ object PyFacade {
   def eventSessions(events: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, gap: String, watermark: String): DataFrame =
     graft.streaming.EventWindows.sessions(events, tsCol, keyCol, valueCol, gap, watermark)
+
+  /** Event-time interval join (batch/stream unified); bounds and
+    * watermark as Spark interval strings. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      upper: String, lower: String, watermark: String): DataFrame =
+    graft.streaming.EventWindows.intervalJoin(
+      left, right, keyCol, leftTsCol, rightTsCol, upper, lower, watermark)
 }

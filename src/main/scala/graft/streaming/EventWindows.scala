@@ -42,6 +42,52 @@ object EventWindows {
   }
 
   /**
+   * Event-time interval join, batch/stream unified: pair every left
+   * event with the right-side events of the SAME key whose timestamp
+   * falls in `[l.ts + lower, l.ts + upper]` — the correlation join of
+   * event analytics (clicks→conversions within the attribution window,
+   * request→retry bursts, sensor co-occurrence). Output: all left
+   * columns plus all right columns except the duplicated key.
+   *
+   * In streaming mode this is Spark's stream-stream inner join: BOTH
+   * sides get event-time watermarks and the two-sided time-range
+   * condition lets the state store evict — a right row is held only
+   * until the watermark passes `its ts + |lower|`, a left row until
+   * `its ts + upper`, so join state is bounded by arrival rate ×
+   * (watermark + interval width), never by stream lifetime. Without
+   * BOTH range bounds Spark would have to buffer a side forever —
+   * which is why `upper` is required, not defaulted.
+   *
+   * In batch mode the identical expression plans as a key equi-join
+   * with the range as a post-filter: one shuffle per side on the key
+   * (or a broadcast when one side is small), AQE skew-splitting a hot
+   * key like any equi-join. Never a cartesian: the range rides ON TOP
+   * of the key equality.
+   *
+   * The two frames must not share column names other than `keyCol`
+   * (rename before joining — enforced), so the output needs no
+   * prefixing convention.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTsCol: String, rightTsCol: String,
+      upper: String, lower: String = "0 seconds",
+      watermark: String = "1 hour"): DataFrame = {
+    require(leftTsCol != rightTsCol,
+      s"left and right timestamp columns must be named differently, both are '$leftTsCol'")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet) - keyCol
+    require(overlap.isEmpty,
+      s"left and right must not share non-key columns, both have: ${overlap.mkString(", ")}")
+    val l = if (left.isStreaming) left.withWatermark(leftTsCol, watermark) else left
+    val r = if (right.isStreaming) right.withWatermark(rightTsCol, watermark) else right
+    l.join(r,
+      l(keyCol) === r(keyCol) &&
+        col(rightTsCol) >= col(leftTsCol) + expr(s"INTERVAL $lower") &&
+        col(rightTsCol) <= col(leftTsCol) + expr(s"INTERVAL $upper"),
+      "inner")
+      .drop(r(keyCol))
+  }
+
+  /**
    * Gap-based session windows per key, batch/stream unified like
    * [[hourly]]: consecutive events of a key belong to one session while
    * each starts strictly before the previous event's time + `gap`; the

@@ -217,6 +217,19 @@ object Drive {
         .select(col("eid"), col("b.sts"), col("b.sid"))
         .collect().map(_.mkString("|")).toSet
       println(s"rows=${asof.size} as-of matches, equals brute force: ${asof == brute} (expect true)")
+      // interval join (batch path of the stream-stream operator) vs the
+      // raw inequality pair over the same synthetic timelines
+      val l = ev.select(col("eid").as("l_id"), col("k"),
+        timestamp_seconds(col("ets") * 60).as("lts"))
+      val r = ev.select(col("eid").as("r_id"), col("k"),
+        timestamp_seconds(col("ets") * 60 + 30).as("rts"))
+      val ij = graft.streaming.EventWindows.intervalJoin(
+        l, r, "k", "lts", "rts", upper = "10 minutes")
+        .select("l_id", "r_id").collect().map(_.mkString("|")).toSet
+      val ibrute = l.join(r, "k")
+        .where(col("rts") >= col("lts") && col("rts") <= col("lts") + expr("INTERVAL 10 minutes"))
+        .select("l_id", "r_id").collect().map(_.mkString("|")).toSet
+      println(s"rows=${ij.size} interval-join pairs, equals brute force: ${ij == ibrute} (expect true)")
     }
 
     println("=== 19. range join: bucketed BETWEEN vs brute force (round-5) ===")

@@ -54,6 +54,82 @@ class EventWindowsSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  behavior of "EventWindows.intervalJoin"
+
+  private val clickRows = Seq(
+    (1L, "u1", "2024-01-01 10:00:00"),
+    (2L, "u1", "2024-01-01 10:20:00"),
+    (3L, "u1", "2024-01-01 11:30:00"),
+    (4L, "u2", "2024-01-01 10:25:00"))
+  private val buyRows = Seq(
+    (101L, "u1", "2024-01-01 10:25:00"), // within 30m of clicks 1 and 2
+    (102L, "u1", "2024-01-01 11:45:00"), // within 30m of click 3
+    (103L, "u2", "2024-01-01 11:25:00"), // 60m after click 4 — outside
+    (104L, "u3", "2024-01-01 10:05:00")) // keyless on the left
+
+  private def clicks(s: Seq[(Long, String, String)]) =
+    s.toDF("click_id", "user_id", "t").selectExpr("click_id", "user_id", "timestamp(t) as ts")
+  private def buys(s: Seq[(Long, String, String)]) =
+    s.toDF("buy_id", "user_id", "bt").selectExpr("buy_id", "user_id", "timestamp(bt) as b_ts")
+
+  private val expectedPairs = Set((1L, 101L), (2L, 101L), (3L, 102L))
+
+  it should "pair events inside the key-scoped interval in batch mode" in {
+    val out = EventWindows.intervalJoin(
+      clicks(clickRows), buys(buyRows), "user_id", "ts", "b_ts", upper = "30 minutes")
+      .select("click_id", "buy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe expectedPairs
+  }
+
+  it should "produce the same pairs through a watermarked stream-stream join" in {
+    implicit val sqlCtx = spark.sqlContext
+    val memL = MemoryStream[(Long, String, String)]
+    val memR = MemoryStream[(Long, String, String)]
+    val stream = EventWindows.intervalJoin(
+      memL.toDF().toDF("click_id", "user_id", "t")
+        .selectExpr("click_id", "user_id", "timestamp(t) as ts"),
+      memR.toDF().toDF("buy_id", "user_id", "bt")
+        .selectExpr("buy_id", "user_id", "timestamp(bt) as b_ts"),
+      "user_id", "ts", "b_ts", upper = "30 minutes")
+    stream.isStreaming shouldBe true
+    val q = stream.writeStream.format("memory").queryName("ij_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      memL.addData(clickRows: _*)
+      memR.addData(buyRows: _*)
+      q.processAllAvailable()
+      // advance both watermarks past every candidate interval so all
+      // joined rows are emitted
+      memL.addData((99L, "z_left", "2024-01-02 00:00:00"))
+      memR.addData((99L, "z_right", "2024-01-02 00:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("ij_test").select("click_id", "buy_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe expectedPairs
+    } finally q.stop()
+  }
+
+  it should "honour a nonzero lower bound" in {
+    // [10m, 30m] after the click: buy 101 (25m after click 1, 5m after
+    // click 2) now only pairs with click 1
+    val out = EventWindows.intervalJoin(
+      clicks(clickRows), buys(buyRows), "user_id", "ts", "b_ts",
+      upper = "30 minutes", lower = "10 minutes")
+      .select("click_id", "buy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    out shouldBe Set((1L, 101L), (3L, 102L))
+  }
+
+  it should "reject colliding non-key columns and identical ts names" in {
+    val l = clicks(clickRows)
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.intervalJoin(l, l, "user_id", "ts", "ts", upper = "30 minutes")
+    val r = buys(buyRows).withColumnRenamed("buy_id", "click_id")
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.intervalJoin(l, r, "user_id", "ts", "b_ts", upper = "30 minutes")
+  }
+
   behavior of "EventWindows.sessions"
 
   private val sessionRows = Seq(
