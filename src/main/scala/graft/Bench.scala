@@ -14,6 +14,11 @@ object Bench {
       // events.parquet carries TIMESTAMP(NANOS); read as ns longs (set
       // here once — queries never mutate session state)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // micros-encoded events read as plain TimestampType (not NTZ) on a
+      // pinned-UTC session, so epoch arithmetic matches the DuckDB oracle
+      // whichever timestamp encoding the data generator shipped
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       // dev aid: SPARK_GRAFT_AQE=false measures the AQE-off behavior the
       // iterative operators' exchange-free-round comments describe; the
       // recorded bench always runs the Spark default (on)

@@ -41,6 +41,23 @@ object SparkEntry {
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize an event-time column to a microsecond `TimestampType`
+    * whatever the parquet actually wrote — the generator has shipped both
+    * INT64 TIMESTAMP(NANOS) (read as ns longs under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain micros (read as
+    * TIMESTAMP_NTZ unless `spark.sql.parquet.inferTimestampNTZ.enabled`
+    * is off). Floor ns→µs exactly like the oracle's `epoch_ns(ts)//1000`;
+    * the NTZ branch is a value-preserving reinterpretation only on a UTC
+    * session (the harness sessions pin `spark.sql.session.timeZone`). */
+  def microTs(df: DataFrame, c: String = "ts"): DataFrame =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"($c - pmod($c, 1000)) DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(c, col(c).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** customer/supplier with synthetic point coordinates. */
   def customerPoints(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "customer")
@@ -274,9 +291,8 @@ object SparkEntry {
     // sink; the batch replay is a plain key equi-join + range filter
     "j_stream_interval" -> ((s, dir) => {
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def evStream = s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+      def evStream = microTs(s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
       val left = evStream.select(col("event_id").as("l_event"), col("user_id"), col("ts"))
       val right = evStream.select(col("event_id").as("r_event"),
         col("user_id"), col("ts").as("r_ts"))
@@ -731,9 +747,9 @@ object SparkEntry {
       // order arbitrarily and flake against the oracle
       val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
       // microsecond precision: DuckDB timestamps are always micros
-      tbl(s, dir, "events")
+      microTs(tbl(s, dir, "events"))
         .select(col("event_id"), col("user_id"), col("ts"),
-          expr("ts DIV 1000").as("ts_us"))
+          unix_micros(col("ts")).as("ts_us"))
         .withColumn("prev_gap_us", col("ts_us") - lag(col("ts_us"), 1).over(w))
         .withColumn("seq", row_number().over(w).cast("long"))
         .select("event_id", "user_id", "seq", "prev_gap_us")
@@ -772,27 +788,20 @@ object SparkEntry {
           max(col("l_extendedprice")).as("max_price"))),
 
     "events_window" -> ((s, dir) => {
-      // events.parquet carries TIMESTAMP(NANOS), which Spark 4 refuses by
-      // default; the harness sessions (Verify/Bench/ScaleBench/test kit)
-      // set spark.sql.legacy.parquet.nanosAsLong once at build time — no
-      // gate query mutates session state. Read as nanosecond longs,
-      // convert to microsecond timestamps, then run the SAME
-      // batch/stream-unified windowed aggregation Structured Streaming
-      // uses (graft.streaming).
-      graft.streaming.EventWindows.hourly(
-        tbl(s, dir, "events").withColumn("ts", timestamp_micros(expr("ts DIV 1000"))))
+      // ts normalized by microTs (the generator has shipped both ns-long
+      // and µs-timestamp encodings), then the SAME batch/stream-unified
+      // windowed aggregation Structured Streaming uses (graft.streaming).
+      graft.streaming.EventWindows.hourly(microTs(tbl(s, dir, "events")))
     }),
 
     // gap-based session windows per user — the same batch/stream-unified
     // function a streaming pipeline runs; DuckDB replays the session
     // assignment via the lag/cumulative-sum islands construction
     "events_sessions" -> ((s, dir) => {
-      // FLOOR division ns->us (not `DIV`, which truncates toward zero):
-      // the DuckDB oracle floors (`//`), and the two disagree on
+      // microTs floors ns->us (not plain `DIV`, which truncates toward
+      // zero): the DuckDB oracle floors (`//`), and the two disagree on
       // pre-epoch timestamps — harmless on this data, wrong in general
-      graft.streaming.EventWindows.sessions(
-        tbl(s, dir, "events")
-          .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000"))))
+      graft.streaming.EventWindows.sessions(microTs(tbl(s, dir, "events")))
     }),
 
     // as-of join: every event enriched with its user's latest COMPLETED
@@ -801,8 +810,7 @@ object SparkEntry {
     // no completed hour yet and drop (inner, DuckDB ASOF JOIN semantics).
     // Hourly sums ride decimal(38,8) for order-independent exactness
     "j_asof_hourly" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+      val ev = microTs(tbl(s, dir, "events"))
       val hourly = ev
         .groupBy(col("user_id"), window(col("ts"), "1 hour"))
         .agg(round(sum(col("value").cast("decimal(38,8)")), 2).cast("double").as("h_value"))
@@ -820,8 +828,7 @@ object SparkEntry {
     // semantics are pinned identical to the plain shape (AsOfJoinSpec),
     // and this row pins them against DuckDB's native ASOF JOIN directly
     "j_asof_bucketed" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
-        .withColumn("ts", timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")))
+      val ev = microTs(tbl(s, dir, "events"))
       val hourly = ev
         .groupBy(col("user_id"), window(col("ts"), "1 hour"))
         .agg(round(sum(col("value").cast("decimal(38,8)")), 2).cast("double").as("h_value"))

@@ -16,6 +16,10 @@ object Verify {
       // read it as nanosecond longs (set here once — queries never
       // mutate session state)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // micros-encoded events read as plain TimestampType (not NTZ) on a
+      // pinned-UTC session, so epoch arithmetic matches the DuckDB oracle
+      // whichever timestamp encoding the data generator shipped
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -16,7 +16,7 @@ import graft.transformer.BroadcastSpatialJoin
  * testdata tops out at sf0.1, so every 100 TB design claim (O(groups·k)
  * shuffle for kNN, O(N) band rows, log-diameter CC rounds) is otherwise
  * argued from plan shape only. This main deterministically inflates the
- * input tables by literal factors (default 1, 4, 8) and runs the five
+ * input tables by literal factors (default 1, 4, 8) and runs the
  * scale-sensitive gate queries at each factor, recording wall time,
  * shuffle bytes, Spark job count, and output rows — evidence that cost
  * grows with data (and with OUTPUT, where the query's result is itself
@@ -61,6 +61,11 @@ object ScaleBench {
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // events.parquet carries TIMESTAMP(NANOS); read as ns longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // micros-encoded events read as plain TimestampType (not NTZ) on a
+      // pinned-UTC session, so epoch arithmetic matches the DuckDB oracle
+      // whichever timestamp encoding the data generator shipped
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sc = spark.sparkContext
@@ -120,18 +125,29 @@ object ScaleBench {
         .select((col("doc_id") + col("__k") * lit(1000000000L)).as("doc_id"),
           col("source"), (col("n_chars") + col("__k")).as("n_chars"))
 
+    // documents inflated with text UNCHANGED (ids shifted, source kept):
+    // the retrieval/scoring probes want token statistics that grow with
+    // the corpus — suffixing would quarantine each copy's vocabulary and
+    // understate the very growth being measured
+    def docsPlain(f: Int): DataFrame =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("text"), col("source"))
+        .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+          col("doc_id"), col("text"), col("source"))
+        .select((col("doc_id") + col("__k") * lit(1000000000L)).as("doc_id"),
+          col("text"), col("source"))
+
     // events: copy k gets new event AND user ids (per-user timeline
     // density stays constant — volume grows ×f, key cardinality grows
     // ×f, exactly how event data actually scales); ts/value unchanged
     def events(f: Int): DataFrame =
-      spark.read.parquet(s"$sfDir/events.parquet")
+      SparkEntry.microTs(spark.read.parquet(s"$sfDir/events.parquet"))
         .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
           col("event_id"), col("user_id"), col("ts"), col("value"))
         .select((col("event_id") + col("__k") * lit(1000000000L)).as("event_id"),
           (col("user_id") + col("__k") * lit(1000000L)).as("user_id"),
-          timestamp_micros(expr("(ts - pmod(ts, 1000)) DIV 1000")).as("ts"),
-          col("value"))
+          col("ts"), col("value"))
 
     // range join: inflate the POINTS side only (balances shifted by copy
     // so band membership varies per copy); interval side fixed — output
@@ -286,7 +302,58 @@ object ScaleBench {
       // length distribution, so shuffle rows stay ~CONSTANT while the
       // scan grows (the histogram-vs-sort-window design claim)
       "profile_corpus" -> (() =>
-        graft.text.CorpusProfile.profile(docs(f), "text")))
+        graft.text.CorpusProfile.profile(docs(f), "text")),
+      // winnowed fingerprint index: ~2/(w+1) of the run-digest rows —
+      // the SAME ∝f growth law as dedup_substring at a lower constant
+      "dedup_winnow" -> (() =>
+        Dedup.winnowedSubstringPairs(docs(f), "doc_id", "text",
+          minSpanLb = 14, k = 8, w = 4)),
+      // BM25: FIXED query set (base-corpus slice) against a corpus ×f —
+      // postings and the slim per-(query, doc) term shuffle grow ∝ f
+      // while the top-k output stays Q·k constant
+      "text_bm25" -> (() => {
+        val queries = docsPlain(1).where(pmod(col("doc_id"), lit(100)) === 0)
+          .select(col("doc_id").as("qid"), concat_ws(" ",
+            slice(graft.text.TextFunctions.tokens(col("text")), 1, 8)).as("qtext"))
+        graft.text.Bm25.topK(queries, docsPlain(f),
+          "qid", "qtext", "doc_id", "text", k = 10)
+      }),
+      // bigram LM: model FROZEN (trained once on the base corpus),
+      // scoring ×f documents — the model tables stay corpus-vocabulary
+      // sized (broadcastable), the per-doc term shuffle grows ∝ f
+      "text_lm_logp" -> (() => {
+        val lm = graft.text.NgramLm.train(docsPlain(1), "text", minCount = 2L)
+        graft.text.NgramLm.score(docsPlain(f), "doc_id", "text", lm)
+      }),
+      // mixture sampling: the strata-count aggregate is strata-sized
+      // (constant) at any f and the keep filter is map-only — shuffle
+      // stays near-constant while the scan and kept output grow ∝ f
+      "sample_mixture" -> (() =>
+        graft.curation.Sampling.mixtureSample(docsPlain(f), "text", "source",
+          Map("src0" -> 3.0d, "src1" -> 1.0d, "src2" -> 1.0d))),
+      // interval-overlap join: left intervals ×f against a fixed right —
+      // every overlapping pair meets in its first shared bucket exactly
+      // once, so output rows AND bucket-join shuffle grow ∝ f, never ×f²
+      "j_range_overlap" -> (() => {
+        val l = custBal(f).select(col("c_custkey"),
+          (col("c_bal") - 200.0).as("alo"), (col("c_bal") + 200.0).as("ahi"))
+        val r = supBands().select(col("s_suppkey"),
+          col("lo").as("blo"), col("hi").as("bhi"))
+        graft.join.RangeJoin.overlapJoin(l, r,
+          col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = 400.0)
+      }),
+      // batch shape of the stream-stream interval join: inflation keeps
+      // per-user timeline density constant (users ×f), so same-user
+      // pairs within the 30-minute bound — the streaming state-size
+      // argument — grow ∝ f with the key shuffle, never ×f²
+      "j_stream_interval" -> (() => {
+        val ev = events(f)
+        graft.streaming.EventWindows.intervalJoin(
+          ev.select(col("event_id").as("l_event"), col("user_id"), col("ts")),
+          ev.select(col("event_id").as("r_event"), col("user_id"), col("ts").as("r_ts")),
+          "user_id", "ts", "r_ts", upper = "30 minutes")
+          .where(col("l_event") =!= col("r_event"))
+      }))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

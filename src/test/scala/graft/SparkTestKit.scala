@@ -19,6 +19,10 @@ object SparkTestKit {
       // match the harness sessions: event-time gate queries read
       // TIMESTAMP(NANOS) parquet as nanosecond longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // micros-encoded events read as plain TimestampType (not NTZ) on a
+      // pinned-UTC session, so epoch arithmetic matches the DuckDB oracle
+      // whichever timestamp encoding the data generator shipped
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
