@@ -251,6 +251,14 @@ def tfidf_top_m(df, id_col="doc_id", text_col="text", m=5):
     return _wrap(df, _facade(df).tfidfTopM(df._jdf, id_col, text_col, int(m)))
 
 
+def hot_phrases(df, stratum_col="source", text_col="text", n=3, k=5, min_df=2):
+    """Hot-phrase mining (boilerplate discovery): the k n-grams contained
+    in the most documents per stratum, with document frequency ->
+    (stratum_col, rank, phrase, df); rank orders by (df desc, phrase)."""
+    return _wrap(df, _facade(df).hotPhrases(
+        df._jdf, stratum_col, text_col, int(n), int(k), int(min_df)))
+
+
 def bm25_top_k(queries, corpus, q_id_col="qid", q_text_col="qtext",
                id_col="doc_id", text_col="text", k=10, k1=1.2, b=0.75):
     """BM25 top-k lexical retrieval: score `corpus` documents against

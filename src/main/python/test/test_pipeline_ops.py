@@ -306,6 +306,16 @@ class TestModelAndProfile(object):
         assert got[1] == (1, round(math.log(3.0 / 7.0) * 1e6) / 1e6)
         assert got[3] == (1, round(math.log(2.0 / 7.0) * 1e6) / 1e6)
 
+    def test_hot_phrases(self, local_spark):
+        docs = local_spark.createDataFrame(
+            [("A", "a b c tail"), ("A", "pre a b c"), ("A", "a b c a b c"),
+             ("A", "x y z pad"), ("A", "x y z"), ("B", "q r s")],
+            ["source", "text"])
+        got = [(r["source"], r["rank"], r["phrase"], r["df"])
+               for r in P.hot_phrases(docs, n=3, k=2, min_df=2).collect()]
+        # df semantics: the doc repeating "a b c" counts once (df=3)
+        assert sorted(got) == [("A", 1, "a b c", 3), ("A", 2, "x y z", 2)]
+
     def test_bm25_top_k(self, local_spark):
         corpus = local_spark.createDataFrame(
             [(1, "x x y"), (2, "x z"), (3, "y z z")], ["doc_id", "text"])

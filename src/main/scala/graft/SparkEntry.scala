@@ -501,6 +501,16 @@ object SparkEntry {
         .orderBy(col("doc_freq").desc, col("total_freq").desc, col("token"))
         .limit(100)),
 
+    // hot-phrase mining (boilerplate discovery): top-5 most
+    // document-frequent bigrams per source — per-doc DISTINCT grams
+    // (df semantics), one map-side-combined count, O(k)-state top-k;
+    // (df desc, phrase asc) ranking is deterministic under the mass
+    // ties the 31-token vocabulary produces (bigrams: trigram dfs are
+    // ~1 on this synthetic corpus and would gate an empty result)
+    "text_hotphrase" -> ((s, dir) =>
+      TextFunctions.hotPhrases(tbl(s, dir, "documents"), "source", "text",
+        n = 2, k = 5, minDf = 3L)),
+
     // PII redaction: the corpus carries no real PII, so inject
     // deterministic email/IP/card-shaped spans from doc_id first (the
     // same injection discipline as text_tokens_unicode), then scrub;
@@ -1323,6 +1333,23 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) total_freq
          |FROM tok GROUP BY token
          |ORDER BY doc_freq DESC, total_freq DESC, token LIMIT 100""".stripMargin,
+
+    // distinct bigrams per doc (df semantics), count per (source,
+    // phrase), df >= 3, top-5 by (df desc, phrase asc) — the same
+    // ranking quotaTopK's bounded aggregate produces
+    "text_hotphrase" ->
+      s"""WITH t AS (SELECT doc_id, source, $tokensSql ws FROM documents),
+         |sh AS (SELECT doc_id, source,
+         |         list_distinct([ws[i]||' '||ws[i+1]
+         |                        for i in range(1, len(ws))]) sl
+         |       FROM t WHERE len(ws) >= 2),
+         |e AS (SELECT source, unnest(sl) phrase FROM sh),
+         |c AS (SELECT source, phrase, CAST(count(*) AS BIGINT) df
+         |      FROM e GROUP BY 1, 2 HAVING count(*) >= 3)
+         |SELECT source, CAST(rn AS INT) rank, phrase, df FROM (
+         |  SELECT source, phrase, df,
+         |    row_number() OVER (PARTITION BY source ORDER BY df DESC, phrase) rn
+         |  FROM c) WHERE rn <= 5""".stripMargin,
 
     // profile -> filter -> canonical-only exact dedup, mirroring the
     // composed Spark pipeline stage for stage (same token/ratio/langid

@@ -172,6 +172,13 @@ object PyFacade {
   def tfidfTopM(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame =
     TextFunctions.tfidfTopM(df, idCol, textCol, m)
 
+  /** Hot-phrase mining (boilerplate discovery): top-k most
+    * document-frequent n-grams per stratum —
+    * (stratumCol, rank, phrase, df). */
+  def hotPhrases(df: DataFrame, stratumCol: String, textCol: String,
+      n: Int, k: Int, minDf: Long): DataFrame =
+    TextFunctions.hotPhrases(df, stratumCol, textCol, n, k, minDf)
+
   /** BM25 top-k retrieval of corpus docs per query:
     * (qIdCol, idCol, bm25_r6, rnk). */
   def bm25TopK(queries: DataFrame, corpus: DataFrame,

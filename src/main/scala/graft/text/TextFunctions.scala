@@ -132,6 +132,41 @@ object TextFunctions {
         count(lit(1)).as("total_freq"))
 
   /**
+   * Corpus-level hot-phrase mining — boilerplate DISCOVERY (the C4 /
+   * RefinedWeb preprocessing step that finds "enable javascript"-class
+   * furniture before stripping it): per stratum (site, source, crawl
+   * snapshot), the `k` n-grams contained in the most documents, with
+   * their document frequency. Ranking is (df desc, phrase asc) — fully
+   * deterministic under mass ties.
+   *
+   * Shape, built for the 100 TB corpus: per-document DISTINCT n-grams
+   * from the codegen'd [[graft.functions.WordShingles]] kernel (df
+   * counts each document once however often it repeats a phrase), ONE
+   * map-side-combined (stratum, phrase) count aggregation, a `minDf`
+   * pre-filter so the top-k aggregation only sees phrases that could
+   * matter, then the O(k)-state
+   * [[graft.curation.Sampling.quotaTopK]] bounded top-k — no window
+   * sort over the phrase table, shuffle bounded by distinct phrases
+   * and output by strata·k.
+   *
+   * Output: (stratum, rank 1..k, phrase, df).
+   */
+  def hotPhrases(df: org.apache.spark.sql.DataFrame,
+      stratumCol: String, textCol: String,
+      n: Int, k: Int, minDf: Long = 2L): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
+    val counts = df
+      .select(col(stratumCol),
+        explode(graft.functions.WordShingles.wordShingles(col(textCol), n)).as("phrase"))
+      .groupBy(col(stratumCol), col("phrase"))
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    graft.curation.Sampling.quotaTopK(counts, Seq(stratumCol), "df", "phrase", k)
+  }
+
+  /**
    * Intra-document repetition profile — the Gopher-family repetition
    * quality filter (Rae et al. 2021 §A1.1, "repetitious documents are
    * low quality"): per document, what fraction of its n-gram positions

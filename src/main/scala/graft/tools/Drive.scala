@@ -417,6 +417,20 @@ object Drive {
         s"ranks contiguous=$ranksOk scores monotone=$monoOk (expect true true)")
     }
 
+    println("=== 25. hot-phrase mining: per-source boilerplate discovery (round-6c) ===")
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val hot = graft.text.TextFunctions.hotPhrases(
+        docs, "source", "text", n = 3, k = 5, minDf = 2L).cache()
+      val strata = hot.select("source").distinct().count()
+      // df can never exceed the stratum's document count
+      val sizes = docs.groupBy("source").count().withColumnRenamed("count", "n")
+      val badDf = hot.join(sizes, "source").where(col("df") > col("n")).count()
+      println(s"rows=${hot.count()} hot phrases over $strata sources, " +
+        s"df>stratum-size=$badDf (expect 0)")
+      hot.unpersist()
+    }
+
     spark.stop()
   }
 }
