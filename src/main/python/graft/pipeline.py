@@ -354,6 +354,18 @@ def mixture_sample(df, key_col, stratum_col, weights):
         df._jdf, key_col, stratum_col, jw))
 
 
+def split_by_hash(df, key_col, splits, out_col="split"):
+    """Deterministic dataset split: append `out_col` labelling each row
+    train/val/test/... from the md5 prefix of `key_col` — reproducible
+    across runs, engines and incremental batches (the alternative to
+    randomSplit). `splits` is an ORDERED list of (label, weight) pairs,
+    e.g. [("train", 0.8), ("val", 0.1), ("test", 0.1)]."""
+    labels = [str(l) for l, _ in splits]
+    weights = [float(w) for _, w in splits]
+    return _wrap(df, _facade(df).splitByHash(
+        df._jdf, key_col, labels, weights, out_col))
+
+
 def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,
            min_distinct_ratio=0.3):
     """Profile -> language/length/degeneracy filter -> canonical-only

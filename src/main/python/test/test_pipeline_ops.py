@@ -306,6 +306,22 @@ class TestModelAndProfile(object):
         assert got[1] == (1, round(math.log(3.0 / 7.0) * 1e6) / 1e6)
         assert got[3] == (1, round(math.log(2.0 / 7.0) * 1e6) / 1e6)
 
+    def test_split_by_hash(self, local_spark):
+        rows = [(f"doc {i}",) for i in range(300)]
+        df = local_spark.createDataFrame(rows, ["key"])
+        got = P.split_by_hash(
+            df, "key", [("train", 0.8), ("val", 0.1), ("test", 0.1)]).collect()
+        assert len(got) == 300  # a partition: nothing dropped
+        counts = {}
+        for r in got:
+            counts[r["split"]] = counts.get(r["split"], 0) + 1
+        assert set(counts) == {"train", "val", "test"}
+        assert counts["train"] > counts["val"]
+        # pure function of content: same key -> same split on a re-run
+        again = {r["key"]: r["split"] for r in P.split_by_hash(
+            df, "key", [("train", 0.8), ("val", 0.1), ("test", 0.1)]).collect()}
+        assert all(again[r["key"]] == r["split"] for r in got)
+
     def test_hot_phrases(self, local_spark):
         docs = local_spark.createDataFrame(
             [("A", "a b c tail"), ("A", "pre a b c"), ("A", "a b c a b c"),

@@ -626,6 +626,16 @@ object SparkEntry {
         tbl(s, dir, "documents"), "text", "source", MixtureWeights.toMap)
         .select(col("doc_id"), col("source"))),
 
+    // deterministic train/val/test split by content hash: assignment is
+    // a pure function of text (no RNG, no partitioning dependence), so
+    // re-runs and incremental batches agree — the reproducible
+    // alternative to randomSplit; boundaries derive from the SAME
+    // splitBoundsHex the oracle SQL interpolates
+    "sample_split" -> ((s, dir) =>
+      graft.curation.Sampling.splitByHash(
+        tbl(s, dir, "documents"), "text", SplitSpec)
+        .select(col("doc_id"), col("source"), col("split"))),
+
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
@@ -1004,6 +1014,10 @@ object SparkEntry {
 
   // mixture-sampling gate weights, shared by query and oracle
   private val MixtureWeights = Seq("src0" -> 3.0d, "src1" -> 1.0d, "src2" -> 1.0d)
+
+  // train/val/test split weights, shared by query and oracle (the
+  // boundary hex literals interpolate from Sampling.splitBoundsHex)
+  private val SplitSpec = Seq("train" -> 0.8d, "val" -> 0.1d, "test" -> 0.1d)
 
   // frozen quality-model coefficients shared by the text_qscore query
   // and its oracle SQL (both derive from these values, so they cannot
@@ -1560,6 +1574,18 @@ object SparkEntry {
         |WHERE source <> 'src19'
         |  AND substr(md5(text), 1, 4) <
         |    (CASE WHEN CAST(substr(source, 4) AS INT) % 2 = 0 THEN '8000' ELSE '1999' END)""".stripMargin,
+
+    // split boundaries interpolated from the SAME splitBoundsHex the
+    // query uses — lexicographic hex compare like sample_hash
+    "sample_split" -> {
+      val Seq(b1, b2) = graft.curation.Sampling.splitBoundsHex(SplitSpec)
+      val Seq(l1, l2, l3) = SplitSpec.map(_._1)
+      s"""SELECT doc_id, source,
+         |  CASE WHEN substr(md5(text), 1, 4) < '$b1' THEN '$l1'
+         |       WHEN substr(md5(text), 1, 4) < '$b2' THEN '$l2'
+         |       ELSE '$l3' END split
+         |FROM documents""".stripMargin
+    },
 
     // mixture thresholds replayed from counts with the identical IEEE
     // operation order as Sampling.mixtureSample: ratio = (c·W)/w,

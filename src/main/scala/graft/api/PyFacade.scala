@@ -264,6 +264,17 @@ object PyFacade {
       weights.asScala.view.mapValues(_.doubleValue).toMap)
   }
 
+  /** Deterministic train/val/test split by content hash: appends
+    * `outCol` with one of `labels`; ORDERED parallel lists because the
+    * cumulative boundaries depend on split order. */
+  def splitByHash(df: DataFrame, keyCol: String,
+      labels: java.util.List[String], weights: java.util.List[java.lang.Double],
+      outCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.curation.Sampling.splitByHash(df, keyCol,
+      labels.asScala.toSeq.zip(weights.asScala.toSeq.map(_.doubleValue)), outCol)
+  }
+
   /** Greedy sequence packing: (idCol, n_tokens, bin_id, bin_offset) —
     * docs concatenate in id order, cut every `budget` tokens. NOTE:
     * runs one eager min/max/count stats job at call time. */

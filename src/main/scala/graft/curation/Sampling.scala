@@ -137,4 +137,48 @@ object Sampling {
     df.where(thr.isNotNull && (thr >= lit(65536L) ||
       substring(md5(col(keyCol).cast("binary")), 1, 4) < format_string("%04x", thr)))
   }
+
+  /**
+   * Deterministic dataset splitting: assign every row a split label
+   * (train / validation / test / …) from the 16-bit md5(key) prefix —
+   * the reproducible alternative to `randomSplit`, whose assignment
+   * depends on partitioning and seed plumbing. A row's split is a pure
+   * function of its content: re-runs, other engines, and INCREMENTAL
+   * batches agree, and near-identical pipelines never leak a row across
+   * the train/test boundary by reshuffling.
+   *
+   * `splits` are ordered (label, weight) pairs; weights normalize to 1
+   * and map to cumulative 16-bit boundaries (`round(65536·cum)`,
+   * granularity 1/65536 like [[hashSample]]); the LAST split absorbs
+   * the rounding remainder. Boundaries compare as 4-hex STRINGS
+   * (lexicographic == numeric on fixed-width lower-case hex — the
+   * [[hashSample]] oracle contract). Map-only, codegen'd, zero shuffle,
+   * no RNG.
+   */
+  def splitByHash(
+      df: DataFrame, keyCol: String,
+      splits: Seq[(String, Double)], outCol: String = "split"): DataFrame = {
+    require(splits.size >= 2, s"need at least 2 splits, got ${splits.size}")
+    require(splits.map(_._1).distinct.size == splits.size,
+      "split labels must be distinct")
+    require(splits.forall { case (_, w) => w > 0 && !w.isInfinite },
+      s"weights must be positive finite, got ${splits.map(_._2).mkString(",")}")
+    val bounds = splitBoundsHex(splits)
+    val prefix = substring(md5(col(keyCol).cast("binary")), 1, 4)
+    val label = bounds.zip(splits.init).foldRight(
+      lit(splits.last._1): Column) { case ((b, (l, _)), acc) =>
+      when(prefix < lit(b), lit(l)).otherwise(acc)
+    }
+    df.withColumn(outCol, label)
+  }
+
+  /** The cumulative 16-bit split boundaries of [[splitByHash]] as 4-hex
+    * strings (one per split but the last) — public so an external
+    * oracle derives the SAME literals from the same weights instead of
+    * hardcoding values that could drift. */
+  def splitBoundsHex(splits: Seq[(String, Double)]): Seq[String] = {
+    val total = splits.map(_._2).sum
+    splits.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
+      .tail.map(c => f"${math.round(65536.0 * (c / total)).min(65535L)}%04x")
+  }
 }

@@ -431,6 +431,21 @@ object Drive {
       hot.unpersist()
     }
 
+    println("=== 26. deterministic train/val/test split (round-6c) ===")
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val split = graft.curation.Sampling.splitByHash(docs, "text",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)).cache()
+      val n = split.count()
+      val parts = split.groupBy("split").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val partitionOk = parts.values.sum == n
+      println(s"rows=$n split docs (train=${parts.getOrElse("train", 0L)} " +
+        s"val=${parts.getOrElse("val", 0L)} test=${parts.getOrElse("test", 0L)}), " +
+        s"exact partition=$partitionOk (expect true)")
+      split.unpersist()
+    }
+
     spark.stop()
   }
 }

@@ -127,4 +127,43 @@ class SamplingSpec extends AnyFlatSpec with Matchers with AdaptiveSparkPlanHelpe
     an[IllegalArgumentException] should be thrownBy
       Sampling.mixtureSample(df, "key", "stratum", Map("x" -> -1.0))
   }
+
+  behavior of "Sampling.splitByHash"
+
+  it should "assign every row one content-determined split at target rates" in {
+    import spark.implicits._
+    val df = (0 until 2000).map(i => s"doc $i").toDF("key")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.splitByHash(df, "key", splits).cache()
+    got.count() shouldBe 2000L // total partition: nothing dropped
+    val byLabel = got.groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    byLabel.keySet shouldBe Set("train", "val", "test")
+    byLabel("train").toDouble should be(1600.0 +- 80.0)
+    byLabel("val").toDouble should be(200.0 +- 60.0)
+    byLabel("test").toDouble should be(200.0 +- 60.0)
+    // a row's split is a pure function of its content: an incremental
+    // re-run over a subset agrees row-for-row
+    val sub = Sampling.splitByHash(
+      df.where(expr("length(key) > 7")), "key", splits)
+    sub.join(got, Seq("key"))
+      .where(sub("split") =!= got("split")).count() shouldBe 0L
+    got.unpersist()
+  }
+
+  it should "derive oracle-shareable hex boundaries and validate input" in {
+    Sampling.splitBoundsHex(
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) shouldBe Seq("cccd", "e666")
+    // weights normalize: 8/1/1 is the same split
+    Sampling.splitBoundsHex(
+      Seq("a" -> 8.0, "b" -> 1.0, "c" -> 1.0)) shouldBe Seq("cccd", "e666")
+    import spark.implicits._
+    val df = Seq("k").toDF("key")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.splitByHash(df, "key", Seq("only" -> 1.0))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.splitByHash(df, "key", Seq("a" -> 1.0, "a" -> 1.0))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.splitByHash(df, "key", Seq("a" -> 1.0, "b" -> -0.5))
+  }
 }
