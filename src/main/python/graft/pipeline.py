@@ -116,21 +116,25 @@ def cluster_pairs(pairs, i_col="doc_i", j_col="doc_j", max_iters=20):
         pairs._jdf, i_col, j_col, int(max_iters)))
 
 
-def asof_join(left, right, keys="user_id", left_ts="ts", right_ts="ts"):
+def asof_join(left, right, keys="user_id", left_ts="ts", right_ts="ts",
+              join_type="inner"):
     """As-of join: for every left row, the right row with the greatest
     ``right_ts`` at-or-before ``left_ts`` sharing the key columns
-    (comma-separated ``keys``); inner -- unmatched left rows drop."""
+    (comma-separated ``keys``); inner -- unmatched left rows drop;
+    join_type="left" keeps them with null right columns."""
     return _wrap(left, _facade(left).asofJoin(
-        left._jdf, right._jdf, keys, left_ts, right_ts))
+        left._jdf, right._jdf, keys, left_ts, right_ts, join_type))
 
 
 def asof_join_bucketed(left, right, keys="user_id", left_ts="ts",
-                       right_ts="ts", bucket_width=3600.0):
+                       right_ts="ts", bucket_width=3600.0,
+                       join_type="inner"):
     """Hot-key-safe as-of join: identical result to ``asof_join`` but
     every key is split by floor(ts / bucket_width) time buckets, so one
     pathologically hot key never lands on a single task."""
     return _wrap(left, _facade(left).asofJoinBucketed(
-        left._jdf, right._jdf, keys, left_ts, right_ts, float(bucket_width)))
+        left._jdf, right._jdf, keys, left_ts, right_ts, float(bucket_width),
+        join_type))
 
 
 def range_join(points, intervals, point_col="v", lo_col="lo", hi_col="hi",

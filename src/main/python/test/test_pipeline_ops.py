@@ -115,6 +115,12 @@ class TestStreamingUnified(object):
                                     left_ts="lts", right_ts="rts").collect()}
         # k=2's only right row is later than its left row -> inner drop
         assert got == {(1, 10, 80), (1, 5, 30)}
+        # left outer keeps it with null right columns
+        left_got = {(r["k"], r["lts"], r["v"])
+                    for r in P.asof_join(left, right, keys="k", left_ts="lts",
+                                         right_ts="rts",
+                                         join_type="left").collect()}
+        assert left_got == {(1, 10, 80), (1, 5, 30), (2, 7, None)}
 
     def test_tfidf_top_m(self, local_spark):
         docs = local_spark.createDataFrame(

@@ -861,6 +861,24 @@ object SparkEntry {
           col("h_end").cast("long").as("h_ts"), col("h_value"))
     }),
 
+    // LEFT OUTER as-of on the same data: events in their user's first
+    // hour (no completed hourly aggregate yet) are KEPT with null state
+    // — the enrichment contract most pipelines actually want; oracle is
+    // DuckDB's native ASOF LEFT JOIN
+    "j_asof_left" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      val hourly = ev
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(round(sum(col("value").cast("decimal(38,8)")), 2).cast("double").as("h_value"))
+        .select(col("user_id"), col("window.end").as("h_end"), col("h_value"))
+      graft.join.AsOfJoin.asof(
+        ev.select("event_id", "user_id", "ts"), hourly,
+        keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end",
+        joinType = "left")
+        .select(col("event_id"), col("user_id"),
+          col("h_end").cast("long").as("h_ts"), col("h_value"))
+    }),
+
     // range (band) join without broadcast or cartesian: customers whose
     // balance falls inside a +-500 band around each supplier's balance.
     // Doubles on BOTH engines (explicit casts), so boundary comparisons
@@ -1734,6 +1752,18 @@ object SparkEntry {
         |      FROM events GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
         |FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
+
+    // LEFT OUTER: unmatched events keep null h_ts/h_value — native
+    // DuckDB ASOF LEFT JOIN
+    "j_asof_left" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 us FROM events),
+        |h AS (SELECT user_id,
+        |        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 hend,
+        |        CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) h_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
+        |FROM e ASOF LEFT JOIN h
+        |  ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
 
     // session windows: the lag/cumulative-sum islands construction; a
     // break at gap >= 12h matches Spark's half-open session end (an event

@@ -83,19 +83,21 @@ object PyFacade {
   /** As-of join (latest right row at-or-before each left row's time per
     * key); keys as a comma-separated list. */
   def asofJoin(left: DataFrame, right: DataFrame, keysCsv: String,
-      leftTsCol: String, rightTsCol: String): DataFrame =
+      leftTsCol: String, rightTsCol: String, joinType: String): DataFrame =
     graft.join.AsOfJoin.asof(left, right,
-      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol)
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol,
+      joinType)
 
   /** Hot-key-safe as-of join: every key additionally split by
     * floor(ts / bucketWidth) buckets (ts read as double — epoch seconds
     * for timestamps), so no task holds a whole key's timeline. */
   def asofJoinBucketed(left: DataFrame, right: DataFrame, keysCsv: String,
-      leftTsCol: String, rightTsCol: String, bucketWidth: Double): DataFrame = {
+      leftTsCol: String, rightTsCol: String, bucketWidth: Double,
+      joinType: String): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     graft.join.AsOfJoin.asofBucketed(left, right,
       keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol,
-      t => floor(t.cast("double") / bucketWidth).cast("long"))
+      t => floor(t.cast("double") / bucketWidth).cast("long"), joinType)
   }
 
   /** Range (interval) join: (point, interval) pairs with lo <= v <= hi;

@@ -9,9 +9,13 @@ import org.apache.spark.sql.types.StructType
  * As-of join: for every left row, the single right row with the greatest
  * `rightTsCol` <= `leftTsCol` among rows sharing the key columns — the
  * temporal-enrichment join every event pipeline needs (attach the
- * latest dimension/rate/aggregate state known at event time). Inner
- * semantics: a left row with no at-or-before match drops (DuckDB
- * `ASOF JOIN` semantics, which is also the oracle used by the gate).
+ * latest dimension/rate/aggregate state known at event time). Default
+ * inner semantics: a left row with no at-or-before match drops (DuckDB
+ * `ASOF JOIN` semantics, which is also the oracle used by the gate);
+ * `joinType = "left"` keeps unmatched left rows with null right columns
+ * (DuckDB `ASOF LEFT JOIN`), including left rows whose key/ts is null —
+ * an unsatisfiable join condition still emits the left row on an outer
+ * join, so those bypass the shuffle entirely and union back in.
  *
  * Shape — the 100 TB rationale: a time-range theta join either explodes
  * candidates (every earlier right row per left row) or needs a range
@@ -100,16 +104,21 @@ object AsOfJoin {
       ++ rPayloadCols.map(c => col(s"$matched.`$c`")): _*)
 
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTsCol: String, rightTsCol: String): DataFrame = {
-    validate(left, right, keys, rightTsCol)
+      leftTsCol: String, rightTsCol: String,
+      joinType: String = "inner"): DataFrame = {
+    validate(left, right, keys, rightTsCol, joinType)
     val (lTagged, rTagged, _, rPayloadCols) =
       tagSides(left, right, keys, leftTsCol, rightTsCol, None)
     val carry = "__asof_carry"
     val w = carryOrder(Window.partitionBy(keys.map(col): _*))
+    val matchFilter =
+      if (joinType == "left") col(tag) === 1
+      else col(tag) === 1 && col(carry).isNotNull
     val out = lTagged.unionByName(rTagged)
       .withColumn(carry, last(col(rS), ignoreNulls = true).over(w))
-      .where(col(tag) === 1 && col(carry).isNotNull)
-    finalProject(out, left, keys, rPayloadCols, carry)
+      .where(matchFilter)
+    withOuterRows(finalProject(out, left, keys, rPayloadCols, carry),
+      left, right, keys, leftTsCol, joinType)
   }
 
   /**
@@ -137,8 +146,8 @@ object AsOfJoin {
    */
   def asofBucketed(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      bucketOf: Column => Column): DataFrame = {
-    validate(left, right, keys, rightTsCol)
+      bucketOf: Column => Column, joinType: String = "inner"): DataFrame = {
+    validate(left, right, keys, rightTsCol, joinType)
     val (lTagged, rTagged, _, rPayloadCols) =
       tagSides(left, right, keys, leftTsCol, rightTsCol, Some(bucketOf))
     val local = "__asof_local"; val fin = "__asof_fin"; val cin = "__asof_cin"
@@ -175,15 +184,36 @@ object AsOfJoin {
 
     // 4. attach carry-in to the left rows of each (key, bucket) and pick
     // the local match when present (always at-or-later than any carry-in)
-    val out = localized.where(col(tag) === 1)
+    val joined = localized.where(col(tag) === 1)
       .join(carryIn, keys :+ bkt)
       .withColumn(rS, coalesce(col(local), col(cin)))
-      .where(col(rS).isNotNull)
-    finalProject(out, left, keys, rPayloadCols, rS)
+    val out = if (joinType == "left") joined else joined.where(col(rS).isNotNull)
+    withOuterRows(finalProject(out, left, keys, rPayloadCols, rS),
+      left, right, keys, leftTsCol, joinType)
   }
 
+  /** Left-outer completion: the tagged union drops left rows whose key
+    * or ts is null (unsatisfiable join condition) — an outer join still
+    * emits them, right columns null, and they never need the shuffle. */
+  private def withOuterRows(matched: DataFrame, left: DataFrame,
+      right: DataFrame, keys: Seq[String], leftTsCol: String,
+      joinType: String): DataFrame =
+    if (joinType != "left") matched
+    else {
+      val rPayloadCols = right.columns.filterNot(keys.contains).toSeq
+      val unmatchable = left
+        .where((col(leftTsCol) +: keys.map(col)).map(_.isNull).reduce(_ || _))
+      val padded = rPayloadCols.foldLeft(unmatchable) { (d, c) =>
+        d.withColumn(c, lit(null).cast(right.schema(c).dataType))
+      }
+      matched.unionByName(padded)
+    }
+
   private def validate(left: DataFrame, right: DataFrame,
-      keys: Seq[String], rightTsCol: String): Unit = {
+      keys: Seq[String], rightTsCol: String,
+      joinType: String = "inner"): Unit = {
+    require(joinType == "inner" || joinType == "left",
+      s"joinType must be 'inner' or 'left', got '$joinType'")
     require(keys.nonEmpty, "as-of join needs at least one key column")
     keys.foreach { k =>
       require(left.columns.contains(k) && right.columns.contains(k),

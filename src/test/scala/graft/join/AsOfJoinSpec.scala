@@ -163,4 +163,60 @@ class AsOfJoinSpec extends AnyFlatSpec with Matchers {
       .collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2))).toSet
     got shouldBe brute
   }
+
+  behavior of "AsOfJoin left outer"
+
+  it should "keep unmatched left rows with null right columns, matched rows identical to inner" in {
+    import org.apache.spark.sql.functions._
+    val l = Seq((1, 10L, "early"), (1, 30L, "late"), (2, 5L, "lone"))
+      .toDF("k", "lts", "tag2")
+    val r = Seq((1, 20L, 200)).toDF("k", "rts", "v")
+    val left = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", joinType = "left")
+      .select("tag2", "rts", "v")
+      .collect().map(x => (x.getString(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    left shouldBe Set(
+      ("early", None, None), // before any right row: kept, nulls
+      ("late", Some(20L), Some(200)),
+      ("lone", None, None)) // key 2 has no right rows at all
+    // inner = left minus the null-matched rows, row-for-row
+    val inner = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts")
+      .select("tag2", "rts", "v").collect().toSet
+    AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", joinType = "left")
+      .where(col("rts").isNotNull)
+      .select("tag2", "rts", "v").collect().toSet shouldBe inner
+  }
+
+  it should "emit null-key/null-ts left rows on the outer path (unsatisfiable, not dropped)" in {
+    val l = Seq((Option(1), Option(10L), "ok"), (None, Option(10L), "nullkey"),
+      (Option(1), Option.empty[Long], "nullts")).toDF("k", "lts", "tag2")
+    val r = Seq((1, 5L, 50)).toDF("k", "rts", "v")
+    val got = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", joinType = "left")
+      .select("tag2", "v")
+      .collect().map(x => (x.getString(0), Option(x.get(1)))).toSet
+    got shouldBe Set(("ok", Some(50)), ("nullkey", None), ("nullts", None))
+    // inner still drops them
+    AsOfJoin.asof(l, r, Seq("k"), "lts", "rts").count() shouldBe 1L
+  }
+
+  it should "produce identical left-outer results through the bucketed variant" in {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(11)
+    val l = Seq.tabulate(200)(i => (rnd.nextInt(4), rnd.nextInt(1000).toLong, i)).toDF("k", "lts", "lid")
+    val r = Seq.tabulate(60)(i => (rnd.nextInt(4), rnd.nextInt(500).toLong + 400, i)).toDF("k", "rts", "rid")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid", "rts", "rid").collect()
+        .map(x => (x.getInt(0), Option(x.get(1)), Option(x.get(2)))).toSet
+    val plain = norm(AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", joinType = "left"))
+    val bucketed = norm(AsOfJoin.asofBucketed(l, r, Seq("k"), "lts", "rts",
+      t => floor(t / 100), joinType = "left"))
+    bucketed shouldBe plain
+    plain.size shouldBe 200 // every left row present exactly once
+  }
+
+  it should "reject an unknown joinType" in {
+    val l = Seq((1, 10L)).toDF("k", "lts")
+    val r = Seq((1, 5L, 50)).toDF("k", "rts", "v")
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", joinType = "full")
+  }
 }
