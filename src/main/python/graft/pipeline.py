@@ -255,6 +255,16 @@ def tfidf_top_m(df, id_col="doc_id", text_col="text", m=5):
     return _wrap(df, _facade(df).tfidfTopM(df._jdf, id_col, text_col, int(m)))
 
 
+def group_quantiles(df, group_cols="source", value_col="n_chars",
+                    qs=(50, 90, 99)):
+    """Exact per-group order statistics over a VALUE HISTOGRAM (the rank
+    window runs over distinct values per group, never data rows):
+    (group_cols..., n, min_<v>, max_<v>, p<q>...). p<q> is the smallest
+    value whose cumulative count c satisfies 100*c >= q*n."""
+    return _wrap(df, _facade(df).groupQuantiles(
+        df._jdf, group_cols, value_col, [int(q) for q in qs]))
+
+
 def hot_phrases(df, stratum_col="source", text_col="text", n=3, k=5, min_df=2):
     """Hot-phrase mining (boilerplate discovery): the k n-grams contained
     in the most documents per stratum, with document frequency ->

@@ -312,6 +312,15 @@ class TestModelAndProfile(object):
         assert got[1] == (1, round(math.log(3.0 / 7.0) * 1e6) / 1e6)
         assert got[3] == (1, round(math.log(2.0 / 7.0) * 1e6) / 1e6)
 
+    def test_group_quantiles(self, local_spark):
+        rows = [("a", v) for v in range(1, 11)] + [("b", 7)] * 4
+        df = local_spark.createDataFrame(rows, ["g", "v"])
+        got = {r["g"]: r for r in P.group_quantiles(
+            df, group_cols="g", value_col="v", qs=[50, 90]).collect()}
+        a = got["a"]
+        assert (a["n"], a["min_v"], a["max_v"], a["p50"], a["p90"]) == (10, 1, 10, 5, 9)
+        assert (got["b"]["n"], got["b"]["p50"]) == (4, 7)
+
     def test_split_by_hash(self, local_spark):
         rows = [(f"doc {i}",) for i in range(300)]
         df = local_spark.createDataFrame(rows, ["key"])

@@ -501,6 +501,14 @@ object SparkEntry {
         .orderBy(col("doc_freq").desc, col("total_freq").desc, col("token"))
         .limit(100)),
 
+    // group-wise EXACT quantiles over a value histogram: per source,
+    // p50/p90/p99 document length — the rank window runs over DISTINCT
+    // (source, n_chars) rows, never documents (the CorpusProfile method
+    // generalized); explicit-rank integer test replays in SQL
+    "q_quantiles" -> ((s, dir) =>
+      graft.stats.GroupStats.quantiles(
+        tbl(s, dir, "documents"), Seq("source"), "n_chars", Seq(50, 90, 99))),
+
     // hot-phrase mining (boilerplate discovery): top-5 most
     // document-frequent bigrams per source — per-doc DISTINCT grams
     // (df semantics), one map-side-combined count, O(k)-state top-k;
@@ -1365,6 +1373,22 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) total_freq
          |FROM tok GROUP BY token
          |ORDER BY doc_freq DESC, total_freq DESC, token LIMIT 100""".stripMargin,
+
+    // histogram + cumsum + explicit-rank integer test, identical to the
+    // Spark formulation (100·cum >= q·n picks the ceil(q/100·n)-th
+    // smallest value)
+    "q_quantiles" ->
+      """WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) cnt
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, n_chars, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) tot
+        |      FROM h)
+        |SELECT source, max(tot) n, min(n_chars) min_n_chars, max(n_chars) max_n_chars,
+        |  min(CASE WHEN 100 * cum >= 50 * tot THEN n_chars END) p50,
+        |  min(CASE WHEN 100 * cum >= 90 * tot THEN n_chars END) p90,
+        |  min(CASE WHEN 100 * cum >= 99 * tot THEN n_chars END) p99
+        |FROM c GROUP BY source""".stripMargin,
 
     // distinct bigrams per doc (df semantics), count per (source,
     // phrase), df >= 3, top-5 by (df desc, phrase asc) — the same

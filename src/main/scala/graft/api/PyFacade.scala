@@ -174,6 +174,16 @@ object PyFacade {
   def tfidfTopM(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame =
     TextFunctions.tfidfTopM(df, idCol, textCol, m)
 
+  /** Group-wise exact quantiles over a value histogram:
+    * (groupCols..., n, min_<v>, max_<v>, p<q>...). */
+  def groupQuantiles(df: DataFrame, groupColsCsv: String, valueCol: String,
+      qs: java.util.List[Integer]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.stats.GroupStats.quantiles(df,
+      groupColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      valueCol, qs.asScala.toSeq.map(_.intValue))
+  }
+
   /** Hot-phrase mining (boilerplate discovery): top-k most
     * document-frequent n-grams per stratum —
     * (stratumCol, rank, phrase, df). */

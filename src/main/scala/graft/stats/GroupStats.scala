@@ -1,0 +1,64 @@
+package graft.stats
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Group-wise EXACT order statistics at 100 TB shapes — the generic form
+ * of the histogram/explicit-rank method [[graft.text.CorpusProfile]]
+ * uses for its token-count quantiles (the classic "p50/p95/p99 latency
+ * per key" / "length distribution per domain" OLAP ask).
+ *
+ * Why not a window sort or `percentile`: a per-group sort window ranks
+ * DATA rows (one hot group = one task holding its whole distribution),
+ * and `percentile_approx` trades exactness away. Here the value column
+ * is first collapsed to a per-(group, value) HISTOGRAM by one
+ * map-side-combined aggregation; the rank window then runs over rows
+ * bounded by DISTINCT values per group — for the typical discrete or
+ * low-cardinality-value column (lengths, counts, scores rounded to
+ * cents) that is orders of magnitude smaller than the data, and a
+ * 100M-row group with 2k distinct values costs a 2k-row window.
+ *
+ * Quantile contract (explicit rank, division-free): pN is the smallest
+ * value v whose cumulative count c satisfies `100·c >= N·n` (n = group
+ * size) — the ceil(N/100·n)-th smallest element, exactly what an
+ * ANSI-SQL oracle replays with the same integer test. Nulls drop (SQL
+ * aggregate semantics); the output value columns keep the input type.
+ */
+object GroupStats {
+
+  /**
+   * Per group: row count, min, max, and one `p<N>` column per requested
+   * percentile over `valueCol`.
+   *
+   * @param qs percentiles as integers in [1, 100] (p100 = max)
+   */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(qs.nonEmpty, "at least one percentile required")
+    require(qs.forall(q => q >= 1 && q <= 100),
+      s"percentiles must be in [1, 100], got ${qs.mkString(",")}")
+    require(qs.distinct.size == qs.size,
+      s"duplicate percentiles: ${qs.mkString(",")}")
+    val g = groupCols.map(col)
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))
+    // cumulative count over DISTINCT values per group (histogram rows)
+    val wCum = Window.partitionBy(g: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wCum))
+    // the rank test needs the group total alongside each histogram row;
+    // a full-partition window over histogram rows provides it without a
+    // second shuffle (same partitioning as the cumsum window)
+    val withTotal = cum.withColumn("__tot",
+      sum(col("__c")).over(Window.partitionBy(g: _*)))
+    withTotal.groupBy(g: _*).agg(
+      max(col("__tot")).as("n"),
+      Seq(min(col(valueCol)).as(s"min_$valueCol"),
+        max(col(valueCol)).as(s"max_$valueCol")) ++
+        qs.map(q => min(when(col("__cum") * 100 >= col("__tot") * q,
+          col(valueCol))).as(s"p$q")): _*)
+  }
+}

@@ -446,6 +446,30 @@ object Drive {
       split.unpersist()
     }
 
+    println("=== 27. group-wise exact quantiles + left-outer as-of (round-6c) ===")
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val q = graft.stats.GroupStats.quantiles(
+        docs, Seq("source"), "n_chars", Seq(50, 90)).cache()
+      // order statistics must be monotone and inside [min, max]
+      val bad = q.where(col("p50") > col("p90") ||
+        col("p50") < col("min_n_chars") || col("p90") > col("max_n_chars")).count()
+      println(s"rows=${q.count()} per-source quantile rows, violations=$bad (expect 0)")
+      q.unpersist()
+      val ev = graft.SparkEntry.microTs(spark.read.parquet(s"$dir/events.parquet"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val hourly = ev.groupBy(col("user_id"),
+          org.apache.spark.sql.functions.window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("h_cnt"))
+        .select(col("user_id"), col("window.end").as("h_end"), col("h_cnt"))
+      val inner = graft.join.AsOfJoin.asof(ev, hourly,
+        Seq("user_id"), "ts", "h_end").count()
+      val leftJ = graft.join.AsOfJoin.asof(ev, hourly,
+        Seq("user_id"), "ts", "h_end", joinType = "left").count()
+      println(s"rows=$leftJ left-asof (inner=$inner, left keeps all=" +
+        s"${leftJ == ev.count()}) (expect true)")
+    }
+
     spark.stop()
   }
 }

@@ -342,6 +342,28 @@ object ScaleBench {
         graft.join.RangeJoin.overlapJoin(l, r,
           col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = 400.0)
       }),
+      // hot-phrase mining: gram-count shuffle ∝ f (suffixed copies keep
+      // phrase sets disjoint, so distinct (source, phrase) groups grow
+      // ×f), while the top-k output stays strata·k CONSTANT — the
+      // bounded aggregate never sorts the phrase table
+      "text_hotphrase" -> (() =>
+        graft.text.TextFunctions.hotPhrases(
+          docs(f).withColumn("source",
+            concat(lit("src"), pmod(col("doc_id"), lit(20)))),
+          "source", "text", n = 2, k = 5, minDf = 3L)),
+      // hash split: map-only, ZERO shuffle at any factor; output ∝ f.
+      // The non-foldable filter defeats count()'s projection pruning
+      "sample_split" -> (() =>
+        graft.curation.Sampling.splitByHash(docsPlain(f), "text",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .where(col("split").isNotNull)),
+      // group quantiles: the rank window input is DISTINCT (group,
+      // value) rows — docsFull perturbs n_chars per copy so distinct
+      // values grow ×f here (worst case), but the shuffle stays
+      // histogram-sized, never data-sized
+      "q_quantiles" -> (() =>
+        graft.stats.GroupStats.quantiles(docsFull(f), Seq("source"),
+          "n_chars", Seq(50, 90, 99))),
       // batch shape of the stream-stream interval join: inflation keeps
       // per-user timeline density constant (users ×f), so same-user
       // pairs within the 30-minute bound — the streaming state-size

@@ -1,0 +1,76 @@
+package graft.stats
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestKit
+
+/**
+ * Group-wise exact quantiles: explicit-rank contract (pN = smallest v
+ * with 100·cum >= N·n), null handling, duplicate-heavy input (the
+ * histogram collapse), and the plan guarantee that the rank window
+ * never sorts data rows.
+ */
+class GroupStatsSpec extends AnyFlatSpec with Matchers {
+  import SparkTestKit.spark
+  import spark.implicits._
+
+  behavior of "GroupStats.quantiles"
+
+  it should "compute explicit-rank percentiles per group" in {
+    // group a: values 1..10 — p50 = 5 (cum 5, 100*5 >= 50*10),
+    // p90 = 9, p100 = 10; group b: all-equal values
+    val df = ((1 to 10).map(v => ("a", v)) ++ Seq.fill(4)(("b", 7))).toDF("g", "v")
+    val out = GroupStats.quantiles(df, Seq("g"), "v", Seq(50, 90, 100))
+      .orderBy("g")
+      .as[(String, Long, Int, Int, Int, Int, Int)].collect()
+    out(0) shouldBe (("a", 10L, 1, 10, 5, 9, 10))
+    out(1) shouldBe (("b", 4L, 7, 7, 7, 7, 7))
+  }
+
+  it should "drop nulls and collapse duplicates before ranking" in {
+    val df = Seq(("a", Some(1)), ("a", None), ("a", Some(1)), ("a", Some(3)))
+      .toDF("g", "v")
+    val out = GroupStats.quantiles(df, Seq("g"), "v", Seq(50))
+      .as[(String, Long, Int, Int, Int)].collect()
+    // n counts non-null rows (3); p50 = 1 (cum 2 of 3: 200 >= 150)
+    out.head shouldBe (("a", 3L, 1, 3, 1))
+  }
+
+  it should "match percentile_cont-free brute force on random data" in {
+    val rnd = new scala.util.Random(13)
+    val df = Seq.tabulate(500)(i => (s"g${i % 3}", rnd.nextInt(40))).toDF("g", "v")
+    val got = GroupStats.quantiles(df, Seq("g"), "v", Seq(25, 75))
+      .collect().map(r => r.getString(0) -> ((r.getInt(4), r.getInt(5)))).toMap
+    val data = df.collect().map(r => (r.getString(0), r.getInt(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((g, vs) <- data) {
+      def pick(q: Int) = vs((q * vs.length + 99) / 100 - 1) // ceil rank
+      got(g) shouldBe ((pick(25), pick(75)))
+    }
+  }
+
+  it should "rank over histogram rows, not data rows (plan audit)" in {
+    val df = Seq.fill(1000)(("a", 5)).toDF("g", "v")
+    val plan = GroupStats.quantiles(df, Seq("g"), "v", Seq(50))
+      .queryExecution.executedPlan.toString
+    // the aggregation below the window is the histogram collapse — the
+    // window input is grouped (g, v) rows, so a 1000-duplicate group
+    // feeds a 1-row window partition
+    plan.indexOf("Window") should be > 0
+    plan.substring(plan.indexOf("Window")) should include("HashAggregate")
+  }
+
+  it should "validate percentile bounds and duplicates" in {
+    val df = Seq(("a", 1)).toDF("g", "v")
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantiles(df, Seq("g"), "v", Seq(0))
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantiles(df, Seq("g"), "v", Seq(101))
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantiles(df, Seq("g"), "v", Seq(50, 50))
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantiles(df, Seq.empty, "v", Seq(50))
+  }
+}
