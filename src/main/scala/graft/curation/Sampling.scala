@@ -163,6 +163,8 @@ object Sampling {
       "split labels must be distinct")
     require(splits.forall { case (_, w) => w > 0 && !w.isInfinite },
       s"weights must be positive finite, got ${splits.map(_._2).mkString(",")}")
+    require(!df.columns.contains(outCol),
+      s"output column `$outCol` already exists on the input")
     val bounds = splitBoundsHex(splits)
     val prefix = substring(md5(col(keyCol).cast("binary")), 1, 4)
     val label = bounds.zip(splits.init).foldRight(

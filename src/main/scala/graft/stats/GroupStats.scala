@@ -42,6 +42,12 @@ object GroupStats {
       s"percentiles must be in [1, 100], got ${qs.mkString(",")}")
     require(qs.distinct.size == qs.size,
       s"duplicate percentiles: ${qs.mkString(",")}")
+    // output columns are n, min_<v>, max_<v>, p<q> — reject value/group
+    // names that would collide (e.g. a value column literally named "n")
+    val outNames = Seq("n", s"min_$valueCol", s"max_$valueCol") ++ qs.map(q => s"p$q")
+    val clash = (groupCols :+ valueCol).toSet.intersect(outNames.toSet)
+    require(clash.isEmpty,
+      s"column name(s) would collide with output columns: ${clash.mkString(", ")}")
     val g = groupCols.map(col)
     val hist = df.where(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))

@@ -157,6 +157,8 @@ object TextFunctions {
     require(n >= 1, s"n must be >= 1, got $n")
     require(k >= 1, s"k must be >= 1, got $k")
     require(minDf >= 1L, s"minDf must be >= 1, got $minDf")
+    require(!Seq("rank", "phrase", "df").contains(stratumCol),
+      s"stratum column `$stratumCol` collides with an output column")
     val counts = df
       .select(col(stratumCol),
         explode(graft.functions.WordShingles.wordShingles(col(textCol), n)).as("phrase"))

@@ -352,11 +352,13 @@ object ScaleBench {
             concat(lit("src"), pmod(col("doc_id"), lit(20)))),
           "source", "text", n = 2, k = 5, minDf = 3L)),
       // hash split: map-only, ZERO shuffle at any factor; output ∝ f.
-      // The non-foldable filter defeats count()'s projection pruning
+      // The filter compares the COMPUTED label per row — an isNotNull
+      // guard folds away (the CASE is non-nullable) and count() would
+      // prune the md5 down to a metadata scan, flat-lining the curve
       "sample_split" -> (() =>
         graft.curation.Sampling.splitByHash(docsPlain(f), "text",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-          .where(col("split").isNotNull)),
+          .where(col("split") =!= lit("__none"))),
       // group quantiles: the rank window input is DISTINCT (group,
       // value) rows — docsFull perturbs n_chars per copy so distinct
       // values grow ×f here (worst case), but the shuffle stays
@@ -383,12 +385,20 @@ object ScaleBench {
       System.gc()
     }
 
+    // dev aid: SPARK_GRAFT_SCALE_ONLY=q1,q2 restricts to named queries
+    // for a standalone re-measure (the recorded artifact is a full run)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    def selected(f: Int) = queries(f).filter {
+      case (name, _) => only.isEmpty || only(name)
+    }
+
     // unmeasured warmup at the smallest factor: JIT must not inflate the
     // factor-1 points of the growth curve (that would OVERSTATE linearity)
-    queries(factors.min).foreach { case (_, q) => isolate(); q().count() }
+    selected(factors.min).foreach { case (_, q) => isolate(); q().count() }
 
     val lines = scala.collection.mutable.ArrayBuffer.empty[String]
-    for (f <- factors; (name, q) <- queries(f)) {
+    for (f <- factors; (name, q) <- selected(f)) {
       isolate()
       org.apache.spark.graft.ListenerBridge.drain(sc)
       val (w0, r0) = (shufWrite.get(), shufRead.get())

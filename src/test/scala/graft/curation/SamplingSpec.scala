@@ -165,5 +165,9 @@ class SamplingSpec extends AnyFlatSpec with Matchers with AdaptiveSparkPlanHelpe
       Sampling.splitByHash(df, "key", Seq("a" -> 1.0, "a" -> 1.0))
     an[IllegalArgumentException] should be thrownBy
       Sampling.splitByHash(df, "key", Seq("a" -> 1.0, "b" -> -0.5))
+    // an existing column must not be silently replaced
+    val withSplit = Seq(("k", "x")).toDF("key", "split")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.splitByHash(withSplit, "key", Seq("a" -> 1.0, "b" -> 1.0))
   }
 }

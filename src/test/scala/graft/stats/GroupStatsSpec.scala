@@ -72,5 +72,10 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
       GroupStats.quantiles(df, Seq("g"), "v", Seq(50, 50))
     an[IllegalArgumentException] should be thrownBy
       GroupStats.quantiles(df, Seq.empty, "v", Seq(50))
+    // a value or group column named like an output column must be rejected
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantiles(Seq(("a", 1)).toDF("g", "n"), Seq("g"), "n", Seq(50))
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantiles(Seq(("a", 1)).toDF("p50", "v"), Seq("p50"), "v", Seq(50))
   }
 }

@@ -49,6 +49,12 @@ class HotPhrasesSpec extends AnyFlatSpec with Matchers {
     out shouldBe Array(("A", 1, "a a a", 2L), ("A", 2, "b b b", 2L))
   }
 
+  it should "reject a stratum column that collides with an output column" in {
+    val docs = Seq(("A", "a b c")).toDF("df", "text")
+    an[IllegalArgumentException] should be thrownBy
+      TextFunctions.hotPhrases(docs, "df", "text", n = 3, k = 1)
+  }
+
   it should "keep the bounded aggregate — no window sort over phrases" in {
     val docs = Seq(("A", "a b c d e")).toDF("src", "text")
     val plan = TextFunctions.hotPhrases(docs, "src", "text", n = 3, k = 5)
