@@ -255,6 +255,14 @@ def tfidf_top_m(df, id_col="doc_id", text_col="text", m=5):
     return _wrap(df, _facade(df).tfidfTopM(df._jdf, id_col, text_col, int(m)))
 
 
+def normalize_text(df, text_col="text", out_col="text_norm"):
+    """Dedup-keying normalization (the C4/CCNet step before exact/near
+    dedup): ASCII-lowercase, every char outside [a-z0-9 ] -> space,
+    whitespace runs collapsed, trimmed. Compose with exact_canon on the
+    normalized column to catch case/punctuation variants."""
+    return _wrap(df, _facade(df).normalizeText(df._jdf, text_col, out_col))
+
+
 def group_quantiles(df, group_cols="source", value_col="n_chars",
                     qs=(50, 90, 99)):
     """Exact per-group order statistics over a VALUE HISTOGRAM (the rank

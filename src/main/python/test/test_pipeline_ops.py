@@ -312,6 +312,13 @@ class TestModelAndProfile(object):
         assert got[1] == (1, round(math.log(3.0 / 7.0) * 1e6) / 1e6)
         assert got[3] == (1, round(math.log(2.0 / 7.0) * 1e6) / 1e6)
 
+    def test_normalize_text(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "Hello,  World!"), (2, "hello world")], ["id", "text"])
+        got = {r["id"]: r["text_norm"]
+               for r in P.normalize_text(df).collect()}
+        assert got == {1: "hello world", 2: "hello world"}
+
     def test_group_quantiles(self, local_spark):
         rows = [("a", v) for v in range(1, 11)] + [("b", 7)] * 4
         df = local_spark.createDataFrame(rows, ["g", "v"])

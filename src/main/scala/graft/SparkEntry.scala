@@ -501,6 +501,23 @@ object SparkEntry {
         .orderBy(col("doc_freq").desc, col("total_freq").desc, col("token"))
         .limit(100)),
 
+    // normalized exact dedup: inject case/punctuation variants of every
+    // document (upper-cased twin at id+10^6, punctuation-wrapped twin at
+    // id+2*10^6), then dedup on the NORMALIZED text — all three must
+    // collapse to the base doc's canon; byte-exact dedup would see three
+    // distinct texts (the C4/CCNet normalize-before-dedup step)
+    "dedup_exact_norm" -> ((s, dir) => {
+      val base = tbl(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = base
+        .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionByName(base.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("  "), col("text"), lit(" !!,")).as("text")))
+      Dedup.exactCanon(
+        variants.withColumn("text", TextFunctions.normalizeText(col("text"))),
+        "doc_id", "text")
+    }),
+
     // group-wise EXACT quantiles over a value histogram: per source,
     // p50/p90/p99 document length — the rank window runs over DISTINCT
     // (source, n_chars) rows, never documents (the CorpusProfile method
@@ -1373,6 +1390,19 @@ object SparkEntry {
          |       CAST(count(*) AS BIGINT) total_freq
          |FROM tok GROUP BY token
          |ORDER BY doc_freq DESC, total_freq DESC, token LIMIT 100""".stripMargin,
+
+    // the same variant injection + normalization chain, replayed with
+    // the identical explicit regex classes (g flag: DuckDB replaces the
+    // first match only by default, Spark replaces all)
+    "dedup_exact_norm" ->
+      """WITH v AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, '  ' || text || ' !!,' FROM documents),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS text FROM v)
+        |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon_id FROM n""".stripMargin,
 
     // histogram + cumsum + explicit-rank integer test, identical to the
     // Spark formulation (100·cum >= q·n picks the ceil(q/100·n)-th

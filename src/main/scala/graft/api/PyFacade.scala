@@ -174,6 +174,11 @@ object PyFacade {
   def tfidfTopM(df: DataFrame, idCol: String, textCol: String, m: Int): DataFrame =
     TextFunctions.tfidfTopM(df, idCol, textCol, m)
 
+  /** Dedup-keying normalization of `textCol` into `outCol`: lowercase,
+    * non-alphanumerics to spaces, runs collapsed, trimmed. */
+  def normalizeText(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, TextFunctions.normalizeText(col(textCol)))
+
   /** Group-wise exact quantiles over a value histogram:
     * (groupCols..., n, min_<v>, max_<v>, p<q>...). */
   def groupQuantiles(df: DataFrame, groupColsCsv: String, valueCol: String,

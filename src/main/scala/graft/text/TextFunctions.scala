@@ -46,6 +46,17 @@ object TextFunctions {
 
   def tokenCount(toks: Column): Column = size(toks).cast("long")
 
+  /** Aggressive normalization for DEDUP KEYING — the C4/CCNet first
+    * step before exact/near dedup, so case and punctuation variants of
+    * the same content collapse to one key: ASCII-lowercase, every char
+    * outside `[a-z0-9 ]` replaced by a space (explicit class — no `\W`
+    * shorthand whose Unicode behavior engines disagree on), whitespace
+    * runs collapsed, ends trimmed. Byte-replayable in any regex engine:
+    * `trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ',
+    * 'g'), ' +', ' ', 'g'))`. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** The BPE pre-tokenization pattern, whitespace spelled as EXPLICIT
     * characters: Java's `\s` includes vertical tab (U+000B) but RE2's
     * does not, so a `\s` shorthand would silently diverge between this
