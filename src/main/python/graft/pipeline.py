@@ -429,6 +429,16 @@ def first_per_content(df, text_col="text", ts_col="ts"):
     return _wrap(df, _facade(df).firstPerContent(df._jdf, text_col, ts_col))
 
 
+def sliding_windows(events, width="1 hour", slide="15 minutes", ts_col="ts",
+                    type_col="event_type", value_col="value",
+                    watermark="2 hours"):
+    """Sliding-window counts and exact value sums per event type
+    (batch/stream unified): every event contributes to width/slide
+    overlapping windows -> (win_ts, event_type, cnt, sum_value)."""
+    return _wrap(events, _facade(events).slidingWindows(
+        events._jdf, width, slide, ts_col, type_col, value_col, watermark))
+
+
 def event_sessions(events, ts_col="ts", key_col="user_id",
                    value_col="value", gap="12 hours", watermark="1 day"):
     """Gap-based session windows (batch/stream unified)."""

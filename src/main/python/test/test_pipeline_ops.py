@@ -312,6 +312,15 @@ class TestModelAndProfile(object):
         assert got[1] == (1, round(math.log(3.0 / 7.0) * 1e6) / 1e6)
         assert got[3] == (1, round(math.log(2.0 / 7.0) * 1e6) / 1e6)
 
+    def test_sliding_windows(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("2024-01-01 10:05:00", "click", 2.0)], ["t", "event_type", "value"]
+        ).selectExpr("timestamp(t) as ts", "event_type", "value")
+        got = P.sliding_windows(df).collect()
+        # one event, 1h/15m windows -> exactly 4 overlapping windows
+        assert len(got) == 4
+        assert all(r["cnt"] == 1 and r["sum_value"] == 2.0 for r in got)
+
     def test_normalize_text(self, local_spark):
         df = local_spark.createDataFrame(
             [(1, "Hello,  World!"), (2, "hello world")], ["id", "text"])

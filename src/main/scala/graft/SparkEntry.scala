@@ -839,6 +839,13 @@ object SparkEntry {
       graft.streaming.EventWindows.hourly(microTs(tbl(s, dir, "events")))
     }),
 
+    // sliding windows (1 h width / 15 min slide): every event lands in 4
+    // overlapping windows — the third standard window shape beside
+    // tumbling and sessions, same batch/stream-unified function
+    "events_sliding" -> ((s, dir) =>
+      graft.streaming.EventWindows.sliding(
+        microTs(tbl(s, dir, "events")), width = "1 hour", slide = "15 minutes")),
+
     // gap-based session windows per user — the same batch/stream-unified
     // function a streaming pipeline runs; DuckDB replays the session
     // assignment via the lag/cumulative-sum islands construction
@@ -1818,6 +1825,19 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
         |FROM e ASOF LEFT JOIN h
         |  ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
+
+    // sliding-window replay: each event joins the 4 slide-aligned window
+    // starts covering it ((us//slide - k)·900 for k in 0..3, half-open
+    // [start, start+width) via the strict > test); exact decimal sums
+    "events_sliding" ->
+      """WITH e AS (SELECT event_type, CAST(value AS DECIMAL(38,8)) v,
+        |             epoch_ns(ts) // 1000 us FROM events),
+        |w AS (SELECT event_type, v, (us // 900000000 - k.k) * 900 win_ts
+        |      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+        |      WHERE (us // 900000000 - k.k) * 900000000 > us - 3600000000)
+        |SELECT win_ts, event_type, CAST(count(*) AS BIGINT) cnt,
+        |       CAST(round(sum(v), 2) AS DOUBLE) sum_value
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     // session windows: the lag/cumulative-sum islands construction; a
     // break at gap >= 12h matches Spark's half-open session end (an event

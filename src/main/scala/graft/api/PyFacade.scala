@@ -371,6 +371,14 @@ object PyFacade {
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =
     graft.streaming.StreamingDedup.firstPerContent(df, textCol, tsCol)
 
+  /** Sliding-window counts/sums per event type (batch/stream unified);
+    * width/slide/watermark as Spark interval strings. */
+  def slidingWindows(events: DataFrame, width: String, slide: String,
+      tsCol: String, typeCol: String, valueCol: String,
+      watermark: String): DataFrame =
+    graft.streaming.EventWindows.sliding(events, width, slide,
+      tsCol, typeCol, valueCol, watermark)
+
   /** gap/watermark as Spark interval strings, e.g. "12 hours". */
   def eventSessions(events: DataFrame, tsCol: String, keyCol: String,
       valueCol: String, gap: String, watermark: String): DataFrame =

@@ -42,6 +42,36 @@ object EventWindows {
   }
 
   /**
+   * SLIDING-window counts and value sums per event type — the third
+   * standard window shape beside [[hourly]] (tumbling) and
+   * [[sessions]] (gap): every event contributes to `width/slide`
+   * overlapping windows (rate metrics, moving aggregates). Same
+   * batch/stream unification: streaming maintains one state row per
+   * open (window, type) group and emits on watermark expiry; batch is
+   * the identical plan as a hash aggregate over the window explode.
+   *
+   * Output: win_ts (window START, epoch seconds, long), event_type,
+   * cnt, sum_value (exact decimal sum rounded to cents — the [[hourly]]
+   * bit-stability contract).
+   *
+   * @param width window duration, e.g. "1 hour"
+   * @param slide slide interval, e.g. "15 minutes" — must divide evenly
+   *              into `width` for Spark's window assignment
+   */
+  def sliding(events: DataFrame, width: String, slide: String,
+      tsCol: String = "ts", typeCol: String = "event_type",
+      valueCol: String = "value", watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm
+      .groupBy(window(col(tsCol), width, slide), col(typeCol))
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col(valueCol).cast("decimal(38,8)")), 2).cast("double").as("sum_value"))
+      .select(col("window.start").cast("long").as("win_ts"), col(typeCol),
+        col("cnt"), col("sum_value"))
+  }
+
+  /**
    * Event-time interval join, batch/stream unified: pair every left
    * event with the right-side events of the SAME key whose timestamp
    * falls in `[l.ts + lower, l.ts + upper]` — the correlation join of

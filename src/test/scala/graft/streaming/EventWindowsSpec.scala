@@ -54,6 +54,41 @@ class EventWindowsSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  behavior of "EventWindows.sliding"
+
+  it should "assign every event to width/slide overlapping windows" in {
+    // one event at 10:05 with 1h/15m windows: starts 09:15..10:00
+    val one = toDf(Seq(("2024-01-01 10:05:00", "click", 2.0)))
+    val out = EventWindows.sliding(one, "1 hour", "15 minutes").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def s(t: String) = Timestamp.valueOf(t).getTime / 1000
+    out shouldBe Set(s("2024-01-01 09:15:00") -> 1L, s("2024-01-01 09:30:00") -> 1L,
+      s("2024-01-01 09:45:00") -> 1L, s("2024-01-01 10:00:00") -> 1L)
+  }
+
+  it should "produce the same sliding result through a streaming query" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Double)]
+    val stream = EventWindows.sliding(
+      mem.toDF().toDF("t", "event_type", "value")
+        .selectExpr("timestamp(t) as ts", "event_type", "value"),
+      "1 hour", "15 minutes")
+    stream.isStreaming shouldBe true
+    val q = stream.writeStream.format("memory").queryName("ew_slide")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("ew_slide").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      val batch = EventWindows.sliding(toDf(rows), "1 hour", "15 minutes").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+      got shouldBe batch
+      // every event is in exactly 4 windows
+      batch.toSeq.map(_._3).sum shouldBe rows.size * 4L
+    } finally q.stop()
+  }
+
   behavior of "EventWindows.intervalJoin"
 
   private val clickRows = Seq(
