@@ -142,12 +142,14 @@ object ScaleBench {
     // ×f, exactly how event data actually scales); ts/value unchanged
     def events(f: Int): DataFrame =
       SparkEntry.microTs(spark.read.parquet(s"$sfDir/events.parquet"))
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("event_type"))
         .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
-          col("event_id"), col("user_id"), col("ts"), col("value"))
+          col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("event_type"))
         .select((col("event_id") + col("__k") * lit(1000000000L)).as("event_id"),
           (col("user_id") + col("__k") * lit(1000000L)).as("user_id"),
-          col("ts"), col("value"))
+          col("ts"), col("value"), col("event_type"))
 
     // range join: inflate the POINTS side only (balances shifted by copy
     // so band membership varies per copy); interval side fixed — output
@@ -366,6 +368,35 @@ object ScaleBench {
       "q_quantiles" -> (() =>
         graft.stats.GroupStats.quantiles(docsFull(f), Seq("source"),
           "n_chars", Seq(50, 90, 99))),
+      // left-outer as-of: same O(L+R) keyed-shuffle shape as the inner
+      // gate rows plus the outer union-back — rows = |L| exactly at
+      // every factor (the outer contract), shuffle ∝ f like the inner.
+      // The filter must REFERENCE the matched column: unlike the inner
+      // variant (whose match filter needs the carry), the left path
+      // leaves the carry window unreferenced under count() and Catalyst
+      // eliminates the whole O(L+R) shuffle (the sample_split lesson)
+      "j_asof_left" -> (() => {
+        val (ev, hourly) = asofInputs(f)
+        graft.join.AsOfJoin.asof(ev, hourly,
+          keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end",
+          joinType = "left")
+          .where(coalesce(col("h_value"), lit(0.0)) > lit(-1e18))
+      }),
+      // normalized exact dedup: regex normalization is map-only; the
+      // dedup shuffle carries 16-byte digests ∝ f (suffixed copies keep
+      // texts distinct across copies, so canon groups grow ∝ f too)
+      "dedup_exact_norm" -> (() =>
+        Dedup.exactCanon(
+          docs(f).withColumn("text",
+            graft.text.TextFunctions.normalizeText(col("text"))),
+          "doc_id", "text")),
+      // sliding windows: 4x window explode of the tumbling shape — the
+      // agg shuffle is keyed by (window, type) groups, which grow with
+      // the time-range (fixed) x types (fixed), so shuffle stays
+      // ~CONSTANT while the scan grows xf and cnt sums grow xf
+      "events_sliding" -> (() =>
+        graft.streaming.EventWindows.sliding(
+          events(f), width = "1 hour", slide = "15 minutes")),
       // batch shape of the stream-stream interval join: inflation keeps
       // per-user timeline density constant (users ×f), so same-user
       // pairs within the 30-minute bound — the streaming state-size
