@@ -38,6 +38,11 @@ object SparkEntry {
   private def lonSql(key: String) = s"((($key*7919 + 104729) % 1200000)/10000.0 - 60.0)"
   private def latSql(key: String) = s"((($key*6007 + 15485863) % 900000)/10000.0 - 45.0)"
 
+  /** Fresh temp directory for a persistence-gate model artifact — the
+    * gate queries write under java.io.tmpdir, never the repo tree. */
+  private def modelTmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
+
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -594,6 +599,18 @@ object SparkEntry {
         NgramLm.train(docs, "text", minCount = 2L))
     }),
 
+    // persistence round-trip: train the SAME bigram LM, save its three
+    // count tables as parquet (ModelStore), reload, and score with the
+    // RELOADED artifact — hash-compared to the same exact-replay oracle
+    // as text_lm_logp, so save/load changing ANY count or V fails the
+    // gate
+    "text_lm_saved" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = modelTmp("lm")
+      graft.ml.ModelStore.saveBigramLm(NgramLm.train(docs, "text", minCount = 2L), path)
+      NgramLm.score(docs, "doc_id", "text", graft.ml.ModelStore.loadBigramLm(s, path))
+    }),
+
     // model-based quality filter: logistic scoring with FIXED literal
     // weights over four exact-arithmetic features (the trained-weights
     // path is pinned by LogisticSpec — gate rows hash bit-exactly, so
@@ -770,6 +787,38 @@ object SparkEntry {
       graft.similarity.ProductQuantizer.topK(
         emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
         cb, shortlist = Int.MaxValue)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
+    // persistence round-trips for the ANN trained state: train, save the
+    // artifact as parquet (ModelStore), reload, serve with the RELOADED
+    // state. Both gates keep their twins' structurally-exact settings
+    // (nprobe = nlist / unbounded shortlist), so the exact oracle holds
+    // for any artifact CONTENT — what the hash pins is that save/load
+    // preserves the state bit-for-bit enough to reproduce the same
+    // serving plan (centroid cells, codebook assignments, exact re-rank)
+    "simsearch_ivf_saved" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.similarity.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", nlist = 8, iters = 2)
+      val path = modelTmp("ivf")
+      graft.ml.ModelStore.saveCentroids(cents, path)
+      graft.similarity.Similarity.ivfTopKWith(
+        emb.where(col("vec_id") < 20), emb,
+        graft.ml.ModelStore.loadCentroids(s, path),
+        "vec_id", "embedding", k = 10, nprobe = 8)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
+    "simsearch_pq_saved" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cb = graft.similarity.ProductQuantizer.train(
+        emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+      val path = modelTmp("pq")
+      graft.ml.ModelStore.savePq(s, cb, path)
+      graft.similarity.ProductQuantizer.topK(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
+        graft.ml.ModelStore.loadPq(s, path), shortlist = Int.MaxValue)
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
@@ -1090,6 +1139,35 @@ object SparkEntry {
       |  SELECT qid, cid, cos_r6,
       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
       |  FROM s) WHERE rnk <= 10""".stripMargin
+
+  // bigram-LM exact replay — oracle for BOTH text_lm_logp and
+  // text_lm_saved (the reloaded artifact must reproduce the fresh
+  // model's scores exactly; see the map entries for the full contract)
+  private lazy val textLmLogpSql =
+    s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+       |e AS (SELECT doc_id, unnest(ws) w, generate_subscripts(ws, 1) pos FROM t),
+       |uni AS (SELECT w, count(*) c FROM e GROUP BY 1),
+       |voc AS (SELECT w FROM uni WHERE c >= 2),
+       |vs AS (SELECT CAST(count(*) + 1 AS BIGINT) v FROM voc),
+       |mp AS (SELECT e.doc_id, e.pos,
+       |         CASE WHEN voc.w IS NULL THEN '<unk>' ELSE e.w END mw
+       |       FROM e LEFT JOIN voc ON e.w = voc.w),
+       |arr AS (SELECT doc_id, list(mw ORDER BY pos) a FROM mp GROUP BY 1),
+       |bg AS (SELECT doc_id, unnest([a[i] || ' ' || a[i+1] for i in range(1, len(a))]) b FROM arr),
+       |lm2 AS (SELECT b, count(*) c12 FROM bg GROUP BY 1),
+       |ctx AS (SELECT string_split(b, ' ')[1] w1, sum(c12) c1 FROM lm2 GROUP BY 1),
+       |term AS (SELECT g.doc_id,
+       |    CAST(round(ln(CAST(coalesce(l.c12, 0) + 1 AS DOUBLE)
+       |      / CAST(coalesce(x.c1, 0) + vs.v AS DOUBLE)) * 1000000.0, 0) AS BIGINT) tt
+       |  FROM bg g LEFT JOIN lm2 l ON g.b = l.b
+       |  LEFT JOIN ctx x ON string_split(g.b, ' ')[1] = x.w1
+       |  CROSS JOIN vs),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb, sum(tt) s FROM term GROUP BY 1),
+       |av AS (SELECT doc_id, nb, CASE WHEN s >= 0 THEN (s * 2 + nb) // (nb * 2)
+       |         ELSE -(((-s) * 2 + nb) // (nb * 2)) END m FROM sc)
+       |SELECT d.doc_id, coalesce(nb, 0) n_bigrams,
+       |       coalesce(CAST(m AS DOUBLE) / 1000000.0, 0.0) bi_logp_r6
+       |FROM documents d LEFT JOIN av ON d.doc_id = av.doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
 
@@ -1557,31 +1635,12 @@ object SparkEntry {
     // 'w1 w2' string key is unambiguous), Laplace (c12+1)/(c1+V), and
     // the micro-nat contract: round(ln·1e6) AS BIGINT summed exactly —
     // both engines round half away from zero at 0 places
-    "text_lm_logp" ->
-      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
-         |e AS (SELECT doc_id, unnest(ws) w, generate_subscripts(ws, 1) pos FROM t),
-         |uni AS (SELECT w, count(*) c FROM e GROUP BY 1),
-         |voc AS (SELECT w FROM uni WHERE c >= 2),
-         |vs AS (SELECT CAST(count(*) + 1 AS BIGINT) v FROM voc),
-         |mp AS (SELECT e.doc_id, e.pos,
-         |         CASE WHEN voc.w IS NULL THEN '<unk>' ELSE e.w END mw
-         |       FROM e LEFT JOIN voc ON e.w = voc.w),
-         |arr AS (SELECT doc_id, list(mw ORDER BY pos) a FROM mp GROUP BY 1),
-         |bg AS (SELECT doc_id, unnest([a[i] || ' ' || a[i+1] for i in range(1, len(a))]) b FROM arr),
-         |lm2 AS (SELECT b, count(*) c12 FROM bg GROUP BY 1),
-         |ctx AS (SELECT string_split(b, ' ')[1] w1, sum(c12) c1 FROM lm2 GROUP BY 1),
-         |term AS (SELECT g.doc_id,
-         |    CAST(round(ln(CAST(coalesce(l.c12, 0) + 1 AS DOUBLE)
-         |      / CAST(coalesce(x.c1, 0) + vs.v AS DOUBLE)) * 1000000.0, 0) AS BIGINT) tt
-         |  FROM bg g LEFT JOIN lm2 l ON g.b = l.b
-         |  LEFT JOIN ctx x ON string_split(g.b, ' ')[1] = x.w1
-         |  CROSS JOIN vs),
-         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) nb, sum(tt) s FROM term GROUP BY 1),
-         |av AS (SELECT doc_id, nb, CASE WHEN s >= 0 THEN (s * 2 + nb) // (nb * 2)
-         |         ELSE -(((-s) * 2 + nb) // (nb * 2)) END m FROM sc)
-         |SELECT d.doc_id, coalesce(nb, 0) n_bigrams,
-         |       coalesce(CAST(m AS DOUBLE) / 1000000.0, 0.0) bi_logp_r6
-         |FROM documents d LEFT JOIN av ON d.doc_id = av.doc_id""".stripMargin,
+    "text_lm_logp" -> textLmLogpSql,
+
+    // same replay: the saved-then-reloaded LM must reproduce the fresh
+    // model's scores exactly (parquet round-trips the counts, V derives
+    // from the reloaded vocab)
+    "text_lm_saved" -> textLmLogpSql,
 
     // logit chain generated from the SAME QscoreWeights as the query
     // (left-associated `bias + w1*f1 + w2*f2 + ...` — SQL `+` is
@@ -1727,6 +1786,11 @@ object SparkEntry {
     // PQ gate: the unbounded shortlist makes the row structurally exact
     // (every candidate is exact-re-ranked), so the exact oracle applies
     "simsearch_pq" -> simsearchExactTopkSql,
+
+    // persistence round-trips keep the structurally-exact settings, so
+    // the same exact oracle pins serve-with-RELOADED-state
+    "simsearch_ivf_saved" -> simsearchExactTopkSql,
+    "simsearch_pq_saved" -> simsearchExactTopkSql,
 
     "setop_keys" ->
       """SELECT k, 'buyer' tag FROM

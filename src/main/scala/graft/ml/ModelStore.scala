@@ -1,0 +1,136 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Parquet persistence for every trained-state artifact in the engine —
+ * the "train once, score for months" contract a production pipeline
+ * needs that in-process model objects cannot provide. One save/load
+ * pair per model family:
+ *
+ *  - IVF coarse-quantizer centroids ([[graft.similarity.Similarity.trainCentroids]])
+ *  - PQ codebooks ([[graft.similarity.ProductQuantizer.Codebooks]])
+ *  - bigram-LM count tables ([[graft.text.NgramLm.BigramLm]])
+ *  - logistic quality-model weights ([[Logistic.Model]])
+ *
+ * Design rules, applied uniformly:
+ *
+ *  - **Parquet is the artifact format** — readable by any engine
+ *    (including the DuckDB oracle), schema-carrying, and atomic via the
+ *    usual `_SUCCESS`-marker directory commit. No JSON/pickle sidecars;
+ *    every hyperparameter that load needs is DERIVED from the data
+ *    (PQ's m/ksub/dsub from the row ranges, LM's V from the vocab
+ *    count) so an artifact can never disagree with its own metadata.
+ *  - **Driver-bounded tables coalesce to one file** (centroids,
+ *    codebooks, weights — all ≤ ksub·dim values by construction);
+ *    corpus-sized tables (the LM's vocab/bigrams/contexts) keep their
+ *    natural partitioning — at 100 TB the bigram table is itself big
+ *    data and must not funnel through one task.
+ *  - **Round-trip exactness**: doubles pass through parquet bit-for-bit,
+ *    so score-with-reloaded-state equals score-with-fresh-state on the
+ *    same input — pinned by the `simsearch_ivf_saved` /
+ *    `simsearch_pq_saved` / `text_lm_saved` gate rows (hash-compared to
+ *    the same oracles as their fresh-state twins) and by
+ *    ModelStoreSpec's bit-exact weight comparisons.
+ *
+ * Reference: vasnake SpatialJoinTransformer persists only its 12 string
+ * params (ML Pipeline save/load); it has no trained state to store —
+ * this file extends the surface, citing no reference behavior.
+ */
+object ModelStore {
+
+  /** Save IVF centroids — expects the (cell, vector) frame
+    * [[graft.similarity.Similarity.trainCentroids]] returns. nlist rows:
+    * single-file artifact. */
+  def saveCentroids(centroids: DataFrame, path: String): Unit =
+    centroids.coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load IVF centroids for [[graft.similarity.Similarity.ivfTopKWith]].
+    * Cell order is restored by sorting — parquet row order within a file
+    * is stable, but re-sorting makes the contract explicit. */
+  def loadCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).orderBy("cell")
+
+  /** Save PQ codebooks as (j, code, cent) rows — m·ksub rows, one file.
+    * dim/m/ksub/dsub are all derivable from the rows, so there is no
+    * metadata to desynchronize. */
+  def savePq(spark: SparkSession, cb: graft.similarity.ProductQuantizer.Codebooks,
+      path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- 0 until cb.m
+      c <- 0 until cb.ksub
+    } yield (j, c, cb.cents(j)(c).toSeq)
+    rows.toDF("j", "code", "cent").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load PQ codebooks: m = max(j)+1, ksub = max(code)+1, dsub = |cent|,
+    * dim = m·dsub. A sparse artifact (missing (j, code) pair) fails
+    * loudly rather than silently zero-filling. */
+  def loadPq(spark: SparkSession, path: String): graft.similarity.ProductQuantizer.Codebooks = {
+    val rows = spark.read.parquet(path)
+      .select(col("j").cast("int"), col("code").cast("int"), col("cent").cast("array<double>"))
+      .collect()
+    require(rows.nonEmpty, s"empty PQ codebook artifact at $path")
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val byKey = rows.map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+    require(byKey.size == m * ksub,
+      s"sparse PQ codebook artifact at $path: ${byKey.size} of ${m * ksub} (j, code) cells")
+    val cents = Array.tabulate(m)(j => Array.tabulate(ksub)(c => byKey((j, c))))
+    val dim = m * cents.head.head.length
+    graft.similarity.ProductQuantizer.Codebooks(dim, m, cents)
+  }
+
+  /** Save a trained bigram LM as three parquet tables under `path`
+    * (`vocab/`, `bigrams/`, `contexts/`). These are corpus-derived and
+    * potentially large — natural partitioning is kept (no coalesce). */
+  def saveBigramLm(lm: graft.text.NgramLm.BigramLm, path: String): Unit = {
+    lm.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+  }
+
+  /** Load a bigram LM. `vocabSizeRow` (V = |vocab| + 1) is recomputed
+    * lazily from the reloaded vocab — the one number that COULD have
+    * been stored as metadata is derived instead, so it cannot drift. */
+  def loadBigramLm(spark: SparkSession, path: String): graft.text.NgramLm.BigramLm = {
+    val vocab = spark.read.parquet(s"$path/vocab")
+    graft.text.NgramLm.BigramLm(
+      vocab,
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/contexts"),
+      vocab.agg((count(lit(1)) + 1L).as("v")))
+  }
+
+  /** Save a logistic model as (kind, idx, value) rows: kind `w` idx i =
+    * weight i, kind `b` = bias, kind `loss` idx i = iteration-i mean
+    * log-loss (the training trajectory travels with the artifact). */
+  def saveLogistic(spark: SparkSession, model: Logistic.Model, path: String): Unit = {
+    import spark.implicits._
+    val rows =
+      model.weights.toSeq.zipWithIndex.map { case (w, i) => ("w", i, w) } ++
+        Seq(("b", 0, model.bias)) ++
+        model.losses.toSeq.zipWithIndex.map { case (l, i) => ("loss", i, l) }
+    rows.toDF("kind", "idx", "value").coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a logistic model — weights/bias/losses reassembled by kind and
+    * index; doubles round-trip parquet bit-for-bit, so
+    * `loaded.logitCol` is the SAME expression as the fresh model's. */
+  def loadLogistic(spark: SparkSession, path: String): Logistic.Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("kind"), col("idx").cast("int"), col("value").cast("double"))
+      .collect()
+    def series(kind: String): Array[Double] = {
+      val xs = rows.filter(_.getString(0) == kind).map(r => r.getInt(1) -> r.getDouble(2))
+      require(xs.map(_._1).sorted.sameElements(xs.indices.toArray),
+        s"non-contiguous '$kind' indices in logistic artifact at $path")
+      xs.sortBy(_._1).map(_._2)
+    }
+    val bias = series("b")
+    require(bias.length == 1, s"expected one bias row at $path, got ${bias.length}")
+    Logistic.Model(series("w"), bias.head, series("loss"))
+  }
+}
