@@ -456,3 +456,68 @@ def interval_join(left, right, key_col, left_ts_col, right_ts_col,
     return _wrap(left, _facade(left).intervalJoin(
         left._jdf, right._jdf, key_col, left_ts_col, right_ts_col,
         upper, lower, watermark))
+
+
+# --- trained-state persistence -------------------------------------------
+
+def train_and_save_centroids(candidates, path, id_col="vec_id",
+                             vec_col="embedding", nlist=16, iters=5):
+    """Train IVF centroids and persist the parquet artifact at ``path``;
+    returns the centroid frame that was saved."""
+    return _wrap(candidates, _facade(candidates).trainAndSaveCentroids(
+        candidates._jdf, id_col, vec_col, int(nlist), int(iters), path))
+
+
+def load_centroids(anchor, path):
+    """Reload a centroid artifact (feed to :func:`ivf_top_k_with`).
+    ``anchor`` is any DataFrame of the target session."""
+    return _wrap(anchor, _facade(anchor).loadCentroids(anchor._jdf, path))
+
+
+def train_and_save_pq(candidates, path, id_col="vec_id",
+                      vec_col="embedding", m=8, ksub=16, iters=2):
+    """Train PQ codebooks and persist them at ``path``."""
+    _facade(candidates).trainAndSavePq(
+        candidates._jdf, id_col, vec_col, int(m), int(ksub), int(iters), path)
+
+
+def pq_top_k_from_artifact(queries, candidates, path, id_col="vec_id",
+                           vec_col="embedding", k=10, shortlist=0):
+    """PQ ANN served from a RELOADED codebook artifact — the
+    train-once-score-for-months path. ``shortlist<=0`` = unbounded."""
+    return _wrap(queries, _facade(queries).pqTopKFromArtifact(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k), path,
+        int(shortlist)))
+
+
+def train_and_save_bigram_lm(ref, path, ref_text_col="text", min_count=1):
+    """Train an add-one bigram LM on ``ref`` and persist its count
+    tables (vocab/bigrams/contexts parquet) at ``path``."""
+    _facade(ref).trainAndSaveBigramLm(ref._jdf, ref_text_col,
+                                      int(min_count), path)
+
+
+def bigram_lm_score_from_artifact(df, path, id_col="doc_id",
+                                  text_col="text"):
+    """Bigram-LM scoring from a RELOADED artifact — identical output to
+    :func:`bigram_lm_score` trained fresh on the same reference."""
+    return _wrap(df, _facade(df).bigramLmScoreFromArtifact(
+        df._jdf, id_col, text_col, path))
+
+
+def train_and_save_quality_model(df, path, id_col="doc_id",
+                                 text_col="text", label_col="y",
+                                 iters=20, lr=1.0, l2=0.0):
+    """Train a logistic quality model on the standard 4-feature profile
+    and persist weights + bias + loss trajectory at ``path``."""
+    _facade(df).trainAndSaveQualityModel(
+        df._jdf, id_col, text_col, label_col, int(iters), float(lr),
+        float(l2), path)
+
+
+def quality_score_from_artifact(df, path, id_col="doc_id",
+                                text_col="text"):
+    """Quality scoring from a RELOADED weight artifact:
+    (id_col, q_score)."""
+    return _wrap(df, _facade(df).qualityScoreFromArtifact(
+        df._jdf, id_col, text_col, path))

@@ -383,3 +383,52 @@ class TestModelAndProfile(object):
                   got.groupBy("stratum").agg(F.count("*").alias("n")).collect()}
         assert counts["a"] == 100  # binding stratum kept whole
         assert 60 <= counts["b"] <= 140  # ~100 of 4000 at the derived rate
+
+
+class TestModelStore(object):
+    """Persistence round-trips: serve-with-reloaded-state must equal
+    serve-with-fresh-state."""
+
+    def test_centroid_artifact_round_trip(self, vecs, tmp_path):
+        path = str(tmp_path / "ivf")
+        cents = P.train_and_save_centroids(vecs, path, nlist=2, iters=2)
+        reloaded = P.load_centroids(vecs, path)
+        assert (sorted(tuple(r) for r in reloaded.collect())
+                == sorted(tuple(r) for r in cents.collect()))
+        q = vecs.where("vec_id = 0")
+        fresh = sorted(tuple(r) for r in P.ivf_top_k_with(
+            q, vecs, cents, k=2, nprobe=2).collect())
+        served = sorted(tuple(r) for r in P.ivf_top_k_with(
+            q, vecs, reloaded, k=2, nprobe=2).collect())
+        assert served == fresh
+
+    def test_pq_artifact_round_trip(self, vecs, tmp_path):
+        path = str(tmp_path / "pq")
+        P.train_and_save_pq(vecs, path, m=3, ksub=2, iters=2)
+        q = vecs.where("vec_id = 0")
+        fresh = sorted(tuple(r) for r in P.pq_top_k(
+            q, vecs, k=2, m=3, ksub=2, iters=2).collect())
+        served = sorted(tuple(r) for r in P.pq_top_k_from_artifact(
+            q, vecs, path, k=2).collect())
+        assert served == fresh
+
+    def test_bigram_lm_artifact_round_trip(self, docs, tmp_path):
+        path = str(tmp_path / "lm")
+        P.train_and_save_bigram_lm(docs, path, min_count=2)
+        fresh = sorted(tuple(r) for r in P.bigram_lm_score(
+            docs, min_count=2).collect())
+        served = sorted(tuple(r) for r in
+                        P.bigram_lm_score_from_artifact(docs, path).collect())
+        assert served == fresh
+
+    def test_quality_model_artifact_round_trip(self, docs, local_spark, tmp_path):
+        path = str(tmp_path / "logit")
+        labeled = docs.selectExpr("doc_id", "text",
+                                  "cast(doc_id % 2 as int) as y")
+        P.train_and_save_quality_model(labeled, path, iters=3, lr=0.5)
+        scored = {r["doc_id"]: r["q_score"] for r in
+                  P.quality_score_from_artifact(docs, path).collect()}
+        assert set(scored) == {0, 1, 2, 3, 4}
+        assert all(0.0 <= s <= 1.0 for s in scored.values())
+        # identical texts score identically under the reloaded model
+        assert scored[0] == scored[3]

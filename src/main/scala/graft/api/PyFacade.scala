@@ -233,16 +233,90 @@ object PyFacade {
   def trainQualityScore(df: DataFrame, idCol: String, textCol: String,
       labelCol: String, iters: Int, lr: Double, l2: Double): DataFrame = {
     import org.apache.spark.sql.functions._
-    val feats = df.select(col(idCol), col(labelCol),
-      TextFunctions.tokens(col(textCol)).as("__ws"))
-      .select(col(idCol), col(labelCol), array(
+    val feats = qualityFeatures(df, idCol, textCol, Seq(labelCol))
+    val model = graft.ml.Logistic.train(feats, "__f", labelCol, iters, lr, l2)
+    feats.select(col(idCol), col(labelCol), model.scoreCol(col("__f")).as("q_score"))
+  }
+
+  /** The standard 4-feature text profile as an `__f` array column (stop
+    * ratio, distinct ratio, capped length/1000, avg token len) — shared
+    * by the fresh-train and from-artifact quality-score paths so the two
+    * can never drift. */
+  private def qualityFeatures(df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col(idCol) +: carry.map(col) :+
+        TextFunctions.tokens(col(textCol)).as("__ws"): _*)
+      .select(col(idCol) +: carry.map(col) :+ array(
         coalesce(TextFunctions.stopwordRatio(col("__ws")), lit(0.0d)),
         coalesce(TextFunctions.distinctTokenRatio(col("__ws")), lit(0.0d)),
         coalesce(when(size(col("__ws")) > 0,
           least(size(col("__ws")).cast("double") / lit(1000.0d), lit(1.0d))), lit(0.0d)),
-        coalesce(TextFunctions.avgTokenLen(col("__ws")), lit(0.0d))).as("__f"))
-    val model = graft.ml.Logistic.train(feats, "__f", labelCol, iters, lr, l2)
-    feats.select(col(idCol), col(labelCol), model.scoreCol(col("__f")).as("q_score"))
+        coalesce(TextFunctions.avgTokenLen(col("__ws")), lit(0.0d))).as("__f"): _*)
+  }
+
+  // --- trained-state persistence (graft.ml.ModelStore) ------------------
+
+  /** Train IVF centroids and persist the parquet artifact at `path`;
+    * returns the centroid frame that was saved. */
+  def trainAndSaveCentroids(candidates: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int, path: String): DataFrame = {
+    val cents = Similarity.trainCentroids(candidates, idCol, vecCol, nlist, iters)
+    graft.ml.ModelStore.saveCentroids(cents, path)
+    cents
+  }
+
+  /** Reload a centroid artifact (feed to [[ivfTopKWith]]). `anchor` is
+    * any DataFrame of the target session — py4j callers pass a frame,
+    * not a session. */
+  def loadCentroids(anchor: DataFrame, path: String): DataFrame =
+    graft.ml.ModelStore.loadCentroids(anchor.sparkSession, path)
+
+  /** Train PQ codebooks and persist them at `path`. */
+  def trainAndSavePq(candidates: DataFrame, idCol: String, vecCol: String,
+      m: Int, ksub: Int, iters: Int, path: String): Unit =
+    graft.ml.ModelStore.savePq(candidates.sparkSession,
+      graft.similarity.ProductQuantizer.train(candidates, idCol, vecCol, m, ksub, iters),
+      path)
+
+  /** PQ ANN served from a RELOADED codebook artifact — the
+    * train-once-score-for-months path. `shortlist <= 0` = unbounded. */
+  def pqTopKFromArtifact(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, path: String, shortlist: Int): DataFrame =
+    graft.similarity.ProductQuantizer.topK(queries, candidates, idCol, vecCol, k,
+      graft.ml.ModelStore.loadPq(queries.sparkSession, path),
+      if (shortlist <= 0) Int.MaxValue else shortlist)
+
+  /** Train an add-one bigram LM on `ref` and persist its count tables. */
+  def trainAndSaveBigramLm(ref: DataFrame, refTextCol: String, minCount: Long,
+      path: String): Unit =
+    graft.ml.ModelStore.saveBigramLm(
+      graft.text.NgramLm.train(ref, refTextCol, minCount), path)
+
+  /** Bigram-LM scoring from a RELOADED artifact — identical output to
+    * [[bigramLmScore]] trained fresh on the same reference corpus. */
+  def bigramLmScoreFromArtifact(df: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame =
+    graft.text.NgramLm.score(df, idCol, textCol,
+      graft.ml.ModelStore.loadBigramLm(df.sparkSession, path))
+
+  /** Train a logistic quality model on the standard 4-feature profile
+    * and persist weights + bias + loss trajectory at `path`. */
+  def trainAndSaveQualityModel(df: DataFrame, idCol: String, textCol: String,
+      labelCol: String, iters: Int, lr: Double, l2: Double, path: String): Unit = {
+    val feats = qualityFeatures(df, idCol, textCol, Seq(labelCol))
+    graft.ml.ModelStore.saveLogistic(df.sparkSession,
+      graft.ml.Logistic.train(feats, "__f", labelCol, iters, lr, l2), path)
+  }
+
+  /** Quality scoring from a RELOADED weight artifact:
+    * (idCol, q_score). */
+  def qualityScoreFromArtifact(df: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val model = graft.ml.ModelStore.loadLogistic(df.sparkSession, path)
+    qualityFeatures(df, idCol, textCol, Nil)
+      .select(col(idCol), model.scoreCol(col("__f")).as("q_score"))
   }
 
   /** Benchmark decontamination: contaminated corpus docs as

@@ -125,7 +125,7 @@ object ModelStore {
       .collect()
     def series(kind: String): Array[Double] = {
       val xs = rows.filter(_.getString(0) == kind).map(r => r.getInt(1) -> r.getDouble(2))
-      require(xs.map(_._1).sorted.sameElements(xs.indices.toArray),
+      require(xs.map(_._1).sorted.toSeq == xs.indices.toSeq,
         s"non-contiguous '$kind' indices in logistic artifact at $path")
       xs.sortBy(_._1).map(_._2)
     }

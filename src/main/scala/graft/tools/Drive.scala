@@ -13,6 +13,14 @@ object Drive {
       .appName("graft-drive")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false")
+      // the adaptive timestamp-read contract every harness session pins
+      // (Bench/Verify/ScaleBench/SparkTestKit): nanos-encoded events read
+      // as ns longs instead of throwing, micros-encoded events read as
+      // plain TimestampType on a UTC session so epoch arithmetic is
+      // value-preserving whichever encoding the data generator shipped
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val dir = "/root/testdata/sf0.001"
@@ -468,6 +476,41 @@ object Drive {
         Seq("user_id"), "ts", "h_end", joinType = "left").count()
       println(s"rows=$leftJ left-asof (inner=$inner, left keeps all=" +
         s"${leftJ == ev.count()}) (expect true)")
+    }
+
+    println("=== 28. trained-state persistence: save/load/serve round-trips (round-7) ===")
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val base = java.nio.file.Files.createTempDirectory("graft-drive-models-").toString
+      // IVF: reloaded centroids serve the same rows as fresh ones
+      val cents = graft.similarity.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", nlist = 4, iters = 2)
+      graft.ml.ModelStore.saveCentroids(cents, s"$base/ivf")
+      val q = emb.where(col("vec_id") < 5)
+      val fresh = graft.similarity.Similarity.ivfTopKWith(
+        q, emb, cents, "vec_id", "embedding", k = 5, nprobe = 4)
+      val served = graft.similarity.Similarity.ivfTopKWith(
+        q, emb, graft.ml.ModelStore.loadCentroids(spark, s"$base/ivf"),
+        "vec_id", "embedding", k = 5, nprobe = 4)
+      val ivfDiff = served.exceptAll(fresh).count() + fresh.exceptAll(served).count()
+      println(s"rows=${served.count()} ivf-from-artifact (diff vs fresh=$ivfDiff, expect 0)")
+      // bigram LM: reloaded tables reproduce fresh scores exactly
+      val lm = graft.text.NgramLm.train(docs, "text", minCount = 2L)
+      graft.ml.ModelStore.saveBigramLm(lm, s"$base/lm")
+      val lmFresh = graft.text.NgramLm.score(docs, "doc_id", "text", lm)
+      val lmServed = graft.text.NgramLm.score(docs, "doc_id", "text",
+        graft.ml.ModelStore.loadBigramLm(spark, s"$base/lm"))
+      val lmDiff = lmServed.exceptAll(lmFresh).count() + lmFresh.exceptAll(lmServed).count()
+      println(s"rows=${lmServed.count()} lm-from-artifact (diff vs fresh=$lmDiff, expect 0)")
+      // logistic: weights/bias/losses bit-exact through parquet
+      val model = graft.ml.Logistic.Model(Array(2.0, 1.5, 0.5), -1.0, Array(0.693))
+      graft.ml.ModelStore.saveLogistic(spark, model, s"$base/logit")
+      val re = graft.ml.ModelStore.loadLogistic(spark, s"$base/logit")
+      val ok = re.weights.sameElements(model.weights) && re.bias == model.bias &&
+        re.losses.sameElements(model.losses)
+      if (ok) println("OK logistic artifact bit-exact round-trip")
+      else println("ERROR logistic artifact mismatch")
     }
 
     spark.stop()
