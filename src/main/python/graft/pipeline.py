@@ -521,3 +521,33 @@ def quality_score_from_artifact(df, path, id_col="doc_id",
     (id_col, q_score)."""
     return _wrap(df, _facade(df).qualityScoreFromArtifact(
         df._jdf, id_col, text_col, path))
+
+
+# --- corpus-trained BPE --------------------------------------------------
+
+def bpe_train(df, text_col="text", rounds=32):
+    """Learn a BPE merge table from the corpus' word-frequency
+    distribution: (merge_rank, lft, rgt, pair_cnt). Persist it as
+    parquet and feed it back to the serving calls below."""
+    return _wrap(df, _facade(df).bpeTrain(df._jdf, text_col, int(rounds)))
+
+
+def bpe_segment(df, merges, id_col="doc_id", text_col="text"):
+    """Trained-subword tokens per document: (id_col, subwords)."""
+    return _wrap(df, _facade(df).bpeSegment(df._jdf, id_col, text_col,
+                                            merges._jdf))
+
+
+def bpe_counts(df, merges, id_col="doc_id", text_col="text"):
+    """Trained-subword counts per document: (id_col, n_bpe)."""
+    return _wrap(df, _facade(df).bpeCounts(df._jdf, id_col, text_col,
+                                           merges._jdf))
+
+
+def pack_sequences_bpe(df, merges, id_col="doc_id", text_col="text",
+                       budget=2048, target_groups=4096):
+    """:func:`pack_sequences` billing REAL trained subwords against the
+    budget — the production token-budget shape."""
+    return _wrap(df, _facade(df).packSequencesBpe(
+        df._jdf, id_col, text_col, int(budget), merges._jdf,
+        int(target_groups)))

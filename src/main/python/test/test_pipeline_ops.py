@@ -432,3 +432,28 @@ class TestModelStore(object):
         assert all(0.0 <= s <= 1.0 for s in scored.values())
         # identical texts score identically under the reloaded model
         assert scored[0] == scored[3]
+
+
+class TestBpe(object):
+
+    def test_train_segment_and_pack(self, docs, local_spark):
+        merges = P.bpe_train(docs, rounds=3)
+        rows = sorted(tuple(r) for r in merges.collect())
+        assert len(rows) == 3
+        # lossless segmentation: subwords reassemble each word
+        seg = P.bpe_segment(docs, merges).collect()
+        texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+        for r in seg:
+            assert "".join(r["subwords"]) == texts[r["doc_id"]].replace(" ", "")
+        # counts consistent with segmentation lengths
+        counts = {r["doc_id"]: r["n_bpe"] for r in
+                  P.bpe_counts(docs, merges).collect()}
+        for r in seg:
+            assert counts[r["doc_id"]] == len(r["subwords"])
+        # packing bills subword counts: offsets are the exact cumsum
+        packed = sorted(P.pack_sequences_bpe(docs, merges, budget=10).collect(),
+                        key=lambda r: r["doc_id"])
+        start = 0
+        for r in packed:
+            assert (r["bin_id"], r["bin_offset"]) == (start // 10, start % 10)
+            start += r["n_tokens"]

@@ -486,6 +486,27 @@ object SparkEntry {
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"))),
 
+    // corpus-TRAINED BPE (Sennrich-style merge learning): one pair-count
+    // aggregation per round over the distinct-word table, argmax-only
+    // collect; the merge table is the output. DuckDB replays the whole
+    // greedy training loop — the oracle unrolls the rounds as chained
+    // CTEs over the same space-joined state strings and the same
+    // left-to-right `replace` semantics
+    "text_bpe_train" -> ((s, dir) =>
+      graft.text.Bpe.mergesDF(s,
+        graft.text.Bpe.train(tbl(s, dir, "documents"), "text", rounds = BpeGateRounds))),
+
+    // ... and the serving path: per-document trained-subword counts via
+    // the merge-replay segmentation expression (map-only). The oracle
+    // re-derives the SAME merges, keeps the final segmented word states,
+    // and sums per-document occurrences
+    "text_bpe_segment" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val merges = graft.text.Bpe.train(docs, "text", rounds = BpeGateRounds)
+      docs.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
+    }),
+
     "text_quality" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
@@ -1140,6 +1161,42 @@ object SparkEntry {
       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
       |  FROM s) WHERE rnk <= 10""".stripMargin
 
+  /** Gate-row merge count for the trained-BPE family — small enough
+    * that the unrolled DuckDB replay stays readable, large enough that
+    * multi-character symbols appear on both sides of later merges. */
+  private val BpeGateRounds = 8
+
+  /** The trained-BPE oracle's shared CTE chain: word frequencies once,
+    * then per round (positional pair counts over the current
+    * space-joined states → argmax with (count desc, pair asc) ties →
+    * classic greedy left-to-right merge via a `list_reduce` fold with a
+    * string accumulator) — the EXACT loop [[graft.text.Bpe.train]]
+    * runs, unrolled. `w$rounds` holds the final segmented state per
+    * word. The fold's trailing-symbol test (`acc = lft OR
+    * ends_with(acc, ' ' || lft)`) is exact because symbols never
+    * contain spaces. */
+  private def bpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+              |wc AS (SELECT w, CAST(count(*) AS BIGINT) c
+              |       FROM (SELECT unnest(ws) w FROM t) GROUP BY 1),
+              |w0 AS (SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) st, c, w FROM wc)""".stripMargin
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+                |p$r AS (SELECT string_split(pr, ' ')[1] lft, string_split(pr, ' ')[2] rgt,
+                |          CAST(sum(c) AS BIGINT) pc
+                |        FROM (SELECT unnest([s[i] || ' ' || s[i+1] for i in range(1, len(s))]) pr, c
+                |              FROM (SELECT string_split(st, ' ') s, c FROM w${r - 1}))
+                |        GROUP BY 1, 2),
+                |m$r AS (SELECT lft, rgt, pc FROM p$r ORDER BY pc DESC, lft, rgt LIMIT 1),
+                |w$r AS (SELECT list_reduce(string_split(st, ' '), (acc, x) ->
+                |          CASE WHEN (acc = lft OR ends_with(acc, ' ' || lft)) AND x = rgt
+                |               THEN acc || x ELSE acc || ' ' || x END) st, c, w
+                |        FROM w${r - 1} CROSS JOIN m$r)""".stripMargin
+    }
+    sb.toString
+  }
+
   // bigram-LM exact replay — oracle for BOTH text_lm_logp and
   // text_lm_saved (the reloaded artifact must reproduce the fresh
   // model's scores exactly; see the map entries for the full contract)
@@ -1444,6 +1501,28 @@ object SparkEntry {
       s"""SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '${graft.text.TextFunctions.BpePattern}')) AS BIGINT) bpe_tokens
          |FROM documents""".stripMargin,
+
+    // trained BPE, training replayed end-to-end: the unrolled CTE chain
+    // IS the training loop (greedy replace semantics shared by both
+    // engines); the result is the merge table itself
+    "text_bpe_train" -> {
+      val ranks = (1 to BpeGateRounds).map(r =>
+        s"SELECT CAST($r AS BIGINT) merge_rank, lft, rgt, pc pair_cnt FROM m$r")
+      s"""${bpeCtes(BpeGateRounds)}
+         |${ranks.mkString("\nUNION ALL\n")}""".stripMargin
+    },
+
+    // trained BPE serving: final segmented word states from the same
+    // replayed training, summed per document occurrence (empty docs 0)
+    "text_bpe_segment" ->
+      s"""${bpeCtes(BpeGateRounds)},
+         |seg AS (SELECT w, CAST(len(string_split(st, ' ')) AS BIGINT) nseg
+         |        FROM w$BpeGateRounds),
+         |dw AS (SELECT doc_id, unnest(ws) w FROM t),
+         |ds AS (SELECT dw.doc_id, nseg FROM dw JOIN seg USING (w))
+         |SELECT d.doc_id, CAST(coalesce(sum(nseg), 0) AS BIGINT) n_bpe
+         |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+         |GROUP BY 1""".stripMargin,
 
     "text_tokens" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents)

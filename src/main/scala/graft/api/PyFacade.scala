@@ -255,6 +255,38 @@ object PyFacade {
         coalesce(TextFunctions.avgTokenLen(col("__ws")), lit(0.0d))).as("__f"): _*)
   }
 
+  // --- corpus-trained BPE (graft.text.Bpe) ------------------------------
+
+  /** Learn a BPE merge table from the corpus:
+    * (merge_rank, lft, rgt, pair_cnt) — persist it as parquet and feed
+    * it back to the serving calls below. */
+  def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame =
+    graft.text.Bpe.mergesDF(df.sparkSession,
+      graft.text.Bpe.train(df, textCol, rounds))
+
+  /** Trained-subword tokens per document: (idCol, subwords array). */
+  def bpeSegment(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = graft.text.Bpe.mergesFrom(merges)
+    df.select(col(idCol), graft.text.Bpe.bpeTokens(col(textCol), ms).as("subwords"))
+  }
+
+  /** Trained-subword counts per document: (idCol, n_bpe). */
+  def bpeCounts(df: DataFrame, idCol: String, textCol: String,
+      merges: DataFrame): DataFrame = {
+    val ms = graft.text.Bpe.mergesFrom(merges)
+    df.select(col(idCol), graft.text.Bpe.tokenCount(col(textCol), ms).as("n_bpe"))
+  }
+
+  /** [[packSequences]] billing REAL trained subwords against the budget
+    * (the production token-budget shape). */
+  def packSequencesBpe(df: DataFrame, idCol: String, textCol: String,
+      budget: Int, merges: DataFrame, targetGroups: Int): DataFrame = {
+    val ms = graft.text.Bpe.mergesFrom(merges)
+    TextFunctions.packSequencesBy(df, idCol, textCol, budget,
+      t => graft.text.Bpe.tokenCount(t, ms), targetGroups)
+  }
+
   // --- trained-state persistence (graft.ml.ModelStore) ------------------
 
   /** Train IVF centroids and persist the parquet artifact at `path`;

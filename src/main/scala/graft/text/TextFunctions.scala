@@ -334,12 +334,24 @@ object TextFunctions {
     * partitioning/grouping never changes the result, only the balance. */
   def packSequences(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, budget: Int,
+      targetGroups: Int = 4096): org.apache.spark.sql.DataFrame =
+    packSequencesBy(df, idCol, textCol, budget,
+      t => tokenCount(tokens(t)), targetGroups)
+
+  /** [[packSequences]] with a caller-supplied token counter — e.g.
+    * [[Bpe.tokenCount]] with a trained merge table, so bins fill
+    * against REAL subword counts rather than the whitespace proxy. The
+    * counter must be a map-side expression (it is evaluated once per
+    * row inside the stats/pack scans). */
+  def packSequencesBy(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, budget: Int,
+      countOf: Column => Column,
       targetGroups: Int = 4096): org.apache.spark.sql.DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
     require(targetGroups >= 1, s"targetGroups must be >= 1, got $targetGroups")
     import org.apache.spark.sql.expressions.Window
     val t = df.select(col(idCol).cast("long").as("__id"),
-      tokenCount(tokens(col(textCol))).as("n_tokens"))
+      countOf(col(textCol)).cast("long").as("n_tokens"))
     // order-contiguous group span from one column-pruned stats pass
     val stats = t.agg(min(col("__id")), max(col("__id")), count(lit(1))).head()
     if (stats.getLong(2) == 0L)

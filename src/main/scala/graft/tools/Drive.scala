@@ -513,6 +513,23 @@ object Drive {
       else println("ERROR logistic artifact mismatch")
     }
 
+    println("=== 29. corpus-trained BPE: merges, lossless segmentation, budget packing (round-7) ===")
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val ms = graft.text.Bpe.train(docs, "text", rounds = 12)
+      println(s"rows=${ms.size} learned merges, counts non-increasing=" +
+        s"${ms.sliding(2).forall { case Seq(a, b) => a.count >= b.count; case _ => true }} (expect true)")
+      val bad = docs
+        .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("w")).distinct()
+        .where(concat_ws("", graft.text.Bpe.segment(col("w"), ms)) =!= col("w")).count()
+      println(s"rows=$bad lossy segmentations (expect 0)")
+      val packed = graft.text.TextFunctions.packSequencesBy(
+        docs, "doc_id", "text", budget = 512,
+        t => graft.text.Bpe.tokenCount(t, ms))
+      val overBudget = packed.where(col("bin_offset") >= 512).count()
+      println(s"rows=${packed.count()} bpe-packed docs, offsets past budget=$overBudget (expect 0)")
+    }
+
     spark.stop()
   }
 }
