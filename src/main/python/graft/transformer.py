@@ -66,6 +66,10 @@ _PARAMS = {
                 "input row plus a trailing knn_rank column; empty/1 = "
                 "plain nearest; requires predicate=nearest and "
                 "broadcast='none'", "setGridKnn", ""),
+    "joinType": ("'inner' (default) or 'left': keep every input row, "
+                 "nulling the appended external columns (and distance) "
+                 "when nothing matches; requires broadcast != 'input'",
+                 "setJoinType", "inner"),
 }
 
 

@@ -125,3 +125,23 @@ class TestBroadcastSpatialJoin(object):
             condition="right.id != 'i1'")
         got = {r["poi_id"]: r["id"] for r in t.transform(bag["input"]).collect()}
         assert got == {"d1": "i2", "d2": "i2"}
+
+    def test_left_outer(self, bag, local_spark):
+        # joinType="left" keeps match-less input rows with null externals;
+        # the condition starves i2 of candidates on both strategies
+        for mode in ("external", "none"):
+            t = BroadcastSpatialJoin(
+                dataset="poi", dataColumns="poi_id",
+                datasetPoint="plon, plat", inputPoint="lon, lat",
+                broadcast=mode, predicate="nearest", joinType="left",
+                condition="right.poi_id = 'd1' and left.id = 'i1'")
+            got = {r["id"]: r["poi_id"] for r in t.transform(bag["input"]).collect()}
+            assert got == {"i1": "d1", "i2": None}
+
+    def test_left_outer_rejects_broadcast_input(self, bag):
+        t = BroadcastSpatialJoin(
+            dataset="poi", dataColumns="poi_id",
+            datasetPoint="plon, plat", inputPoint="lon, lat",
+            broadcast="input", joinType="left")
+        with pytest.raises(Exception):
+            t.transform(bag["input"]).collect()

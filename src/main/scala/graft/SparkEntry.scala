@@ -147,6 +147,32 @@ object SparkEntry {
         .select(col("c_custkey"), col("s_suppkey"), col("dist_m").cast("long"))
     }),
 
+    // J1 nearest LEFT OUTER on the broadcast kernel: the modular extra
+    // condition leaves every customer with c_custkey % 5 = 4 matchless
+    // (s_suppkey % 4 is never 4) — those rows come back with a null
+    // nearest key instead of dropping
+    "j1_nearest_left" -> ((s, dir) => {
+      supplierPoints(s, dir).createOrReplaceTempView("v_j1l_sup")
+      bsj("v_j1l_sup").setDataColumns("s_suppkey")
+        .setBroadcast("dataset").setPredicate("nearest")
+        .setJoinType("left")
+        .setJoinCondition("right.s_suppkey % 4 = left.c_custkey % 5")
+        .transform(customerPoints(s, dir).select("c_custkey", "lon", "lat"))
+        .select("c_custkey", "s_suppkey")
+    }),
+
+    // J2 withindist LEFT OUTER on the partitioned grid kernel: customers
+    // with no supplier within 300 km keep one row with null key + null
+    // distance
+    "j2_withindist_left" -> ((s, dir) => {
+      supplierEq(s, dir).createOrReplaceTempView("v_j2l_sup")
+      bsj("v_j2l_sup").setDataColumns("s_suppkey")
+        .setBroadcast("none").setPredicate("withindist 300000")
+        .setDistColAlias("dist_m").setJoinType("left")
+        .transform(customerEq(s, dir).select("c_custkey", "lon", "lat"))
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_m").cast("long"))
+    }),
+
     // J3 within: customer points strictly inside supplier rectangles (WKT)
     "j3_within" -> ((s, dir) => {
       supplierPoints(s, dir)
@@ -1246,6 +1272,21 @@ object SparkEntry {
       s"""WITH c AS ($cEq), s AS ($sEq)
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
          |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
+
+    "j1_nearest_left" ->
+      s"""WITH c AS ($cPts), s AS ($sPts),
+         |m AS (SELECT c_custkey, s_suppkey FROM (
+         |  SELECT c.c_custkey, s.s_suppkey,
+         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
+         |  FROM c CROSS JOIN s WHERE s.s_suppkey % 4 = c.c_custkey % 5) WHERE rn = 1)
+         |SELECT c.c_custkey, m.s_suppkey FROM c LEFT JOIN m ON c.c_custkey = m.c_custkey""".stripMargin,
+
+    "j2_withindist_left" ->
+      s"""WITH c AS ($cEq), s AS ($sEq),
+         |m AS (SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
+         |      FROM c CROSS JOIN s WHERE $eqDist <= 300000)
+         |SELECT c.c_custkey, m.s_suppkey, m.dist_m
+         |FROM c LEFT JOIN m ON c.c_custkey = m.c_custkey""".stripMargin,
 
     "j1_nearest_gridscale" ->
       s"""WITH c AS ($cPts), s AS ($sPts)

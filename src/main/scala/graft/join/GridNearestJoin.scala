@@ -127,6 +127,12 @@ object GridNearestJoin {
     }
   }
 
+  /** `joinType = "left"` keeps match-less left rows (null/empty left
+    * geometry, or every candidate vetoed by `condition`) with the right
+    * columns nulled — the ring machinery already carries unmatched rows
+    * (the exhaustive fallback sees every straggler), so the outer
+    * variant only changes what the fallback EMITS, never what it
+    * searches. */
   def nearest(
       left: DataFrame, right: DataFrame,
       leftWkb: Column, rightWkb: Column,
@@ -138,10 +144,19 @@ object GridNearestJoin {
       maxHorizon: Int = 16,
       condition: Option[Column] = None,
       materialize: DataFrame => DataFrame = LocalMaterialize,
-      fallbackPairs: Long = 32000000L): DataFrame =
+      fallbackPairs: Long = 32000000L,
+      joinType: String = "inner"): DataFrame =
     run(left, right, leftWkb, rightWkb, 1, "__g_unused_rank", cellDeg, maxRings,
       tieBreak, initialHorizon, fallbackBelow, maxHorizon, condition,
-      materialize, fallbackPairs)
+      materialize, fallbackPairs, leftOuter = parseJoinType(joinType))
+
+  private def parseJoinType(joinType: String): Boolean =
+    joinType.trim.toLowerCase match {
+      case "inner" => false
+      case "left" | "left_outer" | "leftouter" => true
+      case other => throw new IllegalArgumentException(
+        s"joinType must be inner or left, got `$other`")
+    }
 
   /** Bounded k-nearest-neighbour join (k >= 1): up to k output rows per
     * left row, ordered by (distance, tieBreak), with a 1-based `rankCol`
@@ -184,10 +199,13 @@ object GridNearestJoin {
       maxHorizon: Int,
       condition: Option[Column],
       materialize: DataFrame => DataFrame,
-      fallbackPairs: Long): DataFrame = {
+      fallbackPairs: Long,
+      leftOuter: Boolean = false): DataFrame = {
 
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
+    require(!(leftOuter && k > 1),
+      "left-outer is k = 1 only (a ranked k-nearest row set has no natural null row)")
 
     val lw = "__g_lwkb"; val rw = "__g_rwkb"; val lid = "__g_lid"
     val cell = "__g_cell"; val dist = "__g_dist"; val best = "__g_best"
@@ -492,10 +510,33 @@ object GridNearestJoin {
           rightF.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(256L << 20))
           broadcast(rightF)
         else rightF
-      val cands = stragglers.repartition(shufflePartitions).crossJoin(rightHinted)
+      // left-outer: a plain crossJoin EMITS NOTHING against an empty
+      // right side — the true-condition left join keeps every straggler
+      // alive with a null candidate instead (same pair count otherwise)
+      val spread = stragglers.repartition(shufflePartitions)
+      val cands =
+        if (leftOuter) spread.join(rightHinted, lit(true), "left")
+        else spread.crossJoin(rightHinted)
+      // left-outer: the fallback sees every unresolved row, so dropping
+      // the hasAny filter here is the ONLY emission change outer needs —
+      // finalize's best(c) projection nulls the right columns of a null
+      // best struct
+      val scored = withLeft(mergeCarry(bestOf(cands)).drop("__g_best0", "__g_carry"))
       out += finalize(
-        withLeft(mergeCarry(bestOf(cands)).drop("__g_best0", "__g_carry"))
-          .where(hasAny), leftCols, rightCols, best)
+        if (leftOuter) scored else scored.where(hasAny), leftCols, rightCols, best)
+    }
+    // left-outer: rows whose GEOMETRY never entered the search (null WKB
+    // or null envelope) come back with null right columns; the
+    // false-condition left join nulls the right side with correct types
+    if (leftOuter) {
+      val lw2 = "__g_lw2"; val env2 = "__g_env2"
+      val missing = left
+        .withColumn(lw2, leftWkb)
+        .withColumn(env2, when(col(lw2).isNotNull, GeoExpressions.stEnvelope(col(lw2))))
+        .where(col(lw2).isNull || col(env2).isNull)
+        .select(leftCols.map(col): _*)
+      out += missing.join(
+        right.select(rightCols.map(col): _*).limit(0), lit(false), "left")
     }
     if (out.isEmpty) finalizeSchemaOnly(left, right, leftCols, rightCols, k, rankCol)
     else out.reduce(_ union _)

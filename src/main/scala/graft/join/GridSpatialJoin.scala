@@ -45,6 +45,14 @@ object GridSpatialJoin {
    * @param extraCondition optional extra join condition over the two sides'
    *                     columns (applied after the spatial refine)
    * @param distanceCol  if set, append geodesic centroid metres (Int)
+   * @param joinType     "inner" (default) or "left": keep match-less left
+   *                     rows (null geometry included) with right columns +
+   *                     distance nulled. The outer pass stamps the left
+   *                     side with a per-execution row id and SNAPSHOTS it
+   *                     (localCheckpoint) so the matched branch and the
+   *                     anti-join branch see identical ids — the price of
+   *                     outer semantics over a fan-out join; the matched
+   *                     branch itself is the same cell-equi-join plan.
    * @return left.* ++ right.* (+ distance); column names must be disjoint
    */
   def join(
@@ -53,10 +61,34 @@ object GridSpatialJoin {
       predicate: SpatialPredicate,
       cellDeg: Double = 1.0,
       extraCondition: Option[Column] = None,
-      distanceCol: Option[String] = None): DataFrame = {
+      distanceCol: Option[String] = None,
+      joinType: String = "inner"): DataFrame = {
 
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
+    val leftOuter = joinType.trim.toLowerCase match {
+      case "inner" => false
+      case "left" | "left_outer" | "leftouter" => true
+      case other => throw new IllegalArgumentException(
+        s"joinType must be inner or left, got `$other`")
+    }
+    if (leftOuter) {
+      val lid = "__graft_lid"
+      require(!left.columns.contains(lid) && !right.columns.contains(lid),
+        s"column name $lid is reserved by the left-outer grid join")
+      val ided = left.withColumn(lid, monotonically_increasing_id()).localCheckpoint(false)
+      val inner = join(ided, right, leftWkb, rightWkb, predicate, cellDeg,
+        extraCondition, distanceCol, "inner")
+      val missing0 = ided
+        .join(inner.select(col(lid)).distinct(), Seq(lid), "left_anti")
+        .join(right.limit(0), lit(false), "left")
+      val missing = distanceCol.fold(missing0)(n =>
+        missing0.withColumn(n, lit(null).cast("int")))
+      val outCols = left.columns.map(col) ++ right.columns.map(col) ++
+        distanceCol.map(col).toSeq
+      return inner.select(outCols.toIndexedSeq: _*)
+        .unionByName(missing.select(outCols.toIndexedSeq: _*))
+    }
 
     val radius = predicate match {
       case SpatialPredicate.WithinDist(m) => m

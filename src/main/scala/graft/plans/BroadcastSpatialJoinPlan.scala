@@ -19,8 +19,11 @@ import graft.spatial.SpatialPredicate
  * Left = iterated side (streamed, partitioning preserved), right =
  * broadcast side (collected once, packed as WKB, STRtree per executor).
  * Output = left.output ++ right.output (++ distance). Inner-join
- * semantics; `condition` is a pre-bound predicate over the concatenated
- * (left ++ right) row.
+ * semantics by default; `leftOuter` keeps match-less left rows (null
+ * geometry included) with the right side + distance nulled — the
+ * standard outer-join nullability widening applies to the right
+ * attributes. `condition` is a pre-bound predicate over the
+ * concatenated (left ++ right) row.
  */
 case class BroadcastSpatialJoinPlan(
     left: LogicalPlan,
@@ -29,10 +32,14 @@ case class BroadcastSpatialJoinPlan(
     rightWkb: Attribute,
     predicate: SpatialPredicate,
     condition: Option[Expression], // bound over left.output ++ right.output
-    distAttr: Option[AttributeReference])
+    distAttr: Option[AttributeReference],
+    leftOuter: Boolean = false)
   extends BinaryNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output ++ distAttr.toSeq
+  override def output: Seq[Attribute] =
+    left.output ++
+      (if (leftOuter) right.output.map(_.withNullability(true)) else right.output) ++
+      distAttr.toSeq
 
   // the probe consumes whole child rows (the condition is ordinal-bound),
   // so column pruning must not reshape the children
@@ -50,7 +57,8 @@ object SpatialJoinStrategy extends SparkStrategy {
     case p: BroadcastSpatialJoinPlan =>
       BroadcastSpatialJoinExec(
         planLater(p.left), planLater(p.right),
-        p.leftWkb, p.rightWkb, p.predicate, p.condition, p.distAttr) :: Nil
+        p.leftWkb, p.rightWkb, p.predicate, p.condition, p.distAttr,
+        p.leftOuter) :: Nil
     case _ => Nil
   }
 }
@@ -62,10 +70,14 @@ case class BroadcastSpatialJoinExec(
     rightWkb: Attribute,
     predicate: SpatialPredicate,
     condition: Option[Expression],
-    distAttr: Option[AttributeReference])
+    distAttr: Option[AttributeReference],
+    leftOuter: Boolean = false)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output ++ distAttr.toSeq
+  override def output: Seq[Attribute] =
+    left.output ++
+      (if (leftOuter) right.output.map(_.withNullability(true)) else right.output) ++
+      distAttr.toSeq
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastSpatialJoinExec =
@@ -95,6 +107,9 @@ case class BroadcastSpatialJoinExec(
     val condExpr = condition
     val pred = predicate
 
+    val outer = leftOuter
+    val rightWidth = right.output.length
+
     left.execute().mapPartitions { it =>
       val idx = bc.value
       val probe = new SpatialProbe(idx.geoms, idx.tree)
@@ -104,16 +119,29 @@ case class BroadcastSpatialJoinExec(
       val joinedDist = new JoinedRow
       val distRow = new GenericInternalRow(1)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
+      // all-null right payload (+ null distance) for left-outer misses —
+      // GenericInternalRow slots default to null
+      val nullRight = new GenericInternalRow(rightWidth)
+      val nullDist = new GenericInternalRow(1)
+      def missRow(lrow: InternalRow): InternalRow = {
+        val base = joined(lrow, nullRight)
+        proj(if (needDist) joinedDist(base, nullDist) else base)
+      }
 
       it.flatMap { lrow =>
-        if (lrow.isNullAt(lIdx)) Iterator.empty
-        else {
+        if (lrow.isNullAt(lIdx)) {
+          if (outer) Iterator.single(missRow(lrow)) else Iterator.empty
+        } else {
           val g = graft.spatial.GeoKit.wkbToGeom(lrow.getBinary(lIdx))
           val condEval: Int => Boolean = condPred match {
             case None => _ => true
             case Some(p) => i => p.eval(joined(lrow, idx.rows(i)))
           }
-          probe.matches(g, pred, condEval, needDist).map { case (i, d) =>
+          val hits = probe.matches(g, pred, condEval, needDist)
+          // hasNext, not isEmpty — isEmpty would consume the iterator's
+          // first element
+          if (outer && !hits.hasNext) Iterator.single(missRow(lrow))
+          else hits.map { case (i, d) =>
             val base = joined(lrow, idx.rows(i))
             val full: InternalRow =
               if (needDist) { distRow.setInt(0, d); joinedDist(base, distRow) }

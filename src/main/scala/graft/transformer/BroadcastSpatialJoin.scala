@@ -136,6 +136,17 @@ class BroadcastSpatialJoin(override val uid: String)
   setDefault(gridInitialHorizon, "")
   def setGridInitialHorizon(value: String): this.type = set(gridInitialHorizon, value)
 
+  /** Join type: "inner" (reference semantics, default) or "left" — keep
+    * every INPUT row, nulling the appended external columns (and the
+    * distance) when no external row matches. Because "left" means "all
+    * input rows", it requires an orientation where the input is the
+    * iterated/probe side: broadcast = external/none/grid/auto (the
+    * default broadcast="input" iterates the EXTERNAL side and is
+    * rejected). Extension beyond the reference's inner-only surface. */
+  final val joinType = new Param[String](this, "joinType", "join type: 'inner' (default) or 'left' (keep unmatched input rows, external columns null)")
+  setDefault(joinType, "inner")
+  def setJoinType(value: String): this.type = set(joinType, value)
+
   /** k-nearest (k > 1) for the grid `nearest` strategy: up to k ranked
     * rows per input row instead of one, a trailing `knn_rank` long
     * column (1 = nearest) appended after the data/distance columns.
@@ -196,7 +207,8 @@ class BroadcastSpatialJoin(override val uid: String)
       conditionSql: String,
       broadcastInput: Boolean,
       gridMode: Boolean,
-      knn: Int)
+      knn: Int,
+      leftOuter: Boolean)
 
   private def makeConfig(spark: SparkSession): JoinConfig = {
     checkParams()
@@ -264,6 +276,21 @@ class BroadcastSpatialJoin(override val uid: String)
           "that name cannot also be used as a distance or data-column alias")
     }
 
+    val leftOuter = trimmed(joinType).toLowerCase match {
+      case "" | "inner" => false
+      case "left" | "left_outer" | "leftouter" => true
+      case other => throw new IllegalArgumentException(
+        s"Spatial join transformer error: joinType must be 'inner' or 'left', got `$other`")
+    }
+    if (leftOuter) {
+      require(!broadcastInput,
+        "Spatial join transformer error: joinType='left' keeps all INPUT rows, " +
+          "which requires the input to be the iterated side — " +
+          "use broadcast = 'external', 'none'/'grid', or 'auto' (not 'input')")
+      require(knn == 1,
+        "Spatial join transformer error: joinType='left' supports gridKnn = 1 only")
+    }
+
     JoinConfig(
       externalDF = externalDF,
       externalSpec = externalSpec,
@@ -275,7 +302,8 @@ class BroadcastSpatialJoin(override val uid: String)
       conditionSql = conditionSql,
       broadcastInput = broadcastInput,
       gridMode = gridMode,
-      knn = knn)
+      knn = knn,
+      leftOuter = leftOuter)
   }
 
   /** Output schema = input fields ++ aliased selected external fields ++
@@ -284,7 +312,10 @@ class BroadcastSpatialJoin(override val uid: String)
   private def outputSchema(inputSchema: StructType, cfg: JoinConfig): StructType = {
     val extSchema = cfg.externalDF.schema
     val appended = cfg.dataCols.zip(cfg.aliases).map { case (n, a) =>
-      extSchema(extSchema.fieldIndex(n)).copy(name = a)
+      val f = extSchema(extSchema.fieldIndex(n)).copy(name = a)
+      // outer-join nullability widening: unmatched input rows null the
+      // appended external columns
+      if (cfg.leftOuter) f.copy(nullable = true) else f
     }
     val fields = inputSchema.fields ++ appended
     val withDist =
@@ -351,11 +382,12 @@ class BroadcastSpatialJoin(override val uid: String)
     val distAttr =
       if (needDistance)
         Some(org.apache.spark.sql.catalyst.expressions.AttributeReference(
-          cfg.distanceAlias, DataTypes.IntegerType, nullable = false)())
+          cfg.distanceAlias, DataTypes.IntegerType, nullable = cfg.leftOuter)())
       else None
 
     val plan = graft.plans.BroadcastSpatialJoinPlan(
-      lp, rp, lAttr, rAttr, cfg.spatialPredicate, compiled.map(_.bound), distAttr)
+      lp, rp, lAttr, rAttr, cfg.spatialPredicate, compiled.map(_.bound), distAttr,
+      leftOuter = cfg.leftOuter)
     val joinedDF = org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, plan)
 
     // final projection BY ATTRIBUTE (names may repeat across the sides):
@@ -459,7 +491,8 @@ class BroadcastSpatialJoin(override val uid: String)
               input, ext,
               wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
               cellDeg, tieBreak = Some(tb), condition = extraCond,
-              fallbackBelow = fb, initialHorizon = ih)
+              fallbackBelow = fb, initialHorizon = ih,
+              joinType = if (cfg.leftOuter) "left" else "inner")
           else
             GridNearestJoin.knearest(
               input, ext,
@@ -475,7 +508,8 @@ class BroadcastSpatialJoin(override val uid: String)
           input, ext,
           wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
           cfg.spatialPredicate, cellDeg, extraCond,
-          if (needDistance) Some(cfg.distanceAlias) else None)
+          if (needDistance) Some(cfg.distanceAlias) else None,
+          joinType = if (cfg.leftOuter) "left" else "inner")
     }
 
     val outCols =
