@@ -154,6 +154,14 @@ object Sampling {
    * (lexicographic == numeric on fixed-width lower-case hex — the
    * [[hashSample]] oracle contract). Map-only, codegen'd, zero shuffle,
    * no RNG.
+   *
+   * NULL KEYS land in the LAST split, explicitly: a splitter must give
+   * every row a label (partition semantics — unlike [[hashSample]],
+   * which is a filter and drops null keys), and the last split is where
+   * an external `CASE ... ELSE` replay puts them too. This means
+   * null-content rows CONCENTRATE in the last label — if that label is
+   * your test set and nulls are frequent, filter or impute keys before
+   * splitting.
    */
   def splitByHash(
       df: DataFrame, keyCol: String,
@@ -171,7 +179,12 @@ object Sampling {
       lit(splits.last._1): Column) { case ((b, (l, _)), acc) =>
       when(prefix < lit(b), lit(l)).otherwise(acc)
     }
-    df.withColumn(outCol, label)
+    // null key -> null prefix -> every `prefix < bound` is null -> the
+    // fold's final otherwise. Spelled out as its own branch so the
+    // scaladoc'd null contract is visible in the plan, not an accident
+    // of three-valued logic
+    df.withColumn(outCol,
+      when(col(keyCol).isNull, lit(splits.last._1)).otherwise(label))
   }
 
   /** The cumulative 16-bit split boundaries of [[splitByHash]] as 4-hex

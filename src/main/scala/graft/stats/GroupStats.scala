@@ -43,11 +43,15 @@ object GroupStats {
     require(qs.distinct.size == qs.size,
       s"duplicate percentiles: ${qs.mkString(",")}")
     // output columns are n, min_<v>, max_<v>, p<q> — reject value/group
-    // names that would collide (e.g. a value column literally named "n")
-    val outNames = Seq("n", s"min_$valueCol", s"max_$valueCol") ++ qs.map(q => s"p$q")
+    // names that would collide (e.g. a value column literally named "n");
+    // the internal temp columns are guarded too: an input column named
+    // __c/__cum/__tot would alias the histogram count / cumsum / total
+    // and corrupt the rank computation instead of failing loudly
+    val outNames = Seq("n", s"min_$valueCol", s"max_$valueCol") ++ qs.map(q => s"p$q") ++
+      Seq("__c", "__cum", "__tot")
     val clash = (groupCols :+ valueCol).toSet.intersect(outNames.toSet)
     require(clash.isEmpty,
-      s"column name(s) would collide with output columns: ${clash.mkString(", ")}")
+      s"column name(s) would collide with output or internal columns: ${clash.mkString(", ")}")
     val g = groupCols.map(col)
     val hist = df.where(col(valueCol).isNotNull)
       .groupBy(g :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))

@@ -48,12 +48,22 @@ object TextFunctions {
 
   /** Aggressive normalization for DEDUP KEYING — the C4/CCNet first
     * step before exact/near dedup, so case and punctuation variants of
-    * the same content collapse to one key: ASCII-lowercase, every char
-    * outside `[a-z0-9 ]` replaced by a space (explicit class — no `\W`
-    * shorthand whose Unicode behavior engines disagree on), whitespace
-    * runs collapsed, ends trimmed. Byte-replayable in any regex engine:
+    * the same content collapse to one key: lowercase, every char outside
+    * `[a-z0-9 ]` replaced by a space (explicit class — no `\W` shorthand
+    * whose Unicode behavior engines disagree on), whitespace runs
+    * collapsed, ends trimmed.
+    *
+    * Replayability contract: EXACT for ASCII input —
     * `trim(regexp_replace(regexp_replace(lower(t), '[^a-z0-9 ]', ' ',
-    * 'g'), ' +', ' ', 'g'))`. */
+    * 'g'), ' +', ' ', 'g'))` byte-for-byte in any regex engine. For
+    * non-ASCII input the `lower()` step is full-Unicode and
+    * ENGINE-DEPENDENT before the ASCII class ever applies (e.g. 'İ' →
+    * 'i' + combining dot in some engines, 'K' (Kelvin) → 'k' in some) —
+    * two engines can disagree on whether those mappings introduce an
+    * `[a-z]` character that survives. Dedup keys for non-ASCII corpora
+    * are therefore engine-consistent only within one engine; strip or
+    * transliterate non-ASCII first if cross-engine key equality
+    * matters. */
   def normalizeText(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 

@@ -151,6 +151,16 @@ class SamplingSpec extends AnyFlatSpec with Matchers with AdaptiveSparkPlanHelpe
     got.unpersist()
   }
 
+  it should "route null keys to the LAST split, explicitly" in {
+    import spark.implicits._
+    val df = Seq(Some("doc a"), None, Some("doc b"), None).toDF("key")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val got = Sampling.splitByHash(df, "key", splits)
+    got.count() shouldBe 4L // partition semantics: null rows keep a label
+    got.where(col("key").isNull).select("split")
+      .as[String].collect().toSeq shouldBe Seq("test", "test")
+  }
+
   it should "derive oracle-shareable hex boundaries and validate input" in {
     Sampling.splitBoundsHex(
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)) shouldBe Seq("cccd", "e666")

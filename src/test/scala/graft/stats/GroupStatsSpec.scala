@@ -77,5 +77,13 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
       GroupStats.quantiles(Seq(("a", 1)).toDF("g", "n"), Seq("g"), "n", Seq(50))
     an[IllegalArgumentException] should be thrownBy
       GroupStats.quantiles(Seq(("a", 1)).toDF("p50", "v"), Seq("p50"), "v", Seq(50))
+    // ... and so must a column named like an INTERNAL temp column, which
+    // would alias the histogram count/cumsum/total and corrupt the rank
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantiles(Seq(("a", 1)).toDF("g", "__c"), Seq("g"), "__c", Seq(50))
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantiles(Seq(("a", 1)).toDF("__cum", "v"), Seq("__cum"), "v", Seq(50))
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantiles(Seq(("a", 1)).toDF("__tot", "v"), Seq("__tot"), "v", Seq(50))
   }
 }
