@@ -551,3 +551,11 @@ def pack_sequences_bpe(df, merges, id_col="doc_id", text_col="text",
     return _wrap(df, _facade(df).packSequencesBpe(
         df._jdf, id_col, text_col, int(budget), merges._jdf,
         int(target_groups)))
+
+
+def corpus_sketch(df, strata="source", text_col="text", rsd=0.05):
+    """HLL-sketch corpus statistics per stratum (the cheap 100 TB first
+    pass): (strata..., n_docs, approx_distinct_content, total_tokens,
+    approx_distinct_tokens). ``strata`` is a CSV of column names."""
+    return _wrap(df, _facade(df).corpusSketch(df._jdf, strata, text_col,
+                                              float(rsd)))

@@ -457,3 +457,17 @@ class TestBpe(object):
         for r in packed:
             assert (r["bin_id"], r["bin_offset"]) == (start // 10, start % 10)
             start += r["n_tokens"]
+
+
+class TestCorpusSketch(object):
+
+    def test_sketch_exact_at_small_cardinality(self, docs):
+        docs2 = docs.selectExpr("doc_id", "text",
+                                "concat('s', cast(doc_id % 2 as string)) as source")
+        rows = {r["source"]: r for r in P.corpus_sketch(docs2).collect()}
+        assert rows["s0"]["n_docs"] == 3 and rows["s1"]["n_docs"] == 2
+        # sparse-mode HLL is exact here: s0 holds docs 0/2/4 (0 and 4
+        # distinct, 2 distinct) -> 3 distinct texts... doc 0 == doc 3 but
+        # they are in different strata, so s0 has 3 distinct contents
+        assert rows["s0"]["approx_distinct_content"] == 3
+        assert rows["s1"]["approx_distinct_content"] == 2

@@ -685,6 +685,29 @@ object SparkEntry {
     "profile_corpus" -> ((s, dir) =>
       graft.text.CorpusProfile.profile(tbl(s, dir, "documents"), "text")),
 
+    // HLL-sketch corpus statistics — the cheap first pass before exact
+    // operators. Exact counts replay in DuckDB; the sketch estimates are
+    // pinned by WITHIN-BOUND booleans (HLL++ is deterministic, so the
+    // booleans are stable; the oracle asserts TRUE — an estimate
+    // drifting past 3x the configured rsd fails the hash compare)
+    "profile_sketch" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val sk = graft.text.CorpusSketch.sketch(docs, Seq("source"), "text", rsd = 0.05)
+      val exactC = docs.groupBy(col("source"))
+        .agg(countDistinct(col("text")).as("u_content"))
+      val exactT = docs
+        .select(col("source"), explode(TextFunctions.tokens(col("text"))).as("__t"))
+        .groupBy(col("source")).agg(countDistinct(col("__t")).as("u_tokens"))
+      sk.join(exactC, "source").join(exactT, Seq("source"), "left")
+        .withColumn("u_tokens", coalesce(col("u_tokens"), lit(0L)))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("u_content"), col("u_tokens"),
+          graft.text.CorpusSketch.withinBound(
+            col("approx_distinct_content"), col("u_content"), 0.15).as("content_ok"),
+          graft.text.CorpusSketch.withinBound(
+            col("approx_distinct_tokens"), col("u_tokens"), 0.15).as("tokens_ok"))
+    }),
+
     // Gopher-family repetition quality filter: most-frequent-2-gram
     // coverage and duplicated-5-gram coverage per document, short docs
     // pass through with 0.0
@@ -1797,6 +1820,23 @@ object SparkEntry {
          |  min(CASE WHEN 10 * cum >= 9 * n_docs THEN n END) p90_tokens
          |FROM c JOIN tot ON c.lang_pred = tot.lang_pred
          |GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // sketch report: the exact columns replay directly; the within-bound
+    // booleans assert the deterministic HLL++ estimates sit inside 3x
+    // the configured rsd of the exact counts — the oracle claims TRUE,
+    // a drifted sketch fails the row hash
+    "profile_sketch" ->
+      s"""WITH t AS (SELECT source, text, $tokensSql ws FROM documents),
+         |d AS (SELECT source, CAST(count(*) AS BIGINT) n_docs,
+         |        CAST(count(DISTINCT text) AS BIGINT) u_content FROM t GROUP BY 1),
+         |tok AS (SELECT source, CAST(count(*) AS BIGINT) total_tokens,
+         |          CAST(count(DISTINCT tk) AS BIGINT) u_tokens
+         |        FROM (SELECT source, unnest(ws) tk FROM t) GROUP BY 1)
+         |SELECT d.source, n_docs,
+         |       coalesce(total_tokens, CAST(0 AS BIGINT)) total_tokens, u_content,
+         |       coalesce(u_tokens, CAST(0 AS BIGINT)) u_tokens,
+         |       TRUE content_ok, TRUE tokens_ok
+         |FROM d LEFT JOIN tok ON d.source = tok.source""".stripMargin,
 
     // one tagged gram stream for both sizes (2-gram coverage of the
     // top gram, 5-gram duplicated coverage); DuckDB's `/` on integers

@@ -221,6 +221,13 @@ object PyFacade {
   /** Per-language corpus report with histogram-rank quantiles:
     * (lang_pred, n_docs, total_tokens, max_tokens, p50_tokens,
     * p90_tokens). */
+  /** HLL-sketch corpus statistics per stratum: (strata..., n_docs,
+    * approx_distinct_content, total_tokens, approx_distinct_tokens). */
+  def corpusSketch(df: DataFrame, strataCsv: String, textCol: String,
+      rsd: Double): DataFrame =
+    graft.text.CorpusSketch.sketch(df,
+      strataCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, textCol, rsd)
+
   def corpusProfile(df: DataFrame, textCol: String): DataFrame =
     graft.text.CorpusProfile.profile(df, textCol)
 
