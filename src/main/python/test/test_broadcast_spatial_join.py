@@ -145,3 +145,21 @@ class TestBroadcastSpatialJoin(object):
             broadcast="input", joinType="left")
         with pytest.raises(Exception):
             t.transform(bag["input"]).collect()
+
+    def test_semi_anti(self, bag, local_spark):
+        # existence filters: input schema only, semi + anti partition it
+        for mode in ("external", "none"):
+            semi = BroadcastSpatialJoin(
+                dataset="poi", datasetPoint="plon, plat",
+                inputPoint="lon, lat", broadcast=mode,
+                predicate="withindist 50000", joinType="semi",
+            ).transform(bag["input"])
+            anti = BroadcastSpatialJoin(
+                dataset="poi", datasetPoint="plon, plat",
+                inputPoint="lon, lat", broadcast=mode,
+                predicate="withindist 50000", joinType="anti",
+            ).transform(bag["input"])
+            assert semi.columns == bag["input"].columns
+            got_semi = sorted(r["id"] for r in semi.collect())
+            got_anti = sorted(r["id"] for r in anti.collect())
+            assert got_semi == ["i1", "i2"] and got_anti == []

@@ -173,6 +173,29 @@ object SparkEntry {
         .select(col("c_custkey"), col("s_suppkey"), col("dist_m").cast("long"))
     }),
 
+    // SEMI spatial join (existence filter, broadcast kernel): customers
+    // inside AT LEAST ONE supplier rectangle — input schema only, each
+    // qualifying customer exactly once however many rectangles cover it
+    "j_semi_within" -> ((s, dir) => {
+      supplierPoints(s, dir)
+        .withColumn("wkt", rectWkt(col("lon"), col("lat"), SWX, SWY))
+        .createOrReplaceTempView("v_jsemi_sup")
+      bsj("v_jsemi_sup").setDatasetPoint("").setDatasetWKT("wkt")
+        .setBroadcast("dataset").setPredicate("within").setJoinType("semi")
+        .transform(customerPoints(s, dir).select("c_custkey", "lon", "lat"))
+        .select("c_custkey")
+    }),
+
+    // ANTI spatial join (grid kernel): customers with NO supplier within
+    // 300 km — the "not covered by any site" query
+    "j_anti_withindist" -> ((s, dir) => {
+      supplierEq(s, dir).createOrReplaceTempView("v_janti_sup")
+      bsj("v_janti_sup")
+        .setBroadcast("none").setPredicate("withindist 300000").setJoinType("anti")
+        .transform(customerEq(s, dir).select("c_custkey", "lon", "lat"))
+        .select("c_custkey")
+    }),
+
     // J3 within: customer points strictly inside supplier rectangles (WKT)
     "j3_within" -> ((s, dir) => {
       supplierPoints(s, dir)
@@ -1295,6 +1318,18 @@ object SparkEntry {
       s"""WITH c AS ($cEq), s AS ($sEq)
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
          |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
+
+    "j_semi_within" ->
+      s"""WITH c AS ($cPts), s AS ($sPts)
+         |SELECT c.c_custkey FROM c WHERE EXISTS (
+         |  SELECT 1 FROM s
+         |  WHERE c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
+         |    AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY)""".stripMargin,
+
+    "j_anti_withindist" ->
+      s"""WITH c AS ($cEq), s AS ($sEq)
+         |SELECT c.c_custkey FROM c WHERE NOT EXISTS (
+         |  SELECT 1 FROM s WHERE $eqDist <= 300000)""".stripMargin,
 
     "j1_nearest_left" ->
       s"""WITH c AS ($cPts), s AS ($sPts),

@@ -45,15 +45,19 @@ object GridSpatialJoin {
    * @param extraCondition optional extra join condition over the two sides'
    *                     columns (applied after the spatial refine)
    * @param distanceCol  if set, append geodesic centroid metres (Int)
-   * @param joinType     "inner" (default) or "left": keep match-less left
-   *                     rows (null geometry included) with right columns +
-   *                     distance nulled. The outer pass stamps the left
-   *                     side with a per-execution row id and SNAPSHOTS it
-   *                     (localCheckpoint) so the matched branch and the
-   *                     anti-join branch see identical ids — the price of
-   *                     outer semantics over a fan-out join; the matched
-   *                     branch itself is the same cell-equi-join plan.
-   * @return left.* ++ right.* (+ distance); column names must be disjoint
+   * @param joinType     "inner" (default), "left" (keep match-less left
+   *                     rows — null geometry included — with right
+   *                     columns + distance nulled), "semi" (left rows
+   *                     WITH a match, left schema only) or "anti" (left
+   *                     rows WITHOUT one). The non-inner passes stamp the
+   *                     left side with a per-execution row id and
+   *                     SNAPSHOT it (localCheckpoint) so the matched
+   *                     branch and the existence branch see identical
+   *                     ids — the price of outer/existence semantics
+   *                     over a fan-out join; the matched branch itself
+   *                     is the same cell-equi-join plan.
+   * @return left.* ++ right.* (+ distance) for inner/left; left.* for
+   *         semi/anti; column names must be disjoint
    */
   def join(
       left: DataFrame, right: DataFrame,
@@ -66,28 +70,34 @@ object GridSpatialJoin {
 
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
-    val leftOuter = joinType.trim.toLowerCase match {
-      case "inner" => false
-      case "left" | "left_outer" | "leftouter" => true
-      case other => throw new IllegalArgumentException(
-        s"joinType must be inner or left, got `$other`")
-    }
-    if (leftOuter) {
+    val mode = graft.spatial.SpatialJoinMode.parse(joinType)
+    import graft.spatial.SpatialJoinMode._
+    require(!(distanceCol.isDefined && (mode == Semi || mode == Anti)),
+      "semi/anti grid joins emit the left schema only — no distance column")
+    if (mode != Inner) {
       val lid = "__graft_lid"
       require(!left.columns.contains(lid) && !right.columns.contains(lid),
-        s"column name $lid is reserved by the left-outer grid join")
+        s"column name $lid is reserved by the non-inner grid join")
       val ided = left.withColumn(lid, monotonically_increasing_id()).localCheckpoint(false)
       val inner = join(ided, right, leftWkb, rightWkb, predicate, cellDeg,
         extraCondition, distanceCol, "inner")
-      val missing0 = ided
-        .join(inner.select(col(lid)).distinct(), Seq(lid), "left_anti")
-        .join(right.limit(0), lit(false), "left")
-      val missing = distanceCol.fold(missing0)(n =>
-        missing0.withColumn(n, lit(null).cast("int")))
-      val outCols = left.columns.map(col) ++ right.columns.map(col) ++
-        distanceCol.map(col).toSeq
-      return inner.select(outCols.toIndexedSeq: _*)
-        .unionByName(missing.select(outCols.toIndexedSeq: _*))
+      val matchedIds = inner.select(col(lid)).distinct()
+      mode match {
+        case Semi =>
+          return ided.join(matchedIds, Seq(lid), "left_semi").drop(lid)
+        case Anti =>
+          return ided.join(matchedIds, Seq(lid), "left_anti").drop(lid)
+        case _ => // LeftOuter
+          val missing0 = ided
+            .join(matchedIds, Seq(lid), "left_anti")
+            .join(right.limit(0), lit(false), "left")
+          val missing = distanceCol.fold(missing0)(n =>
+            missing0.withColumn(n, lit(null).cast("int")))
+          val outCols = left.columns.map(col) ++ right.columns.map(col) ++
+            distanceCol.map(col).toSeq
+          return inner.select(outCols.toIndexedSeq: _*)
+            .unionByName(missing.select(outCols.toIndexedSeq: _*))
+      }
     }
 
     val radius = predicate match {

@@ -18,12 +18,13 @@ import graft.spatial.SpatialPredicate
  *
  * Left = iterated side (streamed, partitioning preserved), right =
  * broadcast side (collected once, packed as WKB, STRtree per executor).
- * Output = left.output ++ right.output (++ distance). Inner-join
- * semantics by default; `leftOuter` keeps match-less left rows (null
- * geometry included) with the right side + distance nulled — the
- * standard outer-join nullability widening applies to the right
- * attributes. `condition` is a pre-bound predicate over the
- * concatenated (left ++ right) row.
+ * Output by `mode` (graft.spatial.SpatialJoinMode): Inner/LeftOuter =
+ * left.output ++ right.output (++ distance) — LeftOuter keeps
+ * match-less left rows (null geometry included) with the right side +
+ * distance nulled under the standard outer nullability widening;
+ * Semi/Anti = left.output ONLY (existence filter — no distance).
+ * `condition` is a pre-bound predicate over the concatenated
+ * (left ++ right) row.
  */
 case class BroadcastSpatialJoinPlan(
     left: LogicalPlan,
@@ -33,13 +34,19 @@ case class BroadcastSpatialJoinPlan(
     predicate: SpatialPredicate,
     condition: Option[Expression], // bound over left.output ++ right.output
     distAttr: Option[AttributeReference],
-    leftOuter: Boolean = false)
+    mode: graft.spatial.SpatialJoinMode = graft.spatial.SpatialJoinMode.Inner)
   extends BinaryNode {
 
-  override def output: Seq[Attribute] =
-    left.output ++
-      (if (leftOuter) right.output.map(_.withNullability(true)) else right.output) ++
-      distAttr.toSeq
+  import graft.spatial.SpatialJoinMode._
+  require(!(distAttr.isDefined && (mode == Semi || mode == Anti)),
+    "semi/anti spatial joins emit the left schema only — no distance column")
+
+  override def output: Seq[Attribute] = mode match {
+    case Semi | Anti => left.output
+    case LeftOuter =>
+      left.output ++ right.output.map(_.withNullability(true)) ++ distAttr.toSeq
+    case Inner => left.output ++ right.output ++ distAttr.toSeq
+  }
 
   // the probe consumes whole child rows (the condition is ordinal-bound),
   // so column pruning must not reshape the children
@@ -58,7 +65,7 @@ object SpatialJoinStrategy extends SparkStrategy {
       BroadcastSpatialJoinExec(
         planLater(p.left), planLater(p.right),
         p.leftWkb, p.rightWkb, p.predicate, p.condition, p.distAttr,
-        p.leftOuter) :: Nil
+        p.mode) :: Nil
     case _ => Nil
   }
 }
@@ -71,13 +78,17 @@ case class BroadcastSpatialJoinExec(
     predicate: SpatialPredicate,
     condition: Option[Expression],
     distAttr: Option[AttributeReference],
-    leftOuter: Boolean = false)
+    mode: graft.spatial.SpatialJoinMode = graft.spatial.SpatialJoinMode.Inner)
   extends BinaryExecNode {
 
-  override def output: Seq[Attribute] =
-    left.output ++
-      (if (leftOuter) right.output.map(_.withNullability(true)) else right.output) ++
-      distAttr.toSeq
+  import graft.spatial.SpatialJoinMode._
+
+  override def output: Seq[Attribute] = mode match {
+    case Semi | Anti => left.output
+    case LeftOuter =>
+      left.output ++ right.output.map(_.withNullability(true)) ++ distAttr.toSeq
+    case Inner => left.output ++ right.output ++ distAttr.toSeq
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastSpatialJoinExec =
@@ -107,7 +118,7 @@ case class BroadcastSpatialJoinExec(
     val condExpr = condition
     val pred = predicate
 
-    val outer = leftOuter
+    val joinMode = mode
     val rightWidth = right.output.length
 
     left.execute().mapPartitions { it =>
@@ -119,36 +130,49 @@ case class BroadcastSpatialJoinExec(
       val joinedDist = new JoinedRow
       val distRow = new GenericInternalRow(1)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      // all-null right payload (+ null distance) for left-outer misses —
-      // GenericInternalRow slots default to null
-      val nullRight = new GenericInternalRow(rightWidth)
-      val nullDist = new GenericInternalRow(1)
-      def missRow(lrow: InternalRow): InternalRow = {
-        val base = joined(lrow, nullRight)
-        proj(if (needDist) joinedDist(base, nullDist) else base)
+      def condEvalFor(lrow: InternalRow): Int => Boolean = condPred match {
+        case None => _ => true
+        case Some(p) => i => p.eval(joined(lrow, idx.rows(i)))
+      }
+      def hitsOf(lrow: InternalRow): Iterator[(Int, Int)] = {
+        val g = graft.spatial.GeoKit.wkbToGeom(lrow.getBinary(lIdx))
+        probe.matches(g, pred, condEvalFor(lrow), needDist)
       }
 
-      it.flatMap { lrow =>
-        if (lrow.isNullAt(lIdx)) {
-          if (outer) Iterator.single(missRow(lrow)) else Iterator.empty
-        } else {
-          val g = graft.spatial.GeoKit.wkbToGeom(lrow.getBinary(lIdx))
-          val condEval: Int => Boolean = condPred match {
-            case None => _ => true
-            case Some(p) => i => p.eval(joined(lrow, idx.rows(i)))
+      joinMode match {
+        // existence filters: emit the LEFT row alone. hasNext, never
+        // isEmpty — isEmpty would consume the iterator's first element.
+        // A null-geometry row has no match: dropped by semi, kept by anti
+        case Semi =>
+          it.filter(lrow => !lrow.isNullAt(lIdx) && hitsOf(lrow).hasNext).map(proj)
+        case Anti =>
+          it.filter(lrow => lrow.isNullAt(lIdx) || !hitsOf(lrow).hasNext).map(proj)
+
+        case _ =>
+          val outer = joinMode == LeftOuter
+          // all-null right payload (+ null distance) for left-outer
+          // misses — GenericInternalRow slots default to null
+          val nullRight = new GenericInternalRow(rightWidth)
+          val nullDist = new GenericInternalRow(1)
+          def missRow(lrow: InternalRow): InternalRow = {
+            val base = joined(lrow, nullRight)
+            proj(if (needDist) joinedDist(base, nullDist) else base)
           }
-          val hits = probe.matches(g, pred, condEval, needDist)
-          // hasNext, not isEmpty — isEmpty would consume the iterator's
-          // first element
-          if (outer && !hits.hasNext) Iterator.single(missRow(lrow))
-          else hits.map { case (i, d) =>
-            val base = joined(lrow, idx.rows(i))
-            val full: InternalRow =
-              if (needDist) { distRow.setInt(0, d); joinedDist(base, distRow) }
-              else base
-            proj(full)
+          it.flatMap { lrow =>
+            if (lrow.isNullAt(lIdx)) {
+              if (outer) Iterator.single(missRow(lrow)) else Iterator.empty
+            } else {
+              val hits = hitsOf(lrow)
+              if (outer && !hits.hasNext) Iterator.single(missRow(lrow))
+              else hits.map { case (i, d) =>
+                val base = joined(lrow, idx.rows(i))
+                val full: InternalRow =
+                  if (needDist) { distRow.setInt(0, d); joinedDist(base, distRow) }
+                  else base
+                proj(full)
+              }
+            }
           }
-        }
       }
     }
   }

@@ -408,6 +408,66 @@ object ScaleBench {
           ev.select(col("event_id").as("r_event"), col("user_id"), col("ts").as("r_ts")),
           "user_id", "ts", "r_ts", upper = "30 minutes")
           .where(col("l_event") =!= col("r_event"))
+      }),
+
+      // --- round-7 families ---------------------------------------------
+
+      // BPE training: 8 pair-count aggs over the DISTINCT-WORD table —
+      // docsPlain keeps vocabulary growth real (suffixed copies would
+      // multiply the vocab ×f artificially). The corpus collapses to the
+      // word table once; per-round shuffle is distinct-pair-sized
+      "text_bpe_train" -> (() =>
+        graft.text.Bpe.mergesDF(spark,
+          graft.text.Bpe.train(docsPlain(f), "text", rounds = 8))),
+      // BPE serving: the merge-replay fold is map-only — wall ∝ scan,
+      // shuffle ~0. Merges fixed (trained at ×1) so only serving scales;
+      // the filter references the computed count so count() cannot prune
+      // the fold (the count()-folding probe trap)
+      "text_bpe_segment" -> (() => {
+        val ms = graft.text.Bpe.train(docsPlain(1), "text", rounds = 8)
+        docsPlain(f).select(graft.text.Bpe.tokenCount(col("text"), ms).as("n_bpe"))
+          .where(col("n_bpe") >= 0)
+      }),
+      // LM persistence round-trip at scale: train ∝ f, save/load adds a
+      // parquet write+read of the count tables (natural partitioning —
+      // the artifact is itself big data), scoring ∝ f
+      "text_lm_saved" -> (() => {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-scale-lm-").toString
+        graft.ml.ModelStore.saveBigramLm(
+          graft.text.NgramLm.train(docsPlain(f), "text", minCount = 2L), tmp)
+        graft.text.NgramLm.score(docsPlain(f), "doc_id", "text",
+          graft.ml.ModelStore.loadBigramLm(spark, tmp))
+          .where(col("n_bigrams") >= 0)
+      }),
+      // HLL sketch report: the headline claim is CONSTANT shuffle (only
+      // |strata| sketch states move) while the scan grows ×f
+      "profile_sketch" -> (() =>
+        graft.text.CorpusSketch.sketch(docsPlain(f), Seq("source"), "text")
+          .where(col("approx_distinct_tokens") >= 0L)),
+      // left-outer grid nearest: same ring/fallback shape as the inner
+      // probe, plus the null-emission for condition-starved rows (1/5 of
+      // customers); rows = |left| exactly at every factor. Filter
+      // references the matched column (probe trap, third occurrence)
+      "j1_nearest_left_grid" -> (() =>
+        graft.join.GridNearestJoin.nearest(
+          custPoints(f), supPoints(f), wkb("lon", "lat"), wkb("slon", "slat"),
+          cellDeg = 4.0, tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L,
+          condition = Some(col("s_suppkey") % 4 === col("c_custkey") % 5),
+          joinType = "left")
+          .where(col("s_suppkey").isNull || col("s_suppkey") >= 0)
+          .select("c_custkey", "s_suppkey")),
+      // left-outer grid withindist: inner cell-join plan + the id
+      // snapshot and anti-join the outer contract costs; rows >= |left|
+      "j2_withindist_left_grid" -> (() => {
+        supEq(f).createOrReplaceTempView("scale_j2l_sup")
+        new BroadcastSpatialJoin().setDataset("scale_j2l_sup")
+          .setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+          .setDataColumns("s_suppkey").setBroadcast("none")
+          .setPredicate("withindist 300000").setDistColAlias("dist_m")
+          .setJoinType("left")
+          .transform(custEq(f).select("c_custkey", "lon", "lat"))
+          .where(col("dist_m").isNull || col("dist_m") >= 0)
+          .select("c_custkey", "s_suppkey", "dist_m")
       }))
 
     def isolate(): Unit = {

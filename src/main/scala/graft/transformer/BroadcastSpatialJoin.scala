@@ -136,14 +136,20 @@ class BroadcastSpatialJoin(override val uid: String)
   setDefault(gridInitialHorizon, "")
   def setGridInitialHorizon(value: String): this.type = set(gridInitialHorizon, value)
 
-  /** Join type: "inner" (reference semantics, default) or "left" — keep
-    * every INPUT row, nulling the appended external columns (and the
-    * distance) when no external row matches. Because "left" means "all
-    * input rows", it requires an orientation where the input is the
-    * iterated/probe side: broadcast = external/none/grid/auto (the
-    * default broadcast="input" iterates the EXTERNAL side and is
-    * rejected). Extension beyond the reference's inner-only surface. */
-  final val joinType = new Param[String](this, "joinType", "join type: 'inner' (default) or 'left' (keep unmatched input rows, external columns null)")
+  /** Join type: "inner" (reference semantics, default), "left" (keep
+    * every INPUT row, nulling the appended external columns and the
+    * distance when nothing matches), "semi" (input rows WITH a match —
+    * input schema only, no appended columns) or "anti" (input rows
+    * WITHOUT a match — the "not covered by any site" query). All
+    * non-inner types describe the INPUT side, so they require an
+    * orientation where the input is the iterated/probe side:
+    * broadcast = external/none/grid/auto (the default broadcast="input"
+    * iterates the EXTERNAL side and is rejected). semi/anti are
+    * existence tests: no dataColumns/distance appended (dataColumns may
+    * be empty), and predicate=nearest is rejected (nearest decorates
+    * rows 1:1 — use withindist for an existence-by-proximity test).
+    * Extensions beyond the reference's inner-only surface. */
+  final val joinType = new Param[String](this, "joinType", "join type: 'inner' (default), 'left' (keep unmatched input rows, external columns null), 'semi' or 'anti' (existence filters, input schema only)")
   setDefault(joinType, "inner")
   def setJoinType(value: String): this.type = set(joinType, value)
 
@@ -161,7 +167,7 @@ class BroadcastSpatialJoin(override val uid: String)
   private val csvSep = Separators(",")
   private val asSep = Separators("as")
 
-  private def checkParams(): Unit = {
+  private def checkParams(existenceMode: Boolean): Unit = {
     def checkGeomCols(wkt: String, point: String, name: String): Unit = {
       require(Seq(point.nonEmpty, wkt.nonEmpty).count(identity) == 1,
         s"You must specify one and only one property of (${name}WKT, ${name}Point)")
@@ -171,7 +177,8 @@ class BroadcastSpatialJoin(override val uid: String)
     checkGeomCols(trimmed(datasetWKT), trimmed(datasetPoint), "dataset")
     checkGeomCols(trimmed(inputWKT), trimmed(inputPoint), "input")
     require(trimmed(dataset).nonEmpty, "dataset property must contain table or view name")
-    require(trimmed(dataColumns).splitTrim(csvSep).nonEmpty,
+    // semi/anti emit the input schema only — dataColumns may stay empty
+    require(existenceMode || trimmed(dataColumns).splitTrim(csvSep).nonEmpty,
       "dataColumns property must contain at least one column name")
   }
 
@@ -208,10 +215,18 @@ class BroadcastSpatialJoin(override val uid: String)
       broadcastInput: Boolean,
       gridMode: Boolean,
       knn: Int,
-      leftOuter: Boolean)
+      joinMode: graft.spatial.SpatialJoinMode)
 
   private def makeConfig(spark: SparkSession): JoinConfig = {
-    checkParams()
+    val joinMode =
+      try graft.spatial.SpatialJoinMode.parse(trimmed(joinType))
+      catch {
+        case e: IllegalArgumentException => throw new IllegalArgumentException(
+          s"Spatial join transformer error: ${e.getMessage}", e)
+      }
+    import graft.spatial.SpatialJoinMode._
+    val existenceMode = joinMode == Semi || joinMode == Anti
+    checkParams(existenceMode)
 
     // "id as poi_id, name" → (Seq(id, name), Seq(poi_id, name))
     val pairs =
@@ -276,19 +291,21 @@ class BroadcastSpatialJoin(override val uid: String)
           "that name cannot also be used as a distance or data-column alias")
     }
 
-    val leftOuter = trimmed(joinType).toLowerCase match {
-      case "" | "inner" => false
-      case "left" | "left_outer" | "leftouter" => true
-      case other => throw new IllegalArgumentException(
-        s"Spatial join transformer error: joinType must be 'inner' or 'left', got `$other`")
-    }
-    if (leftOuter) {
+    if (joinMode != Inner) {
       require(!broadcastInput,
-        "Spatial join transformer error: joinType='left' keeps all INPUT rows, " +
-          "which requires the input to be the iterated side — " +
+        s"Spatial join transformer error: joinType='${joinMode.name}' describes the INPUT " +
+          "rows, which requires the input to be the iterated side — " +
           "use broadcast = 'external', 'none'/'grid', or 'auto' (not 'input')")
       require(knn == 1,
-        "Spatial join transformer error: joinType='left' supports gridKnn = 1 only")
+        s"Spatial join transformer error: joinType='${joinMode.name}' supports gridKnn = 1 only")
+    }
+    if (existenceMode) {
+      require(trimmed(distanceColumnAlias).isEmpty,
+        s"Spatial join transformer error: joinType='${joinMode.name}' emits the input " +
+          "schema only — no distance column")
+      require(spatialPred != SpatialPredicate.Nearest,
+        s"Spatial join transformer error: joinType='${joinMode.name}' is an existence " +
+          "test; predicate=nearest decorates rows 1:1 — use withindist instead")
     }
 
     JoinConfig(
@@ -303,19 +320,22 @@ class BroadcastSpatialJoin(override val uid: String)
       broadcastInput = broadcastInput,
       gridMode = gridMode,
       knn = knn,
-      leftOuter = leftOuter)
+      joinMode = joinMode)
   }
 
   /** Output schema = input fields ++ aliased selected external fields ++
     * optional Int distance. Statically derivable — shared by transform and
     * transformSchema so the two can never diverge. */
   private def outputSchema(inputSchema: StructType, cfg: JoinConfig): StructType = {
+    import graft.spatial.SpatialJoinMode.{Anti, Semi}
+    // existence filters pass the input schema through untouched
+    if (cfg.joinMode == Semi || cfg.joinMode == Anti) return inputSchema
     val extSchema = cfg.externalDF.schema
     val appended = cfg.dataCols.zip(cfg.aliases).map { case (n, a) =>
       val f = extSchema(extSchema.fieldIndex(n)).copy(name = a)
       // outer-join nullability widening: unmatched input rows null the
       // appended external columns
-      if (cfg.leftOuter) f.copy(nullable = true) else f
+      if (cfg.joinMode == graft.spatial.SpatialJoinMode.LeftOuter) f.copy(nullable = true) else f
     }
     val fields = inputSchema.fields ++ appended
     val withDist =
@@ -382,12 +402,12 @@ class BroadcastSpatialJoin(override val uid: String)
     val distAttr =
       if (needDistance)
         Some(org.apache.spark.sql.catalyst.expressions.AttributeReference(
-          cfg.distanceAlias, DataTypes.IntegerType, nullable = cfg.leftOuter)())
+          cfg.distanceAlias, DataTypes.IntegerType, nullable = cfg.joinMode == graft.spatial.SpatialJoinMode.LeftOuter)())
       else None
 
     val plan = graft.plans.BroadcastSpatialJoinPlan(
       lp, rp, lAttr, rAttr, cfg.spatialPredicate, compiled.map(_.bound), distAttr,
-      leftOuter = cfg.leftOuter)
+      mode = cfg.joinMode)
     val joinedDF = org.apache.spark.sql.graft.DatasetBridge.ofRows(spark, plan)
 
     // final projection BY ATTRIBUTE (names may repeat across the sides):
@@ -397,8 +417,13 @@ class BroadcastSpatialJoin(override val uid: String)
       else (lp.output.filterNot(_.exprId == lAttr.exprId), rp.output)
     def extAttr(name: String) = extOut.find(_.name == name).getOrElse(
       throw new IllegalArgumentException(s"dataColumns column `$name` not found in external dataset"))
+    import graft.spatial.SpatialJoinMode.{Anti, Semi}
+    val existence = cfg.joinMode == Semi || cfg.joinMode == Anti
+    // semi/anti plans emit the left (= input) output only — project just
+    // the input columns (the wkb helper dropped)
     val outCols =
-      inputOut.map(a => org.apache.spark.sql.graft.ColumnBridge.column(a)) ++
+      if (existence) inputOut.map(a => org.apache.spark.sql.graft.ColumnBridge.column(a))
+      else inputOut.map(a => org.apache.spark.sql.graft.ColumnBridge.column(a)) ++
         cfg.dataCols.zip(cfg.aliases).map { case (n, a) =>
           org.apache.spark.sql.graft.ColumnBridge.column(extAttr(n)).as(a) } ++
         distAttr.map(a => org.apache.spark.sql.graft.ColumnBridge.column(a))
@@ -492,7 +517,7 @@ class BroadcastSpatialJoin(override val uid: String)
               wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
               cellDeg, tieBreak = Some(tb), condition = extraCond,
               fallbackBelow = fb, initialHorizon = ih,
-              joinType = if (cfg.leftOuter) "left" else "inner")
+              joinType = cfg.joinMode.name)
           else
             GridNearestJoin.knearest(
               input, ext,
@@ -509,15 +534,17 @@ class BroadcastSpatialJoin(override val uid: String)
           wkbOf(cfg.inputSpec, identity), wkbOf(cfg.externalSpec, pref + _),
           cfg.spatialPredicate, cellDeg, extraCond,
           if (needDistance) Some(cfg.distanceAlias) else None,
-          joinType = if (cfg.leftOuter) "left" else "inner")
+          joinType = cfg.joinMode.name)
     }
 
-    val outCols =
-      input.columns.map(F.col) ++
+    import graft.spatial.SpatialJoinMode.{Anti, Semi}
+    val outCols: Seq[org.apache.spark.sql.Column] =
+      if (cfg.joinMode == Semi || cfg.joinMode == Anti) input.columns.map(F.col).toSeq
+      else input.columns.map(F.col).toSeq ++
         cfg.dataCols.zip(cfg.aliases).map { case (n, a) => F.col(pref + n).as(a) } ++
         (if (needDistance) Seq(F.col(cfg.distanceAlias)) else Nil) ++
         (if (cfg.knn > 1) Seq(F.col("knn_rank")) else Nil)
-    joined.select(outCols.toIndexedSeq: _*)
+    joined.select(outCols: _*)
   }
 }
 
