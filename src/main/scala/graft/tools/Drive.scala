@@ -513,6 +513,42 @@ object Drive {
       else println("ERROR logistic artifact mismatch")
     }
 
+    println("=== 30. join-type surface: left / semi / anti on both strategies (round-7) ===")
+    locally {
+      val cust = SparkEntry.customerPoints(spark, dir).select("c_custkey", "lon", "lat")
+      SparkEntry.supplierPoints(spark, dir).createOrReplaceTempView("drive_sup30")
+      def t(jt: String, mode: String) = new BroadcastSpatialJoin()
+        .setDataset("drive_sup30").setDatasetPoint("lon, lat").setInputPoint("lon, lat")
+        .setDataColumns(if (jt == "left") "s_suppkey" else "")
+        .setBroadcast(mode).setPredicate("withindist 300000").setJoinType(jt)
+        .transform(cust)
+      val leftK = t("left", "external")
+      val total = cust.count()
+      val unmatched = leftK.where(col("s_suppkey").isNull)
+        .select("c_custkey").distinct().count()
+      println(s"rows=${leftK.count()} left rows (distinct inputs kept=" +
+        s"${leftK.select("c_custkey").distinct().count() == total}) (expect true)")
+      val semiN = t("semi", "external").count()
+      val antiN = t("anti", "none").count()
+      println(s"rows=$semiN semi + $antiN anti = ${semiN + antiN} " +
+        s"(partition of $total=${semiN + antiN == total}, anti==left-nulls=" +
+        s"${antiN == unmatched}) (expect true true)")
+    }
+
+    println("=== 31. HLL sketch report: per-source corpus statistics (round-7) ===")
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sk = graft.text.CorpusSketch.sketch(docs, Seq("source"), "text").cache()
+      val nSrc = sk.count()
+      val exact = docs.groupBy("source")
+        .agg(org.apache.spark.sql.functions.countDistinct(col("text")).as("uc"))
+      val offBound = sk.join(exact, "source")
+        .where(!graft.text.CorpusSketch.withinBound(
+          col("approx_distinct_content"), col("uc"), 0.15)).count()
+      println(s"rows=$nSrc source strata, estimates off 3-sigma bound=$offBound (expect 0)")
+      sk.unpersist()
+    }
+
     println("=== 29. corpus-trained BPE: merges, lossless segmentation, budget packing (round-7) ===")
     locally {
       val docs = spark.read.parquet(s"$dir/documents.parquet")
