@@ -223,15 +223,34 @@ object Similarity {
   /** Per-centroid (dot score, cell id) structs — the ONE scoring
     * definition shared by assignment (training + serving) and query-side
     * probing, so the three can never desynchronize. */
-  private def ivfCentScores(cents: Array[Seq[Double]])(vec: Column): Seq[Column] =
+  private[similarity] def ivfCentScores(cents: Array[Seq[Double]])(vec: Column): Seq[Column] =
     cents.toIndexedSeq.zipWithIndex.map { case (cvec, i) =>
       struct(dot(vec, typedLit(cvec)).as("s"), lit(i).as("cell"))
     }
 
   /** Map-side nearest-centroid assignment expression (argmax dot). */
-  private def ivfAssignCell(cents: Array[Seq[Double]]): Column => Column =
+  private[similarity] def ivfAssignCell(cents: Array[Seq[Double]]): Column => Column =
     vec => if (cents.length == 1) lit(0)
       else greatest(ivfCentScores(cents)(vec): _*).getField("cell")
+
+  /** Top-`nprobe` cell ids for a query vector (descending centroid
+    * score) — shared by [[ivfTopKWith]] and [[IvfPq]]. */
+  private[similarity] def ivfProbeCells(cents: Array[Seq[Double]], nprobe: Int)(
+      vec: Column): Column =
+    slice(reverse(array_sort(array(ivfCentScores(cents)(vec): _*))), 1,
+      math.max(1, nprobe)).getField("cell")
+
+  /** Centroid frame (one vector per row in `vecCol`) → normalized
+    * driver-side array, cell order restored — shared by the explicit-
+    * centroid serving paths. */
+  private[similarity] def centroidArray(centroids: DataFrame, vecCol: String): Array[Seq[Double]] = {
+    val hasCell = centroids.columns.contains("cell")
+    val rows =
+      if (hasCell) centroids.select(col("cell").cast("int"),
+        col(vecCol).cast("array<double>")).collect().sortBy(_.getInt(0)).map(_.getSeq[Double](1))
+      else centroids.select(col(vecCol).cast("array<double>")).collect().map(_.getSeq[Double](0))
+    rows.map(normalized)
+  }
 
   private def ivfCore(
       queries: DataFrame, candidates: DataFrame,
