@@ -499,6 +499,35 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(10)) === 0), "text", k = 8)
     }),
 
+    // bloom-prefiltered decontamination: same doc_id % 10 split; the
+    // corpus probes a driver-built bloom over xxhash64'd benchmark
+    // window digests map-side, exact verify join removes false
+    // positives — output rows identical to an exact digest join
+    "dedup_decontam_bloom" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.decontaminateBloom(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "text",
+        k = 8, expectedItems = 100000L, fpp = 0.01)
+    }),
+
+    // n-gram overlap-fraction decontamination report (the PaLM/GPT-3
+    // reporting shape): per corpus doc, the fraction of its distinct
+    // 5-gram digests that appear anywhere in the benchmark slice
+    "decontam_ngram" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.decontamOverlap(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "text",
+        n = 5, theta = 0.1)
+    }),
+
+    // segment-level (C4-style line) dedup: global first-occurrence
+    // survival of 8-token segments, documents reassembled from their
+    // surviving segments
+    "dedup_segments" -> ((s, dir) =>
+      Dedup.segmentDedup(tbl(s, dir, "documents"), "doc_id", "text", seg = 8)),
+
     // embedding-cosine near-dup pairs (exact, oracle-checked)
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.5)),
@@ -1545,6 +1574,47 @@ object SparkEntry {
          |sp AS (SELECT doc_id, isl, count(*) c, max(pos) - min(pos) + 8 span FROM g GROUP BY 1, 2)
          |SELECT doc_id doc, CAST(sum(c) AS BIGINT) hits, CAST(max(span) AS BIGINT) max_span
          |FROM sp GROUP BY 1""".stripMargin,
+
+    // the bloom prefilter is correctness-invisible (exact verify join
+    // removes every false positive), so the oracle is the plain distinct
+    // shared-window membership test
+    "dedup_decontam_bloom" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |sh AS (SELECT doc_id, [md5(array_to_string(ws[i:i+7], ' ')) for i in range(1, len(ws)-6)] l FROM t WHERE len(ws) >= 8),
+         |r AS (SELECT doc_id, unnest(l) h FROM sh),
+         |b AS (SELECT DISTINCT h FROM r WHERE doc_id % 10 = 0)
+         |SELECT DISTINCT doc_id doc FROM r JOIN b USING (h) WHERE doc_id % 10 <> 0""".stripMargin,
+
+    // distinct 5-gram digests per corpus doc, fraction present in the
+    // benchmark's distinct digest set; frac is one IEEE division of
+    // exact integer counts, contaminated the derived >= 0.1 comparison
+    "decontam_ngram" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |g AS (SELECT doc_id, [md5(array_to_string(ws[i:i+4], ' ')) for i in range(1, len(ws)-3)] l FROM t WHERE len(ws) >= 5),
+         |r AS (SELECT DISTINCT doc_id, h FROM (SELECT doc_id, unnest(l) h FROM g)),
+         |b AS (SELECT DISTINCT h FROM r WHERE doc_id % 10 = 0),
+         |j AS (SELECT r.doc_id, CASE WHEN b.h IS NOT NULL THEN 1 END hit
+         |      FROM r LEFT JOIN b ON r.h = b.h WHERE r.doc_id % 10 <> 0)
+         |SELECT doc_id doc, CAST(count(*) AS BIGINT) n_grams, CAST(count(hit) AS BIGINT) n_hit,
+         |       CAST(count(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) frac,
+         |       CAST(count(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.1 contaminated
+         |FROM j GROUP BY 1""".stripMargin,
+
+    // global first-occurrence (min (doc_id, idx)) per distinct 8-token
+    // segment, reassembly in original idx order; the window form is
+    // oracle-only — the engine runs the agg+join-back shape
+    "dedup_segments" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |c AS (SELECT doc_id, [array_to_string(ws[i:i+7], ' ') for i in range(1, greatest(len(ws), 1)+1, 8)] l FROM t),
+         |e AS (SELECT doc_id, CAST(generate_subscripts(l, 1) - 1 AS BIGINT) idx, unnest(l) seg FROM c),
+         |s AS (SELECT * FROM e WHERE seg <> ''),
+         |k AS (SELECT doc_id, idx, seg, row_number() OVER (PARTITION BY md5(seg) ORDER BY doc_id, idx) rn FROM s),
+         |a AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY idx) tc, count(*) nk FROM k WHERE rn = 1 GROUP BY 1),
+         |tot AS (SELECT doc_id, count(*) ns FROM s GROUP BY 1)
+         |SELECT d.doc_id doc, coalesce(tc, '') text_clean,
+         |       CAST(coalesce(nk, 0) AS BIGINT) n_kept,
+         |       CAST(coalesce(ns, 0) - coalesce(nk, 0) AS BIGINT) n_dropped
+         |FROM documents d LEFT JOIN a USING (doc_id) LEFT JOIN tot USING (doc_id)""".stripMargin,
 
     "dedup_embedding" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

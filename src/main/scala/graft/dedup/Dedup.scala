@@ -342,6 +342,154 @@ object Dedup {
   }
 
   /**
+   * Segment-level (C4-style "line") deduplication across the whole
+   * corpus: split every document into consecutive `seg`-token segments,
+   * keep only the FIRST occurrence of each distinct segment — first =
+   * minimum (id, segment-index) lexicographically, a total order that no
+   * partitioning can perturb — and reassemble each document from its
+   * surviving segments in original order.
+   *
+   * Output: one row per input document —
+   * `(doc, text_clean, n_kept, n_dropped)`; a document whose every
+   * segment occurred earlier elsewhere survives with `text_clean = ""`.
+   *
+   * Shape (the [[exactCanon]] rationale, segment-grained): segments
+   * shuffle as 16-byte digests through a map-side-combined
+   * `groupBy(digest).agg(min(struct(doc, idx)))` + equi-join back —
+   * never a window over `partitionBy(digest)`, so a boilerplate segment
+   * repeated 100M times collapses per map task and the join back stays
+   * AQE-skew-splittable. Reassembly groups by doc (bounded by one
+   * document's own segments, never corpus-sized). At 100 TB the only
+   * corpus-sized shuffles are digest-keyed and carry (digest, doc, idx,
+   * segment) rows — segment payloads ride exactly twice, once into the
+   * keeper join and once into reassembly.
+   */
+  def segmentDedup(
+      df: DataFrame, idCol: String, textCol: String, seg: Int = 16): DataFrame = {
+    require(seg >= 1, s"segment size must be >= 1, got $seg")
+    val segs = df
+      .select(col(idCol).as("doc"),
+        posexplode(TextFunctions.tokenChunks(
+          TextFunctions.tokens(col(textCol)), seg, 0)))
+      .select(col("doc"), col("pos").cast("long").as("idx"), col("col").as("segment"))
+      .where(col("segment") =!= "") // empty-text docs yield one "" chunk — not a segment
+    val keyed = segs.withColumn("__digest", unhex(md5(col("segment").cast("binary"))))
+    // derived second grouping key: forces the keeper side through a
+    // join-owned exchange so AQE's skewed-join split stays applicable
+    // (see exactCanon)
+    val first = keyed
+      .groupBy(col("__digest"), substring(col("__digest"), 1, 2))
+      .agg(min(struct(col("doc"), col("idx"))).as("keep"))
+      .select(col("__digest"),
+        col("keep.doc").as("__kdoc"), col("keep.idx").as("__kidx"))
+    val kept = keyed.join(first, "__digest")
+      .where(col("doc") === col("__kdoc") && col("idx") === col("__kidx"))
+    val rebuilt = kept
+      .groupBy(col("doc"))
+      .agg(
+        concat_ws(" ",
+          transform(array_sort(collect_list(struct(col("idx"), col("segment")))),
+            s => s.getField("segment"))).as("text_clean"),
+        count(lit(1)).cast("long").as("n_kept"))
+    val totals = segs.groupBy(col("doc")).agg(count(lit(1)).cast("long").as("__n_segs"))
+    df.select(col(idCol).as("doc")).distinct()
+      .join(rebuilt, Seq("doc"), "left")
+      .join(totals, Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (coalesce(col("__n_segs"), lit(0L)) - coalesce(col("n_kept"), lit(0L)))
+          .as("n_dropped"))
+  }
+
+  /**
+   * N-gram overlap-fraction decontamination (the PaLM/GPT-3 reporting
+   * shape, complementing [[decontaminate]]'s island spans): for every
+   * corpus document, the fraction of its DISTINCT word `n`-gram digests
+   * that appear anywhere in the benchmark. Output per corpus document
+   * with at least one n-gram: `(doc, n_grams, n_hit, frac, contaminated)`
+   * where `frac = n_hit / n_grams` (one IEEE division of exact integers,
+   * engine-reproducible) and `contaminated = frac >= theta`.
+   *
+   * Shape: the benchmark collapses to DISTINCT digests (broadcast by
+   * default — the eval-suite side is MBs while the corpus is not); the
+   * corpus explodes to per-doc distinct (doc, digest) rows — ONE
+   * digest-keyed shuffle, map-side combined — then a narrow left join
+   * against the broadcast set and a per-doc count aggregation. Zero
+   * corpus-pairwise work at any scale; `broadcastBench = false` degrades
+   * to a digest-keyed shuffle join for a giant benchmark.
+   */
+  def decontamOverlap(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      n: Int = 5, theta: Double = 0.1, broadcastBench: Boolean = true): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    require(theta >= 0.0 && theta <= 1.0, s"theta must be in [0,1], got $theta")
+    import graft.functions.RunDigests.runDigests
+    val benchD0 = bench
+      .select(explode(runDigests(col(benchTextCol), n)).as("h"))
+      .distinct()
+    val benchD = (if (broadcastBench) broadcast(benchD0) else benchD0)
+      .withColumn("__hit", lit(1))
+    corpus
+      .select(col(idCol).as("doc"), explode(runDigests(col(textCol), n)).as("h"))
+      .distinct()
+      .join(benchD, Seq("h"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        count(col("__hit")).cast("long").as("n_hit"))
+      .withColumn("frac", col("n_hit").cast("double") / col("n_grams").cast("double"))
+      .withColumn("contaminated", col("frac") >= lit(theta))
+  }
+
+  /**
+   * Bloom-prefiltered decontamination — the cheapest possible corpus
+   * pass when only the CONTAMINATED-DOCUMENT SET is needed (quarantine
+   * lists, not [[decontaminate]]'s per-doc span report): a Bloom filter
+   * over the benchmark's k-token window digests rides to every executor
+   * as a task-closure broadcast, the corpus scan probes it MAP-SIDE (a
+   * window that misses the bloom provably has no benchmark match and is
+   * dropped before any exchange), and only the surviving ~fpp fraction
+   * plus true hits flows into the exact verify join that removes false
+   * positives. Output: distinct `(doc)` of contaminated corpus ids —
+   * identical rows to an exact digest join, for any fpp.
+   *
+   * At 100 TB this changes the decontamination cost class: the corpus
+   * side shuffles `(true hits + fpp · windows)` rows instead of every
+   * window — with fpp = 1e-2 a ~100× reduction of the dominant exchange,
+   * tunable to 1e-3 for ~0.1% residue at ~1.4× bloom memory. The bloom
+   * keys are `xxhash64` of the 16-byte window digests (the driver-side
+   * `stat.bloomFilter` builder speaks longs, not binary); the exact
+   * verify join still compares full digests, so the 64-bit reduction
+   * only affects prefilter selectivity, never correctness.
+   *
+   * NOTE: building the filter runs one Spark job EAGERLY at call time
+   * (`DataFrameStatFunctions.bloomFilter` collects the sketch to the
+   * driver) — the same documented eagerness as the IVF/PQ trainers;
+   * `expectedItems` sizes the filter (overestimates cost memory,
+   * underestimates cost fpp).
+   */
+  def decontaminateBloom(
+      corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String,
+      k: Int = 8, expectedItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(k >= 2, s"window size k must be >= 2, got $k")
+    import graft.functions.RunDigests.runDigests
+    val benchD = bench
+      .select(explode(runDigests(col(benchTextCol), k)).as("h"))
+      .distinct()
+    val bloom = benchD.select(xxhash64(col("h")).as("hk"))
+      .stat.bloomFilter("hk", expectedItems, fpp)
+    val mightContain = udf((hk: Long) => bloom.mightContainLong(hk))
+    corpus
+      .select(col(idCol).as("doc"), explode(runDigests(col(textCol), k)).as("h"))
+      .where(mightContain(xxhash64(col("h")))) // map-side: no corpus shuffle past here
+      .join(broadcast(benchD), Seq("h")) // exact verify kills bloom false positives
+      .select(col("doc"))
+      .distinct()
+  }
+
+  /**
    * MinHash-LSH near-dup pairs: signatures → banding (bandRows rows/band)
    * → candidate pairs sharing >= 1 band → exact Jaccard verification
    * >= tau. Same output contract as [[jaccardPairs]]; emitted Jaccard

@@ -566,6 +566,42 @@ object Drive {
       println(s"rows=${packed.count()} bpe-packed docs, offsets past budget=$overBudget (expect 0)")
     }
 
+    println("=== 32. segment dedup / overlap + bloom decontamination (round-7b) ===")
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val sd = graft.dedup.Dedup.segmentDedup(docs, "doc_id", "text", seg = 8).cache()
+      val nDocs = sd.count()
+      val inDocs = docs.count()
+      val dropped = sd.agg(sum(col("n_dropped"))).head().getLong(0)
+      // conservation: kept + dropped segments = total segments
+      val keptPlusDropped = sd.agg(sum(col("n_kept") + col("n_dropped"))).head().getLong(0)
+      val totalSegs = docs
+        .select(explode(graft.text.TextFunctions.tokenChunks(
+          graft.text.TextFunctions.tokens(col("text")), 8, 0)).as("s"))
+        .where(col("s") =!= "").count()
+      println(s"rows=$nDocs docs out of $inDocs (all present=${nDocs == inDocs}), " +
+        s"$dropped segments dropped, conservation=${keptPlusDropped == totalSegs} (expect true ... true)")
+      sd.unpersist()
+      val corpus = docs.where(pmod(col("doc_id"), lit(10)) =!= 0)
+      val bench = docs.where(pmod(col("doc_id"), lit(10)) === 0)
+      val ov = graft.dedup.Dedup.decontamOverlap(corpus, "doc_id", "text", bench, "text",
+        n = 5, theta = 0.1).cache()
+      val nOv = ov.count()
+      val badFrac = ov.where(col("frac") < 0 || col("frac") > 1
+        || (col("contaminated") =!= (col("frac") >= 0.1))).count()
+      println(s"rows=$nOv overlap reports, invalid fractions/flags=$badFrac (expect 0)")
+      ov.unpersist()
+      val exact = graft.dedup.Dedup.decontaminate(corpus, "doc_id", "text", bench, "text", k = 8)
+        .select(col("doc")).collect().map(_.getLong(0)).toSet
+      val bloom = graft.dedup.Dedup.decontaminateBloom(corpus, "doc_id", "text", bench, "text",
+        k = 8, expectedItems = 1000L, fpp = 0.3).collect().map(_.getLong(0)).toSet
+      println(s"rows=${bloom.size} bloom-flagged docs, equals exact set=${bloom == exact} (expect true)")
+      // error path: invalid k rejects loudly
+      val err = try { graft.dedup.Dedup.decontaminateBloom(corpus, "doc_id", "text", bench, "text", k = 1); "no-error" }
+      catch { case e: IllegalArgumentException => "IllegalArgumentException" }
+      println(s"OK k=1 rejected with $err (expect IllegalArgumentException)")
+    }
+
     spark.stop()
   }
 }
