@@ -630,6 +630,40 @@ object SparkEntry {
       graft.stats.GroupStats.quantiles(
         tbl(s, dir, "documents"), Seq("source"), "n_chars", Seq(50, 90, 99))),
 
+    // approximate (GK-sketch) quantiles, bound-checked: estimates are
+    // merge-order-dependent so the gate pins exact row counts plus
+    // rank-within-n/accuracy booleans (the profile_sketch discipline)
+    "q_quantiles_approx" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val acc = 100
+      val est = graft.stats.GroupStats.approxQuantiles(
+        docs, Seq("source"), "n_chars", Seq(50, 90), accuracy = acc)
+      def ok(q: Int, lt: Column, le: Column, n: Column): Column = {
+        val t = lit(q / 100.0) * n.cast("double")
+        val b = n.cast("double") / lit(acc.toDouble) + lit(1.0)
+        (lt.cast("double") < t + b) && (le.cast("double") >= t - b)
+      }
+      docs.select(col("source"), col("n_chars")).join(est, "source")
+        .groupBy(col("source")).agg(
+          max(col("n")).as("n"),
+          sum(when(col("n_chars") < col("ap50"), 1L).otherwise(0L)).as("__lt50"),
+          sum(when(col("n_chars") <= col("ap50"), 1L).otherwise(0L)).as("__le50"),
+          sum(when(col("n_chars") < col("ap90"), 1L).otherwise(0L)).as("__lt90"),
+          sum(when(col("n_chars") <= col("ap90"), 1L).otherwise(0L)).as("__le90"))
+        .select(col("source"), col("n"),
+          ok(50, col("__lt50"), col("__le50"), col("n")).as("p50_ok"),
+          ok(90, col("__lt90"), col("__le90"), col("n")).as("p90_ok"))
+    }),
+
+    // blocking-based record linkage: within-block (first name token)
+    // Levenshtein pairs over the p_partkey % 10 = 0 slice — the
+    // blocking/match decomposition, never all-pairs
+    "link_fuzzy" -> ((s, dir) =>
+      graft.link.RecordLinkage.blockedPairs(
+        tbl(s, dir, "part").where(pmod(col("p_partkey"), lit(10)) === 0),
+        "p_partkey", "p_name", split(col("p_name"), " ").getItem(0), maxDist = 3)
+        .select(col("id_i").as("part_i"), col("id_j").as("part_j"), col("dist"))),
+
     // hot-phrase mining (boilerplate discovery): top-5 most
     // document-frequent bigrams per source — per-doc DISTINCT grams
     // (df semantics), one map-side-combined count, O(k)-state top-k;
@@ -1752,6 +1786,21 @@ object SparkEntry {
         |  min(CASE WHEN 100 * cum >= 90 * tot THEN n_chars END) p90,
         |  min(CASE WHEN 100 * cum >= 99 * tot THEN n_chars END) p99
         |FROM c GROUP BY source""".stripMargin,
+
+    // sketch estimates are not replayable; the oracle pins the exact
+    // counts and the literal truth of the Spark-computed rank bounds
+    "q_quantiles_approx" ->
+      """SELECT source, CAST(count(*) AS BIGINT) n, TRUE p50_ok, TRUE p90_ok
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    // DuckDB's levenshtein is the same classic unweighted edit-distance
+    // DP as Spark's — exact integer parity
+    "link_fuzzy" ->
+      """WITH b AS (SELECT p_partkey k, p_name nm, string_split(p_name, ' ')[1] bk
+        |           FROM part WHERE p_partkey % 10 = 0)
+        |SELECT a.k part_i, c.k part_j, CAST(levenshtein(a.nm, c.nm) AS INTEGER) dist
+        |FROM b a JOIN b c ON a.bk = c.bk AND a.k < c.k
+        |WHERE levenshtein(a.nm, c.nm) <= 3""".stripMargin,
 
     // distinct bigrams per doc (df semantics), count per (source,
     // phrase), df >= 3, top-5 by (df desc, phrase asc) — the same

@@ -71,4 +71,43 @@ object GroupStats {
         qs.map(q => min(when(col("__cum") * 100 >= col("__tot") * q,
           col(valueCol))).as(s"p$q")): _*)
   }
+
+  /**
+   * Per group: row count and one `ap<N>` APPROXIMATE percentile column
+   * per requested percentile — Spark's `percentile_approx`
+   * (Greenwald-Khanna summaries) in the [[quantiles]] column convention.
+   *
+   * The cheap first pass when the value column is CONTINUOUS
+   * (high-cardinality: latencies in nanos, float scores), where
+   * [[quantiles]]'s histogram collapse buys nothing: GK keeps
+   * O(accuracy·log n) state per group inside one map-side-combined
+   * aggregation — no histogram shuffle, no window — and guarantees the
+   * returned element's RANK is within n/accuracy of the target. Returned
+   * values are actual elements of the group (input type preserved).
+   * Estimates are sketch-merge-order-dependent, so this is a
+   * bound-checked operator, not a bit-replayable one — the gate pins
+   * `rank(estimate) - target <= n/accuracy` booleans, the
+   * [[graft.text.CorpusSketch]] discipline.
+   */
+  def approxQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[Int], accuracy: Int = 10000): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(qs.nonEmpty, "at least one percentile required")
+    require(qs.forall(q => q >= 1 && q <= 100),
+      s"percentiles must be in [1, 100], got ${qs.mkString(",")}")
+    require(qs.distinct.size == qs.size, s"duplicate percentiles: ${qs.mkString(",")}")
+    require(accuracy >= 1, s"accuracy must be >= 1, got $accuracy")
+    val outNames = Seq("n", "__ap") ++ qs.map(q => s"ap$q")
+    val clash = (groupCols :+ valueCol).toSet.intersect(outNames.toSet)
+    require(clash.isEmpty,
+      s"column name(s) would collide with output or internal columns: ${clash.mkString(", ")}")
+    val g = groupCols.map(col)
+    val probs = array(qs.map(q => lit(q / 100.0)): _*)
+    df.where(col(valueCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col(valueCol), probs, lit(accuracy)).as("__ap"))
+      .select(g ++ (col("n") +:
+        qs.zipWithIndex.map { case (q, i) => col("__ap")(i).as(s"ap$q") }): _*)
+  }
 }

@@ -602,6 +602,32 @@ object Drive {
       println(s"OK k=1 rejected with $err (expect IllegalArgumentException)")
     }
 
+    println("=== 33. record linkage + approximate quantiles (round-7b) ===")
+    locally {
+      val parts = spark.read.parquet(s"$dir/part.parquet")
+      val pairs = graft.link.RecordLinkage.blockedPairs(parts, "p_partkey", "p_name",
+        split(col("p_name"), " ").getItem(0), maxDist = 3).cache()
+      val nPairs = pairs.count()
+      val badOrder = pairs.where(col("id_i") >= col("id_j")).count()
+      val badDist = pairs.where(col("dist") < 0 || col("dist") > 3).count()
+      println(s"rows=$nPairs linked pairs, order violations=$badOrder, " +
+        s"out-of-threshold distances=$badDist (expect 0 0)")
+      val capped = graft.link.RecordLinkage.blockedPairs(parts, "p_partkey", "p_name",
+        split(col("p_name"), " ").getItem(0), maxDist = 3, maxBlock = Some(5)).count()
+      println(s"rows=$capped pairs under maxBlock=5 (subset=${capped <= nPairs}) (expect true)")
+      pairs.unpersist()
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val aq = graft.stats.GroupStats.approxQuantiles(
+        docs, Seq("source"), "n_chars", Seq(50, 90), accuracy = 100)
+      val exact = graft.stats.GroupStats.quantiles(
+        docs, Seq("source"), "n_chars", Seq(50, 90))
+      val off = aq.join(exact, "source")
+        // accuracy far above group sizes at sf0.001: GK is exact here
+        .where(col("ap50") =!= col("p50") || col("ap90") =!= col("p90")).count()
+      println(s"rows=${aq.count()} approx-quantile strata, diffs vs exact at " +
+        s"accuracy>>n=$off (expect 0)")
+    }
+
     spark.stop()
   }
 }
