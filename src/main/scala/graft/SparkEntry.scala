@@ -540,6 +540,15 @@ object SparkEntry {
       Dedup.embeddingPairsLsh(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.5, planes = 5, tables = 24)),
 
+    // SemDeDup-style semantic dedup: deterministic md5-sampled seeds,
+    // nearest-seed cells on round-6 cosine, smaller-id-neighbour
+    // duplicate flags — fully replayable, no k-means float drift
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 16, tau = 0.3)
+        // "cluster" is a reserved word in the oracle dialect
+        .select(col("doc"), col("cluster").as("cell"), col("is_dup"))),
+
     // SimHash near-dup pairs with md5-derived token hashes — DuckDB can
     // replay the fingerprints bit-for-bit (md5_number_lower), so this is
     // fully oracle-checked; the xxhash64 variant stays the perf default
@@ -1680,6 +1689,31 @@ object SparkEntry {
         |    round(list_inner_product(a.v, b.v)
         |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) cos_r6
         |  FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos_r6 >= 0.5""".stripMargin,
+
+    // md5-ordered seed sample, nearest-seed assignment on round-6
+    // cosine (ties to the smallest seed id), within-cell
+    // smaller-id-neighbour test — every stage integer/round-6
+    // deterministic, so the full semantic-dedup verdict replays
+    "dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v,
+        |             sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+        |                                     CAST(embedding AS DOUBLE[]))) nrm
+        |           FROM embeddings),
+        |s AS (SELECT vec_id sid, v sv, nrm snrm FROM
+        |        (SELECT vec_id, v, nrm, md5(CAST(vec_id AS VARCHAR)) r FROM e
+        |         ORDER BY r LIMIT 16)),
+        |a AS (SELECT vec_id, sid, v, nrm FROM (
+        |  SELECT e.vec_id, s.sid, e.v, e.nrm,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY round(list_inner_product(e.v, s.sv) / (e.nrm * s.snrm), 6) DESC,
+        |               s.sid) rn
+        |  FROM e CROSS JOIN s) WHERE rn = 1),
+        |d AS (SELECT DISTINCT y.vec_id FROM a x JOIN a y
+        |      ON x.sid = y.sid AND x.vec_id < y.vec_id
+        |      WHERE round(list_inner_product(x.v, y.v) / (x.nrm * y.nrm), 6) >= 0.3)
+        |SELECT a.vec_id doc, CAST(a.sid AS BIGINT) cell,
+        |       (d.vec_id IS NOT NULL) is_dup
+        |FROM a LEFT JOIN d ON a.vec_id = d.vec_id""".stripMargin,
 
     // replays Md5Simhash exactly: per-token hash = md5_number_lower, ±1
     // votes per bit, sign-pattern fingerprint, popcount pair filter

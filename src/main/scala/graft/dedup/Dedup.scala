@@ -698,6 +698,71 @@ object Dedup {
   }
 
   /**
+   * SemDeDup-style SEMANTIC deduplication: partition the embedding space
+   * into `k` cells around deterministic seed vectors, then flag a row as
+   * a semantic duplicate iff a SMALLER-id row in the SAME cell has
+   * cosine >= tau with it. Output: one row per input —
+   * `(doc, cluster, is_dup)`, cluster = the seed's id.
+   *
+   * Seeds are the `k` rows with the smallest `md5(id)` rendering — a
+   * deterministic, data-independent sample (md5 is a uniform hash of the
+   * id, so this IS a uniform k-sample of rows) that an external SQL
+   * engine replays exactly, unlike k-means centroids whose float sums
+   * are partition-order-dependent. Assignment is nearest-seed by cosine
+   * ROUNDED to 6 decimals with ties to the smallest seed id — the
+   * rounding absorbs sub-ulp engine variation, making cell membership
+   * reproducible (same discipline as the `cos_r6` pair gates).
+   *
+   * Scale shape: seeds ride a broadcast (k·dim doubles); assignment is a
+   * broadcast nested-loop over N×k — map-side, no shuffle of vectors.
+   * The within-cell pair stage shuffles vectors ONCE keyed by cell and
+   * is quadratic per cell — SemDeDup's deployments size k ~ sqrt(N)/c so
+   * cells stay bounded (the paper runs 50k cells for 5B embeddings); for
+   * web-scale corpora compose the cell partition with
+   * [[embeddingPairsLsh]] INSIDE each cell instead of the exact pair
+   * scan. A hot cell (many near-identical vectors) is exactly the case
+   * the min-id contract keeps cheap: the smaller-id-exists test needs
+   * only pairs, never per-cell sorts.
+   */
+  def semanticDedup(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int = 16, tau: Double = 0.7): DataFrame = {
+    require(k >= 1, s"cell count k must be >= 1, got $k")
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be in [-1, 1], got $tau")
+    import graft.similarity.Similarity
+    val e = df.select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v"))
+      .repartition(col("doc"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val seeds = broadcast(
+      e.select(col("doc").as("sid"), col("v").as("sv"), col("nrm").as("snrm"),
+          md5(col("doc").cast("string")).as("__r"))
+        .orderBy(col("__r")).limit(k).drop("__r"))
+    val assigned = e.crossJoin(seeds)
+      .withColumn("__cos",
+        round(Similarity.dot(col("v"), col("sv")) / (col("nrm") * col("snrm")), 6))
+      .groupBy(col("doc"))
+      // max over (cos_r6, -sid): best cosine, ties to the smallest seed;
+      // v/nrm are doc-constant across the k seed rows, so first() is
+      // deterministic here
+      .agg(max(struct(col("__cos"), (-col("sid")).as("neg"))).as("__best"),
+        first(col("v")).as("v"), first(col("nrm")).as("nrm"))
+      .select(col("doc"), (-col("__best.neg")).as("cluster"), col("v"), col("nrm"))
+    val a = assigned.select(col("cluster"), col("doc").as("doc_i"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = assigned.select(col("cluster"), col("doc").as("doc_j"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val dups = a.join(b, Seq("cluster"))
+      .where(col("doc_i") < col("doc_j"))
+      .where(round(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+        >= lit(tau))
+      .select(col("doc_j").as("doc")).distinct()
+      .withColumn("__dup", lit(true))
+    assigned.join(dups, Seq("doc"), "left")
+      .select(col("doc"), col("cluster"),
+        coalesce(col("__dup"), lit(false)).as("is_dup"))
+  }
+
+  /**
    * Near-dup CLUSTERS from a pair list (any of the pair operators above):
    * connected components by min-id label propagation — each node's label
    * starts as itself and every round takes the minimum over its

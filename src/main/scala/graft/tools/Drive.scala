@@ -626,6 +626,18 @@ object Drive {
         .where(col("ap50") =!= col("p50") || col("ap90") =!= col("p90")).count()
       println(s"rows=${aq.count()} approx-quantile strata, diffs vs exact at " +
         s"accuracy>>n=$off (expect 0)")
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val sd = graft.dedup.Dedup.semanticDedup(emb, "vec_id", "embedding",
+        k = 8, tau = 0.3).cache()
+      val n = sd.count(); val nIn = emb.count()
+      val dups = sd.where(col("is_dup")).count()
+      // the minimum id of every cell can have no smaller-id neighbour
+      val badMin = sd.groupBy(col("cluster"))
+        .agg(min(col("doc")).as("m")).join(sd, col("m") === col("doc"))
+        .where(col("is_dup")).count()
+      println(s"rows=$n semantic verdicts over $nIn vectors (all present=${n == nIn}), " +
+        s"$dups flagged, flagged cell-minima=$badMin (expect true ... 0)")
+      sd.unpersist()
     }
 
     spark.stop()
