@@ -344,6 +344,70 @@ def decontaminate(corpus, bench, id_col="doc_id", text_col="text",
         int(k), bool(broadcast_bench)))
 
 
+def decontaminate_bloom(corpus, bench, id_col="doc_id", text_col="text",
+                        bench_text_col="text", k=40,
+                        expected_items=1000000, fpp=0.01):
+    """Bloom-prefiltered decontamination: distinct contaminated doc ids
+    as (doc). The corpus probes a broadcast bloom over the benchmark's
+    k-token window digests MAP-SIDE (no corpus shuffle before the
+    filter); an exact verify join removes every bloom false positive, so
+    the output is identical to an exact digest join at any fpp. Builds
+    the filter eagerly (one Spark job at call time)."""
+    return _wrap(corpus, _facade(corpus).decontaminateBloom(
+        corpus._jdf, id_col, text_col, bench._jdf, bench_text_col,
+        int(k), int(expected_items), float(fpp)))
+
+
+def decontam_overlap(corpus, bench, id_col="doc_id", text_col="text",
+                     bench_text_col="text", n=8, theta=0.1,
+                     broadcast_bench=True):
+    """N-gram overlap-fraction decontamination report: per corpus doc,
+    (doc, n_grams, n_hit, frac, contaminated) over its DISTINCT word
+    n-grams vs the benchmark's digest set."""
+    return _wrap(corpus, _facade(corpus).decontamOverlap(
+        corpus._jdf, id_col, text_col, bench._jdf, bench_text_col,
+        int(n), float(theta), bool(broadcast_bench)))
+
+
+def segment_dedup(df, id_col="doc_id", text_col="text", seg=16):
+    """C4-style segment-level dedup: split docs into seg-token segments,
+    keep only the global first occurrence of each distinct segment, and
+    reassemble docs as (doc, text_clean, n_kept, n_dropped)."""
+    return _wrap(df, _facade(df).segmentDedup(df._jdf, id_col, text_col,
+                                              int(seg)))
+
+
+def semantic_dedup(df, id_col="vec_id", vec_col="embedding", k=16, tau=0.7):
+    """SemDeDup-style semantic dedup over an embedding column:
+    (doc, cluster, is_dup) — deterministic md5-sampled seed cells,
+    duplicate iff a smaller-id cell-mate has cosine >= tau."""
+    return _wrap(df, _facade(df).semanticDedup(df._jdf, id_col, vec_col,
+                                               int(k), float(tau)))
+
+
+def link_blocked_pairs(df, id_col, name_col, block_key_expr, max_dist=2,
+                       max_block=0):
+    """Blocking-based record linkage: within-block Levenshtein pairs
+    (id_i, id_j, dist). block_key_expr is a SQL expression (e.g.
+    "split(name, ' ')[0]"); max_block > 0 drops larger blocks before
+    pairing (skew guard)."""
+    return _wrap(df, _facade(df).linkBlockedPairs(
+        df._jdf, id_col, name_col, block_key_expr, int(max_dist),
+        int(max_block)))
+
+
+def group_approx_quantiles(df, group_cols="source", value_col="n_chars",
+                           qs=(50, 90, 99), accuracy=10000):
+    """Approximate (Greenwald-Khanna) per-group percentiles for
+    continuous value columns: group cols + n + ap<q> columns. Estimates
+    are actual group elements with rank within n/accuracy of target."""
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
+    return _wrap(df, _facade(df).groupApproxQuantiles(
+        df._jdf, ",".join(group_cols), value_col,
+        ",".join(str(int(q)) for q in qs), int(accuracy)))
+
+
 def quota_top_k(df, stratum_cols, score_col, id_col="doc_id", k=10,
                 descending=True):
     """Deterministic quota sampling: the k best rows per stratum by a

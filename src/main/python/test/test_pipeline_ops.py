@@ -245,6 +245,57 @@ class TestStreamingUnified(object):
                P.decontaminate(corpus, bench, k=8).collect()]
         assert got == [(1, 13, 20)]  # 20-8+1 window hits, exact span
 
+    def test_decontaminate_bloom_matches_exact(self, local_spark):
+        quote = " ".join("q%d" % i for i in range(20))
+        corpus = local_spark.createDataFrame(
+            [(1, " ".join("h%d" % i for i in range(50)) + " " + quote),
+             (2, " ".join("u%d" % i for i in range(30)))],
+            ["doc_id", "text"])
+        bench = local_spark.createDataFrame([(quote,)], ["text"])
+        got = sorted(r["doc"] for r in P.decontaminate_bloom(
+            corpus, bench, k=8, expected_items=16, fpp=0.4).collect())
+        assert got == [1]
+
+    def test_decontam_overlap(self, local_spark):
+        corpus = local_spark.createDataFrame(
+            [(1, "a b c x y"), (2, "p q r s t")], ["doc_id", "text"])
+        bench = local_spark.createDataFrame([("a b c",)], ["text"])
+        got = {r["doc"]: (r["n_grams"], r["n_hit"], r["frac"], r["contaminated"])
+               for r in P.decontam_overlap(corpus, bench, n=2, theta=0.5).collect()}
+        assert got == {1: (4, 2, 0.5, True), 2: (4, 0, 0.0, False)}
+
+    def test_segment_dedup(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "a b c d e f g h"), (2, "e f g h x y z w")],
+            ["doc_id", "text"])
+        got = {r["doc"]: (r["text_clean"], r["n_kept"], r["n_dropped"])
+               for r in P.segment_dedup(df, seg=4).collect()}
+        assert got == {1: ("a b c d e f g h", 2, 0),
+                       2: ("x y z w", 1, 1)}
+
+    def test_semantic_dedup(self, vecs):
+        # k=1: one cell; only the (0, 1) near-parallel pair clears 0.99,
+        # flagging the larger id
+        got = {r["doc"]: r["is_dup"]
+               for r in P.semantic_dedup(vecs, k=1, tau=0.99).collect()}
+        assert got == {0: False, 1: True, 2: False, 3: False}
+
+    def test_link_blocked_pairs(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "red widget"), (2, "red widgets"), (3, "blue widget")],
+            ["id", "name"])
+        got = [(r["id_i"], r["id_j"], r["dist"]) for r in P.link_blocked_pairs(
+            df, "id", "name", "split(name, ' ')[0]", max_dist=2).collect()]
+        assert got == [(1, 2, 1)]  # cross-block (1,3) never pairs
+
+    def test_group_approx_quantiles(self, local_spark):
+        rows = [("a", v) for v in range(1, 101)]
+        df = local_spark.createDataFrame(rows, ["g", "v"])
+        r = P.group_approx_quantiles(df, group_cols="g", value_col="v",
+                                     qs=[50, 90], accuracy=10000).collect()[0]
+        assert r["n"] == 100
+        assert abs(r["ap50"] - 50) <= 1 and abs(r["ap90"] - 90) <= 1
+
     def test_repetition_profile(self, local_spark):
         df = local_spark.createDataFrame(
             [(1, "a b a b a b"), (2, "t0 t1 t2 t3 t4 t5 t6 t7")],

@@ -366,6 +366,50 @@ object PyFacade {
     graft.dedup.Dedup.decontaminate(corpus, idCol, textCol, bench, benchTextCol,
       k, broadcastBench)
 
+  /** Bloom-prefiltered decontamination: distinct contaminated doc ids;
+    * the corpus probes a broadcast bloom map-side, exact-verified. */
+  def decontaminateBloom(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, k: Int,
+      expectedItems: Long, fpp: Double): DataFrame =
+    graft.dedup.Dedup.decontaminateBloom(corpus, idCol, textCol, bench,
+      benchTextCol, k, expectedItems, fpp)
+
+  /** N-gram overlap-fraction decontamination report:
+    * (doc, n_grams, n_hit, frac, contaminated). */
+  def decontamOverlap(corpus: DataFrame, idCol: String, textCol: String,
+      bench: DataFrame, benchTextCol: String, n: Int, theta: Double,
+      broadcastBench: Boolean): DataFrame =
+    graft.dedup.Dedup.decontamOverlap(corpus, idCol, textCol, bench,
+      benchTextCol, n, theta, broadcastBench)
+
+  /** Segment-level (C4-style line) dedup:
+    * (doc, text_clean, n_kept, n_dropped). */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+      seg: Int): DataFrame =
+    graft.dedup.Dedup.segmentDedup(df, idCol, textCol, seg)
+
+  /** SemDeDup-style semantic dedup over an embedding column:
+    * (doc, cluster, is_dup). */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, tau: Double): DataFrame =
+    graft.dedup.Dedup.semanticDedup(df, idCol, vecCol, k, tau)
+
+  /** Blocking-based record linkage: within-block Levenshtein pairs
+    * (id_i, id_j, dist); blockKeyExpr is a SQL expression over the
+    * input's columns; maxBlock <= 0 disables the skew cap. */
+  def linkBlockedPairs(df: DataFrame, idCol: String, nameCol: String,
+      blockKeyExpr: String, maxDist: Int, maxBlock: Int): DataFrame =
+    graft.link.RecordLinkage.blockedPairs(df, idCol, nameCol,
+      org.apache.spark.sql.functions.expr(blockKeyExpr), maxDist,
+      if (maxBlock <= 0) None else Some(maxBlock))
+
+  /** Approximate (GK) group quantiles: group cols + n + ap<q> columns. */
+  def groupApproxQuantiles(df: DataFrame, groupColsCsv: String, valueCol: String,
+      qsCsv: String, accuracy: Int): DataFrame =
+    graft.stats.GroupStats.approxQuantiles(df,
+      groupColsCsv.split(",").map(_.trim).toSeq, valueCol,
+      qsCsv.split(",").map(_.trim.toInt).toSeq, accuracy)
+
   /** Quota sampling: k best rows per stratum by a numeric score —
     * stratum cols + (rank, id, score). */
   def quotaTopK(df: DataFrame, stratumCols: java.util.List[String],
