@@ -468,7 +468,67 @@ object ScaleBench {
           .transform(custEq(f).select("c_custkey", "lon", "lat"))
           .where(col("dist_m").isNull || col("dist_m") >= 0)
           .select("c_custkey", "s_suppkey", "dist_m")
-      }))
+      }),
+
+      // --- round-7b families --------------------------------------------
+
+      // segment dedup: suffixed copies keep their segments distinct, so
+      // the digest shuffle and the survivor set grow ∝ f; the
+      // computed-column filter keeps count() from pruning the dedup
+      "dedup_segments" -> (() =>
+        graft.dedup.Dedup.segmentDedup(docs(f), "doc_id", "text", seg = 8)
+          .where(col("n_kept") >= 0L).select("doc", "n_kept")),
+
+      // overlap decontam: the benchmark stays ×1 (an eval suite does not
+      // grow with the corpus) → broadcast constant, corpus
+      // distinct-gram shuffle ∝ f
+      "decontam_ngram" -> (() => {
+        val bench = docsPlain(1).where(pmod(col("doc_id"), lit(10)) === 0)
+        graft.dedup.Dedup.decontamOverlap(
+          docsPlain(f).where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+          bench, "text", n = 5, theta = 0.1)
+          .where(col("n_grams") >= 0L)
+      }),
+
+      // bloom decontam headline: corpus windows are dropped MAP-SIDE by
+      // the broadcast bloom; only (true hits + fpp·windows) rows reach
+      // an exchange — shuffle tracks the HIT set, not the corpus scan
+      "dedup_decontam_bloom" -> (() => {
+        val bench = docsPlain(1).where(pmod(col("doc_id"), lit(10)) === 0)
+        graft.dedup.Dedup.decontaminateBloom(
+          docsPlain(f).where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+          bench, "text", k = 8, expectedItems = 1000000L, fpp = 0.001)
+      }),
+
+      // record linkage: copies get copy-scoped block keys (first token
+      // prefixed with the copy id) — MORE blocks of the same size, the
+      // way a growing entity catalog actually scales; pairs ∝ f
+      "link_fuzzy" -> (() => {
+        val parts = spark.read.parquet(s"$sfDir/part.parquet")
+          .select(col("p_partkey"), col("p_name"))
+          .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+            col("p_partkey"), col("p_name"))
+          .select((col("p_partkey") + col("__k") * lit(1000000000L)).as("p_partkey"),
+            concat(col("__k").cast("string"), lit("_"), col("p_name")).as("p_name"))
+        graft.link.RecordLinkage.blockedPairs(parts, "p_partkey", "p_name",
+          split(col("p_name"), " ").getItem(0), maxDist = 3)
+          .where(col("dist") >= 0)
+      }),
+
+      // GK approx quantiles: accuracy-bounded sketch states are the only
+      // shuffled bytes — constant while the scan grows ×f
+      "q_quantiles_approx" -> (() =>
+        graft.stats.GroupStats.approxQuantiles(docsFull(f), Seq("source"),
+          "n_chars", Seq(50, 90), accuracy = 1000)
+          .where(col("ap50") >= 0L)),
+
+      // semantic dedup at SemDeDup's operating point k ∝ N: cell size
+      // stays constant, so within-cell pairs and both vector shuffles
+      // grow ∝ f; the seed broadcast stays k·dim doubles
+      "dedup_semantic" -> (() =>
+        graft.dedup.Dedup.semanticDedup(embs(f), "vec_id", "embedding",
+          k = 16 * f, tau = 0.3)
+          .where(col("cluster") >= 0L).select("doc", "is_dup")))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
