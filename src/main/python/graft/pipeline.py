@@ -408,6 +408,26 @@ def group_approx_quantiles(df, group_cols="source", value_col="n_chars",
         ",".join(str(int(q)) for q in qs), int(accuracy)))
 
 
+def temperature_sample(df, key_col, stratum_col, alpha=0.5):
+    """Temperature sampling: stratum shares proportional to
+    count^alpha (alpha=0.5 = classic square-root multilingual
+    rebalance). Binding stratum keeps 100%; larger strata downsample
+    via deterministic md5-prefix thresholds — no RNG."""
+    return _wrap(df, _facade(df).temperatureSample(
+        df._jdf, key_col, stratum_col, float(alpha)))
+
+
+def importance_weights(raw, target, id_col="doc_id", text_col="text",
+                       target_text_col="text", buckets=4096, ns=(1, 2)):
+    """DSIR-style hashed-n-gram importance weights: per raw doc,
+    (doc, n_feats, logratio_micro) — the micro-nat log-likelihood ratio
+    of the doc's hashed gram features under the target vs raw
+    distributions. Filter / quota-select on the score downstream."""
+    return _wrap(raw, _facade(raw).importanceWeights(
+        raw._jdf, id_col, text_col, target._jdf, target_text_col,
+        int(buckets), ",".join(str(int(n)) for n in ns)))
+
+
 def quota_top_k(df, stratum_cols, score_col, id_col="doc_id", k=10,
                 descending=True):
     """Deterministic quota sampling: the k best rows per stratum by a

@@ -296,6 +296,25 @@ class TestStreamingUnified(object):
         assert r["n"] == 100
         assert abs(r["ap50"] - 50) <= 1 and abs(r["ap90"] - 90) <= 1
 
+    def test_temperature_sample(self, local_spark):
+        rows = [("a%d" % i, "small") for i in range(20)] + \
+               [("b%d" % i, "big") for i in range(2000)]
+        df = local_spark.createDataFrame(rows, ["key", "stratum"])
+        got = P.temperature_sample(df, "key", "stratum", alpha=0.5).collect()
+        small = sum(1 for r in got if r["stratum"] == "small")
+        big = sum(1 for r in got if r["stratum"] == "big")
+        assert small == 20  # binding stratum kept whole
+        assert 100 <= big <= 300  # sqrt share: ~200 of 2000
+
+    def test_importance_weights(self, local_spark):
+        target = local_spark.createDataFrame(
+            [("alpha beta gamma",)], ["text"])
+        raw = local_spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "x y z w")], ["doc_id", "text"])
+        got = {r["doc"]: r["logratio_micro"]
+               for r in P.importance_weights(raw, target).collect()}
+        assert got[1] > got[2]  # target-like doc scores higher
+
     def test_repetition_profile(self, local_spark):
         df = local_spark.createDataFrame(
             [(1, "a b a b a b"), (2, "t0 t1 t2 t3 t4 t5 t6 t7")],

@@ -843,6 +843,24 @@ object SparkEntry {
         tbl(s, dir, "documents"), "text", SplitSpec)
         .select(col("doc_id"), col("source"), col("split"))),
 
+    // square-root temperature sampling: stratum shares ∝ sqrt(count) —
+    // sqrt is IEEE-correctly-rounded, so weights/thresholds replay
+    "sample_temperature" -> ((s, dir) =>
+      graft.curation.Sampling.temperatureSample(
+        tbl(s, dir, "documents"), "text", "source", alpha = 0.5)
+        .select(col("doc_id"), col("source"))),
+
+    // DSIR-style hashed-n-gram importance weights: every 10th doc plays
+    // the target domain, the rest the raw crawl; micro-nat integer
+    // scores replay engine-exactly (md5_number_lower buckets, one ln)
+    "sample_importance" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.curation.Sampling.importanceWeights(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "text",
+        buckets = 4096, ns = Seq(1, 2))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
@@ -2092,6 +2110,38 @@ object SparkEntry {
          |SELECT doc_id, d.source FROM documents d JOIN h ON d.source = h.source
          |WHERE h.h >= 65536 OR substr(md5(d.text), 1, 4) < printf('%04x', h.h)""".stripMargin
     },
+
+    // sqrt weights via an ORDERED list_reduce fold (the Scala side sums
+    // stratum-sorted — same IEEE operation order), then the mixture
+    // threshold solve verbatim
+    "sample_temperature" ->
+      """WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) c FROM documents GROUP BY 1),
+        |sw AS (SELECT list_reduce(list(sqrt(c) ORDER BY source), (a, b) -> a + b) s FROM c),
+        |j AS (SELECT source, c, sqrt(c) w FROM c),
+        |m AS (SELECT min((c * sw.s) / w) tstar FROM j CROSS JOIN sw),
+        |h AS (SELECT source, CAST(floor(((m.tstar * j.w) / (sw.s * j.c)) * 65536.0) AS BIGINT) h
+        |      FROM j CROSS JOIN m CROSS JOIN sw)
+        |SELECT doc_id, d.source FROM documents d JOIN h ON d.source = h.source
+        |WHERE h.h >= 65536 OR substr(md5(d.text), 1, 4) < printf('%04x', h.h)""".stripMargin,
+
+    // hashed-n-gram buckets via md5_number_lower % 4096 (power-of-two
+    // mod == the engine's signed pmod), add-one-smoothed bucket
+    // log-ratios as micro-nat longs — integer products cast to double
+    // before ONE ln, the NgramLm rounding contract
+    "sample_importance" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |g AS (SELECT doc_id, unnest(ws || [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) g FROM t),
+         |b AS (SELECT doc_id, CAST(md5_number_lower(g) % 4096 AS BIGINT) b FROM g),
+         |tc AS (SELECT b, count(*) ct FROM b WHERE doc_id % 10 = 0 GROUP BY 1),
+         |rc AS (SELECT b, count(*) cr FROM b WHERE doc_id % 10 <> 0 GROUP BY 1),
+         |tt AS (SELECT coalesce(sum(ct), 0) tot FROM tc),
+         |tr AS (SELECT coalesce(sum(cr), 0) tot FROM rc),
+         |tbl AS (SELECT rc.b,
+         |          CAST(round(ln(CAST((coalesce(tc.ct, 0) + 1) * (tr.tot + 4096) AS DOUBLE)
+         |            / CAST((tt.tot + 4096) * (rc.cr + 1) AS DOUBLE)) * 1e6) AS BIGINT) mlog
+         |        FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tt CROSS JOIN tr)
+         |SELECT doc_id doc, CAST(count(*) AS BIGINT) n_feats, CAST(sum(mlog) AS BIGINT) logratio_micro
+         |FROM b JOIN tbl USING (b) WHERE doc_id % 10 <> 0 GROUP BY 1""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),

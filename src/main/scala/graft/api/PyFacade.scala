@@ -410,6 +410,18 @@ object PyFacade {
       groupColsCsv.split(",").map(_.trim).toSeq, valueCol,
       qsCsv.split(",").map(_.trim.toInt).toSeq, accuracy)
 
+  /** Temperature sampling: stratum shares ∝ count^alpha. */
+  def temperatureSample(df: DataFrame, keyCol: String, stratumCol: String,
+      alpha: Double): DataFrame =
+    graft.curation.Sampling.temperatureSample(df, keyCol, stratumCol, alpha)
+
+  /** DSIR importance weights: (doc, n_feats, logratio_micro). */
+  def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int, nsCsv: String): DataFrame =
+    graft.curation.Sampling.importanceWeights(raw, idCol, textCol,
+      target, targetTextCol, buckets, nsCsv.split(",").map(_.trim.toInt).toSeq)
+
   /** Quota sampling: k best rows per stratum by a numeric score —
     * stratum cols + (rank, id, score). */
   def quotaTopK(df: DataFrame, stratumCols: java.util.List[String],

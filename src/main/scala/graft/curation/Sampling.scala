@@ -196,4 +196,118 @@ object Sampling {
     splits.init.scanLeft(0.0) { case (acc, (_, w)) => acc + w }
       .tail.map(c => f"${math.round(65536.0 * (c / total)).min(65535L)}%04x")
   }
+
+  /**
+   * Temperature sampling — target stratum shares ∝ count^alpha (the
+   * multilingual/multi-domain rebalance: alpha = 0.5 is the classic
+   * "square-root sampling" that lifts small languages without drowning
+   * large ones; alpha = 1 keeps natural proportions). The weights feed
+   * the [[mixtureSample]] solve: the binding stratum (smallest
+   * count/weight ratio) keeps 100%, everything larger downsamples via
+   * the md5-prefix threshold filter — map-only, no RNG, reproducible.
+   *
+   * Replayability: alpha = 0.5 computes weights with `sqrt`, which IEEE
+   * requires CORRECTLY rounded — an external engine derives identical
+   * weights, thresholds and rows. Other alphas go through `math.pow`,
+   * which engines only round to within 1 ulp; thresholds have 1/65536
+   * granularity so a last-ulp disagreement flips a row only when a
+   * scaled rate lands exactly on a grid boundary — possible, so only
+   * the sqrt path is oracle-gated.
+   *
+   * Strata counting runs EAGERLY at call time (strata-sized collect,
+   * the [[mixtureSample]] contract); null strata drop.
+   */
+  def temperatureSample(
+      df: DataFrame, keyCol: String, stratumCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    val counts = df.where(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).agg(count(lit(1)).as("__c"))
+      .collect()
+      .map(r => r.getString(0) -> r.getLong(1).toDouble)
+      .toMap
+    if (counts.isEmpty) return df.limit(0)
+    val weights = counts.map { case (s, c) =>
+      s -> (if (alpha == 0.5) math.sqrt(c) else math.pow(c, alpha))
+    }
+    // fixed IEEE operation order (stratum-sorted left fold) — the
+    // mixtureSample discipline, replayed by an ordered list_reduce
+    val sumW = weights.toSeq.sortBy(_._1).map(_._2).sum
+    val tStar = counts.toSeq.map { case (s, c) => (c * sumW) / weights(s) }.min
+    val thresholds = counts.map { case (s, c) =>
+      s -> math.floor(((tStar * weights(s)) / (sumW * c)) * 65536.0).toLong
+    }
+    val thr: Column = thresholds.foldLeft(lit(null).cast("long")) {
+      case (acc, (stratum, h)) => when(col(stratumCol) === stratum, lit(h)).otherwise(acc)
+    }
+    df.where(thr.isNotNull && (thr >= lit(65536L) ||
+      substring(md5(col(keyCol).cast("binary")), 1, 4) < format_string("%04x", thr)))
+  }
+
+  /**
+   * DSIR-style importance weights (hashed n-gram importance resampling):
+   * score every raw-corpus document by how much more likely its hashed
+   * n-gram features are under the TARGET distribution than under the raw
+   * one — the data-selection step that picks "looks like the target
+   * domain" pretraining data out of a web crawl. Output: one row per
+   * raw document with at least one feature —
+   * `(doc, n_feats, logratio_micro)` where `logratio_micro` is the
+   * integer micro-nat sum over the document's gram OCCURRENCES of
+   * `ln((cT_b + 1) · (totR + B) / ((totT + B) · (cR_b + 1)))` — the
+   * add-one-smoothed bucket log-likelihood ratio. Select by filtering /
+   * [[quotaTopK]]-ing on the score downstream.
+   *
+   * Buckets: `md5_number_lower(gram) mod B` via the codegen'd
+   * [[graft.functions.Md5Lower64]]; B must be a POWER OF TWO so the
+   * signed `pmod` equals the unsigned mod an external engine computes.
+   * Micro-nat rounding of ONE ln per bucket makes the distributed sum
+   * order-free and engine-reproducible (the [[graft.text.NgramLm]]
+   * contract).
+   *
+   * Shape (100 TB): two map-side-combined bucket-count aggregations
+   * (target grams, raw grams — each collapses to <= B rows before any
+   * join), a B-row broadcast score table, then raw gram rows join the
+   * broadcast MAP-SIDE and collapse per doc — the only corpus-sized
+   * shuffle carries (doc, partial sums), never grams. No driver-side
+   * state beyond the broadcast (totals ride 1-row crossJoins).
+   */
+  def importanceWeights(
+      raw: DataFrame, idCol: String, textCol: String,
+      target: DataFrame, targetTextCol: String,
+      buckets: Int = 4096, ns: Seq[Int] = Seq(1, 2)): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct.size == ns.size,
+      s"gram sizes must be distinct positive ints, got ${ns.mkString(",")}")
+    import graft.functions.{Md5Lower64, WordShingles}
+    val B = buckets.toLong
+    def grams(t: Column): Column = {
+      val gs = ns.map(n => WordShingles.wordGrams(t, n))
+      val cat = if (gs.size == 1) gs.head else concat(gs: _*)
+      // null text → no features (concat propagates null; explode drops)
+      cat
+    }
+    def bucket(g: Column): Column = pmod(Md5Lower64.md5Lower64(g), lit(B))
+    val tgtG = target.select(explode(grams(col(targetTextCol))).as("__g"))
+      .select(bucket(col("__g")).as("__b"))
+    val rawG = raw.select(col(idCol).as("doc"),
+        explode(grams(col(textCol))).as("__g"))
+      .select(col("doc"), bucket(col("__g")).as("__b"))
+    val tgtC = tgtG.groupBy(col("__b")).agg(count(lit(1)).as("__ct"))
+    val rawC = rawG.groupBy(col("__b")).agg(count(lit(1)).as("__cr"))
+    val totT = tgtC.agg(coalesce(sum(col("__ct")), lit(0L)).as("__totT"))
+    val totR = rawC.agg(coalesce(sum(col("__cr")), lit(0L)).as("__totR"))
+    val table = rawC
+      .join(tgtC, Seq("__b"), "left")
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .select(col("__b"),
+        // one ln of a products-of-exact-integers ratio, micro-nat LONG
+        round(log(((coalesce(col("__ct"), lit(0L)) + 1L) * (col("__totR") + B)).cast("double")
+          / (((col("__totT") + B) * (col("__cr") + 1L)).cast("double"))) * 1e6)
+          .cast("long").as("__mlog"))
+    rawG.join(broadcast(table), Seq("__b"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).cast("long").as("n_feats"),
+        sum(col("__mlog")).cast("long").as("logratio_micro"))
+  }
 }

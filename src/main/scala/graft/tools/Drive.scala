@@ -640,6 +640,30 @@ object Drive {
       sd.unpersist()
     }
 
+    println("=== 34. temperature sampling + DSIR importance weights (round-7b) ===")
+    locally {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val temp = graft.curation.Sampling.temperatureSample(docs, "text", "source", 0.5).cache()
+      val kept = temp.count()
+      val total = docs.count()
+      // sqrt rebalance keeps every stratum's rows <= its supply and the
+      // binding stratum whole
+      val perStratum = temp.groupBy("source").count()
+        .join(docs.groupBy("source").count().withColumnRenamed("count", "supply"), "source")
+      val over = perStratum.where(col("count") > col("supply")).count()
+      val whole = perStratum.where(col("count") === col("supply")).count()
+      println(s"rows=$kept of $total kept, over-supply strata=$over (expect 0), " +
+        s"whole strata>=1=${whole >= 1} (expect true)")
+      temp.unpersist()
+      val iw = graft.curation.Sampling.importanceWeights(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+        docs.where(pmod(col("doc_id"), lit(10)) === 0), "text").cache()
+      val nScored = iw.count()
+      val badFeats = iw.where(col("n_feats") <= 0).count()
+      println(s"rows=$nScored importance-scored docs, nonpositive feature counts=$badFeats (expect 0)")
+      iw.unpersist()
+    }
+
     spark.stop()
   }
 }

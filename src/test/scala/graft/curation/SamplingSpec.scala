@@ -180,4 +180,68 @@ class SamplingSpec extends AnyFlatSpec with Matchers with AdaptiveSparkPlanHelpe
     an[IllegalArgumentException] should be thrownBy
       Sampling.splitByHash(withSplit, "key", Seq("a" -> 1.0, "b" -> 1.0))
   }
+
+  behavior of "Sampling.temperatureSample"
+
+  it should "keep small strata whole and downsample large ones toward sqrt shares" in {
+    import spark.implicits._
+    // a=100, b=10000: sqrt weights 10:100 — a binds (keeps 100%), b's
+    // rate = (tStar·w_b)/(sumW·c_b) = sqrt(c_a·c_b)/c_b = 1000/10000 = 10%
+    val df = ((1L to 100L).map(i => (s"ka$i", "a")) ++
+      (1L to 10000L).map(i => (s"kb$i", "b"))).toDF("key", "stratum")
+    val got = Sampling.temperatureSample(df, "key", "stratum", alpha = 0.5).cache()
+    got.where(col("stratum") === "a").count() shouldBe 100L
+    got.where(col("stratum") === "b").count().toDouble should be(1000.0 +- 150.0)
+    // deterministic re-run
+    Sampling.temperatureSample(df, "key", "stratum", alpha = 0.5)
+      .exceptAll(got).count() shouldBe 0L
+    got.unpersist()
+  }
+
+  it should "keep everything at alpha = 1 (natural proportions) and reject bad alphas" in {
+    import spark.implicits._
+    val df = ((1L to 50L).map(i => (s"a$i", "a")) ++
+      (1L to 500L).map(i => (s"b$i", "b"))).toDF("key", "stratum")
+    // alpha = 1: weights = counts, every ratio equal, every rate 1
+    Sampling.temperatureSample(df, "key", "stratum", alpha = 1.0)
+      .count() shouldBe 550L
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureSample(df, "key", "stratum", alpha = 0.0)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.temperatureSample(df, "key", "stratum", alpha = 1.5)
+  }
+
+  behavior of "Sampling.importanceWeights"
+
+  it should "score target-looking documents above off-domain ones" in {
+    import spark.implicits._
+    val target = Seq(Tuple1("alpha beta gamma alpha beta"),
+      Tuple1("alpha gamma beta alpha")).toDF("text")
+    val raw = Seq(
+      (1L, "alpha beta gamma beta"),      // target-like
+      (2L, "zeta eta theta iota kappa"),  // off-domain
+      (3L, "alpha beta zeta eta")         // mixed
+    ).toDF("doc_id", "text")
+    val got = Sampling.importanceWeights(raw, "doc_id", "text", target, "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L)
+    got(1L)._1 shouldBe 7L // 4 unigrams + 3 bigrams
+    got(1L)._2 should be > got(3L)._2
+    got(3L)._2 should be > got(2L)._2
+  }
+
+  it should "be partition-independent and reject invalid bucket counts" in {
+    import spark.implicits._
+    val target = Seq(Tuple1("t u v w")).toDF("text")
+    val raw = (1L to 40L).map(i => (i, s"t u v token$i")).toDF("doc_id", "text")
+    val a = Sampling.importanceWeights(raw.repartition(1), "doc_id", "text",
+      target, "text").collect().map(_.toSeq).toSet
+    val b = Sampling.importanceWeights(raw.repartition(13), "doc_id", "text",
+      target, "text").collect().map(_.toSeq).toSet
+    a shouldBe b
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.importanceWeights(raw, "doc_id", "text", target, "text", buckets = 1000)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.importanceWeights(raw, "doc_id", "text", target, "text", ns = Seq(1, 1))
+  }
 }
