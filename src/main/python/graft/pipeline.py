@@ -408,6 +408,35 @@ def group_approx_quantiles(df, group_cols="source", value_col="n_chars",
         ",".join(str(int(q)) for q in qs), int(accuracy)))
 
 
+def build_minhash_index(df, id_col="doc_id", text_col="text", n=3,
+                        num_hashes=32):
+    """Persistable MinHash corpus index (doc, sh, sig): signature
+    extraction paid once; save with save_minhash_index and probe new
+    batches with minhash_pairs_vs_index."""
+    return _wrap(df, _facade(df).buildMinhashIndex(df._jdf, id_col, text_col,
+                                                   int(n), int(num_hashes)))
+
+
+def save_minhash_index(index, path):
+    """Persist a MinHash index as parquet (natural partitioning)."""
+    _facade(index).saveMinhashIndex(index._jdf, path)
+
+
+def load_minhash_index(anchor_df, path):
+    """Reload a MinHash index artifact (anchor_df supplies the session)."""
+    return _wrap(anchor_df, _facade(anchor_df).loadMinhashIndex(
+        anchor_df._jdf, path))
+
+
+def minhash_pairs_vs_index(left, index, id_col="doc_id", text_col="text",
+                           tau=0.8, band_rows=2):
+    """Near-dup pairs of a new batch against a prebuilt (usually
+    reloaded) index: (doc_i from left, doc_j from index, exact jaccard).
+    Shingle size and signature width derive FROM the index."""
+    return _wrap(left, _facade(left).minhashPairsVsIndex(
+        left._jdf, id_col, text_col, index._jdf, float(tau), int(band_rows)))
+
+
 def temperature_sample(df, key_col, stratum_col, alpha=0.5):
     """Temperature sampling: stratum shares proportional to
     count^alpha (alpha=0.5 = classic square-root multilingual

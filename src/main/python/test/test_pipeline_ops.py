@@ -296,6 +296,18 @@ class TestStreamingUnified(object):
         assert r["n"] == 100
         assert abs(r["ap50"] - 50) <= 1 and abs(r["ap90"] - 90) <= 1
 
+    def test_minhash_index_roundtrip(self, local_spark, tmp_path):
+        base = " ".join("w%d" % i for i in range(40))
+        old = local_spark.createDataFrame([(10, base)], ["doc_id", "text"])
+        new = local_spark.createDataFrame(
+            [(1, base + " fresh"), (2, " ".join("u%d" % i for i in range(30)))],
+            ["doc_id", "text"])
+        path = str(tmp_path / "mhidx")
+        P.save_minhash_index(P.build_minhash_index(old), path)
+        got = [(r["doc_i"], r["doc_j"]) for r in P.minhash_pairs_vs_index(
+            new, P.load_minhash_index(new, path), tau=0.5).collect()]
+        assert got == [(1, 10)]
+
     def test_temperature_sample(self, local_spark):
         rows = [("a%d" % i, "small") for i in range(20)] + \
                [("b%d" % i, "big") for i in range(2000)]

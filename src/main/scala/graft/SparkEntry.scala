@@ -475,6 +475,20 @@ object SparkEntry {
         "doc_id", "text", tau = 0.8)
     }),
 
+    // incremental ingest against a PERSISTED corpus index: even docs
+    // build + save + reload the (doc, sh, sig) index, odd docs probe it
+    // — rows must equal the recompute-both-sides dedup_cross oracle
+    "dedup_cross_saved" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = modelTmp("mhidx")
+      graft.ml.ModelStore.saveMinhashIndex(
+        Dedup.buildMinhashIndex(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"), path)
+      Dedup.minhashPairsVsIndex(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+        graft.ml.ModelStore.loadMinhashIndex(s, path), tau = 0.8)
+    }),
+
     // streaming decontamination flag, batch-parity path: one row per
     // contaminated CONTENT; projected onto md5(text) so the gate is
     // deterministic (dropDuplicates keeps an arbitrary row per digest,
@@ -1278,6 +1292,19 @@ object SparkEntry {
        |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
        |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin
 
+  // the (odd incoming, even ingested) exact-Jaccard restriction —
+  // shared by dedup_cross and its saved-index twin dedup_cross_saved
+  private val crossJaccardOracle =
+    s"""WITH $shingleCte,
+       |e AS (SELECT doc_id, unnest(sl) s FROM sh),
+       |sz AS (SELECT doc_id, len(sl) n FROM sh),
+       |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
+       |          FROM e a JOIN e b ON a.s = b.s
+       |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
+       |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
+       |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
+       |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin
+
   private def langScore(markers: Seq[String]) =
     s"len(list_filter(ws, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
 
@@ -1689,16 +1716,12 @@ object SparkEntry {
     // exact cross-parity Jaccard — the banding only generates
     // candidates, verification is exact, so the oracle is the plain
     // set-similarity join restricted to (odd, even) pairs
-    "dedup_cross" ->
-      s"""WITH $shingleCte,
-         |e AS (SELECT doc_id, unnest(sl) s FROM sh),
-         |sz AS (SELECT doc_id, len(sl) n FROM sh),
-         |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
-         |          FROM e a JOIN e b ON a.s = b.s
-         |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
-         |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
-         |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
-         |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin,
+    "dedup_cross" -> crossJaccardOracle,
+
+    // the parquet round-trip is correctness-invisible (shingles and
+    // signatures reload bit-identically), so the saved-index probe
+    // answers to the SAME oracle as the recompute-both-sides operator
+    "dedup_cross_saved" -> crossJaccardOracle,
 
     "dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

@@ -415,6 +415,23 @@ object PyFacade {
       alpha: Double): DataFrame =
     graft.curation.Sampling.temperatureSample(df, keyCol, stratumCol, alpha)
 
+  /** Persistable MinHash corpus index (doc, sh, sig). */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    graft.dedup.Dedup.buildMinhashIndex(df, idCol, textCol, n, numHashes)
+
+  /** Save/load a MinHash index artifact. */
+  def saveMinhashIndex(index: DataFrame, path: String): Unit =
+    graft.ml.ModelStore.saveMinhashIndex(index, path)
+  def loadMinhashIndex(anchor: DataFrame, path: String): DataFrame =
+    graft.ml.ModelStore.loadMinhashIndex(anchor.sparkSession, path)
+
+  /** Incremental near-dup probe of a batch against a prebuilt index:
+    * (doc_i, doc_j, jac). */
+  def minhashPairsVsIndex(left: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, tau: Double, bandRows: Int): DataFrame =
+    graft.dedup.Dedup.minhashPairsVsIndex(left, idCol, textCol, index, tau, bandRows)
+
   /** DSIR importance weights: (doc, n_feats, logratio_micro). */
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,

@@ -542,16 +542,75 @@ object Dedup {
     verifyJaccard(cands, shL, shR, tau)
   }
 
+  /**
+   * Persistable MinHash index of a corpus: one row per document with at
+   * least one shingle — `(doc, sh, sig)`, the shingle array plus the
+   * `numHashes`-wide MinHash signature. Feed to
+   * [[minhashPairsVsIndex]] after a parquet round-trip
+   * ([[graft.ml.ModelStore.saveMinhashIndex]]) so steady-state
+   * incremental ingest pays signature extraction for the NEW batch only
+   * — the already-ingested corpus is never re-tokenized, re-shingled or
+   * re-hashed. Both index parameters are derivable from the rows (n =
+   * tokens per shingle, numHashes = |sig|) — no metadata sidecar to
+   * desync (the ModelStore rule); banding remains a QUERY-time choice
+   * replayed identically on both sides.
+   */
+  def buildMinhashIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 32): DataFrame = {
+    val sh = shingled(df, idCol, textCol, n).where(size(col("sh")) > 0)
+    sh.select(col("doc"), col("sh"),
+      graft.functions.MinhashSignature.minhashSignature(col("sh"), numHashes).as("sig"))
+  }
+
+  /**
+   * [[minhashPairsAcross]] against a prebuilt (usually
+   * parquet-reloaded) [[buildMinhashIndex]] frame: `(doc_i from left,
+   * doc_j from index, exact jaccard >= tau)`. The left side derives its
+   * shingle size and signature width FROM the index (one tiny
+   * first-row job at call time — the trainer eagerness discipline), so
+   * a batch can never be banded incompatibly with the corpus it probes;
+   * an empty index yields no pairs. Same recall/exactness contract as
+   * [[minhashPairs]].
+   */
+  def minhashPairsVsIndex(
+      left: DataFrame, idCol: String, textCol: String,
+      index: DataFrame, tau: Double, bandRows: Int = 2): DataFrame = {
+    val head = index
+      .select(size(split(element_at(col("sh"), 1), " ")).as("n"),
+        size(col("sig")).as("nh"))
+      .head(1)
+    // empty index: parameters only steer recall — defaults keep the
+    // plan well-formed and the result (correctly) empty
+    val (n, numHashes) =
+      head.headOption.map(r => (r.getInt(0), r.getInt(1))).getOrElse((3, 32))
+    require(numHashes % bandRows == 0,
+      s"index signature width $numHashes is not a multiple of bandRows $bandRows")
+    val shL = shingled(left, idCol, textCol, n).where(size(col("sh")) > 0)
+    val cands = minhashBands(shL, numHashes, bandRows).as("a")
+      .join(sigBands(index, numHashes, bandRows).as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
+      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
+      .dropDuplicates("doc_i", "doc_j")
+    verifyJaccard(cands, shL, index.select(col("doc"), col("sh")), tau)
+  }
+
   /** Slim band rows (doc, band, bkey) — the band shuffle never carries
     * shingle payloads; shingle arrays rejoin only for surviving
     * candidates. Signature via the codegen'd native
     * `graft.functions.MinhashSignature` (the composed higher-order form
     * runs interpreted and costs ~50x more). */
-  private def minhashBands(sh: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
+  private def minhashBands(sh: DataFrame, numHashes: Int, bandRows: Int): DataFrame =
+    sigBands(
+      sh.select(col("doc"),
+        graft.functions.MinhashSignature.minhashSignature(col("sh"), numHashes).as("sig")),
+      numHashes, bandRows)
+
+  /** Banding over an existing signature column (stored index rows skip
+    * signature recomputation). */
+  private def sigBands(withSig: DataFrame, numHashes: Int, bandRows: Int): DataFrame = {
     val numBands = numHashes / bandRows
-    sh.select(col("doc"),
-        graft.functions.MinhashSignature.minhashSignature(col("sh"), numHashes).as("sig"))
-      .select(col("doc"),
+    withSig.select(col("doc"),
         posexplode(transform(sequence(lit(0), lit(numBands - 1)),
           b => xxhash64(concat_ws("|", slice(col("sig"), b * bandRows + 1, lit(bandRows)))))))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "bkey"))

@@ -104,6 +104,19 @@ object ModelStore {
       vocab.agg((count(lit(1)) + 1L).as("v")))
   }
 
+  /** Save a MinHash corpus index
+    * ([[graft.dedup.Dedup.buildMinhashIndex]]'s (doc, sh, sig) rows) —
+    * corpus-sized, natural partitioning kept (the bigram-LM rule: the
+    * artifact is itself big data). Both index parameters are derivable
+    * from the rows; nothing else to store. */
+  def saveMinhashIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite").parquet(path)
+
+  /** Load a MinHash corpus index for
+    * [[graft.dedup.Dedup.minhashPairsVsIndex]]. */
+  def loadMinhashIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Save a logistic model as (kind, idx, value) rows: kind `w` idx i =
     * weight i, kind `b` = bias, kind `loss` idx i = iteration-i mean
     * log-loss (the training trajectory travels with the artifact). */

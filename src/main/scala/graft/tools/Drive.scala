@@ -662,6 +662,18 @@ object Drive {
       val badFeats = iw.where(col("n_feats") <= 0).count()
       println(s"rows=$nScored importance-scored docs, nonpositive feature counts=$badFeats (expect 0)")
       iw.unpersist()
+      // saved minhash index: probe-vs-artifact must equal recompute-both
+      val even = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+      val odd = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+      val path = java.nio.file.Files.createTempDirectory("graft-drive-mhidx-").toString
+      graft.ml.ModelStore.saveMinhashIndex(
+        graft.dedup.Dedup.buildMinhashIndex(even, "doc_id", "text"), path)
+      val viaIx = graft.dedup.Dedup.minhashPairsVsIndex(odd, "doc_id", "text",
+        graft.ml.ModelStore.loadMinhashIndex(spark, path), tau = 0.8)
+        .collect().map(_.toSeq).toSet
+      val direct = graft.dedup.Dedup.minhashPairsAcross(odd, even,
+        "doc_id", "text", tau = 0.8).collect().map(_.toSeq).toSet
+      println(s"rows=${viaIx.size} index-probed pairs, equals recompute=${viaIx == direct} (expect true)")
     }
 
     spark.stop()

@@ -69,4 +69,45 @@ class CrossCorpusDedupSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     got shouldBe Seq((1L, 1L, 1.0))
   }
+
+  behavior of "Dedup.minhashPairsVsIndex"
+
+  it should "equal minhashPairsAcross after a parquet index round-trip" in {
+    import spark.implicits._
+    val newDocs = Seq(
+      (1L, doc("a", 40) + " fresh extra"),
+      (2L, doc("u", 30))).toDF("doc_id", "text")
+    val oldDocs = Seq((10L, doc("a", 40)), (11L, doc("v", 25))).toDF("doc_id", "text")
+    val direct = Dedup.minhashPairsAcross(newDocs, oldDocs, "doc_id", "text", tau = 0.5)
+      .collect().map(_.toSeq).toSet
+    val path = java.nio.file.Files.createTempDirectory("graft-mhidx-spec-").toString
+    graft.ml.ModelStore.saveMinhashIndex(
+      Dedup.buildMinhashIndex(oldDocs, "doc_id", "text"), path)
+    val viaIndex = Dedup.minhashPairsVsIndex(newDocs, "doc_id", "text",
+      graft.ml.ModelStore.loadMinhashIndex(spark, path), tau = 0.5)
+      .collect().map(_.toSeq).toSet
+    viaIndex shouldBe direct
+    direct.map(_.head) should contain(1L)
+  }
+
+  it should "derive n and numHashes from the index and reject incompatible banding" in {
+    import spark.implicits._
+    val oldDocs = Seq((10L, doc("a", 40))).toDF("doc_id", "text")
+    val ix = Dedup.buildMinhashIndex(oldDocs, "doc_id", "text", n = 5, numHashes = 24)
+    // 5-token shingles + 24-wide signatures round-trip through the rows
+    val newDocs = Seq((1L, doc("a", 40))).toDF("doc_id", "text")
+    Dedup.minhashPairsVsIndex(newDocs, "doc_id", "text", ix, tau = 0.8, bandRows = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq shouldBe Seq((1L, 10L))
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.minhashPairsVsIndex(newDocs, "doc_id", "text", ix, tau = 0.8, bandRows = 7)
+  }
+
+  it should "yield no pairs against an empty index" in {
+    import spark.implicits._
+    val newDocs = Seq((1L, doc("a", 40))).toDF("doc_id", "text")
+    val empty = Dedup.buildMinhashIndex(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text")
+    Dedup.minhashPairsVsIndex(newDocs, "doc_id", "text", empty, tau = 0.1)
+      .count() shouldBe 0L
+  }
 }
