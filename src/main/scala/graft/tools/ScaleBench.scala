@@ -528,7 +528,38 @@ object ScaleBench {
       "dedup_semantic" -> (() =>
         graft.dedup.Dedup.semanticDedup(embs(f), "vec_id", "embedding",
           k = 16 * f, tau = 0.3)
-          .where(col("cluster") >= 0L).select("doc", "is_dup")))
+          .where(col("cluster") >= 0L).select("doc", "is_dup")),
+
+      // DSIR importance: target FIXED at ×1 (the target domain sample
+      // does not grow with the crawl); raw gram count agg + per-doc sum
+      // shuffles ∝ f, the bucket score table stays <= B broadcast rows
+      "sample_importance" -> (() => {
+        val tgt = docsPlain(1).where(pmod(col("doc_id"), lit(10)) === 0)
+        graft.curation.Sampling.importanceWeights(
+          docsPlain(f).where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+          tgt, "text")
+          .where(col("n_feats") >= 0L)
+      }),
+
+      // temperature sampling: one strata-count agg (strata fixed, rows
+      // ×f) + a map-only threshold filter — shuffle stays strata-sized
+      "sample_temperature" -> (() =>
+        graft.curation.Sampling.temperatureSample(
+          docsFull(f).withColumn("__t", col("doc_id").cast("string")),
+          "__t", "source", alpha = 0.5)),
+
+      // incremental dedup vs a SAVED index: the ingested corpus (index)
+      // stays ×1 — steady state pays banding for the NEW batch only, so
+      // probe-side shuffle ∝ f while the index side is a reload
+      "dedup_cross_saved" -> (() => {
+        val path = java.nio.file.Files.createTempDirectory("graft-scale-mhidx-").toString
+        graft.ml.ModelStore.saveMinhashIndex(
+          graft.dedup.Dedup.buildMinhashIndex(
+            docs(1).where(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text"), path)
+        graft.dedup.Dedup.minhashPairsVsIndex(
+          docs(f).where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
+          graft.ml.ModelStore.loadMinhashIndex(spark, path), tau = 0.8)
+      }))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
