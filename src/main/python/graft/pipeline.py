@@ -408,6 +408,17 @@ def group_approx_quantiles(df, group_cols="source", value_col="n_chars",
         ",".join(str(int(q)) for q in qs), int(accuracy)))
 
 
+def zorder_by(df, cols, partitions, bits=16):
+    """Z-order (Morton-curve) layout rewrite on integer columns: same
+    rows, clustered partitioning — per-file min/max stats become tight
+    on EVERY listed column, so format-level data skipping prunes
+    multi-predicate scans. The Delta/Iceberg OPTIMIZE ZORDER shape."""
+    if isinstance(cols, str):
+        cols = [cols]
+    return _wrap(df, _facade(df).zorderBy(df._jdf, ",".join(cols),
+                                          int(partitions), int(bits)))
+
+
 def build_minhash_index(df, id_col="doc_id", text_col="text", n=3,
                         num_hashes=32):
     """Persistable MinHash corpus index (doc, sh, sig): signature

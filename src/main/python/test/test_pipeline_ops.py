@@ -296,6 +296,13 @@ class TestStreamingUnified(object):
         assert r["n"] == 100
         assert abs(r["ap50"] - 50) <= 1 and abs(r["ap90"] - 90) <= 1
 
+    def test_zorder_by(self, local_spark):
+        rows = [(x, y) for x in range(16) for y in range(16)]
+        df = local_spark.createDataFrame(rows, ["x", "y"])
+        out = P.zorder_by(df, ["x", "y"], partitions=4, bits=4)
+        got = sorted((r["x"], r["y"]) for r in out.collect())
+        assert got == sorted(rows)  # layout-only: row multiset preserved
+
     def test_minhash_index_roundtrip(self, local_spark, tmp_path):
         base = " ".join("w%d" % i for i in range(40))
         old = local_spark.createDataFrame([(10, base)], ["doc_id", "text"])

@@ -687,6 +687,25 @@ object SparkEntry {
         "p_partkey", "p_name", split(col("p_name"), " ").getItem(0), maxDist = 3)
         .select(col("id_i").as("part_i"), col("id_j").as("part_j"), col("dist"))),
 
+    // z-order layout keys: exact integer equi-width buckets over
+    // in-plan min/max stats, codegen'd Morton interleave — pure
+    // integer arithmetic, replayed bit-for-bit
+    "layout_zorder" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .where(pmod(col("l_orderkey"), lit(100)) === 0)
+      val stats = li.agg(
+        min(col("l_orderkey")).cast("long").as("mn1"),
+        max(col("l_orderkey")).cast("long").as("mx1"),
+        min(col("l_partkey")).cast("long").as("mn2"),
+        max(col("l_partkey")).cast("long").as("mx2"))
+      li.crossJoin(broadcast(stats))
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+          graft.layout.ZOrder.zvalue(
+            Seq(col("l_orderkey"), col("l_partkey")),
+            Seq(col("mn1"), col("mn2")), Seq(col("mx1"), col("mx2")),
+            bits = 16).as("z"))
+    }),
+
     // hot-phrase mining (boilerplate discovery): top-5 most
     // document-frequent bigrams per source — per-doc DISTINCT grams
     // (df semantics), one map-side-combined count, O(k)-state top-k;
@@ -1876,6 +1895,21 @@ object SparkEntry {
         |SELECT a.k part_i, c.k part_j, CAST(levenshtein(a.nm, c.nm) AS INTEGER) dist
         |FROM b a JOIN b c ON a.bk = c.bk AND a.k < c.k
         |WHERE levenshtein(a.nm, c.nm) <= 3""".stripMargin,
+
+    // equi-width buckets by exact integer //, Morton interleave as a
+    // shift/mask list_sum — bit j of dim d lands at 2j+d
+    "layout_zorder" ->
+      """WITH s AS (SELECT min(l_orderkey) mn1, max(l_orderkey) mx1,
+        |                  min(l_partkey) mn2, max(l_partkey) mx2
+        |           FROM lineitem WHERE l_orderkey % 100 = 0),
+        |r AS (SELECT l_orderkey, l_partkey, l_linenumber,
+        |        ((l_orderkey - mn1) * 65536) // (mx1 - mn1 + 1) b1,
+        |        ((l_partkey - mn2) * 65536) // (mx2 - mn2 + 1) b2
+        |      FROM lineitem CROSS JOIN s WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_partkey, l_linenumber,
+        |  CAST(list_sum([((b1 >> i) & 1) << (2 * i) for i in range(16)])
+        |     + list_sum([((b2 >> i) & 1) << (2 * i + 1) for i in range(16)]) AS BIGINT) z
+        |FROM r""".stripMargin,
 
     // distinct bigrams per doc (df semantics), count per (source,
     // phrase), df >= 3, top-5 by (df desc, phrase asc) — the same

@@ -432,6 +432,12 @@ object PyFacade {
       index: DataFrame, tau: Double, bandRows: Int): DataFrame =
     graft.dedup.Dedup.minhashPairsVsIndex(left, idCol, textCol, index, tau, bandRows)
 
+  /** Z-order layout rewrite: same rows, clustered partitioning. */
+  def zorderBy(df: DataFrame, colsCsv: String, partitions: Int,
+      bits: Int): DataFrame =
+    graft.layout.ZOrder.zorderBy(df,
+      colsCsv.split(",").map(_.trim).toSeq, partitions, bits)
+
   /** DSIR importance weights: (doc, n_feats, logratio_micro). */
   def importanceWeights(raw: DataFrame, idCol: String, textCol: String,
       target: DataFrame, targetTextCol: String,

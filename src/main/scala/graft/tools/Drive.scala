@@ -676,6 +676,24 @@ object Drive {
       println(s"rows=${viaIx.size} index-probed pairs, equals recompute=${viaIx == direct} (expect true)")
     }
 
+    println("=== 35. z-order layout clustering (round-7b) ===")
+    locally {
+      val li = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity")
+      val z = graft.layout.ZOrder.zorderBy(li, Seq("l_orderkey", "l_partkey"),
+        partitions = 8, bits = 16).cache()
+      val nIn = li.count(); val nOut = z.count()
+      val missing = li.exceptAll(z).count()
+      // partkey-band pruning: how many of the 8 files would min/max
+      // stats skip for a narrow l_partkey range?
+      val hit = z.select(org.apache.spark.sql.functions.spark_partition_id().as("p"), col("l_partkey"))
+        .groupBy("p").agg(min("l_partkey").as("lo"), max("l_partkey").as("hi"))
+        .where(col("lo") <= 120L && col("hi") >= 100L).count()
+      println(s"rows=$nOut z-ordered (preserved=${nOut == nIn && missing == 0}), " +
+        s"partkey-band hits $hit of 8 partitions (expect true, < 8)")
+      z.unpersist()
+    }
+
     spark.stop()
   }
 }
