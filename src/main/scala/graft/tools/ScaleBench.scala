@@ -548,6 +548,16 @@ object ScaleBench {
           docsFull(f).withColumn("__t", col("doc_id").cast("string")),
           "__t", "source", alpha = 0.5)),
 
+      // z-order layout rewrite: one scan + one range shuffle of the
+      // full data ∝ f — the cost any layout rewrite pays by definition;
+      // stats stay a 1-row broadcast at every factor
+      "layout_zorder" -> (() => {
+        val li = keyed("lineitem", "l_orderkey", f, 1000000000L)
+          .withColumn("l_partkey", pmod(col("l_orderkey") * 17L, lit(200000L)))
+        graft.layout.ZOrder.zorderBy(li, Seq("l_orderkey", "l_partkey"),
+          partitions = 32, bits = 16)
+      }),
+
       // incremental dedup vs a SAVED index: the ingested corpus (index)
       // stays ×1 — steady state pays banding for the NEW batch only, so
       // probe-side shuffle ∝ f while the index side is a reload
