@@ -408,6 +408,26 @@ def group_approx_quantiles(df, group_cols="source", value_col="n_chars",
         ",".join(str(int(q)) for q in qs), int(accuracy)))
 
 
+def drift_report(a, b, a_text_col="text", b_text_col="text", buckets=4096,
+                 ns=(1,)):
+    """Corpus drift, localized: per hashed-gram bucket
+    (bucket, c_a, c_b, lr_micro) — micro-nat add-one-smoothed log
+    ratios; top-|lr| rows show WHERE the distribution moved."""
+    return _wrap(a, _facade(a).driftReport(
+        a._jdf, a_text_col, b._jdf, b_text_col, int(buckets),
+        ",".join(str(int(n)) for n in ns)))
+
+
+def drift_summary(a, b, a_text_col="text", b_text_col="text", buckets=4096,
+                  ns=(1,)):
+    """Corpus drift, one row: (n_grams_a, n_grams_b, kl_ab_micro,
+    tvd_num, tvd_r6) — KL(A||B) in integer micro-nats + exact
+    total-variation distance between snapshots."""
+    return _wrap(a, _facade(a).driftSummary(
+        a._jdf, a_text_col, b._jdf, b_text_col, int(buckets),
+        ",".join(str(int(n)) for n in ns)))
+
+
 def zorder_by(df, cols, partitions, bits=16):
     """Z-order (Morton-curve) layout rewrite on integer columns: same
     rows, clustered partitioning — per-file min/max stats become tight

@@ -296,6 +296,14 @@ class TestStreamingUnified(object):
         assert r["n"] == 100
         assert abs(r["ap50"] - 50) <= 1 and abs(r["ap90"] - 90) <= 1
 
+    def test_drift_summary(self, local_spark):
+        a = local_spark.createDataFrame([(1, "p p p")], ["doc_id", "text"])
+        b = local_spark.createDataFrame([(1, "q z w")], ["doc_id", "text"])
+        same = P.drift_summary(a, a).collect()[0]
+        assert same["kl_ab_micro"] == 0 and same["tvd_r6"] == 0.0
+        moved = P.drift_summary(a, b).collect()[0]
+        assert moved["kl_ab_micro"] > 0 and moved["tvd_r6"] > 0.0
+
     def test_zorder_by(self, local_spark):
         rows = [(x, y) for x in range(16) for y in range(16)]
         df = local_spark.createDataFrame(rows, ["x", "y"])

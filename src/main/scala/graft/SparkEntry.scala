@@ -894,6 +894,16 @@ object SparkEntry {
         buckets = 4096, ns = Seq(1, 2))
     }),
 
+    // corpus drift monitoring: KL(A||B) in integer micro-nats + exact
+    // total-variation numerator between the odd and even snapshot
+    // halves over hashed unigram buckets
+    "profile_drift" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.text.CorpusDrift.summary(
+        docs.where(pmod(col("doc_id"), lit(2)) === 1), "text",
+        docs.where(pmod(col("doc_id"), lit(2)) === 0), "text")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
@@ -2199,6 +2209,40 @@ object SparkEntry {
          |        FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tt CROSS JOIN tr)
          |SELECT doc_id doc, CAST(count(*) AS BIGINT) n_feats, CAST(sum(mlog) AS BIGINT) logratio_micro
          |FROM b JOIN tbl USING (b) WHERE doc_id % 10 <> 0 GROUP BY 1""".stripMargin,
+
+    // md5_number_lower buckets, add-one smoothing, micro-nat log
+    // ratios, integer KL/TVD accumulation — the whole report is exact
+    // integers plus two final IEEE operations
+    "profile_drift" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |g AS (SELECT doc_id, unnest(ws) tk FROM t),
+         |bk AS (SELECT doc_id, CAST(md5_number_lower(tk) % 4096 AS BIGINT) b FROM g),
+         |xa AS (SELECT b, count(*) na FROM bk WHERE doc_id % 2 = 1 GROUP BY 1),
+         |xb AS (SELECT b, count(*) nb FROM bk WHERE doc_id % 2 = 0 GROUP BY 1),
+         |u AS (SELECT coalesce(xa.b, xb.b) b, coalesce(na, 0) na, coalesce(nb, 0) nb
+         |      FROM xa FULL OUTER JOIN xb ON xa.b = xb.b),
+         |tt AS (SELECT CAST(sum(na) AS BIGINT) ta, CAST(sum(nb) AS BIGINT) tb,
+         |              CAST(count(*) AS BIGINT) np FROM u),
+         |r AS (SELECT na, nb, ta, tb, np,
+         |        CAST(round(ln(CAST((na + 1) * (tb + 4096) AS DOUBLE)
+         |          / CAST((ta + 4096) * (nb + 1) AS DOUBLE)) * 1e6) AS BIGINT) lr
+         |      FROM u CROSS JOIN tt),
+         |s AS (SELECT max(ta) ta, max(tb) tb, max(np) np,
+         |        CAST(sum((na + 1) * lr) AS BIGINT) klp,
+         |        CAST(sum(abs((na + 1) * (tb + 4096) - (nb + 1) * (ta + 4096))) AS BIGINT) tvp
+         |      FROM r),
+         |f AS (SELECT ta, tb,
+         |        klp + (4096 - np) * CAST(round(ln(CAST(tb + 4096 AS DOUBLE)
+         |          / CAST(ta + 4096 AS DOUBLE)) * 1e6) AS BIGINT) klnum,
+         |        tvp + (4096 - np) * abs(tb - ta) tvdnum
+         |      FROM s)
+         |SELECT ta n_grams_a, tb n_grams_b,
+         |  CASE WHEN klnum >= 0 THEN (klnum * 2 + (ta + 4096)) // ((ta + 4096) * 2)
+         |       ELSE -(((-klnum) * 2 + (ta + 4096)) // ((ta + 4096) * 2)) END kl_ab_micro,
+         |  tvdnum tvd_num,
+         |  round(CAST(tvdnum AS DOUBLE)
+         |    / (2.0 * CAST(ta + 4096 AS DOUBLE) * CAST(tb + 4096 AS DOUBLE)), 6) tvd_r6
+         |FROM f""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),

@@ -432,6 +432,19 @@ object PyFacade {
       index: DataFrame, tau: Double, bandRows: Int): DataFrame =
     graft.dedup.Dedup.minhashPairsVsIndex(left, idCol, textCol, index, tau, bandRows)
 
+  /** Corpus drift: per-bucket report (bucket, c_a, c_b, lr_micro). */
+  def driftReport(a: DataFrame, aTextCol: String, b: DataFrame, bTextCol: String,
+      buckets: Int, nsCsv: String): DataFrame =
+    graft.text.CorpusDrift.report(a, aTextCol, b, bTextCol, buckets,
+      nsCsv.split(",").map(_.trim.toInt).toSeq)
+
+  /** Corpus drift one-row summary: (n_grams_a, n_grams_b, kl_ab_micro,
+    * tvd_num, tvd_r6). */
+  def driftSummary(a: DataFrame, aTextCol: String, b: DataFrame, bTextCol: String,
+      buckets: Int, nsCsv: String): DataFrame =
+    graft.text.CorpusDrift.summary(a, aTextCol, b, bTextCol, buckets,
+      nsCsv.split(",").map(_.trim.toInt).toSeq)
+
   /** Z-order layout rewrite: same rows, clustered partitioning. */
   def zorderBy(df: DataFrame, colsCsv: String, partitions: Int,
       bits: Int): DataFrame =

@@ -692,6 +692,15 @@ object Drive {
       println(s"rows=$nOut z-ordered (preserved=${nOut == nIn && missing == 0}), " +
         s"partkey-band hits $hit of 8 partitions (expect true, < 8)")
       z.unpersist()
+      val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      val half1 = docsT.where(pmod(col("doc_id"), lit(2)) === 1)
+      val half2 = docsT.where(pmod(col("doc_id"), lit(2)) === 0)
+      val same = graft.text.CorpusDrift.summary(half1, "text", half1, "text")
+        .collect().head
+      val drift = graft.text.CorpusDrift.summary(half1, "text", half2, "text")
+        .collect().head
+      println(s"rows=1 drift summary: self-KL=${same.getLong(2)} (expect 0), " +
+        s"cross-KL=${drift.getLong(2)} micro-nats, tvd=${drift.getDouble(4)}")
     }
 
     spark.stop()

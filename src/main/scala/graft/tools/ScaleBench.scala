@@ -548,6 +548,15 @@ object ScaleBench {
           docsFull(f).withColumn("__t", col("doc_id").cast("string")),
           "__t", "source", alpha = 0.5)),
 
+      // corpus drift: two bucket-count aggregations collapse to <= B
+      // rows each before the join — shuffle stays ~B-bounded (count
+      // partials) while both scans grow ×f
+      "profile_drift" -> (() =>
+        graft.text.CorpusDrift.summary(
+          docsPlain(f).where(pmod(col("doc_id"), lit(2)) === 1), "text",
+          docsPlain(f).where(pmod(col("doc_id"), lit(2)) === 0), "text")
+          .where(col("kl_ab_micro") >= Long.MinValue)),
+
       // z-order layout rewrite: one scan + one range shuffle of the
       // full data ∝ f — the cost any layout rewrite pays by definition;
       // stats stay a 1-row broadcast at every factor
