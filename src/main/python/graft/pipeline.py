@@ -408,6 +408,15 @@ def group_approx_quantiles(df, group_cols="source", value_col="n_chars",
         ",".join(str(int(q)) for q in qs), int(accuracy)))
 
 
+def exact_canon_by(df, id_col="doc_id", text_col="text", score_col="q",
+                   descending=True):
+    """exact_canon with a keep policy: the best-scored copy of each
+    byte-identical text wins (keep the freshest recrawl / highest
+    quality), ties to the smallest id; null scores never win."""
+    return _wrap(df, _facade(df).exactCanonBy(df._jdf, id_col, text_col,
+                                              score_col, bool(descending)))
+
+
 def drift_report(a, b, a_text_col="text", b_text_col="text", buckets=4096,
                  ns=(1,)):
     """Corpus drift, localized: per hashed-gram bucket

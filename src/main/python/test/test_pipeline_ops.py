@@ -296,6 +296,14 @@ class TestStreamingUnified(object):
         assert r["n"] == 100
         assert abs(r["ap50"] - 50) <= 1 and abs(r["ap90"] - 90) <= 1
 
+    def test_exact_canon_by(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "same", 0.2), (2, "same", 0.9), (3, "other", 0.1)],
+            ["doc_id", "text", "q"])
+        got = {r["doc_id"]: r["canon_id"]
+               for r in P.exact_canon_by(df).collect()}
+        assert got == {1: 2, 2: 2, 3: 3}  # best-scored copy wins
+
     def test_drift_summary(self, local_spark):
         a = local_spark.createDataFrame([(1, "p p p")], ["doc_id", "text"])
         b = local_spark.createDataFrame([(1, "q z w")], ["doc_id", "text"])

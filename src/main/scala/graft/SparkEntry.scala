@@ -542,6 +542,11 @@ object SparkEntry {
     "dedup_segments" -> ((s, dir) =>
       Dedup.segmentDedup(tbl(s, dir, "documents"), "doc_id", "text", seg = 8)),
 
+    // keep-policy exact dedup: the freshest copy (max doc_id) wins its
+    // duplicate group instead of exactCanon's min-id convention
+    "dedup_exact_best" -> ((s, dir) =>
+      Dedup.exactCanonBy(tbl(s, dir, "documents"), "doc_id", "text", "doc_id")),
+
     // embedding-cosine near-dup pairs (exact, oracle-checked)
     "dedup_embedding" -> ((s, dir) =>
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.5)),
@@ -1691,6 +1696,12 @@ object SparkEntry {
          |sp AS (SELECT doc_id, isl, count(*) c, max(pos) - min(pos) + 8 span FROM g GROUP BY 1, 2)
          |SELECT doc_id doc, CAST(sum(c) AS BIGINT) hits, CAST(max(span) AS BIGINT) max_span
          |FROM sp GROUP BY 1""".stripMargin,
+
+    // best-score keeper (score = doc_id, unique -> no tie path) per
+    // byte-identical text group
+    "dedup_exact_best" ->
+      """SELECT doc_id, max(doc_id) OVER (PARTITION BY md5(text)) canon_id
+        |FROM documents""".stripMargin,
 
     // the bloom prefilter is correctness-invisible (exact verify join
     // removes every false positive), so the oracle is the plain distinct

@@ -432,6 +432,11 @@ object PyFacade {
       index: DataFrame, tau: Double, bandRows: Int): DataFrame =
     graft.dedup.Dedup.minhashPairsVsIndex(left, idCol, textCol, index, tau, bandRows)
 
+  /** Keep-policy exact dedup: best-scored copy wins its group. */
+  def exactCanonBy(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, descending: Boolean): DataFrame =
+    graft.dedup.Dedup.exactCanonBy(df, idCol, textCol, scoreCol, descending)
+
   /** Corpus drift: per-bucket report (bucket, c_a, c_b, lr_micro). */
   def driftReport(a: DataFrame, aTextCol: String, b: DataFrame, bTextCol: String,
       buckets: Int, nsCsv: String): DataFrame =

@@ -72,6 +72,34 @@ object Dedup {
     digests.join(canon, "__digest").select(col(idCol), col("canon_id"))
   }
 
+  /**
+   * [[exactCanon]] with a KEEP POLICY: the canonical row per distinct
+   * text is the one with the best `scoreCol` (largest when
+   * `descending`, the default — "keep the freshest recrawl", "keep the
+   * highest-quality copy"), ties broken by ascending id. Output:
+   * `(idCol, canon_id)` — same contract and same skew-safe
+   * agg+join-back shape as [[exactCanon]]; rows with a NULL score are
+   * excluded from keeper SELECTION but still map to their digest's
+   * keeper (a null-scored copy never wins, never disappears). If every
+   * copy of a text has a null score the group keeps the minimum id.
+   */
+  def exactCanonBy(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, descending: Boolean = true): DataFrame = {
+    val digest =
+      coalesce(unhex(md5(col(textCol).cast("binary"))), lit(Array.emptyByteArray))
+    val digests = df.select(col(idCol), col(scoreCol).as("__score"), digest.as("__digest"))
+    val ord = if (descending) negate(col("__score")) else col("__score")
+    val canon = digests
+      .groupBy(col("__digest"), substring(col("__digest"), 1, 2))
+      .agg(
+        min(when(col("__score").isNotNull, struct(ord.as("s"), col(idCol).as("i"))))
+          .as("__best"),
+        min(col(idCol)).as("__minid"))
+      .select(col("__digest"),
+        coalesce(col("__best.i"), col("__minid")).as("canon_id"))
+    digests.join(canon, "__digest").select(col(idCol), col("canon_id"))
+  }
+
   /** Canonical-survivor ids only: the minimum id per distinct text. One
     * map-side-combined aggregation, no join back — the right operand for
     * "keep canonical rows" compositions ([[graft.api.PyFacade.curate]]),

@@ -65,6 +65,32 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     canon shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 4L)
   }
 
+  it should "pick keepers by score under exactCanonBy, ties to the smallest id" in {
+    val scored = docs.withColumn("q",
+      when(col("doc_id") === 3L, 9.0).otherwise(col("doc_id").cast("double")))
+    // doc 3 outscores its duplicate twin 0 — freshest/highest-quality wins
+    Dedup.exactCanonBy(scored, "doc_id", "text", "q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 3L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    // ascending: the LOWEST score wins; equal scores tie to the min id
+    val tied = docs.withColumn("q", lit(1.0))
+    Dedup.exactCanonBy(tied, "doc_id", "text", "q", descending = false)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 4L)
+  }
+
+  it should "never let a null score win a group, falling back to min id when all are null" in {
+    val scored = docs.withColumn("q",
+      when(col("doc_id") === 3L, lit(null).cast("double"))
+        .when(col("doc_id") === 0L, 5.0)
+        .otherwise(lit(null).cast("double")))
+    // group {0, 3}: 3's null never beats 0's 5.0; singleton null groups
+    // keep their own (minimum) id
+    Dedup.exactCanonBy(scored, "doc_id", "text", "q")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap shouldBe
+      Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 0L, 4L -> 4L)
+  }
+
   it should "find near-dup pairs by exact shingle Jaccard" in {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", tau = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
