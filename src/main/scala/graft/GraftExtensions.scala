@@ -87,6 +87,13 @@ object GraftExtensions {
     ("ring_cells", "ring_cells(cell, lo, hi) - annulus grid cell ids (lo < Chebyshev <= hi)",
       (es: Seq[Expression]) => RingCells(es(0),
         intArg(es(1), "ring_cells"), intArg(es(2), "ring_cells"))),
+    ("winnow_digests", "winnow_digests(text, k, w) - winnowing fingerprint (pos, digest) structs",
+      (es: Seq[Expression]) => WinnowDigests(es(0),
+        intArg(es(1), "winnow_digests"), intArg(es(2), "winnow_digests"))),
+    ("md5_lower64", "md5_lower64(s) - little-endian uint64 of md5 bytes 8..15 (md5_number_lower parity)",
+      (es: Seq[Expression]) => Md5Lower64(es(0))),
+    ("z_value", "z_value(buckets, bits) - Morton interleave of bucketed dimensions",
+      (es: Seq[Expression]) => ZValue(es(0), intArg(es(1), "z_value"))),
     // aggregate: the analyzer wraps a bare AggregateFunction returned by
     // a function builder into an AggregateExpression
     ("bounded_topk_set", "bounded_topk_set(expr, k) - ascending array of the k smallest distinct values",

@@ -68,6 +68,17 @@ class GraftExtensionsSpec extends AnyFlatSpec with Matchers {
     agg.getSeq[Long](1) shouldBe Seq(1L, 3L)
   }
 
+  it should "expose md5_lower64, z_value and winnow_digests in SQL" in {
+    val r = spark.sql(
+      """SELECT md5_lower64('x') h,
+        |       z_value(array(3L, 5L), 3) z,
+        |       size(winnow_digests('a b c d e f g h i j', 3, 4)) nw""".stripMargin).head
+    // md5('x') lower 8 bytes little-endian — any fixed engine agrees
+    r.getLong(0) should not be 0L
+    r.getLong(1) shouldBe 39L // interleave(011, 101)
+    r.getInt(2) should be > 0
+  }
+
   it should "reject non-literal config args with a clear error" in {
     val e = intercept[Exception] {
       spark.sql("SELECT word_shingles('a b c', cast(rand()*3 as int))").collect()
