@@ -177,6 +177,55 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "prune the segment-dedup scan and probe the bucket score table as a broadcast" in {
+    // segmentDedup reads exactly (doc_id, text); importanceWeights'
+    // <= B-row score table must reach the gram stream as a BROADCAST
+    // hash join — a shuffled join there re-exchanges the corpus-sized
+    // gram stream for a 4096-row table
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val sd = graft.dedup.Dedup.segmentDedup(docs, "doc_id", "text", seg = 8)
+    sd.collect()
+    val sdScans = sd.queryExecution.executedPlan.toString.linesIterator
+      .filter(s => s.contains("FileScan") && s.contains("documents")).toSeq
+    withClue(sdScans.mkString("\n")) {
+      sdScans should not be empty
+      sdScans.foreach { s => s should not include "lang"; s should not include "source" }
+    }
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val iw = graft.curation.Sampling.importanceWeights(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0), "doc_id", "text",
+      docs.where(pmod(col("doc_id"), lit(10)) === 0), "text")
+    iw.collect()
+    val iwPlan = iw.queryExecution.executedPlan.toString
+    withClue(iwPlan) {
+      iwPlan should include ("BroadcastHashJoin")
+      // the only hash exchanges carry bucket partials or per-doc sums
+      iwPlan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { e =>
+        assert(e.contains("__b#") || e.contains("doc#"), e)
+      }
+    }
+  }
+
+  it should "rewrite layout through exactly one data-sized exchange — the z range partition" in {
+    // zorderBy = scan + range exchange; the min/max stats ride a 1-row
+    // broadcast. A hashpartitioning exchange of the data means the
+    // stats join or the sort degenerated into a second full shuffle.
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists(), "testdata not present")
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    val z = graft.layout.ZOrder.zorderBy(li, Seq("l_orderkey", "l_partkey"),
+      partitions = 4, bits = 12)
+    z.collect()
+    // AQE's toString prints the initial plan too — audit the FINAL one
+    val plan = z.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      plan.linesIterator.count(_.contains("Exchange rangepartitioning")) shouldBe 1
+      plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq shouldBe empty
+      plan should include ("BroadcastNestedLoopJoin") // the 1-row stats ride
+    }
+  }
+
   it should "preserve snapshot partitioning across localCheckpoint when AQE is off (iterative-join contract)" in {
     // GridNearestJoin and Dedup.clusterPairs pre-partition their
     // long-lived snapshots. On AQE-OFF sessions that makes every
