@@ -417,6 +417,29 @@ def exact_canon_by(df, id_col="doc_id", text_col="text", score_col="q",
                                               score_col, bool(descending)))
 
 
+def unigram_train(df, text_col="text", vocab_size=1000, max_piece_len=4):
+    """Train a frequency-seeded unigram-LM tokenizer; returns the
+    persistable (piece, lp_micro, max_piece_len, unk_micro) frame
+    (write it as parquet, reload, and pass to the scoring calls)."""
+    return _wrap(df, _facade(df).unigramTrain(df._jdf, text_col,
+                                              int(vocab_size),
+                                              int(max_piece_len)))
+
+
+def unigram_word_scores(df, pieces, word_col="word"):
+    """Integer-Viterbi best-segmentation scores per word under a
+    trained pieces frame: (word, score_micro, n_pieces)."""
+    return _wrap(df, _facade(df).unigramWordScores(df._jdf, word_col,
+                                                   pieces._jdf))
+
+
+def unigram_token_count(df, pieces, id_col="doc_id", text_col="text"):
+    """Per-document trained-subword counts under a unigram pieces
+    frame — the BPE token-budget twin."""
+    return _wrap(df, _facade(df).unigramTokenCount(df._jdf, id_col,
+                                                   text_col, pieces._jdf))
+
+
 def drift_report(a, b, a_text_col="text", b_text_col="text", buckets=4096,
                  ns=(1,)):
     """Corpus drift, localized: per hashed-gram bucket

@@ -304,6 +304,19 @@ class TestStreamingUnified(object):
                for r in P.exact_canon_by(df).collect()}
         assert got == {1: 2, 2: 2, 3: 3}  # best-scored copy wins
 
+    def test_unigram_tokenizer(self, local_spark):
+        corpus = local_spark.createDataFrame(
+            [(1, "ababab ababab cdcd"), (2, "ababab cdcd cdcd")],
+            ["doc_id", "text"])
+        pieces = P.unigram_train(corpus, vocab_size=8, max_piece_len=4)
+        assert pieces.count() > 0
+        counts = {r["doc_id"]: r["n_unigram"] for r in
+                  P.unigram_token_count(corpus, pieces).collect()}
+        assert all(v > 0 for v in counts.values())
+        words = local_spark.createDataFrame([("ababab",)], ["word"])
+        r = P.unigram_word_scores(words, pieces).collect()[0]
+        assert r["n_pieces"] >= 1 and r["score_micro"] < 0
+
     def test_drift_summary(self, local_spark):
         a = local_spark.createDataFrame([(1, "p p p")], ["doc_id", "text"])
         b = local_spark.createDataFrame([(1, "q z w")], ["doc_id", "text"])

@@ -899,6 +899,33 @@ object SparkEntry {
         buckets = 4096, ns = Seq(1, 2))
     }),
 
+    // unigram-LM tokenizer: frequency-seeded vocabulary (64 multi-char
+    // pieces + all single chars), integer-combined Viterbi — per
+    // distinct corpus word the best score (micro-nats) and the piece
+    // count on the max-score/fewest-pieces path
+    "text_unigram" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val m = graft.text.Unigram.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+      docs.select(explode(TextFunctions.tokens(col("text"))).as("word")).distinct()
+        .select(col("word"), graft.text.Unigram.wordScore(col("word"), m).as("sc"))
+        .select(col("word"), col("sc.score_micro").as("score_micro"),
+          col("sc.n_pieces").as("n_pieces"))
+    }),
+
+    // ... and the persistence round-trip: scores under a parquet-
+    // reloaded model must equal fresh-model scores — same oracle
+    "text_unigram_saved" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val m = graft.text.Unigram.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+      val path = modelTmp("unigram")
+      graft.text.Unigram.piecesDF(s, m).write.mode("overwrite").parquet(path)
+      val m2 = graft.text.Unigram.piecesFrom(s.read.parquet(path))
+      docs.select(explode(TextFunctions.tokens(col("text"))).as("word")).distinct()
+        .select(col("word"), graft.text.Unigram.wordScore(col("word"), m2).as("sc"))
+        .select(col("word"), col("sc.score_micro").as("score_micro"),
+          col("sc.n_pieces").as("n_pieces"))
+    }),
+
     // corpus drift monitoring: KL(A||B) in integer micro-nats + exact
     // total-variation numerator between the odd and even snapshot
     // halves over hashed unigram buckets
@@ -1338,6 +1365,59 @@ object SparkEntry {
        |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
        |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
        |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin
+
+  /** The unigram-tokenizer oracle: replays seed-vocabulary selection,
+    * micro-nat piece log-probs, and the combined-encoding Viterbi as an
+    * unrolled 12-position DP (corpus words are <= 8 chars; the CASE
+    * dispatch keeps longer words NULL-loud, not silently wrong). Shared
+    * by text_unigram and its persistence twin. */
+  private val unigramOracle: String = {
+    val K = 4 // maxPieceLen
+    val neg = Long.MinValue / 2
+    val dpCtes = (1 to 12).map { i =>
+      val terms = (1 to K).map { k =>
+        if (i >= k)
+          s"CASE WHEN $i <= L THEN d${i - k} + f[${(i - k + 1) * 100 + k}][1] ELSE CAST($neg AS BIGINT) END"
+        else s"CAST($neg AS BIGINT)"
+      }.mkString(", ")
+      s"d$i AS (SELECT *, greatest($terms) d$i FROM d${i - 1})"
+    }.mkString(",\n")
+    val dispatch = (1 to 12).map(i => s"WHEN $i THEN d$i").mkString(" ")
+    s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+       |wd AS (SELECT tk w, CAST(count(*) AS BIGINT) wc
+       |       FROM (SELECT unnest(ws) tk FROM t) GROUP BY 1),
+       |cand AS (SELECT piece, CAST(sum(wc) AS BIGINT) c FROM (
+       |    SELECT wc, unnest(flatten([[w[i:i+k-1]
+       |        for k in range(1, least($K, len(w)-i+1)+1)]
+       |        for i in range(1, len(w)+1)])) piece
+       |    FROM wd) GROUP BY 1),
+       |sel AS (SELECT piece, c FROM cand WHERE len(piece) = 1
+       |        UNION ALL
+       |        SELECT piece, c FROM (SELECT piece, c FROM cand WHERE len(piece) > 1
+       |                              ORDER BY c DESC, piece LIMIT 64)),
+       |tt AS (SELECT CAST(sum(c) AS BIGINT) tot FROM sel),
+       |lp AS (SELECT piece, CAST(round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) lpv
+       |       FROM sel CROSS JOIN tt),
+       |pos AS (SELECT w, s.i i, s.k k, w[s.i:s.i+s.k-1] piece
+       |        FROM (SELECT w, unnest(flatten([[struct_pack(i := i, k := k)
+       |                  for k in range(1, least($K, len(w)-i+1)+1)]
+       |                  for i in range(1, len(w)+1)])) s
+       |              FROM (SELECT DISTINCT w FROM wd))),
+       |pv AS (SELECT pos.w, pos.i, pos.k,
+       |         (coalesce(lp.lpv, CASE WHEN pos.k = 1 THEN CAST(-18000000 AS BIGINT)
+       |                                ELSE CAST(-1000000000000 AS BIGINT) END) * 1024 - 1) addv
+       |       FROM pos LEFT JOIN lp ON pos.piece = lp.piece),
+       |fm AS (SELECT w, len(w) L,
+       |         map_from_entries(list(struct_pack(k := i * 100 + k, v := addv))) f
+       |       FROM pv GROUP BY 1, 2),
+       |d0 AS (SELECT *, CAST(0 AS BIGINT) d0 FROM fm),
+       |$dpCtes,
+       |fin AS (SELECT w word, CASE L $dispatch END c FROM d12)
+       |SELECT word,
+       |  CAST((c + (((-c) % 1024 + 1024) % 1024)) // 1024 AS BIGINT) score_micro,
+       |  CAST((((-c) % 1024 + 1024) % 1024) AS BIGINT) n_pieces
+       |FROM fin""".stripMargin
+  }
 
   private def langScore(markers: Seq[String]) =
     s"len(list_filter(ws, t -> t IN (${markers.map(m => s"'$m'").mkString(",")})))"
@@ -2220,6 +2300,14 @@ object SparkEntry {
          |        FROM rc LEFT JOIN tc ON rc.b = tc.b CROSS JOIN tt CROSS JOIN tr)
          |SELECT doc_id doc, CAST(count(*) AS BIGINT) n_feats, CAST(sum(mlog) AS BIGINT) logratio_micro
          |FROM b JOIN tbl USING (b) WHERE doc_id % 10 <> 0 GROUP BY 1""".stripMargin,
+
+    // the full unigram pipeline replayed: seed selection, micro-nat
+    // log-probs, unrolled combined-encoding Viterbi
+    "text_unigram" -> unigramOracle,
+
+    // the parquet round-trip is bit-exact, so the reloaded-model twin
+    // answers the same oracle
+    "text_unigram_saved" -> unigramOracle,
 
     // md5_number_lower buckets, add-one smoothing, micro-nat log
     // ratios, integer KL/TVD accumulation — the whole report is exact

@@ -437,6 +437,34 @@ object PyFacade {
       scoreCol: String, descending: Boolean): DataFrame =
     graft.dedup.Dedup.exactCanonBy(df, idCol, textCol, scoreCol, descending)
 
+  /** Unigram tokenizer training → the persistable (piece, lp_micro,
+    * max_piece_len, unk_micro) frame. */
+  def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int): DataFrame =
+    graft.text.Unigram.piecesDF(df.sparkSession,
+      graft.text.Unigram.train(df, textCol, vocabSize, maxPieceLen))
+
+  /** Viterbi word scores under a pieces frame:
+    * (word, score_micro, n_pieces). */
+  def unigramWordScores(df: DataFrame, wordCol: String,
+      pieces: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = graft.text.Unigram.piecesFrom(pieces)
+    df.select(col(wordCol).as("word"),
+        graft.text.Unigram.wordScore(col(wordCol), m).as("__s"))
+      .select(col("word"), col("__s.score_micro").as("score_micro"),
+        col("__s.n_pieces").as("n_pieces"))
+  }
+
+  /** Per-document trained-subword counts under a pieces frame. */
+  def unigramTokenCount(df: DataFrame, idCol: String, textCol: String,
+      pieces: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val m = graft.text.Unigram.piecesFrom(pieces)
+    df.select(col(idCol),
+      graft.text.Unigram.tokenCount(col(textCol), m).as("n_unigram"))
+  }
+
   /** Corpus drift: per-bucket report (bucket, c_a, c_b, lr_micro). */
   def driftReport(a: DataFrame, aTextCol: String, b: DataFrame, bTextCol: String,
       buckets: Int, nsCsv: String): DataFrame =

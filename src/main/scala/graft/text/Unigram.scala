@@ -1,0 +1,152 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Unigram-LM subword tokenizer (the SentencePiece-unigram SERVING
+ * semantics over a frequency-seeded vocabulary) — the second trained
+ * tokenizer family beside [[Bpe]]: where BPE composes greedy merges,
+ * unigram segmentation picks the GLOBALLY best split of each word
+ * under per-piece log probabilities via Viterbi dynamic programming.
+ *
+ * Training (`train`): corpus → distinct-word frequency table (ONE
+ * map-side-combined aggregation — vocabulary-bounded, never
+ * corpus-bounded) → candidate-piece counts (every substring up to
+ * `maxPieceLen` chars of every distinct word, weighted by word
+ * frequency; one more bounded aggregation) → seed vocabulary = ALL
+ * single characters (coverage guarantee) plus the top `vocabSize`
+ * multi-character pieces by (count desc, piece asc) — a LIMIT-side
+ * selection, only selected rows reach the driver (the argmax-only
+ * collect discipline). Piece log-probabilities are micro-nat LONGS,
+ * `lp = round(1e6 · ln(count / total))` with `total` an exact integer
+ * sum — the [[NgramLm]] determinism contract. This is the
+ * frequency-initialized unigram model; SentencePiece's EM refinement
+ * and vocabulary pruning are intentionally out of scope (they need
+ * per-round re-segmentation counts — the structure is in place, the
+ * statistics change, the serving semantics below do not).
+ *
+ * Serving: integer Viterbi over a COMBINED encoding — each DP cell
+ * packs `(score_micro, n_pieces)` into one long as
+ * `score · 1024 − n_pieces` (piece counts < 1024 ≪ the 1024 gap
+ * between adjacent integer scores), so "maximize score, break ties on
+ * FEWER pieces" is a plain `greatest` over longs and the whole DP
+ * replays in any SQL engine with exact integer arithmetic. Unknown
+ * single characters score `unkMicro` (coverage without an UNK piece);
+ * unknown multi-character pieces are forbidden (−1e12 micro-nats).
+ * Map-only expressions; the model rides as literal map/constants.
+ */
+object Unigram {
+
+  /** Forbidden-piece combined penalty base: multi-char pieces outside
+    * the vocabulary can never win a max. */
+  val ForbiddenMicro: Long = -1000000000000L
+
+  /** Out-of-range DP guard — identical literal on the oracle side. */
+  val NegInf: Long = Long.MinValue / 2
+
+  final case class Model(pieces: Map[String, Long], maxPieceLen: Int,
+      unkMicro: Long) {
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+  }
+
+  /** All substrings of `w` up to `maxLen` chars, every occurrence. */
+  private def allPieces(w: Column, maxLen: Int): Column =
+    flatten(transform(sequence(lit(1), length(w)), i =>
+      transform(sequence(i, least(length(w), i + lit(maxLen - 1))), j =>
+        w.substr(i, j - i + lit(1)))))
+
+  /**
+   * Train a frequency-seeded unigram model: `vocabSize` bounds the
+   * MULTI-character piece count (all seen single characters are always
+   * included). Runs two bounded aggregations eagerly (trainer
+   * discipline).
+   */
+  def train(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPieceLen: Int = 4, unkMicro: Long = -18000000L): Model = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(maxPieceLen >= 1, s"maxPieceLen must be >= 1, got $maxPieceLen")
+    val words = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val cands = words
+      .select(col("wc"), explode(allPieces(col("w"), maxPieceLen)).as("p"))
+      .groupBy(col("p")).agg(sum(col("wc")).as("c"))
+    val singles = cands.where(length(col("p")) === 1)
+    val multis = cands.where(length(col("p")) > 1)
+      .orderBy(col("c").desc, col("p").asc).limit(vocabSize)
+    val selected = singles.unionAll(multis).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    if (selected.isEmpty) return Model(Map.empty, maxPieceLen, unkMicro)
+    val tot = selected.map(_._2).sum // exact integer total, order-free
+    val pieces = selected.map { case (p, c) =>
+      p -> math.round(math.log(c.toDouble / tot.toDouble) * 1e6)
+    }.toMap
+    Model(pieces, maxPieceLen, unkMicro)
+  }
+
+  /** Combined-encoding DP array over one word's character positions:
+    * element i+1 = best `score·1024 − n_pieces` for the prefix of
+    * length i. Pure composed expression; the model rides as a literal
+    * map. */
+  private def dpCombined(word: Column, m: Model): Column = {
+    val lpMap = typedlit(m.pieces)
+    def addValue(piece: Column): Column =
+      coalesce(element_at(lpMap, piece),
+        when(length(piece) === 1, lit(m.unkMicro)).otherwise(lit(ForbiddenMicro))) *
+        lit(1024L) - lit(1L)
+    aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0L)),
+      (acc, i) => {
+        val terms = (1 to m.maxPieceLen).map { k =>
+          when(i >= lit(k),
+            element_at(acc, (i - lit(k) + lit(1)).cast("int"))
+              + addValue(word.substr(i - lit(k) + lit(1), lit(k))))
+            .otherwise(lit(NegInf))
+        }
+        val best = if (terms.size == 1) terms.head else greatest(terms: _*)
+        concat(acc, array(best))
+      })
+  }
+
+  /** Best segmentation of one word as `(score_micro, n_pieces)` —
+    * score in micro-nats, count on the max-score path (ties already
+    * resolved toward fewer pieces by the combined encoding). Empty
+    * word → (0, 0). */
+  def wordScore(word: Column, m: Model): Column = {
+    val c = element_at(dpCombined(word, m), (length(word) + lit(1)).cast("int"))
+    val np = pmod(-c, lit(1024L))
+    when(length(word) === 0, struct(lit(0L).as("score_micro"), lit(0L).as("n_pieces")))
+      .otherwise(struct(
+        ((c + np) / lit(1024L)).cast("long").as("score_micro"),
+        np.as("n_pieces")))
+  }
+
+  /** Trained-subword token count of a text under the unigram model —
+    * the [[Bpe.tokenCount]] twin for token-budget operators. */
+  def tokenCount(text: Column, m: Model): Column =
+    coalesce(
+      aggregate(TextFunctions.tokens(text), lit(0L),
+        (acc, w) => acc + wordScore(w, m).getField("n_pieces")),
+      lit(0L))
+
+  /** The model as a persistable frame: (piece, lp_micro) rows plus the
+    * maxPieceLen/unkMicro constants on every row (derivable-from-rows
+    * rule: no sidecar). */
+  def piecesDF(spark: org.apache.spark.sql.SparkSession, m: Model): DataFrame = {
+    import spark.implicits._
+    m.pieces.toSeq.sortBy(_._1)
+      .map { case (p, lp) => (p, lp, m.maxPieceLen.toLong, m.unkMicro) }
+      .toDF("piece", "lp_micro", "max_piece_len", "unk_micro")
+  }
+
+  /** Reassemble a model from a [[piecesDF]]-shaped frame. */
+  def piecesFrom(df: DataFrame): Model = {
+    val rows = df.select(col("piece"), col("lp_micro").cast("long"),
+      col("max_piece_len").cast("long"), col("unk_micro").cast("long")).collect()
+    require(rows.nonEmpty, "empty unigram model artifact")
+    Model(rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.head.getLong(2).toInt, rows.head.getLong(3))
+  }
+}

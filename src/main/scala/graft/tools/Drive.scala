@@ -701,6 +701,20 @@ object Drive {
         .collect().head
       println(s"rows=1 drift summary: self-KL=${same.getLong(2)} (expect 0), " +
         s"cross-KL=${drift.getLong(2)} micro-nats, tvd=${drift.getDouble(4)}")
+      // unigram tokenizer: coverage (every word scored, pieces >= 1) and
+      // artifact round-trip equality
+      val um = graft.text.Unigram.train(docsT, "text", vocabSize = 64, maxPieceLen = 4)
+      val words = docsT
+        .select(explode(graft.text.TextFunctions.tokens(col("text"))).as("w")).distinct()
+      val scored = words.select(graft.text.Unigram.wordScore(col("w"), um).as("s"))
+        .select(col("s.n_pieces").as("np")).cache()
+      val nw = scored.count(); val bad = scored.where(col("np") < 1).count()
+      val upath = java.nio.file.Files.createTempDirectory("graft-drive-unigram-").toString
+      graft.text.Unigram.piecesDF(spark, um).write.mode("overwrite").parquet(upath)
+      val um2 = graft.text.Unigram.piecesFrom(spark.read.parquet(upath))
+      println(s"rows=$nw unigram-scored words, uncovered=$bad (expect 0), " +
+        s"artifact round-trip equal=${um2 == um} (expect true)")
+      scored.unpersist()
     }
 
     spark.stop()

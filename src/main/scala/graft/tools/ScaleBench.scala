@@ -548,6 +548,17 @@ object ScaleBench {
           docsFull(f).withColumn("__t", col("doc_id").cast("string")),
           "__t", "source", alpha = 0.5)),
 
+      // unigram tokenizer: training aggregations are VOCABULARY-bounded
+      // (distinct words, candidate pieces) — constant across factors on
+      // docsPlain; serving is a map-only Viterbi fold, wall ∝ scan
+      "text_unigram" -> (() => {
+        val m = graft.text.Unigram.train(docsPlain(1), "text",
+          vocabSize = 64, maxPieceLen = 4)
+        docsPlain(f).select(
+          graft.text.Unigram.tokenCount(col("text"), m).as("n"))
+          .where(col("n") >= 0L)
+      }),
+
       // corpus drift: two bucket-count aggregations collapse to <= B
       // rows each before the join — shuffle stays ~B-bounded (count
       // partials) while both scans grow ×f

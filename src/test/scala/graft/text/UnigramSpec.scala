@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestKit
+
+/**
+ * [[Unigram]] contract: Viterbi picks the globally best segmentation
+ * (where greedy BPE-style longest-match would not), ties break toward
+ * fewer pieces, unknown characters stay covered, the combined integer
+ * encoding round-trips, and the parquet artifact reproduces the model.
+ */
+class UnigramSpec extends AnyFlatSpec with Matchers {
+
+  lazy val spark = SparkTestKit.spark
+
+  private def df(texts: String*) = {
+    import spark.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+  }
+
+  behavior of "Unigram"
+
+  it should "train a coverage-complete vocabulary with micro-nat log-probs" in {
+    val m = Unigram.train(df("abab abab cd"), "text", vocabSize = 4, maxPieceLen = 3)
+    // every character present is a piece (coverage guarantee)
+    Set("a", "b", "c", "d").subsetOf(m.pieces.keySet) shouldBe true
+    // multi-char pieces bounded by vocabSize
+    m.pieces.keys.count(_.length > 1) should be <= 4
+    // probabilities: counts over the selected total — all negative logs
+    all(m.pieces.values) should be < 0L
+  }
+
+  it should "segment with globally optimal Viterbi and prefer fewer pieces on ties" in {
+    import spark.implicits._
+    // hand-built model: "ab", "cd" strong pieces; singles weak
+    val m = Unigram.Model(
+      Map("ab" -> -1000000L, "cd" -> -1000000L,
+        "a" -> -5000000L, "b" -> -5000000L, "c" -> -5000000L, "d" -> -5000000L,
+        "abc" -> -4000000L),
+      maxPieceLen = 3, unkMicro = -18000000L)
+    val r = Seq("abcd").toDF("w")
+      .select(Unigram.wordScore(col("w"), m).as("s"))
+      .select(col("s.score_micro"), col("s.n_pieces")).head
+    // ab + cd = -2e6 (2 pieces) beats abc + d = -9e6 and singles -20e6
+    r.getLong(0) shouldBe -2000000L
+    r.getLong(1) shouldBe 2L
+    // tie on score: "ab"+"ab" (-2e6, 2 pieces) vs any 3+-piece -2e6 path
+    // — the combined encoding already prefers the 2-piece split
+    val m2 = Unigram.Model(
+      Map("ab" -> -1000000L, "a" -> -500000L, "b" -> -500000L),
+      maxPieceLen = 2, unkMicro = -18000000L)
+    val r2 = Seq("abab").toDF("w")
+      .select(Unigram.wordScore(col("w"), m2).as("s"))
+      .select(col("s.score_micro"), col("s.n_pieces")).head
+    // a+b+a+b also sums -2e6 — equal score, MORE pieces: ab+ab wins
+    r2.getLong(0) shouldBe -2000000L
+    r2.getLong(1) shouldBe 2L
+  }
+
+  it should "cover unknown characters via the UNK penalty, never dropping a word" in {
+    import spark.implicits._
+    val m = Unigram.Model(Map("x" -> -100000L), maxPieceLen = 2,
+      unkMicro = -18000000L)
+    val r = Seq("xqx").toDF("w")
+      .select(Unigram.wordScore(col("w"), m).as("s"))
+      .select(col("s.score_micro"), col("s.n_pieces")).head
+    r.getLong(0) shouldBe (-100000L - 18000000L - 100000L)
+    r.getLong(1) shouldBe 3L
+  }
+
+  it should "count trained subwords per text and round-trip through parquet" in {
+    import spark.implicits._
+    val corpus = df("ababab ababab cdcd", "ababab cdcd cdcd")
+    val m = Unigram.train(corpus, "text", vocabSize = 8, maxPieceLen = 4)
+    val counts = corpus.select(Unigram.tokenCount(col("text"), m).as("n"))
+      .collect().map(_.getLong(0))
+    all(counts) should be > 0L
+    val path = java.nio.file.Files.createTempDirectory("graft-unigram-spec-").toString
+    Unigram.piecesDF(spark, m).write.mode("overwrite").parquet(path)
+    val m2 = Unigram.piecesFrom(spark.read.parquet(path))
+    m2 shouldBe m
+    an[IllegalArgumentException] should be thrownBy
+      Unigram.train(corpus, "text", vocabSize = 0)
+  }
+}
