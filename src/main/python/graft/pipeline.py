@@ -577,14 +577,19 @@ def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,
 
 # --- multimodal ----------------------------------------------------------
 
-def with_decoded_meta(df, content_col="content"):
-    """Append the typed `meta` struct decoded partition-wise."""
-    return _wrap(df, _facade(df).withDecodedMeta(df._jdf, content_col))
+def with_decoded_meta(df, content_col="content", codec="stub"):
+    """Append the typed `meta` struct decoded partition-wise.
+    codec='imageio' uses the REAL pure-JDK codec (PNG/JPEG/BMP/GIF via
+    javax.imageio, WAV/AIFF via javax.sound); 'stub' keeps the
+    oracle-replayable fake-header codec."""
+    return _wrap(df, _facade(df).withDecodedMeta(df._jdf, content_col,
+                                                 codec))
 
 
-def resize_images(df, content_col="content", w=224, h=224):
+def resize_images(df, content_col="content", w=224, h=224, codec="stub"):
+    """Resize image assets; codec='imageio' re-encodes real pixels."""
     return _wrap(df, _facade(df).resizeImages(df._jdf, content_col,
-                                              int(w), int(h)))
+                                              int(w), int(h), codec))
 
 
 def sample_frames(df, id_col="doc_id", content_col="content",

@@ -304,6 +304,18 @@ class TestStreamingUnified(object):
                for r in P.exact_canon_by(df).collect()}
         assert got == {1: 2, 2: 2, 3: 3}  # best-scored copy wins
 
+    def test_multimodal_codec_selection(self, local_spark):
+        rows = [(1, bytearray([3, 50, 60, 7]))]  # stub header: kind image
+        df = local_spark.createDataFrame(rows, ["asset_id", "content"])
+        stub = P.with_decoded_meta(df).select("meta.kind").collect()[0][0]
+        assert stub == "image"
+        # the REAL codec refuses to call 4 garbage bytes an image
+        real = P.with_decoded_meta(df, codec="imageio") \
+            .select("meta.kind").collect()[0][0]
+        assert real == "unknown"
+        with pytest.raises(Exception):
+            P.with_decoded_meta(df, codec="bogus").collect()
+
     def test_unigram_tokenizer(self, local_spark):
         corpus = local_spark.createDataFrame(
             [(1, "ababab ababab cdcd"), (2, "ababab cdcd cdcd")],

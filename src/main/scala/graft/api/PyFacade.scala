@@ -591,11 +591,28 @@ object PyFacade {
 
   // --- multimodal -------------------------------------------------------
 
+  private def codecOf(name: String): graft.multimodal.Multimodal.MediaCodec =
+    name match {
+      case "stub" => graft.multimodal.Multimodal.StubCodec
+      case "imageio" => graft.multimodal.Multimodal.ImageIoCodec
+      case other => throw new IllegalArgumentException(
+        s"unknown codec '$other' (expected 'stub' or 'imageio')")
+    }
+
   def withDecodedMeta(df: DataFrame, contentCol: String): DataFrame =
     graft.multimodal.Multimodal.withDecodedMeta(df, contentCol)
 
+  /** Codec-selecting overload: 'stub' (oracle-replayable fake headers)
+    * or 'imageio' (real pure-JDK PNG/JPEG/WAV decode). */
+  def withDecodedMeta(df: DataFrame, contentCol: String, codec: String): DataFrame =
+    graft.multimodal.Multimodal.withDecodedMeta(df, contentCol, codecOf(codec))
+
   def resizeImages(df: DataFrame, contentCol: String, w: Int, h: Int): DataFrame =
     graft.multimodal.Multimodal.resizeImages(df, contentCol, w, h)
+
+  def resizeImages(df: DataFrame, contentCol: String, w: Int, h: Int,
+      codec: String): DataFrame =
+    graft.multimodal.Multimodal.resizeImages(df, contentCol, w, h, codecOf(codec))
 
   def sampleFrames(df: DataFrame, idCol: String, contentCol: String,
       frameBytes: Int, everyN: Int): DataFrame =

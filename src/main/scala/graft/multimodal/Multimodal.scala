@@ -9,17 +9,38 @@ import org.apache.spark.sql.types._
  * Multimodal (image/audio/video) column support for training-data
  * pipelines: content is an opaque `binary` column plus a typed metadata
  * struct; decode / feature-extract / resize / frame-sample run
- * partition-wise so a real codec binds once per partition (the actual
- * image/audio libraries are not in this container — the codec here is a
- * clearly-marked DETERMINISTIC STUB parsing a fake header, but the Spark
- * plumbing — schema, encoders, partition batching, null handling — is
- * real and tested).
+ * partition-wise so a codec binds once per partition. TWO codecs ship:
+ *
+ *  - [[ImageIoCodec]] — a REAL pure-JDK codec: `javax.imageio` decodes
+ *    and re-encodes PNG/JPEG/BMP/GIF (true pixel resize), and
+ *    `javax.sound.sampled` parses WAV/AIFF headers (sample rate, exact
+ *    duration). No external native libraries; spec-tested against real
+ *    in-test-generated PNG/JPEG/WAV bytes.
+ *  - [[StubCodec]] — the deterministic fake-header codec the ORACLE
+ *    gates run on (the driver's synthetic `content` bytes are not real
+ *    media, so the gates pin the plumbing with a codec whose outputs an
+ *    external SQL engine can replay byte-for-byte).
+ *
+ * Video frame iteration remains chunk-based ([[sampleFrames]]): the JDK
+ * has no video demuxer — a real deployment binds ffmpeg behind the same
+ * [[MediaCodec]] seam (JNI contract documented on [[StubCodec]]).
  *
  * Scale notes: all operators are narrow (mapPartitions — no shuffle);
  * binary payloads never leave their partition; metadata-only consumers
  * should project the struct so Parquet column pruning drops the bytes.
  */
 object Multimodal {
+
+  /** The codec seam: total functions over untrusted bytes — corrupt or
+    * foreign payloads return `unknown` / pass through, NEVER throw (a
+    * single bad asset must not kill a 100 TB scan). Implementations
+    * must be deterministic (same bytes → same outputs on every
+    * executor) and serializable (objects, not handles — native handles
+    * initialize per partition inside the operators). */
+  trait MediaCodec extends Serializable {
+    def decode(content: Array[Byte]): Row
+    def resizeImage(content: Array[Byte], w: Int, h: Int): Array[Byte]
+  }
 
   /** Typed metadata carried alongside every binary asset. */
   val MetaSchema: StructType = StructType(Seq(
@@ -64,7 +85,7 @@ object Multimodal {
    *    or the oracle rows (md5-over-payload) and speculative execution
    *    both break. Codecs with threading-dependent output must be pinned.
    */
-  object StubCodec {
+  object StubCodec extends MediaCodec {
     def decode(content: Array[Byte]): Row = {
       if (content == null || content.length < 4) return Row("unknown", null, null, null, null, null)
       def b(i: Int): Int = content(i) & 0xff
@@ -83,31 +104,95 @@ object Multimodal {
   }
 
   /**
+   * REAL pure-JDK media codec — no external libraries:
+   *
+   *  - images via `javax.imageio` (PNG/JPEG/BMP/GIF in any stock JDK):
+   *    `decode` reads true pixel dimensions; `resizeImage` repaints into
+   *    a `w`×`h` RGB raster (bilinear) and re-encodes as PNG — a real
+   *    re-encode, not byte surgery;
+   *  - audio via `javax.sound.sampled` (WAV/AIFF/AU): sample rate and
+   *    exact `duration_ms = frames · 1000 / frameRate`;
+   *  - anything else (including real video, which the JDK cannot demux)
+   *    → `unknown` / pass-through, per the [[MediaCodec]] totality
+   *    contract.
+   *
+   * Determinism: ImageIO decode and PNG encode are pure-Java and
+   * bit-stable for a given JDK; file-cache temp I/O is disabled
+   * process-wide up front so executors never touch disk per asset.
+   */
+  object ImageIoCodec extends MediaCodec {
+    javax.imageio.ImageIO.setUseCache(false)
+
+    private def unknownRow = Row("unknown", null, null, null, null, null)
+
+    def decode(content: Array[Byte]): Row = {
+      if (content == null || content.length == 0) return unknownRow
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img != null) return Row("image", img.getWidth, img.getHeight, null, null, null)
+      } catch { case _: Throwable => }
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(content))
+        val fmt = aff.getFormat
+        val frames = aff.getFrameLength
+        val dur: java.lang.Long =
+          if (frames >= 0 && fmt.getFrameRate > 0)
+            java.lang.Long.valueOf((frames * 1000L / fmt.getFrameRate.toDouble).round)
+          else null
+        return Row("audio", null, null, Integer.valueOf(fmt.getSampleRate.toInt), dur, null)
+      } catch { case _: Throwable => }
+      unknownRow
+    }
+
+    def resizeImage(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      if (content == null) return null
+      try {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+        if (img == null) return content.clone()
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val baos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", baos)
+        baos.toByteArray
+      } catch { case _: Throwable => content.clone() }
+    }
+  }
+
+  /**
    * Decode metadata for a binary content column, appended as a `meta`
    * struct. Partition-wise: the codec binds once per partition (the shape
    * a JNI codec needs), rows stream through without materializing the
    * whole partition.
    */
-  def withDecodedMeta(df: DataFrame, contentCol: String): DataFrame = {
+  def withDecodedMeta(df: DataFrame, contentCol: String,
+      codec: MediaCodec = StubCodec): DataFrame = {
     val schema = df.schema.add("meta", MetaSchema)
     val idx = df.schema.fieldIndex(contentCol)
     implicit val enc = RowEncoder.encoderFor(schema)
     df.mapPartitions { it =>
       // per-partition codec initialization would happen here (JNI handle …)
-      it.map(row => Row.fromSeq(row.toSeq :+ StubCodec.decode(row.getAs[Array[Byte]](idx))))
+      it.map(row => Row.fromSeq(row.toSeq :+ codec.decode(row.getAs[Array[Byte]](idx))))
     }.toDF(schema.fieldNames.toIndexedSeq: _*)
   }
 
   /** Resize every image asset (non-images pass through unchanged). */
-  def resizeImages(df: DataFrame, contentCol: String, w: Int, h: Int): DataFrame = {
+  def resizeImages(df: DataFrame, contentCol: String, w: Int, h: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
     val idx = df.schema.fieldIndex(contentCol)
     implicit val enc = RowEncoder.encoderFor(df.schema)
     df.mapPartitions { it =>
       it.map { row =>
         val bytes = row.getAs[Array[Byte]](idx)
-        val decoded = StubCodec.decode(bytes)
+        val decoded = codec.decode(bytes)
         if (decoded.getString(0) != "image") row
-        else Row.fromSeq(row.toSeq.updated(idx, StubCodec.resizeImage(bytes, w, h)))
+        else Row.fromSeq(row.toSeq.updated(idx, codec.resizeImage(bytes, w, h)))
       }
     }.toDF(df.schema.fieldNames.toIndexedSeq: _*)
   }
