@@ -442,6 +442,14 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
+    // prefix-filtered exact set-similarity join (SSJoin/PPJoin): same
+    // exact pair output as dedup_jaccard, but the quadratic join runs
+    // over rarity-ordered prefixes only — the lossless alternative to
+    // maxDocFreq capping. Oracle: the dedup_jaccard oracle verbatim
+    // (the prefix filter is correctness-invisible)
+    "dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
+
     // near-superset pairs: max-containment |A∩B|/min(|A|,|B|) catches
     // quote-inclusion/boilerplate-wrapping that union-normalized Jaccard
     // misses; same inverted index, different exact division
@@ -1682,6 +1690,11 @@ object SparkEntry {
         |  FROM documents) t WHERE rn = 1""".stripMargin,
 
     "dedup_jaccard" -> jaccardOracle,
+
+    // prefix filtering is exact — the candidate set is a superset of the
+    // qualifying pairs and verification recomputes true Jaccard, so the
+    // oracle is dedup_jaccard's, unchanged
+    "dedup_jaccard_prefix" -> jaccardOracle,
 
     // identical intersection CTE, containment division: c / min(n1, n2)
     "dedup_containment" ->

@@ -164,6 +164,69 @@ object Dedup {
         (col("c").cast("double") / least(col("ni"), col("nj")).cast("double")).as("cont"))
       .where(col("cont") >= tau)
 
+  /**
+   * [[jaccardPairs]] through PREFIX FILTERING (SSJoin/PPJoin family,
+   * Chaudhuri et al. ICDE 2006, Xiao et al. WWW 2008): identical exact
+   * output — all pairs (i < j) with word-n-gram Jaccard >= tau — but
+   * the quadratic pair join runs over each document's rarity-ordered
+   * PREFIX only, |prefix| = |sh| − ceil(tau·|sh|) + 1, instead of the
+   * full inverted index.
+   *
+   * Why the result is still exact: jac(A,B) >= tau forces
+   * |A∩B| >= ceil(tau·max(|A|,|B|)) (intersection over a union that is
+   * at least the larger set, and the count is integral). Under ANY
+   * global total order on shingles, if two sets must share alpha
+   * elements, their prefixes of length |X| − alpha + 1 must intersect
+   * (all shared elements past BOTH prefixes leaves at most alpha − 1 of
+   * them). The per-doc prefix uses the weakest partner bound
+   * alpha = ceil(tau·|X|) <= the true pair bound, so every qualifying
+   * pair collides on >= 1 prefix shingle; [[verifyJaccard]] then
+   * recomputes the exact Jaccard on the full shingle arrays, discarding
+   * false candidates. The ordering is (global document frequency asc,
+   * shingle asc) — rarest first, so hot boilerplate shingles fall OUT
+   * of prefixes and the hot-key pair blowup [[jaccardPairs]] needs
+   * `maxDocFreq` for never reaches the join. A size filter
+   * (tau·|A| <= |B| <= |A|/tau, necessary for jac >= tau) prunes at
+   * the join, before any aggregation.
+   *
+   * Cost vs [[jaccardPairs]] at 100 TB: both shuffle the full index
+   * once (here: the docfreq join); the pair-join input shrinks from all
+   * index rows to prefix rows (at tau = 0.8: ~20% of them, skewed AWAY
+   * from hot shingles), and the per-pair work drops from one row per
+   * SHARED SHINGLE (then a count aggregation) to one row per shared
+   * PREFIX shingle followed by a bounded array intersect — no
+   * quadratic-in-docfreq term survives without any lossy cap.
+   */
+  def jaccardPairsPrefix(
+      df: DataFrame, idCol: String, textCol: String,
+      tau: Double, n: Int = 3): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
+    val sh = shingled(df, idCol, textCol, n).where(size(col("sh")) > 0)
+    val inv = sh.select(col("doc"), explode(col("sh")).as("s"))
+    // global shingle document frequencies: map-side-combined agg, slim rows
+    val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
+    // rarity-rank each doc's shingles, keep the prefix; the (df, s) sort
+    // key is a deterministic global total order (ties broken by shingle)
+    val prefix = inv.hint("shuffle_hash").join(dfreq.hint("shuffle_hash"), "s")
+      .groupBy("doc")
+      .agg(collect_list(struct(col("df"), col("s"))).as("ranked"),
+        count(lit(1)).as("nsh"))
+      .select(col("doc"), col("nsh"),
+        explode(slice(array_sort(col("ranked")), lit(1),
+          (col("nsh") - ceil(lit(tau) * col("nsh")) + 1).cast("int"))).as("ps"))
+      .select(col("doc"), col("nsh"), col("ps.s").as("s"))
+    val cands = prefix.as("a").hint("shuffle_hash")
+      .join(prefix.as("b").hint("shuffle_hash"),
+        col("a.s") === col("b.s") && col("a.doc") < col("b.doc")
+          // length filter: |B| in [tau·|A|, |A|/tau] is necessary for
+          // jac >= tau — kills mismatched-size candidates pre-shuffle-out
+          && col("b.nsh") >= ceil(lit(tau) * col("a.nsh"))
+          && col("a.nsh") >= ceil(lit(tau) * col("b.nsh")))
+      .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
+      .dropDuplicates("doc_i", "doc_j")
+    verifyJaccard(cands, sh, sh, tau)
+  }
+
   /** Shared inverted-index core: per candidate pair (i < j), the exact
     * shingle-intersection count plus both sides' shingle-set sizes —
     * (doc_i, doc_j, ni, nj, c). Single-pass index carrying each doc's

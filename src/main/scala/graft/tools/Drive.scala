@@ -717,6 +717,17 @@ object Drive {
       scored.unpersist()
     }
 
+    println("=== 36. prefix-filtered set-similarity join (round-7c) ===")
+    locally {
+      val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      val exact = graft.dedup.Dedup.jaccardPairs(docsT, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = graft.dedup.Dedup.jaccardPairsPrefix(docsT, "doc_id", "text", 0.8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      println(s"rows=${pref.size} prefix-filtered jaccard pairs, " +
+        s"equal to exact join=${pref == exact} (expect true)")
+    }
+
     spark.stop()
   }
 }

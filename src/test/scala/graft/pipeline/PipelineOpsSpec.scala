@@ -108,6 +108,36 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     lsh shouldBe exact
   }
 
+  it should "emit exactly the exact-join pair set through prefix filtering" in {
+    // prefix filtering is lossless: identical (doc_i, doc_j, jac) rows
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    pref shouldBe exact
+  }
+
+  it should "match the exact join under randomized corpora and thresholds (prefix)" in {
+    // randomized equivalence across tau, including tau = 1.0 (prefix
+    // length collapses to 1) and repeated/near-dup docs
+    val rnd = new scala.util.Random(421)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val texts = (0 until 60).foldLeft(Vector.empty[String]) { (acc, i) =>
+      // inject exact dups of the previous doc every 7th position
+      if (i % 7 == 3 && acc.nonEmpty) acc :+ acc.last
+      else acc :+ (0 until (5 + rnd.nextInt(20)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    for (tau <- Seq(0.4, 0.8, 1.0)) {
+      val exact = Dedup.jaccardPairs(df, "doc_id", "text", tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val pref = Dedup.jaccardPairsPrefix(df, "doc_id", "text", tau = tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      withClue(s"tau=$tau: ") { pref shouldBe exact }
+    }
+  }
+
   it should "stay sound under a maxDocFreq skew cap (capped pairs are a subset)" in {
     // dropping hot shingles removes them from intersection counts only, so
     // capped Jaccard <= exact Jaccard: the cap may lose pairs (documented
