@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.similarity.Similarity
-import graft.text.{Bm25, NgramLm, TextFunctions}
+import graft.text.{Bm25, NgramLm, PhraseSearch, TextFunctions}
 import graft.transformer.BroadcastSpatialJoin
 
 /**
@@ -775,6 +775,14 @@ object SparkEntry {
           concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)).as("qtext"))
       Bm25.topK(queries, docs, "qid", "qtext", "doc_id", "text", k = 10)
     }),
+
+    // exact positional phrase search: mixed-length needles (k=2 and
+    // k=3) over the run-digest machinery — counts and first 0-based
+    // token offsets per (doc, phrase); the quote-lookup primitive next
+    // to bag-of-words BM25
+    "text_phrase" -> ((s, dir) =>
+      PhraseSearch.phraseHits(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("table hash", "slow hash batch", "row column sort"))),
 
     // bigram-LM quality scoring (CCNet-style perplexity filter): train
     // an add-one bigram LM on the corpus itself (minCount=2 exercises
@@ -2148,6 +2156,24 @@ object SparkEntry {
          |  SELECT qid, doc_id, CAST(su AS DOUBLE) / 1000000.0 bm25_r6,
          |         CAST(row_number() OVER (PARTITION BY qid ORDER BY su DESC, doc_id) AS BIGINT) rnk
          |  FROM s) WHERE rnk <= 10""".stripMargin,
+
+    // phrase containment replayed as k-token window equality against the
+    // literal needle (the needles are already single-space-normalized, so
+    // the joined window string equals the phrase verbatim); 1-based list
+    // slicing shifts to the engine's 0-based token offsets
+    "text_phrase" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |w2 AS (SELECT doc_id, i - 1 pos, array_to_string(ws[i:i+1], ' ') g
+         |       FROM t, unnest(range(1, len(ws))) r(i)),
+         |w3 AS (SELECT doc_id, i - 1 pos, array_to_string(ws[i:i+2], ' ') g
+         |       FROM t, unnest(range(1, len(ws) - 1)) r(i)),
+         |hit AS (
+         |  SELECT doc_id, pos, g FROM w2 WHERE g = 'table hash'
+         |  UNION ALL
+         |  SELECT doc_id, pos, g FROM w3 WHERE g IN ('slow hash batch', 'row column sort'))
+         |SELECT doc_id doc, g phrase, CAST(count(*) AS BIGINT) hits,
+         |       CAST(min(pos) AS BIGINT) first_pos
+         |FROM hit GROUP BY 1, 2""".stripMargin,
 
     // bigram LM replayed end-to-end: vocabulary trim at minCount=2 with
     // misses mapped to '<unk>', position-ordered mapped arrays, list-

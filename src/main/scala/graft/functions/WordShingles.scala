@@ -89,7 +89,7 @@ object WordShingles {
 
   /** Single-space tokenizer shared by both variants (and by
     * [[RunDigests]]) — identical to `TextFunctions.tokens`. */
-  private[functions] def tokenize(text: UTF8String): java.util.ArrayList[String] = {
+  private[graft] def tokenize(text: UTF8String): java.util.ArrayList[String] = {
     val s = text.toString
     val toks = new java.util.ArrayList[String]()
     val len = s.length

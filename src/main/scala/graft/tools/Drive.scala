@@ -726,6 +726,17 @@ object Drive {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       println(s"rows=${pref.size} prefix-filtered jaccard pairs, " +
         s"equal to exact join=${pref == exact} (expect true)")
+      // phrase search: every reported first_pos must actually hold the
+      // phrase at that token offset (cross-checked by re-slicing)
+      val hits = graft.text.PhraseSearch.phraseHits(
+        docsT, "doc_id", "text", Seq("table hash", "slow hash batch"))
+      val bad = hits.join(docsT.select(col("doc_id").as("doc"), col("text")), "doc")
+        .where(concat_ws(" ",
+          slice(graft.text.TextFunctions.tokens(col("text")),
+            (col("first_pos") + 1).cast("int"),
+            size(split(col("phrase"), " ")))) =!= col("phrase"))
+        .count()
+      println(s"rows=${hits.count()} phrase hits, misplaced first_pos=$bad (expect 0)")
     }
 
     spark.stop()
