@@ -952,6 +952,21 @@ object SparkEntry {
         docs.where(pmod(col("doc_id"), lit(2)) === 0), "text")
     }),
 
+    // corpus snapshot diff: the delta a refresh pipeline routes through
+    // dedup/decontam — doc_id%10==0 docs play the new additions,
+    // %10==1 the removals, %7==0 the in-place content edits; unchanged
+    // rows are dropped (the 100 TB contract — the diff is delta-sized)
+    "corpus_diff" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val mut = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" refreshed")))
+          .otherwise(col("text")))
+      graft.curation.SnapshotDiff.diff(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+        mut.where(pmod(col("doc_id"), lit(10)) =!= 1),
+        "doc_id", "text")
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       tbl(s, dir, "documents")
         .select(col("doc_id"), col("text"), TextFunctions.tokens(col("text")).as("ws"))
@@ -2381,6 +2396,22 @@ object SparkEntry {
          |  round(CAST(tvdnum AS DOUBLE)
          |    / (2.0 * CAST(ta + 4096 AS DOUBLE) * CAST(tb + 4096 AS DOUBLE)), 6) tvd_r6
          |FROM f""".stripMargin,
+
+    // snapshot diff replayed as a digest full-outer join; the sentinel
+    // null-text branch never fires on this corpus (text is non-null)
+    "corpus_diff" ->
+      """WITH o AS (SELECT doc_id id, md5(text) d FROM documents WHERE doc_id % 10 <> 0),
+        |n AS (SELECT doc_id id,
+        |        md5(CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed' ELSE text END) d
+        |      FROM documents WHERE doc_id % 10 <> 1)
+        |SELECT id, status FROM (
+        |  SELECT coalesce(o.id, n.id) id,
+        |    CASE WHEN o.id IS NULL THEN 'added'
+        |         WHEN n.id IS NULL THEN 'removed'
+        |         WHEN o.d <> n.d THEN 'changed'
+        |         ELSE 'unchanged' END status
+        |  FROM o FULL OUTER JOIN n ON o.id = n.id)
+        |WHERE status <> 'unchanged'""".stripMargin,
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),

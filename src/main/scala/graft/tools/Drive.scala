@@ -737,6 +737,17 @@ object Drive {
             size(split(col("phrase"), " ")))) =!= col("phrase"))
         .count()
       println(s"rows=${hits.count()} phrase hits, misplaced first_pos=$bad (expect 0)")
+      // snapshot diff: a self-diff is empty; a shifted diff partitions
+      // into the three statuses with no unchanged leakage
+      val selfDiff = graft.curation.SnapshotDiff.diff(docsT, docsT, "doc_id", "text").count()
+      val shifted = docsT.withColumn("text", concat(col("text"), lit(" v2")))
+        .where(col("doc_id") < 450)
+      val byStatus = graft.curation.SnapshotDiff
+        .diffSummary(docsT.where(col("doc_id") >= 50), shifted, "doc_id", "text")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      println(s"rows=$selfDiff self-diff rows (expect 0), shifted diff: " +
+        s"added=${byStatus.getOrElse("added", 0L)} removed=${byStatus.getOrElse("removed", 0L)} " +
+        s"changed=${byStatus.getOrElse("changed", 0L)} (expect 50 50 400)")
     }
 
     spark.stop()
