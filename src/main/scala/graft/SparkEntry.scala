@@ -857,6 +857,23 @@ object SparkEntry {
             col("approx_distinct_tokens"), col("u_tokens"), 0.15).as("tokens_ok"))
     }),
 
+    // count-min sketch point frequencies: a deliberately tight 4×16
+    // sketch (31-token vocabulary → forced collisions) probed with the
+    // full vocabulary; est and exact are BOTH deterministic hash
+    // arithmetic, so the oracle replays the whole sketch and the
+    // never-undercount guarantee is a pinned boolean per term
+    "profile_cms" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val exact = docs.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("exact"))
+      val sk = graft.text.CorpusSketch.cmsBuild(docs, "text", depth = 4, width = 16)
+      graft.text.CorpusSketch
+        .cmsEstimate(sk, exact.select("term"), "term", depth = 4, width = 16)
+        .join(exact, "term")
+        .select(col("term"), col("est"), col("exact"),
+          (col("est") >= col("exact")).as("never_under"))
+    }),
+
     // Gopher-family repetition quality filter: most-frequent-2-gram
     // coverage and duplicated-5-gram coverage per document, short docs
     // pass through with 0.0
@@ -2255,6 +2272,24 @@ object SparkEntry {
          |       coalesce(u_tokens, CAST(0 AS BIGINT)) u_tokens,
          |       TRUE content_ok, TRUE tokens_ok
          |FROM d LEFT JOIN tok ON d.source = tok.source""".stripMargin,
+
+    // the whole count-min sketch replayed: same salted md5_number_lower
+    // row hashes (power-of-two mod cancels signedness), same min-over-
+    // rows estimate; never_under pins the CMS one-sided guarantee
+    "profile_cms" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |tok AS (SELECT unnest(ws) w FROM t),
+         |exact AS (SELECT w term, CAST(count(*) AS BIGINT) exact FROM tok GROUP BY 1),
+         |salts AS (SELECT unnest(range(0, 4)) r),
+         |sk AS (SELECT r, CAST(md5_number_lower(CAST(r AS VARCHAR) || '|' || w) % 16 AS BIGINT) bucket,
+         |         CAST(count(*) AS BIGINT) cnt
+         |       FROM tok CROSS JOIN salts GROUP BY 1, 2),
+         |pe AS (SELECT term, r, CAST(md5_number_lower(CAST(r AS VARCHAR) || '|' || term) % 16 AS BIGINT) bucket
+         |       FROM exact CROSS JOIN salts),
+         |est AS (SELECT term, CAST(min(coalesce(cnt, 0)) AS BIGINT) est
+         |        FROM pe LEFT JOIN sk USING (r, bucket) GROUP BY 1)
+         |SELECT term, est, exact, est >= exact never_under
+         |FROM est JOIN exact USING (term)""".stripMargin,
 
     // one tagged gram stream for both sizes (2-gram coverage of the
     // top gram, 5-gram duplicated coverage); DuckDB's `/` on integers

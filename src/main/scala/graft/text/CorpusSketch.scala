@@ -68,4 +68,65 @@ object CorpusSketch {
     * the bound the gate row pins per sketch column. */
   def withinBound(approx: Column, exact: Column, tol: Double): Column =
     abs(approx - exact) <= exact * tol
+
+  private def cmsBucket(salt: Column, term: Column, width: Int): Column =
+    pmod(graft.functions.Md5Lower64.md5Lower64(
+      concat_ws("|", salt.cast("string"), term)), lit(width.toLong))
+
+  /**
+   * Count-min sketch of corpus token frequencies (Cormode & Muthukrishnan
+   * 2005): `depth` hash rows × `width` buckets, each counter the total
+   * count of tokens hashing to it — `(r, bucket, cnt)`, depth·width rows
+   * REGARDLESS of corpus size. The point-frequency companion to the HLL
+   * [[sketch]]: HLL answers "how many distinct", CMS answers "about how
+   * often is THIS one" for any term decided at query time, without the
+   * distinct-token-keyed shuffle an exact count pays. Estimates
+   * ([[cmsEstimate]]) never undercount; overcount <= e/width · N with
+   * probability 1 − exp(−depth) per query.
+   *
+   * `width` must be a power of two: the row hash is
+   * `md5_lower64(salt | token) pmod width`, which an external engine
+   * replays exactly as `md5_number_lower(...) % width` (2^64 ≡ 0 mod
+   * width cancels the signed reinterpretation) — the sketch, like the
+   * HLL report, is hash-based with no RNG, so the same corpus yields
+   * the SAME counters on every run and any partitioning.
+   *
+   * Plan: tokens explode ×depth (map-side), one map-side-combined
+   * aggregation whose key space is depth·width — the only shuffle moves
+   * at most depth·width·partitions partial rows, never corpus-sized.
+   */
+  def cmsBuild(df: DataFrame, textCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two for engine-exact replay, got $width")
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("r"), col("__tok"))
+      .groupBy(col("r"), cmsBucket(col("r"), col("__tok"), width).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /**
+   * Point-frequency estimates for probe terms against a [[cmsBuild]]
+   * sketch: `(term, est)` with est = min over hash rows of the counter
+   * the term lands in (an untouched bucket counts 0). The sketch side
+   * is depth·width rows — broadcast by construction; the probe side
+   * explodes ×depth and aggregates per term. `depth`/`width` must be
+   * the build's (width is re-validated; a mismatched depth surfaces as
+   * missing rows => 0-floored estimates, never an exception — pass the
+   * build's parameters).
+   */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, termCol: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1, s"depth must be >= 1, got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0,
+      s"width must be a power of two for engine-exact replay, got $width")
+    probes
+      .select(col(termCol).as("term"),
+        explode(sequence(lit(0), lit(depth - 1))).as("r"))
+      .withColumn("bucket", cmsBucket(col("r"), col("term"), width))
+      .join(broadcast(sketch), Seq("r", "bucket"), "left")
+      .groupBy("term")
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
 }

@@ -748,6 +748,14 @@ object Drive {
       println(s"rows=$selfDiff self-diff rows (expect 0), shifted diff: " +
         s"added=${byStatus.getOrElse("added", 0L)} removed=${byStatus.getOrElse("removed", 0L)} " +
         s"changed=${byStatus.getOrElse("changed", 0L)} (expect 50 50 400)")
+      // count-min sketch: never undercounts at a collision-forcing width
+      val ex = docsT.select(explode(graft.text.TextFunctions.tokens(col("text"))).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("exact"))
+      val cms = graft.text.CorpusSketch.cmsBuild(docsT, "text", depth = 4, width = 16)
+      val under = graft.text.CorpusSketch
+        .cmsEstimate(cms, ex.select("term"), "term", depth = 4, width = 16)
+        .join(ex, "term").where(col("est") < col("exact")).count()
+      println(s"rows=${ex.count()} CMS-probed terms, undercounts=$under (expect 0)")
     }
 
     spark.stop()

@@ -46,4 +46,39 @@ class CorpusSketchSpec extends AnyFunSuite {
       .orderBy("source").collect().map(_.toSeq).toSeq
     assert(a == b)
   }
+
+  test("CMS never undercounts, is exact at generous width, and is partition-invariant") {
+    val docs = Seq(
+      "apple apple apple banana", "banana cherry", "apple date egg fig",
+      "grape grape", "cherry cherry cherry cherry").toDF("text")
+    val exact = docs.select(explode(TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("exact"))
+    // tight sketch: 8 terms into 4 buckets forces collisions — every
+    // estimate must still be >= exact (the one-sided guarantee)
+    val tight = CorpusSketch.cmsBuild(docs, "text", depth = 3, width = 4)
+    val estT = CorpusSketch.cmsEstimate(tight, exact.select("term"), "term",
+        depth = 3, width = 4)
+      .join(exact, "term").collect()
+    assert(estT.nonEmpty && estT.forall(r => r.getLong(1) >= r.getLong(2)))
+    // generous sketch: collisions virtually impossible at width 1024 —
+    // estimates collapse to exact counts
+    val wide = CorpusSketch.cmsBuild(docs, "text", depth = 4, width = 1024)
+    val estW = CorpusSketch.cmsEstimate(wide, exact.select("term"), "term")
+      .join(exact, "term").collect()
+    assert(estW.forall(r => r.getLong(1) == r.getLong(2)))
+    // determinism across partitioning (register merges commute)
+    val a = CorpusSketch.cmsBuild(docs.repartition(7), "text", depth = 3, width = 4)
+      .orderBy("r", "bucket").collect().map(_.toSeq).toSeq
+    val b = CorpusSketch.cmsBuild(docs.coalesce(1), "text", depth = 3, width = 4)
+      .orderBy("r", "bucket").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // absent probe term estimates from untouched buckets (possibly 0)
+    val ghost = CorpusSketch.cmsEstimate(wide, Seq("zzz-absent").toDF("term"), "term")
+      .head
+    assert(ghost.getLong(1) == 0L)
+    // parameter validation: width must be a power of two
+    intercept[IllegalArgumentException] {
+      CorpusSketch.cmsBuild(docs, "text", depth = 4, width = 100)
+    }
+  }
 }
