@@ -857,6 +857,14 @@ object SparkEntry {
             col("approx_distinct_tokens"), col("u_tokens"), 0.15).as("tokens_ok"))
     }),
 
+    // hashing-trick vectorizer: unigram+bigram occurrences into 64
+    // power-of-two buckets — the vocabulary-free feature extraction a
+    // linear quality model trains/serves on; dim=64 forces collisions
+    // on the 31-token vocabulary, exercising the aggregation
+    "text_hashvec" -> ((s, dir) =>
+      TextFunctions.hashedFeatures(tbl(s, dir, "documents"), "doc_id", "text",
+        dim = 64, ns = Seq(1, 2))),
+
     // count-min sketch point frequencies: a deliberately tight 4×16
     // sketch (31-token vocabulary → forced collisions) probed with the
     // full vocabulary; est and exact are BOTH deterministic hash
@@ -2272,6 +2280,15 @@ object SparkEntry {
          |       coalesce(u_tokens, CAST(0 AS BIGINT)) u_tokens,
          |       TRUE content_ok, TRUE tokens_ok
          |FROM d LEFT JOIN tok ON d.source = tok.source""".stripMargin,
+
+    // the sample_importance gram stream bucketed per doc: unigrams ++
+    // bigrams, md5_number_lower % 64 (power-of-two mod == signed pmod)
+    "text_hashvec" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |g AS (SELECT doc_id, unnest(ws || [ws[i] || ' ' || ws[i+1] for i in range(1, len(ws))]) g FROM t)
+         |SELECT doc_id doc, CAST(md5_number_lower(g) % 64 AS BIGINT) bucket,
+         |       CAST(count(*) AS BIGINT) cnt
+         |FROM g GROUP BY 1, 2""".stripMargin,
 
     // the whole count-min sketch replayed: same salted md5_number_lower
     // row hashes (power-of-two mod cancels signedness), same min-over-

@@ -321,6 +321,39 @@ object TextFunctions {
         col("col.tfidf_r6").as("tfidf_r6"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Hashing-trick feature vectorizer (Weinberger et al. 2009): each
+    * document's word n-gram OCCURRENCES hash into a fixed `dim`-bucket
+    * space — `(doc, bucket, cnt)` sparse rows, the input shape the
+    * [[graft.ml.Logistic]] trainer and any linear scorer consume. The
+    * vocabulary-free sibling of [[tfidfTopM]]: no df pass, no token
+    * dictionary to build/broadcast/version — feature identity IS the
+    * hash, so train-time and serve-time features agree by construction
+    * even as the corpus grows.
+    *
+    * Buckets via `md5_lower64(gram) pmod dim` with a POWER-OF-TWO dim
+    * ([[graft.functions.Md5Lower64]]): RNG-free, partition-invariant,
+    * replayed exactly by an external engine's
+    * `md5_number_lower(g) % dim` — the [[graft.curation.Sampling
+    * .importanceWeights]] bucket contract, whose gram stream this
+    * shares. Scale: one explode + one map-side-combined aggregation
+    * keyed (doc, bucket) — per-doc state is min(tokens, dim) buckets,
+    * and the shuffle carries slim count rows, never grams. */
+  def hashedFeatures(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String,
+      dim: Int = 4096, ns: Seq[Int] = Seq(1, 2)): org.apache.spark.sql.DataFrame = {
+    require(dim >= 2 && (dim & (dim - 1)) == 0,
+      s"dim must be a power of two >= 2, got $dim")
+    require(ns.nonEmpty && ns.forall(_ >= 1) && ns.distinct.size == ns.size,
+      s"gram sizes must be distinct positive ints, got ${ns.mkString(",")}")
+    import graft.functions.{Md5Lower64, WordShingles}
+    val gs = ns.map(n => WordShingles.wordGrams(col(textCol), n))
+    val cat = if (gs.size == 1) gs.head else concat(gs: _*)
+    df.select(col(idCol).as("doc"), explode(cat).as("__g"))
+      .groupBy(col("doc"),
+        pmod(Md5Lower64.md5Lower64(col("__g")), lit(dim.toLong)).as("bucket"))
+      .agg(count(lit(1)).cast("long").as("cnt"))
+  }
+
   /** Greedy sequence packing — the training-sequence layout step:
     * documents concatenate in `idCol` order and the stream is cut every
     * `budget` tokens; each document reports the bin holding its FIRST

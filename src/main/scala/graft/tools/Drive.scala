@@ -756,6 +756,14 @@ object Drive {
         .cmsEstimate(cms, ex.select("term"), "term", depth = 4, width = 16)
         .join(ex, "term").where(col("est") < col("exact")).count()
       println(s"rows=${ex.count()} CMS-probed terms, undercounts=$under (expect 0)")
+      // hashing-trick features: occurrence conservation per doc
+      val hv = graft.text.TextFunctions.hashedFeatures(docsT, "doc_id", "text", dim = 64)
+      val tot = hv.agg(sum("cnt")).head.getLong(0)
+      val grams = docsT.select(explode(concat(
+          graft.functions.WordShingles.wordGrams(col("text"), 1),
+          graft.functions.WordShingles.wordGrams(col("text"), 2))).as("g")).count()
+      println(s"rows=${hv.count()} hashed-feature rows, " +
+        s"occurrences conserved=${tot == grams} (expect true)")
     }
 
     spark.stop()
