@@ -857,6 +857,19 @@ object SparkEntry {
             col("approx_distinct_tokens"), col("u_tokens"), 0.15).as("tokens_ok"))
     }),
 
+    // HTML strip: documents wrapped in deterministic markup (tags,
+    // script block, entities incl. the &amp;lt; double-decode hazard)
+    // must come back as clean text — the crawl-ingestion extraction
+    // step, all codegen'd built-ins
+    "text_html_strip" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.stripHtml(concat(
+          lit("<html><head><style>p{x:1}</style></head><body class=\"c\"><p>"),
+          col("text"),
+          lit("</p><script type=\"t\">var a=1 &amp; 2;</script>"),
+          lit("<div>tail &amp;lt; &quot;q&quot; &nbsp;</div></body></html>")))
+          .as("clean"))),
+
     // hashing-trick vectorizer: unigram+bigram occurrences into 64
     // power-of-two buckets — the vocabulary-free feature extraction a
     // linear quality model trains/serves on; dim=64 forces collisions
@@ -2280,6 +2293,24 @@ object SparkEntry {
          |       coalesce(u_tokens, CAST(0 AS BIGINT)) u_tokens,
          |       TRUE content_ok, TRUE tokens_ok
          |FROM d LEFT JOIN tok ON d.source = tok.source""".stripMargin,
+
+    // identical strip pipeline in RE2: block regex, tag regex, the six
+    // entity replaces in the same order (&amp; last), whitespace
+    // collapse — byte-for-byte the engine's chain of built-ins
+    "text_html_strip" ->
+      """SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(
+        |      regexp_replace(
+        |        '<html><head><style>p{x:1}</style></head><body class="c"><p>' || text
+        |          || '</p><script type="t">var a=1 &amp; 2;</script>'
+        |          || '<div>tail &amp;lt; &quot;q&quot; &nbsp;</div></body></html>',
+        |        '(?is)<(script|style)\b[^>]*>.*?</(script|style)>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '[ \t\n\r]+', ' ', 'g')) clean
+        |FROM documents""".stripMargin,
 
     // the sample_importance gram stream bucketed per doc: unigrams ++
     // bigrams, md5_number_lower % 64 (power-of-two mod == signed pmod)

@@ -321,6 +321,32 @@ object TextFunctions {
         col("col.tfidf_r6").as("tfidf_r6"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** HTML → text extraction for crawl ingestion, as a chain of
+    * codegen'd built-ins (map-only, no UDF, no parser library):
+    * script/style blocks drop whole (non-greedy, case-insensitive),
+    * remaining tags become spaces, the six ubiquitous entities decode
+    * (`&amp;` LAST, so `&amp;lt;` single-decodes to `&lt;` — the
+    * standard double-decode hazard), whitespace collapses and trims.
+    * Every regex is RE2-safe with explicit classes (the [[redactPii]]
+    * discipline), so an external engine replays the pipeline
+    * byte-for-byte. Null → null.
+    *
+    * Deliberately NOT a conformant HTML5 parser: no entity table
+    * beyond the six, no CDATA/comment handling, and an unclosed
+    * `<script>` keeps its text (only its tag is stripped) — the
+    * trade for a fully codegen'd, engine-replayable, single-pass
+    * transform a 100 TB ingest can afford on every document. */
+  def stripHtml(html: Column): Column = {
+    val noBlocks = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)>", " ")
+    val noTags = regexp_replace(noBlocks, "<[^>]*>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (k, v)) => replace(c, lit(k), lit(v)) }
+    trim(regexp_replace(decoded, "[ \\t\\n\\r]+", " "))
+  }
+
   /** Hashing-trick feature vectorizer (Weinberger et al. 2009): each
     * document's word n-gram OCCURRENCES hash into a fixed `dim`-bucket
     * space — `(doc, bucket, cnt)` sparse rows, the input shape the

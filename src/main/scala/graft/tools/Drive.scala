@@ -764,6 +764,14 @@ object Drive {
           graft.functions.WordShingles.wordGrams(col("text"), 2))).as("g")).count()
       println(s"rows=${hv.count()} hashed-feature rows, " +
         s"occurrences conserved=${tot == grams} (expect true)")
+      // HTML strip: wrapping corpus text in markup and stripping must
+      // round-trip to the original (corpus text is already clean)
+      val roundTrip = docsT.select(col("text"),
+          graft.text.TextFunctions.stripHtml(
+            concat(lit("<div><p>"), col("text"), lit("</p><script>x</script></div>")))
+            .as("clean"))
+        .where(col("clean") =!= col("text")).count()
+      println(s"rows=${docsT.count()} html-stripped docs, round-trip mismatches=$roundTrip (expect 0)")
     }
 
     spark.stop()
