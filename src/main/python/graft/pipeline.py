@@ -740,3 +740,64 @@ def corpus_sketch(df, strata="source", text_col="text", rsd=0.05):
     approx_distinct_tokens). ``strata`` is a CSV of column names."""
     return _wrap(df, _facade(df).corpusSketch(df._jdf, strata, text_col,
                                               float(rsd)))
+
+
+# --- round-7c additions --------------------------------------------------
+
+def jaccard_pairs_prefix(df, id_col="doc_id", text_col="text", tau=0.8, n=3):
+    """Prefix-filtered exact Jaccard pairs (SSJoin/PPJoin): identical
+    output to :func:`jaccard_pairs`, hot-shingle-safe without a lossy
+    ``max_doc_freq`` cap."""
+    return _wrap(df, _facade(df).jaccardPairsPrefix(
+        df._jdf, id_col, text_col, float(tau), int(n)))
+
+
+def phrase_hits(df, phrases, id_col="doc_id", text_col="text"):
+    """Exact positional phrase search: (doc, phrase, hits, first_pos)
+    with 0-based token offsets; ``phrases`` is a list of needle
+    strings (tokenized with the corpus tokenizer)."""
+    return _wrap(df, _facade(df).phraseHits(
+        df._jdf, id_col, text_col, [str(p) for p in phrases]))
+
+
+def snapshot_diff(old_df, new_df, id_col="doc_id", text_col="text"):
+    """Corpus snapshot diff: (id, status in added|removed|changed);
+    unchanged rows dropped (delta-sized output)."""
+    return _wrap(old_df, _facade(old_df).snapshotDiff(
+        old_df._jdf, new_df._jdf, id_col, text_col))
+
+
+def snapshot_diff_summary(old_df, new_df, id_col="doc_id", text_col="text"):
+    """Per-status rollup of :func:`snapshot_diff`: (status, n)."""
+    return _wrap(old_df, _facade(old_df).snapshotDiffSummary(
+        old_df._jdf, new_df._jdf, id_col, text_col))
+
+
+def cms_build(df, text_col="text", depth=4, width=1024):
+    """Count-min sketch of token frequencies: (r, bucket, cnt) —
+    depth*width rows regardless of corpus size. ``width`` must be a
+    power of two (engine-exact md5 bucketing)."""
+    return _wrap(df, _facade(df).cmsBuild(df._jdf, text_col,
+                                          int(depth), int(width)))
+
+
+def cms_estimate(sketch, probes, term_col="term", depth=4, width=1024):
+    """CMS point-frequency estimates for probe terms: (term, est);
+    never undercounts. Pass the build's depth/width."""
+    return _wrap(probes, _facade(probes).cmsEstimate(
+        sketch._jdf, probes._jdf, term_col, int(depth), int(width)))
+
+
+def hashed_features(df, id_col="doc_id", text_col="text", dim=4096,
+                    ns="1,2"):
+    """Hashing-trick vectorizer: (doc, bucket, cnt) sparse rows over
+    word n-gram occurrences; ``dim`` must be a power of two, ``ns`` a
+    CSV of gram sizes."""
+    return _wrap(df, _facade(df).hashedFeatures(df._jdf, id_col, text_col,
+                                                int(dim), ns))
+
+
+def strip_html(df, html_col="text", out_col="clean"):
+    """HTML -> text extraction (script/style blocks dropped, tags
+    flattened, six common entities decoded, whitespace collapsed)."""
+    return _wrap(df, _facade(df).stripHtml(df._jdf, html_col, out_col))

@@ -601,3 +601,53 @@ class TestCorpusSketch(object):
         # they are in different strata, so s0 has 3 distinct contents
         assert rows["s0"]["approx_distinct_content"] == 3
         assert rows["s1"]["approx_distinct_content"] == 2
+
+
+class TestRound7c(object):
+
+    def test_jaccard_prefix_equals_exact(self, docs):
+        exact = sorted(tuple(r) for r in P.jaccard_pairs(docs, tau=0.5).collect())
+        pref = sorted(tuple(r) for r in
+                      P.jaccard_pairs_prefix(docs, tau=0.5).collect())
+        assert pref == exact and len(pref) > 0
+
+    def test_phrase_hits(self, docs):
+        rows = {(r["doc"], r["phrase"]): (r["hits"], r["first_pos"])
+                for r in P.phrase_hits(docs, ["quick brown fox", "lazy dog"]).collect()}
+        assert rows[(0, "quick brown fox")] == (1, 1)
+        assert rows[(0, "lazy dog")] == (1, 7)
+        assert (2, "quick brown fox") not in rows
+
+    def test_snapshot_diff(self, docs, local_spark):
+        new = local_spark.createDataFrame(
+            [(0, "the quick brown fox jumps over the lazy dog"),
+             (1, "edited text"), (5, "brand new")],
+            ["doc_id", "text"])
+        st = {r["id"]: r["status"]
+              for r in P.snapshot_diff(docs, new).collect()}
+        assert st[1] == "changed" and st[5] == "added" and st[2] == "removed"
+        assert 0 not in st
+        summary = {r["status"]: r["n"]
+                   for r in P.snapshot_diff_summary(docs, new).collect()}
+        assert summary["removed"] == 3 and summary["added"] == 1
+
+    def test_cms_never_undercounts(self, docs, local_spark):
+        sk = P.cms_build(docs, depth=3, width=4)
+        exact = docs.selectExpr("explode(split(text, ' ')) as term") \
+            .groupBy("term").count()
+        est = {r["term"]: r["est"]
+               for r in P.cms_estimate(sk, exact, depth=3, width=4).collect()}
+        for r in exact.collect():
+            assert est[r["term"]] >= r["count"]
+
+    def test_hashed_features_conserve(self, docs):
+        hv = P.hashed_features(docs, dim=16)
+        total = hv.groupBy().sum("cnt").collect()[0][0]
+        # 9+9+8+9+2 unigrams, 8+8+7+8+1 bigrams
+        assert total == 69
+
+    def test_strip_html(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "<p>a &amp; b</p><script>junk</script>")], ["doc_id", "text"])
+        out = P.strip_html(df).collect()[0]["clean"]
+        assert out == "a & b"

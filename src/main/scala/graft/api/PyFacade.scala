@@ -589,6 +589,48 @@ object PyFacade {
     kept.join(Dedup.canonIds(kept, idCol, textCol), Seq(idCol), "left_semi")
   }
 
+  /** Prefix-filtered exact Jaccard pairs — jaccardPairs output via
+    * SSJoin/PPJoin prefix filtering (lossless, no maxDocFreq cap). */
+  def jaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      tau: Double, n: Int): DataFrame =
+    Dedup.jaccardPairsPrefix(df, idCol, textCol, tau, n)
+
+  /** Exact positional phrase search: (doc, phrase, hits, first_pos). */
+  def phraseHits(df: DataFrame, idCol: String, textCol: String,
+      phrases: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.text.PhraseSearch.phraseHits(df, idCol, textCol, phrases.asScala.toSeq)
+  }
+
+  /** Corpus snapshot diff: (id, status in added|removed|changed). */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    graft.curation.SnapshotDiff.diff(oldSnap, newSnap, idCol, textCol)
+
+  /** Snapshot diff rollup: (status, n). */
+  def snapshotDiffSummary(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    graft.curation.SnapshotDiff.diffSummary(oldSnap, newSnap, idCol, textCol)
+
+  /** Count-min sketch of token frequencies: (r, bucket, cnt). */
+  def cmsBuild(df: DataFrame, textCol: String, depth: Int, width: Int): DataFrame =
+    graft.text.CorpusSketch.cmsBuild(df, textCol, depth, width)
+
+  /** CMS point estimates for probe terms: (term, est). */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, termCol: String,
+      depth: Int, width: Int): DataFrame =
+    graft.text.CorpusSketch.cmsEstimate(sketch, probes, termCol, depth, width)
+
+  /** Hashing-trick features: (doc, bucket, cnt) sparse rows. */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+      dim: Int, nsCsv: String): DataFrame =
+    TextFunctions.hashedFeatures(df, idCol, textCol, dim,
+      nsCsv.split(",").map(_.trim.toInt).toSeq)
+
+  /** HTML → text extraction into `outCol`. */
+  def stripHtml(df: DataFrame, htmlCol: String, outCol: String): DataFrame =
+    df.withColumn(outCol, TextFunctions.stripHtml(col(htmlCol)))
+
   // --- multimodal -------------------------------------------------------
 
   private def codecOf(name: String): graft.multimodal.Multimodal.MediaCodec =
