@@ -589,7 +589,63 @@ object ScaleBench {
         graft.dedup.Dedup.minhashPairsVsIndex(
           docs(f).where(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text",
           graft.ml.ModelStore.loadMinhashIndex(spark, path), tau = 0.8)
-      }))
+      }),
+
+      // --- round-7c families --------------------------------------------
+
+      // prefix-filtered set-similarity: same exact output as the plain
+      // inverted-index join (pairs ∝ f on suffixed copies); the probe
+      // pins that the PREFIX shape also scales — dfreq agg + rank join
+      // ∝ f, pair join over ~tau-fraction prefix rows
+      "dedup_jaccard_prefix" -> (() =>
+        Dedup.jaccardPairsPrefix(docs(f), "doc_id", "text", tau = 0.8)),
+
+      // phrase search: needles fixed, corpus ×f — the digest compare
+      // kills misses map-side, so shuffle tracks the HIT set (∝ f)
+      // while the scan grows ×f; wall must stay scan-bound
+      "text_phrase" -> (() =>
+        graft.text.PhraseSearch.phraseHits(docsPlain(f), "doc_id", "text",
+          Seq("table hash", "slow hash batch", "row column sort"))
+          .where(col("hits") >= 0L)),
+
+      // snapshot diff: both sides ×f, delta fraction fixed — the two
+      // digest shuffles and the delta output grow ∝ f, rows never
+      // carry text
+      "corpus_diff" -> (() => {
+        val base = docsPlain(f)
+        graft.curation.SnapshotDiff.diff(
+          base.where(pmod(col("doc_id"), lit(10)) =!= 0),
+          base.withColumn("text",
+            when(pmod(col("doc_id"), lit(7)) === 0,
+              concat(col("text"), lit(" r"))).otherwise(col("text")))
+            .where(pmod(col("doc_id"), lit(10)) =!= 1),
+          "doc_id", "text")
+      }),
+
+      // CMS headline: the sketch aggregation keys on depth·width
+      // buckets — shuffle stays sketch-sized (∝ partial count rows,
+      // ~KB) while the token scan grows ×f
+      "profile_cms" -> (() =>
+        graft.text.CorpusSketch.cmsBuild(docsPlain(f), "text",
+          depth = 4, width = 1024)
+          .where(col("cnt") >= 0L)),
+
+      // hashing-trick features: one (doc, bucket)-keyed map-side-
+      // combined agg — shuffle ∝ f slim count rows (per-doc state
+      // bounded by min(tokens, dim)), never grams
+      "text_hashvec" -> (() =>
+        graft.text.TextFunctions.hashedFeatures(docsPlain(f), "doc_id", "text",
+          dim = 4096)
+          .where(col("cnt") >= 0L)),
+
+      // HTML strip: map-only codegen chain — ZERO shuffle at every
+      // factor, wall ∝ scan (the length() guard keeps count() from
+      // pruning the regex work)
+      "text_html_strip" -> (() =>
+        docsPlain(f).select(graft.text.TextFunctions.stripHtml(
+            concat(lit("<div><p>"), col("text"),
+              lit("</p><script>var a=1;</script> &amp; tail</div>"))).as("clean"))
+          .where(length(col("clean")) >= 0)))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
