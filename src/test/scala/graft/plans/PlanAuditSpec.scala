@@ -226,6 +226,72 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "run the round-7c map-only operators without a data exchange" in {
+    // stripHtml is a pure codegen chain and the phrase-search digest
+    // probe must be a BROADCAST join (misses die inside the scan stage)
+    // — any hash exchange of corpus data breaks the scale contract
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val stripped = docs.select(graft.text.TextFunctions.stripHtml(
+      concat(lit("<p>"), col("text"), lit("</p>"))).as("clean"))
+    stripped.collect()
+    val sPlan = stripped.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(sPlan) {
+      sPlan.linesIterator.filter(_.contains("Exchange")).toSeq shouldBe empty
+      // the codegen'd stage marker: toString renders WholeStageCodegen
+      // spans as a "*(n)" prefix on their operators
+      sPlan should include ("*(1) Project")
+    }
+    val hits = graft.text.PhraseSearch.phraseHits(docs, "doc_id", "text",
+      Seq("table hash", "slow hash batch"))
+    hits.collect()
+    val hPlan = hits.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(hPlan) {
+      hPlan should include ("BroadcastHashJoin")
+      // the only hash exchanges aggregate the HIT set per (doc, phrase)
+      hPlan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { e =>
+        assert(e.contains("doc#") && e.contains("phrase#"), e)
+      }
+    }
+  }
+
+  it should "keep the CMS aggregation sketch-sized and the diff shuffle digest-slim" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    import org.apache.spark.sql.functions.{col, concat, lit, pmod, when}
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // cmsBuild: exactly one hash exchange, keyed (r, bucket) — the
+    // depth-by-width partial rows, never tokens
+    val sk = graft.text.CorpusSketch.cmsBuild(docs, "text", depth = 4, width = 64)
+    sk.collect()
+    val cPlan = sk.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(cPlan) {
+      val ex = cPlan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+      ex should have size 1
+      // the bucket key may print as its pushed-down grouping alias
+      assert(ex.head.contains("r#") &&
+        (ex.head.contains("bucket#") || ex.head.contains("_groupingexpression#")), ex.head)
+      cPlan should include ("partial_count") // map-side combine before it
+    }
+    // snapshot diff: the full-outer join exchanges id+digest projections
+    // only — a scan that still carries text into the exchange loses the
+    // 16-bytes-per-row contract (text appears in NO exchange line)
+    val diff = graft.curation.SnapshotDiff.diff(
+      docs.where(pmod(col("doc_id"), lit(10)) =!= 0),
+      docs.withColumn("text", when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" r"))).otherwise(col("text")))
+        .where(pmod(col("doc_id"), lit(10)) =!= 1),
+      "doc_id", "text")
+    diff.collect()
+    val dPlan = diff.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(dPlan) {
+      dPlan should include ("SortMergeJoin") // full-outer: no broadcast side
+      dPlan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { e =>
+        e should not include "text#"
+      }
+    }
+  }
+
   it should "preserve snapshot partitioning across localCheckpoint when AQE is off (iterative-join contract)" in {
     // GridNearestJoin and Dedup.clusterPairs pre-partition their
     // long-lived snapshots. On AQE-OFF sessions that makes every
