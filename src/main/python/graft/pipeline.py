@@ -117,13 +117,16 @@ def cluster_pairs(pairs, i_col="doc_i", j_col="doc_j", max_iters=20):
 
 
 def asof_join(left, right, keys="user_id", left_ts="ts", right_ts="ts",
-              join_type="inner"):
+              join_type="inner", direction="backward"):
     """As-of join: for every left row, the right row with the greatest
     ``right_ts`` at-or-before ``left_ts`` sharing the key columns
     (comma-separated ``keys``); inner -- unmatched left rows drop;
-    join_type="left" keeps them with null right columns."""
+    join_type="left" keeps them with null right columns. ``direction``:
+    "backward" (default), "forward" (smallest right_ts at-or-after) or
+    "nearest" (closer side, ties to backward)."""
     return _wrap(left, _facade(left).asofJoin(
-        left._jdf, right._jdf, keys, left_ts, right_ts, join_type))
+        left._jdf, right._jdf, keys, left_ts, right_ts, join_type,
+        direction))
 
 
 def asof_join_bucketed(left, right, keys="user_id", left_ts="ts",

@@ -121,6 +121,17 @@ class TestStreamingUnified(object):
                                          right_ts="rts",
                                          join_type="left").collect()}
         assert left_got == {(1, 10, 80), (1, 5, 30), (2, 7, None)}
+        # forward: smallest right_ts at-or-after; nearest: closer side
+        fwd = {(r["k"], r["lts"], r["v"])
+               for r in P.asof_join(left, right, keys="k", left_ts="lts",
+                                    right_ts="rts",
+                                    direction="forward").collect()}
+        assert fwd == {(1, 5, 80), (2, 7, 90)}
+        near = {(r["k"], r["lts"], r["v"])
+                for r in P.asof_join(left, right, keys="k", left_ts="lts",
+                                     right_ts="rts",
+                                     direction="nearest").collect()}
+        assert near == {(1, 10, 80), (1, 5, 30), (2, 7, 90)}
 
     def test_tfidf_top_m(self, local_spark):
         docs = local_spark.createDataFrame(

@@ -1287,6 +1287,41 @@ object SparkEntry {
           col("h_end").cast("long").as("h_ts"), col("h_value"))
     }),
 
+    // forward as-of: the NEXT completed hourly aggregate at-or-after
+    // each event (first-over-following carry, same one shuffle); native
+    // DuckDB ASOF with the <= inequality oracles it
+    "j_asof_forward" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      val hourly = ev
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(round(sum(col("value").cast("decimal(38,8)")), 2).cast("double").as("h_value"))
+        .select(col("user_id"), col("window.end").as("h_end"), col("h_value"))
+      graft.join.AsOfJoin.asof(
+        ev.select("event_id", "user_id", "ts"), hourly,
+        keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end",
+        direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          col("h_end").cast("long").as("h_ts"), col("h_value"))
+    }),
+
+    // nearest as-of: whichever hourly boundary is closer in time, ties
+    // to the backward match — both carries over ONE shuffled union;
+    // oracle = argmin over the per-user candidate join with the same
+    // tie rule
+    "j_asof_nearest" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      val hourly = ev
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(round(sum(col("value").cast("decimal(38,8)")), 2).cast("double").as("h_value"))
+        .select(col("user_id"), col("window.end").as("h_end"), col("h_value"))
+      graft.join.AsOfJoin.asof(
+        ev.select("event_id", "user_id", "ts"), hourly,
+        keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end",
+        direction = "nearest")
+        .select(col("event_id"), col("user_id"),
+          col("h_end").cast("long").as("h_ts"), col("h_value"))
+    }),
+
     // range (band) join without broadcast or cartesian: customers whose
     // balance falls inside a +-500 band around each supplier's balance.
     // Doubles on BOTH engines (explicit casts), so boundary comparisons
@@ -2608,6 +2643,33 @@ object SparkEntry {
         |      FROM events GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
         |FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
+
+    // forward as-of: native DuckDB ASOF with the <= inequality —
+    // smallest hour end >= event time per user
+    "j_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 us FROM events),
+        |h AS (SELECT user_id,
+        |        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 hend,
+        |        CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) h_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
+        |FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us <= h.hend * 1000000""".stripMargin,
+
+    // nearest as-of: argmin |distance| over the per-user candidate
+    // join, ties to the backward (at-or-before) side — hourly rows are
+    // unique per (user, hend), so no payload tie path exists
+    "j_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 us FROM events),
+        |h AS (SELECT user_id,
+        |        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 hend,
+        |        CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) h_value
+        |      FROM events GROUP BY 1, 2),
+        |c AS (SELECT e.event_id, e.user_id, h.hend, h.h_value,
+        |        abs(e.us - h.hend * 1000000) d,
+        |        CASE WHEN h.hend * 1000000 <= e.us THEN 0 ELSE 1 END fwd
+        |      FROM e JOIN h ON e.user_id = h.user_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d, fwd) rn FROM c)
+        |SELECT event_id, user_id, hend h_ts, h_value FROM r WHERE rn = 1""".stripMargin,
 
     // the streamed interval join replays as the raw batch inequality
     // pair — micros arithmetic, self-pairs excluded on event_id

@@ -84,9 +84,15 @@ object PyFacade {
     * key); keys as a comma-separated list. */
   def asofJoin(left: DataFrame, right: DataFrame, keysCsv: String,
       leftTsCol: String, rightTsCol: String, joinType: String): DataFrame =
+    asofJoin(left, right, keysCsv, leftTsCol, rightTsCol, joinType, "backward")
+
+  /** Direction-selecting overload: backward | forward | nearest. */
+  def asofJoin(left: DataFrame, right: DataFrame, keysCsv: String,
+      leftTsCol: String, rightTsCol: String, joinType: String,
+      direction: String): DataFrame =
     graft.join.AsOfJoin.asof(left, right,
       keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol,
-      joinType)
+      joinType, direction)
 
   /** Hot-key-safe as-of join: every key additionally split by
     * floor(ts / bucketWidth) buckets (ts read as double — epoch seconds

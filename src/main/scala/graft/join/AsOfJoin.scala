@@ -103,20 +103,74 @@ object AsOfJoin {
         if (keys.contains(c)) col(c) else col(s"$lS.`$c`"))
       ++ rPayloadCols.map(c => col(s"$matched.`$c`")): _*)
 
+  /** The forward-pass window ordering: rights sort AFTER lefts at equal
+    * ts (tag desc — at-or-after inclusivity), identical rights by
+    * payload asc so `first` picks the SMALLEST payload (the mirror of
+    * the backward pass's greatest-payload rule). */
+  private def carryOrderFwd(w: org.apache.spark.sql.expressions.WindowSpec) =
+    w.orderBy(col(ts).asc, col(tag).desc, col(rS).asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+  /** ts as a number for nearest-distance comparison (timestamps →
+    * microseconds, dates → days, numerics pass through). */
+  private def tsNum(c: Column, dt: org.apache.spark.sql.types.DataType): Column =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(c)
+      case org.apache.spark.sql.types.DateType => unix_date(c)
+      case _ => c
+    }
+
+  /**
+   * @param direction match selection per left row among same-key rights:
+   *   - `"backward"` (default): greatest rightTs <= leftTs;
+   *   - `"forward"`: smallest rightTs >= leftTs (the window flips to a
+   *     first-over-following carry — same one shuffle, same O(L+R));
+   *   - `"nearest"`: whichever of the two is closer in |ts distance|,
+   *     ties to the BACKWARD match; both carries compute over the one
+   *     shuffled union (two window sorts on the same partitioning).
+   *     Requires a ts type with a numeric distance (timestamp, date, or
+   *     any numeric column).
+   */
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTsCol: String, rightTsCol: String,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner", direction: String = "backward"): DataFrame = {
     validate(left, right, keys, rightTsCol, joinType)
+    require(Set("backward", "forward", "nearest").contains(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
     val (lTagged, rTagged, _, rPayloadCols) =
       tagSides(left, right, keys, leftTsCol, rightTsCol, None)
     val carry = "__asof_carry"
-    val w = carryOrder(Window.partitionBy(keys.map(col): _*))
+    val wB = carryOrder(Window.partitionBy(keys.map(col): _*))
+    val wF = carryOrderFwd(Window.partitionBy(keys.map(col): _*))
+    val union = lTagged.unionByName(rTagged)
+    val withCarry = direction match {
+      case "backward" =>
+        union.withColumn(carry, last(col(rS), ignoreNulls = true).over(wB))
+      case "forward" =>
+        union.withColumn(carry, first(col(rS), ignoreNulls = true).over(wF))
+      case "nearest" =>
+        // carries keep their match ts for the distance comparison; the
+        // when() makes left rows null so ignoreNulls skips them
+        val rT = when(col(tag) === 0, struct(col(ts), col(rS).as("p")))
+        val b = "__asof_b"; val f = "__asof_f"
+        val lNum = tsNum(col(ts), lTagged.schema(ts).dataType)
+        def num(c: Column) = tsNum(c, lTagged.schema(ts).dataType)
+        union
+          .withColumn(b, last(rT, ignoreNulls = true).over(wB))
+          .withColumn(f, first(rT, ignoreNulls = true).over(wF))
+          .withColumn(carry,
+            when(col(b).isNull, col(s"$f.p"))
+              .when(col(f).isNull, col(s"$b.p"))
+              .when(lNum - num(col(s"$b.$ts")) <= num(col(s"$f.$ts")) - lNum,
+                col(s"$b.p"))
+              .otherwise(col(s"$f.p")))
+          .drop(b, f)
+    }
     val matchFilter =
       if (joinType == "left") col(tag) === 1
       else col(tag) === 1 && col(carry).isNotNull
-    val out = lTagged.unionByName(rTagged)
-      .withColumn(carry, last(col(rS), ignoreNulls = true).over(w))
-      .where(matchFilter)
+    val out = withCarry.where(matchFilter)
     withOuterRows(finalProject(out, left, keys, rPayloadCols, carry),
       left, right, keys, leftTsCol, joinType)
   }

@@ -772,6 +772,20 @@ object Drive {
             .as("clean"))
         .where(col("clean") =!= col("text")).count()
       println(s"rows=${docsT.count()} html-stripped docs, round-trip mismatches=$roundTrip (expect 0)")
+      // as-of directions over real events: forward matches are at-or-
+      // after, nearest row count is the union coverage (>= either side)
+      val ev = graft.SparkEntry.microTs(spark.read.parquet(s"$dir/events.parquet"))
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val hr = ev.groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("window.end").as("h_end"), col("n"))
+      val fwd = graft.join.AsOfJoin.asof(ev, hr, Seq("user_id"), "ts", "h_end",
+        direction = "forward")
+      val fwdBad = fwd.where(col("h_end") < col("ts")).count()
+      val nearRows = graft.join.AsOfJoin.asof(ev, hr, Seq("user_id"), "ts", "h_end",
+        direction = "nearest").count()
+      println(s"rows=${fwd.count()} forward as-of matches, before-left violations=$fwdBad " +
+        s"(expect 0); nearest rows=$nearRows (expect ${ev.count()})")
     }
 
     spark.stop()

@@ -164,6 +164,75 @@ class AsOfJoinSpec extends AnyFlatSpec with Matchers {
     got shouldBe brute
   }
 
+  behavior of "AsOfJoin directions"
+
+  it should "pick the smallest right ts at-or-after each left ts (forward)" in {
+    val l = Seq((1, 10L, "a"), (1, 5L, "b"), (2, 7L, "c")).toDF("k", "lts", "lpay")
+    val r = Seq((1, 8L, 80), (1, 3L, 30), (1, 10L, 100), (2, 5L, 50))
+      .toDF("k", "rts", "v")
+    val out = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", direction = "forward")
+      .collect().map(x =>
+        (x.getInt(0), x.getLong(1), x.getLong(3), x.getInt(4))).toSet
+    out shouldBe Set(
+      (1, 10L, 10L, 100), // at-or-after inclusive
+      (1, 5L, 8L, 80))    // k=2: only rts 5 < 7 => no forward match
+  }
+
+  it should "pick the closer side with ties to backward (nearest)" in {
+    val l = Seq((1, 10L), (1, 6L), (1, 1L), (2, 7L)).toDF("k", "lts")
+    val r = Seq((1, 4L, 40), (1, 8L, 80), (2, 20L, 200)).toDF("k", "rts", "v")
+    val out = AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", direction = "nearest")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2), x.getInt(3))).toSet
+    out shouldBe Set(
+      (1, 10L, 8L, 80),  // only backward exists at distance 2
+      (1, 6L, 4L, 40),   // TIE (|6-4| == |8-6|): backward wins
+      (1, 1L, 4L, 40),   // only forward exists
+      (2, 7L, 20L, 200)) // nearest keeps rows any single direction drops
+  }
+
+  it should "match window-free brute forces on random data in every direction" in {
+    val rnd = new scala.util.Random(13)
+    val l = Seq.tabulate(300)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong, i)).toDF("k", "lts", "lid")
+    val r = Seq.tabulate(200)(i => (rnd.nextInt(5), rnd.nextInt(1000).toLong * 7 % 997, i)).toDF("k", "rts", "rid")
+    import org.apache.spark.sql.functions._
+    // forward: min (rts, rid) among at-or-after
+    val bruteF = l.join(r, Seq("k")).where(col("rts") >= col("lts"))
+      .groupBy(col("k"), col("lts"), col("lid"))
+      .agg(min(struct(col("rts"), col("rid"))).as("b"))
+      .select(col("lid"), col("b.rts"), col("b.rid"))
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2))).toSet
+    AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", direction = "forward")
+      .select("lid", "rts", "rid")
+      .collect().map(x => (x.getInt(0), x.getLong(1), x.getInt(2))).toSet shouldBe bruteF
+    // nearest: argmin (|dist|, backward-first, payload rule) — the
+    // payload tie rule differs per side, so compare via the SAME
+    // (distance, side) argmin then the matched ts only (rid ties
+    // cannot arise here: rts values are distinct per (k, rid) stream)
+    val bruteN = l.join(r, Seq("k"))
+      .groupBy(col("k"), col("lts"), col("lid"))
+      .agg(min(struct(abs(col("rts") - col("lts")),
+        when(col("rts") <= col("lts"), 0).otherwise(1).as("fwd"),
+        col("rts"))).as("b"))
+      .select(col("lid"), col("b.rts"))
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toSet
+    AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", direction = "nearest")
+      .select("lid", "rts")
+      .collect().map(x => (x.getInt(0), x.getLong(1))).toSet shouldBe bruteN
+  }
+
+  it should "handle timestamp-typed ts in nearest mode and reject bad directions" in {
+    import org.apache.spark.sql.functions._
+    val l = Seq((1, "2024-01-01 10:00:00"), (1, "2024-01-01 11:40:00"))
+      .toDF("k", "s").select(col("k"), to_timestamp(col("s")).as("lts"))
+    val r = Seq((1, "2024-01-01 09:00:00", 9), (1, "2024-01-01 12:00:00", 12))
+      .toDF("k", "s", "v")
+      .select(col("k"), to_timestamp(col("s")).as("rts"), col("v"))
+    AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", direction = "nearest")
+      .select("v").collect().map(_.getInt(0)).sorted.toSeq shouldBe Seq(9, 12)
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", direction = "sideways")
+  }
+
   behavior of "AsOfJoin left outer"
 
   it should "keep unmatched left rows with null right columns, matched rows identical to inner" in {
