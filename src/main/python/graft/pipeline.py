@@ -804,3 +804,18 @@ def strip_html(df, html_col="text", out_col="clean"):
     """HTML -> text extraction (script/style blocks dropped, tags
     flattened, six common entities decoded, whitespace collapsed)."""
     return _wrap(df, _facade(df).stripHtml(df._jdf, html_col, out_col))
+
+
+def train_and_save_int8(candidates, path, vec_col="embedding"):
+    """Train int8 scalar-quantization params (per-dimension affine
+    codes, 4x storage cut) and persist the (pos, lo, scale) artifact."""
+    _facade(candidates).trainAndSaveInt8(candidates._jdf, vec_col, path)
+
+
+def int8_top_k_from_artifact(queries, candidates, path, id_col="vec_id",
+                             vec_col="embedding", k=10, shortlist=0):
+    """Int8-shortlisted exact-rerank top-k from a RELOADED parameter
+    artifact; shortlist <= 0 = unbounded (structurally exact)."""
+    return _wrap(queries, _facade(queries).int8TopKFromArtifact(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k), path,
+        int(shortlist)))

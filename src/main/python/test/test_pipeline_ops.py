@@ -662,3 +662,14 @@ class TestRound7c(object):
             [(1, "<p>a &amp; b</p><script>junk</script>")], ["doc_id", "text"])
         out = P.strip_html(df).collect()[0]["clean"]
         assert out == "a & b"
+
+
+    def test_int8_artifact_round_trip(self, vecs, tmp_path):
+        path = str(tmp_path / "int8")
+        P.train_and_save_int8(vecs, path)
+        q = vecs.where("vec_id < 2")
+        got = {(r["qid"], r["cid"], r["rnk"]) for r in
+               P.int8_top_k_from_artifact(q, vecs, path, k=3).collect()}
+        exact = {(r["qid"], r["cid"], r["rnk"]) for r in
+                 P.cosine_top_k(q, vecs, k=3).collect()}
+        assert got == exact

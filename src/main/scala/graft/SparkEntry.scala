@@ -1117,6 +1117,33 @@ object SparkEntry {
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
+    // int8 scalar quantization: the 4x-storage dial between full floats
+    // and PQ codes — per-dimension affine codes, asymmetric decoded-
+    // candidate scoring, exact re-rank; unbounded shortlist keeps the
+    // exact top-k oracle valid for ANY trained parameters (the
+    // simsearch_pq structural argument)
+    "simsearch_int8" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val p = graft.similarity.ScalarQuantizer.train(emb, "embedding")
+      graft.similarity.ScalarQuantizer.topK(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
+        p, shortlist = Int.MaxValue)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
+    // int8 params through the parquet artifact: serve-with-reloaded ≡
+    // serve-with-fresh (the ModelStore contract), same exact oracle
+    "simsearch_int8_saved" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path = modelTmp("int8")
+      graft.ml.ModelStore.saveInt8(s,
+        graft.similarity.ScalarQuantizer.train(emb, "embedding"), path)
+      graft.similarity.ScalarQuantizer.topK(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
+        graft.ml.ModelStore.loadInt8(s, path), shortlist = Int.MaxValue)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
     // persistence round-trips for the ANN trained state: train, save the
     // artifact as parquet (ModelStore), reload, serve with the RELOADED
     // state. Both gates keep their twins' structurally-exact settings
@@ -1207,6 +1234,19 @@ object SparkEntry {
           avg(col("l_quantity")).as("avg_qty"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))),
+
+    // hierarchical aggregation: ROLLUP over (returnflag, linestatus)
+    // emits per-pair, per-flag and grand-total rows in one pass —
+    // Catalyst expands grouping sets map-side, so the shuffle carries
+    // one partial per (set, key), never a re-scan per level;
+    // grouping_id disambiguates rolled-up NULLs from data NULLs
+    "agg_rollup" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).cast("long").as("sum_qty"),
+          count(lit(1)).as("cnt"),
+          grouping_id().as("gid"))),
 
     "events_window" -> ((s, dir) => {
       // ts normalized by microTs (the generator has shipped both ns-long
@@ -2573,6 +2613,11 @@ object SparkEntry {
     // (every candidate is exact-re-ranked), so the exact oracle applies
     "simsearch_pq" -> simsearchExactTopkSql,
 
+    // unbounded shortlist + exact re-rank => exact top-k for any int8
+    // parameters — same structural argument as simsearch_pq
+    "simsearch_int8" -> simsearchExactTopkSql,
+    "simsearch_int8_saved" -> simsearchExactTopkSql,
+
     // persistence round-trips keep the structurally-exact settings, so
     // the same exact oracle pins serve-with-RELOADED-state
     "simsearch_ivf_saved" -> simsearchExactTopkSql,
@@ -2602,6 +2647,14 @@ object SparkEntry {
         |  CAST(sum(l_quantity) AS BIGINT) sum_qty, count(*) cnt, avg(l_quantity) avg_qty,
         |  min(l_extendedprice) min_price, max(l_extendedprice) max_price
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // GROUPING() bit order matches Spark's grouping_id (first listed
+    // column = most significant bit) when spelled per-column
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(l_quantity) AS BIGINT) sum_qty, count(*) cnt,
+        |  CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS BIGINT) gid
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) hour_ts, event_type,

@@ -332,6 +332,19 @@ object PyFacade {
       graft.ml.ModelStore.loadPq(queries.sparkSession, path),
       if (shortlist <= 0) Int.MaxValue else shortlist)
 
+  /** Train int8 scalar-quantization params and persist them at `path`. */
+  def trainAndSaveInt8(candidates: DataFrame, vecCol: String, path: String): Unit =
+    graft.ml.ModelStore.saveInt8(candidates.sparkSession,
+      graft.similarity.ScalarQuantizer.train(candidates, vecCol), path)
+
+  /** Int8-shortlisted exact-rerank top-k from a RELOADED parameter
+    * artifact. `shortlist <= 0` = unbounded (structurally exact). */
+  def int8TopKFromArtifact(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, path: String, shortlist: Int): DataFrame =
+    graft.similarity.ScalarQuantizer.topK(queries, candidates, idCol, vecCol, k,
+      graft.ml.ModelStore.loadInt8(queries.sparkSession, path),
+      if (shortlist <= 0) Int.MaxValue else shortlist)
+
   /** Train an add-one bigram LM on `ref` and persist its count tables. */
   def trainAndSaveBigramLm(ref: DataFrame, refTextCol: String, minCount: Long,
       path: String): Unit =

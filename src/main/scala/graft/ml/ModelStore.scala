@@ -117,6 +117,18 @@ object ModelStore {
   def loadMinhashIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Save int8 scalar-quantization params as (pos, lo, scale) rows —
+    * dim rows, one file; dimension derives from the rows. */
+  def saveInt8(spark: SparkSession,
+      p: graft.similarity.ScalarQuantizer.Int8Params, path: String): Unit =
+    graft.similarity.ScalarQuantizer.paramsDF(spark, p)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load int8 params for [[graft.similarity.ScalarQuantizer.topK]];
+    * gaps/duplicates fail loudly. */
+  def loadInt8(spark: SparkSession, path: String): graft.similarity.ScalarQuantizer.Int8Params =
+    graft.similarity.ScalarQuantizer.paramsFrom(spark.read.parquet(path))
+
   /** Save a logistic model as (kind, idx, value) rows: kind `w` idx i =
     * weight i, kind `b` = bias, kind `loss` idx i = iteration-i mean
     * log-loss (the training trajectory travels with the artifact). */

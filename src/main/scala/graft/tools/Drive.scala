@@ -786,6 +786,24 @@ object Drive {
         direction = "nearest").count()
       println(s"rows=${fwd.count()} forward as-of matches, before-left violations=$fwdBad " +
         s"(expect 0); nearest rows=$nearRows (expect ${ev.count()})")
+      // int8 quantization: unbounded shortlist == exact brute force
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val p8 = graft.similarity.ScalarQuantizer.train(emb, "embedding")
+      val q8 = emb.where(col("vec_id") < 3)
+      val sqTop = graft.similarity.ScalarQuantizer.topK(
+        q8, emb, "vec_id", "embedding", k = 5, p8, shortlist = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val exTop = graft.similarity.Similarity.cosineTopK(
+        q8, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      println(s"rows=${sqTop.size} int8 top-k rows, equal to exact=${sqTop == exTop} (expect true)")
+      // rollup: level sums must reconcile (grand total == sum of leaves)
+      val ru = spark.read.parquet(s"$dir/lineitem.parquet")
+        .rollup(col("l_returnflag")).agg(sum(col("l_quantity")).cast("long").as("s"),
+          grouping_id().as("g"))
+      val leaves = ru.where(col("g") === 0).agg(sum("s")).head.getLong(0)
+      val total = ru.where(col("g") === 1).head.getAs[Long]("s")
+      println(s"rows=${ru.count()} rollup rows, grand total reconciles=${leaves == total} (expect true)")
     }
 
     spark.stop()
