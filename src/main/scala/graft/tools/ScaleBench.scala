@@ -645,7 +645,28 @@ object ScaleBench {
         docsPlain(f).select(graft.text.TextFunctions.stripHtml(
             concat(lit("<div><p>"), col("text"),
               lit("</p><script>var a=1;</script> &amp; tail</div>"))).as("clean"))
-          .where(length(col("clean")) >= 0)))
+          .where(length(col("clean")) >= 0)),
+
+      // nearest as-of: TWO window sorts over the same one keyed
+      // shuffle — shuffle bytes must track j_asof_hourly's ∝ f, wall
+      // may carry a constant-factor second-sort term, never a pair term
+      "j_asof_nearest" -> (() => {
+        val (ev, hourly) = asofInputs(f)
+        graft.join.AsOfJoin.asof(ev, hourly,
+          keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end",
+          direction = "nearest")
+      }),
+
+      // int8 ANN: candidates ×f against fixed queries — codes/decode
+      // are map-only, the only growing shuffle is the slim (qid, cid,
+      // approx) shortlist rank ∝ f
+      "simsearch_int8" -> (() => {
+        val e = embs(f)
+        val p = graft.similarity.ScalarQuantizer.train(e, "embedding")
+        graft.similarity.ScalarQuantizer.topK(
+          e.where(col("vec_id") < 20), e, "vec_id", "embedding", k = 10,
+          p, shortlist = 100)
+      }))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
