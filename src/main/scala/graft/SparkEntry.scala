@@ -442,6 +442,25 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
+    // the incremental-ingest composition end-to-end: snapshot diff →
+    // delta slice (added + changed, NEW text) → MinHash probe against
+    // the already-ingested corpus only — the steady-state refresh a
+    // continuously-fed pipeline runs instead of re-deduping the world.
+    // A changed doc may pair with its own old version (ids repeat
+    // across sides by design — "this edit near-dups what we had")
+    "pipeline_incremental" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val old = docs.where(pmod(col("doc_id"), lit(10)) =!= 0).select("doc_id", "text")
+      val neu = docs.withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" refreshed")))
+            .otherwise(col("text")))
+        .where(pmod(col("doc_id"), lit(10)) =!= 1).select("doc_id", "text")
+      val delta = graft.curation.SnapshotDiff.diff(old, neu, "doc_id", "text")
+        .where(col("status") =!= "removed").select(col("id").as("doc_id"))
+      val deltaDocs = neu.join(delta, Seq("doc_id"), "left_semi")
+      Dedup.minhashPairsAcross(deltaDocs, old, "doc_id", "text", tau = 0.8)
+    }),
+
     // prefix-filtered exact set-similarity join (SSJoin/PPJoin): same
     // exact pair output as dedup_jaccard, but the quadratic join runs
     // over rarity-ordered prefixes only — the lossless alternative to
@@ -1235,6 +1254,17 @@ object SparkEntry {
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price"))),
 
+    // pivot: per-user event-type counts as columns — explicit value
+    // list keeps the schema static (no extra distinct-values job) and
+    // the plan ONE aggregation with conditional partials, not one scan
+    // per pivot column
+    "agg_pivot" -> ((s, dir) =>
+      tbl(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)),
+
     // hierarchical aggregation: ROLLUP over (returnflag, linestatus)
     // emits per-pair, per-flag and grand-total rows in one pass —
     // Catalyst expands grouping sets map-side, so the shuffle carries
@@ -1987,6 +2017,30 @@ object SparkEntry {
     // set-similarity join restricted to (odd, even) pairs
     "dedup_cross" -> crossJaccardOracle,
 
+    // the full composition replayed: diff classification on digests,
+    // delta docs carry their NEW text, exact jaccard across sides only
+    // (the 32x2 banding recall argument of dedup_cross applies)
+    "pipeline_incremental" ->
+      """WITH nt AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 0 THEN text || ' refreshed' ELSE text END AS text
+        |      FROM documents WHERE doc_id % 10 <> 1),
+        |ot AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 0),
+        |delta AS (SELECT n.doc_id, n.text FROM nt n LEFT JOIN ot o USING (doc_id)
+        |          WHERE o.doc_id IS NULL OR md5(o.text) <> md5(n.text)),
+        |ta AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') ws FROM delta),
+        |sa AS (SELECT doc_id, list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sl FROM ta WHERE len(ws) >= 3),
+        |tb AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') ws FROM ot),
+        |sb AS (SELECT doc_id, list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sl FROM tb WHERE len(ws) >= 3),
+        |ea AS (SELECT doc_id, unnest(sl) s FROM sa),
+        |eb AS (SELECT doc_id, unnest(sl) s FROM sb),
+        |sza AS (SELECT doc_id, len(sl) n FROM sa),
+        |szb AS (SELECT doc_id, len(sl) n FROM sb),
+        |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
+        |          FROM ea a JOIN eb b ON a.s = b.s GROUP BY 1, 2)
+        |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
+        |FROM inter JOIN sza s1 ON doc_i = s1.doc_id JOIN szb s2 ON doc_j = s2.doc_id
+        |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin,
+
     // the parquet round-trip is correctness-invisible (shingles and
     // signatures reload bit-identically), so the saved-index probe
     // answers to the SAME oracle as the recompute-both-sides operator
@@ -2647,6 +2701,17 @@ object SparkEntry {
         |  CAST(sum(l_quantity) AS BIGINT) sum_qty, count(*) cnt, avg(l_quantity) avg_qty,
         |  min(l_extendedprice) min_price, max(l_extendedprice) max_price
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
+
+    // conditional aggregation replays the pivot columns exactly (count
+    // never yields null here, but COALESCE mirrors the engine's fill)
+    "agg_pivot" ->
+      """SELECT user_id,
+        |  coalesce(count(CASE WHEN event_type = 'click' THEN 1 END), 0) click,
+        |  coalesce(count(CASE WHEN event_type = 'view' THEN 1 END), 0) "view",
+        |  coalesce(count(CASE WHEN event_type = 'purchase' THEN 1 END), 0) purchase,
+        |  coalesce(count(CASE WHEN event_type = 'signup' THEN 1 END), 0) signup,
+        |  coalesce(count(CASE WHEN event_type = 'error' THEN 1 END), 0) "error"
+        |FROM events GROUP BY 1""".stripMargin,
 
     // GROUPING() bit order matches Spark's grouping_id (first listed
     // column = most significant bit) when spelled per-column

@@ -804,6 +804,23 @@ object Drive {
       val leaves = ru.where(col("g") === 0).agg(sum("s")).head.getLong(0)
       val total = ru.where(col("g") === 1).head.getAs[Long]("s")
       println(s"rows=${ru.count()} rollup rows, grand total reconciles=${leaves == total} (expect true)")
+      // incremental composition: delta-vs-old pairs must involve a
+      // delta doc on the left side ONLY (no old x old work leaks in)
+      val oldSnap = docsT.where(pmod(col("doc_id"), lit(10)) =!= 0).select("doc_id", "text")
+      val neuSnap = docsT.withColumn("text",
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" r")))
+            .otherwise(col("text")))
+        .where(pmod(col("doc_id"), lit(10)) =!= 1).select("doc_id", "text")
+      val deltaIds = graft.curation.SnapshotDiff.diff(oldSnap, neuSnap, "doc_id", "text")
+        .where(col("status") =!= "removed").select(col("id").as("doc_id"))
+      val incPairs = graft.dedup.Dedup.minhashPairsAcross(
+        neuSnap.join(deltaIds, Seq("doc_id"), "left_semi"), oldSnap,
+        "doc_id", "text", tau = 0.8).cache()
+      val offDelta = incPairs.join(deltaIds.withColumnRenamed("doc_id", "doc_i"),
+        Seq("doc_i"), "left_anti").count()
+      println(s"rows=${incPairs.count()} incremental delta-vs-old pairs, " +
+        s"non-delta left sides=$offDelta (expect 0)")
+      incPairs.unpersist()
     }
 
     spark.stop()
