@@ -819,3 +819,12 @@ def int8_top_k_from_artifact(queries, candidates, path, id_col="vec_id",
     return _wrap(queries, _facade(queries).int8TopKFromArtifact(
         queries._jdf, candidates._jdf, id_col, vec_col, int(k), path,
         int(shortlist)))
+
+
+def phrase_flagged(df, phrases, text_col="text", ts_col="ts",
+                   watermark="10 minutes"):
+    """Streaming-capable phrase monitor: flag rows whose text contains
+    any needle phrase — one row per (distinct content, phrase), original
+    columns + ``phrase``; works on batch frames too (plain dedup)."""
+    return _wrap(df, _facade(df).phraseFlagged(
+        df._jdf, text_col, ts_col, [str(p) for p in phrases], watermark))

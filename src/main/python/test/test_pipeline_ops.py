@@ -673,3 +673,11 @@ class TestRound7c(object):
         exact = {(r["qid"], r["cid"], r["rnk"]) for r in
                  P.cosine_top_k(q, vecs, k=3).collect()}
         assert got == exact
+
+
+    def test_phrase_flagged_batch(self, docs):
+        out = {(r["doc_id"], r["phrase"]) for r in
+               P.phrase_flagged(docs, ["quick brown fox"]).collect()}
+        # docs 0 and 3 share content -> one flag for the pair
+        flagged_ids = {i for i, _ in out}
+        assert len(out) == 2 and flagged_ids < {0, 1, 3}

@@ -803,6 +803,16 @@ object SparkEntry {
       PhraseSearch.phraseHits(tbl(s, dir, "documents"), "doc_id", "text",
         Seq("table hash", "slow hash batch", "row column sort"))),
 
+    // streaming phrase monitor, batch-parity path (the
+    // decontam_stream_flag convention): distinct (content, phrase)
+    // flags — the ingest-time quarantine feed for quote/template
+    // monitoring; the MemoryStream spec pins stream ≡ batch
+    "phrase_stream_flag" -> ((s, dir) =>
+      graft.text.PhraseSearch.flagged(
+        tbl(s, dir, "documents"), "text", "ts",
+        Seq("table hash", "slow hash batch"))
+        .select(md5(col("text")).as("content_md5"), col("phrase"))),
+
     // bigram-LM quality scoring (CCNet-style perplexity filter): train
     // an add-one bigram LM on the corpus itself (minCount=2 exercises
     // the <unk> tail trim), score every document; per-position terms
@@ -2788,6 +2798,21 @@ object SparkEntry {
         |      FROM e JOIN h ON e.user_id = h.user_id),
         |r AS (SELECT *, row_number() OVER (PARTITION BY event_id ORDER BY d, fwd) rn FROM c)
         |SELECT event_id, user_id, hend h_ts, h_value FROM r WHERE rn = 1""".stripMargin,
+
+    // distinct (content, phrase) containment flags — the text_phrase
+    // window machinery collapsed to membership
+    "phrase_stream_flag" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),
+         |hit AS (
+         |  SELECT doc_id, array_to_string(ws[i:i+1], ' ') g
+         |  FROM t, unnest(range(1, len(ws))) r(i)
+         |  WHERE array_to_string(ws[i:i+1], ' ') = 'table hash'
+         |  UNION ALL
+         |  SELECT doc_id, array_to_string(ws[i:i+2], ' ') g
+         |  FROM t, unnest(range(1, len(ws) - 1)) r(i)
+         |  WHERE array_to_string(ws[i:i+2], ' ') = 'slow hash batch')
+         |SELECT DISTINCT md5(t.text) content_md5, hit.g phrase
+         |FROM hit JOIN t ON hit.doc_id = t.doc_id""".stripMargin,
 
     // the streamed interval join replays as the raw batch inequality
     // pair — micros arithmetic, self-pairs excluded on event_id

@@ -621,6 +621,15 @@ object PyFacade {
     graft.text.PhraseSearch.phraseHits(df, idCol, textCol, phrases.asScala.toSeq)
   }
 
+  /** Streaming-capable phrase monitor: one row per (distinct content,
+    * phrase) flag, original columns + phrase. */
+  def phraseFlagged(df: DataFrame, textCol: String, tsCol: String,
+      phrases: java.util.List[String], watermark: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.text.PhraseSearch.flagged(df, textCol, tsCol,
+      phrases.asScala.toSeq, watermark)
+  }
+
   /** Corpus snapshot diff: (id, status in added|removed|changed). */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String): DataFrame =

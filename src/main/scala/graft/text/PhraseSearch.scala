@@ -77,4 +77,41 @@ object PhraseSearch {
       .groupBy("doc", "phrase")
       .agg(count(lit(1)).as("hits"), min(col("p")).cast("long").as("first_pos"))
   }
+
+  /**
+   * Streaming phrase monitor — [[phraseHits]]'s quarantine-feed twin
+   * (the [[graft.streaming.StreamingDecontam]] shape): flag incoming
+   * documents containing any needle phrase AT INGEST TIME, one row per
+   * (distinct content, phrase) within the watermark horizon, original
+   * columns + `phrase`. Counts/offsets stay a batch concern
+   * ([[phraseHits]]) — the ingest path wants the flag, not statistics.
+   *
+   * Scale: the per-k digest probes are map-side broadcast joins (no
+   * shuffle of stream data; needle digests are bytes, not MBs); state
+   * exists ONLY for the watermark-bounded (content digest, phrase)
+   * dedup — only flagged documents, the rare case, ever enter state.
+   * The same call works on a batch frame (plain dropDuplicates),
+   * keeping batch/stream parity testable with one oracle.
+   */
+  def flagged(df: DataFrame, textCol: String, tsCol: String,
+      phrases: Seq[String], watermark: String = "10 minutes"): DataFrame = {
+    require(phrases.nonEmpty, "need at least one phrase")
+    val digest = "__phrase_digest"
+    val keyed = phrases.distinct.map(p => { val (k, d) = phraseKey(p); (p, k, d) })
+    val spark = df.sparkSession
+    import spark.implicits._
+    val branches = keyed.groupBy(_._2).toSeq.sortBy(_._1).map { case (k, ps) =>
+      val needles = ps.map { case (p, _, d) => (d, p) }.toDF("__h", "phrase")
+      df.withColumn(digest, unhex(md5(col(textCol).cast("binary"))))
+        .withColumn("__h", explode(RunDigests.runDigests(col(textCol), k)))
+        .join(broadcast(needles), "__h")
+        .drop("__h")
+    }
+    val hits = branches.reduce(_ unionAll _)
+    if (df.isStreaming)
+      hits.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(digest, "phrase")
+        .drop(digest)
+    else hits.dropDuplicates(digest, "phrase").drop(digest)
+  }
 }

@@ -821,6 +821,14 @@ object Drive {
       println(s"rows=${incPairs.count()} incremental delta-vs-old pairs, " +
         s"non-delta left sides=$offDelta (expect 0)")
       incPairs.unpersist()
+      // phrase monitor (batch path): every flag's text must contain its
+      // phrase verbatim as a token subsequence
+      val flags = graft.text.PhraseSearch.flagged(docsT, "text", "ts",
+        Seq("table hash", "slow hash batch"))
+      val badFlag = flags.where(
+        !concat(lit(" "), concat_ws(" ", graft.text.TextFunctions.tokens(col("text"))), lit(" "))
+          .contains(concat(lit(" "), col("phrase"), lit(" ")))).count()
+      println(s"rows=${flags.count()} phrase flags, phrase-not-in-text=$badFlag (expect 0)")
     }
 
     spark.stop()

@@ -56,6 +56,45 @@ class PhraseSearchSpec extends AnyFlatSpec with Matchers {
       PhraseSearch.phraseHits(docs, "doc_id", "text", Nil)
   }
 
+  it should "flag phrase hits on a stream once per (content, phrase) and match batch" in {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    def ts(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val in = mem.toDF().toDF("id", "text", "ts")
+    val out = PhraseSearch.flagged(in, "text", "ts",
+      Seq("quick brown fox", "lazy dog"))
+    out.isStreaming shouldBe true
+    out.columns.toSeq shouldBe Seq("id", "text", "ts", "phrase")
+    val q = out.writeStream.format("memory").queryName("phrase_flag_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox and the lazy dog", ts("10:00:00")),
+        (2L, "nothing to see", ts("10:00:01")),
+        (3L, "quick brown fox quick brown fox", ts("10:00:02"))) // 2 hits, 1 flag
+      q.processAllAvailable()
+      spark.table("phrase_flag_test").select("id", "phrase").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet shouldBe Set(
+        (1L, "quick brown fox"), (1L, "lazy dog"), (3L, "quick brown fox"))
+      // same content re-ingested within the horizon: no second flag
+      mem.addData((4L, "quick brown fox quick brown fox", ts("10:01:00")))
+      q.processAllAvailable()
+      spark.table("phrase_flag_test").count() shouldBe 3L
+    } finally q.stop()
+    // batch parity on the same rows (content-distinct flags)
+    val batch = Seq(
+      (1L, "the quick brown fox and the lazy dog", ts("10:00:00")),
+      (2L, "nothing to see", ts("10:00:01")),
+      (3L, "quick brown fox quick brown fox", ts("10:00:02")),
+      (4L, "quick brown fox quick brown fox", ts("10:01:00"))).toDF("id", "text", "ts")
+    PhraseSearch.flagged(batch, "text", "ts", Seq("quick brown fox", "lazy dog"))
+      .select("phrase").collect().map(_.getString(0)).sorted.toSeq shouldBe
+      Seq("lazy dog", "quick brown fox", "quick brown fox")
+  }
+
   it should "match a phrase longer than most docs only where it fits" in {
     val out = PhraseSearch.phraseHits(docs, "doc_id", "text",
         Seq("the quick brown fox jumps over the lazy dog"))
