@@ -828,3 +828,34 @@ def phrase_flagged(df, phrases, text_col="text", ts_col="ts",
     columns + ``phrase``; works on batch frames too (plain dedup)."""
     return _wrap(df, _facade(df).phraseFlagged(
         df._jdf, text_col, ts_col, [str(p) for p in phrases], watermark))
+
+
+def funnel_earliest_chain(events, steps, user_col="user_id", ts_col="ts",
+                          type_col="event_type",
+                          window_micros=2 * 3600 * 1000000):
+    """Funnel analysis: per user, the earliest greedy chain through the
+    ordered step event types (forward as-of folds) — step timestamps,
+    steps_reached, converted-within-window."""
+    return _wrap(events, _facade(events).funnelEarliestChain(
+        events._jdf, user_col, ts_col, type_col,
+        [str(s) for s in steps], int(window_micros)))
+
+
+def expectations_table_rules(df, rules):
+    """Row-level data-quality rules in ONE pass: ``rules`` is a list of
+    (name, sql_bool_marking_bad_rows) pairs -> (rule, n_checked, n_bad,
+    pass) report rows."""
+    names = [str(n) for n, _ in rules]
+    exprs = [str(e) for _, e in rules]
+    return _wrap(df, _facade(df).expectationsTableRules(df._jdf, names, exprs))
+
+
+def expectations_unique_key(df, keys, rule):
+    """Exactly-once key expectation (surplus rows counted as bad)."""
+    return _wrap(df, _facade(df).expectationsUniqueKey(df._jdf, keys, rule))
+
+
+def expectations_referential(child, parent, child_keys, parent_keys, rule):
+    """FK orphan expectation; null child keys are out of scope."""
+    return _wrap(child, _facade(child).expectationsReferential(
+        child._jdf, child_keys, parent._jdf, parent_keys, rule))

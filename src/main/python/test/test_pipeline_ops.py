@@ -681,3 +681,23 @@ class TestRound7c(object):
         # docs 0 and 3 share content -> one flag for the pair
         flagged_ids = {i for i, _ in out}
         assert len(out) == 2 and flagged_ids < {0, 1, 3}
+
+
+    def test_funnel_and_expectations(self, local_spark):
+        import datetime
+        t0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+        d = lambda s: t0 + datetime.timedelta(seconds=s)
+        ev = local_spark.createDataFrame(
+            [(1, "view", d(0)), (1, "click", d(5)), (1, "purchase", d(9)),
+             (2, "view", d(0)), (2, "purchase", d(1))],
+            ["user_id", "event_type", "ts"])
+        out = {r["user_id"]: (r["steps_reached"], r["converted"]) for r in
+               P.funnel_earliest_chain(ev, ["view", "click", "purchase"],
+                                       window_micros=60 * 1000000).collect()}
+        assert out == {1: (3, True), 2: (1, False)}
+        df = local_spark.createDataFrame([(1, 5), (1, -2)], ["k", "v"])
+        rep = {r["rule"]: (r["n_bad"], r["pass"]) for r in
+               P.expectations_table_rules(df, [("v_pos", "NOT (v > 0)")])
+               .unionByName(P.expectations_unique_key(df, "k", "k_unique"))
+               .collect()}
+        assert rep == {"v_pos": (1, False), "k_unique": (1, False)}

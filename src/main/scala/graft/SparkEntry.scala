@@ -1367,6 +1367,42 @@ object SparkEntry {
           col("h_end").cast("long").as("h_ts"), col("h_value"))
     }),
 
+    // data-quality expectation report: row-level rules in ONE pass per
+    // table, exactly-once keys, FK orphan checks — the promotion gate a
+    // pipeline alerts on; the 1–10 quantity rule is deliberately tight
+    // so a FAILING row (nonzero n_bad, pass=false) is exercised too
+    "quality_expectations" -> ((s, dir) => {
+      val orders = tbl(s, dir, "orders")
+      val cust = tbl(s, dir, "customer")
+      val li = tbl(s, dir, "lineitem")
+      graft.stats.Expectations.report(
+        graft.stats.Expectations.tableRules(li, Seq(
+          "li_quantity_in_1_50" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          "li_quantity_in_1_10" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 10),
+          "li_price_positive" -> !(col("l_extendedprice") > 0))),
+        graft.stats.Expectations.uniqueKey(orders, Seq("o_orderkey"), "orders_pk_unique"),
+        graft.stats.Expectations.uniqueKey(li, Seq("l_orderkey", "l_linenumber"),
+          "lineitem_pk_unique"),
+        graft.stats.Expectations.referential(li, Seq("l_orderkey"),
+          orders, Seq("o_orderkey"), "li_orders_fk"),
+        graft.stats.Expectations.referential(orders, Seq("o_custkey"),
+          cust, Seq("c_custkey"), "orders_cust_fk"))
+    }),
+
+    // funnel analysis: earliest greedy view→click→purchase chain per
+    // user within 2 hours — N-1 forward as-of folds, each one O(L+R)
+    // keyed shuffle of slim (user, ts) rows; no self-join pair blow-up
+    "events_funnel" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      graft.streaming.Funnel.earliestChain(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowMicros = 2L * 3600 * 1000000)
+        .select(col("user_id"),
+          unix_micros(col("step1_ts")).as("t1"),
+          unix_micros(col("step2_ts")).as("t2"),
+          unix_micros(col("step3_ts")).as("t3"),
+          col("steps_reached"), col("converted"))
+    }),
+
     // forward as-of: the NEXT completed hourly aggregate at-or-after
     // each event (first-over-following carry, same one shuffle); native
     // DuckDB ASOF with the <= inequality oracles it
@@ -2771,6 +2807,64 @@ object SparkEntry {
         |      FROM events GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
         |FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
+
+    // every check replayed as its defining count; orphan checks via
+    // NOT EXISTS over non-null child keys (the SQL FK convention)
+    "quality_expectations" ->
+      """SELECT 'li_quantity_in_1_50' AS "rule", count(*) n_checked,
+        |  CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) AS BIGINT) n_bad,
+        |  sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 50) THEN 1 ELSE 0 END) = 0 pass
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'li_quantity_in_1_10', count(*),
+        |  CAST(sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 10) THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN NOT (l_quantity >= 1 AND l_quantity <= 10) THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'li_price_positive', count(*),
+        |  CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_pk_unique', count(*),
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |  count(*) = count(DISTINCT o_orderkey)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'lineitem_pk_unique', count(*),
+        |  CAST(count(*) - (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT),
+        |  count(*) = (SELECT count(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'li_orders_fk', count(*),
+        |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey) THEN 1 ELSE 0 END) = 0
+        |FROM lineitem l WHERE l_orderkey IS NOT NULL
+        |UNION ALL
+        |SELECT 'orders_cust_fk', count(*),
+        |  CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END) AS BIGINT),
+        |  sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey) THEN 1 ELSE 0 END) = 0
+        |FROM orders o WHERE o_custkey IS NOT NULL""".stripMargin,
+
+    // the greedy chain replayed step by step: anchor = min view ts,
+    // each later step = min ts of its type at-or-after the previous;
+    // FALSE AND NULL = FALSE keeps `converted` non-null in both engines
+    "events_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 us FROM events),
+        |s1 AS (SELECT user_id, min(us) t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, t1, min(e.us) t2 FROM s1
+        |       LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |                  AND e.us >= s1.t1
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, t1, t2, min(e.us) t3 FROM s2
+        |       LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |                  AND e.us >= s2.t2
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3,
+        |  CAST(1 + (CASE WHEN t2 IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN t3 IS NULL THEN 0 ELSE 1 END) AS BIGINT) steps_reached,
+        |  (t3 IS NOT NULL AND t3 - t1 <= 7200000000) converted
+        |FROM s3""".stripMargin,
 
     // forward as-of: native DuckDB ASOF with the <= inequality —
     // smallest hour end >= event time per user

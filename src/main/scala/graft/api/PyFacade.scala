@@ -630,6 +630,36 @@ object PyFacade {
       phrases.asScala.toSeq, watermark)
   }
 
+  /** Funnel analysis: earliest greedy step chain per user. */
+  def funnelEarliestChain(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: java.util.List[String], windowMicros: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.streaming.Funnel.earliestChain(events, userCol, tsCol, typeCol,
+      steps.asScala.toSeq, windowMicros)
+  }
+
+  /** Row-level expectation rules (name -> SQL boolean marking BAD
+    * rows), one aggregation pass. */
+  def expectationsTableRules(df: DataFrame, names: java.util.List[String],
+      badExprs: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    require(names.size == badExprs.size, "names/exprs must be equal-length")
+    graft.stats.Expectations.tableRules(df,
+      names.asScala.toSeq.zip(badExprs.asScala.toSeq.map(expr)))
+  }
+
+  /** Exactly-once key expectation. */
+  def expectationsUniqueKey(df: DataFrame, keysCsv: String, rule: String): DataFrame =
+    graft.stats.Expectations.uniqueKey(df,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, rule)
+
+  /** FK orphan expectation (null child keys out of scope). */
+  def expectationsReferential(child: DataFrame, childKeysCsv: String,
+      parent: DataFrame, parentKeysCsv: String, rule: String): DataFrame =
+    graft.stats.Expectations.referential(child,
+      childKeysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      parent, parentKeysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, rule)
+
   /** Corpus snapshot diff: (id, status in added|removed|changed). */
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
       idCol: String, textCol: String): DataFrame =

@@ -829,6 +829,24 @@ object Drive {
         !concat(lit(" "), concat_ws(" ", graft.text.TextFunctions.tokens(col("text"))), lit(" "))
           .contains(concat(lit(" "), col("phrase"), lit(" ")))).count()
       println(s"rows=${flags.count()} phrase flags, phrase-not-in-text=$badFlag (expect 0)")
+      // funnel: monotone non-increasing step reachability
+      val fu = graft.streaming.Funnel.earliestChain(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"), windowMicros = 2L * 3600 * 1000000).cache()
+      val n1 = fu.count(); val n2 = fu.where(col("steps_reached") >= 2).count()
+      val n3 = fu.where(col("steps_reached") === 3).count()
+      val conv = fu.where(col("converted")).count()
+      println(s"rows=$n1 funnel users, monotone=${n1 >= n2 && n2 >= n3 && n3 >= conv} " +
+        s"(expect true), converted=$conv")
+      fu.unpersist()
+      // expectations: TPC-H referential integrity must hold
+      val expReport = graft.stats.Expectations.report(
+        graft.stats.Expectations.referential(
+          spark.read.parquet(s"$dir/lineitem.parquet"), Seq("l_orderkey"),
+          spark.read.parquet(s"$dir/orders.parquet"), Seq("o_orderkey"), "li_fk"),
+        graft.stats.Expectations.uniqueKey(
+          spark.read.parquet(s"$dir/orders.parquet"), Seq("o_orderkey"), "o_pk"))
+      val failing = expReport.where(!col("pass")).count()
+      println(s"rows=${expReport.count()} expectation rows, failing=$failing (expect 0)")
     }
 
     spark.stop()
