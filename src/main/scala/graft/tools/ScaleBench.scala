@@ -666,7 +666,39 @@ object ScaleBench {
         graft.similarity.ScalarQuantizer.topK(
           e.where(col("vec_id") < 20), e, "vec_id", "embedding", k = 10,
           p, shortlist = 100)
-      }))
+      }),
+
+      // funnel: events ×f with ×f users (per-user density constant) —
+      // two forward-as-of folds, shuffle ∝ f slim (user, ts) rows
+      "events_funnel" -> (() =>
+        graft.streaming.Funnel.earliestChain(events(f), "user_id", "ts",
+          "event_type", Seq("view", "click", "purchase"),
+          windowMicros = 2L * 3600 * 1000000)
+          .where(col("steps_reached") >= 1)),
+
+      // expectations: the one-pass table rules + key/FK checks — all
+      // map-side-combined aggregations and one anti-join; report rows
+      // CONSTANT while both scans grow ×f
+      "quality_expectations" -> (() => {
+        val li = keyed("lineitem", "l_orderkey", f, 1000000000L)
+          .withColumn("l_quantity", pmod(col("l_orderkey"), lit(50L)) + 1)
+        val ords = keyed("orders", "o_orderkey", f, 1000000000L)
+        graft.stats.Expectations.report(
+          graft.stats.Expectations.tableRules(li, Seq(
+            "q_in_1_50" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 50),
+            "q_in_1_10" -> !(col("l_quantity") >= 1 && col("l_quantity") <= 10))),
+          graft.stats.Expectations.uniqueKey(ords, Seq("o_orderkey"), "o_pk"),
+          graft.stats.Expectations.referential(li, Seq("l_orderkey"),
+            ords, Seq("o_orderkey"), "li_fk"))
+      }),
+
+      // streaming phrase monitor (batch path): needle probes die
+      // map-side; the dedup shuffle tracks flagged contents only
+      "phrase_stream_flag" -> (() =>
+        graft.text.PhraseSearch.flagged(docsPlain(f), "text", "ts",
+          Seq("table hash", "slow hash batch"))
+          .select(md5(col("text")).as("m"), col("phrase"))
+          .where(length(col("m")) >= 0)))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
