@@ -355,8 +355,17 @@ object SparkEntry {
         .where(col("l_event") =!= col("r_event"))
         .select(col("l_event"), col("r_event"), col("user_id"),
           unix_micros(col("r_ts")).as("r_us"))
-      val q = joined.writeStream.format("memory").queryName("jsi_sink")
-        .outputMode("append").start()
+      // stream-stream join state-store instances scale with shuffle
+      // partitions (4 stores per partition per batch here); this drain
+      // processes ONE file, so fewer, bigger partitions are strictly
+      // cheaper — scope the override to the streaming query's plan and
+      // restore around it (result rows are partitioning-invariant)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try joined.writeStream.format("memory").queryName("jsi_sink")
+          .outputMode("append").start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.processAllAvailable() finally q.stop()
       val out = s.table("jsi_sink").localCheckpoint(true)
       s.catalog.dropTempView("jsi_sink")
