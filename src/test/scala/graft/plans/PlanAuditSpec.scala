@@ -292,6 +292,45 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "evaluate all expectation table rules in ONE aggregation pass" in {
+    // N rules over one table must not become N scans: exactly one
+    // FileScan of lineitem and one pair of hash aggregates
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists(), "testdata not present")
+    import org.apache.spark.sql.functions.{col, lit}
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val rep = graft.stats.Expectations.tableRules(li, Seq(
+      "a" -> !(col("l_quantity") >= 1), "b" -> !(col("l_quantity") <= 50),
+      "c" -> !(col("l_extendedprice") > 0), "d" -> (col("l_orderkey") < lit(0))))
+    rep.collect()
+    val plan = rep.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      plan.linesIterator.count(_.contains("FileScan")) shouldBe 1
+      plan.linesIterator.count(_.contains("HashAggregate")) shouldBe 2 // partial + final
+    }
+  }
+
+  it should "fold the funnel without a per-user timeline window over raw events" in {
+    // each as-of step is a keyed shuffle + window over the tagged
+    // union; the plan must contain NO join of events against events
+    // (no pair blow-up) — only the slim chained as-of machinery
+    assume(new java.io.File(s"$dir/events.parquet").exists(), "testdata not present")
+    val ev = graft.SparkEntry.microTs(spark.read.parquet(s"$dir/events.parquet"))
+    val fu = graft.streaming.Funnel.earliestChain(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"), windowMicros = 3600000000L)
+    fu.collect()
+    val plan = fu.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      // the only joins are the left-outer union-backs of the as-of
+      // machinery; a pair-generating inner join of two event scans
+      // would print as a non-outer SortMergeJoin/ShuffledHashJoin
+      plan.linesIterator.filter(l =>
+        l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")).foreach { l =>
+        l should not include "Inner"
+      }
+      plan should include ("Window") // the carry windows are the engine
+    }
+  }
+
   it should "preserve snapshot partitioning across localCheckpoint when AQE is off (iterative-join contract)" in {
     // GridNearestJoin and Dedup.clusterPairs pre-partition their
     // long-lived snapshots. On AQE-OFF sessions that makes every
