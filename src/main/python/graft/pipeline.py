@@ -859,3 +859,10 @@ def expectations_referential(child, parent, child_keys, parent_keys, rule):
     """FK orphan expectation; null child keys are out of scope."""
     return _wrap(child, _facade(child).expectationsReferential(
         child._jdf, child_keys, parent._jdf, parent_keys, rule))
+
+
+def scd2(df, key_col, ts_col, value_cols):
+    """SCD2 change history: one row per value episode with
+    valid_from/valid_to (null = current) and per-key version;
+    ``value_cols`` is a CSV of tracked columns."""
+    return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))

@@ -701,3 +701,11 @@ class TestRound7c(object):
                .unionByName(P.expectations_unique_key(df, "k", "k_unique"))
                .collect()}
         assert rep == {"v_pos": (1, False), "k_unique": (1, False)}
+
+
+    def test_scd2(self, local_spark):
+        log = local_spark.createDataFrame(
+            [(1, 10, "b"), (1, 20, "b"), (1, 30, "g")], ["id", "ts", "tier"])
+        out = {(r["tier"], r["valid_from"], r["valid_to"], r["version"])
+               for r in P.scd2(log, "id", "ts", "tier").collect()}
+        assert out == {("b", 10, 30, 1), ("g", 30, None, 2)}

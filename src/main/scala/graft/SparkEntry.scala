@@ -1376,6 +1376,18 @@ object SparkEntry {
           col("h_end").cast("long").as("h_ts"), col("h_value"))
     }),
 
+    // SCD2 change history: per-user event-type episodes with
+    // valid_from/valid_to/version — consecutive repeats collapse, the
+    // (ts, value) total order pins duplicate-timestamp determinism
+    "scd2_history" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      graft.curation.ChangeHistory.scd2(
+        ev.select("user_id", "ts", "event_type"), "user_id", "ts", Seq("event_type"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("valid_from")).as("t_from"),
+          unix_micros(col("valid_to")).as("t_to"), col("version"))
+    }),
+
     // data-quality expectation report: row-level rules in ONE pass per
     // table, exactly-once keys, FK orphan checks — the promotion gate a
     // pipeline alerts on; the 1–10 quantity rule is deliberately tight
@@ -2816,6 +2828,20 @@ object SparkEntry {
         |      FROM events GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
         |FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
+
+    // episode detection replayed: lag-change filter, lead valid_to,
+    // row_number versions — IS DISTINCT FROM mirrors the null-safe <=>
+    "scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 us FROM events),
+        |m AS (SELECT user_id, event_type, us,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_type) prev
+        |      FROM e),
+        |ep AS (SELECT user_id, event_type, us FROM m
+        |       WHERE prev IS DISTINCT FROM event_type)
+        |SELECT user_id, event_type, us t_from,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_type) t_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_type) AS BIGINT) AS "version"
+        |FROM ep""".stripMargin,
 
     // every check replayed as its defining count; orphan checks via
     // NOT EXISTS over non-null child keys (the SQL FK convention)

@@ -630,6 +630,12 @@ object PyFacade {
       phrases.asScala.toSeq, watermark)
   }
 
+  /** SCD2 change history: value episodes with valid_from/valid_to. */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String,
+      valueColsCsv: String): DataFrame =
+    graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
+      valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
   /** Funnel analysis: earliest greedy step chain per user. */
   def funnelEarliestChain(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: java.util.List[String], windowMicros: Long): DataFrame = {

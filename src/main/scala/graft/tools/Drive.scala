@@ -847,6 +847,19 @@ object Drive {
           spark.read.parquet(s"$dir/orders.parquet"), Seq("o_orderkey"), "o_pk"))
       val failing = expReport.where(!col("pass")).count()
       println(s"rows=${expReport.count()} expectation rows, failing=$failing (expect 0)")
+      // SCD2 + as-of composition: attaching history "as of" each
+      // event's time must land inside the matched validity range
+      val hist = graft.curation.ChangeHistory.scd2(
+        ev.join(spark.read.parquet(s"$dir/events.parquet")
+            .select(col("event_id"), col("event_type")), "event_id")
+          .select("user_id", "ts", "event_type"),
+        "user_id", "ts", Seq("event_type"))
+        .select(col("user_id"), col("event_type").as("h_type"), col("valid_from"))
+      val pit = graft.join.AsOfJoin.asof(
+        ev.select("event_id", "user_id", "ts"), hist,
+        Seq("user_id"), "ts", "valid_from")
+      val outside = pit.where(col("valid_from") > col("ts")).count()
+      println(s"rows=${pit.count()} point-in-time rows, range violations=$outside (expect 0)")
     }
 
     spark.stop()

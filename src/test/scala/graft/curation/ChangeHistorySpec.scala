@@ -1,0 +1,68 @@
+package graft.curation
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestKit.spark
+
+class ChangeHistorySpec extends AnyFlatSpec with Matchers {
+
+  import spark.implicits._
+
+  behavior of "ChangeHistory.scd2"
+
+  it should "collapse consecutive repeats into episodes with valid ranges and versions" in {
+    val log = Seq(
+      (1L, 10L, "bronze"), (1L, 20L, "bronze"), (1L, 30L, "gold"),
+      (1L, 40L, "gold"), (1L, 50L, "bronze"),
+      (2L, 10L, "gold")).toDF("id", "ts", "tier")
+    val out = ChangeHistory.scd2(log, "id", "ts", Seq("tier"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getLong(4))).toSet
+    out shouldBe Set(
+      (1L, "bronze", 10L, 30L, 1L),
+      (1L, "gold", 30L, 50L, 2L),
+      (1L, "bronze", 50L, -1L, 3L), // re-entered value opens a NEW episode
+      (2L, "gold", 10L, -1L, 1L))
+  }
+
+  it should "treat null-to-value flips as changes (null-safe compare)" in {
+    val log = Seq((1L, 1L, Option.empty[String]), (1L, 2L, Some("a")),
+      (1L, 3L, Option.empty[String]), (1L, 4L, Option.empty[String]))
+      .toDF("id", "ts", "v")
+    val out = ChangeHistory.scd2(log, "id", "ts", Seq("v"))
+      .collect().map(r => (Option(r.getString(1)), r.getLong(2))).toSet
+    out shouldBe Set((None, 1L), (Some("a"), 2L), (None, 3L))
+  }
+
+  it should "order duplicate timestamps deterministically and collapse exact duplicates" in {
+    val log = Seq((1L, 10L, "b"), (1L, 10L, "a"), (1L, 10L, "a")).toDF("id", "ts", "v")
+    val out = ChangeHistory.scd2(log, "id", "ts", Seq("v"))
+      .collect().map(r => (r.getString(1), r.getLong(4))).toSet
+    // (ts, value) order: a before b; exact duplicate 'a' collapses
+    out shouldBe Set(("a", 1L), ("b", 2L))
+  }
+
+  it should "chain valid ranges gaplessly per key and validate inputs" in {
+    val rnd = new scala.util.Random(5)
+    val log = Seq.tabulate(300)(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(100).toLong, s"v${rnd.nextInt(3)}"))
+      .toDF("id", "ts", "v")
+    val rows = ChangeHistory.scd2(log, "id", "ts", Seq("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) Long.MaxValue else r.getLong(3), r.getLong(4)))
+    rows.groupBy(_._1).values.foreach { eps =>
+      val sorted = eps.sortBy(_._4)
+      sorted.map(_._4).toSeq shouldBe (1L to sorted.size).toSeq // dense versions
+      sorted.sliding(2).foreach {
+        case Array((_, _, to1, _), (_, from2, _, _)) => to1 shouldBe from2
+        case _ =>
+      }
+      sorted.last._3 shouldBe Long.MaxValue // the current episode is open
+    }
+    an[IllegalArgumentException] should be thrownBy
+      ChangeHistory.scd2(log, "id", "ts", Nil)
+    an[IllegalArgumentException] should be thrownBy
+      ChangeHistory.scd2(log, "id", "ts", Seq("ts"))
+  }
+}
