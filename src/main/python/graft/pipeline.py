@@ -866,3 +866,25 @@ def scd2(df, key_col, ts_col, value_cols):
     valid_from/valid_to (null = current) and per-key version;
     ``value_cols`` is a CSV of tracked columns."""
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
+
+
+def sentences(df, id_col="doc_id", text_col="text"):
+    """Sentence segmentation (RE2-replayable heuristic): exploded
+    (id_col, sent_idx, sentence) rows, terminators kept."""
+    return _wrap(df, _facade(df).sentences(df._jdf, id_col, text_col))
+
+
+def top_values(df, value_col, k=10):
+    """Hot-value skew diagnostic: the k most frequent values of a
+    column with counts and ranks (ties: count desc, value asc)."""
+    return _wrap(df, _facade(df).topValues(df._jdf, value_col, int(k)))
+
+
+def curate_audit(df, id_col="doc_id", text_col="text", lang="en",
+                 min_tokens=5, min_distinct_ratio=0.3):
+    """Curation audit: every input row with (kept, reason) — reason is
+    the first failing stage (lang/short/degenerate/duplicate) or
+    'kept'; kept rows are exactly :func:`curate`'s survivors."""
+    return _wrap(df, _facade(df).curateAudit(
+        df._jdf, id_col, text_col, lang, int(min_tokens),
+        float(min_distinct_ratio)))

@@ -709,3 +709,16 @@ class TestRound7c(object):
         out = {(r["tier"], r["valid_from"], r["valid_to"], r["version"])
                for r in P.scd2(log, "id", "ts", "tier").collect()}
         assert out == {("b", 10, 30, 1), ("g", 30, None, 2)}
+
+
+    def test_sentences_topvalues_audit(self, docs, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "one two. three! four")], ["doc_id", "text"])
+        sent = [(r["sent_idx"], r["sentence"]) for r in
+                P.sentences(df).collect()]
+        assert sorted(sent) == [(0, "one two."), (1, "three!"), (2, "four")]
+        tv = [(r["cnt"], r["rnk"]) for r in
+              P.top_values(docs, "text", k=2).collect()]
+        assert tv[0] == (2, 1)  # docs 0 and 3 share content
+        audit = {r["doc_id"]: r["reason"] for r in P.curate_audit(docs).collect()}
+        assert audit[3] == "duplicate" and len(audit) == 5

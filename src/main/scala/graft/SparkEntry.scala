@@ -1077,6 +1077,30 @@ object SparkEntry {
         "doc_id", "text", lang = "en", minTokens = 5, minDistinctRatio = 0.3)
         .select("doc_id", "n_tokens", "stop_ratio", "lang_pred")),
 
+    // curation audit: EVERY input row with its verdict and the first
+    // failing stage — the explainability pass shipped beside curate's
+    // survivors; kept=true rows are exactly pipeline_curate's output
+    "pipeline_curate_audit" -> ((s, dir) =>
+      graft.api.PyFacade.curateAudit(tbl(s, dir, "documents"),
+        "doc_id", "text", lang = "en", minTokens = 5, minDistinctRatio = 0.3)),
+
+    // sentence segmentation (terminators injected after 'table' — the
+    // synthetic corpus has no punctuation): RE2-replayable
+    // replace-then-split, 0-based sentence indexes
+    "text_sentences" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.sentences(
+            regexp_replace(col("text"), "table", "table."))))
+        .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
+          col("col").as("sentence"))),
+
+    // hot-value skew diagnostic: top-10 l_partkey values by count —
+    // TakeOrderedAndProject over the distinct-value count table, never
+    // a full sort
+    "profile_hotkeys" -> ((s, dir) =>
+      graft.stats.GroupStats.topValues(tbl(s, dir, "lineitem"), "l_partkey", k = 10)),
+
     // --- similarity search ---------------------------------------------
 
     "simsearch_topk" -> ((s, dir) => {
@@ -2316,6 +2340,43 @@ object SparkEntry {
          |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon FROM k)
          |SELECT k.doc_id, n_tokens, stop_ratio, lang_pred
          |FROM k JOIN c ON k.doc_id = c.doc_id AND c.doc_id = c.canon""".stripMargin,
+
+    // the same profile/filter/canon replay as pipeline_curate, opened
+    // up to verdicts: LEFT JOIN against the filtered canon window, the
+    // CASE chain mirrors the engine's first-failing-stage order
+    "pipeline_curate_audit" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql ws FROM documents),
+         |p AS (SELECT doc_id, text, CAST(len(ws) AS BIGINT) n_tokens,
+         |        CASE WHEN len(ws) > 0 THEN
+         |          CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE) END distinct_ratio,
+         |        $langPredSql lang_pred
+         |      FROM t),
+         |k AS (SELECT * FROM p WHERE lang_pred = 'en' AND n_tokens >= 5 AND distinct_ratio >= 0.3),
+         |c AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon FROM k)
+         |SELECT p.doc_id,
+         |  coalesce(c.doc_id = c.canon, FALSE) kept,
+         |  CASE WHEN lang_pred IS DISTINCT FROM 'en' THEN 'lang'
+         |       WHEN n_tokens < 5 THEN 'short'
+         |       WHEN distinct_ratio < 0.3 THEN 'degenerate'
+         |       WHEN c.doc_id <> c.canon THEN 'duplicate'
+         |       ELSE 'kept' END reason
+         |FROM p LEFT JOIN c ON p.doc_id = c.doc_id""".stripMargin,
+
+    // replace-then-split with a backreference (no lookbehind — RE2),
+    // empties filtered BEFORE indexing like the engine's filter()
+    "text_sentences" ->
+      """WITH p AS (SELECT doc_id, regexp_replace(text, 'table', 'table.', 'g') tx FROM documents),
+        |s AS (SELECT doc_id, list_filter(
+        |        string_split(regexp_replace(tx, '([.!?]+)[ ]+', '\1' || chr(10), 'g'), chr(10)),
+        |        x -> trim(x) != '') l FROM p)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) sent_idx, l[i] sentence
+        |FROM s, unnest(range(1, len(l) + 1)) r(i)""".stripMargin,
+
+    "profile_hotkeys" ->
+      """SELECT l_partkey, cnt, rnk FROM (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) cnt,
+        |         CAST(row_number() OVER (ORDER BY count(*) DESC, l_partkey) AS BIGINT) rnk
+        |  FROM lineitem GROUP BY 1) WHERE rnk <= 10""".stripMargin,
 
     // identical injection (CAST replays Spark's implicit numeric->string
     // concat), identical RE2-safe patterns (shared constants — explicit

@@ -630,6 +630,16 @@ object PyFacade {
       phrases.asScala.toSeq, watermark)
   }
 
+  /** Sentence segmentation, exploded: (idCol, sent_idx, sentence). */
+  def sentences(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(TextFunctions.sentences(col(textCol))))
+      .select(col(idCol), col("pos").cast("long").as("sent_idx"),
+        col("col").as("sentence"))
+
+  /** Hot-value profile: (value, cnt, rnk) top-k of a column. */
+  def topValues(df: DataFrame, valueCol: String, k: Int): DataFrame =
+    graft.stats.GroupStats.topValues(df, valueCol, k)
+
   /** SCD2 change history: value episodes with valid_from/valid_to. */
   def scd2(df: DataFrame, keyCol: String, tsCol: String,
       valueColsCsv: String): DataFrame =
@@ -694,6 +704,36 @@ object PyFacade {
   /** HTML → text extraction into `outCol`. */
   def stripHtml(df: DataFrame, htmlCol: String, outCol: String): DataFrame =
     df.withColumn(outCol, TextFunctions.stripHtml(col(htmlCol)))
+
+  /** [[curate]]'s AUDIT twin: every input row with its verdict —
+    * `(idCol, kept, reason)`, reason the FIRST failing stage in
+    * pipeline order (`lang`, `short`, `degenerate`, `duplicate`) or
+    * `kept`. Same predicates, same canonical-id selection, so
+    * `kept = true` rows are exactly [[curate]]'s survivors — the
+    * explainability pass a curation run ships beside its output
+    * (why did MY document disappear?). Same plan shapes: one profile
+    * projection, the skew-safe canonIds aggregation, a left join back. */
+  def curateAudit(df: DataFrame, idCol: String, textCol: String,
+      lang: String, minTokens: Int, minDistinctRatio: Double): DataFrame = {
+    val profiled = df
+      .select(col(idCol), col(textCol), TextFunctions.tokens(col(textCol)).as("__ws"))
+      .select(col(idCol), col(textCol),
+        size(col("__ws")).cast("long").as("__n"),
+        TextFunctions.distinctTokenRatio(col("__ws")).as("__dr"),
+        TextFunctions.langId(col("__ws")).as("__lang"))
+    val kept = profiled.where(col("__lang") === lang &&
+      col("__n") >= minTokens && col("__dr") >= minDistinctRatio)
+    val canon = Dedup.canonIds(kept, idCol, textCol)
+      .withColumn("__canon", lit(true))
+    profiled.join(canon, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__canon"), lit(false)).as("kept"),
+        when(col("__lang") =!= lang, "lang")
+          .when(col("__n") < minTokens, "short")
+          .when(col("__dr") < minDistinctRatio, "degenerate")
+          .when(col("__canon").isNull, "duplicate")
+          .otherwise("kept").as("reason"))
+  }
 
   // --- multimodal -------------------------------------------------------
 

@@ -110,4 +110,24 @@ object GroupStats {
       .select(g ++ (col("n") +:
         qs.zipWithIndex.map { case (q, i) => col("__ap")(i).as(s"ap$q") }): _*)
   }
+
+  /** Hot-value profile: the k most frequent values of a column with
+    * counts and dense ranks — the skew diagnostic a 100 TB run consults
+    * before choosing salting/broadcast strategies (which keys would
+    * straggle?). One map-side-combined count aggregation (distinct-
+    * value-sized), then an ORDER BY ... LIMIT k — Spark executes that
+    * as TakeOrderedAndProject (per-partition O(n log k) heaps + a
+    * k-row driver merge), never a full sort. Ties (cnt desc, value
+    * asc) deterministic; nulls count as a value (null-heaviness IS the
+    * diagnostic); the rank window runs on the k-row result. */
+  def topValues(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(valueCol)).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col(valueCol).asc_nulls_last)
+      .limit(k)
+    counts.withColumn("rnk",
+      row_number().over(Window.orderBy(col("cnt").desc, col(valueCol).asc_nulls_last))
+        .cast("long"))
+  }
 }

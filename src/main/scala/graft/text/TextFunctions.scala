@@ -321,6 +321,16 @@ object TextFunctions {
         col("col.tfidf_r6").as("tfidf_r6"), (col("pos") + 1).cast("long").as("rnk"))
   }
 
+  /** Sentence segmentation, RE2-replayable: terminator runs ([.!?]+)
+    * followed by spaces end a sentence (the terminator stays with its
+    * sentence); no lookbehind — engines without it (RE2) replay the
+    * replace-then-split chain byte-for-byte. Trailing/empty segments
+    * drop. Deliberately heuristic (no abbreviation lexicon): the
+    * bulk-corpus chunking convention, not a linguistic segmenter. */
+  def sentences(text: Column): Column =
+    filter(split(regexp_replace(text, "([.!?]+)[ ]+", "$1\n"), "\n", -1),
+      s => trim(s) =!= "")
+
   /** HTML → text extraction for crawl ingestion, as a chain of
     * codegen'd built-ins (map-only, no UDF, no parser library):
     * script/style blocks drop whole (non-greedy, case-insensitive),

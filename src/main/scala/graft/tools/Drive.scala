@@ -860,6 +860,16 @@ object Drive {
         Seq("user_id"), "ts", "valid_from")
       val outside = pit.where(col("valid_from") > col("ts")).count()
       println(s"rows=${pit.count()} point-in-time rows, range violations=$outside (expect 0)")
+      // sentences reassemble to the source text; audit partitions input
+      val sentBad = docsT
+        .select(col("doc_id"), col("text"),
+          concat_ws(" ", graft.text.TextFunctions.sentences(
+            regexp_replace(col("text"), "table", "table."))).as("re"))
+        .where(col("re") =!= regexp_replace(col("text"), "table", "table.")).count()
+      val audit = graft.api.PyFacade.curateAudit(docsT, "doc_id", "text", "en", 5, 0.3)
+      val keptMismatch = audit.where(col("kept") =!= (col("reason") === "kept")).count()
+      println(s"rows=${audit.count()} audited docs (sentence-reassembly mismatches=$sentBad, " +
+        s"kept/reason mismatches=$keptMismatch; expect 0 0)")
     }
 
     spark.stop()

@@ -152,6 +152,27 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe exact
   }
 
+  it should "audit curation verdicts consistently with curate's survivors" in {
+    val mixed = Seq(
+      (0L, "the and for with this that from are was have some words here"),
+      (1L, "the and for with this that from are was have some words here"), // dup of 0
+      (2L, "le la et un une dans pour sur avec est sont ce cette mots"),
+      (3L, "the and"), // too short
+      (4L, "the the the the the the the the the the")) // degenerate
+      .toDF("doc_id", "text")
+    val audit = graft.api.PyFacade.curateAudit(mixed, "doc_id", "text",
+        lang = "en", minTokens = 5, minDistinctRatio = 0.3)
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+    audit shouldBe Map(
+      0L -> ((true, "kept")), 1L -> ((false, "duplicate")),
+      2L -> ((false, "lang")), 3L -> ((false, "short")),
+      4L -> ((false, "degenerate")))
+    // kept=true ids == curate's survivor ids, by construction
+    val survivors = graft.api.PyFacade.curate(mixed, "doc_id", "text",
+      "en", 5, 0.3).select("doc_id").collect().map(_.getLong(0)).toSet
+    audit.filter(_._2._1).keySet shouldBe survivors
+  }
+
   it should "find exact duplicates by SimHash (identical fingerprints)" in {
     // exact duplicates have identical fingerprints (hamming 0)
     Dedup.simhashPairs(docs, "doc_id", "text")

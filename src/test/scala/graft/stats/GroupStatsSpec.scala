@@ -86,4 +86,23 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       GroupStats.quantiles(Seq(("a", 1)).toDF("__tot", "v"), Seq("__tot"), "v", Seq(50))
   }
+
+  it should "profile hot values with deterministic ties and null counting" in {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(Some("a"), Some("a"), Some("a"), Some("b"), Some("b"),
+      Some("c"), None, None).toDF("v")
+    val top = GroupStats.topValues(df, "v", k = 3)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+    top.toSeq shouldBe Seq(
+      (Some("a"), 3L, 1L), (Some("b"), 2L, 2L), (None, 2L, 3L))
+    // tie between b(2) and null(2): non-null sorts first (asc_nulls_last)
+    // k larger than distinct values: everything, still ranked
+    GroupStats.topValues(df, "v", k = 10).count() shouldBe 4L
+    // TakeOrdered shape: no global sort exchange materializes the full
+    // count table (the limit rides into the sort)
+    val plan = GroupStats.topValues(df, "v", k = 3)
+      .queryExecution.executedPlan.toString
+    plan should include ("TakeOrderedAndProject")
+    an[IllegalArgumentException] should be thrownBy GroupStats.topValues(df, "v", 0)
+  }
 }

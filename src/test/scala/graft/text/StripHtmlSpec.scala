@@ -31,6 +31,23 @@ class StripHtmlSpec extends AnyFlatSpec with Matchers {
     strip("  <p>a</p>\n\n<p>b</p>\t c  ") shouldBe "a b c"
   }
 
+  behavior of "TextFunctions.sentences"
+
+  it should "segment on terminator runs, keep terminators, drop empties" in {
+    def seg(s: String): Seq[String] =
+      Seq(s).toDF("t").select(TextFunctions.sentences(col("t"))).head.getSeq[String](0)
+    seg("one two. three four! five") shouldBe Seq("one two.", "three four!", "five")
+    seg("wait... what?! ok") shouldBe Seq("wait...", "what?!", "ok")
+    // terminator at end of text: no trailing empty segment
+    seg("done.") shouldBe Seq("done.")
+    seg("a.   b") shouldBe Seq("a.", "b") // space runs collapse into one cut
+    seg("") shouldBe Seq.empty
+    // no mid-token split: "3.14" has no space after the dot
+    seg("pi is 3.14 ok") shouldBe Seq("pi is 3.14 ok")
+  }
+
+  behavior of "TextFunctions.stripHtml (misc)"
+
   it should "propagate null and survive tagless / pathological input" in {
     Seq(Option.empty[String]).toDF("h")
       .select(TextFunctions.stripHtml(col("h"))).head.isNullAt(0) shouldBe true
