@@ -888,3 +888,13 @@ def curate_audit(df, id_col="doc_id", text_col="text", lang="en",
     return _wrap(df, _facade(df).curateAudit(
         df._jdf, id_col, text_col, lang, int(min_tokens),
         float(min_distinct_ratio)))
+
+
+def scd2_stream(df, key_col, ts_col, value_col, watermark="1 hour",
+                idle_timeout_micros=3600 * 1000000):
+    """Streaming SCD2 episodes (custom per-key state): closed episodes
+    emit on value flips, open episodes finalize when the watermark
+    passes the idle horizon; on a batch frame emits closed episodes."""
+    return _wrap(df, _facade(df).scd2Stream(
+        df._jdf, key_col, ts_col, value_col, watermark,
+        int(idle_timeout_micros)))

@@ -722,3 +722,15 @@ class TestRound7c(object):
         assert tv[0] == (2, 1)  # docs 0 and 3 share content
         audit = {r["doc_id"]: r["reason"] for r in P.curate_audit(docs).collect()}
         assert audit[3] == "duplicate" and len(audit) == 5
+
+
+    def test_scd2_stream_batch_path(self, local_spark):
+        import datetime
+        t0 = datetime.datetime(2026, 1, 1)
+        d = lambda s: t0 + datetime.timedelta(seconds=s)
+        log = local_spark.createDataFrame(
+            [(1, d(10), "b"), (1, d(20), "g"), (1, d(30), "g")],
+            ["id", "ts", "tier"])
+        out = [(r["tier"], r["version"]) for r in
+               P.scd2_stream(log, "id", "ts", "tier").collect()]
+        assert out == [("b", 1)]  # only the closed episode on batch

@@ -1412,6 +1412,18 @@ object SparkEntry {
           unix_micros(col("valid_to")).as("t_to"), col("version"))
     }),
 
+    // streaming SCD2 (flatMapGroupsWithState custom state), exercised
+    // on its batch path: the identical per-key fold with no timeouts
+    // emits exactly the CLOSED episodes; the MemoryStream spec pins
+    // stream ≡ batch incl. watermark-timeout finalization
+    "scd2_stream" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      graft.curation.ChangeHistory.scd2Stream(
+        ev.select("user_id", "ts", "event_type"), "user_id", "ts", "event_type")
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("valid_from").as("t_from"), col("valid_to").as("t_to"), col("version"))
+    }),
+
     // data-quality expectation report: row-level rules in ONE pass per
     // table, exactly-once keys, FK orphan checks — the promotion gate a
     // pipeline alerts on; the 1–10 quantity rule is deliberately tight
@@ -2903,6 +2915,22 @@ object SparkEntry {
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_type) t_to,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_type) AS BIGINT) AS "version"
         |FROM ep""".stripMargin,
+
+    // the scd2_history replay restricted to CLOSED episodes (what the
+    // no-timeout batch fold emits)
+    "scd2_stream" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 us FROM events),
+        |m AS (SELECT user_id, event_type, us,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_type) prev
+        |      FROM e),
+        |ep AS (SELECT user_id, event_type, us FROM m
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |f AS (SELECT user_id, event_type, us t_from,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_type) t_to,
+        |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_type) AS BIGINT) AS "version"
+        |      FROM ep)
+        |SELECT user_id, event_type, t_from, t_to, "version" FROM f
+        |WHERE t_to IS NOT NULL""".stripMargin,
 
     // every check replayed as its defining count; orphan checks via
     // NOT EXISTS over non-null child keys (the SQL FK convention)

@@ -640,6 +640,14 @@ object PyFacade {
   def topValues(df: DataFrame, valueCol: String, k: Int): DataFrame =
     graft.stats.GroupStats.topValues(df, valueCol, k)
 
+  /** Streaming SCD2 (custom flatMapGroupsWithState state): closed
+    * episodes online, open episodes on idle timeout; batch input emits
+    * closed episodes only. */
+  def scd2Stream(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, watermark: String, idleTimeoutMicros: Long): DataFrame =
+    graft.curation.ChangeHistory.scd2Stream(df, keyCol, tsCol, valueCol,
+      watermark, idleTimeoutMicros)
+
   /** SCD2 change history: value episodes with valid_from/valid_to. */
   def scd2(df: DataFrame, keyCol: String, tsCol: String,
       valueColsCsv: String): DataFrame =

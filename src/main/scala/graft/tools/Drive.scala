@@ -870,6 +870,20 @@ object Drive {
       val keptMismatch = audit.where(col("kept") =!= (col("reason") === "kept")).count()
       println(s"rows=${audit.count()} audited docs (sentence-reassembly mismatches=$sentBad, " +
         s"kept/reason mismatches=$keptMismatch; expect 0 0)")
+      // streaming SCD2 batch path == batch twin's closed episodes
+      val evT = ev.join(spark.read.parquet(s"$dir/events.parquet")
+          .select(col("event_id"), col("event_type")), "event_id")
+        .select("user_id", "ts", "event_type")
+      val closedStream = graft.curation.ChangeHistory.scd2Stream(
+          evT, "user_id", "ts", "event_type")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val closedBatch = graft.curation.ChangeHistory.scd2(
+          evT.selectExpr("cast(user_id as string) user_id", "unix_micros(ts) us", "event_type"),
+          "user_id", "us", Seq("event_type"))
+        .where(col("valid_to").isNotNull)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      println(s"rows=${closedStream.size} stream-fold closed episodes, " +
+        s"equal to batch twin=${closedStream == closedBatch} (expect true)")
     }
 
     spark.stop()

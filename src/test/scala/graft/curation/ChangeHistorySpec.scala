@@ -43,6 +43,63 @@ class ChangeHistorySpec extends AnyFlatSpec with Matchers {
     out shouldBe Set(("a", 1L), ("b", 2L))
   }
 
+  behavior of "ChangeHistory.scd2Stream"
+
+  it should "emit closed episodes online and finalize open ones on idle timeout" in {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.OutputMode
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val in = mem.toDF().toDF("id", "ts", "tier")
+    val out = ChangeHistory.scd2Stream(in, "id", "ts", "tier",
+      watermark = "0 seconds", idleTimeoutMicros = 60L * 1000000)
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("scd2_stream_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((1L, ts(10), "bronze"), (1L, ts(20), "bronze"))
+      q.processAllAvailable()
+      spark.table("scd2_stream_test").count() shouldBe 0L // episode still open
+      // a flip in a LATER batch closes the first episode
+      mem.addData((1L, ts(30), "gold"))
+      q.processAllAvailable()
+      val closed = spark.table("scd2_stream_test")
+        .collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      closed.toSeq shouldBe Seq(("bronze", ts(10).getTime * 1000, ts(30).getTime * 1000, 1L))
+      // advancing the watermark past maxTs + idleTimeout finalizes the
+      // open gold episode with null valid_to
+      mem.addData((2L, ts(500), "x"))
+      q.processAllAvailable()
+      mem.addData((2L, ts(501), "x")) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val all = spark.table("scd2_stream_test")
+        .collect().map(r => (r.getString(0), r.getString(1), r.isNullAt(3)))
+      all should contain (("1", "gold", true))
+    } finally q.stop()
+  }
+
+  it should "equal the batch twin's closed episodes when run on a batch frame" in {
+    import java.sql.Timestamp
+    def ts(sec: Long) = new Timestamp(1700000000000L + sec * 1000L)
+    val rnd = new scala.util.Random(17)
+    val log = Seq.tabulate(400)(i =>
+      (rnd.nextInt(8).toLong, ts(rnd.nextInt(200).toLong), s"v${rnd.nextInt(3)}"))
+      .toDF("id", "ts", "tier")
+    val streamOp = ChangeHistory.scd2Stream(log, "id", "ts", "tier")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val batch = ChangeHistory.scd2(
+        log.selectExpr("cast(id as string) id", "unix_micros(ts) us", "tier"),
+        "id", "us", Seq("tier"))
+      .where("valid_to is not null")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    streamOp shouldBe batch
+  }
+
   it should "chain valid ranges gaplessly per key and validate inputs" in {
     val rnd = new scala.util.Random(5)
     val log = Seq.tabulate(300)(i =>
