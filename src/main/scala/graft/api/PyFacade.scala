@@ -593,7 +593,10 @@ object PyFacade {
     * distinct_ratio, lang_pred), canonical rows only. */
   def curate(df: DataFrame, idCol: String, textCol: String,
       lang: String, minTokens: Int, minDistinctRatio: Double): DataFrame = {
-    val profiled = df
+    // a scan-shaped single-partition input would run the whole
+    // profile+dedup chain on one core (probe-caught at x16) — spread
+    // first, like every fan-out operator (JoinLayout discipline)
+    val profiled = graft.join.JoinLayout.spreadIfDegenerate(df)
       .select(col(idCol), col(textCol), TextFunctions.tokens(col(textCol)).as("__ws"))
       .select(col(idCol), col(textCol),
         size(col("__ws")).cast("long").as("n_tokens"),
@@ -723,7 +726,9 @@ object PyFacade {
     * projection, the skew-safe canonIds aggregation, a left join back. */
   def curateAudit(df: DataFrame, idCol: String, textCol: String,
       lang: String, minTokens: Int, minDistinctRatio: Double): DataFrame = {
-    val profiled = df
+    // same degenerate-layout guard as curate (probe-caught: x16 wall
+    // on one core under a single-file scan)
+    val profiled = graft.join.JoinLayout.spreadIfDegenerate(df)
       .select(col(idCol), col(textCol), TextFunctions.tokens(col(textCol)).as("__ws"))
       .select(col(idCol), col(textCol),
         size(col("__ws")).cast("long").as("__n"),

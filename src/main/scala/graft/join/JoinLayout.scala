@@ -43,7 +43,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, Repartition
  * at worst that costs one unneeded (or one missed) repartition of a
  * small side, never correctness.
  */
-private[join] object JoinLayout {
+private[graft] object JoinLayout {
 
   def balance(left: DataFrame, right: DataFrame): (DataFrame, DataFrame) =
     if (left.isStreaming || right.isStreaming) (left, right)
@@ -66,7 +66,14 @@ private[join] object JoinLayout {
     thr > 0 && df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(thr)
   }
 
-  private def spreadIfDegenerate(df: DataFrame): DataFrame = {
+  /** Public-to-the-library variant of the degenerate-layout guard: a
+    * SCAN-SHAPED plan (no join/agg/sort/window/repartition upstream)
+    * sitting on far fewer partitions than the session target gets
+    * spread before per-row-expensive pipelines — a single small file
+    * otherwise runs the whole downstream chain on one core (the
+    * GridSpatialJoin round-5 lesson, generalized). Costs one plan
+    * inspection + an RDD-lineage partition count (no job). */
+  private[graft] def spreadIfDegenerate(df: DataFrame): DataFrame = {
     val scanShaped = df.queryExecution.optimizedPlan.collectFirst {
       case p @ (_: Join | _: Aggregate | _: Sort | _: Window | _: RepartitionOperation) => p
     }.isEmpty

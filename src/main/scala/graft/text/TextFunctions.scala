@@ -116,8 +116,20 @@ object TextFunctions {
 
   /** Heuristic language ID: argmax of marker-word hit counts with the
     * LangMarkers priority order on ties; null-safe ("und" = undetermined
-    * when no marker hits at all). */
-  def langId(toks: Column): Column = {
+    * when no marker hits at all). Native codegen'd kernel
+    * ([[graft.functions.LangScores]] — one token pass with hash
+    * probes); the composed CASE-chain formulation it replaced
+    * re-evaluated ~languages² interpreted full-array filters per row
+    * (spec pins formulation equality, the oracle is unchanged). */
+  def langId(toks: Column): Column =
+    // coalesce preserves the composed formulation's null contract
+    // (null token array → "und", not null)
+    coalesce(graft.functions.LangScores.langId(toks), lit("und"))
+
+  /** The composed built-in formulation of [[langId]] — kept as the
+    * equivalence witness for the native kernel (LangIdParitySpec
+    * randomizes over it) and for custom marker experiments. */
+  def langIdComposed(toks: Column): Column = {
     val scores = LangMarkers.map { case (lang, ws) => lang -> wordSetCount(toks, ws) }
     val anyHit = scores.map(_._2).reduce(_ + _) > 0
     // CASE chain: first language whose score >= every other score

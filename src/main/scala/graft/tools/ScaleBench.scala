@@ -698,7 +698,46 @@ object ScaleBench {
         graft.text.PhraseSearch.flagged(docsPlain(f), "text", "ts",
           Seq("table hash", "slow hash batch"))
           .select(md5(col("text")).as("m"), col("phrase"))
-          .where(length(col("m")) >= 0)))
+          .where(length(col("m")) >= 0)),
+
+      // SCD2: events ×f with ×f keys — one keyed shuffle, per-key
+      // windows bounded by per-entity observations (constant here)
+      "scd2_history" -> (() =>
+        graft.curation.ChangeHistory.scd2(
+          events(f).select("user_id", "ts", "event_type"),
+          "user_id", "ts", Seq("event_type"))
+          .where(col("version") >= 1L)),
+
+      // streaming SCD2's batch fold on the same inflation: one keyed
+      // exchange into the stateful operator, no window machinery
+      "scd2_stream" -> (() =>
+        graft.curation.ChangeHistory.scd2Stream(
+          events(f).select("user_id", "ts", "event_type"),
+          "user_id", "ts", "event_type")
+          .where(col("version") >= 1L)),
+
+      // sentence segmentation: map-only replace-then-split — zero
+      // shuffle at every factor
+      "text_sentences" -> (() =>
+        docsPlain(f).select(col("doc_id"),
+          posexplode(graft.text.TextFunctions.sentences(
+            regexp_replace(col("text"), "table", "table."))))
+          .where(length(col("col")) >= 0)),
+
+      // hot-value profile: distinct-value-sized count agg + TakeOrdered
+      // — shuffle bounded by distinct values, never rows
+      "profile_hotkeys" -> (() =>
+        graft.stats.GroupStats.topValues(
+          keyed("lineitem", "l_orderkey", f, 1000000000L)
+            .withColumn("l_partkey", pmod(col("l_orderkey") * 17L, lit(200000L))),
+          "l_partkey", k = 10)),
+
+      // curation audit: profile projection + canonIds agg + join back —
+      // digest-keyed shuffles ∝ f, verdicts for every row
+      "pipeline_curate_audit" -> (() =>
+        graft.api.PyFacade.curateAudit(docs(f), "doc_id", "text",
+          "en", 5, 0.3)
+          .where(col("kept") === col("kept"))))
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
