@@ -868,6 +868,19 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def point_in_time(facts, history, keys, fact_ts_col,
+                  valid_from_col="valid_from", valid_to_col="valid_to",
+                  join_type="inner"):
+    """Point-in-time join (the :func:`scd2` read side): attach to each
+    fact the episode valid at the fact's timestamp — features as-of
+    label time, no future leakage; ``keys`` is a CSV. ``join_type``
+    'inner' drops facts with no valid episode, 'left' keeps them with
+    null episode columns."""
+    return _wrap(facts, _facade(facts).pointInTime(
+        facts._jdf, history._jdf, keys, fact_ts_col,
+        valid_from_col, valid_to_col, join_type))
+
+
 def sentences(df, id_col="doc_id", text_col="text"):
     """Sentence segmentation (RE2-replayable heuristic): exploded
     (id_col, sent_idx, sentence) rows, terminators kept."""

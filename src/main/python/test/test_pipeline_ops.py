@@ -711,6 +711,21 @@ class TestRound7c(object):
         assert out == {("b", 10, 30, 1), ("g", 30, None, 2)}
 
 
+    def test_point_in_time(self, local_spark):
+        log = local_spark.createDataFrame(
+            [(1, 10, "b"), (1, 30, "g")], ["id", "ts", "tier"])
+        hist = P.scd2(log, "id", "ts", "tier")
+        facts = local_spark.createDataFrame(
+            [(100, 1, 15), (101, 1, 35), (102, 1, 5)], ["fact_id", "id", "fts"])
+        inner = {(r["fact_id"], r["tier"]) for r in
+                 P.point_in_time(facts, hist, "id", "fts").collect()}
+        assert inner == {(100, "b"), (101, "g")}  # 102 predates history
+        left = {(r["fact_id"], r["tier"]) for r in
+                P.point_in_time(facts, hist, "id", "fts",
+                                join_type="left").collect()}
+        assert left == {(100, "b"), (101, "g"), (102, None)}
+
+
     def test_sentences_topvalues_audit(self, docs, local_spark):
         df = local_spark.createDataFrame(
             [(1, "one two. three! four")], ["doc_id", "text"])

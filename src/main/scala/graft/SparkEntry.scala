@@ -1424,6 +1424,26 @@ object SparkEntry {
           col("valid_from").as("t_from"), col("valid_to").as("t_to"), col("version"))
     }),
 
+    // point-in-time join: each purchase fact picks up the user's
+    // event-type episode valid AT purchase time — the scd2 read side,
+    // composed on the backward as-of core (one O(L+R) tagged-union
+    // shuffle) + the valid_to residual; the training-data
+    // temporal-correctness join (features as-of label time)
+    "j_pointintime" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      val hist = graft.curation.ChangeHistory.scd2(
+        ev.select("user_id", "ts", "event_type"), "user_id", "ts", Seq("event_type"))
+        .withColumnRenamed("event_type", "state")
+      val facts = ev.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.curation.ChangeHistory.pointInTime(
+          facts, hist, Seq("user_id"), "ts")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_fact"),
+          col("value"), col("state"),
+          unix_micros(col("valid_from")).as("t_from"),
+          unix_micros(col("valid_to")).as("t_to"), col("version"))
+    }),
+
     // data-quality expectation report: row-level rules in ONE pass per
     // table, exactly-once keys, FK orphan checks — the promotion gate a
     // pipeline alerts on; the 1–10 quantity rule is deliberately tight
@@ -2931,6 +2951,27 @@ object SparkEntry {
         |      FROM ep)
         |SELECT user_id, event_type, t_from, t_to, "version" FROM f
         |WHERE t_to IS NOT NULL""".stripMargin,
+
+    // scd2 replay + the validity join spelled directly: episodes are
+    // disjoint per key, so the BETWEEN-style predicate matches at most
+    // one episode per fact — the declarative twin of as-of + residual
+    "j_pointintime" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000 us FROM events),
+        |m AS (SELECT user_id, event_type, us,
+        |        lag(event_type) OVER (PARTITION BY user_id ORDER BY us, event_type) prev
+        |      FROM e),
+        |ep AS (SELECT user_id, event_type, us FROM m
+        |       WHERE prev IS DISTINCT FROM event_type),
+        |h AS (SELECT user_id, event_type AS state, us t_from,
+        |        lead(us) OVER (PARTITION BY user_id ORDER BY us, event_type) t_to,
+        |        CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_type) AS BIGINT) AS "version"
+        |      FROM ep),
+        |f AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 t_fact, "value"
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT f.event_id, f.user_id, f.t_fact, f."value", h.state,
+        |  h.t_from, h.t_to, h."version"
+        |FROM f JOIN h ON f.user_id = h.user_id AND h.t_from <= f.t_fact
+        |  AND (h.t_to IS NULL OR f.t_fact < h.t_to)""".stripMargin,
 
     // every check replayed as its defining count; orphan checks via
     // NOT EXISTS over non-null child keys (the SQL FK convention)

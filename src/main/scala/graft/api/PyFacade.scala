@@ -657,6 +657,14 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Point-in-time join: facts pick up the episode valid at fact ts. */
+  def pointInTime(facts: DataFrame, history: DataFrame, keysCsv: String,
+      factTsCol: String, validFromCol: String, validToCol: String,
+      joinType: String): DataFrame =
+    graft.curation.ChangeHistory.pointInTime(facts, history,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      factTsCol, validFromCol, validToCol, joinType)
+
   /** Funnel analysis: earliest greedy step chain per user. */
   def funnelEarliestChain(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: java.util.List[String], windowMicros: Long): DataFrame = {

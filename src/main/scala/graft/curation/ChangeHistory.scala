@@ -156,4 +156,71 @@ object ChangeHistory {
       .select((keyCol +: valueCols).map(col) ++
         Seq(col("valid_from"), col("valid_to"), col("version")): _*)
   }
+
+  /**
+   * Point-in-time join: attach to each fact row the dimension episode
+   * that was VALID at the fact's timestamp — `history.validFrom <=
+   * fact.ts` and (`validTo` null or `fact.ts < validTo`). The read
+   * side of [[scd2]]: "what was this user's state when the purchase
+   * happened", the canonical training-data temporal-correctness join
+   * (feature values as-of label time, no leakage from the future).
+   *
+   * Implementation: the episode with the greatest `validFrom <= ts` is
+   * exactly the BACKWARD [[graft.join.AsOfJoin]] match on `validFrom`,
+   * so this composes the one-shuffle O(L+R) tagged-union as-of core —
+   * never an inequality-pair join — then applies the `validTo` check
+   * as a residual filter. On gapless [[scd2]] output the residual
+   * passes every matched row (each episode ends where the next begins,
+   * so the as-of pick is always in-validity); it exists for HISTORIES
+   * WITH GAPS (e.g. episodes expired by retention), where a fact can
+   * fall between episodes: `joinType="inner"` drops such facts,
+   * `"left"` keeps them with null episode columns (same for facts
+   * before a key's first episode or with no key match at all).
+   *
+   * Requirements: `keys` on both sides; every non-key history column
+   * rides along as payload, so non-key names must not collide with
+   * fact columns; `factTsCol` and `validFromCol`/`validToCol` must be
+   * mutually comparable (same family: timestamp, date, or numeric).
+   *
+   * Scale: inherits the as-of contract — one shuffle of the slim
+   * tagged union, per-key window state O(1); hot fact keys follow the
+   * [[graft.join.AsOfJoin.asofBucketed]] discussion (point facts at a
+   * dimension key are usually events — bucket them there first).
+   */
+  def pointInTime(facts: DataFrame, history: DataFrame, keys: Seq[String],
+      factTsCol: String, validFromCol: String = "valid_from",
+      validToCol: String = "valid_to", joinType: String = "inner"): DataFrame = {
+    require(Seq("inner", "left").contains(joinType),
+      s"joinType must be 'inner' or 'left', got '$joinType'")
+    require(history.columns.contains(validFromCol),
+      s"history is missing validFrom column `$validFromCol`")
+    require(history.columns.contains(validToCol),
+      s"history is missing validTo column `$validToCol`")
+    val payload = history.columns.filterNot(keys.contains).toSeq
+    val clash = payload.filter(facts.columns.contains)
+    require(clash.isEmpty,
+      s"history payload columns collide with fact columns: ${clash.mkString(", ")}")
+    // zero-length episodes (same-instant flips in [[scd2]]: validTo ==
+    // validFrom) can never satisfy the validity predicate, but COULD
+    // win the as-of tie-break at equal validFrom and wrongly shadow
+    // the real episode — drop them up front. Afterwards validFrom is
+    // unique per key on [[scd2]] output (two episodes sharing a start
+    // would make the first zero-length); gapped user histories must
+    // keep that uniqueness themselves.
+    val live = history.where(
+      col(validToCol).isNull || col(validToCol) > col(validFromCol))
+    val joined = graft.join.AsOfJoin.asof(
+      facts, live, keys, factTsCol, validFromCol, joinType, "backward")
+    // residual validity: a match whose episode ENDED before the fact
+    // (gapped history) is not a point-in-time hit
+    val invalid = col(validToCol).isNotNull && col(factTsCol) >= col(validToCol)
+    joinType match {
+      case "inner" => joined.where(!invalid)
+      case _ =>
+        // left: keep the fact, null the episode — same shape as a
+        // no-match row from the as-of left join
+        joined.select(facts.columns.map(col) ++ payload.map(c =>
+          when(invalid, lit(null)).otherwise(col(c)).as(c)): _*)
+    }
+  }
 }

@@ -860,6 +860,21 @@ object Drive {
         Seq("user_id"), "ts", "valid_from")
       val outside = pit.where(col("valid_from") > col("ts")).count()
       println(s"rows=${pit.count()} point-in-time rows, range violations=$outside (expect 0)")
+      // the first-class pointInTime operator: every matched episode
+      // must COVER the fact ts, and on gapless history built from the
+      // facts themselves the inner join keeps every fact
+      val histFull = graft.curation.ChangeHistory.scd2(
+        ev.join(spark.read.parquet(s"$dir/events.parquet")
+            .select(col("event_id"), col("event_type")), "event_id")
+          .select("user_id", "ts", "event_type"),
+        "user_id", "ts", Seq("event_type"))
+        .withColumnRenamed("event_type", "h_state")
+      val pit2 = graft.curation.ChangeHistory.pointInTime(
+        ev.select("event_id", "user_id", "ts"), histFull, Seq("user_id"), "ts")
+      val uncovered = pit2.where(col("valid_from") > col("ts") ||
+        (col("valid_to").isNotNull && col("ts") >= col("valid_to"))).count()
+      println(s"rows=${pit2.count()} pointInTime rows (facts=${ev.count()}, " +
+        s"coverage violations=$uncovered; expect equal and 0)")
       // sentences reassemble to the source text; audit partitions input
       val sentBad = docsT
         .select(col("doc_id"), col("text"),

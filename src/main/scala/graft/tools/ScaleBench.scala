@@ -716,6 +716,21 @@ object ScaleBench {
           "user_id", "ts", "event_type")
           .where(col("version") >= 1L)),
 
+      // point-in-time join: scd2 build + backward as-of + residual —
+      // facts AND history inflate ∝ f, slim tagged-union shuffle
+      "j_pointintime" -> (() => {
+        val ev = events(f)
+        val hist = graft.curation.ChangeHistory.scd2(
+          ev.select("user_id", "ts", "event_type"),
+          "user_id", "ts", Seq("event_type"))
+          .withColumnRenamed("event_type", "state")
+        graft.curation.ChangeHistory.pointInTime(
+          ev.where(col("event_type") === "purchase")
+            .select("event_id", "user_id", "ts"),
+          hist, Seq("user_id"), "ts")
+          .where(col("version") >= 1L)
+      }),
+
       // sentence segmentation: map-only replace-then-split — zero
       // shuffle at every factor
       "text_sentences" -> (() =>

@@ -122,4 +122,61 @@ class ChangeHistorySpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       ChangeHistory.scd2(log, "id", "ts", Seq("ts"))
   }
+
+  behavior of "ChangeHistory.pointInTime"
+
+  it should "attach the episode valid at each fact timestamp" in {
+    val log = Seq((1L, 10L, "bronze"), (1L, 30L, "gold"), (1L, 50L, "bronze"),
+      (2L, 20L, "gold")).toDF("id", "ts", "tier")
+    val hist = ChangeHistory.scd2(log, "id", "ts", Seq("tier"))
+    val facts = Seq((100L, 1L, 10L), (101L, 1L, 29L), (102L, 1L, 30L),
+      (103L, 1L, 99L), (104L, 2L, 25L), (105L, 3L, 10L), (106L, 1L, 5L))
+      .toDF("fact_id", "id", "fts")
+    val out = ChangeHistory.pointInTime(facts, hist, Seq("id"), "fts")
+      .select("fact_id", "tier", "version")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    out shouldBe Set(
+      (100L, "bronze", 1L), // at episode start: inclusive
+      (101L, "bronze", 1L), (102L, "gold", 2L), (103L, "bronze", 3L),
+      (104L, "gold", 1L))   // 105 (unknown key) and 106 (before first) drop
+  }
+
+  it should "not let zero-length same-instant episodes shadow the live one" in {
+    // same-instant flip at ts=10: 'a' episode is zero-length; a fact AT
+    // ts=10 must match the surviving 'b' episode, not drop
+    val log = Seq((1L, 10L, "b"), (1L, 10L, "a")).toDF("id", "ts", "tier")
+    val hist = ChangeHistory.scd2(log, "id", "ts", Seq("tier"))
+    val facts = Seq((100L, 1L, 10L)).toDF("fact_id", "id", "fts")
+    val out = ChangeHistory.pointInTime(facts, hist, Seq("id"), "fts")
+      .select("fact_id", "tier").collect().map(r => (r.getLong(0), r.getString(1)))
+    out.toSeq shouldBe Seq((100L, "b"))
+  }
+
+  it should "respect gaps in the history and keep gap facts on a left join" in {
+    // hand-gapped history: [10,20) then [40,null) — nothing valid in [20,40)
+    val hist = Seq((1L, "x", 10L, Some(20L), 1L), (1L, "y", 40L, None, 2L))
+      .toDF("id", "tier", "valid_from", "valid_to", "version")
+    val facts = Seq((100L, 1L, 15L), (101L, 1L, 25L), (102L, 1L, 45L))
+      .toDF("fact_id", "id", "fts")
+    val inner = ChangeHistory.pointInTime(facts, hist, Seq("id"), "fts")
+      .select("fact_id", "tier").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    inner shouldBe Set((100L, "x"), (102L, "y")) // 101 falls in the gap
+    val left = ChangeHistory.pointInTime(facts, hist, Seq("id"), "fts",
+        joinType = "left")
+      .select("fact_id", "tier")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)))).toSet
+    left shouldBe Set((100L, Some("x")), (101L, None), (102L, Some("y")))
+  }
+
+  it should "reject colliding payload names and bad join types" in {
+    val hist = Seq((1L, "x", 10L, Some(20L))).toDF("id", "fts", "valid_from", "valid_to")
+    val facts = Seq((100L, 1L, 15L)).toDF("fact_id", "id", "fts")
+    an[IllegalArgumentException] should be thrownBy
+      ChangeHistory.pointInTime(facts, hist, Seq("id"), "fts") // `fts` collides
+    val hist2 = Seq((1L, "x", 10L, Some(20L))).toDF("id", "tier", "valid_from", "valid_to")
+    an[IllegalArgumentException] should be thrownBy
+      ChangeHistory.pointInTime(facts, hist2, Seq("id"), "fts", joinType = "full")
+    an[IllegalArgumentException] should be thrownBy
+      ChangeHistory.pointInTime(facts, hist2.drop("valid_to"), Seq("id"), "fts")
+  }
 }
