@@ -868,6 +868,22 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def write_bucketed(df, table, path, keys, num_buckets):
+    """Write ``df`` as an external parquet table bucketed (and
+    per-bucket sorted) on ``keys`` (CSV), one file per bucket — later
+    equi-joins/aggregations on the keys plan with no exchange."""
+    _facade(df).writeBucketed(df._jdf, table, path, keys, int(num_buckets))
+
+
+def colocated_join(spark, left_table, right_table, keys, join_type="inner"):
+    """Exchange-free equi-join of two co-bucketed tables on ``keys``
+    (CSV); refuses mismatched bucket layouts instead of silently
+    shuffling."""
+    jdf = spark._jvm.graft.api.PyFacade.colocatedJoin(
+        spark._jsparkSession, left_table, right_table, keys, join_type)
+    return DataFrame(jdf, spark)
+
+
 def point_in_time(facts, history, keys, fact_ts_col,
                   valid_from_col="valid_from", valid_to_col="valid_to",
                   join_type="inner"):

@@ -726,6 +726,21 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_bucketed_colocated_join(self, local_spark, tmp_path):
+        facts = local_spark.createDataFrame(
+            [(i % 5, i) for i in range(50)], ["k", "fid"])
+        dim = local_spark.createDataFrame(
+            [(i, "d%d" % i) for i in range(5)], ["k", "name"])
+        P.write_bucketed(facts, "pybkt_facts", str(tmp_path / "f"), "k", 4)
+        P.write_bucketed(dim, "pybkt_dim", str(tmp_path / "d"), "k", 4)
+        out = P.colocated_join(local_spark, "pybkt_facts", "pybkt_dim", "k")
+        assert out.count() == 50
+        assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+        import pytest as _pt
+        with _pt.raises(Exception):
+            P.colocated_join(local_spark, "pybkt_facts", "no_such_table", "k")
+
+
     def test_sentences_topvalues_audit(self, docs, local_spark):
         df = local_spark.createDataFrame(
             [(1, "one two. three! four")], ["doc_id", "text"])

@@ -747,6 +747,24 @@ object SparkEntry {
             bits = 16).as("z"))
     }),
 
+    // bucketed co-located join: both tables pre-shuffled into the
+    // same bucket layout at write time, so the join itself plans with
+    // NO exchange (validated spec match, merge-join scan-to-scan) —
+    // the pay-the-shuffle-once layout lever; BucketedSpec pins the
+    // zero-Exchange/zero-Sort plan, this gate pins result parity
+    "j_bucketed_colocated" -> ((s, dir) => {
+      val base = s"/tmp/graft_bucketed_gate_${math.abs(dir.hashCode)}"
+      graft.layout.Bucketed.writeBucketed(
+        tbl(s, dir, "orders").select("o_orderkey", "o_custkey"),
+        "gate_bkt_orders", s"$base/orders", Seq("o_custkey"), 8)
+      graft.layout.Bucketed.writeBucketed(
+        tbl(s, dir, "customer").select(col("c_custkey").as("o_custkey"), col("c_name")),
+        "gate_bkt_customer", s"$base/customer", Seq("o_custkey"), 8)
+      graft.layout.Bucketed.colocatedJoin(
+        s, "gate_bkt_orders", "gate_bkt_customer", Seq("o_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name")
+    }),
+
     // hot-phrase mining (boilerplate discovery): top-5 most
     // document-frequent bigrams per source — per-doc DISTINCT grams
     // (df semantics), one map-side-combined count, O(k)-state top-k;
@@ -2337,6 +2355,12 @@ object SparkEntry {
         |  CAST(list_sum([((b1 >> i) & 1) << (2 * i) for i in range(16)])
         |     + list_sum([((b2 >> i) & 1) << (2 * i + 1) for i in range(16)]) AS BIGINT) z
         |FROM r""".stripMargin,
+
+    // the bucketed layout changes the PLAN, not the result: a plain
+    // equi-join replays it
+    "j_bucketed_colocated" ->
+      """SELECT o.o_orderkey, o.o_custkey, c.c_name
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
 
     // distinct bigrams per doc (df semantics), count per (source,
     // phrase), df >= 3, top-5 by (df desc, phrase asc) — the same

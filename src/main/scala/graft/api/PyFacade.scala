@@ -657,6 +657,18 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Bucketed layout write: external parquet table, one file/bucket. */
+  def writeBucketed(df: DataFrame, table: String, path: String,
+      keysCsv: String, numBuckets: Int): Unit =
+    graft.layout.Bucketed.writeBucketed(df, table, path,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, numBuckets)
+
+  /** Exchange-free equi-join of two co-bucketed tables. */
+  def colocatedJoin(spark: org.apache.spark.sql.SparkSession, leftTable: String,
+      rightTable: String, keysCsv: String, joinType: String): DataFrame =
+    graft.layout.Bucketed.colocatedJoin(spark, leftTable, rightTable,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, joinType)
+
   /** Point-in-time join: facts pick up the episode valid at fact ts. */
   def pointInTime(facts: DataFrame, history: DataFrame, keysCsv: String,
       factTsCol: String, validFromCol: String, validToCol: String,

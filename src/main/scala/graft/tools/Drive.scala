@@ -899,6 +899,21 @@ object Drive {
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
       println(s"rows=${closedStream.size} stream-fold closed episodes, " +
         s"equal to batch twin=${closedStream == closedBatch} (expect true)")
+
+      // bucketed layout: write once, join with zero exchange
+      val bktBase = java.nio.file.Files.createTempDirectory("drive_bkt").toString
+      graft.layout.Bucketed.writeBucketed(
+        spark.read.parquet(s"$dir/orders.parquet").select("o_orderkey", "o_custkey"),
+        "drive_bkt_orders", s"$bktBase/orders", Seq("o_custkey"), 4)
+      graft.layout.Bucketed.writeBucketed(
+        spark.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey").as("o_custkey"), col("c_name")),
+        "drive_bkt_cust", s"$bktBase/customer", Seq("o_custkey"), 4)
+      val bj = graft.layout.Bucketed.colocatedJoin(
+        spark, "drive_bkt_orders", "drive_bkt_cust", Seq("o_custkey"))
+      val bjPlan = bj.queryExecution.executedPlan.toString
+      println(s"rows=${bj.count()} co-located join rows " +
+        s"(exchange-free=${!bjPlan.contains("Exchange")}; expect true)")
     }
 
     spark.stop()

@@ -731,6 +731,23 @@ object ScaleBench {
           .where(col("version") >= 1L)
       }),
 
+      // bucketed co-located join: the measured shuffle is the two
+      // WRITE-time repartitions (∝ f, paid once per layout); the join
+      // itself plans with no exchange (BucketedSpec pins the plan)
+      "j_bucketed_colocated" -> (() => {
+        val base = s"/tmp/graft_scale_bucketed_f$f"
+        graft.layout.Bucketed.writeBucketed(
+          keyed("orders", "o_custkey", f, 100000000L),
+          s"scale_bkt_orders_$f", s"$base/orders", Seq("o_custkey"), 16)
+        graft.layout.Bucketed.writeBucketed(
+          keyed("customer", "c_custkey", f, 100000000L)
+            .withColumnRenamed("c_custkey", "o_custkey"),
+          s"scale_bkt_cust_$f", s"$base/customer", Seq("o_custkey"), 16)
+        graft.layout.Bucketed.colocatedJoin(spark,
+            s"scale_bkt_orders_$f", s"scale_bkt_cust_$f", Seq("o_custkey"))
+          .where(col("o_custkey") >= 0)
+      }),
+
       // sentence segmentation: map-only replace-then-split — zero
       // shuffle at every factor
       "text_sentences" -> (() =>
