@@ -868,6 +868,25 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def extract_urls(df, id_col="doc_id", text_col="text"):
+    """URL extraction: exploded (id, url_idx, url, domain) rows —
+    whitespace-delimited http(s) tokens in order, with lowercased
+    www-stripped host keys for domain-level curation."""
+    return _wrap(df, _facade(df).extractUrls(df._jdf, id_col, text_col))
+
+
+def salted_join(left, right, keys, salt_factor=8, hot_keys=None,
+                join_type="inner"):
+    """Salted hot-key equi-join: result-identical to a plain join on
+    ``keys`` (CSV), with hot-key probe rows spread over ``salt_factor``
+    partitions (build rows replicated per salt). ``hot_keys`` is an
+    optional DataFrame of exactly the key columns (e.g. a top-k) —
+    without it the whole build side replicates."""
+    hk = hot_keys._jdf if hot_keys is not None else None
+    return _wrap(left, _facade(left).saltedJoin(
+        left._jdf, right._jdf, keys, int(salt_factor), hk, join_type))
+
+
 def write_bucketed(df, table, path, keys, num_buckets):
     """Write ``df`` as an external parquet table bucketed (and
     per-bucket sorted) on ``keys`` (CSV), one file per bucket — later

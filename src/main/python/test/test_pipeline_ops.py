@@ -726,6 +726,32 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_extract_urls(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "go https://www.A.org/x then http://b.io:80/y")],
+            ["doc_id", "text"])
+        out = [(r["url_idx"], r["url"], r["domain"])
+               for r in P.extract_urls(df).collect()]
+        assert out == [(0, "https://www.A.org/x", "a.org"),
+                       (1, "http://b.io:80/y", "b.io")]
+
+
+    def test_salted_join(self, local_spark):
+        probe = local_spark.createDataFrame(
+            [(0 if i % 2 == 0 else i % 7, i) for i in range(80)], ["k", "pay"])
+        build = local_spark.createDataFrame(
+            [(i, "b%d" % i) for i in range(7)], ["k", "bpay"])
+        plain = sorted((r["k"], r["pay"], r["bpay"])
+                       for r in probe.join(build, "k").collect())
+        hot = local_spark.createDataFrame([(0,)], ["k"])
+        salted = sorted((r["k"], r["pay"], r["bpay"]) for r in
+                        P.salted_join(probe, build, "k", 4, hot).collect())
+        assert salted == plain
+        everything = sorted((r["k"], r["pay"], r["bpay"]) for r in
+                            P.salted_join(probe, build, "k", 4).collect())
+        assert everything == plain
+
+
     def test_bucketed_colocated_join(self, local_spark, tmp_path):
         facts = local_spark.createDataFrame(
             [(i % 5, i) for i in range(50)], ["k", "fid"])

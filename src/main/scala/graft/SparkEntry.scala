@@ -747,6 +747,41 @@ object SparkEntry {
             bits = 16).as("z"))
     }),
 
+    // salted skew join: hot-key probe rows spread over 8 salts, build
+    // rows for hot keys replicated 8x (broadcast top-k hot set) —
+    // result-identical to the plain join, straggler task split; for
+    // the plans AQE can't re-shape (bucketed layouts, stream-static)
+    "j_skew_salted" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem").select("l_orderkey", "l_linenumber")
+      val ord = tbl(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val hot = ord.where(pmod(col("l_orderkey"), lit(7)) === 0)
+        .select("l_orderkey")
+      graft.join.SkewJoin.salted(li, ord, Seq("l_orderkey"),
+        saltFactor = 8, hotKeys = Some(hot))
+    }),
+
+    // multi-join pricing rollup (TPC-H Q3 shape): fact x fact shuffle
+    // join + broadcast dim + one aggregation — revenue summed in
+    // DECIMAL(38,8) so the distributed sum is order-independent and
+    // engine-exact
+    "q_pricing" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val ord = tbl(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderpriority")
+      val cust = tbl(s, dir, "customer").select("c_custkey", "c_mktsegment")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+        .agg(
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,8)")).as("rev_dec"),
+          count(lit(1)).as("n_items"))
+        .select(col("c_mktsegment"), col("o_orderpriority"),
+          round(col("rev_dec"), 2).cast("double").as("revenue"), col("n_items"))
+    }),
+
     // bucketed co-located join: both tables pre-shuffled into the
     // same bucket layout at write time, so the join itself plans with
     // NO exchange (validated spec match, merge-join scan-to-scan) —
@@ -1112,6 +1147,21 @@ object SparkEntry {
             regexp_replace(col("text"), "table", "table."))))
         .select(col("doc_id"), col("pos").cast("long").as("sent_idx"),
           col("col").as("sentence"))),
+
+    // URL extraction + domain keys (the corpus has no URLs, so two are
+    // injected per doc, id-derived): token-boundary URL pick-out,
+    // lowercased www-stripped host — map-only, per-doc ordered
+    "text_urls" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .withColumn("tx", concat(col("text"),
+          lit(" see https://www.Example"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".org/p/"), col("doc_id").cast("string"),
+          lit(" or http://cdn"), pmod(col("doc_id"), lit(3)).cast("string"),
+          lit(".site.io:8080/x?q=1")))
+        .select(col("doc_id"), posexplode(TextFunctions.urls(col("tx"))))
+        .select(col("doc_id"), col("pos").cast("long").as("url_idx"),
+          col("col").as("url"),
+          TextFunctions.urlDomain(col("col")).as("domain"))),
 
     // hot-value skew diagnostic: top-10 l_partkey values by count —
     // TakeOrderedAndProject over the distinct-value count table, never
@@ -2356,6 +2406,23 @@ object SparkEntry {
         |     + list_sum([((b2 >> i) & 1) << (2 * i + 1) for i in range(16)]) AS BIGINT) z
         |FROM r""".stripMargin,
 
+    // salting changes the PLAN, not the result: a plain equi-join
+    // replays it
+    "j_skew_salted" ->
+      """SELECT l.l_orderkey, l.l_linenumber, o.o_custkey
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""".stripMargin,
+
+    // per-row decimal cast BEFORE the sum mirrors the engine's
+    // order-independent decimal accumulation bit-for-bit
+    "q_pricing" ->
+      """SELECT c.c_mktsegment, o.o_orderpriority,
+        |  CAST(round(sum(CAST(l.l_extendedprice * (1.0 - l.l_discount) AS DECIMAL(38,8))), 2) AS DOUBLE) revenue,
+        |  count(*) n_items
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
+
     // the bucketed layout changes the PLAN, not the result: a plain
     // equi-join replays it
     "j_bucketed_colocated" ->
@@ -2427,6 +2494,21 @@ object SparkEntry {
         |        x -> trim(x) != '') l FROM p)
         |SELECT doc_id, CAST(i - 1 AS BIGINT) sent_idx, l[i] sentence
         |FROM s, unnest(range(1, len(l) + 1)) r(i)""".stripMargin,
+
+    // same injection; LIKE-prefix token filter (no regex dialect in
+    // the extraction), RE2 host capture + www strip for the domain
+    "text_urls" ->
+      """WITH p AS (SELECT doc_id,
+        |        text || ' see https://www.Example' || CAST(doc_id % 7 AS VARCHAR)
+        |             || '.org/p/' || CAST(doc_id AS VARCHAR)
+        |             || ' or http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+        |             || '.site.io:8080/x?q=1' tx FROM documents),
+        |u AS (SELECT doc_id, list_filter(string_split(tx, ' '),
+        |        x -> x LIKE 'http://%' OR x LIKE 'https://%') l FROM p)
+        |SELECT doc_id, CAST(i - 1 AS BIGINT) url_idx, l[i] url,
+        |  regexp_replace(lower(regexp_extract(l[i], '^https?://([^/:?#]+)', 1)),
+        |    '^www\.', '') AS "domain"
+        |FROM u, unnest(range(1, len(l) + 1)) r(i)""".stripMargin,
 
     "profile_hotkeys" ->
       """SELECT l_partkey, cnt, rnk FROM (

@@ -657,6 +657,20 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** URL extraction: (id, url_idx, url, domain) rows per document. */
+  def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), posexplode(graft.text.TextFunctions.urls(col(textCol))))
+      .select(col(idCol), col("pos").cast("long").as("url_idx"),
+        col("col").as("url"),
+        graft.text.TextFunctions.urlDomain(col("col")).as("domain"))
+
+  /** Salted hot-key equi-join; hotKeys may be null (salt everything). */
+  def saltedJoin(left: DataFrame, right: DataFrame, keysCsv: String,
+      saltFactor: Int, hotKeys: DataFrame, joinType: String): DataFrame =
+    graft.join.SkewJoin.salted(left, right,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      saltFactor, Option(hotKeys), joinType)
+
   /** Bucketed layout write: external parquet table, one file/bucket. */
   def writeBucketed(df: DataFrame, table: String, path: String,
       keysCsv: String, numBuckets: Int): Unit =

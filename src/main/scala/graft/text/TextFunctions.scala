@@ -343,6 +343,26 @@ object TextFunctions {
     filter(split(regexp_replace(text, "([.!?]+)[ ]+", "$1\n"), "\n", -1),
       s => trim(s) =!= "")
 
+  /** All whitespace-delimited http(s) URLs in a text, in order —
+    * token-boundary extraction (a token starting `http://`/`https://`
+    * IS the URL, trailing punctuation included), which is exactly
+    * replayable in any engine (a LIKE prefix over a split, no regex
+    * dialect involved) and the convention bulk web-corpus link
+    * statistics use. Map-only, zero shuffle. */
+  def urls(text: Column): Column =
+    filter(split(text, " ", -1),
+      t => t.startsWith("http://") || t.startsWith("https://"))
+
+  /** The host of a URL, lowercased, leading `www.` stripped — the
+    * domain-level key for source-quality scoring, blocklists and
+    * per-domain sampling quotas. Port/path/query drop; RE2-safe
+    * explicit classes (the [[redactPii]] discipline). Non-URL input →
+    * empty string (regexp_extract's no-match contract). */
+  def urlDomain(url: Column): Column =
+    regexp_replace(
+      lower(regexp_extract(url, "^https?://([^/:?#]+)", 1)),
+      "^www\\.", "")
+
   /** HTML → text extraction for crawl ingestion, as a chain of
     * codegen'd built-ins (map-only, no UDF, no parser library):
     * script/style blocks drop whole (non-greedy, case-insensitive),

