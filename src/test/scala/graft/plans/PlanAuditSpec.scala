@@ -331,6 +331,70 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "run pointInTime on the as-of machinery with no pair-generating join" in {
+    // the point-in-time join must be windows + equi-joins only: a
+    // BETWEEN-style inequality join of facts against episodes would
+    // plan as a nested-loop/cartesian pair generator and melt at scale
+    assume(new java.io.File(s"$dir/events.parquet").exists(), "testdata not present")
+    val ev = graft.SparkEntry.microTs(spark.read.parquet(s"$dir/events.parquet"))
+    val hist = graft.curation.ChangeHistory.scd2(
+      ev.select("user_id", "ts", "event_type"), "user_id", "ts", Seq("event_type"))
+      .withColumnRenamed("event_type", "state")
+    val pit = graft.curation.ChangeHistory.pointInTime(
+      ev.select("event_id", "user_id", "ts"), hist, Seq("user_id"), "ts")
+    pit.collect()
+    val plan = pit.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+      plan should include ("Window") // episode build + as-of carry
+    }
+  }
+
+  it should "plan the salted join as a merge join keyed by the salt" in {
+    import spark.implicits._
+    val probe = (1 to 500).map(i => (i.toLong % 40, i.toLong)).toDF("k", "pay")
+    val build = (0 to 39).map(i => (i.toLong, s"b$i")).toDF("k", "bpay")
+    val hot = Seq(Tuple1(0L)).toDF("k")
+    val out = graft.join.SkewJoin.salted(probe, build, Seq("k"), 8,
+      Some(hot), strategyHint = Some("merge"))
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      // the strategy hint survives to the FINAL join and the salt is a
+      // join key (that is what spreads the hot partition); the hot-key
+      // tag joins stay broadcast
+      plan.linesIterator.exists(l =>
+        l.contains("SortMergeJoin") && l.contains("__salt")) shouldBe true
+      plan should include ("BroadcastHashJoin")
+    }
+  }
+
+  it should "broadcast the pricing dimension and push the revenue sum to partials" in {
+    assume(new java.io.File(s"$dir/lineitem.parquet").exists(), "testdata not present")
+    val q = graft.SparkEntry.queries("q_pricing")(spark, dir)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      // dim side broadcast; map-side partial_sum before the one
+      // group-key exchange — the fact rows cross the wire pre-reduced
+      plan.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("c_custkey")) shouldBe true
+      plan should include ("partial_sum")
+      plan should not include "CartesianProduct"
+    }
+  }
+
+  it should "keep URL extraction exchange-free" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val q = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), posexplode(
+        graft.text.TextFunctions.urls(col("text"))))
+    val plan = q.queryExecution.executedPlan.toString
+    withClue(plan) { plan should not include "Exchange" }
+  }
+
   it should "preserve snapshot partitioning across localCheckpoint when AQE is off (iterative-join contract)" in {
     // GridNearestJoin and Dedup.clusterPairs pre-partition their
     // long-lived snapshots. On AQE-OFF sessions that makes every
