@@ -141,16 +141,17 @@ def asof_join_bucketed(left, right, keys="user_id", left_ts="ts",
 
 
 def range_join(points, intervals, point_col="v", lo_col="lo", hi_col="hi",
-               bucket_width=0.0):
+               bucket_width=0.0, join_type="inner"):
     """Range (interval) join: every (point, interval) pair with
     ``lo <= v <= hi`` (inclusive) -- bucketed, no cartesian, neither side
-    broadcast. ``bucket_width <= 0`` derives the width from interval
-    statistics -- NOTE: that path runs an eager Spark job at CALL time
-    (one slim stats aggregate over the interval bounds); pass an explicit
-    width to stay fully lazy."""
+    broadcast. ``join_type`` 'left' keeps unmatched points with null
+    interval columns (no extra shuffle). ``bucket_width <= 0`` derives
+    the width from interval statistics -- NOTE: that path runs an eager
+    Spark job at CALL time (one slim stats aggregate over the interval
+    bounds); pass an explicit width to stay fully lazy."""
     return _wrap(points, _facade(points).rangeJoin(
         points._jdf, intervals._jdf, point_col, lo_col, hi_col,
-        float(bucket_width)))
+        float(bucket_width), join_type))
 
 
 # --- similarity search ---------------------------------------------------

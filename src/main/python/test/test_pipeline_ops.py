@@ -215,6 +215,10 @@ class TestStreamingUnified(object):
         got = {(r["pid"], r["iid"]) for r in
                P.range_join(pts, ivs, point_col="v").collect()}
         assert got == {(1, "a"), (2, "a")}  # inclusive both ends; 42 > 41
+        left = {(r["pid"], r["iid"]) for r in
+                P.range_join(pts, ivs, point_col="v",
+                             join_type="left").collect()}
+        assert left == {(1, "a"), (2, "a"), (3, None)}  # miss kept
 
     def test_first_per_content(self, docs, local_spark):
         from pyspark.sql import functions as F

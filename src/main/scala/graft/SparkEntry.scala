@@ -1599,6 +1599,24 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey")
     }),
 
+    // LEFT range join: every customer, enclosing band if any — the
+    // narrow channel runs AS a left join (one bucket per point, no row
+    // ids), misses anti-probe the broadcast wide set map-side; sparse
+    // supplier subset (1 in 20) guarantees real misses at both SFs
+    "j_range_left" -> ((s, dir) => {
+      val pts = tbl(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal").cast("double").as("c_bal"))
+      val ivs = tbl(s, dir, "supplier")
+        .where(pmod(col("s_suppkey"), lit(20)) === 0)
+        .select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") - 100.0).as("lo"),
+          (col("s_acctbal").cast("double") + 100.0).as("hi"))
+      graft.join.RangeJoin.pointInInterval(
+        pts, ivs, col("c_bal"), col("lo"), col("hi"),
+        bucketWidth = 200.0, joinType = "left")
+        .select("c_custkey", "s_suppkey")
+    }),
+
     // interval×interval overlap join: customer balance bands [b-200,
     // b+200] against supplier bands [b-300, b+300] — overlap iff the
     // balances sit within 500 of each other; bucket PBSM with the
@@ -2998,6 +3016,13 @@ object SparkEntry {
         |FROM customer c JOIN supplier s
         |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 500.0
         | AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 500.0""".stripMargin,
+
+    // the left-outer twin: misses come back with a null supplier
+    "j_range_left" ->
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey % 20 = 0) s
+        |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 100.0
+        | AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 100.0""".stripMargin,
 
     // interval×interval overlap replayed as the raw inequality pair;
     // the bound arithmetic (b±200 / b±300) is the same IEEE double ops

@@ -115,11 +115,12 @@ object PyFacade {
     * the intervals plan lazily as usual. Pass an explicit width to stay
     * fully lazy. */
   def rangeJoin(points: DataFrame, intervals: DataFrame,
-      pointCol: String, loCol: String, hiCol: String, bucketWidth: Double): DataFrame = {
+      pointCol: String, loCol: String, hiCol: String, bucketWidth: Double,
+      joinType: String): DataFrame = {
     val w = if (bucketWidth > 0) bucketWidth
       else graft.join.RangeJoin.autoWidth(intervals, col(loCol), col(hiCol))
     graft.join.RangeJoin.pointInInterval(points, intervals,
-      col(pointCol), col(loCol), col(hiCol), w)
+      col(pointCol), col(loCol), col(hiCol), w, joinType = joinType)
   }
 
   // --- similarity search ------------------------------------------------

@@ -73,20 +73,35 @@ object RangeJoin {
    * @param maxBucketsPerInterval fan-out cap: intervals spanning more
    *                    buckets than this join via the broadcast
    *                    side-channel instead of exploding (see scaladoc)
+   * @param joinType    `"inner"` (default) or `"left"`. Left-outer
+   *                    costs NO extra shuffle: a point lives in exactly
+   *                    ONE bucket, so the narrow channel itself runs as
+   *                    a left join (misses surface as null interval
+   *                    sides in place), and a narrow-miss only needs a
+   *                    map-side BROADCAST anti-probe of the wide set
+   *                    before it is declared unmatched — multiplicities
+   *                    are exact without row ids. Points with a NULL
+   *                    probe value are unmatched by definition (SQL
+   *                    comparison semantics) and come back with null
+   *                    interval columns.
    * @return points.* ++ intervals.* — column names must be disjoint
    */
   def pointInInterval(
       points: DataFrame, intervals: DataFrame,
       pointCol: Column, loCol: Column, hiCol: Column,
       bucketWidth: Double,
-      maxBucketsPerInterval: Int = 4096): DataFrame = {
+      maxBucketsPerInterval: Int = 4096,
+      joinType: String = "inner"): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     require(maxBucketsPerInterval >= 1,
       s"maxBucketsPerInterval must be >= 1, got $maxBucketsPerInterval")
+    require(Seq("inner", "left").contains(joinType),
+      s"joinType must be 'inner' or 'left', got '$joinType'")
     val dup = points.columns.toSet.intersect(intervals.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
 
-    val v = "__rj_v"; val lo = "__rj_lo"; val hi = "__rj_hi"; val b = "__rj_b"
+    val v = "__rj_v"; val lo = "__rj_lo"; val hi = "__rj_hi"
+    val b = "__rj_b"; val bi = "__rj_bi"
     val (p0, i0) = JoinLayout.balance(points, intervals)
     val pv = p0.withColumn(v, pointCol).where(col(v).isNotNull)
     val p = pv.withColumn(b, floor(col(v).cast("double") / bucketWidth).cast("long"))
@@ -97,16 +112,35 @@ object RangeJoin {
     // bucket span minus one: an interval covering (bHi - bLo + 1) buckets
     // explodes iff that count stays within the cap
     val spanB = bHi - bLo
-    val narrow = p
-      .join(i.where(spanB < maxBucketsPerInterval)
-        .withColumn(b, explode(sequence(bLo, bHi))), b)
-      .where(col(v) >= col(lo) && col(v) <= col(hi))
-      .drop(v, lo, hi, b)
-    val wide = pv
-      .join(broadcast(i.where(spanB >= maxBucketsPerInterval)),
-        col(v) >= col(lo) && col(v) <= col(hi))
-      .drop(v, lo, hi)
-    narrow.unionByName(wide)
+    val iNarrow = i.where(spanB < maxBucketsPerInterval)
+      .withColumn(bi, explode(sequence(bLo, bHi)))
+    val iWide = i.where(spanB >= maxBucketsPerInterval)
+    val valid = col(v) >= col(lo) && col(v) <= col(hi)
+    if (joinType == "inner") {
+      val narrow = p.join(iNarrow, col(b) === col(bi) && valid)
+        .drop(v, lo, hi, b, bi)
+      val wide = pv.join(broadcast(iWide), valid).drop(v, lo, hi)
+      narrow.unionByName(wide)
+    } else {
+      // narrow channel AS the left join: matched rows keep their
+      // interval side, misses carry a null bi (exploded rows always
+      // have bi set, so null-ness IS the miss flag)
+      val narrowAll = p.join(iNarrow, col(b) === col(bi) && valid, "left")
+      val narrowHit = narrowAll.where(col(bi).isNotNull).drop(v, lo, hi, b, bi)
+      // every point also meets the wide set (hits are additive)
+      val wideHit = pv.join(broadcast(iWide), valid).drop(v, lo, hi)
+      // a true miss missed BOTH channels; null-valued points skipped
+      // the probe entirely and are misses by SQL comparison semantics
+      val nullIv = intervals.schema.fields.toSeq.map(f =>
+        lit(null).cast(f.dataType).as(f.name))
+      val misses = narrowAll.where(col(bi).isNull)
+        .select((points.columns.map(col) :+ col(v)).toSeq: _*)
+        .join(broadcast(iWide), valid, "left_anti")
+        .select(points.columns.map(col): _*)
+        .unionByName(p0.where(pointCol.isNull).select(points.columns.map(col): _*))
+        .select(points.columns.map(col) ++ nullIv: _*)
+      narrowHit.unionByName(wideHit).unionByName(misses)
+    }
   }
 
   /**

@@ -930,6 +930,21 @@ object Drive {
       println(s"rows=${sjOut.length} salted-join rows, equal to plain " +
         s"join=${sjOut.sameElements(sjPlain)} (expect true)")
 
+      // left range join: every customer present, real misses exist
+      val rlPts = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_acctbal").cast("double").as("c_bal"))
+      val rlIvs = spark.read.parquet(s"$dir/supplier.parquet")
+        .where(pmod(col("s_suppkey"), lit(20)) === 0)
+        .select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") - 100.0).as("lo"),
+          (col("s_acctbal").cast("double") + 100.0).as("hi"))
+      val rl = graft.join.RangeJoin.pointInInterval(rlPts, rlIvs,
+        col("c_bal"), col("lo"), col("hi"), 200.0, joinType = "left")
+      val rlCoverage = rl.select("c_custkey").distinct().count()
+      val rlMisses = rl.where(col("s_suppkey").isNull).count()
+      println(s"rows=${rl.count()} left-range rows, coverage=$rlCoverage of " +
+        s"${rlPts.count()} customers, misses=$rlMisses (expect full coverage, > 0)")
+
       // URL extraction: two injected URLs per doc, domains non-empty
       val urls = graft.api.PyFacade.extractUrls(
         docsT.withColumn("text", concat(col("text"),

@@ -248,6 +248,15 @@ object ScaleBench {
       "j_range_band" -> (() =>
         graft.join.RangeJoin.pointInInterval(custBal(f), supBands(),
           col("c_bal"), col("lo"), col("hi"), bucketWidth = 500.0)),
+      // left-outer twin on a sparse interval set: hits + misses both
+      // ∝ f, misses resolved via the same one bucket shuffle (the
+      // narrow channel IS the left join, no row-id pass)
+      "j_range_left" -> (() =>
+        graft.join.RangeJoin.pointInInterval(custBal(f),
+          supBands().where(pmod(col("s_suppkey"), lit(20)) === 0),
+          col("c_bal"), col("lo"), col("hi"), bucketWidth = 500.0,
+          joinType = "left")
+          .where(col("c_custkey") >= 0)),
       "dedup_containment" -> (() =>
         Dedup.containmentPairs(docs(f), "doc_id", "text", tau = 0.8)),
       // run-digest index: near-unique digests (k=8 windows over suffixed

@@ -38,6 +38,35 @@ class RangeJoinSpec extends AnyFlatSpec with Matchers {
     got.size should be > 0
   }
 
+  it should "keep unmatched and null-valued points on a left join (brute-force parity)" in {
+    val rnd = new scala.util.Random(13)
+    val pts = Seq.tabulate(300)(i =>
+      (i, if (i % 29 == 0) None else Some(rnd.nextDouble() * 220 - 110)))
+      .toDF("pid", "v")
+    val ivs = Seq.tabulate(40) { i =>
+      val lo = rnd.nextDouble() * 160 - 80 // narrower than the point domain: gaps
+      (i, lo, lo + rnd.nextDouble() * 6)
+    }.toDF("iid", "lo", "hi")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("pid", "iid").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .sorted.toSeq
+    val brute = canon(pts.join(ivs,
+      col("v") >= col("lo") && col("v") <= col("hi"), "left"))
+    val got = canon(RangeJoin.pointInInterval(
+      pts, ivs, col("v"), col("lo"), col("hi"), 5.0, joinType = "left"))
+    got shouldBe brute
+    got.count(_._2 == -1) should be > 0 // real misses exercised
+    // wide channel active too: a 1-bucket cap routes everything wide
+    val gotWide = canon(RangeJoin.pointInInterval(
+      pts, ivs, col("v"), col("lo"), col("hi"), 5.0,
+      maxBucketsPerInterval = 1, joinType = "left"))
+    gotWide shouldBe brute
+    an[IllegalArgumentException] should be thrownBy
+      RangeJoin.pointInInterval(pts, ivs, col("v"), col("lo"), col("hi"),
+        5.0, joinType = "full")
+  }
+
   it should "plan a bucket equi-join, never a cartesian, with broadcast disabled (plan audit)" in {
     val conf = spark.conf
     val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
