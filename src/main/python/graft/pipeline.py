@@ -869,6 +869,18 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def retention_cohorts(events, user_col="user_id", ts_col="ts",
+                      type_col="event_type", anchor_type="signup",
+                      period_micros=7 * 24 * 3600 * 1000000):
+    """Cohort retention matrix: users grouped by their earliest
+    ``anchor_type`` period, distinct-active counts per (cohort_period,
+    period_offset); pre-anchor events drop, exact integer period
+    indexes."""
+    return _wrap(events, _facade(events).retentionCohorts(
+        events._jdf, user_col, ts_col, type_col, anchor_type,
+        int(period_micros)))
+
+
 def extract_urls(df, id_col="doc_id", text_col="text"):
     """URL extraction: exploded (id, url_idx, url, domain) rows —
     whitespace-delimited http(s) tokens in order, with lowercased

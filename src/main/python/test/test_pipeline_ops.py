@@ -730,6 +730,19 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_retention_cohorts(self, local_spark):
+        import datetime
+        t0 = datetime.datetime(2026, 1, 1)
+        d = lambda days: t0 + datetime.timedelta(days=days)
+        ev = local_spark.createDataFrame(
+            [(1, d(0), "signup"), (1, d(3), "click"), (1, d(10), "click"),
+             (2, d(1), "click")],  # no signup -> never counted
+            ["user_id", "ts", "event_type"])
+        out = {(r["period_offset"], r["n_users"])
+               for r in P.retention_cohorts(ev).collect()}
+        assert out == {(0, 1), (1, 1)}  # week 0 (signup+click), week 1
+
+
     def test_extract_urls(self, local_spark):
         df = local_spark.createDataFrame(
             [(1, "go https://www.A.org/x then http://b.io:80/y")],

@@ -1512,6 +1512,15 @@ object SparkEntry {
           unix_micros(col("valid_to")).as("t_to"), col("version"))
     }),
 
+    // cohort retention matrix: users grouped by earliest-signup week,
+    // distinct-active counts per (cohort week, week offset) — slim
+    // (user, anchor) min-agg + equi-join + triple dedup, exact integer
+    // floor-division period indexes
+    "events_retention" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      graft.streaming.Retention.cohorts(ev, "user_id", "ts", "event_type", "signup")
+    }),
+
     // data-quality expectation report: row-level rules in ONE pass per
     // table, exactly-once keys, FK orphan checks — the promotion gate a
     // pipeline alerts on; the 1–10 quantity rule is deliberately tight
@@ -3103,6 +3112,16 @@ object SparkEntry {
         |  h.t_from, h.t_to, h."version"
         |FROM f JOIN h ON f.user_id = h.user_id AND h.t_from <= f.t_fact
         |  AND (h.t_to IS NULL OR f.t_fact < h.t_to)""".stripMargin,
+
+    // floor-division on positive micros: DuckDB // == Spark div
+    "events_retention" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 us, event_type FROM events),
+        |s AS (SELECT user_id, min(us) a FROM e WHERE event_type = 'signup' GROUP BY 1),
+        |d AS (SELECT DISTINCT e.user_id, a // 604800000000 cohort_period,
+        |        (us - a) // 604800000000 period_offset
+        |      FROM e JOIN s ON e.user_id = s.user_id WHERE us >= a)
+        |SELECT cohort_period, period_offset, count(*) n_users
+        |FROM d GROUP BY 1, 2""".stripMargin,
 
     // every check replayed as its defining count; orphan checks via
     // NOT EXISTS over non-null child keys (the SQL FK convention)

@@ -658,6 +658,12 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Cohort retention matrix: (cohort_period, period_offset, n_users). */
+  def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, anchorType: String, periodMicros: Long): DataFrame =
+    graft.streaming.Retention.cohorts(events, userCol, tsCol, typeCol,
+      anchorType, periodMicros)
+
   /** URL extraction: (id, url_idx, url, domain) rows per document. */
   def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), posexplode(graft.text.TextFunctions.urls(col(textCol))))

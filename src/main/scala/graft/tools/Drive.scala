@@ -930,6 +930,20 @@ object Drive {
       println(s"rows=${sjOut.length} salted-join rows, equal to plain " +
         s"join=${sjOut.sameElements(sjPlain)} (expect true)")
 
+      // retention: matrix is triangular-consistent — every (cohort,
+      // offset>0) count <= its cohort's offset-0 count
+      val ret = graft.streaming.Retention.cohorts(
+        ev.join(spark.read.parquet(s"$dir/events.parquet")
+            .select(col("event_id"), col("event_type")), "event_id")
+          .select("user_id", "ts", "event_type"),
+        "user_id", "ts", "event_type", "signup")
+      val retBase = ret.where(col("period_offset") === 0)
+        .select(col("cohort_period"), col("n_users").as("base"))
+      val retViol = ret.join(retBase, Seq("cohort_period"), "left")
+        .where(col("base").isNull || col("n_users") > col("base")).count()
+      println(s"rows=${ret.count()} retention cells, triangular violations=" +
+        s"$retViol (expect 0)")
+
       // left range join: every customer present, real misses exist
       val rlPts = spark.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey"), col("c_acctbal").cast("double").as("c_bal"))

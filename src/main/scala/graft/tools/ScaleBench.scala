@@ -752,6 +752,14 @@ object ScaleBench {
           .where(col("version") >= 1L)
       }),
 
+      // cohort retention: events ×f with ×f users — slim anchor agg +
+      // equi-join + triple dedup; shuffle ∝ f, output matrix bounded
+      // by cohorts × offsets (constant here)
+      "events_retention" -> (() =>
+        graft.streaming.Retention.cohorts(events(f),
+          "user_id", "ts", "event_type", "signup")
+          .where(col("n_users") >= 0)),
+
       // salted-vs-plain skew A/B on a half-hot key (key 0 holds half
       // of a ×f probe): same result set, the salted plan splits the
       // hot merge-join partition 8 ways — read the wall delta at ×16
