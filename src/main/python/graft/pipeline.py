@@ -869,6 +869,15 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def quantile_bins(df, group_cols, value_col, num_bins=4, out_col="bin"):
+    """Equal-frequency quantile binning: every row stamped with its
+    per-group bin in [0, num_bins) — histogram + distinct-value window
+    + join-back, never an ntile data sort; ties share a bin; null
+    values get a null bin. ``group_cols`` is a CSV."""
+    return _wrap(df, _facade(df).quantileBins(
+        df._jdf, group_cols, value_col, int(num_bins), out_col))
+
+
 def retention_cohorts(events, user_col="user_id", ts_col="ts",
                       type_col="event_type", anchor_type="signup",
                       period_micros=7 * 24 * 3600 * 1000000):

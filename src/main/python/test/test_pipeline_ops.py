@@ -730,6 +730,14 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_quantile_bins(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("g", v) for v in range(1, 9)], ["grp", "v"])
+        out = {r["v"]: r["bin"] for r in
+               P.quantile_bins(df, "grp", "v", num_bins=4).collect()}
+        assert out == {1: 0, 2: 0, 3: 1, 4: 1, 5: 2, 6: 2, 7: 3, 8: 3}
+
+
     def test_retention_cohorts(self, local_spark):
         import datetime
         t0 = datetime.datetime(2026, 1, 1)

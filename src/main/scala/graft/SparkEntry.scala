@@ -1512,6 +1512,14 @@ object SparkEntry {
           unix_micros(col("valid_to")).as("t_to"), col("version"))
     }),
 
+    // equal-frequency quantile binning: every document stamped with
+    // its per-source n_chars quartile — histogram + distinct-value
+    // window + join-back, never an ntile data sort
+    "q_bins" -> ((s, dir) =>
+      graft.stats.GroupStats.quantileBins(
+        tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), "n_chars", numBins = 4)),
+
     // cohort retention matrix: users grouped by earliest-signup week,
     // distinct-active counts per (cohort week, week offset) — slim
     // (user, anchor) min-agg + equi-join + triple dedup, exact integer
@@ -3112,6 +3120,16 @@ object SparkEntry {
         |  h.t_from, h.t_to, h."version"
         |FROM f JOIN h ON f.user_id = h.user_id AND h.t_from <= f.t_fact
         |  AND (h.t_to IS NULL OR f.t_fact < h.t_to)""".stripMargin,
+
+    // histogram cumsum + integer floor division — same tie contract
+    "q_bins" ->
+      """WITH h AS (SELECT source, n_chars, count(*) c FROM documents GROUP BY 1, 2),
+        |w AS (SELECT source, n_chars,
+        |        sum(c) OVER (PARTITION BY source ORDER BY n_chars) cum,
+        |        sum(c) OVER (PARTITION BY source) tot FROM h)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(((w.cum - 1) * 4) // w.tot AS BIGINT) bin
+        |FROM documents d JOIN w ON d.source = w.source AND d.n_chars = w.n_chars""".stripMargin,
 
     // floor-division on positive micros: DuckDB // == Spark div
     "events_retention" ->

@@ -658,6 +658,13 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Equal-frequency quantile binning; keys as a comma-separated list. */
+  def quantileBins(df: DataFrame, groupColsCsv: String, valueCol: String,
+      numBins: Int, outCol: String): DataFrame =
+    graft.stats.GroupStats.quantileBins(df,
+      groupColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      valueCol, numBins, outCol)
+
   /** Cohort retention matrix: (cohort_period, period_offset, n_users). */
   def retentionCohorts(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, anchorType: String, periodMicros: Long): DataFrame =

@@ -111,6 +111,53 @@ object GroupStats {
         qs.zipWithIndex.map { case (q, i) => col("__ap")(i).as(s"ap$q") }): _*)
   }
 
+  /**
+   * Equal-frequency quantile binning (feature bucketization): assign
+   * every row its per-group quantile bin in [0, numBins) WITHOUT the
+   * per-group data sort `ntile` would run (one hot group = one task
+   * holding its entire distribution). The [[quantiles]] histogram
+   * method, opened up to a per-row verdict:
+   *
+   *  1. one map-side-combined (group, value) histogram aggregation;
+   *  2. cumulative counts over DISTINCT values per group (window rows
+   *     bounded by distinct values, not data);
+   *  3. `bin = (cum - 1) · numBins div tot` — integer floor division,
+   *     division-free tie contract: all rows sharing a value share a
+   *     bin (the bin of the value's LAST occupant in sorted order), an
+   *     external engine replays it with the same integer ops;
+   *  4. one equi-join back on (group, value) to stamp input rows.
+   *
+   * Cost: histogram shuffle (∝ distinct values after map combine) +
+   * join-back shuffle of the input — two exchanges, none of them a
+   * sort of data rows. Null values get a NULL bin (SQL semantics:
+   * they are not part of the distribution); bins can be empty only
+   * when a single value holds more than a bin's worth of mass (the
+   * tie contract above — equal-frequency up to tie granularity).
+   */
+  def quantileBins(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      numBins: Int, outCol: String = "bin"): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(numBins >= 2, s"numBins must be >= 2, got $numBins")
+    val reserved = Seq("__c", "__cum", "__tot", outCol)
+    val clash = (groupCols :+ valueCol).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column name(s) collide with output or internal columns: ${clash.mkString(", ")}")
+    require(!df.columns.contains(outCol),
+      s"output column `$outCol` already exists on the input")
+    val g = groupCols.map(col)
+    val hist = df.where(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = hist.withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__tot", sum(col("__c")).over(Window.partitionBy(g: _*)))
+      // integral `div` — never a double division (a 100 TB group's
+      // (cum·numBins) product can exceed 2^53 and silently round there)
+      .select(g ++ Seq(col(valueCol),
+        expr(s"CAST(((__cum - 1) * $numBins) div __tot AS BIGINT)").as(outCol)): _*)
+    df.join(bins, groupCols :+ valueCol, "left")
+  }
+
   /** Hot-value profile: the k most frequent values of a column with
     * counts and dense ranks — the skew diagnostic a 100 TB run consults
     * before choosing salting/broadcast strategies (which keys would

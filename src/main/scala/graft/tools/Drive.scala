@@ -930,6 +930,15 @@ object Drive {
       println(s"rows=${sjOut.length} salted-join rows, equal to plain " +
         s"join=${sjOut.sameElements(sjPlain)} (expect true)")
 
+      // quantile bins: every doc binned in [0,4)
+      val qbOut = graft.stats.GroupStats.quantileBins(
+        docsT.withColumn("len", length(col("text")))
+          .withColumn("__g", lit("all")).select("doc_id", "__g", "len"),
+        Seq("__g"), "len", 4)
+      val qbBad = qbOut.where(col("bin").isNull ||
+        col("bin") < 0 || col("bin") > 3).count()
+      println(s"rows=${qbOut.count()} binned docs, out-of-range bins=$qbBad (expect 0)")
+
       // retention: matrix is triangular-consistent — every (cohort,
       // offset>0) count <= its cohort's offset-0 count
       val ret = graft.streaming.Retention.cohorts(

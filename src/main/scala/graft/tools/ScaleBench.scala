@@ -752,6 +752,15 @@ object ScaleBench {
           .where(col("version") >= 1L)
       }),
 
+      // quantile binning: histogram shuffle bounded by DISTINCT
+      // values (constant here) + the one join-back of the input ∝ f
+      "q_bins" -> (() =>
+        graft.stats.GroupStats.quantileBins(
+          docsFull(f).select(col("doc_id"), col("source"),
+            pmod(col("n_chars"), lit(1000)).as("n_chars")),
+          Seq("source"), "n_chars", numBins = 4)
+          .where(col("bin") >= 0)),
+
       // cohort retention: events ×f with ×f users — slim anchor agg +
       // equi-join + triple dedup; shuffle ∝ f, output matrix bounded
       // by cohorts × offsets (constant here)

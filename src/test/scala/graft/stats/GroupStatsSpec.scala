@@ -105,4 +105,37 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
     plan should include ("TakeOrderedAndProject")
     an[IllegalArgumentException] should be thrownBy GroupStats.topValues(df, "v", 0)
   }
+
+  behavior of "GroupStats.quantileBins"
+
+  it should "assign equal-frequency bins without an ntile sort, ties sharing a bin" in {
+    // group g: values 1..8 once each -> quartiles of 2
+    val g = (1 to 8).map(v => ("g", v))
+    // group h: value 5 holds half the mass -> its bin swallows a quartile
+    val h = Seq(("h", 1), ("h", 2), ("h", 5), ("h", 5), ("h", 5), ("h", 9))
+    val df = (g ++ h).toDF("grp", "v")
+    val out = GroupStats.quantileBins(df, Seq("grp"), "v", numBins = 4)
+      .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2))).toMap
+    (1 to 8).map(v => out(("g", v))).toSeq shouldBe
+      Seq(0L, 0L, 1L, 1L, 2L, 2L, 3L, 3L)
+    out(("h", 1)) shouldBe 0L
+    out(("h", 2)) shouldBe 0L // cum=2 of 6 -> (1*4) div 6 = 0
+    out(("h", 5)) shouldBe 2L // cum=5 -> (4*4) div 6 = 2; all ties share
+    out(("h", 9)) shouldBe 3L
+  }
+
+  it should "null-bin null values and validate inputs" in {
+    val df = Seq((Some(1), "g"), (None, "g"), (Some(2), "g"))
+      .toDF("v", "grp")
+    val out = GroupStats.quantileBins(df, Seq("grp"), "v", 2)
+      .collect().map(r => (Option(r.get(1)).map(_.toString.toInt),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    out shouldBe Set((Some(1), 0L), (Some(2), 1L), (None, -1L))
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantileBins(df, Seq("grp"), "v", 1)
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantileBins(df.withColumnRenamed("v", "__cum"), Seq("grp"), "__cum", 2)
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.quantileBins(df.withColumn("bin", col("v")), Seq("grp"), "v", 2)
+  }
 }
