@@ -1512,6 +1512,20 @@ object SparkEntry {
           unix_micros(col("valid_to")).as("t_to"), col("version"))
     }),
 
+    // web-curation composition: first-URL domain key -> per-domain
+    // quota (top-3 by n_chars) — the urls/urlDomain + quotaTopK
+    // pipeline a crawl-balancing run executes, one Catalyst plan
+    "pipeline_domain_quota" -> ((s, dir) => {
+      val d = tbl(s, dir, "documents")
+        .withColumn("tx", concat(col("text"),
+          lit(" https://www.Ex"), pmod(col("doc_id"), lit(7)).cast("string"),
+          lit(".org/p")))
+        .withColumn("domain", TextFunctions.urlDomain(
+          TextFunctions.urls(col("tx")).getItem(0)))
+        .select("doc_id", "domain", "n_chars")
+      graft.curation.Sampling.quotaTopK(d, Seq("domain"), "n_chars", "doc_id", k = 3)
+    }),
+
     // equal-frequency quantile binning: every document stamped with
     // its per-source n_chars quartile — histogram + distinct-value
     // window + join-back, never an ntile data sort
@@ -3120,6 +3134,17 @@ object SparkEntry {
         |  h.t_from, h.t_to, h."version"
         |FROM f JOIN h ON f.user_id = h.user_id AND h.t_from <= f.t_fact
         |  AND (h.t_to IS NULL OR f.t_fact < h.t_to)""".stripMargin,
+
+    // injected first-URL domain replayed literally; quota = the
+    // sample_quota row_number contract per domain
+    "pipeline_domain_quota" ->
+      """WITH d AS (SELECT doc_id,
+        |        'ex' || CAST(doc_id % 7 AS VARCHAR) || '.org' AS "domain", n_chars
+        |      FROM documents)
+        |SELECT "domain", CAST(rn AS INT) rank, doc_id, n_chars FROM (
+        |  SELECT "domain", doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY "domain" ORDER BY n_chars DESC, doc_id) rn
+        |  FROM d) WHERE rn <= 3""".stripMargin,
 
     // histogram cumsum + integer floor division — same tie contract
     "q_bins" ->
