@@ -869,6 +869,15 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def cdc_apply(snapshot, changes, keys, ts_col="ts", op_col="op"):
+    """CDC merge-apply (MERGE INTO): produce the next snapshot from the
+    current one plus an upsert/delete change log — last-writer-wins per
+    key over the (ts, op, payload) total order; ``keys`` is a CSV; the
+    snapshot never windows, only the delta-sized winner set joins."""
+    return _wrap(snapshot, _facade(snapshot).cdcApply(
+        snapshot._jdf, changes._jdf, keys, ts_col, op_col))
+
+
 def quantile_bins(df, group_cols, value_col, num_bins=4, out_col="bin"):
     """Equal-frequency quantile binning: every row stamped with its
     per-group bin in [0, num_bins) — histogram + distinct-value window

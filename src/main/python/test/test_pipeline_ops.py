@@ -730,6 +730,17 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_cdc_apply(self, local_spark):
+        snap = local_spark.createDataFrame(
+            [(1, "a"), (2, "b")], ["k", "v"])
+        log = local_spark.createDataFrame(
+            [(1, 10, "upsert", "a2"), (2, 10, "delete", None),
+             (3, 10, "upsert", "c")], ["k", "ts", "op", "v"])
+        out = {(r["k"], r["v"]) for r in
+               P.cdc_apply(snap, log, "k").collect()}
+        assert out == {(1, "a2"), (3, "c")}
+
+
     def test_quantile_bins(self, local_spark):
         df = local_spark.createDataFrame(
             [("g", v) for v in range(1, 9)], ["grp", "v"])

@@ -1512,6 +1512,26 @@ object SparkEntry {
           unix_micros(col("valid_to")).as("t_to"), col("version"))
     }),
 
+    // CDC merge-apply (MERGE INTO): snapshot + derived change log ->
+    // next snapshot; last-writer-wins over the (ts, op, payload) total
+    // order, one delta-sized window + join — the snapshot never windows
+    "cdc_apply" -> ((s, dir) => {
+      val snap = tbl(s, dir, "documents").select("doc_id", "source", "n_chars")
+      val d = tbl(s, dir, "documents")
+      val ups = d.where(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), (col("doc_id") * 10).as("ts"),
+          lit("upsert").as("op"), col("source"), (col("n_chars") + 1000).as("n_chars"))
+      val dels = d.where(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), (col("doc_id") * 10 + 5).as("ts"),
+          lit("delete").as("op"), lit(null).cast("string").as("source"),
+          lit(0L).as("n_chars"))
+      val ins = d.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("ts"),
+          lit("upsert").as("op"), lit("new").as("source"), col("doc_id").as("n_chars"))
+      graft.curation.Cdc.applyLog(snap,
+        ups.unionByName(dels).unionByName(ins), Seq("doc_id"), "ts", "op")
+    }),
+
     // web-curation composition: first-URL domain key -> per-domain
     // quota (top-3 by n_chars) — the urls/urlDomain + quotaTopK
     // pipeline a crawl-balancing run executes, one Catalyst plan
@@ -3134,6 +3154,29 @@ object SparkEntry {
         |  h.t_from, h.t_to, h."version"
         |FROM f JOIN h ON f.user_id = h.user_id AND h.t_from <= f.t_fact
         |  AND (h.t_to IS NULL OR f.t_fact < h.t_to)""".stripMargin,
+
+    // the same derived log, merged with a row_number last-writer pick;
+    // deletes beat nothing at their own ts+5, inserts via NOT IN
+    "cdc_apply" ->
+      """WITH c AS (
+        |  SELECT doc_id k, doc_id*10 ts, 'upsert' op, source, n_chars+1000 n_chars
+        |  FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id*10+5, 'delete', NULL, 0 FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id+1000000, 1, 'upsert', 'new', doc_id FROM documents WHERE doc_id % 5 = 0),
+        |w AS (SELECT * FROM (
+        |  SELECT c.*, row_number() OVER (PARTITION BY k
+        |    ORDER BY ts DESC, op DESC, source DESC NULLS LAST, n_chars DESC) rn
+        |  FROM c) WHERE rn = 1)
+        |SELECT d.doc_id,
+        |  CASE WHEN w.op = 'upsert' THEN w.source ELSE d.source END AS source,
+        |  CASE WHEN w.op = 'upsert' THEN w.n_chars ELSE d.n_chars END AS n_chars
+        |FROM documents d LEFT JOIN w ON d.doc_id = w.k
+        |WHERE w.op IS NULL OR w.op = 'upsert'
+        |UNION ALL
+        |SELECT w.k, w.source, w.n_chars FROM w
+        |WHERE w.op = 'upsert' AND w.k NOT IN (SELECT doc_id FROM documents)""".stripMargin,
 
     // injected first-URL domain replayed literally; quota = the
     // sample_quota row_number contract per domain

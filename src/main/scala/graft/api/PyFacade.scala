@@ -658,6 +658,12 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** CDC merge-apply: snapshot + upsert/delete log -> next snapshot. */
+  def cdcApply(snapshot: DataFrame, changes: DataFrame, keysCsv: String,
+      tsCol: String, opCol: String): DataFrame =
+    graft.curation.Cdc.applyLog(snapshot, changes,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, tsCol, opCol)
+
   /** Equal-frequency quantile binning; keys as a comma-separated list. */
   def quantileBins(df: DataFrame, groupColsCsv: String, valueCol: String,
       numBins: Int, outCol: String): DataFrame =

@@ -930,6 +930,24 @@ object Drive {
       println(s"rows=${sjOut.length} salted-join rows, equal to plain " +
         s"join=${sjOut.sameElements(sjPlain)} (expect true)")
 
+      // CDC apply: applying a snapshot's own diff reproduces the target
+      val cdcOld = docsT.select("doc_id", "text")
+      val cdcNew = docsT.where(pmod(col("doc_id"), lit(4)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")).as("text"))
+      val cdcLog = cdcNew.join(cdcOld.withColumnRenamed("text", "__o"), Seq("doc_id"), "left")
+        .where(col("__o").isNull || col("__o") =!= col("text"))
+        .select(col("doc_id"), lit(1L).as("ts"), lit("upsert").as("op"), col("text"))
+        .unionByName(cdcOld.join(cdcNew.select("doc_id"), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), lit(1L).as("ts"), lit("delete").as("op"),
+            lit(null).cast("string").as("text")))
+      val cdcGot = graft.curation.Cdc.applyLog(cdcOld, cdcLog, Seq("doc_id"), "ts", "op")
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val cdcWant = cdcNew.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      println(s"rows=${cdcGot.size} cdc-applied docs, reproduces target " +
+        s"snapshot=${cdcGot == cdcWant} (expect true)")
+
       // quantile bins: every doc binned in [0,4)
       val qbOut = graft.stats.GroupStats.quantileBins(
         docsT.withColumn("len", length(col("text")))

@@ -752,6 +752,23 @@ object ScaleBench {
           .where(col("version") >= 1L)
       }),
 
+      // CDC merge-apply: snapshot ×f, log ×f (delta-sized per copy) —
+      // the window runs over the LOG only; shuffle ∝ f of slim rows
+      "cdc_apply" -> (() => {
+        val snap = docsFull(f).select("doc_id", "source", "n_chars")
+        val ups = docsFull(f).where(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id"), (col("doc_id") * 10).as("ts"),
+            lit("upsert").as("op"), col("source"),
+            (col("n_chars") + 1000).as("n_chars"))
+        val dels = docsFull(f).where(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id"), (col("doc_id") * 10 + 5).as("ts"),
+            lit("delete").as("op"), lit(null).cast("string").as("source"),
+            lit(0L).as("n_chars"))
+        graft.curation.Cdc.applyLog(snap, ups.unionByName(dels),
+          Seq("doc_id"), "ts", "op")
+          .where(col("n_chars") >= 0)
+      }),
+
       // quantile binning: histogram shuffle bounded by DISTINCT
       // values (constant here) + the one join-back of the input ∝ f
       "q_bins" -> (() =>
