@@ -154,6 +154,17 @@ def range_join(points, intervals, point_col="v", lo_col="lo", hi_col="hi",
         float(bucket_width), join_type))
 
 
+def overlap_join(left, right, left_lo="alo", left_hi="ahi", right_lo="blo",
+                 right_hi="bhi", bucket_width=1.0, join_type="inner"):
+    """Interval-overlap join: every (left, right) pair whose closed
+    intervals intersect (touching endpoints match) — bucket PBSM with
+    first-shared-bucket dedup, no cartesian. ``join_type`` 'left' keeps
+    unmatched left intervals with null right columns."""
+    return _wrap(left, _facade(left).overlapJoin(
+        left._jdf, right._jdf, left_lo, left_hi, right_lo, right_hi,
+        float(bucket_width), join_type))
+
+
 # --- similarity search ---------------------------------------------------
 
 def cosine_top_k(queries, candidates, id_col="vec_id", vec_col="embedding",

@@ -730,6 +730,19 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_overlap_join(self, local_spark):
+        lhs = local_spark.createDataFrame(
+            [(1, 0.0, 5.0), (2, 10.0, 12.0)], ["lid_", "alo", "ahi"])
+        rhs = local_spark.createDataFrame(
+            [(7, 5.0, 6.0)], ["rid_", "blo", "bhi"])
+        inner = {(r["lid_"], r["rid_"]) for r in
+                 P.overlap_join(lhs, rhs).collect()}
+        assert inner == {(1, 7)}  # touching endpoints match
+        left = {(r["lid_"], r["rid_"]) for r in
+                P.overlap_join(lhs, rhs, join_type="left").collect()}
+        assert left == {(1, 7), (2, None)}
+
+
     def test_cdc_apply(self, local_spark):
         snap = local_spark.createDataFrame(
             [(1, "a"), (2, "b")], ["k", "v"])

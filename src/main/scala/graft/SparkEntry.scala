@@ -1650,6 +1650,24 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey")
     }),
 
+    // LEFT overlap join: every customer band, intersecting sparse
+    // supplier bands if any — left intervals explode to several
+    // buckets, so misses resolve via the id-tag + anti-join path
+    "j_range_overlap_left" -> ((s, dir) => {
+      val cust = tbl(s, dir, "customer")
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast("double") - 200.0).as("alo"),
+          (col("c_acctbal").cast("double") + 200.0).as("ahi"))
+      val sup = tbl(s, dir, "supplier")
+        .where(pmod(col("s_suppkey"), lit(20)) === 0)
+        .select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") - 300.0).as("blo"),
+          (col("s_acctbal").cast("double") + 300.0).as("bhi"))
+      graft.join.RangeJoin.overlapJoinLeft(cust, sup,
+        col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = 500.0)
+        .select("c_custkey", "s_suppkey")
+    }),
+
     // LEFT range join: every customer, enclosing band if any — the
     // narrow channel runs AS a left join (one bucket per point, no row
     // ids), misses anti-probe the broadcast wide set map-side; sparse
@@ -3067,6 +3085,13 @@ object SparkEntry {
         |FROM customer c JOIN supplier s
         |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 500.0
         | AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 500.0""".stripMargin,
+
+    // overlap condition replayed as a LEFT inequality join
+    "j_range_overlap_left" ->
+      """SELECT c.c_custkey, s.s_suppkey
+        |FROM customer c LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey % 20 = 0) s
+        |  ON CAST(c.c_acctbal AS DOUBLE) - 200.0 <= CAST(s.s_acctbal AS DOUBLE) + 300.0
+        | AND CAST(s.s_acctbal AS DOUBLE) - 300.0 <= CAST(c.c_acctbal AS DOUBLE) + 200.0""".stripMargin,
 
     // the left-outer twin: misses come back with a null supplier
     "j_range_left" ->

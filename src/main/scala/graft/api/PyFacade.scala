@@ -123,6 +123,21 @@ object PyFacade {
       col(pointCol), col(loCol), col(hiCol), w, joinType = joinType)
   }
 
+  /** Interval×interval overlap join (inclusive ends); joinType
+    * `inner` | `left` (left: misses keep null right columns). */
+  def overlapJoin(left: DataFrame, right: DataFrame,
+      leftLoCol: String, leftHiCol: String, rightLoCol: String,
+      rightHiCol: String, bucketWidth: Double, joinType: String): DataFrame = {
+    require(Seq("inner", "left").contains(joinType),
+      s"joinType must be 'inner' or 'left', got '$joinType'")
+    if (joinType == "inner")
+      graft.join.RangeJoin.overlapJoin(left, right, col(leftLoCol),
+        col(leftHiCol), col(rightLoCol), col(rightHiCol), bucketWidth)
+    else
+      graft.join.RangeJoin.overlapJoinLeft(left, right, col(leftLoCol),
+        col(leftHiCol), col(rightLoCol), col(rightHiCol), bucketWidth)
+  }
+
   // --- similarity search ------------------------------------------------
 
   def cosineTopK(queries: DataFrame, candidates: DataFrame,

@@ -213,4 +213,40 @@ object RangeJoin {
       .unionByName(wideB.select(bucketed.columns.map(col).toIndexedSeq: _*))
       .drop(aLo, aHi, bLo, bHi)
   }
+
+  /**
+   * LEFT-outer [[overlapJoin]]: every left interval, its overlapping
+   * rights if any — misses keep the left row with null right columns.
+   *
+   * Unlike [[pointInInterval]]'s free left join (a point lives in ONE
+   * bucket), a left interval explodes to SEVERAL buckets, so a miss
+   * cannot be read off any single bucket's left join — it is the
+   * absence of a match in EVERY bucket plus the wide channel. The
+   * operator therefore tags the left side with a synthetic row id and
+   * `localCheckpoint`s it (ids must be stable across the two uses —
+   * the [[GridSpatialJoin]] left-join discipline), runs the inner
+   * join, and anti-joins the ids: one materialization of the left +
+   * one id-keyed anti shuffle is the price of outer semantics on a
+   * both-sides-explode join. Left rows with null/inverted bounds are
+   * misses by definition (they never enter the inner join).
+   */
+  def overlapJoinLeft(
+      left: DataFrame, right: DataFrame,
+      leftLo: Column, leftHi: Column, rightLo: Column, rightHi: Column,
+      bucketWidth: Double,
+      maxBucketsPerInterval: Int = 4096): DataFrame = {
+    val lid = "__oj_lid"
+    require(!left.columns.contains(lid) && !right.columns.contains(lid),
+      s"`$lid` column name is reserved")
+    val tagged = left.withColumn(lid, monotonically_increasing_id())
+      .localCheckpoint(false)
+    val inner = overlapJoin(tagged, right, leftLo, leftHi, rightLo, rightHi,
+      bucketWidth, maxBucketsPerInterval)
+    val nullR = right.schema.fields.toSeq.map(f =>
+      lit(null).cast(f.dataType).as(f.name))
+    val misses = tagged
+      .join(inner.select(col(lid)).distinct(), Seq(lid), "left_anti")
+      .select(left.columns.map(col) ++ nullR: _*)
+    inner.drop(lid).unionByName(misses)
+  }
 }

@@ -986,6 +986,23 @@ object Drive {
       println(s"rows=${rl.count()} left-range rows, coverage=$rlCoverage of " +
         s"${rlPts.count()} customers, misses=$rlMisses (expect full coverage, > 0)")
 
+      // left overlap join: every left band present, real misses exist
+      val olLeft = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"),
+          (col("c_acctbal").cast("double") - 200.0).as("alo"),
+          (col("c_acctbal").cast("double") + 200.0).as("ahi"))
+      val olRight = spark.read.parquet(s"$dir/supplier.parquet")
+        .where(pmod(col("s_suppkey"), lit(20)) === 0)
+        .select(col("s_suppkey"),
+          (col("s_acctbal").cast("double") - 300.0).as("blo"),
+          (col("s_acctbal").cast("double") + 300.0).as("bhi"))
+      val ol = graft.join.RangeJoin.overlapJoinLeft(olLeft, olRight,
+        col("alo"), col("ahi"), col("blo"), col("bhi"), 500.0)
+      println(s"rows=${ol.count()} left-overlap rows, coverage=" +
+        s"${ol.select("c_custkey").distinct().count()} of ${olLeft.count()} " +
+        s"customers, misses=${ol.where(col("s_suppkey").isNull).count()} " +
+        "(expect full coverage)")
+
       // URL extraction: two injected URLs per doc, domains non-empty
       val urls = graft.api.PyFacade.extractUrls(
         docsT.withColumn("text", concat(col("text"),

@@ -248,6 +248,18 @@ object ScaleBench {
       "j_range_band" -> (() =>
         graft.join.RangeJoin.pointInInterval(custBal(f), supBands(),
           col("c_bal"), col("lo"), col("hi"), bucketWidth = 500.0)),
+      // left overlap join: id-tag + anti misses path — one left
+      // materialization, shuffle ∝ f
+      "j_range_overlap_left" -> (() =>
+        graft.join.RangeJoin.overlapJoinLeft(
+          custBal(f).select(col("c_custkey"),
+            (col("c_bal") - 200.0).as("alo"),
+            (col("c_bal") + 200.0).as("ahi")),
+          supBands().where(pmod(col("s_suppkey"), lit(20)) === 0)
+            .select(col("s_suppkey"), col("lo").as("blo"), col("hi").as("bhi")),
+          col("alo"), col("ahi"), col("blo"), col("bhi"), bucketWidth = 500.0)
+          .where(col("c_custkey") >= 0)),
+
       // left-outer twin on a sparse interval set: hits + misses both
       // ∝ f, misses resolved via the same one bucket shuffle (the
       // narrow channel IS the left join, no row-id pass)

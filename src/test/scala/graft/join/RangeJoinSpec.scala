@@ -148,6 +148,35 @@ class RangeJoinSpec extends AnyFlatSpec with Matchers {
 
   behavior of "RangeJoin.overlapJoin"
 
+  it should "keep unmatched left intervals on the left overlap join (brute-force parity)" in {
+    val rnd = new scala.util.Random(19)
+    val lhs = Seq.tabulate(200) { i =>
+      if (i % 31 == 0) (i, None, None) // null bounds: miss by definition
+      else {
+        val lo = rnd.nextDouble() * 200 - 100
+        (i, Some(lo), Some(lo + rnd.nextDouble() * 8))
+      }
+    }.toDF("lid_", "alo", "ahi")
+    val rhs = Seq.tabulate(25) { i =>
+      val lo = rnd.nextDouble() * 120 - 60 // narrower domain: gaps exist
+      (i, lo, lo + rnd.nextDouble() * 4)
+    }.toDF("rid_", "blo", "bhi")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("lid_", "rid_").collect()
+        .map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1)))
+        .sorted.toSeq
+    val brute = canon(lhs.join(rhs,
+      col("alo") <= col("bhi") && col("blo") <= col("ahi"), "left"))
+    val got = canon(RangeJoin.overlapJoinLeft(lhs, rhs,
+      col("alo"), col("ahi"), col("blo"), col("bhi"), 5.0))
+    got shouldBe brute
+    got.count(_._2 == -1) should be > 0
+    // wide channel exercised: 1-bucket cap routes everything wide
+    canon(RangeJoin.overlapJoinLeft(lhs, rhs,
+      col("alo"), col("ahi"), col("blo"), col("bhi"), 5.0,
+      maxBucketsPerInterval = 1)) shouldBe brute
+  }
+
   it should "match intervals that intersect, touching endpoints included" in {
     val a = Seq((1, 0.0, 5.0), (2, 10.0, 12.0), (3, 20.0, 19.0)).toDF("aid", "alo", "ahi")
     val b = Seq(("x", 5.0, 8.0), ("y", 6.0, 9.9), ("z", -3.0, 0.0)).toDF("bid", "blo", "bhi")
