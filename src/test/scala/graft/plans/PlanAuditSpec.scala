@@ -395,6 +395,67 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     withClue(plan) { plan should not include "Exchange" }
   }
 
+  it should "bin quantiles without a global range sort (no ntile shape)" in {
+    // the whole point of quantileBins is avoiding the per-group DATA
+    // sort; an ntile/window-over-rows formulation plans an Exchange
+    // rangepartitioning — its absence IS the operator's contract
+    import spark.implicits._
+    val df = (1 to 2000).map(i => (s"g${i % 3}", i % 97)).toDF("grp", "v")
+    val q = graft.stats.GroupStats.quantileBins(df, Seq("grp"), "v", 4)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      plan should not include "Exchange rangepartitioning"
+      plan should include ("Window") // the distinct-value cumsum
+    }
+  }
+
+  it should "window the CDC log only, never the snapshot" in {
+    import spark.implicits._
+    val snap = (1 to 1000).map(k => (k.toLong, s"v$k")).toDF("k", "v")
+    val log = (1 to 50).map(k => (k.toLong, k.toLong, "upsert", s"w$k"))
+      .toDF("k", "ts", "op", "v")
+    val out = graft.curation.Cdc.applyLog(snap, log, Seq("k"), "ts", "op")
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      // every Window partitions by the LOG key and carries the log's
+      // ts/op ordering — the snapshot subtree contributes scans and
+      // joins only (the winners subtree appears once per consumer
+      // branch, un-reused: both instances are over the delta-sized log)
+      val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+      windows should not be empty
+      windows.foreach { w => w should include ("ts") }
+      plan should not include "CartesianProduct"
+      plan should not include "Exchange rangepartitioning"
+    }
+  }
+
+  it should "keep the retention and left-overlap plans free of pair generators" in {
+    assume(new java.io.File(s"$dir/events.parquet").exists(), "testdata not present")
+    val ev = graft.SparkEntry.microTs(spark.read.parquet(s"$dir/events.parquet"))
+    val ret = graft.streaming.Retention.cohorts(ev, "user_id", "ts",
+      "event_type", "signup")
+    ret.collect()
+    val retPlan = ret.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(retPlan) {
+      retPlan should not include "CartesianProduct"
+      retPlan should not include "BroadcastNestedLoopJoin"
+    }
+    val q = graft.SparkEntry.queries("j_range_overlap_left")(spark, dir)
+    q.collect()
+    val olPlan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(olPlan) {
+      // the bucketed channel carries the volume: an EQUI join on the
+      // bucket id (broadcast at this SF, shuffled at scale) — never a
+      // cartesian of the two interval sets
+      olPlan should not include "CartesianProduct"
+      olPlan.linesIterator.exists(l =>
+        l.contains("Join [__oj_b") || (l.contains("Join") && l.contains("__oj_b"))
+      ) shouldBe true
+    }
+  }
+
   it should "preserve snapshot partitioning across localCheckpoint when AQE is off (iterative-join contract)" in {
     // GridNearestJoin and Dedup.clusterPairs pre-partition their
     // long-lived snapshots. On AQE-OFF sessions that makes every
