@@ -880,6 +880,17 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def standardize(df, group_cols, value_col, out_col="z_micro"):
+    """Per-group z-score standardization: ``floor(1e6 * (v - mean) /
+    stddev)`` as an exact micro-unit integer (decimal moment sums,
+    single-valued double finishing); zero-variance groups and null
+    values get a null score. The value column must be integral —
+    pre-scale continuous features to micro-units. ``group_cols`` is a
+    CSV."""
+    return _wrap(df, _facade(df).standardize(
+        df._jdf, group_cols, value_col, out_col))
+
+
 def cdc_apply(snapshot, changes, keys, ts_col="ts", op_col="op"):
     """CDC merge-apply (MERGE INTO): produce the next snapshot from the
     current one plus an upsert/delete change log — last-writer-wins per

@@ -730,6 +730,18 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_standardize(self, local_spark):
+        import math
+        df = local_spark.createDataFrame(
+            [("g", v) for v in (1, 2, 3, 4)] + [("h", 7), ("h", 7)],
+            ["grp", "v"])
+        out = {(r["grp"], r["v"]): r["z_micro"] for r in
+               P.standardize(df, "grp", "v").collect()}
+        std = math.sqrt(1.25)
+        assert out[("g", 1)] == math.floor(1e6 * (1 - 2.5) / std)
+        assert out[("h", 7)] is None  # zero variance
+
+
     def test_overlap_join(self, local_spark):
         lhs = local_spark.createDataFrame(
             [(1, 0.0, 5.0), (2, 10.0, 12.0)], ["lid_", "alo", "ahi"])

@@ -1546,6 +1546,14 @@ object SparkEntry {
       graft.curation.Sampling.quotaTopK(d, Seq("domain"), "n_chars", "doc_id", k = 3)
     }),
 
+    // per-group z-score standardization: micro-unit integer z from
+    // exact decimal moment sums + single-valued double finishing —
+    // stats agg + join-back, no data-row window
+    "q_zscore" -> ((s, dir) =>
+      graft.stats.GroupStats.standardize(
+        tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), "n_chars")),
+
     // equal-frequency quantile binning: every document stamped with
     // its per-source n_chars quartile — histogram + distinct-value
     // window + join-back, never an ntile data sort
@@ -3213,6 +3221,20 @@ object SparkEntry {
         |  SELECT "domain", doc_id, n_chars,
         |    row_number() OVER (PARTITION BY "domain" ORDER BY n_chars DESC, doc_id) rn
         |  FROM d) WHERE rn <= 3""".stripMargin,
+
+    // BIGINT moment sums are exact (values are small ints), double
+    // finishing is the identical IEEE sequence both engines
+    "q_zscore" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS DOUBLE) n,
+        |        CAST(sum(n_chars) AS DOUBLE) sm,
+        |        CAST(sum(n_chars * n_chars) AS DOUBLE) sq
+        |      FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CASE WHEN sq / n - (sm / n) * (sm / n) > 0
+        |       THEN CAST(floor(1000000.0 * (d.n_chars - sm / n)
+        |              / sqrt(sq / n - (sm / n) * (sm / n))) AS BIGINT)
+        |       ELSE NULL END z_micro
+        |FROM documents d JOIN s ON d.source = s.source""".stripMargin,
 
     // histogram cumsum + integer floor division — same tie contract
     "q_bins" ->

@@ -673,6 +673,13 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Per-group z-score standardization in exact micro-units. */
+  def standardize(df: DataFrame, groupColsCsv: String, valueCol: String,
+      outCol: String): DataFrame =
+    graft.stats.GroupStats.standardize(df,
+      groupColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      valueCol, outCol)
+
   /** CDC merge-apply: snapshot + upsert/delete log -> next snapshot. */
   def cdcApply(snapshot: DataFrame, changes: DataFrame, keysCsv: String,
       tsCol: String, opCol: String): DataFrame =

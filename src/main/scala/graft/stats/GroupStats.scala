@@ -158,6 +158,58 @@ object GroupStats {
     df.join(bins, groupCols :+ valueCol, "left")
   }
 
+  /**
+   * Per-group z-score standardization (feature normalization): stamp
+   * every row with `floor(1e6 · (v - mean) / stddev)` — the z-score in
+   * exact MICRO-units, engine-replayable because every step before the
+   * final double arithmetic is exact:
+   *
+   *  - the value column must be INTEGRAL (require-checked): `sum(v)`
+   *    and `sum(v²)` accumulate in DECIMAL(38,0) — order-independent,
+   *    no floating partial sums to disagree across engines or runs;
+   *  - moments convert to double once (exact below 2^53), then mean /
+   *    population variance / sqrt / floor are single-valued IEEE ops —
+   *    identical everywhere. `floor` (not round) keeps the contract
+   *    free of rounding-mode trivia.
+   *
+   * Degenerate groups (zero variance, incl. singletons) and null
+   * values get a NULL score. One map-side-combined stats aggregation
+   * (group-count-sized) + one equi-join back — same two-exchange shape
+   * as [[quantileBins]], never a window over data rows. Continuous
+   * (double) features should be pre-scaled to integers (micro-units)
+   * first — the engine-exactness discipline, not a limitation of the
+   * math.
+   */
+  def standardize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      outCol: String = "z_micro"): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(!df.columns.contains(outCol),
+      s"output column `$outCol` already exists on the input")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"`$valueCol` must be an integral type (pre-scale continuous features " +
+        s"to micro-units), got ${df.schema(valueCol).dataType.simpleString}")
+    val reserved = Seq("__n", "__sm", "__sq")
+    val clash = (groupCols :+ valueCol).filter(reserved.contains)
+    require(clash.isEmpty, s"reserved column names in use: ${clash.mkString(", ")}")
+    val g = groupCols.map(col)
+    val v19 = col(valueCol).cast("decimal(19,0)")
+    val stats = df.where(col(valueCol).isNotNull)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).cast("double").as("__n"),
+        sum(v19).cast("double").as("__sm"),
+        sum(v19 * v19).cast("double").as("__sq"))
+    val mean = col("__sm") / col("__n")
+    val variance = col("__sq") / col("__n") - mean * mean
+    df.join(stats, groupCols, "left")
+      .withColumn(outCol,
+        when(variance > 0.0,
+          floor(lit(1e6) * (col(valueCol) - mean) / sqrt(variance)).cast("long")))
+      .drop("__n", "__sm", "__sq")
+  }
+
   /** Hot-value profile: the k most frequent values of a column with
     * counts and dense ranks — the skew diagnostic a 100 TB run consults
     * before choosing salting/broadcast strategies (which keys would

@@ -948,6 +948,15 @@ object Drive {
       println(s"rows=${cdcGot.size} cdc-applied docs, reproduces target " +
         s"snapshot=${cdcGot == cdcWant} (expect true)")
 
+      // z-scores: per-group mean of scores ~ 0 (micro-units)
+      val zs = graft.stats.GroupStats.standardize(
+        docsT.withColumn("len", length(col("text")).cast("int"))
+          .withColumn("__g", lit("all")).select("doc_id", "__g", "len"),
+        Seq("__g"), "len")
+      val zMean = zs.agg(avg(col("z_micro"))).head.getDouble(0)
+      println(f"rows=${zs.count()} z-scored docs, mean z=$zMean%.1f micro " +
+        "(expect ~0 within one unit of 1e6)")
+
       // quantile bins: every doc binned in [0,4)
       val qbOut = graft.stats.GroupStats.quantileBins(
         docsT.withColumn("len", length(col("text")))

@@ -764,6 +764,15 @@ object ScaleBench {
           .where(col("version") >= 1L)
       }),
 
+      // z-score standardization: stats agg bounded by GROUP count
+      // (constant) + join-back ∝ f — the quantileBins shuffle shape
+      "q_zscore" -> (() =>
+        graft.stats.GroupStats.standardize(
+          docsFull(f).select(col("doc_id"), col("source"),
+            col("n_chars").cast("int").as("n_chars")),
+          Seq("source"), "n_chars")
+          .where(col("z_micro").isNotNull)),
+
       // CDC merge-apply: snapshot ×f, log ×f (delta-sized per copy) —
       // the window runs over the LOG only; shuffle ∝ f of slim rows
       "cdc_apply" -> (() => {

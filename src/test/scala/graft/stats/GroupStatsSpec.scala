@@ -106,6 +106,27 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy GroupStats.topValues(df, "v", 0)
   }
 
+  behavior of "GroupStats.standardize"
+
+  it should "stamp exact micro-unit z-scores and null degenerate groups" in {
+    val df = Seq(("g", 1), ("g", 2), ("g", 3), ("g", 4),
+      ("h", 7), ("h", 7), ("i", 5)).toDF("grp", "v")
+    val out = GroupStats.standardize(df, Seq("grp"), "v")
+      .collect().map(r => ((r.getString(0), r.getInt(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    // g: mean 2.5, pop-var 1.25, std ~1.1180
+    val std = math.sqrt(1.25)
+    out(("g", 1)) shouldBe Some(math.floor(1e6 * (1 - 2.5) / std).toLong)
+    out(("g", 4)) shouldBe Some(math.floor(1e6 * (4 - 2.5) / std).toLong)
+    out(("h", 7)) shouldBe None // zero variance
+    out(("i", 5)) shouldBe None // singleton
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.standardize(df.withColumn("d", col("v").cast("double")),
+        Seq("grp"), "d") // non-integral value column
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.standardize(df.withColumn("z_micro", col("v")), Seq("grp"), "v")
+  }
+
   behavior of "GroupStats.quantileBins"
 
   it should "assign equal-frequency bins without an ntile sort, ties sharing a bin" in {
