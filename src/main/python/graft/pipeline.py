@@ -880,6 +880,17 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def trending_grams(df, ts_col="ts", text_col="text", n=2,
+                   window_dur="1 minute", min_df=2, watermark="1 minute"):
+    """Windowed trending n-grams: per tumbling event-time window, the
+    document frequency of every word n-gram clearing ``min_df`` — one
+    stateful aggregation, streaming-safe (append mode); on a batch
+    frame the same plan runs without state."""
+    return _wrap(df, _facade(df).trendingGrams(
+        df._jdf, ts_col, text_col, int(n), window_dur, int(min_df),
+        watermark))
+
+
 def standardize(df, group_cols, value_col, out_col="z_micro"):
     """Per-group z-score standardization: ``floor(1e6 * (v - mean) /
     stddev)`` as an exact micro-unit integer (decimal moment sums,

@@ -730,6 +730,17 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_trending_grams(self, local_spark):
+        import datetime
+        t0 = datetime.datetime(2026, 1, 1)
+        docs = local_spark.createDataFrame(
+            [(t0, "hot take one"), (t0 + datetime.timedelta(seconds=5),
+              "hot take two")], ["ts", "text"])
+        out = {(r["gram"], r["df"]) for r in
+               P.trending_grams(docs, min_df=2).collect()}
+        assert out == {("hot take", 2)}
+
+
     def test_standardize(self, local_spark):
         import math
         df = local_spark.createDataFrame(

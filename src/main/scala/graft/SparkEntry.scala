@@ -1546,6 +1546,16 @@ object SparkEntry {
       graft.curation.Sampling.quotaTopK(d, Seq("domain"), "n_chars", "doc_id", k = 3)
     }),
 
+    // windowed trending bigrams: per 64-second tumbling window, df of
+    // every bigram clearing minDf — ONE stateful agg (streaming-safe),
+    // distinct-per-doc grams map-side via the WordShingles kernel
+    "text_trending" -> ((s, dir) =>
+      graft.streaming.Trending.gramWindows(
+        tbl(s, dir, "documents").select(
+          timestamp_micros(col("doc_id") * 1000000L).as("ts"), col("text")),
+        "ts", "text", n = 2, windowDur = "64 seconds", minDf = 5)
+        .select(unix_micros(col("w_start")).as("ws"), col("gram"), col("df"))),
+
     // per-group z-score standardization: micro-unit integer z from
     // exact decimal moment sums + single-valued double finishing —
     // stats agg + join-back, no data-row window
@@ -3221,6 +3231,18 @@ object SparkEntry {
         |  SELECT "domain", doc_id, n_chars,
         |    row_number() OVER (PARTITION BY "domain" ORDER BY n_chars DESC, doc_id) rn
         |  FROM d) WHERE rn <= 3""".stripMargin,
+
+    // epoch-aligned tumbling windows = integer floor to the window
+    // size; distinct bigrams per doc replayed with list_distinct
+    "text_trending" ->
+      s"""WITH t AS (SELECT doc_id, (doc_id * 1000000 // 64000000) * 64000000 ws,
+        |        $tokensSql tok FROM documents),
+        |sh AS (SELECT ws, list_distinct([tok[i]||' '||tok[i+1]
+        |                for i in range(1, len(tok))]) sl
+        |       FROM t WHERE len(tok) >= 2),
+        |e AS (SELECT ws, unnest(sl) gram FROM sh)
+        |SELECT ws, gram, CAST(count(*) AS BIGINT) df
+        |FROM e GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
     // BIGINT moment sums are exact (values are small ints), double
     // finishing is the identical IEEE sequence both engines

@@ -673,6 +673,12 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Windowed trending n-grams (batch or streaming frame). */
+  def trendingGrams(df: DataFrame, tsCol: String, textCol: String, n: Int,
+      windowDur: String, minDf: Long, watermark: String): DataFrame =
+    graft.streaming.Trending.gramWindows(df, tsCol, textCol, n, windowDur,
+      minDf, watermark)
+
   /** Per-group z-score standardization in exact micro-units. */
   def standardize(df: DataFrame, groupColsCsv: String, valueCol: String,
       outCol: String): DataFrame =

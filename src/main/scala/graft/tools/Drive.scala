@@ -948,6 +948,15 @@ object Drive {
       println(s"rows=${cdcGot.size} cdc-applied docs, reproduces target " +
         s"snapshot=${cdcGot == cdcWant} (expect true)")
 
+      // trending: every emitted df respects minDf and windows tile
+      val tr = graft.streaming.Trending.gramWindows(
+        docsT.select(timestamp_micros(col("doc_id") * 1000000L).as("ts"),
+          col("text")),
+        "ts", "text", n = 2, windowDur = "64 seconds", minDf = 3)
+      val trBad = tr.where(col("df") < 3 ||
+        unix_micros(col("w_end")) - unix_micros(col("w_start")) =!= 64000000L).count()
+      println(s"rows=${tr.count()} trending grams, contract violations=$trBad (expect 0)")
+
       // z-scores: per-group mean of scores ~ 0 (micro-units)
       val zs = graft.stats.GroupStats.standardize(
         docsT.withColumn("len", length(col("text")).cast("int"))

@@ -764,6 +764,17 @@ object ScaleBench {
           .where(col("version") >= 1L)
       }),
 
+      // windowed trending grams: map-side distinct shingles, one
+      // (window, gram) agg — shuffle bounded by windows × distinct
+      // grams (docsPlain text repeats, so grams constant while docs ×f)
+      "text_trending" -> (() =>
+        graft.streaming.Trending.gramWindows(
+          docsPlain(f).select(
+            timestamp_micros(pmod(col("doc_id"), lit(100000L)) * 1000000L).as("ts"),
+            col("text")),
+          "ts", "text", n = 2, windowDur = "64 seconds", minDf = 5)
+          .where(col("df") >= 0)),
+
       // z-score standardization: stats agg bounded by GROUP count
       // (constant) + join-back ∝ f — the quantileBins shuffle shape
       "q_zscore" -> (() =>
