@@ -58,6 +58,11 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // SPARK_GRAFT_NOAQE=1: measure WITHOUT adaptive execution — the
+      // A/B lever for probes whose subject is exactly what AQE papers
+      // over (skew-split, runtime re-plan); default stays AQE-on
+      .config("spark.sql.adaptive.enabled",
+        (!sys.env.contains("SPARK_GRAFT_NOAQE")).toString)
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // events.parquet carries TIMESTAMP(NANOS); read as ns longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
