@@ -154,6 +154,18 @@ def range_join(points, intervals, point_col="v", lo_col="lo", hi_col="hi",
         float(bucket_width), join_type))
 
 
+def hard_negatives(queries, candidates, id_col="vec_id",
+                   vec_col="embedding", k=10, shortlist=100,
+                   dup_threshold=0.95):
+    """Hard-negative mining for contrastive training: per query, the k
+    most similar candidates with cosine at or below ``dup_threshold``
+    (near-dups are excluded, not re-labeled), drawn from the exact
+    top-``shortlist`` neighbors and re-ranked."""
+    return _wrap(queries, _facade(queries).hardNegatives(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k),
+        int(shortlist), float(dup_threshold)))
+
+
 def overlap_join(left, right, left_lo="alo", left_hi="ahi", right_lo="blo",
                  right_hi="bhi", bucket_width=1.0, join_type="inner"):
     """Interval-overlap join: every (left, right) pair whose closed

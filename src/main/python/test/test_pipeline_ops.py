@@ -753,6 +753,16 @@ class TestRound7c(object):
         assert out[("h", 7)] is None  # zero variance
 
 
+    def test_hard_negatives(self, local_spark):
+        vecs = local_spark.createDataFrame(
+            [(0, [1.0, 0.0]), (1, [1.0, 0.02]), (2, [0.8, 0.6]),
+             (3, [0.0, 1.0])], ["vec_id", "embedding"])
+        out = [r["cid"] for r in P.hard_negatives(
+            vecs.where("vec_id = 0"), vecs, k=2, shortlist=3,
+            dup_threshold=0.95).orderBy("rnk").collect()]
+        assert out == [2, 3]  # the near-dup (cid 1) is excluded
+
+
     def test_overlap_join(self, local_spark):
         lhs = local_spark.createDataFrame(
             [(1, 0.0, 5.0), (2, 10.0, 12.0)], ["lid_", "alo", "ahi"])

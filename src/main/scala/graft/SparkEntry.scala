@@ -1178,6 +1178,17 @@ object SparkEntry {
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
+    // hard-negative mining: top-10 similar-but-not-duplicate per query
+    // (exact top-40 shortlist -> cos <= 0.35 filter -> bounded re-rank)
+    // — the contrastive-training negative sampler; 0.35 sits inside
+    // this corpus's cosine range so the threshold provably excludes
+    "simsearch_hardneg" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.hardNegatives(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding",
+        k = 10, shortlist = 40, dupThreshold = 0.35)
+    }),
+
     // ANN scale path. At these gate settings (3 planes — wide buckets —
     // over 32 tables) the deterministic splitmix64 bucketing retrieves
     // every true top-10 candidate for every query on this data (verified
@@ -3019,6 +3030,23 @@ object SparkEntry {
          |FROM t""".stripMargin,
 
     "simsearch_topk" -> simsearchExactTopkSql,
+
+    // shortlist-then-filter-then-rerank replayed literally
+    "simsearch_hardneg" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 20),
+        |s AS (SELECT qid, e.vec_id cid,
+        |        round(list_inner_product(qv, v)
+        |          / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) cos_r6
+        |      FROM q CROSS JOIN e WHERE e.vec_id != qid),
+        |sl AS (SELECT qid, cid, cos_r6,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) srnk
+        |       FROM s),
+        |f AS (SELECT qid, cid, cos_r6 FROM sl WHERE srnk <= 40 AND cos_r6 <= 0.35)
+        |SELECT qid, cid, cos_r6, rnk FROM (
+        |  SELECT qid, cid, cos_r6,
+        |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
+        |  FROM f) WHERE rnk <= 10""".stripMargin,
 
     // same exact-SQL oracle: at the gate's over-provisioned LSH settings
     // the bucketed retrieval is exhaustive on this data (see the

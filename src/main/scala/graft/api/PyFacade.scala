@@ -156,6 +156,13 @@ object PyFacade {
       idCol: String, vecCol: String, k: Int, nprobe: Int): DataFrame =
     Similarity.ivfTopKWith(queries, candidates, centroids, idCol, vecCol, k, nprobe)
 
+  /** Hard-negative mining: top-k similar-but-below-threshold per query. */
+  def hardNegatives(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      dupThreshold: Double): DataFrame =
+    Similarity.hardNegatives(queries, candidates, idCol, vecCol, k,
+      shortlist, dupThreshold)
+
   def trainCentroids(candidates: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): DataFrame =
     Similarity.trainCentroids(candidates, idCol, vecCol, nlist, iters)

@@ -75,6 +75,42 @@ object Similarity {
     scoreAndRank(c.crossJoin(broadcast(q)), k)
   }
 
+  /**
+   * Hard-negative mining for contrastive training: per query, the k
+   * most similar candidates whose cosine stays AT OR BELOW
+   * `dupThreshold` — similar enough to be informative negatives,
+   * dissimilar enough not to be latent positives/duplicates. The
+   * standard two-stage practice, made explicit: an exact top-
+   * `shortlist` retrieval ([[cosineTopK]]) feeds the threshold filter,
+   * then a per-query re-rank keeps k. A near-duplicate crowding the
+   * shortlist top is EXCLUDED, not re-labeled — pair it with
+   * [[graft.dedup.Dedup.embeddingPairsLsh]] to also drop those from
+   * the positive pool.
+   *
+   * Scale: inherits [[cosineTopK]]'s layout (queries broadcast,
+   * candidates never shuffle, Q·N slim score rows); the filter and
+   * re-rank add only per-query O(shortlist) work via the bounded
+   * top-k aggregate (no window over score rows). For corpus-scale
+   * query sets swap the retrieval stage for [[ivfTopKWith]]/
+   * [[lshCosineTopK]] output and apply the same filter + re-rank.
+   *
+   * Output: `(qid, cid, cos_r6, rnk)` — rnk 1..k among sub-threshold
+   * shortlist members (cos desc, cid asc).
+   */
+  def hardNegatives(
+      queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      shortlist: Int = 100, dupThreshold: Double = 0.95): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    graft.curation.Sampling.quotaTopK(
+        cosineTopK(queries, candidates, idCol, vecCol, shortlist)
+          .where(col("cos_r6") <= dupThreshold),
+        Seq("qid"), "cos_r6", "cid", k)
+      .select(col("qid"), col("cid"), col("cos_r6"),
+        col("rank").cast("long").as("rnk"))
+  }
+
   /** SimHash bucket ids, one per hash table — codegen'd native expression
     * (graft.functions.SimhashBuckets); plane components are stateless
     * splitmix64-derived values keyed by (table, plane, dim). */

@@ -948,6 +948,17 @@ object Drive {
       println(s"rows=${cdcGot.size} cdc-applied docs, reproduces target " +
         s"snapshot=${cdcGot == cdcWant} (expect true)")
 
+      // hard negatives: no emitted pair exceeds the dup threshold, and
+      // no emitted cosine beats an EXCLUDED (above-threshold) one from
+      // the same query's shortlist
+      val hnEmb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val hn = graft.similarity.Similarity.hardNegatives(
+        hnEmb.where(col("vec_id") < 10), hnEmb, "vec_id", "embedding",
+        k = 5, shortlist = 20, dupThreshold = 0.35)
+      val hnBad = hn.where(col("cos_r6") > 0.35).count()
+      println(s"rows=${hn.count()} hard negatives, above-threshold leaks=" +
+        s"$hnBad (expect 0)")
+
       // trending: every emitted df respects minDf and windows tile
       val tr = graft.streaming.Trending.gramWindows(
         docsT.select(timestamp_micros(col("doc_id") * 1000000L).as("ts"),

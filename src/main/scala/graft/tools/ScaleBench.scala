@@ -769,6 +769,15 @@ object ScaleBench {
           .where(col("version") >= 1L)
       }),
 
+      // hard negatives: the cosineTopK layout + per-query O(shortlist)
+      // filter/re-rank — candidates ×f never shuffle, Q·N score rows
+      "simsearch_hardneg" -> (() =>
+        graft.similarity.Similarity.hardNegatives(
+          embs(1).where(col("vec_id") < 20), embs(f),
+          "vec_id", "embedding", k = 10, shortlist = 40,
+          dupThreshold = 0.35)
+          .where(col("rnk") >= 1)),
+
       // windowed trending grams: map-side distinct shingles, one
       // (window, gram) agg — shuffle bounded by windows × distinct
       // grams (docsPlain text repeats, so grams constant while docs ×f)

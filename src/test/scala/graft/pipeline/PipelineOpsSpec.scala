@@ -484,6 +484,25 @@ class PipelineOpsSpec extends AnyFlatSpec with Matchers {
     top.map(_._1).toSeq shouldBe Seq(1L, 2L, 3L) // by descending cosine
   }
 
+  it should "mine hard negatives: similar-but-below-threshold, re-ranked" in {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(1.0f, 0.02f)),  // cos ~0.9998: a near-dup -> EXCLUDED
+      (2L, Array(0.8f, 0.6f)),   // cos 0.8: hard negative rank 1
+      (3L, Array(0.6f, 0.8f)),   // cos 0.6: hard negative rank 2
+      (4L, Array(0.0f, 1.0f)))   // cos 0: rank 3
+      .toDF("vec_id", "embedding")
+    val out = Similarity.hardNegatives(
+        vecs.where("vec_id = 0"), vecs, "vec_id", "embedding",
+        k = 3, shortlist = 4, dupThreshold = 0.95)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(3)))
+    out.map(_._1).toSeq shouldBe Seq(2L, 3L, 4L)
+    out.map(_._2).toSeq shouldBe Seq(1L, 2L, 3L)
+    an[IllegalArgumentException] should be thrownBy
+      Similarity.hardNegatives(vecs, vecs, "vec_id", "embedding",
+        k = 5, shortlist = 3)
+  }
+
   it should "retrieve the near-neighbor through SimHash LSH buckets" in {
     val base = (0 until 50).map { i =>
       val ang = i * 0.12
