@@ -892,6 +892,16 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def trailing_count(events, key_col="user_id", ts_col="ts",
+                   window_micros=3600 * 1000000, out_prefix="trail"):
+    """Trailing-window per-event feature: stamp every event with the
+    count of the same key's events in ``[ts - window_micros, ts)`` —
+    half-open, so the frame ends strictly before the event
+    (leakage-free); one RANGE window, never an event-pair join."""
+    return _wrap(events, _facade(events).trailingCount(
+        events._jdf, key_col, ts_col, int(window_micros), out_prefix))
+
+
 def trending_grams(df, ts_col="ts", text_col="text", n=2,
                    window_dur="1 minute", min_df=2, watermark="1 minute"):
     """Windowed trending n-grams: per tumbling event-time window, the

@@ -730,6 +730,14 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_trailing_count(self, local_spark):
+        ev = local_spark.createDataFrame(
+            [(1, 1, 0), (2, 1, 50), (3, 1, 120)], ["event_id", "user_id", "us"])
+        out = {r["event_id"]: r["trail_cnt"] for r in P.trailing_count(
+            ev, ts_col="us", window_micros=100).collect()}
+        assert out == {1: 0, 2: 1, 3: 1}  # 3 sees only 2 ([20,119])
+
+
     def test_trending_grams(self, local_spark):
         import datetime
         t0 = datetime.datetime(2026, 1, 1)

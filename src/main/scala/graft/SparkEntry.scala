@@ -1583,6 +1583,18 @@ object SparkEntry {
         tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
         Seq("source"), "n_chars", numBins = 4)),
 
+    // trailing-window features: events in the user's prior hour,
+    // stamped per event — one RANGE frame, never an event×event
+    // inequality join; frame ends at -1 micro (leakage-free)
+    "events_trailing" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      graft.streaming.EventWindows.trailingCount(
+        ev.select("event_id", "user_id", "ts"), "user_id", "ts",
+        windowMicros = 3600L * 1000000)
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"), col("trail_cnt"))
+    }),
+
     // cohort retention matrix: users grouped by earliest-signup week,
     // distinct-active counts per (cohort week, week offset) — slim
     // (user, anchor) min-agg + equi-join + triple dedup, exact integer
@@ -3295,6 +3307,15 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars,
         |  CAST(((w.cum - 1) * 4) // w.tot AS BIGINT) bin
         |FROM documents d JOIN w ON d.source = w.source AND d.n_chars = w.n_chars""".stripMargin,
+
+    // the same half-open RANGE frame; DuckDB RANGE on the BIGINT
+    // ordering replays frame membership row for row
+    "events_trailing" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 t_us FROM events)
+        |SELECT event_id, user_id, t_us,
+        |  count(*) OVER (PARTITION BY user_id ORDER BY t_us
+        |    RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING) trail_cnt
+        |FROM e""".stripMargin,
 
     // floor-division on positive micros: DuckDB // == Spark div
     "events_retention" ->

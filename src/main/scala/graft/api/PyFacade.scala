@@ -680,6 +680,12 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Trailing-window per-event count feature (leakage-free frame). */
+  def trailingCount(events: DataFrame, keyCol: String, tsCol: String,
+      windowMicros: Long, outPrefix: String): DataFrame =
+    graft.streaming.EventWindows.trailingCount(events, keyCol, tsCol,
+      windowMicros, outPrefix)
+
   /** Windowed trending n-grams (batch or streaming frame). */
   def trendingGrams(df: DataFrame, tsCol: String, textCol: String, n: Int,
       windowDur: String, minDf: Long, watermark: String): DataFrame =

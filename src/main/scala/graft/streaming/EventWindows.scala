@@ -144,4 +144,44 @@ object EventWindows {
         unix_micros(col("session_window.end")).as("end_ts"),
         col("cnt"), col("sum_value"))
   }
+
+  /**
+   * Trailing-window per-event features: stamp every event with the
+   * COUNT of the same key's events in the half-open trailing window
+   * `[ts - windowMicros, ts)` — "how active was this user in the hour
+   * before this event", the as-of feature-engineering staple (and,
+   * computed at LABEL time, leakage-free by construction: the frame
+   * ends strictly before the current event; same-instant events see
+   * each other excluded).
+   *
+   * Implementation: one RANGE window frame over the micros-numeric
+   * ordering (`rangeBetween(-w, -1)`) — a single keyed shuffle,
+   * per-key state bounded by events inside the trailing window, no
+   * self-join of events against events (the naive formulation is an
+   * inequality pair join). Per-key DATA rows do sort in the window —
+   * a pathologically hot key follows the [[graft.join.AsOfJoin
+   * .asofBucketed]] discussion (bucket the timeline first).
+   *
+   * Output: the input plus `<outPrefix>_cnt` (long).
+   */
+  def trailingCount(events: DataFrame, keyCol: String, tsCol: String,
+      windowMicros: Long, outPrefix: String = "trail"): DataFrame = {
+    require(windowMicros > 0, s"windowMicros must be positive, got $windowMicros")
+    val outCol = s"${outPrefix}_cnt"
+    require(!events.columns.contains(outCol),
+      s"output column `$outCol` already exists on the input")
+    val us = "__tw_us"
+    require(!events.columns.contains(us), s"`$us` column name is reserved")
+    val usCol = events.schema(tsCol).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(tsCol))
+      case _ => col(tsCol).cast("long")
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(us))
+      .rangeBetween(-windowMicros, -1)
+    events.withColumn(us, usCol)
+      .withColumn(outCol, count(lit(1)).over(w))
+      .drop(us)
+  }
 }

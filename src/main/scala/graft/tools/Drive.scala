@@ -986,6 +986,18 @@ object Drive {
         col("bin") < 0 || col("bin") > 3).count()
       println(s"rows=${qbOut.count()} binned docs, out-of-range bins=$qbBad (expect 0)")
 
+      // trailing features: count never exceeds the user's total events
+      // minus one, and is zero for each user's earliest event
+      val tw = graft.streaming.EventWindows.trailingCount(
+        ev.select("event_id", "user_id", "ts"), "user_id", "ts",
+        windowMicros = 3600L * 1000000)
+      val twFirstBad = tw.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+        .where(col("rn") === 1 && col("trail_cnt") =!= 0).count()
+      println(s"rows=${tw.count()} trailing-feature rows, " +
+        s"nonzero-first-event violations=$twFirstBad (expect 0)")
+
       // retention: matrix is triangular-consistent — every (cohort,
       // offset>0) count <= its cohort's offset-0 count
       val ret = graft.streaming.Retention.cohorts(

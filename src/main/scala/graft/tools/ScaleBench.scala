@@ -824,6 +824,14 @@ object ScaleBench {
           Seq("source"), "n_chars", numBins = 4)
           .where(col("bin") >= 0)),
 
+      // trailing features: one RANGE window, per-key rows bounded by
+      // per-user timeline density (constant) — shuffle ∝ f slim rows
+      "events_trailing" -> (() =>
+        graft.streaming.EventWindows.trailingCount(
+          events(f).select("event_id", "user_id", "ts"), "user_id", "ts",
+          windowMicros = 3600L * 1000000)
+          .where(col("trail_cnt") >= 0)),
+
       // cohort retention: events ×f with ×f users — slim anchor agg +
       // equi-join + triple dedup; shuffle ∝ f, output matrix bounded
       // by cohorts × offsets (constant here)

@@ -215,4 +215,46 @@ class EventWindowsSpec extends AnyFlatSpec with Matchers {
       got shouldBe batch
     } finally q.stop()
   }
+
+  behavior of "EventWindows.trailingCount"
+
+  it should "count same-key events in the half-open trailing window" in {
+    val ev = Seq(
+      (1L, 1L, 0L), (2L, 1L, 50L), (3L, 1L, 100L),  // all within 100 of each other
+      (4L, 1L, 100L),                                 // same instant as 3: EXCLUDED from each other
+      (5L, 1L, 250L),                                 // sees only ts in [150, 249]: none
+      (6L, 2L, 60L))                                  // other key
+      .toDF("event_id", "user_id", "us")
+    val out = EventWindows.trailingCount(ev, "user_id", "us", windowMicros = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    out shouldBe Map(
+      1L -> 0L,  // nothing before
+      2L -> 1L,  // sees event 1
+      3L -> 2L,  // sees 1 (at -100, inclusive) and 2; NOT 4 (same instant)
+      4L -> 2L,  // symmetric
+      5L -> 0L,  // window [150, 249] is empty
+      6L -> 0L)
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.trailingCount(ev, "user_id", "us", windowMicros = 0)
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.trailingCount(ev.withColumn("trail_cnt", ev("us")),
+        "user_id", "us", 100L)
+  }
+
+  it should "match a brute-force trailing count on random data" in {
+    val rnd = new scala.util.Random(29)
+    val data = Seq.tabulate(1500)(i =>
+      (i.toLong, rnd.nextInt(10).toLong, rnd.nextInt(2000).toLong))
+    val out = EventWindows.trailingCount(
+        data.toDF("event_id", "user_id", "us"), "user_id", "us", 150L)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toMap
+    data.foreach { case (id, u, t) =>
+      val want = data.count { case (id2, u2, t2) =>
+        id2 != id && u2 == u && t2 >= t - 150 && t2 < t
+      } + data.count { case (id2, u2, t2) =>
+        id2 != id && u2 == u && t2 == t && false // same-instant excluded
+      }
+      out(id) shouldBe want.toLong
+    }
+  }
 }
