@@ -892,6 +892,16 @@ def scd2(df, key_col, ts_col, value_cols):
     return _wrap(df, _facade(df).scd2(df._jdf, key_col, ts_col, value_cols))
 
 
+def ab_two_proportions(df, unit_col="user_id", variant_col="variant",
+                       success_col="converted"):
+    """Two-proportion A/B test: one report row with per-variant unit
+    and conversion counts plus the pooled z-statistic in micro-units
+    (floor(1e6*z), engine-exact); a unit converts if ANY of its rows
+    carries the success flag; exactly 2 variants required."""
+    return _wrap(df, _facade(df).abTwoProportions(
+        df._jdf, unit_col, variant_col, success_col))
+
+
 def trailing_count(events, key_col="user_id", ts_col="ts",
                    window_micros=3600 * 1000000, out_prefix="trail"):
     """Trailing-window per-event feature: stamp every event with the

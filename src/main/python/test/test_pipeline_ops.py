@@ -730,6 +730,19 @@ class TestRound7c(object):
         assert left == {(100, "b"), (101, "g"), (102, None)}
 
 
+    def test_ab_two_proportions(self, local_spark):
+        import math
+        ev = local_spark.createDataFrame(
+            [("A", 1, True), ("A", 2, True), ("A", 3, False),
+             ("B", 11, False), ("B", 12, False), ("B", 13, True)],
+            ["variant", "user_id", "converted"])
+        r = P.ab_two_proportions(ev).collect()[0]
+        assert (r["n_a"], r["x_a"], r["n_b"], r["x_b"]) == (3, 2, 3, 1)
+        pool = 3.0 / 6.0
+        se = math.sqrt(pool * (1 - pool) * (2.0 / 3))
+        assert r["z_micro"] == math.floor(1e6 * (2 / 3 - 1 / 3) / se)
+
+
     def test_trailing_count(self, local_spark):
         ev = local_spark.createDataFrame(
             [(1, 1, 0), (2, 1, 50), (3, 1, 120)], ["event_id", "user_id", "us"])

@@ -1583,6 +1583,16 @@ object SparkEntry {
         tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
         Seq("source"), "n_chars", numBins = 4)),
 
+    // two-proportion A/B report: variant = user parity, success =
+    // purchase events; exact integer counts -> IEEE z in micro-units
+    "events_abtest" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+      graft.stats.ABTest.twoProportions(
+        ev.withColumn("variant", pmod(col("user_id"), lit(2)).cast("string"))
+          .withColumn("converted", col("event_type") === "purchase"),
+        "user_id", "variant", "converted")
+    }),
+
     // trailing-window features: events in the user's prior hour,
     // stamped per event — one RANGE frame, never an event×event
     // inequality join; frame ends at -1 micro (leakage-free)
@@ -3307,6 +3317,26 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars,
         |  CAST(((w.cum - 1) * 4) // w.tot AS BIGINT) bin
         |FROM documents d JOIN w ON d.source = w.source AND d.n_chars = w.n_chars""".stripMargin,
+
+    // exact integer counts then the identical IEEE z sequence
+    "events_abtest" ->
+      """WITH u AS (SELECT CAST(user_id % 2 AS VARCHAR) v, user_id,
+        |        max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) c
+        |      FROM events GROUP BY 1, 2),
+        |p AS (SELECT v, CAST(count(*) AS BIGINT) n, CAST(sum(c) AS BIGINT) x
+        |      FROM u GROUP BY 1),
+        |a AS (SELECT n n_a, x x_a, v v_a FROM p ORDER BY v LIMIT 1),
+        |b AS (SELECT n n_b, x x_b, v v_b FROM p ORDER BY v DESC LIMIT 1)
+        |SELECT v_a variant_a, n_a, x_a, v_b variant_b, n_b, x_b,
+        |  CASE WHEN (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) > 0
+        |        AND (CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)) < 1
+        |       THEN CAST(floor(1000000.0
+        |         * (CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |         / sqrt((CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |             * (1.0 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |             * (1.0 / n_a + 1.0 / n_b))) AS BIGINT)
+        |       ELSE NULL END z_micro
+        |FROM a, b""".stripMargin,
 
     // the same half-open RANGE frame; DuckDB RANGE on the BIGINT
     // ordering replays frame membership row for row

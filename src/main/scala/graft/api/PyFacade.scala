@@ -680,6 +680,11 @@ object PyFacade {
     graft.curation.ChangeHistory.scd2(df, keyCol, tsCol,
       valueColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Two-proportion A/B test report (one row, micro-unit z). */
+  def abTwoProportions(df: DataFrame, unitCol: String, variantCol: String,
+      successCol: String): DataFrame =
+    graft.stats.ABTest.twoProportions(df, unitCol, variantCol, successCol)
+
   /** Trailing-window per-event count feature (leakage-free frame). */
   def trailingCount(events: DataFrame, keyCol: String, tsCol: String,
       windowMicros: Long, outPrefix: String): DataFrame =

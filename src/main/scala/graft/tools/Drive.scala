@@ -986,6 +986,17 @@ object Drive {
         col("bin") < 0 || col("bin") > 3).count()
       println(s"rows=${qbOut.count()} binned docs, out-of-range bins=$qbBad (expect 0)")
 
+      // A/B report: counts reconcile against direct distinct counts
+      val abEv = spark.read.parquet(s"$dir/events.parquet")
+        .withColumn("variant", pmod(col("user_id"), lit(2)).cast("string"))
+        .withColumn("converted", col("event_type") === "purchase")
+      val ab = graft.stats.ABTest.twoProportions(
+        abEv, "user_id", "variant", "converted").head()
+      val totUnits = abEv.select("user_id").distinct().count()
+      println(s"rows=1 ab-test report, units ${ab.getLong(1)}+${ab.getLong(4)}" +
+        s"=${ab.getLong(1) + ab.getLong(4)} of $totUnits (expect equal), " +
+        s"z_micro=${if (ab.isNullAt(6)) "null" else ab.getLong(6)}")
+
       // trailing features: count never exceeds the user's total events
       // minus one, and is zero for each user's earliest event
       val tw = graft.streaming.EventWindows.trailingCount(

@@ -824,6 +824,16 @@ object ScaleBench {
           Seq("source"), "n_chars", numBins = 4)
           .where(col("bin") >= 0)),
 
+      // A/B report: (variant, unit) dedup shuffle ∝ units, then 2
+      // partials + a constant 2-row fold — output always 1 row
+      "events_abtest" -> (() =>
+        graft.stats.ABTest.twoProportions(
+          events(f).withColumn("variant",
+              pmod(col("user_id"), lit(2)).cast("string"))
+            .withColumn("converted", col("event_type") === "purchase"),
+          "user_id", "variant", "converted")
+          .where(col("n_a") >= 0)),
+
       // trailing features: one RANGE window, per-key rows bounded by
       // per-user timeline density (constant) — shuffle ∝ f slim rows
       "events_trailing" -> (() =>
