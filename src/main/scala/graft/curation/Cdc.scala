@@ -48,7 +48,7 @@ object Cdc {
       s"changes is missing columns: ${(missingK ++ missingP).mkString(", ")}")
     require(!snapshot.columns.contains(tsCol) && !snapshot.columns.contains(opCol),
       s"snapshot must not carry `$tsCol`/`$opCol`")
-    val reserved = Seq("__rn", "__hit")
+    val reserved = Seq("__rn", "__op") ++ payload.map(c => s"__w_$c")
     val clash = (snapshot.columns ++ Seq(tsCol, opCol)).filter(reserved.contains)
     require(clash.isEmpty, s"reserved column names in use: ${clash.mkString(", ")}")
 

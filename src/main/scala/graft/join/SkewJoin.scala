@@ -68,8 +68,10 @@ object SkewJoin {
     require(missingL.isEmpty && missingR.isEmpty,
       s"join keys missing: left ${missingL.mkString(",")} right ${missingR.mkString(",")}")
     val salt = "__salt"
-    require(!left.columns.contains(salt) && !right.columns.contains(salt),
-      s"`$salt` column name is reserved")
+    Seq(salt, "__hot").foreach { r =>
+      require(!left.columns.contains(r) && !right.columns.contains(r),
+        s"`$r` column name is reserved")
+    }
     hotKeys.foreach { hk =>
       require(hk.columns.toSeq == keys,
         s"hotKeys columns must be exactly $keys, got ${hk.columns.toSeq}")
