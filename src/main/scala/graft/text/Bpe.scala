@@ -93,8 +93,120 @@ object Bpe {
    * Learn `rounds` merges from `df`'s `textCol` (whitespace
    * tokenization, [[TextFunctions.tokens]]). Returns at most `rounds`
    * merges — fewer if the corpus runs out of adjacent pairs entirely.
+   *
+   * Execution shape (the SentencePiece split): Spark collapses the
+   * corpus ONCE to the distinct-word frequency histogram (map-side
+   * combined; |vocab| rows, corpus-size-independent), the greedy merge
+   * loop then runs driver-side over that histogram — one Spark job
+   * total instead of one per round, which is what makes vocab-scale
+   * `rounds` (256+, see the `text_bpe_vocab` gate) affordable. The
+   * driver loop replays [[trainDistributed]]'s per-round semantics
+   * EXACTLY (positional pair counting weighted by word frequency,
+   * argmax tie-broken (left asc, right asc) in code-point order =
+   * Spark's binary UTF8String order, greedy left-to-right application)
+   * — spec-pinned equal on the gate corpus.
+   *
+   * `maxWords` bounds the driver-side histogram for open-vocabulary
+   * corpora (100 TB of web text has unbounded distinct "words"): the
+   * top `maxWords` by (count desc, word asc) — a deterministic cut, the
+   * standard frequency-pruned BPE training corpus. The default keeps
+   * every word (exact, engine-replayable).
    */
-  def train(df: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
+  def train(df: DataFrame, textCol: String, rounds: Int,
+            maxWords: Int = Int.MaxValue): Seq[Merge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
+    var hist = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    if (maxWords != Int.MaxValue)
+      hist = hist.orderBy(col("wc").desc, col("w").asc).limit(maxWords)
+    val rows = hist.collect()
+    val words = new Array[(String, Long)](rows.length)
+    var i = 0
+    while (i < rows.length) {
+      words(i) = (rows(i).getString(0), rows(i).getLong(1)); i += 1
+    }
+    trainOnHistogram(words, rounds)
+  }
+
+  /** Driver-side greedy merge loop over a (word, count) histogram —
+    * the exact in-memory twin of one [[trainDistributed]] round per
+    * iteration. Public so a pre-aggregated histogram (e.g. persisted
+    * corpus stats) can train directly. */
+  def trainOnHistogram(hist: Array[(String, Long)], rounds: Int): Seq[Merge] = {
+    import graft.functions.BpeRuntime
+    val states = new Array[Array[String]](hist.length)
+    val lens = new Array[Int](hist.length)
+    var i = 0
+    while (i < hist.length) {
+      states(i) = BpeRuntime.charSplit(hist(i)._1)
+      lens(i) = states(i).length
+      i += 1
+    }
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // positional pair counting, weighted by word frequency
+      val pc = new java.util.HashMap[(String, String), Long]()
+      var w = 0
+      while (w < states.length) {
+        val st = states(w); val n = lens(w); val c = hist(w)._2
+        var j = 0
+        while (j < n - 1) {
+          pc.merge((st(j), st(j + 1)), c, java.lang.Long.sum(_, _))
+          j += 1
+        }
+        w += 1
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        // argmax by (count desc, left asc, right asc) in code-point
+        // (= binary UTF-8) order, matching Spark's string orderBy
+        var bl: String = null; var br: String = null; var bc = Long.MinValue
+        val it = pc.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val (l, rt) = e.getKey; val c = e.getValue
+          if (c > bc || (c == bc && {
+                val cl = cpCompare(l, bl)
+                cl < 0 || (cl == 0 && cpCompare(rt, br) < 0)
+              })) { bl = l; br = rt; bc = c }
+        }
+        merges += Merge(r, bl, br, bc)
+        var k = 0
+        while (k < states.length) {
+          lens(k) = BpeRuntime.applyPass(states(k), lens(k), bl, br)
+          k += 1
+        }
+        r += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Code-point comparison = UTF-8 byte order = Spark's binary
+    * UTF8String ordering (Java's `String.compareTo` diverges for
+    * supplementary characters — UTF-16 code-unit order). */
+  private def cpCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /**
+   * The original all-Spark training loop — one aggregation job per
+   * round over the distinct-word table. Kept as the distributed
+   * fallback for histograms too large to collect even after a
+   * `maxWords` cut, and as the engine-replayable semantics anchor that
+   * [[train]]'s driver loop is spec-pinned against.
+   */
+  def trainDistributed(df: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     // corpus -> distinct-word frequency table, ONCE
     var words = df
@@ -143,18 +255,34 @@ object Bpe {
       .collect().sortBy(_.getInt(0))
       .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
 
-  /** Segment one word into its learned subwords: replay the merge chain
-    * (rank order) over the character state — a pure map-side expression,
-    * `merges.size` folds deep. */
+  /** The serving runtime for a merge table — ONE reference object
+    * regardless of vocabulary size (see [[graft.functions.BpeRuntime]]
+    * for the exact-replay argument). */
+  def runtime(merges: Seq[Merge]): graft.functions.BpeRuntime =
+    new graft.functions.BpeRuntime(
+      merges.map(_.left).toArray, merges.map(_.right).toArray)
+
+  /** Segment one word into its learned subwords — a single codegen'd
+    * expression holding the merge table as data; the plan shape is
+    * vocabulary-size-independent (a 50k-merge table serves through the
+    * same two-node tree as an 8-merge one). */
   def segment(word: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeSegmentWord.segment(word, runtime(merges))
+
+  /** The original expression-fold serve — `merges.size` `aggregate`
+    * folds deep; exact but vocabulary-bounded (codegen method-size
+    * limits at production vocab). Kept as the semantics anchor the
+    * native runtime is spec-pinned against. */
+  def segmentFold(word: Column, merges: Seq[Merge]): Column =
     split(merges.foldLeft(charState(word)) { (st, m) =>
       applyMerge(st, m.left, m.right)
     }, " ")
 
   /** All subword tokens of a text: whitespace pre-tokenization, then
-    * per-word merge replay, flattened in order. */
+    * per-word merge replay, flattened in order — tokenize + segment +
+    * flatten in one codegen'd pass with a Zipf-friendly per-word memo. */
   def bpeTokens(text: Column, merges: Seq[Merge]): Column =
-    flatten(transform(TextFunctions.tokens(text), w => segment(w, merges)))
+    graft.functions.BpeTokensOf.tokens(text, runtime(merges))
 
   /** Trained-subword token count — the drop-in replacement for
     * [[TextFunctions.bpeTokenCount]]'s pre-tokenization proxy in the

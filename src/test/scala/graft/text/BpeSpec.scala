@@ -78,6 +78,59 @@ class BpeSpec extends AnyFunSuite {
     assert(bad == 0L)
   }
 
+  test("fast driver trainer equals the distributed loop (semantics anchor)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val fast = Bpe.train(docs, "text", rounds = 8)
+    val dist = Bpe.trainDistributed(docs, "text", rounds = 8)
+    assert(fast == dist)
+  }
+
+  test("native runtime serve equals the expression fold (randomized)") {
+    // random corpora over a tiny alphabet force deep merge chains,
+    // duplicate-pair re-learning, and heavy pair overlap — the cases
+    // the heap-replay equivalence argument has to survive
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 8) {
+      val alpha = "ab" + ("cde".take(rnd.nextInt(3)))
+      val words = (1 to 40).map { _ =>
+        (1 to (1 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val ms = Bpe.train(docs, "text", rounds = 1 + rnd.nextInt(12))
+      val wdf = docs.select(explode(TextFunctions.tokens(col("text"))).as("w")).distinct()
+      val diff = wdf
+        .select(col("w"), Bpe.segment(col("w"), ms).as("native"),
+          Bpe.segmentFold(col("w"), ms).as("fold"))
+        .where(not(col("native") === col("fold")))
+        .collect()
+      assert(diff.isEmpty,
+        s"trial $trial: native/fold diverged: ${diff.take(3).mkString(";")} merges=$ms")
+    }
+  }
+
+  test("vocab-scale training and serve: 256 merges on a derived bigram corpus") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val derived = docs
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+      .select(col("doc_id"), concat_ws(" ",
+        expr("transform(slice(ws, 1, greatest(size(ws) - 1, 0)), (w, i) -> concat(w, '_', ws[i + 1]))"))
+        .as("text"))
+    val ms = Bpe.train(derived, "text", rounds = 256)
+    assert(ms.size == 256, s"expected 256 merges, corpus saturated at ${ms.size}")
+    // serve through the native runtime; spot-check against the driver
+    // reference replay on every distinct derived word
+    val words = derived
+      .select(explode(TextFunctions.tokens(col("text"))).as("w")).distinct().collect()
+      .map(_.getString(0))
+    val rt = Bpe.runtime(ms)
+    words.foreach { w =>
+      assert(rt.segment(w).toList == refSegment(w, ms),
+        s"vocab-scale segmentation diverged for '$w'")
+    }
+    // lossless reassembly at vocab scale
+    words.foreach(w => assert(rt.segment(w).mkString("") == w))
+  }
+
   test("merge table round-trips through its DataFrame form") {
     val docs = Seq((1L, "ab ab abc")).toDF("doc_id", "text")
     val ms = Bpe.train(docs, "text", rounds = 2)
