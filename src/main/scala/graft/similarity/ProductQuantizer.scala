@@ -38,9 +38,10 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape of [[topK]]: queries broadcast with their LUTs (Q·m·ksub
  * doubles); the candidate side streams its (id, codes) rows — the big
- * side never shuffles vectors for the scan, and the shortlist
- * `row_number` shuffles Q·N SLIM (qid, cid, adc) rows, with the exact
- * re-rank touching only Q·shortlist full vectors. Composable with IVF:
+ * side never shuffles vectors for the scan, the shortlist cut is the
+ * bounded top-k AGGREGATE (map-side truncation to `shortlist`, so the
+ * exchange ships ~Q·shortlist partials — no term proportional to N),
+ * and the exact re-rank touches only Q·shortlist full vectors. Composable with IVF:
  * restrict the candidate side to probed cells first, then ADC-scan the
  * survivors (the two operators share the literal-centroid map-side
  * assignment idiom).
@@ -148,7 +149,6 @@ object ProductQuantizer {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val c = candidates
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .repartition(col("cid"))
       .withColumn("cn", Similarity.l2norm(col("cv")))
     // codes computed once per candidate (at scale: precomputed + persisted)
     val codes = c.select(col("cid"), encodeCol(cb, unitCol(col("cv"))).as("codes"))
@@ -167,14 +167,19 @@ object ProductQuantizer {
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         graft.functions.PqAdcScore.pqAdcScore(col("lut"), col("codes")).as("adc"))
-    // slim shortlist shuffle: (qid, cid, adc); ties by cid for determinism
-    val w = Window.partitionBy("qid").orderBy(col("adc").desc, col("cid").asc)
-    val short = adc.withColumn("__r", row_number().over(w)).where(col("__r") <= shortlist)
+    // bounded shortlist cut: the top-`shortlist` aggregate truncates
+    // map-side, so the exchange ships ~Q·shortlist partials — NOT the
+    // Q·N (qid, cid, adc) rows a row_number window would shuffle; ties
+    // by cid for determinism (same (-score, cid) total order)
+    val short = graft.curation.Sampling
+      .quotaTopK(adc, Seq("qid"), "adc", "cid", shortlist)
       .select("qid", "cid")
-    // exact re-rank: vectors join back ONLY for the shortlist
-    val rejoined = short
-      .join(q.select(col("qid"), col("qv"), col("qn")), "qid")
-      .join(c.select(col("cid"), col("cv"), col("cn")), "cid")
+    // exact re-rank: the Q·shortlist (qid, cid) pairs pick up the query
+    // vectors and BROADCAST — the candidate side streams its vectors
+    // map-side, so the re-rank adds zero candidate shuffle
+    val rejoined = c.select(col("cid"), col("cv"), col("cn"))
+      .join(broadcast(short
+        .join(q.select(col("qid"), col("qv"), col("qn")), "qid")), "cid")
     Similarity.scoreAndRank(rejoined, k)
   }
 }

@@ -85,10 +85,11 @@ object ScalarQuantizer {
   /**
    * Int8-shortlisted exact-rerank top-k; output contract identical to
    * [[Similarity.cosineTopK]] (qid, cid, cos_r6, rnk — exact cosines).
-   * Candidates stream as codes + decode (map-only); the only shuffles
-   * are the slim (qid, cid, approx) shortlist rank and the re-rank
-   * joins. `shortlist >= k`; `shortlist >= |candidates|` is exact for
-   * any parameters.
+   * Candidates stream as codes + decode (map-only); the shortlist cut
+   * is the bounded top-k aggregate (~Q·shortlist partials cross the
+   * exchange, no ∝N term) and the re-rank broadcasts the shortlist —
+   * candidates never shuffle. `shortlist >= k`;
+   * `shortlist >= |candidates|` is exact for any parameters.
    */
   def topK(queries: DataFrame, candidates: DataFrame,
       idCol: String, vecCol: String, k: Int,
@@ -96,7 +97,6 @@ object ScalarQuantizer {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
     val c = candidates
       .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .repartition(col("cid"))
       .withColumn("cn", Similarity.l2norm(col("cv")))
     // the stored artifact: codes only; decode is a map-only transform
     val dec = c.select(col("cid"), decodeCol(p, encodeCol(p, col("cv"))).as("dv"))
@@ -108,12 +108,16 @@ object ScalarQuantizer {
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (Similarity.dot(col("qv"), col("dv")) / (col("qn") * col("dn"))).as("ax"))
-    val w = Window.partitionBy("qid").orderBy(col("ax").desc, col("cid").asc)
-    val short = approx.withColumn("__r", row_number().over(w)).where(col("__r") <= shortlist)
+    // bounded shortlist cut (see ProductQuantizer.topK): ~Q·shortlist
+    // partials cross the exchange instead of Q·N score rows
+    val short = graft.curation.Sampling
+      .quotaTopK(approx, Seq("qid"), "ax", "cid", shortlist)
       .select("qid", "cid")
-    val rejoined = short
-      .join(q.select(col("qid"), col("qv"), col("qn")), "qid")
-      .join(c.select(col("cid"), col("cv"), col("cn")), "cid")
+    // broadcast the Q·shortlist pairs (with query vectors); candidates
+    // stream map-side — zero candidate shuffle in the re-rank
+    val rejoined = c.select(col("cid"), col("cv"), col("cn"))
+      .join(broadcast(short
+        .join(q.select(col("qid"), col("qv"), col("qn")), "qid")), "cid")
     Similarity.scoreAndRank(rejoined, k)
   }
 

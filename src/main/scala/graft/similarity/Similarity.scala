@@ -45,11 +45,24 @@ object Similarity {
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_r6")), k)
 
   /** Rank (qid, cid, cos_r6) rows per query: descending cosine, ties by
-    * ascending candidate id, keep the top k. */
-  private[similarity] def rank(scored: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(col("cos_r6").desc, col("cid").asc)
-    scored.withColumn("rnk", row_number().over(w).cast("long")).where(col("rnk") <= k)
-  }
+    * ascending candidate id, keep the top k.
+    *
+    * Shape: ONE aggregation with the bounded top-k aggregate
+    * ([[graft.curation.Sampling.quotaTopK]] /
+    * [[graft.functions.BoundedTopKSet]]) — partial buffers truncate to
+    * k map-side, so the exchange ships ~Q·k partials instead of every
+    * (qid, cid, score) row. The window formulation
+    * (`row_number().over(partitionBy("qid"))`) shuffles all Q·N slim
+    * rows — at 10^9 candidates that exchange IS the query cost; this
+    * shape's exchange stays Q·k whatever N is. Ordering contract unchanged
+    * (score desc, cid asc; the struct order `(-score, cid)` is the same
+    * total order). Rows with a NULL score or id are excluded — the
+    * window ranked them last, below any real score, so no top-k a
+    * caller can request would ever include one. */
+  private[similarity] def rank(scored: DataFrame, k: Int): DataFrame =
+    graft.curation.Sampling.quotaTopK(scored, Seq("qid"), "cos_r6", "cid", k)
+      .select(col("qid"), col("cid"), col("cos_r6"),
+        col("rank").cast("long").as("rnk"))
 
   /**
    * Exact brute-force top-k: for every query row, the k nearest candidate
@@ -57,8 +70,11 @@ object Similarity {
    * Output: (query id, candidate id, cos_r6, rank 1..k). Self-pairs
    * (same id) are excluded.
    *
-   * The query side is `broadcast()` — candidates never shuffle; ranking
-   * shuffles only Q·N slim rows keyed by query id.
+   * The query side is `broadcast()` — candidates never shuffle; the
+   * per-query cut is the bounded top-k aggregate, so the ranking
+   * exchange ships ~Q·k partials (no term proportional to N). The Q·N
+   * dot products remain — that is brute force's defining cost; the
+   * LSH/IVF/PQ variants are the paths that cut the scan itself.
    */
   def cosineTopK(
       queries: DataFrame, candidates: DataFrame,
@@ -68,9 +84,13 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
+    // NO candidate repartition: the scan's own partitioning carries the
+    // scoring parallelism (a real table arrives in ~maxPartitionBytes
+    // splits); a keyed repartition here would shuffle every candidate
+    // VECTOR once — the exact ∝N exchange this operator promises not to
+    // have. Tiny single-split inputs can pre-repartition at the caller.
     val c = candidates.select(
       col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .repartition(col("cid")) // parallelize scoring beyond the scan's partitioning
       .withColumn("cn", l2norm(col("cv")))
     scoreAndRank(c.crossJoin(broadcast(q)), k)
   }
@@ -88,7 +108,7 @@ object Similarity {
    * the positive pool.
    *
    * Scale: inherits [[cosineTopK]]'s layout (queries broadcast,
-   * candidates never shuffle, Q·N slim score rows); the filter and
+   * candidates never shuffle, bounded shortlist cut); the filter and
    * re-rank add only per-query O(shortlist) work via the bounded
    * top-k aggregate (no window over score rows). For corpus-scale
    * query sets swap the retrieval stage for [[ivfTopKWith]]/
@@ -312,7 +332,6 @@ object Similarity {
 
     val c = candidates.select(
       col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
-      .repartition(col("cid"))
       .withColumn("cn", l2norm(col("cv")))
       .withColumn("__cell", nearestCell(col("cv")))
     val q = queries.select(

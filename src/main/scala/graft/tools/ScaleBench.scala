@@ -312,8 +312,11 @@ object ScaleBench {
           "n_chars", "doc_id", k = 5)),
       // PQ at its production shape (BOUNDED shortlist, unlike the
       // structurally-exact gate row): candidates ×f with fixed queries —
-      // the ADC scan and the slim (qid, cid, adc) shortlist shuffle grow
-      // ∝ f, the exact re-rank stays O(Q·shortlist) CONSTANT
+      // the map-side ADC scan grows ∝ f but SHUFFLE stays CONSTANT
+      // (~Q·shortlist bounded-aggregate partials; round-8 fix — the
+      // row_number cut used to ship every (qid, cid, adc) row). Wall
+      // tracks the scan because the exploded input keeps the base
+      // table's single split; a real table arrives in many splits
       "simsearch_pq" -> (() => {
         val e = embs(f)
         val cb = graft.similarity.ProductQuantizer.train(
