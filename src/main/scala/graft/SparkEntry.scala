@@ -1846,8 +1846,78 @@ object SparkEntry {
         .withColumnsRenamed(Map("pos" -> "byte_val", "col" -> "cnt"))
         .where(col("cnt") > 0)
         .select(col("doc_id"), col("byte_val").cast("long").as("byte_val"), col("cnt"))
-    })
+    }),
+
+    // --- multimodal on REAL encoded bytes (round 8): deterministic
+    // 24-bit BMPs built from doc_id via identical hex assembly in both
+    // engines, then decoded / resized / histogrammed through the REAL
+    // BmpCodec — header parsing, nearest-neighbor resample, and
+    // re-encode are exact integer byte math the oracle replays in SQL
+
+    // decode real BMP headers: dimensions/byte counts parsed from the
+    // actual little-endian header fields by the codec
+    "multimodal_real_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal
+        .withDecodedMeta(bmpAssets(tbl(s, dir, "documents")), "content",
+          graft.multimodal.Multimodal.BmpCodec)
+        .select(col("doc_id"), length(col("content")).cast("long").as("n_bytes"),
+          col("meta.kind").as("kind"), col("meta.width").as("width"),
+          col("meta.height").as("height"))),
+
+    // real pixel resize: 8xH -> 4x4 nearest-neighbor (src = dst*srcDim
+    // / dstDim, pure integer), canonical re-encode; md5 over the full
+    // re-encoded payload pins every byte. Every 7th asset is swapped
+    // for a non-BMP payload (the raw text bytes) to pin the REAL
+    // codec's pass-through contract too
+    "multimodal_real_resize" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = bmpAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      val resized = graft.multimodal.Multimodal.resizeImages(
+        assets, "content", 4, 4, graft.multimodal.Multimodal.BmpCodec)
+      graft.multimodal.Multimodal.withDecodedMeta(resized, "content",
+          graft.multimodal.Multimodal.BmpCodec)
+        .select(col("doc_id"), md5(hex(col("content"))).as("content_md5"),
+          col("meta.kind").as("kind"), col("meta.width").as("width"),
+          col("meta.height").as("height"))
+    }),
+
+    // byte histogram over the real encoded payloads (header + pixels)
+    "multimodal_real_histogram" -> ((s, dir) =>
+      graft.multimodal.Multimodal
+        .byteHistogram(bmpAssets(tbl(s, dir, "documents")), "content")
+        .select(col("doc_id"), posexplode(col("histogram")))
+        .withColumnsRenamed(Map("pos" -> "byte_val", "col" -> "cnt"))
+        .where(col("cnt") > 0)
+        .select(col("doc_id"), col("byte_val").cast("long").as("byte_val"), col("cnt")))
   )
+
+  /** Deterministic real-BMP assets for the `multimodal_real_*` gates:
+    * one 8×(2+doc_id%5) 24-bit bottom-up BMP per document, assembled as
+    * a hex string by the SAME arithmetic the DuckDB oracle uses
+    * (header fields little-endian at their fixed offsets; pixel (x, y)
+    * has B = (doc_id·7 + y·31 + x·3) % 256, G/R at +85/+170), then
+    * `unhex`ed to bytes. Width 8 keeps rows 4-byte-aligned with zero
+    * padding, so the layout is exactly [[graft.multimodal.Multimodal
+    * .BmpCodec.encode]]'s canonical form. */
+  private def bmpAssets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .withColumn("bh", (pmod(col("doc_id"), lit(5)) + 2).cast("int"))
+      .withColumn("hx", concat(
+        lit("424D"), lpad(hex(col("bh") * 24 + 54), 2, "0"), lit("000000"),
+        lit("00000000"), lit("36000000"), lit("28000000"), lit("08000000"),
+        lpad(hex(col("bh")), 2, "0"), lit("000000"), lit("0100"), lit("1800"),
+        lit("00000000"), lpad(hex(col("bh") * 24), 2, "0"), lit("000000"),
+        lit("130B0000"), lit("130B0000"), lit("00000000"), lit("00000000"),
+        expr("""aggregate(sequence(0, bh - 1), '', (acc, r) -> acc ||
+          aggregate(sequence(0, 7), '', (a2, x) ->
+            a2 || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3, 256)), 2, '0')
+               || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 85, 256)), 2, '0')
+               || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 170, 256)), 2, '0')))""")))
+      .select(col("doc_id"), unhex(col("hx")).as("content"))
 
   // --- DuckDB oracles ---------------------------------------------------
 
@@ -3637,6 +3707,67 @@ object SparkEntry {
         |             unnest(range(1, octet_length(text::BLOB)+1)) i FROM documents),
         |c AS (SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) b FROM f)
         |SELECT doc_id, CAST(b AS BIGINT) byte_val, CAST(count(*) AS BIGINT) cnt
-        |FROM c GROUP BY 1, 2""".stripMargin
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "multimodal_real_meta" ->
+      s"""$bmpHexCte
+         |SELECT doc_id, CAST(54 + bh * 24 AS BIGINT) n_bytes, 'image' kind,
+         |       CAST(8 AS INTEGER) width, CAST(bh AS INTEGER) height
+         |FROM hx""".stripMargin,
+
+    // resized-BMP replay: nearest-neighbor source pixel is
+    // (x2*2, (y2*bh)//4) in image coordinates; the canonical 4x4 header
+    // is constant (file size 102, image size 48); every 7th doc is the
+    // raw-text pass-through (md5 over the unchanged payload's hex)
+    "multimodal_real_resize" ->
+      s"""$bmpHexCte,
+         |rz AS (SELECT doc_id, bh,
+         |  '424D66000000' || '00000000' || '36000000' || '28000000' ||
+         |  '04000000' || '04000000' || '0100' || '1800' || '00000000' ||
+         |  '30000000' || '130B0000' || '130B0000' || '00000000' || '00000000' ||
+         |  list_aggregate([
+         |    list_aggregate([
+         |      lpad(to_hex((doc_id*7 + (((3 - r2) * bh) // 4) * 31 + (x2*2)*3) % 256), 2, '0') ||
+         |      lpad(to_hex((doc_id*7 + (((3 - r2) * bh) // 4) * 31 + (x2*2)*3 + 85) % 256), 2, '0') ||
+         |      lpad(to_hex((doc_id*7 + (((3 - r2) * bh) // 4) * 31 + (x2*2)*3 + 170) % 256), 2, '0')
+         |      for x2 in range(0, 4)], 'string_agg', '')
+         |    for r2 in range(0, 4)], 'string_agg', '') hx2
+         |  FROM hx)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 7 = 0 THEN md5(to_hex(d.text::BLOB))
+         |       ELSE md5(rz.hx2) END content_md5,
+         |  CASE WHEN d.doc_id % 7 = 0 THEN 'unknown' ELSE 'image' END kind,
+         |  CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE CAST(4 AS INTEGER) END width,
+         |  CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE CAST(4 AS INTEGER) END height
+         |FROM documents d JOIN rz ON d.doc_id = rz.doc_id""".stripMargin,
+
+    "multimodal_real_histogram" ->
+      s"""$bmpHexCte,
+         |lk AS (SELECT i byte_val, lpad(to_hex(i), 2, '0') p FROM range(256) t(i)),
+         |e AS (SELECT doc_id, unnest([substr(hx, 2*i + 1, 2)
+         |                             for i in range(0, length(hx) // 2)]) p FROM hx)
+         |SELECT e.doc_id, CAST(lk.byte_val AS BIGINT) byte_val,
+         |       CAST(count(*) AS BIGINT) cnt
+         |FROM e JOIN lk ON e.p = lk.p GROUP BY 1, 2""".stripMargin
   )
+
+  /** The `multimodal_real_*` oracles' shared asset CTE — byte-for-byte
+    * the same BMP hex assembly as [[bmpAssets]] (DuckDB `to_hex` and
+    * Spark `hex` both emit uppercase). */
+  private val bmpHexCte =
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 5 bh FROM documents),
+      |hx AS (SELECT doc_id, bh,
+      |  '424D' || lpad(to_hex(54 + bh*24), 2, '0') || '000000' || '00000000' ||
+      |  '36000000' || '28000000' || '08000000' || lpad(to_hex(bh), 2, '0') ||
+      |  '000000' || '0100' || '1800' || '00000000' ||
+      |  lpad(to_hex(bh*24), 2, '0') || '000000' || '130B0000' || '130B0000' ||
+      |  '00000000' || '00000000' ||
+      |  list_aggregate([
+      |    list_aggregate([
+      |      lpad(to_hex((doc_id*7 + (bh-1-r)*31 + x*3) % 256), 2, '0') ||
+      |      lpad(to_hex((doc_id*7 + (bh-1-r)*31 + x*3 + 85) % 256), 2, '0') ||
+      |      lpad(to_hex((doc_id*7 + (bh-1-r)*31 + x*3 + 170) % 256), 2, '0')
+      |      for x in range(0, 8)], 'string_agg', '')
+      |    for r in range(0, bh)], 'string_agg', '') hx
+      |  FROM d)""".stripMargin
 }

@@ -166,6 +166,101 @@ object Multimodal {
   }
 
   /**
+   * REAL hand-rolled codec for UNCOMPRESSED 24-bit BMP — the one format
+   * whose full decode → transform → re-encode byte math is exact
+   * integer arithmetic, so the `multimodal_*_real` oracle rows replay
+   * it bit-for-bit in SQL (headers are fixed-offset little-endian
+   * fields; pixels are raw BGR rows, bottom-up, 4-byte-padded — no
+   * entropy coder anywhere). [[ImageIoCodec]] remains the
+   * general-purpose JDK codec (PNG/JPEG re-encodes are deterministic
+   * per JDK but not SQL-replayable); [[StubCodec]] remains the JNI
+   * contract anchor.
+   *
+   *  - `decode`: parses 'BM' magic + BITMAPINFOHEADER; only the exact
+   *    shape it writes (24 bpp, BI_RGB, positive height) decodes as
+   *    `image` — anything else is `unknown`, per the totality contract.
+   *  - `resizeImage`: nearest-neighbor resample
+   *    (`src = floor(dst · srcDim / dstDim)`, pure integer) re-encoded
+   *    through [[BmpCodec.encode]]'s canonical header — corrupt or
+   *    non-BMP payloads pass through as a fresh copy.
+   */
+  object BmpCodec extends MediaCodec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def put32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    private def rowBytes(w: Int): Int = (w * 3 + 3) & ~3
+
+    /** (width, height, dataOffset) when the payload is a decodable
+      * bottom-up 24-bit BI_RGB BMP with all pixel rows present. */
+    private def parse(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b == null || b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
+      if (u32(b, 14) != 40L) return None            // BITMAPINFOHEADER only
+      val w = u32(b, 18); val h = u32(b, 22)
+      if (w <= 0 || w > (1 << 20) || h <= 0 || h > (1 << 20)) return None
+      if (u16(b, 26) != 1 || u16(b, 28) != 24) return None
+      if (u32(b, 30) != 0L) return None             // BI_RGB
+      val off = u32(b, 10)
+      if (off < 54 || off > Int.MaxValue) return None
+      val need = off + rowBytes(w.toInt).toLong * h
+      if (need > b.length) return None
+      Some((w.toInt, h.toInt, off.toInt))
+    }
+
+    /** Canonical encoder: 54-byte header (data offset 54, 2835 ppm),
+      * bottom-up BGR rows, zero padding. `pix(x, y)` returns packed
+      * 0xRRGGBB for IMAGE coordinates (y = 0 is the top row). */
+    def encode(w: Int, h: Int, pix: (Int, Int) => Int): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      val rb = rowBytes(w)
+      val out = new Array[Byte](54 + rb * h)
+      out(0) = 'B'.toByte; out(1) = 'M'.toByte
+      put32(out, 2, out.length); put32(out, 10, 54); put32(out, 14, 40)
+      put32(out, 18, w); put32(out, 22, h)
+      out(26) = 1.toByte; out(28) = 24.toByte
+      put32(out, 34, rb * h); put32(out, 38, 2835); put32(out, 42, 2835)
+      var r = 0
+      while (r < h) {
+        val y = h - 1 - r
+        var x = 0
+        while (x < w) {
+          val p = pix(x, y)
+          val o = 54 + r * rb + x * 3
+          out(o) = p.toByte                  // B
+          out(o + 1) = (p >> 8).toByte       // G
+          out(o + 2) = (p >> 16).toByte      // R
+          x += 1
+        }
+        r += 1
+      }
+      out
+    }
+
+    def decode(content: Array[Byte]): Row = parse(content) match {
+      case Some((w, h, _)) => Row("image", w, h, null, null, null)
+      case None => Row("unknown", null, null, null, null, null)
+    }
+
+    def resizeImage(content: Array[Byte], w2: Int, h2: Int): Array[Byte] =
+      parse(content) match {
+        case None => if (content == null) null else content.clone()
+        case Some((w, h, off)) =>
+          val rb = rowBytes(w)
+          encode(w2, h2, (x2, y2) => {
+            val sx = x2 * w / w2; val sy = y2 * h / h2
+            val o = off + (h - 1 - sy) * rb + sx * 3
+            ((content(o + 2) & 0xff) << 16) | ((content(o + 1) & 0xff) << 8) |
+              (content(o) & 0xff)
+          })
+      }
+  }
+
+  /**
    * Decode metadata for a binary content column, appended as a `meta`
    * struct. Partition-wise: the codec binds once per partition (the shape
    * a JNI codec needs), rows stream through without materializing the

@@ -1,0 +1,90 @@
+package graft.multimodal
+
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import Multimodal.BmpCodec
+
+class BmpCodecSpec extends AnyFlatSpec with Matchers {
+
+  // a 3x2 test image: packed 0xRRGGBB per (x, y), y = 0 on top
+  private def pix(x: Int, y: Int): Int = ((x * 40) << 16) | ((y * 90) << 8) | (x + y)
+
+  behavior of "BmpCodec"
+
+  it should "round-trip dimensions through encode/decode" in {
+    val bmp = BmpCodec.encode(3, 2, pix)
+    // header invariants of the canonical form
+    bmp(0).toChar shouldBe 'B'
+    bmp(1).toChar shouldBe 'M'
+    bmp.length shouldBe 54 + 12 * 2 // rowBytes(3) = 12 (9 data + 3 pad)
+    val meta = BmpCodec.decode(bmp)
+    meta.getString(0) shouldBe "image"
+    meta.getInt(1) shouldBe 3
+    meta.getInt(2) shouldBe 2
+  }
+
+  it should "store rows bottom-up as BGR with zero padding" in {
+    val bmp = BmpCodec.encode(3, 2, pix)
+    // file row 0 = image row y=1; pixel x=2 of that row
+    val o = 54 + 0 * 12 + 2 * 3
+    (bmp(o) & 0xff) shouldBe (2 + 1)       // B
+    (bmp(o + 1) & 0xff) shouldBe 90        // G = y*90
+    (bmp(o + 2) & 0xff) shouldBe 80        // R = x*40
+    bmp(54 + 9) shouldBe 0                 // row padding
+    bmp(54 + 12 + 9) shouldBe 0
+  }
+
+  it should "resize by exact integer nearest-neighbor" in {
+    val bmp = BmpCodec.encode(8, 6, pix)
+    val out = BmpCodec.resizeImage(bmp, 4, 4)
+    val meta = BmpCodec.decode(out)
+    (meta.getString(0), meta.getInt(1), meta.getInt(2)) shouldBe ("image", 4, 4)
+    // dst (x2, y2) must hold src (x2*8/4, y2*6/4) — check every pixel
+    for (y2 <- 0 until 4; x2 <- 0 until 4) {
+      val (sx, sy) = (x2 * 8 / 4, y2 * 6 / 4)
+      val o = 54 + (4 - 1 - y2) * 12 + x2 * 3
+      (out(o) & 0xff) shouldBe (pix(sx, sy) & 0xff)
+      (out(o + 1) & 0xff) shouldBe ((pix(sx, sy) >> 8) & 0xff)
+      (out(o + 2) & 0xff) shouldBe ((pix(sx, sy) >> 16) & 0xff)
+    }
+  }
+
+  it should "upscale as well as downscale" in {
+    val bmp = BmpCodec.encode(2, 2, pix)
+    val out = BmpCodec.resizeImage(bmp, 4, 4)
+    BmpCodec.decode(out).getInt(1) shouldBe 4
+    // each source pixel becomes a 2x2 block
+    val rb = 12 // rowBytes(4)
+    val top0 = 54 + (4 - 1) * rb
+    (out(top0) & 0xff) shouldBe (pix(0, 0) & 0xff)
+    (out(top0 + 3) & 0xff) shouldBe (pix(0, 0) & 0xff)
+    (out(top0 + 6) & 0xff) shouldBe (pix(1, 0) & 0xff)
+  }
+
+  it should "pass through corrupt, truncated, and foreign payloads" in {
+    val garbage = "not a bitmap at all".getBytes("UTF-8")
+    BmpCodec.decode(garbage).getString(0) shouldBe "unknown"
+    BmpCodec.resizeImage(garbage, 4, 4) should equal(garbage)
+    (BmpCodec.resizeImage(garbage, 4, 4) eq garbage) shouldBe false // fresh copy
+    val truncated = BmpCodec.encode(8, 6, pix).take(60)
+    BmpCodec.decode(truncated).getString(0) shouldBe "unknown"
+    BmpCodec.decode(null).getString(0) shouldBe "unknown"
+    BmpCodec.resizeImage(null, 4, 4) shouldBe null
+    // 16-bpp header is rejected (only the canonical 24-bpp form decodes)
+    val bad = BmpCodec.encode(3, 2, pix)
+    bad(28) = 16.toByte
+    BmpCodec.decode(bad).getString(0) shouldBe "unknown"
+  }
+
+  it should "agree with javax.imageio on its own output" in {
+    // the JDK reads BMP: cross-validate dimensions and pixel content
+    val bmp = BmpCodec.encode(5, 3, pix)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bmp))
+    img should not be null
+    img.getWidth shouldBe 5
+    img.getHeight shouldBe 3
+    for (y <- 0 until 3; x <- 0 until 5)
+      (img.getRGB(x, y) & 0xffffff) shouldBe pix(x, y)
+  }
+}
