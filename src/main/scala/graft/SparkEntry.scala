@@ -822,6 +822,43 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "c_name")
     }),
 
+    // small-file compaction (round 8): fragment a bucketed orders
+    // table with 3 bucketed appends (several writer tasks each -> many
+    // files per bucket, the real-world CDC/hourly-load fragmentation),
+    // bin-pack it back with graft.layout.Compact, and emit the
+    // compacted table's per-customer aggregate PLUS the maintenance
+    // invariants as pinned booleans: content identity is the oracle's
+    // aggregation over raw orders; fragmentation>buckets, exactly one
+    // file per bucket after, preserved bucket spec, and the
+    // zero-Exchange aggregate plan are computed Spark-side and must
+    // all come back true
+    "layout_compact" -> ((s, dir) => {
+      val base = s"/tmp/graft_compact_gate_${math.abs(dir.hashCode)}"
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(38,8)").as("o_totalprice"))
+      graft.layout.Bucketed.writeBucketed(
+        orders.where(pmod(col("o_orderkey"), lit(4)) === 0),
+        "gate_compact_orders", s"$base/v1", Seq("o_custkey"), 8)
+      for (m <- 1 to 3)
+        orders.where(pmod(col("o_orderkey"), lit(4)) === m)
+          .repartition(3)
+          .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("append").saveAsTable("gate_compact_orders")
+      val stats = graft.layout.Compact.compactBucketed(
+        s, "gate_compact_orders", s"$base/v2_${System.nanoTime()}")
+      val agg = s.table("gate_compact_orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("sum_price"))
+      val planFree = !agg.queryExecution.executedPlan.toString.contains("Exchange")
+      agg.select(col("o_custkey"), col("n_orders"), col("sum_price"),
+        lit(stats.filesBefore > 8).as("was_fragmented"),
+        lit(stats.filesAfter == 8).as("one_file_per_bucket"),
+        lit(graft.layout.Bucketed.bucketSpecOf(s, "gate_compact_orders")
+          .contains((8, Seq("o_custkey")))).as("spec_preserved"),
+        lit(planFree).as("agg_exchange_free"))
+    }),
+
     // hot-phrase mining (boilerplate discovery): top-5 most
     // document-frequent bigrams per source — per-doc DISTINCT grams
     // (df semantics), one map-side-combined count, O(k)-state top-k;
@@ -2697,6 +2734,17 @@ object SparkEntry {
     "j_bucketed_colocated" ->
       """SELECT o.o_orderkey, o.o_custkey, c.c_name
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey""".stripMargin,
+
+    // compaction preserves content exactly (the fragmented batches
+    // partition orders by o_orderkey % 4, so their union is orders);
+    // the maintenance invariants are Spark-side-computed booleans that
+    // must all be true
+    "layout_compact" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) n_orders,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DECIMAL(38,8)) sum_price,
+        |       true was_fragmented, true one_file_per_bucket,
+        |       true spec_preserved, true agg_exchange_free
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // distinct bigrams per doc (df semantics), count per (source,
     // phrase), df >= 3, top-5 by (df desc, phrase asc) — the same

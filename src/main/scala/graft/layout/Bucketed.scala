@@ -46,19 +46,33 @@ import org.apache.spark.sql.functions._
 object Bucketed {
 
   /** Write `df` as an external parquet table bucketed (and per-bucket
-    * sorted) on `keys`, one file per bucket; replaces `table`. */
+    * sorted) on `keys`, one file per bucket; replaces `table`.
+    *
+    * Write-then-swap: the data lands under a STAGING catalog name
+    * first; only after the write succeeds is the previous `table`
+    * registration dropped and the staging entry renamed over it — a
+    * failed write leaves the existing registration (a long-lived
+    * artifact) untouched. Caveat the caller owns: the BYTES at `path`
+    * are overwritten eagerly, so a true full swap needs a fresh path
+    * per rewrite — which is exactly what [[Compact.compactBucketed]]
+    * does (rewrite to a new location, then swap, old location returned
+    * for vacuuming). */
   def writeBucketed(df: DataFrame, table: String, path: String,
       keys: Seq[String], numBuckets: Int): Unit = {
     require(keys.nonEmpty, "at least one bucket key required")
     require(numBuckets > 0, s"numBuckets must be positive, got $numBuckets")
     val missing = keys.filterNot(df.columns.contains)
     require(missing.isEmpty, s"bucket keys missing from input: ${missing.mkString(", ")}")
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS `$table`")
+    val spark = df.sparkSession
+    val staging = table + "__staged"
+    spark.sql(s"DROP TABLE IF EXISTS `$staging`")
     df.repartition(numBuckets, keys.map(col): _*)
       .write.format("parquet").option("path", path)
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
-      .mode("overwrite").saveAsTable(table)
+      .mode("overwrite").saveAsTable(staging)
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    spark.sql(s"ALTER TABLE `$staging` RENAME TO `$table`")
   }
 
   /** The (numBuckets, bucketKeys) spec of a catalog table, if bucketed. */

@@ -1,0 +1,141 @@
+package graft.layout
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Small-file compaction for long-lived table layouts. A 100 TB table
+ * that receives per-batch appends (CDC merges, hourly loads) fragments:
+ * every append task can add one file PER BUCKET, so after b batches a
+ * `numBuckets`-bucket table holds up to b·numBuckets files — the scan
+ * pays per-file open cost, and worse, Spark only trusts the writer's
+ * per-bucket `sortBy` order for SINGLE-file buckets, so the fragmented
+ * table silently re-sorts inside every sort-merge join that the layout
+ * was built to make sort-free.
+ *
+ * [[compactBucketed]] is the maintenance operator that restores the
+ * layout: it bin-packs every bucket back to exactly one file while
+ * preserving the table's OWN bucket spec (count, keys, per-bucket
+ * sort), so [[Bucketed.colocatedJoin]] plans with zero Exchange and
+ * zero Sort before and after — pinned by `CompactSpec` and the
+ * `layout_compact` oracle row (content identity through the rewrite).
+ *
+ * Safety shape (the write-then-swap contract): the rewrite lands at a
+ * NEW path under a staging catalog name; only after it fully succeeds
+ * is the old registration dropped and the staging entry renamed over
+ * it. A failure at any earlier point leaves the original table —
+ * catalog entry AND bytes — untouched. The previous location is
+ * returned for the caller to vacuum once no readers need it (the
+ * operator cannot know when open snapshots drain; deleting data is the
+ * table owner's decision).
+ *
+ * Scale notes: the rewrite is one `repartition(numBuckets, keys)`
+ * shuffle of the table — the same price as the original bucketed
+ * write, paid per maintenance run, not per query. Run it when the
+ * files-per-bucket ratio (`stats.filesBefore / numBuckets`) crosses a
+ * threshold, not on a timer. Buckets are fixed-count, so a bucket that
+ * has outgrown one task's comfort is a re-BUCKETING (new count, new
+ * table), not a compaction.
+ *
+ * Reference: vasnake SpatialJoinTransformer has no storage layer —
+ * this extends the training-data-pipeline surface; no reference
+ * behavior is cited.
+ */
+object Compact {
+
+  /** What a compaction did: data file counts either side of the
+    * rewrite, and the superseded location awaiting vacuum. */
+  final case class CompactStats(
+      filesBefore: Int, filesAfter: Int, previousLocation: String)
+
+  private def classic(spark: SparkSession) =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+
+  /** A catalog table's storage location. */
+  def tableLocation(spark: SparkSession, table: String): java.net.URI = {
+    val ss = classic(spark).sessionState
+    ss.catalog.getTableMetadata(ss.sqlParser.parseTableIdentifier(table))
+      .location
+  }
+
+  /** Count the DATA files under a location (metadata/_SUCCESS markers
+    * and hidden files excluded) — the fragmentation measure. */
+  def dataFileCount(spark: SparkSession, location: java.net.URI): Int = {
+    val path = new org.apache.hadoop.fs.Path(location)
+    val fs = path.getFileSystem(classic(spark).sessionState.newHadoopConf())
+    if (!fs.exists(path)) 0
+    else {
+      val it = fs.listFiles(path, true)
+      var n = 0
+      while (it.hasNext) {
+        val f = it.next()
+        val name = f.getPath.getName
+        if (f.isFile && !name.startsWith("_") && !name.startsWith(".")) n += 1
+      }
+      n
+    }
+  }
+
+  /**
+   * Bin-pack a bucketed catalog table back to one file per bucket at
+   * `newPath`, preserving its own (numBuckets, keys, sort) spec; the
+   * catalog entry swaps to the new location only after the write
+   * succeeds. Fails loudly on a non-bucketed table — compacting one of
+   * those is [[compactFiles]]' job and the caller should say so.
+   */
+  def compactBucketed(spark: SparkSession, table: String,
+      newPath: String): CompactStats = {
+    val (numBuckets, keys) = Bucketed.bucketSpecOf(spark, table).getOrElse(
+      throw new IllegalArgumentException(
+        s"table `$table` is not bucketed — use compactFiles for plain layouts"))
+    val oldLocation = tableLocation(spark, table)
+    require(new java.io.File(newPath).getAbsolutePath != oldLocation.getPath,
+      s"newPath must differ from the current location ($oldLocation) — " +
+        "an in-place overwrite would destroy the table on a failed rewrite")
+    val before = dataFileCount(spark, oldLocation)
+    // one deterministic pass: read through the catalog (old location),
+    // rewrite bucketed to the new one, swap the registration on success.
+    // The read runs with bucketed scans DISABLED: a fragmented bucketed
+    // scan advertises HashPartitioning(keys, n), which makes the
+    // optimizer drop the writer's one-file-per-bucket repartition as
+    // redundant — and then the auto-bucketed-scan rule, seeing no
+    // distribution requirement left, falls back to file-split reads
+    // that satisfy nothing. Forcing the plain scan keeps the shuffle,
+    // which is the whole point of the rewrite. (Session-wide conf,
+    // restored immediately; compaction is a maintenance action, not a
+    // concurrent-query path.)
+    val bucketingConf = "spark.sql.sources.bucketing.enabled"
+    val prev = spark.conf.getOption(bucketingConf)
+    spark.conf.set(bucketingConf, "false")
+    try Bucketed.writeBucketed(spark.table(table), table, newPath, keys, numBuckets)
+    finally prev match {
+      case Some(v) => spark.conf.set(bucketingConf, v)
+      case None => spark.conf.unset(bucketingConf)
+    }
+    val after = dataFileCount(spark, tableLocation(spark, table))
+    CompactStats(before, after, oldLocation.toString)
+  }
+
+  /**
+   * Bin-pack a PLAIN (non-bucketed) sorted parquet directory — e.g. a
+   * [[ZOrder]] layout — into `targetFiles` files while preserving
+   * range clustering: rows are range-repartitioned and re-sorted on
+   * `sortCols`, so file k holds a contiguous slice of the sort order
+   * (what makes min/max footer pruning work) exactly like the
+   * original write. Output to `outPath` (fresh directory; same
+   * no-in-place rule as [[compactBucketed]]).
+   */
+  def compactFiles(spark: SparkSession, path: String, outPath: String,
+      sortCols: Seq[String], targetFiles: Int): CompactStats = {
+    require(sortCols.nonEmpty, "at least one sort column required")
+    require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
+    require(path != outPath, "outPath must differ from path (no in-place rewrite)")
+    val before = dataFileCount(spark, new java.io.File(path).toURI)
+    spark.read.parquet(path)
+      .repartitionByRange(targetFiles, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode("overwrite").parquet(outPath)
+    val after = dataFileCount(spark, new java.io.File(outPath).toURI)
+    CompactStats(before, after, new java.io.File(path).toURI.toString)
+  }
+}
