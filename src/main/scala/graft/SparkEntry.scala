@@ -525,6 +525,36 @@ object SparkEntry {
         graft.ml.ModelStore.loadMinhashIndex(s, path), tau = 0.8)
     }),
 
+    // incremental index MAINTENANCE across batches (round 8): build+save
+    // the %3==0 corpus index, reload it, delta-append the %3==1 batch,
+    // RE-append the %3==0 batch (the unchanged-re-ingest case), compact,
+    // save+reload again, and probe with %3==2. The compacted maintained
+    // index must behave exactly like a from-scratch rebuild over
+    // %3 in (0,1) — the oracle recomputes both sides, so any drift in
+    // parameters, duplicate band rows, or lost documents shows as a
+    // pair diff
+    "dedup_index_delta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = modelTmp("mhidx_d0")
+      graft.ml.ModelStore.saveMinhashIndex(
+        Dedup.buildMinhashIndex(
+          docs.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text"), path)
+      // two ∝-delta parquet appends: the day's batch, then an unchanged
+      // re-ingest of batch 0 (corpus files never rewritten)
+      graft.ml.ModelStore.appendMinhashIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(3)) === 1), "doc_id", "text")
+      graft.ml.ModelStore.appendMinhashIndex(s, path,
+        docs.where(pmod(col("doc_id"), lit(3)) === 0), "doc_id", "text")
+      // periodic compaction collapses the re-ingest; save+reload, probe
+      val path2 = modelTmp("mhidx_d1")
+      graft.ml.ModelStore.saveMinhashIndex(
+        Dedup.compactMinhashIndex(
+          graft.ml.ModelStore.loadMinhashIndex(s, path)), path2)
+      Dedup.minhashPairsVsIndex(
+        docs.where(pmod(col("doc_id"), lit(3)) === 2), "doc_id", "text",
+        graft.ml.ModelStore.loadMinhashIndex(s, path2), tau = 0.8)
+    }),
+
     // streaming decontamination flag, batch-parity path: one row per
     // contaminated CONTENT; projected onto md5(text) so the gate is
     // deterministic (dropDuplicates keeps an arbitrary row per digest,
@@ -2533,6 +2563,19 @@ object SparkEntry {
     // signatures reload bit-identically), so the saved-index probe
     // answers to the SAME oracle as the recompute-both-sides operator
     "dedup_cross_saved" -> crossJaccardOracle,
+
+    // the maintained (delta-appended + compacted) index must probe
+    // exactly like a fresh build over %3 in (0,1)
+    "dedup_index_delta" ->
+      s"""WITH $shingleCte,
+         |e AS (SELECT doc_id, unnest(sl) s FROM sh),
+         |sz AS (SELECT doc_id, len(sl) n FROM sh),
+         |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
+         |          FROM e a JOIN e b ON a.s = b.s
+         |          WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 IN (0, 1) GROUP BY 1, 2)
+         |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
+         |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
+         |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin,
 
     "dedup_embedding_lsh" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)

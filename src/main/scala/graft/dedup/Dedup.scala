@@ -655,6 +655,53 @@ object Dedup {
   }
 
   /**
+   * Incremental index maintenance, step 1 — delta append: index rows
+   * for the NEW batch only, with (n, numHashes) derived FROM the
+   * existing index (the same one-tiny-row derivation as
+   * [[minhashPairsVsIndex]], so a delta can never be shingled or
+   * hashed incompatibly with the corpus it extends), unioned onto the
+   * index. Cost ∝ delta — the existing corpus rows stream through
+   * untouched (never re-tokenized, re-shingled, re-hashed, and in the
+   * save-load loop never even deserialized beyond the first row); a
+   * daily batch against a year-long corpus pays for the day. An empty
+   * index falls back to the build defaults (n=3, numHashes=32).
+   */
+  def appendToMinhashIndex(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    index.unionByName(deltaIndexRows(index, delta, idCol, textCol))
+
+  /** The delta's index rows alone, parameter-locked to `index` — what
+    * [[graft.ml.ModelStore.appendMinhashIndex]] parquet-appends so the
+    * saved corpus files are never rewritten. */
+  private[graft] def deltaIndexRows(index: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val head = index
+      .select(size(split(element_at(col("sh"), 1), " ")).as("n"),
+        size(col("sig")).as("nh"))
+      .head(1)
+    val (n, numHashes) =
+      head.headOption.map(r => (r.getInt(0), r.getInt(1))).getOrElse((3, 32))
+    buildMinhashIndex(delta, idCol, textCol, n, numHashes)
+  }
+
+  /**
+   * Incremental index maintenance, step 2 — compaction: collapse the
+   * exact-duplicate rows that re-ingesting an unchanged document
+   * appends (same doc, same shingles → same signature), so the index
+   * stays corpus-sized across arbitrarily many delta cycles and
+   * `(index ⊕ delta ⊕ re-ingest) ≡ rebuilt-from-scratch` holds exactly
+   * (the `dedup_index_delta` gate's pin). A doc id re-appended with
+   * CHANGED text keeps both rows — the index has no version axis, and
+   * silently dropping either text would un-index content that was
+   * ingested; point-in-time replace belongs to the caller's id
+   * discipline. Full-row distinct (array grouping keys are exact), so
+   * the kept row is never an arbitrary pick; one shuffle on the
+   * already-slim index rows.
+   */
+  def compactMinhashIndex(index: DataFrame): DataFrame =
+    index.distinct()
+
+  /**
    * [[minhashPairsAcross]] against a prebuilt (usually
    * parquet-reloaded) [[buildMinhashIndex]] frame: `(doc_i from left,
    * doc_j from index, exact jaccard >= tau)`. The left side derives its

@@ -117,6 +117,22 @@ object ModelStore {
   def loadMinhashIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Steady-state saved-index maintenance: derive the index parameters
+    * from the saved head row, build index rows for `delta` ONLY, and
+    * parquet-APPEND them at `path` — compute and I/O ∝ delta; the
+    * corpus's existing files are never rewritten, re-read (beyond one
+    * row), or re-hashed. A daily batch against a year-long index pays
+    * for the day. Pair with periodic
+    * [[graft.dedup.Dedup.compactMinhashIndex]] + [[saveMinhashIndex]]
+    * to collapse unchanged re-ingests (that pass is ∝ corpus, run on a
+    * maintenance cadence — the same amortization contract as
+    * [[graft.layout.Compact]]). */
+  def appendMinhashIndex(spark: SparkSession, path: String,
+      delta: DataFrame, idCol: String, textCol: String): Unit =
+    graft.dedup.Dedup.deltaIndexRows(loadMinhashIndex(spark, path),
+        delta, idCol, textCol)
+      .write.mode("append").parquet(path)
+
   /** Save int8 scalar-quantization params as (pos, lo, scale) rows —
     * dim rows, one file; dimension derives from the rows. */
   def saveInt8(spark: SparkSession,

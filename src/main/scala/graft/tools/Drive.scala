@@ -1073,6 +1073,56 @@ object Drive {
         f"$revTot%.2f (expect > 0)")
     }
 
+    println("=== 37. round-8: fuzz smoke, compaction, BMP codec, vocab-scale BPE ===")
+    locally {
+      // differential-fuzz generator: one case per pattern plans + runs
+      // (the DuckDB replay is tools/fuzz.sh; FUZZ_RESULT.json records it)
+      val fuzzRows = graft.tools.Fuzz.smoke(spark, dir, n = 6, seed = 20260814L)
+      println(s"rows=${fuzzRows.map(_._2).sum} across ${fuzzRows.size} fuzz smoke " +
+        s"cases, empty cases=${fuzzRows.count(_._2 == 0)} (expect 0)")
+
+      // small-file compaction: fragment, compact, verify invariants
+      val base = java.nio.file.Files.createTempDirectory("drive_compact").toString
+      val orders = spark.read.parquet(s"$dir/orders.parquet")
+        .select("o_orderkey", "o_custkey")
+      graft.layout.Bucketed.writeBucketed(
+        orders.where(pmod(col("o_orderkey"), lit(2)) === 0),
+        "drive_compact_t", s"$base/v1", Seq("o_custkey"), 4)
+      orders.where(pmod(col("o_orderkey"), lit(2)) === 1).repartition(3)
+        .write.format("parquet").bucketBy(4, "o_custkey").sortBy("o_custkey")
+        .mode("append").saveAsTable("drive_compact_t")
+      val cstats = graft.layout.Compact.compactBucketed(
+        spark, "drive_compact_t", s"$base/v2")
+      val total = spark.table("drive_compact_t").count()
+      println(s"rows=$total compacted orders (expect ${orders.count()}), files " +
+        s"${cstats.filesBefore}->${cstats.filesAfter} (expect 4 after), spec=" +
+        s"${graft.layout.Bucketed.bucketSpecOf(spark, "drive_compact_t").contains((4, Seq("o_custkey")))} (expect true)")
+
+      // BMP codec: encode -> resize -> decode on real bytes
+      val bmp = graft.multimodal.Multimodal.BmpCodec.encode(8, 6,
+        (x, y) => (x * 30 << 16) | (y * 40 << 8) | (x + y))
+      val rz = graft.multimodal.Multimodal.BmpCodec.resizeImage(bmp, 4, 4)
+      val meta = graft.multimodal.Multimodal.BmpCodec.decode(rz)
+      println(s"rows=1 bmp resize ${meta.getInt(1)}x${meta.getInt(2)} " +
+        s"(expect 4x4), kind=${meta.getString(0)} (expect image)")
+
+      // vocab-scale BPE: 64 merges on bigram words through the native
+      // runtime; segmentation must be lossless
+      val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      val derived = docsT
+        .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), concat_ws(" ", expr(
+          "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), (w, i) -> concat(w, '_', ws[i + 1]))"))
+          .as("btext"))
+      val ms = graft.text.Bpe.train(derived, "btext", rounds = 64)
+      val badSeg = derived
+        .select(explode(graft.text.TextFunctions.tokens(col("btext"))).as("w")).distinct()
+        .where(concat_ws("", graft.text.Bpe.segment(col("w"), ms)) =!= col("w"))
+        .count()
+      println(s"rows=${ms.size} vocab-scale merges (expect 64), lossy " +
+        s"segmentations=$badSeg (expect 0)")
+    }
+
     spark.stop()
   }
 }

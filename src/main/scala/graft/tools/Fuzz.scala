@@ -1,0 +1,313 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Differential fuzz harness: a SEEDED random composition generator over
+ * the join/dedup/agg/window operator surface, every generated case
+ * replayed in DuckDB. The 140+ hand-written gates prove each operator
+ * once; this guards the COMPOSITIONS — a salted join feeding a bounded
+ * top-k, a left range join aggregated over its miss rows, an as-of over
+ * filtered inputs — with randomized knobs (mod filters, salt factors,
+ * bucket widths, channel caps, join types, directions, k) that no
+ * hand-written gate enumerates.
+ *
+ * Determinism rules every pattern obeys (the same discipline as the
+ * gates): integer/decimal arithmetic only, unique ids wherever a rank
+ * or dedup needs a total order, aggregated right sides so as-of
+ * payloads are tie-free, and identical modulo filters speakable in both
+ * engines.
+ *
+ * Usage: `runMain graft.tools.Fuzz <sfDir> <outDir> [nCases] [seed]` —
+ * writes one parquet per case plus `oracle_sql.json`, the exact layout
+ * `graft.Verify` emits, so `tools/check_oracle.py` replays and compares
+ * unchanged; `tools/fuzz.sh` wraps the pair and records
+ * `FUZZ_RESULT.json`. Drive runs a small smoke slice each round.
+ */
+object Fuzz {
+
+  private case class Case(name: String, df: DataFrame, sql: String)
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: Fuzz <sfDir> <outDir> [nCases] [seed]")
+    val (sfDir, outDir) = (args(0), args(1))
+    val n = if (args.length > 2) args(2).toInt else 200
+    val seed = if (args.length > 3) args(3).toLong else 20260814L
+    val spark = session()
+    val cases = (0 until n).map(i => gen(spark, sfDir, i, seed))
+    val sqls = new java.util.TreeMap[String, String]()
+    cases.foreach { c =>
+      c.df.write.mode("overwrite").parquet(s"$outDir/${c.name}")
+      sqls.put(c.name, c.sql)
+    }
+    val json = new StringBuilder("{")
+    val it = sqls.entrySet().iterator()
+    var first = true
+    while (it.hasNext) {
+      val e = it.next()
+      if (!first) json.append(",")
+      first = false
+      json.append("\"").append(e.getKey).append("\":")
+        .append(quote(e.getValue))
+    }
+    json.append("}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.toString.getBytes("UTF-8"))
+    println(s"[fuzz] wrote ${cases.size} cases to $outDir (seed=$seed)")
+    spark.stop()
+  }
+
+  private def quote(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[32]")
+      .appName("graft-fuzz")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Drive smoke slice: build and execute the first `n` cases on the
+    * given session (one per pattern at n=6), returning (name, rows).
+    * The DuckDB differential replay lives in tools/fuzz.sh — this only
+    * proves the generator's compositions plan and run. */
+  def smoke(spark: SparkSession, dir: String, n: Int, seed: Long): Seq[(String, Long)] =
+    (0 until n).map { i =>
+      val c = gen(spark, dir, i, seed)
+      (c.name, c.df.count())
+    }
+
+  /** One seeded case: the pattern cycles round-robin so every family
+    * gets ~n/6 of the budget; knobs derive from the per-case RNG. */
+  private def gen(spark: SparkSession, dir: String, i: Int, seed: Long): Case = {
+    val rng = new scala.util.Random(seed * 1000003L + i)
+    val name = f"fz_$i%03d"
+    (i % 6) match {
+      case 0 => saltedAgg(spark, dir, name, rng)
+      case 1 => rangeAgg(spark, dir, name, rng)
+      case 2 => joinQuota(spark, dir, name, rng)
+      case 3 => dedupVariants(spark, dir, name, rng)
+      case 4 => asofCase(spark, dir, name, rng)
+      case 5 => runningWindow(spark, dir, name, rng)
+    }
+  }
+
+  private def li(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/lineitem.parquet")
+  private def ord(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/orders.parquet")
+  private def cust(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/customer.parquet")
+  private def docs(spark: SparkSession, dir: String) =
+    spark.read.parquet(s"$dir/documents.parquet")
+
+  /** filtered lineitem → salted join vs orders → grouped decimal agg.
+    * The salted join must be RESULT-IDENTICAL to the plain join the
+    * oracle runs, for any salt factor / hot-key set / join type. */
+  private def saltedAgg(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val m = 2 + rng.nextInt(5)
+    val r = rng.nextInt(m)
+    val salt = 2 + rng.nextInt(7)
+    val joinType = if (rng.nextBoolean()) "inner" else "left"
+    val hotMod = 3 + rng.nextInt(5)
+    val l = li(spark, dir)
+      .where(pmod(col("l_orderkey"), lit(m)) === r)
+      .select(col("l_orderkey").as("k"),
+        col("l_extendedprice").cast("decimal(38,8)").as("x"))
+    val d = ord(spark, dir)
+      .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
+    val hot = d.where(pmod(col("k"), lit(hotMod)) === 0).select("k")
+    val joined = graft.join.SkewJoin.salted(l, d, Seq("k"), salt,
+      hotKeys = Some(hot), joinType = joinType)
+    val out = joined.groupBy(col("c"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+      .select(col("c"), col("n"),
+        col("sx").cast("decimal(38,8)").as("sx"))
+    val jt = if (joinType == "left") "LEFT JOIN" else "JOIN"
+    Case(name, out,
+      s"""WITH l AS (SELECT l_orderkey k, CAST(l_extendedprice AS DECIMAL(38,8)) x
+         |           FROM lineitem WHERE l_orderkey % $m = $r),
+         |d AS (SELECT o_orderkey k, o_custkey c FROM orders)
+         |SELECT d.c, CAST(count(*) AS BIGINT) n,
+         |       CAST(sum(l.x) AS DECIMAL(38,8)) sx
+         |FROM l $jt d ON l.k = d.k GROUP BY 1""".stripMargin)
+  }
+
+  /** points-in-intervals (random width, bucket width, channel cap,
+    * join type) → per-interval counts; the tiny `maxBucketsPerInterval`
+    * draws force the wide-interval broadcast channel. */
+  private def rangeAgg(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val m = 2 + rng.nextInt(4)
+    val r = rng.nextInt(m)
+    val a = 3 + rng.nextInt(9)
+    val span = 1 + rng.nextInt(400)
+    val bw = Seq(8d, 32d, 128d)(rng.nextInt(3))
+    val cap = Seq(2, 8, 4096)(rng.nextInt(3))
+    val joinType = if (rng.nextBoolean()) "inner" else "left"
+    val pts = li(spark, dir)
+      .where(pmod(col("l_orderkey"), lit(m)) === r)
+      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("pt_id"),
+        col("l_partkey").as("pt_v"))
+    val ivs = cust(spark, dir)
+      .select(col("c_custkey").as("iv_id"),
+        pmod(col("c_custkey") * a, lit(1000)).as("iv_lo"),
+        (pmod(col("c_custkey") * a, lit(1000)) + span).as("iv_hi"))
+    val joined = graft.join.RangeJoin.pointInInterval(
+      pts, ivs, col("pt_v"), col("iv_lo"), col("iv_hi"),
+      bucketWidth = bw, maxBucketsPerInterval = cap, joinType = joinType)
+    val out = joined.groupBy(col("iv_id"))
+      .agg(count(lit(1)).as("n"), sum(col("pt_id")).as("sid"))
+      .select(col("iv_id"), col("n"), col("sid").cast("long").as("sid"))
+    val jt = if (joinType == "left") "LEFT JOIN" else "JOIN"
+    Case(name, out,
+      s"""WITH p AS (SELECT l_orderkey * 10 + l_linenumber pt_id, l_partkey pt_v
+         |           FROM lineitem WHERE l_orderkey % $m = $r),
+         |i AS (SELECT c_custkey iv_id, (c_custkey * $a) % 1000 iv_lo,
+         |             (c_custkey * $a) % 1000 + $span iv_hi FROM customer)
+         |SELECT i.iv_id, CAST(count(*) AS BIGINT) n, CAST(sum(p.pt_id) AS BIGINT) sid
+         |FROM p $jt i ON p.pt_v >= i.iv_lo AND p.pt_v <= i.iv_hi
+         |GROUP BY 1""".stripMargin)
+  }
+
+  /** join → bounded top-k per stratum (quotaTopK) with a pseudo-score:
+    * the aggregate's (-score, id) cut must equal the oracle window's
+    * (score DESC, id ASC) row_number for any k / stratum width. */
+  private def joinQuota(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val m = 2 + rng.nextInt(4)
+    val r = rng.nextInt(m)
+    val g = 3 + rng.nextInt(10)
+    val k = 1 + rng.nextInt(8)
+    // the synthetic lineitem carries duplicate (orderkey, linenumber)
+    // rows, so rid is made unique by a pre-aggregation (quotaTopK's id
+    // contract requires it; the extra stage IS a composition)
+    val base = li(spark, dir)
+      .where(pmod(col("l_orderkey"), lit(m)) === r)
+      .groupBy((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        col("l_orderkey").as("k"))
+      .agg(min(col("l_returnflag")).as("f"))
+      .join(ord(spark, dir).select(col("o_orderkey").as("k"),
+        pmod(col("o_custkey"), lit(g)).as("cg")), "k")
+      .withColumn("score", pmod(col("rid") * 2654435761L, lit(1000003L)))
+    val out = graft.curation.Sampling
+      .quotaTopK(base, Seq("f", "cg"), "score", "rid", k)
+      .select(col("f"), col("cg"), col("rank").cast("long").as("rank"),
+        col("rid"), col("score"))
+    Case(name, out,
+      s"""WITH u AS (
+         |  SELECT l_orderkey * 10 + l_linenumber rid, l_orderkey k,
+         |         min(l_returnflag) f
+         |  FROM lineitem WHERE l_orderkey % $m = $r GROUP BY 1, 2),
+         |b AS (
+         |  SELECT u.rid, u.f, o.o_custkey % $g cg,
+         |         (u.rid * 2654435761) % 1000003 score
+         |  FROM u JOIN orders o ON u.k = o.o_orderkey)
+         |SELECT f, cg, CAST(rn AS BIGINT) rank, rid, score FROM (
+         |  SELECT f, cg, rid, score,
+         |         row_number() OVER (PARTITION BY f, cg ORDER BY score DESC, rid) rn
+         |  FROM b) t WHERE rn <= $k""".stripMargin)
+  }
+
+  /** exact dedup over variant-injected documents (duplicate-content
+    * twins at random id offsets): all variants of a text must collapse
+    * to the same canon — composed with a mod filter on the base. */
+  private def dedupVariants(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val m = 1 + rng.nextInt(3)
+    val r = rng.nextInt(m)
+    val off = 1000000L * (1 + rng.nextInt(3))
+    val withTwin = rng.nextBoolean()
+    val base = docs(spark, dir)
+      .where(pmod(col("doc_id"), lit(m)) === r)
+      .select(col("doc_id"), col("text"))
+    val variants =
+      if (withTwin)
+        base.unionByName(base.select((col("doc_id") + off).as("doc_id"), col("text")))
+      else base
+    val out = graft.dedup.Dedup.exactCanon(variants, "doc_id", "text")
+    val varSql =
+      if (withTwin)
+        s"SELECT doc_id, text FROM b UNION ALL SELECT doc_id + $off, text FROM b"
+      else "SELECT doc_id, text FROM b"
+    Case(name, out,
+      s"""WITH b AS (SELECT doc_id, text FROM documents WHERE doc_id % $m = $r),
+         |v AS ($varSql)
+         |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon_id FROM v""".stripMargin)
+  }
+
+  /** as-of (random direction / join type / key width) with a DISTINCT
+    * left and an aggregated tie-free right, vs DuckDB's native ASOF. */
+  private def asofCase(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val g = Seq(7, 19, 41)(rng.nextInt(3))
+    val m = 2 + rng.nextInt(3)
+    val r = rng.nextInt(m)
+    val joinType = if (rng.nextBoolean()) "inner" else "left"
+    val direction = if (rng.nextBoolean()) "backward" else "forward"
+    val l = ord(spark, dir)
+      .select(pmod(col("o_custkey"), lit(g)).as("g"), col("o_orderkey").as("lts"))
+      .distinct()
+    val rt = li(spark, dir)
+      .where(pmod(col("l_orderkey"), lit(m)) === r)
+      .groupBy(pmod(col("l_orderkey"), lit(g)).as("g"), col("l_partkey").as("rts"))
+      .agg(max(col("l_suppkey")).as("pay"))
+    val out = graft.join.AsOfJoin.asof(l, rt, Seq("g"), "lts", "rts",
+        joinType = joinType, direction = direction)
+      .select(col("g"), col("lts"), col("rts"), col("pay"))
+    val jt = if (joinType == "left") "ASOF LEFT JOIN" else "ASOF JOIN"
+    val cmp = if (direction == "backward") ">=" else "<="
+    Case(name, out,
+      s"""WITH l AS (SELECT DISTINCT o_custkey % $g g, o_orderkey lts FROM orders),
+         |r AS (SELECT l_orderkey % $g g, l_partkey rts, max(l_suppkey) pay
+         |      FROM lineitem WHERE l_orderkey % $m = $r GROUP BY 1, 2)
+         |SELECT l.g, l.lts, r.rts, r.pay
+         |FROM l $jt r ON l.g = r.g AND l.lts $cmp r.rts""".stripMargin)
+  }
+
+  /** running / trailing aggregation over a unique total order vs the
+    * identical SQL window (random frame shape and partition width). */
+  private def runningWindow(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    import org.apache.spark.sql.expressions.Window
+    val g = 3 + rng.nextInt(10)
+    val trailing = rng.nextInt(5) // 0 => unbounded
+    // pre-aggregate to a UNIQUE rid (duplicate synthetic rows would
+    // make the ROWS-frame order within ties engine-dependent)
+    val base = li(spark, dir)
+      .groupBy((col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        pmod(col("l_orderkey"), lit(g)).as("gg"))
+      .agg(sum(col("l_quantity").cast("long")).as("q"))
+    val w0 = Window.partitionBy("gg").orderBy(col("rid"))
+    val w = if (trailing == 0) w0.rowsBetween(Window.unboundedPreceding, 0)
+            else w0.rowsBetween(-trailing, 0)
+    val out = base.select(col("gg"), col("rid"), col("q"),
+      sum(col("q")).over(w).as("run"))
+    val frame = if (trailing == 0) "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+                else s"ROWS BETWEEN $trailing PRECEDING AND CURRENT ROW"
+    Case(name, out,
+      s"""WITH b AS (SELECT l_orderkey * 10 + l_linenumber rid,
+         |                  l_orderkey % $g gg,
+         |                  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) q
+         |           FROM lineitem GROUP BY 1, 2)
+         |SELECT gg, rid, q,
+         |       CAST(sum(q) OVER (PARTITION BY gg ORDER BY rid $frame) AS BIGINT) run
+         |FROM b""".stripMargin)
+  }
+}

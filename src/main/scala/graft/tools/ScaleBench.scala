@@ -632,6 +632,25 @@ object ScaleBench {
           graft.ml.ModelStore.loadMinhashIndex(spark, path), tau = 0.8)
       }),
 
+      // saved-index delta APPEND (round 8): the corpus index is ×f (its
+      // one-time build+save dominates the measured wall, ∝ f by
+      // design); the maintenance action under test — a FIXED 500-doc
+      // delta parquet-appended with parameters derived from the index
+      // head — is timed separately and printed as a [scale-extra]
+      // line, which must stay CONSTANT across factors (∝ delta, the
+      // corpus files never rewritten)
+      "dedup_index_append" -> (() => {
+        val path = java.nio.file.Files.createTempDirectory("graft-scale-mhidxap-").toString
+        graft.ml.ModelStore.saveMinhashIndex(
+          graft.dedup.Dedup.buildMinhashIndex(docsPlain(f), "doc_id", "text"), path)
+        val t0 = System.nanoTime()
+        graft.ml.ModelStore.appendMinhashIndex(spark, path,
+          docsPlain(1).select((col("doc_id") + 900000000L).as("doc_id"), col("text")),
+          "doc_id", "text")
+        System.err.println(f"""[scale-extra] {"query":"dedup_index_append","factor":$f,"append_sec":${(System.nanoTime() - t0) / 1e9}%.3f}""")
+        graft.ml.ModelStore.loadMinhashIndex(spark, path).where(col("doc") >= 0)
+      }),
+
       // --- round-7c families --------------------------------------------
 
       // prefix-filtered set-similarity: same exact output as the plain

@@ -110,4 +110,47 @@ class CrossCorpusDedupSpec extends AnyFlatSpec with Matchers {
     Dedup.minhashPairsVsIndex(newDocs, "doc_id", "text", empty, tau = 0.1)
       .count() shouldBe 0L
   }
+
+  behavior of "Dedup.appendToMinhashIndex / compactMinhashIndex"
+
+  it should "make (index + delta + re-ingest, compacted) equal a from-scratch rebuild" in {
+    import spark.implicits._
+    val corpus0 = Seq((1L, doc("a", 30)), (2L, doc("b", 30))).toDF("doc_id", "text")
+    val delta = Seq((3L, doc("a", 30, "tail")), (4L, doc("c", 25))).toDF("doc_id", "text")
+    val idx0 = Dedup.buildMinhashIndex(corpus0, "doc_id", "text", n = 4, numHashes = 16)
+    val maintained = Dedup.compactMinhashIndex(
+      Dedup.appendToMinhashIndex(
+        Dedup.appendToMinhashIndex(idx0, delta, "doc_id", "text"),
+        corpus0, "doc_id", "text")) // unchanged re-ingest must collapse
+    val rebuilt = Dedup.buildMinhashIndex(
+      corpus0.unionByName(delta), "doc_id", "text", n = 4, numHashes = 16)
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).mkString("|"),
+        r.getSeq[Long](2).mkString(","))).sortBy(x => (x._1, x._2))
+    canon(maintained) shouldBe canon(rebuilt)
+  }
+
+  it should "derive the delta's parameters from the index, not from defaults" in {
+    import spark.implicits._
+    val corpus0 = Seq((1L, doc("a", 30))).toDF("doc_id", "text")
+    val delta = Seq((2L, doc("b", 30))).toDF("doc_id", "text")
+    // non-default parameters: the appended rows must match them exactly
+    val idx0 = Dedup.buildMinhashIndex(corpus0, "doc_id", "text", n = 5, numHashes = 8)
+    val appended = Dedup.appendToMinhashIndex(idx0, delta, "doc_id", "text")
+    val rows = appended.where(org.apache.spark.sql.functions.col("doc") === 2L).collect()
+    rows should have size 1
+    rows.head.getSeq[Long](2) should have size 8          // numHashes from index
+    rows.head.getSeq[String](1).head.split(" ") should have size 5 // n from index
+  }
+
+  it should "keep both rows when a re-appended doc id carries changed text" in {
+    import spark.implicits._
+    val corpus0 = Seq((1L, doc("a", 30))).toDF("doc_id", "text")
+    val changed = Seq((1L, doc("z", 30))).toDF("doc_id", "text")
+    val maintained = Dedup.compactMinhashIndex(
+      Dedup.appendToMinhashIndex(
+        Dedup.buildMinhashIndex(corpus0, "doc_id", "text"),
+        changed, "doc_id", "text"))
+    maintained.count() shouldBe 2
+  }
 }
