@@ -155,7 +155,19 @@ object GroupStats {
       // (cum·numBins) product can exceed 2^53 and silently round there)
       .select(g ++ Seq(col(valueCol),
         expr(s"CAST(((__cum - 1) * $numBins) div __tot AS BIGINT)").as(outCol)): _*)
-    df.join(bins, groupCols :+ valueCol, "left")
+    // null-SAFE equality on the group columns: the histogram treats a
+    // NULL group key as a real group, so the join back must too (a
+    // plain equi-join would hand those rows a null bin the histogram
+    // never assigned). valueCol's plain-null behavior is unchanged —
+    // null values carry a null bin by contract
+    val l = df.alias("__binl")
+    val r = bins.alias("__binr")
+    val cond = (groupCols :+ valueCol)
+      .map(c => col(s"__binl.$c") <=> col(s"__binr.$c")).reduce(_ && _)
+    val ordered = (groupCols :+ valueCol) ++
+      df.columns.filterNot((groupCols :+ valueCol).contains) // USING-join order kept
+    l.join(r, cond, "left")
+      .select(ordered.map(c => col(s"__binl.$c")) :+ col(s"__binr.$outCol"): _*)
   }
 
   /**
@@ -203,9 +215,19 @@ object GroupStats {
         sum(v19 * v19).cast("double").as("__sq"))
     val mean = col("__sm") / col("__n")
     val variance = col("__sq") / col("__n") - mean * mean
+    // overflow guard: decimal(38,0) holds sums of squares up to ~1e38,
+    // so |v| near 1e18 overflows after ~100 rows and (non-ANSI) NULLs
+    // __sq for the whole group — without this raise, every z in the
+    // group would go silently null with no error
+    val sqOk = when(col("__n").isNotNull && col("__sq").isNull,
+      raise_error(concat(lit(s"GroupStats.standardize: sum of squares of `$valueCol` " +
+        "overflowed decimal(38,0) in a group (values this large need " +
+        "pre-scaling to smaller units); group: "),
+        concat_ws(",", groupCols.map(c => col(c).cast("string")): _*))))
+      .otherwise(col("__sq"))
     df.join(stats, groupCols, "left")
       .withColumn(outCol,
-        when(variance > 0.0,
+        when(sqOk.isNotNull && variance > 0.0,
           floor(lit(1e6) * (col(valueCol) - mean) / sqrt(variance)).cast("long")))
       .drop("__n", "__sm", "__sq")
   }

@@ -54,8 +54,16 @@ object Retention {
       .groupBy(col("__u")).agg(min(col("__us")).as("__a"))
     e.join(anchors, "__u")
       .where(col("__us") >= col("__a"))
-      // div = integral floor division on the micros longs, exact
-      .select(col("__u"), expr(s"__a div ${periodMicros}L").as("cohort_period"),
+      // cohort_period = TRUE floor division: `div` truncates toward
+      // zero, which would give pre-1970 (negative-micros) anchors a
+      // double-width period 0; the negative branch rounds away from
+      // zero instead (matches DuckDB's flooring `//` on every input).
+      // period_offset needs no branch — __us >= __a makes it
+      // non-negative, where div == floor
+      .select(col("__u"),
+        expr(s"CASE WHEN __a >= 0 THEN __a div ${periodMicros}L " +
+          s"ELSE -((-__a + ${periodMicros - 1}L) div ${periodMicros}L) END")
+          .as("cohort_period"),
         expr(s"(__us - __a) div ${periodMicros}L").as("period_offset"))
       .distinct()
       .groupBy(col("cohort_period"), col("period_offset"))

@@ -61,6 +61,8 @@ object PhraseSearch {
       df: DataFrame, idCol: String, textCol: String,
       phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "need at least one phrase")
+    require(!Seq(idCol, textCol).contains("phrase"),
+      "`phrase` is this operator's output name — rename the input column first")
     val spark = df.sparkSession
     import spark.implicits._
     val keyed = phrases.distinct.map(p => { val (k, d) = phraseKey(p); (p, k, d) })
@@ -96,6 +98,13 @@ object PhraseSearch {
   def flagged(df: DataFrame, textCol: String, tsCol: String,
       phrases: Seq[String], watermark: String = "10 minutes"): DataFrame = {
     require(phrases.nonEmpty, "need at least one phrase")
+    // reserved working/output names (the Cdc/SkewJoin contract rule):
+    // an input already carrying them would fail with an ambiguous-
+    // column error deep in the plan instead of a clear message
+    Seq("phrase", "__h", "__phrase_digest").foreach { r =>
+      require(!df.columns.contains(r),
+        s"input must not contain reserved column `$r` (rename it first)")
+    }
     val digest = "__phrase_digest"
     val keyed = phrases.distinct.map(p => { val (k, d) = phraseKey(p); (p, k, d) })
     val spark = df.sparkSession

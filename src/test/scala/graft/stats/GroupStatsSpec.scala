@@ -159,4 +159,28 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       GroupStats.quantileBins(df.withColumn("bin", col("v")), Seq("grp"), "v", 2)
   }
+
+  it should "bin rows whose GROUP key is null (null-safe join back)" in {
+    val df = Seq((Some("g"), 1), (None, 2), (None, 4), (None, 6), (None, 8))
+      .toDF("grp", "v")
+    val out = GroupStats.quantileBins(df, Seq("grp"), "v", 2)
+      .collect().map(r => (Option(r.getString(0)), r.getInt(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // the null-key group is a real histogram group: 2,4 -> bin 0; 6,8 -> bin 1
+    out shouldBe Set((Some("g"), 1, 0L), (None, 2, 0L), (None, 4, 0L),
+      (None, 6, 1L), (None, 8, 1L))
+  }
+
+  it should "fail loudly when standardize's sum of squares overflows" in {
+    // |v| ~ 9e17: v*v ~ 8e35, overflows decimal(38,0) after ~240 rows
+    val big = (1 to 300).map(i => ("g", 900000000000000000L + i))
+      .toDF("grp", "v")
+    val ex = intercept[Exception] {
+      GroupStats.standardize(big, Seq("grp"), "v").collect()
+    }
+    // ANSI sessions (the Spark 4 default) fail in the sum itself;
+    // non-ANSI sessions NULL the sum and hit the in-plan raise_error —
+    // loud either way, which is the contract
+    ex.getMessage should (include ("overflowed") or include ("ARITHMETIC_OVERFLOW"))
+  }
 }

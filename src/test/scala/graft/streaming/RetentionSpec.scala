@@ -67,4 +67,16 @@ class RetentionSpec extends AnyFlatSpec with Matchers {
       .map { case ((c, o), us) => (c, o, us.size.toLong) }.toSet
     got shouldBe brute
   }
+
+  it should "floor-divide negative (pre-1970) anchors into single-width cohorts" in {
+    import spark.implicits._
+    // period 10: anchors -25, -5, 5 must land in cohorts -3, -1, 0 —
+    // truncating division would fold -5 and 5 into a double-width 0
+    val ev = Seq((1L, -25L, "signup"), (2L, -5L, "signup"), (3L, 5L, "signup"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Retention.cohorts(ev, "user_id", "ts", "event_type", "signup",
+        periodMicros = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    out shouldBe Set((-3L, 0L, 1L), (-1L, 0L, 1L), (0L, 0L, 1L))
+  }
 }

@@ -101,4 +101,15 @@ class PhraseSearchSpec extends AnyFlatSpec with Matchers {
       .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
     out.toSeq shouldBe Seq((0L, 1L, 0L))
   }
+
+  it should "refuse inputs carrying reserved working/output names" in {
+    import spark.implicits._
+    val withPhrase = Seq((1L, "a b c", 1L)).toDF("doc_id", "text", "ts")
+      .withColumn("phrase", org.apache.spark.sql.functions.lit("x"))
+    an[IllegalArgumentException] should be thrownBy
+      PhraseSearch.flagged(withPhrase, "text", "ts", Seq("a b"))
+    val withH = Seq((1L, "a b c", 1L)).toDF("doc_id", "text", "__h")
+    an[IllegalArgumentException] should be thrownBy
+      PhraseSearch.flagged(withH, "text", "__h", Seq("a b"))
+  }
 }
