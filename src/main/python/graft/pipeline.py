@@ -527,6 +527,19 @@ def minhash_pairs_vs_index(left, index, id_col="doc_id", text_col="text",
         left._jdf, id_col, text_col, index._jdf, float(tau), int(band_rows)))
 
 
+def append_minhash_index(delta, path, id_col="doc_id", text_col="text"):
+    """Delta-append a batch's index rows to the SAVED index at ``path``
+    — parameters derive from the saved head row, compute and I/O are
+    proportional to the delta (the corpus files are never rewritten)."""
+    _facade(delta).appendMinhashIndex(delta._jdf, path, id_col, text_col)
+
+
+def compact_minhash_index(index):
+    """Collapse exact-duplicate rows left by unchanged re-ingests
+    (periodic maintenance; full-row distinct)."""
+    return _wrap(index, _facade(index).compactMinhashIndex(index._jdf))
+
+
 def temperature_sample(df, key_col, stratum_col, alpha=0.5):
     """Temperature sampling: stratum shares proportional to
     count^alpha (alpha=0.5 = classic square-root multilingual
@@ -738,6 +751,15 @@ def bpe_train(df, text_col="text", rounds=32):
     distribution: (merge_rank, lft, rgt, pair_cnt). Persist it as
     parquet and feed it back to the serving calls below."""
     return _wrap(df, _facade(df).bpeTrain(df._jdf, text_col, int(rounds)))
+
+
+def bpe_train_capped(df, text_col="text", rounds=32, max_words=1 << 20):
+    """:func:`bpe_train` with the open-vocabulary histogram cap: the
+    greedy loop trains on the top ``max_words`` distinct words by
+    (count desc, word asc) — the frequency-pruned training corpus a
+    100 TB text table needs."""
+    return _wrap(df, _facade(df).bpeTrainCapped(df._jdf, text_col,
+                                                int(rounds), int(max_words)))
 
 
 def bpe_segment(df, merges, id_col="doc_id", text_col="text"):
@@ -997,6 +1019,25 @@ def colocated_join(spark, left_table, right_table, keys, join_type="inner"):
     jdf = spark._jvm.graft.api.PyFacade.colocatedJoin(
         spark._jsparkSession, left_table, right_table, keys, join_type)
     return DataFrame(jdf, spark)
+
+
+def compact_bucketed(spark, table, new_path):
+    """Bin-pack a fragmented bucketed table back to one file per bucket
+    at ``new_path`` (spec preserved, catalog swap only on success).
+    Returns (files_before, files_after); the superseded location is the
+    caller's to vacuum."""
+    res = spark._jvm.graft.api.PyFacade.compactBucketed(
+        spark._jsparkSession, table, new_path)
+    return int(res[0]), int(res[1])
+
+
+def compact_files(spark, path, out_path, sort_cols, target_files):
+    """Range-clustered bin-pack of a plain sorted parquet directory
+    (e.g. a :func:`zorder_by` layout): ``target_files`` files, each a
+    contiguous slice of the sort order on ``sort_cols`` (CSV)."""
+    res = spark._jvm.graft.api.PyFacade.compactFiles(
+        spark._jsparkSession, path, out_path, sort_cols, int(target_files))
+    return int(res[0]), int(res[1])
 
 
 def point_in_time(facts, history, keys, fact_ts_col,

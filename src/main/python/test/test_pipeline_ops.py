@@ -893,3 +893,52 @@ class TestRound7c(object):
         out = [(r["tier"], r["version"]) for r in
                P.scd2_stream(log, "id", "ts", "tier").collect()]
         assert out == [("b", 1)]  # only the closed episode on batch
+
+
+class TestRound8(object):
+
+    def test_incremental_minhash_index(self, docs, tmp_path):
+        path = str(tmp_path / "mhidx")
+        base = docs.where("doc_id % 2 = 0")
+        delta = docs.where("doc_id % 2 = 1")
+        P.save_minhash_index(P.build_minhash_index(base), path)
+        P.append_minhash_index(delta, path)
+        P.append_minhash_index(base, path)  # unchanged re-ingest
+        maintained = P.compact_minhash_index(P.load_minhash_index(docs, path))
+        rebuilt = P.build_minhash_index(docs)
+        assert maintained.count() == rebuilt.count()
+        probe = docs.withColumn("doc_id", docs.doc_id + 100)
+        a = sorted(tuple(r) for r in
+                   P.minhash_pairs_vs_index(probe, maintained).collect())
+        b = sorted(tuple(r) for r in
+                   P.minhash_pairs_vs_index(probe, rebuilt).collect())
+        assert a == b and len(a) > 0
+
+    def test_bpe_train_capped(self, docs):
+        full = [tuple(r) for r in P.bpe_train(docs, rounds=4).collect()]
+        capped = [tuple(r) for r in
+                  P.bpe_train_capped(docs, rounds=4, max_words=1 << 20).collect()]
+        assert capped == full  # an unreached cap must not change training
+        small = P.bpe_train_capped(docs, rounds=2, max_words=3).collect()
+        assert len(small) == 2  # still trains on the pruned histogram
+
+    def test_compact_bucketed(self, docs, local_spark, tmp_path):
+        P.write_bucketed(docs.where("doc_id % 2 = 0"), "py_compact_t",
+                         str(tmp_path / "v1"), "doc_id", 4)
+        (docs.where("doc_id % 2 = 1").repartition(2).write
+         .format("parquet").bucketBy(4, "doc_id").sortBy("doc_id")
+         .mode("append").saveAsTable("py_compact_t"))
+        before, after = P.compact_bucketed(local_spark, "py_compact_t",
+                                           str(tmp_path / "v2"))
+        # <= numBuckets: a bucket with no rows writes no file
+        assert after <= 4 and before > after
+        assert local_spark.table("py_compact_t").count() == docs.count()
+
+    def test_bmp_codec_real_bytes(self, local_spark):
+        # one real 24-bit BMP built in the JVM, decoded through the py binding
+        jvm = local_spark._jvm
+        assets = local_spark.createDataFrame(
+            [(1, bytearray(b"not an image"))], ["asset_id", "content"])
+        meta = {r["asset_id"]: r["meta"]["kind"] for r in
+                P.with_decoded_meta(assets, codec="bmp").collect()}
+        assert meta[1] == "unknown"  # pass-through contract on foreign bytes

@@ -296,6 +296,13 @@ object PyFacade {
   /** Learn a BPE merge table from the corpus:
     * (merge_rank, lft, rgt, pair_cnt) — persist it as parquet and feed
     * it back to the serving calls below. */
+  /** [[bpeTrain]] with the driver-histogram cap for open-vocabulary
+    * corpora: top `maxWords` distinct words by (count desc, word asc). */
+  def bpeTrainCapped(df: DataFrame, textCol: String, rounds: Int,
+      maxWords: Int): DataFrame =
+    graft.text.Bpe.mergesDF(df.sparkSession,
+      graft.text.Bpe.train(df, textCol, rounds, maxWords))
+
   def bpeTrain(df: DataFrame, textCol: String, rounds: Int): DataFrame =
     graft.text.Bpe.mergesDF(df.sparkSession,
       graft.text.Bpe.train(df, textCol, rounds))
@@ -467,6 +474,19 @@ object PyFacade {
     graft.ml.ModelStore.saveMinhashIndex(index, path)
   def loadMinhashIndex(anchor: DataFrame, path: String): DataFrame =
     graft.ml.ModelStore.loadMinhashIndex(anchor.sparkSession, path)
+
+  /** Delta-append a batch's index rows to a SAVED index at `path`
+    * (parameters derived from the saved head row; cost and I/O are
+    * proportional to the delta, never the corpus). */
+  def appendMinhashIndex(delta: DataFrame, path: String,
+      idCol: String, textCol: String): Unit =
+    graft.ml.ModelStore.appendMinhashIndex(delta.sparkSession, path,
+      delta, idCol, textCol)
+
+  /** Collapse the exact-duplicate rows unchanged re-ingests append
+    * (periodic maintenance; full-row distinct). */
+  def compactMinhashIndex(index: DataFrame): DataFrame =
+    graft.dedup.Dedup.compactMinhashIndex(index)
 
   /** Incremental near-dup probe of a batch against a prebuilt index:
     * (doc_i, doc_j, jac). */
@@ -749,6 +769,23 @@ object PyFacade {
     graft.layout.Bucketed.colocatedJoin(spark, leftTable, rightTable,
       keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, joinType)
 
+  /** Small-file compaction of a bucketed table: one file per bucket at
+    * `newPath`, spec preserved, catalog swap on success. Returns
+    * [filesBefore, filesAfter]. */
+  def compactBucketed(spark: org.apache.spark.sql.SparkSession, table: String,
+      newPath: String): Array[Int] = {
+    val s = graft.layout.Compact.compactBucketed(spark, table, newPath)
+    Array(s.filesBefore, s.filesAfter)
+  }
+
+  /** Range-clustered bin-pack of a plain sorted parquet directory. */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, path: String,
+      outPath: String, sortColsCsv: String, targetFiles: Int): Array[Int] = {
+    val s = graft.layout.Compact.compactFiles(spark, path, outPath,
+      sortColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, targetFiles)
+    Array(s.filesBefore, s.filesAfter)
+  }
+
   /** Point-in-time join: facts pick up the episode valid at fact ts. */
   def pointInTime(facts: DataFrame, history: DataFrame, keysCsv: String,
       factTsCol: String, validFromCol: String, validToCol: String,
@@ -854,8 +891,9 @@ object PyFacade {
     name match {
       case "stub" => graft.multimodal.Multimodal.StubCodec
       case "imageio" => graft.multimodal.Multimodal.ImageIoCodec
+      case "bmp" => graft.multimodal.Multimodal.BmpCodec
       case other => throw new IllegalArgumentException(
-        s"unknown codec '$other' (expected 'stub' or 'imageio')")
+        s"unknown codec '$other' (expected 'stub', 'imageio' or 'bmp')")
     }
 
   def withDecodedMeta(df: DataFrame, contentCol: String): DataFrame =
