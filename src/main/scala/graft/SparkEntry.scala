@@ -1160,6 +1160,27 @@ object SparkEntry {
           col("sc.n_pieces").as("n_pieces"))
     }),
 
+    // VOCAB-SCALE unigram serve (round 8): 512 multi-char pieces over
+    // the derived bigram-word stream, scored through the
+    // model-as-data runtime ([[graft.functions.UnigramRuntime]] — the
+    // typedlit-map fold would carry the whole vocabulary as a plan
+    // literal); words reach ~17 chars so the oracle's DP unrolls 18
+    // positions. Same combined-encoding Viterbi contract as
+    // text_unigram
+    "text_unigram_vocab" -> ((s, dir) => {
+      val derived = tbl(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.tokens(col("text")).as("ws"))
+        .select(col("doc_id"), concat_ws(" ", expr(
+          "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), (w, i) -> concat(w, '_', ws[i + 1]))"))
+          .as("btext"))
+      val m = graft.text.Unigram.train(derived, "btext",
+        vocabSize = UnigramVocabSize, maxPieceLen = 4)
+      derived.select(explode(TextFunctions.tokens(col("btext"))).as("word")).distinct()
+        .select(col("word"), graft.text.Unigram.wordScore(col("word"), m).as("sc"))
+        .select(col("word"), col("sc.score_micro").as("score_micro"),
+          col("sc.n_pieces").as("n_pieces"))
+    }),
+
     // corpus drift monitoring: KL(A||B) in integer micro-nats + exact
     // total-variation numerator between the odd and even snapshot
     // halves over hashed unigram buckets
@@ -2033,10 +2054,22 @@ object SparkEntry {
     * unrolled 12-position DP (corpus words are <= 8 chars; the CASE
     * dispatch keeps longer words NULL-loud, not silently wrong). Shared
     * by text_unigram and its persistence twin. */
-  private val unigramOracle: String = {
+  private val unigramOracle: String =
+    unigramOracleFor(
+      s"""t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |wd AS (SELECT tk w, CAST(count(*) AS BIGINT) wc
+         |       FROM (SELECT unnest(ws) tk FROM t) GROUP BY 1)""".stripMargin,
+      vocabSize = 64, positions = 12)
+
+  /** Parameterized unigram replay: `wdCtes` supplies the word stream
+    * (`wd(w, wc)`), `vocabSize` the multi-piece LIMIT, `positions` the
+    * DP unroll depth (words longer than `positions` dispatch NULL —
+    * loud, never silently wrong). */
+  private def unigramOracleFor(wdCtes: String, vocabSize: Int,
+      positions: Int): String = {
     val K = 4 // maxPieceLen
     val neg = Long.MinValue / 2
-    val dpCtes = (1 to 12).map { i =>
+    val dpCtes = (1 to positions).map { i =>
       val terms = (1 to K).map { k =>
         if (i >= k)
           s"CASE WHEN $i <= L THEN d${i - k} + f[${(i - k + 1) * 100 + k}][1] ELSE CAST($neg AS BIGINT) END"
@@ -2044,10 +2077,8 @@ object SparkEntry {
       }.mkString(", ")
       s"d$i AS (SELECT *, greatest($terms) d$i FROM d${i - 1})"
     }.mkString(",\n")
-    val dispatch = (1 to 12).map(i => s"WHEN $i THEN d$i").mkString(" ")
-    s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
-       |wd AS (SELECT tk w, CAST(count(*) AS BIGINT) wc
-       |       FROM (SELECT unnest(ws) tk FROM t) GROUP BY 1),
+    val dispatch = (1 to positions).map(i => s"WHEN $i THEN d$i").mkString(" ")
+    s"""WITH $wdCtes,
        |cand AS (SELECT piece, CAST(sum(wc) AS BIGINT) c FROM (
        |    SELECT wc, unnest(flatten([[w[i:i+k-1]
        |        for k in range(1, least($K, len(w)-i+1)+1)]
@@ -2056,7 +2087,7 @@ object SparkEntry {
        |sel AS (SELECT piece, c FROM cand WHERE len(piece) = 1
        |        UNION ALL
        |        SELECT piece, c FROM (SELECT piece, c FROM cand WHERE len(piece) > 1
-       |                              ORDER BY c DESC, piece LIMIT 64)),
+       |                              ORDER BY c DESC, piece LIMIT $vocabSize)),
        |tt AS (SELECT CAST(sum(c) AS BIGINT) tot FROM sel),
        |lp AS (SELECT piece, CAST(round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) lpv
        |       FROM sel CROSS JOIN tt),
@@ -2074,7 +2105,7 @@ object SparkEntry {
        |       FROM pv GROUP BY 1, 2),
        |d0 AS (SELECT *, CAST(0 AS BIGINT) d0 FROM fm),
        |$dpCtes,
-       |fin AS (SELECT w word, CASE L $dispatch END c FROM d12)
+       |fin AS (SELECT w word, CASE L $dispatch END c FROM d$positions)
        |SELECT word,
        |  CAST((c + (((-c) % 1024 + 1024) % 1024)) // 1024 AS BIGINT) score_micro,
        |  CAST((((-c) % 1024 + 1024) % 1024) AS BIGINT) n_pieces
@@ -2134,6 +2165,9 @@ object SparkEntry {
   /** Vocab-scale merge count for `text_bpe_vocab` — the judge's bar for
     * "the serve is vocabulary-size-independent" is rounds >= 256. */
   private val BpeVocabRounds = 256
+
+  /** Vocab-scale unigram piece budget for `text_unigram_vocab`. */
+  private val UnigramVocabSize = 512
 
   /** The trained-BPE oracle's shared CTE chain: word frequencies once,
     * then per round (positional pair counts over the current
@@ -3196,6 +3230,12 @@ object SparkEntry {
     // the full unigram pipeline replayed: seed selection, micro-nat
     // log-probs, unrolled combined-encoding Viterbi
     "text_unigram" -> unigramOracle,
+
+    "text_unigram_vocab" -> unigramOracleFor(
+      s"""t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |bw AS (SELECT doc_id, unnest([ws[i] || '_' || ws[i+1] for i in range(1, len(ws))]) w FROM t),
+         |wd AS (SELECT w, CAST(count(*) AS BIGINT) wc FROM bw GROUP BY 1)""".stripMargin,
+      vocabSize = UnigramVocabSize, positions = 18),
 
     // the parquet round-trip is bit-exact, so the reloaded-model twin
     // answers the same oracle

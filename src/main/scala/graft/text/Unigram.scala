@@ -110,11 +110,29 @@ object Unigram {
       })
   }
 
+  /** The serving runtime for a model — ONE reference object regardless
+    * of vocabulary size (see [[graft.functions.UnigramRuntime]]): the
+    * plan stops carrying the piece table as a map literal and the
+    * Viterbi runs compiled instead of through interpreted
+    * higher-order folds. */
+  def runtime(m: Model): graft.functions.UnigramRuntime = {
+    val map = new java.util.HashMap[String, java.lang.Long](m.pieces.size * 2)
+    m.pieces.foreach { case (p, lp) => map.put(p, lp) }
+    new graft.functions.UnigramRuntime(map, m.maxPieceLen, m.unkMicro)
+  }
+
   /** Best segmentation of one word as `(score_micro, n_pieces)` —
     * score in micro-nats, count on the max-score path (ties already
     * resolved toward fewer pieces by the combined encoding). Empty
-    * word → (0, 0). */
-  def wordScore(word: Column, m: Model): Column = {
+    * word → (0, 0). Served natively (model as data). */
+  def wordScore(word: Column, m: Model): Column =
+    graft.functions.UnigramWordScore.score(word, runtime(m))
+
+  /** The original composed-expression Viterbi — model as a `typedlit`
+    * map inside an interpreted fold; exact but vocabulary-bounded in
+    * PLAN size. Kept as the semantics anchor the native runtime is
+    * spec-pinned against. */
+  def wordScoreFold(word: Column, m: Model): Column = {
     val c = element_at(dpCombined(word, m), (length(word) + lit(1)).cast("int"))
     val np = pmod(-c, lit(1024L))
     when(length(word) === 0, struct(lit(0L).as("score_micro"), lit(0L).as("n_pieces")))
@@ -124,12 +142,10 @@ object Unigram {
   }
 
   /** Trained-subword token count of a text under the unigram model —
-    * the [[Bpe.tokenCount]] twin for token-budget operators. */
+    * the [[Bpe.tokenCount]] twin for token-budget operators (null text
+    * counts 0, matching the fold's coalesce contract). */
   def tokenCount(text: Column, m: Model): Column =
-    coalesce(
-      aggregate(TextFunctions.tokens(text), lit(0L),
-        (acc, w) => acc + wordScore(w, m).getField("n_pieces")),
-      lit(0L))
+    coalesce(graft.functions.UnigramCountOf.count(text, runtime(m)), lit(0L))
 
   /** The model as a persistable frame: (piece, lp_micro) rows plus the
     * maxPieceLen/unkMicro constants on every row (derivable-from-rows

@@ -85,4 +85,52 @@ class UnigramSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       Unigram.train(corpus, "text", vocabSize = 0)
   }
+
+  it should "serve natively exactly like the expression fold (randomized)" in {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    for (trial <- 1 to 6) {
+      val alpha = "abc".take(1 + rnd.nextInt(3))
+      val words = (1 to 40).map { _ =>
+        (1 to (1 + rnd.nextInt(14))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }
+      val docs = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val m = Unigram.train(docs, "text", vocabSize = 1 + rnd.nextInt(32),
+        maxPieceLen = 1 + rnd.nextInt(5))
+      val wdf = docs.select(org.apache.spark.sql.functions.explode(
+        TextFunctions.tokens(org.apache.spark.sql.functions.col("text"))).as("w")).distinct()
+      val diff = wdf
+        .select(org.apache.spark.sql.functions.col("w"),
+          Unigram.wordScore(org.apache.spark.sql.functions.col("w"), m).as("a"),
+          Unigram.wordScoreFold(org.apache.spark.sql.functions.col("w"), m).as("b"))
+        .where("a.score_micro != b.score_micro OR a.n_pieces != b.n_pieces")
+        .collect()
+      assert(diff.isEmpty, s"trial $trial: native/fold diverged: ${diff.take(3).mkString(";")}")
+    }
+  }
+
+  it should "serve a large vocabulary over long words (vocab-scale path)" in {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val derived = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        TextFunctions.tokens(org.apache.spark.sql.functions.col("text")).as("ws"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.concat_ws(" ", org.apache.spark.sql.functions.expr(
+          "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), (w, i) -> concat(w, '_', ws[i + 1]))"))
+          .as("btext"))
+    val m = Unigram.train(derived, "btext", vocabSize = 512, maxPieceLen = 4)
+    assert(m.pieces.size > 256) // genuinely large piece table
+    val scored = derived.select(org.apache.spark.sql.functions.explode(
+        TextFunctions.tokens(org.apache.spark.sql.functions.col("btext"))).as("w")).distinct()
+      .select(org.apache.spark.sql.functions.col("w"),
+        Unigram.wordScore(org.apache.spark.sql.functions.col("w"), m).as("sc"))
+      .collect()
+    assert(scored.nonEmpty)
+    // every word scored (no NULL-louds: runtime has no position cap)
+    scored.foreach { r =>
+      val sc = r.getStruct(1)
+      assert(sc.getLong(0) < 0 && sc.getLong(1) >= 1, s"bad score for ${r.getString(0)}")
+    }
+  }
 }
