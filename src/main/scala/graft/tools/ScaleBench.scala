@@ -469,6 +469,85 @@ object ScaleBench {
         docsPlain(f).select(graft.text.Bpe.tokenCount(col("text"), ms).as("n_bpe"))
           .where(col("n_bpe") >= 0)
       }),
+      // VOCAB-SCALE BPE (round 8): 64 merges over derived bigram words,
+      // driver-histogram training + native merge-table-as-data serve.
+      // The corpus collapses to ONE word-histogram aggregation (shuffle
+      // bounded by the DISTINCT derived vocabulary — constant under
+      // docsPlain inflation) and the serve is map-only: shuffle stays
+      // flat while the scan grows ×f
+      "text_bpe_vocab" -> (() => {
+        val derived = docsPlain(f)
+          .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ws"))
+          .select(col("doc_id"), concat_ws(" ", expr(
+            "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), (w, i) -> concat(w, '_', ws[i + 1]))"))
+            .as("btext"))
+        val ms = graft.text.Bpe.train(derived, "btext", rounds = 64)
+        derived.select(col("doc_id"),
+            graft.text.Bpe.tokenCount(col("btext"), ms).as("n_bpe"))
+          .where(col("n_bpe") >= 0)
+      }),
+      // VOCAB-SCALE unigram (round 8): same derivation, 512-piece model,
+      // native compiled-Viterbi serve; candidate-piece aggregation is
+      // vocabulary-bounded, scoring map-only
+      "text_unigram_vocab" -> (() => {
+        val derived = docsPlain(f)
+          .select(col("doc_id"), graft.text.TextFunctions.tokens(col("text")).as("ws"))
+          .select(col("doc_id"), concat_ws(" ", expr(
+            "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), (w, i) -> concat(w, '_', ws[i + 1]))"))
+            .as("btext"))
+        val m = graft.text.Unigram.train(derived, "btext",
+          vocabSize = 512, maxPieceLen = 4)
+        derived.select(col("doc_id"),
+            graft.text.Unigram.tokenCount(col("btext"), m).as("n_uni"))
+          .where(col("n_uni") >= 0)
+      }),
+      // real-BMP codec pipeline (round 8): hex assembly + decode +
+      // resize + histogram, all map-only partition-wise — zero shuffle
+      // at every factor; docs ×f means assets ×f
+      "multimodal_real" -> (() => {
+        val assets = docsPlain(f)
+          .withColumn("bh", (pmod(col("doc_id"), lit(5)) + 2).cast("int"))
+          .withColumn("hx", concat(
+            lit("424D"), lpad(hex(col("bh") * 24 + 54), 2, "0"), lit("000000"),
+            lit("00000000"), lit("36000000"), lit("28000000"), lit("08000000"),
+            lpad(hex(col("bh")), 2, "0"), lit("000000"), lit("0100"), lit("1800"),
+            lit("00000000"), lpad(hex(col("bh") * 24), 2, "0"), lit("000000"),
+            lit("130B0000"), lit("130B0000"), lit("00000000"), lit("00000000"),
+            expr("""aggregate(sequence(0, bh - 1), '', (acc, r) -> acc ||
+              aggregate(sequence(0, 7), '', (a2, x) ->
+                a2 || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3, 256)), 2, '0')
+                   || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 85, 256)), 2, '0')
+                   || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 170, 256)), 2, '0')))""")))
+          .select(col("doc_id"), unhex(col("hx")).as("content"))
+        val resized = graft.multimodal.Multimodal.resizeImages(
+          assets, "content", 4, 4, graft.multimodal.Multimodal.BmpCodec)
+        graft.multimodal.Multimodal.withDecodedMeta(resized, "content",
+            graft.multimodal.Multimodal.BmpCodec)
+          .select(col("doc_id"), col("meta.width").as("w"))
+          .where(col("w") >= 0)
+      }),
+      // small-file compaction (round 8): fragmentation ×f (3 appends of
+      // a ×f table), the rewrite is ONE repartition of the whole table
+      // — wall and shuffle ∝ f, the price paid per MAINTENANCE run
+      // (documented amortization contract); invariant: files after ==
+      // buckets at every factor
+      "layout_compact" -> (() => {
+        val base = java.nio.file.Files.createTempDirectory("graft-scale-compact-").toString
+        val t = s"scale_compact_f$f"
+        val orders = keyed("orders", "o_orderkey", f, 100000000L)
+          .withColumn("o_custkey", pmod(col("o_orderkey"), lit(15000L)))
+        graft.layout.Bucketed.writeBucketed(
+          orders.where(pmod(col("o_orderkey"), lit(4)) === 0),
+          t, s"$base/v1", Seq("o_custkey"), 8)
+        for (m <- 1 to 3)
+          orders.where(pmod(col("o_orderkey"), lit(4)) === m)
+            .repartition(3)
+            .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .mode("append").saveAsTable(t)
+        val stats = graft.layout.Compact.compactBucketed(spark, t, s"$base/v2")
+        require(stats.filesAfter <= 8, s"compaction left ${stats.filesAfter} files")
+        spark.table(t).where(col("o_custkey") >= 0)
+      }),
       // LM persistence round-trip at scale: train ∝ f, save/load adds a
       // parquet write+read of the count tables (natural partitioning —
       // the artifact is itself big data), scoring ∝ f
