@@ -495,4 +495,62 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     exchangesInJoinPlan(aqe = false) shouldBe 1
     exchangesInJoinPlan(aqe = true) shouldBe 2
   }
+
+  it should "serve the vocab-scale tokenizers map-only inside whole-stage codegen" in {
+    // the round-8 model-as-data serves: BPE merge replay and the
+    // unigram Viterbi must plan as ONE codegen'd projection with no
+    // exchange and — the vocab-scale point — no model literal in the
+    // plan text (a typedlit map/fold would print the pieces)
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val ms = graft.text.Bpe.train(docs, "text", rounds = 8)
+    val um = graft.text.Unigram.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+    val served = docs.select(col("doc_id"),
+      graft.text.Bpe.tokenCount(col("text"), ms).as("n_bpe"),
+      graft.text.Unigram.tokenCount(col("text"), um).as("n_uni"))
+    served.collect()
+    val plan = served.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      plan.linesIterator.filter(_.contains("Exchange")).toSeq shouldBe empty
+      plan should include ("*(1) Project")
+      plan should include ("bpe_tokens")
+      plan should include ("unigram_token_count")
+      // no piece strings leaked into the plan as literals
+      (plan should not).include("keys: [")
+    }
+  }
+
+  it should "run the real-codec multimodal pipeline as a pure narrow plan" in {
+    assume(new java.io.File(s"$dir/documents.parquet").exists(), "testdata not present")
+    import org.apache.spark.sql.functions.col
+    val assets = graft.SparkEntry.queries("multimodal_real_histogram")(
+      spark, dir)
+    assets.collect()
+    val plan = assets.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      // decode/resize/histogram are mapPartitions — narrow end to end
+      plan.linesIterator.filter(_.contains("Exchange")).toSeq shouldBe empty
+    }
+  }
+
+  it should "plan the compacted bucketed aggregation with zero exchange" in {
+    // the layout_compact gate computes this pin in-query (oracle-checked
+    // boolean); this spec repeats it at test scale so a planner change
+    // is caught before the gate runs
+    import spark.implicits._
+    val rows = (1 to 200).map(i => (i.toLong % 20, i.toLong)).toDF("k", "v")
+    val dirT = java.nio.file.Files.createTempDirectory("audit_compact").toString
+    graft.layout.Bucketed.writeBucketed(rows, "audit_compact_t", s"$dirT/v1", Seq("k"), 4)
+    rows.repartition(3).write.format("parquet").bucketBy(4, "k").sortBy("k")
+      .mode("append").saveAsTable("audit_compact_t")
+    graft.layout.Compact.compactBucketed(spark, "audit_compact_t", s"$dirT/v2")
+    val agg = spark.table("audit_compact_t").groupBy("k")
+      .agg(org.apache.spark.sql.functions.sum("v").as("s"))
+    agg.collect()
+    val plan = agg.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      plan.linesIterator.filter(_.contains("Exchange")).toSeq shouldBe empty
+    }
+  }
 }
