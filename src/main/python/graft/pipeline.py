@@ -230,6 +230,20 @@ def pq_top_k(queries, candidates, id_col="vec_id", vec_col="embedding",
         int(m), int(ksub), int(iters), int(shortlist)))
 
 
+def ivf_pq_top_k(queries, candidates, id_col="vec_id", vec_col="embedding",
+                 k=10, nlist=8, m=8, ksub=16, iters=2, nprobe=2,
+                 shortlist=0):
+    """Composed IVF+PQ ANN (the FAISS ``IVFx,PQy`` shape): the inverted
+    file restricts WHICH candidates are scanned (``nprobe`` of
+    ``nlist`` cells per query), PQ codes restrict WHAT is scanned, the
+    exact re-rank keeps emitted cosines exact. ``nprobe=nlist`` +
+    ``shortlist<=0`` is structurally exact."""
+    return _wrap(queries, _facade(queries).ivfPqTopK(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k),
+        int(nlist), int(m), int(ksub), int(iters), int(nprobe),
+        int(shortlist)))
+
+
 # --- text analysis -------------------------------------------------------
 
 def text_profile(df, id_col="doc_id", text_col="text", unicode_tokens=False):

@@ -942,3 +942,12 @@ class TestRound8(object):
         meta = {r["asset_id"]: r["meta"]["kind"] for r in
                 P.with_decoded_meta(assets, codec="bmp").collect()}
         assert meta[1] == "unknown"  # pass-through contract on foreign bytes
+
+    def test_ivf_pq_top_k(self, vecs):
+        exact = sorted((r["qid"], r["cid"], r["rnk"]) for r in
+                       P.cosine_top_k(vecs.where("vec_id = 0"), vecs, k=2).collect())
+        got = sorted((r["qid"], r["cid"], r["rnk"]) for r in
+                     P.ivf_pq_top_k(vecs.where("vec_id = 0"), vecs, k=2,
+                                    nlist=2, m=3, ksub=4, iters=1,
+                                    nprobe=2, shortlist=0).collect())
+        assert got == exact  # structurally exact at nprobe=nlist

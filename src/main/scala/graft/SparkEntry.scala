@@ -1358,6 +1358,22 @@ object SparkEntry {
     // exhaustive; clustered data — the ANN use case — needs only ~2k,
     // pinned by ProductQuantizerSpec and the recorded pq_recall_at10
     // bench metric at shortlist = 2k).
+    // composed IVF+PQ (round 8, the FAISS IVFx,PQy shape): coarse cells
+    // cut WHICH candidates scan, PQ codes cut WHAT scans, exact re-rank
+    // keeps cosines exact; at nprobe = nlist + unbounded shortlist the
+    // composition is structurally exact -> the brute-force oracle
+    "simsearch_ivfpq" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val cents = graft.similarity.Similarity.trainCentroids(
+        emb, "vec_id", "embedding", nlist = 8, iters = 2)
+      val cb = graft.similarity.ProductQuantizer.train(
+        emb, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+      graft.similarity.IvfPq.topK(
+        emb.where(col("vec_id") < 20), emb, cents, "vec_id", "embedding",
+        k = 10, cb, nprobe = 8, shortlist = Int.MaxValue)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
     "simsearch_pq" -> ((s, dir) => {
       val emb = tbl(s, dir, "embeddings")
       val cb = graft.similarity.ProductQuantizer.train(
@@ -3349,6 +3365,7 @@ object SparkEntry {
     // PQ gate: the unbounded shortlist makes the row structurally exact
     // (every candidate is exact-re-ranked), so the exact oracle applies
     "simsearch_pq" -> simsearchExactTopkSql,
+    "simsearch_ivfpq" -> simsearchExactTopkSql,
 
     // unbounded shortlist + exact re-rank => exact top-k for any int8
     // parameters — same structural argument as simsearch_pq

@@ -178,6 +178,21 @@ object PyFacade {
       cb, if (shortlist <= 0) Int.MaxValue else shortlist)
   }
 
+  /** IVF-restricted PQ top-k (the composed FAISS IVFx,PQy shape):
+    * trains the coarse quantizer and codebooks on the candidates, then
+    * probes nprobe cells per query; shortlist<=0 re-ranks everything. */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      nlist: Int, m: Int, ksub: Int, iters: Int,
+      nprobe: Int, shortlist: Int): DataFrame = {
+    val cents = graft.similarity.Similarity.trainCentroids(
+      candidates, idCol, vecCol, nlist, iters)
+    val cb = graft.similarity.ProductQuantizer.train(
+      candidates, idCol, vecCol, m, ksub, iters)
+    graft.similarity.IvfPq.topK(queries, candidates, cents, idCol, vecCol, k,
+      cb, nprobe, if (shortlist <= 0) Int.MaxValue else shortlist)
+  }
+
   // --- text analysis ----------------------------------------------------
 
   /** One-pass per-document text profile: token counts (whitespace and

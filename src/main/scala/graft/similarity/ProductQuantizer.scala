@@ -59,7 +59,7 @@ object ProductQuantizer {
   /** Unit-normalized double vector (zero vectors pass through — their
     * cosine is undefined and the exact re-rank preserves whatever the
     * brute-force path would emit for them). */
-  private def unitCol(v: Column): Column = {
+  private[similarity] def unitCol(v: Column): Column = {
     val n = Similarity.l2norm(v)
     when(n > 0, transform(v, x => x / n)).otherwise(v)
   }
@@ -136,6 +136,14 @@ object ProductQuantizer {
     cb
   }
 
+  /** The per-query ADC lookup table expression — shared by [[topK]]
+    * and the IVF-restricted composition ([[IvfPq.topK]]). */
+  private[similarity] def adcLut(cb: Codebooks, qv: Column): Column =
+    array((0 until cb.m).map { j =>
+      val qsub = slice(qv, j * cb.dsub + 1, cb.dsub)
+      array(cb.cents(j).toIndexedSeq.map(cvec => Similarity.dot(qsub, typedLit(cvec.toSeq))): _*)
+    }: _*)
+
   /**
    * PQ ADC top-k with exact re-rank. Output contract matches
    * [[Similarity.cosineTopK]]: (qid, cid, cos_r6, rnk 1..k), self-pairs
@@ -155,10 +163,7 @@ object ProductQuantizer {
     // per-query LUT: lut[j][c] = <q_j, codebook_j[c]> — m·ksub doubles,
     // broadcast with the query row; ADC sums approximate <q, x/|x|>,
     // which per query ranks identically to cosine (qn is constant)
-    val lut = array((0 until cb.m).map { j =>
-      val qsub = slice(col("qv"), j * cb.dsub + 1, cb.dsub)
-      array(cb.cents(j).toIndexedSeq.map(cvec => Similarity.dot(qsub, typedLit(cvec.toSeq))): _*)
-    }: _*)
+    val lut = adcLut(cb, col("qv"))
     val q = queries
       .select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", Similarity.l2norm(col("qv")))

@@ -469,6 +469,22 @@ object ScaleBench {
         docsPlain(f).select(graft.text.Bpe.tokenCount(col("text"), ms).as("n_bpe"))
           .where(col("n_bpe") >= 0)
       }),
+      // composed IVF+PQ at production settings (round 8): candidates
+      // ×f, fixed 20 queries, nprobe 2 of 8 cells, bounded shortlist —
+      // the cell join is broadcast (probes side), the shortlist cut is
+      // the bounded aggregate: shuffle stays ~Q·shortlist while the
+      // map-side ADC scan grows ∝ the PROBED fraction of f
+      "simsearch_ivfpq" -> (() => {
+        val e = embs(f)
+        val cents = graft.similarity.Similarity.trainCentroids(
+          e, "vec_id", "embedding", nlist = 8, iters = 2)
+        val cb = graft.similarity.ProductQuantizer.train(
+          e, "vec_id", "embedding", m = 8, ksub = 16, iters = 2)
+        graft.similarity.IvfPq.topK(
+          e.where(col("vec_id") < 20), e, cents, "vec_id", "embedding",
+          k = 10, cb, nprobe = 2, shortlist = 100)
+      }),
+
       // VOCAB-SCALE BPE (round 8): 64 merges over derived bigram words,
       // driver-histogram training + native merge-table-as-data serve.
       // The corpus collapses to ONE word-histogram aggregation (shuffle
