@@ -1077,7 +1077,7 @@ object Drive {
     locally {
       // differential-fuzz generator: one case per pattern plans + runs
       // (the DuckDB replay is tools/fuzz.sh; FUZZ_RESULT.json records it)
-      val fuzzRows = graft.tools.Fuzz.smoke(spark, dir, n = 6, seed = 20260814L)
+      val fuzzRows = graft.tools.Fuzz.smoke(spark, dir, n = 8, seed = 20260814L)
       println(s"rows=${fuzzRows.map(_._2).sum} across ${fuzzRows.size} fuzz smoke " +
         s"cases, empty cases=${fuzzRows.count(_._2 == 0)} (expect 0)")
 

@@ -93,17 +93,19 @@ object Fuzz {
     }
 
   /** One seeded case: the pattern cycles round-robin so every family
-    * gets ~n/6 of the budget; knobs derive from the per-case RNG. */
+    * gets ~n/8 of the budget; knobs derive from the per-case RNG. */
   private def gen(spark: SparkSession, dir: String, i: Int, seed: Long): Case = {
     val rng = new scala.util.Random(seed * 1000003L + i)
     val name = f"fz_$i%03d"
-    (i % 6) match {
+    (i % 8) match {
       case 0 => saltedAgg(spark, dir, name, rng)
       case 1 => rangeAgg(spark, dir, name, rng)
       case 2 => joinQuota(spark, dir, name, rng)
       case 3 => dedupVariants(spark, dir, name, rng)
       case 4 => asofCase(spark, dir, name, rng)
       case 5 => runningWindow(spark, dir, name, rng)
+      case 6 => pointInTimeCase(spark, dir, name, rng)
+      case 7 => overlapAgg(spark, dir, name, rng)
     }
   }
 
@@ -279,6 +281,82 @@ object Fuzz {
          |      FROM lineitem WHERE l_orderkey % $m = $r GROUP BY 1, 2)
          |SELECT l.g, l.lts, r.rts, r.pay
          |FROM l $jt r ON l.g = r.g AND l.lts $cmp r.rts""".stripMargin)
+  }
+
+  /** point-in-time join over a constructed episode history (optionally
+    * GAPPED — dropped episodes must surface as misses through the
+    * as-of + residual-validity machinery exactly like the oracle's
+    * plain `vf <= ts < vt` join). */
+  private def pointInTimeCase(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val g = Seq(5, 11, 23)(rng.nextInt(3))
+    val m = 2 + rng.nextInt(3)
+    val r = rng.nextInt(m)
+    val gapped = rng.nextBoolean()
+    val joinType = if (rng.nextBoolean()) "inner" else "left"
+    var h = cust(spark, dir).select(
+      pmod(col("c_custkey"), lit(g)).as("g"),
+      (expr(s"c_custkey div $g") * 100).as("vf"),
+      (expr(s"c_custkey div $g") * 100 + 100).as("vt"),
+      col("c_custkey").as("pay"))
+    if (gapped) h = h.where(pmod(expr(s"c_custkey div $g"), lit(3)) =!= 0)
+    val fct = li(spark, dir)
+      .where(pmod(col("l_orderkey"), lit(m)) === r)
+      .select(pmod(col("l_orderkey"), lit(g)).as("g"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("rid"),
+        pmod(col("l_partkey") * 13, lit(100000)).as("ts"))
+    val out = graft.curation.ChangeHistory.pointInTime(
+        fct, h, Seq("g"), "ts", "vf", "vt", joinType)
+      .select(col("g"), col("rid"), col("ts"), col("vf"), col("pay"))
+    val gapSql = if (gapped) s"WHERE (c_custkey // $g) % 3 != 0" else ""
+    val jt = if (joinType == "left") "LEFT JOIN" else "JOIN"
+    Case(name, out,
+      s"""WITH h AS (SELECT c_custkey % $g g, (c_custkey // $g) * 100 vf,
+         |                  (c_custkey // $g) * 100 + 100 vt, c_custkey pay
+         |           FROM customer $gapSql),
+         |f AS (SELECT l_orderkey % $g g, l_orderkey * 10 + l_linenumber rid,
+         |             (l_partkey * 13) % 100000 ts
+         |      FROM lineitem WHERE l_orderkey % $m = $r)
+         |SELECT f.g, f.rid, f.ts, h.vf, h.pay
+         |FROM f $jt h ON f.g = h.g AND f.ts >= h.vf AND f.ts < h.vt""".stripMargin)
+  }
+
+  /** interval×interval overlap join (inclusive ends, random widths and
+    * bucket width, inner/left) aggregated per left interval. */
+  private def overlapAgg(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val a = 3 + rng.nextInt(7)
+    val b = 3 + rng.nextInt(7)
+    val w1 = 1 + rng.nextInt(150)
+    val w2 = 1 + rng.nextInt(150)
+    val bw = Seq(16d, 64d, 256d)(rng.nextInt(3))
+    val joinType = if (rng.nextBoolean()) "inner" else "left"
+    val l = cust(spark, dir).select(col("c_custkey").as("al_id"),
+      pmod(col("c_custkey") * a, lit(1000)).as("al"),
+      (pmod(col("c_custkey") * a, lit(1000)) + w1).as("ah"))
+    val rt = spark.read.parquet(s"$dir/supplier.parquet")
+      .select(col("s_suppkey").as("br_id"),
+        pmod(col("s_suppkey") * b, lit(1000)).as("bl"),
+        (pmod(col("s_suppkey") * b, lit(1000)) + w2).as("bh"))
+    val joined =
+      if (joinType == "inner")
+        graft.join.RangeJoin.overlapJoin(l, rt, col("al"), col("ah"),
+          col("bl"), col("bh"), bw)
+      else
+        graft.join.RangeJoin.overlapJoinLeft(l, rt, col("al"), col("ah"),
+          col("bl"), col("bh"), bw)
+    val out = joined.groupBy(col("al_id"))
+      .agg(count(lit(1)).as("n"), sum(col("br_id")).as("sb"))
+      .select(col("al_id"), col("n"), col("sb").cast("long").as("sb"))
+    val jt = if (joinType == "left") "LEFT JOIN" else "JOIN"
+    Case(name, out,
+      s"""WITH l AS (SELECT c_custkey al_id, (c_custkey * $a) % 1000 al,
+         |                  (c_custkey * $a) % 1000 + $w1 ah FROM customer),
+         |r AS (SELECT s_suppkey br_id, (s_suppkey * $b) % 1000 bl,
+         |             (s_suppkey * $b) % 1000 + $w2 bh FROM supplier)
+         |SELECT l.al_id, CAST(count(*) AS BIGINT) n, CAST(sum(r.br_id) AS BIGINT) sb
+         |FROM l $jt r ON l.al <= r.bh AND r.bl <= l.ah
+         |GROUP BY 1""".stripMargin)
   }
 
   /** running / trailing aggregation over a unique total order vs the
