@@ -129,6 +129,18 @@ def asof_join(left, right, keys="user_id", left_ts="ts", right_ts="ts",
         direction))
 
 
+def asof_join_within(left, right, keys, left_ts_col, right_ts_col,
+                     tolerance, join_type="inner", direction="backward"):
+    """:func:`asof_join` with a match-age bound (pandas merge_asof's
+    ``tolerance``): the selected partner must lie within ``tolerance``
+    of the row's own timestamp (numeric ts-distance units — micros for
+    timestamps, days for dates); stale matches drop (inner) or null
+    out (left)."""
+    return _wrap(left, _facade(left).asofJoinWithin(
+        left._jdf, right._jdf, keys, left_ts_col, right_ts_col,
+        int(tolerance), join_type, direction))
+
+
 def asof_join_bucketed(left, right, keys="user_id", left_ts="ts",
                        right_ts="ts", bucket_width=3600.0,
                        join_type="inner"):

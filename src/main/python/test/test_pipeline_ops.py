@@ -951,3 +951,12 @@ class TestRound8(object):
                                     nlist=2, m=3, ksub=4, iters=1,
                                     nprobe=2, shortlist=0).collect())
         assert got == exact  # structurally exact at nprobe=nlist
+
+    def test_asof_join_within(self, local_spark):
+        l = local_spark.createDataFrame([(1, 100), (1, 500)], ["k", "lts"])
+        r = local_spark.createDataFrame([(1, 95, "a"), (1, 200, "b")],
+                                        ["k", "rts", "pay"])
+        got = {(x["k"], x["lts"]): x["pay"] for x in
+               P.asof_join_within(l, r, "k", "lts", "rts",
+                                  tolerance=100, join_type="left").collect()}
+        assert got == {(1, 100): "a", (1, 500): None}  # 500's match is 300 stale

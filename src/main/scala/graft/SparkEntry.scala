@@ -1587,6 +1587,26 @@ object SparkEntry {
           col("h_end").cast("long").as("h_ts"), col("h_value"))
     }),
 
+    // tolerance-bounded as-of (round 8, pandas merge_asof's third
+    // knob): the hourly state must be at most 30 minutes old at the
+    // event — stale matches DROP (inner). The oracle replays DuckDB's
+    // native ASOF then applies the same residual age filter (exactly
+    // equivalent: the as-of partner is the closest valid candidate, so
+    // if it exceeds the bound every other candidate does too)
+    "j_asof_tolerance" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      val hourly = ev
+        .groupBy(col("user_id"), window(col("ts"), "1 hour"))
+        .agg(round(sum(col("value").cast("decimal(38,8)")), 2).cast("double").as("h_value"))
+        .select(col("user_id"), col("window.end").as("h_end"), col("h_value"))
+      graft.join.AsOfJoin.asofWithin(
+        ev.select("event_id", "user_id", "ts"), hourly,
+        keys = Seq("user_id"), leftTsCol = "ts", rightTsCol = "h_end",
+        tolerance = 1800L * 1000000L)
+        .select(col("event_id"), col("user_id"),
+          col("h_end").cast("long").as("h_ts"), col("h_value"))
+    }),
+
     // LEFT OUTER as-of on the same data: events in their user's first
     // hour (no completed hourly aggregate yet) are KEPT with null state
     // — the enrichment contract most pipelines actually want; oracle is
@@ -3475,6 +3495,17 @@ object SparkEntry {
         |      FROM events GROUP BY 1, 2)
         |SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value
         |FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us >= h.hend * 1000000""".stripMargin,
+
+    "j_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 us FROM events),
+        |h AS (SELECT user_id,
+        |        CAST(epoch(date_trunc('hour', ts)) AS BIGINT) + 3600 hend,
+        |        CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) h_value
+        |      FROM events GROUP BY 1, 2)
+        |SELECT event_id, user_id, h_ts, h_value FROM (
+        |  SELECT e.event_id, e.user_id, h.hend h_ts, h.h_value, e.us
+        |  FROM e ASOF JOIN h ON e.user_id = h.user_id AND e.us >= h.hend * 1000000) t
+        |WHERE t.us - t.h_ts * 1000000 <= 1800 * 1000000""".stripMargin,
 
     // episode detection replayed: lag-change filter, lead valid_to,
     // row_number versions — IS DISTINCT FROM mirrors the null-safe <=>

@@ -94,6 +94,16 @@ object PyFacade {
       keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol,
       joinType, direction)
 
+  /** Tolerance-bounded as-of: matches older than `tolerance` (numeric
+    * ts-distance units: micros for timestamps, days for dates) drop
+    * (inner) or null out (left). */
+  def asofJoinWithin(left: DataFrame, right: DataFrame, keysCsv: String,
+      leftTsCol: String, rightTsCol: String, tolerance: Long,
+      joinType: String, direction: String): DataFrame =
+    graft.join.AsOfJoin.asofWithin(left, right,
+      keysCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq, leftTsCol, rightTsCol,
+      tolerance, joinType, direction)
+
   /** Hot-key-safe as-of join: every key additionally split by
     * floor(ts / bucketWidth) buckets (ts read as double — epoch seconds
     * for timestamps), so no task holds a whole key's timeline. */

@@ -176,6 +176,41 @@ object AsOfJoin {
   }
 
   /**
+   * [[asof]] with a MATCH-AGE BOUND (pandas `merge_asof`'s `tolerance`):
+   * a row only matches if its selected partner is within `tolerance` of
+   * its own timestamp — the "state must be fresh" enrichment contract
+   * (a feature an hour stale is a leak, not a feature). Implemented as
+   * the residual filter over [[asof]]'s output, which is EXACTLY
+   * tolerance-aware matching: the as-of partner is the closest
+   * direction-valid candidate, so if IT exceeds the bound every other
+   * candidate does too (for `nearest`, the chosen side is the closer of
+   * the two carries — same argument). `inner` drops over-age rows,
+   * `left` keeps them with null right columns, indistinguishable from
+   * a no-match row.
+   *
+   * `tolerance` is in the ts type's NUMERIC distance units —
+   * microseconds for timestamps, days for dates, the raw value for
+   * numeric ts columns (the [[asof]] `nearest` convention).
+   */
+  def asofWithin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTsCol: String, rightTsCol: String, tolerance: Long,
+      joinType: String = "inner", direction: String = "backward"): DataFrame = {
+    require(tolerance >= 0, s"tolerance must be >= 0, got $tolerance")
+    val joined = asof(left, right, keys, leftTsCol, rightTsCol, joinType, direction)
+    val dist = abs(
+      tsNum(col(leftTsCol), left.schema(leftTsCol).dataType) -
+        tsNum(col(rightTsCol), right.schema(rightTsCol).dataType))
+    val invalid = col(rightTsCol).isNotNull && dist > tolerance
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    joinType match {
+      case "inner" => joined.where(!invalid)
+      case _ =>
+        joined.select(left.columns.map(col) ++ payload.map(c =>
+          when(invalid, lit(null)).otherwise(col(c)).as(c)): _*)
+    }
+  }
+
+  /**
    * Hot-key-safe as-of join: identical semantics and output contract as
    * [[asof]], but every key is additionally split by a time bucket so no
    * single task ever holds a whole key's timeline.

@@ -288,4 +288,26 @@ class AsOfJoinSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       AsOfJoin.asof(l, r, Seq("k"), "lts", "rts", joinType = "full")
   }
+
+  it should "bound match age with tolerance (inner drops, left nulls)" in {
+    import spark.implicits._
+    val l = Seq((1L, 100L), (1L, 500L), (2L, 90L)).toDF("k", "lts")
+    val r = Seq((1L, 95L, "a"), (1L, 200L, "b"), (2L, 10L, "c")).toDF("k", "rts", "pay")
+    // backward matches: (1,100)->95 d=5; (1,500)->200 d=300; (2,90)->10 d=80
+    val inner = AsOfJoin.asofWithin(l, r, Seq("k"), "lts", "rts", tolerance = 100L)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(3))).toSet
+    inner shouldBe Set((1L, 100L, "a"), (2L, 90L, "c"))
+    val left = AsOfJoin.asofWithin(l, r, Seq("k"), "lts", "rts",
+        tolerance = 100L, joinType = "left")
+      .collect().map(x => (x.getLong(0), x.getLong(1),
+        if (x.isNullAt(3)) null else x.getString(3))).toSet
+    left shouldBe Set((1L, 100L, "a"), (1L, 500L, null), (2L, 90L, "c"))
+    // nearest under tolerance: chosen side's distance governs
+    val near = AsOfJoin.asofWithin(l, r, Seq("k"), "lts", "rts",
+        tolerance = 100L, direction = "nearest")
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getString(3))).toSet
+    near shouldBe Set((1L, 100L, "a"), (2L, 90L, "c")) // 500's nearest is 200, d=300 > 100
+    an[IllegalArgumentException] should be thrownBy
+      AsOfJoin.asofWithin(l, r, Seq("k"), "lts", "rts", tolerance = -1L)
+  }
 }
