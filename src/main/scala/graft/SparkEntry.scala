@@ -679,6 +679,19 @@ object SparkEntry {
         graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
     }),
 
+    // BPE persistence round-trip (round 8): counts under a parquet-
+    // reloaded merge table must equal fresh-model counts — the
+    // reload-equals-fresh contract every ModelStore artifact carries
+    "text_bpe_saved" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = modelTmp("bpe")
+      graft.ml.ModelStore.saveBpe(s,
+        graft.text.Bpe.train(docs, "text", rounds = BpeGateRounds), path)
+      docs.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text"),
+          graft.ml.ModelStore.loadBpe(s, path)).as("n_bpe"))
+    }),
+
     // VOCAB-SCALE trained BPE: 256 merges — far past where the
     // expression-fold serve would stop compiling — trained and served
     // through the merge-table-as-data runtime ([[graft.functions
@@ -2717,6 +2730,17 @@ object SparkEntry {
     // trained BPE serving: final segmented word states from the same
     // replayed training, summed per document occurrence (empty docs 0)
     "text_bpe_segment" ->
+      s"""${bpeCtes(BpeGateRounds)},
+         |seg AS (SELECT w, CAST(len(string_split(st, ' ')) AS BIGINT) nseg
+         |        FROM w$BpeGateRounds),
+         |dw AS (SELECT doc_id, unnest(ws) w FROM t),
+         |ds AS (SELECT dw.doc_id, nseg FROM dw JOIN seg USING (w))
+         |SELECT d.doc_id, CAST(coalesce(sum(nseg), 0) AS BIGINT) n_bpe
+         |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+         |GROUP BY 1""".stripMargin,
+
+    // same replay as text_bpe_segment — the artifact must be invisible
+    "text_bpe_saved" ->
       s"""${bpeCtes(BpeGateRounds)},
          |seg AS (SELECT w, CAST(len(string_split(st, ' ')) AS BIGINT) nseg
          |        FROM w$BpeGateRounds),

@@ -104,6 +104,18 @@ object ModelStore {
       vocab.agg((count(lit(1)) + 1L).as("v")))
   }
 
+  /** Save a BPE merge table ([[graft.text.Bpe.mergesDF]] rows) —
+    * `rounds` rows, single-file artifact; rank order restores on load. */
+  def saveBpe(spark: SparkSession, merges: Seq[graft.text.Bpe.Merge],
+      path: String): Unit =
+    graft.text.Bpe.mergesDF(spark, merges)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a BPE merge table for the native serve
+    * ([[graft.text.Bpe.segment]]/[[graft.text.Bpe.bpeTokens]]). */
+  def loadBpe(spark: SparkSession, path: String): Seq[graft.text.Bpe.Merge] =
+    graft.text.Bpe.mergesFrom(spark.read.parquet(path))
+
   /** Save a MinHash corpus index
     * ([[graft.dedup.Dedup.buildMinhashIndex]]'s (doc, sh, sig) rows) —
     * corpus-sized, natural partitioning kept (the bigram-LM rule: the

@@ -53,6 +53,22 @@ object RecallProbe {
     got.intersect(exact).size.toDouble / exact.size
   }
 
+  /** Composed IVF+PQ recall@10 at production knobs (nprobe 2 of 8
+    * cells, shortlist 2K) — the multiplied-approximation path must
+    * stay within a few points of its single-family parents. */
+  def measureIvfPq(spark: SparkSession): Double = {
+    val vecs = corpus(spark)
+    val q = vecs.where(col("vec_id") % 10 === 3)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(q, vecs, "vec_id", "embedding", K))
+    val cents = Similarity.trainCentroids(vecs, "vec_id", "embedding", Nlist, iters = 5)
+    val cb = ProductQuantizer.train(vecs, "vec_id", "embedding", m = 8, ksub = 16, iters = 3)
+    val got = pairs(IvfPq.topK(q, vecs, cents, "vec_id", "embedding", K, cb,
+      Nprobe, shortlist = 2 * K))
+    got.intersect(exact).size.toDouble / exact.size
+  }
+
   /** (trained, sampled) recall@10 against the exact brute-force top-k,
     * one query per cluster. */
   def measure(spark: SparkSession): (Double, Double) = {

@@ -553,4 +553,24 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
       plan.linesIterator.filter(_.contains("Exchange")).toSeq shouldBe empty
     }
   }
+
+  it should "plan IVF+PQ with broadcast probes and zero candidate exchange before the cut" in {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), "testdata not present")
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cents = graft.similarity.Similarity.trainCentroids(e, "vec_id", "embedding", 4, iters = 1)
+    val cb = graft.similarity.ProductQuantizer.train(e, "vec_id", "embedding", m = 8, ksub = 8, iters = 1)
+    val q = graft.similarity.IvfPq.topK(e.where(col("vec_id") < 5), e, cents,
+      "vec_id", "embedding", k = 3, cb, nprobe = 2, shortlist = 20)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      plan should include ("BroadcastHashJoin")
+      // the only hash exchanges carry the bounded shortlist aggregation
+      // (qid-keyed partials), never candidate rows keyed by cid/cell
+      plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { x =>
+        assert(x.contains("qid#"), x)
+      }
+    }
+  }
 }
