@@ -878,6 +878,20 @@ def strip_html(df, html_col="text", out_col="clean"):
     return _wrap(df, _facade(df).stripHtml(df._jdf, html_col, out_col))
 
 
+def train_and_save_bpe(df, path, text_col="text", rounds=32, max_words=0):
+    """Train a BPE merge table (``max_words<=0`` keeps the full
+    histogram) and persist it as a single-file parquet artifact."""
+    _facade(df).trainAndSaveBpe(df._jdf, text_col, int(rounds),
+                                int(max_words), path)
+
+
+def bpe_counts_from_artifact(df, path, id_col="doc_id", text_col="text"):
+    """Trained-subword counts under a reloaded merge-table artifact —
+    must equal :func:`bpe_counts` with the fresh model."""
+    return _wrap(df, _facade(df).bpeCountsFromArtifact(
+        df._jdf, id_col, text_col, path))
+
+
 def train_and_save_int8(candidates, path, vec_col="embedding"):
     """Train int8 scalar-quantization params (per-dimension affine
     codes, 4x storage cut) and persist the (pos, lo, scale) artifact."""

@@ -960,3 +960,12 @@ class TestRound8(object):
                P.asof_join_within(l, r, "k", "lts", "rts",
                                   tolerance=100, join_type="left").collect()}
         assert got == {(1, 100): "a", (1, 500): None}  # 500's match is 300 stale
+
+    def test_bpe_artifact_round_trip(self, docs, tmp_path):
+        path = str(tmp_path / "bpe")
+        P.train_and_save_bpe(docs, path, rounds=4)
+        fresh = sorted(tuple(r) for r in
+                       P.bpe_counts(docs, P.bpe_train(docs, rounds=4)).collect())
+        loaded = sorted(tuple(r) for r in
+                        P.bpe_counts_from_artifact(docs, path).collect())
+        assert loaded == fresh

@@ -387,6 +387,22 @@ object PyFacade {
       graft.ml.ModelStore.loadPq(queries.sparkSession, path),
       if (shortlist <= 0) Int.MaxValue else shortlist)
 
+  /** Train a BPE merge table and persist it at `path` (maxWords <= 0
+    * keeps every distinct word). */
+  def trainAndSaveBpe(df: DataFrame, textCol: String, rounds: Int,
+      maxWords: Int, path: String): Unit =
+    graft.ml.ModelStore.saveBpe(df.sparkSession,
+      graft.text.Bpe.train(df, textCol, rounds,
+        if (maxWords <= 0) Int.MaxValue else maxWords), path)
+
+  /** Trained-subword counts served from a RELOADED merge-table
+    * artifact (the native runtime serve). */
+  def bpeCountsFromArtifact(df: DataFrame, idCol: String, textCol: String,
+      path: String): DataFrame = {
+    val ms = graft.ml.ModelStore.loadBpe(df.sparkSession, path)
+    df.select(col(idCol), graft.text.Bpe.tokenCount(col(textCol), ms).as("n_bpe"))
+  }
+
   /** Train int8 scalar-quantization params and persist them at `path`. */
   def trainAndSaveInt8(candidates: DataFrame, vecCol: String, path: String): Unit =
     graft.ml.ModelStore.saveInt8(candidates.sparkSession,
