@@ -907,6 +907,21 @@ def int8_top_k_from_artifact(queries, candidates, path, id_col="vec_id",
         int(shortlist)))
 
 
+def train_and_save_binary(candidates, path, vec_col="embedding"):
+    """Train binary (1-bit sign) quantization thresholds (per-dimension
+    mean, 64x storage cut) and persist the (pos, thr) artifact."""
+    _facade(candidates).trainAndSaveBinary(candidates._jdf, vec_col, path)
+
+
+def binary_top_k_from_artifact(queries, candidates, path, id_col="vec_id",
+                               vec_col="embedding", k=10, shortlist=0):
+    """Binary-Hamming-shortlisted exact-rerank top-k from a RELOADED
+    threshold artifact; shortlist <= 0 = unbounded (structurally exact)."""
+    return _wrap(queries, _facade(queries).binaryTopKFromArtifact(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k), path,
+        int(shortlist)))
+
+
 def phrase_flagged(df, phrases, text_col="text", ts_col="ts",
                    watermark="10 minutes"):
     """Streaming-capable phrase monitor: flag rows whose text contains

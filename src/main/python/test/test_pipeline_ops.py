@@ -679,6 +679,17 @@ class TestRound7c(object):
         assert got == exact
 
 
+    def test_binary_artifact_round_trip(self, vecs, tmp_path):
+        path = str(tmp_path / "binary")
+        P.train_and_save_binary(vecs, path)
+        q = vecs.where("vec_id < 2")
+        got = {(r["qid"], r["cid"], r["rnk"]) for r in
+               P.binary_top_k_from_artifact(q, vecs, path, k=3).collect()}
+        exact = {(r["qid"], r["cid"], r["rnk"]) for r in
+                 P.cosine_top_k(q, vecs, k=3).collect()}
+        assert got == exact
+
+
     def test_phrase_flagged_batch(self, docs):
         out = {(r["doc_id"], r["phrase"]) for r in
                P.phrase_flagged(docs, ["quick brown fox"]).collect()}

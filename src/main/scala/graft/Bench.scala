@@ -151,11 +151,15 @@ object Bench {
     val recIvfPq =
       try graft.similarity.RecallProbe.measureIvfPq(spark)
       catch { case e: Throwable => errors("ivfpq_recall_probe") = String.valueOf(e.getMessage); -1.0 }
+    val recBinary =
+      try graft.similarity.RecallProbe.measureBinary(spark)
+      catch { case e: Throwable => errors("binary_recall_probe") = String.valueOf(e.getMessage); -1.0 }
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""ivf_recall_at10":{"trained":$recTrained,"sampled":$recSampled},""" +
       s""""pq_recall_at10":$recPq,""" +
       s""""ivfpq_recall_at10":$recIvfPq,""" +
+      s""""binary_recall_at10":$recBinary,""" +
       s""""errors":$errJson,"sf":"$sfDir"}"""
     println(json)
     // sbt prefixes every forked stdout/stderr line with [info]/[error],

@@ -1411,6 +1411,33 @@ object SparkEntry {
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
+    // binary (1-bit sign) quantization: the 64x-storage end of the
+    // dial — packed-long codes, bit_count(xor) Hamming shortlist,
+    // exact re-rank; unbounded shortlist keeps the exact top-k oracle
+    // valid for ANY trained thresholds (the simsearch_pq structural
+    // argument — every candidate passes through the exact re-rank)
+    "simsearch_binary" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val p = graft.similarity.BinaryQuantizer.train(emb, "embedding")
+      graft.similarity.BinaryQuantizer.topK(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
+        p, shortlist = Int.MaxValue)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
+    // binary thresholds through the parquet artifact: serve-with-
+    // reloaded ≡ serve-with-fresh (the ModelStore contract), same oracle
+    "simsearch_binary_saved" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      val path = modelTmp("binary")
+      graft.ml.ModelStore.saveBinary(s,
+        graft.similarity.BinaryQuantizer.train(emb, "embedding"), path)
+      graft.similarity.BinaryQuantizer.topK(
+        emb.where(col("vec_id") < 20), emb, "vec_id", "embedding", k = 10,
+        graft.ml.ModelStore.loadBinary(s, path), shortlist = Int.MaxValue)
+        .select("qid", "cid", "cos_r6", "rnk")
+    }),
+
     // int8 params through the parquet artifact: serve-with-reloaded ≡
     // serve-with-fresh (the ModelStore contract), same exact oracle
     "simsearch_int8_saved" -> ((s, dir) => {
@@ -3415,6 +3442,11 @@ object SparkEntry {
     // parameters — same structural argument as simsearch_pq
     "simsearch_int8" -> simsearchExactTopkSql,
     "simsearch_int8_saved" -> simsearchExactTopkSql,
+
+    // unbounded Hamming shortlist + exact re-rank => exact top-k for
+    // any sign thresholds — same structural argument as simsearch_pq
+    "simsearch_binary" -> simsearchExactTopkSql,
+    "simsearch_binary_saved" -> simsearchExactTopkSql,
 
     // persistence round-trips keep the structurally-exact settings, so
     // the same exact oracle pins serve-with-RELOADED-state

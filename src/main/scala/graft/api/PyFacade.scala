@@ -416,6 +416,21 @@ object PyFacade {
       graft.ml.ModelStore.loadInt8(queries.sparkSession, path),
       if (shortlist <= 0) Int.MaxValue else shortlist)
 
+  /** Train binary (1-bit sign) quantization thresholds and persist
+    * them at `path`. */
+  def trainAndSaveBinary(candidates: DataFrame, vecCol: String, path: String): Unit =
+    graft.ml.ModelStore.saveBinary(candidates.sparkSession,
+      graft.similarity.BinaryQuantizer.train(candidates, vecCol), path)
+
+  /** Binary-Hamming-shortlisted exact-rerank top-k from a RELOADED
+    * threshold artifact. `shortlist <= 0` = unbounded (structurally
+    * exact). */
+  def binaryTopKFromArtifact(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, path: String, shortlist: Int): DataFrame =
+    graft.similarity.BinaryQuantizer.topK(queries, candidates, idCol, vecCol, k,
+      graft.ml.ModelStore.loadBinary(queries.sparkSession, path),
+      if (shortlist <= 0) Int.MaxValue else shortlist)
+
   /** Train an add-one bigram LM on `ref` and persist its count tables. */
   def trainAndSaveBigramLm(ref: DataFrame, refTextCol: String, minCount: Long,
       path: String): Unit =

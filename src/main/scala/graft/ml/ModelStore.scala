@@ -157,6 +157,18 @@ object ModelStore {
   def loadInt8(spark: SparkSession, path: String): graft.similarity.ScalarQuantizer.Int8Params =
     graft.similarity.ScalarQuantizer.paramsFrom(spark.read.parquet(path))
 
+  /** Save binary (1-bit) quantization thresholds as a (pos, thr)
+    * parquet frame — dim-sized, one file. */
+  def saveBinary(spark: SparkSession,
+      p: graft.similarity.BinaryQuantizer.BinaryParams, path: String): Unit =
+    graft.similarity.BinaryQuantizer.paramsDF(spark, p)
+      .coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load binary params for [[graft.similarity.BinaryQuantizer.topK]];
+    * gaps/duplicates fail loudly. */
+  def loadBinary(spark: SparkSession, path: String): graft.similarity.BinaryQuantizer.BinaryParams =
+    graft.similarity.BinaryQuantizer.paramsFrom(spark.read.parquet(path))
+
   /** Save a logistic model as (kind, idx, value) rows: kind `w` idx i =
     * weight i, kind `b` = bias, kind `loss` idx i = iteration-i mean
     * log-loss (the training trajectory travels with the artifact). */

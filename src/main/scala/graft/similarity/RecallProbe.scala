@@ -53,6 +53,21 @@ object RecallProbe {
     got.intersect(exact).size.toDouble / exact.size
   }
 
+  /** Binary (1-bit) recall@10 at a 2k Hamming shortlist on the same
+    * clustered corpus — the production-shape retrieval number for the
+    * sign-quantization path (the gate row runs the structurally-exact
+    * unbounded shortlist instead). */
+  def measureBinary(spark: SparkSession): Double = {
+    val vecs = corpus(spark)
+    val q = vecs.where(col("vec_id") % 10 === 3)
+    def pairs(df: DataFrame): Set[(Long, Long)] =
+      df.select("qid", "cid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(q, vecs, "vec_id", "embedding", K))
+    val p = BinaryQuantizer.train(vecs, "embedding")
+    val got = pairs(BinaryQuantizer.topK(q, vecs, "vec_id", "embedding", K, p, shortlist = 2 * K))
+    got.intersect(exact).size.toDouble / exact.size
+  }
+
   /** Composed IVF+PQ recall@10 at production knobs (nprobe 2 of 8
     * cells, shortlist 2K) — the multiplied-approximation path must
     * stay within a few points of its single-family parents. */

@@ -1123,6 +1123,27 @@ object Drive {
         s"segmentations=$badSeg (expect 0)")
     }
 
+    println("=== 38. round-8: binary (1-bit) quantization ANN ===")
+    locally {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val p = graft.similarity.BinaryQuantizer.train(emb, "embedding")
+      val q = emb.where(col("vec_id") < 5)
+      val exact = graft.similarity.Similarity
+        .cosineTopK(q, emb, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      val bq = graft.similarity.BinaryQuantizer
+        .topK(q, emb, "vec_id", "embedding", k = 5, p, shortlist = Int.MaxValue)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+      println(s"rows=${bq.size} binary top-k (expect ${exact.size}), " +
+        s"exact-equal=${bq == exact} (expect true), words=${p.words} (expect 1)")
+      // error path: undersized shortlist must fail loudly
+      val failed =
+        try { graft.similarity.BinaryQuantizer.topK(q, emb, "vec_id",
+          "embedding", k = 5, p, shortlist = 2); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"OK shortlist<k rejected=$failed (expect true)")
+    }
+
     spark.stop()
   }
 }

@@ -823,6 +823,18 @@ object ScaleBench {
           p, shortlist = 100)
       }),
 
+      // binary ANN: candidates ×f against fixed queries — sign encode
+      // and bit_count(xor) Hamming scan are map-only; the bounded
+      // top-k shortlist cut ships ~Q·shortlist partials, so shuffle
+      // stays ~constant while the scan grows ×f
+      "simsearch_binary" -> (() => {
+        val e = embs(f)
+        val p = graft.similarity.BinaryQuantizer.train(e, "embedding")
+        graft.similarity.BinaryQuantizer.topK(
+          e.where(col("vec_id") < 20), e, "vec_id", "embedding", k = 10,
+          p, shortlist = 100)
+      }),
+
       // funnel: events ×f with ×f users (per-user density constant) —
       // two forward-as-of folds, shuffle ∝ f slim (user, ts) rows
       "events_funnel" -> (() =>

@@ -573,4 +573,26 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
       }
     }
   }
+
+  it should "plan binary-Hamming top-k with map-only encode and qid-bounded exchanges" in {
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists(), "testdata not present")
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = graft.similarity.BinaryQuantizer.train(e, "embedding")
+    val q = graft.similarity.BinaryQuantizer.topK(e.where(col("vec_id") < 5), e,
+      "vec_id", "embedding", k = 3, p, shortlist = 20)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      // queries broadcast into the Hamming scan; the shortlist re-rank
+      // broadcasts Q·shortlist pairs — candidates never hash-shuffle
+      plan should include ("BroadcastNestedLoopJoin")
+      plan should include ("BroadcastHashJoin")
+      // the only hash exchanges carry the bounded shortlist aggregation
+      // (qid-keyed partials), never candidate rows keyed by cid
+      plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { x =>
+        assert(x.contains("qid#"), x)
+      }
+    }
+  }
 }
