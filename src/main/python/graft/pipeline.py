@@ -630,6 +630,18 @@ def split_by_hash(df, key_col, splits, out_col="split"):
         df._jdf, key_col, labels, weights, out_col))
 
 
+def group_split(df, pairs, id_col="doc_id", splits=None, out_col="split"):
+    """Leakage-safe dataset split: near-duplicate connected components
+    (from any pair frame — minhash_pairs, jaccard_pairs, ...) move as
+    ONE unit, so no near-dup pair straddles train/test. `splits` as in
+    :func:`split_by_hash` (default 80/10/10)."""
+    splits = splits or [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    labels = [str(l) for l, _ in splits]
+    weights = [float(w) for _, w in splits]
+    return _wrap(df, _facade(df).groupSplit(
+        df._jdf, id_col, pairs._jdf, labels, weights, out_col))
+
+
 def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,
            min_distinct_ratio=0.3):
     """Profile -> language/length/degeneracy filter -> canonical-only

@@ -498,6 +498,18 @@ class TestModelAndProfile(object):
             df, "key", [("train", 0.8), ("val", 0.1), ("test", 0.1)]).collect()}
         assert all(again[r["key"]] == r["split"] for r in got)
 
+    def test_group_split_no_straddle(self, local_spark):
+        docs = local_spark.createDataFrame(
+            [(i, "d%d" % i) for i in range(50)], ["doc_id", "text"])
+        pairs = local_spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], ["doc_i", "doc_j"])
+        got = {r["doc_id"]: r["split"] for r in P.group_split(
+            docs, pairs, splits=[("train", 0.5), ("test", 0.5)]).collect()}
+        assert len(got) == 50  # a partition: nothing dropped
+        # transitive closure shares one label
+        assert got[1] == got[2] == got[3]
+        assert got[10] == got[11]
+
     def test_hot_phrases(self, local_spark):
         docs = local_spark.createDataFrame(
             [("A", "a b c tail"), ("A", "pre a b c"), ("A", "a b c a b c"),

@@ -1128,6 +1128,21 @@ object SparkEntry {
         tbl(s, dir, "documents"), "text", SplitSpec)
         .select(col("doc_id"), col("source"), col("split"))),
 
+    // leakage-safe split: near-duplicate CLUSTERS move as one unit —
+    // connected components over the exact-Jaccard pair graph (the
+    // dedup_clusters labels), split label hashed from the component
+    // representative (singletons = own id), so no near-dup pair ever
+    // straddles train/test; DuckDB replays the recursive-reachability
+    // components + the same md5-threshold CASE
+    "sample_group_split" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      graft.curation.Sampling.groupSplit(
+        docs, "doc_id",
+        Dedup.jaccardPairs(docs, "doc_id", "text", tau = 0.8),
+        SplitSpec)
+        .select(col("doc_id"), col("source"), col("split"))
+    }),
+
     // square-root temperature sampling: stratum shares ∝ sqrt(count) —
     // sqrt is IEEE-correctly-rounded, so weights/thresholds replay
     "sample_temperature" -> ((s, dir) =>
@@ -3260,6 +3275,31 @@ object SparkEntry {
          |       WHEN substr(md5(text), 1, 4) < '$b2' THEN '$l2'
          |       ELSE '$l3' END split
          |FROM documents""".stripMargin
+    },
+
+    // components replayed by the dedup_clusters recursive CTE; group
+    // key = coalesce(component min-id, own id) stringified, then the
+    // identical md5-threshold CASE as sample_split
+    "sample_group_split" -> {
+      val Seq(b1, b2) = graft.curation.Sampling.splitBoundsHex(SplitSpec)
+      val Seq(l1, l2, l3) = SplitSpec.map(_._1)
+      s"""WITH RECURSIVE
+         |jp AS (SELECT doc_i, doc_j FROM ($jaccardOracle) j0),
+         |edges AS (SELECT doc_i a, doc_j b FROM jp
+         |          UNION ALL SELECT doc_j, doc_i FROM jp),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n0
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+         |comp AS (SELECT src doc_id, min(node) cluster_id FROM reach GROUP BY src),
+         |g AS (SELECT d.doc_id, d.source,
+         |        CAST(coalesce(c.cluster_id, d.doc_id) AS VARCHAR) grp
+         |      FROM documents d LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, source,
+         |  CASE WHEN substr(md5(grp), 1, 4) < '$b1' THEN '$l1'
+         |       WHEN substr(md5(grp), 1, 4) < '$b2' THEN '$l2'
+         |       ELSE '$l3' END split
+         |FROM g""".stripMargin
     },
 
     // mixture thresholds replayed from counts with the identical IEEE

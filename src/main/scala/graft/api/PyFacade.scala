@@ -648,6 +648,17 @@ object PyFacade {
       labels.asScala.toSeq.zip(weights.asScala.toSeq.map(_.doubleValue)), outCol)
   }
 
+  /** Leakage-safe split: connected components of the near-dup `pairs`
+    * graph move as one unit (split label hashes the component
+    * representative; singletons hash their own id). */
+  def groupSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      labels: java.util.List[String], weights: java.util.List[java.lang.Double],
+      outCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.curation.Sampling.groupSplit(df, idCol, pairs,
+      labels.asScala.toSeq.zip(weights.asScala.toSeq.map(_.doubleValue)), outCol)
+  }
+
   /** Greedy sequence packing: (idCol, n_tokens, bin_id, bin_offset) —
     * docs concatenate in id order, cut every `budget` tokens. NOTE:
     * runs one eager min/max/count stats job at call time. */

@@ -187,6 +187,45 @@ object Sampling {
       when(col(keyCol).isNull, lit(splits.last._1)).otherwise(label))
   }
 
+  /**
+   * Leakage-safe (group-aware) train/test split — the eval-
+   * contamination guard: a plain [[splitByHash]] on document ids sends
+   * a near-duplicate pair to OPPOSITE sides with probability
+   * 2·p·(1−p), so "held-out" test documents have near-copies in train
+   * and eval scores inflate. Here every connected component of the
+   * near-dup `pairs` graph (from any pair operator in
+   * [[graft.dedup.Dedup]] — exact, MinHash, SimHash, Jaccard,
+   * embedding) moves as ONE unit: components come from
+   * [[graft.dedup.Dedup.clusterPairs]] (min-id canonical labels),
+   * documents in no pair are their own singleton group, and the split
+   * label hashes the GROUP representative id — stringified, so the
+   * md5 bytes replay identically in an external engine — never the
+   * document id. [[splitByHash]]'s boundary and null contracts apply
+   * unchanged (a null id has a null group and lands in the LAST split).
+   *
+   * Scale shape: the component labels cost what the pair graph costs
+   * (near-clique components converge in 2-3 pointer-jumping rounds —
+   * the [[graft.dedup.Dedup.clusterPairs]] scaladoc); the label
+   * join-back is one hash join on the id (labels ≤ paired docs,
+   * usually a small fraction of the corpus — AQE broadcasts it when it
+   * fits); the split itself is map-only. Nothing is quadratic in
+   * corpus size.
+   */
+  def groupSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      splits: Seq[(String, Double)], outCol: String = "split",
+      iCol: String = "doc_i", jCol: String = "doc_j"): DataFrame = {
+    require(!df.columns.contains("__group"),
+      "reserved name `__group` already exists on the input")
+    require(!df.columns.contains(outCol),
+      s"output column `$outCol` already exists on the input")
+    val comp = graft.dedup.Dedup.clusterPairs(pairs, iCol, jCol)
+      .select(col("doc_id").as("__gid"), col("cluster_id").as("__comp"))
+    val withGroup = df.join(comp, df(idCol) === col("__gid"), "left")
+      .withColumn("__group", coalesce(col("__comp"), df(idCol)).cast("string"))
+      .drop("__gid", "__comp")
+    splitByHash(withGroup, "__group", splits, outCol).drop("__group")
+  }
+
   /** The cumulative 16-bit split boundaries of [[splitByHash]] as 4-hex
     * strings (one per split but the last) — public so an external
     * oracle derives the SAME literals from the same weights instead of

@@ -1144,6 +1144,22 @@ object Drive {
       println(s"OK shortlist<k rejected=$failed (expect true)")
     }
 
+    println("=== 39. round-8: leakage-safe group split ===")
+    locally {
+      val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      val pairs = graft.dedup.Dedup.minhashPairs(docsT, "doc_id", "text", tau = 0.8)
+      val split = graft.curation.Sampling.groupSplit(docsT, "doc_id", pairs,
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      val n = split.count()
+      // the contract: no near-dup pair straddles the split
+      val straddles = pairs
+        .join(split.select(col("doc_id").as("doc_i"), col("split").as("si")), "doc_i")
+        .join(split.select(col("doc_id").as("doc_j"), col("split").as("sj")), "doc_j")
+        .where(col("si") =!= col("sj")).count()
+      println(s"rows=$n group-split docs (expect ${docsT.count()}), " +
+        s"straddling near-dup pairs=$straddles (expect 0)")
+    }
+
     spark.stop()
   }
 }

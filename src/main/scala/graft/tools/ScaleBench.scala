@@ -402,6 +402,18 @@ object ScaleBench {
         graft.curation.Sampling.splitByHash(docsPlain(f), "text",
           Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
           .where(col("split") =!= lit("__none"))),
+      // leakage-safe group split: corpus ×f, near-dup pairs ×f (one
+      // synthetic (2i, 2i+1) pair per id pair — component cost stays
+      // O(pairs), not O(corpus²)); the only data-sized exchange is the
+      // slim (id, label) join-back ∝ f — text never enters an exchange
+      "sample_group_split" -> (() => {
+        val d = docsPlain(f)
+        val pairs = d.select((col("doc_id") * 2).as("doc_i"),
+          (col("doc_id") * 2 + 1).as("doc_j"))
+        graft.curation.Sampling.groupSplit(d, "doc_id", pairs,
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .where(col("split") =!= lit("__none"))
+      }),
       // group quantiles: the rank window input is DISTINCT (group,
       // value) rows — docsFull perturbs n_chars per copy so distinct
       // values grow ×f here (worst case), but the shuffle stays

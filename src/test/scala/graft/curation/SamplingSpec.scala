@@ -181,6 +181,44 @@ class SamplingSpec extends AnyFlatSpec with Matchers with AdaptiveSparkPlanHelpe
       Sampling.splitByHash(withSplit, "key", Seq("a" -> 1.0, "b" -> 1.0))
   }
 
+  behavior of "Sampling.groupSplit"
+
+  it should "never let a near-dup pair straddle the split" in {
+    import spark.implicits._
+    // 100 docs; a 3-chain (1-2, 2-3) and a detached pair (10-11)
+    val docs = (0 until 100).map(i => (i.toLong, s"doc $i")).toDF("id", "body")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_i", "doc_j")
+    val splits = Seq("train" -> 0.5, "test" -> 0.5)
+    val got = Sampling.groupSplit(docs, "id", pairs, splits).cache()
+    got.count() shouldBe 100L // partition semantics: nothing dropped
+    val byId = got.select("id", "split").as[(Long, String)].collect().toMap
+    // each component shares one label — including across the 1-3 chain
+    // (transitive closure, not just direct pairs)
+    byId(1L) shouldBe byId(2L)
+    byId(2L) shouldBe byId(3L)
+    byId(10L) shouldBe byId(11L)
+    // singletons label by their own id — identical to splitByHash on
+    // the stringified id
+    val solo = Sampling.splitByHash(
+      docs.where(!col("id").isin(1L, 2L, 3L, 10L, 11L))
+        .withColumn("g", col("id").cast("string")), "g", splits)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    solo.foreach { case (id, s) => byId(id) shouldBe s }
+    got.unpersist()
+  }
+
+  it should "reject reserved/duplicate output names" in {
+    import spark.implicits._
+    val docs = Seq((1L, "a")).toDF("id", "body")
+    val pairs = Seq((1L, 1L)).toDF("doc_i", "doc_j")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.groupSplit(docs.withColumn("split", lit("x")), "id", pairs,
+        Seq("a" -> 1.0, "b" -> 1.0))
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.groupSplit(docs.withColumn("__group", lit("x")), "id", pairs,
+        Seq("a" -> 1.0, "b" -> 1.0))
+  }
+
   behavior of "Sampling.temperatureSample"
 
   it should "keep small strata whole and downsample large ones toward sqrt shares" in {
