@@ -670,6 +670,15 @@ def resize_images(df, content_col="content", w=224, h=224, codec="stub"):
                                               int(w), int(h), codec))
 
 
+def downsample_audio(df, content_col="content", factor=2, codec="wav"):
+    """Decimate audio assets by an integer factor (keep every k-th
+    sample, divide the rate by k — duration preserved). codec='wav'
+    is the real PCM codec that owns samples; non-audio rows and
+    payloads the codec cannot decimate pass through unchanged."""
+    return _wrap(df, _facade(df).downsampleAudio(
+        df._jdf, content_col, int(factor), codec))
+
+
 def sample_frames(df, id_col="doc_id", content_col="content",
                   frame_bytes=256, every_n=2):
     return _wrap(df, _facade(df).sampleFrames(

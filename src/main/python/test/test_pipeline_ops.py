@@ -966,6 +966,27 @@ class TestRound8(object):
                 P.with_decoded_meta(assets, codec="bmp").collect()}
         assert meta[1] == "unknown"  # pass-through contract on foreign bytes
 
+    def test_wav_codec_real_bytes(self, local_spark):
+        # a real canonical PCM WAV: 44-byte header + 4 LE 16-bit samples
+        import struct
+        wav = (b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 1, 1000, 2000, 2, 16)
+               + b"data" + struct.pack("<I", 8)
+               + struct.pack("<4h", 10, 20, 30, 40))
+        assets = local_spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(b"not audio"))],
+            ["asset_id", "content"])
+        meta = {r["asset_id"]: (r["meta"]["kind"], r["meta"]["sample_rate"])
+                for r in P.with_decoded_meta(assets, codec="wav").collect()}
+        assert meta[1] == ("audio", 1000)
+        assert meta[2][0] == "unknown"  # pass-through on foreign bytes
+        # decimate by 2: rate halves, every other sample kept
+        ds = {r["asset_id"]: bytes(r["content"]) for r in
+              P.downsample_audio(assets, factor=2).collect()}
+        assert struct.unpack("<I", ds[1][24:28])[0] == 500
+        assert struct.unpack("<2h", ds[1][44:48]) == (10, 30)
+        assert ds[2] == b"not audio"  # untouched
+
     def test_ivf_pq_top_k(self, vecs):
         exact = sorted((r["qid"], r["cid"], r["rnk"]) for r in
                        P.cosine_top_k(vecs.where("vec_id = 0"), vecs, k=2).collect())

@@ -2071,7 +2071,47 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("histogram")))
         .withColumnsRenamed(Map("pos" -> "byte_val", "col" -> "cnt"))
         .where(col("cnt") > 0)
-        .select(col("doc_id"), col("byte_val").cast("long").as("byte_val"), col("cnt")))
+        .select(col("doc_id"), col("byte_val").cast("long").as("byte_val"), col("cnt"))),
+
+    // --- audio on REAL encoded bytes (round 8): deterministic mono
+    // 16-bit PCM WAVs built from doc_id via identical hex assembly in
+    // both engines, decoded / decimated through the REAL WavCodec —
+    // RIFF header parse, every-k-th-sample decimation, and re-encode
+    // are exact integer byte math the oracle replays in SQL
+
+    // decode real WAV headers: rate from the little-endian fmt chunk,
+    // duration = samples·1000/rate (integer floor in both engines)
+    "multimodal_wav_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal
+        .withDecodedMeta(
+          wavAssets(tbl(s, dir, "documents")).select("doc_id", "content"),
+          "content", graft.multimodal.Multimodal.WavCodec)
+        .select(col("doc_id"), length(col("content")).cast("long").as("n_bytes"),
+          col("meta.kind").as("kind"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"))),
+
+    // real decimation: keep every 2nd sample, halve the rate (duration
+    // preserved — both engines floor the same integers); md5 over the
+    // full re-encoded payload pins every byte. Every 7th asset is
+    // swapped for a non-WAV payload (the raw text bytes) to pin the
+    // REAL codec's pass-through contract too
+    "multimodal_wav_downsample" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = wavAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      val ds = graft.multimodal.Multimodal.downsampleAudio(
+        assets, "content", 2, graft.multimodal.Multimodal.WavCodec)
+      graft.multimodal.Multimodal.withDecodedMeta(ds, "content",
+          graft.multimodal.Multimodal.WavCodec)
+        .select(col("doc_id"), md5(hex(col("content"))).as("content_md5"),
+          col("meta.kind").as("kind"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"))
+    })
   )
 
   /** Deterministic real-BMP assets for the `multimodal_real_*` gates:
@@ -2082,6 +2122,34 @@ object SparkEntry {
     * `unhex`ed to bytes. Width 8 keeps rows 4-byte-aligned with zero
     * padding, so the layout is exactly [[graft.multimodal.Multimodal
     * .BmpCodec.encode]]'s canonical form. */
+  /** Deterministic real-WAV assets for the `multimodal_wav_*` gates:
+    * one canonical mono 16-bit PCM WAV per document — n = 120 +
+    * (doc_id%5)·60 samples (always even, so factor-2 decimation keeps
+    * exactly n/2), rate = 1000 + (doc_id%4)·500 Hz (always even, so
+    * rate/2 is exact), sample i = (doc_id·13 + i·7) mod 65536 as a
+    * little-endian u16. Assembled as hex by the SAME arithmetic the
+    * DuckDB oracle uses, then `unhex`ed — the byte twin of
+    * [[bmpAssets]]. */
+  private def wavAssets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .withColumn("n", (lit(120) + pmod(col("doc_id"), lit(5)) * 60).cast("int"))
+      .withColumn("rate", (lit(1000) + pmod(col("doc_id"), lit(4)) * 500).cast("int"))
+      .withColumn("hx", concat(
+        lit("52494646"),
+        expr("lpad(hex((n*2 + 36) % 256), 2, '0') || lpad(hex((n*2 + 36) div 256), 2, '0')"),
+        lit("0000"), lit("57415645"), lit("666D7420"), lit("10000000"),
+        lit("0100"), lit("0100"),
+        expr("lpad(hex(rate % 256), 2, '0') || lpad(hex(rate div 256), 2, '0')"),
+        lit("0000"),
+        expr("lpad(hex((rate*2) % 256), 2, '0') || lpad(hex((rate*2) div 256), 2, '0')"),
+        lit("0000"), lit("0200"), lit("1000"), lit("64617461"),
+        expr("lpad(hex((n*2) % 256), 2, '0') || lpad(hex((n*2) div 256), 2, '0')"),
+        lit("0000"),
+        expr("""concat_ws('', transform(sequence(0, n - 1), i ->
+          lpad(hex(pmod(doc_id*13 + i*7, 65536) % 256), 2, '0') ||
+          lpad(hex(pmod(doc_id*13 + i*7, 65536) div 256), 2, '0')))""")))
+      .select(col("doc_id"), col("n"), col("rate"), unhex(col("hx")).as("content"))
+
   private def bmpAssets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"))
       .withColumn("bh", (pmod(col("doc_id"), lit(5)) + 2).cast("int"))
@@ -4023,8 +4091,63 @@ object SparkEntry {
          |                             for i in range(0, length(hx) // 2)]) p FROM hx)
          |SELECT e.doc_id, CAST(lk.byte_val AS BIGINT) byte_val,
          |       CAST(count(*) AS BIGINT) cnt
-         |FROM e JOIN lk ON e.p = lk.p GROUP BY 1, 2""".stripMargin
+         |FROM e JOIN lk ON e.p = lk.p GROUP BY 1, 2""".stripMargin,
+
+    "multimodal_wav_meta" ->
+      s"""$wavHexCte
+         |SELECT doc_id, CAST(44 + n*2 AS BIGINT) n_bytes, 'audio' kind,
+         |       CAST(rate AS INTEGER) sample_rate,
+         |       CAST((n * 1000) // rate AS BIGINT) duration_ms
+         |FROM hx""".stripMargin,
+
+    // decimated-WAV replay: kept sample i2 is original index 2·i2, the
+    // canonical header re-derives from (n/2, rate/2); every 7th doc is
+    // the raw-text pass-through (md5 over the unchanged payload's hex)
+    "multimodal_wav_downsample" ->
+      s"""$wavHexCte,
+         |hx2 AS (SELECT doc_id, n // 2 n2, rate // 2 r2,
+         |  '52494646' ||
+         |  lpad(to_hex(((n // 2)*2 + 36) % 256), 2, '0') || lpad(to_hex(((n // 2)*2 + 36) // 256), 2, '0') ||
+         |  '0000' || '57415645' || '666D7420' || '10000000' || '0100' || '0100' ||
+         |  lpad(to_hex((rate // 2) % 256), 2, '0') || lpad(to_hex((rate // 2) // 256), 2, '0') ||
+         |  '0000' ||
+         |  lpad(to_hex(((rate // 2)*2) % 256), 2, '0') || lpad(to_hex(((rate // 2)*2) // 256), 2, '0') ||
+         |  '0000' || '0200' || '1000' || '64617461' ||
+         |  lpad(to_hex(((n // 2)*2) % 256), 2, '0') || lpad(to_hex(((n // 2)*2) // 256), 2, '0') ||
+         |  '0000' ||
+         |  list_aggregate([
+         |    lpad(to_hex(((doc_id*13 + (2*i2)*7) % 65536) % 256), 2, '0') ||
+         |    lpad(to_hex(((doc_id*13 + (2*i2)*7) % 65536) // 256), 2, '0')
+         |    for i2 in range(0, n // 2)], 'string_agg', '') hx2
+         |  FROM hx)
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % 7 = 0 THEN md5(to_hex(d.text::BLOB))
+         |       ELSE md5(hx2.hx2) END content_md5,
+         |  CASE WHEN d.doc_id % 7 = 0 THEN 'unknown' ELSE 'audio' END kind,
+         |  CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE CAST(r2 AS INTEGER) END sample_rate,
+         |  CASE WHEN d.doc_id % 7 = 0 THEN NULL
+         |       ELSE CAST((n2 * 1000) // r2 AS BIGINT) END duration_ms
+         |FROM documents d JOIN hx2 ON d.doc_id = hx2.doc_id""".stripMargin
   )
+
+  /** The `multimodal_wav_*` oracles' shared asset CTE — byte-for-byte
+    * the same WAV hex assembly as [[wavAssets]]. */
+  private val wavHexCte =
+    """WITH d AS (SELECT doc_id, 120 + (doc_id % 5) * 60 n,
+      |                  1000 + (doc_id % 4) * 500 rate FROM documents),
+      |hx AS (SELECT doc_id, n, rate,
+      |  '52494646' ||
+      |  lpad(to_hex((n*2 + 36) % 256), 2, '0') || lpad(to_hex((n*2 + 36) // 256), 2, '0') ||
+      |  '0000' || '57415645' || '666D7420' || '10000000' || '0100' || '0100' ||
+      |  lpad(to_hex(rate % 256), 2, '0') || lpad(to_hex(rate // 256), 2, '0') || '0000' ||
+      |  lpad(to_hex((rate*2) % 256), 2, '0') || lpad(to_hex((rate*2) // 256), 2, '0') || '0000' ||
+      |  '0200' || '1000' || '64617461' ||
+      |  lpad(to_hex((n*2) % 256), 2, '0') || lpad(to_hex((n*2) // 256), 2, '0') || '0000' ||
+      |  list_aggregate([
+      |    lpad(to_hex(((doc_id*13 + i*7) % 65536) % 256), 2, '0') ||
+      |    lpad(to_hex(((doc_id*13 + i*7) % 65536) // 256), 2, '0')
+      |    for i in range(0, n)], 'string_agg', '') hx
+      |  FROM d)""".stripMargin
 
   /** The `multimodal_real_*` oracles' shared asset CTE — byte-for-byte
     * the same BMP hex assembly as [[bmpAssets]] (DuckDB `to_hex` and

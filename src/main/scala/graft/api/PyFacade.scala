@@ -959,8 +959,9 @@ object PyFacade {
       case "stub" => graft.multimodal.Multimodal.StubCodec
       case "imageio" => graft.multimodal.Multimodal.ImageIoCodec
       case "bmp" => graft.multimodal.Multimodal.BmpCodec
+      case "wav" => graft.multimodal.Multimodal.WavCodec
       case other => throw new IllegalArgumentException(
-        s"unknown codec '$other' (expected 'stub', 'imageio' or 'bmp')")
+        s"unknown codec '$other' (expected 'stub', 'imageio', 'bmp' or 'wav')")
     }
 
   def withDecodedMeta(df: DataFrame, contentCol: String): DataFrame =
@@ -977,6 +978,12 @@ object PyFacade {
   def resizeImages(df: DataFrame, contentCol: String, w: Int, h: Int,
       codec: String): DataFrame =
     graft.multimodal.Multimodal.resizeImages(df, contentCol, w, h, codecOf(codec))
+
+  /** Decimate audio assets by an integer factor ('wav' is the codec
+    * that owns samples; others pass audio through). */
+  def downsampleAudio(df: DataFrame, contentCol: String, factor: Int,
+      codec: String): DataFrame =
+    graft.multimodal.Multimodal.downsampleAudio(df, contentCol, factor, codecOf(codec))
 
   def sampleFrames(df: DataFrame, idCol: String, contentCol: String,
       frameBytes: Int, everyN: Int): DataFrame =

@@ -40,6 +40,13 @@ object Multimodal {
   trait MediaCodec extends Serializable {
     def decode(content: Array[Byte]): Row
     def resizeImage(content: Array[Byte], w: Int, h: Int): Array[Byte]
+    /** Audio decimation by an integer factor (the audio twin of
+      * [[resizeImage]]); the default passes through unchanged — only
+      * codecs that own an audio format override (see [[WavCodec]]).
+      * Same totality contract: non-audio/corrupt payloads return a
+      * fresh copy of the input. */
+    def resampleAudio(content: Array[Byte], factor: Int): Array[Byte] =
+      if (content == null) null else content.clone()
   }
 
   /** Typed metadata carried alongside every binary asset. */
@@ -261,6 +268,109 @@ object Multimodal {
   }
 
   /**
+   * REAL hand-rolled codec for UNCOMPRESSED mono 16-bit PCM WAV — the
+   * audio twin of [[BmpCodec]]: the RIFF container is fixed-offset
+   * little-endian fields and raw samples (no entropy coder), so the
+   * full decode → decimate → re-encode byte math is exact integer
+   * arithmetic the `multimodal_wav_*` oracle rows replay in SQL.
+   * [[ImageIoCodec]] stays the general-purpose JDK audio header
+   * parser; this codec additionally OWNS the samples, so it can
+   * transform audio, not just describe it.
+   *
+   *  - `decode`: parses the canonical 44-byte header it writes (RIFF/
+   *    WAVE, `fmt ` chunk of 16 at offset 12, PCM, 1 channel, 16-bit,
+   *    `data` chunk at 36 with every sample present) — anything else
+   *    is `unknown`, per the totality contract;
+   *    `duration_ms = n_samples · 1000 / rate` (integer floor).
+   *  - `resampleAudio(bytes, k)`: keep every k-th sample and divide the
+   *    sample rate by k (classic decimation — duration is preserved,
+   *    resolution drops). Only payloads whose rate k divides exactly
+   *    decimate; anything else (including non-WAV) passes through as a
+   *    fresh copy, so the operator stays total per-row.
+   */
+  object WavCodec extends MediaCodec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def put32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    private def tag(b: Array[Byte], o: Int, s: String): Boolean =
+      s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+
+    /** (sampleRate, nSamples) when the payload is a canonical mono
+      * 16-bit PCM WAV with all sample bytes present; data starts at 44. */
+    private def parse(b: Array[Byte]): Option[(Int, Int)] = {
+      if (b == null || b.length < 44) return None
+      if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE") || !tag(b, 12, "fmt ")) return None
+      if (u32(b, 16) != 16L) return None              // PCM fmt chunk length
+      if (u16(b, 20) != 1 || u16(b, 22) != 1) return None // PCM, mono
+      val rate = u32(b, 24)
+      if (rate <= 0 || rate > 2000000L) return None
+      if (u32(b, 28) != rate * 2) return None         // byte rate
+      if (u16(b, 32) != 2 || u16(b, 34) != 16) return None // block align, bits
+      if (!tag(b, 36, "data")) return None
+      val dataSize = u32(b, 40)
+      if (dataSize % 2 != 0 || 44 + dataSize > b.length) return None
+      if (u32(b, 4) != 36 + dataSize) return None     // RIFF chunk size
+      Some((rate.toInt, (dataSize / 2).toInt))
+    }
+
+    /** Canonical encoder: 44-byte header, little-endian 16-bit mono
+      * samples. */
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      require(sampleRate > 0, s"bad sample rate $sampleRate")
+      val out = new Array[Byte](44 + samples.length * 2)
+      out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+      put32(out, 4, 36 + samples.length * 2)
+      out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+      out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+      put32(out, 16, 16)
+      out(20) = 1; out(22) = 1
+      put32(out, 24, sampleRate); put32(out, 28, sampleRate * 2)
+      out(32) = 2; out(34) = 16
+      out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
+      put32(out, 40, samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        out(44 + 2 * i) = samples(i).toByte
+        out(44 + 2 * i + 1) = (samples(i) >> 8).toByte
+        i += 1
+      }
+      out
+    }
+
+    def decode(content: Array[Byte]): Row = parse(content) match {
+      case Some((rate, n)) =>
+        Row("audio", null, null, Integer.valueOf(rate),
+          java.lang.Long.valueOf(n * 1000L / rate), null)
+      case None => Row("unknown", null, null, null, null, null)
+    }
+
+    /** Not an image codec: pass-through per the totality contract. */
+    def resizeImage(content: Array[Byte], w: Int, h: Int): Array[Byte] =
+      if (content == null) null else content.clone()
+
+    override def resampleAudio(content: Array[Byte], factor: Int): Array[Byte] =
+      parse(content) match {
+        case Some((rate, n)) if factor >= 1 && rate % factor == 0 =>
+          val kept = (n + factor - 1) / factor
+          val samples = new Array[Short](kept)
+          var i = 0
+          while (i < kept) {
+            val o = 44 + 2 * i * factor
+            samples(i) = ((content(o) & 0xff) | (content(o + 1) << 8)).toShort
+            i += 1
+          }
+          encode(rate / factor, samples)
+        case _ => if (content == null) null else content.clone()
+      }
+  }
+
+  /**
    * Decode metadata for a binary content column, appended as a `meta`
    * struct. Partition-wise: the codec binds once per partition (the shape
    * a JNI codec needs), rows stream through without materializing the
@@ -288,6 +398,24 @@ object Multimodal {
         val decoded = codec.decode(bytes)
         if (decoded.getString(0) != "image") row
         else Row.fromSeq(row.toSeq.updated(idx, codec.resizeImage(bytes, w, h)))
+      }
+    }.toDF(df.schema.fieldNames.toIndexedSeq: _*)
+  }
+
+  /** Decimate every audio asset by an integer factor (the audio twin
+    * of [[resizeImages]]); non-audio rows and payloads the codec
+    * cannot decimate pass through unchanged. */
+  def downsampleAudio(df: DataFrame, contentCol: String, factor: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    require(factor >= 1, s"factor must be >= 1, got $factor")
+    val idx = df.schema.fieldIndex(contentCol)
+    implicit val enc = RowEncoder.encoderFor(df.schema)
+    df.mapPartitions { it =>
+      it.map { row =>
+        val bytes = row.getAs[Array[Byte]](idx)
+        val decoded = codec.decode(bytes)
+        if (decoded.getString(0) != "audio") row
+        else Row.fromSeq(row.toSeq.updated(idx, codec.resampleAudio(bytes, factor)))
       }
     }.toDF(df.schema.fieldNames.toIndexedSeq: _*)
   }

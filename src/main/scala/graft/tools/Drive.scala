@@ -1160,6 +1160,31 @@ object Drive {
         s"straddling near-dup pairs=$straddles (expect 0)")
     }
 
+    println("=== 40. round-8: WAV audio codec (real bytes) ===")
+    locally {
+      import graft.multimodal.Multimodal
+      // encode -> decimate -> decode on real PCM bytes
+      val wav = Multimodal.WavCodec.encode(8000,
+        Array.tabulate(1600)(i => (i * 37 % 65536 - 32768).toShort))
+      val ds = Multimodal.WavCodec.resampleAudio(wav, 4)
+      val meta = Multimodal.WavCodec.decode(ds)
+      println(s"rows=1 wav decimate rate=${meta.getInt(3)} (expect 2000), " +
+        s"duration=${meta.getLong(4)}ms (expect 200), kind=${meta.getString(0)} (expect audio)")
+      // operator path over a mixed frame: audio decimates, text passes
+      val docsT = spark.read.parquet(s"$dir/documents.parquet").limit(20)
+      val assets = docsT.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          lit(wav)).otherwise(encode(col("text"), "UTF-8")).as("content"))
+      val out = Multimodal.withDecodedMeta(
+        Multimodal.downsampleAudio(assets, "content", 4, Multimodal.WavCodec),
+        "content", Multimodal.WavCodec)
+      val rates = out.select("meta.sample_rate").distinct().collect()
+        .flatMap(r => Option(r.get(0))).map(_.toString).sorted.toSeq
+      val unknowns = out.where(col("meta.kind") === "unknown").count()
+      println(s"rows=${out.count()} mixed assets, decimated rates=$rates " +
+        s"(expect List(2000)), pass-through=$unknowns (expect 10)")
+    }
+
     spark.stop()
   }
 }

@@ -554,6 +554,35 @@ object ScaleBench {
           .select(col("doc_id"), col("meta.width").as("w"))
           .where(col("w") >= 0)
       }),
+      // real-WAV codec pipeline (round 8): hex assembly + decode +
+      // factor-2 decimation, all map-only partition-wise — zero shuffle
+      // at every factor; docs ×f means audio assets ×f
+      "multimodal_wav" -> (() => {
+        val assets = docsPlain(f)
+          .withColumn("n", (lit(120) + pmod(col("doc_id"), lit(5)) * 60).cast("int"))
+          .withColumn("rate", (lit(1000) + pmod(col("doc_id"), lit(4)) * 500).cast("int"))
+          .withColumn("hx", concat(
+            lit("52494646"),
+            expr("lpad(hex((n*2 + 36) % 256), 2, '0') || lpad(hex((n*2 + 36) div 256), 2, '0')"),
+            lit("0000"), lit("57415645"), lit("666D7420"), lit("10000000"),
+            lit("0100"), lit("0100"),
+            expr("lpad(hex(rate % 256), 2, '0') || lpad(hex(rate div 256), 2, '0')"),
+            lit("0000"),
+            expr("lpad(hex((rate*2) % 256), 2, '0') || lpad(hex((rate*2) div 256), 2, '0')"),
+            lit("0000"), lit("0200"), lit("1000"), lit("64617461"),
+            expr("lpad(hex((n*2) % 256), 2, '0') || lpad(hex((n*2) div 256), 2, '0')"),
+            lit("0000"),
+            expr("""concat_ws('', transform(sequence(0, n - 1), i ->
+              lpad(hex(pmod(doc_id*13 + i*7, 65536) % 256), 2, '0') ||
+              lpad(hex(pmod(doc_id*13 + i*7, 65536) div 256), 2, '0')))""")))
+          .select(col("doc_id"), unhex(col("hx")).as("content"))
+        val ds = graft.multimodal.Multimodal.downsampleAudio(
+          assets, "content", 2, graft.multimodal.Multimodal.WavCodec)
+        graft.multimodal.Multimodal.withDecodedMeta(ds, "content",
+            graft.multimodal.Multimodal.WavCodec)
+          .select(col("doc_id"), col("meta.sample_rate").as("sr"))
+          .where(col("sr") >= 0)
+      }),
       // small-file compaction (round 8): fragmentation ×f (3 appends of
       // a ×f table), the rewrite is ONE repartition of the whole table
       // — wall and shuffle ∝ f, the price paid per MAINTENANCE run
