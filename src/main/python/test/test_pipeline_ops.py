@@ -987,6 +987,45 @@ class TestRound8(object):
         assert struct.unpack("<2h", ds[1][44:48]) == (10, 30)
         assert ds[2] == b"not audio"  # untouched
 
+    def test_map_in_pandas_decode_agrees_with_jvm_codecs(self, local_spark):
+        # the Arrow-batched Python decode path must agree with the JVM
+        # codecs byte-for-byte on the canonical formats
+        import struct
+        from graft import multimodal_pandas as MP
+        wav = (b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVEfmt "
+               + struct.pack("<IHHIIHH", 16, 1, 1, 1000, 2000, 2, 16)
+               + b"data" + struct.pack("<I", 8)
+               + struct.pack("<4h", 10, 20, 30, 40))
+        # canonical 2x1 24bpp BMP: 54-byte header + one padded BGR row
+        bmp = (b"BM" + struct.pack("<I", 54 + 8) + b"\0\0\0\0"
+               + struct.pack("<I", 54) + struct.pack("<I", 40)
+               + struct.pack("<ii", 2, 1) + struct.pack("<HH", 1, 24)
+               + struct.pack("<II", 0, 8) + struct.pack("<ii", 2835, 2835)
+               + struct.pack("<II", 0, 0) + b"\x01\x02\x03\x04\x05\x06\0\0")
+        assets = local_spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(bmp)),
+             (3, bytearray(b"junk")), (4, None)],
+            "asset_id int, content binary")
+        py = {r["asset_id"]: (r["kind"], r["width"], r["height"],
+                              r["sample_rate"], r["duration_ms"])
+              for r in MP.decode_meta_pandas(assets).collect()}
+        assert py[1] == ("audio", None, None, 1000, 4)
+        assert py[2] == ("image", 2, 1, None, None)
+        assert py[3][0] == "unknown" and py[4][0] == "unknown"
+        for codec, aid in (("wav", 1), ("bmp", 2)):
+            jvm = {r["asset_id"]: (r["meta"]["kind"], r["meta"]["width"],
+                                   r["meta"]["height"], r["meta"]["sample_rate"],
+                                   r["meta"]["duration_ms"])
+                   for r in P.with_decoded_meta(assets, codec=codec).collect()}
+            assert jvm[aid] == py[aid]
+        # vectorized numpy feature path agrees with the JVM histogram
+        hp = {r["asset_id"]: r["histogram"] for r in
+              MP.byte_histogram_pandas(assets.where("content is not null"))
+              .collect()}
+        hj = {r["asset_id"]: r["histogram"] for r in
+              P.byte_histogram(assets.where("content is not null")).collect()}
+        assert hp == hj
+
     def test_ivf_pq_top_k(self, vecs):
         exact = sorted((r["qid"], r["cid"], r["rnk"]) for r in
                        P.cosine_top_k(vecs.where("vec_id = 0"), vecs, k=2).collect())
