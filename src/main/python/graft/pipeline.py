@@ -913,6 +913,21 @@ def bpe_counts_from_artifact(df, path, id_col="doc_id", text_col="text"):
         df._jdf, id_col, text_col, path))
 
 
+def export_bpe_merges_txt(df, parquet_path, txt_path):
+    """Export a parquet BPE artifact as a GPT-2/HuggingFace merges.txt
+    ("#version: 0.2" header + rank-ordered "left right" lines) — the
+    text artifact external tokenizer stacks load directly."""
+    _facade(df).exportBpeMergesTxt(df._jdf, parquet_path, txt_path)
+
+
+def bpe_counts_from_merges_txt(df, txt_path, id_col="doc_id",
+                               text_col="text"):
+    """Trained-subword counts served from an imported merges.txt —
+    must equal :func:`bpe_counts_from_artifact` on the parquet twin."""
+    return _wrap(df, _facade(df).bpeCountsFromMergesTxt(
+        df._jdf, id_col, text_col, txt_path))
+
+
 def train_and_save_int8(candidates, path, vec_col="embedding"):
     """Train int8 scalar-quantization params (per-dimension affine
     codes, 4x storage cut) and persist the (pos, lo, scale) artifact."""

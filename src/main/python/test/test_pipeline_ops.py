@@ -1052,3 +1052,12 @@ class TestRound8(object):
         loaded = sorted(tuple(r) for r in
                         P.bpe_counts_from_artifact(docs, path).collect())
         assert loaded == fresh
+        # merges.txt interop twin: export the parquet artifact as the
+        # GPT-2 text layout, serve from the imported text — same counts
+        txt = str(tmp_path / "merges.txt")
+        P.export_bpe_merges_txt(docs, path, txt)
+        with open(txt) as f:
+            assert f.readline().rstrip("\n") == "#version: 0.2"
+        from_txt = sorted(tuple(r) for r in
+                          P.bpe_counts_from_merges_txt(docs, txt).collect())
+        assert from_txt == fresh

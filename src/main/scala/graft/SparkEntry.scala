@@ -692,6 +692,20 @@ object SparkEntry {
           graft.ml.ModelStore.loadBpe(s, path)).as("n_bpe"))
     }),
 
+    // interop twin of text_bpe_saved: the merge table through the
+    // GPT-2/HuggingFace merges.txt TEXT artifact (export -> import ->
+    // serve); ranks alone drive segmentation, so the counts the text
+    // format drops must not change a single count — same oracle
+    "text_bpe_export" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val path = modelTmp("bpe_txt") + "/merges.txt"
+      graft.ml.ModelStore.exportBpeMerges(s,
+        graft.text.Bpe.train(docs, "text", rounds = BpeGateRounds), path)
+      docs.select(col("doc_id"),
+        graft.text.Bpe.tokenCount(col("text"),
+          graft.ml.ModelStore.importBpeMerges(s, path)).as("n_bpe"))
+    }),
+
     // VOCAB-SCALE trained BPE: 256 merges — far past where the
     // expression-fold serve would stop compiling — trained and served
     // through the merge-table-as-data runtime ([[graft.functions
@@ -2840,6 +2854,18 @@ object SparkEntry {
     // trained BPE serving: final segmented word states from the same
     // replayed training, summed per document occurrence (empty docs 0)
     "text_bpe_segment" ->
+      s"""${bpeCtes(BpeGateRounds)},
+         |seg AS (SELECT w, CAST(len(string_split(st, ' ')) AS BIGINT) nseg
+         |        FROM w$BpeGateRounds),
+         |dw AS (SELECT doc_id, unnest(ws) w FROM t),
+         |ds AS (SELECT dw.doc_id, nseg FROM dw JOIN seg USING (w))
+         |SELECT d.doc_id, CAST(coalesce(sum(nseg), 0) AS BIGINT) n_bpe
+         |FROM documents d LEFT JOIN ds ON d.doc_id = ds.doc_id
+         |GROUP BY 1""".stripMargin,
+
+    // same replay as text_bpe_segment — the TEXT artifact must be as
+    // invisible as the parquet one (ranks alone drive segmentation)
+    "text_bpe_export" ->
       s"""${bpeCtes(BpeGateRounds)},
          |seg AS (SELECT w, CAST(len(string_split(st, ' ')) AS BIGINT) nseg
          |        FROM w$BpeGateRounds),

@@ -403,6 +403,20 @@ object PyFacade {
     df.select(col(idCol), graft.text.Bpe.tokenCount(col(textCol), ms).as("n_bpe"))
   }
 
+  /** Export a parquet BPE artifact as a GPT-2/HuggingFace merges.txt
+    * (rank-ordered "left right" lines) — the tokenizer-interop form. */
+  def exportBpeMergesTxt(df: DataFrame, parquetPath: String, txtPath: String): Unit =
+    graft.ml.ModelStore.exportBpeMerges(df.sparkSession,
+      graft.ml.ModelStore.loadBpe(df.sparkSession, parquetPath), txtPath)
+
+  /** Trained-subword counts served from an IMPORTED merges.txt (rank
+    * order alone drives segmentation — must equal the parquet serve). */
+  def bpeCountsFromMergesTxt(df: DataFrame, idCol: String, textCol: String,
+      txtPath: String): DataFrame = {
+    val ms = graft.ml.ModelStore.importBpeMerges(df.sparkSession, txtPath)
+    df.select(col(idCol), graft.text.Bpe.tokenCount(col(textCol), ms).as("n_bpe"))
+  }
+
   /** Train int8 scalar-quantization params and persist them at `path`. */
   def trainAndSaveInt8(candidates: DataFrame, vecCol: String, path: String): Unit =
     graft.ml.ModelStore.saveInt8(candidates.sparkSession,

@@ -116,6 +116,56 @@ object ModelStore {
   def loadBpe(spark: SparkSession, path: String): Seq[graft.text.Bpe.Merge] =
     graft.text.Bpe.mergesFrom(spark.read.parquet(path))
 
+  /** Export a trained merge table in the GPT-2/HuggingFace merges.txt
+    * layout — a `#version: 0.2` header, then one "left right" pair per
+    * line in rank order — the TEXT artifact external tokenizer stacks
+    * (e.g. `tokenizers`' BPE loaders) read directly, where
+    * [[saveBpe]]'s parquet is the in-house form. Counts do not travel
+    * (the format has no field for them; serving only needs pair
+    * ranks). Tokens containing a space or newline cannot round-trip
+    * through the line format and are rejected loudly. Model-sized:
+    * written driver-side through `path`'s Hadoop filesystem
+    * (local/HDFS/object stores alike). */
+  def exportBpeMerges(spark: SparkSession, merges: Seq[graft.text.Bpe.Merge],
+      path: String): Unit = {
+    val ordered = merges.sortBy(_.rank)
+    ordered.foreach { m =>
+      require(!m.left.exists(c => c == ' ' || c == '\n' || c == '\r')
+          && !m.right.exists(c => c == ' ' || c == '\n' || c == '\r'),
+        s"merge rank ${m.rank} contains a space/newline — not representable in merges.txt")
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(fs.create(p, true), "UTF-8"))
+    try {
+      w.write("#version: 0.2\n")
+      ordered.foreach(m => w.write(m.left + " " + m.right + "\n"))
+    } finally w.close()
+  }
+
+  /** Import a merges.txt artifact for the native serve: rank = line
+    * order, 1-based like [[graft.text.Bpe.train]]'s (comment/blank
+    * lines skipped), count = 0 (informational only —
+    * [[graft.text.Bpe.runtime]] consumes pair ORDER alone, so an
+    * imported table serves identically to the fresh one). */
+  def importBpeMerges(spark: SparkSession, path: String): Seq[graft.text.Bpe.Merge] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), "UTF-8"))
+    try {
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .filterNot(l => l.isEmpty || l.startsWith("#")).toVector
+      lines.zipWithIndex.map { case (l, i) =>
+        val cut = l.indexOf(' ')
+        require(cut > 0 && cut < l.length - 1 && l.indexOf(' ', cut + 1) < 0,
+          s"merges.txt line ${i + 1} is not a single 'left right' pair: '$l'")
+        graft.text.Bpe.Merge(i + 1, l.substring(0, cut), l.substring(cut + 1), 0L)
+      }
+    } finally in.close()
+  }
+
   /** Save a MinHash corpus index
     * ([[graft.dedup.Dedup.buildMinhashIndex]]'s (doc, sh, sig) rows) —
     * corpus-sized, natural partitioning kept (the bigram-LM rule: the

@@ -1077,7 +1077,7 @@ object Drive {
     locally {
       // differential-fuzz generator: one case per pattern plans + runs
       // (the DuckDB replay is tools/fuzz.sh; FUZZ_RESULT.json records it)
-      val fuzzRows = graft.tools.Fuzz.smoke(spark, dir, n = 8, seed = 20260814L)
+      val fuzzRows = graft.tools.Fuzz.smoke(spark, dir, n = 9, seed = 20260814L)
       println(s"rows=${fuzzRows.map(_._2).sum} across ${fuzzRows.size} fuzz smoke " +
         s"cases, empty cases=${fuzzRows.count(_._2 == 0)} (expect 0)")
 
@@ -1183,6 +1183,28 @@ object Drive {
       val unknowns = out.where(col("meta.kind") === "unknown").count()
       println(s"rows=${out.count()} mixed assets, decimated rates=$rates " +
         s"(expect List(2000)), pass-through=$unknowns (expect 10)")
+    }
+
+    println("=== 41. round-8: BPE merges.txt interop ===")
+    locally {
+      val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      val merges = graft.text.Bpe.train(docsT, "text", rounds = 8)
+      val txt = java.nio.file.Files.createTempDirectory("drive_bpe").toString + "/merges.txt"
+      graft.ml.ModelStore.exportBpeMerges(spark, merges, txt)
+      val re = graft.ml.ModelStore.importBpeMerges(spark, txt)
+      val same = docsT
+        .select(graft.text.Bpe.tokenCount(col("text"), merges).as("a"),
+          graft.text.Bpe.tokenCount(col("text"), re).as("b"))
+        .where(col("a") =!= col("b")).count()
+      println(s"rows=${re.size} merges through merges.txt (expect ${merges.size}), " +
+        s"count mismatches vs fresh=$same (expect 0)")
+      // error path: malformed line fails loudly
+      val bad = java.nio.file.Files.createTempDirectory("drive_bpe_bad").toString + "/m.txt"
+      java.nio.file.Files.write(java.nio.file.Paths.get(bad), "a b c\n".getBytes("UTF-8"))
+      val rejected =
+        try { graft.ml.ModelStore.importBpeMerges(spark, bad); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"OK malformed merges.txt rejected=$rejected (expect true)")
     }
 
     spark.stop()

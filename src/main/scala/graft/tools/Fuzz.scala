@@ -93,11 +93,11 @@ object Fuzz {
     }
 
   /** One seeded case: the pattern cycles round-robin so every family
-    * gets ~n/8 of the budget; knobs derive from the per-case RNG. */
+    * gets ~n/9 of the budget; knobs derive from the per-case RNG. */
   private def gen(spark: SparkSession, dir: String, i: Int, seed: Long): Case = {
     val rng = new scala.util.Random(seed * 1000003L + i)
     val name = f"fz_$i%03d"
-    (i % 8) match {
+    (i % 9) match {
       case 0 => saltedAgg(spark, dir, name, rng)
       case 1 => rangeAgg(spark, dir, name, rng)
       case 2 => joinQuota(spark, dir, name, rng)
@@ -106,6 +106,7 @@ object Fuzz {
       case 5 => runningWindow(spark, dir, name, rng)
       case 6 => pointInTimeCase(spark, dir, name, rng)
       case 7 => overlapAgg(spark, dir, name, rng)
+      case 8 => groupSplitCase(spark, dir, name, rng)
     }
   }
 
@@ -357,6 +358,54 @@ object Fuzz {
          |SELECT l.al_id, CAST(count(*) AS BIGINT) n, CAST(sum(r.br_id) AS BIGINT) sb
          |FROM l $jt r ON l.al <= r.bh AND r.bl <= l.ah
          |GROUP BY 1""".stripMargin)
+  }
+
+  /** leakage-safe group split over a RANDOM synthetic pair graph
+    * (arithmetic chain edges of random stride/density over a filtered
+    * corpus — chains exercise the transitive closure, not just direct
+    * pairs) vs the recursive-reachability components + md5-threshold
+    * CASE; random split weights. */
+  private def groupSplitCase(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val m = 1 + rng.nextInt(3)
+    val r = rng.nextInt(m)
+    // stride is a multiple of the filter modulus so both edge endpoints
+    // survive the filter (chains of length > 2 appear when edgeMod
+    // admits consecutive sources)
+    val step = m * (1 + rng.nextInt(3))
+    val edgeMod = 1 + rng.nextInt(4)
+    val wTrain = 0.4 + 0.1 * rng.nextInt(4)
+    val splits = Seq("train" -> wTrain, "test" -> (1.0 - wTrain))
+    val Seq(b1) = graft.curation.Sampling.splitBoundsHex(splits)
+    val base = docs(spark, dir)
+      .where(pmod(col("doc_id"), lit(m)) === r)
+      .select(col("doc_id"), col("source"))
+    val pairs = base
+      .select(col("doc_id").as("doc_i"), (col("doc_id") + step).as("doc_j"))
+      .where(pmod(col("doc_i"), lit(edgeMod)) === 0)
+      .join(base.select(col("doc_id").as("doc_j")), "doc_j")
+    val out = graft.curation.Sampling.groupSplit(base, "doc_id", pairs, splits)
+      .select(col("doc_id"), col("source"), col("split"))
+    Case(name, out,
+      s"""WITH RECURSIVE
+         |b AS (SELECT doc_id, source FROM documents WHERE doc_id % $m = $r),
+         |jp AS (SELECT a.doc_id doc_i, a.doc_id + $step doc_j
+         |       FROM b a JOIN b c ON c.doc_id = a.doc_id + $step
+         |       WHERE a.doc_id % $edgeMod = 0),
+         |edges AS (SELECT doc_i a, doc_j e FROM jp
+         |          UNION ALL SELECT doc_j, doc_i FROM jp),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n0
+         |  UNION
+         |  SELECT rr.src, e2.e FROM reach rr JOIN edges e2 ON rr.node = e2.a),
+         |comp AS (SELECT src doc_id, min(node) cluster_id FROM reach GROUP BY src),
+         |g AS (SELECT b.doc_id, b.source,
+         |        CAST(coalesce(c.cluster_id, b.doc_id) AS VARCHAR) grp
+         |      FROM b LEFT JOIN comp c USING (doc_id))
+         |SELECT doc_id, source,
+         |  CASE WHEN substr(md5(grp), 1, 4) < '$b1' THEN 'train'
+         |       ELSE 'test' END split
+         |FROM g""".stripMargin)
   }
 
   /** running / trailing aggregation over a unique total order vs the

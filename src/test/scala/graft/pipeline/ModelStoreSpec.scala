@@ -109,4 +109,36 @@ class ModelStoreSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](ModelStore.loadLogistic(spark, path))
     assert(e.getMessage.contains("non-contiguous"))
   }
+
+  test("BPE merges.txt export/import: interop text artifact serves identically") {
+    val docs = Seq((1L, "ab ab abc abcd"), (2L, "ab abc abc xyz"))
+      .toDF("doc_id", "text")
+    val merges = graft.text.Bpe.train(docs, "text", rounds = 4)
+    assert(merges.nonEmpty)
+    val path = tmp("bpe-txt") + "/merges.txt"
+    ModelStore.exportBpeMerges(spark, merges, path)
+    // the artifact is the GPT-2 text layout: header + rank-ordered pairs
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path)).toArray.map(_.toString).toSeq
+    assert(lines.head == "#version: 0.2")
+    assert(lines.size == merges.size + 1)
+    assert(lines.tail.forall(l => l.count(_ == ' ') == 1))
+    val re = ModelStore.importBpeMerges(spark, path)
+    // ranks and pairs round-trip (counts don't travel: 0 by contract)
+    assert(re.map(m => (m.rank, m.left, m.right)) ==
+      merges.sortBy(_.rank).map(m => (m.rank, m.left, m.right)))
+    assert(re.forall(_.count == 0L))
+    // serving from the imported table equals serving from the fresh one
+    assertDataFrameEquals(
+      docs.select(col("doc_id"), graft.text.Bpe.tokenCount(col("text"), re).as("n")),
+      docs.select(col("doc_id"), graft.text.Bpe.tokenCount(col("text"), merges).as("n")))
+  }
+
+  test("merges.txt import rejects malformed pair lines") {
+    val path = tmp("bpe-bad") + "/merges.txt"
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      "#version: 0.2\na b c\n".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException](ModelStore.importBpeMerges(spark, path))
+    assert(e.getMessage.contains("single 'left right' pair"))
+  }
 }
