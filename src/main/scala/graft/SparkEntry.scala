@@ -451,6 +451,14 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
+    // near-dup keep policy: cluster the jaccard pair list, keep the
+    // longest member per component (ties by ascending id); singletons
+    // map to themselves — every doc gets a canon_id
+    "dedup_cluster_best" -> ((s, dir) =>
+      Dedup.clusterCanonBy(
+        tbl(s, dir, "documents"), "doc_id", "n_chars",
+        Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8))),
+
     // the incremental-ingest composition end-to-end: snapshot diff →
     // delta slice (added + changed, NEW text) → MinHash probe against
     // the already-ingested corpus only — the steady-state refresh a
@@ -2125,8 +2133,63 @@ object SparkEntry {
           col("meta.kind").as("kind"),
           col("meta.sample_rate").as("sample_rate"),
           col("meta.duration_ms").as("duration_ms"))
+    }),
+
+    // link-graph quality weighting: fixed-point PageRank over the
+    // symmetrized customer↔supplier purchase graph (customers offset to
+    // a disjoint id namespace). Integer micro-unit iteration — both
+    // engines replay 6 identical damped updates digit for digit
+    "graph_pagerank" -> ((s, dir) =>
+      graft.graph.PageRank.run(
+        purchaseGraph(s, dir), "src", "dst", iterations = 6)),
+
+    // personalized PageRank from a seed pool (every 10th supplier):
+    // teleport mass only to seeds — "rank the graph from this trusted
+    // set", the targeted-selection variant
+    "graph_ppr_seeds" -> ((s, dir) =>
+      graft.graph.PageRank.personalized(
+        purchaseGraph(s, dir),
+        tbl(s, dir, "supplier")
+          .where(pmod(col("s_suppkey"), lit(10)) === 0)
+          .select(col("s_suppkey")),
+        "src", "dst", "s_suppkey", iterations = 6)),
+
+    // hybrid retrieval: reciprocal-rank fusion of the sparse (BM25) and
+    // dense (exact cosine) top-10 lists for the same query docs —
+    // integer 1e6-unit contributions, fused sum exact in both engines.
+    // BM25 may retrieve the query document itself (lexical contract);
+    // cosineTopK excludes self-pairs — the fusion sees both as-is
+    "search_hybrid_rrf" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val emb = tbl(s, dir, "embeddings")
+      val queries = docs.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(TextFunctions.tokens(col("text")), 1, 8)).as("qtext"))
+      val lex = Bm25.topK(queries, docs, "qid", "qtext", "doc_id", "text", k = 10)
+        .select("qid", "doc_id", "rnk")
+      val dense = Similarity.cosineTopK(
+          emb.where(pmod(col("vec_id"), lit(100)) === 0), emb,
+          "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("cid").as("doc_id"), col("rnk"))
+      graft.similarity.Fusion.rrf(
+        Seq(lex, dense), "qid", "doc_id", "rnk", k = 10)
     })
   )
+
+  /** Shared edge list for the `graph_*` gates: distinct
+    * (customer, supplier) purchase pairs from lineitem ⋈ orders,
+    * symmetrized (both directions), customers offset by 100000 into a
+    * namespace disjoint from supplier keys. No dangling nodes by
+    * construction. */
+  private def purchaseGraph(s: SparkSession, dir: String): DataFrame = {
+    val pairs = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") + 100000L).as("c"), col("l_suppkey").as("sn"))
+      .distinct()
+    pairs.select(col("c").as("src"), col("sn").as("dst"))
+      .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
+  }
 
   /** Deterministic real-BMP assets for the `multimodal_real_*` gates:
     * one 8×(2+doc_id%5) 24-bit bottom-up BMP per document, assembled as
@@ -2610,6 +2673,27 @@ object SparkEntry {
          |  UNION
          |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a)
          |SELECT src doc_id, min(node) cluster_id FROM reach GROUP BY src""".stripMargin,
+
+    // cluster labels as in dedup_clusters, then argmax by
+    // (n_chars desc, doc_id asc) per component; docs outside every
+    // pair are their own canonical
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE
+         |jp AS (SELECT doc_i, doc_j FROM ($jaccardOracle) j0),
+         |edges AS (SELECT doc_i a, doc_j b FROM jp
+         |          UNION ALL SELECT doc_j, doc_i FROM jp),
+         |reach(src, node) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) n0
+         |  UNION
+         |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.node = e.a),
+         |lab AS (SELECT src doc_id, min(node) cl FROM reach GROUP BY src),
+         |l2 AS (SELECT d.doc_id, d.n_chars, coalesce(lab.cl, d.doc_id) cl
+         |       FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id),
+         |best AS (SELECT cl, doc_id canon_id,
+         |           row_number() OVER (PARTITION BY cl ORDER BY n_chars DESC, doc_id) rn
+         |         FROM l2)
+         |SELECT l2.doc_id, b.canon_id
+         |FROM l2 JOIN (SELECT cl, canon_id FROM best WHERE rn = 1) b USING (cl)""".stripMargin,
 
     // mirrors substringPairs stage for stage: k-token window md5 digests
     // (hex here, unhex'd binary in Spark — same equality), the same
@@ -4153,8 +4237,105 @@ object SparkEntry {
          |  CASE WHEN d.doc_id % 7 = 0 THEN NULL ELSE CAST(r2 AS INTEGER) END sample_rate,
          |  CASE WHEN d.doc_id % 7 = 0 THEN NULL
          |       ELSE CAST((n2 * 1000) // r2 AS BIGINT) END duration_ms
-         |FROM documents d JOIN hx2 ON d.doc_id = hx2.doc_id""".stripMargin
+         |FROM documents d JOIN hx2 ON d.doc_id = hx2.doc_id""".stripMargin,
+
+    "graph_pagerank" -> pagerankOracle(seeded = false),
+    "graph_ppr_seeds" -> pagerankOracle(seeded = true),
+
+    // RRF fusion of the text_bm25 and simsearch_topk replays (same
+    // query filter doc_id % 100 = 0), integer 1e6 // (60 + rank)
+    // contributions summed per (qid, doc)
+    "search_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |tok AS (SELECT doc_id, unnest(ws) token FROM t),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) dl FROM tf GROUP BY 1),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) df FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) n,
+         |         CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) avgdl FROM dl),
+         |qt AS (SELECT DISTINCT doc_id qid, unnest(ws[1:8]) token FROM t
+         |       WHERE doc_id % 100 = 0),
+         |term AS (SELECT qt.qid, tf.doc_id,
+         |    CAST(round(ln(1.0 + (CAST(st.n - dfq.df AS DOUBLE) + 0.5)
+         |                    / (CAST(dfq.df AS DOUBLE) + 0.5))
+         |      * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+         |      / (CAST(tf.tf AS DOUBLE)
+         |         + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / st.avgdl))
+         |      * 1000000.0, 0) AS BIGINT) u
+         |  FROM qt JOIN tf ON qt.token = tf.token
+         |  JOIN dl ON tf.doc_id = dl.doc_id
+         |  JOIN dfq ON tf.token = dfq.token
+         |  CROSS JOIN st),
+         |bs AS (SELECT qid, doc_id, CAST(sum(u) AS BIGINT) su FROM term GROUP BY 1, 2),
+         |bmr AS (SELECT qid, doc_id,
+         |          row_number() OVER (PARTITION BY qid ORDER BY su DESC, doc_id) rnk
+         |        FROM bs),
+         |ce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+         |cq AS (SELECT vec_id qid, v qv FROM ce WHERE vec_id % 100 = 0),
+         |cs AS (SELECT qid, ce.vec_id cid,
+         |         round(list_inner_product(qv, v)
+         |           / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(v, v))), 6) cos_r6
+         |       FROM cq CROSS JOIN ce WHERE ce.vec_id != qid),
+         |cr AS (SELECT qid, cid,
+         |         row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) rnk
+         |       FROM cs),
+         |bt AS (SELECT qid, doc_id, rnk FROM bmr WHERE rnk <= 10
+         |       UNION ALL SELECT qid, cid, rnk FROM cr WHERE rnk <= 10),
+         |f AS (SELECT qid, doc_id, CAST(sum(1000000 // (60 + rnk)) AS BIGINT) rrf_unit
+         |      FROM bt GROUP BY 1, 2)
+         |SELECT qid, doc_id, rrf_unit, rnk FROM (
+         |  SELECT qid, doc_id, rrf_unit,
+         |         CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf_unit DESC, doc_id) AS BIGINT) rnk
+         |  FROM f) WHERE rnk <= 10""".stripMargin
   )
+
+  /** The `graph_*` oracles: replay [[graft.graph.PageRank]]'s integer
+    * damped update as a chain of MATERIALIZED iteration CTEs (the
+    * text_bpe_vocab pattern — non-materialized CTEs would inline
+    * exponentially). Same edge derivation, same `//`-vs-`div`-on-
+    * positives fixed-point arithmetic, 6 rounds. */
+  private def pagerankOracle(seeded: Boolean): String = {
+    val iters = 6
+    val scale = "1000000000000"
+    val baseExpr =
+      if (seeded)
+        s"CASE WHEN seeded THEN (15 * $scale) // (100 * s) ELSE 0 END"
+      else s"(15 * $scale) // (100 * n)"
+    val r0Expr =
+      if (seeded) s"CASE WHEN seeded THEN $scale // s ELSE 0 END"
+      else s"$scale // n"
+    val statCte =
+      if (seeded)
+        """sd AS MATERIALIZED (SELECT DISTINCT s_suppkey sk FROM supplier WHERE s_suppkey % 10 = 0),
+          |mk AS MATERIALIZED (SELECT node, sk IS NOT NULL seeded FROM nd LEFT JOIN sd ON node = sk),
+          |st AS MATERIALIZED (SELECT sum(CASE WHEN seeded THEN 1 ELSE 0 END) s FROM mk)""".stripMargin
+      else "st AS MATERIALIZED (SELECT count(*) n FROM nd)"
+    val baseFrom = if (seeded) "mk" else "nd"
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         |  SELECT b.node, b.outdeg, b.b,
+         |         b.b + (85 * coalesce(c.cs, 0)) // 100 rk
+         |  FROM base b LEFT JOIN (
+         |    SELECT e.dst dn, sum(r.rk // r.outdeg) cs
+         |    FROM r${i - 1} r JOIN e ON r.node = e.src
+         |    WHERE r.outdeg > 0 GROUP BY 1) c ON b.node = c.dn)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey + 100000 c, l_suppkey sn
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT c src, sn dst FROM pr UNION ALL SELECT sn, c FROM pr),
+       |outd AS MATERIALIZED (SELECT src, count(*) outdeg FROM e GROUP BY 1),
+       |nd AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
+       |$statCte,
+       |base AS MATERIALIZED (
+       |  SELECT node, coalesce(outdeg, 0) outdeg, $baseExpr b, $r0Expr r0
+       |  FROM $baseFrom LEFT JOIN outd ON node = src CROSS JOIN st),
+       |r0 AS MATERIALIZED (SELECT node, outdeg, b, r0 rk FROM base),
+       |$rounds
+       |SELECT node, rk pr_unit FROM r$iters""".stripMargin
+  }
 
   /** The `multimodal_wav_*` oracles' shared asset CTE — byte-for-byte
     * the same WAV hex assembly as [[wavAssets]]. */

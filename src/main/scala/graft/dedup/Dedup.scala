@@ -1046,4 +1046,44 @@ object Dedup {
     if (changed > 0) onCapHit(changed)
     labels.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
   }
+
+  /**
+   * Canonical-survivor selection per NEAR-dup cluster — the keep policy
+   * that finishes a near-dedup pass: cluster the pair list
+   * ([[clusterPairs]]), then keep the best-scoring member of each
+   * component ("keep the longest copy", "keep the highest-quality
+   * copy"), ties by ascending id. Docs outside every pair are their own
+   * canonical — the output maps EVERY input row, exactly
+   * [[exactCanonBy]]'s contract lifted from exact-duplicate groups to
+   * near-dup components. Output: `(idCol, canon_id)`.
+   *
+   * A singleton's cluster label is its own id, which can never collide
+   * with a real component's label: component labels are the minimum
+   * MEMBER id, and members by definition appear in the pair list.
+   *
+   * NULL-score rows never win but never disappear (the [[exactCanonBy]]
+   * rule); an all-null cluster keeps its minimum id.
+   *
+   * Scale shape: [[clusterPairs]]'s O(log diameter) pointer-jumping
+   * rounds dominate; the selection itself is one map-side-combined
+   * argmax per cluster plus a label join back — both keyed shuffles of
+   * slim rows, nothing quadratic, no driver-side state.
+   */
+  def clusterCanonBy(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, iCol: String = "doc_i", jCol: String = "doc_j",
+      descending: Boolean = true): DataFrame = {
+    val labels = clusterPairs(pairs, iCol, jCol)
+    val d = docs.select(col(idCol).as("__id"), col(scoreCol).as("__score"))
+    val lab = d.join(labels, col("__id") === col("doc_id"), "left")
+      .select(col("__id"), col("__score"),
+        coalesce(col("cluster_id"), col("__id")).as("__cl"))
+    val ord = if (descending) negate(col("__score")) else col("__score")
+    val best = lab.groupBy(col("__cl"))
+      .agg(
+        min(when(col("__score").isNotNull, struct(ord.as("s"), col("__id").as("i"))))
+          .as("__best"),
+        min(col("__id")).as("__minid"))
+      .select(col("__cl"), coalesce(col("__best.i"), col("__minid")).as("canon_id"))
+    lab.join(best, "__cl").select(col("__id").as(idCol), col("canon_id"))
+  }
 }

@@ -1,0 +1,159 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixed-point PageRank over a directed edge list — the classic
+ * link-graph quality signal a web-scale training-data pipeline uses to
+ * weight or filter crawled documents (rank the domain/host graph, keep
+ * or up-sample pages from high-rank hosts). Reference scope: the
+ * spatial-join transformer has no graph operator; this extends the
+ * library's curation toolbox the same way the dedup/ANN families do.
+ *
+ * Determinism contract (the library-wide oracle convention): every rank
+ * is an integer number of `scale⁻¹` units (default 1e-12), and every
+ * arithmetic step — the uniform init `scale div N`, the per-edge
+ * contribution `rank div outdeg`, the damped update
+ * `base + (dampingNum·Σcontrib) div dampingDen` — is 64-bit integer
+ * math on non-negative values, where Spark's `div` (truncate) and
+ * DuckDB's `//` (floor) agree. The distributed Σcontrib is an integer
+ * sum, order-free, so partitioning can never perturb a digit. No
+ * doubles anywhere; two engines running the same iteration count
+ * produce bit-identical ranks.
+ *
+ * Semantics (documented contract, chosen for integer exactness):
+ *  - nodes = distinct(src ∪ dst); N = |nodes|.
+ *  - r₀(u) = scale div N.
+ *  - rₜ₊₁(v) = base + (dampingNum · Σ_{(u,v)∈E} (rₜ(u) div outdeg(u)))
+ *    div dampingDen, with base = ((dampingDen − dampingNum) · scale)
+ *    div (dampingDen · N).
+ *  - Dangling nodes (outdeg 0) LEAK their damped mass instead of
+ *    teleporting it — the standard simplification when ranks are used
+ *    ordinally (filtering/weighting), and the price of an order-free
+ *    integer update. Symmetrize the edge list if leakage matters.
+ *  - Floor division drops < 1 unit per edge/update; at scale = 1e12
+ *    that is < 1e-12 of mass per step — invisible at rank precision.
+ *
+ * Scale shape (the 100 TB lens): the edge list is the big table. It is
+ * snapshotted ONCE, pre-partitioned by `src` (the per-iteration join
+ * key), and every iteration re-reads that static snapshot: per
+ * iteration the only data-proportional movement is the (src, rank)
+ * slim-row join against the edge snapshot and the map-side-combined
+ * Σcontrib aggregation — O(E) slim rows, no step is quadratic and no
+ * driver collect grows with the graph. Iterations are a fixed small
+ * constant (PageRank converges geometrically; 8–20 covers ordinal
+ * stability), so total cost is O(iterations · E). Each round's rank
+ * table is localCheckpoint'ed to keep lineage flat, matching
+ * [[graft.dedup.Dedup.clusterPairs]]'s iteration discipline.
+ */
+object PageRank {
+
+  /** Uniform-teleport PageRank. Output: (node: long, pr_unit: long) —
+    * `pr_unit` is the rank in `scale⁻¹` fixed-point units.
+    *
+    * `edges` rows are (srcCol, dstCol) directed edges; parallel edges
+    * count multiply (weight by repetition) — `distinct()` them first
+    * for the simple-graph semantics. Ids must cast losslessly to long. */
+  def run(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8, dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+    requireParams(iterations, dampingNum, dampingDen, scale)
+    val e = materialize(prepEdges(edges, srcCol, dstCol))
+    // one broadcast row carries N into every per-node expression — the
+    // Bm25 convention: never a driver-side collect
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nstat = nodes.agg(count(lit(1)).as("__n"))
+    val base = materialize(
+      nodes
+        .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+          col("node") === col("src"), "left")
+        .crossJoin(broadcast(nstat))
+        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+          expr(s"((${dampingDen - dampingNum}L * ${scale}L) div " +
+            s"(${dampingDen}L * __n))").as("__base"),
+          expr(s"${scale}L div __n").as("__r0"))
+        .repartition(col("node")))
+    val init = base.select(col("node"), col("outdeg"), col("__base"),
+      col("__r0").as("rank"))
+    iterate(init, base, e, iterations, dampingNum, dampingDen, materialize)
+  }
+
+  /** Personalized PageRank: teleport mass goes only to `seeds` (one id
+    * per row in `seedCol`) — "rank the graph from this benchmark /
+    * domain seed set", the targeted-selection variant (find pages close
+    * in the link graph to a trusted seed pool). Same integer contract;
+    * S = |seeds ∩ nodes| replaces N in base and init, non-seeds start
+    * at (and teleport) 0. Output: (node, pr_unit). */
+  def personalized(edges: DataFrame, seeds: DataFrame,
+      srcCol: String, dstCol: String, seedCol: String,
+      iterations: Int = 8, dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+    requireParams(iterations, dampingNum, dampingDen, scale)
+    val e = materialize(prepEdges(edges, srcCol, dstCol))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val seed = seeds.select(col(seedCol).cast("long").as("__seed")).distinct()
+    val marked = nodes.join(seed, col("node") === col("__seed"), "left")
+      .select(col("node"), col("__seed").isNotNull.as("__is_seed"))
+    val sstat = marked.agg(sum(when(col("__is_seed"), 1L).otherwise(0L)).as("__s"))
+    val base = materialize(
+      marked
+        .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),
+          col("node") === col("src"), "left")
+        .crossJoin(broadcast(sstat))
+        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+          when(col("__is_seed"),
+            expr(s"((${dampingDen - dampingNum}L * ${scale}L) div " +
+              s"(${dampingDen}L * __s))")).otherwise(lit(0L)).as("__base"),
+          when(col("__is_seed"), expr(s"${scale}L div __s"))
+            .otherwise(lit(0L)).as("__r0"))
+        .repartition(col("node")))
+    val init = base.select(col("node"), col("outdeg"), col("__base"),
+      col("__r0").as("rank"))
+    iterate(init, base, e, iterations, dampingNum, dampingDen, materialize)
+  }
+
+  private def requireParams(iterations: Int, dampingNum: Long,
+      dampingDen: Long, scale: Long): Unit = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    require(dampingDen >= 1 && dampingNum >= 0 && dampingNum <= dampingDen,
+      s"damping must satisfy 0 <= num <= den, got $dampingNum/$dampingDen")
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+  }
+
+  private def prepEdges(edges: DataFrame, srcCol: String, dstCol: String) =
+    edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .repartition(col("src"))
+
+  /** The shared damped-update loop. `ranks`/`base` are keyed by node;
+    * `e` is the static (src, dst) snapshot partitioned by src. */
+  private def iterate(init: DataFrame, base: DataFrame, e: DataFrame,
+      iterations: Int, dampingNum: Long, dampingDen: Long,
+      materialize: DataFrame => DataFrame): DataFrame = {
+    var ranks = materialize(init)
+    var iter = 0
+    while (iter < iterations) {
+      // (src, rank div outdeg) slim rows probe the edge snapshot; the
+      // Σ is a map-side-combined integer sum keyed by dst
+      val contrib = ranks.where(col("outdeg") > 0)
+        .select(col("node"), expr("rank div outdeg").as("__c"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__sum"))
+      ranks = materialize(
+        base.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"), col("outdeg"), col("__base"),
+            (col("__base") + expr(
+              s"(${dampingNum}L * coalesce(__sum, 0L)) div ${dampingDen}L"))
+              .as("rank"))
+          .repartition(col("node")))
+      iter += 1
+    }
+    ranks.select(col("node"), col("rank").as("pr_unit"))
+  }
+}

@@ -1207,6 +1207,41 @@ object Drive {
       println(s"OK malformed merges.txt rejected=$rejected (expect true)")
     }
 
+    println("=== 42. round-8: PageRank, RRF fusion, cluster keep-policy ===")
+    locally {
+      import spark.implicits._
+      // PageRank on a 4-node ring with a hub: hub must outrank leaves
+      val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 1L), (1L, 3L), (1L, 4L))
+        .toDF("src", "dst")
+      val pr = graft.graph.PageRank.run(edges, "src", "dst", iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"rows=${pr.size} pagerank nodes, hub>leaf=${pr(1L) > pr(3L)} (expect true)")
+      val ppr = graft.graph.PageRank.personalized(edges, Seq(3L).toDF("id"),
+          "src", "dst", "id", iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"OK ppr seed-mass=${ppr(3L) > ppr(4L)} (expect true — 3 is the seed)")
+      // error path: zero iterations rejected
+      val rej =
+        try { graft.graph.PageRank.run(edges, "src", "dst", iterations = 0); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"OK iterations=0 rejected=$rej (expect true)")
+
+      // RRF fusion of two disagreeing lists
+      val l1 = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "id", "rnk")
+      val l2 = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("qid", "id", "rnk")
+      val fused = graft.similarity.Fusion.rrf(Seq(l1, l2), "qid", "id", "rnk", k = 3)
+        .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+      println(s"rows=${fused.size} fused, order=$fused (expect List(20, 10, 30))")
+
+      // near-dup keep policy over real docs
+      val docsT = spark.read.parquet(s"$dir/documents.parquet")
+      val canon = graft.dedup.Dedup.clusterCanonBy(docsT, "doc_id", "n_chars",
+        graft.dedup.Dedup.jaccardPairs(docsT, "doc_id", "text", tau = 0.8))
+      val n = canon.count()
+      val nonSelf = canon.where(col("doc_id") =!= col("canon_id")).count()
+      println(s"rows=$n canon mappings (expect ${docsT.count()}), displaced=$nonSelf")
+    }
+
     spark.stop()
   }
 }
