@@ -1174,3 +1174,46 @@ def scd2_stream(df, key_col, ts_col, value_col, watermark="1 hour",
     return _wrap(df, _facade(df).scd2Stream(
         df._jdf, key_col, ts_col, value_col, watermark,
         int(idle_timeout_micros)))
+
+
+def pagerank(edges, src_col="src", dst_col="dst", iterations=8,
+             damping_num=85, damping_den=100, scale=1000000000000):
+    """Fixed-point PageRank over a directed edge list: (node, pr_unit)
+    with pr_unit in ``scale``:sup:`-1` integer units — bit-identical
+    across engines and partitionings. Dangling nodes leak their damped
+    mass (symmetrize the edge list if leakage matters)."""
+    return _wrap(edges, _facade(edges).pageRank(
+        edges._jdf, src_col, dst_col, int(iterations), int(damping_num),
+        int(damping_den), int(scale)))
+
+
+def personalized_pagerank(edges, seeds, src_col="src", dst_col="dst",
+                          seed_col="id", iterations=8, damping_num=85,
+                          damping_den=100, scale=1000000000000):
+    """Personalized PageRank: teleport mass only to ``seeds`` rows —
+    rank the graph from a trusted seed pool."""
+    return _wrap(edges, _facade(edges).personalizedPageRank(
+        edges._jdf, seeds._jdf, src_col, dst_col, seed_col,
+        int(iterations), int(damping_num), int(damping_den), int(scale)))
+
+
+def rrf_fusion(lists, qid_col="qid", id_col="doc_id", rank_col="rnk",
+               k=10, rrf_k=60, unit=1000000):
+    """Reciprocal-rank fusion of ranked retrieval lists (hybrid
+    sparse+dense search): integer ``unit // (rrf_k + rank)``
+    contributions summed per (qid, id), top-``k`` per query by
+    (fused score desc, id asc)."""
+    assert lists, "at least one ranked list required"
+    return _wrap(lists[0], _facade(lists[0]).rrfFusion(
+        [df._jdf for df in lists], qid_col, id_col, rank_col,
+        int(k), int(rrf_k), int(unit)))
+
+
+def cluster_canon_by(docs, id_col, score_col, pairs, i_col="doc_i",
+                     j_col="doc_j", descending=True):
+    """Near-dup keep policy: cluster the pair list, keep the
+    best-scoring member per component (ties by ascending id);
+    singletons map to themselves. (id_col, canon_id) for every row."""
+    return _wrap(docs, _facade(docs).clusterCanonBy(
+        docs._jdf, id_col, score_col, pairs._jdf, i_col, j_col,
+        bool(descending)))

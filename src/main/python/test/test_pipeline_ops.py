@@ -1061,3 +1061,32 @@ class TestRound8(object):
         from_txt = sorted(tuple(r) for r in
                           P.bpe_counts_from_merges_txt(docs, txt).collect())
         assert from_txt == fresh
+
+    def test_pagerank_and_personalized(self, local_spark):
+        edges = local_spark.createDataFrame(
+            [(1, 2), (2, 1), (3, 1), (4, 1), (1, 3), (1, 4)], ["src", "dst"])
+        pr = {r["node"]: r["pr_unit"]
+              for r in P.pagerank(edges, iterations=8).collect()}
+        assert pr[1] > pr[3] and pr[1] > pr[4]  # hub outranks leaves
+        seeds = local_spark.createDataFrame([(3,)], ["id"])
+        ppr = {r["node"]: r["pr_unit"] for r in
+               P.personalized_pagerank(edges, seeds, iterations=8).collect()}
+        assert ppr[3] > ppr[4]  # teleport mass concentrates on the seed
+
+    def test_rrf_fusion(self, local_spark):
+        l1 = local_spark.createDataFrame(
+            [(1, 10, 1), (1, 20, 2)], ["qid", "doc_id", "rnk"])
+        l2 = local_spark.createDataFrame(
+            [(1, 20, 1), (1, 30, 2)], ["qid", "doc_id", "rnk"])
+        got = [(r["doc_id"], r["rrf_unit"], r["rnk"]) for r in
+               P.rrf_fusion([l1, l2], k=3).orderBy("rnk").collect()]
+        assert got == [(20, 16393 + 16129, 1), (10, 16393, 2), (30, 16129, 3)]
+
+    def test_cluster_canon_by(self, local_spark):
+        docs = local_spark.createDataFrame(
+            [(1, 10), (2, 30), (3, 20), (9, 1)], ["id", "len"])
+        pairs = local_spark.createDataFrame(
+            [(1, 2), (2, 3)], ["doc_i", "doc_j"])
+        got = {r["id"]: r["canon_id"] for r in
+               P.cluster_canon_by(docs, "id", "len", pairs).collect()}
+        assert got == {1: 2, 2: 2, 3: 2, 9: 9}

@@ -1031,4 +1031,36 @@ object PyFacade {
       upper: String, lower: String, watermark: String): DataFrame =
     graft.streaming.EventWindows.intervalJoin(
       left, right, keyCol, leftTsCol, rightTsCol, upper, lower, watermark)
+
+  // --- graph / hybrid retrieval ----------------------------------------
+
+  /** Fixed-point PageRank: (node, pr_unit) in scale⁻¹ units. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampingNum: Long, dampingDen: Long,
+      scale: Long): DataFrame =
+    graft.graph.PageRank.run(edges, srcCol, dstCol, iterations,
+      dampingNum, dampingDen, scale)
+
+  /** Personalized PageRank: teleport mass only to `seeds` rows. */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+      srcCol: String, dstCol: String, seedCol: String, iterations: Int,
+      dampingNum: Long, dampingDen: Long, scale: Long): DataFrame =
+    graft.graph.PageRank.personalized(edges, seeds, srcCol, dstCol,
+      seedCol, iterations, dampingNum, dampingDen, scale)
+
+  /** Reciprocal-rank fusion of ranked (qid, id, rank) lists. */
+  def rrfFusion(lists: java.util.List[DataFrame], qidCol: String,
+      idCol: String, rankCol: String, k: Int, rrfK: Long,
+      unit: Long): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.similarity.Fusion.rrf(lists.asScala.toSeq, qidCol, idCol,
+      rankCol, k, rrfK, unit)
+  }
+
+  /** Near-dup keep policy: best-scoring member per pair-list component;
+    * (id, canon_id) for every input row. */
+  def clusterCanonBy(docs: DataFrame, idCol: String, scoreCol: String,
+      pairs: DataFrame, iCol: String, jCol: String,
+      descending: Boolean): DataFrame =
+    Dedup.clusterCanonBy(docs, idCol, scoreCol, pairs, iCol, jCol, descending)
 }

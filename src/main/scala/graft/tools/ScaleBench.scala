@@ -1103,7 +1103,62 @@ object ScaleBench {
       "pipeline_curate_audit" -> (() =>
         graft.api.PyFacade.curateAudit(docs(f), "doc_id", "text",
           "en", 5, 0.3)
-          .where(col("kept") === col("kept"))))
+          .where(col("kept") === col("kept"))),
+
+      // PageRank: ×f disjoint copies of the purchase graph (both
+      // endpoints offset per copy) — E and V grow ×f, iterations
+      // constant, so total cost must be ∝ f with per-iteration shuffle
+      // ∝ E slim rows; any super-linear term means the edge snapshot
+      // is being recomputed or the rank join degenerated
+      "graph_pagerank" -> (() =>
+        graft.graph.PageRank.run(graphEdges(f), "src", "dst",
+          iterations = 4)
+          .where(col("pr_unit") >= 0L)),
+
+      // hybrid RRF: corpus ×f on BOTH retrieval branches, queries
+      // fixed — upstream retrieval shuffles grow ∝ f (their own
+      // probes), but the fusion's union+sum+cut moves only O(Q·k·2)
+      // rows at any f
+      "search_hybrid_rrf" -> (() => {
+        val d = docsPlain(f)
+        val queries = docsPlain(1).where(pmod(col("doc_id"), lit(100)) === 0)
+          .select(col("doc_id").as("qid"), concat_ws(" ",
+            slice(graft.text.TextFunctions.tokens(col("text")), 1, 8)).as("qtext"))
+        val lex = graft.text.Bm25.topK(queries, d,
+            "qid", "qtext", "doc_id", "text", k = 10)
+          .select("qid", "doc_id", "rnk")
+        val e = embs(f)
+        val dense = graft.similarity.Similarity.cosineTopK(
+            embs(1).where(col("vec_id") < 5), e, "vec_id", "embedding", k = 10)
+          .select(col("qid"), col("cid").as("doc_id"), col("rnk"))
+        graft.similarity.Fusion.rrf(Seq(lex, dense), "qid", "doc_id", "rnk", k = 10)
+      }),
+
+      // near-dup keep policy: pairs ∝ f (disjoint doc copies), CC
+      // rounds log-diameter, selection one keyed argmax + join back —
+      // everything ∝ f slim rows
+      "dedup_cluster_best" -> (() => {
+        val d = docs(f).withColumn("n_chars", length(col("text")).cast("long"))
+        Dedup.clusterCanonBy(d, "doc_id", "n_chars",
+          Dedup.jaccardPairs(d, "doc_id", "text", tau = 0.8))
+          .where(col("canon_id") >= 0L)
+      }))
+
+    // ×f disjoint copies of the gates' purchase graph, symmetrized
+    def graphEdges(f: Int): DataFrame = {
+      val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") + 100000L).as("c"), col("l_suppkey").as("sn"))
+        .distinct()
+        .select(explode(sequence(lit(0), lit(f - 1))).as("__k"), col("c"), col("sn"))
+        .select((col("c") + col("__k") * lit(100000000L)).as("c"),
+          (col("sn") + col("__k") * lit(100000000L)).as("sn"))
+      pairs.select(col("c").as("src"), col("sn").as("dst"))
+        .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
+    }
 
     def isolate(): Unit = {
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))

@@ -595,4 +595,44 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
       }
     }
   }
+
+  it should "iterate PageRank with keyed slim-row exchanges and no pair generator" in {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("src", "dst")
+    // materialize = identity keeps every round in ONE visible plan
+    // (production localCheckpoint would hide all but a snapshot scan)
+    val pr = graft.graph.PageRank.run(edges, "src", "dst", iterations = 2,
+      materialize = identity)
+    pr.collect()
+    val plan = pr.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      plan should not include "CartesianProduct"
+      // the Σcontrib aggregation must combine map-side (partial+final)
+      plan.linesIterator.count(_.contains("HashAggregate")) should be >= 2
+      // every hash exchange carries node-keyed slim rows (node/dst/src),
+      // never a data-wide or unkeyed repartition
+      plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { x =>
+        assert(x.contains("node#") || x.contains("dst#") || x.contains("src#"), x)
+      }
+    }
+  }
+
+  it should "fuse RRF lists with qid-bounded exchanges only" in {
+    import spark.implicits._
+    val l1 = Seq((1L, 10L, 1L), (1L, 20L, 2L)).toDF("qid", "id", "rnk")
+    val l2 = Seq((1L, 20L, 1L), (1L, 30L, 2L)).toDF("qid", "id", "rnk")
+    val f = graft.similarity.Fusion.rrf(Seq(l1, l2), "qid", "id", "rnk", k = 2)
+    f.collect()
+    val plan = f.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    withClue(plan) {
+      plan should not include "CartesianProduct"
+      plan should not include "BroadcastNestedLoopJoin"
+      // the fused-sum and cut exchanges are keyed by qid (± id) — the
+      // operator never re-keys by anything corpus-sized
+      plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).foreach { x =>
+        assert(x.contains("qid#"), x)
+      }
+    }
+  }
 }
