@@ -1217,3 +1217,23 @@ def cluster_canon_by(docs, id_col, score_col, pairs, i_col="doc_i",
     return _wrap(docs, _facade(docs).clusterCanonBy(
         docs._jdf, id_col, score_col, pairs._jdf, i_col, j_col,
         bool(descending)))
+
+
+def weighted_pagerank(edges, src_col="src", dst_col="dst", weight_col="w",
+                      iterations=8, damping_num=85, damping_den=100,
+                      scale=1000000000000):
+    """:func:`pagerank` with contributions proportional to edge weight
+    ((rank * w) // out-weight); null/non-positive weights drop the
+    edge. With all weights 1 this is bit-identical to pagerank."""
+    return _wrap(edges, _facade(edges).weightedPageRank(
+        edges._jdf, src_col, dst_col, weight_col, int(iterations),
+        int(damping_num), int(damping_den), int(scale)))
+
+
+def triangle_counts(pairs, i_col="doc_i", j_col="doc_j"):
+    """Per-node triangle counts over an undirected pair list (cluster
+    cohesion on a similarity graph): (node, tri_cnt) for every node in
+    at least one triangle; degree-ordered orientation bounds the wedge
+    join at O(E^1.5)."""
+    return _wrap(pairs, _facade(pairs).triangleCounts(
+        pairs._jdf, i_col, j_col))

@@ -1090,3 +1090,15 @@ class TestRound8(object):
         got = {r["id"]: r["canon_id"] for r in
                P.cluster_canon_by(docs, "id", "len", pairs).collect()}
         assert got == {1: 2, 2: 2, 3: 2, 9: 9}
+
+    def test_weighted_pagerank_and_triangles(self, local_spark):
+        w1 = local_spark.createDataFrame(
+            [(1, 2, 1), (2, 1, 1)], ["src", "dst", "w"])
+        pr = {r["node"]: r["pr_unit"] for r in
+              P.weighted_pagerank(w1, iterations=3).collect()}
+        assert pr == {1: 500000000000, 2: 500000000000}  # symmetric cycle
+        k4 = local_spark.createDataFrame(
+            [(a, b) for a in range(1, 5) for b in range(a + 1, 5)],
+            ["doc_i", "doc_j"])
+        tri = {r["node"]: r["tri_cnt"] for r in P.triangle_counts(k4).collect()}
+        assert tri == {1: 3, 2: 3, 3: 3, 4: 3}

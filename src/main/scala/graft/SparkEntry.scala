@@ -2154,6 +2154,23 @@ object SparkEntry {
           .select(col("s_suppkey")),
         "src", "dst", "s_suppkey", iterations = 6)),
 
+    // weighted PageRank: same purchase graph, edge weight = distinct
+    // orders between the pair — contributions ∝ weight, same integer
+    // fixed-point contract ((rank·w) div W_u)
+    "graph_pagerank_weighted" -> ((s, dir) =>
+      graft.graph.PageRank.runWeighted(
+        purchaseGraphWeighted(s, dir), "src", "dst", "w", iterations = 6)),
+
+    // cluster cohesion: per-node triangle counts over the embedding
+    // similarity graph (exact cosine pairs at tau 0.3) — degree-ordered
+    // orientation, pure integer counting
+    "graph_triangles" -> ((s, dir) =>
+      graft.graph.Triangles.perNode(
+        Dedup.embeddingPairs(
+          tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.3)
+          .select("doc_i", "doc_j"),
+        "doc_i", "doc_j")),
+
     // hybrid retrieval: reciprocal-rank fusion of the sparse (BM25) and
     // dense (exact cosine) top-10 lists for the same query docs —
     // integer 1e6-unit contributions, fused sum exact in both engines.
@@ -2189,6 +2206,17 @@ object SparkEntry {
       .distinct()
     pairs.select(col("c").as("src"), col("sn").as("dst"))
       .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
+  }
+
+  /** [[purchaseGraph]] with edge weight = distinct orders per pair. */
+  private def purchaseGraphWeighted(s: SparkSession, dir: String): DataFrame = {
+    val pairs = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy((col("o_custkey") + 100000L).as("c"), col("l_suppkey").as("sn"))
+      .agg(count_distinct(col("l_orderkey")).as("w"))
+    pairs.select(col("c").as("src"), col("sn").as("dst"), col("w"))
+      .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst"), col("w")))
   }
 
   /** Deterministic real-BMP assets for the `multimodal_real_*` gates:
@@ -4241,6 +4269,29 @@ object SparkEntry {
 
     "graph_pagerank" -> pagerankOracle(seeded = false),
     "graph_ppr_seeds" -> pagerankOracle(seeded = true),
+    "graph_pagerank_weighted" -> pagerankOracle(seeded = false, weighted = true),
+
+    // degree-ordered triangle enumeration over the exact-cosine pair
+    // graph — the same orientation/wedge/close steps as
+    // graft.graph.Triangles, pure integer counting
+    "graph_triangles" ->
+      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |p AS (SELECT a.vec_id i, b.vec_id j FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |      WHERE round(list_inner_product(a.v, b.v)
+        |        / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3),
+        |deg AS (SELECT n, count(*) d FROM
+        |        (SELECT i n FROM p UNION ALL SELECT j FROM p) GROUP BY 1),
+        |o AS (SELECT
+        |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN p.i ELSE p.j END s,
+        |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN p.j ELSE p.i END t,
+        |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN d2.d ELSE d1.d END dt
+        |      FROM p JOIN deg d1 ON p.i = d1.n JOIN deg d2 ON p.j = d2.n),
+        |w AS (SELECT e1.s a, e1.t b, e2.t c FROM o e1 JOIN o e2 ON e1.s = e2.s
+        |      WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+        |tr AS (SELECT w.a, w.b, w.c FROM w JOIN o ON o.s = w.b AND o.t = w.c)
+        |SELECT node, CAST(count(*) AS BIGINT) tri_cnt FROM
+        |  (SELECT a node FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
+        |GROUP BY 1""".stripMargin,
 
     // RRF fusion of the text_bm25 and simsearch_topk replays (same
     // query filter doc_id % 100 = 0), integer 1e6 // (60 + rank)
@@ -4294,7 +4345,7 @@ object SparkEntry {
     * text_bpe_vocab pattern — non-materialized CTEs would inline
     * exponentially). Same edge derivation, same `//`-vs-`div`-on-
     * positives fixed-point arithmetic, 6 rounds. */
-  private def pagerankOracle(seeded: Boolean): String = {
+  private def pagerankOracle(seeded: Boolean, weighted: Boolean = false): String = {
     val iters = 6
     val scale = "1000000000000"
     val baseExpr =
@@ -4311,21 +4362,34 @@ object SparkEntry {
           |st AS MATERIALIZED (SELECT sum(CASE WHEN seeded THEN 1 ELSE 0 END) s FROM mk)""".stripMargin
       else "st AS MATERIALIZED (SELECT count(*) n FROM nd)"
     val baseFrom = if (seeded) "mk" else "nd"
+    val contribExpr =
+      if (weighted) "sum((r.rk * e.w) // r.outdeg)" else "sum(r.rk // r.outdeg)"
     val rounds = (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
          |  SELECT b.node, b.outdeg, b.b,
          |         b.b + (85 * coalesce(c.cs, 0)) // 100 rk
          |  FROM base b LEFT JOIN (
-         |    SELECT e.dst dn, sum(r.rk // r.outdeg) cs
+         |    SELECT e.dst dn, $contribExpr cs
          |    FROM r${i - 1} r JOIN e ON r.node = e.src
          |    WHERE r.outdeg > 0 GROUP BY 1) c ON b.node = c.dn)""".stripMargin
     }.mkString(",\n")
-    s"""WITH pr AS MATERIALIZED (
-       |  SELECT DISTINCT o_custkey + 100000 c, l_suppkey sn
-       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-       |e AS MATERIALIZED (
-       |  SELECT c src, sn dst FROM pr UNION ALL SELECT sn, c FROM pr),
-       |outd AS MATERIALIZED (SELECT src, count(*) outdeg FROM e GROUP BY 1),
+    val prCte =
+      if (weighted)
+        """pr AS MATERIALIZED (
+          |  SELECT o_custkey + 100000 c, l_suppkey sn,
+          |         CAST(count(DISTINCT l_orderkey) AS BIGINT) w
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+          |e AS MATERIALIZED (
+          |  SELECT c src, sn dst, w FROM pr UNION ALL SELECT sn, c, w FROM pr),
+          |outd AS MATERIALIZED (SELECT src, CAST(sum(w) AS BIGINT) outdeg FROM e GROUP BY 1),""".stripMargin
+      else
+        """pr AS MATERIALIZED (
+          |  SELECT DISTINCT o_custkey + 100000 c, l_suppkey sn
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |e AS MATERIALIZED (
+          |  SELECT c src, sn dst FROM pr UNION ALL SELECT sn, c FROM pr),
+          |outd AS MATERIALIZED (SELECT src, count(*) outdeg FROM e GROUP BY 1),""".stripMargin
+    s"""WITH $prCte
        |nd AS MATERIALIZED (SELECT DISTINCT node FROM
        |  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
        |$statCte,

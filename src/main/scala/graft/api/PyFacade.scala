@@ -1048,6 +1048,17 @@ object PyFacade {
     graft.graph.PageRank.personalized(edges, seeds, srcCol, dstCol,
       seedCol, iterations, dampingNum, dampingDen, scale)
 
+  /** Weighted PageRank: contributions proportional to edge weight. */
+  def weightedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int, dampingNum: Long,
+      dampingDen: Long, scale: Long): DataFrame =
+    graft.graph.PageRank.runWeighted(edges, srcCol, dstCol, weightCol,
+      iterations, dampingNum, dampingDen, scale)
+
+  /** Per-node triangle counts over an undirected pair list. */
+  def triangleCounts(pairs: DataFrame, iCol: String, jCol: String): DataFrame =
+    graft.graph.Triangles.perNode(pairs, iCol, jCol)
+
   /** Reciprocal-rank fusion of ranked (qid, id, rank) lists. */
   def rrfFusion(lists: java.util.List[DataFrame], qidCol: String,
       idCol: String, rankCol: String, k: Int, rrfK: Long,

@@ -117,6 +117,48 @@ object PageRank {
     iterate(init, base, e, iterations, dampingNum, dampingDen, materialize)
   }
 
+  /** Weighted PageRank: contributions proportional to edge weight —
+    * rₜ₊₁(v) += d · Σ (rₜ(u)·w_uv) div W_u with W_u = Σ out-weights.
+    * Same integer contract (truncating ops on non-negative longs);
+    * rows with a NULL or non-positive weight are dropped like null
+    * endpoints. Overflow bound: rank·weight must fit a long — with the
+    * default scale 1e12 any per-edge weight up to ~9.2e6 is safe
+    * (rank never exceeds total mass = scale). Output: (node, pr_unit).
+    *
+    * With all weights 1 this is bit-identical to [[run]]:
+    * (rank·1) div W ≡ rank div outdeg. */
+  def runWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+      weightCol: String, iterations: Int = 8,
+      dampingNum: Long = 85L, dampingDen: Long = 100L,
+      scale: Long = 1000000000000L,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+    requireParams(iterations, dampingNum, dampingDen, scale)
+    val e = materialize(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"),
+          col(weightCol).cast("long").as("w"))
+        .where(col("src").isNotNull && col("dst").isNotNull &&
+          col("w").isNotNull && col("w") > 0)
+        .repartition(col("src")))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    val nstat = nodes.agg(count(lit(1)).as("__n"))
+    val base = materialize(
+      nodes
+        .join(e.groupBy(col("src")).agg(sum(col("w")).as("outdeg")),
+          col("node") === col("src"), "left")
+        .crossJoin(broadcast(nstat))
+        .select(col("node"), coalesce(col("outdeg"), lit(0L)).as("outdeg"),
+          expr(s"((${dampingDen - dampingNum}L * ${scale}L) div " +
+            s"(${dampingDen}L * __n))").as("__base"),
+          expr(s"${scale}L div __n").as("__r0"))
+        .repartition(col("node")))
+    val init = base.select(col("node"), col("outdeg"), col("__base"),
+      col("__r0").as("rank"))
+    iterate(init, base, e, iterations, dampingNum, dampingDen, materialize,
+      weighted = true)
+  }
+
   private def requireParams(iterations: Int, dampingNum: Long,
       dampingDen: Long, scale: Long): Unit = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
@@ -132,18 +174,28 @@ object PageRank {
       .repartition(col("src"))
 
   /** The shared damped-update loop. `ranks`/`base` are keyed by node;
-    * `e` is the static (src, dst) snapshot partitioned by src. */
+    * `e` is the static (src, dst[, w]) snapshot partitioned by src.
+    * Unweighted: one division per NODE before the edge join; weighted:
+    * the per-edge (rank·w) div W — same value when every w is 1. */
   private def iterate(init: DataFrame, base: DataFrame, e: DataFrame,
       iterations: Int, dampingNum: Long, dampingDen: Long,
-      materialize: DataFrame => DataFrame): DataFrame = {
+      materialize: DataFrame => DataFrame,
+      weighted: Boolean = false): DataFrame = {
     var ranks = materialize(init)
     var iter = 0
     while (iter < iterations) {
-      // (src, rank div outdeg) slim rows probe the edge snapshot; the
-      // Σ is a map-side-combined integer sum keyed by dst
-      val contrib = ranks.where(col("outdeg") > 0)
-        .select(col("node"), expr("rank div outdeg").as("__c"))
-        .join(e, col("node") === col("src"))
+      // slim rank rows probe the edge snapshot; the Σ is a
+      // map-side-combined integer sum keyed by dst
+      val contrib = (if (weighted)
+        ranks.where(col("outdeg") > 0)
+          .select(col("node"), col("rank"), col("outdeg"))
+          .join(e, col("node") === col("src"))
+          .select(col("dst"), expr("(rank * w) div outdeg").as("__c"))
+      else
+        ranks.where(col("outdeg") > 0)
+          .select(col("node"), expr("rank div outdeg").as("__c"))
+          .join(e, col("node") === col("src"))
+          .select(col("dst"), col("__c")))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__sum"))
       ranks = materialize(
         base.join(contrib, col("node") === col("dst"), "left")

@@ -1,0 +1,81 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Per-node triangle counting over an undirected pair list — the
+ * cluster-cohesion signal on a similarity graph (how mutually-connected
+ * a near-dup/embedding neighborhood is: a component held together by a
+ * single bridge pair scores 0, a tight clique scores high), and the
+ * standard building block for local clustering coefficients and
+ * spam-farm detection on link graphs.
+ *
+ * Algorithm: degree-ordered edge orientation (Suri & Vassilvitskii,
+ * WWW'11) — orient every undirected edge toward the (degree, id)-
+ * lexicographically LARGER endpoint, enumerate wedges only from each
+ * node's oriented out-neighborhood, close them against the oriented
+ * edge set. Orientation bounds every out-degree by O(√E), so the wedge
+ * join generates O(E^1.5) rows worst-case instead of Σdeg² — the
+ * difference between feasible and not on a power-law 100 TB graph
+ * (a celebrity node with 10⁸ neighbors contributes out-wedges from its
+ * √E out-list, not 10¹⁶ pairs). All joins are equi-joins on edge keys;
+ * AQE's skew split handles residual hot keys.
+ *
+ * Determinism: pure integer counting over a deterministic orientation —
+ * no floats anywhere, so engine agreement is structural.
+ */
+object Triangles {
+
+  /** Per-node triangle membership counts. `pairs` rows are undirected
+    * (iCol, jCol) edges in any orientation; duplicates, self-loops and
+    * null endpoints are dropped. Output: (node, tri_cnt) for every node
+    * in at least one triangle; Σ tri_cnt = 3 · #triangles. */
+  def perNode(pairs: DataFrame, iCol: String, jCol: String): DataFrame = {
+    val tri = triangles(pairs, iCol, jCol)
+    tri.select(col("a").as("node"))
+      .unionByName(tri.select(col("b").as("node")))
+      .unionByName(tri.select(col("c").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
+  }
+
+  /** The distinct triangle list (a, b, c), each exactly once, endpoints
+    * in ascending (degree, id) orientation order. */
+  def triangles(pairs: DataFrame, iCol: String, jCol: String): DataFrame = {
+    // canonical undirected edges: (lo, hi) distinct, loops/nulls out
+    val canon = pairs
+      .select(col(iCol).cast("long").as("x"), col(jCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("n")).unionByName(canon.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orient toward the (degree, id)-larger endpoint
+    val oriented = canon
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("s"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("t"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("dv"))
+          .otherwise(col("du")).as("dt"))
+    // wedges from each source's out-list, ordered by (degree, id) so
+    // each unordered out-pair appears once; the closing edge (b → c)
+    // is oriented exactly this way because ord(b) < ord(c)
+    val e1 = oriented.select(col("s"), col("t").as("b"), col("dt").as("db"))
+    val e2 = oriented.select(col("s"), col("t").as("c"), col("dt").as("dc"))
+    val wedges = e1.join(e2, Seq("s"))
+      .where(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("s").as("a"), col("b"), col("c"))
+    wedges.join(oriented.select(col("s").as("b"), col("t").as("c")),
+        Seq("b", "c"))
+      .select(col("a"), col("b"), col("c"))
+  }
+}

@@ -1240,6 +1240,21 @@ object Drive {
       val n = canon.count()
       val nonSelf = canon.where(col("doc_id") =!= col("canon_id")).count()
       println(s"rows=$n canon mappings (expect ${docsT.count()}), displaced=$nonSelf")
+
+      // weighted PageRank: heavier edge pulls more mass
+      val we = Seq((1L, 2L, 9L), (1L, 3L, 1L), (2L, 1L, 1L), (3L, 1L, 1L))
+        .toDF("src", "dst", "w")
+      val wpr = graft.graph.PageRank.runWeighted(we, "src", "dst", "w",
+          iterations = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"OK weighted pagerank heavy-edge=${wpr(2L) > wpr(3L)} (expect true)")
+
+      // triangle counts on K4
+      val k4 = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b))
+        .toDF("i", "j")
+      val tri = graft.graph.Triangles.perNode(k4, "i", "j")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"rows=${tri.size} triangle nodes, all-3=${tri.values.forall(_ == 3L)} (expect true)")
     }
 
     spark.stop()

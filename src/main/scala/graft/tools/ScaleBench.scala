@@ -1134,6 +1134,22 @@ object ScaleBench {
         graft.similarity.Fusion.rrf(Seq(lex, dense), "qid", "doc_id", "rnk", k = 10)
       }),
 
+      // triangles: pair list ∝ f (disjoint id-offset copies of the
+      // base similarity graph — inflating the VECTORS would create
+      // cross-copy cos=1.0 pairs and a ×f² edge set) — wedge join and
+      // close both ∝ f under degree-ordered orientation
+      "graph_triangles" -> (() => {
+        val base = Dedup.embeddingPairs(embs(1), "vec_id", "embedding", tau = 0.3)
+          .select("doc_i", "doc_j")
+        val inflated = base
+          .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+            col("doc_i"), col("doc_j"))
+          .select((col("doc_i") + col("__k") * lit(10000000L)).as("doc_i"),
+            (col("doc_j") + col("__k") * lit(10000000L)).as("doc_j"))
+        graft.graph.Triangles.perNode(inflated, "doc_i", "doc_j")
+          .where(col("tri_cnt") >= 1L)
+      }),
+
       // near-dup keep policy: pairs ∝ f (disjoint doc copies), CC
       // rounds log-diameter, selection one keyed argmax + join back —
       // everything ∝ f slim rows

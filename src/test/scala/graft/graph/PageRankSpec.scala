@@ -92,6 +92,43 @@ class PageRankSpec extends AnyFunSuite {
     assert(got == simulate(edges, 3, seeds = Some(Set(1L))))
   }
 
+  test("weighted with all weights 1 is bit-identical to unweighted") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    val w1 = edges.map { case (a, b) => (a, b, 1L) }.toDF("s", "d", "w")
+    val got = PageRank.runWeighted(w1, "s", "d", "w", iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == result(edges, 5))
+  }
+
+  test("weighted matches a sequential weighted replay; bad weights dropped") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 1L, 2L), (3L, 1L, 2L))
+    // sequential replay with the same integer ops
+    def sim(iters: Int): Map[Long, Long] = {
+      val nodes = Seq(1L, 2L, 3L)
+      val wsum = Map(1L -> 4L, 2L -> 2L, 3L -> 2L)
+      val base = nodes.map(_ -> (15L * S) / (100L * 3)).toMap
+      var rank = nodes.map(_ -> S / 3).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for ((u, v, w) <- edges) contrib(v) += (rank(u) * w) / wsum(u)
+        rank = nodes.map(u => u -> (base(u) + (85L * contrib(u)) / 100L)).toMap
+      }
+      rank
+    }
+    val got = PageRank.runWeighted(edges.toDF("s", "d", "w"), "s", "d", "w",
+        iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == sim(4))
+    // a zero/negative-weight edge is dropped entirely (here: it would
+    // have been 2->3; node 3 then gets only 1->3 contributions)
+    val withBad = (edges :+ ((2L, 3L, 0L))).toDF("s", "d", "w")
+    val got2 = PageRank.runWeighted(withBad, "s", "d", "w", iterations = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == got)
+  }
+
   test("null endpoints are dropped; parameter validation is loud") {
     import spark.implicits._
     val e = Seq((java.lang.Long.valueOf(1L), java.lang.Long.valueOf(2L)),
