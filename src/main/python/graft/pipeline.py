@@ -1237,3 +1237,20 @@ def triangle_counts(pairs, i_col="doc_i", j_col="doc_j"):
     join at O(E^1.5)."""
     return _wrap(pairs, _facade(pairs).triangleCounts(
         pairs._jdf, i_col, j_col))
+
+
+def clustering_coef(pairs, i_col="doc_i", j_col="doc_j", unit=1000000):
+    """Local clustering coefficient per node in ``unit``:sup:`-1` fixed
+    point: (2 * triangles * unit) // (deg * (deg - 1)); deg < 2 scores
+    0. Output: (node, deg, tri_cnt, coef_unit)."""
+    return _wrap(pairs, _facade(pairs).clusteringCoef(
+        pairs._jdf, i_col, j_col, int(unit)))
+
+
+def k_core(pairs, i_col="doc_i", j_col="doc_j", k=3, rounds=8):
+    """k-core extraction by exactly ``rounds`` simultaneous peel rounds
+    (drop every node below degree ``k`` each round) — dense-subgraph
+    detection for boilerplate/spam clusters. Output: surviving
+    (node, deg) with degree inside the surviving subgraph."""
+    return _wrap(pairs, _facade(pairs).kCore(
+        pairs._jdf, i_col, j_col, int(k), int(rounds)))

@@ -1102,3 +1102,13 @@ class TestRound8(object):
             ["doc_i", "doc_j"])
         tri = {r["node"]: r["tri_cnt"] for r in P.triangle_counts(k4).collect()}
         assert tri == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    def test_clustering_coef_and_k_core(self, local_spark):
+        edges = local_spark.createDataFrame(
+            [(1, 2), (2, 3), (1, 3), (3, 4)], ["doc_i", "doc_j"])
+        coef = {r["node"]: r["coef_unit"] for r in
+                P.clustering_coef(edges).collect()}
+        assert coef == {1: 1000000, 2: 1000000, 3: 333333, 4: 0}
+        core = {r["node"]: r["deg"] for r in
+                P.k_core(edges, k=2).collect()}
+        assert core == {1: 2, 2: 2, 3: 2}  # pendant 4 peeled

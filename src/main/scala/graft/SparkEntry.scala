@@ -2166,10 +2166,20 @@ object SparkEntry {
     // orientation, pure integer counting
     "graph_triangles" -> ((s, dir) =>
       graft.graph.Triangles.perNode(
-        Dedup.embeddingPairs(
-          tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.3)
-          .select("doc_i", "doc_j"),
-        "doc_i", "doc_j")),
+        embSimGraph(s, dir), "doc_i", "doc_j")),
+
+    // local clustering coefficient in 1e6-unit fixed point:
+    // (2·tri·1e6) div (deg·(deg−1)), deg<2 scores 0
+    "graph_clustering_coef" -> ((s, dir) =>
+      graft.graph.Triangles.clusteringCoef(
+        embSimGraph(s, dir), "doc_i", "doc_j")),
+
+    // dense-subgraph extraction: 10 simultaneous peel rounds at k=3
+    // (converges by round 8 on this corpus; the FIXED round count is
+    // the cross-engine contract)
+    "graph_kcore" -> ((s, dir) =>
+      graft.graph.KCore.kCore(
+        embSimGraph(s, dir), "doc_i", "doc_j", k = 3, rounds = 10)),
 
     // hybrid retrieval: reciprocal-rank fusion of the sparse (BM25) and
     // dense (exact cosine) top-10 lists for the same query docs —
@@ -2207,6 +2217,13 @@ object SparkEntry {
     pairs.select(col("c").as("src"), col("sn").as("dst"))
       .unionByName(pairs.select(col("sn").as("src"), col("c").as("dst")))
   }
+
+  /** Shared pair graph for the triangle/coef/k-core gates: exact
+    * cosine pairs over embeddings at tau 0.3 (the documented small-N
+    * oracle path; the LSH pair twin is the scale path). */
+  private def embSimGraph(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+      tau = 0.3).select("doc_i", "doc_j")
 
   /** [[purchaseGraph]] with edge weight = distinct orders per pair. */
   private def purchaseGraphWeighted(s: SparkSession, dir: String): DataFrame = {
@@ -4275,23 +4292,25 @@ object SparkEntry {
     // graph — the same orientation/wedge/close steps as
     // graft.graph.Triangles, pure integer counting
     "graph_triangles" ->
-      """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
-        |p AS (SELECT a.vec_id i, b.vec_id j FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-        |      WHERE round(list_inner_product(a.v, b.v)
-        |        / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3),
-        |deg AS (SELECT n, count(*) d FROM
-        |        (SELECT i n FROM p UNION ALL SELECT j FROM p) GROUP BY 1),
-        |o AS (SELECT
-        |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN p.i ELSE p.j END s,
-        |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN p.j ELSE p.i END t,
-        |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN d2.d ELSE d1.d END dt
-        |      FROM p JOIN deg d1 ON p.i = d1.n JOIN deg d2 ON p.j = d2.n),
-        |w AS (SELECT e1.s a, e1.t b, e2.t c FROM o e1 JOIN o e2 ON e1.s = e2.s
-        |      WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
-        |tr AS (SELECT w.a, w.b, w.c FROM w JOIN o ON o.s = w.b AND o.t = w.c)
+      s"""$triGraphCtes
         |SELECT node, CAST(count(*) AS BIGINT) tri_cnt FROM
         |  (SELECT a node FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
         |GROUP BY 1""".stripMargin,
+
+    // the triangle replay joined back to degrees; deg<2 scores 0
+    "graph_clustering_coef" ->
+      s"""$triGraphCtes,
+         |tc AS (SELECT node, CAST(count(*) AS BIGINT) tri_cnt FROM
+         |  (SELECT a node FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
+         |GROUP BY 1)
+         |SELECT d.n node, CAST(d.d AS BIGINT) deg,
+         |  coalesce(tc.tri_cnt, 0) tri_cnt,
+         |  CAST(CASE WHEN d.d < 2 THEN 0
+         |       ELSE (2 * coalesce(tc.tri_cnt, 0) * 1000000) // (d.d * (d.d - 1))
+         |       END AS BIGINT) coef_unit
+         |FROM deg d LEFT JOIN tc ON d.n = tc.node""".stripMargin,
+
+    "graph_kcore" -> kcoreOracle(k = 3, rounds = 10),
 
     // RRF fusion of the text_bm25 and simsearch_topk replays (same
     // query filter doc_id % 100 = 0), integer 1e6 // (60 + rank)
@@ -4345,6 +4364,49 @@ object SparkEntry {
     * text_bpe_vocab pattern — non-materialized CTEs would inline
     * exponentially). Same edge derivation, same `//`-vs-`div`-on-
     * positives fixed-point arithmetic, 6 rounds. */
+  /** The embedding-pair graph + triangle-enumeration CTE chain shared
+    * by the graph_triangles / graph_clustering_coef oracles: same
+    * degree-ordered orientation, wedge and close steps as
+    * [[graft.graph.Triangles]]. */
+  private val triGraphCtes =
+    """WITH e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+      |p AS (SELECT a.vec_id i, b.vec_id j FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+      |      WHERE round(list_inner_product(a.v, b.v)
+      |        / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3),
+      |deg AS (SELECT n, count(*) d FROM
+      |        (SELECT i n FROM p UNION ALL SELECT j FROM p) GROUP BY 1),
+      |o AS (SELECT
+      |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN p.i ELSE p.j END s,
+      |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN p.j ELSE p.i END t,
+      |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN d2.d ELSE d1.d END dt
+      |      FROM p JOIN deg d1 ON p.i = d1.n JOIN deg d2 ON p.j = d2.n),
+      |w AS (SELECT e1.s a, e1.t b, e2.t c FROM o e1 JOIN o e2 ON e1.s = e2.s
+      |      WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+      |tr AS (SELECT w.a, w.b, w.c FROM w JOIN o ON o.s = w.b AND o.t = w.c)""".stripMargin
+
+  /** The graph_kcore oracle: `rounds` MATERIALIZED simultaneous peel
+    * rounds over the same pair graph — the fixed-round contract of
+    * [[graft.graph.KCore.kCore]]. */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val peel = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (SELECT node FROM (
+         |  SELECT node, count(*) c FROM
+         |    (SELECT u node FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+         |  GROUP BY 1) WHERE c >= $k),
+         |e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT node FROM d$r) AND v IN (SELECT node FROM d$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ee AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |e0 AS MATERIALIZED (
+       |  SELECT a.vec_id u, b.vec_id v FROM ee a JOIN ee b ON a.vec_id < b.vec_id
+       |  WHERE round(list_inner_product(a.v, b.v)
+       |    / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) >= 0.3),
+       |$peel
+       |SELECT node, CAST(count(*) AS BIGINT) deg FROM
+       |  (SELECT u node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+       |GROUP BY 1""".stripMargin
+  }
+
   private def pagerankOracle(seeded: Boolean, weighted: Boolean = false): String = {
     val iters = 6
     val scale = "1000000000000"

@@ -1059,6 +1059,16 @@ object PyFacade {
   def triangleCounts(pairs: DataFrame, iCol: String, jCol: String): DataFrame =
     graft.graph.Triangles.perNode(pairs, iCol, jCol)
 
+  /** Local clustering coefficient in unit⁻¹ fixed point. */
+  def clusteringCoef(pairs: DataFrame, iCol: String, jCol: String,
+      unit: Long): DataFrame =
+    graft.graph.Triangles.clusteringCoef(pairs, iCol, jCol, unit)
+
+  /** k-core survivors after `rounds` fixed simultaneous peels. */
+  def kCore(pairs: DataFrame, iCol: String, jCol: String, k: Int,
+      rounds: Int): DataFrame =
+    graft.graph.KCore.kCore(pairs, iCol, jCol, k, rounds)
+
   /** Reciprocal-rank fusion of ranked (qid, id, rank) lists. */
   def rrfFusion(lists: java.util.List[DataFrame], qidCol: String,
       idCol: String, rankCol: String, k: Int, rrfK: Long,

@@ -42,13 +42,7 @@ object Triangles {
   /** The distinct triangle list (a, b, c), each exactly once, endpoints
     * in ascending (degree, id) orientation order. */
   def triangles(pairs: DataFrame, iCol: String, jCol: String): DataFrame = {
-    // canonical undirected edges: (lo, hi) distinct, loops/nulls out
-    val canon = pairs
-      .select(col(iCol).cast("long").as("x"), col(jCol).cast("long").as("y"))
-      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
-      .select(least(col("x"), col("y")).as("u"),
-        greatest(col("x"), col("y")).as("v"))
-      .distinct()
+    val canon = canonical(pairs, iCol, jCol)
     val deg = canon.select(col("u").as("n")).unionByName(canon.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // orient toward the (degree, id)-larger endpoint
@@ -78,4 +72,37 @@ object Triangles {
         Seq("b", "c"))
       .select(col("a"), col("b"), col("c"))
   }
+
+  /** Local clustering coefficient in `unit⁻¹` fixed point:
+    * coef_unit = (2·triangles·unit) div (deg·(deg−1)) — how close each
+    * node's neighborhood is to a clique, the per-node cohesion score
+    * behind boilerplate/spam-cluster detection. Integer division on
+    * non-negative values (the engine-exact contract); nodes with
+    * deg < 2 score 0 by definition. Output: (node, deg, tri_cnt,
+    * coef_unit) for every node with at least one edge. */
+  def clusteringCoef(pairs: DataFrame, iCol: String, jCol: String,
+      unit: Long = 1000000L): DataFrame = {
+    require(unit >= 1, s"unit must be >= 1, got $unit")
+    val canon = canonical(pairs, iCol, jCol)
+    val deg = canon.select(col("u").as("node"))
+      .unionByName(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    deg.join(perNode(canon, "u", "v"), Seq("node"), "left")
+      .select(col("node"), col("deg"),
+        coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+      .withColumn("coef_unit",
+        when(col("deg") < 2, lit(0L))
+          .otherwise(expr(s"(2 * tri_cnt * ${unit}L) div (deg * (deg - 1))")))
+  }
+
+  /** Canonical undirected edge list (lo, hi), distinct, loops and null
+    * endpoints dropped — shared by every operator in this package. */
+  private[graph] def canonical(pairs: DataFrame, iCol: String,
+      jCol: String): DataFrame =
+    pairs
+      .select(col(iCol).cast("long").as("x"), col(jCol).cast("long").as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .select(least(col("x"), col("y")).as("u"),
+        greatest(col("x"), col("y")).as("v"))
+      .distinct()
 }

@@ -1255,6 +1255,15 @@ object Drive {
       val tri = graft.graph.Triangles.perNode(k4, "i", "j")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       println(s"rows=${tri.size} triangle nodes, all-3=${tri.values.forall(_ == 3L)} (expect true)")
+
+      // clustering coefficient + k-core on K4-with-tail
+      val tail = k4.unionByName(Seq((4L, 5L), (5L, 6L)).toDF("i", "j"))
+      val coef = graft.graph.Triangles.clusteringCoef(tail, "i", "j")
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      println(s"OK coef clique-node=${coef(1L)} (expect 1000000), leaf=${coef(6L)} (expect 0)")
+      val core = graft.graph.KCore.kCore(tail, "i", "j", k = 3)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      println(s"rows=${core.size} k-core nodes=$core (expect List(1, 2, 3, 4))")
     }
 
     spark.stop()

@@ -1150,6 +1150,21 @@ object ScaleBench {
           .where(col("tri_cnt") >= 1L)
       }),
 
+      // k-core: same disjoint-copy pair inflation, FIXED peel rounds —
+      // each round one degree agg + two semi-joins over O(E) slim rows,
+      // so total cost ∝ rounds·f with no quadratic term
+      "graph_kcore" -> (() => {
+        val base = Dedup.embeddingPairs(embs(1), "vec_id", "embedding", tau = 0.3)
+          .select("doc_i", "doc_j")
+        val inflated = base
+          .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+            col("doc_i"), col("doc_j"))
+          .select((col("doc_i") + col("__k") * lit(10000000L)).as("doc_i"),
+            (col("doc_j") + col("__k") * lit(10000000L)).as("doc_j"))
+        graft.graph.KCore.kCore(inflated, "doc_i", "doc_j", k = 3, rounds = 6)
+          .where(col("deg") >= 0L)
+      }),
+
       // near-dup keep policy: pairs ∝ f (disjoint doc copies), CC
       // rounds log-diameter, selection one keyed argmax + join back —
       // everything ∝ f slim rows
