@@ -93,11 +93,11 @@ object Fuzz {
     }
 
   /** One seeded case: the pattern cycles round-robin so every family
-    * gets ~n/9 of the budget; knobs derive from the per-case RNG. */
+    * gets ~n/10 of the budget; knobs derive from the per-case RNG. */
   private def gen(spark: SparkSession, dir: String, i: Int, seed: Long): Case = {
     val rng = new scala.util.Random(seed * 1000003L + i)
     val name = f"fz_$i%03d"
-    (i % 9) match {
+    (i % 10) match {
       case 0 => saltedAgg(spark, dir, name, rng)
       case 1 => rangeAgg(spark, dir, name, rng)
       case 2 => joinQuota(spark, dir, name, rng)
@@ -107,6 +107,7 @@ object Fuzz {
       case 6 => pointInTimeCase(spark, dir, name, rng)
       case 7 => overlapAgg(spark, dir, name, rng)
       case 8 => groupSplitCase(spark, dir, name, rng)
+      case 9 => graphCase(spark, dir, name, rng)
     }
   }
 
@@ -406,6 +407,81 @@ object Fuzz {
          |  CASE WHEN substr(md5(grp), 1, 4) < '$b1' THEN 'train'
          |       ELSE 'test' END split
          |FROM g""".stripMargin)
+  }
+
+  /** graph ops over a random circulant-ish graph: customer keys
+    * connected by generator steps {a, b, a+b} (triangle-rich by
+    * construction — (k, k+a, k+a+b) closes via the b step), random op
+    * among triangle counts / clustering coefficient / fixed-round
+    * k-core, each replayed stage-for-stage in SQL. */
+  private def graphCase(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val m = 1 + rng.nextInt(3)
+    val r = rng.nextInt(m)
+    val a = m * (1 + rng.nextInt(3))
+    val b = a + m * (1 + rng.nextInt(3)) // b > a, both multiples of m
+    val base = cust(spark, dir)
+      .where(pmod(col("c_custkey"), lit(m)) === r)
+      .select(col("c_custkey").as("k"))
+    def gen1(s: Int) = base
+      .select(col("k").as("doc_i"), (col("k") + s).as("doc_j"))
+      .join(base.select(col("k").as("doc_j")), "doc_j")
+      .select("doc_i", "doc_j")
+    val pairs = gen1(a).unionByName(gen1(b)).unionByName(gen1(a + b)).distinct()
+    val pairsSql =
+      s"""b AS (SELECT c_custkey k FROM customer WHERE c_custkey % $m = $r),
+         |p AS (SELECT DISTINCT x.k i, x.k + s j
+         |      FROM b x CROSS JOIN (VALUES ($a), ($b), (${a + b})) g(s)
+         |      JOIN b y ON y.k = x.k + s)""".stripMargin
+    val triSql =
+      s"""deg AS (SELECT n, count(*) d FROM
+         |        (SELECT i n FROM p UNION ALL SELECT j FROM p) GROUP BY 1),
+         |o AS (SELECT
+         |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN p.i ELSE p.j END s,
+         |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN p.j ELSE p.i END t,
+         |        CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND p.i < p.j) THEN d2.d ELSE d1.d END dt
+         |      FROM p JOIN deg d1 ON p.i = d1.n JOIN deg d2 ON p.j = d2.n),
+         |w AS (SELECT e1.s a, e1.t b, e2.t c FROM o e1 JOIN o e2 ON e1.s = e2.s
+         |      WHERE e1.dt < e2.dt OR (e1.dt = e2.dt AND e1.t < e2.t)),
+         |tr AS (SELECT w.a, w.b, w.c FROM w JOIN o ON o.s = w.b AND o.t = w.c),
+         |tc AS (SELECT node, CAST(count(*) AS BIGINT) tri_cnt FROM
+         |  (SELECT a node FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
+         |GROUP BY 1)""".stripMargin
+    rng.nextInt(3) match {
+      case 0 =>
+        Case(name, graft.graph.Triangles.perNode(pairs, "doc_i", "doc_j"),
+          s"WITH $pairsSql,\n$triSql\nSELECT node, tri_cnt FROM tc")
+      case 1 =>
+        Case(name,
+          graft.graph.Triangles.clusteringCoef(pairs, "doc_i", "doc_j"),
+          s"""WITH $pairsSql,
+             |$triSql
+             |SELECT d.n node, CAST(d.d AS BIGINT) deg,
+             |  coalesce(tc.tri_cnt, 0) tri_cnt,
+             |  CAST(CASE WHEN d.d < 2 THEN 0
+             |       ELSE (2 * coalesce(tc.tri_cnt, 0) * 1000000) // (d.d * (d.d - 1))
+             |       END AS BIGINT) coef_unit
+             |FROM deg d LEFT JOIN tc ON d.n = tc.node""".stripMargin)
+      case 2 =>
+        val k = 2 + rng.nextInt(2)
+        val rounds = 1 + rng.nextInt(4)
+        val peel = (1 to rounds).map { q =>
+          s"""d$q AS MATERIALIZED (SELECT node FROM (
+             |  SELECT node, count(*) c FROM
+             |    (SELECT u node FROM e${q - 1} UNION ALL SELECT v FROM e${q - 1})
+             |  GROUP BY 1) WHERE c >= $k),
+             |e$q AS MATERIALIZED (SELECT u, v FROM e${q - 1}
+             |  WHERE u IN (SELECT node FROM d$q) AND v IN (SELECT node FROM d$q))""".stripMargin
+        }.mkString(",\n")
+        Case(name,
+          graft.graph.KCore.kCore(pairs, "doc_i", "doc_j", k, rounds),
+          s"""WITH $pairsSql,
+             |e0 AS MATERIALIZED (SELECT i u, j v FROM p),
+             |$peel
+             |SELECT node, CAST(count(*) AS BIGINT) deg FROM
+             |  (SELECT u node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+             |GROUP BY 1""".stripMargin)
+    }
   }
 
   /** running / trailing aggregation over a unique total order vs the
