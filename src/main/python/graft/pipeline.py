@@ -1254,3 +1254,22 @@ def k_core(pairs, i_col="doc_i", j_col="doc_j", k=3, rounds=8):
     (node, deg) with degree inside the surviving subgraph."""
     return _wrap(pairs, _facade(pairs).kCore(
         pairs._jdf, i_col, j_col, int(k), int(rounds)))
+
+
+def co_occurrence(pairs, left_col, right_col, max_degree=0):
+    """Weighted one-mode projection of a bipartite edge list:
+    (node_i, node_j, w) with node_i < node_j and w = shared distinct
+    left neighbors. ``max_degree`` > 0 drops hub left nodes above that
+    degree before the self-join (the documented skew valve)."""
+    return _wrap(pairs, _facade(pairs).coOccurrence(
+        pairs._jdf, left_col, right_col, int(max_degree)))
+
+
+def graph_walks(edges, src_col="src", dst_col="dst", steps=4,
+                walks_per_node=1):
+    """Deterministic pseudo-random walks (DeepWalk/node2vec corpus
+    generation without RNG): step t of a walk is a pure md5 function of
+    (walk, step, node), identical on every engine and re-run. Output:
+    (walk_id, start, step, node); dead-end walks stop early."""
+    return _wrap(edges, _facade(edges).graphWalks(
+        edges._jdf, src_col, dst_col, int(steps), int(walks_per_node)))

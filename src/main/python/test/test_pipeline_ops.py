@@ -1112,3 +1112,16 @@ class TestRound8(object):
         core = {r["node"]: r["deg"] for r in
                 P.k_core(edges, k=2).collect()}
         assert core == {1: 2, 2: 2, 3: 2}  # pendant 4 peeled
+
+    def test_co_occurrence_and_walks(self, local_spark):
+        bip = local_spark.createDataFrame(
+            [(10, 1), (10, 2), (20, 1), (20, 2), (30, 2)], ["l", "r"])
+        co = {(r["node_i"], r["node_j"]): r["w"] for r in
+              P.co_occurrence(bip, "l", "r").collect()}
+        assert co == {(1, 2): 2}
+        cyc = local_spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], ["src", "dst"])
+        w = sorted((r["walk_id"], r["step"], r["node"]) for r in
+                   P.graph_walks(cyc, steps=2).collect()
+                   if r["walk_id"] == "1#0")
+        assert w == [("1#0", 0, 1), ("1#0", 1, 2), ("1#0", 2, 3)]

@@ -2181,6 +2181,24 @@ object SparkEntry {
       graft.graph.KCore.kCore(
         embSimGraph(s, dir), "doc_i", "doc_j", k = 3, rounds = 10)),
 
+    // bipartite one-mode projection: supplier co-purchase graph —
+    // (s1, s2, shared customers) from the distinct purchase pairs;
+    // exact (no hub cap) at gate scale
+    "graph_copurchase" -> ((s, dir) => {
+      val pairs = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+        .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_suppkey").as("supp"))
+      graft.graph.Projection.coOccurrence(pairs, "cust", "supp")
+    }),
+
+    // deterministic pseudo-random walks: 2 walks × 3 steps from every
+    // node of the purchase graph — step choice is a pure md5 function
+    // of (walk, step, node), replayed digit-for-digit in DuckDB
+    "graph_walks" -> ((s, dir) =>
+      graft.graph.Walks.walks(
+        purchaseGraph(s, dir), "src", "dst", steps = 3, walksPerNode = 2)),
+
     // hybrid retrieval: reciprocal-rank fusion of the sparse (BM25) and
     // dense (exact cosine) top-10 lists for the same query docs —
     // integer 1e6-unit contributions, fused sum exact in both engines.
@@ -4312,6 +4330,16 @@ object SparkEntry {
 
     "graph_kcore" -> kcoreOracle(k = 3, rounds = 10),
 
+    // one-mode projection: self-join on the shared customer, i < j
+    "graph_copurchase" ->
+      """WITH p AS (SELECT DISTINCT o_custkey c, l_suppkey r
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT a.r node_i, b.r node_j, CAST(count(*) AS BIGINT) w
+        |FROM p a JOIN p b ON a.c = b.c AND a.r < b.r
+        |GROUP BY 1, 2""".stripMargin,
+
+    "graph_walks" -> walksOracle(steps = 3, walksPerNode = 2),
+
     // RRF fusion of the text_bm25 and simsearch_topk replays (same
     // query filter doc_id % 100 = 0), integer 1e6 // (60 + rank)
     // contributions summed per (qid, doc)
@@ -4405,6 +4433,37 @@ object SparkEntry {
        |SELECT node, CAST(count(*) AS BIGINT) deg FROM
        |  (SELECT u node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
        |GROUP BY 1""".stripMargin
+  }
+
+  /** The graph_walks oracle: the deterministic walk recurrence step by
+    * step — md5_number_lower % 2³² is exactly the engine's
+    * pmod(md5_lower64, 2³²) (power-of-two modulus cancels the signed
+    * reinterpretation), and the scaled division into [0, deg) is the
+    * same integer op. */
+  private def walksOracle(steps: Int, walksPerNode: Int): String = {
+    val stepCtes = (1 to steps).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT s.walk_id, s."start", a.dst node, $t step
+         |  FROM s${t - 1} s JOIN dg d ON s.node = d.src
+         |  JOIN adj a ON a.src = s.node
+         |   AND a.idx = ((md5_number_lower(s.walk_id || ':$t:' || CAST(s.node AS VARCHAR))
+         |                 % 4294967296) * d.deg) // 4294967296)""".stripMargin
+    }.mkString(",\n")
+    val unions = (0 to steps).map(t => s"SELECT * FROM s$t").mkString(" UNION ALL ")
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey + 100000 c, l_suppkey sn
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT c src, sn dst FROM pr UNION ALL SELECT sn, c FROM pr),
+       |adj AS MATERIALIZED (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 idx FROM e),
+       |dg AS MATERIALIZED (SELECT src, count(*) deg FROM e GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT CAST(src AS VARCHAR) || '#' || CAST(j AS VARCHAR) walk_id,
+       |         src "start", src node, 0 step
+       |  FROM dg CROSS JOIN (SELECT unnest(range($walksPerNode)) j)),
+       |$stepCtes
+       |SELECT walk_id, "start", CAST(step AS BIGINT) step, node FROM ($unions)""".stripMargin
   }
 
   private def pagerankOracle(seeded: Boolean, weighted: Boolean = false): String = {

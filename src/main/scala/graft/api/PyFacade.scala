@@ -1069,6 +1069,17 @@ object PyFacade {
       rounds: Int): DataFrame =
     graft.graph.KCore.kCore(pairs, iCol, jCol, k, rounds)
 
+  /** Bipartite one-mode projection; maxDegree <= 0 disables the cap. */
+  def coOccurrence(pairs: DataFrame, leftCol: String, rightCol: String,
+      maxDegree: Int): DataFrame =
+    graft.graph.Projection.coOccurrence(pairs, leftCol, rightCol,
+      if (maxDegree <= 0) None else Some(maxDegree))
+
+  /** Deterministic pseudo-random walks: (walk_id, start, step, node). */
+  def graphWalks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int, walksPerNode: Int): DataFrame =
+    graft.graph.Walks.walks(edges, srcCol, dstCol, steps, walksPerNode)
+
   /** Reciprocal-rank fusion of ranked (qid, id, rank) lists. */
   def rrfFusion(lists: java.util.List[DataFrame], qidCol: String,
       idCol: String, rankCol: String, k: Int, rrfK: Long,

@@ -1,0 +1,87 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Md5Lower64
+
+/**
+ * Deterministic pseudo-random walks over a directed edge list — the
+ * sequence generator feeding graph-embedding training (DeepWalk /
+ * node2vec corpora) and graph-sampling estimators, with the library's
+ * no-RNG discipline: step t of walk (start, j) at node u moves to u's
+ * neighbor at index
+ *
+ *   idx = (h32 · deg(u)) div 2³²,
+ *   h32 = md5_lower64(walkId ∥ ':' ∥ t ∥ ':' ∥ u) pmod 2³²
+ *
+ * — a pure function of (walk, step, node), so every engine, every
+ * re-run, and every incremental batch generates THE SAME walks (the
+ * hashSample convention lifted to sequences). `pmod` by the
+ * power-of-two 2³² is exactly DuckDB's unsigned `md5_number_lower % 2³²`
+ * (2⁶⁴ ≡ 0 mod 2³² cancels the signed reinterpretation), and the
+ * scaled division maps the 32-bit uniform into [0, deg) identically in
+ * both engines (integer ops on non-negative values; deg < 2³¹ keeps
+ * the product inside a long). Neighbor index = ascending-dst rank, so
+ * the mapping is unambiguous; duplicate edges deduplicate. A walk
+ * reaching a node with no out-neighbors STOPS (emits no further rows).
+ *
+ * Scale shape: state rows are slim (walk_id, start, cur); each step is
+ * one equi-join against the degree table and one against the indexed
+ * adjacency snapshot — O(walks) rows per step, O(steps·walks) total,
+ * adjacency/degree materialized once ([[PageRank]]'s snapshot
+ * discipline). Nothing is ever quadratic and no RNG state lives on the
+ * driver.
+ */
+object Walks {
+
+  /** `walksPerNode` walks of `steps` steps from every node with at
+    * least one out-neighbor. Output: (walk_id, start, step, node) —
+    * step 0 is the start node itself; walk_id = "start#j". */
+  def walks(edges: DataFrame, srcCol: String, dstCol: String,
+      steps: Int, walksPerNode: Int = 1,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+    require(steps >= 1, s"steps must be >= 1, got $steps")
+    require(walksPerNode >= 1, s"walksPerNode must be >= 1, got $walksPerNode")
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+    val adj = materialize(e
+      .withColumn("idx", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .repartition(col("src")))
+    val deg = materialize(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
+    val starts = deg.select(col("src").as("start"))
+    var state = materialize(
+      starts
+        .crossJoin(spark(starts).range(walksPerNode).toDF("j"))
+        .select(concat(col("start"), lit("#"), col("j")).as("walk_id"),
+          col("start"), col("start").as("node"), lit(0).as("step")))
+    val out = Seq.newBuilder[DataFrame]
+    out += state
+    var t = 1
+    while (t <= steps) {
+      val h = Md5Lower64.md5Lower64(
+        concat(col("walk_id"), lit(":"), lit(t), lit(":"), col("node")))
+      val hashed = state
+        .join(deg, col("node") === col("src"))
+        .select(col("walk_id"), col("start"), col("node"),
+          pmod(h, lit(4294967296L)).as("__h32"), col("deg"))
+        .select(col("walk_id"), col("start"), col("node"),
+          expr("(__h32 * deg) div 4294967296L").as("__i"))
+        .withColumn("step", lit(t))
+      state = materialize(hashed
+        .join(adj, hashed("node") === adj("src") && col("__i") === col("idx"))
+        .select(col("walk_id"), col("start"), col("dst").as("node"), col("step")))
+      out += state
+      t += 1
+    }
+    out.result().reduce(_ unionByName _)
+      .select(col("walk_id"), col("start"), col("step").cast("long").as("step"),
+        col("node"))
+  }
+
+  private def spark(df: DataFrame) = df.sparkSession
+}

@@ -1264,6 +1264,17 @@ object Drive {
       val core = graft.graph.KCore.kCore(tail, "i", "j", k = 3)
         .collect().map(_.getLong(0)).sorted.toSeq
       println(s"rows=${core.size} k-core nodes=$core (expect List(1, 2, 3, 4))")
+
+      // bipartite projection + deterministic walks
+      val bip = Seq((10L, 1L), (10L, 2L), (20L, 1L), (20L, 2L)).toDF("l", "r")
+      val co = graft.graph.Projection.coOccurrence(bip, "l", "r")
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+      println(s"OK co-occurrence w=${co.get((1L, 2L))} (expect Some(2))")
+      val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+      val wk = graft.graph.Walks.walks(cyc, "s", "d", steps = 3)
+        .where(col("walk_id") === "1#0").orderBy("step")
+        .collect().map(_.getLong(3)).toSeq
+      println(s"rows=${wk.size} walk from 1=$wk (expect List(1, 2, 3, 1))")
     }
 
     spark.stop()

@@ -1150,6 +1150,30 @@ object ScaleBench {
           .where(col("tri_cnt") >= 1L)
       }),
 
+      // walks: graph ×f disjoint copies, fixed steps/walksPerNode —
+      // state rows ∝ nodes, two slim equi-joins per step, jobs constant
+      "graph_walks" -> (() =>
+        graft.graph.Walks.walks(graphEdges(f), "src", "dst",
+          steps = 3, walksPerNode = 1)
+          .where(col("step") >= 0L)),
+
+      // one-mode projection: bipartite pairs ×f with per-copy offsets
+      // on BOTH sides — fanout Σdeg² grows ∝ f (disjoint copies),
+      // never ×f²; the hub cap is the documented valve for real skew
+      "graph_copurchase" -> (() => {
+        val pairs = spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_suppkey"))
+          .join(spark.read.parquet(s"$sfDir/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+            col("o_custkey"), col("l_suppkey"))
+          .select((col("o_custkey") + col("__k") * lit(100000000L)).as("cust"),
+            (col("l_suppkey") + col("__k") * lit(100000000L)).as("supp"))
+        graft.graph.Projection.coOccurrence(pairs, "cust", "supp")
+          .where(col("w") >= 1L)
+      }),
+
       // k-core: same disjoint-copy pair inflation, FIXED peel rounds —
       // each round one degree agg + two semi-joins over O(E) slim rows,
       // so total cost ∝ rounds·f with no quadratic term
