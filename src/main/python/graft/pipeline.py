@@ -1273,3 +1273,15 @@ def graph_walks(edges, src_col="src", dst_col="dst", steps=4,
     (walk_id, start, step, node); dead-end walks stop early."""
     return _wrap(edges, _facade(edges).graphWalks(
         edges._jdf, src_col, dst_col, int(steps), int(walks_per_node)))
+
+
+def label_propagate(edges, seeds, src_col="src", dst_col="dst",
+                    seed_node_col="node", seed_label_col="label",
+                    rounds=4):
+    """Semi-supervised label spreading: exactly ``rounds`` synchronous
+    majority-vote rounds from the seed set (ties pick the smallest
+    label, seeds stay clamped, labels never retract). Output:
+    (node, label) for every labeled node."""
+    return _wrap(edges, _facade(edges).labelPropagate(
+        edges._jdf, seeds._jdf, src_col, dst_col, seed_node_col,
+        seed_label_col, int(rounds)))

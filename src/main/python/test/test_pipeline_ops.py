@@ -1125,3 +1125,11 @@ class TestRound8(object):
                    P.graph_walks(cyc, steps=2).collect()
                    if r["walk_id"] == "1#0")
         assert w == [("1#0", 0, 1), ("1#0", 1, 2), ("1#0", 2, 3)]
+
+    def test_label_propagate(self, local_spark):
+        chain = local_spark.createDataFrame(
+            [(1, 2), (2, 3)], ["src", "dst"])
+        seeds = local_spark.createDataFrame([(1, 7)], ["node", "label"])
+        got = {r["node"]: r["label"] for r in
+               P.label_propagate(chain, seeds, rounds=2).collect()}
+        assert got == {1: 7, 2: 7, 3: 7}

@@ -2181,6 +2181,15 @@ object SparkEntry {
       graft.graph.KCore.kCore(
         embSimGraph(s, dir), "doc_i", "doc_j", k = 3, rounds = 10)),
 
+    // semi-supervised label spreading: supplier nation labels
+    // propagate 4 synchronous rounds through the purchase graph
+    // (majority vote, ties smallest label, seeds clamped)
+    "graph_label_prop" -> ((s, dir) =>
+      graft.graph.LabelProp.propagate(
+        purchaseGraph(s, dir),
+        tbl(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        "src", "dst", "s_suppkey", "s_nationkey", rounds = 4)),
+
     // bipartite one-mode projection: supplier co-purchase graph —
     // (s1, s2, shared customers) from the distinct purchase pairs;
     // exact (no hub cap) at gate scale
@@ -4339,6 +4348,7 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "graph_walks" -> walksOracle(steps = 3, walksPerNode = 2),
+    "graph_label_prop" -> labelPropOracle(rounds = 4),
 
     // RRF fusion of the text_bm25 and simsearch_topk replays (same
     // query filter doc_id % 100 = 0), integer 1e6 // (60 + rank)
@@ -4464,6 +4474,38 @@ object SparkEntry {
        |  FROM dg CROSS JOIN (SELECT unnest(range($walksPerNode)) j)),
        |$stepCtes
        |SELECT walk_id, "start", CAST(step AS BIGINT) step, node FROM ($unions)""".stripMargin
+  }
+
+  /** The graph_label_prop oracle: `rounds` MATERIALIZED synchronous
+    * majority-vote rounds (count desc, label asc), seeds clamped,
+    * labels kept when no labeled in-neighbor — the exact
+    * [[graft.graph.LabelProp.propagate]] recurrence. */
+  private def labelPropOracle(rounds: Int): String = {
+    val stepCtes = (1 to rounds).map { r =>
+      s"""c$r AS (SELECT e.dst d, l.cur lb, count(*) c
+         |  FROM l${r - 1} l JOIN e ON l.node = e.src
+         |  WHERE l.cur IS NOT NULL GROUP BY 1, 2),
+         |v$r AS MATERIALIZED (SELECT d, lb FROM (
+         |  SELECT d, lb, row_number() OVER (PARTITION BY d ORDER BY c DESC, lb) rn
+         |  FROM c$r) WHERE rn = 1),
+         |l$r AS MATERIALIZED (
+         |  SELECT l.node, l.slabel, coalesce(l.slabel, v.lb, l.cur) cur
+         |  FROM l${r - 1} l LEFT JOIN v$r v ON l.node = v.d)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey + 100000 c, l_suppkey sn
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |e AS MATERIALIZED (
+       |  SELECT c src, sn dst FROM pr UNION ALL SELECT sn, c FROM pr),
+       |nd AS MATERIALIZED (SELECT DISTINCT node FROM
+       |  (SELECT src node FROM e UNION ALL SELECT dst FROM e)),
+       |l0 AS MATERIALIZED (
+       |  SELECT n.node, s.s_nationkey slabel, s.s_nationkey cur
+       |  FROM nd n LEFT JOIN
+       |    (SELECT DISTINCT s_suppkey, s_nationkey FROM supplier) s
+       |    ON n.node = s.s_suppkey),
+       |$stepCtes
+       |SELECT node, cur AS "label" FROM l$rounds WHERE cur IS NOT NULL""".stripMargin
   }
 
   private def pagerankOracle(seeded: Boolean, weighted: Boolean = false): String = {

@@ -1080,6 +1080,13 @@ object PyFacade {
       steps: Int, walksPerNode: Int): DataFrame =
     graft.graph.Walks.walks(edges, srcCol, dstCol, steps, walksPerNode)
 
+  /** Fixed-round label propagation from a seed set: (node, label). */
+  def labelPropagate(edges: DataFrame, seeds: DataFrame,
+      srcCol: String, dstCol: String, seedNodeCol: String,
+      seedLabelCol: String, rounds: Int): DataFrame =
+    graft.graph.LabelProp.propagate(edges, seeds, srcCol, dstCol,
+      seedNodeCol, seedLabelCol, rounds)
+
   /** Reciprocal-rank fusion of ranked (qid, id, rank) lists. */
   def rrfFusion(lists: java.util.List[DataFrame], qidCol: String,
       idCol: String, rankCol: String, k: Int, rrfK: Long,

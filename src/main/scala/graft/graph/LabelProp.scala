@@ -1,0 +1,89 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Fixed-round label propagation from a seed set — semi-supervised
+ * label spreading over a similarity/link graph: hand-label a small
+ * seed pool (domains, languages, quality tiers), propagate through
+ * near-dup / co-occurrence edges, and harvest weak labels for the
+ * unlabeled mass. The standard cheap alternative to training a
+ * classifier when the graph already encodes "same kind as".
+ *
+ * Contract (deterministic, engine-exact):
+ *  - exactly `rounds` SYNCHRONOUS rounds (the [[KCore]] fixed-round
+ *    device — two engines agree even before convergence);
+ *  - each round every node takes the most frequent label among its
+ *    IN-neighbors' current labels, ties by SMALLEST label (integer
+ *    counts, integer labels — no float anywhere);
+ *  - seed nodes are CLAMPED to their seed label every round;
+ *  - a node with no labeled in-neighbor this round KEEPS its previous
+ *    label (labels never retract); never-labeled nodes stay unlabeled
+ *    and the output emits labeled nodes only.
+ *
+ * Symmetrize the edge list for undirected spreading. Duplicate edges
+ * count multiply (weight by repetition) — `distinct()` first for
+ * simple-graph semantics. One seed row per node (duplicate seed labels
+ * for a node are rejected loudly — a silent min would hide a data bug).
+ *
+ * Scale shape: per round one slim (node, label) join against the
+ * static edge snapshot + a map-side-combined (dst, label) count + an
+ * O(1)-per-node argmax — O(E) rows per round, O(rounds·E) total,
+ * localCheckpoint per round (the package's iteration discipline).
+ */
+object LabelProp {
+
+  /** Propagate `seeds` (seedNodeCol, seedLabelCol — labels must cast
+    * to long) over `edges` for exactly `rounds` rounds. Output:
+    * (node, label) for every labeled node. */
+  def propagate(edges: DataFrame, seeds: DataFrame,
+      srcCol: String, dstCol: String,
+      seedNodeCol: String, seedLabelCol: String, rounds: Int = 4,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val e = materialize(
+      edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .repartition(col("src")))
+    val sd = seeds.select(col(seedNodeCol).cast("long").as("snode"),
+        col(seedLabelCol).cast("long").as("slabel"))
+      .where(col("snode").isNotNull && col("slabel").isNotNull)
+      .distinct()
+    // loud duplicate-seed guard: one label per node or fail
+    val dup = sd.groupBy(col("snode")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") > 1).limit(1).collect()
+    require(dup.isEmpty,
+      s"node ${dup.headOption.map(_.get(0)).getOrElse("")} has multiple seed labels")
+    // labels carry the clamp column so each round is one join:
+    // (node, slabel, label)
+    var labels = materialize(
+      e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
+        .distinct()
+        .join(sd, col("node") === col("snode"), "left")
+        .select(col("node"), col("slabel"), col("slabel").as("label"))
+        .repartition(col("node")))
+    var r = 0
+    while (r < rounds) {
+      // majority vote among labeled in-neighbors: integer counts,
+      // argmax via min over (-count, label) — ties pick smallest label
+      val votes = labels.where(col("label").isNotNull)
+        .select(col("node"), col("label"))
+        .join(e, col("node") === col("src"))
+        .groupBy(col("dst"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((lit(0L) - col("__c")).as("nc"), col("label").as("l")))
+          .as("__best"))
+        .select(col("dst"), col("__best.l").as("__vote"))
+      labels = materialize(
+        labels.join(votes, col("node") === col("dst"), "left")
+          .select(col("node"), col("slabel"),
+            coalesce(col("slabel"), col("__vote"), col("label")).as("label"))
+          .repartition(col("node")))
+      r += 1
+    }
+    labels.where(col("label").isNotNull).select(col("node"), col("label"))
+  }
+}

@@ -1275,6 +1275,13 @@ object Drive {
         .where(col("walk_id") === "1#0").orderBy("step")
         .collect().map(_.getLong(3)).toSeq
       println(s"rows=${wk.size} walk from 1=$wk (expect List(1, 2, 3, 1))")
+
+      // label propagation along a chain: one hop per round
+      val lp = graft.graph.LabelProp.propagate(
+          Seq((1L, 2L), (2L, 3L)).toDF("s", "d"),
+          Seq((1L, 7L)).toDF("n", "lb"), "s", "d", "n", "lb", rounds = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"rows=${lp.size} labeled nodes, all-7=${lp.values.forall(_ == 7L)} (expect true)")
     }
 
     spark.stop()

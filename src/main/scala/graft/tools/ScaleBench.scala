@@ -1174,6 +1174,17 @@ object ScaleBench {
           .where(col("w") >= 1L)
       }),
 
+      // label propagation: graph ×f disjoint copies, seed pool ∝ f,
+      // fixed rounds — per round one slim labeled join + (dst, label)
+      // count, O(rounds·E), jobs constant
+      "graph_label_prop" -> (() => {
+        val seeds = keyed("supplier", "s_suppkey", f, 100000000L)
+          .select(col("s_suppkey"), pmod(col("s_suppkey"), lit(25L)).as("nk"))
+        graft.graph.LabelProp.propagate(graphEdges(f), seeds,
+          "src", "dst", "s_suppkey", "nk", rounds = 3)
+          .where(col("label") >= 0L)
+      }),
+
       // k-core: same disjoint-copy pair inflation, FIXED peel rounds —
       // each round one degree agg + two semi-joins over O(E) slim rows,
       // so total cost ∝ rounds·f with no quadratic term
