@@ -2181,6 +2181,20 @@ object SparkEntry {
       graft.graph.KCore.kCore(
         embSimGraph(s, dir), "doc_i", "doc_j", k = 3, rounds = 10)),
 
+    // composition: PageRank quality scores feed the bounded per-stratum
+    // sampler — top-3 suppliers per nation by link rank, the
+    // "quality-weighted selection" shape end-to-end
+    "graph_rank_topk" -> ((s, dir) => {
+      val pr = graft.graph.PageRank.run(
+        purchaseGraph(s, dir), "src", "dst", iterations = 6)
+      val ranked = tbl(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+        .join(pr, col("s_suppkey") === col("node"))
+        .select(col("s_nationkey"), col("s_suppkey"), col("pr_unit"))
+      graft.curation.Sampling.quotaTopK(
+        ranked, Seq("s_nationkey"), "pr_unit", "s_suppkey", 3)
+    }),
+
     // semi-supervised label spreading: supplier nation labels
     // propagate 4 synchronous rounds through the purchase graph
     // (majority vote, ties smallest label, seeds clamped)
@@ -4349,6 +4363,19 @@ object SparkEntry {
 
     "graph_walks" -> walksOracle(steps = 3, walksPerNode = 2),
     "graph_label_prop" -> labelPropOracle(rounds = 4),
+
+    // the pagerank replay joined to suppliers, per-nation top-3 by
+    // (pr_unit desc, s_suppkey asc) — quotaTopK's rank convention
+    "graph_rank_topk" ->
+      s"""${pagerankOracle(seeded = false).replace(
+             s"SELECT node, rk pr_unit FROM r6",
+             ", sel AS (SELECT node, rk pr_unit FROM r6)")}
+         |SELECT s_nationkey, CAST(rn AS INT) rank, s_suppkey, pr_unit FROM (
+         |  SELECT s.s_nationkey, s.s_suppkey, p.pr_unit,
+         |         row_number() OVER (PARTITION BY s.s_nationkey
+         |                            ORDER BY p.pr_unit DESC, s.s_suppkey) rn
+         |  FROM supplier s JOIN sel p ON s.s_suppkey = p.node)
+         |WHERE rn <= 3""".stripMargin,
 
     // RRF fusion of the text_bm25 and simsearch_topk replays (same
     // query filter doc_id % 100 = 0), integer 1e6 // (60 + rank)

@@ -51,7 +51,10 @@ object LabelProp {
         col(seedLabelCol).cast("long").as("slabel"))
       .where(col("snode").isNotNull && col("slabel").isNotNull)
       .distinct()
-    // loud duplicate-seed guard: one label per node or fail
+    // loud duplicate-seed guard: one label per node or fail. This is
+    // an EAGER bounded validation job over the seed table (seed pools
+    // are small by the operator's premise — hand-labeled); the
+    // alternative, silently min-picking a label, would hide a data bug
     val dup = sd.groupBy(col("snode")).agg(count(lit(1)).as("__c"))
       .where(col("__c") > 1).limit(1).collect()
     require(dup.isEmpty,
