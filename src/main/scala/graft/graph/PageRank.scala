@@ -99,7 +99,14 @@ object PageRank {
     val seed = seeds.select(col(seedCol).cast("long").as("__seed")).distinct()
     val marked = nodes.join(seed, col("node") === col("__seed"), "left")
       .select(col("node"), col("__seed").isNotNull.as("__is_seed"))
-    val sstat = marked.agg(sum(when(col("__is_seed"), 1L).otherwise(0L)).as("__s"))
+    // in-plan loud failure when NO seed intersects the graph: a silent
+    // S=0 would null the div and emit all-null ranks (the GroupStats
+    // raise_error convention — fail loudly, not with null rows)
+    val sstat = marked
+      .agg(sum(when(col("__is_seed"), 1L).otherwise(0L)).as("__s0"))
+      .select(when(col("__s0") === 0L, raise_error(lit(
+          "personalized PageRank: no seed id appears in the graph")))
+        .otherwise(col("__s0")).as("__s"))
     val base = materialize(
       marked
         .join(e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")),

@@ -447,10 +447,42 @@ object Fuzz {
          |tc AS (SELECT node, CAST(count(*) AS BIGINT) tri_cnt FROM
          |  (SELECT a node FROM tr UNION ALL SELECT b FROM tr UNION ALL SELECT c FROM tr)
          |GROUP BY 1)""".stripMargin
-    rng.nextInt(3) match {
+    rng.nextInt(4) match {
       case 0 =>
         Case(name, graft.graph.Triangles.perNode(pairs, "doc_i", "doc_j"),
           s"WITH $pairsSql,\n$triSql\nSELECT node, tri_cnt FROM tc")
+      case 3 =>
+        // fixed-point PageRank over the symmetrized circulant graph,
+        // random iteration count — full integer-round replay
+        val iters = 1 + rng.nextInt(3)
+        val edges = pairs.select(col("doc_i").as("src"), col("doc_j").as("dst"))
+          .unionByName(pairs.select(col("doc_j").as("src"), col("doc_i").as("dst")))
+        val rounds = (1 to iters).map { q =>
+          s"""r$q AS MATERIALIZED (
+             |  SELECT b.node, b.outdeg, b.b,
+             |         b.b + (85 * coalesce(c.cs, 0)) // 100 rk
+             |  FROM pbase b LEFT JOIN (
+             |    SELECT pe.dst dn, sum(r.rk // r.outdeg) cs
+             |    FROM r${q - 1} r JOIN pe ON r.node = pe.src
+             |    WHERE r.outdeg > 0 GROUP BY 1) c ON b.node = c.dn)""".stripMargin
+        }.mkString(",\n")
+        Case(name,
+          graft.graph.PageRank.run(edges, "src", "dst", iterations = iters),
+          s"""WITH $pairsSql,
+             |pe AS MATERIALIZED (SELECT i src, j dst FROM p
+             |                    UNION ALL SELECT j, i FROM p),
+             |outd AS MATERIALIZED (SELECT src, count(*) outdeg FROM pe GROUP BY 1),
+             |pnd AS MATERIALIZED (SELECT DISTINCT node FROM
+             |  (SELECT src node FROM pe UNION ALL SELECT dst FROM pe)),
+             |pst AS MATERIALIZED (SELECT count(*) n FROM pnd),
+             |pbase AS MATERIALIZED (
+             |  SELECT node, coalesce(outdeg, 0) outdeg,
+             |         (15 * 1000000000000) // (100 * n) b,
+             |         1000000000000 // n r0
+             |  FROM pnd LEFT JOIN outd ON node = src CROSS JOIN pst),
+             |r0 AS MATERIALIZED (SELECT node, outdeg, b, r0 rk FROM pbase),
+             |$rounds
+             |SELECT node, rk pr_unit FROM r$iters""".stripMargin)
       case 1 =>
         Case(name,
           graft.graph.Triangles.clusteringCoef(pairs, "doc_i", "doc_j"),

@@ -83,6 +83,16 @@ class PageRankSpec extends AnyFunSuite {
     assert(got(5L) == 0L)
   }
 
+  test("personalized with NO seed in the graph fails loudly") {
+    import spark.implicits._
+    val ex = intercept[Exception] {
+      PageRank.personalized(df(Seq((1L, 2L), (2L, 1L))),
+          Seq(99L).toDF("id"), "s", "d", "id", iterations = 2)
+        .collect()
+    }
+    assert(ex.getMessage.contains("no seed id appears in the graph"))
+  }
+
   test("seed ids outside the graph are ignored in S") {
     val edges = Seq((1L, 2L), (2L, 1L))
     import spark.implicits._
