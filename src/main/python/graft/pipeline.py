@@ -1285,3 +1285,10 @@ def label_propagate(edges, seeds, src_col="src", dst_col="dst",
     return _wrap(edges, _facade(edges).labelPropagate(
         edges._jdf, seeds._jdf, src_col, dst_col, seed_node_col,
         seed_label_col, int(rounds)))
+
+
+def walk_corpus_lines(walks):
+    """Render :func:`graph_walks` output as one whitespace-joined
+    node-id line per walk (the DeepWalk/word2vec corpus format):
+    (walk_id, line), step-ordered deterministically."""
+    return _wrap(walks, _facade(walks).walkCorpusLines(walks._jdf))

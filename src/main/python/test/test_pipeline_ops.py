@@ -1125,6 +1125,9 @@ class TestRound8(object):
                    P.graph_walks(cyc, steps=2).collect()
                    if r["walk_id"] == "1#0")
         assert w == [("1#0", 0, 1), ("1#0", 1, 2), ("1#0", 2, 3)]
+        lines = {r["walk_id"]: r["line"] for r in
+                 P.walk_corpus_lines(P.graph_walks(cyc, steps=2)).collect()}
+        assert lines["1#0"] == "1 2 3"
 
     def test_label_propagate(self, local_spark):
         chain = local_spark.createDataFrame(

@@ -2222,6 +2222,13 @@ object SparkEntry {
       graft.graph.Walks.walks(
         purchaseGraph(s, dir), "src", "dst", steps = 3, walksPerNode = 2)),
 
+    // walks rendered as the DeepWalk/word2vec corpus: one line per
+    // walk, nodes as whitespace-joined tokens in step order
+    "graph_walk_corpus" -> ((s, dir) =>
+      graft.graph.Walks.corpusLines(
+        graft.graph.Walks.walks(
+          purchaseGraph(s, dir), "src", "dst", steps = 3, walksPerNode = 1))),
+
     // hybrid retrieval: reciprocal-rank fusion of the sparse (BM25) and
     // dense (exact cosine) top-10 lists for the same query docs —
     // integer 1e6-unit contributions, fused sum exact in both engines.
@@ -4362,6 +4369,15 @@ object SparkEntry {
         |GROUP BY 1, 2""".stripMargin,
 
     "graph_walks" -> walksOracle(steps = 3, walksPerNode = 2),
+
+    // the walk replay aggregated to lines: string_agg in step order
+    "graph_walk_corpus" ->
+      s"""${walksOracle(steps = 3, walksPerNode = 1).replace(
+             "SELECT walk_id, \"start\", CAST(step AS BIGINT) step, node FROM",
+             ", w AS (SELECT walk_id, step, node FROM")})
+         |SELECT walk_id,
+         |       string_agg(CAST(node AS VARCHAR), ' ' ORDER BY step) line
+         |FROM w GROUP BY 1""".stripMargin,
     "graph_label_prop" -> labelPropOracle(rounds = 4),
 
     // the pagerank replay joined to suppliers, per-nation top-3 by

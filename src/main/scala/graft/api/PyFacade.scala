@@ -1080,6 +1080,10 @@ object PyFacade {
       steps: Int, walksPerNode: Int): DataFrame =
     graft.graph.Walks.walks(edges, srcCol, dstCol, steps, walksPerNode)
 
+  /** Walks rendered as step-ordered node-id lines: (walk_id, line). */
+  def walkCorpusLines(walks: DataFrame): DataFrame =
+    graft.graph.Walks.corpusLines(walks)
+
   /** Fixed-round label propagation from a seed set: (node, label). */
   def labelPropagate(edges: DataFrame, seeds: DataFrame,
       srcCol: String, dstCol: String, seedNodeCol: String,

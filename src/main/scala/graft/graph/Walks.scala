@@ -84,4 +84,18 @@ object Walks {
   }
 
   private def spark(df: DataFrame) = df.sparkSession
+
+  /** Render [[walks]] output as whitespace-joined node-id lines — the
+    * text corpus a DeepWalk/word2vec trainer consumes directly (each
+    * walk one "sentence", nodes as tokens). Deterministic: rows are
+    * collected per walk and sorted by (step, node) — step is unique
+    * within a walk, so partitioning can never perturb a line. Output:
+    * (walk_id, line). */
+  def corpusLines(walks: DataFrame): DataFrame =
+    walks.groupBy(col("walk_id"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("step"), col("node")))),
+          x => x.getField("node").cast("string")),
+        " ").as("line"))
 }

@@ -46,6 +46,15 @@ class ProjectionWalksSpec extends AnyFunSuite {
     assert(a.map(_._1) == Set("1#0", "1#1", "2#0", "2#1", "3#0", "3#1", "4#0", "4#1"))
   }
 
+  test("corpusLines renders one step-ordered line per walk") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "d")
+    val lines = Walks.corpusLines(Walks.walks(cyc, "s", "d", steps = 3))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(lines("1#0") == "1 2 3 1")
+    assert(lines("2#0") == "2 3 1 2")
+    assert(lines.size == 3)
+  }
+
   test("a dead-end stops the walk; validation is loud") {
     val path = Seq((1L, 2L)).toDF("s", "d") // 2 has no out-edges
     val got = Walks.walks(path, "s", "d", steps = 3, walksPerNode = 1)
