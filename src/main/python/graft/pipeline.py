@@ -1292,3 +1292,13 @@ def walk_corpus_lines(walks):
     node-id line per walk (the DeepWalk/word2vec corpus format):
     (walk_id, line), step-ordered deterministically."""
     return _wrap(walks, _facade(walks).walkCorpusLines(walks._jdf))
+
+
+def audio_energy(df, id_col, content_col="content", window_samples=400,
+                 codec="wav"):
+    """Per-window audio energy (the silence/VAD gating primitive):
+    integer mean-square of signed 16-bit samples per fixed window
+    (last window may be short). Non-audio/undecodable payloads emit no
+    rows. Output: (asset_id, window_idx, n_samples, mean_sq)."""
+    return _wrap(df, _facade(df).audioEnergy(
+        df._jdf, id_col, content_col, int(window_samples), codec))

@@ -1136,3 +1136,16 @@ class TestRound8(object):
         got = {r["node"]: r["label"] for r in
                P.label_propagate(chain, seeds, rounds=2).collect()}
         assert got == {1: 7, 2: 7, 3: 7}
+
+    def test_audio_energy(self, local_spark):
+        import struct
+        samples = [3, -4, 5, 100]
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 1000, 2000, 2, 16)
+               + b"data" + struct.pack("<I", len(data)) + data)
+        df = local_spark.createDataFrame(
+            [(1, bytearray(wav)), (2, bytearray(b"text"))], ["id", "content"])
+        got = sorted((r["window_idx"], r["n_samples"], r["mean_sq"]) for r in
+                     P.audio_energy(df, "id", window_samples=2).collect())
+        assert got == [(0, 2, 12), (1, 2, 5012)]

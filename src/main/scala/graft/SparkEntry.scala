@@ -2135,6 +2135,20 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
     }),
 
+    // per-window audio energy (the silence/VAD gating primitive):
+    // integer mean-square of signed 16-bit samples over 50-sample
+    // windows; every 7th asset is raw text — no windows, no rows
+    "multimodal_wav_energy" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = wavAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.audioEnergy(assets, "doc_id", "content",
+        windowSamples = 50, graft.multimodal.Multimodal.WavCodec)
+    }),
+
     // link-graph quality weighting: fixed-point PageRank over the
     // symmetrized customer↔supplier purchase graph (customers offset to
     // a disjoint id namespace). Integer micro-unit iteration — both
@@ -4331,6 +4345,21 @@ object SparkEntry {
          |  CASE WHEN d.doc_id % 7 = 0 THEN NULL
          |       ELSE CAST((n2 * 1000) // r2 AS BIGINT) END duration_ms
          |FROM documents d JOIN hx2 ON d.doc_id = hx2.doc_id""".stripMargin,
+
+    // samples replayed from the asset arithmetic (the bytes were
+    // assembled from it — the multimodal_wav convention): signed
+    // reinterpretation, 50-sample windows, integer floor mean-square
+    "multimodal_wav_energy" ->
+      """WITH d AS (SELECT doc_id, 120 + (doc_id % 5) * 60 n FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |sv AS (SELECT doc_id, i,
+        |         CASE WHEN m >= 32768 THEN m - 65536 ELSE m END v
+        |       FROM (SELECT doc_id, r.i i, (doc_id*13 + r.i*7) % 65536 m
+        |             FROM d, unnest(range(0, n)) r(i)))
+        |SELECT doc_id asset_id, CAST(i // 50 AS INT) window_idx,
+        |       CAST(count(*) AS INT) n_samples,
+        |       CAST(sum(v*v) // count(*) AS BIGINT) mean_sq
+        |FROM sv GROUP BY 1, 2""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle(seeded = false),
     "graph_ppr_seeds" -> pagerankOracle(seeded = true),

@@ -1006,6 +1006,12 @@ object PyFacade {
   def byteHistogram(df: DataFrame, contentCol: String, outCol: String): DataFrame =
     graft.multimodal.Multimodal.byteHistogram(df, contentCol, outCol)
 
+  /** Per-window integer audio energy; non-audio payloads emit no rows. */
+  def audioEnergy(df: DataFrame, idCol: String, contentCol: String,
+      windowSamples: Int, codec: String): DataFrame =
+    graft.multimodal.Multimodal.audioEnergy(df, idCol, contentCol,
+      windowSamples, codecOf(codec))
+
   // --- streaming-unified ------------------------------------------------
 
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =

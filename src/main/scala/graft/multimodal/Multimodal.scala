@@ -47,6 +47,9 @@ object Multimodal {
       * fresh copy of the input. */
     def resampleAudio(content: Array[Byte], factor: Int): Array[Byte] =
       if (content == null) null else content.clone()
+    /** Signed 16-bit PCM samples when the payload is decodable audio;
+      * null otherwise (default: codecs without an audio format). */
+    def audioSamples(content: Array[Byte]): Array[Short] = null
   }
 
   /** Typed metadata carried alongside every binary asset. */
@@ -368,6 +371,20 @@ object Multimodal {
           encode(rate / factor, samples)
         case _ => if (content == null) null else content.clone()
       }
+
+    override def audioSamples(content: Array[Byte]): Array[Short] =
+      parse(content) match {
+        case Some((_, n)) =>
+          val out = new Array[Short](n)
+          var i = 0
+          while (i < n) {
+            val o = 44 + 2 * i
+            out(i) = ((content(o) & 0xff) | (content(o + 1) << 8)).toShort
+            i += 1
+          }
+          out
+        case None => null
+      }
   }
 
   /**
@@ -446,6 +463,43 @@ object Multimodal {
           }.iterator
       }
     }.toDF("asset_id", "frame_index", "frame")
+  }
+
+  /**
+   * Per-window audio energy — the silence/VAD gating primitive a
+   * speech-data pipeline runs before anything expensive (drop silent
+   * windows, bound clipping, segment on energy valleys): fixed-size
+   * sample windows (the last may be short), energy = INTEGER mean
+   * square of the signed 16-bit samples (Σs² div n — floor division,
+   * engine-exact; Σs² ≤ n·2³⁰ never overflows a long). Non-audio and
+   * undecodable payloads emit NO rows (they have no windows — the
+   * explode-shape totality convention of [[sampleFrames]]). Narrow,
+   * no shuffle. Output: (asset_id, window_idx, n_samples, mean_sq).
+   */
+  def audioEnergy(df: DataFrame, idCol: String, contentCol: String,
+      windowSamples: Int, codec: MediaCodec = StubCodec): DataFrame = {
+    require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    val out = StructType(Seq(
+      StructField("asset_id", df.schema(idCol).dataType),
+      StructField("window_idx", IntegerType),
+      StructField("n_samples", IntegerType),
+      StructField("mean_sq", LongType)))
+    val (idIdx, cIdx) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(contentCol))
+    implicit val enc = RowEncoder.encoderFor(out)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val samples = codec.audioSamples(row.getAs[Array[Byte]](cIdx))
+        if (samples == null) Iterator.empty
+        else (0 until samples.length by windowSamples).zipWithIndex.map {
+          case (off, wi) =>
+            val end = math.min(off + windowSamples, samples.length)
+            var ss = 0L
+            var i = off
+            while (i < end) { val s = samples(i).toLong; ss += s * s; i += 1 }
+            Row(row.get(idIdx), wi, end - off, ss / (end - off))
+        }.iterator
+      }
+    }.toDF("asset_id", "window_idx", "n_samples", "mean_sq")
   }
 
   /** Real feature extractor: 256-bin byte histogram (array<long>) — a

@@ -1207,6 +1207,19 @@ object Drive {
       println(s"OK malformed merges.txt rejected=$rejected (expect true)")
     }
 
+    println("=== 41b. round-8: per-window audio energy ===")
+    locally {
+      val wav = graft.multimodal.Multimodal.WavCodec.encode(1000,
+        Array[Short](3, -4, 5, 100))
+      import spark.implicits._
+      val df = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+        .toDF("id", "content")
+      val en = graft.multimodal.Multimodal.audioEnergy(df, "id", "content", 2,
+          graft.multimodal.Multimodal.WavCodec)
+        .collect().map(r => (r.getInt(1), r.getLong(3))).sortBy(_._1).toSeq
+      println(s"rows=${en.size} energy windows=$en (expect List((0,12), (1,5012)))")
+    }
+
     println("=== 42. round-8: PageRank, RRF fusion, cluster keep-policy ===")
     locally {
       import spark.implicits._

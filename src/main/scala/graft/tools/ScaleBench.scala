@@ -1185,6 +1185,14 @@ object ScaleBench {
           .where(col("label") >= 0L)
       }),
 
+      // audio energy: ×f assets, map-only decode + per-window integer
+      // fold — zero shuffle at every factor, rows ∝ f windows
+      "multimodal_wav_energy" -> (() =>
+        graft.multimodal.Multimodal.audioEnergy(
+          wavProbeAssets(f), "doc_id", "content", 50,
+          graft.multimodal.Multimodal.WavCodec)
+          .where(col("mean_sq") >= 0L)),
+
       // k-core: same disjoint-copy pair inflation, FIXED peel rounds —
       // each round one degree agg + two semi-joins over O(E) slim rows,
       // so total cost ∝ rounds·f with no quadratic term
@@ -1209,6 +1217,23 @@ object ScaleBench {
           Dedup.jaccardPairs(d, "doc_id", "text", tau = 0.8))
           .where(col("canon_id") >= 0L)
       }))
+
+    // the multimodal_wav probe's asset builder, reused by the energy probe
+    def wavProbeAssets(f: Int): DataFrame =
+      docsPlain(f)
+        .withColumn("n", (lit(120) + pmod(col("doc_id"), lit(5)) * 60).cast("int"))
+        .withColumn("hx", concat(
+          lit("52494646"),
+          expr("lpad(hex((n*2 + 36) % 256), 2, '0') || lpad(hex((n*2 + 36) div 256), 2, '0')"),
+          lit("0000"), lit("57415645"), lit("666D7420"), lit("10000000"),
+          lit("0100"), lit("0100"), lit("E803"), lit("0000"),
+          lit("D007"), lit("0000"), lit("0200"), lit("1000"), lit("64617461"),
+          expr("lpad(hex((n*2) % 256), 2, '0') || lpad(hex((n*2) div 256), 2, '0')"),
+          lit("0000"),
+          expr("""concat_ws('', transform(sequence(0, n - 1), i ->
+            lpad(hex(pmod(doc_id*13 + i*7, 65536) % 256), 2, '0') ||
+            lpad(hex(pmod(doc_id*13 + i*7, 65536) div 256), 2, '0')))""")))
+        .select(col("doc_id"), unhex(col("hx")).as("content"))
 
     // ×f disjoint copies of the gates' purchase graph, symmetrized
     def graphEdges(f: Int): DataFrame = {

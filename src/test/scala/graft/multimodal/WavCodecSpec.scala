@@ -67,6 +67,25 @@ class WavCodecSpec extends AnyFlatSpec with Matchers {
     WavCodec.resizeImage(junk, 2, 2).toSeq shouldBe junk.toSeq // not an image codec
   }
 
+  it should "extract samples and window energy exactly" in {
+    val s = Array[Short](3, -4, 5, 100, -32768)
+    val wav = WavCodec.encode(1000, s)
+    WavCodec.audioSamples(wav).toSeq shouldBe s.toSeq
+    WavCodec.audioSamples("junk".getBytes) shouldBe null
+    WavCodec.audioSamples(null) shouldBe null
+
+    import graft.SparkTestKit.spark
+    import spark.implicits._
+    val df = Seq((1L, wav), (2L, "text".getBytes)).toDF("id", "content")
+    val got = Multimodal.audioEnergy(df, "id", "content", 2, WavCodec)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .sortBy(x => (x._1, x._2))
+    // windows: [3,-4] -> (9+16)/2 = 12; [5,100] -> (25+10000)/2 = 5012;
+    // short last [-32768] -> 2^30; non-audio row 2 emits nothing
+    got shouldBe Array((1L, 0, 2, 12L), (1L, 1, 2, 5012L),
+      (1L, 2, 1, 1073741824L))
+  }
+
   it should "agree with the JDK's own WAV parser on its output" in {
     // independent cross-validation: javax.sound.sampled reads the
     // canonical bytes back with the same rate and frame count
