@@ -1302,3 +1302,13 @@ def audio_energy(df, id_col, content_col="content", window_samples=400,
     rows. Output: (asset_id, window_idx, n_samples, mean_sq)."""
     return _wrap(df, _facade(df).audioEnergy(
         df._jdf, id_col, content_col, int(window_samples), codec))
+
+
+def image_tile_stats(df, id_col, content_col="content", tile_w=32,
+                     tile_h=32, codec="bmp"):
+    """Per-tile image statistics (flat/blank-region screening): integer
+    mean of each channel over a tile grid (edge tiles may be short).
+    Non-image payloads emit no rows. Output: (asset_id, tile_x,
+    tile_y, n_px, mean_b, mean_g, mean_r)."""
+    return _wrap(df, _facade(df).imageTileStats(
+        df._jdf, id_col, content_col, int(tile_w), int(tile_h), codec))

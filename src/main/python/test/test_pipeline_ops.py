@@ -1149,3 +1149,15 @@ class TestRound8(object):
         got = sorted((r["window_idx"], r["n_samples"], r["mean_sq"]) for r in
                      P.audio_energy(df, "id", window_samples=2).collect())
         assert got == [(0, 2, 12), (1, 2, 5012)]
+
+    def test_image_tile_stats(self, local_spark):
+        import struct
+        # 2x1 24bpp bottom-up BMP: pixels B,G,R = (1,2,3) and (5,6,7)
+        row = bytes([1, 2, 3, 5, 6, 7]) + b"\x00\x00"  # padded to 8
+        bmp = (b"BM" + struct.pack("<I", 54 + len(row)) + b"\x00" * 4
+               + struct.pack("<I", 54) + struct.pack("<IiiHH", 40, 2, 1, 1, 24)
+               + struct.pack("<IIIIII", 0, len(row), 2835, 2835, 0, 0) + row)
+        df = local_spark.createDataFrame([(1, bytearray(bmp))], ["id", "content"])
+        got = {(r["tile_x"], r["tile_y"]): (r["mean_b"], r["mean_g"], r["mean_r"])
+               for r in P.image_tile_stats(df, "id", tile_w=1, tile_h=1).collect()}
+        assert got == {(0, 0): (1, 2, 3), (1, 0): (5, 6, 7)}

@@ -2135,6 +2135,20 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
     }),
 
+    // per-tile image statistics (flat/blank-region screening): integer
+    // channel means over a 4×2 tile grid of real decoded BMP pixels;
+    // every 7th asset is raw text — no tiles, no rows
+    "multimodal_tile_stats" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = bmpAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.imageTileStats(assets, "doc_id", "content",
+        tileW = 4, tileH = 2, graft.multimodal.Multimodal.BmpCodec)
+    }),
+
     // per-window audio energy (the silence/VAD gating primitive):
     // integer mean-square of signed 16-bit samples over 50-sample
     // windows; every 7th asset is raw text — no windows, no rows
@@ -4345,6 +4359,23 @@ object SparkEntry {
          |  CASE WHEN d.doc_id % 7 = 0 THEN NULL
          |       ELSE CAST((n2 * 1000) // r2 AS BIGINT) END duration_ms
          |FROM documents d JOIN hx2 ON d.doc_id = hx2.doc_id""".stripMargin,
+
+    // pixels replayed from the BMP asset arithmetic (top-down y — the
+    // decoder un-flips the bottom-up rows), 4×2 tiles, floor means
+    "multimodal_tile_stats" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 5 bh FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |px AS (SELECT doc_id, xx.i x, yy.i y,
+        |         (doc_id*7 + yy.i*31 + xx.i*3) % 256 b,
+        |         (doc_id*7 + yy.i*31 + xx.i*3 + 85) % 256 g,
+        |         (doc_id*7 + yy.i*31 + xx.i*3 + 170) % 256 rr
+        |       FROM d, unnest(range(0, 8)) xx(i), unnest(range(0, bh)) yy(i))
+        |SELECT doc_id asset_id, CAST(x // 4 AS INT) tile_x,
+        |       CAST(y // 2 AS INT) tile_y, CAST(count(*) AS INT) n_px,
+        |       CAST(sum(b) // count(*) AS BIGINT) mean_b,
+        |       CAST(sum(g) // count(*) AS BIGINT) mean_g,
+        |       CAST(sum(rr) // count(*) AS BIGINT) mean_r
+        |FROM px GROUP BY 1, 2, 3""".stripMargin,
 
     // samples replayed from the asset arithmetic (the bytes were
     // assembled from it — the multimodal_wav convention): signed

@@ -1012,6 +1012,12 @@ object PyFacade {
     graft.multimodal.Multimodal.audioEnergy(df, idCol, contentCol,
       windowSamples, codecOf(codec))
 
+  /** Per-tile integer channel means; non-image payloads emit no rows. */
+  def imageTileStats(df: DataFrame, idCol: String, contentCol: String,
+      tileW: Int, tileH: Int, codec: String): DataFrame =
+    graft.multimodal.Multimodal.imageTileStats(df, idCol, contentCol,
+      tileW, tileH, codecOf(codec))
+
   // --- streaming-unified ------------------------------------------------
 
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =

@@ -50,7 +50,14 @@ object Multimodal {
     /** Signed 16-bit PCM samples when the payload is decodable audio;
       * null otherwise (default: codecs without an audio format). */
     def audioSamples(content: Array[Byte]): Array[Short] = null
+    /** TOP-DOWN (w, h, interleaved BGR bytes, length w·h·3) when the
+      * payload is a decodable image; null otherwise (default: codecs
+      * without pixel access). */
+    def imageBgr(content: Array[Byte]): ImagePixels = null
   }
+
+  /** [[MediaCodec.imageBgr]]'s return shape. */
+  final case class ImagePixels(width: Int, height: Int, bgr: Array[Byte])
 
   /** Typed metadata carried alongside every binary asset. */
   val MetaSchema: StructType = StructType(Seq(
@@ -255,6 +262,28 @@ object Multimodal {
       case Some((w, h, _)) => Row("image", w, h, null, null, null)
       case None => Row("unknown", null, null, null, null, null)
     }
+
+    override def imageBgr(content: Array[Byte]): ImagePixels =
+      parse(content) match {
+        case None => null
+        case Some((w, h, off)) =>
+          val rb = rowBytes(w)
+          val out = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            val src = off + (h - 1 - y) * rb // un-flip bottom-up rows
+            var x = 0
+            while (x < w) {
+              val d = (y * w + x) * 3
+              out(d) = content(src + x * 3)
+              out(d + 1) = content(src + x * 3 + 1)
+              out(d + 2) = content(src + x * 3 + 2)
+              x += 1
+            }
+            y += 1
+          }
+          ImagePixels(w, h, out)
+      }
 
     def resizeImage(content: Array[Byte], w2: Int, h2: Int): Array[Byte] =
       parse(content) match {
@@ -500,6 +529,61 @@ object Multimodal {
         }.iterator
       }
     }.toDF("asset_id", "window_idx", "n_samples", "mean_sq")
+  }
+
+  /**
+   * Per-tile image statistics — the image-QA twin of [[audioEnergy]]
+   * (flat/blank-region detection, exposure screening, letterbox
+   * cropping): the image splits into a tile grid of `tileW`×`tileH`
+   * pixels (edge tiles may be short), each tile reporting the INTEGER
+   * mean of each channel (Σ div n — floor, engine-exact). Non-image
+   * and undecodable payloads emit NO rows. Narrow, no shuffle.
+   * Output: (asset_id, tile_x, tile_y, n_px, mean_b, mean_g, mean_r).
+   */
+  def imageTileStats(df: DataFrame, idCol: String, contentCol: String,
+      tileW: Int, tileH: Int, codec: MediaCodec = StubCodec): DataFrame = {
+    require(tileW >= 1 && tileH >= 1, s"tile must be >= 1x1, got ${tileW}x$tileH")
+    val out = StructType(Seq(
+      StructField("asset_id", df.schema(idCol).dataType),
+      StructField("tile_x", IntegerType),
+      StructField("tile_y", IntegerType),
+      StructField("n_px", IntegerType),
+      StructField("mean_b", LongType),
+      StructField("mean_g", LongType),
+      StructField("mean_r", LongType)))
+    val (idIdx, cIdx) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(contentCol))
+    implicit val enc = RowEncoder.encoderFor(out)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val px = codec.imageBgr(row.getAs[Array[Byte]](cIdx))
+        if (px == null) Iterator.empty
+        else {
+          val (w, h) = (px.width, px.height)
+          for {
+            ty <- (0 until h by tileH).iterator.map(_ / tileH)
+            tx <- (0 until w by tileW).iterator.map(_ / tileW)
+          } yield {
+            val (x0, y0) = (tx * tileW, ty * tileH)
+            val (x1, y1) = (math.min(x0 + tileW, w), math.min(y0 + tileH, h))
+            var (sb, sg, sr) = (0L, 0L, 0L)
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val o = (y * w + x) * 3
+                sb += px.bgr(o) & 0xff
+                sg += px.bgr(o + 1) & 0xff
+                sr += px.bgr(o + 2) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val n = (x1 - x0) * (y1 - y0)
+            Row(row.get(idIdx), tx, ty, n, sb / n, sg / n, sr / n)
+          }
+        }
+      }
+    }.toDF(out.fieldNames.toIndexedSeq: _*)
   }
 
   /** Real feature extractor: 256-bin byte histogram (array<long>) — a

@@ -1185,6 +1185,29 @@ object ScaleBench {
           .where(col("label") >= 0L)
       }),
 
+      // tile stats: ×f BMP assets, map-only decode + per-tile integer
+      // fold — zero shuffle at every factor, rows ∝ f tiles
+      "multimodal_tile_stats" -> (() => {
+        val assets = docsPlain(f)
+          .withColumn("bh", (pmod(col("doc_id"), lit(5)) + 2).cast("int"))
+          .withColumn("hx", concat(
+            lit("424D"), lpad(hex(col("bh") * 24 + 54), 2, "0"), lit("000000"),
+            lit("00000000"), lit("36000000"), lit("28000000"), lit("08000000"),
+            lpad(hex(col("bh")), 2, "0"), lit("000000"), lit("0100"), lit("1800"),
+            lit("00000000"), lpad(hex(col("bh") * 24), 2, "0"), lit("000000"),
+            lit("130B0000"), lit("130B0000"), lit("00000000"), lit("00000000"),
+            expr("""aggregate(sequence(0, bh - 1), '', (acc, r) -> acc ||
+              aggregate(sequence(0, 7), '', (a2, x) ->
+                a2 || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3, 256)), 2, '0')
+                   || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 85, 256)), 2, '0')
+                   || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 170, 256)), 2, '0')))""")))
+          .select(col("doc_id"), unhex(col("hx")).as("content"))
+        graft.multimodal.Multimodal.imageTileStats(
+          assets, "doc_id", "content", 4, 2,
+          graft.multimodal.Multimodal.BmpCodec)
+          .where(col("mean_b") >= 0L)
+      }),
+
       // audio energy: ×f assets, map-only decode + per-window integer
       // fold — zero shuffle at every factor, rows ∝ f windows
       "multimodal_wav_energy" -> (() =>

@@ -77,6 +77,32 @@ class BmpCodecSpec extends AnyFlatSpec with Matchers {
     BmpCodec.decode(bad).getString(0) shouldBe "unknown"
   }
 
+  it should "expose top-down BGR pixels and exact tile means" in {
+    // 4x2 image: pix(x, y) packs R = x*40, G = y*90, B = x + y
+    val bmp = Multimodal.BmpCodec.encode(4, 2, pix)
+    val px = Multimodal.BmpCodec.imageBgr(bmp)
+    (px.width, px.height) shouldBe ((4, 2))
+    // top-left pixel (0,0): B=0, G=0, R=0; pixel (1,1): B=2, G=90, R=40
+    px.bgr(0) & 0xff shouldBe 0
+    val o = (1 * 4 + 1) * 3
+    (px.bgr(o) & 0xff, px.bgr(o + 1) & 0xff, px.bgr(o + 2) & 0xff) shouldBe ((2, 90, 40))
+    Multimodal.BmpCodec.imageBgr("junk".getBytes) shouldBe null
+
+    import graft.SparkTestKit.spark
+    import spark.implicits._
+    val df = Seq((1L, bmp), (2L, "text".getBytes)).toDF("id", "content")
+    val got = Multimodal.imageTileStats(df, "id", "content", 2, 2,
+        Multimodal.BmpCodec)
+      .collect().map(r => ((r.getInt(1), r.getInt(2)),
+        (r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // tile (0,0): pixels (0,0),(1,0),(0,1),(1,1): B mean = (0+1+1+2)/4 = 1,
+    // G mean = (0+0+90+90)/4 = 45, R mean = (0+40+0+40)/4 = 20
+    got((0, 0)) shouldBe ((4, 1L, 45L, 20L))
+    // tile (1,0): x in {2,3}: B = (2+3+3+4)/4 = 3, R = (80+120)*2/4 = 100
+    got((1, 0)) shouldBe ((4, 3L, 45L, 100L))
+    got.size shouldBe 2 // non-image row emits nothing
+  }
+
   it should "agree with javax.imageio on its own output" in {
     // the JDK reads BMP: cross-validate dimensions and pixel content
     val bmp = BmpCodec.encode(5, 3, pix)
