@@ -1312,3 +1312,33 @@ def image_tile_stats(df, id_col, content_col="content", tile_w=32,
     tile_y, n_px, mean_b, mean_g, mean_r)."""
     return _wrap(df, _facade(df).imageTileStats(
         df._jdf, id_col, content_col, int(tile_w), int(tile_h), codec))
+
+
+def image_hash(df, id_col, content_col="content", side=8, codec="bmp"):
+    """Perceptual image hash (aHash): nearest-neighbor side x side
+    downsample, integer gray, clip-mean threshold; 64 bits shipped as
+    two unsigned 32-bit halves. Equal hashes = shared brightness
+    envelope (the O(N) first stage of image near-dup dedup). Non-image
+    payloads emit no rows. Output: (asset_id, width, height, hash_hi,
+    hash_lo)."""
+    return _wrap(df, _facade(df).imageHash(
+        df._jdf, id_col, content_col, int(side), codec))
+
+
+def audio_fingerprint(df, id_col, content_col="content",
+                      window_samples=400, codec="wav"):
+    """Audio energy fingerprint: window energies thresholded at the
+    clip floor, the first min(n_windows, 62) loud/quiet bits packed
+    little-endian into one integer. Non-audio payloads emit no rows.
+    Output: (asset_id, n_windows, energy_floor, fp)."""
+    return _wrap(df, _facade(df).audioFingerprint(
+        df._jdf, id_col, content_col, int(window_samples), codec))
+
+
+def key_canon(df, id_col, key_cols):
+    """Exact dedup on pre-computed key columns (perceptual hashes,
+    fingerprints, normalized tuples): every id maps to the minimum id
+    sharing its whole key tuple; null keys group null-safely. Output:
+    (id_col, canon_id)."""
+    cols = key_cols if isinstance(key_cols, str) else ",".join(key_cols)
+    return _wrap(df, _facade(df).keyCanon(df._jdf, id_col, cols))

@@ -1161,3 +1161,40 @@ class TestRound8(object):
         got = {(r["tile_x"], r["tile_y"]): (r["mean_b"], r["mean_g"], r["mean_r"])
                for r in P.image_tile_stats(df, "id", tile_w=1, tile_h=1).collect()}
         assert got == {(0, 0): (1, 2, 3), (1, 0): (5, 6, 7)}
+
+    @staticmethod
+    def _gray_bmp(rows):
+        import struct
+        h, w = len(rows), len(rows[0])
+        rb = (w * 3 + 3) & ~3
+        body = b"".join(
+            bytes(v for px in row for v in (px, px, px)).ljust(rb, b"\x00")
+            for row in reversed(rows))
+        return (b"BM" + struct.pack("<I", 54 + len(body)) + b"\x00" * 4
+                + struct.pack("<I", 54) + struct.pack("<IiiHH", 40, w, h, 1, 24)
+                + struct.pack("<IIIIII", 0, len(body), 2835, 2835, 0, 0) + body)
+
+    def test_image_hash_and_key_canon(self, local_spark):
+        # grays 0,30/60,90 -> mean 45 -> bits 0,0,1,1 -> lo = 12
+        bmp = self._gray_bmp([[0, 30], [60, 90]])
+        df = local_spark.createDataFrame(
+            [(1, bytearray(bmp)), (2, bytearray(bmp)), (3, bytearray(b"txt"))],
+            ["id", "content"])
+        hs = P.image_hash(df, "id", side=2).collect()
+        assert {(r["asset_id"], r["hash_hi"], r["hash_lo"]) for r in hs} \
+            == {(1, 0, 12), (2, 0, 12)}
+        canon = {r["asset_id"]: r["canon_id"] for r in
+                 P.key_canon(P.image_hash(df, "id", side=2), "asset_id",
+                             ["hash_hi", "hash_lo"]).collect()}
+        assert canon == {1: 1, 2: 1}
+
+    def test_audio_fingerprint(self, local_spark):
+        import struct
+        samples = [0, 0, 10, 10, 0, 0]  # window energies 0,100,0 -> floor 33
+        data = b"".join(struct.pack("<h", s) for s in samples)
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+               + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 1000, 2000, 2, 16)
+               + b"data" + struct.pack("<I", len(data)) + data)
+        df = local_spark.createDataFrame([(1, bytearray(wav))], ["id", "content"])
+        r = P.audio_fingerprint(df, "id", window_samples=2).collect()[0]
+        assert (r["n_windows"], r["energy_floor"], r["fp"]) == (3, 33, 2)

@@ -2163,6 +2163,52 @@ object SparkEntry {
         windowSamples = 50, graft.multimodal.Multimodal.WavCodec)
     }),
 
+    // perceptual image hash (aHash) on real decoded BMP pixels:
+    // nearest-neighbor 8×8 downsample, integer gray, clip-mean
+    // threshold, 64 bits shipped as two unsigned 32-bit halves; every
+    // 7th asset is raw text — undecodable, no row
+    "multimodal_phash" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = bmpAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.imageHash(assets, "doc_id", "content",
+        side = 8, codec = graft.multimodal.Multimodal.BmpCodec)
+    }),
+
+    // perceptual-hash image dedup: exact grouping on the aHash halves —
+    // assets sharing the 64-bit brightness envelope collapse to the
+    // minimum id (the O(N) first stage of image near-dup dedup); the
+    // every-7th raw-text asset hashes to nothing and drops out, pinning
+    // the compose-through-totality contract
+    "dedup_image_phash" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = bmpAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      val hashes = graft.multimodal.Multimodal.imageHash(assets, "doc_id",
+        "content", side = 8, codec = graft.multimodal.Multimodal.BmpCodec)
+      Dedup.keyCanon(hashes, "asset_id", Seq("hash_hi", "hash_lo"))
+    }),
+
+    // audio energy fingerprint over real WAV samples: 50-sample window
+    // energies thresholded at the clip floor, packed little-endian into
+    // one integer — clips sharing fp share their coarse energy envelope
+    "multimodal_wav_fingerprint" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = wavAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.audioFingerprint(assets, "doc_id", "content",
+        windowSamples = 50, codec = graft.multimodal.Multimodal.WavCodec)
+    }),
+
     // link-graph quality weighting: fixed-point PageRank over the
     // symmetrized customer↔supplier purchase graph (customers offset to
     // a disjoint id namespace). Integer micro-unit iteration — both
@@ -4392,6 +4438,41 @@ object SparkEntry {
         |       CAST(sum(v*v) // count(*) AS BIGINT) mean_sq
         |FROM sv GROUP BY 1, 2""".stripMargin,
 
+    // aHash replay: cell i samples source pixel (i%8, ((i//8)·bh)//8)
+    // (the BmpCodec.resizeImage index map at side 8 on 8-wide images),
+    // gray/mean/threshold all floor-integer, halves packed by shifts
+    "multimodal_phash" ->
+      s"""$phashCtes
+         |SELECT doc_id asset_id, CAST(8 AS INT) width,
+         |       CAST(max(bh) AS INT) height, $phashHalves
+         |FROM gm GROUP BY 1""".stripMargin,
+
+    // the hash replay grouped on both halves — min id per envelope
+    "dedup_image_phash" ->
+      s"""$phashCtes,
+         |h AS (SELECT doc_id, $phashHalves FROM gm GROUP BY 1)
+         |SELECT doc_id asset_id,
+         |       min(doc_id) OVER (PARTITION BY hash_hi, hash_lo) canon_id
+         |FROM h""".stripMargin,
+
+    // window energies replayed as in multimodal_wav_energy, clip floor
+    // = Σe // n_windows, prefix bits packed little-endian
+    "multimodal_wav_fingerprint" ->
+      """WITH d AS (SELECT doc_id, 120 + (doc_id % 5) * 60 n FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |sv AS (SELECT doc_id, i,
+        |         CASE WHEN m >= 32768 THEN m - 65536 ELSE m END v
+        |       FROM (SELECT doc_id, r.i i, (doc_id*13 + r.i*7) % 65536 m
+        |             FROM d, unnest(range(0, n)) r(i))),
+        |w AS (SELECT doc_id, i // 50 wi, sum(v*v) // count(*) e
+        |      FROM sv GROUP BY 1, 2),
+        |f AS (SELECT doc_id, count(*) nw, sum(e) // count(*) fl FROM w GROUP BY 1)
+        |SELECT f.doc_id asset_id, CAST(f.nw AS INT) n_windows,
+        |       CAST(f.fl AS BIGINT) energy_floor,
+        |       CAST(sum(CASE WHEN w.wi < 62 AND w.e >= f.fl
+        |                     THEN (1::BIGINT << w.wi) ELSE 0 END) AS BIGINT) fp
+        |FROM w JOIN f ON w.doc_id = f.doc_id GROUP BY 1, 2, 3""".stripMargin,
+
     "graph_pagerank" -> pagerankOracle(seeded = false),
     "graph_ppr_seeds" -> pagerankOracle(seeded = true),
     "graph_pagerank_weighted" -> pagerankOracle(seeded = false, weighted = true),
@@ -4705,4 +4786,28 @@ object SparkEntry {
       |      for x in range(0, 8)], 'string_agg', '')
       |    for r in range(0, bh)], 'string_agg', '') hx
       |  FROM d)""".stripMargin
+
+  /** The `multimodal_phash`/`dedup_image_phash` oracles' shared gray
+    * grid: cell i of the 8×8 downsample reads TOP-DOWN source pixel
+    * (i%8, ((i//8)·bh)//8) — the [[graft.multimodal.Multimodal.BmpCodec]]
+    * resize index map on the 8-wide assets (sx = (i%8)·8//8 = i%8) —
+    * then gray = (b+g+r)//3 and the clip mean, all floor-integer. */
+  private val phashCtes =
+    """WITH d AS (SELECT doc_id, 2 + doc_id % 5 bh FROM documents
+      |           WHERE doc_id % 7 <> 0),
+      |g AS (SELECT doc_id, bh, i.i i,
+      |        (((doc_id*7 + (((i.i // 8) * bh) // 8) * 31 + (i.i % 8)*3) % 256)
+      |       + ((doc_id*7 + (((i.i // 8) * bh) // 8) * 31 + (i.i % 8)*3 + 85) % 256)
+      |       + ((doc_id*7 + (((i.i // 8) * bh) // 8) * 31 + (i.i % 8)*3 + 170) % 256)) // 3 gv
+      |      FROM d, unnest(range(0, 64)) i(i)),
+      |m AS (SELECT doc_id, sum(gv) // 64 mean FROM g GROUP BY 1),
+      |gm AS (SELECT g.doc_id, g.bh, g.i, g.gv, m.mean
+      |       FROM g JOIN m ON g.doc_id = m.doc_id)""".stripMargin
+
+  /** The two packed aHash halves over the [[phashCtes]] `gm` rows. */
+  private val phashHalves =
+    """CAST(sum(CASE WHEN i >= 32 AND gv >= mean
+      |              THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) hash_hi,
+      |       CAST(sum(CASE WHEN i < 32 AND gv >= mean
+      |              THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) hash_lo""".stripMargin
 }

@@ -1018,6 +1018,26 @@ object PyFacade {
     graft.multimodal.Multimodal.imageTileStats(df, idCol, contentCol,
       tileW, tileH, codecOf(codec))
 
+  /** aHash perceptual image hash as two unsigned 32-bit halves;
+    * non-image payloads emit no rows. */
+  def imageHash(df: DataFrame, idCol: String, contentCol: String,
+      side: Int, codec: String): DataFrame =
+    graft.multimodal.Multimodal.imageHash(df, idCol, contentCol,
+      side, codecOf(codec))
+
+  /** Window-energy envelope fingerprint (first min(n, 62) window bits);
+    * non-audio payloads emit no rows. */
+  def audioFingerprint(df: DataFrame, idCol: String, contentCol: String,
+      windowSamples: Int, codec: String): DataFrame =
+    graft.multimodal.Multimodal.audioFingerprint(df, idCol, contentCol,
+      windowSamples, codecOf(codec))
+
+  /** Exact dedup on pre-computed key columns (perceptual hashes,
+    * fingerprints, normalized tuples); null keys group null-safely. */
+  def keyCanon(df: DataFrame, idCol: String, keyColsCsv: String): DataFrame =
+    graft.dedup.Dedup.keyCanon(df, idCol,
+      keyColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+
   // --- streaming-unified ------------------------------------------------
 
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =

@@ -110,6 +110,39 @@ object Dedup {
       .groupBy(col("__digest")).agg(min(col(idCol)).as(idCol))
       .select(idCol)
 
+  /**
+   * [[exactCanon]] on arbitrary PRE-COMPUTED key columns — the consumer
+   * for signature-style dedup where equality of a derived fingerprint
+   * (not of the payload) defines "duplicate": perceptual image hashes
+   * ([[graft.multimodal.Multimodal.imageHash]]), audio energy
+   * fingerprints ([[graft.multimodal.Multimodal.audioFingerprint]]),
+   * normalized-field tuples. Output: every input id mapped to the
+   * minimum id sharing its whole key tuple, `(idCol, canon_id)`.
+   *
+   * Same skew-safe agg+join-back shape as [[exactCanon]] (map-side
+   * combine collapses a hot key before the shuffle; the join back is
+   * AQE-splittable). Keys join back NULL-SAFELY (`<=>`), so rows whose
+   * key tuple contains nulls form ordinary groups instead of silently
+   * dropping — the [[exactCanon]] empty-digest convention generalized.
+   * At 100 TB only (id, keys) slim rows shuffle; the payload never moves.
+   */
+  def keyCanon(df: DataFrame, idCol: String, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCanon needs at least one key column")
+    require(!keyCols.contains(idCol), s"id column $idCol cannot also be a key")
+    val keys = df.select((idCol +: keyCols).map(col): _*)
+    // the agg side renames its keys before the join back: a same-name
+    // self-join would resolve both sides to one attribute (trivially
+    // true), and fresh names sidestep the ambiguity entirely
+    val canon = keys.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as("canon_id"))
+      .select(keyCols.zipWithIndex.map { case (k, i) => col(k).as(s"__k$i") } :+
+        col("canon_id"): _*)
+    keys.join(canon,
+        keyCols.zipWithIndex.map { case (k, i) => col(k) <=> col(s"__k$i") }
+          .reduce(_ && _))
+      .select(col(idCol), col("canon_id"))
+  }
+
   /** (docId, shingleArray) projection shared by the dedup operators.
     * Tokens materialize as a column first: higher-order lambdas over a bound
     * array column evaluate it once per row, whereas inlining the tokenizer

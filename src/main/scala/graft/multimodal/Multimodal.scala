@@ -586,6 +586,134 @@ object Multimodal {
     }.toDF(out.fieldNames.toIndexedSeq: _*)
   }
 
+  /**
+   * Perceptual image hash (aHash) — the standard first stage of image
+   * near-dup detection in a multimodal training-data pipeline: two
+   * images that differ only by scale or mild level shifts map to equal
+   * (or Hamming-close) hashes, so exact grouping on the hash is an
+   * O(N) perceptual dedup and Hamming banding extends it to near-dups
+   * (the [[graft.dedup.Dedup]] SimHash discipline, applied to pixels).
+   *
+   * Exact integer pipeline, engine-replayable end to end:
+   *  1. decode via the REAL codec (`imageBgr`);
+   *  2. nearest-neighbor downsample to `side`×`side` using the SAME
+   *     index map as [[BmpCodec.resizeImage]]: src = dst·srcDim div side;
+   *  3. gray = (b + g + r) div 3 per cell (floor);
+   *  4. mean = Σgray div side² (floor);
+   *  5. bit i (i = y·side + x, row-major) = 1 iff grayᵢ >= mean.
+   * The 64 bits ship as two non-negative 32-bit halves (`hash_hi` =
+   * bits 32…63, `hash_lo` = bits 0…31) so neither engine touches the
+   * BIGINT sign bit. Non-image / undecodable payloads emit NO row (the
+   * [[imageTileStats]] totality convention). Narrow, no shuffle — at
+   * 100 TB this is a map over the asset scan; the grouping/banding that
+   * consumes it shuffles only (id, hash) slim rows.
+   * Output: (asset_id, width, height, hash_hi, hash_lo).
+   */
+  def imageHash(df: DataFrame, idCol: String, contentCol: String,
+      side: Int = 8, codec: MediaCodec = StubCodec): DataFrame = {
+    require(side >= 1 && side <= 8, s"side must be in 1..8, got $side")
+    val out = StructType(Seq(
+      StructField("asset_id", df.schema(idCol).dataType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("hash_hi", LongType),
+      StructField("hash_lo", LongType)))
+    val (idIdx, cIdx) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(contentCol))
+    implicit val enc = RowEncoder.encoderFor(out)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val px = codec.imageBgr(row.getAs[Array[Byte]](cIdx))
+        if (px == null) Iterator.empty
+        else {
+          val (w, h) = (px.width, px.height)
+          val n = side * side
+          val gray = new Array[Long](n)
+          var sum = 0L
+          var i = 0
+          while (i < n) {
+            val sx = (i % side) * w / side
+            val sy = (i / side) * h / side
+            val o = (sy * w + sx) * 3
+            val g = ((px.bgr(o) & 0xff) + (px.bgr(o + 1) & 0xff) +
+              (px.bgr(o + 2) & 0xff)) / 3
+            gray(i) = g
+            sum += g
+            i += 1
+          }
+          val mean = sum / n
+          var (hi, lo) = (0L, 0L)
+          i = 0
+          while (i < n) {
+            if (gray(i) >= mean) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          Iterator.single(Row(row.get(idIdx), w, h, hi, lo))
+        }
+      }
+    }.toDF(out.fieldNames.toIndexedSeq: _*)
+  }
+
+  /**
+   * Audio energy fingerprint — the [[imageHash]] twin for audio:
+   * windows the signal like [[audioEnergy]], thresholds each window's
+   * integer mean-square against the clip-level floor, and packs the
+   * loud/quiet pattern into one non-negative integer. Clips that share
+   * a fingerprint share their coarse energy envelope — exact grouping
+   * on (n_windows, fp) is the O(N) first stage of audio dedup, and the
+   * threshold itself is the VAD gate [[audioEnergy]] documents.
+   *
+   * Exact integer pipeline: window energies eᵢ = Σs² div n (floor, as
+   * [[audioEnergy]]); floor = Σeᵢ div n_windows (floor); bit i = 1 iff
+   * eᵢ >= floor; fp = Σ bitᵢ·2ⁱ over the FIRST min(n_windows, 62)
+   * windows (the documented prefix bound keeps fp inside a BIGINT —
+   * longer clips fingerprint their opening envelope). Non-audio /
+   * undecodable payloads emit NO row. Narrow, no shuffle.
+   * Output: (asset_id, n_windows, energy_floor, fp).
+   */
+  def audioFingerprint(df: DataFrame, idCol: String, contentCol: String,
+      windowSamples: Int, codec: MediaCodec = StubCodec): DataFrame = {
+    require(windowSamples >= 1, s"windowSamples must be >= 1, got $windowSamples")
+    val out = StructType(Seq(
+      StructField("asset_id", df.schema(idCol).dataType),
+      StructField("n_windows", IntegerType),
+      StructField("energy_floor", LongType),
+      StructField("fp", LongType)))
+    val (idIdx, cIdx) = (df.schema.fieldIndex(idCol), df.schema.fieldIndex(contentCol))
+    implicit val enc = RowEncoder.encoderFor(out)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val samples = codec.audioSamples(row.getAs[Array[Byte]](cIdx))
+        if (samples == null || samples.length == 0) Iterator.empty
+        else {
+          val nw = (samples.length + windowSamples - 1) / windowSamples
+          val e = new Array[Long](nw)
+          var total = 0L
+          var wi = 0
+          while (wi < nw) {
+            val off = wi * windowSamples
+            val end = math.min(off + windowSamples, samples.length)
+            var ss = 0L
+            var i = off
+            while (i < end) { val s = samples(i).toLong; ss += s * s; i += 1 }
+            e(wi) = ss / (end - off)
+            total += e(wi)
+            wi += 1
+          }
+          val floor = total / nw
+          var fp = 0L
+          wi = 0
+          while (wi < math.min(nw, 62)) {
+            if (e(wi) >= floor) fp |= 1L << wi
+            wi += 1
+          }
+          Iterator.single(Row(row.get(idIdx), nw, floor, fp))
+        }
+      }
+    }.toDF(out.fieldNames.toIndexedSeq: _*)
+  }
+
   /** Real feature extractor: 256-bin byte histogram (array<long>) — a
     * cheap content signature usable with graft.similarity. Narrow, no
     * shuffle, one pass per payload. */

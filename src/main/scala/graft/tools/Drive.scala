@@ -1297,6 +1297,33 @@ object Drive {
       println(s"rows=${lp.size} labeled nodes, all-7=${lp.values.forall(_ == 7L)} (expect true)")
     }
 
+    println("=== 43. round-8: perceptual signatures (aHash, audio fp, keyCanon) ===")
+    locally {
+      import spark.implicits._
+      val M = graft.multimodal.Multimodal
+      def gray(vs: Seq[Seq[Int]]) = M.BmpCodec.encode(vs.head.length, vs.length,
+        (x, y) => (vs(y)(x) << 16) | (vs(y)(x) << 8) | vs(y)(x))
+      val a = gray(Seq(Seq(0, 30), Seq(60, 90)))
+      val df = Seq((1L, a), (2L, a.clone()), (3L, "not an image".getBytes))
+        .toDF("id", "content")
+      val hs = M.imageHash(df, "id", "content", side = 2, codec = M.BmpCodec)
+        .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+      println(s"rows=${hs.size} hashes=$hs (expect List((1,0,12), (2,0,12)) — text emits none)")
+      val canon = graft.dedup.Dedup.keyCanon(
+          M.imageHash(df, "id", "content", side = 2, codec = M.BmpCodec),
+          "asset_id", Seq("hash_hi", "hash_lo"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      println(s"OK phash canon=${canon} (expect Map(1 -> 1, 2 -> 1))")
+      val wav = M.WavCodec.encode(1000, Array[Short](0, 0, 10, 10, 0, 0))
+      val fp = M.audioFingerprint(Seq((9L, wav)).toDF("id", "content"),
+          "id", "content", windowSamples = 2, codec = M.WavCodec).head
+      println(s"OK audio fp=(${fp.getInt(1)},${fp.getLong(2)},${fp.getLong(3)}) (expect (3,33,2))")
+      // error path: side out of range
+      val rej = try { M.imageHash(df, "id", "content", side = 0, codec = M.BmpCodec); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"OK side=0 rejected=$rej (expect true)")
+    }
+
     spark.stop()
   }
 }

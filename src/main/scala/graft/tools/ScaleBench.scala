@@ -583,6 +583,31 @@ object ScaleBench {
           .select(col("doc_id"), col("meta.sample_rate").as("sr"))
           .where(col("sr") >= 0)
       }),
+      // perceptual-hash image dedup (round 8): hex assembly + decode +
+      // aHash are map-only ×f; the ONLY shuffle is keyCanon's slim
+      // (id, hash_hi, hash_lo) agg + join back — shuffle ∝ f in rows
+      // but each row is 24 bytes, never the payload
+      "multimodal_phash" -> (() => {
+        val assets = docsPlain(f)
+          .withColumn("bh", (pmod(col("doc_id"), lit(5)) + 2).cast("int"))
+          .withColumn("hx", concat(
+            lit("424D"), lpad(hex(col("bh") * 24 + 54), 2, "0"), lit("000000"),
+            lit("00000000"), lit("36000000"), lit("28000000"), lit("08000000"),
+            lpad(hex(col("bh")), 2, "0"), lit("000000"), lit("0100"), lit("1800"),
+            lit("00000000"), lpad(hex(col("bh") * 24), 2, "0"), lit("000000"),
+            lit("130B0000"), lit("130B0000"), lit("00000000"), lit("00000000"),
+            expr("""aggregate(sequence(0, bh - 1), '', (acc, r) -> acc ||
+              aggregate(sequence(0, 7), '', (a2, x) ->
+                a2 || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3, 256)), 2, '0')
+                   || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 85, 256)), 2, '0')
+                   || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 170, 256)), 2, '0')))""")))
+          .select(col("doc_id"), unhex(col("hx")).as("content"))
+        val hashes = graft.multimodal.Multimodal.imageHash(
+          assets, "doc_id", "content", side = 8,
+          codec = graft.multimodal.Multimodal.BmpCodec)
+        graft.dedup.Dedup.keyCanon(hashes, "asset_id", Seq("hash_hi", "hash_lo"))
+          .where(col("canon_id") >= 0)
+      }),
       // small-file compaction (round 8): fragmentation ×f (3 appends of
       // a ×f table), the rewrite is ONE repartition of the whole table
       // — wall and shuffle ∝ f, the price paid per MAINTENANCE run
