@@ -1342,3 +1342,33 @@ def key_canon(df, id_col, key_cols):
     (id_col, canon_id)."""
     cols = key_cols if isinstance(key_cols, str) else ",".join(key_cols)
     return _wrap(df, _facade(df).keyCanon(df._jdf, id_col, cols))
+
+
+def decontam_semantic(corpus, id_col, vec_col, bench, bench_id_col,
+                      bench_vec_col, tau=0.9):
+    """Semantic decontamination: flag corpus rows whose embedding has
+    rounded cosine >= tau against ANY benchmark embedding (broadcast
+    bench — the corpus never shuffles). Hit-only output: (doc, n_hits,
+    best_bench, best_cos_r6), best = cos desc / bench id asc."""
+    return _wrap(corpus, _facade(corpus).decontamSemantic(
+        corpus._jdf, id_col, vec_col, bench._jdf, bench_id_col,
+        bench_vec_col, float(tau)))
+
+
+def robust_outliers(df, group_cols, value_col, k=3):
+    """MAD-based robust outlier flags per group: |v - median| > k * MAD
+    with the exact integer median/MAD (quantiles' p50 rule). value_col
+    must be integral (pre-scale continuous features to micro-units).
+    Adds abs_dev, group_med, group_mad, is_outlier."""
+    cols = group_cols if isinstance(group_cols, str) else ",".join(group_cols)
+    return _wrap(df, _facade(df).robustOutliers(df._jdf, cols, value_col,
+                                                int(k)))
+
+
+def decayed_sum(events, key_col, ts_col, tie_col, value_col, steps=8):
+    """Exponentially-decayed activity sum: over the last `steps` events
+    of the key (current included, ordered by ts then tie), each step
+    back halves the weight (current 2^(steps-1), oldest 1); missing
+    lags count 0. value_col must be integral. Adds decay_sum."""
+    return _wrap(events, _facade(events).decayedSum(
+        events._jdf, key_col, ts_col, tie_col, value_col, int(steps)))

@@ -1198,3 +1198,30 @@ class TestRound8(object):
         df = local_spark.createDataFrame([(1, bytearray(wav))], ["id", "content"])
         r = P.audio_fingerprint(df, "id", window_samples=2).collect()[0]
         assert (r["n_windows"], r["energy_floor"], r["fp"]) == (3, 33, 2)
+
+    def test_decontam_semantic(self, local_spark):
+        corpus = local_spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [0.6, 0.8])], ["id", "vec"])
+        bench = local_spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, [0.8, 0.6])], ["bid", "bvec"])
+        got = {r["doc"]: (r["n_hits"], r["best_bench"]) for r in
+               P.decontam_semantic(corpus, "id", "vec", bench, "bid",
+                                   "bvec", tau=0.9).collect()}
+        assert got == {1: (1, 10), 3: (1, 11)}
+
+    def test_robust_outliers(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("g", 1, 1), ("g", 2, 2), ("g", 3, 3), ("g", 4, 100)],
+            ["grp", "id", "v"])
+        got = {r["id"]: r["is_outlier"] for r in
+               P.robust_outliers(df, "grp", "v", k=3).collect()}
+        assert got == {1: False, 2: False, 3: False, 4: True}
+
+    def test_decayed_sum(self, local_spark):
+        ev = local_spark.createDataFrame(
+            [(1, 7, 10, 1), (2, 7, 20, 2), (3, 7, 30, 3)],
+            ["event_id", "user_id", "us", "v"])
+        got = {r["event_id"]: r["decay_sum"] for r in
+               P.decayed_sum(ev, "user_id", "us", "event_id", "v",
+                             steps=2).collect()}
+        assert got == {1: 2, 2: 5, 3: 8}

@@ -610,6 +610,18 @@ object SparkEntry {
         n = 5, theta = 0.1)
     }),
 
+    // SEMANTIC decontamination: corpus embeddings vs a disjoint
+    // benchmark slice (every 17th vector), exact rounded cosine against
+    // the broadcast bench — flags the paraphrase-contamination n-gram
+    // digests miss; hit-only output, best = cos desc / bench id asc
+    "decontam_semantic" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Dedup.decontamSemantic(
+        emb.where(pmod(col("vec_id"), lit(17)) =!= 0), "vec_id", "embedding",
+        emb.where(pmod(col("vec_id"), lit(17)) === 0), "vec_id", "embedding",
+        tau = 0.3)
+    }),
+
     // segment-level (C4-style line) dedup: global first-occurrence
     // survival of 8-token segments, documents reassembled from their
     // surviving segments
@@ -1806,6 +1818,27 @@ object SparkEntry {
         tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
         Seq("source"), "n_chars", numBins = 4)),
 
+    // MAD-based robust outlier flags: per-source median + median
+    // absolute deviation over the n_chars histogram, |v-med| > 2·MAD
+    // (k=2, the aggressive screen — the gate data is near-uniform, so
+    // k=3 would never fire) — pure integers, outlier-inflation-proof
+    "q_outliers" -> ((s, dir) =>
+      graft.stats.GroupStats.robustOutliers(
+        tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
+        Seq("source"), "n_chars", k = 2)),
+
+    // exponentially-decayed engagement score: per-user halving weights
+    // over the last 8 events (cents-exact integer values, power-of-two
+    // weights) — the freshness feature beside events_trailing
+    "events_decay" -> ((s, dir) => {
+      val ev = microTs(tbl(s, dir, "events"))
+      val base = ev.select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("t_us"),
+        (col("value").cast("decimal(38,8)") * 100).cast("long").as("v_cents"))
+      graft.streaming.EventWindows.decayedSum(base, "user_id", "t_us",
+        "event_id", "v_cents", steps = 8)
+    }),
+
     // two-proportion A/B report: variant = user parity, success =
     // purchase events; exact integer counts -> IEEE z in micro-units
     "events_abtest" -> ((s, dir) => {
@@ -2963,6 +2996,24 @@ object SparkEntry {
          |       CAST(count(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) >= 0.1 contaminated
          |FROM j GROUP BY 1""".stripMargin,
 
+    // exact rounded cosine of every (corpus, bench) pair, hit filter,
+    // count + best via the (cos desc, bid asc) row_number — the window
+    // form is oracle-only; the engine aggregates hit rows
+    "decontam_semantic" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+        |cc AS (SELECT * FROM e WHERE vec_id % 17 <> 0),
+        |bb AS (SELECT * FROM e WHERE vec_id % 17 = 0),
+        |s AS (SELECT cc.vec_id doc, bb.vec_id bid,
+        |        round(list_inner_product(cc.v, bb.v)
+        |          / (sqrt(list_inner_product(cc.v, cc.v))
+        |           * sqrt(list_inner_product(bb.v, bb.v))), 6) cos_r6
+        |      FROM cc CROSS JOIN bb)
+        |SELECT doc, n_hits, best_bench, best_cos_r6 FROM (
+        |  SELECT doc, CAST(count(*) OVER (PARTITION BY doc) AS BIGINT) n_hits,
+        |         bid best_bench, cos_r6 best_cos_r6,
+        |         row_number() OVER (PARTITION BY doc ORDER BY cos_r6 DESC, bid) rn
+        |  FROM s WHERE cos_r6 >= 0.3) WHERE rn = 1""".stripMargin,
+
     // global first-occurrence (min (doc_id, idx)) per distinct 8-token
     // segment, reassembly in original idx order; the window form is
     // oracle-only — the engine runs the agg+join-back shape
@@ -4068,6 +4119,49 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars,
         |  CAST(((w.cum - 1) * 4) // w.tot AS BIGINT) bin
         |FROM documents d JOIN w ON d.source = w.source AND d.n_chars = w.n_chars""".stripMargin,
+
+    // the p50 histogram replay twice (values, then absolute
+    // deviations), pure integer comparisons — no doubles anywhere
+    "q_outliers" ->
+      """WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) cnt
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, n_chars,
+        |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) tot FROM h),
+        |med AS (SELECT source,
+        |          min(CASE WHEN 100 * cum >= 50 * tot THEN n_chars END) m
+        |        FROM c GROUP BY 1),
+        |d AS (SELECT doc_id, d0.source, n_chars,
+        |        CAST(abs(n_chars - m) AS BIGINT) dev, CAST(m AS BIGINT) m
+        |      FROM documents d0 JOIN med ON d0.source = med.source),
+        |h2 AS (SELECT source, dev, CAST(count(*) AS BIGINT) cnt FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT source, dev,
+        |         CAST(sum(cnt) OVER (PARTITION BY source ORDER BY dev) AS BIGINT) cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) tot FROM h2),
+        |mad AS (SELECT source,
+        |          min(CASE WHEN 100 * cum >= 50 * tot THEN dev END) gm
+        |        FROM c2 GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars, d.m group_med, d.dev abs_dev,
+        |       CAST(mad.gm AS BIGINT) group_mad, d.dev > 2 * mad.gm is_outlier
+        |FROM d JOIN mad ON d.source = mad.source""".stripMargin,
+
+    // 8 explicit lags with halving power-of-two weights over the
+    // (t_us, event_id) total order; missing lags count 0 — pure 64-bit
+    // integer math in both engines
+    "events_decay" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 t_us,
+        |             CAST(CAST(value AS DECIMAL(38,8)) * 100 AS BIGINT) v_cents
+        |           FROM events)
+        |SELECT event_id, user_id, t_us, v_cents,
+        |    coalesce(lag(v_cents, 0) OVER w, 0) * 128
+        |  + coalesce(lag(v_cents, 1) OVER w, 0) * 64
+        |  + coalesce(lag(v_cents, 2) OVER w, 0) * 32
+        |  + coalesce(lag(v_cents, 3) OVER w, 0) * 16
+        |  + coalesce(lag(v_cents, 4) OVER w, 0) * 8
+        |  + coalesce(lag(v_cents, 5) OVER w, 0) * 4
+        |  + coalesce(lag(v_cents, 6) OVER w, 0) * 2
+        |  + coalesce(lag(v_cents, 7) OVER w, 0) * 1 decay_sum
+        |FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)""".stripMargin,
 
     // exact integer counts then the identical IEEE z sequence
     "events_abtest" ->

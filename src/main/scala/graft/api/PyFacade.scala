@@ -1038,6 +1038,29 @@ object PyFacade {
     graft.dedup.Dedup.keyCanon(df, idCol,
       keyColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
 
+  /** Semantic decontamination: corpus rows near-identical (rounded
+    * cosine >= tau) to ANY broadcast benchmark embedding; hit-only. */
+  def decontamSemantic(corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      tau: Double): DataFrame =
+    graft.dedup.Dedup.decontamSemantic(corpus, idCol, vecCol,
+      bench, benchIdCol, benchVecCol, tau)
+
+  /** MAD-based robust outlier flags per group; valueCol must be
+    * integral (micro-unit discipline). */
+  def robustOutliers(df: DataFrame, groupColsCsv: String, valueCol: String,
+      k: Int): DataFrame =
+    graft.stats.GroupStats.robustOutliers(df,
+      groupColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      valueCol, k)
+
+  /** Exponentially-decayed per-key activity sum over the last `steps`
+    * events (power-of-two weights, integral values). */
+  def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, steps: Int): DataFrame =
+    graft.streaming.EventWindows.decayedSum(events, keyCol, tsCol,
+      tieCol, valueCol, steps)
+
   // --- streaming-unified ------------------------------------------------
 
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =

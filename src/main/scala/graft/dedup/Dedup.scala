@@ -466,6 +466,51 @@ object Dedup {
   }
 
   /**
+   * SEMANTIC decontamination — [[decontaminate]]'s embedding-space twin:
+   * flag corpus rows whose embedding is near-identical (cosine >= `tau`,
+   * rounded to 6 decimals — the library-wide `cos_r6` discipline) to ANY
+   * benchmark embedding. Catches the contamination n-gram digests miss:
+   * paraphrased or re-formatted benchmark items that embed next to the
+   * original (the GPT-4/Llama report methodology).
+   *
+   * Output: ONE row per FLAGGED corpus doc — `(doc, n_hits, best_bench,
+   * best_cos_r6)`, best = highest rounded cosine, ties to the smallest
+   * benchmark id; unflagged docs emit nothing (the hit-only convention
+   * of [[decontaminate]] — left-join the result to keep all rows).
+   *
+   * Scale shape: the benchmark rides a broadcast (B·dim doubles —
+   * benchmark suites are model-sized, not corpus-sized); scoring is a
+   * broadcast nested-loop over N×B map-side, and ONLY hit rows (doc,
+   * bid, cos) enter the doc-keyed aggregate — the corpus itself never
+   * shuffles, matching the digest decontam's constant-shuffle contract.
+   */
+  def decontamSemantic(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      bench: DataFrame, benchIdCol: String, benchVecCol: String,
+      tau: Double): DataFrame = {
+    require(tau >= -1.0 && tau <= 1.0, s"tau must be in [-1, 1], got $tau")
+    import graft.similarity.Similarity
+    val c = corpus
+      .select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("nrm", Similarity.l2norm(col("v")))
+    val b = broadcast(bench
+      .select(col(benchIdCol).as("bid"),
+        col(benchVecCol).cast("array<double>").as("bv"))
+      .withColumn("bnrm", Similarity.l2norm(col("bv"))))
+    val hits = c.crossJoin(b)
+      .select(col("doc"), col("bid"),
+        round(Similarity.dot(col("v"), col("bv")) / (col("nrm") * col("bnrm")), 6)
+          .as("cos_r6"))
+      .where(col("cos_r6") >= tau)
+    hits.groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(struct(negate(col("cos_r6")).as("s"), col("bid").as("i"))).as("__b"),
+        max(col("cos_r6")).as("best_cos_r6"))
+      .select(col("doc"), col("n_hits"), col("__b.i").as("best_bench"),
+        col("best_cos_r6"))
+  }
+
+  /**
    * Segment-level (C4-style "line") deduplication across the whole
    * corpus: split every document into consecutive `seg`-token segments,
    * keep only the FIRST occurrence of each distinct segment — first =

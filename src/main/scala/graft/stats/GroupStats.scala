@@ -232,6 +232,63 @@ object GroupStats {
       .drop("__n", "__sm", "__sq")
   }
 
+  /**
+   * Robust (MAD-based) outlier flags — the quality-screening pass that
+   * survives the outliers it hunts: z-scores ([[standardize]]) use the
+   * mean/stddev, which the outliers themselves inflate; the median and
+   * the median-absolute-deviation are 50%-breakdown estimators, so a
+   * contaminated tail cannot hide itself. Flags every row with
+   * `|v − median| > k·MAD` per group (the classic k = 3 "modified
+   * z-score" screen, Iglewicz–Hoaglin without the 0.6745 constant —
+   * pure integers instead).
+   *
+   * Engine-exact by construction: `valueCol` must be integral (the
+   * [[standardize]] micro-unit discipline), the median is
+   * [[quantiles]]' p50 (smallest value with 100·cum ≥ 50·total over the
+   * DISTINCT-value histogram), deviations are exact longs, and the MAD
+   * is the same p50 applied to the deviation histogram. No doubles
+   * anywhere — two engines agree digit for digit.
+   *
+   * Scale shape: two histogram passes (distinct-value-sized shuffles,
+   * never data-row windows) + two equi-joins back — the
+   * [[quantileBins]] exchange discipline twice. A group's WHOLE
+   * distribution never sits in one task. Degenerate groups: when MAD
+   * = 0 (more than half the group sits at the median) the strict
+   * inequality flags every row off the median — the documented
+   * contract for near-constant groups; null values get null flags
+   * (excluded from both histograms).
+   *
+   * Output: the input columns + `abs_dev`, `group_med`, `group_mad`,
+   * `is_outlier`.
+   */
+  def robustOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int = 3): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"`$valueCol` must be an integral type (pre-scale continuous features " +
+        s"to micro-units), got ${df.schema(valueCol).dataType.simpleString}")
+    val reserved = Seq("abs_dev", "group_med", "group_mad", "is_outlier", "__dev")
+    val clash = df.columns.filter(reserved.contains)
+    require(clash.isEmpty, s"reserved column names in use: ${clash.mkString(", ")}")
+    val med = quantiles(df, groupCols, valueCol, Seq(50))
+      .select(groupCols.map(col) :+ col("p50").cast("long").as("group_med"): _*)
+    val withMed = df.join(med, groupCols, "left")
+      .withColumn("__dev",
+        abs(col(valueCol).cast("long") - col("group_med")))
+    val mad = quantiles(withMed.where(col("__dev").isNotNull),
+        groupCols, "__dev", Seq(50))
+      .select(groupCols.map(col) :+ col("p50").cast("long").as("group_mad"): _*)
+    withMed.join(mad, groupCols, "left")
+      .withColumn("abs_dev", col("__dev"))
+      .withColumn("is_outlier",
+        when(col("__dev").isNotNull, col("__dev") > lit(k.toLong) * col("group_mad")))
+      .drop("__dev")
+  }
+
   /** Hot-value profile: the k most frequent values of a column with
     * counts and dense ranks — the skew diagnostic a 100 TB run consults
     * before choosing salting/broadcast strategies (which keys would

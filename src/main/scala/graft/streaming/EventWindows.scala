@@ -184,4 +184,48 @@ object EventWindows {
       .withColumn(outCol, count(lit(1)).over(w))
       .drop(us)
   }
+
+  /**
+   * Exponentially-decayed activity feature — the recency-weighted
+   * engagement score every feature store keeps beside [[trailingCount]]
+   * (freshness weighting for ranking, churn signals, per-user
+   * temperature for sampling): over the last `steps` events of the same
+   * key (current included), each step back halves the weight, and the
+   * weighted sum lands beside the row.
+   *
+   * Integer contract (the library-wide oracle discipline): `valueCol`
+   * must be INTEGRAL (pre-scale continuous values to micro-units — the
+   * [[graft.stats.GroupStats.standardize]] rule), the weights are exact
+   * powers of two (current event 2^(steps−1), oldest 2^0), missing lags
+   * count 0, so `decay_sum = Σⱼ v(t−j)·2^(steps−1−j)` is pure 64-bit
+   * integer math both engines replay digit for digit. Overflow bound:
+   * |v|·2^steps·steps must fit a long — with micro-unit values up to
+   * ~1e12 the default 8 steps leaves 10³ headroom.
+   *
+   * Ordering is (`tsCol`, `tieCol`) ascending — the tie column (an
+   * event id) makes the lag sequence a total order no partitioning can
+   * perturb. One window over `steps` bounded lags per row: a single
+   * key-partitioned sort, state O(steps), never an event×event join.
+   */
+  def decayedSum(events: DataFrame, keyCol: String, tsCol: String,
+      tieCol: String, valueCol: String, steps: Int = 8,
+      outCol: String = "decay_sum"): DataFrame = {
+    require(steps >= 1 && steps <= 62,
+      s"steps must be in 1..62 (power-of-two weights in a long), got $steps")
+    require(!events.columns.contains(outCol),
+      s"output column `$outCol` already exists on the input")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    require(integral.contains(events.schema(valueCol).dataType),
+      s"`$valueCol` must be an integral type (pre-scale continuous values " +
+        s"to micro-units), got ${events.schema(valueCol).dataType.simpleString}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val v = col(valueCol).cast("long")
+    val terms = (0 until steps).map { j =>
+      coalesce(lag(v, j).over(w), lit(0L)) * lit(1L << (steps - 1 - j))
+    }
+    events.withColumn(outCol, terms.reduce(_ + _))
+  }
 }

@@ -1324,6 +1324,36 @@ object Drive {
       println(s"OK side=0 rejected=$rej (expect true)")
     }
 
+    println("=== 44. round-8: semantic decontam, robust outliers, decayed sums ===")
+    locally {
+      import spark.implicits._
+      val corpus = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)),
+        (3L, Seq(0.6f, 0.8f))).toDF("id", "vec")
+      val bench = Seq((10L, Seq(1.0f, 0.0f)), (11L, Seq(0.8f, 0.6f)))
+        .toDF("bid", "bvec")
+      val hits = graft.dedup.Dedup.decontamSemantic(corpus, "id", "vec",
+          bench, "bid", "bvec", tau = 0.9)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+      println(s"rows=${hits.size} semantic hits=$hits (expect List((1,1,10), (3,1,11)))")
+      val rejTau =
+        try { graft.dedup.Dedup.decontamSemantic(corpus, "id", "vec", bench, "bid", "bvec", 2.0); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"OK tau=2 rejected=$rejTau (expect true)")
+
+      val vals = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 100L))
+        .toDF("grp", "id", "v")
+      val fl = graft.stats.GroupStats.robustOutliers(vals, Seq("grp"), "v", k = 3)
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Boolean]("is_outlier")).toMap
+      println(s"rows=${fl.size} outlier flags, only-100=${fl == Map(1L -> false, 2L -> false, 3L -> false, 4L -> true)} (expect true)")
+
+      val ev = Seq((1L, 7L, 10L, 1L), (2L, 7L, 20L, 2L), (3L, 7L, 30L, 3L))
+        .toDF("event_id", "user_id", "us", "v")
+      val ds = graft.streaming.EventWindows.decayedSum(ev, "user_id", "us",
+          "event_id", "v", steps = 2)
+        .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("decay_sum")).toMap
+      println(s"OK decayed sums=${ds.toSeq.sortBy(_._1)} (expect List((1,2), (2,5), (3,8)))")
+    }
+
     spark.stop()
   }
 }

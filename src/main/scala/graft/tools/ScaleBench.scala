@@ -608,6 +608,39 @@ object ScaleBench {
         graft.dedup.Dedup.keyCanon(hashes, "asset_id", Seq("hash_hi", "hash_lo"))
           .where(col("canon_id") >= 0)
       }),
+      // semantic decontam (round 8): corpus ×f, benchmark CONSTANT and
+      // broadcast — the corpus rides a map-side nested loop; the only
+      // shuffle is the doc-keyed agg over HIT rows (slim, ∝ hits)
+      "decontam_semantic" -> (() => {
+        val bench = spark.read.parquet(s"$sfDir/embeddings.parquet")
+          .where(pmod(col("vec_id"), lit(17)) === 0)
+        graft.dedup.Dedup.decontamSemantic(
+          embs(f).where(pmod(col("vec_id"), lit(17)) =!= 0), "vec_id", "embedding",
+          bench, "vec_id", "embedding", tau = 0.3)
+          .where(col("n_hits") >= 0)
+      }),
+      // MAD outliers (round 8): data rows ×f but the two histogram
+      // exchanges stay distinct-value-sized and the med/mad join-backs
+      // broadcast — shuffle should stay near-constant while scan ∝ f
+      "q_outliers" -> (() => {
+        val docs = docsPlain(f).withColumn("n_chars", length(col("text")).cast("long"))
+          .select("doc_id", "source", "n_chars")
+        graft.stats.GroupStats.robustOutliers(docs, Seq("source"), "n_chars", k = 2)
+          .where(col("abs_dev") >= 0)
+      }),
+      // decayed sums (round 8): one key-partitioned window sort, state
+      // O(steps) per row — shuffle ∝ f slim rows, never event×event
+      "events_decay" -> (() => {
+        val ev = events(f).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          (col("value").cast("decimal(38,8)") * 100).cast("long").as("v_cents"))
+        graft.streaming.EventWindows.decayedSum(ev, "user_id", "t_us",
+          "event_id", "v_cents", steps = 8)
+          // v_cents >= 0 on this data, so the guard keeps every row —
+          // but it references decay_sum, so count() cannot prune the
+          // window (a tautology over the column gets simplified away)
+          .where(col("decay_sum") >= 0)
+      }),
       // small-file compaction (round 8): fragmentation ×f (3 appends of
       // a ×f table), the rewrite is ONE repartition of the whole table
       // — wall and shuffle ∝ f, the price paid per MAINTENANCE run

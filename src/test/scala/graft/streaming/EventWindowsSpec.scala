@@ -257,4 +257,49 @@ class EventWindowsSpec extends AnyFlatSpec with Matchers {
       out(id) shouldBe want.toLong
     }
   }
+
+  behavior of "EventWindows.decayedSum"
+
+  it should "halve weights per step back with missing lags as 0" in {
+    // steps=2: weights current 2, previous 1
+    val ev = Seq((1L, 7L, 10L, 1L), (2L, 7L, 20L, 2L), (3L, 7L, 30L, 3L))
+      .toDF("event_id", "user_id", "us", "v")
+    val out = EventWindows.decayedSum(ev, "user_id", "us", "event_id", "v",
+        steps = 2)
+      .select("event_id", "decay_sum").as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 2L, 2L -> 5L, 3L -> 8L)
+  }
+
+  it should "order same-timestamp events by the tie column" in {
+    val ev = Seq((2L, 7L, 10L, 100L), (1L, 7L, 10L, 1L))
+      .toDF("event_id", "user_id", "us", "v")
+    val out = EventWindows.decayedSum(ev, "user_id", "us", "event_id", "v",
+        steps = 2)
+      .select("event_id", "decay_sum").as[(Long, Long)].collect().toMap
+    // order is (us, event_id): id 1 first (2·1), then id 2 (2·100 + 1)
+    out shouldBe Map(1L -> 2L, 2L -> 201L)
+  }
+
+  it should "keep users independent" in {
+    val ev = Seq((1L, 7L, 10L, 5L), (2L, 8L, 20L, 5L))
+      .toDF("event_id", "user_id", "us", "v")
+    val out = EventWindows.decayedSum(ev, "user_id", "us", "event_id", "v",
+        steps = 3)
+      .select("event_id", "decay_sum").as[(Long, Long)].collect().toMap
+    out shouldBe Map(1L -> 20L, 2L -> 20L) // both are their user's first
+  }
+
+  it should "reject bad steps, non-integral values, and column clashes" in {
+    val ev = Seq((1L, 7L, 10L, 1L)).toDF("event_id", "user_id", "us", "v")
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.decayedSum(ev, "user_id", "us", "event_id", "v", steps = 0)
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.decayedSum(ev, "user_id", "us", "event_id", "v", steps = 63)
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.decayedSum(ev.withColumn("vd", ev("v").cast("double")),
+        "user_id", "us", "event_id", "vd")
+    an[IllegalArgumentException] should be thrownBy
+      EventWindows.decayedSum(ev.withColumn("decay_sum", ev("v")),
+        "user_id", "us", "event_id", "v")
+  }
 }
