@@ -1365,6 +1365,25 @@ def robust_outliers(df, group_cols, value_col, k=3):
                                                 int(k)))
 
 
+def int_kmeans(df, id_col, vec_col, k, rounds=2, scale=1000000):
+    """Deterministic integer k-means: coordinates floor-quantized to
+    fixed point, init = the k rows with the smallest md5(id), nearest
+    centroid by integer squared L2 (ties to the smaller index),
+    truncating-division centroid updates — bit-identical assignments
+    across engines and partitionings. Output: (doc, cluster, d2)."""
+    return _wrap(df, _facade(df).intKMeans(df._jdf, id_col, vec_col,
+                                           int(k), int(rounds), int(scale)))
+
+
+def knn_label_accuracy(df, id_col, vec_col, label_col):
+    """Embedding-quality eval: per-label leave-one-out 1-NN agreement
+    (neighbor = cos_r6 desc / id asc, self excluded; null labels
+    excluded both ways). Output: (label_col, n, n_correct, acc_micro)
+    with acc_micro = n_correct*1e6 div n."""
+    return _wrap(df, _facade(df).knnLabelAccuracy(df._jdf, id_col, vec_col,
+                                                  label_col))
+
+
 def decayed_sum(events, key_col, ts_col, tie_col, value_col, steps=8):
     """Exponentially-decayed activity sum: over the last `steps` events
     of the key (current included, ordered by ts then tie), each step

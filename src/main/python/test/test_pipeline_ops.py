@@ -1217,6 +1217,26 @@ class TestRound8(object):
                P.robust_outliers(df, "grp", "v", k=3).collect()}
         assert got == {1: False, 2: False, 3: False, 4: True}
 
+    def test_knn_label_accuracy(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+             (3, [0.0, 1.0], "b"), (4, [0.1, 0.9], "b")],
+            ["id", "vec", "lbl"])
+        got = {r["lbl"]: (r["n"], r["n_correct"], r["acc_micro"]) for r in
+               P.knn_label_accuracy(df, "id", "vec", "lbl").collect()}
+        assert got == {"a": (2, 2, 1000000), "b": (2, 2, 1000000)}
+
+    def test_int_kmeans(self, local_spark):
+        pts = local_spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [0.01, 0.0]), (3, [0.0, 0.01]),
+             (11, [1.0, 1.0]), (12, [0.99, 1.0]), (13, [1.0, 0.99])],
+            ["id", "vec"])
+        rows = P.int_kmeans(pts, "id", "vec", k=2, rounds=3).collect()
+        blobs = {}
+        for r in rows:
+            blobs.setdefault(r["cluster"], set()).add(r["doc"])
+        assert sorted(map(sorted, blobs.values())) == [[1, 2, 3], [11, 12, 13]]
+
     def test_decayed_sum(self, local_spark):
         ev = local_spark.createDataFrame(
             [(1, 7, 10, 1), (2, 7, 20, 2), (3, 7, 30, 3)],

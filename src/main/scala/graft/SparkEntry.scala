@@ -1409,6 +1409,24 @@ object SparkEntry {
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
+    // deterministic integer k-means: fixed-point Lloyd (floor-quantized
+    // coordinates, md5-seeded init, truncating-division centroid
+    // updates, ties to the smaller centroid index) — 2 full sweeps
+    // replayed as MATERIALIZED CTE rounds, bit-identical assignments
+    "ml_kmeans" -> ((s, dir) =>
+      graft.ml.IntKMeans.assign(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 4, rounds = 2)),
+
+    // embedding-quality eval: leave-one-out 1-NN label agreement per
+    // class (cos_r6 desc / id asc neighbor, micro-unit accuracy) over
+    // a 500-row labeled eval slice — the harness is eval-set-sized by
+    // design (Q·N dot products); corpus sweeps feed the same agreement
+    // aggregate from the IVF retrieval path instead
+    "ml_knn_eval" -> ((s, dir) =>
+      graft.ml.Eval.knnLabelAccuracy(
+        tbl(s, dir, "embeddings").where(col("vec_id") < 500),
+        "vec_id", "embedding", "label")),
+
     // PQ ADC + exact re-rank end-to-end: deterministic per-subspace
     // k-means codebooks (id-ordered sample init, 2 Lloyd rounds), ADC
     // scan over 8-byte codes, shortlist re-ranked EXACTLY on the
@@ -3869,6 +3887,70 @@ object SparkEntry {
     // the k-means + explicit-centroid path without depending on
     // centroid quality
     "simsearch_ivf_trained" -> simsearchExactTopkSql,
+
+    // the full fixed-point Lloyd replay: quantize, md5-seeded init,
+    // two assign+update sweeps (floor-division centroid means, empty
+    // cells keep their centroid), final assignment with (d2, cid) ties
+    "ml_kmeans" ->
+      """WITH v AS MATERIALIZED (
+        |  SELECT vec_id doc,
+        |    [CAST(floor(x * 1000000) AS BIGINT) for x in CAST(embedding AS DOUBLE[])] vint
+        |  FROM embeddings),
+        |vex AS MATERIALIZED (
+        |  SELECT doc, generate_subscripts(vint, 1) - 1 pos, unnest(vint) val FROM v),
+        |c0 AS MATERIALIZED (
+        |  SELECT cid, generate_subscripts(vint, 1) - 1 pos, unnest(vint) val FROM (
+        |    SELECT vint, row_number() OVER (ORDER BY md5(CAST(doc AS VARCHAR)), doc) - 1 cid
+        |    FROM (SELECT doc, vint FROM v ORDER BY md5(CAST(doc AS VARCHAR)), doc LIMIT 4))),
+        |a1 AS MATERIALIZED (
+        |  SELECT doc, cid FROM (
+        |    SELECT doc, cid, row_number() OVER (PARTITION BY doc ORDER BY d2, cid) rn
+        |    FROM (SELECT e.doc, c.cid, sum((e.val - c.val)*(e.val - c.val)) d2
+        |          FROM vex e JOIN c0 c ON e.pos = c.pos GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |c1 AS MATERIALIZED (
+        |  SELECT c0.cid, c0.pos, coalesce(u.val, c0.val) val
+        |  FROM c0 LEFT JOIN (
+        |    SELECT a.cid, e.pos, sum(e.val) // count(*) val
+        |    FROM a1 a JOIN vex e ON a.doc = e.doc GROUP BY 1, 2) u
+        |    ON c0.cid = u.cid AND c0.pos = u.pos),
+        |a2 AS MATERIALIZED (
+        |  SELECT doc, cid FROM (
+        |    SELECT doc, cid, row_number() OVER (PARTITION BY doc ORDER BY d2, cid) rn
+        |    FROM (SELECT e.doc, c.cid, sum((e.val - c.val)*(e.val - c.val)) d2
+        |          FROM vex e JOIN c1 c ON e.pos = c.pos GROUP BY 1, 2))
+        |  WHERE rn = 1),
+        |c2 AS MATERIALIZED (
+        |  SELECT c1.cid, c1.pos, coalesce(u.val, c1.val) val
+        |  FROM c1 LEFT JOIN (
+        |    SELECT a.cid, e.pos, sum(e.val) // count(*) val
+        |    FROM a2 a JOIN vex e ON a.doc = e.doc GROUP BY 1, 2) u
+        |    ON c1.cid = u.cid AND c1.pos = u.pos)
+        |SELECT doc, CAST(cid AS INTEGER) "cluster", CAST(d2 AS BIGINT) d2 FROM (
+        |  SELECT doc, cid, d2, row_number() OVER (PARTITION BY doc ORDER BY d2, cid) rn
+        |  FROM (SELECT e.doc, c.cid, sum((e.val - c.val)*(e.val - c.val)) d2
+        |        FROM vex e JOIN c2 c ON e.pos = c.pos GROUP BY 1, 2))
+        |WHERE rn = 1""".stripMargin,
+
+    // exact leave-one-out 1-NN replay (cross join + row_number), label
+    // join on both ends, micro-unit accuracy by integer division;
+    // LABEL is reserved in this dialect — the alias is quoted
+    "ml_knn_eval" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label
+        |           FROM embeddings WHERE label IS NOT NULL AND vec_id < 500),
+        |nn AS (SELECT qid, cid FROM (
+        |  SELECT a.vec_id qid, b.vec_id cid,
+        |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+        |      round(list_inner_product(a.v, b.v)
+        |        / (sqrt(list_inner_product(a.v, a.v))
+        |         * sqrt(list_inner_product(b.v, b.v))), 6) DESC, b.vec_id) rn
+        |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn = 1)
+        |SELECT qa.label "label", CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(CASE WHEN qa.label = qb.label THEN 1 ELSE 0 END) AS BIGINT) n_correct,
+        |  (CAST(sum(CASE WHEN qa.label = qb.label THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000) // CAST(count(*) AS BIGINT) acc_micro
+        |FROM nn JOIN e qa ON nn.qid = qa.vec_id JOIN e qb ON nn.cid = qb.vec_id
+        |GROUP BY 1""".stripMargin,
     // PQ gate: the unbounded shortlist makes the row structurally exact
     // (every candidate is exact-re-ranked), so the exact oracle applies
     "simsearch_pq" -> simsearchExactTopkSql,

@@ -1061,6 +1061,17 @@ object PyFacade {
     graft.streaming.EventWindows.decayedSum(events, keyCol, tsCol,
       tieCol, valueCol, steps)
 
+  /** Deterministic integer k-means cluster assignments (fixed-point
+    * Lloyd, md5-seeded init, bit-identical across partitionings). */
+  def intKMeans(df: DataFrame, idCol: String, vecCol: String,
+      k: Int, rounds: Int, scale: Long): DataFrame =
+    graft.ml.IntKMeans.assign(df, idCol, vecCol, k, rounds, scale)
+
+  /** Per-label leave-one-out 1-NN agreement (micro-unit accuracy). */
+  def knnLabelAccuracy(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    graft.ml.Eval.knnLabelAccuracy(df, idCol, vecCol, labelCol)
+
   // --- streaming-unified ------------------------------------------------
 
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =

@@ -1352,6 +1352,26 @@ object Drive {
           "event_id", "v", steps = 2)
         .collect().map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("decay_sum")).toMap
       println(s"OK decayed sums=${ds.toSeq.sortBy(_._1)} (expect List((1,2), (2,5), (3,8)))")
+
+      // integer k-means: two obvious blobs separate whatever the seeds
+      val pts = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(0.01f, 0.0f)),
+        (11L, Seq(1.0f, 1.0f)), (12L, Seq(0.99f, 1.0f))).toDF("id", "vec")
+      val km = graft.ml.IntKMeans.assign(pts, "id", "vec", k = 2, rounds = 3)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val split = km(1L) == km(2L) && km(11L) == km(12L) && km(1L) != km(11L)
+      println(s"rows=${km.size} kmeans assignments, blobs-split=$split (expect true)")
+      val rejK =
+        try { graft.ml.IntKMeans.assign(pts, "id", "vec", k = 9, rounds = 1); false }
+        catch { case _: IllegalArgumentException => true }
+      println(s"OK k>N rejected=$rejK (expect true)")
+
+      // 1-NN label agreement on a clean two-class layout
+      val lab = Seq((1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
+        (3L, Seq(0.0f, 1.0f), "b"), (4L, Seq(0.1f, 0.9f), "b"))
+        .toDF("id", "vec", "lbl")
+      val acc = graft.ml.Eval.knnLabelAccuracy(lab, "id", "vec", "lbl")
+        .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+      println(s"rows=${acc.size} knn-eval classes, all-perfect=${acc.values.forall(_ == 1000000L)} (expect true)")
     }
 
     spark.stop()

@@ -608,6 +608,14 @@ object ScaleBench {
         graft.dedup.Dedup.keyCanon(hashes, "asset_id", Seq("hash_hi", "hash_lo"))
           .where(col("canon_id") >= 0)
       }),
+      // integer k-means (round 8): rows ×f; assignment is a map-side
+      // fold over broadcast centroid literals, so the only exchange is
+      // the (cluster, dim)-keyed update partials — k·dim·parts rows
+      // regardless of N (near-constant shuffle, scan ∝ f)
+      "ml_kmeans" -> (() =>
+        graft.ml.IntKMeans.assign(embs(f), "vec_id", "embedding",
+          k = 4, rounds = 2)
+          .where(col("d2") >= 0)),
       // semantic decontam (round 8): corpus ×f, benchmark CONSTANT and
       // broadcast — the corpus rides a map-side nested loop; the only
       // shuffle is the doc-keyed agg over HIT rows (slim, ∝ hits)
