@@ -1384,6 +1384,44 @@ def knn_label_accuracy(df, id_col, vec_col, label_col):
                                                   label_col))
 
 
+def knn_predict(df, id_col, vec_col, label_col):
+    """Leave-one-out 1-NN label predictions (neighbor = cos_r6 desc /
+    id asc, self excluded; null labels excluded both ways). Output:
+    (id_col, actual, predicted) — feed to confusion/classification
+    metrics below."""
+    return _wrap(df, _facade(df).knnPredict(df._jdf, id_col, vec_col,
+                                            label_col))
+
+
+def confusion(df, actual_col, pred_col):
+    """Exact confusion-matrix counts over an (actual, predicted) frame;
+    rows with a NULL on either side are excluded. Output:
+    (actual, predicted, n) — class-bounded shuffle."""
+    return _wrap(df, _facade(df).confusion(df._jdf, actual_col, pred_col))
+
+
+def classification_report(df, actual_col, pred_col):
+    """Per-class precision/recall/F1 in truncating micro-units
+    (NULL where the denominator is zero). Output: (clazz, n_actual,
+    tp, fp, fn, prec_micro, rec_micro, f1_micro)."""
+    return _wrap(df, _facade(df).classificationReport(df._jdf, actual_col,
+                                                      pred_col))
+
+
+def cohen_kappa(df, actual_col, pred_col):
+    """Cohen's kappa in micro-units: single row (n, n_agree, po_micro,
+    pe_micro, kappa_micro); kappa NULL for a degenerate single-class
+    frame. Eval-set harness (n <= ~3e6)."""
+    return _wrap(df, _facade(df).cohenKappa(df._jdf, actual_col, pred_col))
+
+
+def roc_auc(df, label_col, score_col):
+    """Exact Mann-Whitney ROC-AUC with average-rank tie handling over
+    an integral score column and 0/1 labels. Single row (n_pos, n_neg,
+    auc_micro); NULL when either class is empty."""
+    return _wrap(df, _facade(df).rocAuc(df._jdf, label_col, score_col))
+
+
 def decayed_sum(events, key_col, ts_col, tie_col, value_col, steps=8):
     """Exponentially-decayed activity sum: over the last `steps` events
     of the key (current included, ordered by ts then tie), each step

@@ -1226,6 +1226,42 @@ class TestRound8(object):
                P.knn_label_accuracy(df, "id", "vec", "lbl").collect()}
         assert got == {"a": (2, 2, 1000000), "b": (2, 2, 1000000)}
 
+    def test_knn_predict_and_confusion(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, [1.0, 0.0], "a"), (2, [0.9, 0.1], "a"),
+             (3, [0.0, 1.0], "b"), (4, [0.1, 0.9], "b"),
+             (5, [0.8, 0.75], "b")],
+            ["id", "vec", "lbl"])
+        pred = P.knn_predict(df, "id", "vec", "lbl")
+        got = {r["actual"] + r["predicted"]: r["n"] for r in
+               P.confusion(pred, "actual", "predicted").collect()}
+        assert got == {"aa": 2, "bb": 2, "ba": 1}
+
+    def test_classification_report(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("a", "a"), ("a", "b"), ("a", "b"), ("b", "c")],
+            ["act", "prd"])
+        got = {r["clazz"]: (r["tp"], r["fp"], r["fn"], r["prec_micro"],
+                            r["rec_micro"], r["f1_micro"]) for r in
+               P.classification_report(df, "act", "prd").collect()}
+        assert got["a"] == (1, 0, 2, 1000000, 333333, 500000)
+        assert got["c"] == (0, 1, 0, 0, None, 0)
+
+    def test_cohen_kappa(self, local_spark):
+        rows = ([("a", "a")] * 45 + [("a", "b")] * 5 +
+                [("b", "b")] * 25 + [("b", "a")] * 25)
+        df = local_spark.createDataFrame(rows, ["act", "prd"])
+        r = P.cohen_kappa(df, "act", "prd").collect()[0]
+        assert (r["n"], r["po_micro"], r["pe_micro"],
+                r["kappa_micro"]) == (100, 700000, 500000, 400000)
+
+    def test_roc_auc(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, 4), (1, 2), (1, 2), (0, 3), (0, 2), (0, 1)],
+            ["y", "sc"])
+        r = P.roc_auc(df, "y", "sc").collect()[0]
+        assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == (3, 3, 666666)
+
     def test_int_kmeans(self, local_spark):
         pts = local_spark.createDataFrame(
             [(1, [0.0, 0.0]), (2, [0.01, 0.0]), (3, [0.0, 0.01]),

@@ -1427,6 +1427,49 @@ object SparkEntry {
         tbl(s, dir, "embeddings").where(col("vec_id") < 500),
         "vec_id", "embedding", "label")),
 
+    // classifier-eval family over the same leave-one-out 1-NN predictor
+    // (actual = gold label, predicted = nearest neighbor's label):
+    // exact confusion counts — the class-bounded reduction every
+    // downstream metric reuses
+    "ml_confusion" -> ((s, dir) =>
+      graft.ml.Eval.confusion(
+        graft.ml.Eval.knnPredict(
+          tbl(s, dir, "embeddings").where(col("vec_id") < 500),
+          "vec_id", "embedding", "label"),
+        "actual", "predicted")),
+
+    // per-class precision/recall/F1 in truncating micro-units; the
+    // exact integer identities (prec = tp/n_pred, rec = tp/n_actual,
+    // F1 = 2tp/(n_pred+n_actual)) avoid compounding truncated
+    // intermediates
+    "ml_class_report" -> ((s, dir) =>
+      graft.ml.Eval.classificationReport(
+        graft.ml.Eval.knnPredict(
+          tbl(s, dir, "embeddings").where(col("vec_id") < 500),
+          "vec_id", "embedding", "label"),
+        "actual", "predicted")),
+
+    // Cohen's kappa — chance-corrected agreement; pins the marginal
+    // product term and both truncating divisions (negative kappa
+    // truncates toward zero identically in both engines)
+    "ml_kappa" -> ((s, dir) =>
+      graft.ml.Eval.cohenKappa(
+        graft.ml.Eval.knnPredict(
+          tbl(s, dir, "embeddings").where(col("vec_id") < 500),
+          "vec_id", "embedding", "label"),
+        "actual", "predicted")),
+
+    // exact rank-statistic ROC-AUC with average-rank tie handling; the
+    // score is deliberately coarse (floor(dim0 · 100)) so tie groups
+    // are populated and the 2·cb + c + 1 correction actually fires
+    "ml_auc" -> ((s, dir) =>
+      graft.ml.Eval.rocAuc(
+        tbl(s, dir, "embeddings")
+          .select(when(col("label") === 1, 1).otherwise(0).as("y"),
+            floor(element_at(col("embedding"), 1).cast("double") * 100)
+              .cast("long").as("sc")),
+        "y", "sc")),
+
     // PQ ADC + exact re-rank end-to-end: deterministic per-subspace
     // k-means codebooks (id-ordered sample init, 2 Lloyd rounds), ADC
     // scan over 8-byte codes, shortlist re-ranked EXACTLY on the
@@ -2610,6 +2653,23 @@ object SparkEntry {
       |  SELECT qid, cid, cos_r6,
       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
       |  FROM s) WHERE rnk <= 10""".stripMargin
+
+  // shared CTE prefix for the classifier-eval family: the labeled
+  // 500-row eval slice and its leave-one-out 1-NN pairs (cos_r6 desc,
+  // id asc — the cosineTopK contract). Ends after the nn CTE with NO
+  // trailing comma: consumers either append "SELECT ..." directly or
+  // ",\nmore_ctes ..."
+  private val knnPairsSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v, label
+      |           FROM embeddings WHERE label IS NOT NULL AND vec_id < 500),
+      |nn AS (SELECT qid, cid FROM (
+      |  SELECT a.vec_id qid, b.vec_id cid,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      round(list_inner_product(a.v, b.v)
+      |        / (sqrt(list_inner_product(a.v, a.v))
+      |         * sqrt(list_inner_product(b.v, b.v))), 6) DESC, b.vec_id) rn
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id) WHERE rn = 1)
+      |""".stripMargin
 
   /** Gate-row merge count for the trained-BPE family — small enough
     * that the unrolled DuckDB replay stays readable, large enough that
@@ -3951,6 +4011,85 @@ object SparkEntry {
         |    * 1000000) // CAST(count(*) AS BIGINT) acc_micro
         |FROM nn JOIN e qa ON nn.qid = qa.vec_id JOIN e qb ON nn.cid = qb.vec_id
         |GROUP BY 1""".stripMargin,
+
+    // same leave-one-out 1-NN replay, aggregated to confusion counts
+    "ml_confusion" ->
+      (knnPairsSql +
+        """SELECT qa.label actual, qb.label predicted,
+          |  CAST(count(*) AS BIGINT) n
+          |FROM nn JOIN e qa ON nn.qid = qa.vec_id
+          |        JOIN e qb ON nn.cid = qb.vec_id
+          |GROUP BY 1, 2""".stripMargin),
+
+    // per-class P/R/F1 from the confusion counts; denominators are the
+    // marginals (n_pred, n_actual) and every division is truncating //
+    "ml_class_report" ->
+      (knnPairsSql +
+        """, cm AS (SELECT qa.label a, qb.label p, count(*) n
+          |  FROM nn JOIN e qa ON nn.qid = qa.vec_id
+          |          JOIN e qb ON nn.cid = qb.vec_id GROUP BY 1, 2),
+          |ba AS (SELECT a clazz, SUM(n) n_actual,
+          |         SUM(CASE WHEN a = p THEN n ELSE 0 END) tp
+          |       FROM cm GROUP BY 1),
+          |bp AS (SELECT p clazz, SUM(n) n_pred FROM cm GROUP BY 1)
+          |SELECT COALESCE(ba.clazz, bp.clazz) clazz,
+          |  CAST(COALESCE(n_actual, 0) AS BIGINT) n_actual,
+          |  CAST(COALESCE(tp, 0) AS BIGINT) tp,
+          |  CAST(COALESCE(n_pred, 0) - COALESCE(tp, 0) AS BIGINT) fp,
+          |  CAST(COALESCE(n_actual, 0) - COALESCE(tp, 0) AS BIGINT) fn,
+          |  CASE WHEN COALESCE(n_pred, 0) > 0 THEN CAST(
+          |    (COALESCE(tp, 0) * 1000000) // COALESCE(n_pred, 0) AS BIGINT)
+          |    END prec_micro,
+          |  CASE WHEN COALESCE(n_actual, 0) > 0 THEN CAST(
+          |    (COALESCE(tp, 0) * 1000000) // COALESCE(n_actual, 0) AS BIGINT)
+          |    END rec_micro,
+          |  CASE WHEN COALESCE(n_pred, 0) + COALESCE(n_actual, 0) > 0 THEN CAST(
+          |    (2 * COALESCE(tp, 0) * 1000000)
+          |      // (COALESCE(n_pred, 0) + COALESCE(n_actual, 0)) AS BIGINT)
+          |    END f1_micro
+          |FROM ba FULL OUTER JOIN bp ON ba.clazz = bp.clazz""".stripMargin),
+
+    // Cohen's kappa: po, pe and the chance correction all in
+    // truncating micro-units (both engines truncate toward zero)
+    "ml_kappa" ->
+      (knnPairsSql +
+        """, cm AS (SELECT qa.label a, qb.label p, count(*) n
+          |  FROM nn JOIN e qa ON nn.qid = qa.vec_id
+          |          JOIN e qb ON nn.cid = qb.vec_id GROUP BY 1, 2),
+          |t AS (SELECT SUM(n) n,
+          |        SUM(CASE WHEN a = p THEN n ELSE 0 END) agree FROM cm),
+          |m AS (SELECT COALESCE(SUM(rm.s * pm.s), 0) pe_num
+          |      FROM (SELECT a k, SUM(n) s FROM cm GROUP BY 1) rm
+          |      JOIN (SELECT p k, SUM(n) s FROM cm GROUP BY 1) pm
+          |        ON rm.k = pm.k),
+          |u AS (SELECT CAST(t.n AS BIGINT) n, CAST(t.agree AS BIGINT) n_agree,
+          |        CAST((t.agree * 1000000) // t.n AS BIGINT) po_micro,
+          |        CAST((m.pe_num * 1000000) // (t.n * t.n) AS BIGINT) pe_micro
+          |      FROM t, m)
+          |SELECT n, n_agree, po_micro, pe_micro,
+          |  CASE WHEN pe_micro <> 1000000 THEN CAST(
+          |    ((po_micro - pe_micro) * 1000000) // (1000000 - pe_micro)
+          |    AS BIGINT) END kappa_micro
+          |FROM u""".stripMargin),
+
+    // exact Mann-Whitney AUC with average-rank ties, replayed over the
+    // distinct-score tie groups (2·avgrank = 2·cum_before + c + 1);
+    // NULL labels fall to the ELSE 0 branch in both engines
+    "ml_auc" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(CAST(embedding AS DOUBLE[])[1] * 100) AS BIGINT) sc,
+        |         CASE WHEN label = 1 THEN 1 ELSE 0 END y
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |g AS (SELECT sc, count(*) c, SUM(y) p FROM s GROUP BY 1),
+        |cum AS (SELECT sc, c, p,
+        |  COALESCE(SUM(c) OVER (ORDER BY sc
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) cb FROM g)
+        |SELECT CAST(SUM(p) AS BIGINT) n_pos,
+        |  CAST(SUM(c - p) AS BIGINT) n_neg,
+        |  CASE WHEN SUM(p) > 0 AND SUM(c - p) > 0 THEN CAST(
+        |    ((SUM(p * (2 * cb + c + 1)) - SUM(p) * (SUM(p) + 1)) * 1000000)
+        |      // (2 * SUM(p) * SUM(c - p)) AS BIGINT) END auc_micro
+        |FROM cum""".stripMargin,
     // PQ gate: the unbounded shortlist makes the row structurally exact
     // (every candidate is exact-re-ranked), so the exact oracle applies
     "simsearch_pq" -> simsearchExactTopkSql,

@@ -1072,6 +1072,29 @@ object PyFacade {
       labelCol: String): DataFrame =
     graft.ml.Eval.knnLabelAccuracy(df, idCol, vecCol, labelCol)
 
+  /** Leave-one-out 1-NN label predictions: (idCol, actual, predicted). */
+  def knnPredict(df: DataFrame, idCol: String, vecCol: String,
+      labelCol: String): DataFrame =
+    graft.ml.Eval.knnPredict(df, idCol, vecCol, labelCol)
+
+  /** Exact confusion-matrix counts over an (actual, predicted) frame. */
+  def confusion(df: DataFrame, actualCol: String, predCol: String): DataFrame =
+    graft.ml.Eval.confusion(df, actualCol, predCol)
+
+  /** Per-class precision/recall/F1 in truncating micro-units. */
+  def classificationReport(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame =
+    graft.ml.Eval.classificationReport(df, actualCol, predCol)
+
+  /** Cohen's kappa (chance-corrected agreement) in micro-units. */
+  def cohenKappa(df: DataFrame, actualCol: String,
+      predCol: String): DataFrame =
+    graft.ml.Eval.cohenKappa(df, actualCol, predCol)
+
+  /** Exact rank-statistic ROC-AUC with average-rank tie handling. */
+  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
+    graft.ml.Eval.rocAuc(df, labelCol, scoreCol)
+
   // --- streaming-unified ------------------------------------------------
 
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =

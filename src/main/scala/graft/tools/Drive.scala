@@ -1374,6 +1374,38 @@ object Drive {
       println(s"rows=${acc.size} knn-eval classes, all-perfect=${acc.values.forall(_ == 1000000L)} (expect true)")
     }
 
+    println("=== 45. round-8: classifier-eval metrics (confusion/PRF1/kappa/AUC) ===")
+    locally {
+      import spark.implicits._
+      // 1-NN predictions feed the metric chain end-to-end
+      val lab = Seq((1L, Seq(1.0f, 0.0f), "a"), (2L, Seq(0.9f, 0.1f), "a"),
+        (3L, Seq(0.0f, 1.0f), "b"), (4L, Seq(0.1f, 0.9f), "b"),
+        (5L, Seq(0.8f, 0.75f), "b")).toDF("id", "vec", "lbl")
+      val pred = graft.ml.Eval.knnPredict(lab, "id", "vec", "lbl")
+      val cm = graft.ml.Eval.confusion(pred, "actual", "predicted")
+        .collect().map(r => (r.getString(0) + r.getString(1)) -> r.getLong(2)).toMap
+      println(s"rows=${cm.size} confusion=$cm (expect Map(aa -> 2, bb -> 2, ba -> 1))")
+
+      val rep = graft.ml.Eval.classificationReport(
+          Seq(("a", "a"), ("a", "b"), ("a", "b"), ("b", "c")).toDF("act", "prd"),
+          "act", "prd")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      println(s"rows=${rep.size} report tp/fp/fn=$rep " +
+        "(expect a->(1,0,2), b->(0,2,1), c->(0,1,0))")
+
+      val kap = graft.ml.Eval.cohenKappa(
+          (Seq.fill(45)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+           Seq.fill(25)(("b", "b")) ++ Seq.fill(25)(("b", "a"))).toDF("x", "y"),
+          "x", "y").collect().head
+      println(s"OK kappa_micro=${kap.getLong(4)} (expect 400000)")
+
+      val auc = graft.ml.Eval.rocAuc(
+          Seq((1, 4L), (1, 2L), (1, 2L), (0, 3L), (0, 2L), (0, 1L)).toDF("y", "sc"),
+          "y", "sc").collect().head
+      println(s"OK auc_micro=${auc.getLong(2)} pos=${auc.getLong(0)} neg=${auc.getLong(1)} (expect 666666, 3, 3)")
+    }
+
     spark.stop()
   }
 }

@@ -616,6 +616,20 @@ object ScaleBench {
         graft.ml.IntKMeans.assign(embs(f), "vec_id", "embedding",
           k = 4, rounds = 2)
           .where(col("d2") >= 0)),
+      // ROC-AUC (round 8): rows ×f but the only data-sized exchange is
+      // the map-side-combined distinct-score histogram; the rank window
+      // runs over distinct scores only — shuffle near-constant (score-
+      // cardinality-bounded) while scan ∝ f
+      "ml_auc" -> (() =>
+        graft.ml.Eval.rocAuc(
+          // embs() drops the label column; a deterministic id-derived
+          // 0/1 stands in — the probe's subject is the score-histogram
+          // reduction, not label semantics
+          embs(f).select(pmod(col("vec_id"), lit(2)).cast("int").as("y"),
+            floor(element_at(col("embedding"), 1).cast("double") * 100)
+              .cast("long").as("sc")),
+          "y", "sc")
+          .where(col("n_pos") >= 0)),
       // semantic decontam (round 8): corpus ×f, benchmark CONSTANT and
       // broadcast — the corpus rides a map-side nested loop; the only
       // shuffle is the doc-keyed agg over HIT rows (slim, ∝ hits)

@@ -36,6 +36,74 @@ class EvalSpec extends AnyFlatSpec with Matchers {
     b._4 shouldBe (2L * 1000000L) / 3L
   }
 
+  behavior of "Eval classification metrics"
+
+  it should "compute confusion counts, excluding null rows" in {
+    val df = Seq(
+      (Some("a"), Some("a")), (Some("a"), Some("a")), (Some("a"), Some("b")),
+      (Some("b"), Some("b")), (Some("b"), Some("a")),
+      (None, Some("a")), (Some("a"), None)).toDF("act", "prd")
+    val out = Eval.confusion(df, "act", "prd")
+      .as[(String, String, Long)].collect().sortBy(t => (t._1, t._2)).toList
+    out shouldBe List(("a", "a", 2L), ("a", "b", 1L),
+      ("b", "a", 1L), ("b", "b", 1L))
+  }
+
+  it should "report per-class P/R/F1 with NULL for empty denominators" in {
+    // actual: a,a,a,b ; predicted: a,b,b,c — class c never actual,
+    // class a never... a IS predicted once (tp). Check all three kinds:
+    //   a: tp=1 fp=0 fn=2  -> prec 1e6, rec 333333, f1 2*1e6/(1+3)=500000
+    //   b: tp=0 fp=2 fn=1  -> prec 0, rec 0, f1 0
+    //   c: tp=0 fp=1 fn=0, n_actual=0 -> rec NULL, prec 0, f1 0
+    val df = Seq(("a", "a"), ("a", "b"), ("a", "b"), ("b", "c"))
+      .toDF("act", "prd")
+    val out = Eval.classificationReport(df, "act", "prd")
+      .as[(String, Long, Long, Long, Long, Option[Long], Option[Long], Option[Long])]
+      .collect().sortBy(_._1).toList
+    out shouldBe List(
+      ("a", 3L, 1L, 0L, 2L, Some(1000000L), Some(333333L), Some(500000L)),
+      ("b", 1L, 0L, 2L, 1L, Some(0L), Some(0L), Some(0L)),
+      ("c", 0L, 0L, 1L, 0L, Some(0L), None, Some(0L)))
+  }
+
+  it should "compute Cohen's kappa in micro-units" in {
+    // classic 2x2: n=100, agree=70 (a:45,b:25), marginals row a/b=50,
+    // col a=70, col b=30 -> pe = (50*70 + 50*30)/10000 = 0.5,
+    // kappa = (0.7 - 0.5)/(1 - 0.5) = 0.4
+    val rows = Seq.fill(45)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(25)(("b", "b")) ++ Seq.fill(25)(("b", "a"))
+    val out = Eval.cohenKappa(rows.toDF("act", "prd"), "act", "prd")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    out shouldBe ((100L, 70L, 700000L, 500000L, Some(400000L)))
+  }
+
+  it should "return NULL kappa for a degenerate single-class frame" in {
+    val out = Eval.cohenKappa(Seq(("a", "a"), ("a", "a")).toDF("x", "y"),
+      "x", "y").as[(Long, Long, Long, Long, Option[Long])].collect().head
+    out shouldBe ((2L, 2L, 1000000L, 1000000L, None))
+  }
+
+  behavior of "Eval.rocAuc"
+
+  it should "match the hand-computed AUC with tie correction" in {
+    // scores: pos {4, 2, 2}, neg {3, 2, 1}. Pairs (pos, neg): 9 total.
+    // pos4 beats 3,2,1 -> 3. pos2 vs 3 -> 0; vs 2 -> 0.5 tie; vs 1 -> 1.
+    // two pos2: 2 * 1.5 = 3. AUC = 6/9 = 0.666666...
+    val df = Seq((1, 4L), (1, 2L), (1, 2L), (0, 3L), (0, 2L), (0, 1L))
+      .toDF("y", "sc")
+    val out = Eval.rocAuc(df, "y", "sc")
+      .as[(Long, Long, Option[Long])].collect().head
+    out shouldBe ((3L, 3L, Some(666666L)))
+  }
+
+  it should "return NULL AUC when a class is empty and drop null rows" in {
+    val df = Seq((Some(1), Some(4L)), (Some(1), Some(1L)),
+      (None, Some(9L)), (Some(0), None)).toDF("y", "sc")
+    val out = Eval.rocAuc(df, "y", "sc")
+      .as[(Long, Long, Option[Long])].collect().head
+    out shouldBe ((2L, 0L, None))
+  }
+
   it should "exclude null-labeled rows as queries and neighbors" in {
     // the null-labeled row sits exactly on top of doc 1; if it were a
     // valid neighbor, doc 1 would score "wrong" (null != a) — instead
