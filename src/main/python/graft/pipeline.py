@@ -1422,6 +1422,16 @@ def roc_auc(df, label_col, score_col):
     return _wrap(df, _facade(df).rocAuc(df._jdf, label_col, score_col))
 
 
+def spearman(df, group_cols, x_col, y_col):
+    """Per-group Spearman rank correlation in micro-units (average-rank
+    ties, displacement formula, truncating integer division). Ranks are
+    computed from per-(group, value) histograms — never a data-row sort
+    window. Output: (group_cols..., n, rho_micro); rho_micro NULL for
+    n < 2."""
+    cols = group_cols if isinstance(group_cols, str) else ",".join(group_cols)
+    return _wrap(df, _facade(df).spearman(df._jdf, cols, x_col, y_col))
+
+
 def decayed_sum(events, key_col, ts_col, tie_col, value_col, steps=8):
     """Exponentially-decayed activity sum: over the last `steps` events
     of the key (current included, ordered by ts then tie), each step

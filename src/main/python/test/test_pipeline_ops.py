@@ -1262,6 +1262,13 @@ class TestRound8(object):
         r = P.roc_auc(df, "y", "sc").collect()[0]
         assert (r["n_pos"], r["n_neg"], r["auc_micro"]) == (3, 3, 666666)
 
+    def test_spearman(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("g", 1, 10), ("g", 2, 20), ("g", 2, 30), ("g", 4, 40)],
+            ["g", "x", "y"])
+        r = P.spearman(df, "g", "x", "y").collect()[0]
+        assert (r["n"], r["rho_micro"]) == (4, 950000)
+
     def test_int_kmeans(self, local_spark):
         pts = local_spark.createDataFrame(
             [(1, [0.0, 0.0]), (2, [0.01, 0.0]), (3, [0.0, 0.01]),

@@ -1888,6 +1888,19 @@ object SparkEntry {
         tbl(s, dir, "documents").select("doc_id", "source", "n_chars"),
         Seq("source"), "n_chars", k = 2)),
 
+    // per-source Spearman rank correlation between character and word
+    // counts — near-perfectly monotone (rho ≈ 1e6), with heavy ties on
+    // BOTH columns so the 2·cb + c + 1 average-rank arithmetic and the
+    // displacement formula are exercised for real, in exact integers
+    "q_spearman" -> ((s, dir) =>
+      graft.stats.GroupStats.spearman(
+        tbl(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(col("source"), col("n_chars"),
+            (length(col("text")) - length(translate(col("text"), " ", ""))
+              + lit(1L)).as("n_words")),
+        Seq("source"), "n_chars", "n_words")),
+
     // exponentially-decayed engagement score: per-user halving weights
     // over the last 8 events (cents-exact integer values, power-of-two
     // weights) — the freshness feature beside events_trailing
@@ -4365,6 +4378,29 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars, d.m group_med, d.dev abs_dev,
         |       CAST(mad.gm AS BIGINT) group_mad, d.dev > 2 * mad.gm is_outlier
         |FROM d JOIN mad ON d.source = mad.source""".stripMargin,
+
+    // doubled average ranks via row-level windows (2·rank_min + c − 1
+    // ≡ the histogram's 2·cb + c + 1), displacement formula in hugeint
+    // with truncating //
+    "q_spearman" ->
+      """WITH r AS (SELECT source g, n_chars x,
+        |             CAST(length(text) - length(replace(text, ' ', ''))
+        |                  + 1 AS BIGINT) y
+        |           FROM documents
+        |           WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |rk AS (SELECT g,
+        |  2 * rank() OVER (PARTITION BY g ORDER BY x)
+        |    + count(*) OVER (PARTITION BY g, x) - 1 ax,
+        |  2 * rank() OVER (PARTITION BY g ORDER BY y)
+        |    + count(*) OVER (PARTITION BY g, y) - 1 ay
+        |  FROM r)
+        |SELECT g source, CAST(count(*) AS BIGINT) n,
+        |  CASE WHEN count(*) >= 2 THEN CAST(
+        |    1000000 - (3 * SUM((ax - ay) * (ax - ay)) * 1000000)
+        |      // (2 * CAST(count(*) AS HUGEINT)
+        |          * (CAST(count(*) AS HUGEINT) * count(*) - 1)) AS BIGINT)
+        |    END rho_micro
+        |FROM rk GROUP BY 1""".stripMargin,
 
     // 8 explicit lags with halving power-of-two weights over the
     // (t_us, event_id) total order; missing lags count 0 — pure 64-bit

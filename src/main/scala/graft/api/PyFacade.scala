@@ -1095,6 +1095,13 @@ object PyFacade {
   def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame =
     graft.ml.Eval.rocAuc(df, labelCol, scoreCol)
 
+  /** Per-group Spearman rank correlation in micro-units. */
+  def spearman(df: DataFrame, groupColsCsv: String, xCol: String,
+      yCol: String): DataFrame =
+    graft.stats.GroupStats.spearman(df,
+      groupColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      xCol, yCol)
+
   // --- streaming-unified ------------------------------------------------
 
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =

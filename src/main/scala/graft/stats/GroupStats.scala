@@ -308,4 +308,79 @@ object GroupStats {
       row_number().over(Window.orderBy(col("cnt").desc, col(valueCol).asc_nulls_last))
         .cast("long"))
   }
+
+  /**
+   * Per-group Spearman rank correlation in micro-units — the
+   * monotonic-association screen of feature analysis (does engagement
+   * rise with session length? does quality fall with document age?),
+   * robust to outliers and to any monotone rescaling because it
+   * correlates RANKS, which also makes it exactly integer-replayable
+   * where Pearson's product moments are not.
+   *
+   * Method: average ranks with ties, carried as doubled integers
+   * (2·avgrank = 2·cum_before + c + 1 per tie group), then the
+   * displacement formula rho = 1 − 6·Σd²/(n(n²−1)) evaluated as
+   * rho_micro = 1e6 − (3·ΣD²·1e6) div (2·n·(n²−1)) with D = 2d —
+   * exact integer arithmetic end to end, truncating division matching
+   * both engines. This is the classic tie-adjusted-rank shortcut:
+   * average ranks enter the displacement sum, but the n(n²−1)
+   * normalizer is the no-tie one, so heavy-tie columns wanting the
+   * full Pearson-on-ranks correction should bin or dedupe first
+   * (documented contract, same spirit as [[quantiles]]' explicit rank
+   * rule).
+   *
+   * Scale: ranks come from per-(group, value) HISTOGRAMS (the
+   * [[quantiles]] discipline) — the rank window runs over DISTINCT
+   * values per group, never a data-row sort window, so a hot group
+   * costs its value cardinality, not its row count. The two rank
+   * join-backs are ordinary (group, value) equi-joins (null-safe, so
+   * null GROUP keys stay the real group the histogram counted),
+   * AQE-skew-splittable; ΣD² accumulates in decimal(38,0) (exact past
+   * n ~ 10¹⁰ rows per group). Rows with a NULL x or y are excluded —
+   * a rank needs both coordinates. Output: (groupCols..., n,
+   * rho_micro); rho_micro is NULL for n < 2 (undefined).
+   */
+  def spearman(df: DataFrame, groupCols: Seq[String], xCol: String,
+      yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(xCol != yCol, s"xCol and yCol must differ, both are '$xCol'")
+    val reserved =
+      Seq("__c", "__cb", "__a2x", "__a2y", "__sd2", "n", "rho_micro")
+    val clash = (groupCols ++ Seq(xCol, yCol)).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"column name(s) collide with output or internal columns: ${clash.mkString(", ")}")
+    val g = groupCols.map(col)
+    val rows = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((groupCols ++ Seq(xCol, yCol)).map(col): _*)
+    // 2× average rank per distinct value, from the per-group histogram
+    def rank2(vCol: String, out: String): DataFrame = {
+      val h = rows.groupBy(g :+ col(vCol): _*).agg(count(lit(1)).as("__c"))
+      val w = Window.partitionBy(g: _*).orderBy(col(vCol))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      h.withColumn("__cb", coalesce(sum(col("__c")).over(w), lit(0L)))
+        .select(g ++ Seq(col(vCol),
+          (lit(2L) * col("__cb") + col("__c") + lit(1L)).as(out)): _*)
+    }
+    def joinBack(l: DataFrame, rankMap: DataFrame, vCol: String,
+        out: String): DataFrame = {
+      val la = l.alias("__spl"); val ra = rankMap.alias("__spr")
+      val cond = (groupCols :+ vCol)
+        .map(c => col(s"__spl.$c") <=> col(s"__spr.$c")).reduce(_ && _)
+      la.join(ra, cond, "inner")
+        .select(l.columns.map(c => col(s"__spl.$c")).toSeq
+          :+ col(s"__spr.$out"): _*)
+    }
+    val ranked = joinBack(
+      joinBack(rows, rank2(xCol, "__a2x"), xCol, "__a2x"),
+      rank2(yCol, "__a2y"), yCol, "__a2y")
+    ranked.groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(((col("__a2x") - col("__a2y")) * (col("__a2x") - col("__a2y")))
+          .cast("decimal(38,0)")).as("__sd2"))
+      .select(g ++ Seq(col("n"),
+        when(col("n") >= 2, expr(
+          "1000000L - (3 * __sd2 * 1000000) div " +
+            "(2 * CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))"))
+          .as("rho_micro")): _*)
+  }
 }

@@ -171,6 +171,50 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
       (None, 6, 1L), (None, 8, 1L))
   }
 
+  behavior of "GroupStats.spearman"
+
+  it should "match hand-computed rho for perfect, reversed, and tied data" in {
+    // g1: y = x (perfect) -> rho = 1e6. g2: y = -x (reversed) -> -1e6.
+    val df = Seq(("g1", 1L, 10L), ("g1", 2L, 20L), ("g1", 3L, 30L),
+      ("g2", 1L, 30L), ("g2", 2L, 20L), ("g2", 3L, 10L))
+      .toDF("g", "x", "y")
+    val out = GroupStats.spearman(df, Seq("g"), "x", "y")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out shouldBe Map("g1" -> ((3L, 1000000L)), "g2" -> ((3L, -1000000L)))
+  }
+
+  it should "use average ranks for ties" in {
+    // x: 1,2,2,4 -> avg2 ranks 2,5,5,8; y: 10,20,30,40 -> 2,4,6,8
+    // D: 0,1,-1,0 -> sum 2;  rho = 1 - 3*2/(2*4*15) = 1 - 1/20 = 0.95
+    val df = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 2L, 30L),
+      ("g", 4L, 40L)).toDF("g", "x", "y")
+    val out = GroupStats.spearman(df, Seq("g"), "x", "y").collect().head
+    (out.getLong(1), out.getLong(2)) shouldBe ((4L, 950000L))
+  }
+
+  it should "drop null coordinates, keep null group keys, NULL n<2" in {
+    val df = Seq((Some("g"), Some(1L), Some(1L)),
+      (Some("g"), Some(2L), None), // dropped: null y
+      (None, Some(1L), Some(2L)), (None, Some(2L), Some(1L)),
+      (Some("solo"), Some(5L), Some(5L))) // n = 1 -> NULL rho
+      .toDF("g", "x", "y")
+    val out = GroupStats.spearman(df, Seq("g"), "x", "y")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    out shouldBe Set((Some("g"), 1L, None), (None, 2L, Some(-1000000L)),
+      (Some("solo"), 1L, None))
+  }
+
+  it should "reject colliding and identical column names" in {
+    val df = Seq(("g", 1L, 2L)).toDF("g", "x", "y")
+    intercept[IllegalArgumentException] {
+      GroupStats.spearman(df, Seq("g"), "x", "x")
+    }
+    intercept[IllegalArgumentException] {
+      GroupStats.spearman(df.withColumnRenamed("x", "n"), Seq("g"), "n", "y")
+    }
+  }
+
   it should "fail loudly when standardize's sum of squares overflows" in {
     // |v| ~ 9e17: v*v ~ 8e35, overflows decimal(38,0) after ~240 rows
     val big = (1 to 300).map(i => ("g", 900000000000000000L + i))
