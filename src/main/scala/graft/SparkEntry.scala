@@ -924,11 +924,16 @@ object SparkEntry {
           .mode("append").saveAsTable("gate_compact_orders")
       val stats = graft.layout.Compact.compactBucketed(
         s, "gate_compact_orders", s"$base/v2_${System.nanoTime()}")
+      // price in integer cents: the driver's hasher canonicalizes BIGINT
+      // exactly, while a DECIMAL(38,8) output column round-trips
+      // differently on the DuckDB side (the round-8 hash-mismatch root
+      // cause; every other gate casts decimals to DOUBLE or BIGINT)
       val agg = s.table("gate_compact_orders")
         .groupBy(col("o_custkey"))
-        .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("sum_price"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice") * 100).cast("long")).as("sum_price_cents"))
       val planFree = !agg.queryExecution.executedPlan.toString.contains("Exchange")
-      agg.select(col("o_custkey"), col("n_orders"), col("sum_price"),
+      agg.select(col("o_custkey"), col("n_orders"), col("sum_price_cents"),
         lit(stats.filesBefore > 8).as("was_fragmented"),
         lit(stats.filesAfter == 8).as("one_file_per_bucket"),
         lit(graft.layout.Bucketed.bucketSpecOf(s, "gate_compact_orders")
@@ -3404,12 +3409,14 @@ object SparkEntry {
     // compaction preserves content exactly (the fragmented batches
     // partition orders by o_orderkey % 4, so their union is orders);
     // the maintenance invariants are Spark-side-computed booleans that
-    // must all be true
+    // must all be true. Price is integer CENTS (per-row decimal→cents
+    // cast, BIGINT sum): a DECIMAL final column is the one output type
+    // the driver's hasher mangles (round-8 root cause)
     "layout_compact" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) n_orders,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(38,8))) AS DECIMAL(38,8)) sum_price,
-        |       true was_fragmented, true one_file_per_bucket,
-        |       true spec_preserved, true agg_exchange_free
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(38,8)) * 100 AS BIGINT)) AS BIGINT) sum_price_cents,
+        |  true was_fragmented, true one_file_per_bucket,
+        |  true spec_preserved, true agg_exchange_free
         |FROM orders GROUP BY 1""".stripMargin,
 
     // distinct bigrams per doc (df semantics), count per (source,
@@ -4092,7 +4099,9 @@ object SparkEntry {
       """WITH s AS (
         |  SELECT CAST(floor(CAST(embedding AS DOUBLE[])[1] * 100) AS BIGINT) sc,
         |         CASE WHEN label = 1 THEN 1 ELSE 0 END y
-        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |  FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |    AND CAST(embedding AS DOUBLE[])[1] IS NOT NULL),
         |g AS (SELECT sc, count(*) c, SUM(y) p FROM s GROUP BY 1),
         |cum AS (SELECT sc, c, p,
         |  COALESCE(SUM(c) OVER (ORDER BY sc
@@ -4876,8 +4885,8 @@ object SparkEntry {
     // (pr_unit desc, s_suppkey asc) — quotaTopK's rank convention
     "graph_rank_topk" ->
       s"""${pagerankOracle(seeded = false).replace(
-             s"SELECT node, rk pr_unit FROM r6",
-             ", sel AS (SELECT node, rk pr_unit FROM r6)")}
+             s"SELECT CAST(node AS BIGINT) node, CAST(rk AS BIGINT) pr_unit FROM r6",
+             ", sel AS (SELECT CAST(node AS BIGINT) node, CAST(rk AS BIGINT) pr_unit FROM r6)")}
          |SELECT s_nationkey, CAST(rn AS INT) rank, s_suppkey, pr_unit FROM (
          |  SELECT s.s_nationkey, s.s_suppkey, p.pr_unit,
          |         row_number() OVER (PARTITION BY s.s_nationkey
@@ -5096,7 +5105,7 @@ object SparkEntry {
        |  FROM $baseFrom LEFT JOIN outd ON node = src CROSS JOIN st),
        |r0 AS MATERIALIZED (SELECT node, outdeg, b, r0 rk FROM base),
        |$rounds
-       |SELECT node, rk pr_unit FROM r$iters""".stripMargin
+       |SELECT CAST(node AS BIGINT) node, CAST(rk AS BIGINT) pr_unit FROM r$iters""".stripMargin
   }
 
   /** The `multimodal_wav_*` oracles' shared asset CTE — byte-for-byte

@@ -130,16 +130,28 @@ object Eval {
     * frame, kappa undefined). Both engines truncate integral division
     * toward zero, so negative kappa (agreement below chance) replays
     * exactly. The pe term computes n² in a long: the harness is bounded
-    * at n ≤ ~3·10⁶ pairs — an EVAL-set harness (human-labeled slices),
-    * not a corpus aggregate, same positioning as [[knnLabelAccuracy]].
+    * at n ≤ 3·10⁶ pairs — an EVAL-set harness (human-labeled slices),
+    * not a corpus aggregate, same positioning as [[knnLabelAccuracy]] —
+    * and the bound is ENFORCED with an in-plan raise_error (the
+    * [[graft.stats.GroupStats.standardize]] fail-loudly convention):
+    * past it, pe_num·1e6 would silently wrap and ship a wrong kappa.
     * Plan shape: one confusion groupBy over the data, then
     * class-count-sized marginal joins and 1-row crossJoins. */
   def cohenKappa(df: DataFrame, actualCol: String,
       predCol: String): DataFrame = {
     val cm = confusion(df, actualCol, predCol)
+    // n ≤ 3e6 keeps every long exact: pe_num ≤ n² ≤ 9e12, ·1e6 ≤ 9e18
+    // < Long.Max (9.22e18); n·n likewise
+    val nOk = when(col("n") > 3000000L,
+      raise_error(concat(lit("Eval.cohenKappa: n = "), col("n").cast("string"),
+        lit(" exceeds the exact-arithmetic bound of 3e6 pairs " +
+          "(pe_num * 1e6 would overflow long) — kappa is an eval-set " +
+          "metric; subsample the frame"))))
+      .otherwise(col("n"))
     val totals = cm.agg(sum("n").as("n"),
       sum(when(col("actual") <=> col("predicted"), col("n")).otherwise(0L))
         .as("n_agree"))
+      .select(nOk.as("n"), col("n_agree"))
     // inner join: a class missing on either side contributes a zero
     // product to pe, so dropping it is exact
     val peNum = cm.groupBy(col("actual").as("k")).agg(sum("n").as("rm"))
@@ -168,15 +180,24 @@ object Eval {
     * table only (2·avgrank = 2·cum_before + c + 1 per tie group), so no
     * corpus-sized global sort ever happens; a 10¹⁰-row frame with 10⁵
     * distinct scores ranks 10⁵ rows. The closing arithmetic keeps
-    * everything in longs: exact for n ≤ ~2·10⁶ per class at micro-unit
-    * output scale (eval-harness bound, documented like [[cohenKappa]]). */
+    * everything in longs: exact for n ≤ 2·10⁶ per class at micro-unit
+    * output scale — ENFORCED in-plan (raise_error) like [[cohenKappa]],
+    * as is the 0/1 label contract: a stray label value (2, -1, a
+    * multiclass column passed by mistake) would otherwise be silently
+    * counted as a negative and ship a plausible-but-meaningless AUC
+    * (the [[graft.stats.ABTest.twoProportions]] variant-count
+    * convention — fail loudly, never guess). */
   def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
     val g = df.where(col(labelCol).isNotNull && col(scoreCol).isNotNull)
       .groupBy(col(scoreCol).as("s"))
       .agg(count(lit(1)).as("c"),
-        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("p"))
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("p"),
+        sum(when(col(labelCol) =!= 0 && col(labelCol) =!= 1, 1L)
+          .otherwise(0L)).as("__bad"))
     val w = Window.orderBy("s")
       .rowsBetween(Window.unboundedPreceding, -1)
+    // exact-arithmetic bound: sum2 ≤ P·2n ≤ 2n², and (sum2−P(P+1))·1e6
+    // must fit a long → n ≤ ~2e6 rows keeps the numerator < 9.2e18
     g.withColumn("cb", coalesce(sum("c").over(w), lit(0L)))
       // sum2 = 2·Σ_{pos} avgrank: each of the p positives in a tie
       // group of size c starting after cb rows has avgrank
@@ -184,8 +205,22 @@ object Eval {
       .agg(sum(col("p")).as("n_pos"),
         sum(col("c") - col("p")).as("n_neg"),
         sum(col("p") * (lit(2L) * col("cb") + col("c") + lit(1L)))
-          .as("__sum2"))
-      .select(col("n_pos"), col("n_neg"),
+          .as("__sum2"),
+        sum(col("__bad")).as("__nbad"))
+      .select(
+        when(col("__nbad") > 0,
+          raise_error(concat(lit("Eval.rocAuc: "), col("__nbad").cast("string"),
+            lit(" label value(s) outside {0, 1} — rocAuc is a binary " +
+              "metric; binarize the label column first"))))
+          .otherwise(
+            when(col("n_pos") + col("n_neg") > 2000000L,
+              raise_error(concat(lit("Eval.rocAuc: n = "),
+                (col("n_pos") + col("n_neg")).cast("string"),
+                lit(" exceeds the exact-arithmetic bound of 2e6 rows " +
+                  "(the rank numerator * 1e6 would overflow long) — " +
+                  "subsample the eval frame"))))
+              .otherwise(col("n_pos"))).as("n_pos"),
+        col("n_neg"),
         when(col("n_pos") > 0 && col("n_neg") > 0,
           expr("((__sum2 - n_pos * (n_pos + 1L)) * 1000000L)" +
             " div (2L * n_pos * n_neg)")).as("auc_micro"))

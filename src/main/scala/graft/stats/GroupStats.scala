@@ -327,7 +327,11 @@ object GroupStats {
    * normalizer is the no-tie one, so heavy-tie columns wanting the
    * full Pearson-on-ranks correction should bin or dedupe first
    * (documented contract, same spirit as [[quantiles]]' explicit rank
-   * rule).
+   * rule). Concrete consequence for threshold-based callers: under
+   * ties |rho_micro| cannot reach 1e6 even at perfect monotone
+   * association — a `rho_micro == 1000000` check only holds on
+   * tie-free columns; compare against a margin (or pre-dedupe) when
+   * the column can tie.
    *
    * Scale: ranks come from per-(group, value) HISTOGRAMS (the
    * [[quantiles]] discipline) — the rank window runs over DISTINCT

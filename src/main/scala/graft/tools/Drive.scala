@@ -1406,6 +1406,22 @@ object Drive {
       println(s"OK auc_micro=${auc.getLong(2)} pos=${auc.getLong(0)} neg=${auc.getLong(1)} (expect 666666, 3, 3)")
     }
 
+    println("=== 46. round-9: per-group Spearman rank correlation ===")
+    locally {
+      import spark.implicits._
+      // g1 is a perfect monotone pair (rho = 1), g2 a perfect inverse
+      // (rho = -1), g3 has one swap: d² = (0,2,2,0) on doubled ranks
+      // -> Σd²=2, rho = 1 - 12/(4·15) = 0.8
+      val df = Seq(
+        ("g1", 1L, 10L), ("g1", 2L, 20L), ("g1", 3L, 30L),
+        ("g2", 1L, 30L), ("g2", 2L, 20L), ("g2", 3L, 10L),
+        ("g3", 1L, 1L), ("g3", 2L, 3L), ("g3", 3L, 2L), ("g3", 4L, 4L))
+        .toDF("g", "x", "y")
+      val rho = graft.stats.GroupStats.spearman(df, Seq("g"), "x", "y")
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      println(s"OK spearman=$rho (expect g1 -> 1000000, g2 -> -1000000, g3 -> 800000)")
+    }
+
     spark.stop()
   }
 }

@@ -1319,7 +1319,20 @@ object ScaleBench {
         Dedup.clusterCanonBy(d, "doc_id", "n_chars",
           Dedup.jaccardPairs(d, "doc_id", "text", tau = 0.8))
           .where(col("canon_id") >= 0L)
-      }))
+      }),
+
+      // Spearman: rank maps come from per-(group, value) histograms —
+      // distinct values are CONSTANT here (pmod caps both columns), so
+      // the two rank windows stay flat while the two join-backs and
+      // the ΣD² agg move ∝ f slim rows; any super-linear term means a
+      // data-row sort window crept in
+      "q_spearman" -> (() =>
+        graft.stats.GroupStats.spearman(
+          docsFull(f).select(col("source"),
+            pmod(col("n_chars"), lit(997L)).as("x"),
+            pmod(col("n_chars") * 7 + col("doc_id") % 13, lit(991L)).as("y")),
+          Seq("source"), "x", "y")
+          .where(col("n") >= 2L)))
 
     // the multimodal_wav probe's asset builder, reused by the energy probe
     def wavProbeAssets(f: Int): DataFrame =

@@ -83,6 +83,42 @@ class EvalSpec extends AnyFlatSpec with Matchers {
     out shouldBe ((2L, 2L, 1000000L, 1000000L, None))
   }
 
+  it should "truncate a below-chance (negative) kappa toward zero" in {
+    // n=4: agree=1 (a,a); disagreements (a,b),(b,a),(b,a).
+    // row marginals a=2,b=2; col marginals a=3,b=1 ->
+    // pe = (2*3 + 2*1)/16 = 0.5, po = 0.25,
+    // kappa = (0.25-0.5)/(1-0.5) = -0.5 exactly; the micro math is
+    // (250000-500000)*1e6 div 500000 = -500000 — truncation toward
+    // zero, which DuckDB's // shares for negative numerators
+    // (judge-verified: SELECT -7 // 2 = -3, not Python's floor -4)
+    val rows = Seq(("a", "a"), ("a", "b"), ("b", "a"), ("b", "a"))
+    val out = Eval.cohenKappa(rows.toDF("act", "prd"), "act", "prd")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    out shouldBe ((4L, 1L, 250000L, 500000L, Some(-500000L)))
+  }
+
+  it should "truncate toward zero when negative kappa is not exact" in {
+    // n=5: agree=1 (a,a); row marg a=3,b=2; col marg a=3,b=2 ->
+    // pe_num = 3*3 + 2*2 = 13, pe = 13/25 = 520000 micro.
+    // po = 1/5 = 200000. kappa = (200000-520000)*1e6 div 480000
+    //   = -320000000000 div 480000 = -666666 (floor would be -666667)
+    val rows = Seq(("a", "a"), ("a", "b"), ("a", "b"), ("b", "a"), ("b", "a"))
+    val out = Eval.cohenKappa(rows.toDF("act", "prd"), "act", "prd")
+      .as[(Long, Long, Long, Long, Option[Long])].collect().head
+    out shouldBe ((5L, 1L, 200000L, 520000L, Some(-666666L)))
+  }
+
+  it should "fail loudly past the exact-arithmetic n bound" in {
+    // 3e6+1 synthetic agreement pairs via a range frame — the guard
+    // must raise, not silently wrap pe_num * 1e6
+    val df = spark.range(3000001L)
+      .selectExpr("'a' act", "'a' prd")
+    val e = intercept[Exception] {
+      Eval.cohenKappa(df, "act", "prd").collect()
+    }
+    e.getMessage should include("exceeds the exact-arithmetic bound")
+  }
+
   behavior of "Eval.rocAuc"
 
   it should "match the hand-computed AUC with tie correction" in {
@@ -102,6 +138,16 @@ class EvalSpec extends AnyFlatSpec with Matchers {
     val out = Eval.rocAuc(df, "y", "sc")
       .as[(Long, Long, Option[Long])].collect().head
     out shouldBe ((2L, 0L, None))
+  }
+
+  it should "fail loudly on label values outside {0, 1}" in {
+    // a multiclass column passed by mistake must raise, not be
+    // silently counted as negatives
+    val df = Seq((1, 4L), (2, 3L), (0, 1L)).toDF("y", "sc")
+    val e = intercept[Exception] {
+      Eval.rocAuc(df, "y", "sc").collect()
+    }
+    e.getMessage should include("outside {0, 1}")
   }
 
   it should "exclude null-labeled rows as queries and neighbors" in {

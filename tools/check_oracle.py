@@ -2,8 +2,12 @@
 """Local mimic of the driver's correctness gate: compare graft.Verify parquet
 dumps against the DuckDB oracle SQL, column-name-sorted, row-sorted.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--partial]
+
+--partial: skip oracles with no parquet dump (a SPARK_GRAFT_ONLY dev run)
+instead of counting them as failures.
 """
+import os
 import json
 import sys
 
@@ -21,7 +25,15 @@ def norm(rows, cols):
     return [cols[i] for i in order], out
 
 
-def main(sf_dir, out_dir):
+# Output types the driver's hasher canonicalizes differently from the
+# parquet side (round-8 lesson: DuckDB HUGEINT and DECIMAL final columns
+# hash-mismatch even when every value is equal). Oracles must cast final
+# columns to BIGINT / INT / DOUBLE / BOOLEAN / VARCHAR.
+RISKY_TYPES = ("HUGEINT", "DECIMAL", "UHUGEINT", "UBIGINT", "UINTEGER",
+               "USMALLINT", "UTINYINT", "TINYINT", "SMALLINT")
+
+
+def main(sf_dir, out_dir, partial=False):
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
@@ -29,6 +41,21 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
     for name, sql in sorted(oracle.items()):
+        if partial and not os.path.isdir(f"{out_dir}/{name}"):
+            continue
+        try:
+            rel = con.sql(sql)
+            risky = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                     if str(t).startswith(RISKY_TYPES)]
+            if risky:
+                print(f"FAIL {name}: risky oracle output types {risky} "
+                      "(cast to BIGINT/DOUBLE — driver hasher mangles these)")
+                fails += 1
+                continue
+        except Exception as e:
+            print(f"ERR  {name}: {type(e).__name__}: {e}")
+            fails += 1
+            continue
         try:
             import glob
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
@@ -64,4 +91,4 @@ def main(sf_dir, out_dir):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2]))
+    sys.exit(main(sys.argv[1], sys.argv[2], "--partial" in sys.argv[3:]))
