@@ -1131,6 +1131,34 @@ def compact_files(spark, path, out_path, sort_cols, target_files):
     return int(res[0]), int(res[1])
 
 
+def table_location(spark, table):
+    """The catalog table's current storage location (capture it BEFORE
+    compacting; the rewrite swaps the registration to the new path)."""
+    return str(spark._jvm.graft.api.PyFacade.tableLocation(
+        spark._jsparkSession, table))
+
+
+def vacuum(spark, location):
+    """Delete a SUPERSEDED location returned by a compaction (refuses
+    live-table paths loudly). Returns (files_removed, bytes_removed)."""
+    res = spark._jvm.graft.api.PyFacade.vacuum(spark._jsparkSession, location)
+    return int(res[0]), int(res[1])
+
+
+def shards_assign(df, id_col, weight_col, num_shards):
+    """Weight-balanced contiguous training-shard assignment: shard =
+    (weight-before-this-row * num_shards) // total in ascending id
+    order. Output columns: (id_col, weight, shard)."""
+    return _wrap(df, _facade(df).shardsAssign(
+        df._jdf, id_col, weight_col, int(num_shards)))
+
+
+def shards_manifest(assigned):
+    """Per-shard audit rollup (shard, n_rows, weight_sum) of
+    :func:`shards_assign`'s output."""
+    return _wrap(assigned, _facade(assigned).shardsManifest(assigned._jdf))
+
+
 def point_in_time(facts, history, keys, fact_ts_col,
                   valid_from_col="valid_from", valid_to_col="valid_to",
                   join_type="inner"):

@@ -957,6 +957,35 @@ class TestRound8(object):
         assert after <= 4 and before > after
         assert local_spark.table("py_compact_t").count() == docs.count()
 
+    def test_vacuum_superseded_location(self, docs, local_spark, tmp_path):
+        import os
+        P.write_bucketed(docs.where("doc_id % 2 = 0"), "py_vacuum_t",
+                         str(tmp_path / "v1"), "doc_id", 4)
+        old = P.table_location(local_spark, "py_vacuum_t")
+        P.compact_bucketed(local_spark, "py_vacuum_t", str(tmp_path / "v2"))
+        files, nbytes = P.vacuum(local_spark, old)
+        assert files > 0 and nbytes > 0
+        assert not os.path.exists(str(tmp_path / "v1"))
+        # live table untouched; vacuuming its CURRENT location refuses
+        assert local_spark.table("py_vacuum_t").count() > 0
+        import pytest as _pt
+        with _pt.raises(Exception, match="currently live"):
+            P.vacuum(local_spark, P.table_location(local_spark, "py_vacuum_t"))
+
+    def test_shards_assign_and_manifest(self, docs):
+        out = P.shards_assign(
+            docs.selectExpr("doc_id", "length(text) AS n_chars"),
+            "doc_id", "n_chars", 4)
+        rows = out.collect()
+        assert len(rows) == docs.count()
+        assert {r["shard"] for r in rows} == {0, 1, 2, 3}
+        man = {r["shard"]: (r["n_rows"], r["weight_sum"])
+               for r in P.shards_manifest(out).collect()}
+        total = sum(w for _, w in man.values())
+        maxw = max(r["weight"] for r in rows)
+        for _, w in man.values():  # balance bound: ideal ± max doc
+            assert abs(w - total / 4) <= maxw
+
     def test_bmp_codec_real_bytes(self, local_spark):
         # one real 24-bit BMP built in the JVM, decoded through the py binding
         jvm = local_spark._jvm

@@ -941,6 +941,56 @@ object SparkEntry {
         lit(planFree).as("agg_exchange_free"))
     }),
 
+    // the compaction lifecycle's second half: compact to a new
+    // location, then VACUUM the superseded one — old files gone, live
+    // table untouched (content identity vs raw orders), the removal
+    // audited. Invariants ride as pinned booleans like layout_compact
+    "layout_vacuum" -> ((s, dir) => {
+      val base = s"/tmp/graft_vacuum_gate_${math.abs(dir.hashCode)}"
+      val orders = tbl(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice").cast("decimal(38,8)").as("o_totalprice"))
+      graft.layout.Bucketed.writeBucketed(
+        orders.where(pmod(col("o_orderkey"), lit(4)) === 0),
+        "gate_vacuum_orders", s"$base/v1_${System.nanoTime()}", Seq("o_custkey"), 8)
+      for (m <- 1 to 3)
+        orders.where(pmod(col("o_orderkey"), lit(4)) === m)
+          .repartition(3)
+          .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .mode("append").saveAsTable("gate_vacuum_orders")
+      val stats = graft.layout.Compact.compactBucketed(
+        s, "gate_vacuum_orders", s"$base/v2_${System.nanoTime()}")
+      val v = graft.layout.Compact.vacuum(s, stats.previousLocation)
+      val oldGone = !new java.io.File(
+        java.net.URI.create(stats.previousLocation)).exists()
+      s.table("gate_vacuum_orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum((col("o_totalprice") * 100).cast("long")).as("sum_price_cents"))
+        .select(col("o_custkey"), col("n_orders"), col("sum_price_cents"),
+          lit(stats.filesBefore > 8).as("was_fragmented"),
+          lit(v.filesRemoved > 8 && v.bytesRemoved > 0L).as("removal_audited"),
+          lit(oldGone).as("old_location_gone"),
+          lit(graft.layout.Bucketed.bucketSpecOf(s, "gate_vacuum_orders")
+            .contains((8, Seq("o_custkey")))).as("spec_preserved"))
+    }),
+
+    // training-shard export: contiguous weight-quantile cut over
+    // doc_id order (weight = n_chars) — 10 shards balanced by MASS,
+    // the two-level prefix sum (no global sort), integer-exact replay
+    "export_shards" -> ((s, dir) =>
+      graft.curation.Shards.assign(
+        tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", numShards = 10)),
+
+    // the per-shard audit aggregate the export persists beside the
+    // data; same assignment upstream, so balance is pinned end-to-end
+    "export_shards_manifest" -> ((s, dir) =>
+      graft.curation.Shards.manifest(
+        graft.curation.Shards.assign(
+          tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", numShards = 10))),
+
     // hot-phrase mining (boilerplate discovery): top-5 most
     // document-frequent bigrams per source — per-doc DISTINCT grams
     // (df semantics), one map-side-combined count, O(k)-state top-k;
@@ -3418,6 +3468,40 @@ object SparkEntry {
         |  true was_fragmented, true one_file_per_bucket,
         |  true spec_preserved, true agg_exchange_free
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // vacuum preserves the live table exactly (same content identity
+    // as layout_compact); the removal/guard invariants are pinned
+    // Spark-side booleans
+    "layout_vacuum" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) n_orders,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(38,8)) * 100 AS BIGINT)) AS BIGINT) sum_price_cents,
+        |  true was_fragmented, true removal_audited,
+        |  true old_location_gone, true spec_preserved
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // the contiguous weight-quantile cut replayed as one cumulative
+    // window: shard = (weight-before * 10) // total — HUGEINT window
+    // sums cast back to BIGINT (the round-9a hasher contract)
+    "export_shards" ->
+      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        coalesce(sum(w) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) st,
+        |        sum(w) OVER () tot FROM t)
+        |SELECT doc_id, w weight, CAST((st * 10) // tot AS BIGINT) shard
+        |FROM c""".stripMargin,
+
+    // per-shard rollup of the same replay
+    "export_shards_manifest" ->
+      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        coalesce(sum(w) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) st,
+        |        sum(w) OVER () tot FROM t),
+        |a AS (SELECT CAST((st * 10) // tot AS BIGINT) shard, w FROM c)
+        |SELECT shard, CAST(count(*) AS BIGINT) n_rows,
+        |       CAST(sum(w) AS BIGINT) weight_sum
+        |FROM a GROUP BY 1""".stripMargin,
 
     // distinct bigrams per doc (df semantics), count per (source,
     // phrase), df >= 3, top-5 by (df desc, phrase asc) — the same

@@ -867,6 +867,29 @@ object PyFacade {
     Array(s.filesBefore, s.filesAfter)
   }
 
+  /** A catalog table's current storage location (capture it BEFORE a
+    * compaction; the rewrite swaps the registration to the new path). */
+  def tableLocation(spark: org.apache.spark.sql.SparkSession,
+      table: String): String =
+    graft.layout.Compact.tableLocation(spark, table).toString
+
+  /** Delete a SUPERSEDED location (refuses live-table paths loudly).
+    * Returns [filesRemoved, bytesRemoved]. */
+  def vacuum(spark: org.apache.spark.sql.SparkSession,
+      location: String): Array[Long] = {
+    val v = graft.layout.Compact.vacuum(spark, location)
+    Array(v.filesRemoved.toLong, v.bytesRemoved)
+  }
+
+  /** Weight-balanced contiguous shard assignment for training export. */
+  def shardsAssign(df: DataFrame, idCol: String, weightCol: String,
+      numShards: Int): DataFrame =
+    graft.curation.Shards.assign(df, idCol, weightCol, numShards)
+
+  /** Per-shard audit rollup of [[shardsAssign]]'s output. */
+  def shardsManifest(assigned: DataFrame): DataFrame =
+    graft.curation.Shards.manifest(assigned)
+
   /** Point-in-time join: facts pick up the episode valid at fact ts. */
   def pointInTime(facts: DataFrame, history: DataFrame, keysCsv: String,
       factTsCol: String, validFromCol: String, validToCol: String,

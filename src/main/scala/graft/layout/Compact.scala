@@ -48,6 +48,10 @@ object Compact {
   final case class CompactStats(
       filesBefore: Int, filesAfter: Int, previousLocation: String)
 
+  /** What a vacuum removed: file count (all files, markers included)
+    * and total bytes under the deleted location. */
+  final case class VacuumStats(filesRemoved: Int, bytesRemoved: Long)
+
   private def classic(spark: SparkSession) =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
@@ -114,6 +118,60 @@ object Compact {
     }
     val after = dataFileCount(spark, tableLocation(spark, table))
     CompactStats(before, after, oldLocation.toString)
+  }
+
+  /**
+   * Delete the bytes at a SUPERSEDED location — the second half of the
+   * write-then-swap contract: [[compactBucketed]] rewrites to a new
+   * path and returns the old one in `CompactStats.previousLocation`;
+   * once no reader needs the old snapshot, the table owner calls
+   * vacuum on it. Deleting data is deliberately a SEPARATE, explicit
+   * call (the operator cannot know when open snapshots drain), and it
+   * fails loudly rather than ever racing a live table:
+   *
+   *  - the location must exist (a double-vacuum or a typo'd path is an
+   *    error, not a silent no-op — the caller's bookkeeping is wrong);
+   *  - no CATALOG TABLE may currently live at, under, or above the
+   *    location. This is the guard that makes the API safe to script:
+   *    pass the CURRENT location of a table (instead of the returned
+   *    previous one) and the call refuses instead of destroying it.
+   *
+   * Scale notes: the walk and delete are driver-side filesystem
+   * metadata operations, proportional to FILE COUNT (bounded by the
+   * pre-compaction fragmentation), never data-sized; no Spark job
+   * runs. Returns what was removed for the caller's audit log.
+   */
+  def vacuum(spark: SparkSession, location: String): VacuumStats = {
+    val uri = java.net.URI.create(location)
+    val p = new org.apache.hadoop.fs.Path(
+      if (uri.getScheme == null) new java.io.File(location).toURI else uri)
+    val fs = p.getFileSystem(classic(spark).sessionState.newHadoopConf())
+    require(fs.exists(p),
+      s"nothing to vacuum at $location — already removed, or not a " +
+        "location this session's compactions produced")
+    val target = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
+    val ss = classic(spark).sessionState
+    val liveAt = ss.catalog.listDatabases().flatMap { db =>
+      ss.catalog.listTables(db).flatMap { ti =>
+        scala.util.Try(ss.catalog.getTableMetadata(ti)).toOption
+          .map(m => (ti.unquotedString, m.location.getPath.stripSuffix("/")))
+      }
+    }.filter { case (_, loc) =>
+      loc == target || loc.startsWith(target + "/") ||
+        target.startsWith(loc + "/")
+    }
+    require(liveAt.isEmpty,
+      s"refusing to vacuum $location: catalog table(s) " +
+        s"${liveAt.map(_._1).mkString(", ")} currently live there — " +
+        "vacuum only the previousLocation a compaction returned")
+    val it = fs.listFiles(p, true)
+    var files = 0; var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.isFile) { files += 1; bytes += f.getLen }
+    }
+    require(fs.delete(p, true), s"filesystem refused to delete $location")
+    VacuumStats(files, bytes)
   }
 
   /**

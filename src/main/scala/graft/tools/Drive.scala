@@ -1422,6 +1422,37 @@ object Drive {
       println(s"OK spearman=$rho (expect g1 -> 1000000, g2 -> -1000000, g3 -> 800000)")
     }
 
+    println("=== 47. round-9: compaction vacuum + training-shard export ===")
+    locally {
+      import spark.implicits._
+      val rows = (1 to 200).map(i => (i.toLong % 20, i.toLong, s"p$i"))
+        .toDF("k", "id", "pay")
+      def tmpd() = java.nio.file.Files.createTempDirectory("drive_vacuum").toString
+      graft.layout.Bucketed.writeBucketed(
+        rows.where($"id" % 2 === 0), "drive_vac_t", tmpd(), Seq("k"), 4)
+      rows.where($"id" % 2 === 1).repartition(2)
+        .write.format("parquet").bucketBy(4, "k").sortBy("k")
+        .mode("append").saveAsTable("drive_vac_t")
+      val cs = graft.layout.Compact.compactBucketed(spark, "drive_vac_t", tmpd())
+      val vs = graft.layout.Compact.vacuum(spark, cs.previousLocation)
+      val gone = !new java.io.File(
+        java.net.URI.create(cs.previousLocation)).exists()
+      println(s"OK vacuum removed files=${vs.filesRemoved} bytes>0=${vs.bytesRemoved > 0} " +
+        s"oldGone=$gone liveRows=${spark.table("drive_vac_t").count()} (expect oldGone=true, liveRows=200)")
+      val refused = try { graft.layout.Compact.vacuum(spark,
+        graft.layout.Compact.tableLocation(spark, "drive_vac_t").toString); "NO"
+      } catch { case e: IllegalArgumentException
+          if e.getMessage.contains("currently live") => "refused" }
+      println(s"OK live-location vacuum $refused (expect refused)")
+
+      val sh = graft.curation.Shards.assign(
+        rows.select($"id", ($"id" % 7 + 1).as("w")), "id", "w", 4)
+      val man = graft.curation.Shards.manifest(sh)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      println(s"OK shards manifest=$man rows=${sh.count()} " +
+        "(expect 4 shards, masses within one doc of total/4)")
+    }
+
     spark.stop()
   }
 }

@@ -1321,6 +1321,16 @@ object ScaleBench {
           .where(col("canon_id") >= 0L)
       }),
 
+      // shard export: one group-keyed exchange of slim (id, weight)
+      // rows ∝ f, offsets window over ≤ targetGroups rows (constant),
+      // one broadcast join back — the packSequences shuffle shape
+      "export_shards" -> (() =>
+        graft.curation.Shards.assign(
+          docsFull(f).select(col("doc_id"),
+            pmod(col("n_chars"), lit(500L)).as("w")),
+          "doc_id", "w", numShards = 16)
+          .where(col("shard") >= 0L)),
+
       // Spearman: rank maps come from per-(group, value) histograms —
       // distinct values are CONSTANT here (pmod caps both columns), so
       // the two rank windows stay flat while the two join-backs and

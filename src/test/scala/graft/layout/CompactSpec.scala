@@ -91,6 +91,41 @@ class CompactSpec extends AnyFlatSpec with Matchers {
     spark.table("cspec_f").count() shouldBe before
   }
 
+  behavior of "Compact.vacuum"
+
+  it should "remove a superseded location and report what it removed" in {
+    fragment("cspec_v")
+    val stats = Compact.compactBucketed(spark, "cspec_v", tmp())
+    val old = new java.io.File(java.net.URI.create(stats.previousLocation))
+    old.exists() shouldBe true
+    val v = Compact.vacuum(spark, stats.previousLocation)
+    withClue(v) {
+      v.filesRemoved should be > 8 // the fragmented data files + markers
+      v.bytesRemoved should be > 0L
+    }
+    old.exists() shouldBe false
+    // the live table is untouched
+    spark.table("cspec_v").count() shouldBe 400
+    Bucketed.bucketSpecOf(spark, "cspec_v") shouldBe Some((8, Seq("k")))
+  }
+
+  it should "refuse to vacuum a live table location or a missing path" in {
+    fragment("cspec_vg")
+    val live = Compact.tableLocation(spark, "cspec_vg").toString
+    val e = intercept[IllegalArgumentException] {
+      Compact.vacuum(spark, live)
+    }
+    e.getMessage should include("currently live there")
+    // a parent of the live location is refused too
+    val parent = live.stripSuffix("/").split('/').dropRight(1).mkString("/")
+    intercept[IllegalArgumentException] {
+      Compact.vacuum(spark, parent)
+    }.getMessage should include("currently live there")
+    intercept[IllegalArgumentException] {
+      Compact.vacuum(spark, tmp() + "/never_written")
+    }.getMessage should include("nothing to vacuum")
+  }
+
   it should "bin-pack a plain sorted directory preserving range clustering" in {
     val dir = tmp() + "/zin"
     val out = tmp() + "/zout"
