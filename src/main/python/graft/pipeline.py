@@ -1450,6 +1450,23 @@ def roc_auc(df, label_col, score_col):
     return _wrap(df, _facade(df).rocAuc(df._jdf, label_col, score_col))
 
 
+def winsorize(df, group_cols, value_col, lo_q=10, hi_q=90,
+              out_col="winsorized"):
+    """Clip ``value_col`` into its own group's [p``lo_q``, p``hi_q``]
+    quantile band (explicit-rank quantiles; NULLs pass through)."""
+    cols = ",".join(group_cols) if not isinstance(group_cols, str) else group_cols
+    return _wrap(df, _facade(df).winsorize(
+        df._jdf, cols, value_col, int(lo_q), int(hi_q), out_col))
+
+
+def novelty_scores(df, id_col, text_col, n=3):
+    """Incremental novelty: each distinct word n-gram credits its
+    lowest-id document; a doc's score is the credited share of its own
+    shingles, in micro-units. Docs with < n tokens are excluded."""
+    return _wrap(df, _facade(df).noveltyScores(df._jdf, id_col, text_col,
+                                               int(n)))
+
+
 def spearman(df, group_cols, x_col, y_col):
     """Per-group Spearman rank correlation in micro-units (average-rank
     ties, displacement formula, truncating integer division). Ranks are

@@ -1298,6 +1298,21 @@ class TestRound8(object):
         r = P.spearman(df, "g", "x", "y").collect()[0]
         assert (r["n"], r["rho_micro"]) == (4, 950000)
 
+    def test_winsorize(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("g", v) for v in range(1, 11)], ["g", "v"])
+        got = sorted(r["w"] for r in
+                     P.winsorize(df, "g", "v", 10, 90, "w").collect())
+        assert got == [1, 2, 3, 4, 5, 6, 7, 8, 9, 9]
+
+    def test_novelty_scores(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d"), (3, "a b c d")],
+            ["doc_id", "text"])
+        got = {r["doc_id"]: r["novelty_micro"] for r in
+               P.novelty_scores(df, "doc_id", "text", n=2).collect()}
+        assert got == {1: 1000000, 2: 500000, 3: 0}
+
     def test_int_kmeans(self, local_spark):
         pts = local_spark.createDataFrame(
             [(1, [0.0, 0.0]), (2, [0.01, 0.0]), (3, [0.0, 0.01]),

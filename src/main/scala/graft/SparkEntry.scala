@@ -793,6 +793,23 @@ object SparkEntry {
       graft.stats.GroupStats.quantiles(
         tbl(s, dir, "documents"), Seq("source"), "n_chars", Seq(50, 90, 99))),
 
+    // per-group winsorization: n_chars clipped into each source's own
+    // [p10, p90] band — the explicit-rank quantile contract makes the
+    // clip boundaries (and every clipped digit) exactly replayable
+    "q_winsorize" -> ((s, dir) =>
+      graft.stats.GroupStats.winsorize(
+        tbl(s, dir, "documents").select(col("doc_id"), col("source"),
+          col("n_chars")),
+        Seq("source"), "n_chars", loQ = 10, hiQ = 90)),
+
+    // incremental novelty: each distinct bigram credits its lowest-id
+    // document; a doc's score is the credited share of its shingles —
+    // the up/down-sampling signal between exact dedup and quality
+    "text_novelty" -> ((s, dir) =>
+      graft.text.TextFunctions.noveltyScores(
+        tbl(s, dir, "documents").where(col("text").isNotNull),
+        "doc_id", "text", n = 2)),
+
     // approximate (GK-sketch) quantiles, bound-checked: estimates are
     // merge-order-dependent so the gate pins exact row counts plus
     // rank-within-n/accuracy booleans (the profile_sketch discipline)
@@ -3403,6 +3420,23 @@ object SparkEntry {
         |  min(CASE WHEN 100 * cum >= 99 * tot THEN n_chars END) p99
         |FROM c GROUP BY source""".stripMargin,
 
+    // the same histogram rank replay as q_quantiles, folded into
+    // boundary columns and one least/greatest clip per row
+    "q_winsorize" ->
+      """WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) cnt
+        |           FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, n_chars, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) cum,
+        |        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) tot
+        |      FROM h),
+        |b AS (SELECT source,
+        |        min(CASE WHEN 100 * cum >= 10 * tot THEN n_chars END) lo,
+        |        min(CASE WHEN 100 * cum >= 90 * tot THEN n_chars END) hi
+        |      FROM c GROUP BY 1)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |  CAST(least(greatest(d.n_chars, b.lo), b.hi) AS BIGINT) winsorized
+        |FROM documents d JOIN b ON d.source = b.source""".stripMargin,
+
     // sketch estimates are not replayable; the oracle pins the exact
     // counts and the literal truth of the Spark-computed rank bounds
     "q_quantiles_approx" ->
@@ -3502,6 +3536,22 @@ object SparkEntry {
         |SELECT shard, CAST(count(*) AS BIGINT) n_rows,
         |       CAST(sum(w) AS BIGINT) weight_sum
         |FROM a GROUP BY 1""".stripMargin,
+
+    // first-seen bigram credit: min(doc_id) per distinct shingle, the
+    // credited share per doc in truncating micro-units
+    "text_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents
+         |           WHERE text IS NOT NULL),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct([ws[i]||' '||ws[i+1]
+         |                 for i in range(1, len(ws))])) g
+         |       FROM t WHERE len(ws) >= 2),
+         |f AS (SELECT g, min(doc_id) fid FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) n_shingles,
+         |  CAST(sum(CASE WHEN f.fid = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) n_novel,
+         |  CAST((sum(CASE WHEN f.fid = sh.doc_id THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) novelty_micro
+         |FROM sh JOIN f ON sh.g = f.g GROUP BY 1""".stripMargin,
 
     // distinct bigrams per doc (df semantics), count per (source,
     // phrase), df >= 3, top-5 by (df desc, phrase asc) — the same

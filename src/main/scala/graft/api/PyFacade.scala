@@ -1125,6 +1125,18 @@ object PyFacade {
       groupColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
       xCol, yCol)
 
+  /** Per-group winsorization into the [pLo, pHi] quantile band. */
+  def winsorize(df: DataFrame, groupColsCsv: String, valueCol: String,
+      loQ: Int, hiQ: Int, outCol: String): DataFrame =
+    graft.stats.GroupStats.winsorize(df,
+      groupColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      valueCol, loQ, hiQ, outCol)
+
+  /** Incremental novelty: first-seen shingle credit per document. */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    graft.text.TextFunctions.noveltyScores(df, idCol, textCol, n)
+
   // --- streaming-unified ------------------------------------------------
 
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =

@@ -73,6 +73,43 @@ object GroupStats {
   }
 
   /**
+   * Per-group winsorization — clip `valueCol` into its own group's
+   * [pLo, pHi] quantile band, the heavy-tail tamer for feature columns
+   * (token counts, prices, latencies) before averaging or z-scoring:
+   * unlike dropping outliers it keeps the row (and the fact that it
+   * WAS extreme, pinned at the boundary), unlike the MAD flag it
+   * repairs in place. Quantiles follow [[quantiles]]' explicit rank
+   * contract (smallest v with 100·c ≥ N·n), so the clip boundaries —
+   * and therefore every output digit — replay exactly in an external
+   * engine.
+   *
+   * Plan shape: one [[quantiles]] pass (histogram-bounded), then a
+   * broadcast-or-shuffle equi-join of the tiny per-group boundary
+   * table back onto the data — no data-sized window. NULL values stay
+   * NULL; a group whose values are all NULL has no boundaries and its
+   * (all-NULL) values pass through unchanged.
+   *
+   * Output: the input columns plus `outCol` (same type as
+   * `valueCol`).
+   */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      loQ: Int = 10, hiQ: Int = 90,
+      outCol: String = "winsorized"): DataFrame = {
+    require(loQ >= 1 && hiQ <= 100 && loQ < hiQ,
+      s"need 1 <= loQ < hiQ <= 100, got loQ=$loQ hiQ=$hiQ")
+    require(!df.columns.contains(outCol),
+      s"output column `$outCol` already exists on the input")
+    val bounds = quantiles(df, groupCols, valueCol, Seq(loQ, hiQ))
+      .select(groupCols.map(col) ++ Seq(
+        col(s"p$loQ").as("__wlo"), col(s"p$hiQ").as("__whi")): _*)
+    df.join(bounds, groupCols, "left")
+      .withColumn(outCol,
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("__wlo")), col("__whi"))))
+      .drop("__wlo", "__whi")
+  }
+
+  /**
    * Per group: row count and one `ap<N>` APPROXIMATE percentile column
    * per requested percentile — Spark's `percentile_approx`
    * (Greenwald-Khanna summaries) in the [[quantiles]] column convention.

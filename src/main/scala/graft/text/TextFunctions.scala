@@ -202,6 +202,49 @@ object TextFunctions {
   }
 
   /**
+   * Incremental novelty scoring — "how much does this document add
+   * that the corpus didn't already have?": each distinct word n-gram
+   * shingle credits exactly ONE document, the lowest-id one that
+   * contains it (ids are ingestion order), and a document's novelty is
+   * the credited share of its own shingles. The up-sampling /
+   * down-sampling signal between exact dedup (novelty 0 duplicates-
+   * after-the-first) and plain quality scores: boilerplate-heavy pages
+   * score low even when no single near-duplicate exists, reference
+   * pages that introduce new phrasing score high.
+   *
+   * Integer contract: novelty_micro = (n_novel · 1e6) div n_shingles —
+   * truncating division on non-negative longs, bit-replayable.
+   * Documents with fewer than `n` tokens have no shingles and are
+   * EXCLUDED (a share of zero shingles is undefined — the
+   * [[graft.ml.Eval.rocAuc]] exclusion convention).
+   *
+   * Scale shape: per-document DISTINCT shingles from the codegen'd
+   * [[graft.functions.WordShingles]] kernel, ONE shuffle keyed by
+   * shingle (min-id agg + the credit join on the same key — the
+   * inverted-index discipline of [[graft.dedup.Dedup]]), then a
+   * map-side-combined per-document count. Shuffle ∝ distinct
+   * (document, shingle) rows, never pairwise; hot shingles are
+   * AQE-skew-splittable equi-join keys.
+   *
+   * Output: (idCol, n_shingles, n_novel, novelty_micro).
+   */
+  def noveltyScores(df: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val sh = df.select(col(idCol).cast("long").as("__id"),
+        explode(graft.functions.WordShingles.wordShingles(col(textCol), n))
+          .as("__sh"))
+    val first = sh.groupBy(col("__sh")).agg(min(col("__id")).as("__first"))
+    sh.join(first, "__sh")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col("__id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("__id").as(idCol), col("n_shingles"), col("n_novel"),
+        expr("(n_novel * 1000000L) div n_shingles").as("novelty_micro"))
+  }
+
+  /**
    * Intra-document repetition profile — the Gopher-family repetition
    * quality filter (Rae et al. 2021 §A1.1, "repetitious documents are
    * low quality"): per document, what fraction of its n-gram positions

@@ -1453,6 +1453,21 @@ object Drive {
         "(expect 4 shards, masses within one doc of total/4)")
     }
 
+    println("=== 48. round-9: novelty scoring + winsorization ===")
+    locally {
+      import spark.implicits._
+      val nov = graft.text.TextFunctions.noveltyScores(
+        Seq((1L, "a b c"), (2L, "b c d"), (3L, "a b c d"))
+          .toDF("doc_id", "text"), "doc_id", "text", n = 2)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      println(s"OK novelty=$nov (expect 1 -> 1000000, 2 -> 500000, 3 -> 0)")
+      val win = graft.stats.GroupStats.winsorize(
+        (1 to 10).map(v => ("g", v.toLong)).toDF("grp", "v"),
+        Seq("grp"), "v", 10, 90, "w")
+        .collect().map(_.getLong(2)).sorted.toList
+      println(s"OK winsorized=$win (expect 1..9 then 9)")
+    }
+
     spark.stop()
   }
 }

@@ -1321,6 +1321,24 @@ object ScaleBench {
           .where(col("canon_id") >= 0L)
       }),
 
+      // novelty: inverted-index discipline — ONE shingle-keyed shuffle
+      // (min-id agg + credit join), then a map-side per-doc count;
+      // docsPlain repeats text across copies so distinct shingles stay
+      // constant while (doc, shingle) rows grow ∝ f
+      "text_novelty" -> (() =>
+        graft.text.TextFunctions.noveltyScores(
+          docsPlain(f), "doc_id", "text", n = 2)
+          .where(col("novelty_micro") >= 0L)),
+
+      // winsorize: histogram-bounded quantile pass + one boundary
+      // join-back ∝ f slim rows (the q_bins shuffle shape)
+      "q_winsorize" -> (() =>
+        graft.stats.GroupStats.winsorize(
+          docsFull(f).select(col("doc_id"), col("source"),
+            pmod(col("n_chars"), lit(1000L)).as("v")),
+          Seq("source"), "v", 10, 90)
+          .where(col("winsorized") >= 0L)),
+
       // shard export: one group-keyed exchange of slim (id, weight)
       // rows ∝ f, offsets window over ≤ targetGroups rows (constant),
       // one broadcast join back — the packSequences shuffle shape

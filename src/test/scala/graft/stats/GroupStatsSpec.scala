@@ -227,4 +227,37 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
     // loud either way, which is the contract
     ex.getMessage should (include ("overflowed") or include ("ARITHMETIC_OVERFLOW"))
   }
+
+  behavior of "GroupStats.winsorize"
+
+  it should "clip into the group's [pLo, pHi] band by the explicit rank rule" in {
+    // group g: values 1..10 — p10 = smallest v with 10·cum >= n (v=1),
+    // p90 = smallest v with 100·cum >= 90·10 (v=9): 10 clips to 9
+    val df = (1 to 10).map(v => ("g", v.toLong)).toDF("grp", "v")
+    val out = GroupStats.winsorize(df, Seq("grp"), "v", 10, 90, "w")
+      .as[(String, Long, Long)].collect().sortBy(_._2).toList
+    out.map(_._3) shouldBe List(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 9L)
+  }
+
+  it should "clip each group against its own boundaries" in {
+    val df = ((1 to 10).map(v => ("a", v.toLong)) ++
+      (101 to 110).map(v => ("b", v.toLong))).toDF("grp", "v")
+    val out = GroupStats.winsorize(df, Seq("grp"), "v", 10, 90, "w")
+      .as[(String, Long, Long)].collect()
+    out.filter(_._1 == "a").map(_._3).max shouldBe 9L
+    out.filter(_._1 == "b").map(_._3).max shouldBe 109L
+    out.filter(_._1 == "b").map(_._3).min shouldBe 101L
+  }
+
+  it should "pass null values through and validate parameters" in {
+    val df = Seq(("g", Some(1L)), ("g", Some(2L)), ("g", Some(3L)),
+      ("g", None)).toDF("grp", "v")
+    val out = GroupStats.winsorize(df, Seq("grp"), "v", 10, 90, "w")
+      .as[(String, Option[Long], Option[Long])].collect()
+    out.count(_._3.isEmpty) shouldBe 1
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.winsorize(df, Seq("grp"), "v", 90, 10, "w")
+    an[IllegalArgumentException] should be thrownBy
+      GroupStats.winsorize(df, Seq("grp"), "v", 10, 90, "v")
+  }
 }
