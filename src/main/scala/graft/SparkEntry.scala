@@ -2603,7 +2603,8 @@ object SparkEntry {
   /** Equator-exact WGS84 geodesic metres, rounded like math.round. */
   private val eqDist = "round(6378137.0 * radians(abs(c.lon - s.lon)))"
 
-  private val tokensSql = "list_filter(string_split(text, ' '), x -> x != '')"
+  private[graft] val tokensSql =
+    "list_filter(string_split(text, ' '), x -> x != '')"
   private val shingleCte =
     s"""t AS (SELECT doc_id, $tokensSql ws FROM documents),
        |sh AS (SELECT doc_id, list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sl FROM t WHERE len(ws) >= 3)""".stripMargin

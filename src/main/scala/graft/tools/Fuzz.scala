@@ -97,7 +97,7 @@ object Fuzz {
   private def gen(spark: SparkSession, dir: String, i: Int, seed: Long): Case = {
     val rng = new scala.util.Random(seed * 1000003L + i)
     val name = f"fz_$i%03d"
-    (i % 10) match {
+    (i % 13) match {
       case 0 => saltedAgg(spark, dir, name, rng)
       case 1 => rangeAgg(spark, dir, name, rng)
       case 2 => joinQuota(spark, dir, name, rng)
@@ -108,7 +108,87 @@ object Fuzz {
       case 7 => overlapAgg(spark, dir, name, rng)
       case 8 => groupSplitCase(spark, dir, name, rng)
       case 9 => graphCase(spark, dir, name, rng)
+      case 10 => winsorizeCase(spark, dir, name, rng)
+      case 11 => shardsCase(spark, dir, name, rng)
+      case 12 => noveltyCase(spark, dir, name, rng)
     }
+  }
+
+  /** winsorize over a synthetic value/group pair vs the histogram-rank
+    * replay (random modulus, group width, and clip band). */
+  private def winsorizeCase(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val a = 1 + rng.nextInt(5)
+    val b = rng.nextInt(3)
+    val m = 50 + rng.nextInt(950)
+    val g = 2 + rng.nextInt(8)
+    val lo = 1 + rng.nextInt(40)
+    val hi = 60 + rng.nextInt(40)
+    val in = docs(spark, dir).select(col("doc_id"),
+      pmod(col("doc_id"), lit(g.toLong)).as("gg"),
+      pmod(col("n_chars") * a + col("doc_id") * b, lit(m.toLong)).as("v"))
+    Case(name,
+      graft.stats.GroupStats.winsorize(in, Seq("gg"), "v", lo, hi, "w"),
+      s"""WITH d AS (SELECT doc_id, doc_id % $g gg,
+         |             (n_chars * $a + doc_id * $b) % $m v FROM documents),
+         |h AS (SELECT gg, v, CAST(count(*) AS BIGINT) cnt FROM d GROUP BY 1, 2),
+         |c AS (SELECT gg, v, cnt,
+         |        CAST(sum(cnt) OVER (PARTITION BY gg ORDER BY v) AS BIGINT) cum,
+         |        CAST(sum(cnt) OVER (PARTITION BY gg) AS BIGINT) tot FROM h),
+         |b2 AS (SELECT gg,
+         |        min(CASE WHEN 100 * cum >= $lo * tot THEN v END) blo,
+         |        min(CASE WHEN 100 * cum >= $hi * tot THEN v END) bhi
+         |      FROM c GROUP BY 1)
+         |SELECT d.doc_id, d.gg, d.v,
+         |  CAST(least(greatest(d.v, b2.blo), b2.bhi) AS BIGINT) w
+         |FROM d JOIN b2 ON d.gg = b2.gg""".stripMargin)
+  }
+
+  /** shard assignment over a synthetic non-negative weight vs the one
+    * cumulative-window replay (random weight mix and shard count). */
+  private def shardsCase(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val c = rng.nextInt(4)
+    val m = 20 + rng.nextInt(480)
+    val n = 2 + rng.nextInt(15)
+    val in = docs(spark, dir).select(col("doc_id"),
+      pmod(col("n_chars") + col("doc_id") * c, lit(m.toLong)).as("w"))
+    Case(name,
+      graft.curation.Shards.assign(in, "doc_id", "w", n),
+      s"""WITH t AS (SELECT doc_id,
+         |             CAST((n_chars + doc_id * $c) % $m AS BIGINT) w
+         |           FROM documents),
+         |c2 AS (SELECT doc_id, w,
+         |        coalesce(sum(w) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) st,
+         |        sum(w) OVER () tot FROM t)
+         |SELECT doc_id, w weight, CAST((st * $n) // tot AS BIGINT) shard
+         |FROM c2""".stripMargin)
+  }
+
+  /** novelty scoring (random shingle width, random doc-subset filter)
+    * vs the min-doc_id first-seen replay. */
+  private def noveltyCase(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val n = 2 + rng.nextInt(2)
+    val m = 1 + rng.nextInt(4) // keep doc_id % (m+1) != m
+    val gram = (1 to n).map(k => s"ws[i + ${k - 1}]").mkString(" || ' ' || ")
+    val in = docs(spark, dir)
+      .where(pmod(col("doc_id"), lit(m + 1L)) =!= lit(m.toLong))
+    Case(name,
+      graft.text.TextFunctions.noveltyScores(in, "doc_id", "text", n),
+      s"""WITH t AS (SELECT doc_id, ${graft.SparkEntry.tokensSql} ws FROM documents
+         |           WHERE doc_id % ${m + 1} <> $m),
+         |sh AS (SELECT doc_id,
+         |         unnest(list_distinct([$gram
+         |                 for i in range(1, len(ws) - ${n - 2})])) g
+         |       FROM t WHERE len(ws) >= $n),
+         |f AS (SELECT g, min(doc_id) fid FROM sh GROUP BY 1)
+         |SELECT sh.doc_id, CAST(count(*) AS BIGINT) n_shingles,
+         |  CAST(sum(CASE WHEN f.fid = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT) n_novel,
+         |  CAST((sum(CASE WHEN f.fid = sh.doc_id THEN 1 ELSE 0 END) * 1000000)
+         |    // count(*) AS BIGINT) novelty_micro
+         |FROM sh JOIN f ON sh.g = f.g GROUP BY 1""".stripMargin)
   }
 
   private def li(spark: SparkSession, dir: String) =
@@ -130,10 +210,14 @@ object Fuzz {
     val salt = 2 + rng.nextInt(7)
     val joinType = if (rng.nextBoolean()) "inner" else "left"
     val hotMod = 3 + rng.nextInt(5)
+    // price in integer CENTS (per-row decimal→cents), so the final
+    // column is BIGINT on both sides — a DECIMAL output column is the
+    // one type the driver's hasher mangles (check_oracle RISKY_TYPES)
     val l = li(spark, dir)
       .where(pmod(col("l_orderkey"), lit(m)) === r)
       .select(col("l_orderkey").as("k"),
-        col("l_extendedprice").cast("decimal(38,8)").as("x"))
+        (col("l_extendedprice").cast("decimal(38,8)") * 100)
+          .cast("long").as("x"))
     val d = ord(spark, dir)
       .select(col("o_orderkey").as("k"), col("o_custkey").as("c"))
     val hot = d.where(pmod(col("k"), lit(hotMod)) === 0).select("k")
@@ -141,15 +225,13 @@ object Fuzz {
       hotKeys = Some(hot), joinType = joinType)
     val out = joined.groupBy(col("c"))
       .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
-      .select(col("c"), col("n"),
-        col("sx").cast("decimal(38,8)").as("sx"))
     val jt = if (joinType == "left") "LEFT JOIN" else "JOIN"
     Case(name, out,
-      s"""WITH l AS (SELECT l_orderkey k, CAST(l_extendedprice AS DECIMAL(38,8)) x
+      s"""WITH l AS (SELECT l_orderkey k,
+         |             CAST(CAST(l_extendedprice AS DECIMAL(38,8)) * 100 AS BIGINT) x
          |           FROM lineitem WHERE l_orderkey % $m = $r),
          |d AS (SELECT o_orderkey k, o_custkey c FROM orders)
-         |SELECT d.c, CAST(count(*) AS BIGINT) n,
-         |       CAST(sum(l.x) AS DECIMAL(38,8)) sx
+         |SELECT d.c, CAST(count(*) AS BIGINT) n, CAST(sum(l.x) AS BIGINT) sx
          |FROM l $jt d ON l.k = d.k GROUP BY 1""".stripMargin)
   }
 
@@ -482,7 +564,8 @@ object Fuzz {
              |  FROM pnd LEFT JOIN outd ON node = src CROSS JOIN pst),
              |r0 AS MATERIALIZED (SELECT node, outdeg, b, r0 rk FROM pbase),
              |$rounds
-             |SELECT node, rk pr_unit FROM r$iters""".stripMargin)
+             |SELECT CAST(node AS BIGINT) node, CAST(rk AS BIGINT) pr_unit
+             |FROM r$iters""".stripMargin)
       case 1 =>
         Case(name,
           graft.graph.Triangles.clusteringCoef(pairs, "doc_i", "doc_j"),
