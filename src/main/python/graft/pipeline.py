@@ -1467,6 +1467,24 @@ def novelty_scores(df, id_col, text_col, n=3):
                                                int(n)))
 
 
+def global_rank(df, value_col, tie_col, out_col="rank", descending=False):
+    """Exact 0-based global rank over (value, tie) with NO global sort:
+    histogram base + per-tie-group windows. (value, tie) pairs must be
+    unique; NULL coordinates are excluded."""
+    return _wrap(df, _facade(df).globalRank(
+        df._jdf, value_col, tie_col, out_col, bool(descending)))
+
+
+def epoch_plan(df, source_col, token_col, weights, weight_source_col,
+               weight_col, target_tokens):
+    """Mixture epoch planning: per-source (tokens_have, weight_ppm,
+    target_tokens, epochs_micro) for a token budget. Sources weighted
+    but absent get NULL epochs; unweighted corpus sources get 0."""
+    return _wrap(df, _facade(df).epochPlan(
+        df._jdf, source_col, token_col, weights._jdf, weight_source_col,
+        weight_col, int(target_tokens)))
+
+
 def spearman(df, group_cols, x_col, y_col):
     """Per-group Spearman rank correlation in micro-units (average-rank
     ties, displacement formula, truncating integer division). Ranks are

@@ -1313,6 +1313,21 @@ class TestRound8(object):
                P.novelty_scores(df, "doc_id", "text", n=2).collect()}
         assert got == {1: 1000000, 2: 500000, 3: 0}
 
+    def test_global_rank(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(5, 1), (5, 2), (9, 3), (1, 4)], ["s", "id"])
+        got = {r["id"]: r["rank"] for r in
+               P.global_rank(df, "s", "id", descending=True).collect()}
+        assert got == {3: 0, 1: 1, 2: 2, 4: 3}
+
+    def test_epoch_plan(self, local_spark):
+        corpus = local_spark.createDataFrame(
+            [("a", 50), ("a", 50), ("b", 400)], ["src", "tok"])
+        w = local_spark.createDataFrame([("a", 3), ("b", 1)], ["s", "wt"])
+        got = {r["source"]: (r["target_tokens"], r["epochs_micro"]) for r in
+               P.epoch_plan(corpus, "src", "tok", w, "s", "wt", 800).collect()}
+        assert got == {"a": (600, 6000000), "b": (200, 500000)}
+
     def test_int_kmeans(self, local_spark):
         pts = local_spark.createDataFrame(
             [(1, [0.0, 0.0]), (2, [0.01, 0.0]), (3, [0.0, 0.01]),

@@ -793,6 +793,32 @@ object SparkEntry {
       graft.stats.GroupStats.quantiles(
         tbl(s, dir, "documents"), Seq("source"), "n_chars", Seq(50, 90, 99))),
 
+    // exact global rank with NO global sort: base from the
+    // distinct-value histogram cumsum + row_number within each value's
+    // tie group (parallel windows) — score desc, doc_id asc ties
+    "q_global_rank" -> ((s, dir) =>
+      graft.stats.GroupStats.globalRank(
+        tbl(s, dir, "documents")
+          .select(pmod(col("n_chars"), lit(97L)).as("score"), col("doc_id")),
+        "score", "doc_id", "rank", descending = true)),
+
+    // curriculum export end-to-end: global quality rank (desc) becomes
+    // the shard id axis, so stage 0 holds the highest-scored ~quarter
+    // of the TOKEN mass — globalRank ∘ Shards.assign composition
+    "curriculum_shards" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      val ranked = graft.stats.GroupStats.globalRank(
+        docs.select(pmod(col("n_chars"), lit(97L)).as("score"), col("doc_id")),
+        "score", "doc_id", "rank", descending = true)
+      val staged = graft.curation.Shards.assign(
+        ranked.join(docs, "doc_id").select(col("rank"), col("n_chars")),
+        "rank", "n_chars", numShards = 4)
+      ranked.join(staged, "rank")
+        .select(col("doc_id"), col("rank"), col("weight"),
+          col("shard").as("stage"))
+    }),
+
     // per-group winsorization: n_chars clipped into each source's own
     // [p10, p90] band — the explicit-rank quantile contract makes the
     // clip boundaries (and every clipped digit) exactly replayable
@@ -1223,6 +1249,19 @@ object SparkEntry {
       graft.curation.Sampling.mixtureSample(
         tbl(s, dir, "documents"), "text", "source", MixtureWeights.toMap)
         .select(col("doc_id"), col("source"))),
+
+    // mixture epoch planning: the repeat-factor table a training launch
+    // consumes — target_s = (T·w_s) div Σw, epochs = target/have in
+    // micro-units; srcX (weighted but absent) gets NULL epochs, corpus
+    // sources outside the mixture get weight 0 — both loud-by-shape
+    "sample_epoch_plan" -> ((s, dir) => {
+      import s.implicits._
+      val w = Seq(("src1", 3L), ("src2", 1L), ("src3", 6L), ("srcX", 2L))
+        .toDF("src", "wt")
+      graft.curation.Sampling.epochPlan(
+        tbl(s, dir, "documents").select(col("source"), col("n_chars")),
+        "source", "n_chars", w, "src", "wt", targetTokens = 1000000L)
+    }),
 
     // deterministic train/val/test split by content hash: assignment is
     // a pure function of text (no RNG, no partitioning dependence), so
@@ -3421,6 +3460,27 @@ object SparkEntry {
         |  min(CASE WHEN 100 * cum >= 99 * tot THEN n_chars END) p99
         |FROM c GROUP BY source""".stripMargin,
 
+    // the global total order replayed as ONE SQL window — the oracle
+    // may sort globally; the Spark side must not (plan-pinned in spec)
+    "q_global_rank" ->
+      """SELECT n_chars % 97 score, doc_id,
+        |  CAST(row_number() OVER (ORDER BY n_chars % 97 DESC, doc_id) - 1
+        |    AS BIGINT) rank
+        |FROM documents""".stripMargin,
+
+    // rank replay feeding the cumulative-weight cut — same two windows
+    "curriculum_shards" ->
+      """WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) w,
+        |             CAST(row_number() OVER (ORDER BY n_chars % 97 DESC, doc_id) - 1
+        |               AS BIGINT) rank
+        |           FROM documents),
+        |c AS (SELECT doc_id, rank, w,
+        |        coalesce(sum(w) OVER (ORDER BY rank
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) st,
+        |        sum(w) OVER () tot FROM r)
+        |SELECT doc_id, rank, w weight, CAST((st * 4) // tot AS BIGINT) stage
+        |FROM c""".stripMargin,
+
     // the same histogram rank replay as q_quantiles, folded into
     // boundary columns and one least/greatest clip per row
     "q_winsorize" ->
@@ -3896,6 +3956,24 @@ object SparkEntry {
 
     // split boundaries interpolated from the SAME splitBoundsHex the
     // query uses — lexicographic hex compare like sample_hash
+    // full-outer of per-source token sums against the mixture config;
+    // Σw = 12 is a literal the oracle shares with the gate's weights
+    "sample_epoch_plan" ->
+      """WITH have AS (SELECT source, CAST(sum(n_chars) AS BIGINT) th
+        |              FROM documents GROUP BY 1),
+        |w AS (SELECT * FROM (VALUES ('src1', 3), ('src2', 1),
+        |                            ('src3', 6), ('srcX', 2)) t(src, wt)),
+        |j AS (SELECT coalesce(h.source, w.src) source,
+        |        coalesce(h.th, 0) th, CAST(coalesce(w.wt, 0) AS BIGINT) wt
+        |      FROM have h FULL OUTER JOIN w ON h.source = w.src)
+        |SELECT source, CAST(th AS BIGINT) tokens_have,
+        |  CAST((wt * 1000000) // 12 AS BIGINT) weight_ppm,
+        |  CAST((1000000 * wt) // 12 AS BIGINT) target_tokens,
+        |  CASE WHEN th > 0 THEN
+        |    CAST((((1000000 * wt) // 12) * 1000000) // th AS BIGINT)
+        |  END epochs_micro
+        |FROM j""".stripMargin,
+
     "sample_split" -> {
       val Seq(b1, b2) = graft.curation.Sampling.splitBoundsHex(SplitSpec)
       val Seq(l1, l2, l3) = SplitSpec.map(_._1)

@@ -1137,6 +1137,19 @@ object PyFacade {
       n: Int): DataFrame =
     graft.text.TextFunctions.noveltyScores(df, idCol, textCol, n)
 
+  /** Exact global rank without a global sort (histogram base +
+    * per-tie-group windows). */
+  def globalRank(df: DataFrame, valueCol: String, tieCol: String,
+      outCol: String, descending: Boolean): DataFrame =
+    graft.stats.GroupStats.globalRank(df, valueCol, tieCol, outCol, descending)
+
+  /** Mixture epoch plan: per-source repeat factors for a token budget. */
+  def epochPlan(df: DataFrame, sourceCol: String, tokenCol: String,
+      weights: DataFrame, weightSourceCol: String, weightCol: String,
+      targetTokens: Long): DataFrame =
+    graft.curation.Sampling.epochPlan(df, sourceCol, tokenCol,
+      weights, weightSourceCol, weightCol, targetTokens)
+
   // --- streaming-unified ------------------------------------------------
 
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =

@@ -349,4 +349,72 @@ object Sampling {
       .agg(count(lit(1)).cast("long").as("n_feats"),
         sum(col("__mlog")).cast("long").as("logratio_micro"))
   }
+
+  /**
+   * Mixture epoch planning — the run-config artifact an LLM training
+   * launch actually consumes: given the tokens each source HAS and the
+   * mixture weight each source SHOULD contribute, how many epochs
+   * (repeat factor) of each source fill a `targetTokens` budget?
+   * target_s = (targetTokens · w_s) div Σw, epochs_micro =
+   * (target_s · 1e6) div tokens_s — a source short on data gets
+   * epochs > 1e6 (up-sampled / repeated), an over-represented one
+   * < 1e6 (down-sampled). All truncating integer arithmetic on
+   * non-negative longs; a source present in `weights` but absent from
+   * the corpus (or with zero tokens) gets NULL epochs — it cannot be
+   * up-sampled from nothing, and the plan makes that loud rather than
+   * inventing a zero. Sources in the corpus but not in `weights` get
+   * weight 0 (target 0, epochs 0) — explicitly excluded, still listed.
+   *
+   * Scale shape: ONE map-side-combined per-source token sum over the
+   * corpus; `weights` is a mixture config (tens of rows) joined
+   * broadcast-outer both ways; output is source-count-sized.
+   *
+   * Output: (source, tokens_have, weight_ppm, target_tokens,
+   * epochs_micro).
+   *
+   * @param weights (source, weight) rows — any non-negative integer
+   *                scale (ppm, percent, raw); only ratios matter.
+   */
+  def epochPlan(df: DataFrame, sourceCol: String, tokenCol: String,
+      weights: DataFrame, weightSourceCol: String, weightCol: String,
+      targetTokens: Long): DataFrame = {
+    require(targetTokens >= 0, s"targetTokens must be >= 0, got $targetTokens")
+    require(targetTokens <= Long.MaxValue / 1000000L,
+      s"targetTokens $targetTokens * 1e6 would overflow long — plan in " +
+        "thousand-token units (the ratios are scale-free)")
+    val have = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(col(tokenCol).cast("long")).as("tokens_have"))
+    // exact-arithmetic bound: targetTokens·w and w·1e6 must both fit a
+    // long (the cohenKappa fail-loudly convention — never wrap)
+    val wBound = math.min(
+      if (targetTokens > 0) Long.MaxValue / targetTokens else Long.MaxValue,
+      Long.MaxValue / 1000000L)
+    val w = weights.select(col(weightSourceCol).as("source"),
+      when(col(weightCol).isNull || col(weightCol) < 0 ||
+          col(weightCol) > wBound,
+        raise_error(concat(lit("Sampling.epochPlan: weight for source "),
+          coalesce(col(weightSourceCol).cast("string"), lit("NULL")),
+          lit(s" must be in [0, $wBound] (non-null; larger would " +
+            "overflow the exact plan arithmetic)"))))
+        .otherwise(col(weightCol).cast("long")).as("__w"))
+    // loud zero-total: a silent Σw = 0 would NULL every ratio (the
+    // personalized-PageRank empty-seed convention)
+    val wtot = w.agg(coalesce(sum(col("__w")), lit(0L)).as("__w0"))
+      .select(when(col("__w0") === 0L, raise_error(lit(
+          "Sampling.epochPlan: mixture weights sum to zero — at least " +
+            "one source needs a positive weight")))
+        .otherwise(col("__w0")).as("__wtot"))
+    have.join(w, Seq("source"), "full_outer")
+      .crossJoin(broadcast(wtot))
+      .select(col("source"),
+        coalesce(col("tokens_have"), lit(0L)).as("tokens_have"),
+        expr("(coalesce(__w, 0L) * 1000000L) div __wtot").as("weight_ppm"),
+        expr(s"(${targetTokens}L * coalesce(__w, 0L)) div __wtot")
+          .as("target_tokens"))
+      .select(col("source"), col("tokens_have"), col("weight_ppm"),
+        col("target_tokens"),
+        when(col("tokens_have") > 0,
+          expr("(target_tokens * 1000000L) div tokens_have"))
+          .as("epochs_micro"))
+  }
 }

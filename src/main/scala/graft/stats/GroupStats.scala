@@ -110,6 +110,58 @@ object GroupStats {
   }
 
   /**
+   * Exact GLOBAL rank without a global sort — the curriculum-ordering /
+   * percentile-feature primitive: every row gets its 0-based position
+   * in the total order (valueCol, tieCol), but no corpus-sized
+   * single-task window ever runs. A plain
+   * `row_number().over(Window.orderBy(...))` funnels 100 TB through
+   * ONE task; here the rank decomposes as
+   * `rank = base(value) + position-within-value`:
+   *
+   *  - `base(value)` = count of rows with a strictly smaller value —
+   *    one map-side-combined histogram, then a cumsum window over
+   *    DISTINCT values only (the [[quantiles]] discipline; bounded by
+   *    value cardinality, which for this library's micro-unit scores
+   *    is orders of magnitude below row count);
+   *  - `position` = row_number within the value's tie group ordered by
+   *    `tieCol` — windows partitioned BY VALUE run in parallel, each
+   *    bounded by its tie-group width (a skewed tie group is one
+   *    partition, the documented valve: bin or refine `valueCol`).
+   *
+   * (value, tie) pairs must be UNIQUE (tieCol is an id column) or the
+   * order inside a tie is engine-dependent; `descending` ranks largest
+   * value first (curriculum: hardest/highest-score first), ties always
+   * ascending by `tieCol`. NULL values/ties are EXCLUDED (a rank in a
+   * total order needs both coordinates — the [[spearman]] rule).
+   *
+   * Output: the two input columns plus `outCol` (long, 0-based).
+   */
+  def globalRank(df: DataFrame, valueCol: String, tieCol: String,
+      outCol: String = "rank", descending: Boolean = false): DataFrame = {
+    require(valueCol != tieCol,
+      s"valueCol and tieCol must differ, both are '$valueCol'")
+    require(!Seq(valueCol, tieCol).contains(outCol),
+      s"output column `$outCol` collides with an input column")
+    val rows = df.where(col(valueCol).isNotNull && col(tieCol).isNotNull)
+      .select(col(valueCol), col(tieCol))
+    val ord = if (descending) col(valueCol).desc else col(valueCol).asc
+    // base: cumulative count of strictly-smaller (or larger) values,
+    // over the distinct-value histogram only; the non-foldable constant
+    // partition key keeps WindowExec off its global no-partition path
+    val wBase = Window
+      .partitionBy(pmod(col("__c"), lit(1L)))
+      .orderBy(ord).rowsBetween(Window.unboundedPreceding, -1)
+    val base = rows.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wBase), lit(0L)))
+      .select(col(valueCol), col("__base"))
+    val wPos = Window.partitionBy(col(valueCol)).orderBy(col(tieCol))
+    rows.withColumn("__pos", row_number().over(wPos).cast("long") - 1L)
+      .join(base, Seq(valueCol))
+      .select(col(valueCol), col(tieCol),
+        (col("__base") + col("__pos")).as(outCol))
+  }
+
+  /**
    * Per group: row count and one `ap<N>` APPROXIMATE percentile column
    * per requested percentile — Spark's `percentile_approx`
    * (Greenwald-Khanna summaries) in the [[quantiles]] column convention.

@@ -1468,6 +1468,30 @@ object Drive {
       println(s"OK winsorized=$win (expect 1..9 then 9)")
     }
 
+    println("=== 49. round-9: global rank + mixture epoch plan ===")
+    locally {
+      import spark.implicits._
+      val gr = graft.stats.GroupStats.globalRank(
+        Seq((5L, 1L), (5L, 2L), (9L, 3L), (1L, 4L)).toDF("s", "id"),
+        "s", "id", "rank", descending = true)
+        .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+      println(s"OK globalRank=$gr (expect 3 -> 0, 1 -> 1, 2 -> 2, 4 -> 3)")
+      val plan = graft.curation.Sampling.epochPlan(
+        Seq(("a", 50L), ("a", 50L), ("b", 400L)).toDF("src", "tok"),
+        "src", "tok",
+        Seq(("a", 3L), ("b", 1L), ("ghost", 4L)).toDF("s", "wt"),
+        "s", "wt", targetTokens = 800L)
+        .collect().map(r => r.getString(0) ->
+          (if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+      println(s"OK epochPlan=$plan (expect a -> 3000000, b -> 250000, ghost -> -1/NULL)")
+      val refused = try { graft.curation.Sampling.epochPlan(
+        Seq(("a", 1L)).toDF("src", "tok"), "src", "tok",
+        Seq(("a", 0L)).toDF("s", "wt"), "s", "wt", 100L).collect(); "NO"
+      } catch { case e: Exception
+          if e.getMessage.contains("sum to zero") => "refused" }
+      println(s"OK zero-weight plan $refused (expect refused)")
+    }
+
     spark.stop()
   }
 }

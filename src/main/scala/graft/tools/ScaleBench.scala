@@ -1321,6 +1321,27 @@ object ScaleBench {
           .where(col("canon_id") >= 0L)
       }),
 
+      // global rank: histogram base (distinct values CONSTANT under
+      // the pmod cap) + per-value row_number windows ∝ f tie rows —
+      // the no-global-sort claim is the probe's whole point
+      "q_global_rank" -> (() =>
+        graft.stats.GroupStats.globalRank(
+          docsFull(f).select(pmod(col("n_chars"), lit(97L)).as("score"),
+            col("doc_id")),
+          "score", "doc_id", "rank", descending = true)
+          .where(col("rank") >= 0L)),
+
+      // epoch plan: one map-side per-source token sum ∝ f scan, then
+      // source-count-sized joins — output constant (strata fixed)
+      "sample_epoch_plan" -> (() => {
+        val w = spark.range(0, 20)
+          .selectExpr("concat('src', id) s", "(id % 5) + 1 wt")
+        graft.curation.Sampling.epochPlan(
+          docsFull(f), "source", "n_chars", w, "s", "wt",
+          targetTokens = 1000000L)
+          .where(col("weight_ppm") >= 0L)
+      }),
+
       // novelty: inverted-index discipline — ONE shingle-keyed shuffle
       // (min-id agg + credit join), then a map-side per-doc count;
       // docsPlain repeats text across copies so distinct shingles stay

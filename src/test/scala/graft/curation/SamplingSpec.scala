@@ -282,4 +282,43 @@ class SamplingSpec extends AnyFlatSpec with Matchers with AdaptiveSparkPlanHelpe
     an[IllegalArgumentException] should be thrownBy
       Sampling.importanceWeights(raw, "doc_id", "text", target, "text", ns = Seq(1, 1))
   }
+
+  behavior of "Sampling.epochPlan"
+
+  it should "hand a repeat factor to every source, NULL to absent ones" in {
+    import spark.implicits._
+    // corpus: a has 100 tokens, b has 400; weights a=3, b=1, ghost=4
+    // (Σw=8), target 800 -> targets 300, 100, 400.
+    // epochs: a = 300/100 = 3.0, b = 100/400 = 0.25, ghost = NULL.
+    val corpus = (Seq.fill(2)(("a", 50L)) ++ Seq.fill(4)(("b", 100L)))
+      .toDF("src", "tok")
+    val w = Seq(("a", 3L), ("b", 1L), ("ghost", 4L)).toDF("s", "wt")
+    val out = Sampling.epochPlan(corpus, "src", "tok", w, "s", "wt", 800L)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .sortBy(_._1).toList
+    out shouldBe List(
+      ("a", 100L, 375000L, 300L, Some(3000000L)),
+      ("b", 400L, 125000L, 100L, Some(250000L)),
+      ("ghost", 0L, 500000L, 400L, None))
+  }
+
+  it should "give unweighted corpus sources weight 0 and fail loudly on bad weights" in {
+    import spark.implicits._
+    val corpus = Seq(("a", 10L), ("z", 5L)).toDF("src", "tok")
+    val w = Seq(("a", 1L)).toDF("s", "wt")
+    val out = Sampling.epochPlan(corpus, "src", "tok", w, "s", "wt", 100L)
+      .as[(String, Long, Long, Long, Option[Long])].collect()
+      .sortBy(_._1).toList
+    out shouldBe List(
+      ("a", 10L, 1000000L, 100L, Some(10000000L)),
+      ("z", 5L, 0L, 0L, Some(0L)))
+    val neg = Seq(("a", -1L)).toDF("s", "wt")
+    intercept[Exception] {
+      Sampling.epochPlan(corpus, "src", "tok", neg, "s", "wt", 100L).collect()
+    }.getMessage should include("must be in [0,")
+    val zeros = Seq(("a", 0L)).toDF("s", "wt")
+    intercept[Exception] {
+      Sampling.epochPlan(corpus, "src", "tok", zeros, "s", "wt", 100L).collect()
+    }.getMessage should include("sum to zero")
+  }
 }

@@ -260,4 +260,42 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
     an[IllegalArgumentException] should be thrownBy
       GroupStats.winsorize(df, Seq("grp"), "v", 10, 90, "v")
   }
+
+  behavior of "GroupStats.globalRank"
+
+  it should "produce the exact total order with heavy ties" in {
+    // 40 rows, only 4 distinct scores — ranks must be a permutation of
+    // 0..39 matching (score asc, id asc)
+    val df = (0L until 40L).map(i => (i % 4, i)).toDF("s", "id")
+    val out = GroupStats.globalRank(df, "s", "id", "rank")
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toList
+    out.map(_._3) shouldBe (0L until 40L).toList
+    val expected = (0L until 40L).map(i => (i % 4, i)).sorted.toList
+    out.map(t => (t._1, t._2)) shouldBe expected
+  }
+
+  it should "rank descending with ascending id ties" in {
+    val df = Seq((5L, 1L), (5L, 2L), (9L, 3L), (1L, 4L)).toDF("s", "id")
+    val out = GroupStats.globalRank(df, "s", "id", "rank", descending = true)
+      .as[(Long, Long, Long)].collect().sortBy(_._3).toList
+    out.map(t => (t._1, t._2)) shouldBe
+      List((9L, 3L), (5L, 1L), (5L, 2L), (1L, 4L))
+  }
+
+  it should "exclude null coordinates and never sort data rows globally" in {
+    val df = Seq((Some(1L), Some(1L)), (None, Some(2L)), (Some(3L), None))
+      .toDF("s", "id")
+    GroupStats.globalRank(df, "s", "id").count() shouldBe 1L
+    // plan pin: every row-level Window partitions by the value column —
+    // the only single-partition window runs over histogram rows
+    val big = (0L until 100L).map(i => (i % 5, i)).toDF("s", "id")
+    val plan = GroupStats.globalRank(big, "s", "id")
+      .queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include ("row_number()")
+      // the row_number window is keyed by the value column (first arg
+      // of its windowspecdefinition), not a global no-partition spec
+      plan should include regex "windowspecdefinition\\(s#\\d+L?, id#"
+    }
+  }
 }
