@@ -1467,6 +1467,17 @@ def novelty_scores(df, id_col, text_col, n=3):
                                                int(n)))
 
 
+def mmr_rerank(queries, candidates, id_col, vec_col, k, shortlist,
+               lambda_ppm=700000):
+    """MMR diversified top-k: greedily select k of the exact
+    top-``shortlist`` maximizing lambda*relevance - (1-lambda)*max-sim
+    to already-selected (integer micro-units, engine-exact argmax).
+    Output: (qid, rnk, cid, mmr_u)."""
+    return _wrap(queries, _facade(queries).mmrRerank(
+        queries._jdf, candidates._jdf, id_col, vec_col, int(k),
+        int(shortlist), int(lambda_ppm)))
+
+
 def global_rank(df, value_col, tie_col, out_col="rank", descending=False):
     """Exact 0-based global rank over (value, tie) with NO global sort:
     histogram base + per-tie-group windows. (value, tie) pairs must be

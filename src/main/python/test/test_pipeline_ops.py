@@ -1313,6 +1313,16 @@ class TestRound8(object):
                P.novelty_scores(df, "doc_id", "text", n=2).collect()}
         assert got == {1: 1000000, 2: 500000, 3: 0}
 
+    def test_mmr_rerank(self, local_spark):
+        q = local_spark.createDataFrame([(100, [0.8, 0.6])], ["id", "vec"])
+        c = local_spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.7, 0.71])],
+            ["id", "vec"])
+        got = [r["cid"] for r in
+               P.mmr_rerank(q, c, "id", "vec", 3, 3, 500000)
+               .orderBy("rnk").collect()]
+        assert got == [3, 1, 2]  # diversified: A beats more-relevant B
+
     def test_global_rank(self, local_spark):
         df = local_spark.createDataFrame(
             [(5, 1), (5, 2), (9, 3), (1, 4)], ["s", "id"])

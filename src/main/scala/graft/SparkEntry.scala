@@ -1461,6 +1461,16 @@ object SparkEntry {
         .select("qid", "cid", "cos_r6", "rnk")
     }),
 
+    // MMR diversified re-rank: greedy λ·relevance − (1−λ)·max-sim
+    // selection over the exact top-20 shortlist — integer micro-unit
+    // objective, engine-exact argmax per round
+    "simsearch_mmr" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.mmrRerank(emb.where(col("vec_id") < 5), emb,
+        "vec_id", "embedding", k = 5, shortlist = 20,
+        lambdaPpm = 700000L)
+    }),
+
     // hard-negative mining: top-10 similar-but-not-duplicate per query
     // (exact top-40 shortlist -> cos <= 0.35 filter -> bounded re-rank)
     // — the contrastive-training negative sampler; 0.35 sits inside
@@ -2778,6 +2788,63 @@ object SparkEntry {
       |  SELECT qid, cid, cos_r6,
       |         CAST(row_number() OVER (PARTITION BY qid ORDER BY cos_r6 DESC, cid) AS BIGINT) rnk
       |  FROM s) WHERE rnk <= 10""".stripMargin
+
+  /** The `simsearch_mmr` replay: shortlist + pairwise sims in integer
+    * micro-units, then k greedy argmax rounds unrolled as CTEs (the
+    * pagerankOracle discipline). Argmax compares the RAW objective
+    * λ·score_u − (1e6−λ)·maxsim_u; `mmr_u` (// 1e6) is display-only. */
+  private def mmrOracleSql(k: Int, shortlist: Int, lamPpm: Long): String = {
+    val cosU = (a: String, b: String) =>
+      s"""CAST(round(round(list_inner_product($a, $b)
+         |  / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))), 6)
+         |  * 1000000, 0) AS BIGINT)""".stripMargin
+    val rounds = (2 to k).map { r =>
+      s"""r$r AS MATERIALIZED (
+         |  SELECT qid, CAST($r AS BIGINT) rnk, cid,
+         |         CAST(mmr_raw // 1000000 AS BIGINT) mmr_u FROM (
+         |    SELECT o.qid, o.cid, o.mmr_raw,
+         |           row_number() OVER (PARTITION BY o.qid
+         |                              ORDER BY o.mmr_raw DESC, o.cid) rn
+         |    FROM (
+         |      SELECT sl.qid, sl.cid,
+         |        $lamPpm * sl.score_u - ${1000000L - lamPpm} * ms.maxsim mmr_raw
+         |      FROM sl
+         |      JOIN (SELECT s2.qid, s2.ci cid, max(s2.sim_u) maxsim
+         |            FROM sims s2 JOIN sel${r - 1} p
+         |              ON s2.qid = p.qid AND s2.cj = p.cid
+         |            GROUP BY 1, 2) ms
+         |        ON sl.qid = ms.qid AND sl.cid = ms.cid
+         |      WHERE NOT EXISTS (SELECT 1 FROM sel${r - 1} p2
+         |                        WHERE p2.qid = sl.qid AND p2.cid = sl.cid)
+         |    ) o) WHERE rn = 1),
+         |sel$r AS MATERIALIZED (SELECT qid, cid FROM sel${r - 1}
+         |                       UNION ALL SELECT qid, cid FROM r$r)""".stripMargin
+    }.mkString(",\n")
+    val all = (1 to k).map(r => s"SELECT * FROM r$r").mkString(" UNION ALL ")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |q AS (SELECT vec_id qid, v qv FROM e WHERE vec_id < 5),
+       |s AS (SELECT qid, e.vec_id cid, ${cosU("qv", "v")} score_u
+       |      FROM q CROSS JOIN e WHERE e.vec_id != qid),
+       |sl AS MATERIALIZED (SELECT qid, cid, score_u FROM (
+       |  SELECT qid, cid, score_u,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY score_u DESC, cid) rn
+       |  FROM s) WHERE rn <= $shortlist),
+       |sims AS MATERIALIZED (
+       |  SELECT a.qid, a.cid ci, b.cid cj, ${cosU("ea.v", "eb.v")} sim_u
+       |  FROM sl a JOIN sl b ON a.qid = b.qid AND a.cid <> b.cid
+       |  JOIN e ea ON ea.vec_id = a.cid JOIN e eb ON eb.vec_id = b.cid),
+       |r1 AS MATERIALIZED (
+       |  SELECT qid, CAST(1 AS BIGINT) rnk, cid,
+       |         CAST(($lamPpm * score_u) // 1000000 AS BIGINT) mmr_u FROM (
+       |    SELECT qid, cid, score_u,
+       |           row_number() OVER (PARTITION BY qid
+       |                              ORDER BY score_u DESC, cid) rn
+       |    FROM sl) WHERE rn = 1),
+       |sel1 AS MATERIALIZED (SELECT qid, cid FROM r1),
+       |$rounds
+       |SELECT qid, rnk, cid, mmr_u FROM ($all)""".stripMargin
+  }
 
   // shared CTE prefix for the classifier-eval family: the labeled
   // 500-row eval slice and its leave-one-out 1-NN pairs (cos_r6 desc,
@@ -4325,6 +4392,10 @@ object SparkEntry {
         |    ((SUM(p * (2 * cb + c + 1)) - SUM(p) * (SUM(p) + 1)) * 1000000)
         |      // (2 * SUM(p) * SUM(c - p)) AS BIGINT) END auc_micro
         |FROM cum""".stripMargin,
+    // greedy MMR rounds unrolled as CTEs — raw-objective argmax
+    "simsearch_mmr" -> mmrOracleSql(k = 5, shortlist = 20,
+      lamPpm = 700000L),
+
     // PQ gate: the unbounded shortlist makes the row structurally exact
     // (every candidate is exact-re-ranked), so the exact oracle applies
     "simsearch_pq" -> simsearchExactTopkSql,

@@ -1137,6 +1137,12 @@ object PyFacade {
       n: Int): DataFrame =
     graft.text.TextFunctions.noveltyScores(df, idCol, textCol, n)
 
+  /** MMR diversified re-rank over the exact shortlist. */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int, lambdaPpm: Long): DataFrame =
+    graft.similarity.Similarity.mmrRerank(queries, candidates, idCol,
+      vecCol, k, shortlist, lambdaPpm)
+
   /** Exact global rank without a global sort (histogram base +
     * per-tie-group windows). */
   def globalRank(df: DataFrame, valueCol: String, tieCol: String,

@@ -131,6 +131,89 @@ object Similarity {
         col("rank").cast("long").as("rnk"))
   }
 
+  /**
+   * MMR (maximal marginal relevance) diversified re-rank — the
+   * serving-side diversity operator: from each query's exact
+   * top-`shortlist`, greedily select k candidates maximizing
+   * `λ·relevance − (1−λ)·max-similarity-to-already-selected`, so the
+   * result covers the query's neighborhood instead of returning k
+   * near-copies of the same cluster (RAG retrieval, eval-set
+   * sampling, hard-negative variety).
+   *
+   * Integer contract: relevance and pairwise similarity are the
+   * library's round-6 cosines lifted to micro-units
+   * (`round(cos_r6 · 1e6)` — exactly replayable), λ is ppm, and the
+   * objective `(λ·score_u − (1e6−λ)·maxsim_u) div 1e6` is truncating
+   * 64-bit arithmetic (toward zero on negatives in both engines) — so
+   * every greedy argmax compares INTEGERS and the selection order is
+   * engine-exact. Ties: higher objective first, then smaller cid; the
+   * first pick is the plain relevance argmax (empty selected set,
+   * maxsim 0).
+   *
+   * Scale shape: the shortlist is the bounded [[cosineTopK]] cut
+   * (exchange ~Q·shortlist); pairwise sims are computed ONLY within
+   * each query's shortlist — Q·shortlist² slim rows, never N² — and
+   * each of the k greedy rounds is one equi-join + one
+   * map-side-combined max + one O(1)-state-per-query
+   * [[graft.curation.Sampling.quotaTopK]] argmax. Rounds are a fixed
+   * small k, snapshotted per round like
+   * [[graft.graph.PageRank]]'s iteration discipline.
+   *
+   * Output: (qid, rnk 1..k, cid, mmr_u) — mmr_u is the objective the
+   * pick won with, in micro-units.
+   */
+  def mmrRerank(queries: DataFrame, candidates: DataFrame,
+      idCol: String, vecCol: String, k: Int, shortlist: Int,
+      lambdaPpm: Long = 700000L,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    require(lambdaPpm >= 0L && lambdaPpm <= 1000000L,
+      s"lambdaPpm must be in [0, 1e6], got $lambdaPpm")
+    val sl = materialize(
+      cosineTopK(queries, candidates, idCol, vecCol, shortlist)
+        .select(col("qid"), col("cid"),
+          round(col("cos_r6") * 1e6).cast("long").as("score_u")))
+    val cv = candidates.select(col(idCol).as("cid"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val slv = sl.select(col("qid"), col("cid")).join(cv, "cid")
+    val sims = materialize(
+      slv.select(col("qid"), col("cid").as("ci"), col("cv").as("vi"))
+        .join(slv.select(col("qid"), col("cid").as("cj"), col("cv").as("vj")),
+          Seq("qid"))
+        .where(col("ci") =!= col("cj"))
+        .select(col("qid"), col("ci"), col("cj"),
+          round(cosineRounded(col("vi"), col("vj")) * 1e6)
+            .cast("long").as("sim_u")))
+    // the argmax compares the RAW objective λ·score_u − (1−λ)·maxsim_u
+    // (≤ 1e12, fits long) — dividing first would truncate distinct
+    // objectives onto the same value and let the cid tie-break pick a
+    // lower-relevance candidate; mmr_u (div 1e6) is display-only
+    def pick1(obj: DataFrame, rnk: Int): DataFrame =
+      graft.curation.Sampling.quotaTopK(obj, Seq("qid"), "mmr_raw", "cid", 1)
+        .select(col("qid"), lit(rnk.toLong).as("rnk"), col("cid"),
+          expr("mmr_raw div 1000000L").as("mmr_u"))
+    var sel = materialize(pick1(
+      sl.select(col("qid"), col("cid"),
+        expr(s"${lambdaPpm}L * score_u").as("mmr_raw")), 1))
+    var r = 2
+    while (r <= k) {
+      val selc = sel.select(col("qid"), col("cid").as("cj"))
+      val maxsim = sims.join(selc, Seq("qid", "cj"))
+        .groupBy(col("qid"), col("ci").as("cid"))
+        .agg(max(col("sim_u")).as("maxsim_u"))
+      val rem = sl.join(sel.select(col("qid"), col("cid")),
+        Seq("qid", "cid"), "left_anti")
+      val obj = rem.join(maxsim, Seq("qid", "cid"), "left")
+        .select(col("qid"), col("cid"),
+          expr(s"${lambdaPpm}L * score_u - ${1000000L - lambdaPpm}L * " +
+            "coalesce(maxsim_u, 0L)").as("mmr_raw"))
+      sel = materialize(sel.unionByName(pick1(obj, r)))
+      r += 1
+    }
+    sel
+  }
+
   /** SimHash bucket ids, one per hash table — codegen'd native expression
     * (graft.functions.SimhashBuckets); plane components are stateless
     * splitmix64-derived values keyed by (table, plane, dim). */

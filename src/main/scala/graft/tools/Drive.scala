@@ -1490,6 +1490,15 @@ object Drive {
       } catch { case e: Exception
           if e.getMessage.contains("sum to zero") => "refused" }
       println(s"OK zero-weight plan $refused (expect refused)")
+
+      val mmr = graft.similarity.Similarity.mmrRerank(
+        Seq((100L, Seq(0.8f, 0.6f))).toDF("id", "vec"),
+        Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.14f)),
+          (3L, Seq(0.7f, 0.71f))).toDF("id", "vec"),
+        "id", "vec", k = 3, shortlist = 3, lambdaPpm = 500000L)
+        .orderBy("rnk").collect().map(_.getLong(2)).toList
+      println(s"OK mmr order=$mmr (expect List(3, 1, 2) — rank 2 trades " +
+        "relevance for distance)")
     }
 
     spark.stop()

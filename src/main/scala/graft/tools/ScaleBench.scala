@@ -1321,6 +1321,15 @@ object ScaleBench {
           .where(col("canon_id") >= 0L)
       }),
 
+      // MMR: shortlist cut bounded (Q·k' partials), sims Q·k'² slim
+      // rows, k greedy rounds of bounded joins — queries FIXED, so the
+      // only ∝ f term is the brute-force scan feeding the shortlist
+      "simsearch_mmr" -> (() =>
+        graft.similarity.Similarity.mmrRerank(
+          embs(1).where(col("vec_id") < 5), embs(f),
+          "vec_id", "embedding", k = 5, shortlist = 20)
+          .where(col("rnk") >= 1L)),
+
       // global rank: histogram base (distinct values CONSTANT under
       // the pmod cap) + per-value row_number windows ∝ f tie rows —
       // the no-global-sort claim is the probe's whole point
