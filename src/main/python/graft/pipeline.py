@@ -1467,6 +1467,16 @@ def novelty_scores(df, id_col, text_col, n=3):
                                                int(n)))
 
 
+def session_lines(events, key_col="user_id", ts_col="ts",
+                  type_col="event_type", tie_col="event_id",
+                  gap="12 hours"):
+    """One chronological event-type line per (key, session) — the
+    behavioral-corpus export (next-action-model training format).
+    Order within a session is (event time, tie_col)."""
+    return _wrap(events, _facade(events).sessionLines(
+        events._jdf, key_col, ts_col, type_col, tie_col, gap))
+
+
 def mmr_rerank(queries, candidates, id_col, vec_col, k, shortlist,
                lambda_ppm=700000):
     """MMR diversified top-k: greedily select k of the exact

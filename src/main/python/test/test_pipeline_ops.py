@@ -1313,6 +1313,15 @@ class TestRound8(object):
                P.novelty_scores(df, "doc_id", "text", n=2).collect()}
         assert got == {1: 1000000, 2: 500000, 3: 0}
 
+    def test_session_lines(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("2024-01-01 10:00:00", "a", 1, "view"),
+             ("2024-01-01 10:10:00", "a", 2, "click")],
+            ["t", "user_id", "event_id", "event_type"]).selectExpr(
+            "timestamp(t) ts", "user_id", "event_id", "event_type")
+        got = P.session_lines(df, gap="1 hour").collect()
+        assert [(r["user_id"], r["line"]) for r in got] == [("a", "view click")]
+
     def test_mmr_rerank(self, local_spark):
         q = local_spark.createDataFrame([(100, [0.8, 0.6])], ["id", "vec"])
         c = local_spark.createDataFrame(

@@ -1821,6 +1821,13 @@ object SparkEntry {
       graft.streaming.EventWindows.sessions(microTs(tbl(s, dir, "events")))
     }),
 
+    // behavioral corpus: each session rendered as one chronological
+    // event-type line, (ts, event_id) order — the next-action-model
+    // training format
+    "events_session_lines" -> ((s, dir) =>
+      graft.streaming.EventWindows.sessionLines(
+        microTs(tbl(s, dir, "events")))),
+
     // as-of join: every event enriched with its user's latest COMPLETED
     // hourly aggregate (right ts = window END <= event ts — the temporal
     // state known at event time); events in their user's first hour have
@@ -4911,6 +4918,23 @@ object SparkEntry {
         |        sum(brk) OVER (PARTITION BY user_id ORDER BY us) sid FROM d)
         |SELECT user_id, min(us) start_ts, max(us) + 43200000000 end_ts,
         |       count(*) cnt, CAST(round(sum(v), 2) AS DOUBLE) sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin,
+
+    // the sessions replay with an ordered string_agg per island
+    "events_session_lines" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_ns(ts) // 1000 us FROM events),
+        |d AS (SELECT event_id, user_id, event_type, us,
+        |        CASE WHEN lag(us) OVER w IS NULL
+        |             OR us - lag(us) OVER w >= 43200000000 THEN 1 ELSE 0 END brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT event_id, user_id, event_type, us,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id) sid
+        |      FROM d)
+        |SELECT user_id, CAST(min(us) AS BIGINT) start_ts,
+        |       CAST(max(us) + 43200000000 AS BIGINT) end_ts,
+        |       CAST(count(*) AS BIGINT) n_events,
+        |       string_agg(event_type, ' ' ORDER BY us, event_id) line
         |FROM s GROUP BY user_id, sid""".stripMargin,
 
     // mirrors Multimodal.StubCodec byte-arithmetic on the (all-ASCII) text

@@ -1137,6 +1137,13 @@ object PyFacade {
       n: Int): DataFrame =
     graft.text.TextFunctions.noveltyScores(df, idCol, textCol, n)
 
+  /** Behavioral-corpus export: one chronological event-type line per
+    * (key, session). */
+  def sessionLines(events: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, tieCol: String, gap: String): DataFrame =
+    graft.streaming.EventWindows.sessionLines(events, keyCol, tsCol,
+      typeCol, tieCol, gap)
+
   /** MMR diversified re-rank over the exact shortlist. */
   def mmrRerank(queries: DataFrame, candidates: DataFrame, idCol: String,
       vecCol: String, k: Int, shortlist: Int, lambdaPpm: Long): DataFrame =

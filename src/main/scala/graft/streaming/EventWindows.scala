@@ -146,6 +146,47 @@ object EventWindows {
   }
 
   /**
+   * Behavioral-corpus export — each (key, session) rendered as ONE
+   * chronological line of event types ("view view click purchase"),
+   * the sequence format behavioral models train on (next-action
+   * prediction, session embeddings — the event-stream analogue of
+   * [[graft.graph.Walks.corpusLines]]). Sessions are the same
+   * `session_window(gap)` islands as [[sessions]]; within a session
+   * the order is (event time, `tieCol`) — the tie column (a unique
+   * event id) makes the line deterministic when one key logs two
+   * events at the same instant, so the oracle's `string_agg ... ORDER
+   * BY` replays it byte for byte.
+   *
+   * Scale shape: one keyed aggregation; per-group state is the
+   * session's OWN events (bounded by session length — the gap bounds
+   * it in wall time), never a user's whole history. Streaming: same
+   * operator with a watermark, sessions emit on close (append mode);
+   * batch executes the identical plan.
+   *
+   * Output: (keyCol, start_ts, end_ts, n_events, line) — timestamps
+   * in epoch micros like [[sessions]].
+   */
+  def sessionLines(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      tieCol: String = "event_id", gap: String = "12 hours",
+      watermark: String = "1 day"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    withWm
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        array_join(transform(
+          array_sort(collect_list(struct(
+            unix_micros(col(tsCol)).as("t"), col(tieCol).as("tie"),
+            col(typeCol).cast("string").as("w")))),
+          x => x.getField("w")), " ").as("line"))
+      .select(col(keyCol),
+        unix_micros(col("session_window.start")).as("start_ts"),
+        unix_micros(col("session_window.end")).as("end_ts"),
+        col("n_events"), col("line"))
+  }
+
+  /**
    * Trailing-window per-event features: stamp every event with the
    * COUNT of the same key's events in the half-open trailing window
    * `[ts - windowMicros, ts)` — "how active was this user in the hour

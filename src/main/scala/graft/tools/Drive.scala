@@ -1491,6 +1491,16 @@ object Drive {
           if e.getMessage.contains("sum to zero") => "refused" }
       println(s"OK zero-weight plan $refused (expect refused)")
 
+      val lines = graft.streaming.EventWindows.sessionLines(
+        Seq(("2024-01-01 10:00:00", "a", 1L, "view"),
+          ("2024-01-01 10:10:00", "a", 2L, "click"),
+          ("2024-01-01 12:30:00", "a", 3L, "purchase"))
+          .toDF("t", "user_id", "event_id", "event_type")
+          .selectExpr("timestamp(t) ts", "user_id", "event_id", "event_type"),
+        gap = "1 hour")
+        .collect().map(_.getString(4)).sorted.toList
+      println(s"OK sessionLines=$lines (expect List(purchase, view click))")
+
       val mmr = graft.similarity.Similarity.mmrRerank(
         Seq((100L, Seq(0.8f, 0.6f))).toDF("id", "vec"),
         Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.99f, 0.14f)),

@@ -1321,6 +1321,13 @@ object ScaleBench {
           .where(col("canon_id") >= 0L)
       }),
 
+      // session lines: one keyed agg, per-group state bounded by
+      // session LENGTH (timeline density constant per user) — events
+      // ×f with ×f users, shuffle ∝ f slim (ts, tie, type) rows
+      "events_session_lines" -> (() =>
+        graft.streaming.EventWindows.sessionLines(events(f))
+          .where(col("n_events") >= 1L)),
+
       // MMR: shortlist cut bounded (Q·k' partials), sims Q·k'² slim
       // rows, k greedy rounds of bounded joins — queries FIXED, so the
       // only ∝ f term is the brute-force scan feeding the shortlist

@@ -216,6 +216,51 @@ class EventWindowsSpec extends AnyFlatSpec with Matchers {
     } finally q.stop()
   }
 
+  behavior of "EventWindows.sessionLines"
+
+  it should "render each session as one chronological event-type line" in {
+    val df = Seq(
+      ("2024-01-01 10:00:00", "a", 1L, "view"),
+      ("2024-01-01 10:10:00", "a", 2L, "click"),
+      ("2024-01-01 12:30:00", "a", 3L, "purchase"), // 2h gap: new session
+      // same-instant pair: tie must break by event_id
+      ("2024-01-01 11:00:00", "b", 5L, "click"),
+      ("2024-01-01 11:00:00", "b", 4L, "view"))
+      .toDF("t", "user_id", "event_id", "event_type")
+      .selectExpr("timestamp(t) ts", "user_id", "event_id", "event_type")
+    val out = EventWindows.sessionLines(df, gap = "1 hour")
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getString(4)))
+      .toSet
+    out shouldBe Set(
+      ("a", 2L, "view click"),
+      ("a", 1L, "purchase"),
+      ("b", 2L, "view click")) // event_id 4 (view) before 5 (click)
+  }
+
+  it should "emit identical lines through a streaming query" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, String, Long, String)]
+    val rows = Seq(
+      ("2024-01-01 10:00:00", "a", 1L, "view"),
+      ("2024-01-01 10:10:00", "a", 2L, "click"))
+    val stream = EventWindows.sessionLines(
+      mem.toDF().toDF("t", "user_id", "event_id", "event_type")
+        .selectExpr("timestamp(t) ts", "user_id", "event_id", "event_type"),
+      gap = "1 hour", watermark = "0 seconds")
+    stream.isStreaming shouldBe true
+    val q = stream.writeStream.format("memory").queryName("esl_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData(("2024-01-02 12:00:00", "zz", 9L, "view"))
+      q.processAllAvailable()
+      val got = spark.table("esl_test").where("user_id != 'zz'")
+        .select("user_id", "line").as[(String, String)].collect().toSet
+      got shouldBe Set(("a", "view click"))
+    } finally q.stop()
+  }
+
   behavior of "EventWindows.trailingCount"
 
   it should "count same-key events in the half-open trailing window" in {
