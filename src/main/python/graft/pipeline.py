@@ -1159,6 +1159,14 @@ def shards_manifest(assigned):
     return _wrap(assigned, _facade(assigned).shardsManifest(assigned._jdf))
 
 
+def write_shards(assigned, path, num_shards):
+    """Land a shard assignment as ONE parquet file per shard directory
+    under ``path/shard=<i>/``. Returns (shards, data_files, rows) —
+    verify data_files == shards."""
+    res = _facade(assigned).writeShards(assigned._jdf, path, int(num_shards))
+    return int(res[0]), int(res[1]), int(res[2])
+
+
 def point_in_time(facts, history, keys, fact_ts_col,
                   valid_from_col="valid_from", valid_to_col="valid_to",
                   join_type="inner"):

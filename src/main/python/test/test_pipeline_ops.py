@@ -1313,6 +1313,13 @@ class TestRound8(object):
                P.novelty_scores(df, "doc_id", "text", n=2).collect()}
         assert got == {1: 1000000, 2: 500000, 3: 0}
 
+    def test_write_shards(self, local_spark, tmp_path):
+        df = local_spark.range(1, 101).selectExpr("id", "(id % 7) + 1 AS w")
+        assigned = P.shards_assign(df, "id", "w", 4)
+        shards, files, rows = P.write_shards(
+            assigned, str(tmp_path / "shards"), 4)
+        assert (shards, files, rows) == (4, 4, 100)
+
     def test_session_lines(self, local_spark):
         df = local_spark.createDataFrame(
             [("2024-01-01 10:00:00", "a", 1, "view"),

@@ -1034,6 +1034,22 @@ object SparkEntry {
           tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
           "doc_id", "n_chars", numShards = 10))),
 
+    // the physical export: one parquet file per shard directory,
+    // content identity through the write proven by reading it back;
+    // the one-file-per-shard invariant rides as a pinned boolean
+    "export_shards_write" -> ((s, dir) => {
+      val assigned = graft.curation.Shards.assign(
+        tbl(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", numShards = 10)
+      val path = s"/tmp/graft_shards_gate_${math.abs(dir.hashCode)}" +
+        s"/v_${System.nanoTime()}"
+      val stats = graft.curation.Shards.writeShards(assigned, path, 10)
+      s.read.parquet(path)
+        .select(col("doc_id"), col("weight"), col("shard").cast("long").as("shard"),
+          lit(stats.shards == 10 && stats.dataFiles == 10)
+            .as("one_file_per_shard"))
+    }),
+
     // hot-phrase mining (boilerplate discovery): top-5 most
     // document-frequent bigrams per source — per-doc DISTINCT grams
     // (df semantics), one map-side-combined count, O(k)-state top-k;
@@ -3658,6 +3674,17 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) st,
         |        sum(w) OVER () tot FROM t)
         |SELECT doc_id, w weight, CAST((st * 10) // tot AS BIGINT) shard
+        |FROM c""".stripMargin,
+
+    // the assignment replay again — the write must be content-neutral
+    "export_shards_write" ->
+      """WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) w FROM documents),
+        |c AS (SELECT doc_id, w,
+        |        coalesce(sum(w) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) st,
+        |        sum(w) OVER () tot FROM t)
+        |SELECT doc_id, w weight, CAST((st * 10) // tot AS BIGINT) shard,
+        |       true one_file_per_shard
         |FROM c""".stripMargin,
 
     // per-shard rollup of the same replay

@@ -890,6 +890,14 @@ object PyFacade {
   def shardsManifest(assigned: DataFrame): DataFrame =
     graft.curation.Shards.manifest(assigned)
 
+  /** One parquet file per shard at `path`. Returns
+    * [shards, dataFiles, rows]. */
+  def writeShards(assigned: DataFrame, path: String,
+      numShards: Int): Array[Long] = {
+    val s = graft.curation.Shards.writeShards(assigned, path, numShards)
+    Array(s.shards.toLong, s.dataFiles.toLong, s.rows)
+  }
+
   /** Point-in-time join: facts pick up the episode valid at fact ts. */
   def pointInTime(facts: DataFrame, history: DataFrame, keysCsv: String,
       factTsCol: String, validFromCol: String, validToCol: String,

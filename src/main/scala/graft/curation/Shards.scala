@@ -110,4 +110,53 @@ object Shards {
   def manifest(assigned: DataFrame): DataFrame =
     assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"), sum(col("weight")).as("weight_sum"))
+
+  /** What a shard export wrote: shard directories found, data files
+    * written (== shards when every shard landed in one file), rows. */
+  final case class ShardWriteStats(shards: Int, dataFiles: Int, rows: Long)
+
+  /**
+   * Land an [[assign]] output (or any frame carrying a `shard`
+   * column) as ONE parquet file per shard under `path/shard=<i>/` —
+   * the physical layout a training data loader streams. The device:
+   * `repartition(numShards, shard)` colocates each shard's rows in
+   * exactly one task (every row of a shard has the same hash), and
+   * `partitionBy("shard")` splits a task that received two
+   * hash-colliding shards into separate directories — so each shard
+   * directory holds exactly one file regardless of collisions, with
+   * NO global sort and no per-shard sequential write.
+   *
+   * The write is `overwrite` into `path` (a fresh export location —
+   * pair with [[graft.layout.Compact.vacuum]] to retire superseded
+   * exports). Returns counted-on-disk stats; callers should persist
+   * [[manifest]] beside it and verify `dataFiles == shards`.
+   */
+  def writeShards(assigned: DataFrame, path: String,
+      numShards: Int): ShardWriteStats = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    require(assigned.columns.contains("shard"),
+      "input must carry a `shard` column — produce it with Shards.assign")
+    assigned
+      .repartition(numShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+    val spark = assigned.sparkSession
+    val p = new org.apache.hadoop.fs.Path(new java.io.File(path).toURI)
+    val fs = p.getFileSystem(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConf())
+    var dirs = 0; var files = 0
+    val st = fs.listStatus(p)
+    st.foreach { d =>
+      if (d.isDirectory && d.getPath.getName.startsWith("shard=")) {
+        dirs += 1
+        val it = fs.listFiles(d.getPath, false)
+        while (it.hasNext) {
+          val f = it.next()
+          val n = f.getPath.getName
+          if (f.isFile && !n.startsWith("_") && !n.startsWith(".")) files += 1
+        }
+      }
+    }
+    ShardWriteStats(dirs, files, spark.read.parquet(path).count())
+  }
 }

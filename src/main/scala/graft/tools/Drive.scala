@@ -1451,6 +1451,9 @@ object Drive {
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
       println(s"OK shards manifest=$man rows=${sh.count()} " +
         "(expect 4 shards, masses within one doc of total/4)")
+      val ws = graft.curation.Shards.writeShards(sh,
+        java.nio.file.Files.createTempDirectory("drive_shards").toString, 4)
+      println(s"OK writeShards=$ws (expect shards=4, dataFiles=4, rows=200)")
     }
 
     println("=== 48. round-9: novelty scoring + winsorization ===")

@@ -72,6 +72,31 @@ class ShardsSpec extends AnyFlatSpec with Matchers {
     }.getMessage should include("non-negative and non-null")
   }
 
+  behavior of "Shards.writeShards"
+
+  it should "write exactly one data file per shard and keep content" in {
+    val df = spark.range(1, 501).selectExpr("id", "(id % 13) + 1 AS w")
+    val assigned = Shards.assign(df, "id", "w", 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val stats = Shards.writeShards(assigned, dir, 8)
+    withClue(stats) {
+      stats.shards shouldBe 8
+      stats.dataFiles shouldBe 8 // one file per shard, collisions split
+      stats.rows shouldBe 500L
+    }
+    // read-back identity (shard comes back as a partition column)
+    val back = spark.read.parquet(dir)
+      .select("id", "weight", "shard").as[(Long, Long, Long)]
+      .collect().toSet
+    back shouldBe assigned.as[(Long, Long, Long)].collect().toSet
+  }
+
+  it should "require the shard column" in {
+    val df = spark.range(3).selectExpr("id")
+    an[IllegalArgumentException] should be thrownBy
+      Shards.writeShards(df, "/tmp/never", 2)
+  }
+
   it should "produce a manifest that accounts for every row and unit of weight" in {
     val df = spark.range(0, 500).selectExpr("id", "id % 13 + 1 AS w")
     val m = Shards.manifest(Shards.assign(df, "id", "w", 5))
