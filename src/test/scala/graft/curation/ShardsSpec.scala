@@ -52,6 +52,17 @@ class ShardsSpec extends AnyFlatSpec with Matchers {
     }
   }
 
+  it should "never plan a data-sized global window" in {
+    // the per-row cumsum window must be keyed by the coarse group —
+    // only the <= targetGroups offsets window may be single-partition
+    val df = spark.range(1, 5001).selectExpr("id", "(id % 11) + 1 AS w")
+    val plan = Shards.assign(df, "id", "w", 8)
+      .queryExecution.executedPlan.toString
+    withClue(plan) {
+      plan should include regex "windowspecdefinition\\(__g#\\d+L?, __id#"
+    }
+  }
+
   it should "land zero-total and empty frames in shard 0 / empty output" in {
     val zeros = Seq((1L, 0L), (2L, 0L)).toDF("id", "w")
     Shards.assign(zeros, "id", "w", 4)
