@@ -1504,6 +1504,15 @@ def global_rank(df, value_col, tie_col, out_col="rank", descending=False):
         df._jdf, value_col, tie_col, out_col, bool(descending)))
 
 
+def negative_samples(positives, items, user_col, item_col, k, oversample=2):
+    """Deterministic negative sampling: up to k items per user drawn by
+    pure md5 arithmetic from the md5-permuted catalog, positives
+    excluded. Output: (user_col, neg_rank, item_col)."""
+    return _wrap(positives, _facade(positives).negativeSamples(
+        positives._jdf, items._jdf, user_col, item_col, int(k),
+        int(oversample)))
+
+
 def epoch_plan(df, source_col, token_col, weights, weight_source_col,
                weight_col, target_tokens):
     """Mixture epoch planning: per-source (tokens_have, weight_ppm,

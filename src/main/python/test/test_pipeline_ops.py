@@ -1346,6 +1346,16 @@ class TestRound8(object):
                P.global_rank(df, "s", "id", descending=True).collect()}
         assert got == {3: 0, 1: 1, 2: 2, 4: 3}
 
+    def test_negative_samples(self, local_spark):
+        pos = local_spark.createDataFrame([(1, 10), (1, 11)], ["u", "it"])
+        items = local_spark.createDataFrame(
+            [(i,) for i in range(10, 20)], ["it"])
+        rows = P.negative_samples(pos, items, "u", "it", 3).collect()
+        assert len(rows) == 3
+        assert all(r["it"] not in (10, 11) for r in rows)
+        again = P.negative_samples(pos, items, "u", "it", 3).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
     def test_epoch_plan(self, local_spark):
         corpus = local_spark.createDataFrame(
             [("a", 50), ("a", 50), ("b", 400)], ["src", "tok"])

@@ -1266,6 +1266,19 @@ object SparkEntry {
         tbl(s, dir, "documents"), "text", "source", MixtureWeights.toMap)
         .select(col("doc_id"), col("source"))),
 
+    // deterministic negative sampling: up to 5 never-purchased parts
+    // per customer, drawn by pure md5 arithmetic (no RNG) from the
+    // md5-permuted catalog — re-runs and engines draw THE SAME rows
+    "sample_negatives" -> ((s, dir) => {
+      val pos = tbl(s, dir, "orders")
+        .join(tbl(s, dir, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_partkey").as("p_partkey"))
+      graft.curation.Sampling.negativeSamples(
+        pos, tbl(s, dir, "part").select(col("p_partkey")),
+        "o_custkey", "p_partkey", k = 5, oversample = 2)
+    }),
+
     // mixture epoch planning: the repeat-factor table a training launch
     // consumes — target_s = (T·w_s) div Σw, epochs = target/have in
     // micro-units; srcX (weighted but absent) gets NULL epochs, corpus
@@ -4057,6 +4070,33 @@ object SparkEntry {
 
     // split boundaries interpolated from the SAME splitBoundsHex the
     // query uses — lexicographic hex compare like sample_hash
+    // md5-permuted catalog ranks + scaled-division draws + positive
+    // anti-join + earliest-k cut; md5_number_lower % 2^32 ≡ the signed
+    // pmod (the Walks identity)
+    "sample_negatives" ->
+      """WITH pos AS (SELECT DISTINCT o_custkey u, l_partkey it
+        |             FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |cat AS (SELECT DISTINCT p_partkey it FROM part),
+        |nn AS (SELECT count(*) n FROM cat),
+        |rk AS (SELECT it,
+        |         CAST(row_number() OVER (ORDER BY md5(CAST(it AS VARCHAR)), it) - 1
+        |           AS BIGINT) r
+        |       FROM cat),
+        |us AS (SELECT DISTINCT u FROM pos),
+        |d AS (SELECT us.u, j.j,
+        |        CAST(((md5_number_lower(us.u || ':' || j.j) % 4294967296) * nn.n)
+        |          // 4294967296 AS BIGINT) r
+        |      FROM us CROSS JOIN (SELECT unnest(range(0, 10)) j) j
+        |      CROSS JOIN nn),
+        |neg AS (SELECT c.u, c.it, min(c.j) j
+        |        FROM (SELECT d.u, d.j, rk.it FROM d JOIN rk ON d.r = rk.r) c
+        |        WHERE NOT EXISTS (SELECT 1 FROM pos
+        |                          WHERE pos.u = c.u AND pos.it = c.it)
+        |        GROUP BY 1, 2)
+        |SELECT u o_custkey, CAST(rn AS BIGINT) neg_rank, it p_partkey FROM (
+        |  SELECT u, it, row_number() OVER (PARTITION BY u ORDER BY j, it) rn
+        |  FROM neg) WHERE rn <= 5""".stripMargin,
+
     // full-outer of per-source token sums against the mixture config;
     // Σw = 12 is a literal the oracle shares with the gate's weights
     "sample_epoch_plan" ->

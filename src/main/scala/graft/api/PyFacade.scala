@@ -1164,6 +1164,12 @@ object PyFacade {
       outCol: String, descending: Boolean): DataFrame =
     graft.stats.GroupStats.globalRank(df, valueCol, tieCol, outCol, descending)
 
+  /** Deterministic (md5-drawn) negative samples per user. */
+  def negativeSamples(positives: DataFrame, items: DataFrame,
+      userCol: String, itemCol: String, k: Int, oversample: Int): DataFrame =
+    graft.curation.Sampling.negativeSamples(positives, items, userCol,
+      itemCol, k, oversample)
+
   /** Mixture epoch plan: per-source repeat factors for a token budget. */
   def epochPlan(df: DataFrame, sourceCol: String, tokenCol: String,
       weights: DataFrame, weightSourceCol: String, weightCol: String,

@@ -351,6 +351,72 @@ object Sampling {
   }
 
   /**
+   * Deterministic negative sampling — the contrastive/recommendation
+   * training-pair generator: for every user in `positives`, up to `k`
+   * items drawn pseudo-uniformly from the catalog that the user has NO
+   * positive interaction with. No RNG anywhere (the
+   * [[graft.graph.Walks]] convention lifted to sampling): draw j for a
+   * user is `idx = (h32 · N) div 2³²` with
+   * `h32 = md5_lower64(user ∥ ':' ∥ j) pmod 2³²` — a pure function of
+   * (user, j), so re-runs, engines, and incremental batches draw THE
+   * SAME negatives, and the scaled division (not a modulus) keeps the
+   * map into [0, N) bias-free and engine-exact (N < 2³¹ keeps the
+   * product in a long — enforced).
+   *
+   * Items map to draw indices through [[graft.stats.GroupStats
+   * .globalRank]] on the md5 of the item id — a deterministic
+   * pseudo-random permutation of the catalog computed WITHOUT a global
+   * sort. Draws that hit a positive are discarded and the earliest
+   * `k` surviving draws win (duplicate items keep their earliest draw),
+   * so a user with many positives may receive fewer than k — raise
+   * `oversample` rather than looping (documented contract; expected
+   * shortfall is (positives/N)^oversample·k per user).
+   *
+   * Scale shape: users × k·oversample slim draw rows, one equi-join
+   * against the ranked catalog, one anti-join against positives, one
+   * bounded [[quotaTopK]] cut — nothing pairwise, nothing
+   * data-sized-windowed. Output: (userCol, neg_rank 1.., itemCol).
+   */
+  def negativeSamples(positives: DataFrame, items: DataFrame,
+      userCol: String, itemCol: String, k: Int,
+      oversample: Int = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(oversample >= 1, s"oversample must be >= 1, got $oversample")
+    val catalog = items.select(col(itemCol)).where(col(itemCol).isNotNull)
+      .distinct()
+    val n = catalog.count()
+    require(n >= 1, "item catalog is empty")
+    require(n < (1L << 31),
+      s"catalog size $n >= 2^31 would overflow the draw product — " +
+        "shard the catalog")
+    // md5 over the item id's STRING rendering (cast to string first —
+    // a raw long-to-binary cast would hash big-endian bytes no external
+    // engine's md5(VARCHAR) reproduces)
+    val ranked = graft.stats.GroupStats.globalRank(
+      catalog.select(
+        md5(col(itemCol).cast("string").cast("binary")).as("__h"),
+        col(itemCol)),
+      "__h", itemCol, "__r")
+      .select(col("__r"), col(itemCol))
+    val draws = positives.select(col(userCol)).where(col(userCol).isNotNull)
+      .distinct()
+      .select(col(userCol),
+        explode(sequence(lit(0), lit(k * oversample - 1))).as("__j"))
+      .withColumn("__h32", pmod(graft.functions.Md5Lower64.md5Lower64(
+        concat(col(userCol).cast("string"), lit(":"),
+          col("__j").cast("string"))), lit(4294967296L)))
+      .withColumn("__r", expr(s"(__h32 * ${n}L) div 4294967296L"))
+      .drop("__h32")
+    val neg = draws.join(ranked, "__r")
+      .join(positives.select(col(userCol), col(itemCol)).distinct(),
+        Seq(userCol, itemCol), "left_anti")
+      .groupBy(col(userCol), col(itemCol)).agg(min(col("__j")).as("__j"))
+    quotaTopK(neg, Seq(userCol), "__j", itemCol, k, descending = false)
+      .select(col(userCol), col("rank").cast("long").as("neg_rank"),
+        col(itemCol))
+  }
+
+  /**
    * Mixture epoch planning — the run-config artifact an LLM training
    * launch actually consumes: given the tokens each source HAS and the
    * mixture weight each source SHOULD contribute, how many epochs

@@ -1494,6 +1494,13 @@ object Drive {
           if e.getMessage.contains("sum to zero") => "refused" }
       println(s"OK zero-weight plan $refused (expect refused)")
 
+      val negs = graft.curation.Sampling.negativeSamples(
+        Seq((1L, 10L), (1L, 11L)).toDF("u", "it"),
+        (10L to 19L).toDF("it"), "u", "it", k = 3)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).sorted.toList
+      println(s"OK negatives=$negs rows=${negs.size} " +
+        "(expect 3 deterministic non-positive items, ranks 1..3)")
+
       val lines = graft.streaming.EventWindows.sessionLines(
         Seq(("2024-01-01 10:00:00", "a", 1L, "view"),
           ("2024-01-01 10:10:00", "a", 2L, "click"),

@@ -1321,6 +1321,21 @@ object ScaleBench {
           .where(col("canon_id") >= 0L)
       }),
 
+      // negative sampling: users ×f (keyed suppliers as items stay
+      // fixed) — draw rows ∝ users·k·oversample, one rank equi-join +
+      // one anti-join + bounded cut; shuffle ∝ f slim rows
+      "sample_negatives" -> (() => {
+        val pos = spark.read.parquet(s"$sfDir/orders.parquet")
+          .select(explode(sequence(lit(0), lit(f - 1))).as("__k"),
+            col("o_custkey"), col("o_orderkey"))
+          .select((col("o_custkey") + col("__k") * lit(100000000L)).as("o_custkey"),
+            pmod(col("o_orderkey"), lit(2000L)).as("p_partkey"))
+        graft.curation.Sampling.negativeSamples(pos,
+          spark.read.parquet(s"$sfDir/part.parquet").select(col("p_partkey")),
+          "o_custkey", "p_partkey", k = 5)
+          .where(col("neg_rank") >= 1L)
+      }),
+
       // session lines: one keyed agg, per-group state bounded by
       // session LENGTH (timeline density constant per user) — events
       // ×f with ×f users, shuffle ∝ f slim (ts, tie, type) rows

@@ -283,6 +283,39 @@ class SamplingSpec extends AnyFlatSpec with Matchers with AdaptiveSparkPlanHelpe
       Sampling.importanceWeights(raw, "doc_id", "text", target, "text", ns = Seq(1, 1))
   }
 
+  behavior of "Sampling.negativeSamples"
+
+  it should "draw deterministic non-positive items, earliest k per user" in {
+    import spark.implicits._
+    val pos = Seq((1L, 10L), (1L, 11L), (2L, 12L)).toDF("u", "it")
+    val items = (10L to 19L).toDF("it")
+    val a = Sampling.negativeSamples(pos, items, "u", "it", k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toList
+    // re-run is bit-identical (pure md5 function)
+    val b = Sampling.negativeSamples(pos, items, "u", "it", k = 3)
+      .as[(Long, Long, Long)].collect().sortBy(t => (t._1, t._2)).toList
+    a shouldBe b
+    // no drawn item is a positive; ranks are 1..k' per user
+    val posSet = Set((1L, 10L), (1L, 11L), (2L, 12L))
+    a.foreach { case (u, r, it) =>
+      posSet should not contain ((u, it))
+      r should be >= 1L
+      r should be <= 3L
+    }
+    a.map(_._1).distinct.sorted shouldBe List(1L, 2L)
+    a.groupBy(_._1).values.foreach(g =>
+      g.map(_._2).sorted shouldBe (1L to g.size).toList)
+  }
+
+  it should "reject an empty catalog and validate parameters" in {
+    import spark.implicits._
+    val pos = Seq((1L, 10L)).toDF("u", "it")
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.negativeSamples(pos, Seq.empty[Long].toDF("it"), "u", "it", 1)
+    an[IllegalArgumentException] should be thrownBy
+      Sampling.negativeSamples(pos, Seq(1L).toDF("it"), "u", "it", 0)
+  }
+
   behavior of "Sampling.epochPlan"
 
   it should "hand a repeat factor to every source, NULL to absent ones" in {
