@@ -1504,6 +1504,16 @@ def global_rank(df, value_col, tie_col, out_col="rank", descending=False):
         df._jdf, value_col, tie_col, out_col, bool(descending)))
 
 
+def group_percent_rank(df, group_cols, value_col, tie_col,
+                       descending=False):
+    """Per-group exact 0-based rank plus pct_micro = rank*1e6 //
+    (n-1) — the cross-group-comparable percentile feature. No
+    data-sized window (histogram base + tie-group windows)."""
+    cols = group_cols if isinstance(group_cols, str) else ",".join(group_cols)
+    return _wrap(df, _facade(df).groupPercentRank(
+        df._jdf, cols, value_col, tie_col, bool(descending)))
+
+
 def negative_samples(positives, items, user_col, item_col, k, oversample=2):
     """Deterministic negative sampling: up to k items per user drawn by
     pure md5 arithmetic from the md5-permuted catalog, positives

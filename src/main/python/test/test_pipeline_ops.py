@@ -1346,6 +1346,13 @@ class TestRound8(object):
                P.global_rank(df, "s", "id", descending=True).collect()}
         assert got == {3: 0, 1: 1, 2: 2, 4: 3}
 
+    def test_group_percent_rank(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("a", 10, 1), ("a", 20, 2), ("a", 30, 3)], ["g", "v", "id"])
+        got = {r["id"]: (r["rank"], r["pct_micro"]) for r in
+               P.group_percent_rank(df, "g", "v", "id").collect()}
+        assert got == {1: (0, 0), 2: (1, 500000), 3: (2, 1000000)}
+
     def test_negative_samples(self, local_spark):
         pos = local_spark.createDataFrame([(1, 10), (1, 11)], ["u", "it"])
         items = local_spark.createDataFrame(

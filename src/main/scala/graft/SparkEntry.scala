@@ -793,6 +793,15 @@ object SparkEntry {
       graft.stats.GroupStats.quantiles(
         tbl(s, dir, "documents"), Seq("source"), "n_chars", Seq(50, 90, 99))),
 
+    // per-group percentile feature: rank inside the source's own
+    // (n_chars, doc_id) order, pct = rank·1e6 div (n−1) — comparable
+    // across sources of different sizes; same no-data-window machinery
+    "q_percent_rank" -> ((s, dir) =>
+      graft.stats.GroupStats.groupPercentRank(
+        tbl(s, dir, "documents")
+          .select(col("source"), col("n_chars"), col("doc_id")),
+        Seq("source"), "n_chars", "doc_id")),
+
     // exact global rank with NO global sort: base from the
     // distinct-value histogram cumsum + row_number within each value's
     // tie group (parallel windows) — score desc, doc_id asc ties
@@ -3562,6 +3571,18 @@ object SparkEntry {
         |  min(CASE WHEN 100 * cum >= 90 * tot THEN n_chars END) p90,
         |  min(CASE WHEN 100 * cum >= 99 * tot THEN n_chars END) p99
         |FROM c GROUP BY source""".stripMargin,
+
+    // per-group rank + percentile replayed as one partitioned window
+    "q_percent_rank" ->
+      """WITH r AS (SELECT source, n_chars, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |                          ORDER BY n_chars, doc_id) - 1 AS BIGINT) rank,
+        |  CAST(count(*) OVER (PARTITION BY source) AS BIGINT) n
+        |FROM documents)
+        |SELECT source, n_chars, doc_id, rank,
+        |  CASE WHEN n > 1 THEN CAST((rank * 1000000) // (n - 1) AS BIGINT)
+        |       ELSE 0 END pct_micro
+        |FROM r""".stripMargin,
 
     // the global total order replayed as ONE SQL window — the oracle
     // may sort globally; the Spark side must not (plan-pinned in spec)

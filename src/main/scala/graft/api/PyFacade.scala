@@ -1170,6 +1170,13 @@ object PyFacade {
     graft.curation.Sampling.negativeSamples(positives, items, userCol,
       itemCol, k, oversample)
 
+  /** Per-group exact rank + micro percentile feature. */
+  def groupPercentRank(df: DataFrame, groupColsCsv: String, valueCol: String,
+      tieCol: String, descending: Boolean): DataFrame =
+    graft.stats.GroupStats.groupPercentRank(df,
+      groupColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      valueCol, tieCol, descending)
+
   /** Mixture epoch plan: per-source repeat factors for a token budget. */
   def epochPlan(df: DataFrame, sourceCol: String, tokenCol: String,
       weights: DataFrame, weightSourceCol: String, weightCol: String,

@@ -162,6 +162,55 @@ object GroupStats {
   }
 
   /**
+   * Per-group exact rank AND percentile feature — [[globalRank]]'s
+   * machinery with a group prefix: every row gets its 0-based rank
+   * inside its own group's (value, tie) order plus
+   * `pct_micro = (rank · 1e6) div (n − 1)` (0 for singleton groups) —
+   * the calibrated quality-percentile feature ("this document is in
+   * its source's 93rd length percentile") curriculum and filtering
+   * thresholds want, comparable ACROSS groups of different sizes.
+   *
+   * Same no-data-sized-window shape: base from the per-group
+   * distinct-value histogram cumsum (window over histogram rows keyed
+   * by group), position from row_number inside the (group, value) tie
+   * group — both bounded by value cardinality / tie width, never by
+   * group row count. (group, value, tie) must be unique per row;
+   * NULL coordinates are excluded (the [[spearman]] rule).
+   *
+   * Output: (groupCols..., valueCol, tieCol, rank, pct_micro).
+   */
+  def groupPercentRank(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, tieCol: String,
+      descending: Boolean = false): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(valueCol != tieCol,
+      s"valueCol and tieCol must differ, both are '$valueCol'")
+    val clash = (groupCols :+ valueCol :+ tieCol)
+      .filter(Seq("rank", "pct_micro", "__c", "__base", "__n", "__pos").contains)
+    require(clash.isEmpty,
+      s"column name(s) collide with output or internal columns: ${clash.mkString(", ")}")
+    val g = groupCols.map(col)
+    val rows = df.where(col(valueCol).isNotNull && col(tieCol).isNotNull)
+      .select((groupCols :+ valueCol :+ tieCol).map(col): _*)
+    val ord = if (descending) col(valueCol).desc else col(valueCol).asc
+    val wBase = Window.partitionBy(g: _*).orderBy(ord)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = rows.groupBy(g :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wBase), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(g: _*)))
+      .select(g ++ Seq(col(valueCol), col("__base"), col("__n")): _*)
+    val wPos = Window.partitionBy(g :+ col(valueCol): _*).orderBy(col(tieCol))
+    rows.withColumn("__pos", row_number().over(wPos).cast("long") - 1L)
+      .join(base, groupCols :+ valueCol)
+      .select(g ++ Seq(col(valueCol), col(tieCol),
+        (col("__base") + col("__pos")).as("rank"),
+        when(col("__n") > 1L,
+          expr("((__base + __pos) * 1000000L) div (__n - 1L)"))
+          .otherwise(lit(0L)).as("pct_micro")): _*)
+  }
+
+  /**
    * Per group: row count and one `ap<N>` APPROXIMATE percentile column
    * per requested percentile — Spark's `percentile_approx`
    * (Greenwald-Khanna summaries) in the [[quantiles]] column convention.

@@ -1474,6 +1474,12 @@ object Drive {
     println("=== 49. round-9: global rank + mixture epoch plan ===")
     locally {
       import spark.implicits._
+      val pr = graft.stats.GroupStats.groupPercentRank(
+        Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L))
+          .toDF("g", "v", "id"), Seq("g"), "v", "id")
+        .collect().map(r => r.getLong(2) -> r.getLong(4)).toMap
+      println(s"OK percentRank=$pr (expect 1 -> 0, 2 -> 500000, 3 -> 1000000)")
+
       val gr = graft.stats.GroupStats.globalRank(
         Seq((5L, 1L), (5L, 2L), (9L, 3L), (1L, 4L)).toDF("s", "id"),
         "s", "id", "rank", descending = true)

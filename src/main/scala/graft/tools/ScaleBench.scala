@@ -1352,6 +1352,15 @@ object ScaleBench {
           "vec_id", "embedding", k = 5, shortlist = 20)
           .where(col("rnk") >= 1L)),
 
+      // per-group percentile: histogram base per (source, value) —
+      // distinct values capped constant — + tie-group windows ∝ f
+      "q_percent_rank" -> (() =>
+        graft.stats.GroupStats.groupPercentRank(
+          docsFull(f).select(col("source"),
+            pmod(col("n_chars"), lit(97L)).as("v"), col("doc_id")),
+          Seq("source"), "v", "doc_id")
+          .where(col("pct_micro") >= 0L)),
+
       // global rank: histogram base (distinct values CONSTANT under
       // the pmod cap) + per-value row_number windows ∝ f tie rows —
       // the no-global-sort claim is the probe's whole point

@@ -261,6 +261,33 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
       GroupStats.winsorize(df, Seq("grp"), "v", 10, 90, "v")
   }
 
+  behavior of "GroupStats.groupPercentRank"
+
+  it should "rank inside each group and scale to micro percentiles" in {
+    // group a: values 10,20,30 -> ranks 0,1,2 -> pct 0, 500000, 1000000
+    // group b: one row -> rank 0, pct 0 (singleton contract)
+    val df = Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L),
+      ("b", 5L, 9L)).toDF("g", "v", "id")
+    val out = GroupStats.groupPercentRank(df, Seq("g"), "v", "id")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .sortBy(t => (t._1, t._4)).toList
+    out shouldBe List(
+      ("a", 10L, 1L, 0L, 0L), ("a", 20L, 2L, 1L, 500000L),
+      ("a", 30L, 3L, 2L, 1000000L), ("b", 5L, 9L, 0L, 0L))
+  }
+
+  it should "break value ties by the tie column and support descending" in {
+    val df = Seq(("g", 7L, 2L), ("g", 7L, 1L), ("g", 3L, 3L))
+      .toDF("g", "v", "id")
+    val asc = GroupStats.groupPercentRank(df, Seq("g"), "v", "id")
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._4).toList
+    asc.map(t => (t._2, t._3)) shouldBe List((3L, 3L), (7L, 1L), (7L, 2L))
+    val desc = GroupStats.groupPercentRank(df, Seq("g"), "v", "id",
+      descending = true)
+      .as[(String, Long, Long, Long, Long)].collect().sortBy(_._4).toList
+    desc.map(t => (t._2, t._3)) shouldBe List((7L, 1L), (7L, 2L), (3L, 3L))
+  }
+
   behavior of "GroupStats.globalRank"
 
   it should "produce the exact total order with heavy ties" in {
