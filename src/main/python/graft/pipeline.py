@@ -697,6 +697,15 @@ def first_per_content(df, text_col="text", ts_col="ts"):
     return _wrap(df, _facade(df).firstPerContent(df._jdf, text_col, ts_col))
 
 
+def first_per_normalized(df, text_col="text", ts_col="ts",
+                         watermark="10 minutes"):
+    """First row per NORMALIZED content (C4-style lowercase/punctuation
+    collapse as the dedup key; original text kept). Batch and
+    streaming."""
+    return _wrap(df, _facade(df).firstPerNormalized(
+        df._jdf, text_col, ts_col, watermark))
+
+
 def sliding_windows(events, width="1 hour", slide="15 minutes", ts_col="ts",
                     type_col="event_type", value_col="value",
                     watermark="2 hours"):

@@ -1346,6 +1346,14 @@ class TestRound8(object):
                P.global_rank(df, "s", "id", descending=True).collect()}
         assert got == {3: 0, 1: 1, 2: 2, 4: 3}
 
+    def test_first_per_normalized(self, local_spark):
+        df = local_spark.createDataFrame(
+            [(2, "HELLO world", 5), (1, "hello, world!", 0), (3, "bbb", 1)],
+            ["id", "text", "ts"])
+        got = sorted(r["id"] for r in
+                     P.first_per_normalized(df, "text", "ts").collect())
+        assert got == [1, 3]
+
     def test_group_percent_rank(self, local_spark):
         df = local_spark.createDataFrame(
             [("a", 10, 1), ("a", 20, 2), ("a", 30, 3)], ["g", "v", "id"])

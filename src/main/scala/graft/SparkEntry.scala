@@ -438,6 +438,21 @@ object SparkEntry {
         .select("doc_id", "text")
     }),
 
+    // streaming-dedup twin keyed on NORMALIZED text: case/punctuation
+    // variants collapse to one survivor (lowest ts, original text kept)
+    // — batch path of the same operator; stream parity spec-pinned
+    "dedup_stream_norm" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents").select("doc_id", "text")
+      val v = docs
+        .unionByName(docs.select((col("doc_id") + 1000000L).as("doc_id"),
+          upper(col("text")).as("text")))
+        .unionByName(docs.select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(lit("  "), col("text"), lit(" !!,")).as("text")))
+        .withColumn("ts", col("doc_id"))
+      graft.streaming.StreamingDedup.firstPerNormalized(v, "text", "ts")
+        .select("doc_id", "text")
+    }),
+
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(tbl(s, dir, "documents"), "doc_id", "text", tau = 0.8)),
 
@@ -3157,6 +3172,20 @@ object SparkEntry {
       """SELECT doc_id, text FROM (
         |  SELECT doc_id, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn
         |  FROM documents) t WHERE rn = 1""".stripMargin,
+
+    // the exact_norm variant corpus, first (lowest id) per normalized key
+    "dedup_stream_norm" ->
+      """WITH v AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, upper(text) FROM documents
+        |  UNION ALL SELECT doc_id + 2000000, '  ' || text || ' !!,' FROM documents),
+        |n AS (SELECT doc_id, text,
+        |        trim(regexp_replace(regexp_replace(lower(text),
+        |          '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS k FROM v)
+        |SELECT doc_id, text FROM (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (PARTITION BY k ORDER BY doc_id) rn
+        |  FROM n) t WHERE rn = 1""".stripMargin,
 
     "dedup_jaccard" -> jaccardOracle,
 

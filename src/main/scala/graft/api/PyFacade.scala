@@ -1186,6 +1186,12 @@ object PyFacade {
 
   // --- streaming-unified ------------------------------------------------
 
+  /** Streaming-or-batch dedup keyed on NORMALIZED text. */
+  def firstPerNormalized(df: DataFrame, textCol: String,
+      tsCol: String, watermark: String): DataFrame =
+    graft.streaming.StreamingDedup.firstPerNormalized(df, textCol, tsCol,
+      watermark)
+
   def firstPerContent(df: DataFrame, textCol: String, tsCol: String): DataFrame =
     graft.streaming.StreamingDedup.firstPerContent(df, textCol, tsCol)
 

@@ -70,4 +70,34 @@ object StreamingDedup {
         .select(df.columns.map(c => col(s"$first.`$c`")): _*)
     }
   }
+
+  /**
+   * [[firstPerContent]] with the dedup key NORMALIZED first
+   * ([[graft.text.TextFunctions.normalizeText]] — the C4/CCNet
+   * lowercase/punctuation/whitespace collapse): case and punctuation
+   * variants of the same document dedup to ONE survivor at ingest
+   * time, the streaming twin of [[graft.dedup.Dedup.exactCanonNormalized]].
+   * Same watermark/state/checkpoint contract as [[firstPerContent]]
+   * (state key = 16-byte digest of the NORMALIZED text); the emitted
+   * row keeps its ORIGINAL text — normalization is a keying device,
+   * never a mutation.
+   */
+  def firstPerNormalized(df: DataFrame, textCol: String = "text",
+      tsCol: String = "ts", watermark: String = "10 minutes"): DataFrame = {
+    val digest = "__dedup_digest"
+    val withDigest = df.withColumn(digest,
+      unhex(md5(graft.text.TextFunctions.normalizeText(col(textCol))
+        .cast("binary"))))
+    if (df.isStreaming)
+      withDigest.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark(digest)
+        .drop(digest)
+    else {
+      val ordCols = col(tsCol) +: df.columns.filterNot(_ == tsCol).map(col)
+      val first = "__dedup_first"
+      withDigest.groupBy(col(digest))
+        .agg(min(struct(ordCols: _*)).as(first))
+        .select(df.columns.map(c => col(s"$first.`$c`")): _*)
+    }
+  }
 }

@@ -1500,6 +1500,12 @@ object Drive {
           if e.getMessage.contains("sum to zero") => "refused" }
       println(s"OK zero-weight plan $refused (expect refused)")
 
+      val norm = graft.streaming.StreamingDedup.firstPerNormalized(
+        Seq((2L, "HELLO world", 5L), (1L, "hello, world!", 0L),
+          (3L, "bbb", 1L)).toDF("id", "text", "ts"), "text", "ts")
+        .collect().map(_.getLong(0)).sorted.toList
+      println(s"OK firstPerNormalized=$norm (expect List(1, 3))")
+
       val negs = graft.curation.Sampling.negativeSamples(
         Seq((1L, 10L), (1L, 11L)).toDF("u", "it"),
         (10L to 19L).toDF("it"), "u", "it", k = 3)

@@ -1321,6 +1321,14 @@ object ScaleBench {
           .where(col("canon_id") >= 0L)
       }),
 
+      // normalized stream-dedup batch twin: one digest-keyed
+      // map-side-combined agg — shuffle collapses to distinct
+      // normalized keys ∝ f
+      "dedup_stream_norm" -> (() =>
+        graft.streaming.StreamingDedup.firstPerNormalized(
+          docsPlain(f).withColumn("ts", col("doc_id")), "text", "ts")
+          .where(col("doc_id") >= 0L)),
+
       // negative sampling: users ×f (keyed suppliers as items stay
       // fixed) — draw rows ∝ users·k·oversample, one rank equi-join +
       // one anti-join + bounded cut; shuffle ∝ f slim rows

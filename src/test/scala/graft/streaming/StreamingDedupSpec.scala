@@ -58,4 +58,39 @@ class StreamingDedupSpec extends AnyFlatSpec with Matchers {
     out.columns.toSeq shouldBe Seq("id", "text", "ts")
     out.select("id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 3L)
   }
+
+  behavior of "StreamingDedup.firstPerNormalized"
+
+  it should "collapse case/punctuation variants on a stream, keep the original text" in {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Timestamp)]
+    val out = StreamingDedup.firstPerNormalized(
+      mem.toDF().toDF("id", "text", "ts"), "text", "ts", "10 minutes")
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("sdedupn_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "Hello, World", ts("10:00:00")),
+        (2L, "  hello world !!", ts("10:00:05")), // same normalized key
+        (3L, "other text", ts("10:00:01")))
+      q.processAllAvailable()
+      val got = spark.table("sdedupn_test").select("id", "text")
+        .as[(Long, String)].collect().toSet
+      // the survivor keeps its ORIGINAL (un-normalized) text
+      got shouldBe Set((1L, "Hello, World"), (3L, "other text"))
+    } finally q.stop()
+  }
+
+  it should "match the batch twin's min-ts survivor per normalized key" in {
+    val batch = Seq(
+      (2L, "HELLO world", ts("10:00:05")),
+      (1L, "hello, world!", ts("10:00:00")),
+      (3L, "bbb", ts("10:00:01"))).toDF("id", "text", "ts")
+    val out = StreamingDedup.firstPerNormalized(batch, "text", "ts")
+    out.select("id").as[Long].collect().sorted.toSeq shouldBe Seq(1L, 3L)
+    // original text preserved on the survivor
+    out.where($"id" === 1L).select("text").as[String].collect().head shouldBe
+      "hello, world!"
+  }
 }
