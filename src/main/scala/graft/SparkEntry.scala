@@ -480,6 +480,27 @@ object SparkEntry {
     // continuously-fed pipeline runs instead of re-deduping the world.
     // A changed doc may pair with its own old version (ids repeat
     // across sides by design — "this edit near-dups what we had")
+    // round-9 capstone composition: novelty filter (first-seen credit
+    // > 0) → curriculum rank (novelty desc) → weight-balanced shard cut
+    // → per-shard manifest — the curate-order-export chain end to end,
+    // three round-9 operators composed through exact integer contracts
+    "pipeline_export" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text"))
+      val nov = graft.text.TextFunctions.noveltyScores(
+        docs.where(col("text").isNotNull), "doc_id", "text", n = 2)
+        .where(col("novelty_micro") > 0)
+        .select(col("doc_id"), col("novelty_micro"))
+      val ranked = graft.stats.GroupStats.globalRank(
+        nov, "novelty_micro", "doc_id", "rank", descending = true)
+      val withW = ranked
+        .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      graft.curation.Shards.manifest(
+        graft.curation.Shards.assign(
+          withW.select(col("rank"), col("n_chars")),
+          "rank", "n_chars", numShards = 4))
+    }),
+
     "pipeline_incremental" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val old = docs.where(pmod(col("doc_id"), lit(10)) =!= 0).select("doc_id", "text")
@@ -3387,6 +3408,34 @@ object SparkEntry {
     // candidates, verification is exact, so the oracle is the plain
     // set-similarity join restricted to (odd, even) pairs
     "dedup_cross" -> crossJaccardOracle,
+
+    // novelty → rank → cumulative cut → rollup, each the proven replay
+    "pipeline_export" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql ws FROM documents
+         |           WHERE text IS NOT NULL),
+         |shx AS (SELECT doc_id,
+         |         unnest(list_distinct([ws[i]||' '||ws[i+1]
+         |                 for i in range(1, len(ws))])) g
+         |       FROM t WHERE len(ws) >= 2),
+         |fx AS (SELECT g, min(doc_id) fid FROM shx GROUP BY 1),
+         |nv AS (SELECT shx.doc_id,
+         |         CAST((sum(CASE WHEN fx.fid = shx.doc_id THEN 1 ELSE 0 END)
+         |           * 1000000) // count(*) AS BIGINT) nm
+         |       FROM shx JOIN fx ON shx.g = fx.g GROUP BY 1),
+         |k AS (SELECT nv.doc_id, nv.nm, CAST(d.n_chars AS BIGINT) w
+         |      FROM nv JOIN documents d ON nv.doc_id = d.doc_id
+         |      WHERE nv.nm > 0),
+         |r AS (SELECT doc_id, w,
+         |        CAST(row_number() OVER (ORDER BY nm DESC, doc_id) - 1
+         |          AS BIGINT) rank FROM k),
+         |c AS (SELECT rank, w,
+         |        coalesce(sum(w) OVER (ORDER BY rank
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) st,
+         |        sum(w) OVER () tot FROM r),
+         |a AS (SELECT CAST((st * 4) // tot AS BIGINT) shard, w FROM c)
+         |SELECT shard, CAST(count(*) AS BIGINT) n_rows,
+         |       CAST(sum(w) AS BIGINT) weight_sum
+         |FROM a GROUP BY 1""".stripMargin,
 
     // the full composition replayed: diff classification on digests,
     // delta docs carry their NEW text, exact jaccard across sides only
