@@ -1513,6 +1513,14 @@ def global_rank(df, value_col, tie_col, out_col="rank", descending=False):
         df._jdf, value_col, tie_col, out_col, bool(descending)))
 
 
+def gini(df, group_cols, value_col, tie_col):
+    """Per-group Gini coefficient in micro-units (0 = even, (n-1)/n =
+    one row holds everything) — exact rank identity, tie-insensitive,
+    non-negative values only (loud otherwise)."""
+    cols = group_cols if isinstance(group_cols, str) else ",".join(group_cols)
+    return _wrap(df, _facade(df).gini(df._jdf, cols, value_col, tie_col))
+
+
 def group_percent_rank(df, group_cols, value_col, tie_col,
                        descending=False):
     """Per-group exact 0-based rank plus pct_micro = rank*1e6 //

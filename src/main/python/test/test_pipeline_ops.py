@@ -1354,6 +1354,13 @@ class TestRound8(object):
                      P.first_per_normalized(df, "text", "ts").collect())
         assert got == [1, 3]
 
+    def test_gini(self, local_spark):
+        df = local_spark.createDataFrame(
+            [("g", 0, 1), ("g", 0, 2), ("g", 0, 3), ("g", 4, 4)],
+            ["g", "v", "id"])
+        r = P.gini(df, "g", "v", "id").collect()[0]
+        assert (r["n"], r["value_sum"], r["gini_micro"]) == (4, 4, 750000)
+
     def test_group_percent_rank(self, local_spark):
         df = local_spark.createDataFrame(
             [("a", 10, 1), ("a", 20, 2), ("a", 30, 3)], ["g", "v", "id"])

@@ -829,6 +829,14 @@ object SparkEntry {
       graft.stats.GroupStats.quantiles(
         tbl(s, dir, "documents"), Seq("source"), "n_chars", Seq(50, 90, 99))),
 
+    // per-source Gini over document lengths — the token-mass
+    // concentration audit; exact rank identity, tie-order-insensitive
+    "q_gini" -> ((s, dir) =>
+      graft.stats.GroupStats.gini(
+        tbl(s, dir, "documents")
+          .select(col("source"), col("n_chars"), col("doc_id")),
+        Seq("source"), "n_chars", "doc_id")),
+
     // per-group percentile feature: rank inside the source's own
     // (n_chars, doc_id) order, pct = rank·1e6 div (n−1) — comparable
     // across sources of different sizes; same no-data-window machinery
@@ -3649,6 +3657,20 @@ object SparkEntry {
         |  min(CASE WHEN 100 * cum >= 90 * tot THEN n_chars END) p90,
         |  min(CASE WHEN 100 * cum >= 99 * tot THEN n_chars END) p99
         |FROM c GROUP BY source""".stripMargin,
+
+    // the rank identity replayed: 2·Σr·x − (n+1)·Σx over n·Σx
+    "q_gini" ->
+      """WITH r AS (SELECT source, CAST(n_chars AS BIGINT) x,
+        |  row_number() OVER (PARTITION BY source
+        |                     ORDER BY n_chars, doc_id) r1
+        |FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) n,
+        |  CAST(sum(x) AS BIGINT) value_sum,
+        |  CASE WHEN sum(x) > 0 THEN
+        |    CAST(((2 * sum(r1 * x) - (count(*) + 1) * sum(x)) * 1000000)
+        |      // (count(*) * sum(x)) AS BIGINT)
+        |  END gini_micro
+        |FROM r GROUP BY 1""".stripMargin,
 
     // per-group rank + percentile replayed as one partitioned window
     "q_percent_rank" ->

@@ -1170,6 +1170,13 @@ object PyFacade {
     graft.curation.Sampling.negativeSamples(positives, items, userCol,
       itemCol, k, oversample)
 
+  /** Per-group Gini coefficient (micro-units, exact rank identity). */
+  def gini(df: DataFrame, groupColsCsv: String, valueCol: String,
+      tieCol: String): DataFrame =
+    graft.stats.GroupStats.gini(df,
+      groupColsCsv.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+      valueCol, tieCol)
+
   /** Per-group exact rank + micro percentile feature. */
   def groupPercentRank(df: DataFrame, groupColsCsv: String, valueCol: String,
       tieCol: String, descending: Boolean): DataFrame =

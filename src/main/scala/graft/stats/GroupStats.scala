@@ -211,6 +211,59 @@ object GroupStats {
   }
 
   /**
+   * Per-group Gini coefficient in micro-units — the inequality audit
+   * of corpus curation ("is one domain hoarding the token mass? how
+   * concentrated are user events?"): 0 = perfectly even, (n−1)/n =
+   * one row holds everything. Computed by the classic rank identity
+   * `G = (2·Σᵢ rᵢ·xᵢ − (n+1)·Σx) / (n·Σx)` with rᵢ the 1-based
+   * ascending-value rank — and the rank sum is TIE-ORDER-INSENSITIVE
+   * (equal values across a tie block contribute x·Σranks whatever the
+   * within-block order), so the result is deterministic however ties
+   * break. All arithmetic is exact: ranks from the per-group
+   * distinct-value histogram ([[groupPercentRank]]'s machinery — no
+   * data-sized window), Σr·x accumulated in decimal(38,0), one
+   * truncating division at the end (both engines truncate toward
+   * zero). Values must be NON-NEGATIVE (Gini is undefined on mixed
+   * signs — in-plan raise_error); NULL values are excluded; groups
+   * with n = 0 vanish, S = 0 yields NULL (0/0).
+   *
+   * Output: (groupCols..., n, value_sum, gini_micro).
+   */
+  def gini(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      tieCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "at least one group column required")
+    require(valueCol != tieCol,
+      s"valueCol and tieCol must differ, both are '$valueCol'")
+    val g = groupCols.map(col)
+    val v = when(col(valueCol) < 0, raise_error(concat(
+        lit(s"GroupStats.gini: `$valueCol` must be non-negative, got "),
+        col(valueCol).cast("string"))))
+      .otherwise(col(valueCol).cast("long"))
+    val rows = df.where(col(valueCol).isNotNull && col(tieCol).isNotNull)
+      .select(g ++ Seq(v.as(valueCol), col(tieCol)): _*)
+    val wBase = Window.partitionBy(g: _*).orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val base = rows.groupBy(g :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__base", coalesce(sum(col("__c")).over(wBase), lit(0L)))
+      .select(g ++ Seq(col(valueCol), col("__base")): _*)
+    val wPos = Window.partitionBy(g :+ col(valueCol): _*).orderBy(col(tieCol))
+    rows.withColumn("__pos", row_number().over(wPos).cast("long") - 1L)
+      .join(base, groupCols :+ valueCol)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol)).as("value_sum"),
+        sum(((col("__base") + col("__pos") + 1L) * col(valueCol))
+          .cast("decimal(38,0)")).as("__t"))
+      .select(g ++ Seq(col("n"), col("value_sum"),
+        when(col("value_sum") > 0, expr(
+          "CAST(((2 * __t - (CAST(n AS DECIMAL(38,0)) + 1) * value_sum)" +
+            " * 1000000) div (CAST(n AS DECIMAL(38,0)) * value_sum)" +
+            " AS BIGINT)"))
+          .as("gini_micro")): _*)
+  }
+
+  /**
    * Per group: row count and one `ap<N>` APPROXIMATE percentile column
    * per requested percentile — Spark's `percentile_approx`
    * (Greenwald-Khanna summaries) in the [[quantiles]] column convention.

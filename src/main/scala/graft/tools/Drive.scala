@@ -1474,6 +1474,12 @@ object Drive {
     println("=== 49. round-9: global rank + mixture epoch plan ===")
     locally {
       import spark.implicits._
+      val gini = graft.stats.GroupStats.gini(
+        Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 0L, 3L), ("g", 4L, 4L))
+          .toDF("g", "v", "id"), Seq("g"), "v", "id")
+        .collect().head.getLong(3)
+      println(s"OK gini_micro=$gini (expect 750000 — one row holds all mass)")
+
       val pr = graft.stats.GroupStats.groupPercentRank(
         Seq(("a", 10L, 1L), ("a", 20L, 2L), ("a", 30L, 3L))
           .toDF("g", "v", "id"), Seq("g"), "v", "id")

@@ -1360,6 +1360,15 @@ object ScaleBench {
           "vec_id", "embedding", k = 5, shortlist = 20)
           .where(col("rnk") >= 1L)),
 
+      // Gini: same histogram-rank machinery — tie windows ∝ f,
+      // decimal Σr·x map-side-combined, output constant (strata fixed)
+      "q_gini" -> (() =>
+        graft.stats.GroupStats.gini(
+          docsFull(f).select(col("source"),
+            pmod(col("n_chars"), lit(97L)).as("v"), col("doc_id")),
+          Seq("source"), "v", "doc_id")
+          .where(col("n") >= 1L)),
+
       // per-group percentile: histogram base per (source, value) —
       // distinct values capped constant — + tie-group windows ∝ f
       "q_percent_rank" -> (() =>

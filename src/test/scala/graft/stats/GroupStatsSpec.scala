@@ -261,6 +261,38 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
       GroupStats.winsorize(df, Seq("grp"), "v", 10, 90, "v")
   }
 
+  behavior of "GroupStats.gini"
+
+  it should "score uniform 0 and max concentration (n-1)/n exactly" in {
+    val df = (Seq.fill(4)(("even", 1L)) ++
+      Seq(("skew", 0L), ("skew", 0L), ("skew", 0L), ("skew", 4L)))
+      .zipWithIndex.map { case ((gr, v), i) => (gr, v, i.toLong) }
+      .toDF("g", "v", "id")
+    val out = GroupStats.gini(df, Seq("g"), "v", "id")
+      .as[(String, Long, Long, Option[Long])].collect().sortBy(_._1).toList
+    out shouldBe List(
+      ("even", 4L, 4L, Some(0L)),
+      ("skew", 4L, 4L, Some(750000L))) // (n-1)/n = 0.75
+  }
+
+  it should "be tie-order-insensitive, NULL on zero mass, loud on negatives" in {
+    // two ties (3, 3): Σr·x over the tie block is order-free
+    val df = Seq(("g", 3L, 9L), ("g", 3L, 1L), ("g", 6L, 5L))
+      .toDF("g", "v", "id")
+    val gm = GroupStats.gini(df, Seq("g"), "v", "id")
+      .as[(String, Long, Long, Option[Long])].collect().head._4.get
+    // ranks 1,2 for the 3s (either order), 3 for 6:
+    // T = 3+6+18 = 27; (2·27 − 4·12)·1e6 div (3·12) = 6e6/36 = 166666
+    gm shouldBe 166666L
+    val zeros = Seq(("g", 0L, 1L)).toDF("g", "v", "id")
+    GroupStats.gini(zeros, Seq("g"), "v", "id")
+      .as[(String, Long, Long, Option[Long])].collect().head._4 shouldBe None
+    val neg = Seq(("g", -1L, 1L)).toDF("g", "v", "id")
+    intercept[Exception] {
+      GroupStats.gini(neg, Seq("g"), "v", "id").collect()
+    }.getMessage should include("non-negative")
+  }
+
   behavior of "GroupStats.groupPercentRank"
 
   it should "rank inside each group and scale to micro percentiles" in {
