@@ -805,7 +805,11 @@ def quality_score_from_artifact(df, path, id_col="doc_id",
 def bpe_train(df, text_col="text", rounds=32):
     """Learn a BPE merge table from the corpus' word-frequency
     distribution: (merge_rank, lft, rgt, pair_cnt). Persist it as
-    parquet and feed it back to the serving calls below."""
+    parquet and feed it back to the serving calls below. The training
+    histogram is capped at 1,000,000 distinct words by default (the
+    scale-safe mode) — use :func:`bpe_train_capped` to pick the cap, or
+    ``train_and_save_bpe(..., max_words=0)`` for unbounded exact
+    training."""
     return _wrap(df, _facade(df).bpeTrain(df._jdf, text_col, int(rounds)))
 
 
@@ -908,9 +912,12 @@ def strip_html(df, html_col="text", out_col="clean"):
     return _wrap(df, _facade(df).stripHtml(df._jdf, html_col, out_col))
 
 
-def train_and_save_bpe(df, path, text_col="text", rounds=32, max_words=0):
-    """Train a BPE merge table (``max_words<=0`` keeps the full
-    histogram) and persist it as a single-file parquet artifact."""
+def train_and_save_bpe(df, path, text_col="text", rounds=32,
+                       max_words=1000000):
+    """Train a BPE merge table and persist it as a single-file parquet
+    artifact. The training histogram is capped at ``max_words``
+    (default 1,000,000 — the scale-safe mode); ``max_words<=0`` opts in
+    to the unbounded exact histogram."""
     _facade(df).trainAndSaveBpe(df._jdf, text_col, int(rounds),
                                 int(max_words), path)
 

@@ -722,7 +722,7 @@ object SparkEntry {
     // left-to-right `replace` semantics
     "text_bpe_train" -> ((s, dir) =>
       graft.text.Bpe.mergesDF(s,
-        graft.text.Bpe.train(tbl(s, dir, "documents"), "text", rounds = BpeGateRounds))),
+        graft.text.Bpe.train(tbl(s, dir, "documents"), "text", rounds = BpeGateRounds, maxWords = Int.MaxValue))),
 
     // ... and the serving path: per-document trained-subword counts via
     // the merge-replay segmentation expression (map-only). The oracle
@@ -730,7 +730,7 @@ object SparkEntry {
     // and sums per-document occurrences
     "text_bpe_segment" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val merges = graft.text.Bpe.train(docs, "text", rounds = BpeGateRounds)
+      val merges = graft.text.Bpe.train(docs, "text", rounds = BpeGateRounds, maxWords = Int.MaxValue)
       docs.select(col("doc_id"),
         graft.text.Bpe.tokenCount(col("text"), merges).as("n_bpe"))
     }),
@@ -742,7 +742,7 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val path = modelTmp("bpe")
       graft.ml.ModelStore.saveBpe(s,
-        graft.text.Bpe.train(docs, "text", rounds = BpeGateRounds), path)
+        graft.text.Bpe.train(docs, "text", rounds = BpeGateRounds, maxWords = Int.MaxValue), path)
       docs.select(col("doc_id"),
         graft.text.Bpe.tokenCount(col("text"),
           graft.ml.ModelStore.loadBpe(s, path)).as("n_bpe"))
@@ -756,7 +756,7 @@ object SparkEntry {
       val docs = tbl(s, dir, "documents")
       val path = modelTmp("bpe_txt") + "/merges.txt"
       graft.ml.ModelStore.exportBpeMerges(s,
-        graft.text.Bpe.train(docs, "text", rounds = BpeGateRounds), path)
+        graft.text.Bpe.train(docs, "text", rounds = BpeGateRounds, maxWords = Int.MaxValue), path)
       docs.select(col("doc_id"),
         graft.text.Bpe.tokenCount(col("text"),
           graft.ml.ModelStore.importBpeMerges(s, path)).as("n_bpe"))
@@ -779,7 +779,7 @@ object SparkEntry {
         .select(col("doc_id"), concat_ws(" ", expr(
           "transform(slice(ws, 1, greatest(size(ws) - 1, 0)), (w, i) -> concat(w, '_', ws[i + 1]))"))
           .as("btext"))
-      val merges = graft.text.Bpe.train(derived, "btext", rounds = BpeVocabRounds)
+      val merges = graft.text.Bpe.train(derived, "btext", rounds = BpeVocabRounds, maxWords = Int.MaxValue)
       derived.select(col("doc_id"),
         graft.text.Bpe.tokenCount(col("btext"), merges).as("n_bpe"))
     }),
@@ -2110,6 +2110,20 @@ object SparkEntry {
             (length(col("text")) - length(translate(col("text"), " ", ""))
               + lit(1L)).as("n_words")),
         Seq("source"), "n_chars", "n_words")),
+
+    // the TIE-CORRECTED variant (round-10): same heavy-tie columns,
+    // full Pearson-on-average-ranks normalizer with the Σ(t³−t) terms
+    // — under perfect monotone association this one CAN reach ±1e6;
+    // A, B, ΣD² exact integers, the √ normalizer replayed as the same
+    // IEEE double expression (truncated like Spark's double→long cast)
+    "q_spearman_tied" -> ((s, dir) =>
+      graft.stats.GroupStats.spearman(
+        tbl(s, dir, "documents")
+          .where(col("text").isNotNull)
+          .select(col("source"), col("n_chars"),
+            (length(col("text")) - length(translate(col("text"), " ", ""))
+              + lit(1L)).as("n_words")),
+        Seq("source"), "n_chars", "n_words", tieCorrected = true)),
 
     // exponentially-decayed engagement score: per-user halving weights
     // over the last 8 events (cents-exact integer values, power-of-two
@@ -3706,10 +3720,14 @@ object SparkEntry {
         |FROM c""".stripMargin,
 
     // the same histogram rank replay as q_quantiles, folded into
-    // boundary columns and one least/greatest clip per row
+    // boundary columns and one least/greatest clip per row. LEFT JOIN,
+    // not inner (round-9 ADVICE): winsorize passes rows through when no
+    // boundary row exists (NULL group key, all-NULL group) — both
+    // engines' least/greatest ignore NULLs, so a missing boundary
+    // clips to the value itself, and a NULL value stays NULL
     "q_winsorize" ->
       """WITH h AS (SELECT source, n_chars, CAST(count(*) AS BIGINT) cnt
-        |           FROM documents GROUP BY 1, 2),
+        |           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2),
         |c AS (SELECT source, n_chars, cnt,
         |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) cum,
         |        CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) tot
@@ -3719,8 +3737,10 @@ object SparkEntry {
         |        min(CASE WHEN 100 * cum >= 90 * tot THEN n_chars END) hi
         |      FROM c GROUP BY 1)
         |SELECT d.doc_id, d.source, d.n_chars,
-        |  CAST(least(greatest(d.n_chars, b.lo), b.hi) AS BIGINT) winsorized
-        |FROM documents d JOIN b ON d.source = b.source""".stripMargin,
+        |  CASE WHEN d.n_chars IS NOT NULL
+        |       THEN CAST(least(greatest(d.n_chars, b.lo), b.hi) AS BIGINT)
+        |  END winsorized
+        |FROM documents d LEFT JOIN b ON d.source = b.source""".stripMargin,
 
     // sketch estimates are not replayable; the oracle pins the exact
     // counts and the literal truth of the Spark-computed rank bounds
@@ -4889,6 +4909,42 @@ object SparkEntry {
         |          * (CAST(count(*) AS HUGEINT) * count(*) - 1)) AS BIGINT)
         |    END rho_micro
         |FROM rk GROUP BY 1""".stripMargin,
+
+    // tie-corrected twin: Σ(t³−t) per column from the tie-group-size
+    // histograms, A/B/ΣD² exact hugeint, then the identical IEEE
+    // double √-normalizer truncated toward zero (trunc ≡ Spark's
+    // double→long cast)
+    "q_spearman_tied" ->
+      """WITH r AS (SELECT source g, n_chars x,
+        |             CAST(length(text) - length(replace(text, ' ', ''))
+        |                  + 1 AS BIGINT) y
+        |           FROM documents
+        |           WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |rk AS (SELECT g,
+        |  2 * rank() OVER (PARTITION BY g ORDER BY x)
+        |    + count(*) OVER (PARTITION BY g, x) - 1 ax,
+        |  2 * rank() OVER (PARTITION BY g ORDER BY y)
+        |    + count(*) OVER (PARTITION BY g, y) - 1 ay
+        |  FROM r),
+        |tx AS (SELECT g, SUM(CAST(c AS HUGEINT) * c * c - c) t
+        |       FROM (SELECT g, x, count(*) c FROM r GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |ty AS (SELECT g, SUM(CAST(c AS HUGEINT) * c * c - c) t
+        |       FROM (SELECT g, y, count(*) c FROM r GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |s AS (SELECT g, CAST(count(*) AS BIGINT) n,
+        |        SUM(CAST(ax - ay AS HUGEINT) * (ax - ay)) sd2
+        |      FROM rk GROUP BY 1),
+        |f AS (SELECT s.g, s.n, s.sd2,
+        |        CAST(s.n AS HUGEINT) * s.n * s.n - s.n - tx.t a,
+        |        CAST(s.n AS HUGEINT) * s.n * s.n - s.n - ty.t b
+        |      FROM s JOIN tx ON s.g = tx.g JOIN ty ON s.g = ty.g)
+        |SELECT g source, n,
+        |  CASE WHEN n >= 2 AND a > 0 AND b > 0 THEN
+        |    CAST(trunc(1e6 * CAST(a + b - 3 * sd2 AS DOUBLE) /
+        |      (2.0 * sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))))
+        |      AS BIGINT) END rho_micro
+        |FROM f""".stripMargin,
 
     // 8 explicit lags with halving power-of-two weights over the
     // (t_us, event_id) total order; missing lags count 0 — pure 64-bit

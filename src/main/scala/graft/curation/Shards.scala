@@ -140,7 +140,10 @@ object Shards {
       .repartition(numShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
     val spark = assigned.sparkSession
-    val p = new org.apache.hadoop.fs.Path(new java.io.File(path).toURI)
+    // scheme-aware (round-9 ADVICE): an hdfs:// or s3a:// export must
+    // be VERIFIED where it landed — a blanket local-file coercion would
+    // point the listing at a bogus local path after a successful write
+    val p = graft.layout.Compact.resolveLocation(path)
     val fs = p.getFileSystem(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
         .sessionState.newHadoopConf())

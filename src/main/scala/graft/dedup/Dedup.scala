@@ -1050,9 +1050,12 @@ object Dedup {
    * shuffle join + map-side-combined min aggregation, then a
    * POINTER-JUMPING pass (comp ← comp(comp), label-doubling) so chains
    * collapse in O(log diameter) rounds instead of O(diameter); one
-   * snapshot per round (`materialize`, default lazy localCheckpoint) to
-   * cut the growing lineage, the convergence count riding the snapshot's
-   * job. Near-dup components are near-cliques (every member close to a
+   * snapshot per round (`materialize`, default lazy localCheckpoint —
+   * executor-local, NOT fault-tolerant; inject
+   * `_.checkpoint(eager = true)` under a `setCheckpointDir` for
+   * cluster-grade durability, bit-identical results, pinned by
+   * ReliableCheckpointSpec) to cut the growing lineage, the
+   * convergence count riding the snapshot's job. Near-dup components are near-cliques (every member close to a
    * common original), so 2-3 rounds in practice; even a 1M-node path
    * graph converges in ~20.
    *

@@ -24,7 +24,9 @@ import org.apache.spark.sql.functions._
  * plus two semi-joins filtering the edge snapshot — O(E) slim rows per
  * round, O(rounds·E) total, nothing quadratic, no driver-side state;
  * each round's survivor edge set is localCheckpoint'ed (the
- * clusterPairs discipline) so lineage stays flat.
+ * clusterPairs discipline) so lineage stays flat; inject
+ * `materialize = _.checkpoint(eager = true)` for a fault-tolerant
+ * run — results bit-identical (ReliableCheckpointSpec).
  */
 object KCore {
 

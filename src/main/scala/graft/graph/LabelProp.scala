@@ -30,7 +30,9 @@ import org.apache.spark.sql.functions._
  * Scale shape: per round one slim (node, label) join against the
  * static edge snapshot + a map-side-combined (dst, label) count + an
  * O(1)-per-node argmax — O(E) rows per round, O(rounds·E) total,
- * localCheckpoint per round (the package's iteration discipline).
+ * localCheckpoint per round (the package's iteration discipline;
+ * executor-local — inject `materialize = _.checkpoint(eager = true)`
+ * for a fault-tolerant run, results bit-identical).
  */
 object LabelProp {
 

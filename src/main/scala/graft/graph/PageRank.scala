@@ -46,6 +46,14 @@ import org.apache.spark.sql.functions._
  * stability), so total cost is O(iterations · E). Each round's rank
  * table is localCheckpoint'ed to keep lineage flat, matching
  * [[graft.dedup.Dedup.clusterPairs]]'s iteration discipline.
+ *
+ * Durability: the default `materialize` (`localCheckpoint(false)`)
+ * stores round snapshots in EXECUTOR-LOCAL blocks — fast, but an
+ * executor loss on a real cluster fails the job (truncated lineage is
+ * unrecoverable). For fault tolerance inject a reliable checkpoint:
+ * `sc.setCheckpointDir("hdfs://...")` and pass
+ * `materialize = _.checkpoint(eager = true)` — results are
+ * bit-identical (ReliableCheckpointSpec pins this for every loop).
  */
 object PageRank {
 

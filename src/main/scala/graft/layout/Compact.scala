@@ -55,6 +55,24 @@ object Compact {
   private def classic(spark: SparkSession) =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
 
+  /**
+   * Scheme-aware location → Hadoop Path: an explicit scheme
+   * (`hdfs://`, `s3a://`, `file:`) is honored verbatim; ONLY
+   * scheme-less strings are resolved as local-filesystem paths
+   * (absolutized, so relative test paths work). The single resolution
+   * rule for every user-supplied path this library touches — a blanket
+   * `new java.io.File(path).toURI` would silently coerce an `s3a://`
+   * export target to a bogus local path (round-9 ADVICE).
+   */
+  def resolveLocation(location: String): org.apache.hadoop.fs.Path = {
+    val uri =
+      try java.net.URI.create(location)
+      catch { case _: IllegalArgumentException => null }
+    if (uri == null || uri.getScheme == null)
+      new org.apache.hadoop.fs.Path(new java.io.File(location).toURI)
+    else new org.apache.hadoop.fs.Path(uri)
+  }
+
   /** A catalog table's storage location. */
   def tableLocation(spark: SparkSession, table: String): java.net.URI = {
     val ss = classic(spark).sessionState
@@ -93,7 +111,8 @@ object Compact {
       throw new IllegalArgumentException(
         s"table `$table` is not bucketed — use compactFiles for plain layouts"))
     val oldLocation = tableLocation(spark, table)
-    require(new java.io.File(newPath).getAbsolutePath != oldLocation.getPath,
+    require(resolveLocation(newPath).toUri.getPath.stripSuffix("/")
+        != oldLocation.getPath.stripSuffix("/"),
       s"newPath must differ from the current location ($oldLocation) — " +
         "an in-place overwrite would destroy the table on a failed rewrite")
     val before = dataFileCount(spark, oldLocation)
@@ -121,6 +140,46 @@ object Compact {
   }
 
   /**
+   * Storage locations of tables registered in NON-session v2 catalogs
+   * — the live-table guard's reach beyond `spark_catalog` (round-9
+   * ADVICE: a live table in another catalog must also block a vacuum).
+   * Best effort by design: only catalogs exposing the TableCatalog +
+   * SupportsNamespaces connector API are walked, and only tables that
+   * publish the standard `location` property contribute; the session
+   * catalog (walked precisely, fail-loudly, in [[vacuum]]) is skipped.
+   */
+  private def v2TableLocations(
+      spark: SparkSession): Seq[(String, java.net.URI)] = {
+    import org.apache.spark.sql.connector.catalog.{SupportsNamespaces, TableCatalog}
+    val cm = classic(spark).sessionState.catalogManager
+    val names = scala.util.Try(
+      spark.catalog.listCatalogs().collect().map(_.name).toSeq)
+      .getOrElse(Seq.empty).filterNot(_ == "spark_catalog")
+    names.flatMap { cn =>
+      scala.util.Try(cm.catalog(cn)).toOption.toSeq.flatMap {
+        case tc: TableCatalog with SupportsNamespaces =>
+          def walk(ns: Array[String]): Seq[Array[String]] =
+            ns +: scala.util.Try(tc.listNamespaces(ns).toSeq)
+              .getOrElse(Seq.empty).flatMap(walk)
+          val nss = scala.util.Try(tc.listNamespaces().toSeq)
+            .getOrElse(Seq.empty).flatMap(walk)
+          nss.flatMap { ns =>
+            scala.util.Try(tc.listTables(ns).toSeq)
+              .getOrElse(Seq.empty).flatMap { id =>
+                scala.util.Try(tc.loadTable(id)).toOption.flatMap { t =>
+                  Option(t.properties().get(TableCatalog.PROP_LOCATION))
+                    .flatMap(loc => scala.util.Try(
+                      java.net.URI.create(loc)).toOption)
+                    .map(u => (s"$cn.$id", u))
+                }
+              }
+          }
+        case _ => Seq.empty
+      }
+    }
+  }
+
+  /**
    * Delete the bytes at a SUPERSEDED location — the second half of the
    * write-then-swap contract: [[compactBucketed]] rewrites to a new
    * path and returns the old one in `CompactStats.previousLocation`;
@@ -142,27 +201,50 @@ object Compact {
    * runs. Returns what was removed for the caller's audit log.
    */
   def vacuum(spark: SparkSession, location: String): VacuumStats = {
-    val uri = java.net.URI.create(location)
-    val p = new org.apache.hadoop.fs.Path(
-      if (uri.getScheme == null) new java.io.File(location).toURI else uri)
-    val fs = p.getFileSystem(classic(spark).sessionState.newHadoopConf())
+    val p = resolveLocation(location)
+    val conf = classic(spark).sessionState.newHadoopConf()
+    val fs = p.getFileSystem(conf)
     require(fs.exists(p),
       s"nothing to vacuum at $location — already removed, or not a " +
         "location this session's compactions produced")
-    val target = fs.makeQualified(p).toUri.getPath.stripSuffix("/")
+    // guard key = the FULLY QUALIFIED URI (scheme + authority + path),
+    // so file:/x never aliases hdfs://nn/x or s3a://bucket/x — a
+    // path-only compare would let a remote live table slip past the
+    // guard (round-9 ADVICE)
+    def qualify(u: java.net.URI): String = {
+      val qp = new org.apache.hadoop.fs.Path(u)
+      qp.getFileSystem(conf).makeQualified(qp).toUri.toString.stripSuffix("/")
+    }
+    val target = fs.makeQualified(p).toUri.toString.stripSuffix("/")
     val ss = classic(spark).sessionState
+    // session catalog: every table's location must be READABLE — a
+    // table whose metadata fails to load cannot be proven disjoint
+    // from the target, so the vacuum refuses rather than silently
+    // skipping it (fail-loudly; views without storage are exempt)
     val liveAt = ss.catalog.listDatabases().flatMap { db =>
       ss.catalog.listTables(db).flatMap { ti =>
-        scala.util.Try(ss.catalog.getTableMetadata(ti)).toOption
-          .map(m => (ti.unquotedString, m.location.getPath.stripSuffix("/")))
+        scala.util.Try(ss.catalog.getTableMetadata(ti)) match {
+          case scala.util.Success(m) =>
+            if (m.tableType == org.apache.spark.sql.catalyst.catalog
+                  .CatalogTableType.VIEW || m.storage.locationUri.isEmpty)
+              None
+            else Some((ti.unquotedString, qualify(m.location)))
+          case scala.util.Failure(_) if ss.catalog.isTempView(ti) => None
+          case scala.util.Failure(e) =>
+            throw new IllegalStateException(
+              s"refusing to vacuum $location: metadata for catalog " +
+                s"table ${ti.unquotedString} is unreadable, so it " +
+                "cannot be proven disjoint from the target", e)
+        }
       }
-    }.filter { case (_, loc) =>
+    } ++ v2TableLocations(spark).map { case (n, u) => (n, qualify(u)) }
+    val overlapping = liveAt.filter { case (_, loc) =>
       loc == target || loc.startsWith(target + "/") ||
         target.startsWith(loc + "/")
     }
-    require(liveAt.isEmpty,
+    require(overlapping.isEmpty,
       s"refusing to vacuum $location: catalog table(s) " +
-        s"${liveAt.map(_._1).mkString(", ")} currently live there — " +
+        s"${overlapping.map(_._1).mkString(", ")} currently live there — " +
         "vacuum only the previousLocation a compaction returned")
     val it = fs.listFiles(p, true)
     var files = 0; var bytes = 0L
@@ -188,12 +270,12 @@ object Compact {
     require(sortCols.nonEmpty, "at least one sort column required")
     require(targetFiles > 0, s"targetFiles must be positive, got $targetFiles")
     require(path != outPath, "outPath must differ from path (no in-place rewrite)")
-    val before = dataFileCount(spark, new java.io.File(path).toURI)
+    val before = dataFileCount(spark, resolveLocation(path).toUri)
     spark.read.parquet(path)
       .repartitionByRange(targetFiles, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
       .write.mode("overwrite").parquet(outPath)
-    val after = dataFileCount(spark, new java.io.File(outPath).toURI)
-    CompactStats(before, after, new java.io.File(path).toURI.toString)
+    val after = dataFileCount(spark, resolveLocation(outPath).toUri)
+    CompactStats(before, after, resolveLocation(path).toUri.toString)
   }
 }

@@ -253,8 +253,15 @@ object GroupStats {
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n"),
         sum(col(valueCol)).as("value_sum"),
-        sum(((col("__base") + col("__pos") + 1L) * col(valueCol))
-          .cast("decimal(38,0)")).as("__t"))
+        // rank and value are cast to decimal BEFORE the multiply: a
+        // long*long product above 2^63 would silently wrap under
+        // non-ANSI Spark (round-9 ADVICE). Each operand fits
+        // decimal(20,0) (long range), the product fits decimal(38,0)
+        // exactly (max 2^126 < 10^38), so the scaladoc's "all
+        // arithmetic is exact" claim holds unconditionally.
+        sum((col("__base") + col("__pos") + 1L).cast("decimal(20,0)")
+          * col(valueCol).cast("decimal(20,0)")).cast("decimal(38,0)")
+          .as("__t"))
       .select(g ++ Seq(col("n"), col("value_sum"),
         when(col("value_sum") > 0, expr(
           "CAST(((2 * __t - (CAST(n AS DECIMAL(38,0)) + 1) * value_sum)" +
@@ -524,6 +531,22 @@ object GroupStats {
    * tie-free columns; compare against a margin (or pre-dedupe) when
    * the column can tie.
    *
+   * `tieCorrected = true` (round-10, default OFF — the documented
+   * no-tie normalizer above stays the default contract) switches the
+   * normalizer to the full Pearson-on-average-ranks form with the
+   * classic Σ(t³−t) tie terms: with A = n³−n−Σ(tx³−tx) and
+   * B = n³−n−Σ(ty³−ty) (t = tie-group sizes of x resp. y),
+   * rho = (A + B − 3·ΣD²) / (2·√(A·B)) — algebraically identical to
+   * the no-tie formula when no ties exist, and reaching ±1 at perfect
+   * monotone association even under heavy ties. A, B and ΣD² are
+   * exact decimal(38,0) integers in both engines; only the final
+   * √-normalization runs in IEEE double (both engines' `sqrt` is
+   * correctly rounded, so the truncated micro result replays —
+   * Spark's double→long cast truncates, the oracle replays it with
+   * an explicit `trunc`). Degenerate groups (a constant x or y:
+   * A·B = 0) return NULL rho_micro — correlation with a constant is
+   * undefined, same as Pearson.
+   *
    * Scale: ranks come from per-(group, value) HISTOGRAMS (the
    * [[quantiles]] discipline) — the rank window runs over DISTINCT
    * values per group, never a data-row sort window, so a hot group
@@ -536,11 +559,12 @@ object GroupStats {
    * rho_micro); rho_micro is NULL for n < 2 (undefined).
    */
   def spearman(df: DataFrame, groupCols: Seq[String], xCol: String,
-      yCol: String): DataFrame = {
+      yCol: String, tieCorrected: Boolean = false): DataFrame = {
     require(groupCols.nonEmpty, "at least one group column required")
     require(xCol != yCol, s"xCol and yCol must differ, both are '$xCol'")
     val reserved =
-      Seq("__c", "__cb", "__a2x", "__a2y", "__sd2", "n", "rho_micro")
+      Seq("__c", "__cb", "__a2x", "__a2y", "__sd2", "__tx", "__ty",
+        "__A", "__B", "n", "rho_micro")
     val clash = (groupCols ++ Seq(xCol, yCol)).filter(reserved.contains)
     require(clash.isEmpty,
       s"column name(s) collide with output or internal columns: ${clash.mkString(", ")}")
@@ -568,14 +592,50 @@ object GroupStats {
     val ranked = joinBack(
       joinBack(rows, rank2(xCol, "__a2x"), xCol, "__a2x"),
       rank2(yCol, "__a2y"), yCol, "__a2y")
-    ranked.groupBy(g: _*)
+    val base = ranked.groupBy(g: _*)
       .agg(count(lit(1)).as("n"),
         sum(((col("__a2x") - col("__a2y")) * (col("__a2x") - col("__a2y")))
           .cast("decimal(38,0)")).as("__sd2"))
-      .select(g ++ Seq(col("n"),
+    if (!tieCorrected)
+      base.select(g ++ Seq(col("n"),
         when(col("n") >= 2, expr(
           "1000000L - (3 * __sd2 * 1000000) div " +
             "(2 * CAST(n AS DECIMAL(38,0)) * (CAST(n AS DECIMAL(38,0)) * n - 1))"))
           .as("rho_micro")): _*)
+    else {
+      // per-group Σ(t³−t) over each column's tie-group sizes — one
+      // more aggregation over the (group, value) HISTOGRAM (distinct-
+      // value-sized, never data-sized); t cast to decimal BEFORE the
+      // cube (the gini discipline: no silent long wrap)
+      def tieSum(vCol: String, out: String): DataFrame = {
+        val t = col("__c").cast("decimal(20,0)")
+        rows.groupBy(g :+ col(vCol): _*).agg(count(lit(1)).as("__c"))
+          .groupBy(g: _*)
+          .agg(sum(t * t * t - t).cast("decimal(38,0)").as(out))
+      }
+      def joinGroup(l: DataFrame, r: DataFrame): DataFrame = {
+        val la = l.alias("__spl"); val ra = r.alias("__spr")
+        val cond = groupCols
+          .map(c => col(s"__spl.$c") <=> col(s"__spr.$c")).reduce(_ && _)
+        la.join(ra, cond, "inner")
+          .select(l.columns.map(c => col(s"__spl.$c")).toSeq
+            ++ r.columns.filterNot(groupCols.contains)
+              .map(c => col(s"__spr.$c")): _*)
+      }
+      joinGroup(joinGroup(base, tieSum(xCol, "__tx")), tieSum(yCol, "__ty"))
+        // A = n³−n−Tx, B = n³−n−Ty exact in decimal(38,0); the final
+        // √(A·B) normalizer in IEEE double (both engines correctly
+        // rounded), truncated to micro like Spark's double→long cast
+        .withColumn("__A", expr(
+          "CAST(n AS DECIMAL(38,0)) * n * n - n - __tx"))
+        .withColumn("__B", expr(
+          "CAST(n AS DECIMAL(38,0)) * n * n - n - __ty"))
+        .select(g ++ Seq(col("n"),
+          when(col("n") >= 2 && col("__A") > 0 && col("__B") > 0, expr(
+            "CAST(1e6 * CAST(__A + __B - 3 * __sd2 AS DOUBLE) / " +
+              "(2.0 * sqrt(CAST(__A AS DOUBLE) * CAST(__B AS DOUBLE)))" +
+              " AS BIGINT)"))
+            .as("rho_micro")): _*)
+    }
   }
 }

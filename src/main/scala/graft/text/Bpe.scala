@@ -60,6 +60,12 @@ import org.apache.spark.sql.functions._
  */
 object Bpe {
 
+  /** Default [[train]] histogram bound: the driver-side collect is
+    * capped at one million (word, count) rows regardless of corpus
+    * size. Pass `maxWords = Int.MaxValue` explicitly for the unbounded
+    * exact mode (oracle-replayable training over the full vocabulary). */
+  val DefaultMaxWords: Int = 1000000
+
   /** One learned merge: at `rank` (1-based), the corpus' most frequent
     * adjacent symbol pair was (`left`, `right`) with `count` weighted
     * positional occurrences; the merged symbol is `left + right`. */
@@ -109,11 +115,18 @@ object Bpe {
    * `maxWords` bounds the driver-side histogram for open-vocabulary
    * corpora (100 TB of web text has unbounded distinct "words"): the
    * top `maxWords` by (count desc, word asc) — a deterministic cut, the
-   * standard frequency-pruned BPE training corpus. The default keeps
-   * every word (exact, engine-replayable).
+   * standard frequency-pruned BPE training corpus. The DEFAULT is
+   * bounded ([[DefaultMaxWords]] = 1,000,000 — a TakeOrderedAndProject
+   * cut, so the driver collect is capped at one million (word, count)
+   * rows no matter the corpus size); the unbounded exact mode that an
+   * external oracle replays word-for-word requires an EXPLICIT
+   * `maxWords = Int.MaxValue` opt-in, keeping the scale-unsafe path a
+   * deliberate choice rather than the default. Below the cut the two
+   * modes train identical merge tables (pair counts sum over the whole
+   * histogram; its order is irrelevant).
    */
   def train(df: DataFrame, textCol: String, rounds: Int,
-            maxWords: Int = Int.MaxValue): Seq[Merge] = {
+            maxWords: Int = DefaultMaxWords): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(maxWords >= 1, s"maxWords must be >= 1, got $maxWords")
     var hist = df

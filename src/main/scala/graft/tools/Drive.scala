@@ -1539,6 +1539,30 @@ object Drive {
         "relevance for distance)")
     }
 
+    println("=== 50. round-10: tie-corrected Spearman + bounded BPE default ===")
+    locally {
+      import spark.implicits._
+      // x and y tie in the SAME rows -> average ranks coincide ->
+      // tie-corrected rho reaches exactly 1e6 (the no-tie normalizer
+      // cannot); mixed ties -> hand value 948683 (see GroupStatsSpec)
+      val tied = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 2L, 20L),
+        ("g", 4L, 40L)).toDF("g", "x", "y")
+      val r1 = graft.stats.GroupStats.spearman(tied, Seq("g"), "x", "y",
+        tieCorrected = true).collect().head.getLong(2)
+      println(s"OK tieCorrected rho(perfect-tied)=$r1 (expect 1000000)")
+      val mixed = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 2L, 30L),
+        ("g", 4L, 40L)).toDF("g", "x", "y")
+      val r2 = graft.stats.GroupStats.spearman(mixed, Seq("g"), "x", "y",
+        tieCorrected = true).collect().head.getLong(2)
+      println(s"OK tieCorrected rho(mixed)=$r2 (expect 948683)")
+      // bounded BPE default: cut to the single most frequent word
+      val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+      val cut = graft.text.Bpe.train(docs, "text", rounds = 1, maxWords = 1)
+      println(s"OK bpe maxWords=1 top merge count=${cut.head.count} " +
+        s"(expect 3 — only `low` survives the cut; default cap=" +
+        s"${graft.text.Bpe.DefaultMaxWords})")
+    }
+
     spark.stop()
   }
 }

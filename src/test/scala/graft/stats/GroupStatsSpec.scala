@@ -205,6 +205,41 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
       (Some("solo"), 1L, None))
   }
 
+  it should "reach ±1e6 under ties when tieCorrected, match hand-computed rho" in {
+    // g1: x has ties but y is a perfect monotone function of x's tie
+    // structure is NOT required — use y strictly increasing WITH x
+    // tie-broken consistently: x: 1,2,2,4; y: 10,20,20,40 (ties in the
+    // SAME places) -> average ranks identical -> tie-corrected rho = 1e6
+    // (the no-tie normalizer cannot reach 1e6 here)
+    val tied = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 2L, 20L),
+      ("g", 4L, 40L)).toDF("g", "x", "y")
+    val rc = GroupStats.spearman(tied, Seq("g"), "x", "y",
+      tieCorrected = true).collect().head
+    (rc.getLong(1), rc.getLong(2)) shouldBe ((4L, 1000000L))
+    // hand check on mixed ties: x: 1,2,2,4 (Tx = 2³−2 = 6),
+    // y: 10,20,30,40 (Ty = 0); ΣD² = 4·Σd² and Σd² from the untied
+    // spec above is 2/4·... reuse: D = 0,1,−1,0 → ΣD² = 2;
+    // A = 60−6 = 54, B = 60; rho = (54+60−6)/(2·√3240) = 108/113.84...
+    // = 0.948683...; micro truncated = 948683
+    val mixed = Seq(("g", 1L, 10L), ("g", 2L, 20L), ("g", 2L, 30L),
+      ("g", 4L, 40L)).toDF("g", "x", "y")
+    val rm = GroupStats.spearman(mixed, Seq("g"), "x", "y",
+      tieCorrected = true).collect().head
+    (rm.getLong(1), rm.getLong(2)) shouldBe ((4L, 948683L))
+    // tie-free data: both normalizers agree exactly
+    val free = Seq(("g", 1L, 30L), ("g", 2L, 10L), ("g", 3L, 20L))
+      .toDF("g", "x", "y")
+    val a = GroupStats.spearman(free, Seq("g"), "x", "y").collect().head
+    val b = GroupStats.spearman(free, Seq("g"), "x", "y",
+      tieCorrected = true).collect().head
+    b.getLong(2) shouldBe a.getLong(2)
+    // a constant column is undefined correlation -> NULL (A·B = 0)
+    val const = Seq(("g", 7L, 1L), ("g", 7L, 2L)).toDF("g", "x", "y")
+    val rk = GroupStats.spearman(const, Seq("g"), "x", "y",
+      tieCorrected = true).collect().head
+    rk.isNullAt(2) shouldBe true
+  }
+
   it should "reject colliding and identical column names" in {
     val df = Seq(("g", 1L, 2L)).toDF("g", "x", "y")
     intercept[IllegalArgumentException] {
@@ -259,6 +294,19 @@ class GroupStatsSpec extends AnyFlatSpec with Matchers {
       GroupStats.winsorize(df, Seq("grp"), "v", 90, 10, "w")
     an[IllegalArgumentException] should be thrownBy
       GroupStats.winsorize(df, Seq("grp"), "v", 10, 90, "v")
+  }
+
+  it should "pass rows with a NULL group key through unclipped" in {
+    // pinned round-10 (ADVICE): the boundary join is LEFT — a NULL
+    // group key matches no boundary row (SQL equality), so the value
+    // survives unclipped instead of being dropped; the q_winsorize
+    // oracle replays the same LEFT JOIN pass-through
+    val df = Seq((Some("g"), 1L), (Some("g"), 2L), (Some("g"), 100L),
+      (None, 999L)).toDF("grp", "v")
+    val out = GroupStats.winsorize(df, Seq("grp"), "v", 10, 90, "w")
+      .as[(Option[String], Long, Long)].collect()
+    out.length shouldBe 4 // nothing dropped
+    out.find(_._1.isEmpty).map(_._3) shouldBe Some(999L) // pass-through
   }
 
   behavior of "GroupStats.gini"

@@ -38,6 +38,24 @@ class BpeSpec extends AnyFunSuite {
       (4, "lowe", "r", 1L)))
   }
 
+  test("default maxWords is bounded; explicit Int.MaxValue is the exact opt-in") {
+    // the scale contract: the DEFAULT path caps the driver-side
+    // histogram collect (round-9 ADVICE — 100 TB of web text has
+    // unbounded distinct words); unbounded training is explicit
+    assert(Bpe.DefaultMaxWords == 1000000)
+    val docs = Seq((1L, "low low low lower lowest")).toDF("doc_id", "text")
+    // below the cut, bounded default and explicit exact mode train the
+    // same merges (histogram order is irrelevant to pair counting)
+    val bounded = Bpe.train(docs, "text", rounds = 3)
+    val exact = Bpe.train(docs, "text", rounds = 3, maxWords = Int.MaxValue)
+    assert(bounded == exact)
+    // the cut itself is the (count desc, word asc) top-k: maxWords = 1
+    // keeps only "low" (freq 3), so training sees a 3-char vocabulary
+    val ms = Bpe.train(docs, "text", rounds = 2, maxWords = 1)
+    assert(ms.map(m => (m.left, m.right)) == Seq(("l", "o"), ("lo", "w")))
+    assert(ms.head.count == 3L) // weight of "low" alone — lower/lowest cut
+  }
+
   test("greedy left-to-right: overlapping candidates consume correctly") {
     // merge (a,a) over "aaaa" must give [aa, aa]; over "aaa" -> [aa, a]
     val docs = Seq((1L, "aa aa aaa aaaa")).toDF("doc_id", "text")

@@ -44,9 +44,15 @@ def main(sf_dir, out_dir, partial=False):
         if partial and not os.path.isdir(f"{out_dir}/{name}"):
             continue
         try:
+            # one relation, one execution: the type pre-check reads only
+            # metadata (lazy relation), the fetch below executes it —
+            # con.execute(sql) again would double oracle runtime across
+            # ~200 gates (round-9 ADVICE). The risky scan searches the
+            # FULL type string, so HUGEINT nested in STRUCT/LIST columns
+            # is flagged too.
             rel = con.sql(sql)
             risky = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
-                     if str(t).startswith(RISKY_TYPES)]
+                     if any(r in str(t) for r in RISKY_TYPES)]
             if risky:
                 print(f"FAIL {name}: risky oracle output types {risky} "
                       "(cast to BIGINT/DOUBLE — driver hasher mangles these)")
@@ -65,9 +71,8 @@ def main(sf_dir, out_dir, partial=False):
             arows = [tuple(c[i] for c in tbl.columns)
                      for i in range(tbl.num_rows)]
             acols2, arows2 = norm(arows, acols)
-            res = con.execute(sql)
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            ocols = list(rel.columns)
+            orows = rel.fetchall()
             ocols2, orows2 = norm(orows, ocols)
             if acols2 != ocols2:
                 print(f"FAIL {name}: columns {acols2} vs oracle {ocols2}")
