@@ -112,7 +112,11 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       isolate()
       try {
-        execute() // warmup — a throw here fails the query
+        // warmup — a throw here fails the query. SPARK_GRAFT_WARMUP=0
+        // skips it for one-shot evidence runs at big SFs (sf1 full
+        // suite), where paying every query twice doubles a multi-hour
+        // wall for a measurement that is single-pass by design
+        if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") != "0") execute()
         val runs = (1 to runsPerQuery).map { i =>
           isolate()
           val g0 = gcMillis
