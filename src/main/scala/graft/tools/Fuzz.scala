@@ -97,7 +97,7 @@ object Fuzz {
   private def gen(spark: SparkSession, dir: String, i: Int, seed: Long): Case = {
     val rng = new scala.util.Random(seed * 1000003L + i)
     val name = f"fz_$i%03d"
-    (i % 13) match {
+    (i % 14) match {
       case 0 => saltedAgg(spark, dir, name, rng)
       case 1 => rangeAgg(spark, dir, name, rng)
       case 2 => joinQuota(spark, dir, name, rng)
@@ -111,7 +111,70 @@ object Fuzz {
       case 10 => winsorizeCase(spark, dir, name, rng)
       case 11 => shardsCase(spark, dir, name, rng)
       case 12 => noveltyCase(spark, dir, name, rng)
+      case 13 => spearmanCase(spark, dir, name, rng)
     }
+  }
+
+  /** per-group Spearman, BOTH normalizers (the tieCorrected flag is a
+    * random knob), over synthetic heavy-tie integer columns vs the
+    * doubled-average-rank replay — tie-corrected cases replay the
+    * Σ(t³−t) terms plus the identical IEEE-double √ normalizer with
+    * explicit trunc (random moduli, multiplier, and group count). */
+  private def spearmanCase(spark: SparkSession, dir: String, name: String,
+      rng: scala.util.Random): Case = {
+    val g = 2 + rng.nextInt(8)
+    val mx = 5 + rng.nextInt(50)
+    val my = 5 + rng.nextInt(50)
+    val a = 1 + rng.nextInt(7)
+    val tied = rng.nextBoolean()
+    val in = docs(spark, dir).select(
+      pmod(col("doc_id"), lit(g.toLong)).as("gg"),
+      pmod(col("n_chars"), lit(mx.toLong)).as("x"),
+      pmod(col("n_chars") * a + col("doc_id"), lit(my.toLong)).as("y"))
+    val base =
+      s"""r AS (SELECT doc_id % $g gg, n_chars % $mx x,
+         |             (n_chars * $a + doc_id) % $my y FROM documents),
+         |rk AS (SELECT gg,
+         |  2 * rank() OVER (PARTITION BY gg ORDER BY x)
+         |    + count(*) OVER (PARTITION BY gg, x) - 1 ax,
+         |  2 * rank() OVER (PARTITION BY gg ORDER BY y)
+         |    + count(*) OVER (PARTITION BY gg, y) - 1 ay
+         |  FROM r)""".stripMargin
+    val sql =
+      if (!tied)
+        s"""WITH $base
+           |SELECT gg, CAST(count(*) AS BIGINT) n,
+           |  CASE WHEN count(*) >= 2 THEN CAST(
+           |    1000000 - (3 * SUM((ax - ay) * (ax - ay)) * 1000000)
+           |      // (2 * CAST(count(*) AS HUGEINT)
+           |          * (CAST(count(*) AS HUGEINT) * count(*) - 1)) AS BIGINT)
+           |    END rho_micro
+           |FROM rk GROUP BY 1""".stripMargin
+      else
+        s"""WITH $base,
+           |tx AS (SELECT gg, SUM(CAST(c AS HUGEINT) * c * c - c) t
+           |       FROM (SELECT gg, x, count(*) c FROM r GROUP BY 1, 2)
+           |       GROUP BY 1),
+           |ty AS (SELECT gg, SUM(CAST(c AS HUGEINT) * c * c - c) t
+           |       FROM (SELECT gg, y, count(*) c FROM r GROUP BY 1, 2)
+           |       GROUP BY 1),
+           |s AS (SELECT gg, CAST(count(*) AS BIGINT) n,
+           |        SUM(CAST(ax - ay AS HUGEINT) * (ax - ay)) sd2
+           |      FROM rk GROUP BY 1),
+           |f AS (SELECT s.gg, s.n, s.sd2,
+           |        CAST(s.n AS HUGEINT) * s.n * s.n - s.n - tx.t a,
+           |        CAST(s.n AS HUGEINT) * s.n * s.n - s.n - ty.t b
+           |      FROM s JOIN tx ON s.gg = tx.gg JOIN ty ON s.gg = ty.gg)
+           |SELECT gg, n,
+           |  CASE WHEN n >= 2 AND a > 0 AND b > 0 THEN
+           |    CAST(trunc(1e6 * CAST(a + b - 3 * sd2 AS DOUBLE) /
+           |      (2.0 * sqrt(CAST(a AS DOUBLE) * CAST(b AS DOUBLE))))
+           |      AS BIGINT) END rho_micro
+           |FROM f""".stripMargin
+    Case(name,
+      graft.stats.GroupStats.spearman(in, Seq("gg"), "x", "y",
+        tieCorrected = tied),
+      sql)
   }
 
   /** winsorize over a synthetic value/group pair vs the histogram-rank

@@ -1438,6 +1438,18 @@ object ScaleBench {
             pmod(col("n_chars"), lit(997L)).as("x"),
             pmod(col("n_chars") * 7 + col("doc_id") % 13, lit(991L)).as("y")),
           Seq("source"), "x", "y")
+          .where(col("n") >= 2L)),
+
+      // tie-corrected variant (round 10): adds two tie-sum aggregations
+      // over the SAME histograms (distinct-value-sized) plus two tiny
+      // per-group joins — the whole tie-correction overlay must stay
+      // histogram-bounded; data-row cost identical to q_spearman
+      "q_spearman_tied" -> (() =>
+        graft.stats.GroupStats.spearman(
+          docsFull(f).select(col("source"),
+            pmod(col("n_chars"), lit(97L)).as("x"),
+            pmod(col("n_chars") * 7 + col("doc_id") % 13, lit(89L)).as("y")),
+          Seq("source"), "x", "y", tieCorrected = true)
           .where(col("n") >= 2L)))
 
     // the multimodal_wav probe's asset builder, reused by the energy probe

@@ -91,6 +91,20 @@ class CompactSpec extends AnyFlatSpec with Matchers {
     spark.table("cspec_f").count() shouldBe before
   }
 
+  behavior of "Compact.resolveLocation"
+
+  it should "honor explicit schemes and absolutize only scheme-less paths" in {
+    // round-10 ADVICE: an s3a:// export must never be coerced local
+    Compact.resolveLocation("s3a://bucket/exports/v1").toUri.getScheme shouldBe "s3a"
+    Compact.resolveLocation("hdfs://nn:8020/warehouse/t").toUri.toString shouldBe
+      "hdfs://nn:8020/warehouse/t"
+    val local = Compact.resolveLocation("relative/dir").toUri
+    local.getScheme shouldBe "file"
+    local.getPath should startWith ("/") // absolutized
+    // strings URI.create rejects (spaces) still resolve as local paths
+    Compact.resolveLocation("/tmp/with space/x").toUri.getScheme shouldBe "file"
+  }
+
   behavior of "Compact.vacuum"
 
   it should "remove a superseded location and report what it removed" in {
