@@ -3,9 +3,16 @@
 dumps against the DuckDB oracle SQL, column-name-sorted, row-sorted.
 
 Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--partial]
+       [--skip=q1,q2,...]
 
 --partial: skip oracles with no parquet dump (a SPARK_GRAFT_ONLY dev run)
 instead of counting them as failures.
+--skip=...: exclude named oracles (big-SF evidence runs: the spatial
+oracles replay the join as a brute-force cross product, which is
+quadratic IN THE ORACLE — DuckDB OOMs at sf1 while the engine side is
+fine; they stay verified at sf0.01/sf0.1).
+ORACLE_MEMORY_LIMIT (env, default 80GB) caps DuckDB; spills to
+/tmp/duckdb_spill.
 """
 import os
 import json
@@ -33,14 +40,32 @@ RISKY_TYPES = ("HUGEINT", "DECIMAL", "UHUGEINT", "UBIGINT", "UINTEGER",
                "USMALLINT", "UTINYINT", "TINYINT", "SMALLINT")
 
 
-def main(sf_dir, out_dir, partial=False):
+def connect(sf_dir):
     con = duckdb.connect()
+    # big-SF evidence runs: cap memory below the box and give DuckDB a
+    # spill directory so large-but-linear oracles survive; one OOM must
+    # not take the whole suite down (the connection is rebuilt on error)
+    lim = os.environ.get("ORACLE_MEMORY_LIMIT", "80GB")
+    con.execute(f"SET memory_limit='{lim}'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single-file tables; Spark-written scale
+        # data (MakeSf1) ships directories of part files — glob those
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
+    return con
+
+
+def main(sf_dir, out_dir, partial=False, skip=()):
+    con = connect(sf_dir)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     fails = 0
     for name, sql in sorted(oracle.items()):
+        if name in skip:
+            print(f"SKIP {name}: excluded by --skip")
+            continue
         if partial and not os.path.isdir(f"{out_dir}/{name}"):
             continue
         try:
@@ -61,6 +86,7 @@ def main(sf_dir, out_dir, partial=False):
         except Exception as e:
             print(f"ERR  {name}: {type(e).__name__}: {e}")
             fails += 1
+            con = connect(sf_dir)  # an OOM poisons the connection
             continue
         try:
             import glob
@@ -90,10 +116,16 @@ def main(sf_dir, out_dir, partial=False):
         except Exception as e:
             print(f"ERR  {name}: {type(e).__name__}: {e}")
             fails += 1
+            con = connect(sf_dir)  # an OOM poisons the connection
     print(f"\n{'ALL GREEN' if fails == 0 else f'{fails} FAILURES'} "
           f"({len(oracle)} queries)")
     return 1 if fails else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], "--partial" in sys.argv[3:]))
+    extra = sys.argv[3:]
+    skip = ()
+    for a in extra:
+        if a.startswith("--skip="):
+            skip = tuple(x for x in a[len("--skip="):].split(",") if x)
+    sys.exit(main(sys.argv[1], sys.argv[2], "--partial" in extra, skip))
