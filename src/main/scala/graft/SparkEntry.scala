@@ -43,6 +43,21 @@ object SparkEntry {
   private def modelTmp(tag: String): String =
     java.nio.file.Files.createTempDirectory(s"graft-$tag-").toString
 
+  /** Streaming read of one testdata table, layout-agnostic: the
+    * driver's testdata ships single-FILE tables (the file stream source
+    * wants a directory, so stream the sf dir filtered down to that
+    * file), while Spark-written scale data (MakeSf1) ships table
+    * DIRECTORIES (streamed directly — a glob for the bare table name
+    * would match no files and silently stream nothing, the round-10
+    * sf1-evidence lesson). */
+  private def streamTbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    val p = s"$dir/$name.parquet"
+    val schema = s.read.parquet(p).schema
+    if (new java.io.File(p).isDirectory) s.readStream.schema(schema).parquet(p)
+    else s.readStream.schema(schema)
+      .option("pathGlobFilter", s"$name.parquet").parquet(dir)
+  }
+
   private def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -315,11 +330,7 @@ object SparkEntry {
       supplierPoints(s, dir)
         .withColumn("wkt", rectWkt(col("lon"), col("lat"), SWX, SWY))
         .createOrReplaceTempView("v_jss_sup")
-      val schema = s.read.parquet(s"$dir/customer.parquet").schema
-      // the testdata table is a single FILE; the file stream source wants
-      // a directory, so stream the sf dir filtered down to that file
-      val cust = s.readStream.schema(schema)
-        .option("pathGlobFilter", "customer.parquet").parquet(dir)
+      val cust = streamTbl(s, dir, "customer")
         .withColumn("lon", lonOf("c_custkey")).withColumn("lat", latOf("c_custkey"))
         .select("c_custkey", "lon", "lat")
       val joined = bsj("v_jss_sup").setDatasetPoint("").setDatasetWKT("wkt")
@@ -344,9 +355,7 @@ object SparkEntry {
     // two-sided-bound state-evicting join, drained through a memory
     // sink; the batch replay is a plain key equi-join + range filter
     "j_stream_interval" -> ((s, dir) => {
-      val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def evStream = microTs(s.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
+      def evStream = microTs(streamTbl(s, dir, "events"))
       val left = evStream.select(col("event_id").as("l_event"), col("user_id"), col("ts"))
       val right = evStream.select(col("event_id").as("r_event"),
         col("user_id"), col("ts").as("r_ts"))
