@@ -53,7 +53,16 @@ object SparkEntry {
   private def streamTbl(s: SparkSession, dir: String, name: String): DataFrame = {
     val p = s"$dir/$name.parquet"
     val schema = s.read.parquet(p).schema
-    if (new java.io.File(p).isDirectory) s.readStream.schema(schema).parquet(p)
+    // directory-vs-file must be decided through the Hadoop FS of the
+    // path's own scheme: java.io.File(p).isDirectory is always false
+    // for hdfs://|s3a:// locations, which would silently re-introduce
+    // the glob-matches-nothing empty stream for remote directory
+    // tables (round-10 ADVICE)
+    val hp = graft.layout.Compact.resolveLocation(p)
+    val fs = hp.getFileSystem(
+      s.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.newHadoopConf())
+    if (fs.getFileStatus(hp).isDirectory) s.readStream.schema(schema).parquet(p)
     else s.readStream.schema(schema)
       .option("pathGlobFilter", s"$name.parquet").parquet(dir)
   }
@@ -2764,6 +2773,137 @@ object SparkEntry {
   /** Equator-exact WGS84 geodesic metres, rounded like math.round. */
   private val eqDist = "round(6378137.0 * radians(abs(c.lon - s.lon)))"
 
+  // --- grid/band-pruned spatial oracles --------------------------------
+  //
+  // The spatial oracles used to replay the join as a raw CROSS JOIN —
+  // exact, but quadratic IN THE ORACLE: at sf1 the 150k×10k cross
+  // product (1.5 B pairs) OOMs DuckDB while the engine side is fine
+  // (round-10 capstone). These builders replay the ENGINE's own
+  // candidate-pruning discipline in SQL: points are hashed to grid
+  // cells, the build side is replicated to its 3×3 neighbor ring, and
+  // the join runs on cell equality. Any pair within `gx` of each other
+  // in lon AND `gy` in lat shares a ring cell, so for a predicate
+  // bounded by those deltas the candidate set is a PROVABLE SUPERSET —
+  // pruning can never change the result, only the oracle's cost.
+
+  /** Ring-join CTEs over `c`/`s` point CTEs: emits `cg` (probe side,
+    * one cell each) and `sg` (build side, replicated to the 3×3 ring).
+    * Every pair with |Δlon| <= gx and |Δlat| <= gy lands in a shared
+    * cell. */
+  private def gridCtes(gx: Double, gy: Double): String =
+    s"""cg AS (SELECT *, CAST(floor(lon/$gx) AS BIGINT) _bx,
+       |              CAST(floor(lat/$gy) AS BIGINT) _by FROM c),
+       |sg AS (SELECT s.*, CAST(floor(lon/$gx) AS BIGINT) + dx.d _bx,
+       |              CAST(floor(lat/$gy) AS BIGINT) + dy.d _by
+       |       FROM s, (VALUES (-1), (0), (1)) AS dx(d),
+       |               (VALUES (-1), (0), (1)) AS dy(d))""".stripMargin
+
+  /** Box-predicate oracle (within/contains/intersects/overlaps/semi):
+    * ring join with the ORIGINAL predicate re-applied — the grid only
+    * prunes pairs the predicate would reject anyway. */
+  private def boxGridSql(gx: Double, gy: Double, select: String,
+      where: String): String =
+    s"""WITH c AS ($cPts), s AS ($sPts),
+       |${gridCtes(gx, gy)}
+       |SELECT $select
+       |FROM cg c JOIN sg s ON c._bx = s._bx AND c._by = s._by
+       |WHERE $where""".stripMargin
+
+  /** 1-D lon band CTEs (withindist is lon-only geodesic): `cb` one
+    * band each, `sb` replicated ±1; every pair with |Δlon| <= g shares
+    * a band. `sSrc` lets the build side carry a pre-filter. */
+  private def lonBandCtes(g: Double, sSrc: String = "s"): String =
+    s"""cb AS (SELECT *, CAST(floor(lon/$g) AS BIGINT) _b FROM c),
+       |sb AS (SELECT s.*, CAST(floor(lon/$g) AS BIGINT) + d.d _b
+       |       FROM $sSrc s, (VALUES (-1), (0), (1)) AS d(d))""".stripMargin
+
+  /**
+   * Exact nearest-neighbor oracle without the cross product: the
+   * safe-radius rule. A point outside the probe's 3×3 ring differs by
+   * more than `g` on at least one axis, so its d2 exceeds g²;
+   * therefore an in-ring best (or k-th best) with d2 <= g² is
+   * provably the GLOBAL best, and only the rare probes the ring
+   * cannot certify fall back to a brute-force pass — a tiny set by
+   * construction (density makes certification overwhelmingly likely
+   * at large SF; at small SF the brute-force remainder is cheap
+   * because the sides are small). Emits CTE `m` = (c_custkey,
+   * s_suppkey[, rn]) exact top-k matches per certified-or-fallback
+   * customer; the caller projects/joins it per gate shape.
+   */
+  private def nearestRingCtes(g: Double, cond: String, k: Int = 1): String = {
+    val condJoin = if (cond.isEmpty) "" else s" AND ($cond)"
+    val condWhere = if (cond.isEmpty) "" else s" WHERE $cond"
+    s"""cg AS (SELECT *, CAST(floor(lon/$g) AS BIGINT) _bx,
+       |              CAST(floor(lat/$g) AS BIGINT) _by FROM c),
+       |sg AS (SELECT s.*, CAST(floor(lon/$g) AS BIGINT) + dx.d _bx,
+       |              CAST(floor(lat/$g) AS BIGINT) + dy.d _by
+       |       FROM s, (VALUES (-1), (0), (1)) AS dx(d),
+       |               (VALUES (-1), (0), (1)) AS dy(d)),
+       |ring AS (SELECT c.c_custkey, s.s_suppkey, $d2 dd,
+       |           row_number() OVER (PARTITION BY c.c_custkey
+       |                              ORDER BY $d2, s.s_suppkey) rn
+       |         FROM cg c JOIN sg s
+       |           ON c._bx = s._bx AND c._by = s._by$condJoin),
+       |safec AS (SELECT c_custkey FROM ring WHERE rn = $k AND dd <= $g*$g),
+       |safe AS (SELECT r.c_custkey, r.s_suppkey, r.rn FROM ring r
+       |         JOIN safec ON r.c_custkey = safec.c_custkey WHERE r.rn <= $k),
+       |rest AS (SELECT * FROM c
+       |         WHERE c_custkey NOT IN (SELECT c_custkey FROM safec)),
+       |fb AS (SELECT c_custkey, s_suppkey, rn FROM (
+       |         SELECT c.c_custkey, s.s_suppkey,
+       |                row_number() OVER (PARTITION BY c.c_custkey
+       |                                   ORDER BY $d2, s.s_suppkey) rn
+       |         FROM rest c CROSS JOIN s$condWhere) WHERE rn <= $k),
+       |m AS (SELECT c_custkey, s_suppkey, rn FROM safe
+       |      UNION ALL SELECT c_custkey, s_suppkey, rn FROM fb)""".stripMargin
+  }
+
+  /** Inner nearest gate: one exact match per customer. */
+  private def nearestGridSql(g: Double, cond: String = ""): String =
+    s"""WITH c AS ($cPts), s AS ($sPts),
+       |${nearestRingCtes(g, cond)}
+       |SELECT c_custkey, s_suppkey FROM m""".stripMargin
+
+  /** 1-D acctbal band CTEs for the range-join oracles: every
+    * (customer, supplier) pair whose balances differ by <= g shares a
+    * band after ±1 replication — the engine's own PBSM bucketing
+    * discipline, replayed so the oracle never runs the raw inequality
+    * join (1.5 B candidate pairs at sf1). */
+  private def balBandCtes(g: Double, sFrom: String = "supplier"): String =
+    s"""cb AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) cv,
+       |       CAST(floor(CAST(c_acctbal AS DOUBLE) / $g) AS BIGINT) _b
+       |       FROM customer),
+       |sb AS (SELECT s.s_suppkey, CAST(s.s_acctbal AS DOUBLE) sv,
+       |       CAST(floor(CAST(s.s_acctbal AS DOUBLE) / $g) AS BIGINT) + d.d _b
+       |       FROM $sFrom s, (VALUES (-1), (0), (1)) AS d(d))""".stripMargin
+
+  /** Flipped nearest (one customer per supplier): same safe-radius
+    * rule with the roles swapped — suppliers probe, customers build
+    * the replicated ring. */
+  private def nearestFlipGridSql(g: Double): String =
+    s"""WITH c AS ($cPts), s AS ($sPts),
+       |sg AS (SELECT *, CAST(floor(lon/$g) AS BIGINT) _bx,
+       |              CAST(floor(lat/$g) AS BIGINT) _by FROM s),
+       |cg AS (SELECT c.*, CAST(floor(lon/$g) AS BIGINT) + dx.d _bx,
+       |              CAST(floor(lat/$g) AS BIGINT) + dy.d _by
+       |       FROM c, (VALUES (-1), (0), (1)) AS dx(d),
+       |               (VALUES (-1), (0), (1)) AS dy(d)),
+       |ring AS (SELECT c.c_custkey, s.s_suppkey, $d2 dd,
+       |           row_number() OVER (PARTITION BY s.s_suppkey
+       |                              ORDER BY $d2, c.c_custkey) rn
+       |         FROM sg s JOIN cg c ON c._bx = s._bx AND c._by = s._by),
+       |safe AS (SELECT c_custkey, s_suppkey FROM ring
+       |         WHERE rn = 1 AND dd <= $g*$g),
+       |rest AS (SELECT * FROM s
+       |         WHERE s_suppkey NOT IN (SELECT s_suppkey FROM safe)),
+       |fb AS (SELECT c_custkey, s_suppkey FROM (
+       |         SELECT c.c_custkey, s.s_suppkey,
+       |                row_number() OVER (PARTITION BY s.s_suppkey
+       |                                   ORDER BY $d2, c.c_custkey) rn
+       |         FROM rest s CROSS JOIN c) WHERE rn = 1)
+       |SELECT c_custkey, s_suppkey FROM safe
+       |UNION ALL SELECT c_custkey, s_suppkey FROM fb""".stripMargin
+
   private[graft] val tokensSql =
     "list_filter(string_split(text, ' '), x -> x != '')"
   private val shingleCte =
@@ -3075,147 +3215,110 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
 
-    "j1_nearest" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c_custkey, s_suppkey FROM (
-         |  SELECT c.c_custkey, s.s_suppkey,
-         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
-         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+    "j1_nearest" -> nearestGridSql(2.0),
 
-    "j1_nearest_flip" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c_custkey, s_suppkey FROM (
-         |  SELECT c.c_custkey, s.s_suppkey,
-         |         row_number() OVER (PARTITION BY s.s_suppkey ORDER BY $d2, c.c_custkey) rn
-         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+    "j1_nearest_flip" -> nearestFlipGridSql(1.0),
 
     "j2_withindist" ->
-      s"""WITH c AS ($cEq), s AS ($sEq)
+      s"""WITH c AS ($cEq), s AS ($sEq),
+         |${lonBandCtes(2.7)}
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
-         |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
+         |FROM cb c JOIN sb s ON c._b = s._b WHERE $eqDist <= 300000""".stripMargin,
 
     "j_semi_within" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c.c_custkey FROM c WHERE EXISTS (
-         |  SELECT 1 FROM s
-         |  WHERE c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
-         |    AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY)""".stripMargin,
+      boxGridSql(3.2, 2.2, "DISTINCT c.c_custkey",
+        s"""c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
+           |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin),
 
     "j_anti_withindist" ->
-      s"""WITH c AS ($cEq), s AS ($sEq)
-         |SELECT c.c_custkey FROM c WHERE NOT EXISTS (
-         |  SELECT 1 FROM s WHERE $eqDist <= 300000)""".stripMargin,
+      s"""WITH c AS ($cEq), s AS ($sEq),
+         |${lonBandCtes(2.7)}
+         |SELECT c.c_custkey FROM c WHERE c.c_custkey NOT IN (
+         |  SELECT c.c_custkey FROM cb c JOIN sb s ON c._b = s._b
+         |  WHERE $eqDist <= 300000)""".stripMargin,
 
     "j1_nearest_left" ->
       s"""WITH c AS ($cPts), s AS ($sPts),
-         |m AS (SELECT c_custkey, s_suppkey FROM (
-         |  SELECT c.c_custkey, s.s_suppkey,
-         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
-         |  FROM c CROSS JOIN s WHERE s.s_suppkey % 4 = c.c_custkey % 5) WHERE rn = 1)
+         |${nearestRingCtes(4.5, "s.s_suppkey % 4 = c.c_custkey % 5")}
          |SELECT c.c_custkey, m.s_suppkey FROM c LEFT JOIN m ON c.c_custkey = m.c_custkey""".stripMargin,
 
     "j2_withindist_left" ->
       s"""WITH c AS ($cEq), s AS ($sEq),
+         |${lonBandCtes(2.7)},
          |m AS (SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
-         |      FROM c CROSS JOIN s WHERE $eqDist <= 300000)
+         |      FROM cb c JOIN sb s ON c._b = s._b WHERE $eqDist <= 300000)
          |SELECT c.c_custkey, m.s_suppkey, m.dist_m
          |FROM c LEFT JOIN m ON c.c_custkey = m.c_custkey""".stripMargin,
 
-    "j1_nearest_gridscale" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c_custkey, s_suppkey FROM (
-         |  SELECT c.c_custkey, s.s_suppkey,
-         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
-         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+    "j1_nearest_gridscale" -> nearestGridSql(2.0),
 
     // identical semantics to j3_within — the streaming path must produce
     // exactly the batch answer once the stream drains
     "j_stream_spatial" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
-         |WHERE c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
-         |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin,
+      boxGridSql(3.2, 2.2, "c.c_custkey, s.s_suppkey",
+        s"""c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
+           |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin),
 
     "j1_knn_grid" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c_custkey, s_suppkey, CAST(rn AS BIGINT) knn_rank FROM (
-         |  SELECT c.c_custkey, s.s_suppkey,
-         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
-         |  FROM c CROSS JOIN s) WHERE rn <= 3""".stripMargin,
+      s"""WITH c AS ($cPts), s AS ($sPts),
+         |${nearestRingCtes(2.0, "", k = 3)}
+         |SELECT c_custkey, s_suppkey, CAST(rn AS BIGINT) knn_rank FROM m""".stripMargin,
 
     "j2_withindist_grid" ->
-      s"""WITH c AS ($cEq), s AS ($sEq)
+      s"""WITH c AS ($cEq), s AS ($sEq),
+         |${lonBandCtes(2.7)}
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
-         |FROM c CROSS JOIN s WHERE $eqDist <= 300000""".stripMargin,
+         |FROM cb c JOIN sb s ON c._b = s._b WHERE $eqDist <= 300000""".stripMargin,
 
     "j3_within" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
-         |WHERE c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
-         |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin,
+      boxGridSql(3.2, 2.2, "c.c_custkey, s.s_suppkey",
+        s"""c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
+           |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin),
 
     "j4_contains" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
-         |WHERE c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
-         |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin,
+      boxGridSql(3.2, 2.2, "c.c_custkey, s.s_suppkey",
+        s"""c.lon > s.lon - $SWX AND c.lon < s.lon + $SWX
+           |  AND c.lat > s.lat - $SWY AND c.lat < s.lat + $SWY""".stripMargin),
 
     "j5_intersects" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
-         |WHERE c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX
-         |  AND c.lat - $CWY <= s.lat + $SWY AND s.lat - $SWY <= c.lat + $CWY""".stripMargin,
+      boxGridSql(4.6, 3.1, "c.c_custkey, s.s_suppkey",
+        s"""c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX
+           |  AND c.lat - $CWY <= s.lat + $SWY AND s.lat - $SWY <= c.lat + $CWY""".stripMargin),
 
     "j5_intersects_grid" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
-         |WHERE c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX
-         |  AND c.lat - $CWY <= s.lat + $SWY AND s.lat - $SWY <= c.lat + $CWY""".stripMargin,
+      boxGridSql(4.6, 3.1, "c.c_custkey, s.s_suppkey",
+        s"""c.lon - $CWX <= s.lon + $SWX AND s.lon - $SWX <= c.lon + $CWX
+           |  AND c.lat - $CWY <= s.lat + $SWY AND s.lat - $SWY <= c.lat + $CWY""".stripMargin),
 
     "j6_overlaps" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c.c_custkey, s.s_suppkey FROM c CROSS JOIN s
-         |WHERE c.lon - $CWX < s.lon + $SWX AND s.lon - $SWX < c.lon + $CWX
-         |  AND c.lat - $CWY < s.lat + $SWY AND s.lat - $SWY < c.lat + $CWY
-         |  AND NOT (s.lon - $SWX <= c.lon - $CWX AND c.lon + $CWX <= s.lon + $SWX
-         |       AND s.lat - $SWY <= c.lat - $CWY AND c.lat + $CWY <= s.lat + $SWY)
-         |  AND NOT (c.lon - $CWX <= s.lon - $SWX AND s.lon + $SWX <= c.lon + $CWX
-         |       AND c.lat - $CWY <= s.lat - $SWY AND s.lat + $SWY <= c.lat + $CWY)""".stripMargin,
+      boxGridSql(4.6, 3.1, "c.c_custkey, s.s_suppkey",
+        s"""c.lon - $CWX < s.lon + $SWX AND s.lon - $SWX < c.lon + $CWX
+           |  AND c.lat - $CWY < s.lat + $SWY AND s.lat - $SWY < c.lat + $CWY
+           |  AND NOT (s.lon - $SWX <= c.lon - $CWX AND c.lon + $CWX <= s.lon + $SWX
+           |       AND s.lat - $SWY <= c.lat - $CWY AND c.lat + $CWY <= s.lat + $SWY)
+           |  AND NOT (c.lon - $CWX <= s.lon - $SWX AND s.lon + $SWX <= c.lon + $CWX
+           |       AND c.lat - $CWY <= s.lat - $SWY AND s.lat + $SWY <= c.lat + $CWY)""".stripMargin),
 
     "j7_condition_neq" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c_custkey, s_suppkey FROM (
-         |  SELECT c.c_custkey, s.s_suppkey,
-         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
-         |  FROM c CROSS JOIN s WHERE s.s_nationkey != c.c_nationkey) WHERE rn = 1""".stripMargin,
+      nearestGridSql(2.0, "s.s_nationkey != c.c_nationkey"),
 
     "j7_condition_neq_grid" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c_custkey, s_suppkey FROM (
-         |  SELECT c.c_custkey, s.s_suppkey,
-         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
-         |  FROM c CROSS JOIN s WHERE s.s_nationkey != c.c_nationkey) WHERE rn = 1""".stripMargin,
+      nearestGridSql(2.0, "s.s_nationkey != c.c_nationkey"),
 
-    "j1_nearest_wkt_grid" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c_custkey, s_suppkey FROM (
-         |  SELECT c.c_custkey, s.s_suppkey,
-         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
-         |  FROM c CROSS JOIN s) WHERE rn = 1""".stripMargin,
+    "j1_nearest_wkt_grid" -> nearestGridSql(2.0),
 
     "j7_condition_band" ->
-      s"""WITH c AS ($cEq), s AS ($sEq)
+      s"""WITH c AS ($cEq), s AS ($sEq),
+         |${lonBandCtes(4.5)}
          |SELECT c.c_custkey, s.s_suppkey, CAST($eqDist AS BIGINT) dist_m
-         |FROM c CROSS JOIN s
+         |FROM cb c JOIN sb s ON c._b = s._b
          |WHERE $eqDist <= 500000
          |  AND s.s_acctbal BETWEEN c.c_acctbal - 3000.0 AND c.c_acctbal + 3000.0""".stripMargin,
 
     "p1_filter" ->
-      s"""WITH c AS ($cPts), s AS ($sPts)
-         |SELECT c_custkey, sk FROM (
-         |  SELECT c.c_custkey, s.s_suppkey sk,
-         |         row_number() OVER (PARTITION BY c.c_custkey ORDER BY $d2, s.s_suppkey) rn
-         |  FROM c CROSS JOIN s WHERE s.s_acctbal > 0.0) WHERE rn = 1""".stripMargin,
+      s"""WITH c AS ($cPts), s AS ($sPts),
+         |${nearestRingCtes(2.0, "s.s_acctbal > 0.0")}
+         |SELECT c_custkey, s_suppkey sk FROM m""".stripMargin,
 
     "dedup_exact" ->
       "SELECT doc_id, min(doc_id) OVER (PARTITION BY text) canon_id FROM documents",
@@ -4690,42 +4793,51 @@ object SparkEntry {
         |  CAST(round(sum(CAST(value AS DECIMAL(38,8))), 2) AS DOUBLE) sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // band-pruned: |cv - sv| <= 500 pairs all share a ±1 band at g=500,
+    // so the band join is a provable candidate superset of the
+    // original inequality pair; the ORIGINAL predicate (same IEEE
+    // double ops as the engine) re-filters inside it
     "j_range_band" ->
-      """SELECT c.c_custkey, s.s_suppkey
-        |FROM customer c JOIN supplier s
-        |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 500.0
-        | AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 500.0""".stripMargin,
+      s"""WITH ${balBandCtes(500.0)}
+         |SELECT c.c_custkey, s.s_suppkey
+         |FROM cb c JOIN sb s ON c._b = s._b
+         |WHERE c.cv >= s.sv - 500.0 AND c.cv <= s.sv + 500.0""".stripMargin,
 
-    // overlap condition replayed as a LEFT inequality join
+    // overlap condition (b±200 vs b±300 ⟺ |cv-sv| <= 500) replayed as
+    // a banded match set + left join back to every customer
     "j_range_overlap_left" ->
-      """SELECT c.c_custkey, s.s_suppkey
-        |FROM customer c LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey % 20 = 0) s
-        |  ON CAST(c.c_acctbal AS DOUBLE) - 200.0 <= CAST(s.s_acctbal AS DOUBLE) + 300.0
-        | AND CAST(s.s_acctbal AS DOUBLE) - 300.0 <= CAST(c.c_acctbal AS DOUBLE) + 200.0""".stripMargin,
+      s"""WITH ${balBandCtes(500.0, "(SELECT * FROM supplier WHERE s_suppkey % 20 = 0)")},
+         |m AS (SELECT c.c_custkey, s.s_suppkey
+         |      FROM cb c JOIN sb s ON c._b = s._b
+         |      WHERE c.cv - 200.0 <= s.sv + 300.0 AND s.sv - 300.0 <= c.cv + 200.0)
+         |SELECT c.c_custkey, m.s_suppkey
+         |FROM customer c LEFT JOIN m ON c.c_custkey = m.c_custkey""".stripMargin,
 
     // the left-outer twin: misses come back with a null supplier
     "j_range_left" ->
-      """SELECT c.c_custkey, s.s_suppkey
-        |FROM customer c LEFT JOIN (SELECT * FROM supplier WHERE s_suppkey % 20 = 0) s
-        |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 100.0
-        | AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 100.0""".stripMargin,
+      s"""WITH ${balBandCtes(100.0, "(SELECT * FROM supplier WHERE s_suppkey % 20 = 0)")},
+         |m AS (SELECT c.c_custkey, s.s_suppkey
+         |      FROM cb c JOIN sb s ON c._b = s._b
+         |      WHERE c.cv >= s.sv - 100.0 AND c.cv <= s.sv + 100.0)
+         |SELECT c.c_custkey, m.s_suppkey
+         |FROM customer c LEFT JOIN m ON c.c_custkey = m.c_custkey""".stripMargin,
 
-    // interval×interval overlap replayed as the raw inequality pair;
-    // the bound arithmetic (b±200 / b±300) is the same IEEE double ops
-    // in both engines, so the comparison is bit-exact
+    // interval×interval overlap: the bound arithmetic (b±200 / b±300)
+    // is the same IEEE double ops in both engines, so the re-applied
+    // comparison is bit-exact; the band only prunes
     "j_range_overlap" ->
-      """SELECT c.c_custkey, s.s_suppkey
-        |FROM customer c JOIN supplier s
-        |  ON CAST(c.c_acctbal AS DOUBLE) - 200.0 <= CAST(s.s_acctbal AS DOUBLE) + 300.0
-        | AND CAST(s.s_acctbal AS DOUBLE) - 300.0 <= CAST(c.c_acctbal AS DOUBLE) + 200.0""".stripMargin,
+      s"""WITH ${balBandCtes(500.0)}
+         |SELECT c.c_custkey, s.s_suppkey
+         |FROM cb c JOIN sb s ON c._b = s._b
+         |WHERE c.cv - 200.0 <= s.sv + 300.0 AND s.sv - 300.0 <= c.cv + 200.0""".stripMargin,
 
     // bucketing never changes the result set, so the derived-width row
     // shares the literal-width oracle
     "j_range_auto" ->
-      """SELECT c.c_custkey, s.s_suppkey
-        |FROM customer c JOIN supplier s
-        |  ON CAST(c.c_acctbal AS DOUBLE) >= CAST(s.s_acctbal AS DOUBLE) - 500.0
-        | AND CAST(c.c_acctbal AS DOUBLE) <= CAST(s.s_acctbal AS DOUBLE) + 500.0""".stripMargin,
+      s"""WITH ${balBandCtes(500.0)}
+         |SELECT c.c_custkey, s.s_suppkey
+         |FROM cb c JOIN sb s ON c._b = s._b
+         |WHERE c.cv >= s.sv - 500.0 AND c.cv <= s.sv + 500.0""".stripMargin,
 
     // native DuckDB ASOF JOIN replays the operator: greatest completed
     // hour end <= event time per user; microsecond-integer comparison
@@ -4947,7 +5059,8 @@ object SparkEntry {
         |f AS (SELECT s.g, s.n, s.sd2,
         |        CAST(s.n AS HUGEINT) * s.n * s.n - s.n - tx.t a,
         |        CAST(s.n AS HUGEINT) * s.n * s.n - s.n - ty.t b
-        |      FROM s JOIN tx ON s.g = tx.g JOIN ty ON s.g = ty.g)
+        |      FROM s JOIN tx ON s.g IS NOT DISTINCT FROM tx.g
+        |             JOIN ty ON s.g IS NOT DISTINCT FROM ty.g)
         |SELECT g source, n,
         |  CASE WHEN n >= 2 AND a > 0 AND b > 0 THEN
         |    CAST(trunc(1e6 * CAST(a + b - 3 * sd2 AS DOUBLE) /

@@ -73,6 +73,30 @@ object Compact {
     else new org.apache.hadoop.fs.Path(uri)
   }
 
+  /** Fully qualify a location URI through its filesystem when one is
+    * loadable; otherwise fall back to the raw normalized URI string —
+    * still scheme+authority aware, so file:/x never aliases
+    * hdfs://nn/x. The fallback matters for the vacuum guard: one
+    * catalog table on a scheme with no FS implementation on the
+    * classpath (e.g. s3a without the connector jar) must not make
+    * every vacuum of unrelated local targets throw (round-10 ADVICE).
+    */
+  private def qualifiedOrRaw(u: java.net.URI,
+      conf: org.apache.hadoop.conf.Configuration): String = {
+    // compare by COMPONENTS, not by URI.toString: the same local
+    // location renders as file:/x from File.toURI but file:///x from
+    // catalog metadata — a string compare would call them different
+    // and wave an in-place rewrite through
+    def render(v: java.net.URI): String =
+      s"${Option(v.getScheme).getOrElse("")}://" +
+        s"${Option(v.getAuthority).getOrElse("")}" +
+        Option(v.getPath).getOrElse("").stripSuffix("/")
+    scala.util.Try {
+      val qp = new org.apache.hadoop.fs.Path(u)
+      render(qp.getFileSystem(conf).makeQualified(qp).toUri)
+    }.getOrElse(render(u.normalize()))
+  }
+
   /** A catalog table's storage location. */
   def tableLocation(spark: SparkSession, table: String): java.net.URI = {
     val ss = classic(spark).sessionState
@@ -111,8 +135,14 @@ object Compact {
       throw new IllegalArgumentException(
         s"table `$table` is not bucketed — use compactFiles for plain layouts"))
     val oldLocation = tableLocation(spark, table)
-    require(resolveLocation(newPath).toUri.getPath.stripSuffix("/")
-        != oldLocation.getPath.stripSuffix("/"),
+    // compare FULLY QUALIFIED URIs (scheme + authority + path), as
+    // vacuum's live-table guard does: a bare-path compare spuriously
+    // rejected s3a://bucket/warehouse/t when the table lives at
+    // hdfs://nn/warehouse/t (round-10 ADVICE — error-side only, but a
+    // legitimate cross-filesystem compaction target must be accepted)
+    val conf = classic(spark).sessionState.newHadoopConf()
+    require(qualifiedOrRaw(resolveLocation(newPath).toUri, conf)
+        != qualifiedOrRaw(oldLocation, conf),
       s"newPath must differ from the current location ($oldLocation) — " +
         "an in-place overwrite would destroy the table on a failed rewrite")
     val before = dataFileCount(spark, oldLocation)
@@ -198,9 +228,17 @@ object Compact {
    * Scale notes: the walk and delete are driver-side filesystem
    * metadata operations, proportional to FILE COUNT (bounded by the
    * pre-compaction fragmentation), never data-sized; no Spark job
-   * runs. Returns what was removed for the caller's audit log.
+   * runs. On a MILLION-file location that driver-side listing is the
+   * cost — budget minutes, not seconds, and expect namenode/object-
+   * store listing pressure. `maxFiles` bounds it loudly: the walk
+   * aborts (nothing deleted) as soon as the count crosses the bound,
+   * so a typo'd location pointing at a huge live dataset fails fast
+   * instead of grinding through its listing; raise it explicitly for
+   * genuinely huge superseded snapshots. Returns what was removed for
+   * the caller's audit log.
    */
-  def vacuum(spark: SparkSession, location: String): VacuumStats = {
+  def vacuum(spark: SparkSession, location: String,
+      maxFiles: Int = 1000000): VacuumStats = {
     val p = resolveLocation(location)
     val conf = classic(spark).sessionState.newHadoopConf()
     val fs = p.getFileSystem(conf)
@@ -211,11 +249,8 @@ object Compact {
     // so file:/x never aliases hdfs://nn/x or s3a://bucket/x — a
     // path-only compare would let a remote live table slip past the
     // guard (round-9 ADVICE)
-    def qualify(u: java.net.URI): String = {
-      val qp = new org.apache.hadoop.fs.Path(u)
-      qp.getFileSystem(conf).makeQualified(qp).toUri.toString.stripSuffix("/")
-    }
-    val target = fs.makeQualified(p).toUri.toString.stripSuffix("/")
+    def qualify(u: java.net.URI): String = qualifiedOrRaw(u, conf)
+    val target = qualify(fs.makeQualified(p).toUri)
     val ss = classic(spark).sessionState
     // session catalog: every table's location must be READABLE — a
     // table whose metadata fails to load cannot be proven disjoint
@@ -251,6 +286,11 @@ object Compact {
     while (it.hasNext) {
       val f = it.next()
       if (f.isFile) { files += 1; bytes += f.getLen }
+      require(files <= maxFiles,
+        s"refusing to vacuum $location: more than $maxFiles files under " +
+          "the target (nothing was deleted) — this does not look like a " +
+          "superseded compaction snapshot; pass an explicit larger " +
+          "maxFiles if it genuinely is one")
     }
     require(fs.delete(p, true), s"filesystem refused to delete $location")
     VacuumStats(files, bytes)

@@ -132,9 +132,20 @@ object Bpe {
     var hist = df
       .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    // fetch ONE sentinel row past the cap: its presence proves the cap
+    // actually truncated the histogram, which is logged loudly — a
+    // silently different merge table on a >maxWords corpus is result
+    // drift the caller should see (round-10 ADVICE)
     if (maxWords != Int.MaxValue)
-      hist = hist.orderBy(col("wc").desc, col("w").asc).limit(maxWords)
-    val rows = hist.collect()
+      hist = hist.orderBy(col("wc").desc, col("w").asc).limit(maxWords + 1)
+    var rows = hist.collect()
+    if (maxWords != Int.MaxValue && rows.length > maxWords) {
+      org.apache.log4j.Logger.getLogger(getClass).warn(
+        s"Bpe.train: corpus has more than $maxWords distinct words — " +
+          s"training on the top $maxWords by (count desc, word asc); " +
+          "pass maxWords = Int.MaxValue for the unbounded exact mode")
+      rows = rows.take(maxWords)
+    }
     val words = new Array[(String, Long)](rows.length)
     var i = 0
     while (i < rows.length) {

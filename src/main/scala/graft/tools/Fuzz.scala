@@ -164,7 +164,8 @@ object Fuzz {
            |f AS (SELECT s.gg, s.n, s.sd2,
            |        CAST(s.n AS HUGEINT) * s.n * s.n - s.n - tx.t a,
            |        CAST(s.n AS HUGEINT) * s.n * s.n - s.n - ty.t b
-           |      FROM s JOIN tx ON s.gg = tx.gg JOIN ty ON s.gg = ty.gg)
+           |      FROM s JOIN tx ON s.gg IS NOT DISTINCT FROM tx.gg
+           |             JOIN ty ON s.gg IS NOT DISTINCT FROM ty.gg)
            |SELECT gg, n,
            |  CASE WHEN n >= 2 AND a > 0 AND b > 0 THEN
            |    CAST(trunc(1e6 * CAST(a + b - 3 * sd2 AS DOUBLE) /

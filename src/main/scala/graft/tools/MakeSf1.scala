@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /**
@@ -10,19 +10,67 @@ import org.apache.spark.sql.functions._
  * sub-database copies, the TPC-H way: copy k shifts every key column
  * by k·10⁹ so intra-copy joins stay coherent and cross-copy joins
  * cannot occur; nation/region stay fixed (true dimension tables);
- * document/embedding CONTENT is left unchanged (docsPlain rule —
- * near-dup density and vocabulary must not be diluted by suffixing);
  * event timestamps keep their original encoding-derived longs.
  *
- * Usage: `runMain graft.tools.MakeSf1 <srcSfDir> <outDir> [factor]`.
- * Output files inherit the union's partitioning (one split per copy),
- * so benchmark scans parallelize the way a real multi-file table does.
+ * Document CONTENT handling (round-10 VERDICT directive #2): the
+ * default `perturb` mode token-perturbs every non-zero copy's text —
+ * deterministically, one drop and one adjacent swap per ~50 tokens,
+ * keyed by splitmix64(doc_id, copy, position), NO RNG — so a document
+ * becomes a family of NEAR-duplicates instead of a 10-clique of
+ * verbatim copies. That keeps near-dup density corpus-realistic:
+ * verbatim copies made the sf1 dedup/graph growth rows measure the
+ * copier's quadratic clique output (pairs ×979) rather than engine
+ * scaling. `verbatim` mode (4th arg) keeps the old behavior for A/B
+ * runs. `n_chars` is recomputed for perturbed copies so the column
+ * stays the text's true length.
+ *
+ * Usage: `runMain graft.tools.MakeSf1 <srcSfDir> <outDir> [factor]
+ * [perturb|verbatim]`. Output files inherit the union's partitioning
+ * (one split per copy), so benchmark scans parallelize the way a real
+ * multi-file table does.
  */
 object MakeSf1 {
+
+  /** splitmix64 — deterministic per-(doc, copy, position) decision
+    * stream; the standard public-domain mixer. */
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Token-perturb one text: walking the space-split tokens, a token
+    * whose decision hash lands in 1/50 is DROPPED, the next 1/50
+    * band SWAPS it with its successor — ~4% of tokens touched, which
+    * leaves each copy a realistic near-duplicate of its source
+    * (high-but-not-1 Jaccard/MinHash similarity) instead of an exact
+    * clone. Pure function of (text, docId, copy): re-running the
+    * generator reproduces the corpus bit-for-bit. */
+  private[tools] def perturbText(text: String, docId: Long, copy: Int): String = {
+    if (text == null || copy == 0) return text
+    val toks = text.split(" ")
+    val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      val h = mix64(docId * 1000003L + copy.toLong * 8191L + i)
+      val r = java.lang.Long.remainderUnsigned(h, 50L)
+      if (r == 0L) i += 1 // drop
+      else if (r == 1L && i + 1 < toks.length) { // swap with successor
+        out += toks(i + 1); out += toks(i); i += 2
+      } else { out += toks(i); i += 1 }
+    }
+    out.mkString(" ")
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: MakeSf1 <srcSfDir> <outDir> [factor]")
+    require(args.length >= 2,
+      "usage: MakeSf1 <srcSfDir> <outDir> [factor] [perturb|verbatim]")
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
+    val mode = if (args.length > 3) args(3) else "perturb"
+    require(mode == "perturb" || mode == "verbatim",
+      s"mode must be perturb|verbatim, got $mode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -34,12 +82,19 @@ object MakeSf1 {
     spark.sparkContext.setLogLevel("WARN")
     val OFF = 1000000000L
 
-    def inflate(table: String, keyCols: Seq[String]): Unit = {
+    // generator-side tool, not an engine operator: a UDF is acceptable
+    // here (one pass at corpus-build time), and determinism comes from
+    // the hash stream, not the plan
+    val perturbUdf = udf((text: String, docId: Long, copy: Int) =>
+      perturbText(text, docId, copy))
+
+    def inflate(table: String, keyCols: Seq[String],
+        tweak: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
       val base = spark.read.parquet(s"$src/$table.parquet")
       val copies = (0 until factor).map { k =>
-        keyCols.foldLeft(base) { (df, c) =>
+        tweak(keyCols.foldLeft(base) { (df, c) =>
           df.withColumn(c, col(c) + lit(k * OFF))
-        }
+        }, k)
       }
       copies.reduce(_ unionByName _)
         .write.mode("overwrite").parquet(s"$out/$table.parquet")
@@ -52,7 +107,15 @@ object MakeSf1 {
     inflate("orders", Seq("o_orderkey", "o_custkey"))
     inflate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
     inflate("events", Seq("event_id", "user_id"))
-    inflate("documents", Seq("doc_id"))
+    inflate("documents", Seq("doc_id"),
+      tweak = (df, k) =>
+        if (mode == "verbatim" || k == 0) df
+        else df
+          // doc_id was already shifted by k·OFF; perturb keys on the
+          // ORIGINAL id so the same source doc drives the same stream
+          .withColumn("text",
+            perturbUdf(col("text"), col("doc_id") - lit(k * OFF), lit(k)))
+          .withColumn("n_chars", length(col("text")).cast("long")))
     inflate("embeddings", Seq("vec_id"))
     Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")

@@ -140,6 +140,23 @@ class CompactSpec extends AnyFlatSpec with Matchers {
     }.getMessage should include("nothing to vacuum")
   }
 
+  it should "abort loudly (deleting nothing) past the maxFiles bound" in {
+    val dir = new java.io.File(tmp(), "many")
+    dir.mkdirs()
+    for (i <- 1 to 10)
+      java.nio.file.Files.write(
+        dir.toPath.resolve(s"f$i.bin"), Array[Byte](1, 2, 3))
+    intercept[IllegalArgumentException] {
+      Compact.vacuum(spark, dir.toString, maxFiles = 5)
+    }.getMessage should include("more than 5 files")
+    // nothing was deleted by the aborted walk
+    dir.listFiles().count(_.isFile) shouldBe 10
+    // an explicit larger bound vacuums it
+    Compact.vacuum(spark, dir.toString, maxFiles = 100)
+      .filesRemoved shouldBe 10
+    dir.exists() shouldBe false
+  }
+
   it should "bin-pack a plain sorted directory preserving range clustering" in {
     val dir = tmp() + "/zin"
     val out = tmp() + "/zout"

@@ -7,12 +7,17 @@ Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [--partial]
 
 --partial: skip oracles with no parquet dump (a SPARK_GRAFT_ONLY dev run)
 instead of counting them as failures.
---skip=...: exclude named oracles (big-SF evidence runs: the spatial
-oracles replay the join as a brute-force cross product, which is
-quadratic IN THE ORACLE — DuckDB OOMs at sf1 while the engine side is
-fine; they stay verified at sf0.01/sf0.1).
+--skip=...: exclude named oracles (kept for ad-hoc narrowing; since
+round 11 every oracle is grid/band-pruned and no gate needs skipping
+at sf1).
 ORACLE_MEMORY_LIMIT (env, default 80GB) caps DuckDB; spills to
 /tmp/duckdb_spill.
+ORACLE_SQL_COMPARE_ROWS (env, default 5000000): engine dumps larger
+than this (parquet-metadata row count) are compared INSIDE DuckDB — a
+GROUP-BY-ALL multiset equality via EXCEPT both ways — instead of
+fetchall()+Python sort, which cannot hold a 100M-row band-join result.
+Spill-backed and value-native; NULLs group/compare as equal exactly
+like the Python path's str() compare.
 """
 import os
 import json
@@ -91,6 +96,53 @@ def main(sf_dir, out_dir, partial=False, skip=()):
         try:
             import glob
             files = glob.glob(f"{out_dir}/{name}/*.parquet")
+            nrows = sum(pq.read_metadata(f).num_rows for f in files)
+            big = int(os.environ.get("ORACLE_SQL_COMPARE_ROWS", 5000000))
+            if nrows > big:
+                # too big for fetchall+Python sort: compare inside DuckDB
+                # (spill-backed). Multiset equality = identical (row,
+                # count) sets after GROUP BY ALL; EXCEPT both ways is
+                # empty iff equal. SQL set semantics treat NULLs as
+                # grouping/comparing equal, same as the Python path.
+                ecols = sorted(pq.read_schema(files[0]).names)
+                ocols = sorted(rel.columns)
+                if ecols != ocols:
+                    print(f"FAIL {name}: columns {ecols} vs oracle {ocols}")
+                    fails += 1
+                    continue
+                cols = ", ".join(f'"{c}"' for c in ocols)
+                flist = ", ".join(
+                    "'" + f.replace("'", "''") + "'" for f in files)
+                # CTE names must be collision-proof: an outer WITH a/b
+                # would capture references inside oracles that define
+                # their own a/b/x CTEs
+                arows, brows, diffs = con.execute(f"""
+                    WITH __eng AS MATERIALIZED (
+                           SELECT {cols}, count(*) __cnt
+                           FROM read_parquet([{flist}]) GROUP BY ALL),
+                         __ora AS MATERIALIZED (
+                           SELECT {cols}, count(*) __cnt
+                           FROM ({sql}) GROUP BY ALL)
+                    SELECT
+                      (SELECT CAST(coalesce(sum(__cnt), 0) AS BIGINT)
+                       FROM __eng),
+                      (SELECT CAST(coalesce(sum(__cnt), 0) AS BIGINT)
+                       FROM __ora),
+                      (SELECT count(*) FROM (
+                         (SELECT * FROM __eng EXCEPT SELECT * FROM __ora)
+                         UNION ALL
+                         (SELECT * FROM __ora EXCEPT SELECT * FROM __eng)) t)
+                    """).fetchone()
+                if arows != brows:
+                    print(f"FAIL {name}: rows {arows} vs oracle {brows}")
+                    fails += 1
+                elif diffs:
+                    print(f"FAIL {name}: {diffs} differing (row,count) "
+                          f"groups of {arows} rows (sql-compare)")
+                    fails += 1
+                else:
+                    print(f"OK   {name}: {arows} rows (sql-compare)")
+                continue
             tbl = pq.read_table(files[0]) if len(files) == 1 else \
                 pq.read_table(f"{out_dir}/{name}")
             acols = tbl.column_names
