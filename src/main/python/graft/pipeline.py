@@ -479,6 +479,14 @@ def unigram_train(df, text_col="text", vocab_size=1000, max_piece_len=4):
                                               int(max_piece_len)))
 
 
+def unigram_em_refine(df, pieces, text_col="text"):
+    """One Viterbi-EM refinement round: re-segment the corpus under the
+    pieces frame, recount best-path vocabulary pieces weighted by word
+    frequency, re-normalize log-probs; returns the refined frame."""
+    return _wrap(df, _facade(df).unigramEmRefine(df._jdf, text_col,
+                                                 pieces._jdf))
+
+
 def unigram_word_scores(df, pieces, word_col="word"):
     """Integer-Viterbi best-segmentation scores per word under a
     trained pieces frame: (word, score_micro, n_pieces)."""

@@ -343,6 +343,15 @@ class TestStreamingUnified(object):
         words = local_spark.createDataFrame([("ababab",)], ["word"])
         r = P.unigram_word_scores(words, pieces).collect()[0]
         assert r["n_pieces"] >= 1 and r["score_micro"] < 0
+        # one Viterbi-EM round: refined frame serves the same words,
+        # vocabulary never grows, and the refinement is deterministic
+        refined = P.unigram_em_refine(corpus, pieces)
+        assert 0 < refined.count() <= pieces.count()
+        r2 = P.unigram_word_scores(words, refined).collect()[0]
+        assert r2["n_pieces"] >= 1 and r2["score_micro"] < 0
+        again = P.unigram_em_refine(corpus, pieces)
+        assert sorted(map(tuple, refined.collect())) == \
+            sorted(map(tuple, again.collect()))
 
     def test_drift_summary(self, local_spark):
         a = local_spark.createDataFrame([(1, "p p p")], ["doc_id", "text"])

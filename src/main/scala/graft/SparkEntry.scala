@@ -1433,6 +1433,22 @@ object SparkEntry {
           col("sc.n_pieces").as("n_pieces"))
     }),
 
+    // one Viterbi-EM refinement round (round 11): re-segment every
+    // distinct word under the seed model (smallest-k backtrack),
+    // recount vocabulary pieces on the best paths weighted by word
+    // frequency, re-normalize micro-nat log-probs, serve under the
+    // refined model — the SentencePiece hard-EM approximation,
+    // previously documented out of scope
+    "text_unigram_em" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val m0 = graft.text.Unigram.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+      val m1 = graft.text.Unigram.emRefine(docs, "text", m0)
+      docs.select(explode(TextFunctions.tokens(col("text"))).as("word")).distinct()
+        .select(col("word"), graft.text.Unigram.wordScore(col("word"), m1).as("sc"))
+        .select(col("word"), col("sc.score_micro").as("score_micro"),
+          col("sc.n_pieces").as("n_pieces"))
+    }),
+
     // VOCAB-SCALE unigram serve (round 8): 512 multi-char pieces over
     // the derived bigram-word stream, scored through the
     // model-as-data runtime ([[graft.functions.UnigramRuntime]] — the
@@ -2558,6 +2574,46 @@ object SparkEntry {
         windowSamples = 50, codec = graft.multimodal.Multimodal.WavCodec)
     }),
 
+    // REAL video metadata: canonical MJPEG-in-AVI containers demuxed
+    // by the hand-rolled RIFF walk (AviCodec) — width/height/fps/frame
+    // count from the actual header fields, duration from the stream
+    // length; every 7th doc carries non-AVI bytes and must decode
+    // `unknown` (totality)
+    "multimodal_video_meta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = aviAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.withDecodedMeta(assets, "content",
+          codec = graft.multimodal.Multimodal.AviCodec)
+        .select(col("doc_id"), col("meta.kind").as("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.n_frames").as("n_frames"))
+    }),
+
+    // REAL video frame extraction: demux every 2nd encoded frame
+    // payload out of the container (codec-determined boundaries, not
+    // fixed-size chunks); frames stay opaque encoded bytes, emitted as
+    // hex for the byte-exact oracle compare. Non-AVI payloads (every
+    // 7th doc) emit no rows
+    "multimodal_video_frames" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = aviAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.demuxFrames(assets, "doc_id", "content",
+          everyN = 2, codec = graft.multimodal.Multimodal.AviCodec)
+        .select(col("asset_id").as("doc_id"),
+          col("frame_index").cast("int").as("frame_index"),
+          expr("length(frame)").cast("long").as("frame_len"),
+          hex(col("frame")).as("frame_hex"))
+    }),
+
     // link-graph quality weighting: fixed-point PageRank over the
     // symmetrized customer↔supplier purchase graph (customers offset to
     // a disjoint id namespace). Integer micro-unit iteration — both
@@ -2759,6 +2815,67 @@ object SparkEntry {
                || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 170, 256)), 2, '0')))""")))
       .select(col("doc_id"), unhex(col("hx")).as("content"))
 
+  /** Deterministic real-AVI assets for the `multimodal_video_*` gates:
+    * one canonical MJPEG-in-AVI container per document — nf = 2 +
+    * doc_id%4 frames, fps = 10 + (doc_id%5)·2, declared dimensions
+    * (32 + (doc_id%3)·16) × (24 + (doc_id%2)·8); frame i carries
+    * Li = 15 + (doc_id·3 + i·5)%6 opaque encoded bytes (odd lengths
+    * exercise the RIFF even-padding rule), byte j = (doc_id·11 + i·17
+    * + j·7)%256. Assembled as hex by the SAME arithmetic the DuckDB
+    * oracle uses, then `unhex`ed — the container twin of [[wavAssets]]
+    * / [[bmpAssets]]; layout is exactly [[graft.multimodal.Multimodal
+    * .AviCodec.encode]]'s canonical form (spec-pinned equal). */
+  private def aviAssets(docs: DataFrame): DataFrame = {
+    // little-endian u32 of a runtime int expression / a constant
+    def le32(e: String): String =
+      s"lpad(hex(($e) % 256), 2, '0') || lpad(hex((($e) div 256) % 256), 2, '0') || " +
+        s"lpad(hex((($e) div 65536) % 256), 2, '0') || lpad(hex((($e) div 16777216) % 256), 2, '0')"
+    def le32c(v: Int): String =
+      f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+    val z4 = le32c(0)
+    docs.select(col("doc_id"))
+      .withColumn("nf", (lit(2) + pmod(col("doc_id"), lit(4))).cast("int"))
+      .withColumn("w", (lit(32) + pmod(col("doc_id"), lit(3)) * 16).cast("int"))
+      .withColumn("h", (lit(24) + pmod(col("doc_id"), lit(2)) * 8).cast("int"))
+      .withColumn("fps", (lit(10) + pmod(col("doc_id"), lit(5)) * 2).cast("int"))
+      // movi LIST data size: 'movi' + per frame (8-byte chunk header +
+      // payload + odd-length pad)
+      .withColumn("movi", expr(
+        """4 + aggregate(sequence(0, nf - 1), CAST(0 AS BIGINT), (acc, i) ->
+          |acc + 8 + (15 + pmod(doc_id*3 + i*5, 6)) +
+          |pmod(15 + pmod(doc_id*3 + i*5, 6), 2))""".stripMargin))
+      .withColumn("hx", concat(
+        lit("52494646"), expr(le32("212 + movi")), lit("41564920"), // RIFF .. AVI(space)
+        lit("4C495354"), lit(le32c(192)), lit("6864726C"),          // LIST 192 hdrl
+        lit("61766968"), lit(le32c(56)),                            // avih 56
+        expr(le32("1000000 div fps")),                              // usPerFrame
+        lit(z4 * 3),                                    // maxBps, padding, flags
+        expr(le32("nf")), lit(z4), lit(le32c(1)), lit(z4), // totalFrames, initial, streams, sugBuf
+        expr(le32("w")), expr(le32("h")), lit(z4 * 4),  // dims + reserved
+        lit("4C495354"), lit(le32c(116)), lit("7374726C"),          // LIST 116 strl
+        lit("73747268"), lit(le32c(56)),                            // strh 56
+        lit("76696473"), lit("4D4A5047"),                           // vids MJPG
+        lit(z4 * 3),                                    // flags, prio+lang, initialFrames
+        lit(le32c(1)), expr(le32("fps")), lit(z4),      // scale, rate, start
+        expr(le32("nf")),                               // stream length
+        lit(z4 * 5),                                    // sugBuf, quality, sampleSize, rcFrame(8)
+        lit("73747266"), lit(le32c(40)),                            // strf 40
+        lit(le32c(40)), expr(le32("w")), expr(le32("h")),           // biSize, dims
+        lit("0100"), lit("1800"), lit("4D4A5047"),      // planes, 24bpp, 'MJPG'
+        lit(z4 * 5),                                    // sizeImage, ppm x/y, clrUsed/Important
+        lit("4C495354"), expr(le32("movi")), lit("6D6F7669"),       // LIST <movi>
+        expr(
+          """concat_ws('', transform(sequence(0, nf - 1), i ->
+            |'30306463' ||
+            |lpad(hex((15 + pmod(doc_id*3 + i*5, 6))), 2, '0') || '000000' ||
+            |aggregate(sequence(0, CAST(15 + pmod(doc_id*3 + i*5, 6) AS INT) - 1),
+            |          '', (a, j) ->
+            |  a || lpad(hex(pmod(doc_id*11 + i*17 + j*7, 256)), 2, '0')) ||
+            |CASE WHEN pmod(15 + pmod(doc_id*3 + i*5, 6), 2) = 1
+            |     THEN '00' ELSE '' END))""".stripMargin)))
+      .select(col("doc_id"), unhex(col("hx")).as("content"))
+  }
+
   // --- DuckDB oracles ---------------------------------------------------
 
   private val cPts =
@@ -2910,25 +3027,52 @@ object SparkEntry {
     s"""t AS (SELECT doc_id, $tokensSql ws FROM documents),
        |sh AS (SELECT doc_id, list_distinct([ws[i]||' '||ws[i+1]||' '||ws[i+2] for i in range(1, len(ws)-1)]) sl FROM t WHERE len(ws) >= 3)""".stripMargin
 
-  private val jaccardOracle =
-    s"""WITH $shingleCte,
-       |e AS (SELECT doc_id, unnest(sl) s FROM sh),
+  /** PPJoin prefix-filtered postings — the EXACT oracle-side twin of
+    * the engine's candidate-pruning discipline (round-11: the raw
+    * postings self-join spilled >75 GB at sf1 on the perturbed corpus
+    * — the oracle, not the engine, was the bottleneck again). Shingles
+    * per doc are ranked by (global df asc, shingle asc) — a total
+    * order — and `pe` keeps each doc's (n − ceil(0.8·n) + 1)-prefix:
+    * any pair with Jaccard >= 0.8 shares >= ceil(0.8·max(n_a, n_b))
+    * shingles, so the two prefixes must intersect (the standard
+    * prefix-filter theorem; our per-side prefixes are supersets of the
+    * theorem's). ceil(0.8·n) computed as (4n+4)//5 — exact integer,
+    * no float-boundary drift. Verification recomputes TRUE Jaccard on
+    * the full shingle lists, so the filter can only prune, never
+    * change a result (diff'd empty vs the raw join at sf0.01/sf0.1). */
+  private val jaccardPrefixCtes =
+    s"""$shingleCte,
        |sz AS (SELECT doc_id, len(sl) n FROM sh),
-       |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
-       |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |e AS (SELECT doc_id, unnest(sl) s FROM sh),
+       |dfq AS (SELECT s, count(*) d FROM e GROUP BY 1),
+       |re AS (SELECT e.doc_id, e.s,
+       |         row_number() OVER (PARTITION BY e.doc_id ORDER BY dfq.d, e.s) rnk
+       |       FROM e JOIN dfq ON e.s = dfq.s),
+       |pe AS (SELECT re.doc_id, re.s FROM re JOIN sz ON re.doc_id = sz.doc_id
+       |       WHERE re.rnk <= sz.n - (4*sz.n + 4)//5 + 1)""".stripMargin
+
+  private val jaccardOracle =
+    s"""WITH $jaccardPrefixCtes,
+       |cand AS (SELECT DISTINCT a.doc_id doc_i, b.doc_id doc_j
+       |         FROM pe a JOIN pe b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |inter AS (SELECT c.doc_i, c.doc_j, len(list_intersect(sa.sl, sb.sl)) c
+       |          FROM cand c JOIN sh sa ON c.doc_i = sa.doc_id
+       |                      JOIN sh sb ON c.doc_j = sb.doc_id)
        |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
        |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
        |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin
 
   // the (odd incoming, even ingested) exact-Jaccard restriction —
-  // shared by dedup_cross and its saved-index twin dedup_cross_saved
+  // shared by dedup_cross and its saved-index twin dedup_cross_saved;
+  // same prefix filter (correctness is side-agnostic)
   private val crossJaccardOracle =
-    s"""WITH $shingleCte,
-       |e AS (SELECT doc_id, unnest(sl) s FROM sh),
-       |sz AS (SELECT doc_id, len(sl) n FROM sh),
-       |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
-       |          FROM e a JOIN e b ON a.s = b.s
-       |          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
+    s"""WITH $jaccardPrefixCtes,
+       |cand AS (SELECT DISTINCT a.doc_id doc_i, b.doc_id doc_j
+       |         FROM pe a JOIN pe b ON a.s = b.s
+       |         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
+       |inter AS (SELECT c.doc_i, c.doc_j, len(list_intersect(sa.sl, sb.sl)) c
+       |          FROM cand c JOIN sh sa ON c.doc_i = sa.doc_id
+       |                      JOIN sh sb ON c.doc_j = sb.doc_id)
        |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
        |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
        |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin
@@ -2990,6 +3134,95 @@ object SparkEntry {
        |d0 AS (SELECT *, CAST(0 AS BIGINT) d0 FROM fm),
        |$dpCtes,
        |fin AS (SELECT w word, CASE L $dispatch END c FROM d$positions)
+       |SELECT word,
+       |  CAST((c + (((-c) % 1024 + 1024) % 1024)) // 1024 AS BIGINT) score_micro,
+       |  CAST((((-c) % 1024 + 1024) % 1024) AS BIGINT) n_pieces
+       |FROM fin""".stripMargin
+  }
+
+  /** The Viterbi-EM unigram oracle (`text_unigram_em`): replays the
+    * seed model, the forward DP per distinct word, a SMALLEST-k
+    * BACKTRACK (the [[graft.functions.UnigramRuntime.segment]] rule —
+    * any k reproducing the cell value lies on an optimal path, so the
+    * deterministic choice is shared verbatim by both engines), the
+    * vocabulary-piece recount weighted by word frequency, the
+    * re-normalized micro-nat log-probs, and a SECOND DP under them.
+    * Same unroll discipline as [[unigramOracleFor]]. */
+  private def unigramEmOracle(wdCtes: String, vocabSize: Int,
+      positions: Int): String = {
+    val K = 4
+    val neg = Long.MinValue / 2
+    def dpCtes(pre: String, src: String): String =
+      (1 to positions).map { i =>
+        val terms = (1 to K).map { k =>
+          if (i >= k)
+            s"CASE WHEN $i <= L THEN $pre${i - k} + f[${(i - k + 1) * 100 + k}][1] ELSE CAST($neg AS BIGINT) END"
+          else s"CAST($neg AS BIGINT)"
+        }.mkString(", ")
+        s"$pre$i AS (SELECT *, greatest($terms) $pre$i FROM ${if (i == 1) src else s"$pre${i - 1}"})"
+      }.mkString(",\n")
+    def dv(p: String): String =
+      s"(CASE $p ${(0 to positions).map(i => s"WHEN $i THEN d$i").mkString(" ")} END)"
+    val btCtes = (1 to positions).map { t =>
+      val prev = s"p${t - 1}"
+      val kCases = (1 to K).map { k =>
+        s"WHEN $prev >= $k AND ${dv(s"$prev - $k")} + f[($prev - $k + 1)*100 + $k][1] = ${dv(prev)} THEN $k"
+      }.mkString(" ")
+      s"""b$t AS (SELECT *, (CASE WHEN $prev > 0 THEN CASE $kCases END END) k$t,
+         |  CASE WHEN $prev > 0 THEN w[$prev - (CASE $kCases END) + 1:$prev] END piece$t,
+         |  CASE WHEN $prev > 0 THEN $prev - (CASE $kCases END) ELSE 0 END p$t
+         |  FROM b${t - 1})""".stripMargin
+    }.mkString(",\n")
+    val pieceList = (1 to positions).map(t => s"piece$t").mkString(", ")
+    val dispatch = (1 to positions).map(i => s"WHEN $i THEN e$i").mkString(" ")
+    s"""WITH $wdCtes,
+       |cand AS (SELECT piece, CAST(sum(wc) AS BIGINT) c FROM (
+       |    SELECT wc, unnest(flatten([[w[i:i+k-1]
+       |        for k in range(1, least($K, len(w)-i+1)+1)]
+       |        for i in range(1, len(w)+1)])) piece
+       |    FROM wd) GROUP BY 1),
+       |sel AS (SELECT piece, c FROM cand WHERE len(piece) = 1
+       |        UNION ALL
+       |        SELECT piece, c FROM (SELECT piece, c FROM cand WHERE len(piece) > 1
+       |                              ORDER BY c DESC, piece LIMIT $vocabSize)),
+       |tt AS (SELECT CAST(sum(c) AS BIGINT) tot FROM sel),
+       |lp AS (SELECT piece, CAST(round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) lpv
+       |       FROM sel CROSS JOIN tt),
+       |pos AS (SELECT w, s.i i, s.k k, w[s.i:s.i+s.k-1] piece
+       |        FROM (SELECT w, unnest(flatten([[struct_pack(i := i, k := k)
+       |                  for k in range(1, least($K, len(w)-i+1)+1)]
+       |                  for i in range(1, len(w)+1)])) s
+       |              FROM (SELECT DISTINCT w FROM wd))),
+       |pv AS (SELECT pos.w, pos.i, pos.k,
+       |         (coalesce(lp.lpv, CASE WHEN pos.k = 1 THEN CAST(-18000000 AS BIGINT)
+       |                                ELSE CAST(-1000000000000 AS BIGINT) END) * 1024 - 1) addv
+       |       FROM pos LEFT JOIN lp ON pos.piece = lp.piece),
+       |fm AS (SELECT w, len(w) L,
+       |         map_from_entries(list(struct_pack(k := i * 100 + k, v := addv))) f
+       |       FROM pv GROUP BY 1, 2),
+       |d0 AS (SELECT *, CAST(0 AS BIGINT) d0 FROM fm),
+       |${dpCtes("d", "d0")},
+       |b0 AS (SELECT *, L p0 FROM d$positions),
+       |$btCtes,
+       |segs AS (SELECT w, piece FROM (SELECT w, unnest([$pieceList]) piece
+       |         FROM b$positions) WHERE piece IS NOT NULL),
+       |cnt2 AS (SELECT s.piece, CAST(sum(wd.wc) AS BIGINT) c
+       |         FROM segs s JOIN wd ON s.w = wd.w
+       |                     JOIN sel ON s.piece = sel.piece
+       |         GROUP BY 1),
+       |tt2 AS (SELECT CAST(sum(c) AS BIGINT) tot FROM cnt2),
+       |lp2 AS (SELECT piece, CAST(round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)) * 1e6) AS BIGINT) lpv
+       |        FROM cnt2 CROSS JOIN tt2),
+       |pv2 AS (SELECT pos.w, pos.i, pos.k,
+       |         (coalesce(lp2.lpv, CASE WHEN pos.k = 1 THEN CAST(-18000000 AS BIGINT)
+       |                                 ELSE CAST(-1000000000000 AS BIGINT) END) * 1024 - 1) addv
+       |        FROM pos LEFT JOIN lp2 ON pos.piece = lp2.piece),
+       |fm2 AS (SELECT w, len(w) L,
+       |          map_from_entries(list(struct_pack(k := i * 100 + k, v := addv))) f
+       |        FROM pv2 GROUP BY 1, 2),
+       |e0 AS (SELECT *, CAST(0 AS BIGINT) e0 FROM fm2),
+       |${dpCtes("e", "e0")},
+       |fin AS (SELECT w word, CASE L $dispatch END c FROM e$positions)
        |SELECT word,
        |  CAST((c + (((-c) % 1024 + 1024) % 1024)) // 1024 AS BIGINT) score_micro,
        |  CAST((((-c) % 1024 + 1024) % 1024) AS BIGINT) n_pieces
@@ -3349,13 +3582,20 @@ object SparkEntry {
     // oracle is dedup_jaccard's, unchanged
     "dedup_jaccard_prefix" -> jaccardOracle,
 
-    // identical intersection CTE, containment division: c / min(n1, n2)
+    // containment division c / min(n1, n2), asymmetric prefix filter:
+    // containment >= 0.8 forces overlap >= ceil(0.8·min(n_a, n_b)), so
+    // the SMALLER side's own (n − ceil(0.8·n) + 1)-prefix must share a
+    // shingle with the FULL other side — cand joins each doc's prefix
+    // against all postings (both orientations via least/greatest), a
+    // provable superset; verification recomputes the exact overlap
     "dedup_containment" ->
-      s"""WITH $shingleCte,
-         |e AS (SELECT doc_id, unnest(sl) s FROM sh),
-         |sz AS (SELECT doc_id, len(sl) n FROM sh),
-         |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
-         |          FROM e a JOIN e b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      s"""WITH $jaccardPrefixCtes,
+         |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) doc_i,
+         |                greatest(a.doc_id, b.doc_id) doc_j
+         |         FROM pe a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id),
+         |inter AS (SELECT c.doc_i, c.doc_j, len(list_intersect(sa.sl, sb.sl)) c
+         |          FROM cand c JOIN sh sa ON c.doc_i = sa.doc_id
+         |                      JOIN sh sb ON c.doc_j = sb.doc_id)
          |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(least(s1.n, s2.n) AS DOUBLE) cont
          |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
          |WHERE CAST(c AS DOUBLE)/CAST(least(s1.n, s2.n) AS DOUBLE) >= 0.8""".stripMargin,
@@ -3601,14 +3841,16 @@ object SparkEntry {
     "dedup_cross_saved" -> crossJaccardOracle,
 
     // the maintained (delta-appended + compacted) index must probe
-    // exactly like a fresh build over %3 in (0,1)
+    // exactly like a fresh build over %3 in (0,1); same prefix filter
+    // as the jaccard family (parity restriction is side-agnostic)
     "dedup_index_delta" ->
-      s"""WITH $shingleCte,
-         |e AS (SELECT doc_id, unnest(sl) s FROM sh),
-         |sz AS (SELECT doc_id, len(sl) n FROM sh),
-         |inter AS (SELECT a.doc_id doc_i, b.doc_id doc_j, count(*) c
-         |          FROM e a JOIN e b ON a.s = b.s
-         |          WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 IN (0, 1) GROUP BY 1, 2)
+      s"""WITH $jaccardPrefixCtes,
+         |cand AS (SELECT DISTINCT a.doc_id doc_i, b.doc_id doc_j
+         |         FROM pe a JOIN pe b ON a.s = b.s
+         |         WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 IN (0, 1)),
+         |inter AS (SELECT c.doc_i, c.doc_j, len(list_intersect(sa.sl, sb.sl)) c
+         |          FROM cand c JOIN sh sa ON c.doc_i = sa.doc_id
+         |                      JOIN sh sb ON c.doc_j = sb.doc_id)
          |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
          |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
          |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin,
@@ -4458,6 +4700,12 @@ object SparkEntry {
     // the full unigram pipeline replayed: seed selection, micro-nat
     // log-probs, unrolled combined-encoding Viterbi
     "text_unigram" -> unigramOracle,
+
+    "text_unigram_em" -> unigramEmOracle(
+      s"""t AS (SELECT doc_id, $tokensSql ws FROM documents),
+         |wd AS (SELECT tk w, CAST(count(*) AS BIGINT) wc
+         |       FROM (SELECT unnest(ws) tk FROM t) GROUP BY 1)""".stripMargin,
+      vocabSize = 64, positions = 12),
 
     "text_unigram_vocab" -> unigramOracleFor(
       s"""t AS (SELECT doc_id, $tokensSql ws FROM documents),
@@ -5506,6 +5754,38 @@ object SparkEntry {
         |       CAST(sum(CASE WHEN w.wi < 62 AND w.e >= f.fl
         |                     THEN (1::BIGINT << w.wi) ELSE 0 END) AS BIGINT) fp
         |FROM w JOIN f ON w.doc_id = f.doc_id GROUP BY 1, 2, 3""".stripMargin,
+
+    // the header fields the demuxer must read back: pure doc_id
+    // arithmetic (the container round-trips them bit-exactly);
+    // text-payload docs decode `unknown` with null fields
+    "multimodal_video_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'video' END kind,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(32 + (doc_id % 3) * 16 AS INT) END width,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(24 + (doc_id % 2) * 8 AS INT) END height,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST((2 + doc_id % 4) * 1000 // (10 + (doc_id % 5) * 2)
+        |            AS BIGINT) END duration_ms,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(2 + doc_id % 4 AS INT) END n_frames
+        |FROM documents""".stripMargin,
+
+    // every 2nd frame payload, byte-for-byte (hex): the same
+    // per-(doc, frame, byte) arithmetic the engine muxed INTO the
+    // container, read back out of it by the RIFF walk
+    "multimodal_video_frames" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 4 nf FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |f AS (SELECT d.doc_id, i.i fi FROM d, unnest(range(0, d.nf)) i(i)
+        |      WHERE i.i % 2 = 0)
+        |SELECT doc_id, CAST(fi // 2 AS INT) frame_index,
+        |  CAST(15 + (doc_id*3 + fi*5) % 6 AS BIGINT) frame_len,
+        |  list_aggregate([lpad(to_hex((doc_id*11 + fi*17 + j*7) % 256), 2, '0')
+        |    for j in range(0, 15 + (doc_id*3 + fi*5) % 6)],
+        |    'string_agg', '') frame_hex
+        |FROM f""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle(seeded = false),
     "graph_ppr_seeds" -> pagerankOracle(seeded = true),

@@ -7,11 +7,29 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_ALT_SESSION=1: a deliberately DIFFERENT session — AQE
+    // forced on with a tiny advisory size (different post-shuffle
+    // partitioning), prime shuffle partition count, small scan splits
+    // (different file partitioning), ANSI pinned on, and whole-stage
+    // codegen OFF (interpreted expression paths must agree with
+    // codegen'd ones). Every gate's output must be bit-identical to
+    // the default session's — the global falsification test for "no
+    // result depends on session config / partitioning" (round-10
+    // VERDICT directive #4).
+    val alt = sys.env.get("SPARK_GRAFT_ALT_SESSION").contains("1")
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", if (alt) "7" else cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (alt) builder
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.sql.ansi.enabled", "true")
+      .config("spark.sql.codegen.wholeStage", "false")
+    val spark = builder
       // events.parquet carries TIMESTAMP(NANOS); the event-time queries
       // read it as nanosecond longs (set here once — queries never
       // mutate session state)

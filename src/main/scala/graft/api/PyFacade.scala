@@ -576,6 +576,15 @@ object PyFacade {
     graft.text.Unigram.piecesDF(df.sparkSession,
       graft.text.Unigram.train(df, textCol, vocabSize, maxPieceLen))
 
+  /** One Viterbi-EM refinement round over a pieces frame: re-segment
+    * the corpus under it, recount path pieces, re-normalize — returns
+    * the refined persistable frame. */
+  def unigramEmRefine(df: DataFrame, textCol: String,
+      pieces: DataFrame): DataFrame =
+    graft.text.Unigram.piecesDF(df.sparkSession,
+      graft.text.Unigram.emRefine(df, textCol,
+        graft.text.Unigram.piecesFrom(pieces)))
+
   /** Viterbi word scores under a pieces frame:
     * (word, score_micro, n_pieces). */
   def unigramWordScores(df: DataFrame, wordCol: String,

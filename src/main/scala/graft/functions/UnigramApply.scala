@@ -79,6 +79,67 @@ final class UnigramRuntime(val pieces: java.util.HashMap[String, java.lang.Long]
     Array((c + np) / 1024L, np)
   }
 
+  /** The best-path SEGMENTATION of a word — the same combined-encoding
+    * forward DP as [[score]], backtracked with the SMALLEST-k rule:
+    * at each cut position, the shortest piece length whose predecessor
+    * cell reproduces the cell value is taken. Any such k lies on an
+    * optimal path (the combined encoding already folded the
+    * fewer-pieces tie-break into the values), and smallest-k makes the
+    * choice deterministic — the DuckDB EM oracle walks back with the
+    * same rule, so the two engines always emit the same pieces.
+    * Unknown single characters appear as pieces (scored `unkMicro` on
+    * the path); the caller decides whether they count. Empty → empty. */
+  def segment(word: String): Array[String] = {
+    val n = word.codePointCount(0, word.length)
+    if (n == 0) return Array.empty
+    val offs = new Array[Int](n + 1)
+    var u = 0
+    var i = 0
+    while (i < n) { offs(i) = u; u = word.offsetByCodePoints(u, 1); i += 1 }
+    offs(n) = word.length
+    val d = new Array[Long](n + 1)
+    i = 1
+    while (i <= n) {
+      var best = Long.MinValue
+      var k = 1
+      val kMax = math.min(maxPieceLen, i)
+      while (k <= kMax) {
+        val piece = word.substring(offs(i - k), offs(i))
+        val lpBoxed = pieces.get(piece)
+        val lp: Long =
+          if (lpBoxed != null) lpBoxed.longValue()
+          else if (k == 1) unkMicro
+          else graft.text.Unigram.ForbiddenMicro
+        val cand = d(i - k) + lp * 1024L - 1L
+        if (cand > best) best = cand
+        k += 1
+      }
+      d(i) = best
+      i += 1
+    }
+    val out = List.newBuilder[String]
+    var p = n
+    while (p > 0) {
+      var k = 1
+      var found = 0
+      val kMax = math.min(maxPieceLen, p)
+      while (found == 0 && k <= kMax) {
+        val piece = word.substring(offs(p - k), offs(p))
+        val lpBoxed = pieces.get(piece)
+        val lp: Long =
+          if (lpBoxed != null) lpBoxed.longValue()
+          else if (k == 1) unkMicro
+          else graft.text.Unigram.ForbiddenMicro
+        if (d(p - k) + lp * 1024L - 1L == d(p)) found = k
+        k += 1
+      }
+      // found is always set: d(p) was produced by one of these k
+      out += word.substring(offs(p - found), offs(p))
+      p -= found
+    }
+    out.result().reverse.toArray
+  }
+
   /** Trained-subword token count of a whole text (single-space
     * tokenization, the [[graft.text.TextFunctions.tokens]] twin). */
   def countText(text: String): Long = {

@@ -54,6 +54,12 @@ object Multimodal {
       * payload is a decodable image; null otherwise (default: codecs
       * without pixel access). */
     def imageBgr(content: Array[Byte]): ImagePixels = null
+    /** The container's encoded frame payloads in stream order when the
+      * payload is a DEMUXABLE video; null otherwise (default: codecs
+      * without a demuxer). Demux ≠ decode: each entry is the stream's
+      * raw encoded frame bytes (one JPEG per entry for MJPEG) — what a
+      * frame extractor hands to the per-frame image decoder. */
+    def videoFrames(content: Array[Byte]): Array[Array[Byte]] = null
   }
 
   /** [[MediaCodec.imageBgr]]'s return shape. */
@@ -417,6 +423,162 @@ object Multimodal {
   }
 
   /**
+   * REAL hand-rolled MJPEG-in-AVI demuxer — the video twin of
+   * [[BmpCodec]]/[[WavCodec]], closing the "video is chunk-based" gap:
+   * an AVI is a RIFF container (fixed little-endian chunk headers, no
+   * entropy coding of the CONTAINER itself), so a canonical
+   * single-video-stream MJPEG AVI can be muxed and demuxed with pure
+   * integer byte math — exactly the walk `ffprobe`/any player performs.
+   * The frame PAYLOADS stay opaque encoded bytes (one JPEG per `00dc`
+   * chunk in real MJPEG; [[videoFrames]] is a demuxer, not a frame
+   * decoder — the per-frame payload goes to an image codec next, the
+   * same two-stage shape every real video pipeline has).
+   *
+   * Canonical layout written by [[encode]] and required by [[parse]]
+   * (anything else → `unknown`/null, per the totality contract):
+   * {{{
+   * RIFF <size> AVI
+   *   LIST 192 hdrl
+   *     avih 56   (usPerFrame, 0, 0, 0, totalFrames, 0, 1 stream, 0, w, h, 0×4)
+   *     LIST 116 strl
+   *       strh 56 (vids/MJPG, ..., scale=1, rate=fps, length=totalFrames)
+   *       strf 40 (BITMAPINFOHEADER: 40, w, h, 1 plane, 24bpp, 'MJPG')
+   *   LIST <size> movi
+   *     00dc <len> <frame bytes> [pad to even]   × totalFrames
+   * }}}
+   * No idx1: the demuxer walks `movi` chunk-by-chunk (the index is an
+   * optimization for seeking, not a requirement — players tolerate its
+   * absence), which keeps the walk single-pass and stream-friendly.
+   */
+  object AviCodec extends MediaCodec {
+    private def u16(b: Array[Byte], o: Int): Int =
+      (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+    private def u32(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+    private def put32(b: Array[Byte], o: Int, v: Int): Unit = {
+      b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+      b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+    }
+    private def tag(b: Array[Byte], o: Int, s: String): Boolean =
+      o + s.length <= b.length &&
+        s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
+    private def putTag(b: Array[Byte], o: Int, s: String): Unit =
+      s.indices.foreach(i => b(o + i) = s.charAt(i).toByte)
+
+    /** (width, height, fps, frame offsets+lengths) when the payload is
+      * a canonical MJPEG AVI with every declared byte present. */
+    private def parse(b: Array[Byte]): Option[(Int, Int, Int, Array[(Int, Int)])] = {
+      if (b == null || b.length < 224) return None
+      if (!tag(b, 0, "RIFF") || !tag(b, 8, "AVI ")) return None
+      if (u32(b, 4) + 8 > b.length) return None        // declared RIFF size
+      if (!tag(b, 12, "LIST") || u32(b, 16) != 192L || !tag(b, 20, "hdrl"))
+        return None
+      if (!tag(b, 24, "avih") || u32(b, 28) != 56L) return None
+      val usPerFrame = u32(b, 32)
+      val totalFrames = u32(b, 48)
+      if (u32(b, 56) != 1L) return None                // exactly one stream
+      val w = u32(b, 64); val h = u32(b, 68)
+      if (w <= 0 || w > (1 << 20) || h <= 0 || h > (1 << 20)) return None
+      if (totalFrames < 0 || totalFrames > (1 << 24)) return None
+      if (!tag(b, 88, "LIST") || u32(b, 92) != 116L || !tag(b, 96, "strl"))
+        return None
+      if (!tag(b, 100, "strh") || u32(b, 104) != 56L) return None
+      if (!tag(b, 108, "vids") || !tag(b, 112, "MJPG")) return None
+      val scale = u32(b, 128); val rate = u32(b, 132)
+      if (scale != 1L || rate <= 0 || rate > 1000000L) return None
+      if (u32(b, 140) != totalFrames) return None      // stream length
+      if (!tag(b, 164, "strf") || u32(b, 168) != 40L) return None
+      if (u32(b, 172) != 40L) return None              // BITMAPINFOHEADER
+      if (u32(b, 176) != w || u32(b, 180) != h) return None
+      if (u16(b, 184) != 1 || u16(b, 186) != 24) return None
+      if (!tag(b, 188, "MJPG")) return None
+      // the movi LIST, then the single-pass chunk walk
+      if (!tag(b, 212, "LIST")) return None
+      val moviSize = u32(b, 216)
+      if (!tag(b, 220, "movi")) return None
+      val moviEnd = 220L + moviSize
+      if (moviEnd > b.length) return None
+      val frames = Array.newBuilder[(Int, Int)]
+      var off = 224L
+      var n = 0L
+      while (off < moviEnd) {
+        if (off + 8 > moviEnd) return None
+        if (!tag(b, off.toInt, "00dc") && !tag(b, off.toInt, "00db"))
+          return None
+        val len = u32(b, off.toInt + 4)
+        if (off + 8 + len > moviEnd) return None
+        frames += ((off.toInt + 8, len.toInt))
+        off += 8 + len + (len % 2)                     // RIFF even padding
+        n += 1
+      }
+      if (n != totalFrames) return None
+      if (usPerFrame != 1000000L / rate) return None
+      Some((w.toInt, h.toInt, rate.toInt, frames.result()))
+    }
+
+    /** Canonical muxer: one `00dc` chunk per encoded frame payload,
+      * odd-length payloads padded with one zero byte (RIFF rule —
+      * the pad is NOT part of the declared chunk size). */
+    def encode(w: Int, h: Int, fps: Int,
+        frames: Seq[Array[Byte]]): Array[Byte] = {
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+      require(fps > 0, s"bad frame rate $fps")
+      val padded = frames.map(f => 8 + f.length + (f.length % 2))
+      val moviData = 4 + padded.sum
+      val riffSize = 4 + (8 + 192) + (8 + moviData)
+      val out = new Array[Byte](8 + riffSize)
+      putTag(out, 0, "RIFF"); put32(out, 4, riffSize); putTag(out, 8, "AVI ")
+      putTag(out, 12, "LIST"); put32(out, 16, 192); putTag(out, 20, "hdrl")
+      putTag(out, 24, "avih"); put32(out, 28, 56)
+      put32(out, 32, 1000000 / fps)                    // usPerFrame
+      put32(out, 48, frames.length)                    // totalFrames
+      put32(out, 56, 1)                                // one stream
+      put32(out, 64, w); put32(out, 68, h)
+      putTag(out, 88, "LIST"); put32(out, 92, 116); putTag(out, 96, "strl")
+      putTag(out, 100, "strh"); put32(out, 104, 56)
+      putTag(out, 108, "vids"); putTag(out, 112, "MJPG")
+      put32(out, 128, 1); put32(out, 132, fps)         // scale, rate
+      put32(out, 140, frames.length)                   // stream length
+      putTag(out, 164, "strf"); put32(out, 168, 40)
+      put32(out, 172, 40)                              // biSize
+      put32(out, 176, w); put32(out, 180, h)
+      out(184) = 1; out(186) = 24
+      putTag(out, 188, "MJPG")
+      putTag(out, 212, "LIST"); put32(out, 216, moviData)
+      putTag(out, 220, "movi")
+      var o = 224
+      frames.foreach { f =>
+        putTag(out, o, "00dc"); put32(out, o + 4, f.length)
+        System.arraycopy(f, 0, out, o + 8, f.length)
+        o += 8 + f.length + (f.length % 2)
+      }
+      out
+    }
+
+    def decode(content: Array[Byte]): Row = parse(content) match {
+      case Some((w, h, fps, frames)) =>
+        Row("video", w, h, null,
+          java.lang.Long.valueOf(frames.length * 1000L / fps),
+          Integer.valueOf(frames.length))
+      case None => Row("unknown", null, null, null, null, null)
+    }
+
+    /** Not an image codec: pass-through per the totality contract. */
+    def resizeImage(content: Array[Byte], w: Int, h: Int): Array[Byte] =
+      if (content == null) null else content.clone()
+
+    override def videoFrames(content: Array[Byte]): Array[Array[Byte]] =
+      parse(content) match {
+        case Some((_, _, _, frames)) =>
+          frames.map { case (off, len) =>
+            java.util.Arrays.copyOfRange(content, off, off + len)
+          }
+        case None => null
+      }
+  }
+
+  /**
    * Decode metadata for a binary content column, appended as a `meta`
    * struct. Partition-wise: the codec binds once per partition (the shape
    * a JNI codec needs), rows stream through without materializing the
@@ -490,6 +652,39 @@ object Multimodal {
             Row(row.get(idIdx), fi,
               java.util.Arrays.copyOfRange(bytes, off, math.min(off + frameBytes, bytes.length)))
           }.iterator
+      }
+    }.toDF("asset_id", "frame_index", "frame")
+  }
+
+  /**
+   * Sample every `everyN`-th REAL frame of a demuxable video payload —
+   * the codec-determined-boundary upgrade of [[sampleFrames]] promised
+   * by the JNI contract: same emitted shape (asset_id, frame_index,
+   * frame) with `frame_index` counting KEPT frames from 0, but the
+   * bytes are the container's own encoded frame payloads (one JPEG per
+   * row for MJPEG), not fixed-size chunks. Non-video / undecodable
+   * payloads emit NO rows (the explode-shape totality convention).
+   * Map-only — payloads never shuffle; project the frame column away
+   * before any wide op.
+   */
+  def demuxFrames(df: DataFrame, idCol: String, contentCol: String,
+      everyN: Int = 1, codec: MediaCodec = AviCodec): DataFrame = {
+    require(everyN >= 1, s"everyN must be >= 1, got $everyN")
+    val out = StructType(Seq(
+      StructField("asset_id", df.schema(idCol).dataType),
+      StructField("frame_index", IntegerType),
+      StructField("frame", BinaryType)))
+    val (idIdx, cIdx) =
+      (df.schema.fieldIndex(idCol), df.schema.fieldIndex(contentCol))
+    implicit val enc = RowEncoder.encoderFor(out)
+    df.mapPartitions { it =>
+      it.flatMap { row =>
+        val frames = codec.videoFrames(row.getAs[Array[Byte]](cIdx))
+        if (frames == null) Iterator.empty
+        else frames.iterator.zipWithIndex
+          .filter(_._2 % everyN == 0)
+          .zipWithIndex
+          .map { case ((f, _), kept) => Row(row.get(idIdx), kept, f) }
       }
     }.toDF("asset_id", "frame_index", "frame")
   }

@@ -110,6 +110,50 @@ object Unigram {
       })
   }
 
+  /**
+   * One Viterbi-EM refinement round (the SentencePiece hard-EM
+   * approximation, flag-style opt-in — [[train]]'s frequency seed is
+   * unchanged by default): re-segment every distinct corpus word under
+   * the CURRENT model (best path, smallest-k backtrack — see
+   * [[graft.functions.UnigramRuntime.segment]]), count each VOCABULARY
+   * piece's occurrences on those paths weighted by word frequency
+   * (unknown-character path steps count nothing — the vocabulary is
+   * fixed, not grown), drop pieces the corpus never uses, and
+   * re-normalize log-probs over the new exact integer total:
+   * `lp = round(1e6 · ln(c / total))`. Call again for further rounds.
+   *
+   * Scale shape: one map-side-combined word histogram (vocabulary-
+   * bounded, never corpus-bounded), a flatMap explode of per-distinct-
+   * word pieces (≤ word length each), one bounded re-aggregation;
+   * only the (piece, count) rows — vocabulary-sized — reach the
+   * driver. The model rides the closure as one serializable runtime
+   * reference, not a plan literal.
+   */
+  def emRefine(df: DataFrame, textCol: String, m: Model): Model = {
+    if (m.pieces.isEmpty) return m
+    val rt = runtime(m)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .as[(String, Long)]
+      .flatMap { case (w, wc) =>
+        rt.segment(w).iterator
+          .filter(p => rt.pieces.containsKey(p)).map(p => (p, wc))
+      }
+      .toDF("p", "wc")
+      .groupBy(col("p")).agg(sum(col("wc")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    if (counts.isEmpty) return Model(Map.empty, m.maxPieceLen, m.unkMicro)
+    val tot = counts.map(_._2).sum
+    Model(
+      counts.map { case (p, c) =>
+        p -> math.round(math.log(c.toDouble / tot.toDouble) * 1e6)
+      }.toMap,
+      m.maxPieceLen, m.unkMicro)
+  }
+
   /** The serving runtime for a model — ONE reference object regardless
     * of vocabulary size (see [[graft.functions.UnigramRuntime]]): the
     * plan stops carrying the piece table as a map literal and the

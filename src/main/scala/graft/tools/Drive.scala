@@ -1563,6 +1563,28 @@ object Drive {
         s"${graft.text.Bpe.DefaultMaxWords})")
     }
 
+    println("=== 51. round-11: real MJPEG-in-AVI demux (RIFF walk) ===")
+    locally {
+      import spark.implicits._
+      import graft.multimodal.Multimodal
+      import Multimodal.AviCodec
+      def fr(i: Int, len: Int): Array[Byte] =
+        Array.tabulate(len)(j => ((i * 17 + j * 7) % 256).toByte)
+      val avi = AviCodec.encode(320, 240, 25, Seq(fr(0, 15), fr(1, 16), fr(2, 17)))
+      val meta = AviCodec.decode(avi)
+      println(s"OK avi meta=(${meta.getString(0)},${meta.getInt(1)}x${meta.getInt(2)}," +
+        s"${meta.getLong(4)}ms,${meta.getInt(5)}f) (expect (video,320x240,120ms,3f))")
+      val rows = Seq((1L, avi), (2L, "not a video".getBytes)).toDF("id", "content")
+      val frames = Multimodal.demuxFrames(rows, "id", "content", everyN = 2,
+        codec = AviCodec)
+        .select($"asset_id", $"frame_index", length($"frame"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted.toList
+      println(s"OK demuxFrames=$frames (expect List((1,0,15), (1,1,17)) — " +
+        "kept-frame indexing, non-video emits nothing)")
+      val bad = AviCodec.decode("garbage".getBytes)
+      println(s"OK garbage decode=${bad.getString(0)} (expect unknown)")
+    }
+
     spark.stop()
   }
 }

@@ -11,7 +11,12 @@ object SparkTestKit {
 
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 3]: up to 3 attempts per task, so TaskRetrySpec can
+      // inject first-attempt failures and assert bit-identical results
+      // under retries (local-mode default is maxFailures=1 = no retry).
+      // Suites that assert on deliberately-poisoned jobs still fail:
+      // their injected faults throw on EVERY attempt.
+      .master("local[4, 3]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")

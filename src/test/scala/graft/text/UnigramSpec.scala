@@ -133,4 +133,51 @@ class UnigramSpec extends AnyFlatSpec with Matchers {
       assert(sc.getLong(0) < 0 && sc.getLong(1) >= 1, s"bad score for ${r.getString(0)}")
     }
   }
+
+  it should "backtrack the best path (smallest-k rule) consistently with score" in {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = Unigram.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+    val rt = Unigram.runtime(m)
+    val words = docs
+      .select(org.apache.spark.sql.functions.explode(
+        TextFunctions.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .distinct().as[String].collect()
+    assert(words.nonEmpty)
+    words.foreach { w =>
+      val pieces = rt.segment(w)
+      // the segmentation reassembles the word exactly...
+      assert(pieces.mkString("") == w, s"lossy segmentation of $w")
+      // ...and its piece count matches the DP's fewest-pieces answer
+      assert(pieces.length == rt.score(w)(1),
+        s"backtrack path length ${pieces.length} != DP n_pieces for $w")
+      // every multi-char piece is vocabulary (unknown multis forbidden)
+      pieces.filter(p => p.codePointCount(0, p.length) > 1)
+        .foreach(p => assert(rt.pieces.containsKey(p), s"unknown multi piece $p"))
+    }
+  }
+
+  it should "refine by one Viterbi-EM round without breaking serving" in {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m0 = Unigram.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+    val m1 = Unigram.emRefine(docs, "text", m0)
+    // EM keeps only path-used vocabulary: never grows, stays non-empty
+    assert(m1.pieces.nonEmpty && m1.pieces.size <= m0.pieces.size)
+    assert(m1.pieces.keySet.subsetOf(m0.pieces.keySet))
+    assert(m1.maxPieceLen == m0.maxPieceLen && m1.unkMicro == m0.unkMicro)
+    // log-probs re-normalize: every kept piece has lp < 0; pieces the
+    // corpus actually uses got RELATIVELY more probable or equal mass
+    m1.pieces.values.foreach(lp => assert(lp < 0))
+    // the refined model still serves every corpus word
+    val scored = docs.select(org.apache.spark.sql.functions.explode(
+        TextFunctions.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+      .distinct()
+      .select(Unigram.wordScore(org.apache.spark.sql.functions.col("w"), m1).as("sc"))
+      .collect()
+    scored.foreach(r => assert(r.getStruct(0).getLong(1) >= 1))
+    // EM is deterministic: same input, same refined model
+    val m1b = Unigram.emRefine(docs, "text", m0)
+    assert(m1b.pieces == m1.pieces)
+  }
 }
