@@ -355,7 +355,12 @@ object Fuzz {
       .agg(min(col("l_returnflag")).as("f"))
       .join(ord(spark, dir).select(col("o_orderkey").as("k"),
         pmod(col("o_custkey"), lit(g)).as("cg")), "k")
-      .withColumn("score", pmod(col("rid") * 2654435761L, lit(1000003L)))
+      // mod rid down BEFORE the Knuth-multiplier: (rid % p) * c % p ==
+      // rid * c % p, and the bounded product (< p*c ~ 2.7e15) cannot
+      // overflow Long — the raw product does at sf1, where MakeSf1's
+      // copy shift puts rid near 9e10 (ANSI mode correctly aborts)
+      .withColumn("score",
+        pmod(pmod(col("rid"), lit(1000003L)) * 2654435761L, lit(1000003L)))
     val out = graft.curation.Sampling
       .quotaTopK(base, Seq("f", "cg"), "score", "rid", k)
       .select(col("f"), col("cg"), col("rank").cast("long").as("rank"),
@@ -367,7 +372,7 @@ object Fuzz {
          |  FROM lineitem WHERE l_orderkey % $m = $r GROUP BY 1, 2),
          |b AS (
          |  SELECT u.rid, u.f, o.o_custkey % $g cg,
-         |         (u.rid * 2654435761) % 1000003 score
+         |         ((u.rid % 1000003) * 2654435761) % 1000003 score
          |  FROM u JOIN orders o ON u.k = o.o_orderkey)
          |SELECT f, cg, CAST(rn AS BIGINT) rank, rid, score FROM (
          |  SELECT f, cg, rid, score,

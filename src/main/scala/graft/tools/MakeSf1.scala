@@ -22,7 +22,12 @@ import org.apache.spark.sql.functions._
  * copier's quadratic clique output (pairs ×979) rather than engine
  * scaling. `verbatim` mode (4th arg) keeps the old behavior for A/B
  * runs. `n_chars` is recomputed for perturbed copies so the column
- * stays the text's true length.
+ * stays the text's true length. EMBEDDINGS get the same treatment in
+ * perturb mode via [[decorrelate]]: per-copy permutation + sign mask
+ * keeps every within-copy inner product bit-exact (organic edge
+ * density reproduced per copy) while cross-copy cosines collapse to
+ * ~0, so the similarity graph grows linearly instead of forming
+ * identical-vector copy-cliques (edges ×106 at ×10 under verbatim).
  *
  * Usage: `runMain graft.tools.MakeSf1 <srcSfDir> <outDir> [factor]
  * [perturb|verbatim]`. Output files inherit the union's partitioning
@@ -61,6 +66,40 @@ object MakeSf1 {
       } else { out += toks(i); i += 1 }
     }
     out.mkString(" ")
+  }
+
+  /** Decorrelate one embedding copy: v'(j) = s_k(j) · v(π_k(j)) with a
+    * per-copy Fisher-Yates permutation π_k and ±1 sign mask s_k, both
+    * driven by the splitmix64 stream (NO RNG). Why this exact shape:
+    * within one copy every inner product is PRESERVED BIT-EXACTLY
+    * (Σ s² v_A[π(j)] v_B[π(j)] = v_A·v_B — same permutation, squared
+    * signs), so each copy reproduces the source corpus's organic
+    * similarity-graph edge density; ACROSS copies the sign-scrambled,
+    * misaligned products decorrelate (cosine ≈ 0), so identical-vector
+    * copy-cliques cannot form and the sf1 similarity graph grows
+    * linearly in copies — the corpus-realistic shape (a real 10×
+    * corpus has 10× distinct vectors, not 10 clones of each). Copy 0
+    * stays the source table. Norms are preserved, so every cosine
+    * threshold reads the same. */
+  private[tools] def decorrelate(v: Seq[Float], copy: Int): Seq[Float] = {
+    if (v == null || copy == 0) return v
+    val d = v.length
+    val perm = Array.tabulate(d)(identity)
+    var i = d - 1
+    while (i > 0) { // Fisher-Yates on the splitmix64 stream, keyed by copy
+      val j = java.lang.Long.remainderUnsigned(
+        mix64(copy.toLong * 0x51_7c_c1_b7_27_22_0a_95L + i), i + 1L).toInt
+      val t = perm(i); perm(i) = perm(j); perm(j) = t
+      i -= 1
+    }
+    val out = new Array[Float](d)
+    var j = 0
+    while (j < d) {
+      val sign = if ((mix64(copy.toLong * 0x9e_37_79_b9L + j) & 1L) == 0L) 1f else -1f
+      out(j) = sign * v(perm(j))
+      j += 1
+    }
+    out.toSeq
   }
 
   def main(args: Array[String]): Unit = {
@@ -116,7 +155,11 @@ object MakeSf1 {
           .withColumn("text",
             perturbUdf(col("text"), col("doc_id") - lit(k * OFF), lit(k)))
           .withColumn("n_chars", length(col("text")).cast("long")))
-    inflate("embeddings", Seq("vec_id"))
+    val decorrelateUdf = udf((v: Seq[Float], copy: Int) => decorrelate(v, copy))
+    inflate("embeddings", Seq("vec_id"),
+      tweak = (df, k) =>
+        if (mode == "verbatim" || k == 0) df
+        else df.withColumn("embedding", decorrelateUdf(col("embedding"), lit(k))))
     Seq("nation", "region").foreach { t =>
       spark.read.parquet(s"$src/$t.parquet")
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
