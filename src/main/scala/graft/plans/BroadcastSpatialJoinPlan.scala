@@ -131,7 +131,8 @@ case class BroadcastSpatialJoinExec(
       val distRow = new GenericInternalRow(1)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
       def condEvalFor(lrow: InternalRow): Int => Boolean = condPred match {
-        case None => _ => true
+        case None => SpatialProbe.AlwaysTrue // sentinel: enables the
+        // unconditioned-nearest fast path inside the probe kernel
         case Some(p) => i => p.eval(joined(lrow, idx.rows(i)))
       }
       def hitsOf(lrow: InternalRow): Iterator[(Int, Int)] = {

@@ -123,17 +123,75 @@ final class SpatialProbe(geoms: Array[Geometry], tree: STRtree) {
   def nearestMatch(g: Geometry, condEval: Int => Boolean): Int = {
     if (total == 0) return -1
     val env = g.getEnvelopeInternal
+    // Unconditioned nearest (the common `nearest` predicate with no
+    // extra condition, recognized by the shared sentinel): one k=2 tree
+    // walk settles the unique-nearest case exactly like the loop below,
+    // and a TIE is settled by a single ranged envelope query collecting
+    // every exact tie — not by re-walking the tree with k ×4 per round.
+    // The k-growth loop is quadratic-ish under dense ties (duplicate
+    // coordinates put 10+ items at the same distance, and every
+    // nearestNeighbourK restart re-expands the whole BoundablePair
+    // frontier with JTS DistanceOp); the ranged query visits just the
+    // disc of radius bestDist once. The envelope expanded by bestDist is
+    // a provable superset of the tie set: any geometry at distance d has
+    // envelope distance <= d.
+    if (condEval eq SpatialProbe.AlwaysTrue) {
+      val found = tree.nearestNeighbour(env, g, GeomDist, math.min(2, total))
+        .map(_.asInstanceOf[Integer].intValue())
+      var bestDist = Double.MaxValue
+      var bestIdx = -1
+      var secondDist = Double.MaxValue
+      found.foreach { i =>
+        val d = g.distance(geoms(i))
+        if (d < bestDist || (d == bestDist && i < bestIdx)) {
+          secondDist = bestDist; bestDist = d; bestIdx = i
+        } else if (d < secondDist) secondDist = d
+      }
+      if (total <= 1 || secondDist > bestDist) return bestIdx
+      val tieEnv = new Envelope(env)
+      tieEnv.expandBy(bestDist)
+      candidates(tieEnv).foreach { i =>
+        if (i < bestIdx && g.distance(geoms(i)) == bestDist) bestIdx = i
+      }
+      return bestIdx
+    }
     var k = 2
     while (true) {
       val kk = math.min(k, total)
+      // Conditional nearest, scan fallback: once k has grown past a few
+      // rounds (rare condition, or a probe that matches NOTHING — e.g.
+      // a join condition some probe keys cannot satisfy), stop
+      // re-walking the tree: each nearestNeighbourK restart re-expands
+      // the whole BoundablePair frontier, so a never-matching probe
+      // costs O(total · tree overhead) PER ROUND. One condition-first
+      // linear scan is strictly cheaper than the kk == total walk it
+      // replaces — condEval is a row predicate (no geometry), and JTS
+      // distance only runs on passing candidates.
+      if (kk >= 128 || kk == total) {
+        var bestDist = Double.MaxValue
+        var bestIdx = -1
+        var i = 0
+        while (i < geoms.length) {
+          if (geoms(i) != null && condEval(i)) {
+            val d = g.distance(geoms(i))
+            if (d < bestDist) { bestDist = d; bestIdx = i }
+          }
+          i += 1
+        }
+        return bestIdx
+      }
       val found = tree.nearestNeighbour(env, g, GeomDist, kk)
         .map(_.asInstanceOf[Integer].intValue())
-      // JTS does not guarantee order: sort by (distance, index)
-      val sorted = found.sortBy(i => (g.distance(geoms(i)), i))
-      val kthDist = sorted.iterator.map(i => g.distance(geoms(i))).max
-      sorted.find(condEval) match {
-        case Some(i) =>
-          if (kk == total || kthDist > g.distance(geoms(i))) return i
+      // JTS does not guarantee order: sort by (distance, index). Each
+      // distance is computed ONCE and carried with its index — sortBy's
+      // Ordering.by would re-run the JTS DistanceOp on every comparison
+      // (O(k log k) geometry walks instead of O(k)), which dominated
+      // dense-tie probes where k has grown large
+      val sorted = found.map(i => (g.distance(geoms(i)), i)).sortInPlace()
+      val kthDist = sorted(sorted.length - 1)._1
+      sorted.find { case (_, i) => condEval(i) } match {
+        case Some((bestDist, i)) =>
+          if (kk == total || kthDist > bestDist) return i
         case None =>
           if (kk == total) return -1
       }
@@ -141,4 +199,12 @@ final class SpatialProbe(geoms: Array[Geometry], tree: STRtree) {
     }
     -1
   }
+}
+
+object SpatialProbe {
+  /** Shared no-condition sentinel: the exec passes THIS function (by
+    * reference) when the join has no extra condition, which lets
+    * [[SpatialProbe.nearestMatch]] take the single-walk + ranged-tie
+    * fast path instead of the conditional k-growth loop. */
+  val AlwaysTrue: Int => Boolean = _ => true
 }
