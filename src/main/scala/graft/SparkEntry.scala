@@ -3037,27 +3037,44 @@ object SparkEntry {
     * shingles, so the two prefixes must intersect (the standard
     * prefix-filter theorem; our per-side prefixes are supersets of the
     * theorem's). ceil(0.8·n) computed as (4n+4)//5 — exact integer,
-    * no float-boundary drift. Verification recomputes TRUE Jaccard on
-    * the full shingle lists, so the filter can only prune, never
-    * change a result (diff'd empty vs the raw join at sf0.01/sf0.1). */
+    * no float-boundary drift. Verification recomputes the TRUE overlap
+    * count through the candidate-restricted postings join (one hash
+    * join + group-count over distinct (doc, shingle) rows — NOT a
+    * per-pair list_intersect, whose element walk over 12.5M candidate
+    * pairs was itself the sf1 bottleneck), so the filter can only
+    * prune, never change a result (diff'd empty vs the raw join at
+    * sf0.01/sf0.1; pair counts equal the engine's at sf1). Shingles
+    * are recoded to dense integer ids (`sid`, a bijection — exactness
+    * unaffected) so the candidate and overlap joins carry 8-byte keys
+    * instead of multi-word strings: the string-keyed join spilled past
+    * the 78 GB disk at sf1 where the int-keyed one runs in RAM. The
+    * jaccard candidates also apply the engine's size-band filter
+    * (4·n_a <= 5·n_b AND 4·n_b <= 5·n_a, the exact integer form of
+    * tau=0.8's length bound — jac >= tau forces tau·|A| <= |B|). */
   private val jaccardPrefixCtes =
     s"""$shingleCte,
        |sz AS (SELECT doc_id, len(sl) n FROM sh),
-       |e AS (SELECT doc_id, unnest(sl) s FROM sh),
-       |dfq AS (SELECT s, count(*) d FROM e GROUP BY 1),
-       |re AS (SELECT e.doc_id, e.s,
-       |         row_number() OVER (PARTITION BY e.doc_id ORDER BY dfq.d, e.s) rnk
-       |       FROM e JOIN dfq ON e.s = dfq.s),
-       |pe AS (SELECT re.doc_id, re.s FROM re JOIN sz ON re.doc_id = sz.doc_id
+       |e0 AS (SELECT doc_id, unnest(sl) s FROM sh),
+       |dfq AS (SELECT s, count(*) d FROM e0 GROUP BY 1),
+       |sid AS (SELECT s, d, row_number() OVER (ORDER BY s) sid FROM dfq),
+       |e AS (SELECT e0.doc_id, sid.sid FROM e0 JOIN sid USING (s)),
+       |re AS (SELECT e0.doc_id, sid.sid,
+       |         row_number() OVER (PARTITION BY e0.doc_id ORDER BY sid.d, e0.s) rnk
+       |       FROM e0 JOIN sid ON e0.s = sid.s),
+       |pe AS (SELECT re.doc_id, re.sid FROM re JOIN sz ON re.doc_id = sz.doc_id
        |       WHERE re.rnk <= sz.n - (4*sz.n + 4)//5 + 1)""".stripMargin
 
   private val jaccardOracle =
     s"""WITH $jaccardPrefixCtes,
        |cand AS (SELECT DISTINCT a.doc_id doc_i, b.doc_id doc_j
-       |         FROM pe a JOIN pe b ON a.s = b.s AND a.doc_id < b.doc_id),
-       |inter AS (SELECT c.doc_i, c.doc_j, len(list_intersect(sa.sl, sb.sl)) c
-       |          FROM cand c JOIN sh sa ON c.doc_i = sa.doc_id
-       |                      JOIN sh sb ON c.doc_j = sb.doc_id)
+       |         FROM pe a JOIN pe b ON a.sid = b.sid AND a.doc_id < b.doc_id
+       |         JOIN sz za ON a.doc_id = za.doc_id
+       |         JOIN sz zb ON b.doc_id = zb.doc_id
+       |         WHERE 4*za.n <= 5*zb.n AND 4*zb.n <= 5*za.n),
+       |inter AS (SELECT c.doc_i, c.doc_j, count(*) c
+       |          FROM cand c JOIN e ea ON ea.doc_id = c.doc_i
+       |                      JOIN e eb ON eb.doc_id = c.doc_j AND eb.sid = ea.sid
+       |          GROUP BY 1, 2)
        |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
        |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
        |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin
@@ -3068,11 +3085,15 @@ object SparkEntry {
   private val crossJaccardOracle =
     s"""WITH $jaccardPrefixCtes,
        |cand AS (SELECT DISTINCT a.doc_id doc_i, b.doc_id doc_j
-       |         FROM pe a JOIN pe b ON a.s = b.s
-       |         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0),
-       |inter AS (SELECT c.doc_i, c.doc_j, len(list_intersect(sa.sl, sb.sl)) c
-       |          FROM cand c JOIN sh sa ON c.doc_i = sa.doc_id
-       |                      JOIN sh sb ON c.doc_j = sb.doc_id)
+       |         FROM pe a JOIN pe b ON a.sid = b.sid
+       |         JOIN sz za ON a.doc_id = za.doc_id
+       |         JOIN sz zb ON b.doc_id = zb.doc_id
+       |         WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0
+       |           AND 4*za.n <= 5*zb.n AND 4*zb.n <= 5*za.n),
+       |inter AS (SELECT c.doc_i, c.doc_j, count(*) c
+       |          FROM cand c JOIN e ea ON ea.doc_id = c.doc_i
+       |                      JOIN e eb ON eb.doc_id = c.doc_j AND eb.sid = ea.sid
+       |          GROUP BY 1, 2)
        |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
        |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
        |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin
@@ -3592,10 +3613,11 @@ object SparkEntry {
       s"""WITH $jaccardPrefixCtes,
          |cand AS (SELECT DISTINCT least(a.doc_id, b.doc_id) doc_i,
          |                greatest(a.doc_id, b.doc_id) doc_j
-         |         FROM pe a JOIN e b ON a.s = b.s AND a.doc_id <> b.doc_id),
-         |inter AS (SELECT c.doc_i, c.doc_j, len(list_intersect(sa.sl, sb.sl)) c
-         |          FROM cand c JOIN sh sa ON c.doc_i = sa.doc_id
-         |                      JOIN sh sb ON c.doc_j = sb.doc_id)
+         |         FROM pe a JOIN e b ON a.sid = b.sid AND a.doc_id <> b.doc_id),
+         |inter AS (SELECT c.doc_i, c.doc_j, count(*) c
+         |          FROM cand c JOIN e ea ON ea.doc_id = c.doc_i
+         |                      JOIN e eb ON eb.doc_id = c.doc_j AND eb.sid = ea.sid
+         |          GROUP BY 1, 2)
          |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(least(s1.n, s2.n) AS DOUBLE) cont
          |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
          |WHERE CAST(c AS DOUBLE)/CAST(least(s1.n, s2.n) AS DOUBLE) >= 0.8""".stripMargin,
@@ -3846,11 +3868,15 @@ object SparkEntry {
     "dedup_index_delta" ->
       s"""WITH $jaccardPrefixCtes,
          |cand AS (SELECT DISTINCT a.doc_id doc_i, b.doc_id doc_j
-         |         FROM pe a JOIN pe b ON a.s = b.s
-         |         WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 IN (0, 1)),
-         |inter AS (SELECT c.doc_i, c.doc_j, len(list_intersect(sa.sl, sb.sl)) c
-         |          FROM cand c JOIN sh sa ON c.doc_i = sa.doc_id
-         |                      JOIN sh sb ON c.doc_j = sb.doc_id)
+         |         FROM pe a JOIN pe b ON a.sid = b.sid
+         |         JOIN sz za ON a.doc_id = za.doc_id
+         |         JOIN sz zb ON b.doc_id = zb.doc_id
+         |         WHERE a.doc_id % 3 = 2 AND b.doc_id % 3 IN (0, 1)
+         |           AND 4*za.n <= 5*zb.n AND 4*zb.n <= 5*za.n),
+         |inter AS (SELECT c.doc_i, c.doc_j, count(*) c
+         |          FROM cand c JOIN e ea ON ea.doc_id = c.doc_i
+         |                      JOIN e eb ON eb.doc_id = c.doc_j AND eb.sid = ea.sid
+         |          GROUP BY 1, 2)
          |SELECT doc_i, doc_j, CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) jac
          |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
          |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin,
