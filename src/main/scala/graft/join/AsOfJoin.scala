@@ -103,13 +103,25 @@ object AsOfJoin {
         if (keys.contains(c)) col(c) else col(s"$lS.`$c`"))
       ++ rPayloadCols.map(c => col(s"$matched.`$c`")): _*)
 
-  /** The forward-pass window ordering: rights sort AFTER lefts at equal
-    * ts (tag desc — at-or-after inclusivity), identical rights by
-    * payload asc so `first` picks the SMALLEST payload (the mirror of
-    * the backward pass's greatest-payload rule). */
-  private def carryOrderFwd(w: org.apache.spark.sql.expressions.WindowSpec) =
-    w.orderBy(col(ts).asc, col(tag).desc, col(rS).asc_nulls_last)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+  /** The forward-pass carry, expressed as a BACKWARD running window
+    * over the exactly-reversed ordering. Semantically this is
+    * `first(non-null) over (ts asc, tag desc, payload asc)
+    * ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING` — rights sort
+    * AFTER lefts at equal ts (at-or-after inclusivity), identical
+    * rights by payload asc so the SMALLEST payload wins (the mirror of
+    * the backward pass's greatest-payload rule). It is NOT written
+    * with an unbounded-FOLLOWING frame because Spark executes that
+    * frame non-incrementally (UnboundedFollowingWindowFunctionFrame
+    * re-aggregates current→end for EVERY row: O(partition²) — measured
+    * quadratic death on million-row keys at x10 data, caught by the
+    * sf1 fuzz leg). Reversing every sort key and taking `last` over
+    * the running [unbounded preceding, current] frame computes the
+    * identical value — rows tied on the full (ts, tag, payload) key
+    * carry equal payloads, so their internal permutation cannot change
+    * the answer — and the running frame aggregates incrementally: O(n). */
+  private def carryOrderFwdRev(w: org.apache.spark.sql.expressions.WindowSpec) =
+    w.orderBy(col(ts).desc, col(tag).asc, col(rS).desc_nulls_first)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
   /** ts as a number for nearest-distance comparison (timestamps →
     * microseconds, dates → days, numerics pass through). */
@@ -124,8 +136,8 @@ object AsOfJoin {
   /**
    * @param direction match selection per left row among same-key rights:
    *   - `"backward"` (default): greatest rightTs <= leftTs;
-   *   - `"forward"`: smallest rightTs >= leftTs (the window flips to a
-   *     first-over-following carry — same one shuffle, same O(L+R));
+   *   - `"forward"`: smallest rightTs >= leftTs (implemented as a
+   *     reversed-order running carry — same one shuffle, same O(L+R));
    *   - `"nearest"`: whichever of the two is closer in |ts distance|,
    *     ties to the BACKWARD match; both carries compute over the one
    *     shuffled union (two window sorts on the same partitioning).
@@ -142,13 +154,13 @@ object AsOfJoin {
       tagSides(left, right, keys, leftTsCol, rightTsCol, None)
     val carry = "__asof_carry"
     val wB = carryOrder(Window.partitionBy(keys.map(col): _*))
-    val wF = carryOrderFwd(Window.partitionBy(keys.map(col): _*))
+    val wF = carryOrderFwdRev(Window.partitionBy(keys.map(col): _*))
     val union = lTagged.unionByName(rTagged)
     val withCarry = direction match {
       case "backward" =>
         union.withColumn(carry, last(col(rS), ignoreNulls = true).over(wB))
       case "forward" =>
-        union.withColumn(carry, first(col(rS), ignoreNulls = true).over(wF))
+        union.withColumn(carry, last(col(rS), ignoreNulls = true).over(wF))
       case "nearest" =>
         // carries keep their match ts for the distance comparison; the
         // when() makes left rows null so ignoreNulls skips them
@@ -158,7 +170,7 @@ object AsOfJoin {
         def num(c: Column) = tsNum(c, lTagged.schema(ts).dataType)
         union
           .withColumn(b, last(rT, ignoreNulls = true).over(wB))
-          .withColumn(f, first(rT, ignoreNulls = true).over(wF))
+          .withColumn(f, last(rT, ignoreNulls = true).over(wF))
           .withColumn(carry,
             when(col(b).isNull, col(s"$f.p"))
               .when(col(f).isNull, col(s"$b.p"))
