@@ -692,9 +692,11 @@ object SparkEntry {
       Dedup.embeddingPairs(tbl(s, dir, "embeddings"), "vec_id", "embedding", tau = 0.5)),
 
     // LSH-bucketed embedding dedup — the 100 TB path; every emitted pair
-    // carries the exact cosine, and at these (low-threshold) settings the
-    // deterministic bucketing catches every qualifying pair on this data,
-    // so the oracle is the same exact all-pairs SQL as dedup_embedding
+    // carries the exact cosine. The oracle replays the bucket bits with
+    // the engine's own plane weights as SQL literals (embeddingLshOracle)
+    // and restricts the exact all-pairs cosine to bucket-colliding pairs
+    // — exact for ANY data, where the previous brute-force oracle relied
+    // on recall happening to be 100% on the original testdata
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingPairsLsh(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         tau = 0.5, planes = 5, tables = 24)),
@@ -3064,6 +3066,54 @@ object SparkEntry {
        |pe AS (SELECT re.doc_id, re.sid FROM re JOIN sz ON re.doc_id = sz.doc_id
        |       WHERE re.rnk <= sz.n - (4*sz.n + 4)//5 + 1)""".stripMargin
 
+  /** Exact-by-construction oracle for the LSH embedding gate: the
+    * DuckDB side replays the random-hyperplane bucket bits with the
+    * ENGINE's own plane weights embedded as double literals (the
+    * weights are a pure splitmix64 function of (table, plane, dim) —
+    * `SimhashBuckets.w` — and Double.toString round-trips bit-exactly;
+    * every literal carries an exponent suffix so DuckDB types it
+    * DOUBLE, never DECIMAL). `list_inner_product` accumulates in dim
+    * order exactly like the engine's sequential loop, so the sign bits
+    * and therefore the per-table buckets match bit-for-bit, and the
+    * oracle = brute-force-exact cosine RESTRICTED to bucket-colliding
+    * pairs — the same candidate-replay discipline as the jaccard
+    * prefix oracles. This replaced a brute-force oracle that silently
+    * asserted 100% LSH recall: true on the original testdata, but the
+    * round-11 decorrelated sf1 corpus produced near-threshold pairs
+    * the banded signatures legitimately miss (recall .975 — the
+    * operator's documented contract), and the gate now pins the
+    * DETERMINISTIC candidate structure instead of a data-dependent
+    * recall accident. Dim fixed at the testdata's 64 — a different
+    * width fails loudly in list_inner_product, never silently. */
+  private val embeddingLshOracle: String = {
+    val planes = 5; val tables = 24; val dim = 64
+    def lit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('E') || s.contains('e')) s else s + "e0"
+    }
+    val rows = (for (t <- 0 until tables; p <- 0 until planes) yield {
+      val ws = (0 until dim)
+        .map(j => lit(graft.functions.SimhashBuckets.w(t, p, j))).mkString(", ")
+      s"($t, ${1L << (planes - 1 - p)}, [$ws])"
+    }).mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings),
+       |pl(t, bitval, wl) AS (VALUES
+       |$rows),
+       |buck AS (SELECT e.vec_id, pl.t,
+       |           CAST(sum(CASE WHEN list_inner_product(e.v, wl) >= 0
+       |                         THEN pl.bitval ELSE 0 END) AS BIGINT) b
+       |         FROM e, pl GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.vec_id doc_i, b.vec_id doc_j
+       |         FROM buck a JOIN buck b
+       |           ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id)
+       |SELECT doc_i, doc_j, cos_r6 FROM (
+       |  SELECT c.doc_i, c.doc_j,
+       |    round(list_inner_product(a.v, b.v)
+       |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) cos_r6
+       |  FROM cand c JOIN e a ON c.doc_i = a.vec_id JOIN e b ON c.doc_j = b.vec_id)
+       |WHERE cos_r6 >= 0.5""".stripMargin
+  }
+
   private val jaccardOracle =
     s"""WITH $jaccardPrefixCtes,
        |cand AS (SELECT DISTINCT a.doc_id doc_i, b.doc_id doc_j
@@ -3881,13 +3931,7 @@ object SparkEntry {
          |FROM inter JOIN sz s1 ON doc_i = s1.doc_id JOIN sz s2 ON doc_j = s2.doc_id
          |WHERE CAST(c AS DOUBLE)/CAST(s1.n + s2.n - c AS DOUBLE) >= 0.8""".stripMargin,
 
-    "dedup_embedding_lsh" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) v FROM embeddings)
-        |SELECT doc_i, doc_j, cos_r6 FROM (
-        |  SELECT a.vec_id doc_i, b.vec_id doc_j,
-        |    round(list_inner_product(a.v, b.v)
-        |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) cos_r6
-        |  FROM e a JOIN e b ON a.vec_id < b.vec_id) WHERE cos_r6 >= 0.5""".stripMargin,
+    "dedup_embedding_lsh" -> embeddingLshOracle,
 
     // md5-ordered seed sample, nearest-seed assignment on round-6
     // cosine (ties to the smallest seed id), within-cell

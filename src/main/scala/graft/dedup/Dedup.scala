@@ -946,7 +946,10 @@ object Dedup {
    * (1-θ/π)^planes. The near-dup regime the defaults target (cos >= 0.9,
    * planes=10, tables=8) gives recall > 1-1e-4; LOW thresholds flatten
    * the s-curve — at tau = 0.5 use few planes and many tables (the gate
-   * query runs planes=5, tables=24, verified exhaustive on the test data).
+   * runs planes=5, tables=24 — recall .966 per near-threshold pair per
+   * the collision formula; its oracle replays the bucket bits exactly
+   * rather than assuming exhaustiveness, so the gate stays hash-green
+   * on any corpus — see SparkEntry.embeddingLshOracle).
    */
   def embeddingPairsLsh(
       df: DataFrame, idCol: String, vecCol: String, tau: Double,

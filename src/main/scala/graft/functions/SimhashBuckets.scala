@@ -51,8 +51,12 @@ object SimhashBuckets {
     z ^ (z >>> 31)
   }
 
-  /** Pseudo-random plane component in [-0.5, 0.5). */
-  private def w(table: Int, plane: Int, dim: Int): Double =
+  /** Pseudo-random plane component in [-0.5, 0.5). `private[graft]` so
+    * the oracle builder can embed the SAME weights as SQL literals —
+    * the LSH gate's DuckDB replay recomputes the bucket bits from
+    * these exact doubles (Double.toString round-trips bit-exactly
+    * through DuckDB's decimal parser). */
+  private[graft] def w(table: Int, plane: Int, dim: Int): Double =
     (mix((table.toLong << 40) ^ (plane.toLong << 20) ^ dim.toLong) >>> 11).toDouble /
       9007199254740992.0d - 0.5d // 2^53
 
