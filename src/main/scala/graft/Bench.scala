@@ -159,19 +159,37 @@ object Bench {
       try graft.similarity.RecallProbe.measureBinary(spark)
       catch { case e: Throwable => errors("binary_recall_probe") = String.valueOf(e.getMessage); -1.0 }
     val errJson = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val recallsJson =
       s""""ivf_recall_at10":{"trained":$recTrained,"sampled":$recSampled},""" +
       s""""pq_recall_at10":$recPq,""" +
       s""""ivfpq_recall_at10":$recIvfPq,""" +
-      s""""binary_recall_at10":$recBinary,""" +
-      s""""errors":$errJson,"sf":"$sfDir"}"""
-    println(json)
-    // sbt prefixes every forked stdout/stderr line with [info]/[error],
-    // which breaks the driver's JSON parse — also write the result line
-    // to a file it can read verbatim
+      s""""binary_recall_at10":$recBinary"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      recallsJson + s""","errors":$errJson,"sf":"$sfDir"}"""
+    // Full per-query artifact goes to a FILE: sbt prefixes forked stdout
+    // with [info], and the driver's round artifact keeps only the last
+    // ~2000 chars of stdout — the 203-query map (~6.6 KB) can never
+    // survive that scrape (BENCH_r11.json recorded "parsed": null).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_RESULT.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (json + "\n").getBytes("UTF-8"))
+    // stdout gets ONE compact line guaranteed to fit the driver's tail
+    // window whole, so BENCH_r12+ artifacts self-parse: totals, errors,
+    // recalls, a pointer to the full artifact, and as many of the
+    // SLOWEST per-query entries as a conservative byte budget allows
+    // (slowest-first is the informative prefix — sub-100 ms queries are
+    // environment-floor noise anyway; the full map is in the file).
+    val fullOut = java.nio.file.Paths.get(outPath).toAbsolutePath.toString
+    val head = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""nqueries":${results.size},"queries_file":${jstr(fullOut)},""" +
+      recallsJson + s""","errors":$errJson,"sf":"$sfDir","queries":{"""
+    val budget = 1900 - head.length - 2
+    val slowFirst = results.sortBy(-_._2).iterator
+      .map { case (k, v) => jstr(k) + ":" + math.rint(v * 1000) / 1000 }
+    val kept = new scala.collection.mutable.ArrayBuffer[String]
+    var used = 0
+    for (e <- slowFirst if used + e.length + 1 <= budget) { kept += e; used += e.length + 1 }
+    println(head + kept.mkString(",") + "}}")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -699,7 +699,8 @@ object SparkEntry {
     // on recall happening to be 100% on the original testdata
     "dedup_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingPairsLsh(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        tau = 0.5, planes = 5, tables = 24)),
+        tau = EmbeddingLshGate.Tau, planes = EmbeddingLshGate.Planes,
+        tables = EmbeddingLshGate.Tables)),
 
     // SemDeDup-style semantic dedup: deterministic md5-sampled seeds,
     // nearest-seed cells on round-6 cosine, smaller-id-neighbour
@@ -3084,9 +3085,21 @@ object SparkEntry {
     * operator's documented contract), and the gate now pins the
     * DETERMINISTIC candidate structure instead of a data-dependent
     * recall accident. Dim fixed at the testdata's 64 — a different
-    * width fails loudly in list_inner_product, never silently. */
+    * width fails loudly in list_inner_product, never silently.
+    *
+    * Pinned dependency (r11 ADVICE): the bit-for-bit sign parity rests
+    * on DuckDB's `list_inner_product` accumulating SEQUENTIALLY in
+    * element order (verified against DuckDB 1.0.0, the driver's oracle
+    * engine) — an unpinned implementation detail. If a future DuckDB
+    * vectorizes/reassociates the sum, a near-zero projection could
+    * flip a sign bit and this gate would fail LOUDLY (hash mismatch);
+    * that failure mode is oracle drift, not an engine bug — re-derive
+    * the replay with the new summation order before touching the
+    * engine. Geometry (planes/tables/tau) comes from
+    * [[EmbeddingLshGate]], the same constants the query registration
+    * uses, so the two sides cannot drift apart. */
   private val embeddingLshOracle: String = {
-    val planes = 5; val tables = 24; val dim = 64
+    import EmbeddingLshGate.{Planes => planes, Tables => tables, Dim => dim}
     def lit(d: Double): String = {
       val s = d.toString
       if (s.contains('E') || s.contains('e')) s else s + "e0"
@@ -3111,7 +3124,20 @@ object SparkEntry {
        |    round(list_inner_product(a.v, b.v)
        |      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) cos_r6
        |  FROM cand c JOIN e a ON c.doc_i = a.vec_id JOIN e b ON c.doc_j = b.vec_id)
-       |WHERE cos_r6 >= 0.5""".stripMargin
+       |WHERE cos_r6 >= ${EmbeddingLshGate.Tau}""".stripMargin
+  }
+
+  /** Single source of truth for the `dedup_embedding_lsh` gate's LSH
+    * geometry — shared by the query registration and the DuckDB
+    * bucket-replay oracle builder (r11 ADVICE: previously duplicated
+    * literals ~2.4k lines apart could drift and fail as a spurious
+    * red). Dim is the testdata embedding width; a mismatch fails
+    * loudly on both sides. */
+  private object EmbeddingLshGate {
+    val Planes = 5
+    val Tables = 24
+    val Dim = 64
+    val Tau = 0.5
   }
 
   private val jaccardOracle =

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
  * runs. `n_chars` is recomputed for perturbed copies so the column
  * stays the text's true length. EMBEDDINGS get the same treatment in
  * perturb mode via [[decorrelate]]: per-copy permutation + sign mask
- * keeps every within-copy inner product bit-exact (organic edge
- * density reproduced per copy) while cross-copy cosines collapse to
+ * preserves every within-copy inner product exactly in real arithmetic
+ * (float sums match up to reassociation, ~1 ulp — the permutation
+ * reorders the summation) so organic edge density is reproduced per
+ * copy, while cross-copy cosines collapse to
  * ~0, so the similarity graph grows linearly instead of forming
  * identical-vector copy-cliques (edges ×106 at ×10 under verbatim).
  *
@@ -71,9 +73,14 @@ object MakeSf1 {
   /** Decorrelate one embedding copy: v'(j) = s_k(j) · v(π_k(j)) with a
     * per-copy Fisher-Yates permutation π_k and ±1 sign mask s_k, both
     * driven by the splitmix64 stream (NO RNG). Why this exact shape:
-    * within one copy every inner product is PRESERVED BIT-EXACTLY
-    * (Σ s² v_A[π(j)] v_B[π(j)] = v_A·v_B — same permutation, squared
-    * signs), so each copy reproduces the source corpus's organic
+    * within one copy every inner product is preserved EXACTLY IN REAL
+    * ARITHMETIC (Σ s² v_A[π(j)] v_B[π(j)] = v_A·v_B — same permutation,
+    * squared signs); in float the permutation reorders the summation,
+    * so dot products match only up to reassociation error (~1 ulp,
+    * `MakeSf1Spec` asserts at 1e-12) — near-threshold pairs CAN flip
+    * between copies, which is fine because every oracle recomputes on
+    * the actual generated data. Each copy reproduces the source
+    * corpus's organic
     * similarity-graph edge density; ACROSS copies the sign-scrambled,
     * misaligned products decorrelate (cosine ≈ 0), so identical-vector
     * copy-cliques cannot form and the sf1 similarity graph grows
