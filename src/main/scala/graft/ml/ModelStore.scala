@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
  *  - PQ codebooks ([[graft.similarity.ProductQuantizer.Codebooks]])
  *  - bigram-LM count tables ([[graft.text.NgramLm.BigramLm]])
  *  - logistic quality-model weights ([[Logistic.Model]])
+ *  - unigram-EM tokenizer models + their log-likelihood trajectory
+ *    ([[graft.text.Unigram.EmResult]])
  *
  * Design rules, applied uniformly:
  *
@@ -247,5 +249,51 @@ object ModelStore {
     val bias = series("b")
     require(bias.length == 1, s"expected one bias row at $path, got ${bias.length}")
     Logistic.Model(series("w"), bias.head, series("loss"))
+  }
+
+  /** Save a unigram EM run as (kind, idx, piece, value) rows — the
+    * [[saveLogistic]] discipline applied to the tokenizer: kind
+    * `piece` idx i = the i-th piece (sorted) with its micro-nat
+    * log-prob, kind `meta` = max_piece_len / unk_micro, kind `ll`
+    * idx t = the corpus log-likelihood trajectory entry t (seed score
+    * first — the training history travels WITH the artifact, so a
+    * deployed tokenizer carries the evidence of its own convergence).
+    * All values are micro-nat/int LONGS: the artifact round-trips
+    * bit-for-bit. */
+  def saveUnigram(spark: SparkSession, r: graft.text.Unigram.EmResult,
+      path: String): Unit = {
+    import spark.implicits._
+    val m = r.model
+    val rows =
+      m.pieces.toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((p, lp), i) => ("piece", i, p, lp) } ++
+      Seq(("meta", 0, "max_piece_len", m.maxPieceLen.toLong),
+          ("meta", 1, "unk_micro", m.unkMicro)) ++
+      r.llMicro.toSeq.zipWithIndex.map { case (ll, t) => ("ll", t, "", ll) }
+    rows.toDF("kind", "idx", "piece", "value")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a unigram EM artifact — model and trajectory reassembled by
+    * kind; contiguity and meta completeness fail loudly. */
+  def loadUnigram(spark: SparkSession, path: String): graft.text.Unigram.EmResult = {
+    val rows = spark.read.parquet(path)
+      .select(col("kind"), col("idx").cast("int"), col("piece"),
+        col("value").cast("long"))
+      .collect()
+    def byKind(kind: String) = {
+      val xs = rows.filter(_.getString(0) == kind)
+      require(xs.map(_.getInt(1)).sorted.toSeq == xs.indices.toSeq,
+        s"non-contiguous '$kind' indices in unigram artifact at $path")
+      xs.sortBy(_.getInt(1))
+    }
+    val meta = byKind("meta").map(r => r.getString(2) -> r.getLong(3)).toMap
+    require(meta.contains("max_piece_len") && meta.contains("unk_micro"),
+      s"incomplete meta rows in unigram artifact at $path")
+    graft.text.Unigram.EmResult(
+      graft.text.Unigram.Model(
+        byKind("piece").map(r => r.getString(2) -> r.getLong(3)).toMap,
+        meta("max_piece_len").toInt, meta("unk_micro")),
+      byKind("ll").map(_.getLong(3)))
   }
 }

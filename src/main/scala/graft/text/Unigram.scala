@@ -129,14 +129,25 @@ object Unigram {
    * driver. The model rides the closure as one serializable runtime
    * reference, not a plan literal.
    */
-  def emRefine(df: DataFrame, textCol: String, m: Model): Model = {
+  def emRefine(df: DataFrame, textCol: String, m: Model): Model =
+    emRefineWords(wordHistogram(df, textCol), m)
+
+  /** The corpus's distinct-word frequency table — the shared input of
+    * every EM-round statistic (one map-side-combined aggregation,
+    * vocabulary-of-words-bounded, never corpus-bounded). */
+  private def wordHistogram(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+
+  /** [[emRefine]] over a prebuilt word histogram — lets [[emTrain]]
+    * run R rounds with ONE corpus pass (the histogram is cached) plus
+    * R word-bounded passes. */
+  private def emRefineWords(words: DataFrame, m: Model): Model = {
     if (m.pieces.isEmpty) return m
     val rt = runtime(m)
-    val spark = df.sparkSession
+    val spark = words.sparkSession
     import spark.implicits._
-    val counts = df
-      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val counts = words
       .as[(String, Long)]
       .flatMap { case (w, wc) =>
         rt.segment(w).iterator
@@ -152,6 +163,62 @@ object Unigram {
         p -> math.round(math.log(c.toDouble / tot.toDouble) * 1e6)
       }.toMap,
       m.maxPieceLen, m.unkMicro)
+  }
+
+  /** Exact total corpus Viterbi log-likelihood under `m`, in
+    * micro-nats: Σ over corpus word occurrences of the word's best-path
+    * score — computed as Σ wc · score_micro(w) over the DISTINCT-word
+    * histogram (one bounded aggregation over the existing serving
+    * machinery; the sum is exact long arithmetic, so the trajectory is
+    * bit-replayable). Empty corpus scores 0. */
+  def corpusScore(df: DataFrame, textCol: String, m: Model): Long =
+    corpusScoreWords(wordHistogram(df, textCol), m)
+
+  private def corpusScoreWords(words: DataFrame, m: Model): Long =
+    words
+      .select(coalesce(sum(col("wc") *
+        wordScore(col("w"), m).getField("score_micro")), lit(0L)).as("ll"))
+      .head.getLong(0)
+
+  /** An EM run's outcome: the refined model plus the corpus
+    * log-likelihood TRAJECTORY in micro-nats — `llMicro(0)` is the
+    * seed model's score, `llMicro(t)` the score after round t
+    * (length = rounds + 1). Hard (Viterbi) EM is monotone
+    * non-decreasing in real arithmetic: re-segmentation under the new
+    * model only improves the score the multinomial MLE already
+    * improved. In micro-nat integer arithmetic each piece's log-prob
+    * carries ≤0.5 µnat rounding, so adjacent trajectory entries match
+    * the real-arithmetic guarantee up to ~1 µnat per corpus piece
+    * occurrence (`UnigramSpec` pins exact non-decrease on the fixture
+    * corpus). The [[graft.ml.ModelStore.saveUnigram]] artifact carries
+    * the trajectory — the `Logistic.Model.losses` discipline. */
+  final case class EmResult(model: Model, llMicro: Array[Long])
+
+  /**
+   * Run `rounds` Viterbi-EM refinement rounds from `seed`, recording
+   * the corpus log-likelihood before and after every round. Scale
+   * shape: ONE corpus-bounded pass builds the distinct-word histogram
+   * (cached — at 100 TB the histogram is vocabulary-of-words-sized,
+   * orders of magnitude below the corpus), then each round is two
+   * word-bounded jobs (re-segmentation counts + trajectory score) over
+   * the cache.
+   */
+  def emTrain(df: DataFrame, textCol: String, seed: Model, rounds: Int): EmResult = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = wordHistogram(df, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val traj = Array.newBuilder[Long]
+      var m = seed
+      traj += corpusScoreWords(words, m)
+      var r = 0
+      while (r < rounds) {
+        m = emRefineWords(words, m)
+        traj += corpusScoreWords(words, m)
+        r += 1
+      }
+      EmResult(m, traj.result())
+    } finally words.unpersist(blocking = false)
   }
 
   /** The serving runtime for a model — ONE reference object regardless

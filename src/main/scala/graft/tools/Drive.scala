@@ -1585,6 +1585,23 @@ object Drive {
       println(s"OK garbage decode=${bad.getString(0)} (expect unknown)")
     }
 
+    println("=== 52. round-12: unigram EM trajectory + artifact ===")
+    locally {
+      import graft.text.Unigram
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val m0 = Unigram.train(docs, "text", vocabSize = 32, maxPieceLen = 4)
+      val r = Unigram.emTrain(docs, "text", m0, rounds = 2)
+      val mono = r.llMicro.sliding(2).forall { case Array(a, b) => b >= a }
+      println(s"OK emTrain llMicro=${r.llMicro.mkString(",")} monotone=$mono " +
+        "(expect 3 entries, monotone=true)")
+      val path = java.nio.file.Files.createTempDirectory("drv_unigram").toString + "/m"
+      graft.ml.ModelStore.saveUnigram(spark, r, path)
+      val back = graft.ml.ModelStore.loadUnigram(spark, path)
+      val rt = back.model.pieces == r.model.pieces &&
+        back.llMicro.toSeq == r.llMicro.toSeq
+      println(s"OK unigram artifact roundtrip=$rt (expect true)")
+    }
+
     spark.stop()
   }
 }

@@ -180,4 +180,41 @@ class UnigramSpec extends AnyFlatSpec with Matchers {
     val m1b = Unigram.emRefine(docs, "text", m0)
     assert(m1b.pieces == m1.pieces)
   }
+
+  it should "record a monotone non-decreasing corpus log-likelihood over >=3 EM rounds" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m0 = Unigram.train(docs, "text", vocabSize = 64, maxPieceLen = 4)
+    val r = Unigram.emTrain(docs, "text", m0, rounds = 3)
+    // trajectory shape: seed score first, one entry per round
+    r.llMicro.length shouldBe 4
+    // hard-EM guarantee, pinned EXACTLY on the fixture corpus: each
+    // round's re-segmentation + MLE renormalization never lowers the
+    // total Viterbi score (micro-nat rounding noise stays below the
+    // per-round improvements here)
+    r.llMicro.sliding(2).foreach { case Array(a, b) =>
+      assert(b >= a, s"LL decreased: ${r.llMicro.mkString(",")}")
+    }
+    // trajectory entries ARE corpusScore: endpoints recompute exactly
+    Unigram.corpusScore(docs, "text", m0) shouldBe r.llMicro.head
+    Unigram.corpusScore(docs, "text", r.model) shouldBe r.llMicro.last
+    // emTrain == emRefine composed (the cached-histogram path changes
+    // the job shape, never the statistics)
+    val viaRefine =
+      Unigram.emRefine(docs, "text",
+        Unigram.emRefine(docs, "text", Unigram.emRefine(docs, "text", m0)))
+    r.model.pieces shouldBe viaRefine.pieces
+  }
+
+  it should "round-trip the EM artifact (model + trajectory) bit-for-bit" in {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m0 = Unigram.train(docs, "text", vocabSize = 48, maxPieceLen = 3)
+    val r = Unigram.emTrain(docs, "text", m0, rounds = 2)
+    val path = java.nio.file.Files.createTempDirectory("unigram_em").toString + "/m"
+    graft.ml.ModelStore.saveUnigram(spark, r, path)
+    val back = graft.ml.ModelStore.loadUnigram(spark, path)
+    back.model.pieces shouldBe r.model.pieces
+    back.model.maxPieceLen shouldBe r.model.maxPieceLen
+    back.model.unkMicro shouldBe r.model.unkMicro
+    back.llMicro.toSeq shouldBe r.llMicro.toSeq
+  }
 }
