@@ -2617,6 +2617,55 @@ object SparkEntry {
           hex(col("frame")).as("frame_hex"))
     }),
 
+    // demux → DECODE → pixel stats, end to end (round 12, closing the
+    // demux≠decode caveat): AVI containers whose 00dc chunks are real
+    // canonical BMPs — the RIFF walk extracts each frame payload, the
+    // REAL BmpCodec decodes its pixels, and per-frame 4×2 tile channel
+    // means come out in exact integer arithmetic the oracle replays
+    // from the pixel formula. (The real-JPEG twin of this composition
+    // — ImageIO-encoded frames through ImageIoCodec — is spec-pinned
+    // in MultimodalSpec; JPEG bytes aren't SQL-assemblable.) Non-AVI
+    // payloads (every 7th doc) demux to nothing — no rows
+    "multimodal_video_tiles" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = aviBmpAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      val frames = graft.multimodal.Multimodal.demuxFrames(assets, "doc_id",
+          "content", everyN = 1, codec = graft.multimodal.Multimodal.AviCodec)
+        // nf <= 4 frames, so a 16-slot composite key round-trips exactly
+        .select((col("asset_id") * 16 + col("frame_index")).as("fid"), col("frame"))
+      graft.multimodal.Multimodal.imageTileStats(frames, "fid", "frame",
+          tileW = 4, tileH = 2, graft.multimodal.Multimodal.BmpCodec)
+        .select(expr("asset_id div 16").as("doc_id"),
+          pmod(col("asset_id"), lit(16)).cast("int").as("frame_index"),
+          col("tile_x"), col("tile_y"), col("n_px"),
+          col("mean_b"), col("mean_g"), col("mean_r"))
+    }),
+
+    // REAL MP4/ISO-BMFF metadata (round 12): canonical metadata-only
+    // MP4s built from doc_id via identical hex assembly in both
+    // engines, decoded by the big-endian box walk (ftyp → moov →
+    // mvhd/trak → tkhd/mdia → mdhd/hdlr) — dimensions from tkhd's
+    // 16.16 fields, duration_ms = duration·1000 div timescale. Frame
+    // decode explicitly stays behind the ffmpeg seam. Every 7th doc
+    // carries raw text and must decode `unknown` (totality)
+    "multimodal_mp4_meta" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = mp4Assets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.withDecodedMeta(assets, "content",
+          codec = graft.multimodal.Multimodal.Mp4Codec)
+        .select(col("doc_id"), col("meta.kind").as("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+    }),
+
     // link-graph quality weighting: fixed-point PageRank over the
     // symmetrized customer↔supplier purchase graph (customers offset to
     // a disjoint id namespace). Integer micro-unit iteration — both
@@ -2876,6 +2925,106 @@ object SparkEntry {
             |  a || lpad(hex(pmod(doc_id*11 + i*17 + j*7, 256)), 2, '0')) ||
             |CASE WHEN pmod(15 + pmod(doc_id*3 + i*5, 6), 2) = 1
             |     THEN '00' ELSE '' END))""".stripMargin)))
+      .select(col("doc_id"), unhex(col("hx")).as("content"))
+  }
+
+  /** Deterministic AVI-of-real-BMPs assets for `multimodal_video_tiles`
+    * — the demux → decode → pixel-stats composition twin of
+    * [[aviAssets]]: each `00dc` chunk is a CANONICAL 8×bh 24-bit BMP
+    * ([[graft.multimodal.Multimodal.BmpCodec]]'s exact layout, the
+    * [[bmpAssets]] arithmetic shifted by the frame index), so the
+    * demuxed payloads decode to pixels whose tile means the DuckDB
+    * oracle replays in closed form. nf = 2 + doc_id%3 frames; frame i
+    * is 8×(2 + (doc_id+i)%4) with pixel (x, y) B =
+    * (doc_id·7 + i·13 + y·31 + x·3)%256, G/R at +85/+170. BMP sizes
+    * (54 + 24·bh) are always even — the RIFF pad never fires, keeping
+    * the two engines' byte arithmetic trivially aligned. */
+  private def aviBmpAssets(docs: DataFrame): DataFrame = {
+    def le32(e: String): String =
+      s"lpad(hex(($e) % 256), 2, '0') || lpad(hex((($e) div 256) % 256), 2, '0') || " +
+        s"lpad(hex((($e) div 65536) % 256), 2, '0') || lpad(hex((($e) div 16777216) % 256), 2, '0')"
+    def le32c(v: Int): String =
+      f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
+    val z4 = le32c(0)
+    // one full 00dc chunk (header + canonical BMP) for frame `i`, as a
+    // SQL hex expression — `bh` rebound per frame inside the lambda
+    val frameChunk =
+      """'30306463' || lpad(hex(54 + 24 * (2 + pmod(doc_id + i, 4))), 2, '0') || '000000' ||
+        |'424D' || lpad(hex(54 + 24 * (2 + pmod(doc_id + i, 4))), 2, '0') || '000000' ||
+        |'00000000' || '36000000' || '28000000' || '08000000' ||
+        |lpad(hex(2 + pmod(doc_id + i, 4)), 2, '0') || '000000' || '0100' || '1800' ||
+        |'00000000' || lpad(hex(24 * (2 + pmod(doc_id + i, 4))), 2, '0') || '000000' ||
+        |'130B0000' || '130B0000' || '00000000' || '00000000' ||
+        |aggregate(sequence(0, CAST(2 + pmod(doc_id + i, 4) AS INT) - 1), '', (acc, r) -> acc ||
+        |  aggregate(sequence(0, 7), '', (a2, x) ->
+        |    a2 || lpad(hex(pmod(doc_id*7 + i*13 + (1 + pmod(doc_id + i, 4) - r)*31 + x*3, 256)), 2, '0')
+        |       || lpad(hex(pmod(doc_id*7 + i*13 + (1 + pmod(doc_id + i, 4) - r)*31 + x*3 + 85, 256)), 2, '0')
+        |       || lpad(hex(pmod(doc_id*7 + i*13 + (1 + pmod(doc_id + i, 4) - r)*31 + x*3 + 170, 256)), 2, '0')))""".stripMargin
+    docs.select(col("doc_id"))
+      .withColumn("nf", (lit(2) + pmod(col("doc_id"), lit(3))).cast("int"))
+      // movi data: 'movi' + per frame (8-byte chunk header + whole BMP)
+      .withColumn("movi", expr(
+        """4 + aggregate(sequence(0, nf - 1), CAST(0 AS BIGINT), (acc, i) ->
+          |acc + 8 + 54 + 24 * (2 + pmod(doc_id + i, 4)))""".stripMargin))
+      .withColumn("hx", concat(
+        lit("52494646"), expr(le32("212 + movi")), lit("41564920"),
+        lit("4C495354"), lit(le32c(192)), lit("6864726C"),
+        lit("61766968"), lit(le32c(56)),
+        lit(le32c(100000)),                             // usPerFrame (10 fps)
+        lit(z4 * 3),
+        expr(le32("nf")), lit(z4), lit(le32c(1)), lit(z4),
+        lit(le32c(8)), lit(le32c(8)), lit(z4 * 4),      // declared 8×8
+        lit("4C495354"), lit(le32c(116)), lit("7374726C"),
+        lit("73747268"), lit(le32c(56)),
+        lit("76696473"), lit("4D4A5047"),
+        lit(z4 * 3),
+        lit(le32c(1)), lit(le32c(10)), lit(z4),         // scale, rate=10 fps
+        expr(le32("nf")),
+        lit(z4 * 5),
+        lit("73747266"), lit(le32c(40)),
+        lit(le32c(40)), lit(le32c(8)), lit(le32c(8)),
+        lit("0100"), lit("1800"), lit("4D4A5047"),
+        lit(z4 * 5),
+        lit("4C495354"), expr(le32("movi")), lit("6D6F7669"),
+        expr(s"concat_ws('', transform(sequence(0, nf - 1), i ->\n$frameChunk))")))
+      .select(col("doc_id"), unhex(col("hx")).as("content"))
+  }
+
+  /** Deterministic real-MP4 assets for `multimodal_mp4_meta`: one
+    * canonical metadata-only ISO-BMFF file per document — w = 160 +
+    * (doc_id%4)·16, h = 120 + (doc_id%3)·8, movie/media timescale =
+    * 500 + (doc_id%4)·250, duration = 3000 + (doc_id%7)·111 units —
+    * assembled as hex by the SAME arithmetic the DuckDB oracle's
+    * closed-form uses (ISO boxes are BIG-endian, so `lpad(hex(v), 8,
+    * '0')` IS the field encoding — no byte swapping), then `unhex`ed;
+    * layout is exactly [[graft.multimodal.Multimodal.Mp4Codec
+    * .encode]]'s canonical 305-byte tree. */
+  private def mp4Assets(docs: DataFrame): DataFrame = {
+    def be32(e: String): String = s"lpad(hex($e), 8, '0')"
+    val matrix = "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
+    docs.select(col("doc_id"))
+      .withColumn("w", (lit(160) + pmod(col("doc_id"), lit(4)) * 16).cast("int"))
+      .withColumn("h", (lit(120) + pmod(col("doc_id"), lit(3)) * 8).cast("int"))
+      .withColumn("ts", (lit(500) + pmod(col("doc_id"), lit(4)) * 250).cast("int"))
+      .withColumn("dur", (lit(3000) + pmod(col("doc_id"), lit(7)) * 111).cast("int"))
+      .withColumn("hx", concat(
+        lit("0000001066747970" + "69736F6D" + "00000200"),          // ftyp isom
+        lit("000001216D6F6F76"),                                    // moov 289
+        lit("0000006C6D766864" + "00000000" * 3),                   // mvhd v0
+        expr(be32("ts")), expr(be32("dur")),
+        lit("00010000" + "01000000" + "00" * 8 + matrix + "00" * 24 + "00000002"),
+        lit("000000AD7472616B"),                                    // trak 173
+        lit("0000005C746B6864" + "00000007" + "00000000" * 2 +      // tkhd v0+7
+          "00000001" + "00000000"),
+        expr(be32("dur")),
+        lit("00" * 8 + "0000" * 4 + matrix),
+        expr(be32("w * 65536")), expr(be32("h * 65536")),           // 16.16
+        lit("000000496D646961"),                                    // mdia 73
+        lit("000000206D646864" + "00000000" * 3),                   // mdhd v0
+        expr(be32("ts")), expr(be32("dur")),
+        lit("55C40000"),                                            // lang 'und'
+        lit("0000002168646C72" + "00000000" * 2 + "76696465" +      // hdlr vide
+          "00" * 12 + "00")))
       .select(col("doc_id"), unhex(col("hx")).as("content"))
   }
 
@@ -5882,6 +6031,42 @@ object SparkEntry {
         |    for j in range(0, 15 + (doc_id*3 + fi*5) % 6)],
         |    'string_agg', '') frame_hex
         |FROM f""".stripMargin,
+
+    // demux → decode → tile stats replayed in closed form: the frames'
+    // pixels are a pure function of (doc, frame, x, y) — the engine
+    // walked the real container and decoded the real BMP bytes to get
+    // the same integers (the multimodal_tile_stats pattern, frame-aware)
+    "multimodal_video_tiles" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 nf FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |f AS (SELECT doc_id, i.i fi, 2 + (doc_id + i.i) % 4 bh
+        |      FROM d, unnest(range(0, nf)) i(i)),
+        |px AS (SELECT doc_id, fi, xx.i x, yy.i y,
+        |         (doc_id*7 + fi*13 + yy.i*31 + xx.i*3) % 256 b,
+        |         (doc_id*7 + fi*13 + yy.i*31 + xx.i*3 + 85) % 256 g,
+        |         (doc_id*7 + fi*13 + yy.i*31 + xx.i*3 + 170) % 256 rr
+        |       FROM f, unnest(range(0, 8)) xx(i), unnest(range(0, bh)) yy(i))
+        |SELECT doc_id, CAST(fi AS INT) frame_index, CAST(x // 4 AS INT) tile_x,
+        |       CAST(y // 2 AS INT) tile_y, CAST(count(*) AS INT) n_px,
+        |       CAST(sum(b) // count(*) AS BIGINT) mean_b,
+        |       CAST(sum(g) // count(*) AS BIGINT) mean_g,
+        |       CAST(sum(rr) // count(*) AS BIGINT) mean_r
+        |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // the box fields the walk must read back: pure doc_id arithmetic
+    // (the container round-trips them bit-exactly); duration_ms floors
+    // exactly like the engine's integer division
+    "multimodal_mp4_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'video' END kind,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(160 + (doc_id % 4) * 16 AS INT) END width,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(120 + (doc_id % 3) * 8 AS INT) END height,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST((3000 + (doc_id % 7) * 111) * 1000
+        |            // (500 + (doc_id % 4) * 250) AS BIGINT) END duration_ms
+        |FROM documents""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle(seeded = false),
     "graph_ppr_seeds" -> pagerankOracle(seeded = true),

@@ -1585,7 +1585,32 @@ object Drive {
       println(s"OK garbage decode=${bad.getString(0)} (expect unknown)")
     }
 
-    println("=== 52. round-12: unigram EM trajectory + artifact ===")
+    println("=== 52. round-12: MP4 metadata walk + video demux→decode tiles ===")
+    locally {
+      import spark.implicits._
+      import graft.multimodal.Multimodal
+      val mp4 = Multimodal.Mp4Codec.encode("vide", 1280, 720, 600, 3600)
+      val m = Multimodal.Mp4Codec.decode(mp4)
+      println(s"OK mp4 meta=(${m.getString(0)},${m.getInt(1)}x${m.getInt(2)}," +
+        s"${m.getLong(4)}ms) (expect (video,1280x720,6000ms))")
+      println(s"OK mp4 garbage=${Multimodal.Mp4Codec.decode("junk".getBytes).getString(0)} " +
+        "(expect unknown)")
+      // container of real BMP frames: demux → decode → per-frame tiles
+      val bmp0 = Multimodal.BmpCodec.encode(8, 4, (x, y) => (x * 30 + y * 60) << 16)
+      val bmp1 = Multimodal.BmpCodec.encode(8, 2, (_, _) => 0x102030)
+      val avi = Multimodal.AviCodec.encode(8, 4, 10, Seq(bmp0, bmp1))
+      val frames = Multimodal.demuxFrames(Seq((3L, avi)).toDF("id", "content"),
+          "id", "content", everyN = 1, codec = Multimodal.AviCodec)
+        .select((col("asset_id") * 16 + col("frame_index")).as("fid"), col("frame"))
+      val tiles = Multimodal.imageTileStats(frames, "fid", "frame",
+          tileW = 4, tileH = 2, Multimodal.BmpCodec)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) -> r.getLong(6)).toMap
+      // frame 1 (fid 49) is uniform R=0x10=16: every tile mean_r = 16
+      println(s"OK videoTiles frame1 meanR=${tiles((49L, 0, 0))},${tiles((49L, 1, 0))} " +
+        s"nTiles=${tiles.size} (expect 16,16, nTiles=6)")
+    }
+
+    println("=== 53. round-12: unigram EM trajectory + artifact ===")
     locally {
       import graft.text.Unigram
       val docs = spark.read.parquet(s"$dir/documents.parquet")

@@ -54,4 +54,55 @@ class MultimodalSpec extends AnyFlatSpec with Matchers {
     h.getLong(0) shouldBe 304L
     h.getLong(1) shouldBe 300L
   }
+
+  it should "compose demux -> REAL JPEG decode -> tile stats end-to-end" in {
+    // a true MJPEG pipeline: the AVI 00dc chunks are REAL JPEGs
+    // (javax.imageio-encoded), demuxFrames hands each payload to the
+    // REAL ImageIoCodec, and the per-tile channel means must equal an
+    // independent per-pixel recompute from ImageIO's own decode of the
+    // SAME payload bytes — pinning the composition without assuming
+    // anything about JPEG quantization
+    def jpegOf(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", baos)
+      baos.toByteArray
+    }
+    // frame 0: uniform mid-gray; frame 1: left/right halves
+    val j0 = jpegOf(16, 8, (_, _) => 0x606060)
+    val j1 = jpegOf(16, 8, (x, _) => if (x < 8) 0x202020 else 0xa0a0a0)
+    val avi = Multimodal.AviCodec.encode(16, 8, 10, Seq(j0, j1))
+    val df = Seq((7L, avi)).toDF("id", "content")
+    val frames = Multimodal.demuxFrames(df, "id", "content", everyN = 1,
+        codec = Multimodal.AviCodec)
+      .select((col("asset_id") * 16 + col("frame_index")).as("fid"), col("frame"))
+    // demuxed payloads are byte-identical to the muxed JPEGs
+    val payloads = frames.orderBy("fid").collect().map(_.getAs[Array[Byte]]("frame"))
+    payloads.length shouldBe 2
+    payloads(0) shouldBe j0
+    payloads(1) shouldBe j1
+    val got = Multimodal.imageTileStats(frames, "fid", "frame",
+        tileW = 8, tileH = 8, codec = Multimodal.ImageIoCodec)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)) ->
+        (r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    got.size shouldBe 4 // 2 frames x 2 tiles (16x8 at 8x8 tiles)
+    // independent expectation: re-decode each JPEG with ImageIO directly
+    def expectTile(jpeg: Array[Byte], tx: Int): (Int, Long, Long, Long) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpeg))
+      var (sb, sg, sr) = (0L, 0L, 0L)
+      for (y <- 0 until 8; x <- tx * 8 until tx * 8 + 8) {
+        val p = img.getRGB(x, y)
+        sb += p & 0xff; sg += (p >> 8) & 0xff; sr += (p >> 16) & 0xff
+      }
+      (64, sb / 64, sg / 64, sr / 64)
+    }
+    for ((jpeg, fi) <- Seq(j0, j1).zipWithIndex; tx <- 0 to 1)
+      got((7L * 16 + fi, tx, 0)) shouldBe expectTile(jpeg, tx)
+    // and the halves frame really decoded dark-left / bright-right
+    got((7L * 16 + 1, 0, 0))._2 should be < got((7L * 16 + 1, 1, 0))._2
+  }
 }
