@@ -29,6 +29,15 @@ object Verify {
       .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.codegen.wholeStage", "false")
+    // SPARK_GRAFT_STATESTORE=rocksdb: the provider production 100 TB
+    // streaming runs on — the streaming gates (and the stateful
+    // stream-stream interval join in particular) must be bit-identical
+    // under it (batch queries ignore the conf). The alt-session
+    // discipline applied to streaming state; RocksDbStateParitySpec
+    // pins the MemoryStream side.
+    if (sys.env.get("SPARK_GRAFT_STATESTORE").contains("rocksdb")) builder
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val spark = builder
       // events.parquet carries TIMESTAMP(NANOS); the event-time queries
       // read it as nanosecond longs (set here once — queries never
