@@ -666,7 +666,10 @@ def curate(df, id_col="doc_id", text_col="text", lang="en", min_tokens=5,
 def with_decoded_meta(df, content_col="content", codec="stub"):
     """Append the typed `meta` struct decoded partition-wise.
     codec='imageio' uses the REAL pure-JDK codec (PNG/JPEG/BMP/GIF via
-    javax.imageio, WAV/AIFF via javax.sound); 'stub' keeps the
+    javax.imageio, WAV/AIFF via javax.sound); 'bmp'/'wav' are the real
+    hand-rolled uncompressed codecs; 'avi' the real MJPEG-in-AVI
+    demuxing codec; 'mp4' the real ISO-BMFF metadata box walk (frame
+    decode stays behind the ffmpeg seam); 'stub' keeps the
     oracle-replayable fake-header codec."""
     return _wrap(df, _facade(df).withDecodedMeta(df._jdf, content_col,
                                                  codec))
@@ -691,6 +694,17 @@ def sample_frames(df, id_col="doc_id", content_col="content",
                   frame_bytes=256, every_n=2):
     return _wrap(df, _facade(df).sampleFrames(
         df._jdf, id_col, content_col, int(frame_bytes), int(every_n)))
+
+
+def demux_frames(df, id_col="doc_id", content_col="content",
+                 every_n=1, codec="avi"):
+    """Demux every `every_n`-th REAL container frame payload
+    (codec-determined boundaries; one JPEG per row for MJPEG-in-AVI) as
+    (asset_id, frame_index, frame) rows; non-video payloads emit no
+    rows. Compose with image_tile_stats/image_hash for per-frame pixel
+    work."""
+    return _wrap(df, _facade(df).demuxFrames(
+        df._jdf, id_col, content_col, int(every_n), codec))
 
 
 def byte_histogram(df, content_col="content", out_col="histogram"):

@@ -1200,6 +1200,77 @@ class TestRound8(object):
                for r in P.image_tile_stats(df, "id", tile_w=1, tile_h=1).collect()}
         assert got == {(0, 0): (1, 2, 3), (1, 0): (5, 6, 7)}
 
+    def test_demux_frames_and_mp4_meta(self, local_spark):
+        import struct
+        le32 = lambda v: struct.pack("<I", v)
+        be32 = lambda v: struct.pack(">I", v)
+        # two real 2x1 BMP frames inside a canonical MJPEG-in-AVI shell
+        def bmp(px0, px1):
+            row = bytes(px0) + bytes(px1) + b"\x00\x00"
+            return (b"BM" + le32(54 + len(row)) + b"\x00" * 4 + le32(54)
+                    + struct.pack("<IiiHH", 40, 2, 1, 1, 24)
+                    + struct.pack("<IIIIII", 0, len(row), 2835, 2835, 0, 0)
+                    + row)
+        frames = [bmp((1, 2, 3), (5, 6, 7)), bmp((9, 10, 11), (13, 14, 15))]
+        movi = b"movi" + b"".join(
+            b"00dc" + le32(len(f)) + f + (b"\x00" if len(f) % 2 else b"")
+            for f in frames)
+        avih = (b"avih" + le32(56) + le32(100000) + le32(0) * 3
+                + le32(len(frames)) + le32(0) + le32(1) + le32(0)
+                + le32(2) + le32(1) + le32(0) * 4)
+        strh = (b"strh" + le32(56) + b"vidsMJPG" + le32(0) * 3
+                + le32(1) + le32(10) + le32(0) + le32(len(frames))
+                + le32(0) * 5)
+        strf = (b"strf" + le32(40) + le32(40) + le32(2) + le32(1)
+                + struct.pack("<HH", 1, 24) + b"MJPG" + le32(0) * 5)
+        hdrl = b"LIST" + le32(192) + b"hdrl" + avih \
+            + b"LIST" + le32(116) + b"strl" + strh + strf
+        avi = (b"RIFF" + le32(4 + len(hdrl) + 8 + len(movi)) + b"AVI "
+               + hdrl + b"LIST" + le32(len(movi)) + movi)
+        df = local_spark.createDataFrame(
+            [(1, bytearray(avi)), (2, bytearray(b"not a video"))],
+            ["id", "content"])
+        meta = {r["id"]: (r["meta"]["kind"], r["meta"]["n_frames"])
+                for r in P.with_decoded_meta(df, codec="avi").collect()}
+        assert meta == {1: ("video", 2), 2: ("unknown", None)}
+        # demux -> per-frame decode -> tile stats, through the py facade
+        fr = P.demux_frames(df, "id", every_n=1)
+        got = {(r["asset_id"], r["frame_index"]) for r in
+               fr.select("asset_id", "frame_index").collect()}
+        assert got == {(1, 0), (1, 1)}
+        tiles = {(r["asset_id"], r["tile_x"]): r["mean_b"] for r in
+                 P.image_tile_stats(
+                     fr.withColumn("fid", fr.asset_id * 16 + fr.frame_index),
+                     "fid", content_col="frame", tile_w=1, tile_h=1,
+                     codec="bmp").collect()}
+        assert tiles == {(16, 0): 1, (16, 1): 5, (17, 0): 9, (17, 1): 13}
+        # canonical metadata-only MP4 through the box walk
+        matrix = (be32(0x10000) + be32(0) * 3 + be32(0x10000) + be32(0) * 3
+                  + be32(0x40000000))
+        ts, dur, w, h = 600, 7260, 320, 240
+        mvhd = (be32(108) + b"mvhd" + be32(0) * 3 + be32(ts) + be32(dur)
+                + be32(0x10000) + struct.pack(">HH", 0x0100, 0) + b"\x00" * 8
+                + matrix + b"\x00" * 24 + be32(2))
+        tkhd = (be32(92) + b"tkhd" + be32(7) + be32(0) * 2 + be32(1)
+                + be32(0) + be32(dur) + b"\x00" * 8 + b"\x00\x00" * 4
+                + matrix + be32(w << 16) + be32(h << 16))
+        mdhd = (be32(32) + b"mdhd" + be32(0) * 3 + be32(ts) + be32(dur)
+                + struct.pack(">HH", 0x55C4, 0))
+        hdlr = be32(33) + b"hdlr" + be32(0) * 2 + b"vide" + b"\x00" * 13
+        mdia = be32(73) + b"mdia" + mdhd + hdlr
+        trak = be32(173) + b"trak" + tkhd + mdia
+        mp4 = (be32(16) + b"ftyp" + b"isom" + be32(0x200)
+               + be32(289) + b"moov" + mvhd + trak)
+        assert len(mp4) == 305
+        df4 = local_spark.createDataFrame(
+            [(1, bytearray(mp4)), (2, bytearray(b"junk bytes"))],
+            ["id", "content"])
+        m4 = {r["id"]: (r["meta"]["kind"], r["meta"]["width"],
+                        r["meta"]["height"], r["meta"]["duration_ms"])
+              for r in P.with_decoded_meta(df4, codec="mp4").collect()}
+        assert m4[1] == ("video", 320, 240, 12100)
+        assert m4[2][0] == "unknown"
+
     @staticmethod
     def _gray_bmp(rows):
         import struct

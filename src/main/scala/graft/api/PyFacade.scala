@@ -1014,8 +1014,10 @@ object PyFacade {
       case "imageio" => graft.multimodal.Multimodal.ImageIoCodec
       case "bmp" => graft.multimodal.Multimodal.BmpCodec
       case "wav" => graft.multimodal.Multimodal.WavCodec
+      case "avi" => graft.multimodal.Multimodal.AviCodec
+      case "mp4" => graft.multimodal.Multimodal.Mp4Codec
       case other => throw new IllegalArgumentException(
-        s"unknown codec '$other' (expected 'stub', 'imageio', 'bmp' or 'wav')")
+        s"unknown codec '$other' (expected 'stub', 'imageio', 'bmp', 'wav', 'avi' or 'mp4')")
     }
 
   def withDecodedMeta(df: DataFrame, contentCol: String): DataFrame =
@@ -1042,6 +1044,14 @@ object PyFacade {
   def sampleFrames(df: DataFrame, idCol: String, contentCol: String,
       frameBytes: Int, everyN: Int): DataFrame =
     graft.multimodal.Multimodal.sampleFrames(df, idCol, contentCol, frameBytes, everyN)
+
+  /** Demux every `everyN`-th REAL container frame (codec-determined
+    * boundaries — 'avi' is the demuxing codec); non-video payloads
+    * emit no rows. */
+  def demuxFrames(df: DataFrame, idCol: String, contentCol: String,
+      everyN: Int, codec: String): DataFrame =
+    graft.multimodal.Multimodal.demuxFrames(df, idCol, contentCol,
+      everyN, codecOf(codec))
 
   def byteHistogram(df: DataFrame, contentCol: String, outCol: String): DataFrame =
     graft.multimodal.Multimodal.byteHistogram(df, contentCol, outCol)
