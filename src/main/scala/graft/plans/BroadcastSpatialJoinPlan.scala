@@ -94,6 +94,73 @@ case class BroadcastSpatialJoinExec(
       newLeft: SparkPlan, newRight: SparkPlan): BroadcastSpatialJoinExec =
     copy(left = newLeft, right = newRight)
 
+  /**
+   * Equi-conjunct factoring (round-12 scale fix): a conjunct of the
+   * bound condition shaped `leftOnlyExpr = rightOnlyExpr` turns the
+   * flat broadcast index into a HASH-PARTITIONED one (one sub-tree per
+   * distinct right-key value). Why it matters: the conditional-nearest
+   * kernel must PROVE no-match for probes whose condition nothing
+   * satisfies, and that proof is O(|right|) per probe on a flat index —
+   * measured ×239 wall at the materialized sf10 rung (`j1_nearest_left`:
+   * 300k never-matching probes × 100k broadcast rows). With the key
+   * factored out, a never-matching probe is one hash miss (O(1)), and a
+   * condition that was PURE equi leaves no residual — every probe takes
+   * the unconditioned single-walk fast path. Null keys never match
+   * (SQL `=`), matching the flat kernel's behavior exactly; per-key
+   * min-index tie-break equals the flat kernel's min-index-among-
+   * passing rule because subsets keep ascending global order.
+   * Restricted to deterministic, atomic-typed keys (hash-map equality
+   * must agree with Catalyst EqualTo; ±0.0 normalized like Spark's own
+   * hash joins; boxed NaN is canonical under Double.hashCode).
+   */
+  private type EquiSplit = (Expression, Expression, Option[Expression])
+
+  @transient private lazy val equiSplit: Option[EquiSplit] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, BoundReference, EqualTo}
+    val leftWidth = left.output.length
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(a, b) => conjuncts(a) ++ conjuncts(b)
+      case x => Seq(x)
+    }
+    def sides(e: Expression): (Boolean, Boolean) = {
+      var hasL = false; var hasR = false
+      e.foreach {
+        case b: BoundReference =>
+          if (b.ordinal < leftWidth) hasL = true else hasR = true
+        case _ =>
+      }
+      (hasL, hasR)
+    }
+    def atomicKey(e: Expression): Boolean = {
+      import org.apache.spark.sql.types._
+      e.deterministic && (e.dataType match {
+        // value classes whose boxed equals/hashCode agree with Catalyst
+        // EqualTo (binary/struct/array/map do NOT — left on the flat path)
+        case _: NumericType | StringType | BooleanType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      })
+    }
+    condition.flatMap { cond =>
+      val cs = conjuncts(cond)
+      val pick = cs.iterator.map {
+        case eq @ EqualTo(a, b) =>
+          (sides(a), sides(b)) match {
+            case ((true, false), (false, true)) if atomicKey(a) && atomicKey(b) =>
+              Some((eq, a, b))
+            case ((false, true), (true, false)) if atomicKey(a) && atomicKey(b) =>
+              Some((eq, b, a))
+            case _ => None
+          }
+        case _ => None
+      }.collectFirst { case Some(x) => x }
+      pick.map { case (eq, lKey, rKey) =>
+        val rest = cs.filterNot(_ eq eq)
+        (lKey, rKey, rest.reduceOption(And))
+      }
+    }
+  }
+
   // collect + pack + broadcast the right side once per physical plan —
   // Dataset caches its QueryExecution, so repeated actions on the same
   // transformed DataFrame reuse one broadcast instead of re-collecting
@@ -119,25 +186,65 @@ case class BroadcastSpatialJoinExec(
     val pred = predicate
 
     val joinMode = mode
+    val leftWidth = left.output.length
     val rightWidth = right.output.length
+    val split = equiSplit
 
     left.execute().mapPartitions { it =>
       val idx = bc.value
-      val probe = new SpatialProbe(idx.geoms, idx.tree)
       val condPred = condExpr.map(Predicate.create)
       condPred.foreach(_.initialize(0))
       val joined = new JoinedRow
       val joinedDist = new JoinedRow
       val distRow = new GenericInternalRow(1)
       val proj = UnsafeProjection.create(outAttrs, outAttrs)
-      def condEvalFor(lrow: InternalRow): Int => Boolean = condPred match {
-        case None => SpatialProbe.AlwaysTrue // sentinel: enables the
-        // unconditioned-nearest fast path inside the probe kernel
-        case Some(p) => i => p.eval(joined(lrow, idx.rows(i)))
+      def normKey(v: Any): Any = v match {
+        case d: java.lang.Double if d.doubleValue() == 0.0 =>
+          java.lang.Double.valueOf(0.0)
+        case f: java.lang.Float if f.floatValue() == 0.0f =>
+          java.lang.Float.valueOf(0.0f)
+        case x => x
       }
-      def hitsOf(lrow: InternalRow): Iterator[(Int, Int)] = {
-        val g = graft.spatial.GeoKit.wkbToGeom(lrow.getBinary(lIdx))
-        probe.matches(g, pred, condEvalFor(lrow), needDist)
+      val hitsOf: InternalRow => Iterator[(Int, Int)] = split match {
+        case Some((lKey, rKey, residual)) =>
+          // key-partitioned probes: the equi conjunct becomes a hash
+          // lookup; only the residual (if any) rides as a per-candidate
+          // predicate — none means the fast unconditioned walk
+          val nullLeft = new GenericInternalRow(leftWidth)
+          val nullRight = new GenericInternalRow(rightWidth)
+          val keyJoin = new JoinedRow
+          val keyProbes =
+            idx.partitioned(i => normKey(rKey.eval(keyJoin(nullLeft, idx.rows(i)))))
+          val resPred = residual.map(Predicate.create)
+          resPred.foreach(_.initialize(0))
+          def resEvalFor(lrow: InternalRow): Int => Boolean = resPred match {
+            case None => SpatialProbe.AlwaysTrue
+            case Some(p) => i => p.eval(joined(lrow, idx.rows(i)))
+          }
+          lrow => {
+            val g = graft.spatial.GeoKit.wkbToGeom(lrow.getBinary(lIdx))
+            if (g == null) Iterator.empty
+            else {
+              val k = normKey(lKey.eval(keyJoin(lrow, nullRight)))
+              if (k == null) Iterator.empty
+              else {
+                val probe = keyProbes.get(k)
+                if (probe == null) Iterator.empty
+                else probe.matches(g, pred, resEvalFor(lrow), needDist)
+              }
+            }
+          }
+        case None =>
+          val probe = new SpatialProbe(idx.geoms, idx.tree)
+          def condEvalFor(lrow: InternalRow): Int => Boolean = condPred match {
+            case None => SpatialProbe.AlwaysTrue // sentinel: enables the
+            // unconditioned-nearest fast path inside the probe kernel
+            case Some(p) => i => p.eval(joined(lrow, idx.rows(i)))
+          }
+          lrow => {
+            val g = graft.spatial.GeoKit.wkbToGeom(lrow.getBinary(lIdx))
+            probe.matches(g, pred, condEvalFor(lrow), needDist)
+          }
       }
 
       joinMode match {

@@ -39,6 +39,46 @@ final class PackedSpatialIndex[T](val rows: Array[T], val wkbs: Array[Array[Byte
   def geoms: Array[Geometry] = ensure()._1
   def tree: STRtree = ensure()._2
   def indexedCount: Int = { ensure(); wkbs.count(_ != null) }
+
+  @transient @volatile private var partCache: java.util.HashMap[Any, SpatialProbe] = _
+
+  /** Key-partitioned probes for the equi-condition factoring: one
+    * STRtree + subset per distinct right-key value (null keys excluded
+    * — SQL `=` never matches them). Built once per executor like the
+    * flat tree; one plan has one key function, so a single cache slot
+    * suffices. Subsets stay in ascending global-index order — the scan
+    * fallback's first-wins tie rule must match the flat probe's. */
+  def partitioned(keyOf: Int => Any): java.util.HashMap[Any, SpatialProbe] = {
+    var c = partCache
+    if (c == null) synchronized {
+      c = partCache
+      if (c == null) {
+        val gs = geoms
+        val byKey = new java.util.HashMap[Any, scala.collection.mutable.ArrayBuffer[Int]]()
+        var i = 0
+        while (i < gs.length) {
+          if (gs(i) != null) {
+            val k = keyOf(i)
+            if (k != null) {
+              var b = byKey.get(k)
+              if (b == null) { b = new scala.collection.mutable.ArrayBuffer[Int](); byKey.put(k, b) }
+              b += i
+            }
+          }
+          i += 1
+        }
+        c = new java.util.HashMap[Any, SpatialProbe](byKey.size() * 2)
+        byKey.forEach { (k, idxs) =>
+          val t = new STRtree()
+          idxs.foreach(j => t.insert(gs(j).getEnvelopeInternal, Integer.valueOf(j)))
+          t.build()
+          c.put(k, new SpatialProbe(gs, t, idxs.toArray))
+        }
+        partCache = c
+      }
+    }
+    c
+  }
 }
 
 /**
@@ -47,10 +87,19 @@ final class PackedSpatialIndex[T](val rows: Array[T], val wkbs: Array[Array[Byte
  * over-approximating envelope prefilter + exact geodesic refine), and the
  * JTS relation predicates. Semantics pinned by the reference's 16 golden
  * tests (see graft.transformer.BroadcastSpatialJoinSpec).
+ *
+ * `subset`: when non-null, the probe serves a KEY PARTITION of the
+ * index (the equi-condition factoring in BroadcastSpatialJoinExec) —
+ * `tree` holds only those global indices and the conditional-nearest
+ * scan fallback walks only them, so a per-partition operation is
+ * bounded by the partition, never the whole broadcast side.
  */
-final class SpatialProbe(geoms: Array[Geometry], tree: STRtree) {
+final class SpatialProbe(geoms: Array[Geometry], tree: STRtree,
+    subset: Array[Int] = null) {
 
-  private val total = geoms.count(_ != null)
+  private val total =
+    if (subset == null) geoms.count(_ != null)
+    else subset.count(i => geoms(i) != null)
 
   def isEmpty: Boolean = total == 0
 
@@ -170,13 +219,15 @@ final class SpatialProbe(geoms: Array[Geometry], tree: STRtree) {
       if (kk >= 128 || kk == total) {
         var bestDist = Double.MaxValue
         var bestIdx = -1
-        var i = 0
-        while (i < geoms.length) {
+        val n = if (subset == null) geoms.length else subset.length
+        var s = 0
+        while (s < n) {
+          val i = if (subset == null) s else subset(s)
           if (geoms(i) != null && condEval(i)) {
             val d = g.distance(geoms(i))
             if (d < bestDist) { bestDist = d; bestIdx = i }
           }
-          i += 1
+          s += 1
         }
         return bestIdx
       }

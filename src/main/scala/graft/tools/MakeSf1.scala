@@ -32,9 +32,13 @@ import org.apache.spark.sql.functions._
  * identical-vector copy-cliques (edges ×106 at ×10 under verbatim).
  *
  * Usage: `runMain graft.tools.MakeSf1 <srcSfDir> <outDir> [factor]
- * [perturb|verbatim]`. Output files inherit the union's partitioning
- * (one split per copy), so benchmark scans parallelize the way a real
- * multi-file table does.
+ * [perturb|verbatim] [tables-csv]`. Output files inherit the union's
+ * partitioning (one split per copy), so benchmark scans parallelize
+ * the way a real multi-file table does. The optional 5th arg restricts
+ * inflation to a comma-separated table subset (round-12 sf10 rung:
+ * ×100 slices of only the tables the outlier families touch — the
+ * full ×100 database is never needed at once); nation/region are
+ * always copied, unlisted tables are skipped entirely.
  */
 object MakeSf1 {
 
@@ -117,6 +121,8 @@ object MakeSf1 {
     val mode = if (args.length > 3) args(3) else "perturb"
     require(mode == "perturb" || mode == "verbatim",
       s"mode must be perturb|verbatim, got $mode")
+    val subset: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").map(_.trim).toSet) else None
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -136,6 +142,9 @@ object MakeSf1 {
 
     def inflate(table: String, keyCols: Seq[String],
         tweak: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {
+      if (subset.exists(!_.contains(table))) {
+        println(s"[mksf1] $table skipped (not in subset)"); return
+      }
       val base = spark.read.parquet(s"$src/$table.parquet")
       val copies = (0 until factor).map { k =>
         tweak(keyCols.foldLeft(base) { (df, c) =>

@@ -1,0 +1,117 @@
+package graft.transformer
+
+import org.apache.spark.sql.functions._
+import org.scalatest.flatspec.AnyFlatSpec
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestKit.spark
+
+/**
+ * Equi-conjunct factoring of the broadcast kernel's extra condition
+ * (BroadcastSpatialJoinExec.equiSplit): a `leftExpr = rightExpr`
+ * conjunct hash-partitions the broadcast index, making never-matching
+ * probes O(1) instead of O(|right|) — the round-12 sf10 find. These
+ * specs pin that the FACTORED path is row-identical to the same
+ * condition expressed in shapes the factoring cannot touch (`!=` twice,
+ * reversed operand order, residual conjuncts, nulls, ties), across
+ * inner/left/semi/anti.
+ */
+class EquiConditionSpec extends AnyFlatSpec with Matchers {
+
+  import spark.implicits._
+
+  private def bsj(view: String) = new BroadcastSpatialJoin()
+    .setDataset(view).setDatasetPoint("plon, plat").setInputPoint("lon, lat")
+    .setDataColumns("poi_id, cat")
+
+  // pois: 12 points in 3 categories (0, 1, null); two EXACT coordinate
+  // ties inside category 0 (ids 0 and 6 both at (0, 0))
+  private lazy val pois = Seq(
+    (0L, java.lang.Long.valueOf(0L), 0.0, 0.0),
+    (6L, java.lang.Long.valueOf(0L), 0.0, 0.0),  // tie with id 0
+    (1L, java.lang.Long.valueOf(0L), 10.0, 0.0),
+    (2L, java.lang.Long.valueOf(1L), 0.5, 0.0),
+    (3L, java.lang.Long.valueOf(1L), 11.0, 0.0),
+    (4L, null.asInstanceOf[java.lang.Long], 0.1, 0.0), // null cat: `=` never matches
+    (5L, java.lang.Long.valueOf(2L), 20.0, 0.0)
+  ).toDF("poi_id", "cat", "plon", "plat")
+
+  // inputs: categories 0, 1, 2 and 3 (3 matches NOTHING), plus a null
+  private lazy val input = Seq(
+    (10L, java.lang.Long.valueOf(0L), 0.2, 0.0),
+    (11L, java.lang.Long.valueOf(1L), 0.2, 0.0),
+    (12L, java.lang.Long.valueOf(2L), 0.2, 0.0),
+    (13L, java.lang.Long.valueOf(3L), 0.2, 0.0), // key with no broadcast rows
+    (14L, null.asInstanceOf[java.lang.Long], 0.2, 0.0)
+  ).toDF("cid", "ccat", "lon", "lat")
+
+  behavior of "equi-conjunct condition factoring"
+
+  it should "agree with the unfactorable formulation on nearest (inner + ties)" in {
+    pois.createOrReplaceTempView("eq_poi_a")
+    def run(cond: String): Seq[String] =
+      bsj("eq_poi_a").setBroadcast("dataset").setPredicate("nearest")
+        .setJoinCondition(cond)
+        .transform(input).collect().map(_.mkString("|")).sorted.toSeq
+    // `=` factors; `not !=` + null guard is the same predicate but
+    // cannot factor (no EqualTo conjunct) — the flat kernel's answer
+    val factored = run("right.cat = left.ccat")
+    val flat = run(
+      "right.cat is not null and left.ccat is not null and not (right.cat != left.ccat)")
+    factored shouldBe flat
+    // tie inside category 0 resolves to the smaller poi_id (min-index
+    // rule survives partitioning)
+    val catZero = factored.filter(_.startsWith("10|"))
+    catZero.size shouldBe 1
+    catZero.head.split("\\|")(4) shouldBe "0"
+  }
+
+  it should "agree across join types, with unmatched keys O(1)-missing" in {
+    pois.createOrReplaceTempView("eq_poi_b")
+    def run(jt: String, cond: String, pred: String = "nearest"): Seq[String] =
+      bsj("eq_poi_b").setBroadcast("dataset").setPredicate(pred)
+        .setJoinType(jt).setJoinCondition(cond)
+        .transform(input).collect().map(_.mkString("|")).sorted.toSeq
+    // nearest decorates 1:1 → inner/left; existence tests use withindist
+    for ((jt, pred) <- Seq("inner" -> "nearest", "left" -> "nearest",
+        "semi" -> "withindist 2000000", "anti" -> "withindist 2000000")) {
+      run(jt, "right.cat = left.ccat", pred) shouldBe run(jt,
+        "right.cat is not null and left.ccat is not null and not (right.cat != left.ccat)",
+        pred)
+    }
+    // left outer: cid 13 (key 3: no pois) and cid 14 (null key) miss
+    val left = run("left", "right.cat = left.ccat")
+    left.size shouldBe 5
+    left.count(_.split("\\|")(4) == "null") shouldBe 2
+  }
+
+  it should "keep non-equi residual conjuncts on the per-candidate path" in {
+    pois.createOrReplaceTempView("eq_poi_c")
+    def run(cond: String): Seq[String] =
+      bsj("eq_poi_c").setBroadcast("dataset").setPredicate("nearest")
+        .setJoinCondition(cond)
+        .transform(input).collect().map(_.mkString("|")).sorted.toSeq
+    // equi conjunct + residual range: factored result == flat result
+    val factored = run("right.cat = left.ccat and right.poi_id < 5")
+    val flat = run(
+      "right.cat is not null and left.ccat is not null and not (right.cat != left.ccat) and right.poi_id < 5")
+    factored shouldBe flat
+    // id 6 (tie, but >= 5) must lose to id 0 via the residual
+    factored.filter(_.startsWith("10|")).head.split("\\|")(4) shouldBe "0"
+    // reversed operand order factors identically
+    run("left.ccat = right.cat and right.poi_id < 5") shouldBe factored
+  }
+
+  it should "factor computed keys (the modular gate shape) on withindist too" in {
+    pois.createOrReplaceTempView("eq_poi_d")
+    def run(cond: String): Seq[String] =
+      bsj("eq_poi_d").setBroadcast("dataset")
+        .setPredicate("withindist 2000000").setDistColAlias("dm")
+        .setJoinCondition(cond)
+        .transform(input).collect().map(_.mkString("|")).sorted.toSeq
+    val factored = run("right.poi_id % 4 = left.cid % 5")
+    val flat = run("not (right.poi_id % 4 != left.cid % 5)")
+    factored shouldBe flat
+    factored.nonEmpty shouldBe true
+  }
+}
