@@ -487,6 +487,18 @@ def unigram_em_refine(df, pieces, text_col="text"):
                                                  pieces._jdf))
 
 
+def unigram_em_train(df, pieces, text_col="text", rounds=1):
+    """Run N Viterbi-EM rounds from a pieces frame, recording the exact
+    micro-nat corpus log-likelihood before and after every round.
+    Returns the ModelStore.saveUnigram artifact shape — (kind, idx,
+    piece, value) rows: kind 'piece' carries the refined model, 'meta'
+    its constants, 'll' the trajectory (idx 0 = seed score; hard EM is
+    monotone non-decreasing). Persist the frame as-is; reload with
+    ModelStore.loadUnigram on the JVM side."""
+    return _wrap(df, _facade(df).unigramEmTrain(df._jdf, text_col,
+                                                pieces._jdf, int(rounds)))
+
+
 def unigram_word_scores(df, pieces, word_col="word"):
     """Integer-Viterbi best-segmentation scores per word under a
     trained pieces frame: (word, score_micro, n_pieces)."""

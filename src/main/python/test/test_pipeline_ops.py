@@ -352,6 +352,20 @@ class TestStreamingUnified(object):
         again = P.unigram_em_refine(corpus, pieces)
         assert sorted(map(tuple, refined.collect())) == \
             sorted(map(tuple, again.collect()))
+        # multi-round EM with trajectory: (kind, idx, piece, value)
+        # artifact rows; LL monotone non-decreasing, seed score first
+        art = P.unigram_em_train(corpus, pieces, rounds=2).collect()
+        ll = [r["value"] for r in sorted(
+            (x for x in art if x["kind"] == "ll"), key=lambda x: x["idx"])]
+        assert len(ll) == 3 and all(b >= a for a, b in zip(ll, ll[1:]))
+        assert all(ll_i < 0 for ll_i in ll)
+        meta = {r["piece"]: r["value"] for r in art if r["kind"] == "meta"}
+        assert meta["max_piece_len"] == 4
+        # the embedded refined model equals composed em_refine rounds
+        twice = P.unigram_em_refine(corpus, P.unigram_em_refine(corpus, pieces))
+        got = sorted((r["piece"], r["value"]) for r in art if r["kind"] == "piece")
+        want = sorted((r["piece"], r["lp_micro"]) for r in twice.collect())
+        assert got == want
 
     def test_drift_summary(self, local_spark):
         a = local_spark.createDataFrame([(1, "p p p")], ["doc_id", "text"])

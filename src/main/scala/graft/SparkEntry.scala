@@ -2645,6 +2645,28 @@ object SparkEntry {
           col("mean_b"), col("mean_g"), col("mean_r"))
     }),
 
+    // demux → per-frame PERCEPTUAL HASH (round 12): the video twin of
+    // dedup_image_phash's first stage — frames that share the 64-bit
+    // brightness envelope collapse under exact grouping, the O(N)
+    // opening move of video near-dup dedup. Same composition shape as
+    // multimodal_video_tiles (codec-boundary demux, real BMP decode)
+    "multimodal_video_phash" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = aviBmpAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      val frames = graft.multimodal.Multimodal.demuxFrames(assets, "doc_id",
+          "content", everyN = 1, codec = graft.multimodal.Multimodal.AviCodec)
+        .select((col("asset_id") * 16 + col("frame_index")).as("fid"), col("frame"))
+      graft.multimodal.Multimodal.imageHash(frames, "fid", "frame",
+          side = 8, codec = graft.multimodal.Multimodal.BmpCodec)
+        .select(expr("asset_id div 16").as("doc_id"),
+          pmod(col("asset_id"), lit(16)).cast("int").as("frame_index"),
+          col("width"), col("height"), col("hash_hi"), col("hash_lo"))
+    }),
+
     // REAL MP4/ISO-BMFF metadata (round 12): canonical metadata-only
     // MP4s built from doc_id via identical hex assembly in both
     // engines, decoded by the big-endian box walk (ftyp → moov →
@@ -6052,6 +6074,29 @@ object SparkEntry {
         |       CAST(sum(g) // count(*) AS BIGINT) mean_g,
         |       CAST(sum(rr) // count(*) AS BIGINT) mean_r
         |FROM px GROUP BY 1, 2, 3, 4""".stripMargin,
+
+    // the frame-aware aHash replay (the multimodal_phash CTEs with the
+    // frame-index offset in the pixel base and per-(doc, frame) means)
+    "multimodal_video_phash" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 nf FROM documents
+        |           WHERE doc_id % 7 <> 0),
+        |f AS (SELECT doc_id, i.i fi, 2 + (doc_id + i.i) % 4 bh
+        |      FROM d, unnest(range(0, nf)) i(i)),
+        |g AS (SELECT doc_id, fi, bh, i.i i,
+        |        (((doc_id*7 + fi*13 + (((i.i // 8) * bh) // 8) * 31 + (i.i % 8)*3) % 256)
+        |       + ((doc_id*7 + fi*13 + (((i.i // 8) * bh) // 8) * 31 + (i.i % 8)*3 + 85) % 256)
+        |       + ((doc_id*7 + fi*13 + (((i.i // 8) * bh) // 8) * 31 + (i.i % 8)*3 + 170) % 256)) // 3 gv
+        |      FROM f, unnest(range(0, 64)) i(i)),
+        |m AS (SELECT doc_id, fi, sum(gv) // 64 mean FROM g GROUP BY 1, 2),
+        |gm AS (SELECT g.doc_id, g.fi, g.bh, g.i, g.gv, m.mean
+        |       FROM g JOIN m ON g.doc_id = m.doc_id AND g.fi = m.fi)
+        |SELECT doc_id, CAST(fi AS INT) frame_index, CAST(8 AS INT) width,
+        |       CAST(max(bh) AS INT) height,
+        |       CAST(sum(CASE WHEN i >= 32 AND gv >= mean
+        |              THEN (1::BIGINT << (i - 32)) ELSE 0 END) AS BIGINT) hash_hi,
+        |       CAST(sum(CASE WHEN i < 32 AND gv >= mean
+        |              THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) hash_lo
+        |FROM gm GROUP BY 1, 2""".stripMargin,
 
     // the box fields the walk must read back: pure doc_id arithmetic
     // (the container round-trips them bit-exactly); duration_ms floors

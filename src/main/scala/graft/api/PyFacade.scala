@@ -585,6 +585,27 @@ object PyFacade {
       graft.text.Unigram.emRefine(df, textCol,
         graft.text.Unigram.piecesFrom(pieces)))
 
+  /** Multi-round Viterbi-EM from a pieces frame, with the corpus
+    * log-likelihood trajectory: returns the [[graft.ml.ModelStore
+    * .saveUnigram]] artifact shape — (kind, idx, piece, value) rows
+    * carrying the refined model AND the micro-nat LL per round
+    * (kind `ll`, idx 0 = seed score), so the python side reads the
+    * convergence evidence from the same frame it persists. */
+  def unigramEmTrain(df: DataFrame, textCol: String, pieces: DataFrame,
+      rounds: Int): DataFrame = {
+    val r = graft.text.Unigram.emTrain(df, textCol,
+      graft.text.Unigram.piecesFrom(pieces), rounds)
+    val m = r.model
+    val rows =
+      m.pieces.toSeq.sortBy(_._1).zipWithIndex
+        .map { case ((p, lp), i) => ("piece", i, p, lp) } ++
+      Seq(("meta", 0, "max_piece_len", m.maxPieceLen.toLong),
+          ("meta", 1, "unk_micro", m.unkMicro)) ++
+      r.llMicro.toSeq.zipWithIndex.map { case (ll, t) => ("ll", t, "", ll) }
+    df.sparkSession.createDataFrame(rows)
+      .toDF("kind", "idx", "piece", "value")
+  }
+
   /** Viterbi word scores under a pieces frame:
     * (word, score_micro, n_pieces). */
   def unigramWordScores(df: DataFrame, wordCol: String,

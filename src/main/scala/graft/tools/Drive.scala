@@ -1608,6 +1608,13 @@ object Drive {
       // frame 1 (fid 49) is uniform R=0x10=16: every tile mean_r = 16
       println(s"OK videoTiles frame1 meanR=${tiles((49L, 0, 0))},${tiles((49L, 1, 0))} " +
         s"nTiles=${tiles.size} (expect 16,16, nTiles=6)")
+      // per-frame aHash: a uniform frame has gray == mean everywhere →
+      // all 64 bits set (hi = lo = 0xFFFFFFFF)
+      val hashes = Multimodal.imageHash(frames, "fid", "frame",
+          side = 8, codec = Multimodal.BmpCodec)
+        .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+      println(s"OK videoPhash frame1=${hashes(49L)} nFrames=${hashes.size} " +
+        "(expect (4294967295,4294967295), nFrames=2)")
     }
 
     println("=== 53. round-12: unigram EM trajectory + artifact ===")
