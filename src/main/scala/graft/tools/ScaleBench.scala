@@ -277,6 +277,18 @@ object ScaleBench {
           cellDeg = 4.0 / math.sqrt(f.toDouble),
           tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L)
           .select("c_custkey", "s_suppkey")),
+      // ... and the ENGINE's own density derivation (autoCellDeg — what
+      // the transformer's grid path uses when gridCellDeg is unset):
+      // the hand-tuned twin above proves the mechanism, this one proves
+      // the DEFAULT path needs no hand at ×100
+      "j1_nearest_gridauto" -> (() => {
+        val sup = supPoints(f)
+        val cd = graft.join.GridNearestJoin.autoCellDeg(sup, wkb("slon", "slat"))
+        graft.join.GridNearestJoin.nearest(
+          custPoints(f), sup, wkb("lon", "lat"), wkb("slon", "slat"),
+          cellDeg = cd, tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L)
+          .select("c_custkey", "s_suppkey")
+      }),
       "j2_withindist_grid" -> (() => {
         supEq(f).createOrReplaceTempView("scale_j2_sup")
         new BroadcastSpatialJoin().setDataset("scale_j2_sup")
