@@ -95,10 +95,11 @@ case class BroadcastSpatialJoinExec(
     copy(left = newLeft, right = newRight)
 
   /**
-   * Equi-conjunct factoring (round-12 scale fix): a conjunct of the
-   * bound condition shaped `leftOnlyExpr = rightOnlyExpr` turns the
-   * flat broadcast index into a HASH-PARTITIONED one (one sub-tree per
-   * distinct right-key value). Why it matters: the conditional-nearest
+   * Equi-conjunct factoring (round-12 scale fix): every conjunct of
+   * the bound condition shaped `leftOnlyExpr = rightOnlyExpr` is
+   * folded into one composite key that turns the flat broadcast index
+   * into a HASH-PARTITIONED one (one sub-tree per distinct right-key
+   * tuple). Why it matters: the conditional-nearest
    * kernel must PROVE no-match for probes whose condition nothing
    * satisfies, and that proof is O(|right|) per probe on a flat index —
    * measured ×239 wall at the materialized sf10 rung (`j1_nearest_left`:
@@ -113,7 +114,7 @@ case class BroadcastSpatialJoinExec(
    * must agree with Catalyst EqualTo; ±0.0 normalized like Spark's own
    * hash joins; boxed NaN is canonical under Double.hashCode).
    */
-  private type EquiSplit = (Expression, Expression, Option[Expression])
+  private type EquiSplit = (Seq[Expression], Seq[Expression], Option[Expression])
 
   @transient private lazy val equiSplit: Option[EquiSplit] = {
     import org.apache.spark.sql.catalyst.expressions.{And, BoundReference, EqualTo}
@@ -143,20 +144,24 @@ case class BroadcastSpatialJoinExec(
     }
     condition.flatMap { cond =>
       val cs = conjuncts(cond)
-      val pick = cs.iterator.map {
+      // factor EVERY factorable equality into one composite key — a
+      // two-key condition partitions |right| / (k1·k2) per bucket
+      val picks = cs.flatMap {
         case eq @ EqualTo(a, b) =>
           (sides(a), sides(b)) match {
             case ((true, false), (false, true)) if atomicKey(a) && atomicKey(b) =>
-              Some((eq, a, b))
+              Some((eq: Expression, a, b))
             case ((false, true), (true, false)) if atomicKey(a) && atomicKey(b) =>
-              Some((eq, b, a))
+              Some((eq: Expression, b, a))
             case _ => None
           }
         case _ => None
-      }.collectFirst { case Some(x) => x }
-      pick.map { case (eq, lKey, rKey) =>
-        val rest = cs.filterNot(_ eq eq)
-        (lKey, rKey, rest.reduceOption(And))
+      }
+      if (picks.isEmpty) None
+      else {
+        val picked = picks.map(_._1).toSet
+        val rest = cs.filterNot(picked.contains)
+        Some((picks.map(_._2), picks.map(_._3), rest.reduceOption(And)))
       }
     }
   }
@@ -206,15 +211,29 @@ case class BroadcastSpatialJoinExec(
         case x => x
       }
       val hitsOf: InternalRow => Iterator[(Int, Int)] = split match {
-        case Some((lKey, rKey, residual)) =>
-          // key-partitioned probes: the equi conjunct becomes a hash
-          // lookup; only the residual (if any) rides as a per-candidate
-          // predicate — none means the fast unconditioned walk
+        case Some((lKeys, rKeys, residual)) =>
+          // key-partitioned probes: the equi conjuncts become ONE
+          // composite hash lookup; only the residual (if any) rides as
+          // a per-candidate predicate — none means the fast
+          // unconditioned walk. A null in ANY key component means SQL
+          // `=` can never hold → no match (and the right row indexes
+          // into no bucket).
           val nullLeft = new GenericInternalRow(leftWidth)
           val nullRight = new GenericInternalRow(rightWidth)
           val keyJoin = new JoinedRow
+          def keyOf(exprs: Seq[Expression], row: InternalRow): List[Any] = {
+            var out = List.empty[Any]
+            var i = exprs.length - 1
+            while (i >= 0) {
+              val v = exprs(i).eval(row)
+              if (v == null) return null
+              out = normKey(v) :: out
+              i -= 1
+            }
+            out
+          }
           val keyProbes =
-            idx.partitioned(i => normKey(rKey.eval(keyJoin(nullLeft, idx.rows(i)))))
+            idx.partitioned(i => keyOf(rKeys, keyJoin(nullLeft, idx.rows(i))))
           val resPred = residual.map(Predicate.create)
           resPred.foreach(_.initialize(0))
           def resEvalFor(lrow: InternalRow): Int => Boolean = resPred match {
@@ -225,7 +244,7 @@ case class BroadcastSpatialJoinExec(
             val g = graft.spatial.GeoKit.wkbToGeom(lrow.getBinary(lIdx))
             if (g == null) Iterator.empty
             else {
-              val k = normKey(lKey.eval(keyJoin(lrow, nullRight)))
+              val k = keyOf(lKeys, keyJoin(lrow, nullRight))
               if (k == null) Iterator.empty
               else {
                 val probe = keyProbes.get(k)

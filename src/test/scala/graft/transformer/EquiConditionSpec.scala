@@ -114,4 +114,25 @@ class EquiConditionSpec extends AnyFlatSpec with Matchers {
     factored shouldBe flat
     factored.nonEmpty shouldBe true
   }
+
+  it should "fold multiple equi conjuncts into one composite key" in {
+    pois.createOrReplaceTempView("eq_poi_e")
+    def run(cond: String): Seq[String] =
+      bsj("eq_poi_e").setBroadcast("dataset")
+        .setPredicate("withindist 2000000").setDistColAlias("dm")
+        .setJoinCondition(cond)
+        .transform(input).collect().map(_.mkString("|")).sorted.toSeq
+    // both equalities factor (composite key); the two unfactorable
+    // rewrites below must agree: one with both as !=-nots, one mixed
+    // (first factors, second stays residual)
+    val both = run("right.cat = left.ccat and right.poi_id % 2 = left.cid % 2")
+    val none = run(
+      "right.cat is not null and left.ccat is not null and not (right.cat != left.ccat) " +
+        "and not (right.poi_id % 2 != left.cid % 2)")
+    val mixed = run(
+      "right.cat = left.ccat and not (right.poi_id % 2 != left.cid % 2)")
+    both shouldBe none
+    both shouldBe mixed
+    both.nonEmpty shouldBe true
+  }
 }
