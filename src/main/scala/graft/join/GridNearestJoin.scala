@@ -209,7 +209,31 @@ object GridNearestJoin {
 
     val lw = "__g_lwkb"; val rw = "__g_rwkb"; val lid = "__g_lid"
     val cell = "__g_cell"; val dist = "__g_dist"; val best = "__g_best"
-    val env = "__g_env"; val rid = "__g_rid"
+    val env = "__g_env"; val rid = "__g_rid"; val ekey = "__g_ekey"
+
+    // equi-conjunct key composition (round-12 scale fix; see
+    // PairCondition.equiKeys): `leftExpr = rightExpr` conjuncts of the
+    // condition ride as ONE struct join key beside the cell, so ring
+    // candidates and the exhaustive fallback only ever pair key-equal
+    // rows — the fallback becomes a HASH join (a never-matching
+    // condition costs O(L+R), not L·R pairs). Pure join restriction:
+    // candOk still evaluates the FULL condition per candidate, and any
+    // row the key join drops would have failed it anyway (struct
+    // equality's null semantics match SQL `=`). Factoring engages only
+    // when both key structs resolve to identical field types — else
+    // behavior is byte-identical to the unfactored path.
+    val equiPairs = condition
+      .map(c => PairCondition.equiKeys(
+        left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        c, left.schema, right.schema))
+      .getOrElse(Nil)
+    val useEkey = equiPairs.nonEmpty && scala.util.Try {
+      def fieldTypes(df: DataFrame, ks: Seq[Column]) =
+        df.select(struct(ks: _*)).schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fields.map(_.dataType).toSeq
+      fieldTypes(left, equiPairs.map(_._1)) == fieldTypes(right, equiPairs.map(_._2))
+    }.getOrElse(false)
+    val ekeyCols: Seq[String] = if (useEkey) Seq(ekey) else Nil
 
     // right side binned once to every overlapped cell. For k > 1 each
     // right ROW gets a per-execution id BEFORE the bin explode: its cell
@@ -218,7 +242,9 @@ object GridNearestJoin {
     // The id-stamped base is SNAPSHOTTED so the ring path and the
     // exhaustive fallback see the same ids (monotonically_increasing_id
     // re-planned twice could renumber)
-    val r0 = right.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+    val r0pre = right.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+    val r0 = if (useEkey) r0pre.withColumn(ekey, struct(equiPairs.map(_._2): _*))
+      else r0pre
     val rBase = if (k == 1) r0
       else materialize(r0.withColumn(rid, monotonically_increasing_id()))
     val r = rBase
@@ -230,7 +256,9 @@ object GridNearestJoin {
     val maxC = lit(GeoExpressions.MaxCell.toLong)
     def axisCell(coord: Column, offset: Double): Column =
       least(maxC, greatest(lit(0L), floor((coord + lit(offset)) / cellDeg).cast("long")))
-    val l0 = left.withColumn(lw, leftWkb).where(col(lw).isNotNull)
+    val l0pre = left.withColumn(lw, leftWkb).where(col(lw).isNotNull)
+    val l0 = (if (useEkey) l0pre.withColumn(ekey, struct(equiPairs.map(_._1): _*))
+      else l0pre)
       .withColumn(env, GeoExpressions.stEnvelope(col(lw)))
       .where(col(env).isNotNull)
       .withColumn(lid, monotonically_increasing_id())
@@ -381,11 +409,27 @@ object GridNearestJoin {
     // parallelism for every round's join-back scan regardless of the
     // left scan's file layout, and (AQE off) exchange-free join-backs —
     // groupBy output and repartition layout are both hash(lid)
-    val l0m = materialize(l0.repartition(col(lid)))
-    // one job: total + hopeless counts off the same snapshot scan
-    val counts = l0m.agg(count(lit(1)), count(when(hopelessPred, lit(1)))).head()
+    // key-POSSIBLE flag (equi factoring): a probe whose key has NO
+    // right rows can never match — without this it would ring through
+    // every round (each exploding ~O(hi²) cells per row) before the
+    // fallback finally proves the miss. One slim distinct-key join
+    // stamps the flag; flagged-impossible rows skip the rings entirely
+    // and resolve in the fallback's key hash join (O(1) miss each).
+    val keyOk = "__g_keyok"
+    val l0k =
+      if (!useEkey) l0.withColumn(keyOk, lit(true))
+      else l0.join(
+          r0.select(col(ekey)).distinct().withColumn(keyOk, lit(true)),
+          Seq(ekey), "left")
+        .withColumn(keyOk, coalesce(col(keyOk), lit(false)))
+    val l0m = materialize(l0k.repartition(col(lid)))
+    // rows routed AROUND the ring rounds: oversized envelopes (margin
+    // can never resolve) and key-impossible probes
+    val skipPred = hopelessPred || !col(keyOk)
+    // one job: total + skip counts off the same snapshot scan
+    val counts = l0m.agg(count(lit(1)), count(when(skipPred, lit(1)))).head()
     val hopelessN = counts.getLong(1)
-    var unresolved = l0m.where(!hopelessPred)
+    var unresolved = l0m.where(!skipPred)
     var unresolvedLeft = counts.getLong(0) - hopelessN
     // adaptive fallback: one exhaustive pass costs ~unresolved·|right|
     // candidate pairs in a single shuffle-free (broadcast-able right) job,
@@ -447,7 +491,7 @@ object GridNearestJoin {
     while (round <= maxRings && unresolvedLeft > fallbackBelow && ringsStillPayTracked && hi <= maxHorizon) {
       val cands = unresolved
         .withColumn("__g_probe", explode(ringCells(lo, hi)))
-        .join(rProbe, Seq("__g_probe"), "left_outer")
+        .join(rProbe, Seq("__g_probe") ++ ekeyCols, "left_outer")
       // ONE materialization per round; the count below triggers it, so the
       // splits are cheap filters over the snapshot and no extra job runs
       val scored = materialize(
@@ -455,7 +499,8 @@ object GridNearestJoin {
       val margin = marginOf(hi)
       out += finalize(scored.where(resolvedPred(margin)), leftCols, rightCols, best)
       unresolved = scored.where(!resolvedPred(margin))
-        .select((leftCols.map(col) :+ col(lw) :+ col(env) :+ col(lid) :+ col(cell)): _*)
+        .select((leftCols.map(col) ++ ekeyCols.map(col)
+          :+ col(lw) :+ col(env) :+ col(lid) :+ col(cell)): _*)
       carried = scored.where(!resolvedPred(margin) && hasAny)
         .select(col(lid), col(best).as("__g_carry"))
       unresolvedLeft = unresolved.count()
@@ -483,7 +528,7 @@ object GridNearestJoin {
       val stragglers =
         if (hopelessN == 0) unresolved
         else unresolved.unionByName(
-          l0m.where(hopelessPred).select(unresolved.columns.map(col): _*))
+          l0m.where(skipPred).select(unresolved.columns.map(col): _*))
       // the cross join keeps the left side's partitioning — which is ONE
       // partition when the left snapshot stems from a single-file scan;
       // spread the stragglers first or the whole exhaustive pass runs on
@@ -514,8 +559,13 @@ object GridNearestJoin {
       // right side — the true-condition left join keeps every straggler
       // alive with a null candidate instead (same pair count otherwise)
       val spread = stragglers.repartition(shufflePartitions)
+      // with factored keys the exhaustive pass is a HASH join on the
+      // key struct: pairs only within key groups, matchless stragglers
+      // O(1)-miss (kept alive by the left join for outer)
       val cands =
-        if (leftOuter) spread.join(rightHinted, lit(true), "left")
+        if (useEkey) spread.join(rightHinted, ekeyCols,
+          if (leftOuter) "left" else "inner")
+        else if (leftOuter) spread.join(rightHinted, lit(true), "left")
         else spread.crossJoin(rightHinted)
       // left-outer: the fallback sees every unresolved row, so dropping
       // the hasAny filter here is the ONLY emission change outer needs —

@@ -118,6 +118,78 @@ object PairCondition {
       }
     }
   }
+
+  /**
+   * Equi-conjunct extraction for the GRID path (round-12 scale fix,
+   * the DataFrame-level twin of BroadcastSpatialJoinExec.equiSplit):
+   * every conjunct of a condition Column shaped
+   * `leftOnlyExpr = rightOnlyExpr` (sides detected by referenced
+   * column NAME against the two frames' disjoint column sets) yields a
+   * (leftKey, rightKey) Column pair the caller composes into its JOIN
+   * keys — restricting candidate generation to key-equal rows, which
+   * is a pure superset-filter optimization when the caller KEEPS the
+   * full condition as the per-candidate predicate (rows a key-join
+   * drops would fail the condition anyway; struct-equality null
+   * semantics match SQL `=`'s never-true-on-null). Conjuncts whose
+   * reference sets straddle sides, reference neither side, or fail to
+   * resolve are simply not factored — the caller's behavior without
+   * any factorable conjunct is unchanged.
+   */
+  def equiKeys(spark: SparkSession, cond: org.apache.spark.sql.Column,
+      leftSchema: StructType, rightSchema: StructType)
+      : Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo}
+    import org.apache.spark.sql.graft.ColumnBridge
+    // the Spark 4 Column API carries a LAZY column-node tree (its
+    // catalyst shape only exists post-analysis), so the split runs on
+    // the ANALYZED condition — the compile() discipline above: filter
+    // an empty frame with the concatenated (disjoint-name) schema and
+    // take the Filter's condition, with implicit casts already placed
+    try {
+      val merged = StructType(leftSchema.fields ++ rightSchema.fields)
+      val empty = spark.createDataFrame(java.util.Collections.emptyList[Row](), merged)
+      val analyzed = empty.filter(cond).queryExecution.analyzed
+      val (condExpr, childOutput) = analyzed.collectFirst {
+        case f: logical.Filter => (f.condition, f.child.output)
+      }.getOrElse(return Nil)
+      val leftIds = childOutput.take(leftSchema.length).map(_.exprId).toSet
+      val rightIds = childOutput.drop(leftSchema.length).map(_.exprId).toSet
+      def conjuncts(e: Expression): Seq[Expression] = e match {
+        case And(a, b) => conjuncts(a) ++ conjuncts(b)
+        case x => Seq(x)
+      }
+      // (references left?, references right?) — an attribute from
+      // neither side (correlation, stray) counts as both: never factored
+      def sides(e: Expression): (Boolean, Boolean) = {
+        var hasL = false; var hasR = false
+        e.foreach {
+          case a: AttributeReference =>
+            if (leftIds(a.exprId)) hasL = true
+            else if (rightIds(a.exprId)) hasR = true
+            else { hasL = true; hasR = true }
+          case _ =>
+        }
+        (hasL, hasR)
+      }
+      // resolved attrs → by-name unresolved columns (names are plain
+      // and disjoint by the grid operator's contract), preserving the
+      // analyzer's casts inside the sub-expression
+      def toColumn(e: Expression): org.apache.spark.sql.Column =
+        ColumnBridge.column(e.transformUp {
+          case a: AttributeReference => UnresolvedAttribute(a.name)
+        })
+      conjuncts(condExpr).flatMap {
+        case EqualTo(a, b) if a.deterministic && b.deterministic =>
+          (sides(a), sides(b)) match {
+            case ((true, false), (false, true)) => Some((toColumn(a), toColumn(b)))
+            case ((false, true), (true, false)) => Some((toColumn(b), toColumn(a)))
+            case _ => None
+          }
+        case _ => None
+      }
+    } catch { case _: Exception => Nil }
+  }
 }
 
 /**

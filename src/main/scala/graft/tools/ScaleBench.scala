@@ -281,6 +281,19 @@ object ScaleBench {
       // the transformer's grid path uses when gridCellDeg is unset):
       // the hand-tuned twin above proves the mechanism, this one proves
       // the DEFAULT path needs no hand at ×100
+      // grid-nearest LEFT with the gate's modular equi condition: 1/5
+      // of the probes can NEVER match (key 4 has no right rows). The
+      // round-12 __g_ekey factoring joins rings AND the exhaustive
+      // fallback on the key struct, so matchless probes hash-miss in
+      // O(1) instead of pairing against the whole right side
+      "j1_nearest_left_grid" -> (() =>
+        graft.join.GridNearestJoin.nearest(
+          custPoints(f), supPoints(f), wkb("lon", "lat"), wkb("slon", "slat"),
+          cellDeg = 4.0 / math.sqrt(f.toDouble),
+          tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L,
+          condition = Some(col("s_suppkey") % 4 === col("c_custkey") % 5),
+          joinType = "left")
+          .select("c_custkey", "s_suppkey")),
       "j1_nearest_gridauto" -> (() => {
         val sup = supPoints(f)
         val cd = graft.join.GridNearestJoin.autoCellDeg(sup, wkb("slon", "slat"))

@@ -135,4 +135,52 @@ class EquiConditionSpec extends AnyFlatSpec with Matchers {
     both shouldBe mixed
     both.nonEmpty shouldBe true
   }
+
+  it should "factor identically on the partitioned GRID strategy (nearest + knn + withindist)" in {
+    // the grid kernel composes the keys into its cell join + turns the
+    // exhaustive fallback into a hash join (GridNearestJoin run's
+    // __g_ekey); the flat-formulation twin cannot factor — row sets
+    // must match across both strategies and every predicate
+    pois.createOrReplaceTempView("eq_poi_g")
+    def run(mode: String, pred: String, cond: String, jt: String = "inner",
+        knn: Int = 0): Seq[String] = {
+      val t = bsj("eq_poi_g").setBroadcast(mode).setPredicate(pred)
+        .setJoinType(jt).setJoinCondition(cond)
+      (if (knn > 0) t.setGridKnn(knn.toString) else t)
+        .transform(input).collect().map(_.mkString("|")).sorted.toSeq
+    }
+    val factorable = "right.cat = left.ccat and right.poi_id < 5"
+    val flat =
+      "right.cat is not null and left.ccat is not null and not (right.cat != left.ccat) and right.poi_id < 5"
+    for ((pred, jt) <- Seq(("nearest", "inner"), ("nearest", "left"),
+        ("withindist 2000000", "inner"))) {
+      val g = run("none", pred, factorable, jt)
+      g shouldBe run("none", pred, flat, jt)          // grid == unfactorable grid
+      g shouldBe run("dataset", pred, factorable, jt) // grid == broadcast kernel
+    }
+    // kNN through the same ring machinery
+    run("none", "nearest", factorable, knn = 2) shouldBe
+      run("none", "nearest", flat, knn = 2)
+  }
+
+  it should "EXTRACT keys from Spark 4 lazy column trees (engagement, not just agreement)" in {
+    // the Column API carries column-node trees whose catalyst shape
+    // only exists post-analysis — a pattern match on the raw expression
+    // silently extracts NOTHING and every agreement test above still
+    // passes (round-12 found exactly that); pin extraction directly
+    import org.apache.spark.sql.types._
+    val ls = StructType(Seq(StructField("a", LongType), StructField("x", DoubleType)))
+    val rs = StructType(Seq(StructField("b", LongType), StructField("y", DoubleType)))
+    def keys(c: org.apache.spark.sql.Column) =
+      graft.join.PairCondition.equiKeys(spark, c, ls, rs)
+    keys(col("b") % 4 === col("a") % 5).size shouldBe 1
+    keys(col("a") === col("b") && col("b") % 2 === col("a") % 2).size shouldBe 2
+    // residual-only / straddling / non-equi conjuncts extract nothing
+    keys(col("a") =!= col("b")).size shouldBe 0
+    keys(col("a") + col("b") === lit(3)).size shouldBe 0
+    // mixed: one factorable + one not
+    keys(col("a") === col("b") && col("b") > col("a")).size shouldBe 1
+    // nondeterministic keys never factor
+    keys(org.apache.spark.sql.functions.rand() * col("a") === col("b")).size shouldBe 0
+  }
 }
