@@ -117,9 +117,32 @@ object GridSpatialJoin {
     val (l0, r0) = JoinLayout.balance(left, right)
 
     val lw = "__graft_lwkb"; val rw = "__graft_rwkb"; val cell = "__graft_cell"
-    val l = l0.withColumn(lw, leftWkb).where(col(lw).isNotNull)
+
+    // equi-conjunct key composition (round-12; the GridNearestJoin
+    // __g_ekey discipline): factorable `leftExpr = rightExpr` conjuncts
+    // of the extra condition join beside the cell, so key-mismatched
+    // pairs never reach the geodesic/relates refine — a guaranteed
+    // early filter Catalyst's own predicate placement can't promise.
+    // Pure join restriction: the FULL condition still filters below.
+    val ekey = "__graft_ekey"
+    val equiPairs = extraCondition
+      .map(c => PairCondition.equiKeys(
+        left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        c, left.schema, right.schema))
+      .getOrElse(Nil)
+    val useEkey = equiPairs.nonEmpty && scala.util.Try {
+      def fieldTypes(df: DataFrame, ks: Seq[Column]) =
+        df.select(struct(ks: _*)).schema.head.dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fields.map(_.dataType).toSeq
+      fieldTypes(left, equiPairs.map(_._1)) == fieldTypes(right, equiPairs.map(_._2))
+    }.getOrElse(false)
+    val joinCols = if (useEkey) Seq(cell, ekey) else Seq(cell)
+
+    val lPre = l0.withColumn(lw, leftWkb).where(col(lw).isNotNull)
+    val l = (if (useEkey) lPre.withColumn(ekey, struct(equiPairs.map(_._1): _*)) else lPre)
       .withColumn(cell, explode(GeoExpressions.gridCells(col(lw), cellDeg, radius)))
-    val r = r0.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+    val rPre = r0.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+    val r = (if (useEkey) rPre.withColumn(ekey, struct(equiPairs.map(_._2): _*)) else rPre)
       .withColumn(cell, explode(GeoExpressions.gridCells(col(rw), cellDeg)))
 
     val spatialRefine: Column = predicate match {
@@ -129,12 +152,12 @@ object GridSpatialJoin {
         GeoExpressions.stRelates(col(lw), col(rw), rel.toString.toLowerCase)
     }
 
-    val joined = l.join(r, cell)
+    val joined = l.join(r, joinCols)
       .where(GeoExpressions.refCell(col(lw), col(rw), cellDeg, radius) === col(cell))
       .where(spatialRefine)
     val conditioned = extraCondition.fold(joined)(joined.where)
     val withDist = distanceCol.fold(conditioned)(name =>
       conditioned.withColumn(name, GeoExpressions.geodesicMeters(col(lw), col(rw))))
-    withDist.drop(lw, rw, cell)
+    withDist.drop(lw, rw, cell, ekey)
   }
 }
