@@ -24,6 +24,10 @@ Test / testGrouping := {
   ).filter(_.tests.nonEmpty)
 }
 run / fork := true
+// Forked runMain output passes through RAW (no sbt "[info] " line
+// prefix): the bench driver json-parses the tail of stdout, and a
+// prefixed "[info] {...}" line is not valid JSON to a plain parser.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

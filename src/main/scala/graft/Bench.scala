@@ -183,7 +183,11 @@ object Bench {
     val head = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""nqueries":${results.size},"queries_file":${jstr(fullOut)},""" +
       recallsJson + s""","errors":$errJson,"sf":"$sfDir","queries":{"""
-    val budget = 1900 - head.length - 2
+    // 1150-byte line cap: the driver keeps the last ~2000 chars of
+    // stdout, and sbt appends its own "[success] Total time..." line
+    // after this one — the compact line plus that suffix must both fit
+    // the window WHOLE for the artifact to self-parse.
+    val budget = 1150 - head.length - 2
     val slowFirst = results.sortBy(-_._2).iterator
       .map { case (k, v) => jstr(k) + ":" + math.rint(v * 1000) / 1000 }
     val kept = new scala.collection.mutable.ArrayBuffer[String]

@@ -2688,6 +2688,27 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
     }),
 
+    // tolerant ISO-BMFF walking (round 13): the SAME fields as
+    // multimodal_mp4_meta, carried by three rotating NON-canonical
+    // layouts (shuffled box order + udta/free padding, 64-bit
+    // largesize + v1 full boxes, multi-trak with an audio decoy) —
+    // real corpora never ship the canonical tree, and the walk must
+    // read identical values from every layout. Every 7th doc is raw
+    // text and must decode `unknown` (totality)
+    "multimodal_mp4_shuffled" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = mp4ShuffledAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.withDecodedMeta(assets, "content",
+          codec = graft.multimodal.Multimodal.Mp4Codec)
+        .select(col("doc_id"), col("meta.kind").as("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"))
+    }),
+
     // link-graph quality weighting: fixed-point PageRank over the
     // symmetrized customer↔supplier purchase graph (customers offset to
     // a disjoint id namespace). Integer micro-unit iteration — both
@@ -3009,6 +3030,65 @@ object SparkEntry {
         lit(z4 * 5),
         lit("4C495354"), expr(le32("movi")), lit("6D6F7669"),
         expr(s"concat_ws('', transform(sequence(0, nf - 1), i ->\n$frameChunk))")))
+      .select(col("doc_id"), unhex(col("hx")).as("content"))
+  }
+
+  /** Deterministic NON-canonical ISO-BMFF assets for
+    * `multimodal_mp4_shuffled` (round 13, the tolerant-walk gate):
+    * same field arithmetic as [[mp4Assets]], but the LAYOUT cycles by
+    * doc_id % 3 — (0) `free` before `ftyp`, `udta` + trak BEFORE mvhd
+    * inside moov; (1) `mdat` padding + 64-bit `largesize` moov holding
+    * v1 mvhd/tkhd/mdhd full boxes and an interleaved `free`; (2) a
+    * multi-trak moov with a `soun` trak first (the walk must pick the
+    * `vide` trak). Field values are identical across variants, so the
+    * oracle is the same closed-form — only the walk differs. */
+  private def mp4ShuffledAssets(docs: DataFrame): DataFrame = {
+    def be32(e: String): String = s"lpad(hex($e), 8, '0')"
+    val z = "00"
+    // fixed-size box templates with TS/DUR/W/H holes (hex pairs)
+    def mvhdV0 = Seq(lit("0000006C6D766864" + z * 12),
+      expr(be32("ts")), expr(be32("dur")), lit(z * 80))
+    def mvhdV1 = Seq(lit("000000786D766864" + "01000000" + z * 16),
+      expr(be32("ts")), lit("00000000"), expr(be32("dur")), lit(z * 80))
+    def tkhdV0(wE: String, hE: String) = Seq(lit("0000005C746B6864" + z * 76),
+      expr(be32(wE)), expr(be32(hE)))
+    def tkhdV1 = Seq(lit("00000068746B6864" + "01000000" + z * 84),
+      expr(be32("w * 65536")), expr(be32("h * 65536")))
+    def mdhdV0(tsE: String) = Seq(lit("000000206D646864" + z * 12),
+      expr(be32(tsE)), lit(z * 8))
+    def mdhdV1 = Seq(lit("0000002C6D646864" + "01000000" + z * 16),
+      expr(be32("ts")), lit(z * 12))
+    def hdlrOf(kindHex: String) = Seq(lit("0000002168646C72" + z * 8 + kindHex + z * 13))
+    val vide = "76696465"; val soun = "736F756E"
+    // trak v0 (173) = tkhd(92) + mdia(73: mdhd 32 + hdlr 33)
+    def trakV0(wE: String, hE: String, mtsE: String, kind: String) =
+      Seq(lit("000000AD7472616B")) ++ tkhdV0(wE, hE) ++
+        Seq(lit("000000496D646961")) ++ mdhdV0(mtsE) ++ hdlrOf(kind)
+    // trak v1 (197) = tkhd(104) + mdia(85: mdhd 44 + hdlr 33)
+    def trakV1 = Seq(lit("000000C57472616B")) ++ tkhdV1 ++
+      Seq(lit("000000556D646961")) ++ mdhdV1 ++ hdlrOf(vide)
+    val ftyp = "0000001066747970" + "69736F6D" + "00000200"
+    // variant 0: free + ftyp + moov(301){udta + vide trak + mvhd}
+    val v0 = Seq(lit("0000000C66726565" + z * 4 + ftyp +
+        "0000012D6D6F6F76" + "0000000C75647461" + "DEADBEEF")) ++
+      trakV0("w * 65536", "h * 65536", "ts", vide) ++ mvhdV0
+    // variant 1: ftyp + mdat(16) + LARGESIZE moov(345){v1 mvhd + free + v1 trak}
+    val v1 = Seq(lit(ftyp + "000000106D646174" + "0011223344556677" +
+        "000000016D6F6F76" + "0000000000000159")) ++
+      mvhdV1 ++ Seq(lit("0000000C66726565" + z * 4)) ++ trakV1
+    // variant 2: ftyp + moov(462){mvhd + soun trak + vide trak}
+    val v2 = Seq(lit(ftyp + "000001CE6D6F6F76")) ++ mvhdV0 ++
+      trakV0("0", "0", "22050", soun) ++
+      trakV0("w * 65536", "h * 65536", "ts", vide)
+    docs.select(col("doc_id"))
+      .withColumn("w", (lit(160) + pmod(col("doc_id"), lit(4)) * 16).cast("int"))
+      .withColumn("h", (lit(120) + pmod(col("doc_id"), lit(3)) * 8).cast("int"))
+      .withColumn("ts", (lit(500) + pmod(col("doc_id"), lit(4)) * 250).cast("int"))
+      .withColumn("dur", (lit(3000) + pmod(col("doc_id"), lit(7)) * 111).cast("int"))
+      .withColumn("hx",
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(v0: _*))
+          .when(pmod(col("doc_id"), lit(3)) === 1, concat(v1: _*))
+          .otherwise(concat(v2: _*)))
       .select(col("doc_id"), unhex(col("hx")).as("content"))
   }
 
@@ -6102,6 +6182,20 @@ object SparkEntry {
     // (the container round-trips them bit-exactly); duration_ms floors
     // exactly like the engine's integer division
     "multimodal_mp4_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'video' END kind,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(160 + (doc_id % 4) * 16 AS INT) END width,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(120 + (doc_id % 3) * 8 AS INT) END height,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST((3000 + (doc_id % 7) * 111) * 1000
+        |            // (500 + (doc_id % 4) * 250) AS BIGINT) END duration_ms
+        |FROM documents""".stripMargin,
+
+    // tolerant-walk gate: the three rotating layouts round-trip the
+    // SAME closed-form fields — the oracle is layout-independent
+    "multimodal_mp4_shuffled" ->
       """SELECT doc_id,
         |  CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'video' END kind,
         |  CASE WHEN doc_id % 7 = 0 THEN NULL

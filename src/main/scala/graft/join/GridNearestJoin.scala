@@ -216,23 +216,45 @@ object GridNearestJoin {
     // condition ride as ONE struct join key beside the cell, so ring
     // candidates and the exhaustive fallback only ever pair key-equal
     // rows — the fallback becomes a HASH join (a never-matching
-    // condition costs O(L+R), not L·R pairs). Pure join restriction:
-    // candOk still evaluates the FULL condition per candidate, and any
-    // row the key join drops would have failed it anyway (struct
-    // equality's null semantics match SQL `=`). Factoring engages only
-    // when both key structs resolve to identical field types — else
-    // behavior is byte-identical to the unfactored path.
+    // condition costs O(L+R), not L·R pairs). The key join is a
+    // SUPERSET filter, not an equivalent one: struct equality treats
+    // null-valued fields as equal (struct(null) = struct(null) is
+    // TRUE) where SQL `=` is never true on null, so null-keyed pairs
+    // OVER-match at the join — safe only because candOk re-evaluates
+    // the FULL condition per candidate. Never add a pure-equi fast
+    // path here that skips that recheck. Factoring engages only when
+    // both key structs resolve to identical field types — else
+    // behavior is byte-identical to the unfactored path. ANSI note:
+    // the keys evaluate eagerly frame-wide (see PairCondition.equiKeys
+    // scaladoc) — a throwing key expression fails queries the
+    // unfactored path might complete.
     val equiPairs = condition
       .map(c => PairCondition.equiKeys(
         left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
         c, left.schema, right.schema))
       .getOrElse(Nil)
-    val useEkey = equiPairs.nonEmpty && scala.util.Try {
-      def fieldTypes(df: DataFrame, ks: Seq[Column]) =
-        df.select(struct(ks: _*)).schema.head.dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fields.map(_.dataType).toSeq
-      fieldTypes(left, equiPairs.map(_._1)) == fieldTypes(right, equiPairs.map(_._2))
-    }.getOrElse(false)
+    // single-sided deterministic conjuncts (literal IN-lists, range
+    // guards — round-13 breadth): a right-only conjunct pre-filters the
+    // binned side BEFORE the cell explode (rows failing it can never
+    // pass candOk), a left-only one pre-filters probes on INNER joins
+    // (outer rows must survive null-padded, so outer keeps them).
+    // Superset discipline as ever: candOk still evaluates the FULL
+    // condition per candidate.
+    val (leftOnlyCond, rightOnlyCond) = condition
+      .map(c => PairCondition.sideOnly(
+        left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+        c, left.schema, right.schema))
+      .getOrElse((None, None))
+    val useEkey = equiPairs.nonEmpty &&
+      // never engage over a user column that collides with the
+      // conditional reserved name (withColumn would overwrite it)
+      !left.columns.contains(ekey) && !right.columns.contains(ekey) &&
+      scala.util.Try {
+        def fieldTypes(df: DataFrame, ks: Seq[Column]) =
+          df.select(struct(ks: _*)).schema.head.dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fields.map(_.dataType).toSeq
+        fieldTypes(left, equiPairs.map(_._1)) == fieldTypes(right, equiPairs.map(_._2))
+      }.getOrElse(false)
     val ekeyCols: Seq[String] = if (useEkey) Seq(ekey) else Nil
 
     // right side binned once to every overlapped cell. For k > 1 each
@@ -242,7 +264,8 @@ object GridNearestJoin {
     // The id-stamped base is SNAPSHOTTED so the ring path and the
     // exhaustive fallback see the same ids (monotonically_increasing_id
     // re-planned twice could renumber)
-    val r0pre = right.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+    val r0pre = rightOnlyCond.fold(right)(right.where)
+      .withColumn(rw, rightWkb).where(col(rw).isNotNull)
     val r0 = if (useEkey) r0pre.withColumn(ekey, struct(equiPairs.map(_._2): _*))
       else r0pre
     val rBase = if (k == 1) r0
@@ -256,7 +279,8 @@ object GridNearestJoin {
     val maxC = lit(GeoExpressions.MaxCell.toLong)
     def axisCell(coord: Column, offset: Double): Column =
       least(maxC, greatest(lit(0L), floor((coord + lit(offset)) / cellDeg).cast("long")))
-    val l0pre = left.withColumn(lw, leftWkb).where(col(lw).isNotNull)
+    val l0pre = (if (leftOuter) left else leftOnlyCond.fold(left)(left.where))
+      .withColumn(lw, leftWkb).where(col(lw).isNotNull)
     val l0 = (if (useEkey) l0pre.withColumn(ekey, struct(equiPairs.map(_._1): _*))
       else l0pre)
       .withColumn(env, GeoExpressions.stEnvelope(col(lw)))
@@ -322,8 +346,13 @@ object GridNearestJoin {
     val topkAgg: Column =
       graft.functions.BoundedTopKSet.topKSet(when(candOk, candStruct), k)
     def bestOf(cands: DataFrame): DataFrame = {
+      // candidate-range pruning (round-13): evaluate the cheap condition
+      // BEFORE the geodesic/JTS distance — a band or range conjunct that
+      // rejects the pair skips the WKB parse + distance math entirely
+      // (the struct below is only read when candOk holds, so the null
+      // dist of a rejected pair is never observed)
       val grouped = cands
-        .withColumn(dist, GeoExpressions.stDistance(col(lw), col(rw)))
+        .withColumn(dist, when(candOk, GeoExpressions.stDistance(col(lw), col(rw))))
         .groupBy(col(lid))
         .agg(topkAgg.as("__g_topk0"))
       if (k == 1)

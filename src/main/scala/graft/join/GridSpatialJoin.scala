@@ -130,12 +130,16 @@ object GridSpatialJoin {
         left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
         c, left.schema, right.schema))
       .getOrElse(Nil)
-    val useEkey = equiPairs.nonEmpty && scala.util.Try {
-      def fieldTypes(df: DataFrame, ks: Seq[Column]) =
-        df.select(struct(ks: _*)).schema.head.dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fields.map(_.dataType).toSeq
-      fieldTypes(left, equiPairs.map(_._1)) == fieldTypes(right, equiPairs.map(_._2))
-    }.getOrElse(false)
+    val useEkey = equiPairs.nonEmpty &&
+      // never engage over a user column that collides with the
+      // conditional reserved name (withColumn would overwrite it)
+      !left.columns.contains(ekey) && !right.columns.contains(ekey) &&
+      scala.util.Try {
+        def fieldTypes(df: DataFrame, ks: Seq[Column]) =
+          df.select(struct(ks: _*)).schema.head.dataType
+            .asInstanceOf[org.apache.spark.sql.types.StructType].fields.map(_.dataType).toSeq
+        fieldTypes(left, equiPairs.map(_._1)) == fieldTypes(right, equiPairs.map(_._2))
+      }.getOrElse(false)
     val joinCols = if (useEkey) Seq(cell, ekey) else Seq(cell)
 
     val lPre = l0.withColumn(lw, leftWkb).where(col(lw).isNotNull)
@@ -152,12 +156,22 @@ object GridSpatialJoin {
         GeoExpressions.stRelates(col(lw), col(rw), rel.toString.toLowerCase)
     }
 
-    val joined = l.join(r, joinCols)
+    // condition FIRST (round-13 candidate-range pruning): the extra
+    // condition is comparisons over user columns — orders of magnitude
+    // cheaper than the geodesic/relates refine, and a band conjunct
+    // (`right.x between left.a and left.b`) typically rejects most
+    // cell-matched pairs. Stacked wheres merge into one conjunction
+    // evaluated in order (CombineFilters keeps the inner filter first),
+    // so refine work is skipped for rejected pairs; Catalyst pushes any
+    // single-sided conjuncts below the join on its own.
+    val joined0 = l.join(r, joinCols)
+    val conditioned = extraCondition.fold(joined0)(joined0.where)
       .where(GeoExpressions.refCell(col(lw), col(rw), cellDeg, radius) === col(cell))
       .where(spatialRefine)
-    val conditioned = extraCondition.fold(joined)(joined.where)
     val withDist = distanceCol.fold(conditioned)(name =>
       conditioned.withColumn(name, GeoExpressions.geodesicMeters(col(lw), col(rw))))
-    withDist.drop(lw, rw, cell, ekey)
+    // drop ekey ONLY when factoring engaged: when it didn't, a user
+    // column that happens to be named __graft_ekey must pass through
+    withDist.drop(Seq(lw, rw, cell) ++ (if (useEkey) Seq(ekey) else Nil): _*)
   }
 }

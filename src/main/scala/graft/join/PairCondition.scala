@@ -128,67 +128,137 @@ object PairCondition {
    * (leftKey, rightKey) Column pair the caller composes into its JOIN
    * keys — restricting candidate generation to key-equal rows, which
    * is a pure superset-filter optimization when the caller KEEPS the
-   * full condition as the per-candidate predicate (rows a key-join
-   * drops would fail the condition anyway; struct-equality null
-   * semantics match SQL `=`'s never-true-on-null). Conjuncts whose
-   * reference sets straddle sides, reference neither side, or fail to
-   * resolve are simply not factored — the caller's behavior without
-   * any factorable conjunct is unchanged.
+   * full condition as the per-candidate predicate. Note the null
+   * semantics do NOT match on their own: Spark struct equality treats
+   * null-valued fields as equal (struct(null) = struct(null) is TRUE)
+   * while SQL `=` is never true on null — the key join OVER-matches on
+   * null keys, and correctness rests entirely on the caller
+   * re-evaluating the full condition per candidate. Never drop that
+   * recheck (no pure-equi fast path on this DataFrame-level kernel).
+   * Conjuncts whose reference sets straddle sides, reference neither
+   * side, or fail to resolve are simply not factored — the caller's
+   * behavior without any factorable conjunct is unchanged.
+   *
+   * ANSI caveat (documented behavior change vs the unfactored path):
+   * callers evaluate the returned key columns EAGERLY over every row
+   * of their frames, while the unfactored path only evaluates the
+   * condition on spatial-candidate pairs. A key sub-expression that
+   * throws under ANSI mode (e.g. a cast overflow) on a row the
+   * unfactored path would never pair therefore fails the whole query.
+   * The row-level broadcast kernel degrades to its flat path instead
+   * (BroadcastSpatialJoinExec catches and falls back); this
+   * DataFrame-level path cannot wrap per-row evaluation, so the
+   * behavior is documented here and at both grid call sites.
    */
   def equiKeys(spark: SparkSession, cond: org.apache.spark.sql.Column,
       leftSchema: StructType, rightSchema: StructType)
       : Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo}
-    import org.apache.spark.sql.graft.ColumnBridge
-    // the Spark 4 Column API carries a LAZY column-node tree (its
-    // catalyst shape only exists post-analysis), so the split runs on
-    // the ANALYZED condition — the compile() discipline above: filter
-    // an empty frame with the concatenated (disjoint-name) schema and
-    // take the Filter's condition, with implicit casts already placed
-    try {
-      val merged = StructType(leftSchema.fields ++ rightSchema.fields)
-      val empty = spark.createDataFrame(java.util.Collections.emptyList[Row](), merged)
-      val analyzed = empty.filter(cond).queryExecution.analyzed
-      val (condExpr, childOutput) = analyzed.collectFirst {
-        case f: logical.Filter => (f.condition, f.child.output)
-      }.getOrElse(return Nil)
-      val leftIds = childOutput.take(leftSchema.length).map(_.exprId).toSet
-      val rightIds = childOutput.drop(leftSchema.length).map(_.exprId).toSet
-      def conjuncts(e: Expression): Seq[Expression] = e match {
-        case And(a, b) => conjuncts(a) ++ conjuncts(b)
-        case x => Seq(x)
-      }
-      // (references left?, references right?) — an attribute from
-      // neither side (correlation, stray) counts as both: never factored
-      def sides(e: Expression): (Boolean, Boolean) = {
-        var hasL = false; var hasR = false
-        e.foreach {
-          case a: AttributeReference =>
-            if (leftIds(a.exprId)) hasL = true
-            else if (rightIds(a.exprId)) hasR = true
-            else { hasL = true; hasR = true }
-          case _ =>
-        }
-        (hasL, hasR)
-      }
-      // resolved attrs → by-name unresolved columns (names are plain
-      // and disjoint by the grid operator's contract), preserving the
-      // analyzer's casts inside the sub-expression
-      def toColumn(e: Expression): org.apache.spark.sql.Column =
-        ColumnBridge.column(e.transformUp {
-          case a: AttributeReference => UnresolvedAttribute(a.name)
-        })
-      conjuncts(condExpr).flatMap {
-        case EqualTo(a, b) if a.deterministic && b.deterministic =>
-          (sides(a), sides(b)) match {
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
+    splitAnalyzed(spark, cond, leftSchema, rightSchema) match {
+      case None => Nil
+      case Some((cs, sides, toColumn)) =>
+        // `=` keys over-match on null struct fields (superset filter;
+        // the caller's full-condition recheck makes them exact); `<=>`
+        // keys match Spark struct-equality semantics EXACTLY (null
+        // fields compare equal on both), so null-safe equality factors
+        // under the same discipline with zero extra machinery
+        def pick(a: Expression, b: Expression)
+            : Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
+          if (!a.deterministic || !b.deterministic) None
+          else (sides(a), sides(b)) match {
             case ((true, false), (false, true)) => Some((toColumn(a), toColumn(b)))
             case ((false, true), (true, false)) => Some((toColumn(b), toColumn(a)))
             case _ => None
           }
-        case _ => None
+        cs.flatMap {
+          case EqualTo(a, b) => pick(a, b)
+          case EqualNullSafe(a, b) => pick(a, b)
+          case _ => None
+        }
+    }
+  }
+
+  /**
+   * Single-sided deterministic conjuncts of the condition, rebuilt as
+   * standalone Columns: (`AND` of left-only conjuncts, `AND` of
+   * right-only conjuncts). A right-only conjunct (e.g. a literal
+   * IN-list `right.k IN (1, 2, 3)`) can pre-filter the indexed side —
+   * rows failing it can never satisfy the full condition — and a
+   * left-only one can pre-filter probes on an INNER join. Pure
+   * superset-filter restrictions under the same discipline as
+   * equiKeys: the caller must still evaluate the full condition per
+   * candidate, and null evaluates as NOT-matching (SQL boolean filter
+   * semantics) on both the pre-filter and the full condition, so the
+   * split cannot change the result. Conjuncts with no column
+   * references at all (constants, nondeterministic) are never moved.
+   * Same ANSI eager-evaluation caveat as equiKeys.
+   */
+  def sideOnly(spark: SparkSession, cond: org.apache.spark.sql.Column,
+      leftSchema: StructType, rightSchema: StructType)
+      : (Option[org.apache.spark.sql.Column], Option[org.apache.spark.sql.Column]) =
+    splitAnalyzed(spark, cond, leftSchema, rightSchema) match {
+      case None => (None, None)
+      case Some((cs, sides, toColumn)) =>
+        val det = cs.filter(_.deterministic)
+        val ls = det.filter(e => sides(e) == ((true, false))).map(toColumn)
+        val rs = det.filter(e => sides(e) == ((false, true))).map(toColumn)
+        (ls.reduceOption(_ && _), rs.reduceOption(_ && _))
+    }
+
+  /** Analyzed-conjunct machinery shared by equiKeys/sideOnly. The Spark
+    * 4 Column API carries a LAZY column-node tree (its catalyst shape
+    * only exists post-analysis), so every split runs on the ANALYZED
+    * condition — the compile() discipline above: filter an empty frame
+    * with the concatenated (disjoint-name) schema and take the Filter's
+    * condition, with implicit casts already placed. Returns the
+    * conjunct list, a side classifier (references left? / right? — an
+    * attribute from neither side counts as both: never factored), and
+    * a rebuilder from resolved sub-expressions to by-name Columns. */
+  private def splitAnalyzed(spark: SparkSession, cond: org.apache.spark.sql.Column,
+      leftSchema: StructType, rightSchema: StructType)
+      : Option[(Seq[Expression], Expression => (Boolean, Boolean),
+                Expression => org.apache.spark.sql.Column)] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference}
+    import org.apache.spark.sql.graft.ColumnBridge
+    try {
+      val merged = StructType(leftSchema.fields ++ rightSchema.fields)
+      val empty = spark.createDataFrame(java.util.Collections.emptyList[Row](), merged)
+      val analyzed = empty.filter(cond).queryExecution.analyzed
+      analyzed.collectFirst {
+        case f: logical.Filter => (f.condition, f.child.output)
+      }.map { case (condExpr, childOutput) =>
+        val leftIds = childOutput.take(leftSchema.length).map(_.exprId).toSet
+        def conjuncts(e: Expression): Seq[Expression] = e match {
+          case And(a, b) => conjuncts(a) ++ conjuncts(b)
+          case x => Seq(x)
+        }
+        val rightIds = childOutput.drop(leftSchema.length).map(_.exprId).toSet
+        def sides(e: Expression): (Boolean, Boolean) = {
+          var hasL = false; var hasR = false
+          e.foreach {
+            case a: AttributeReference =>
+              if (leftIds(a.exprId)) hasL = true
+              else if (rightIds(a.exprId)) hasR = true
+              else { hasL = true; hasR = true }
+            case _ =>
+          }
+          (hasL, hasR)
+        }
+        // resolved attrs → by-name unresolved columns (names are plain
+        // and disjoint by the grid operator's contract), preserving the
+        // analyzer's casts inside the sub-expression
+        def toColumn(e: Expression): org.apache.spark.sql.Column =
+          ColumnBridge.column(e.transformUp {
+            // quoted: UnresolvedAttribute(name) would parse dots as path
+            // separators, so a literal column name like "u.k" could
+            // silently re-resolve to a same-typed struct FIELD u.k and
+            // key-restrict the join on the wrong values
+            case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+          })
+        (conjuncts(condExpr), sides _, toColumn _)
       }
-    } catch { case _: Exception => Nil }
+    } catch { case _: Exception => None }
   }
 }
 

@@ -632,13 +632,23 @@ object Multimodal {
    * ([[StubCodec]]'s JNI contract); this codec's `videoFrames` stays
    * null by design.
    *
-   * Canonical layout written by [[encode]] and required by [[parse]]
-   * (anything else → `unknown`, per the totality contract): one v0
+   * TOLERANT box walking (round 13 — real corpora never ship one
+   * canonical layout): the walk accepts arbitrary top-level box order,
+   * skips unknown boxes (`free`, `skip`, `udta`, `mdat`, anything
+   * unrecognized) at every nesting level, handles 64-bit `largesize`
+   * headers (size == 1 → next u64) and to-end-of-enclosing boxes
+   * (size == 0), reads v0 AND v1 full-box layouts for `mvhd`/`tkhd`/
+   * `mdhd`, and with multiple traks picks the first `vide` handler,
+   * else the first `soun` — the same resolution `MP4Box`/`ffprobe`
+   * perform. A `ftyp` brand box must be present somewhere at top level
+   * (so arbitrary binaries whose first bytes happen to walk are not
+   * misdetected), and any STRUCTURAL violation — short header, a
+   * declared size overrunning its enclosing box, trailing bytes —
+   * fails the whole file to `unknown`, per the totality contract.
+   * [[encode]] still writes the fixed canonical tree: one v0
    * `ftyp(16, isom)`, one `moov(289)` holding `mvhd(108)` and one
    * `trak(173)` = `tkhd(92)` + `mdia(73)` = `mdhd(32)` + `hdlr(33,
-   * empty name)`. All u32 big-endian at fixed offsets once the walk
-   * pins each box — exactly the walk `MP4Box`/`ffprobe` performs on
-   * the same boxes.
+   * empty name)`.
    */
   object Mp4Codec extends MediaCodec {
     private def u32(b: Array[Byte], o: Int): Long =
@@ -659,32 +669,94 @@ object Multimodal {
     private val Matrix: Array[Int] =
       Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
 
+    private def u64(b: Array[Byte], o: Int): Long =
+      (u32(b, o) << 32) | u32(b, o + 4)
+    private def fourcc(b: Array[Byte], o: Int): String =
+      new String(b, o, 4, "US-ASCII")
+    private def version(b: Array[Byte], o: Int): Int = b(o) & 0xff
+
+    /** Child boxes of `b[start, end)` as (type, payloadStart,
+      * payloadEnd) — handles `largesize` (size == 1 → u64 follows) and
+      * to-end boxes (size == 0). None on any structural violation
+      * (short header, declared size under the header length or
+      * overrunning the enclosing box): the file then decodes
+      * `unknown` rather than risking garbage fields. */
+    private def children(b: Array[Byte], start: Int, end: Int)
+        : Option[List[(String, Int, Int)]] = {
+      val out = List.newBuilder[(String, Int, Int)]
+      var o = start
+      while (o < end) {
+        if (o + 8 > end) return None
+        val sz0 = u32(b, o)
+        var hdr = 8L
+        val size: Long =
+          if (sz0 == 1L) {
+            if (o + 16 > end) return None
+            hdr = 16L; u64(b, o + 8)
+          } else if (sz0 == 0L) (end - o).toLong
+          else sz0
+        // negative u64 sizes (>= 2^63) fail the first test
+        if (size < hdr || size > end - o) return None
+        out += ((fourcc(b, o + 4), o + hdr.toInt, o + size.toInt))
+        o += size.toInt
+      }
+      Some(out.result())
+    }
+
     /** (handler4cc, width, height, movieTimescale, movieDuration,
-      * mediaTimescale) when the payload is a canonical metadata-only
-      * MP4 with every declared byte present. */
+      * mediaTimescale) via the tolerant walk: first `vide` trak, else
+      * first `soun`, else None. */
     private def parse(b: Array[Byte]): Option[(String, Int, Int, Long, Long, Long)] = {
-      if (b == null || b.length < 305) return None
-      if (u32(b, 0) != 16L || !tag(b, 4, "ftyp") || !tag(b, 8, "isom")) return None
-      val moovSize = u32(b, 16)
-      if (!tag(b, 20, "moov") || 16L + moovSize > b.length) return None
-      if (u32(b, 24) != 108L || !tag(b, 28, "mvhd")) return None
-      if (u32(b, 32) != 0L) return None                  // v0, no flags
-      val ts = u32(b, 44); val dur = u32(b, 48)
-      if (ts <= 0 || ts > 10000000L) return None
-      if (u32(b, 132) != 173L || !tag(b, 136, "trak")) return None
-      if (moovSize != 8L + 108L + 173L) return None
-      if (u32(b, 140) != 92L || !tag(b, 144, "tkhd")) return None
-      if (u32(b, 148) != 7L) return None                 // v0, enabled flags
-      val w = u32(b, 224) >> 16; val h = u32(b, 228) >> 16
+      if (b == null || b.length < 16) return None
+      val top = children(b, 0, b.length).getOrElse(return None)
+      // require the brand box somewhere at top level: a random binary
+      // whose first bytes happen to form a consistent walk must not
+      // misdetect as ISO-BMFF
+      if (!top.exists(_._1 == "ftyp")) return None
+      val (_, ms0, me0) = top.find(_._1 == "moov").getOrElse(return None)
+      val kids = children(b, ms0, me0).getOrElse(return None)
+      // full-box payloads must carry their complete SPEC size for the
+      // claimed version (v0 mvhd = 100, v1 = 112): a v0 payload whose
+      // version byte is corrupted to 1 is then rejected instead of
+      // misreading rate/volume bytes as timescale/duration
+      val (ts, dur) = kids.find(_._1 == "mvhd") match {
+        case Some((_, s, e)) if e - s >= 100 && version(b, s) == 0 =>
+          (u32(b, s + 12), u32(b, s + 16))
+        case Some((_, s, e)) if e - s >= 112 && version(b, s) == 1 =>
+          (u32(b, s + 20), u64(b, s + 24))
+        case _ => return None
+      }
+      if (ts <= 0 || ts > 10000000L || dur < 0) return None
+      // every structurally-complete trak → (handler, w, h, mediaTs)
+      val traks = kids.filter(_._1 == "trak").flatMap { case (_, ts0, te0) =>
+        for {
+          ks <- children(b, ts0, te0)
+          (_, hs, he) <- ks.find(_._1 == "tkhd")
+          wh <- version(b, hs) match {
+            case 0 if he - hs >= 84 =>
+              Some((u32(b, hs + 76) >> 16, u32(b, hs + 80) >> 16))
+            case 1 if he - hs >= 96 =>
+              Some((u32(b, hs + 88) >> 16, u32(b, hs + 92) >> 16))
+            case _ => None
+          }
+          (_, ds0, de0) <- ks.find(_._1 == "mdia")
+          mks <- children(b, ds0, de0)
+          (_, ms, me) <- mks.find(_._1 == "mdhd")
+          mts <- version(b, ms) match {
+            // full mdhd spec payloads: v0 = 24, v1 = 36
+            case 0 if me - ms >= 24 => Some(u32(b, ms + 12))
+            case 1 if me - ms >= 36 => Some(u32(b, ms + 20))
+            case _ => None
+          }
+          (_, ls, le) <- mks.find(_._1 == "hdlr")
+          if le - ls >= 12
+        } yield (fourcc(b, ls + 8), wh._1, wh._2, mts)
+      }
+      val (handler, w, h, mts) = traks.find(_._1 == "vide")
+        .orElse(traks.find(_._1 == "soun")).getOrElse(return None)
       if (w < 0 || w > (1 << 15) || h < 0 || h > (1 << 15)) return None
-      if (u32(b, 232) != 73L || !tag(b, 236, "mdia")) return None
-      if (u32(b, 240) != 32L || !tag(b, 244, "mdhd")) return None
-      if (u32(b, 248) != 0L) return None                 // v0
-      val mediaTs = u32(b, 260)
-      if (mediaTs <= 0 || mediaTs > 10000000L) return None
-      if (u32(b, 272) != 33L || !tag(b, 276, "hdlr")) return None
-      val handler = new String(b, 288, 4, "US-ASCII")
-      Some((handler, w.toInt, h.toInt, ts, dur, mediaTs))
+      if (mts <= 0 || mts > 10000000L) return None
+      Some((handler, w.toInt, h.toInt, ts, dur, mts))
     }
 
     /** Canonical encoder: `kind` is the hdlr 4cc (`vide` | `soun`);

@@ -59,6 +59,11 @@ case class BroadcastSpatialJoinPlan(
 
 /** Planner strategy: install via `spark.experimental.extraStrategies` (the
   * transformer self-registers) or GraftExtensions. */
+/** Sentinel standing in for a null `<=>` key component — one instance
+  * per JVM, so build-side and probe-side nulls hash-match inside each
+  * executor's partitioned index. */
+private[plans] object NullSafeKey
+
 object SpatialJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: BroadcastSpatialJoinPlan =>
@@ -114,10 +119,25 @@ case class BroadcastSpatialJoinExec(
    * must agree with Catalyst EqualTo; ±0.0 normalized like Spark's own
    * hash joins; boxed NaN is canonical under Double.hashCode).
    */
-  private type EquiSplit = (Seq[Expression], Seq[Expression], Option[Expression])
+  /** Factored condition: composite equi keys (`=` and `<=>` conjuncts),
+    * single-sided pre-filters, and the per-candidate residual.
+    * `nullSafe(i)` marks a `<=>` key component: a null there is a REAL
+    * key value (both sides map to the NullKey sentinel and hash-match,
+    * mirroring Catalyst's null-safe equality) where a `=` component's
+    * null means no-match. `leftOnly` / `rightOnly` carry deterministic
+    * conjuncts referencing one side only (literal IN-lists, range
+    * guards): right-only ones exclude rows from the index at build,
+    * left-only ones short-circuit probes to O(1) no-match — both pure
+    * superset restrictions (a filtered row/probe could never pass the
+    * full condition; SQL filter semantics drop null evaluations on
+    * either path). */
+  private case class EquiSplit(
+      lKeys: Seq[Expression], rKeys: Seq[Expression], nullSafe: Array[Boolean],
+      leftOnly: Option[Expression], rightOnly: Option[Expression],
+      residual: Option[Expression])
 
   @transient private lazy val equiSplit: Option[EquiSplit] = {
-    import org.apache.spark.sql.catalyst.expressions.{And, BoundReference, EqualTo}
+    import org.apache.spark.sql.catalyst.expressions.{And, BoundReference, EqualNullSafe, EqualTo}
     val leftWidth = left.output.length
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(a, b) => conjuncts(a) ++ conjuncts(b)
@@ -146,25 +166,33 @@ case class BroadcastSpatialJoinExec(
       val cs = conjuncts(cond)
       // factor EVERY factorable equality into one composite key — a
       // two-key condition partitions |right| / (k1·k2) per bucket
+      def pickEq(eq: Expression, a: Expression, b: Expression, ns: Boolean) =
+        (sides(a), sides(b)) match {
+          case ((true, false), (false, true)) if atomicKey(a) && atomicKey(b) =>
+            Some((eq, a, b, ns))
+          case ((false, true), (true, false)) if atomicKey(a) && atomicKey(b) =>
+            Some((eq, b, a, ns))
+          case _ => None
+        }
       val picks = cs.flatMap {
-        case eq @ EqualTo(a, b) =>
-          (sides(a), sides(b)) match {
-            case ((true, false), (false, true)) if atomicKey(a) && atomicKey(b) =>
-              Some((eq: Expression, a, b))
-            case ((false, true), (true, false)) if atomicKey(a) && atomicKey(b) =>
-              Some((eq: Expression, b, a))
-            case _ => None
-          }
+        case eq @ EqualTo(a, b) => pickEq(eq, a, b, ns = false)
+        case eq @ EqualNullSafe(a, b) => pickEq(eq, a, b, ns = true)
         case _ => None
       }
-      if (picks.isEmpty) None
-      else {
-        val picked = picks.map(_._1).toSet
-        val rest = cs.filterNot(picked.contains)
-        Some((picks.map(_._2), picks.map(_._3), rest.reduceOption(And)))
-      }
+      val picked = picks.map(_._1).toSet
+      val rest0 = cs.filterNot(picked.contains)
+      val lOnly = rest0.filter(e => e.deterministic && sides(e) == ((true, false)))
+      val rOnly = rest0.filter(e => e.deterministic && sides(e) == ((false, true)))
+      val moved = (lOnly ++ rOnly).toSet
+      val rest = rest0.filterNot(moved.contains)
+      if (picks.isEmpty && lOnly.isEmpty && rOnly.isEmpty) None
+      else Some(EquiSplit(picks.map(_._2), picks.map(_._3),
+        picks.map(_._4).toArray,
+        lOnly.reduceOption(And), rOnly.reduceOption(And),
+        rest.reduceOption(And)))
     }
   }
+
 
   // collect + pack + broadcast the right side once per physical plan —
   // Dataset caches its QueryExecution, so repeated actions on the same
@@ -211,13 +239,19 @@ case class BroadcastSpatialJoinExec(
         case x => x
       }
       val hitsOf: InternalRow => Iterator[(Int, Int)] = split match {
-        case Some((lKeys, rKeys, residual)) =>
+        case Some(EquiSplit(lKeys, rKeys, nullSafe, leftOnly, rightOnly, residual)) =>
           // key-partitioned probes: the equi conjuncts become ONE
           // composite hash lookup; only the residual (if any) rides as
           // a per-candidate predicate — none means the fast
-          // unconditioned walk. A null in ANY key component means SQL
+          // unconditioned walk. A null in a `=` key component means SQL
           // `=` can never hold → no match (and the right row indexes
-          // into no bucket).
+          // into no bucket); a null in a `<=>` component is a real key
+          // value (NullSafeKey sentinel — both sides hash-match, which
+          // is exactly Catalyst's null-safe equality). Right-only
+          // conjuncts exclude rows from the index at build; left-only
+          // ones short-circuit probes to O(1) no-match. With no key
+          // conjuncts at all, every surviving row lands in the single
+          // Nil-key bucket — a right-filtered flat index.
           val nullLeft = new GenericInternalRow(leftWidth)
           val nullRight = new GenericInternalRow(rightWidth)
           val keyJoin = new JoinedRow
@@ -226,14 +260,42 @@ case class BroadcastSpatialJoinExec(
             var i = exprs.length - 1
             while (i >= 0) {
               val v = exprs(i).eval(row)
-              if (v == null) return null
-              out = normKey(v) :: out
+              if (v == null) {
+                if (!nullSafe(i)) return null
+                out = NullSafeKey :: out
+              } else out = normKey(v) :: out
               i -= 1
             }
             out
           }
-          val keyProbes =
-            idx.partitioned(i => keyOf(rKeys, keyJoin(nullLeft, idx.rows(i))))
+          // ANSI safety: factoring evaluates key/side expressions
+          // EAGERLY — over every broadcast row at build, and per probe
+          // row — while the flat kernel only evaluates the full
+          // condition on tree-candidate pairs. A key that throws (e.g.
+          // ANSI cast overflow) on a row the flat path never pairs must
+          // not fail the query, so a throwing build falls back to the
+          // flat path wholesale and a throwing probe-side key falls
+          // back for that row: answers become exactly the flat
+          // kernel's, and a genuinely-throwing candidate still throws
+          // where the flat path would (the condition contains the same
+          // sub-expression).
+          lazy val flatProbe = new SpatialProbe(idx.geoms, idx.tree)
+          def flatEvalFor(lrow: InternalRow): Int => Boolean = condPred match {
+            case None => SpatialProbe.AlwaysTrue
+            case Some(p) => i => p.eval(joined(lrow, idx.rows(i)))
+          }
+          val keyProbes = {
+            val rightPred = rightOnly.map(Predicate.create)
+            rightPred.foreach(_.initialize(0))
+            try idx.partitioned { i =>
+              val jr = keyJoin(nullLeft, idx.rows(i))
+              if (rightPred.exists(p => !p.eval(jr))) null
+              else keyOf(rKeys, jr)
+            }
+            catch { case scala.util.control.NonFatal(_) => null }
+          }
+          val leftPred = leftOnly.map(Predicate.create)
+          leftPred.foreach(_.initialize(0))
           val resPred = residual.map(Predicate.create)
           resPred.foreach(_.initialize(0))
           def resEvalFor(lrow: InternalRow): Int => Boolean = resPred match {
@@ -243,9 +305,20 @@ case class BroadcastSpatialJoinExec(
           lrow => {
             val g = graft.spatial.GeoKit.wkbToGeom(lrow.getBinary(lIdx))
             if (g == null) Iterator.empty
-            else {
-              val k = keyOf(lKeys, keyJoin(lrow, nullRight))
-              if (k == null) Iterator.empty
+            else if (keyProbes == null) {
+              flatProbe.matches(g, pred, flatEvalFor(lrow), needDist)
+            } else {
+              var keyThrew = false
+              var leftFails = false
+              val k =
+                try {
+                  val lj = keyJoin(lrow, nullRight)
+                  if (leftPred.exists(p => !p.eval(lj))) { leftFails = true; null }
+                  else keyOf(lKeys, lj)
+                }
+                catch { case scala.util.control.NonFatal(_) => keyThrew = true; null }
+              if (keyThrew) flatProbe.matches(g, pred, flatEvalFor(lrow), needDist)
+              else if (leftFails || k == null) Iterator.empty
               else {
                 val probe = keyProbes.get(k)
                 if (probe == null) Iterator.empty

@@ -1634,6 +1634,49 @@ object Drive {
       println(s"OK unigram artifact roundtrip=$rt (expect true)")
     }
 
+    println("=== 54. round-13: tolerant ISO-BMFF walk + factoring breadth ===")
+    locally {
+      import graft.multimodal.Multimodal.Mp4Codec
+      // non-canonical layout: free before ftyp, trak before mvhd, udta
+      // padding — the tolerant walk must read the same fields
+      def u32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def bx(t: String, p: Array[Byte]) = u32(8L + p.length) ++ t.getBytes ++ p
+      val moov = bx("moov",
+        bx("udta", "pad".getBytes) ++
+          bx("trak", bx("tkhd", new Array[Byte](76) ++ u32(640L << 16) ++ u32(360L << 16)) ++
+            bx("mdia", bx("mdhd", new Array[Byte](12) ++ u32(48000) ++ new Array[Byte](8)) ++
+              bx("hdlr", new Array[Byte](8) ++ "vide".getBytes ++ new Array[Byte](13)))) ++
+          bx("mvhd", new Array[Byte](12) ++ u32(600) ++ u32(1500) ++ new Array[Byte](80)))
+      val f = bx("free", new Array[Byte](4)) ++
+        bx("ftyp", "isom".getBytes ++ u32(0x200)) ++ moov
+      val m = Mp4Codec.decode(f)
+      println(s"OK shuffled mp4=(${m.getString(0)},${m.getInt(1)}x${m.getInt(2)}," +
+        s"${m.getLong(4)}ms) (expect (video,640x360,2500ms))")
+      println(s"OK trailing-garbage mp4=${Mp4Codec.decode(f ++ Array[Byte](1, 2, 3)).getString(0)} " +
+        "(expect unknown)")
+      // factoring breadth on the public transformer surface: <=> keys
+      // (null matches null) and a right-only IN-list restriction
+      import spark.implicits._
+      Seq((1L, Option(10L), 0.0, 0.0), (2L, Option.empty[Long], 1.0, 0.0),
+        (3L, Option(30L), 2.0, 0.0))
+        .toDF("poi_id", "cat", "plon", "plat").createOrReplaceTempView("drv_eq_poi")
+      val inp = Seq((101L, Option(10L), 0.1, 0.0), (102L, Option.empty[Long], 1.1, 0.0))
+        .toDF("cid", "ccat", "lon", "lat")
+      val ns = new graft.transformer.BroadcastSpatialJoin()
+        .setDataset("drv_eq_poi").setDatasetPoint("plon, plat").setInputPoint("lon, lat")
+        .setDataColumns("poi_id").setBroadcast("dataset").setPredicate("nearest")
+        .setJoinCondition("right.cat <=> left.ccat")
+        .transform(inp).collect().map(r => (r.getLong(0), r.getLong(4))).sorted.toSeq
+      println(s"OK nullsafe join=$ns (expect List((101,1), (102,2)) — null key matched)")
+      val inl = new graft.transformer.BroadcastSpatialJoin()
+        .setDataset("drv_eq_poi").setDatasetPoint("plon, plat").setInputPoint("lon, lat")
+        .setDataColumns("poi_id").setBroadcast("dataset").setPredicate("nearest")
+        .setJoinCondition("right.cat in (30)")
+        .transform(inp).collect().map(r => (r.getLong(0), r.getLong(4))).sorted.toSeq
+      println(s"OK in-list join=$inl (expect List((101,3), (102,3)) — index restricted)")
+    }
+
     spark.stop()
   }
 }

@@ -72,6 +72,94 @@ class Mp4CodecSpec extends AnyFlatSpec with Matchers {
     Mp4Codec.decode(oversize).getString(0) shouldBe "unknown"
   }
 
+  // --- tolerant ISO-BMFF walking (round 13): real corpora never ship
+  // the canonical layout — hand-assembled non-canonical box trees ----
+
+  private def u32be(v: Long): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+  private def u64be(v: Long): Array[Byte] = u32be(v >>> 32) ++ u32be(v & 0xffffffffL)
+  private def box(typ: String, payload: Array[Byte]): Array[Byte] =
+    u32be(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+  private def largeBox(typ: String, payload: Array[Byte]): Array[Byte] =
+    u32be(1L) ++ typ.getBytes("US-ASCII") ++ u64be(16L + payload.length) ++ payload
+  private def zeros(n: Int) = new Array[Byte](n)
+
+  private def mvhdV0(ts: Long, dur: Long) =
+    box("mvhd", zeros(12) ++ u32be(ts) ++ u32be(dur) ++ zeros(80))
+  private def mvhdV1(ts: Long, dur: Long) =
+    box("mvhd", Array[Byte](1, 0, 0, 0) ++ zeros(16) ++ u32be(ts) ++ u64be(dur) ++ zeros(80))
+  private def tkhdV0(w: Int, h: Int) =
+    box("tkhd", zeros(76) ++ u32be(w.toLong << 16) ++ u32be(h.toLong << 16))
+  private def tkhdV1(w: Int, h: Int) =
+    box("tkhd", Array[Byte](1, 0, 0, 0) ++ zeros(84) ++ u32be(w.toLong << 16) ++ u32be(h.toLong << 16))
+  private def mdhdV0(ts: Long) = box("mdhd", zeros(12) ++ u32be(ts) ++ zeros(8))
+  private def mdhdV1(ts: Long) = box("mdhd", Array[Byte](1, 0, 0, 0) ++ zeros(16) ++ u32be(ts) ++ zeros(12))
+  private def hdlr(kind: String) = box("hdlr", zeros(8) ++ kind.getBytes ++ zeros(13))
+  private def trak(tkhd: Array[Byte], mdhd: Array[Byte], h: Array[Byte]) =
+    box("trak", tkhd ++ box("mdia", mdhd ++ h))
+  private val ftyp = box("ftyp", "isom".getBytes ++ u32be(0x200))
+
+  it should "walk shuffled and padded top-level/moov layouts" in {
+    // free before ftyp, mdat between, moov LAST; inside moov the trak
+    // comes before mvhd with udta and free boxes interleaved
+    val moov = box("moov",
+      box("udta", "who knows".getBytes) ++
+        trak(tkhdV0(640, 360), mdhdV0(48000), hdlr("vide")) ++
+        box("free", zeros(20)) ++ mvhdV0(600, 1500))
+    val f = box("free", zeros(4)) ++ ftyp ++ box("mdat", zeros(99)) ++ moov
+    val m = Mp4Codec.decode(f)
+    m.getString(0) shouldBe "video"
+    m.getInt(1) shouldBe 640
+    m.getInt(2) shouldBe 360
+    m.getLong(4) shouldBe 2500L // 1500/600 s
+  }
+
+  it should "read 64-bit largesize headers and v1 full boxes" in {
+    val moov = largeBox("moov",
+      mvhdV1(1000, 5000000000L) ++ // v1: 64-bit duration past u32 range
+        trak(tkhdV1(3840, 2160), mdhdV1(90000), hdlr("vide")))
+    val m = Mp4Codec.decode(ftyp ++ moov)
+    m.getString(0) shouldBe "video"
+    m.getInt(1) shouldBe 3840
+    m.getInt(2) shouldBe 2160
+    m.getLong(4) shouldBe 5000000000L // dur*1000/ts = dur at ts 1000
+  }
+
+  it should "pick the video trak among several, else the audio trak" in {
+    val multi = ftyp ++ box("moov",
+      mvhdV0(44100, 44100 * 2) ++
+        trak(tkhdV0(0, 0), mdhdV0(44100), hdlr("soun")) ++
+        trak(tkhdV0(1280, 720), mdhdV0(30000), hdlr("vide")))
+    val mv = Mp4Codec.decode(multi)
+    mv.getString(0) shouldBe "video"
+    mv.getInt(1) shouldBe 1280
+    val audioOnly = ftyp ++ box("moov",
+      mvhdV0(44100, 44100 * 2) ++
+        trak(tkhdV0(0, 0), mdhdV0(22050), hdlr("soun")))
+    val ma = Mp4Codec.decode(audioOnly)
+    ma.getString(0) shouldBe "audio"
+    ma.getInt(3) shouldBe 22050
+    ma.getLong(4) shouldBe 2000L
+  }
+
+  it should "treat size-0 as to-end-of-enclosure and reject structural violations" in {
+    // size == 0 on the LAST top-level box
+    val moovPayload = mvhdV0(600, 600) ++
+      trak(tkhdV0(32, 32), mdhdV0(600), hdlr("vide"))
+    val toEnd = ftyp ++ (u32be(0) ++ "moov".getBytes ++ moovPayload)
+    Mp4Codec.decode(toEnd).getString(0) shouldBe "video"
+    // trailing partial header after the last box → whole file unknown
+    val trailing = ftyp ++ box("moov", moovPayload) ++ Array[Byte](0, 0, 0)
+    Mp4Codec.decode(trailing).getString(0) shouldBe "unknown"
+    // child box overrunning its enclosing moov → unknown
+    val overrun = ftyp ++ box("moov", u32be(9999) ++ "mvhd".getBytes ++ zeros(100))
+    Mp4Codec.decode(overrun).getString(0) shouldBe "unknown"
+    // no ftyp brand anywhere → not ISO-BMFF, even if the walk succeeds
+    val brandless = box("moov", moovPayload)
+    Mp4Codec.decode(brandless).getString(0) shouldBe "unknown"
+  }
+
   it should "reject invalid encode parameters loudly" in {
     an[IllegalArgumentException] should be thrownBy
       Mp4Codec.encode("text", 1, 1, 1000, 0)

@@ -163,6 +163,101 @@ class EquiConditionSpec extends AnyFlatSpec with Matchers {
       run("none", "nearest", flat, knn = 2)
   }
 
+  it should "factor null-safe equality (<=>) with null keys MATCHING null rows" in {
+    pois.createOrReplaceTempView("eq_poi_ns")
+    def run(cond: String, jt: String = "inner"): Seq[String] =
+      bsj("eq_poi_ns").setBroadcast("dataset").setPredicate("nearest")
+        .setJoinType(jt).setJoinCondition(cond)
+        .transform(input).collect().map(_.mkString("|")).sorted.toSeq
+    // the OR formulation is semantically identical but cannot factor
+    // (top-level disjunction, no equality conjunct)
+    val orTwin = "(right.cat = left.ccat) or (right.cat is null and left.ccat is null)"
+    for (jt <- Seq("inner", "left")) {
+      val factored = run("right.cat <=> left.ccat", jt)
+      factored shouldBe run(orTwin, jt)
+      // cid 14 (null ccat) must MATCH poi 4 (null cat) — `<=>` treats
+      // null as a real key value, unlike `=`
+      factored.filter(_.startsWith("14|")).head.split("\\|")(4) shouldBe "4"
+    }
+    // and on the GRID strategy: identical rows to the broadcast kernel
+    run("right.cat <=> left.ccat") shouldBe
+      bsj("eq_poi_ns").setBroadcast("none").setPredicate("nearest")
+        .setJoinCondition("right.cat <=> left.ccat")
+        .transform(input).collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  it should "factor single-sided conjuncts (IN-lists, guards) on both kernels" in {
+    pois.createOrReplaceTempView("eq_poi_in")
+    def run(mode: String, cond: String, jt: String = "inner"): Seq[String] =
+      bsj("eq_poi_in").setBroadcast(mode).setPredicate("nearest")
+        .setJoinType(jt).setJoinCondition(cond)
+        .transform(input).collect().map(_.mkString("|")).sorted.toSeq
+    // right-only IN-list (+ an equi key): the twin ORs in an
+    // always-false left-referencing disjunct so nothing can factor
+    val inCond = "right.cat in (0, 1) and right.cat = left.ccat"
+    val inTwin = "(right.cat in (0, 1) or left.cid < -100) and " +
+      "right.cat is not null and left.ccat is not null and not (right.cat != left.ccat)"
+    // right-only WITHOUT any equi key (single-bucket filtered index)
+    val onlyCond = "right.cat in (0, 1)"
+    val onlyTwin = "right.cat in (0, 1) or left.cid < -100"
+    // left-only guard: probes with ccat >= 2 short-circuit to no-match
+    val leftCond = "left.ccat < 2 and right.cat = left.ccat"
+    val leftTwin = "(left.ccat < 2 or right.poi_id < -100) and " +
+      "right.cat is not null and left.ccat is not null and not (right.cat != left.ccat)"
+    for ((c, t) <- Seq(inCond -> inTwin, onlyCond -> onlyTwin, leftCond -> leftTwin);
+        jt <- Seq("inner", "left")) {
+      run("dataset", c, jt) shouldBe run("dataset", t, jt)
+      run("none", c, jt) shouldBe run("none", t, jt)
+      run("none", c, jt) shouldBe run("dataset", c, jt)
+    }
+    // sanity: the IN-restricted join finds matches for cats 0 and 1 only
+    val rows = run("dataset", inCond)
+    rows.size shouldBe 2
+  }
+
+  it should "fall back to the flat path when a factored key THROWS under ANSI" in {
+    // Factoring evaluates keys EAGERLY (every broadcast row at index
+    // build; every probe row), while the flat kernel only evaluates the
+    // condition on tree-candidate pairs. A key expression that throws
+    // under ANSI (cast overflow here) on a row the flat path never
+    // pairs must degrade to the flat path, not fail the query.
+    val prev = spark.conf.get("spark.sql.ansi.enabled", "true")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      // poi 2's big value overflows cast-to-int, but it sits 13,000 km
+      // from every probe — never a spatial candidate at this radius
+      Seq((0L, 0L, 0.0, 0.0), (1L, 1L, 0.5, 0.0),
+          (2L, Long.MaxValue, 120.0, 0.0))
+        .toDF("poi_id", "big", "plon", "plat")
+        .createOrReplaceTempView("eq_poi_ansi")
+      // cid 12's ccat overflows the left-side key cast; it is also
+      // 11,000 km from every poi — zero candidates, so the flat path
+      // never evaluates its condition either
+      val in = Seq((10L, 0L, 0.2, 0.0), (11L, 1L, 0.2, 0.0),
+        (12L, Long.MaxValue, 100.0, 0.0)).toDF("cid", "ccat", "lon", "lat")
+      def run(cond: String): Seq[String] = new BroadcastSpatialJoin()
+        .setDataset("eq_poi_ansi").setDatasetPoint("plon, plat")
+        .setInputPoint("lon, lat").setDataColumns("poi_id")
+        .setBroadcast("dataset").setPredicate("withindist 200000")
+        .setJoinCondition(cond)
+        .transform(in).collect().map(_.mkString("|")).sorted.toSeq
+      // right-side key throws at build → whole plan degrades to flat;
+      // left-side key throws per-probe (cid 12) → that row goes flat
+      val factoredR = run("cast(right.big as int) = left.ccat")
+      val flatR = run(
+        "right.big is not null and not (cast(right.big as int) != left.ccat)")
+      factoredR shouldBe flatR
+      factoredR.size shouldBe 2
+      val factoredL = run("right.poi_id = cast(left.ccat as int)")
+      // cid 10/11's casts are fine and DO match poi 0/1; cid 12's cast
+      // would throw but that probe row degrades to the flat path
+      val flatL = run(
+        "left.ccat is not null and not (right.poi_id != cast(left.ccat as int))")
+      factoredL shouldBe flatL
+      factoredL.size shouldBe 2
+    } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+  }
+
   it should "EXTRACT keys from Spark 4 lazy column trees (engagement, not just agreement)" in {
     // the Column API carries column-node trees whose catalyst shape
     // only exists post-analysis — a pattern match on the raw expression
@@ -182,5 +277,22 @@ class EquiConditionSpec extends AnyFlatSpec with Matchers {
     keys(col("a") === col("b") && col("b") > col("a")).size shouldBe 1
     // nondeterministic keys never factor
     keys(org.apache.spark.sql.functions.rand() * col("a") === col("b")).size shouldBe 0
+    // null-safe equality factors too (struct-join semantics match <=>)
+    keys(col("a") <=> col("b")).size shouldBe 1
+    keys(col("a") <=> col("b") && col("x") === col("y")).size shouldBe 2
+
+    // single-sided extraction: left-only and right-only conjuncts split
+    // out; straddling/constant/nondeterministic ones never move
+    def sideOnly(c: org.apache.spark.sql.Column) =
+      graft.join.PairCondition.sideOnly(spark, c, ls, rs)
+    val (lo1, ro1) = sideOnly(col("a").isin(1, 2) && col("b") > 3 && col("a") === col("b"))
+    lo1.isDefined shouldBe true
+    ro1.isDefined shouldBe true
+    val (lo2, ro2) = sideOnly(col("a") === col("b"))
+    lo2 shouldBe None
+    ro2 shouldBe None
+    val (lo3, ro3) = sideOnly(org.apache.spark.sql.functions.rand() < 0.5 && lit(1) === lit(1))
+    lo3 shouldBe None
+    ro3 shouldBe None
   }
 }
