@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, QuaternaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -72,6 +72,30 @@ object GeoExpressions {
     * geometries (they drop out of inner-join semantics upstream). */
   def stEnvelope(wkb: Column): Column =
     ColumnBridge.column(StEnvelope(ColumnBridge.expression(wkb)))
+
+  /** Reference-cell dedup id from the two per-ROW envelope arrays —
+    * bit-identical to [[refCell]] (same helpers on the same doubles)
+    * without the two per-PAIR WKB parses. */
+  def refCellEnv(lenv: Column, renv: Column, cellDeg: Double,
+      lExpandMeters: Double = 0): Column =
+    ColumnBridge.column(RefCellEnv(ColumnBridge.expression(lenv),
+      ColumnBridge.expression(renv), cellDeg, lExpandMeters))
+
+  /** st_relates with a FUSED envelope pre-check (round 13): the two
+    * envelope arrays are computed once per ROW (stEnvelope columns),
+    * and envelope-disjoint pairs reject on 8 double loads before the
+    * per-PAIR WKB parse + JTS relate — every relates predicate implies
+    * envelope intersection, so the check is a pure superset filter.
+    * Fused into ONE expression because conjunct order inside a pushed
+    * join condition is optimizer-chosen, not API-chosen (measured on
+    * the round-13 band A/B: a cheap conjunct `.where`d first still ran
+    * last) — inside one expression no rule can reorder the cheap check
+    * behind the expensive relate. */
+  def stRelatesEnvChecked(lenv: Column, renv: Column,
+      lwkb: Column, rwkb: Column, predicate: String): Column =
+    ColumnBridge.column(StRelatesEnvChecked(
+      ColumnBridge.expression(lenv), ColumnBridge.expression(renv),
+      ColumnBridge.expression(lwkb), ColumnBridge.expression(rwkb), predicate))
 
   // --- static helpers shared by eval and generated code -----------------
 
@@ -173,6 +197,26 @@ object GeoExpressions {
       case 3 => lg.overlaps(rg)
     }
   }
+
+  def computeRefCellEnv(lenv: ArrayData, renv: ArrayData, cellDeg: Double,
+      lExpandMeters: Double): Long = {
+    // same arithmetic as computeRefCell, on the per-ROW envelope arrays
+    // instead of per-PAIR WKB parses — stEnvelope carries exactly
+    // getEnvelopeInternal's doubles, so the cell id is bit-identical
+    val le = new Envelope(lenv.getDouble(0), lenv.getDouble(2),
+      lenv.getDouble(1), lenv.getDouble(3))
+    val (lMinX, _, lMinY, _) = expandedBounds(le, lExpandMeters)
+    cellOf(math.max(lMinX, renv.getDouble(0)),
+      math.max(lMinY, renv.getDouble(1)), cellDeg)
+  }
+
+  def computeRelatesEnvChecked(lenv: ArrayData, renv: ArrayData,
+      lwkb: Array[Byte], rwkb: Array[Byte], predOrdinal: Int): Boolean =
+    // envelope-disjoint pairs cannot satisfy any relates predicate —
+    // arithmetic-only reject before the WKB parse + JTS relate
+    if (lenv.getDouble(0) > renv.getDouble(2) || renv.getDouble(0) > lenv.getDouble(2) ||
+        lenv.getDouble(1) > renv.getDouble(3) || renv.getDouble(1) > lenv.getDouble(3)) false
+    else computeRelates(lwkb, rwkb, predOrdinal)
 
   def predOrdinal(predicate: String): Int = SpatialPredicate.parse(predicate) match {
     case SpatialPredicate.Within     => 0
@@ -314,6 +358,51 @@ case class StRelates(left: Expression, right: Expression, predicate: String)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): StRelates =
     copy(left = l, right = r)
   override def prettyName: String = s"st_$predicate"
+}
+
+case class RefCellEnv(lenv: Expression, renv: Expression,
+    cellDeg: Double, lExpandMeters: Double)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def left: Expression = lenv
+  override def right: Expression = renv
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType, containsNull = false),
+    ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(l: Any, r: Any): Any =
+    GeoExpressions.computeRefCellEnv(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData], cellDeg, lExpandMeters)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.GeoExpressions.computeRefCellEnv($a, $b, $cellDeg, $lExpandMeters)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RefCellEnv =
+    copy(lenv = l, renv = r)
+  override def prettyName: String = "grid_ref_cell_env"
+}
+
+case class StRelatesEnvChecked(lenv: Expression, renv: Expression,
+    lwkb: Expression, rwkb: Expression, predicate: String)
+    extends QuaternaryExpression with ExpectsInputTypes {
+  private val ord = GeoExpressions.predOrdinal(predicate)
+  override def first: Expression = lenv
+  override def second: Expression = renv
+  override def third: Expression = lwkb
+  override def fourth: Expression = rwkb
+  override def inputTypes: Seq[DataType] = Seq(
+    ArrayType(DoubleType, containsNull = false),
+    ArrayType(DoubleType, containsNull = false), BinaryType, BinaryType)
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(le: Any, re: Any, l: Any, r: Any): Any =
+    GeoExpressions.computeRelatesEnvChecked(
+      le.asInstanceOf[ArrayData], re.asInstanceOf[ArrayData],
+      l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]], ord)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) =>
+      s"graft.functions.GeoExpressions.computeRelatesEnvChecked($a, $b, $c, $d, $ord)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression, q: Expression): StRelatesEnvChecked =
+    copy(lenv = f, renv = s, lwkb = t, rwkb = q)
+  override def prettyName: String = s"st_${predicate}_envchecked"
 }
 
 case class StDistance(left: Expression, right: Expression)

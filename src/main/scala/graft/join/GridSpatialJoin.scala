@@ -142,10 +142,18 @@ object GridSpatialJoin {
       }.getOrElse(false)
     val joinCols = if (useEkey) Seq(cell, ekey) else Seq(cell)
 
+    // per-ROW envelope columns (round 13): the reference-cell dedup id
+    // and the relates refine's envelope pre-check become pure
+    // arithmetic per PAIR instead of two WKB parses per pair — rows
+    // are parsed once where pairs number candidates × fan-out
+    val lenv = "__graft_lenv"; val renv = "__graft_renv"
+
     val lPre = l0.withColumn(lw, leftWkb).where(col(lw).isNotNull)
+      .withColumn(lenv, GeoExpressions.stEnvelope(col(lw)))
     val l = (if (useEkey) lPre.withColumn(ekey, struct(equiPairs.map(_._1): _*)) else lPre)
       .withColumn(cell, explode(GeoExpressions.gridCells(col(lw), cellDeg, radius)))
     val rPre = r0.withColumn(rw, rightWkb).where(col(rw).isNotNull)
+      .withColumn(renv, GeoExpressions.stEnvelope(col(rw)))
     val r = (if (useEkey) rPre.withColumn(ekey, struct(equiPairs.map(_._2): _*)) else rPre)
       .withColumn(cell, explode(GeoExpressions.gridCells(col(rw), cellDeg)))
 
@@ -153,25 +161,28 @@ object GridSpatialJoin {
       case SpatialPredicate.WithinDist(m) =>
         GeoExpressions.geodesicMeters(col(lw), col(rw)) <= m.toInt
       case rel =>
-        GeoExpressions.stRelates(col(lw), col(rw), rel.toString.toLowerCase)
+        // fused envelope pre-check + relate: ONE expression, so the
+        // cheap check cannot be reordered behind the expensive relate
+        GeoExpressions.stRelatesEnvChecked(col(lenv), col(renv),
+          col(lw), col(rw), rel.toString.toLowerCase)
     }
 
-    // condition FIRST (round-13 candidate-range pruning): the extra
-    // condition is comparisons over user columns — orders of magnitude
-    // cheaper than the geodesic/relates refine, and a band conjunct
-    // (`right.x between left.a and left.b`) typically rejects most
-    // cell-matched pairs. Stacked wheres merge into one conjunction
-    // evaluated in order (CombineFilters keeps the inner filter first),
-    // so refine work is skipped for rejected pairs; Catalyst pushes any
-    // single-sided conjuncts below the join on its own.
+    // NOTE on predicate ORDER (round-13 forensics, BASELINE.md): all of
+    // the filters below are pushed into the cell equi-join's extra
+    // condition by PushPredicateThroughJoin, which picks its OWN
+    // conjunct order — the `.where` sequence here is NOT the evaluation
+    // order (measured: a ~1%-selective band `.where`d first still ran
+    // last). Per-pair cost control therefore lives INSIDE fused
+    // expressions (stRelatesEnvChecked above), not in filter placement.
     val joined0 = l.join(r, joinCols)
     val conditioned = extraCondition.fold(joined0)(joined0.where)
-      .where(GeoExpressions.refCell(col(lw), col(rw), cellDeg, radius) === col(cell))
+      .where(GeoExpressions.refCellEnv(col(lenv), col(renv), cellDeg, radius) === col(cell))
       .where(spatialRefine)
     val withDist = distanceCol.fold(conditioned)(name =>
       conditioned.withColumn(name, GeoExpressions.geodesicMeters(col(lw), col(rw))))
     // drop ekey ONLY when factoring engaged: when it didn't, a user
-    // column that happens to be named __graft_ekey must pass through
-    withDist.drop(Seq(lw, rw, cell) ++ (if (useEkey) Seq(ekey) else Nil): _*)
+    // column that happens to carry the reserved name must pass through
+    withDist.drop(Seq(lw, rw, cell, lenv, renv)
+      ++ (if (useEkey) Seq(ekey) else Nil): _*)
   }
 }

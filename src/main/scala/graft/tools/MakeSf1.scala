@@ -32,13 +32,27 @@ import org.apache.spark.sql.functions._
  * identical-vector copy-cliques (edges ×106 at ×10 under verbatim).
  *
  * Usage: `runMain graft.tools.MakeSf1 <srcSfDir> <outDir> [factor]
- * [perturb|verbatim] [tables-csv]`. Output files inherit the union's
- * partitioning (one split per copy), so benchmark scans parallelize
- * the way a real multi-file table does. The optional 5th arg restricts
- * inflation to a comma-separated table subset (round-12 sf10 rung:
- * ×100 slices of only the tables the outlier families touch — the
- * full ×100 database is never needed at once); nation/region are
- * always copied, unlisted tables are skipped entirely.
+ * [perturb|verbatim] [tables-csv] [cap]`. Output files inherit the
+ * union's partitioning (one split per copy), so benchmark scans
+ * parallelize the way a real multi-file table does. The optional 5th
+ * arg restricts inflation to a comma-separated table subset (round-12
+ * sf10 rung: ×100 slices of only the tables the outlier families
+ * touch — the full ×100 database is never needed at once);
+ * nation/region are always copied, unlisted tables are skipped
+ * entirely.
+ *
+ * The optional 6th arg `cap` (round-13, 0 = off) bounds near-dup
+ * FAMILY SIZE under perturb inflation: plain perturb keeps all
+ * `factor` copies of one source doc mutually near-dup (~4% token
+ * churn each), so at ×100 a source doc becomes a 100-variant family
+ * and pair-emitting operators' OUTPUT grows ∝ factor² — the copier's
+ * artifact, not corpus growth (a real 100× corpus has 100× more
+ * bounded families, not 100×-bigger ones). With cap = c, copies are
+ * partitioned into groups of c (group = copy div c) and every token
+ * of a non-zero group gets a `g<group>` suffix: shingle/minhash/
+ * jaccard similarity across groups collapses to ~0 while within-group
+ * copies keep the perturb-mode near-dup structure, so families stay
+ * ≤ c·(source family size) and pair output grows ∝ factor.
  */
 object MakeSf1 {
 
@@ -113,9 +127,18 @@ object MakeSf1 {
     out.toSeq
   }
 
+  /** Suffix every token with `g<group>` — group 0 keeps the source
+    * text so copy 0 stays the unmodified base corpus. Disjoint token
+    * (and therefore shingle) sets across groups cap near-dup families
+    * at one group's width. */
+  private[tools] def suffixTokens(text: String, group: Int): String =
+    if (text == null || group == 0) text
+    else text.split(" ", -1)
+      .map(t => if (t.isEmpty) t else t + "g" + group).mkString(" ")
+
   def main(args: Array[String]): Unit = {
     require(args.length >= 2,
-      "usage: MakeSf1 <srcSfDir> <outDir> [factor] [perturb|verbatim]")
+      "usage: MakeSf1 <srcSfDir> <outDir> [factor] [perturb|verbatim] [tables-csv] [cap]")
     val (src, out) = (args(0), args(1))
     val factor = if (args.length > 2) args(2).toInt else 10
     val mode = if (args.length > 3) args(3) else "perturb"
@@ -123,6 +146,8 @@ object MakeSf1 {
       s"mode must be perturb|verbatim, got $mode")
     val subset: Option[Set[String]] =
       if (args.length > 4) Some(args(4).split(",").map(_.trim).toSet) else None
+    val cap = if (args.length > 5) args(5).toInt else 0
+    require(cap >= 0, s"cap must be >= 0, got $cap")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -138,7 +163,8 @@ object MakeSf1 {
     // here (one pass at corpus-build time), and determinism comes from
     // the hash stream, not the plan
     val perturbUdf = udf((text: String, docId: Long, copy: Int) =>
-      perturbText(text, docId, copy))
+      if (cap > 0) suffixTokens(perturbText(text, docId, copy), copy / cap)
+      else perturbText(text, docId, copy))
 
     def inflate(table: String, keyCols: Seq[String],
         tweak: (DataFrame, Int) => DataFrame = (df, _) => df): Unit = {

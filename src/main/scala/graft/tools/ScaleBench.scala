@@ -254,6 +254,32 @@ object ScaleBench {
 
     def wkb(lon: String, lat: String) = GeoExpressions.wkbPoint(col(lon), col(lat))
 
+    // intersects grid join (point-in-rectangle: the refine is a REAL
+    // JTS WKB-parse + relate per pair, ~µs-class) + a ~1%-selective
+    // band condition, with the condition either inside the engine
+    // (candidate pruning before the refine) or applied post hoc (the
+    // unrestricted twin) — same rows either way. The point-point
+    // withindist shape was measured first and is a WASH (geodesic on
+    // points costs ≈ the band check itself); the win is proportional
+    // to refine cost, which polygons carry and points don't.
+    def bandGrid(f: Int, late: Boolean): DataFrame = {
+      val l = custEq(f)
+        .withColumn("c_bal", pmod(col("c_custkey"), lit(10000)).cast("double"))
+      val r = supEq(f)
+        .select(col("s_suppkey"), col("lon").as("slon"))
+        .withColumn("s_bal", pmod(col("s_suppkey"), lit(10000)).cast("double"))
+      val rectWkt = concat(lit("POLYGON(("),
+        col("slon") - 2.0d, lit(" -2,"), col("slon") + 2.0d, lit(" -2,"),
+        col("slon") + 2.0d, lit(" 2,"), col("slon") - 2.0d, lit(" 2,"),
+        col("slon") - 2.0d, lit(" -2))"))
+      val band = col("s_bal").between(col("c_bal") - 50.0, col("c_bal") + 50.0)
+      val base = graft.join.GridSpatialJoin.join(
+        l, r, wkb("lon", "lat"), GeoExpressions.wkbFromWkt(rectWkt),
+        graft.spatial.SpatialPredicate.Intersects,
+        cellDeg = 4.0, extraCondition = if (late) None else Some(band))
+      if (late) base.where(band) else base
+    }
+
     def queries(f: Int): Seq[(String, () => DataFrame)] = Seq(
       "j1_nearest_gridscale" -> (() =>
         graft.join.GridNearestJoin.nearest(
@@ -311,6 +337,17 @@ object ScaleBench {
           .transform(custEq(f).select("c_custkey", "lon", "lat"))
           .select("c_custkey", "s_suppkey", "dist_m")
       }),
+      // band-conjunct candidate pruning A/B (round 13): the SAME
+      // withindist grid join + ~1%-selective band condition, evaluated
+      // (a) through the engine — condition BEFORE the geodesic refine,
+      // the r13 ordering — vs (b) post hoc on the unconditioned join's
+      // output, which Catalyst merges as condition-AFTER-refine (the
+      // pre-r13 order; CombineFilters keeps inner-filter-first
+      // conjunct order, so the A/B lever is real). Identical row sets;
+      // the engine row must win at ×10+ because the band rejects most
+      // cell-matched pairs before the expensive WKB-parse + geodesic
+      "j2_band_grid" -> (() => bandGrid(f, late = false)),
+      "j2_band_grid_late" -> (() => bandGrid(f, late = true)),
       "dedup_minhash" -> (() =>
         Dedup.minhashPairs(docs(f), "doc_id", "text", tau = 0.8)),
       "dedup_clusters" -> (() =>
@@ -423,6 +460,19 @@ object ScaleBench {
         graft.similarity.ProductQuantizer.topK(
           e.where(col("vec_id") < 20), e, "vec_id", "embedding", k = 10,
           cb, shortlist = 100)
+      }),
+      // LSH ANN at the GATE's geometry (planes 3, tables 32, k 10; 20
+      // fixed copy-0 queries): with planes FIXED each bucket's
+      // occupancy grows ∝ f, so per-query candidates — and the
+      // probe-side bucket join — grow ∝ Q·f with Q constant: wall and
+      // shuffle must stay LINEAR in f (the occupancy-held planes-∝-
+      // log N tuning lives in the dedup_embedding_lsh row; this row
+      // pins the search path at the exact gate settings)
+      "simsearch_lsh" -> (() => {
+        val e = embsDecorrelated(f)
+        graft.similarity.Similarity.lshCosineTopK(
+          e.where(col("vec_id") < 20), e, "vec_id", "embedding",
+          k = 10, planes = 3, tables = 32)
       }),
       // model scoring is map-only: wall ∝ scan, shuffle ~zero. The
       // non-foldable filter defeats count()'s projection pruning (same

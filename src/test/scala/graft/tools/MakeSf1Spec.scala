@@ -63,4 +63,24 @@ class MakeSf1Spec extends AnyFlatSpec with Matchers {
     val jac = out.intersect(src).size.toDouble / out.union(src).size
     jac should be > 0.9
   }
+
+  "suffixTokens" should "cap family width: disjoint across groups, identity on group 0" in {
+    val text = (1 to 100).map(i => s"tok$i").mkString(" ")
+    MakeSf1.suffixTokens(text, 0) shouldBe theSameInstanceAs(text)
+    MakeSf1.suffixTokens(null, 3) shouldBe null
+    val g1 = MakeSf1.suffixTokens(text, 1)
+    val g2 = MakeSf1.suffixTokens(text, 2)
+    // zero token overlap across groups (shingle sets likewise) — the
+    // family-size cap for the ×100 jaccard/clusters oracle slice
+    g1.split(" ").toSet.intersect(g2.split(" ").toSet) shouldBe empty
+    g1.split(" ").toSet.intersect(text.split(" ").toSet) shouldBe empty
+    // same-group copies keep near-dup structure: perturb-then-suffix
+    // of two copies in one group still overlap heavily
+    val a = MakeSf1.suffixTokens(MakeSf1.perturbText(text, 7L, 11), 1)
+    val b = MakeSf1.suffixTokens(MakeSf1.perturbText(text, 7L, 12), 1)
+    val (sa, sb) = (a.split(" ").toSet, b.split(" ").toSet)
+    sa.intersect(sb).size.toDouble / sa.union(sb).size should be > 0.85
+    // empty tokens survive untouched (split/join round-trip stability)
+    MakeSf1.suffixTokens("a  b", 1) shouldBe "ag1  bg1"
+  }
 }
