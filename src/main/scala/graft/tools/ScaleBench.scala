@@ -63,6 +63,13 @@ object ScaleBench {
       // over (skew-split, runtime re-plan); default stays AQE-on
       .config("spark.sql.adaptive.enabled",
         (!sys.env.contains("SPARK_GRAFT_NOAQE")).toString)
+      // SPARK_GRAFT_NOBROADCAST=1: disable the static broadcast
+      // threshold — the A/B lever for probes whose inflated side keeps
+      // the BASE table's size ESTIMATE (plan-level explode does not
+      // scale stats), which would otherwise broadcast at every factor
+      // and hide the shuffle-path growth a real 100× table exercises
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        if (sys.env.contains("SPARK_GRAFT_NOBROADCAST")) "-1" else "10485760")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       // events.parquet carries TIMESTAMP(NANOS); read as ns longs
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
