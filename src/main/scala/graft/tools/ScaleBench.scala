@@ -857,11 +857,14 @@ object ScaleBench {
       "profile_sketch" -> (() =>
         graft.text.CorpusSketch.sketch(docsPlain(f), Seq("source"), "text")
           .where(col("approx_distinct_tokens") >= 0L)),
-      // left-outer grid nearest: same ring/fallback shape as the inner
-      // probe, plus the null-emission for condition-starved rows (1/5 of
-      // customers); rows = |left| exactly at every factor. Filter
-      // references the matched column (probe trap, third occurrence)
-      "j1_nearest_left_grid" -> (() =>
+      // left-outer grid nearest AT FIXED CELL SIZE: same ring/fallback
+      // shape as the inner probe, plus the null-emission for
+      // condition-starved rows (1/5 of customers); rows = |left|
+      // exactly at every factor. Filter references the matched column
+      // (probe trap, third occurrence). Renamed in round 13 — this r7
+      // probe had silently shared its name with the r12 density-tuned
+      // `j1_nearest_left_grid` (both ran, rows collided in artifacts)
+      "j1_nearest_left_grid_fixedcell" -> (() =>
         graft.join.GridNearestJoin.nearest(
           custPoints(f), supPoints(f), wkb("lon", "lat"), wkb("slon", "slat"),
           cellDeg = 4.0, tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L,
