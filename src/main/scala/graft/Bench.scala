@@ -164,8 +164,13 @@ object Bench {
       s""""pq_recall_at10":$recPq,""" +
       s""""ivfpq_recall_at10":$recIvfPq,""" +
       s""""binary_recall_at10":$recBinary"""
+    // host-load marker (VERDICT r13 #1): a closing artifact recorded on a
+    // pressured box carries uniform inflation that false-flags per-query
+    // baselines — the 1-min loadavg at emission lets the reader weight it
+    val load1 = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      recallsJson + s""","errors":$errJson,"sf":"$sfDir"}"""
+      recallsJson + s""","errors":$errJson,"load1":$load1,"sf":"$sfDir"}"""
     // Full per-query artifact goes to a FILE: sbt prefixes forked stdout
     // with [info], and the driver's round artifact keeps only the last
     // ~2000 chars of stdout — the 203-query map (~6.6 KB) can never
@@ -180,14 +185,32 @@ object Bench {
     // (slowest-first is the informative prefix — sub-100 ms queries are
     // environment-floor noise anyway; the full map is in the file).
     val fullOut = java.nio.file.Paths.get(outPath).toAbsolutePath.toString
+    // the compact line embeds error messages and the artifact path —
+    // both unbounded in principle — so they are truncated BEFORE the
+    // byte budget is computed: a run with long errors must stay
+    // parseable exactly because that's when the line matters (ADVICE
+    // r13; previously the budget went negative and the error-bearing
+    // line overran the driver's tail window)
+    def clip(s: String, n: Int): String =
+      if (s.length <= n) s else s.take(n - 1) + "…"
+    val errJsonLine = {
+      val parts = errors.toSeq.map { case (k, v) =>
+        jstr(clip(k, 40)) + ":" + jstr(clip(String.valueOf(v), 80)) }
+      val kept = new scala.collection.mutable.ArrayBuffer[String]
+      var used = 0
+      for (p <- parts if used + p.length + 1 <= 360) { kept += p; used += p.length + 1 }
+      val omitted = errors.size - kept.size
+      (kept ++ (if (omitted > 0) Seq(s""""_omitted":$omitted""") else Nil))
+        .mkString("{", ",", "}")
+    }
     val head = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""nqueries":${results.size},"queries_file":${jstr(fullOut)},""" +
-      recallsJson + s""","errors":$errJson,"sf":"$sfDir","queries":{"""
+      s""""nqueries":${results.size},"queries_file":${jstr(clip(fullOut, 120))},""" +
+      recallsJson + s""","errors":$errJsonLine,"load1":$load1,"sf":"$sfDir","queries":{"""
     // 1150-byte line cap: the driver keeps the last ~2000 chars of
     // stdout, and sbt appends its own "[success] Total time..." line
     // after this one — the compact line plus that suffix must both fit
     // the window WHOLE for the artifact to self-parse.
-    val budget = 1150 - head.length - 2
+    val budget = math.max(0, 1150 - head.length - 2)
     val slowFirst = results.sortBy(-_._2).iterator
       .map { case (k, v) => jstr(k) + ":" + math.rint(v * 1000) / 1000 }
     val kept = new scala.collection.mutable.ArrayBuffer[String]

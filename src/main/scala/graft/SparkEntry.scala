@@ -407,6 +407,30 @@ object SparkEntry {
         .select("c_custkey", "s_suppkey", "knn_rank")
     }),
 
+    // LEFT-OUTER kNN (k = 3, r14 — was a documented refusal): "top-3
+    // nearest suppliers, keep customers with none". The condition's key
+    // classes make c_custkey % 5 = 4 customers unmatched BY CONSTRUCTION
+    // (s % 4 never reaches 4): those keep ONE row with null supplier and
+    // NULL rank — the `LEFT JOIN (ranked WHERE rn <= k)` SQL shape. The
+    // % -by-literal keys also regression-guard the ANSI throw-free
+    // factoring whitelist (PairCondition.neverThrows): factoring must
+    // stay ENGAGED here or unmatched probes ring through every round
+    "j1_knn_grid_left" -> ((s, dir) => {
+      import graft.functions.GeoExpressions
+      val cust = customerPoints(s, dir).select("c_custkey", "lon", "lat")
+      val sup = supplierPoints(s, dir)
+        .select(col("s_suppkey"), col("lon").as("slon"), col("lat").as("slat"))
+      graft.join.GridNearestJoin.knearest(
+        cust, sup,
+        GeoExpressions.wkbPoint(col("lon"), col("lat")),
+        GeoExpressions.wkbPoint(col("slon"), col("slat")),
+        k = 3, rankCol = "knn_rank",
+        cellDeg = 4.0, tieBreak = Some(col("s_suppkey")), fallbackBelow = 200L,
+        condition = Some(col("s_suppkey") % 4 === col("c_custkey") % 5),
+        joinType = "left")
+        .select("c_custkey", "s_suppkey", "knn_rank")
+    }),
+
     // Grid (partitioned) physical strategy — same semantics as
     // j2_withindist / j5_intersects, no broadcast of either side
     "j2_withindist_grid" -> ((s, dir) => {
@@ -2503,6 +2527,27 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
     }),
 
+    // tolerant RIFF/WAV walking (round 14): the SAME metadata fields as
+    // multimodal_wav_meta, carried by three rotating NON-canonical
+    // layouts (JUNK + trailing LIST padding, leading LIST + 18-byte fmt,
+    // WAVE_FORMAT_EXTENSIBLE stereo with a fact chunk) — real corpora
+    // never ship the canonical 44-byte layout, and the walk must read
+    // identical values from every layout (duration counts FRAMES, so
+    // stereo matches mono). Every 7th doc is raw text → `unknown`
+    "multimodal_wav_shuffled" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = wavShuffledAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.withDecodedMeta(assets, "content",
+          graft.multimodal.Multimodal.WavCodec)
+        .select(col("doc_id"), col("meta.kind").as("kind"),
+          col("meta.sample_rate").as("sample_rate"),
+          col("meta.duration_ms").as("duration_ms"))
+    }),
+
     // per-tile image statistics (flat/blank-region screening): integer
     // channel means over a 4×2 tile grid of real decoded BMP pixels;
     // every 7th asset is raw text — no tiles, no rows
@@ -2893,6 +2938,64 @@ object SparkEntry {
           lpad(hex(pmod(doc_id*13 + i*7, 65536) % 256), 2, '0') ||
           lpad(hex(pmod(doc_id*13 + i*7, 65536) div 256), 2, '0')))""")))
       .select(col("doc_id"), col("n"), col("rate"), unhex(col("hx")).as("content"))
+
+  /** Deterministic NON-canonical RIFF/WAV assets for
+    * `multimodal_wav_shuffled` (round 14, the tolerant-RIFF-walk gate —
+    * the audio twin of [[mp4ShuffledAssets]]): same n/rate arithmetic
+    * as [[wavAssets]], but the LAYOUT cycles by doc_id % 3 —
+    * (0) a `JUNK` chunk between `fmt ` and `data` plus a trailing
+    * `LIST`; (1) a leading `LIST` and an 18-byte fmt chunk (cbSize 0);
+    * (2) WAVE_FORMAT_EXTENSIBLE STEREO (40-byte fmt, PCM SubFormat
+    * GUID, `fact` chunk, n interleaved frames). Field values are
+    * identical across variants (duration counts FRAMES), so the oracle
+    * is one closed form — only the walk differs. */
+  private def wavShuffledAssets(docs: DataFrame): DataFrame = {
+    def le16(e: String): String =
+      s"lpad(hex(($e) % 256), 2, '0') || lpad(hex((($e) div 256) % 256), 2, '0')"
+    def le32(e: String): String =
+      le16(e) + s" || lpad(hex((($e) div 65536) % 256), 2, '0') || " +
+        s"lpad(hex((($e) div 16777216) % 256), 2, '0')"
+    // plain-PCM fmt body (16 bytes): format 1, mono, rate, byteRate,
+    // blockAlign 2, bits 16
+    val fmt16 = Seq(lit("0100" + "0100"), expr(le32("rate")),
+      expr(le32("rate*2")), lit("0200" + "1000"))
+    val monoSamples = expr(
+      """concat_ws('', transform(sequence(0, n - 1), i ->
+        |  lpad(hex(pmod(doc_id*13 + i*7, 65536) % 256), 2, '0') ||
+        |  lpad(hex(pmod(doc_id*13 + i*7, 65536) div 256), 2, '0')))""".stripMargin)
+    val stereoSamples = expr(
+      """concat_ws('', transform(sequence(0, n - 1), i ->
+        |  lpad(hex(pmod(doc_id*13 + i*7, 65536) % 256), 2, '0') ||
+        |  lpad(hex(pmod(doc_id*13 + i*7, 65536) div 256), 2, '0') ||
+        |  lpad(hex(pmod(doc_id*13 + i*7 + 31, 65536) % 256), 2, '0') ||
+        |  lpad(hex(pmod(doc_id*13 + i*7 + 31, 65536) div 256), 2, '0')))""".stripMargin)
+    // v0: fmt + JUNK(8) + data + trailing LIST(6: 'INFO' + 2 bytes)
+    val v0 = Seq(lit("52494646"), expr(le32("n*2 + 66")), lit("57415645"),
+      lit("666D7420" + "10000000")) ++ fmt16 ++
+      Seq(lit("4A554E4B" + "08000000" + "00" * 8),
+        lit("64617461"), expr(le32("n*2")), monoSamples,
+        lit("4C495354" + "06000000" + "494E464F" + "7879"))
+    // v1: leading LIST(12) + fmt of 18 (cbSize 0) + data
+    val v1 = Seq(lit("52494646"), expr(le32("n*2 + 58")), lit("57415645"),
+      lit("4C495354" + "0C000000" + "494E464F" + "00" * 8),
+      lit("666D7420" + "12000000")) ++ fmt16 ++
+      Seq(lit("0000"), lit("64617461"), expr(le32("n*2")), monoSamples)
+    // v2: WAVE_FORMAT_EXTENSIBLE stereo fmt(40) + fact(4) + data(4n)
+    val v2 = Seq(lit("52494646"), expr(le32("n*4 + 72")), lit("57415645"),
+      lit("666D7420" + "28000000"), lit("FEFF" + "0200"),
+      expr(le32("rate")), expr(le32("rate*4")), lit("0400" + "1000"),
+      lit("1600" + "1000" + "03000000" + "0100000000001000800000AA00389B71"),
+      lit("66616374" + "04000000"), expr(le32("n")),
+      lit("64617461"), expr(le32("n*4")), stereoSamples)
+    docs.select(col("doc_id"))
+      .withColumn("n", (lit(120) + pmod(col("doc_id"), lit(5)) * 60).cast("int"))
+      .withColumn("rate", (lit(1000) + pmod(col("doc_id"), lit(4)) * 500).cast("int"))
+      .withColumn("hx",
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(v0: _*))
+          .when(pmod(col("doc_id"), lit(3)) === 1, concat(v1: _*))
+          .otherwise(concat(v2: _*)))
+      .select(col("doc_id"), unhex(col("hx")).as("content"))
+  }
 
   private def bmpAssets(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"))
@@ -3844,6 +3947,12 @@ object SparkEntry {
       s"""WITH c AS ($cPts), s AS ($sPts),
          |${nearestRingCtes(2.0, "", k = 3)}
          |SELECT c_custkey, s_suppkey, CAST(rn AS BIGINT) knn_rank FROM m""".stripMargin,
+
+    "j1_knn_grid_left" ->
+      s"""WITH c AS ($cPts), s AS ($sPts),
+         |${nearestRingCtes(4.5, "s.s_suppkey % 4 = c.c_custkey % 5", k = 3)}
+         |SELECT c.c_custkey, m.s_suppkey, CAST(m.rn AS BIGINT) knn_rank
+         |FROM c LEFT JOIN m ON c.c_custkey = m.c_custkey""".stripMargin,
 
     "j2_withindist_grid" ->
       s"""WITH c AS ($cEq), s AS ($sEq),
@@ -6005,6 +6114,19 @@ object SparkEntry {
          |       CAST(rate AS INTEGER) sample_rate,
          |       CAST((n * 1000) // rate AS BIGINT) duration_ms
          |FROM hx""".stripMargin,
+
+    // tolerant-walk WAV metadata: every layout variant carries the same
+    // n/rate arithmetic (stereo counts FRAMES), so one closed form
+    // covers all three — only the engine-side walk differs
+    "multimodal_wav_shuffled" ->
+      """SELECT d.doc_id,
+        |  CASE WHEN d.doc_id % 7 = 0 THEN 'unknown' ELSE 'audio' END kind,
+        |  CASE WHEN d.doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(1000 + (d.doc_id % 4) * 500 AS INTEGER) END sample_rate,
+        |  CASE WHEN d.doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(((120 + (d.doc_id % 5) * 60) * 1000)
+        |                 // (1000 + (d.doc_id % 4) * 500) AS BIGINT) END duration_ms
+        |FROM documents d""".stripMargin,
 
     // decimated-WAV replay: kept sample i2 is original index 2·i2, the
     // canonical header re-derives from (n/2, rate/2); every 7th doc is

@@ -163,7 +163,12 @@ object GridNearestJoin {
     * (long). Same ring machinery, margins, budget, and condition
     * semantics as [[nearest]]; a row resolves when its k-th best beats
     * the margin. Rows with fewer than k candidates in the whole right
-    * side resolve through the exhaustive fallback with all they have. */
+    * side resolve through the exhaustive fallback with all they have.
+    * `joinType = "left"` keeps match-less left rows (null/empty left
+    * geometry, or every candidate vetoed by `condition`) as ONE row
+    * with the right columns AND `rankCol` nulled — exactly the shape of
+    * `left LEFT JOIN (ranked rows WHERE rank <= k)` in SQL (r14; was a
+    * documented refusal). */
   def knearest(
       left: DataFrame, right: DataFrame,
       leftWkb: Column, rightWkb: Column,
@@ -177,13 +182,14 @@ object GridNearestJoin {
       maxHorizon: Int = 16,
       condition: Option[Column] = None,
       materialize: DataFrame => DataFrame = LocalMaterialize,
-      fallbackPairs: Long = 32000000L): DataFrame = {
+      fallbackPairs: Long = 32000000L,
+      joinType: String = "inner"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(!(left.columns ++ right.columns).contains(rankCol),
       s"rank column `$rankCol` collides with an input column")
     run(left, right, leftWkb, rightWkb, k, rankCol, cellDeg, maxRings,
       tieBreak, initialHorizon, fallbackBelow, maxHorizon, condition,
-      materialize, fallbackPairs)
+      materialize, fallbackPairs, leftOuter = parseJoinType(joinType))
   }
 
   private def run(
@@ -204,8 +210,13 @@ object GridNearestJoin {
 
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
-    require(!(leftOuter && k > 1),
-      "left-outer is k = 1 only (a ranked k-nearest row set has no natural null row)")
+    // every internal working column here carries the __g_ prefix and is
+    // added with withColumn — a same-named user column would be silently
+    // overwritten (the ekey collision class, ADVICE r13): collide loudly
+    val reservedClash = (left.columns ++ right.columns).filter(_.startsWith("__g_"))
+    require(reservedClash.isEmpty,
+      s"column names ${reservedClash.mkString(", ")} are reserved " +
+        "(__g_ prefix) by the grid nearest join")
 
     val lw = "__g_lwkb"; val rw = "__g_rwkb"; val lid = "__g_lid"
     val cell = "__g_cell"; val dist = "__g_dist"; val best = "__g_best"
@@ -226,12 +237,16 @@ object GridNearestJoin {
     // both key structs resolve to identical field types — else
     // behavior is byte-identical to the unfactored path. ANSI note:
     // the keys evaluate eagerly frame-wide (see PairCondition.equiKeys
-    // scaladoc) — a throwing key expression fails queries the
-    // unfactored path might complete.
+    // scaladoc) — under ANSI mode only statically throw-free conjuncts
+    // factor (PairCondition.neverThrows), so a throwing key on a row
+    // the unfactored path never pairs cannot fail the query (r14,
+    // mirroring the broadcast kernel's flat-path fallback).
+    val ansiOn = scala.util.Try(
+      left.sparkSession.conf.get("spark.sql.ansi.enabled").toBoolean).getOrElse(true)
     val equiPairs = condition
       .map(c => PairCondition.equiKeys(
         left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-        c, left.schema, right.schema))
+        c, left.schema, right.schema, ansiSafeOnly = ansiOn))
       .getOrElse(Nil)
     // single-sided deterministic conjuncts (literal IN-lists, range
     // guards — round-13 breadth): a right-only conjunct pre-filters the
@@ -243,7 +258,7 @@ object GridNearestJoin {
     val (leftOnlyCond, rightOnlyCond) = condition
       .map(c => PairCondition.sideOnly(
         left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-        c, left.schema, right.schema))
+        c, left.schema, right.schema, ansiSafeOnly = ansiOn))
       .getOrElse((None, None))
     val useEkey = equiPairs.nonEmpty &&
       // never engage over a user column that collides with the
@@ -597,12 +612,26 @@ object GridNearestJoin {
         else if (leftOuter) spread.join(rightHinted, lit(true), "left")
         else spread.crossJoin(rightHinted)
       // left-outer: the fallback sees every unresolved row, so dropping
-      // the hasAny filter here is the ONLY emission change outer needs —
-      // finalize's best(c) projection nulls the right columns of a null
-      // best struct
-      val scored = withLeft(mergeCarry(bestOf(cands)).drop("__g_best0", "__g_carry"))
-      out += finalize(
-        if (leftOuter) scored else scored.where(hasAny), leftCols, rightCols, best)
+      // the hasAny filter here is the ONLY emission change outer needs.
+      // k = 1: finalize's best(c) projection nulls the right columns of
+      // a null best struct in one pass. k > 1: finalize is a posexplode
+      // (drops candidate-less rows), so outer splits the scored set —
+      // ranked rows for hasAny, one null-padded row (null right columns,
+      // NULL rank: `LEFT JOIN (ranked WHERE rank <= k)` SQL shape) for
+      // the rest. The split reads `scored` twice, so it is snapshotted
+      // first — one exhaustive pass, two cheap filters (r14).
+      val scored0 = withLeft(mergeCarry(bestOf(cands)).drop("__g_best0", "__g_carry"))
+      if (leftOuter && k > 1) {
+        val scored = materialize(scored0)
+        out += finalize(scored.where(hasAny), leftCols, rightCols, best)
+        out += scored.where(!hasAny)
+          .select(leftCols.map(col): _*)
+          .join(right.select(rightCols.map(col): _*).limit(0), lit(false), "left")
+          .withColumn(rankCol, lit(null).cast("long"))
+      } else {
+        out += finalize(
+          if (leftOuter) scored0 else scored0.where(hasAny), leftCols, rightCols, best)
+      }
     }
     // left-outer: rows whose GEOMETRY never entered the search (null WKB
     // or null envelope) come back with null right columns; the
@@ -614,8 +643,10 @@ object GridNearestJoin {
         .withColumn(env2, when(col(lw2).isNotNull, GeoExpressions.stEnvelope(col(lw2))))
         .where(col(lw2).isNull || col(env2).isNull)
         .select(leftCols.map(col): _*)
-      out += missing.join(
+      val missPadded = missing.join(
         right.select(rightCols.map(col): _*).limit(0), lit(false), "left")
+      out += (if (k == 1) missPadded
+        else missPadded.withColumn(rankCol, lit(null).cast("long")))
     }
     if (out.isEmpty) finalizeSchemaOnly(left, right, leftCols, rightCols, k, rankCol)
     else out.reduce(_ union _)

@@ -70,6 +70,18 @@ object GridSpatialJoin {
 
     val dup = left.columns.toSet.intersect(right.columns.toSet)
     require(dup.isEmpty, s"column names must be disjoint, both sides have: ${dup.mkString(", ")}")
+    // internal working columns are added with withColumn and dropped
+    // unconditionally — a same-named user column would be silently
+    // overwritten and removed (the ekey collision class, ADVICE r13), so
+    // collide loudly up front. `__graft_lid`/`__graft_ekey` are NOT here:
+    // lid has its own guard on the non-inner path (and is added by the
+    // recursive call itself), ekey degrades gracefully (factoring
+    // disengages on collision — spec-pinned pass-through).
+    val internalCols =
+      Seq("__graft_lwkb", "__graft_rwkb", "__graft_cell", "__graft_lenv", "__graft_renv")
+    val clash = (left.columns ++ right.columns).filter(internalCols.contains)
+    require(clash.isEmpty,
+      s"column names ${clash.mkString(", ")} are reserved by the grid spatial join")
     val mode = graft.spatial.SpatialJoinMode.parse(joinType)
     import graft.spatial.SpatialJoinMode._
     require(!(distanceCol.isDefined && (mode == Semi || mode == Anti)),
@@ -125,10 +137,16 @@ object GridSpatialJoin {
     // early filter Catalyst's own predicate placement can't promise.
     // Pure join restriction: the FULL condition still filters below.
     val ekey = "__graft_ekey"
+    // ANSI: only statically throw-free conjuncts factor — the ekey
+    // struct evaluates eagerly over every frame row, where the
+    // unfactored path only evaluates the condition on cell-co-located
+    // pairs (PairCondition.neverThrows; r14, ADVICE r13)
+    val ansiOn = scala.util.Try(
+      left.sparkSession.conf.get("spark.sql.ansi.enabled").toBoolean).getOrElse(true)
     val equiPairs = extraCondition
       .map(c => PairCondition.equiKeys(
         left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-        c, left.schema, right.schema))
+        c, left.schema, right.schema, ansiSafeOnly = ansiOn))
       .getOrElse(Nil)
     val useEkey = equiPairs.nonEmpty &&
       // never engage over a user column that collides with the

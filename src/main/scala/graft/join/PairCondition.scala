@@ -139,19 +139,22 @@ object PairCondition {
    * side, or fail to resolve are simply not factored — the caller's
    * behavior without any factorable conjunct is unchanged.
    *
-   * ANSI caveat (documented behavior change vs the unfactored path):
-   * callers evaluate the returned key columns EAGERLY over every row
-   * of their frames, while the unfactored path only evaluates the
-   * condition on spatial-candidate pairs. A key sub-expression that
-   * throws under ANSI mode (e.g. a cast overflow) on a row the
-   * unfactored path would never pair therefore fails the whole query.
-   * The row-level broadcast kernel degrades to its flat path instead
-   * (BroadcastSpatialJoinExec catches and falls back); this
-   * DataFrame-level path cannot wrap per-row evaluation, so the
-   * behavior is documented here and at both grid call sites.
+   * ANSI caveat: callers evaluate the returned key columns EAGERLY
+   * over every row of their frames, while the unfactored path only
+   * evaluates the condition on spatial-candidate pairs — a key
+   * sub-expression that throws under ANSI mode (e.g. a cast overflow)
+   * on a row the unfactored path would never pair would fail the whole
+   * query. The row-level broadcast kernel degrades to its flat path at
+   * runtime (BroadcastSpatialJoinExec catches and falls back); this
+   * DataFrame-level path cannot wrap per-row evaluation, so grid
+   * callers pass `ansiSafeOnly = true` under ANSI mode and only
+   * conjuncts whose moved expressions statically [[neverThrows]] are
+   * factored — the rest stay in the full condition, byte-identical to
+   * the unfactored path (ADVICE r13).
    */
   def equiKeys(spark: SparkSession, cond: org.apache.spark.sql.Column,
-      leftSchema: StructType, rightSchema: StructType)
+      leftSchema: StructType, rightSchema: StructType,
+      ansiSafeOnly: Boolean = false)
       : Seq[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] = {
     import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo}
     splitAnalyzed(spark, cond, leftSchema, rightSchema) match {
@@ -165,6 +168,7 @@ object PairCondition {
         def pick(a: Expression, b: Expression)
             : Option[(org.apache.spark.sql.Column, org.apache.spark.sql.Column)] =
           if (!a.deterministic || !b.deterministic) None
+          else if (ansiSafeOnly && !(neverThrows(a) && neverThrows(b))) None
           else (sides(a), sides(b)) match {
             case ((true, false), (false, true)) => Some((toColumn(a), toColumn(b)))
             case ((false, true), (true, false)) => Some((toColumn(b), toColumn(a)))
@@ -194,16 +198,63 @@ object PairCondition {
    * Same ANSI eager-evaluation caveat as equiKeys.
    */
   def sideOnly(spark: SparkSession, cond: org.apache.spark.sql.Column,
-      leftSchema: StructType, rightSchema: StructType)
+      leftSchema: StructType, rightSchema: StructType,
+      ansiSafeOnly: Boolean = false)
       : (Option[org.apache.spark.sql.Column], Option[org.apache.spark.sql.Column]) =
     splitAnalyzed(spark, cond, leftSchema, rightSchema) match {
       case None => (None, None)
       case Some((cs, sides, toColumn)) =>
         val det = cs.filter(_.deterministic)
+          .filter(e => !ansiSafeOnly || neverThrows(e))
         val ls = det.filter(e => sides(e) == ((true, false))).map(toColumn)
         val rs = det.filter(e => sides(e) == ((false, true))).map(toColumn)
         (ls.reduceOption(_ && _), rs.reduceOption(_ && _))
     }
+
+  /**
+   * Conservative static throw-safety: true only when evaluating `e`
+   * can never throw on ANY input row, so callers may evaluate it
+   * EAGERLY frame-wide under ANSI mode (the factoring regression
+   * class: an eager key throwing on a row the unfactored path never
+   * pairs). Whitelist, not blacklist — attribute refs, literals,
+   * always-safe casts (Cast.canUpCast), struct build/field access,
+   * null predicates, boolean connectives, comparisons, IN-lists,
+   * coalesce/least/greatest, simple string functions, float-typed
+   * arithmetic (IEEE semantics — no ANSI error even at /0), and
+   * integral `%`/`pmod` by a non-zero literal (the one arithmetic
+   * shape with no ANSI failure case: Long.MinValue % -1 is 0 in
+   * two's complement, unlike division). Integral/decimal add, subtract,
+   * multiply, divide (overflow / divide-by-zero), down-casts, string
+   * parsing, UDFs and everything unrecognized are assumed throwing.
+   */
+  def neverThrows(e: Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{DataType, DoubleType, FloatType}
+    def floatLike(dt: DataType): Boolean = dt == DoubleType || dt == FloatType
+    def nonZeroLiteral(x: Expression): Boolean = x match {
+      case Literal(n: java.lang.Number, _) => n.doubleValue != 0.0
+      case _ => false
+    }
+    e match {
+      case _: AttributeReference | _: BoundReference | _: Literal => true
+      case a: Alias => neverThrows(a.child)
+      case c: Cast => Cast.canUpCast(c.child.dataType, c.dataType) && neverThrows(c.child)
+      case s: CreateNamedStruct => s.valExprs.forall(neverThrows)
+      case g: GetStructField => neverThrows(g.child)
+      case _: IsNull | _: IsNotNull | _: Not | _: And | _: Or |
+           _: EqualTo | _: EqualNullSafe | _: LessThan | _: LessThanOrEqual |
+           _: GreaterThan | _: GreaterThanOrEqual | _: In | _: InSet |
+           _: Coalesce | _: Least | _: Greatest |
+           _: Upper | _: Lower | _: Length =>
+        e.children.forall(neverThrows)
+      case r: Remainder if nonZeroLiteral(r.right) => neverThrows(r.left)
+      case p: Pmod if nonZeroLiteral(p.right) => neverThrows(p.left)
+      case b @ (_: Add | _: Subtract | _: Multiply | _: Divide | _: UnaryMinus)
+          if floatLike(b.dataType) =>
+        e.children.forall(neverThrows)
+      case _ => false
+    }
+  }
 
   /** Analyzed-conjunct machinery shared by equiKeys/sideOnly. The Spark
     * 4 Column API carries a LAZY column-node tree (its catalyst shape

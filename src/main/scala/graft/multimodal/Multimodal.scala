@@ -344,25 +344,41 @@ object Multimodal {
   }
 
   /**
-   * REAL hand-rolled codec for UNCOMPRESSED mono 16-bit PCM WAV — the
-   * audio twin of [[BmpCodec]]: the RIFF container is fixed-offset
-   * little-endian fields and raw samples (no entropy coder), so the
+   * REAL hand-rolled codec for UNCOMPRESSED 16-bit PCM WAV — the
+   * audio twin of [[BmpCodec]]: the RIFF container is little-endian
+   * chunked fields and raw samples (no entropy coder), so the
    * full decode → decimate → re-encode byte math is exact integer
    * arithmetic the `multimodal_wav_*` oracle rows replay in SQL.
    * [[ImageIoCodec]] stays the general-purpose JDK audio header
    * parser; this codec additionally OWNS the samples, so it can
    * transform audio, not just describe it.
    *
-   *  - `decode`: parses the canonical 44-byte header it writes (RIFF/
-   *    WAVE, `fmt ` chunk of 16 at offset 12, PCM, 1 channel, 16-bit,
-   *    `data` chunk at 36 with every sample present) — anything else
-   *    is `unknown`, per the totality contract;
-   *    `duration_ms = n_samples · 1000 / rate` (integer floor).
-   *  - `resampleAudio(bytes, k)`: keep every k-th sample and divide the
+   * TOLERANT RIFF chunk walking (round 14 — the r13 MP4 lesson applied
+   * to audio; real corpora never ship the canonical 44-byte layout):
+   * `decode` walks the `RIFF…WAVE` chunk list in ANY order, skipping
+   * `LIST`/`fact`/`JUNK`/unknown chunks (with the RIFF odd-size pad
+   * rule, tolerating a missing pad on the final chunk), and accepts
+   *  - `fmt ` chunks of ANY size >= 16: plain PCM (format 1) and
+   *    WAVE_FORMAT_EXTENSIBLE (format 0xFFFE, cbSize >= 22, SubFormat
+   *    GUID = KSDATAFORMAT_SUBTYPE_PCM) — the two shapes every real
+   *    PCM WAV uses;
+   *  - mono AND stereo (16-bit only; blockAlign/byteRate must be
+   *    consistent). Stereo sample access follows a documented
+   *    FIRST-CHANNEL policy: [[audioSamples]] returns channel 0 (no
+   *    silent downmix arithmetic — deterministic and invertible);
+   *    [[resampleAudio]] decimates FRAMES, preserving every channel.
+   * Structural violations (truncated chunk, duplicate `data` or
+   * `fmt `, inconsistent fmt fields, trailing bytes past the declared
+   * RIFF size) fail the whole file to `unknown`, per the totality
+   * contract. `duration_ms = n_frames · 1000 / rate` (integer floor).
+   *
+   *  - `resampleAudio(bytes, k)`: keep every k-th FRAME and divide the
    *    sample rate by k (classic decimation — duration is preserved,
-   *    resolution drops). Only payloads whose rate k divides exactly
-   *    decimate; anything else (including non-WAV) passes through as a
-   *    fresh copy, so the operator stays total per-row.
+   *    resolution drops), re-encoded in the CANONICAL layout (a
+   *    shuffled/padded input normalizes — deterministic bytes either
+   *    way). Only payloads whose rate k divides exactly decimate;
+   *    anything else (including non-WAV) passes through as a fresh
+   *    copy, so the operator stays total per-row.
    */
   object WavCodec extends MediaCodec {
     private def u16(b: Array[Byte], o: Int): Int =
@@ -377,37 +393,82 @@ object Multimodal {
     private def tag(b: Array[Byte], o: Int, s: String): Boolean =
       s.indices.forall(i => b(o + i) == s.charAt(i).toByte)
 
-    /** (sampleRate, nSamples) when the payload is a canonical mono
-      * 16-bit PCM WAV with all sample bytes present; data starts at 44. */
-    private def parse(b: Array[Byte]): Option[(Int, Int)] = {
-      if (b == null || b.length < 44) return None
-      if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE") || !tag(b, 12, "fmt ")) return None
-      if (u32(b, 16) != 16L) return None              // PCM fmt chunk length
-      if (u16(b, 20) != 1 || u16(b, 22) != 1) return None // PCM, mono
-      val rate = u32(b, 24)
-      if (rate <= 0 || rate > 2000000L) return None
-      if (u32(b, 28) != rate * 2) return None         // byte rate
-      if (u16(b, 32) != 2 || u16(b, 34) != 16) return None // block align, bits
-      if (!tag(b, 36, "data")) return None
-      val dataSize = u32(b, 40)
-      if (dataSize % 2 != 0 || 44 + dataSize > b.length) return None
-      if (u32(b, 4) != 36 + dataSize) return None     // RIFF chunk size
-      Some((rate.toInt, (dataSize / 2).toInt))
+    /** KSDATAFORMAT_SUBTYPE_PCM = 00000001-0000-0010-8000-00AA00389B71,
+      * as the 16 GUID bytes a WAVE_FORMAT_EXTENSIBLE fmt chunk carries. */
+    private val PcmGuid: Array[Byte] = Array[Int](
+      1, 0, 0, 0, 0, 0, 0x10, 0, 0x80, 0,
+      0, 0xAA, 0, 0x38, 0x9B, 0x71).map(_.toByte)
+
+    private final case class Wav(rate: Int, channels: Int, dataOff: Int, frames: Int)
+
+    /** Tolerant RIFF walk (see object scaladoc). None on any structural
+      * violation — the file then decodes `unknown` rather than risking
+      * garbage fields. */
+    private def parse(b: Array[Byte]): Option[Wav] = {
+      if (b == null || b.length < 12) return None
+      if (!tag(b, 0, "RIFF") || !tag(b, 8, "WAVE")) return None
+      val riffSize = u32(b, 4)
+      // the declared region must hold at least "WAVE" and exactly span
+      // the payload: trailing bytes are a structural violation (the
+      // MP4 walk's rule — random binaries must not half-parse)
+      if (riffSize < 4 || 8 + riffSize != b.length) return None
+      val end = (8 + riffSize).toInt
+      var fmt: Option[(Int, Int)] = None   // (rate, channels)
+      var data: Option[(Int, Int)] = None  // (offset, size)
+      var o = 12
+      while (o < end) {
+        if (o + 8 > end) return None
+        val size = u32(b, o + 4)
+        if (size > end - o - 8) return None
+        val ps = o + 8
+        if (tag(b, o, "fmt ")) {
+          if (fmt.isDefined || size < 16) return None
+          val format = u16(b, ps)
+          val ch = u16(b, ps + 2)
+          val rate = u32(b, ps + 4)
+          val byteRate = u32(b, ps + 8)
+          val blockAlign = u16(b, ps + 12)
+          val bits = u16(b, ps + 14)
+          val pcm = format match {
+            case 1 => true
+            case 0xFFFE => // WAVE_FORMAT_EXTENSIBLE: PCM iff the GUID says so
+              size >= 40 && u16(b, ps + 16) >= 22 &&
+                PcmGuid.indices.forall(i => b(ps + 24 + i) == PcmGuid(i))
+            case _ => false
+          }
+          if (!pcm || (ch != 1 && ch != 2) || bits != 16) return None
+          if (rate <= 0 || rate > 2000000L) return None
+          if (blockAlign != ch * 2 || byteRate != rate * blockAlign) return None
+          fmt = Some((rate.toInt, ch))
+        } else if (tag(b, o, "data")) {
+          if (data.isDefined) return None // ambiguous: two sample payloads
+          data = Some((ps, size.toInt))
+        }
+        // advance over the payload + the RIFF odd-size pad byte; a
+        // missing pad on the FINAL chunk is tolerated (common in the wild)
+        o = ps + size.toInt
+        if (size % 2 == 1 && o < end) o += 1
+      }
+      for ((rate, ch) <- fmt; (off, sz) <- data; if sz % (ch * 2) == 0)
+        yield Wav(rate, ch, off, sz / (ch * 2))
     }
 
-    /** Canonical encoder: 44-byte header, little-endian 16-bit mono
-      * samples. */
-    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    /** Canonical encoder: 44-byte header, little-endian 16-bit
+      * samples, frames interleaved when `channels` = 2. */
+    def encode(sampleRate: Int, channels: Int, samples: Array[Short]): Array[Byte] = {
       require(sampleRate > 0, s"bad sample rate $sampleRate")
+      require(channels == 1 || channels == 2, s"bad channel count $channels")
+      require(samples.length % channels == 0,
+        s"${samples.length} samples do not interleave into $channels channels")
       val out = new Array[Byte](44 + samples.length * 2)
       out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
       put32(out, 4, 36 + samples.length * 2)
       out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
       out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
       put32(out, 16, 16)
-      out(20) = 1; out(22) = 1
-      put32(out, 24, sampleRate); put32(out, 28, sampleRate * 2)
-      out(32) = 2; out(34) = 16
+      out(20) = 1; out(22) = channels.toByte
+      put32(out, 24, sampleRate); put32(out, 28, sampleRate * 2 * channels)
+      out(32) = (2 * channels).toByte; out(34) = 16
       out(36) = 'd'; out(37) = 'a'; out(38) = 't'; out(39) = 'a'
       put32(out, 40, samples.length * 2)
       var i = 0
@@ -419,10 +480,15 @@ object Multimodal {
       out
     }
 
+    /** Mono canonical encoder (the pre-r14 signature, kept verbatim —
+      * gate byte math depends on it). */
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] =
+      encode(sampleRate, 1, samples)
+
     def decode(content: Array[Byte]): Row = parse(content) match {
-      case Some((rate, n)) =>
-        Row("audio", null, null, Integer.valueOf(rate),
-          java.lang.Long.valueOf(n * 1000L / rate), null)
+      case Some(w) =>
+        Row("audio", null, null, Integer.valueOf(w.rate),
+          java.lang.Long.valueOf(w.frames * 1000L / w.rate), null)
       case None => Row("unknown", null, null, null, null, null)
     }
 
@@ -432,26 +498,32 @@ object Multimodal {
 
     override def resampleAudio(content: Array[Byte], factor: Int): Array[Byte] =
       parse(content) match {
-        case Some((rate, n)) if factor >= 1 && rate % factor == 0 =>
-          val kept = (n + factor - 1) / factor
-          val samples = new Array[Short](kept)
+        case Some(w) if factor >= 1 && w.rate % factor == 0 =>
+          val kept = (w.frames + factor - 1) / factor
+          val samples = new Array[Short](kept * w.channels)
           var i = 0
           while (i < kept) {
-            val o = 44 + 2 * i * factor
-            samples(i) = ((content(o) & 0xff) | (content(o + 1) << 8)).toShort
+            var c = 0
+            while (c < w.channels) {
+              val o = w.dataOff + 2 * (i * factor * w.channels + c)
+              samples(i * w.channels + c) =
+                ((content(o) & 0xff) | (content(o + 1) << 8)).toShort
+              c += 1
+            }
             i += 1
           }
-          encode(rate / factor, samples)
+          encode(w.rate / factor, w.channels, samples)
         case _ => if (content == null) null else content.clone()
       }
 
     override def audioSamples(content: Array[Byte]): Array[Short] =
       parse(content) match {
-        case Some((_, n)) =>
-          val out = new Array[Short](n)
+        case Some(w) =>
+          // FIRST-CHANNEL policy for stereo (documented above)
+          val out = new Array[Short](w.frames)
           var i = 0
-          while (i < n) {
-            val o = 44 + 2 * i
+          while (i < w.frames) {
+            val o = w.dataOff + 2 * i * w.channels
             out(i) = ((content(o) & 0xff) | (content(o + 1) << 8)).toShort
             i += 1
           }

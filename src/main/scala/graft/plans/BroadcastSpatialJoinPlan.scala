@@ -292,7 +292,17 @@ case class BroadcastSpatialJoinExec(
               if (rightPred.exists(p => !p.eval(jr))) null
               else keyOf(rKeys, jr)
             }
-            catch { case scala.util.control.NonFatal(_) => null }
+            catch {
+              case scala.util.control.NonFatal(e) =>
+                // the fallback is CORRECT but O(candidates)-per-probe —
+                // a silent catch would mask both genuine defects and the
+                // perf cliff, so the degradation is logged once per task
+                // (ADVICE r13). Intended catches are ANSI eval errors
+                // (cast overflow on a row the flat path never pairs);
+                // anything else still falls back safely but is loud.
+                SpatialProbeLog.keyBuildFallback(e)
+                null
+            }
           }
           val leftPred = leftOnly.map(Predicate.create)
           leftPred.foreach(_.initialize(0))
@@ -376,4 +386,19 @@ case class BroadcastSpatialJoinExec(
       }
     }
   }
+}
+
+/**
+ * Executor-side logger for the probe closures: a standalone object is
+ * referenced statically by the task closure, so logging a degradation
+ * never drags the exec node (and its whole plan subtree) into closure
+ * serialization. The once-per-task shape comes for free — the guarded
+ * build runs once per task attempt.
+ */
+private[plans] object SpatialProbeLog extends org.apache.spark.internal.Logging {
+  def keyBuildFallback(e: Throwable): Unit =
+    logWarning(
+      "broadcast spatial join: build-side key partitioning threw; " +
+        "falling back to the flat probe path for this task " +
+        "(answers unchanged, probes no longer O(1)-keyed)", e)
 }

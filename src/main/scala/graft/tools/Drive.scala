@@ -1677,6 +1677,43 @@ object Drive {
       println(s"OK in-list join=$inl (expect List((101,3), (102,3)) — index restricted)")
     }
 
+    println("=== 55. round-14: left-outer grid kNN (k>1) + ANSI-safe factoring ===")
+    locally {
+      import spark.implicits._
+      import org.apache.spark.sql.functions.{col, expr}
+      import graft.functions.GeoExpressions
+      // "top-2 nearest, keep the matchless": grp 9 probe matches nothing
+      val inp = Seq((1L, 0.1, 0.1, 0), (2L, 0.2, 0.3, 1), (3L, 5.0, 5.0, 9))
+        .toDF("cid", "lon", "lat", "grp")
+      val poi = Seq((10L, 0.15, 0.12, 0), (11L, 0.3, 0.2, 0),
+        (12L, 0.22, 0.28, 1), (13L, 0.4, 0.4, 1))
+        .toDF("poi_id", "plon", "plat", "pgrp")
+      val knnL = graft.join.GridNearestJoin.knearest(
+        inp, poi,
+        GeoExpressions.wkbPoint(col("lon"), col("lat")),
+        GeoExpressions.wkbPoint(col("plon"), col("plat")),
+        k = 2, tieBreak = Some(col("poi_id")),
+        condition = Some(col("grp") === col("pgrp")), joinType = "left")
+        .select("cid", "poi_id", "knn_rank").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+      println(s"rows=${knnL.size} left-outer knn=$knnL " +
+        "(expect 5: cid 1/2 ranked twice, cid 3 once all-null)")
+      // ANSI-safe factoring: the far bad candidate's CAST never pairs →
+      // never throws (pre-r14 the eager ekey stamp failed the query)
+      val badr = Seq(("p1", 0.15, 0.12, "1"), ("badp", 50.0, 50.0, "xx"))
+        .toDF("poi_id2", "plon", "plat", "pcode")
+      val ansiOk = graft.join.GridNearestJoin.nearest(
+        Seq(("a", 0.1, 0.1, 1)).toDF("id", "lon", "lat", "code"), badr,
+        GeoExpressions.wkbPoint(col("lon"), col("lat")),
+        GeoExpressions.wkbPoint(col("plon"), col("plat")),
+        cellDeg = 1.0, condition = Some(expr("CAST(pcode AS INT) = code")),
+        fallbackBelow = 0L, fallbackPairs = 0L)
+        .select("id", "poi_id2").collect().map(_.getString(1)).toSeq
+      println(s"OK ansi-safe grid factoring=$ansiOk (expect List(p1), no CAST throw)")
+    }
+
     spark.stop()
   }
 }

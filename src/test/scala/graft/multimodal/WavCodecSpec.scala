@@ -86,6 +86,111 @@ class WavCodecSpec extends AnyFlatSpec with Matchers {
       (1L, 2, 1, 1073741824L))
   }
 
+  // --- tolerant RIFF chunk walking (round 14) ---
+
+  /** Assemble a RIFF/WAVE from raw chunks (id -> payload), fixing up the
+    * declared RIFF size and the odd-size pad bytes. */
+  private def riff(chunks: (String, Array[Byte])*): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    chunks.foreach { case (id, p) =>
+      bo.write(id.getBytes("US-ASCII")); bo.write(le32(p.length)); bo.write(p)
+      if (p.length % 2 == 1) bo.write(0)
+    }
+    val body = bo.toByteArray
+    "RIFF".getBytes ++ le32(4 + body.length) ++ "WAVE".getBytes ++ body
+  }
+  private def le16s(xs: Short*): Array[Byte] =
+    xs.flatMap(s => Seq(s.toByte, (s >> 8).toByte)).toArray
+  private def fmtPcm(rate: Int, ch: Int): Array[Byte] =
+    le16s(1, ch.toShort) ++
+      Array(rate, rate >> 8, rate >> 16, rate >> 24).map(_.toByte) ++
+      Array(rate * 2 * ch, (rate * 2 * ch) >> 8, (rate * 2 * ch) >> 16,
+        (rate * 2 * ch) >> 24).map(_.toByte) ++
+      le16s((2 * ch).toShort, 16)
+
+  it should "walk shuffled/padded chunk layouts to the canonical answer" in {
+    val s = samples(10)
+    val canonical = WavCodec.decode(WavCodec.encode(2000, s))
+    // JUNK between fmt and data, LIST after data, odd-size JUNK (pad rule)
+    val shuffled = riff(
+      ("fmt ", fmtPcm(2000, 1)), ("JUNK", Array[Byte](1, 2, 3)),
+      ("data", le16s(s: _*)), ("LIST", "INFO??".getBytes))
+    WavCodec.decode(shuffled).toSeq shouldBe canonical.toSeq
+    WavCodec.audioSamples(shuffled).toSeq shouldBe s.toSeq
+    // LIST BEFORE fmt, and an 18-byte fmt (cbSize = 0)
+    val leading = riff(
+      ("LIST", "INFOpadding!".getBytes),
+      ("fmt ", fmtPcm(2000, 1) ++ Array[Byte](0, 0)),
+      ("data", le16s(s: _*)))
+    WavCodec.decode(leading).toSeq shouldBe canonical.toSeq
+    // decimation through a padded layout normalizes to canonical bytes
+    WavCodec.resampleAudio(shuffled, 2).toSeq shouldBe
+      WavCodec.resampleAudio(WavCodec.encode(2000, s), 2).toSeq
+  }
+
+  it should "decode WAVE_FORMAT_EXTENSIBLE stereo with the first-channel policy" in {
+    val pcmGuid = Array[Int](1, 0, 0, 0, 0, 0, 0x10, 0, 0x80, 0,
+      0, 0xAA, 0, 0x38, 0x9B, 0x71).map(_.toByte)
+    val fmtExt = le16s(0xFFFE.toShort, 2) ++
+      Array[Byte](0x10, 0x27, 0, 0) ++            // rate 10000
+      Array[Byte](0x40, 0x9C.toByte, 0, 0) ++     // byteRate 40000
+      le16s(4, 16) ++                             // blockAlign, bits
+      le16s(22, 16) ++                            // cbSize, validBits
+      Array[Byte](3, 0, 0, 0) ++ pcmGuid          // channelMask, SubFormat
+    val frames = Array[Short](100, -100, 200, -200, 300, -300) // 3 frames x 2ch
+    val wav = riff(("fmt ", fmtExt), ("fact", Array[Byte](3, 0, 0, 0)),
+      ("data", le16s(frames: _*)))
+    val m = WavCodec.decode(wav)
+    (m.getString(0), m.getInt(3)) shouldBe ("audio", 10000)
+    m.getLong(4) shouldBe 0L // 3 frames / 10 kHz floors to 0 ms
+    WavCodec.audioSamples(wav).toSeq shouldBe Seq[Short](100, 200, 300) // ch 0
+    // frame decimation keeps BOTH channels of every 2nd frame
+    val down = WavCodec.resampleAudio(wav, 2)
+    val dm = WavCodec.decode(down)
+    (dm.getString(0), dm.getInt(3)) shouldBe ("audio", 5000)
+    WavCodec.audioSamples(down).toSeq shouldBe Seq[Short](100, 300)
+    down.length shouldBe 44 + 8 // canonical re-encode, 2 frames x 2ch
+    // and the JDK parser agrees with the re-encoded stereo header
+    val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+      new java.io.ByteArrayInputStream(down))
+    aff.getFormat.getChannels shouldBe 2
+    aff.getFormat.getSampleRate shouldBe 5000f
+  }
+
+  it should "reject structural violations the walk cannot trust" in {
+    val s = samples(4)
+    // duplicate data chunks: ambiguous payload
+    WavCodec.decode(riff(("fmt ", fmtPcm(1000, 1)),
+      ("data", le16s(s: _*)), ("data", le16s(s: _*)))).getString(0) shouldBe "unknown"
+    // duplicate fmt
+    WavCodec.decode(riff(("fmt ", fmtPcm(1000, 1)), ("fmt ", fmtPcm(1000, 1)),
+      ("data", le16s(s: _*)))).getString(0) shouldBe "unknown"
+    // no fmt at all
+    WavCodec.decode(riff(("data", le16s(s: _*)))).getString(0) shouldBe "unknown"
+    // inconsistent byteRate
+    val badRate = fmtPcm(1000, 1); badRate(8) = 9
+    WavCodec.decode(riff(("fmt ", badRate),
+      ("data", le16s(s: _*)))).getString(0) shouldBe "unknown"
+    // trailing garbage past the declared RIFF size
+    val ok = riff(("fmt ", fmtPcm(1000, 1)), ("data", le16s(s: _*)))
+    WavCodec.decode(ok ++ Array[Byte](1)).getString(0) shouldBe "unknown"
+    // a chunk whose declared size overruns the region
+    val overrun = ok.clone(); overrun(16) = 0x7f // fmt size huge
+    WavCodec.decode(overrun).getString(0) shouldBe "unknown"
+    // extensible WITHOUT the PCM GUID (e.g. float subformat) is refused
+    val floatGuid = riff(("fmt ", {
+      val f = fmtPcm(1000, 2) ++ le16s(22, 16) ++ Array[Byte](3, 0, 0, 0) ++
+        Array.fill[Byte](16)(7)
+      f(0) = 0xFE.toByte; f(1) = 0xFF.toByte
+      f(12) = 4 // blockAlign for stereo
+      f(8) = 0xA0.toByte; f(9) = 0x0F; f(10) = 0; f(11) = 0 // byteRate 4000
+      f
+    }), ("data", le16s(s: _*)))
+    WavCodec.decode(floatGuid).getString(0) shouldBe "unknown"
+  }
+
   it should "agree with the JDK's own WAV parser on its output" in {
     // independent cross-validation: javax.sound.sampled reads the
     // canonical bytes back with the same rate and frame count
