@@ -2754,6 +2754,26 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
     }),
 
+    // fragmented ISO-BMFF awareness (round 14): init-segment (mvex) and
+    // media-present (moof+mdat, mvhd duration 0) layouts must surface
+    // fragmented = true with the moov metadata, and the duration-0
+    // convention must read NULL, not a confident "0 ms". Every 7th doc
+    // is raw text → `unknown`
+    "multimodal_mp4_fragmented" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = mp4FragmentedAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.withDecodedMeta(assets, "content",
+          codec = graft.multimodal.Multimodal.Mp4Codec)
+        .select(col("doc_id"), col("meta.kind").as("kind"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.duration_ms").as("duration_ms"),
+          col("meta.fragmented").as("fragmented"))
+    }),
+
     // link-graph quality weighting: fixed-point PageRank over the
     // symmetrized customer↔supplier purchase graph (customers offset to
     // a disjoint id namespace). Integer micro-unit iteration — both
@@ -3192,6 +3212,45 @@ object SparkEntry {
         when(pmod(col("doc_id"), lit(3)) === 0, concat(v0: _*))
           .when(pmod(col("doc_id"), lit(3)) === 1, concat(v1: _*))
           .otherwise(concat(v2: _*)))
+      .select(col("doc_id"), unhex(col("hx")).as("content"))
+  }
+
+  /** Deterministic FRAGMENTED ISO-BMFF assets for
+    * `multimodal_mp4_fragmented` (round 14): same field arithmetic as
+    * [[mp4Assets]], two layouts by doc_id % 2 — (0) an INIT SEGMENT:
+    * moov carries `mvex` beside a real mvhd duration (authoring that
+    * fills mehd-style totals in); (1) MEDIA PRESENT: mvhd duration 0
+    * (the fragmented convention) + top-level `moof`+`mdat` after moov.
+    * The walk must surface fragmented = true for both and NULL
+    * duration for (1) — a moov-only reading of `0` would be a
+    * confidently wrong answer on most DASH content. */
+  private def mp4FragmentedAssets(docs: DataFrame): DataFrame = {
+    def be32(e: String): String = s"lpad(hex($e), 8, '0')"
+    val z = "00"
+    def mvhdV0(durE: String) = Seq(lit("0000006C6D766864" + z * 12),
+      expr(be32("ts")), expr(be32(durE)), lit(z * 80))
+    def tkhdV0 = Seq(lit("0000005C746B6864" + z * 76),
+      expr(be32("w * 65536")), expr(be32("h * 65536")))
+    def mdhdV0 = Seq(lit("000000206D646864" + z * 12), expr(be32("ts")), lit(z * 8))
+    val hdlrVide = lit("0000002168646C72" + z * 8 + "76696465" + z * 13)
+    def trakV0 = Seq(lit("000000AD7472616B")) ++ tkhdV0 ++
+      Seq(lit("000000496D646961")) ++ mdhdV0 ++ Seq(hdlrVide)
+    val ftyp = "0000001066747970" + "69736F6D" + "00000200"
+    val mvex = "000000106D766578" + z * 8
+    // moov(305) = mvhd(108) + mvex(16) + trak(173)
+    val v0 = Seq(lit(ftyp + "000001316D6F6F76")) ++ mvhdV0("dur") ++
+      Seq(lit(mvex)) ++ trakV0
+    val v1 = Seq(lit(ftyp + "000001316D6F6F76")) ++ mvhdV0("0") ++ trakV0 ++
+      Seq(lit(mvex),
+        lit("000000106D6F6F66" + z * 8 + "0000000C6D646174" + z * 4))
+    docs.select(col("doc_id"))
+      .withColumn("w", (lit(160) + pmod(col("doc_id"), lit(4)) * 16).cast("int"))
+      .withColumn("h", (lit(120) + pmod(col("doc_id"), lit(3)) * 8).cast("int"))
+      .withColumn("ts", (lit(500) + pmod(col("doc_id"), lit(4)) * 250).cast("int"))
+      .withColumn("dur", (lit(3000) + pmod(col("doc_id"), lit(7)) * 111).cast("int"))
+      .withColumn("hx",
+        when(pmod(col("doc_id"), lit(2)) === 0, concat(v0: _*))
+          .otherwise(concat(v1: _*)))
       .select(col("doc_id"), unhex(col("hx")).as("content"))
   }
 
@@ -6327,6 +6386,22 @@ object SparkEntry {
         |  CASE WHEN doc_id % 7 = 0 THEN NULL
         |       ELSE CAST((3000 + (doc_id % 7) * 111) * 1000
         |            // (500 + (doc_id % 4) * 250) AS BIGINT) END duration_ms
+        |FROM documents""".stripMargin,
+
+    // fragmented walk: both layouts report fragmented = true; the
+    // media-present variant (odd doc_id, mvhd duration 0) reads a NULL
+    // duration — the fragmented convention, not a real "0 ms"
+    "multimodal_mp4_fragmented" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'unknown' ELSE 'video' END kind,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(160 + (doc_id % 4) * 16 AS INT) END width,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE CAST(120 + (doc_id % 3) * 8 AS INT) END height,
+        |  CASE WHEN doc_id % 7 = 0 OR doc_id % 2 = 1 THEN NULL
+        |       ELSE CAST((3000 + (doc_id % 7) * 111) * 1000
+        |            // (500 + (doc_id % 4) * 250) AS BIGINT) END duration_ms,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL ELSE true END fragmented
         |FROM documents""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle(seeded = false),

@@ -80,7 +80,11 @@ object Multimodal {
     StructField("height", IntegerType),
     StructField("sample_rate", IntegerType),
     StructField("duration_ms", LongType),
-    StructField("n_frames", IntegerType)))
+    StructField("n_frames", IntegerType),
+    // ISO-BMFF only (r14): true when the stream carries movie fragments
+    // (`moof` boxes / a `mvex` announcement) — moov-level duration is
+    // then untrustworthy (routinely 0). Null for non-container kinds.
+    StructField("fragmented", BooleanType)))
 
   /**
    * STUB CODEC — stands in for e.g. libjpeg/ffmpeg bindings, which are not
@@ -118,12 +122,12 @@ object Multimodal {
    */
   object StubCodec extends MediaCodec {
     def decode(content: Array[Byte]): Row = {
-      if (content == null || content.length < 4) return Row("unknown", null, null, null, null, null)
+      if (content == null || content.length < 4) return Row("unknown", null, null, null, null, null, null)
       def b(i: Int): Int = content(i) & 0xff
       b(0) % 3 match {
-        case 0 => Row("image", 64 + b(1) % 192, 64 + b(2) % 192, null, null, null)
-        case 1 => Row("audio", null, null, 8000 + 100 * b(1), (1000L + b(2) * 37L), null)
-        case 2 => Row("video", 320 + b(1) % 64, 240 + b(2) % 64, null, (2000L + b(3) * 53L), 24 + b(3) % 36)
+        case 0 => Row("image", 64 + b(1) % 192, 64 + b(2) % 192, null, null, null, null)
+        case 1 => Row("audio", null, null, 8000 + 100 * b(1), (1000L + b(2) * 37L), null, null)
+        case 2 => Row("video", 320 + b(1) % 64, 240 + b(2) % 64, null, (2000L + b(3) * 53L), 24 + b(3) % 36, null)
       }
     }
     /** STUB resize: a real codec re-encodes pixels; this re-headers. */
@@ -154,13 +158,13 @@ object Multimodal {
   object ImageIoCodec extends MediaCodec {
     javax.imageio.ImageIO.setUseCache(false)
 
-    private def unknownRow = Row("unknown", null, null, null, null, null)
+    private def unknownRow = Row("unknown", null, null, null, null, null, null)
 
     def decode(content: Array[Byte]): Row = {
       if (content == null || content.length == 0) return unknownRow
       try {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
-        if (img != null) return Row("image", img.getWidth, img.getHeight, null, null, null)
+        if (img != null) return Row("image", img.getWidth, img.getHeight, null, null, null, null)
       } catch { case _: Throwable => }
       try {
         val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
@@ -171,7 +175,7 @@ object Multimodal {
           if (frames >= 0 && fmt.getFrameRate > 0)
             java.lang.Long.valueOf((frames * 1000L / fmt.getFrameRate.toDouble).round)
           else null
-        return Row("audio", null, null, Integer.valueOf(fmt.getSampleRate.toInt), dur, null)
+        return Row("audio", null, null, Integer.valueOf(fmt.getSampleRate.toInt), dur, null, null)
       } catch { case _: Throwable => }
       unknownRow
     }
@@ -303,8 +307,8 @@ object Multimodal {
     }
 
     def decode(content: Array[Byte]): Row = parse(content) match {
-      case Some((w, h, _)) => Row("image", w, h, null, null, null)
-      case None => Row("unknown", null, null, null, null, null)
+      case Some((w, h, _)) => Row("image", w, h, null, null, null, null)
+      case None => Row("unknown", null, null, null, null, null, null)
     }
 
     override def imageBgr(content: Array[Byte]): ImagePixels =
@@ -488,8 +492,8 @@ object Multimodal {
     def decode(content: Array[Byte]): Row = parse(content) match {
       case Some(w) =>
         Row("audio", null, null, Integer.valueOf(w.rate),
-          java.lang.Long.valueOf(w.frames * 1000L / w.rate), null)
-      case None => Row("unknown", null, null, null, null, null)
+          java.lang.Long.valueOf(w.frames * 1000L / w.rate), null, null)
+      case None => Row("unknown", null, null, null, null, null, null)
     }
 
     /** Not an image codec: pass-through per the totality contract. */
@@ -670,8 +674,8 @@ object Multimodal {
       case Some((w, h, fps, frames)) =>
         Row("video", w, h, null,
           java.lang.Long.valueOf(frames.length * 1000L / fps),
-          Integer.valueOf(frames.length))
-      case None => Row("unknown", null, null, null, null, null)
+          Integer.valueOf(frames.length), null)
+      case None => Row("unknown", null, null, null, null, null, null)
     }
 
     /** Not an image codec: pass-through per the totality contract. */
@@ -717,6 +721,16 @@ object Multimodal {
    * misdetected), and any STRUCTURAL violation — short header, a
    * declared size overrunning its enclosing box, trailing bytes —
    * fails the whole file to `unknown`, per the totality contract.
+   *
+   * FRAGMENTED streams (round 14): most DASH/recorded content ships
+   * movie fragments — `moov` holds a `mvex` announcement and the media
+   * lives in top-level `moof`+`mdat` pairs. The walk recognizes both
+   * markers and surfaces `fragmented = true` alongside the moov-level
+   * metadata; an mvhd duration of 0 (the fragmented convention — the
+   * real timeline lives in the fragments) is reported as NULL rather
+   * than a confident "0 ms". Per-fragment sample tables stay out of
+   * scope with the rest of frame access (the ffmpeg seam).
+   *
    * [[encode]] still writes the fixed canonical tree: one v0
    * `ftyp(16, isom)`, one `moov(289)` holding `mvhd(108)` and one
    * `trak(173)` = `tkhd(92)` + `mdia(73)` = `mdhd(32)` + `hdlr(33,
@@ -776,9 +790,14 @@ object Multimodal {
     }
 
     /** (handler4cc, width, height, movieTimescale, movieDuration,
-      * mediaTimescale) via the tolerant walk: first `vide` trak, else
-      * first `soun`, else None. */
-    private def parse(b: Array[Byte]): Option[(String, Int, Int, Long, Long, Long)] = {
+      * mediaTimescale, fragmented) via the tolerant walk: first `vide`
+      * trak, else first `soun`, else None. `fragmented` (r14) is true
+      * when the stream announces movie fragments — a top-level `moof`
+      * box (media segments present) or a `mvex` box inside `moov` (the
+      * init-segment announcement): the moov-level duration is then
+      * untrustworthy (fragmented streams routinely write mvhd/tkhd
+      * duration 0 and carry the real timeline in the fragments). */
+    private def parse(b: Array[Byte]): Option[(String, Int, Int, Long, Long, Long, Boolean)] = {
       if (b == null || b.length < 16) return None
       val top = children(b, 0, b.length).getOrElse(return None)
       // require the brand box somewhere at top level: a random binary
@@ -828,7 +847,8 @@ object Multimodal {
         .orElse(traks.find(_._1 == "soun")).getOrElse(return None)
       if (w < 0 || w > (1 << 15) || h < 0 || h > (1 << 15)) return None
       if (mts <= 0 || mts > 10000000L) return None
-      Some((handler, w.toInt, h.toInt, ts, dur, mts))
+      val fragmented = top.exists(_._1 == "moof") || kids.exists(_._1 == "mvex")
+      Some((handler, w.toInt, h.toInt, ts, dur, mts, fragmented))
     }
 
     /** Canonical encoder: `kind` is the hdlr 4cc (`vide` | `soun`);
@@ -870,14 +890,21 @@ object Multimodal {
     }
 
     def decode(content: Array[Byte]): Row = parse(content) match {
-      case Some(("vide", w, h, ts, dur, _)) =>
+      case Some(("vide", w, h, ts, dur, _, frag)) =>
         Row("video", Integer.valueOf(w), Integer.valueOf(h), null,
-          java.lang.Long.valueOf(dur * 1000L / ts), null)
-      case Some(("soun", _, _, ts, dur, mediaTs)) =>
+          durationMs(ts, dur, frag), null, java.lang.Boolean.valueOf(frag))
+      case Some(("soun", _, _, ts, dur, mediaTs, frag)) =>
         Row("audio", null, null, Integer.valueOf(mediaTs.toInt),
-          java.lang.Long.valueOf(dur * 1000L / ts), null)
-      case _ => Row("unknown", null, null, null, null, null)
+          durationMs(ts, dur, frag), null, java.lang.Boolean.valueOf(frag))
+      case _ => Row("unknown", null, null, null, null, null, null)
     }
+
+    /** Fragmented streams routinely carry mvhd duration 0 with the real
+      * timeline in the `moof`s — a 0 there is surfaced as NULL (unknown)
+      * rather than a confident "0 ms". A non-zero moov duration (e.g.
+      * mehd-style authoring that fills it in) is reported as read. */
+    private def durationMs(ts: Long, dur: Long, frag: Boolean): java.lang.Long =
+      if (frag && dur == 0L) null else java.lang.Long.valueOf(dur * 1000L / ts)
 
     /** Not an image codec: pass-through per the totality contract. */
     def resizeImage(content: Array[Byte], w: Int, h: Int): Array[Byte] =

@@ -1714,6 +1714,38 @@ object Drive {
       println(s"OK ansi-safe grid factoring=$ansiOk (expect List(p1), no CAST throw)")
     }
 
+    println("=== 56. round-14: tolerant RIFF/WAV walk + fragmented MP4 ===")
+    locally {
+      import graft.multimodal.Multimodal.{Mp4Codec, WavCodec}
+      // WAV with shuffled/padded chunks: JUNK between fmt and data,
+      // trailing LIST — must decode like the canonical twin
+      def le(v: Int, n: Int) = (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+      def chunk(id: String, p: Array[Byte]) =
+        id.getBytes ++ le(p.length, 4) ++ p ++ (if (p.length % 2 == 1) Array[Byte](0) else Array[Byte]())
+      val fmt = le(1, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(16000, 4) ++ le(2, 2) ++ le(16, 2)
+      val body = chunk("fmt ", fmt) ++ chunk("JUNK", le(7, 3)) ++
+        chunk("data", le(11, 2) ++ le(22, 2)) ++ chunk("LIST", "INFOab".getBytes)
+      val wav = "RIFF".getBytes ++ le(4 + body.length, 4) ++ "WAVE".getBytes ++ body
+      val wm = WavCodec.decode(wav)
+      println(s"OK shuffled wav=(${wm.getString(0)},${wm.getInt(3)}Hz," +
+        s"samples=${WavCodec.audioSamples(wav).toSeq}) (expect (audio,8000Hz,Vector(11, 22)))")
+      // fragmented MP4: mvhd duration 0 + moof → fragmented=true, NULL duration
+      def u32be(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      def bx(t: String, p: Array[Byte]) = u32be(8L + p.length) ++ t.getBytes ++ p
+      val frag = bx("ftyp", "isom".getBytes ++ u32be(0x200)) ++
+        bx("moov", bx("mvhd", new Array[Byte](12) ++ u32be(600) ++ u32be(0) ++ new Array[Byte](80)) ++
+          bx("mvex", new Array[Byte](8)) ++
+          bx("trak", bx("tkhd", new Array[Byte](76) ++ u32be(320L << 16) ++ u32be(240L << 16)) ++
+            bx("mdia", bx("mdhd", new Array[Byte](12) ++ u32be(600) ++ new Array[Byte](8)) ++
+              bx("hdlr", new Array[Byte](8) ++ "vide".getBytes ++ new Array[Byte](13))))) ++
+        bx("moof", new Array[Byte](16))
+      val fm = Mp4Codec.decode(frag)
+      println(s"OK fragmented mp4=(${fm.getString(0)},${fm.getInt(1)}x${fm.getInt(2)}," +
+        s"durNull=${fm.isNullAt(4)},frag=${fm.getBoolean(6)}) " +
+        "(expect (video,320x240,durNull=true,frag=true))")
+    }
+
     spark.stop()
   }
 }

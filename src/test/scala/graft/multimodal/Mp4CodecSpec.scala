@@ -160,6 +160,30 @@ class Mp4CodecSpec extends AnyFlatSpec with Matchers {
     Mp4Codec.decode(brandless).getString(0) shouldBe "unknown"
   }
 
+  it should "surface fragmented streams and distrust their zero durations" in {
+    val tk = trak(tkhdV0(1280, 720), mdhdV0(600), hdlr("vide"))
+    // init segment: mvex announcement, real moov duration filled in
+    val init = ftyp ++ box("moov",
+      mvhdV0(600, 1200) ++ box("mvex", zeros(8)) ++ tk)
+    val mi = Mp4Codec.decode(init)
+    (mi.getString(0), mi.getInt(1), mi.getBoolean(6)) shouldBe ("video", 1280, true)
+    mi.getLong(4) shouldBe 2000L // a NON-zero moov duration is reported as read
+    // media present: mvhd duration 0 + top-level moof/mdat pairs — the
+    // fragmented convention; a confident "0 ms" would be wrong
+    val media = ftyp ++ box("moov", mvhdV0(600, 0) ++ tk ++ box("mvex", zeros(8))) ++
+      box("moof", zeros(16)) ++ box("mdat", zeros(5))
+    val mm = Mp4Codec.decode(media)
+    (mm.getString(0), mm.getBoolean(6)) shouldBe ("video", true)
+    mm.isNullAt(4) shouldBe true
+    // moof WITHOUT mvex (media segments only) still flags fragmented
+    val moofOnly = ftyp ++ box("moov", mvhdV0(600, 0) ++ tk) ++ box("moof", zeros(16))
+    val mo = Mp4Codec.decode(moofOnly)
+    (mo.getBoolean(6), mo.isNullAt(4)) shouldBe (true, true)
+    // an UNFRAGMENTED stream reads fragmented = false and duration 0 as 0
+    val plain = Mp4Codec.decode(ftyp ++ box("moov", mvhdV0(600, 0) ++ tk))
+    (plain.getBoolean(6), plain.getLong(4)) shouldBe (false, 0L)
+  }
+
   it should "reject invalid encode parameters loudly" in {
     an[IllegalArgumentException] should be thrownBy
       Mp4Codec.encode("text", 1, 1, 1000, 0)
