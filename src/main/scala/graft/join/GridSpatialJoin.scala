@@ -192,10 +192,34 @@ object GridSpatialJoin {
     // order (measured: a ~1%-selective band `.where`d first still ran
     // last). Per-pair cost control therefore lives INSIDE fused
     // expressions (stRelatesEnvChecked above), not in filter placement.
+    //
+    // Residual fusion (round 14, the same lesson one level up): when a
+    // selective extra condition is present, the expensive refine
+    // (JTS relate / Vincenty distance) is additionally wrapped as
+    // gatedAnd(condition, refine) — one opaque conjunct whose
+    // evaluation order no optimizer rule can flip, so condition-failing
+    // pairs never reach the refine kernel. The plain `.where(condition)`
+    // stays alongside: Catalyst still pushes its side-only conjuncts
+    // below the join (the fused copy is invisible to pushdown), at the
+    // cost of one duplicate cheap evaluation per surviving pair. Gated
+    // on determinism (a second evaluation of a nondeterministic
+    // condition changes results) and ANSI throw-safety (the fused gate
+    // runs on pairs the unfused order may never have evaluated it on).
+    // `spark.graft.grid.fuseResidual=false` is the measurement/escape
+    // lever (A/B'd in ScaleBench's j2_band_grid_unfused twin).
+    val fuseResidual = extraCondition.exists { c =>
+      scala.util.Try(left.sparkSession.conf
+          .get("spark.graft.grid.fuseResidual", "true").toBoolean).getOrElse(true) &&
+        PairCondition.fusionSafe(
+          left.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+          c, left.schema, right.schema, ansiOn)
+    }
     val joined0 = l.join(r, joinCols)
     val conditioned = extraCondition.fold(joined0)(joined0.where)
       .where(GeoExpressions.refCellEnv(col(lenv), col(renv), cellDeg, radius) === col(cell))
-      .where(spatialRefine)
+      .where(if (fuseResidual)
+          graft.functions.GatedAndExpr.gatedAnd(extraCondition.get, spatialRefine)
+        else spatialRefine)
     val withDist = distanceCol.fold(conditioned)(name =>
       conditioned.withColumn(name, GeoExpressions.geodesicMeters(col(lw), col(rw))))
     // drop ekey ONLY when factoring engaged: when it didn't, a user

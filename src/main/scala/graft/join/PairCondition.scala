@@ -212,6 +212,29 @@ object PairCondition {
     }
 
   /**
+   * Whether an extra join condition may be FUSED as the gate of a
+   * [[graft.functions.GatedAnd]] around an expensive refine expression
+   * (round 14): fusing makes the condition run on every
+   * candidate-surviving pair where the unfused path's optimizer-chosen
+   * conjunct order might have evaluated it on fewer (behind the
+   * refine's short-circuit). Safe only when every conjunct is
+   * deterministic (a second per-pair evaluation of a nondeterministic
+   * condition changes results) and, under ANSI mode, statically
+   * throw-free (the eager-evaluation regression class of equiKeys: a
+   * throwing conjunct on a pair the unfused order never evaluated it
+   * on would fail the whole query). Unresolvable conditions are
+   * conservatively unsafe.
+   */
+  def fusionSafe(spark: SparkSession, cond: org.apache.spark.sql.Column,
+      leftSchema: StructType, rightSchema: StructType,
+      ansiOn: Boolean): Boolean =
+    splitAnalyzed(spark, cond, leftSchema, rightSchema) match {
+      case None => false
+      case Some((cs, _, _)) =>
+        cs.forall(e => e.deterministic && (!ansiOn || neverThrows(e)))
+    }
+
+  /**
    * Conservative static throw-safety: true only when evaluating `e`
    * can never throw on ANY input row, so callers may evaluate it
    * EAGERLY frame-wide under ANSI mode (the factoring regression

@@ -37,14 +37,27 @@ class DedupSkewSpec extends AnyFlatSpec with Matchers {
         when(col("id") < Cluster, lit("the same boilerplate page text"))
           .otherwise(concat(lit("unique "), col("id"))).as("text"))
 
-  /** Runs `body` while recording the max shuffle-read record count any
-    * single task sees. */
+  /** Runs `body` under a unique job group while recording the max
+    * shuffle-read record count any single task OF THIS BODY'S JOBS
+    * sees. Scoping by job group (job-start events carry the group;
+    * AQE stage jobs inherit it via SQLExecution's thread-local
+    * capture) keeps the metric immune to tasks from any other work on
+    * the shared test session — the saturated-host pollution class the
+    * r13 full run flaked on once (r14, VERDICT directive 8). The
+    * listener bus delivers job-start before that job's task-end
+    * events, so the stage filter is always populated in time. */
   private def maxTaskShuffleRecords(body: => Unit): Long = {
+    val group = s"dedup-skew-${java.util.UUID.randomUUID()}"
+    val stages = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
     val max = new AtomicLong(0L)
     val listener = new SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            group == j.properties.getProperty("spark.jobGroup.id"))
+          j.stageInfos.foreach(si => stages.add(si.stageId))
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) {
+        if (m != null && stages.contains(t.stageId)) {
           val r = m.shuffleReadMetrics.recordsRead
           var cur = max.get()
           while (r > cur && !max.compareAndSet(cur, r)) cur = max.get()
@@ -53,7 +66,8 @@ class DedupSkewSpec extends AnyFlatSpec with Matchers {
     }
     spark.sparkContext.addSparkListener(listener)
     try {
-      body
+      spark.sparkContext.setJobGroup(group, "dedup skew probe")
+      try body finally spark.sparkContext.clearJobGroup()
       ListenerBridge.drain(spark.sparkContext)
       max.get()
     } finally spark.sparkContext.removeSparkListener(listener)
@@ -103,6 +117,9 @@ class DedupSkewSpec extends AnyFlatSpec with Matchers {
     // row per digest per map task) and AQE splits the join's hot
     // partition into mapper-range chunks
     withClue(s"max single-task shuffle-read records = $maxRecords: ") {
+      // lower bound keeps the group-scoped metric honest: a hash agg +
+      // join MUST shuffle, so 0 would mean the listener missed our jobs
+      maxRecords should be > 0L
       maxRecords should be < (Cluster / 4)
     }
     // and the executed plan records the skew split engaging
@@ -141,6 +158,7 @@ class DedupSkewSpec extends AnyFlatSpec with Matchers {
     // no join back at all on this shape — partial aggregation alone
     // bounds every task far below the cluster size
     withClue(s"max single-task shuffle-read records = $maxRecords: ") {
+      maxRecords should be > 0L
       maxRecords should be < (Cluster / 4)
     }
   }
