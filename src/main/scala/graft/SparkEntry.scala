@@ -2548,6 +2548,23 @@ object SparkEntry {
           col("meta.duration_ms").as("duration_ms"))
     }),
 
+    // tolerant BMP header walk (round 14): three real-world layout
+    // variants (INFOHEADER+offset gap, V4 32bpp top-down BI_BITFIELDS,
+    // V5 24bpp) carrying IDENTICAL gradient pixels, proven through
+    // per-tile channel means — y-gradient catches row-direction bugs,
+    // x-gradient catches channel-order bugs, which meta-only checks
+    // (width/height) cannot; every 7th asset is raw text — no rows
+    "multimodal_bmp_variants" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val assets = bmpVariantAssets(docs)
+        .join(docs.select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, encode(col("text"), "UTF-8"))
+            .otherwise(col("content")).as("content"))
+      graft.multimodal.Multimodal.imageTileStats(assets, "doc_id", "content",
+        tileW = 2, tileH = 2, graft.multimodal.Multimodal.BmpCodec)
+    }),
+
     // per-tile image statistics (flat/blank-region screening): integer
     // channel means over a 4×2 tile grid of real decoded BMP pixels;
     // every 7th asset is raw text — no tiles, no rows
@@ -3032,6 +3049,54 @@ object SparkEntry {
                || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 85, 256)), 2, '0')
                || lpad(hex(pmod(doc_id * 7 + (bh - 1 - r) * 31 + x * 3 + 170, 256)), 2, '0')))""")))
       .select(col("doc_id"), unhex(col("hx")).as("content"))
+
+  /** Real-world BMP HEADER VARIANTS over identical logical pixels
+    * (round 14, the tolerant-walk gate for the image codec — the
+    * `wavShuffledAssets` pattern): 4×4 images whose pixel (x, y) is
+    * B = b0 + 9y, G = g0 + 7x, R = r0 with b0 = (doc_id·3)%128,
+    * g0 = (doc_id·5)%128, r0 = (doc_id·7)%256 (all channel values
+    * < 256 by construction, so the tile-mean oracle is one closed
+    * form). doc_id%3 rotates the layout:
+    *  - v0: BITMAPINFOHEADER (40), 24 bpp bottom-up BI_RGB with
+    *    bfOffBits = 58 — four gap bytes between header and pixels;
+    *  - v1: BITMAPV4HEADER (108), 32 bpp BGRA, TOP-DOWN (height −4),
+    *    BI_BITFIELDS with the canonical BGR(A) masks;
+    *  - v2: BITMAPV5HEADER (124), 24 bpp bottom-up BI_RGB.
+    * The y-gradient makes row DIRECTION observable in the tile means
+    * (a flipped decode swaps the ty = 0/1 rows) and the x-gradient
+    * makes channel order observable — meta-only checks would miss
+    * both. */
+  private def bmpVariantAssets(docs: DataFrame): DataFrame = {
+    val px24bu = expr(
+      """concat_ws('', transform(sequence(0, 3), r ->
+        |  concat_ws('', transform(sequence(0, 3), x ->
+        |    lpad(hex(b0 + 9*(3 - r)), 2, '0') || lpad(hex(g0 + 7*x), 2, '0') ||
+        |    lpad(hex(r0), 2, '0')))))""".stripMargin)
+    val px32td = expr(
+      """concat_ws('', transform(sequence(0, 3), r ->
+        |  concat_ws('', transform(sequence(0, 3), x ->
+        |    lpad(hex(b0 + 9*r), 2, '0') || lpad(hex(g0 + 7*x), 2, '0') ||
+        |    lpad(hex(r0), 2, '0') || 'FF'))))""".stripMargin)
+    val h40 = "424D" + "6A000000" + "00000000" + "3A000000" + "28000000" +
+      "04000000" + "04000000" + "0100" + "1800" + "00000000" + "30000000" +
+      "130B0000" + "130B0000" + "00000000" + "00000000" + "DEADBEEF"
+    val h108 = "424D" + "BA000000" + "00000000" + "7A000000" + "6C000000" +
+      "04000000" + "FCFFFFFF" + "0100" + "2000" + "03000000" + "40000000" +
+      "130B0000" + "130B0000" + "00000000" + "00000000" +
+      "0000FF00" + "00FF0000" + "FF000000" + "000000FF" + ("00" * 52)
+    val h124 = "424D" + "BA000000" + "00000000" + "8A000000" + "7C000000" +
+      "04000000" + "04000000" + "0100" + "1800" + "00000000" + "30000000" +
+      "130B0000" + "130B0000" + "00000000" + "00000000" + ("00" * 84)
+    docs.select(col("doc_id"))
+      .withColumn("b0", pmod(col("doc_id") * 3, lit(128)).cast("int"))
+      .withColumn("g0", pmod(col("doc_id") * 5, lit(128)).cast("int"))
+      .withColumn("r0", pmod(col("doc_id") * 7, lit(256)).cast("int"))
+      .withColumn("hx",
+        when(pmod(col("doc_id"), lit(3)) === 0, concat(lit(h40), px24bu))
+          .when(pmod(col("doc_id"), lit(3)) === 1, concat(lit(h108), px32td))
+          .otherwise(concat(lit(h124), px24bu)))
+      .select(col("doc_id"), unhex(col("hx")).as("content"))
+  }
 
   /** Deterministic real-AVI assets for the `multimodal_video_*` gates:
     * one canonical MJPEG-in-AVI container per document — nf = 2 +
@@ -6215,6 +6280,26 @@ object SparkEntry {
          |  CASE WHEN d.doc_id % 7 = 0 THEN NULL
          |       ELSE CAST((n2 * 1000) // r2 AS BIGINT) END duration_ms
          |FROM documents d JOIN hx2 ON d.doc_id = hx2.doc_id""".stripMargin,
+
+    // tolerant-BMP-walk oracle (round 14): the three header variants
+    // carry identical logical pixels B = b0+9y, G = g0+7x, R = r0, so
+    // the 2×2 tile means are ONE closed form independent of the
+    // variant — mean_b = b0 + 18·ty + 4 (Σ over 4 px of b0+9y with
+    // y ∈ {2ty, 2ty+1} twice = 4·b0 + 72·ty + 18, floor-div 4),
+    // mean_g = g0 + 14·tx + 3, mean_r = r0; every 7th doc is raw
+    // text — no rows
+    "multimodal_bmp_variants" ->
+      """WITH t AS (SELECT doc_id, (doc_id*3) % 128 b0, (doc_id*5) % 128 g0,
+        |                  (doc_id*7) % 256 r0
+        |           FROM documents WHERE doc_id % 7 <> 0),
+        |g AS (SELECT * FROM (VALUES (0,0),(1,0),(0,1),(1,1)) v(tx, ty))
+        |SELECT t.doc_id asset_id,
+        |  CAST(g.tx AS INTEGER) tile_x, CAST(g.ty AS INTEGER) tile_y,
+        |  CAST(4 AS INTEGER) n_px,
+        |  CAST(t.b0 + 18*g.ty + 4 AS BIGINT) mean_b,
+        |  CAST(t.g0 + 14*g.tx + 3 AS BIGINT) mean_g,
+        |  CAST(t.r0 AS BIGINT) mean_r
+        |FROM t, g""".stripMargin,
 
     // pixels replayed from the BMP asset arithmetic (top-down y — the
     // decoder un-flips the bottom-up rows), 4×2 tiles, floor means

@@ -241,9 +241,12 @@ object Multimodal {
    * per JDK but not SQL-replayable); [[StubCodec]] remains the JNI
    * contract anchor.
    *
-   *  - `decode`: parses 'BM' magic + BITMAPINFOHEADER; only the exact
-   *    shape it writes (24 bpp, BI_RGB, positive height) decodes as
-   *    `image` — anything else is `unknown`, per the totality contract.
+   *  - `decode`: parses 'BM' magic + BITMAPINFOHEADER or its V2-V5
+   *    extensions — 24/32 bpp, BI_RGB or canonical-mask BI_BITFIELDS,
+   *    bottom-up or top-down (negative height), bfOffBits honored
+   *    (round-14 tolerant walk) — anything outside that whitelist
+   *    (paletted, RLE, CORE header, exotic masks) is `unknown`, per
+   *    the totality contract.
    *  - `resizeImage`: nearest-neighbor resample
    *    (`src = floor(dst · srcDim / dstDim)`, pure integer) re-encoded
    *    through [[BmpCodec.encode]]'s canonical header — corrupt or
@@ -259,22 +262,59 @@ object Multimodal {
       b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
       b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
     }
-    private def rowBytes(w: Int): Int = (w * 3 + 3) & ~3
+    private def rowBytes(w: Int, bypp: Int = 3): Int = (w * bypp + 3) & ~3
 
-    /** (width, height, dataOffset) when the payload is a decodable
-      * bottom-up 24-bit BI_RGB BMP with all pixel rows present. */
-    private def parse(b: Array[Byte]): Option[(Int, Int, Int)] = {
+    /** Decoded layout `(width, height, dataOffset, bytesPerPixel,
+      * topDown)` — the tolerant walk (round 14, the WAV/MP4 lesson
+      * applied to the last canonical-only codec): real corpora ship
+      * BITMAPV2-V5 headers (biSize 52/56/108/124 — Windows clipboard
+      * and screenshot writers emit V5), TOP-DOWN rows (negative
+      * height, the video-pipeline convention), 32 bpp BGRA, and
+      * BI_BITFIELDS whose masks are just the canonical BGR layout
+      * spelled out — all of which previously degraded to `unknown`
+      * pass-through. Whitelist totality holds: paletted/RLE/CORE
+      * headers and exotic masks still return None. `bfOffBits` is
+      * honored (gap bytes between header and pixels are real-world
+      * normal) and every pixel row must be present. */
+    private def parse(b: Array[Byte]): Option[(Int, Int, Int, Int, Boolean)] = {
       if (b == null || b.length < 54 || b(0) != 'B'.toByte || b(1) != 'M'.toByte) return None
-      if (u32(b, 14) != 40L) return None            // BITMAPINFOHEADER only
-      val w = u32(b, 18); val h = u32(b, 22)
-      if (w <= 0 || w > (1 << 20) || h <= 0 || h > (1 << 20)) return None
-      if (u16(b, 26) != 1 || u16(b, 28) != 24) return None
-      if (u32(b, 30) != 0L) return None             // BI_RGB
+      val biSize = u32(b, 14)
+      // BITMAPINFOHEADER + V2/V3/V4/V5 sizes; BITMAPCOREHEADER (12) has
+      // a different field layout entirely — unknown
+      if (biSize != 40L && biSize != 52L && biSize != 56L &&
+          biSize != 108L && biSize != 124L) return None
+      val w = u32(b, 18)
+      val hRaw = u32(b, 22).toInt // signed read: negative = top-down
+      val topDown = hRaw < 0
+      val hL = math.abs(hRaw.toLong)
+      if (w <= 0 || w > (1 << 20) || hL <= 0 || hL > (1 << 20)) return None
+      if (u16(b, 26) != 1) return None
+      val bpp = u16(b, 28)
+      if (bpp != 24 && bpp != 32) return None
+      val bypp = bpp / 8
+      val comp = u32(b, 30)
+      val maskBytes = comp match {
+        case 0L => 0 // BI_RGB
+        case 3L =>
+          // BI_BITFIELDS decodes ONLY when the masks spell the
+          // canonical BGR(A) byte layout (R 0xFF0000 / G 0xFF00 /
+          // B 0xFF) — identical memory order to BI_RGB, so the pixel
+          // path needs no mask arithmetic; channel-swapped or packed
+          // (565) masks stay unknown. For biSize 40/52/56 the three
+          // masks FOLLOW the header; for V4/V5 they live inside it —
+          // absolute offsets 54/58/62 either way (header starts at 14).
+          if (b.length < 66) return None
+          if (u32(b, 54) != 0xFF0000L || u32(b, 58) != 0xFF00L ||
+              u32(b, 62) != 0xFFL) return None
+          if (biSize <= 56L) 12 else 0
+        case _ => return None // RLE4/RLE8/JPEG/PNG embeddings
+      }
       val off = u32(b, 10)
-      if (off < 54 || off > Int.MaxValue) return None
-      val need = off + rowBytes(w.toInt).toLong * h
+      if (off < 14 + biSize + maskBytes || off > Int.MaxValue) return None
+      val h = hL.toInt
+      val need = off + rowBytes(w.toInt, bypp).toLong * h
       if (need > b.length) return None
-      Some((w.toInt, h.toInt, off.toInt))
+      Some((w.toInt, h, off.toInt, bypp, topDown))
     }
 
     /** Canonical encoder: 54-byte header (data offset 54, 2835 ppm),
@@ -307,25 +347,30 @@ object Multimodal {
     }
 
     def decode(content: Array[Byte]): Row = parse(content) match {
-      case Some((w, h, _)) => Row("image", w, h, null, null, null, null)
+      case Some((w, h, _, _, _)) => Row("image", w, h, null, null, null, null)
       case None => Row("unknown", null, null, null, null, null, null)
     }
 
     override def imageBgr(content: Array[Byte]): ImagePixels =
       parse(content) match {
         case None => null
-        case Some((w, h, off)) =>
-          val rb = rowBytes(w)
+        case Some((w, h, off, bypp, topDown)) =>
+          val rb = rowBytes(w, bypp)
           val out = new Array[Byte](w * h * 3)
           var y = 0
           while (y < h) {
-            val src = off + (h - 1 - y) * rb // un-flip bottom-up rows
+            // bottom-up files store image row y at file row h-1-y;
+            // top-down files store rows in image order. 32 bpp rows are
+            // BGRA — the alpha byte is simply skipped (BGR prefix is
+            // byte-identical to the 24 bpp layout)
+            val src = off + (if (topDown) y else h - 1 - y) * rb
             var x = 0
             while (x < w) {
+              val s = src + x * bypp
               val d = (y * w + x) * 3
-              out(d) = content(src + x * 3)
-              out(d + 1) = content(src + x * 3 + 1)
-              out(d + 2) = content(src + x * 3 + 2)
+              out(d) = content(s)
+              out(d + 1) = content(s + 1)
+              out(d + 2) = content(s + 2)
               x += 1
             }
             y += 1
@@ -336,11 +381,14 @@ object Multimodal {
     def resizeImage(content: Array[Byte], w2: Int, h2: Int): Array[Byte] =
       parse(content) match {
         case None => if (content == null) null else content.clone()
-        case Some((w, h, off)) =>
-          val rb = rowBytes(w)
+        case Some((w, h, off, bypp, topDown)) =>
+          val rb = rowBytes(w, bypp)
+          // re-encode is CANONICAL (24 bpp bottom-up, offset 54) —
+          // resize normalizes variant headers, like downsampleAudio
+          // re-emits the canonical WAV layout
           encode(w2, h2, (x2, y2) => {
             val sx = x2 * w / w2; val sy = y2 * h / h2
-            val o = off + (h - 1 - sy) * rb + sx * 3
+            val o = off + (if (topDown) sy else h - 1 - sy) * rb + sx * bypp
             ((content(o + 2) & 0xff) << 16) | ((content(o + 1) & 0xff) << 8) |
               (content(o) & 0xff)
           })

@@ -1746,6 +1746,37 @@ object Drive {
         "(expect (video,320x240,durNull=true,frag=true))")
     }
 
+    println("=== 57. round-14: tolerant BMP header walk ===")
+    locally {
+      import graft.multimodal.Multimodal.BmpCodec
+      // V4 header, 32 bpp BGRA, TOP-DOWN, BI_BITFIELDS with canonical
+      // masks — must decode pixel-identically to the canonical 24 bpp
+      // bottom-up encoding of the same logical image
+      def le(v: Int, n: Int) = (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+      def pix(x: Int, y: Int) = ((x * 50) << 16) | ((y * 60) << 8) | (x + y * 3)
+      val (w, h) = (3, 2)
+      val canon = BmpCodec.encode(w, h, pix)
+      val hdr = "BM".getBytes ++ le(14 + 108 + w * h * 4, 4) ++ le(0, 4) ++ le(122, 4) ++
+        le(108, 4) ++ le(w, 4) ++ le(-h, 4) ++ le(1, 2) ++ le(32, 2) ++ le(3, 4) ++
+        le(w * h * 4, 4) ++ le(2835, 4) ++ le(2835, 4) ++ le(0, 4) ++ le(0, 4) ++
+        le(0xFF0000, 4) ++ le(0xFF00, 4) ++ le(0xFF, 4) ++ le(0xFF000000.toInt, 4) ++
+        new Array[Byte](52)
+      val pxTd = (0 until h).flatMap(y => (0 until w).flatMap { x =>
+        val p = pix(x, y)
+        Seq(p.toByte, (p >> 8).toByte, (p >> 16).toByte, 0xFF.toByte)
+      }).toArray
+      val v4 = hdr ++ pxTd
+      val m = BmpCodec.decode(v4)
+      val same = BmpCodec.imageBgr(v4).bgr.toSeq == BmpCodec.imageBgr(canon).bgr.toSeq
+      println(s"OK v4-topdown-32bpp bmp=(${m.getString(0)},${m.getInt(1)}x${m.getInt(2)}," +
+        s"pixelsMatchCanonical=$same) (expect (image,3x2,pixelsMatchCanonical=true))")
+      // swapped masks stay outside the whitelist
+      val swapped = v4.clone()
+      System.arraycopy(le(0xFF, 4), 0, swapped, 54, 4)
+      System.arraycopy(le(0xFF0000, 4), 0, swapped, 62, 4)
+      println(s"OK swapped-mask bmp=${BmpCodec.decode(swapped).getString(0)} (expect unknown)")
+    }
+
     spark.stop()
   }
 }

@@ -103,6 +103,93 @@ class BmpCodecSpec extends AnyFlatSpec with Matchers {
     got.size shouldBe 2 // non-image row emits nothing
   }
 
+  behavior of "BmpCodec tolerant header walk (round 14)"
+
+  private def put32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = v.toByte; b(o + 1) = (v >> 8).toByte
+    b(o + 2) = (v >> 16).toByte; b(o + 3) = (v >> 24).toByte
+  }
+
+  /** Same logical pixels as `encode(w, h, pixf)` under a real-world
+    * header variant: biSize 40-124, 24/32 bpp, bottom-up or top-down,
+    * BI_RGB or canonical-mask BI_BITFIELDS, optional gap bytes before
+    * the pixel data (bfOffBits > header end). */
+  private def variant(w: Int, h: Int, pixf: (Int, Int) => Int, biSize: Int,
+      bypp: Int, topDown: Boolean, comp: Int, gap: Int): Array[Byte] = {
+    val maskBytes = if (comp == 3 && biSize <= 56) 12 else 0
+    val off = 14 + biSize + maskBytes + gap
+    val rb = (w * bypp + 3) & ~3
+    val out = new Array[Byte](off + rb * h)
+    out(0) = 'B'.toByte; out(1) = 'M'.toByte
+    put32(out, 2, out.length); put32(out, 10, off); put32(out, 14, biSize)
+    put32(out, 18, w); put32(out, 22, if (topDown) -h else h)
+    out(26) = 1.toByte; out(28) = (bypp * 8).toByte; put32(out, 30, comp)
+    if (comp == 3) {
+      put32(out, 54, 0xFF0000); put32(out, 58, 0xFF00); put32(out, 62, 0xFF)
+    }
+    for (r <- 0 until h; x <- 0 until w) {
+      val y = if (topDown) r else h - 1 - r
+      val p = pixf(x, y); val o = off + r * rb + x * bypp
+      out(o) = p.toByte; out(o + 1) = (p >> 8).toByte; out(o + 2) = (p >> 16).toByte
+      if (bypp == 4) out(o + 3) = 0xFF.toByte
+    }
+    out
+  }
+
+  it should "decode V2-V5, 32bpp, top-down, bitfields, and offset gaps to identical pixels" in {
+    val canon = BmpCodec.imageBgr(BmpCodec.encode(5, 4, pix))
+    val variants = Seq(
+      "infoheader+gap" -> variant(5, 4, pix, 40, 3, topDown = false, comp = 0, gap = 4),
+      "v4 32bpp topdown bitfields" -> variant(5, 4, pix, 108, 4, topDown = true, comp = 3, gap = 0),
+      "v5 24bpp" -> variant(5, 4, pix, 124, 3, topDown = false, comp = 0, gap = 0),
+      "v2 topdown" -> variant(5, 4, pix, 52, 3, topDown = true, comp = 0, gap = 0),
+      "infoheader 32bpp appended masks" -> variant(5, 4, pix, 40, 4, topDown = false, comp = 3, gap = 0))
+    for ((name, v) <- variants) withClue(name) {
+      val m = BmpCodec.decode(v)
+      (m.getString(0), m.getInt(1), m.getInt(2)) shouldBe (("image", 5, 4))
+      BmpCodec.imageBgr(v).bgr.toSeq shouldBe canon.bgr.toSeq
+    }
+  }
+
+  it should "resize variant layouts through the canonical re-encoder" in {
+    val fromCanon = BmpCodec.resizeImage(BmpCodec.encode(8, 6, pix), 4, 4)
+    val fromV4 = BmpCodec.resizeImage(
+      variant(8, 6, pix, 108, 4, topDown = true, comp = 3, gap = 0), 4, 4)
+    fromV4.toSeq shouldBe fromCanon.toSeq // byte-identical canonical output
+  }
+
+  it should "stay unknown outside the whitelist (swapped masks, paletted, RLE, CORE)" in {
+    // channel-swapped masks (RGB memory order instead of BGR)
+    val swapped = variant(5, 4, pix, 108, 4, topDown = false, comp = 3, gap = 0)
+    put32(swapped, 54, 0xFF); put32(swapped, 62, 0xFF0000)
+    BmpCodec.decode(swapped).getString(0) shouldBe "unknown"
+    // 8-bpp paletted
+    val pal = variant(5, 4, pix, 40, 3, topDown = false, comp = 0, gap = 0)
+    pal(28) = 8.toByte
+    BmpCodec.decode(pal).getString(0) shouldBe "unknown"
+    // RLE8 compression
+    val rle = variant(5, 4, pix, 40, 3, topDown = false, comp = 0, gap = 0)
+    put32(rle, 30, 1)
+    BmpCodec.decode(rle).getString(0) shouldBe "unknown"
+    // BITMAPCOREHEADER (different field layout entirely)
+    val core = variant(5, 4, pix, 40, 3, topDown = false, comp = 0, gap = 0)
+    put32(core, 14, 12)
+    BmpCodec.decode(core).getString(0) shouldBe "unknown"
+    // bfOffBits inside the V5 header
+    val badOff = variant(5, 4, pix, 124, 3, topDown = false, comp = 0, gap = 0)
+    put32(badOff, 10, 60)
+    BmpCodec.decode(badOff).getString(0) shouldBe "unknown"
+  }
+
+  it should "agree with javax.imageio on the gap variant" in {
+    val v = variant(5, 3, pix, 40, 3, topDown = false, comp = 0, gap = 8)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(v))
+    img should not be null
+    img.getWidth shouldBe 5
+    for (y <- 0 until 3; x <- 0 until 5)
+      (img.getRGB(x, y) & 0xffffff) shouldBe pix(x, y)
+  }
+
   it should "agree with javax.imageio on its own output" in {
     // the JDK reads BMP: cross-validate dimensions and pixel content
     val bmp = BmpCodec.encode(5, 3, pix)
