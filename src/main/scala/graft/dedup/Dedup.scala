@@ -490,8 +490,9 @@ object Dedup {
       tau: Double): DataFrame = {
     require(tau >= -1.0 && tau <= 1.0, s"tau must be in [-1, 1], got $tau")
     import graft.similarity.Similarity
-    val c = corpus
-      .select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v"))
+    // spread: no-op at real scale, parallelizes under-split inputs (r14)
+    val c = graft.toolbox.Partitions.spreadCompute(corpus
+      .select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("nrm", Similarity.l2norm(col("v")))
     val b = broadcast(bench
       .select(col(benchIdCol).as("bid"),
@@ -917,8 +918,13 @@ object Dedup {
   def embeddingPairs(
       df: DataFrame, idCol: String, vecCol: String, tau: Double): DataFrame = {
     import graft.similarity.Similarity
-    val v = df.select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v"))
-      .repartition(col("doc"))
+    // spread instead of a keyed repartition: the old repartition(doc)
+    // was AQE-coalescible to ONE partition (bytes ≪ advisory), which
+    // serialized the O(N²) pair scan on a single task; spreadCompute is
+    // a no-op on real multi-split tables and never keys the exchange
+    // (the pair scan needs parallelism, not co-location) — r14
+    val v = graft.toolbox.Partitions.spreadCompute(
+      df.select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("nrm", Similarity.l2norm(col("v")))
     val a = v.select(col("doc").as("doc_i"), col("v").as("va"), col("nrm").as("na"))
     val b = v.select(col("doc").as("doc_j"), col("v").as("vb"), col("nrm").as("nb"))
@@ -955,8 +961,9 @@ object Dedup {
       df: DataFrame, idCol: String, vecCol: String, tau: Double,
       planes: Int = 10, tables: Int = 8): DataFrame = {
     import graft.similarity.Similarity
-    val v = df.select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v"))
-      .repartition(col("doc"))
+    // spread, not keyed-repartition: see embeddingPairs (r14)
+    val v = graft.toolbox.Partitions.spreadCompute(
+      df.select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("nrm", Similarity.l2norm(col("v")))
     val bands = v.select(col("doc"),
       posexplode(Similarity.simhashBuckets(col("v"), planes, tables)))
@@ -1008,8 +1015,9 @@ object Dedup {
     require(k >= 1, s"cell count k must be >= 1, got $k")
     require(tau >= -1.0 && tau <= 1.0, s"tau must be in [-1, 1], got $tau")
     import graft.similarity.Similarity
-    val e = df.select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v"))
-      .repartition(col("doc"))
+    // spread, not keyed-repartition: see embeddingPairs (r14)
+    val e = graft.toolbox.Partitions.spreadCompute(
+      df.select(col(idCol).as("doc"), col(vecCol).cast("array<double>").as("v")))
       .withColumn("nrm", Similarity.l2norm(col("v")))
     val seeds = broadcast(
       e.select(col("doc").as("sid"), col("v").as("sv"), col("nrm").as("snrm"),

@@ -63,12 +63,15 @@ object LabelProp {
       s"node ${dup.headOption.map(_.get(0)).getOrElse("")} has multiple seed labels")
     // labels carry the clamp column so each round is one join:
     // (node, slabel, label)
+    // no trailing repartition: the distinct already hash-partitions by
+    // node and the seed join preserves it — an explicit repartition here
+    // added one redundant Exchange (the PageRank.iterate lesson, r14;
+    // node stays uniform as labels converge, unlike clusterPairs' comp)
     var labels = materialize(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct()
         .join(sd, col("node") === col("snode"), "left")
-        .select(col("node"), col("slabel"), col("slabel").as("label"))
-        .repartition(col("node")))
+        .select(col("node"), col("slabel"), col("slabel").as("label")))
     var r = 0
     while (r < rounds) {
       // majority vote among labeled in-neighbors: integer counts,
@@ -82,11 +85,12 @@ object LabelProp {
         .agg(min(struct((lit(0L) - col("__c")).as("nc"), col("label").as("l")))
           .as("__best"))
         .select(col("dst"), col("__best.l").as("__vote"))
+      // the left join already requires (and leaves) hash(node)
+      // partitioning — no per-round repartition (r14, see init above)
       labels = materialize(
         labels.join(votes, col("node") === col("dst"), "left")
           .select(col("node"), col("slabel"),
-            coalesce(col("slabel"), col("__vote"), col("label")).as("label"))
-          .repartition(col("node")))
+            coalesce(col("slabel"), col("__vote"), col("label")).as("label")))
       r += 1
     }
     labels.where(col("label").isNotNull).select(col("node"), col("label"))

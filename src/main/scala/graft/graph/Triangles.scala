@@ -30,23 +30,46 @@ object Triangles {
   /** Per-node triangle membership counts. `pairs` rows are undirected
     * (iCol, jCol) edges in any orientation; duplicates, self-loops and
     * null endpoints are dropped. Output: (node, tri_cnt) for every node
-    * in at least one triangle; Σ tri_cnt = 3 · #triangles. */
-  def perNode(pairs: DataFrame, iCol: String, jCol: String): DataFrame = {
-    val tri = triangles(pairs, iCol, jCol)
-    tri.select(col("a").as("node"))
-      .unionByName(tri.select(col("b").as("node")))
-      .unionByName(tri.select(col("c").as("node")))
+    * in at least one triangle; Σ tri_cnt = 3 · #triangles.
+    *
+    * r14: the three corners are exploded in ONE pass over the triangle
+    * list — the previous 3-way union re-planned (and re-executed) the
+    * whole closing join per corner. Same node multiset, same counts. */
+  def perNode(pairs: DataFrame, iCol: String, jCol: String,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame =
+    perNodeCanon(materialize(canonical(pairs, iCol, jCol)), materialize)
+
+  private def perNodeCanon(canon: DataFrame,
+      materialize: DataFrame => DataFrame): DataFrame =
+    trianglesCanon(canon, materialize)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("tri_cnt"))
-  }
 
   /** The distinct triangle list (a, b, c), each exactly once, endpoints
-    * in ascending (degree, id) orientation order. */
-  def triangles(pairs: DataFrame, iCol: String, jCol: String): DataFrame = {
-    val canon = canonical(pairs, iCol, jCol)
+    * in ascending (degree, id) orientation order.
+    *
+    * r14 snapshot discipline: `canon` and `oriented` are each consumed
+    * by several joins below. Left lazy, Catalyst clones the whole
+    * upstream pair computation per consumer — and because predicate
+    * pushdown specializes each clone's null filters, the copies stop
+    * being canonically equal and ReuseExchange cannot dedupe them
+    * (measured: graph_triangles ran its O(N²) exact-cosine pair scan
+    * THREE times). One localCheckpoint per table makes every consumer
+    * read the same snapshot — the clusterPairs iteration discipline
+    * applied to a DAG-shaped (not iterative) plan. */
+  def triangles(pairs: DataFrame, iCol: String, jCol: String,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame =
+    trianglesCanon(materialize(canonical(pairs, iCol, jCol)), materialize)
+
+  /** [[triangles]] over an already-canonical, already-snapshotted edge
+    * list — shared so [[clusteringCoef]] never canonicalizes twice. */
+  private def trianglesCanon(canon: DataFrame,
+      materialize: DataFrame => DataFrame): DataFrame = {
     val deg = canon.select(col("u").as("n")).unionByName(canon.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    // orient toward the (degree, id)-larger endpoint
-    val oriented = canon
+    // orient toward the (degree, id)-larger endpoint; snapshotted —
+    // consumed three times below (e1, e2, the closing edge set)
+    val oriented = materialize(canon
       .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
       .select(
@@ -58,7 +81,7 @@ object Triangles {
           .otherwise(col("u")).as("t"),
         when(col("du") < col("dv") ||
           (col("du") === col("dv") && col("u") < col("v")), col("dv"))
-          .otherwise(col("du")).as("dt"))
+          .otherwise(col("du")).as("dt")))
     // wedges from each source's out-list, ordered by (degree, id) so
     // each unordered out-pair appears once; the closing edge (b → c)
     // is oriented exactly this way because ord(b) < ord(c)
@@ -81,13 +104,17 @@ object Triangles {
     * deg < 2 score 0 by definition. Output: (node, deg, tri_cnt,
     * coef_unit) for every node with at least one edge. */
   def clusteringCoef(pairs: DataFrame, iCol: String, jCol: String,
-      unit: Long = 1000000L): DataFrame = {
+      unit: Long = 1000000L,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
     require(unit >= 1, s"unit must be >= 1, got $unit")
-    val canon = canonical(pairs, iCol, jCol)
+    // ONE canonical snapshot feeds both the degree table and the
+    // triangle count — the old path canonicalized (and re-ran the
+    // upstream pair computation) twice, once per consumer (r14)
+    val canon = materialize(canonical(pairs, iCol, jCol))
     val deg = canon.select(col("u").as("node"))
       .unionByName(canon.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
-    deg.join(perNode(canon, "u", "v"), Seq("node"), "left")
+    deg.join(perNodeCanon(canon, materialize), Seq("node"), "left")
       .select(col("node"), col("deg"),
         coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
       .withColumn("coef_unit",

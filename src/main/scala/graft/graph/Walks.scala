@@ -47,13 +47,21 @@ object Walks {
       .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
-    val adj = materialize(e
-      .withColumn("idx", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("src")).orderBy(col("dst"))) - 1)
-      .repartition(col("src")))
-    val deg = materialize(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val starts = deg.select(col("src").as("start"))
+    // adjacency LIST: one row per source, out-neighbors ascending.
+    // The step becomes one slim equi-join on the node id plus an O(1)
+    // element_at — the previous edge-row layout joined on the key PAIR
+    // (src, idx), which re-shuffled the whole O(E) adjacency snapshot
+    // every step; this snapshot shuffles once and each step moves only
+    // the O(walks) state rows (r14). Neighbor index = ascending-dst
+    // rank, exactly the old row_number()-1 ordering, so the walks are
+    // bit-identical. deg = cardinality(nbrs) replaces the separate
+    // degree table (one snapshot instead of two). Hub caveat: a node's
+    // neighbors become ONE array row (memory ∝ max degree, like the
+    // old window's per-key run); cap or pre-split celebrity nodes
+    // upstream for power-law graphs.
+    val adj = materialize(e.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nbrs")))
+    val starts = adj.select(col("src").as("start"))
     var state = materialize(
       starts
         .crossJoin(spark(starts).range(walksPerNode).toDF("j"))
@@ -65,16 +73,15 @@ object Walks {
     while (t <= steps) {
       val h = Md5Lower64.md5Lower64(
         concat(col("walk_id"), lit(":"), lit(t), lit(":"), col("node")))
-      val hashed = state
-        .join(deg, col("node") === col("src"))
-        .select(col("walk_id"), col("start"), col("node"),
-          pmod(h, lit(4294967296L)).as("__h32"), col("deg"))
-        .select(col("walk_id"), col("start"), col("node"),
-          expr("(__h32 * deg) div 4294967296L").as("__i"))
-        .withColumn("step", lit(t))
-      state = materialize(hashed
-        .join(adj, hashed("node") === adj("src") && col("__i") === col("idx"))
-        .select(col("walk_id"), col("start"), col("dst").as("node"), col("step")))
+      state = materialize(state
+        .join(adj, state("node") === adj("src"))
+        .select(col("walk_id"), col("start"),
+          pmod(h, lit(4294967296L)).as("__h32"), col("nbrs"))
+        .select(col("walk_id"), col("start"),
+          element_at(col("nbrs"), (expr(
+            "(__h32 * cardinality(nbrs)) div 4294967296L") + 1L).cast("int"))
+            .as("node"),
+          lit(t).as("step")))
       out += state
       t += 1
     }

@@ -105,8 +105,9 @@ object BinaryQuantizer {
       idCol: String, vecCol: String, k: Int,
       p: BinaryParams, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val c = candidates
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    // spread: no-op at real scale, parallelizes under-split inputs (r14)
+    val c = graft.toolbox.Partitions.spreadCompute(candidates
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv")))
       .withColumn("cn", Similarity.l2norm(col("cv")))
     // the stored artifact: one bigint per 64 dims; encode is map-only
     val codes = c.select(col("cid"), encodeCol(p, col("cv")).as("cb"))

@@ -51,8 +51,9 @@ object IvfPq {
     val cents = Similarity.centroidArray(centroids, vecCol)
     require(cents.nonEmpty, "need at least one centroid")
 
-    val c = candidates
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    // spread: no-op at real scale, parallelizes under-split inputs (r14)
+    val c = graft.toolbox.Partitions.spreadCompute(candidates
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv")))
       .withColumn("cn", Similarity.l2norm(col("cv")))
     // the stored artifact at scale: (cid, cell, codes) — computed once
     val coded = c.select(col("cid"),

@@ -111,8 +111,9 @@ object ProductQuantizer {
       }
     })
     if (first.length == 1 && iters > 0) return cb // degenerate: one vector
-    val unit = candidates
-      .select(col(vecCol).cast("array<double>").as("__v"))
+    // spread: no-op at real scale, parallelizes under-split inputs (r14)
+    val unit = graft.toolbox.Partitions.spreadCompute(
+      candidates.select(col(vecCol).cast("array<double>").as("__v")))
       .withColumn("__n", Similarity.l2norm(col("__v")))
       .where(col("__n") > 0)
       .select(transform(col("__v"), x => x / col("__n")).as("__v"))
@@ -155,8 +156,9 @@ object ProductQuantizer {
       idCol: String, vecCol: String, k: Int,
       cb: Codebooks, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val c = candidates
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    // spread: no-op at real scale, parallelizes under-split inputs (r14)
+    val c = graft.toolbox.Partitions.spreadCompute(candidates
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv")))
       .withColumn("cn", Similarity.l2norm(col("cv")))
     // codes computed once per candidate (at scale: precomputed + persisted)
     val codes = c.select(col("cid"), encodeCol(cb, unitCol(col("cv"))).as("codes"))

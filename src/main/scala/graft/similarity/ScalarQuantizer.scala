@@ -95,8 +95,9 @@ object ScalarQuantizer {
       idCol: String, vecCol: String, k: Int,
       p: Int8Params, shortlist: Int): DataFrame = {
     require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
-    val c = candidates
-      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    // spread: no-op at real scale, parallelizes under-split inputs (r14)
+    val c = graft.toolbox.Partitions.spreadCompute(candidates
+      .select(col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv")))
       .withColumn("cn", Similarity.l2norm(col("cv")))
     // the stored artifact: codes only; decode is a map-only transform
     val dec = c.select(col("cid"), decodeCol(p, encodeCol(p, col("cv"))).as("dv"))

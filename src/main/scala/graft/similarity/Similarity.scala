@@ -84,13 +84,14 @@ object Similarity {
     val q = queries.select(
       col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qv"))
       .withColumn("qn", l2norm(col("qv")))
-    // NO candidate repartition: the scan's own partitioning carries the
-    // scoring parallelism (a real table arrives in ~maxPartitionBytes
-    // splits); a keyed repartition here would shuffle every candidate
-    // VECTOR once — the exact ∝N exchange this operator promises not to
-    // have. Tiny single-split inputs can pre-repartition at the caller.
-    val c = candidates.select(
-      col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    // the scan's own partitioning carries the scoring parallelism at
+    // real scale (a 100 TB table arrives in ≥cores splits, and
+    // spreadCompute is a structural no-op — no ∝N candidate exchange);
+    // an under-split input would otherwise serialize the whole Q·N dot
+    // scan onto one task (r14, measured single 3-4 s tasks at bench SF)
+    val c = graft.toolbox.Partitions.spreadCompute(
+      candidates.select(
+        col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv")))
       .withColumn("cn", l2norm(col("cv")))
     scoreAndRank(c.crossJoin(broadcast(q)), k)
   }
@@ -240,7 +241,10 @@ object Similarity {
           posexplode(simhashBuckets(col(vec), planes, tables)))
         .withColumnsRenamed(Map("pos" -> "tbl", "col" -> "bucket"))
     val q = bucketed(queries, "qid", "qv", "qn")
-    val c = bucketed(candidates, "cid", "cv", "cn")
+    // spread the candidate scan for the per-collision dot products —
+    // no-op at real scale, parallelizes under-split inputs (r14)
+    val c = bucketed(
+      graft.toolbox.Partitions.spreadCompute(candidates), "cid", "cv", "cn")
     // score per collision, then dedup on SLIM (qid, cid, cos) rows: a
     // pair colliding in m of the `tables` hash tables pays m dot
     // products, but the dedup shuffle stays 3 scalars wide. The
@@ -336,9 +340,10 @@ object Similarity {
     if (cents.nonEmpty) {
       // train on unit vectors: cosine assignment == dot with normalized
       // centroids; the mean of a cell's unit vectors, renormalized, is
-      // the spherical-k-means update
-      val unit = candidates
-        .select(col(vecCol).cast("array<double>").as("__v"))
+      // the spherical-k-means update. spread: no-op at real scale,
+      // parallelizes under-split inputs (r14)
+      val unit = graft.toolbox.Partitions.spreadCompute(
+        candidates.select(col(vecCol).cast("array<double>").as("__v")))
         .withColumn("__n", l2norm(col("__v")))
         .where(col("__n") > 0)
         .select(transform(col("__v"), x => x / col("__n")).as("__v"))
@@ -413,8 +418,10 @@ object Similarity {
       slice(reverse(array_sort(array(ivfCentScores(cents)(vec): _*))), 1, math.max(1, nprobe))
         .getField("cell")
 
-    val c = candidates.select(
-      col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv"))
+    // spread: no-op at real scale, parallelizes under-split inputs (r14)
+    val c = graft.toolbox.Partitions.spreadCompute(
+      candidates.select(
+        col(idCol).as("cid"), col(vecCol).cast("array<double>").as("cv")))
       .withColumn("cn", l2norm(col("cv")))
       .withColumn("__cell", nearestCell(col("cv")))
     val q = queries.select(
