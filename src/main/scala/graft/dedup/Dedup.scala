@@ -151,7 +151,12 @@ object Dedup {
     df.select(col(idCol).as("doc"), col(textCol).as("txt"))
       // spread docs across the cluster before the expensive fan-out stages:
       // a small input file would otherwise pin explode/join work to its few
-      // scan partitions (shuffles only (id, text) pairs)
+      // scan partitions (shuffles only (id, text) pairs). Kept as the keyed
+      // repartition after an r14 A/B: swapping it for the pair kernels'
+      // spreadCompute (round-robin, AQE-uncoalescible) measured NET WORSE
+      // across the shingle family (×1.08 — the round-robin pre-sort plus
+      // pinned 32-task stages cost more than parallel shingling saves at
+      // this per-row weight; the vector kernels' per-row work is heavier)
       .repartition(col("doc"))
       // codegen'd native expression — the composed higher-order built-ins
       // run interpreted and cost ~10x more (see graft.functions.WordShingles)
@@ -232,9 +237,12 @@ object Dedup {
    */
   def jaccardPairsPrefix(
       df: DataFrame, idCol: String, textCol: String,
-      tau: Double, n: Int = 3): DataFrame = {
+      tau: Double, n: Int = 3,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"tau must be in (0, 1], got $tau")
-    val sh = shingled(df, idCol, textCol, n).where(size(col("sh")) > 0)
+    // snapshot: consumed by the inverted index (twice — dfreq + prefix)
+    // and both verify sides; see minhashPairs (r14)
+    val sh = materialize(shingled(df, idCol, textCol, n).where(size(col("sh")) > 0))
     val inv = sh.select(col("doc"), explode(col("sh")).as("s"))
     // global shingle document frequencies: map-side-combined agg, slim rows
     val dfreq = inv.groupBy("s").agg(count(lit(1)).as("df"))
@@ -668,9 +676,14 @@ object Dedup {
    */
   def minhashPairs(
       df: DataFrame, idCol: String, textCol: String, tau: Double,
-      n: Int = 3, numHashes: Int = 32, bandRows: Int = 2): DataFrame = {
+      n: Int = 3, numHashes: Int = 32, bandRows: Int = 2,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
     require(numHashes % bandRows == 0, "numHashes must be a multiple of bandRows")
-    val sh = shingled(df, idCol, textCol, n).where(size(col("sh")) > 0)
+    // snapshot: the shingle table feeds the band explode AND both sides
+    // of the verify join — left lazy, the tokenize+md5 shingling re-runs
+    // per consumer (the r14 Triangles lesson; trades one executor-disk
+    // copy of the shingle arrays for two full recomputes)
+    val sh = materialize(shingled(df, idCol, textCol, n).where(size(col("sh")) > 0))
     val bands = minhashBands(sh, numHashes, bandRows)
     val cands = bands.as("a")
       .join(bands.as("b"),

@@ -63,15 +63,16 @@ object LabelProp {
       s"node ${dup.headOption.map(_.get(0)).getOrElse("")} has multiple seed labels")
     // labels carry the clamp column so each round is one join:
     // (node, slabel, label)
-    // no trailing repartition: the distinct already hash-partitions by
-    // node and the seed join preserves it — an explicit repartition here
-    // added one redundant Exchange (the PageRank.iterate lesson, r14;
-    // node stays uniform as labels converge, unlike clusterPairs' comp)
+    // keep the trailing repartition: an r14 A/B removed it (the
+    // PageRank.iterate precedent) and measured WORSE (3.4 s → 4.4 s at
+    // bench SF) — without a pinned node key on the snapshot, the next
+    // round's join against the edge snapshot re-exchanges the BIG side
     var labels = materialize(
       e.select(col("src").as("node")).union(e.select(col("dst").as("node")))
         .distinct()
         .join(sd, col("node") === col("snode"), "left")
-        .select(col("node"), col("slabel"), col("slabel").as("label")))
+        .select(col("node"), col("slabel"), col("slabel").as("label"))
+        .repartition(col("node")))
     var r = 0
     while (r < rounds) {
       // majority vote among labeled in-neighbors: integer counts,
@@ -85,12 +86,12 @@ object LabelProp {
         .agg(min(struct((lit(0L) - col("__c")).as("nc"), col("label").as("l")))
           .as("__best"))
         .select(col("dst"), col("__best.l").as("__vote"))
-      // the left join already requires (and leaves) hash(node)
-      // partitioning — no per-round repartition (r14, see init above)
+      // per-round re-key kept deliberately — see the init comment (r14)
       labels = materialize(
         labels.join(votes, col("node") === col("dst"), "left")
           .select(col("node"), col("slabel"),
-            coalesce(col("slabel"), col("__vote"), col("label")).as("label")))
+            coalesce(col("slabel"), col("__vote"), col("label")).as("label"))
+          .repartition(col("node")))
       r += 1
     }
     labels.where(col("label").isNotNull).select(col("node"), col("label"))

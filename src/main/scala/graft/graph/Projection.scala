@@ -32,11 +32,16 @@ object Projection {
     * (node_i, node_j, w) with node_i < node_j and w = number of
     * distinct shared left neighbors (input pairs are deduplicated). */
   def coOccurrence(pairs: DataFrame, leftCol: String, rightCol: String,
-      maxDegree: Option[Int] = None): DataFrame = {
-    val p = pairs
+      maxDegree: Option[Int] = None,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
+    // snapshot once: the self-join below consumes `filtered` twice, and
+    // a lazy plan re-runs the (possibly expensive) upstream pair
+    // computation per side whenever predicate pushdown specializes the
+    // clones past ReuseExchange (the r14 Triangles lesson)
+    val p = materialize(pairs
       .select(col(leftCol).cast("long").as("l"), col(rightCol).cast("long").as("r"))
       .where(col("l").isNotNull && col("r").isNotNull)
-      .distinct()
+      .distinct())
     val filtered = maxDegree match {
       case Some(cap) =>
         require(cap >= 1, s"maxDegree must be >= 1, got $cap")

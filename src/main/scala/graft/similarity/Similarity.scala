@@ -340,10 +340,13 @@ object Similarity {
     if (cents.nonEmpty) {
       // train on unit vectors: cosine assignment == dot with normalized
       // centroids; the mean of a cell's unit vectors, renormalized, is
-      // the spherical-k-means update. spread: no-op at real scale,
-      // parallelizes under-split inputs (r14)
-      val unit = graft.toolbox.Partitions.spreadCompute(
-        candidates.select(col(vecCol).cast("array<double>").as("__v")))
+      // the spherical-k-means update. NO spreadCompute here: an r14 A/B
+      // measured the spread WORSE for this kernel (ivf/kmeans trains are
+      // nlist-bounded — per-iter work is too small to repay the extra
+      // exchange + per-task overhead; contrast ProductQuantizer.train,
+      // whose m-way subspace assignment is heavy enough to win)
+      val unit = candidates
+        .select(col(vecCol).cast("array<double>").as("__v"))
         .withColumn("__n", l2norm(col("__v")))
         .where(col("__n") > 0)
         .select(transform(col("__v"), x => x / col("__n")).as("__v"))

@@ -59,9 +59,12 @@ object Bm25 {
     require(k1 >= 0, s"k1 must be >= 0, got $k1")
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
 
-    val tf = corpus
-      .select(col(idCol).as("__doc"),
-        explode(TextFunctions.tokens(col(textCol))).as("token"))
+    // spread: tokenization fan-out is compute-bound; no-op at real
+    // scale, parallelizes under-split corpus scans (r14)
+    val tf = graft.toolbox.Partitions.spreadCompute(
+        corpus.select(col(idCol).as("__doc"), col(textCol).as("__txt")))
+      .select(col("__doc"),
+        explode(TextFunctions.tokens(col("__txt"))).as("token"))
       .groupBy(col("__doc"), col("token"))
       .agg(count(lit(1)).as("__tf"))
     val dl = tf.groupBy(col("__doc")).agg(sum(col("__tf")).as("__dl"))

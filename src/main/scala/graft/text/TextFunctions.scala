@@ -231,6 +231,11 @@ object TextFunctions {
   def noveltyScores(df: org.apache.spark.sql.DataFrame,
       idCol: String, textCol: String, n: Int = 3): org.apache.spark.sql.DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
+    // NO spreadCompute here: an r14 A/B measured the spread WORSE for
+    // this operator (one shingle pass per consumer either way; the extra
+    // exchange + AQE stages cost more than the parallel shingling saves
+    // at this fan-out — contrast Dedup.shingled, whose md5-per-window
+    // work is an order heavier)
     val sh = df.select(col(idCol).cast("long").as("__id"),
         explode(graft.functions.WordShingles.wordShingles(col(textCol), n))
           .as("__sh"))
