@@ -89,9 +89,12 @@ object ModelStore {
     * (`vocab/`, `bigrams/`, `contexts/`). These are corpus-derived and
     * potentially large — natural partitioning is kept (no coalesce). */
   def saveBigramLm(lm: graft.text.NgramLm.BigramLm, path: String): Unit = {
-    lm.vocab.write.mode("overwrite").parquet(s"$path/vocab")
-    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
-    lm.contexts.write.mode("overwrite").parquet(s"$path/contexts")
+    // model artifacts are vocab-bounded — write each as ONE file instead
+    // of shuffle-partition-many tiny ones (guide §6 small-files; the
+    // store's other savers already coalesce(1), r14)
+    lm.vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
+    lm.bigrams.coalesce(1).write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.contexts.coalesce(1).write.mode("overwrite").parquet(s"$path/contexts")
   }
 
   /** Load a bigram LM. `vocabSizeRow` (V = |vocab| + 1) is recomputed

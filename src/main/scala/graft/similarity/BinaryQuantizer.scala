@@ -121,9 +121,15 @@ object BinaryQuantizer {
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         (-hammingCol(col("qb"), col("cb"))).cast("double").as("ax"))
-    val short = graft.curation.Sampling
-      .quotaTopK(approx, Seq("qid"), "ax", "cid", shortlist)
-      .select("qid", "cid")
+    // shortlist = Int.MaxValue: top-k is the identity — skip the
+    // unbounded aggregate (see ProductQuantizer.topK, r14)
+    val short =
+      if (shortlist == Int.MaxValue)
+        approx.where(col("ax").isNotNull && col("cid").isNotNull)
+          .select("qid", "cid")
+      else graft.curation.Sampling
+        .quotaTopK(approx, Seq("qid"), "ax", "cid", shortlist)
+        .select("qid", "cid")
     // broadcast the Q·shortlist pairs (with query vectors); candidates
     // stream map-side — zero candidate shuffle in the re-rank
     val rejoined = c.select(col("cid"), col("cv"), col("cn"))

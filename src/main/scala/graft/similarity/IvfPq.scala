@@ -73,9 +73,15 @@ object IvfPq {
       .where(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
         graft.functions.PqAdcScore.pqAdcScore(col("lut"), col("codes")).as("adc"))
-    val short = graft.curation.Sampling
-      .quotaTopK(adc, Seq("qid"), "adc", "cid", shortlist)
-      .select("qid", "cid")
+    // shortlist = Int.MaxValue: top-k is the identity — skip the
+    // unbounded aggregate (see ProductQuantizer.topK, r14)
+    val short =
+      if (shortlist == Int.MaxValue)
+        adc.where(col("adc").isNotNull && col("cid").isNotNull)
+          .select("qid", "cid")
+      else graft.curation.Sampling
+        .quotaTopK(adc, Seq("qid"), "adc", "cid", shortlist)
+        .select("qid", "cid")
     val rejoined = c.select(col("cid"), col("cv"), col("cn"))
       .join(broadcast(short
         .join(q.select(col("qid"), col("qv"), col("qn")), "qid")), "cid")

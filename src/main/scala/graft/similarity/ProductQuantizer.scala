@@ -177,10 +177,20 @@ object ProductQuantizer {
     // bounded shortlist cut: the top-`shortlist` aggregate truncates
     // map-side, so the exchange ships ~Q·shortlist partials — NOT the
     // Q·N (qid, cid, adc) rows a row_number window would shuffle; ties
-    // by cid for determinism (same (-score, cid) total order)
-    val short = graft.curation.Sampling
-      .quotaTopK(adc, Seq("qid"), "adc", "cid", shortlist)
-      .select("qid", "cid")
+    // by cid for determinism (same (-score, cid) total order).
+    // shortlist = Int.MaxValue (the exact-oracle configuration) makes
+    // top-k the identity — skip the aggregate outright instead of
+    // accumulating every candidate into unbounded per-query buffers
+    // (r14: those buffers were the suite's worst GC source, 2-3 s
+    // collections); the null filter mirrors quotaTopK's, so the kept
+    // (qid, cid) set is bit-identical
+    val short =
+      if (shortlist == Int.MaxValue)
+        adc.where(col("adc").isNotNull && col("cid").isNotNull)
+          .select("qid", "cid")
+      else graft.curation.Sampling
+        .quotaTopK(adc, Seq("qid"), "adc", "cid", shortlist)
+        .select("qid", "cid")
     // exact re-rank: the Q·shortlist (qid, cid) pairs pick up the query
     // vectors and BROADCAST — the candidate side streams its vectors
     // map-side, so the re-rank adds zero candidate shuffle

@@ -111,9 +111,15 @@ object ScalarQuantizer {
         (Similarity.dot(col("qv"), col("dv")) / (col("qn") * col("dn"))).as("ax"))
     // bounded shortlist cut (see ProductQuantizer.topK): ~Q·shortlist
     // partials cross the exchange instead of Q·N score rows
-    val short = graft.curation.Sampling
-      .quotaTopK(approx, Seq("qid"), "ax", "cid", shortlist)
-      .select("qid", "cid")
+    // shortlist = Int.MaxValue: top-k is the identity — skip the
+    // unbounded aggregate (see ProductQuantizer.topK, r14)
+    val short =
+      if (shortlist == Int.MaxValue)
+        approx.where(col("ax").isNotNull && col("cid").isNotNull)
+          .select("qid", "cid")
+      else graft.curation.Sampling
+        .quotaTopK(approx, Seq("qid"), "ax", "cid", shortlist)
+        .select("qid", "cid")
     // broadcast the Q·shortlist pairs (with query vectors); candidates
     // stream map-side — zero candidate shuffle in the re-rank
     val rejoined = c.select(col("cid"), col("cv"), col("cn"))
