@@ -2913,8 +2913,13 @@ object SparkEntry {
     * namespace disjoint from supplier keys. No dangling nodes by
     * construction. */
   private def purchaseGraph(s: SparkSession, dir: String): DataFrame = {
+    // shuffle-hash both sides: no ordering is needed downstream (the
+    // distinct re-keys anyway) and hash beats sort-merge on this
+    // large-large equi-join — the Dedup inverted-index rationale (r14)
     val pairs = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      .hint("shuffle_hash")
+      .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .select((col("o_custkey") + 100000L).as("c"), col("l_suppkey").as("sn"))
       .distinct()
@@ -2931,8 +2936,11 @@ object SparkEntry {
 
   /** [[purchaseGraph]] with edge weight = distinct orders per pair. */
   private def purchaseGraphWeighted(s: SparkSession, dir: String): DataFrame = {
+    // shuffle-hash: see purchaseGraph (r14)
     val pairs = tbl(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey")),
+      .hint("shuffle_hash")
+      .join(tbl(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+          .hint("shuffle_hash"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy((col("o_custkey") + 100000L).as("c"), col("l_suppkey").as("sn"))
       .agg(count_distinct(col("l_orderkey")).as("w"))
