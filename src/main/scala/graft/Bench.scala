@@ -11,6 +11,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // NO adaptive.coalescePartitions.minPartitionSize override: an r15
+      // A/B lowered the 1m floor to 64k/256k to widen byte-small but
+      // compute-heavy post-shuffle stages (the exchange-side twin of the
+      // scan-side spreadCompute lesson) — single-pass retrieval queries
+      // won 0.4-0.5 s each, but every ITERATIVE query lost more (per
+      // round × per stage task overhead on ~50 KB label/rank tables:
+      // graph_pagerank 3.0→4.3 s, graph_label_prop 3.0→4.5 s). Net
+      // negative as a session default; the compute-density call is
+      // per-operator knowledge, not a session constant.
       // events.parquet carries TIMESTAMP(NANOS); read as ns longs (set
       // here once — queries never mutate session state)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -265,7 +265,7 @@ object Dedup {
           && col("a.nsh") >= ceil(lit(tau) * col("b.nsh")))
       .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
       .dropDuplicates("doc_i", "doc_j")
-    verifyJaccard(cands, sh, sh, tau)
+    verifyJaccard(cands, sh, sh, tau, gauge = df)
   }
 
   /** Shared inverted-index core: per candidate pair (i < j), the exact
@@ -691,7 +691,7 @@ object Dedup {
           && col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
       .dropDuplicates("doc_i", "doc_j")
-    verifyJaccard(cands, sh, sh, tau)
+    verifyJaccard(cands, sh, sh, tau, gauge = df)
   }
 
   /**
@@ -722,7 +722,7 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
       .dropDuplicates("doc_i", "doc_j")
-    verifyJaccard(cands, shL, shR, tau)
+    verifyJaccard(cands, shL, shR, tau, gauge = left)
   }
 
   /**
@@ -822,7 +822,8 @@ object Dedup {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey"))
       .select(col("a.doc").as("doc_i"), col("b.doc").as("doc_j"))
       .dropDuplicates("doc_i", "doc_j")
-    verifyJaccard(cands, shL, index.select(col("doc"), col("sh")), tau)
+    verifyJaccard(cands, shL, index.select(col("doc"), col("sh")), tau,
+      gauge = left)
   }
 
   /** Slim band rows (doc, band, bkey) — the band shuffle never carries
@@ -848,9 +849,16 @@ object Dedup {
 
   /** Exact Jaccard verification of candidate pairs on the bounded
     * per-doc shingle arrays of each side. */
+  /** `gauge` is the operator's scan-rooted input frame — see
+    * [[graft.toolbox.Partitions.floorWidth]]. */
   private def verifyJaccard(cands: DataFrame, shI: DataFrame, shJ: DataFrame,
-      tau: Double): DataFrame =
-    cands
+      tau: Double, gauge: DataFrame): DataFrame =
+    // floor the verify width at core count in the small-input regime:
+    // the per-pair array_intersect is the expensive part, and AQE's
+    // byte-based coalescing otherwise runs it on ONE task (measured
+    // 1.1 s single task in dedup_jaccard_prefix; the floor took the
+    // query 2.1 → 1.1 s, r15); structural no-op at scale
+    graft.toolbox.Partitions.floorWidth(cands, gauge)
       .join(shI.select(col("doc").as("doc_i"), col("sh").as("sha")), "doc_i")
       .join(shJ.select(col("doc").as("doc_j"), col("sh").as("shb")), "doc_j")
       .select(col("doc_i"), col("doc_j"),

@@ -27,11 +27,17 @@ import graft.functions.Md5Lower64
  * reaching a node with no out-neighbors STOPS (emits no further rows).
  *
  * Scale shape: state rows are slim (walk_id, start, cur); each step is
- * one equi-join against the degree table and one against the indexed
- * adjacency snapshot — O(walks) rows per step, O(steps·walks) total,
- * adjacency/degree materialized once ([[PageRank]]'s snapshot
- * discipline). Nothing is ever quadratic and no RNG state lives on the
- * driver.
+ * ONE equi-join of the state rows against the node-keyed adjacency-LIST
+ * snapshot (one array row per source, materialized once — [[PageRank]]'s
+ * snapshot discipline) plus an O(1) `element_at`; deg is
+ * `cardinality(nbrs)` off the same row — O(walks) rows move per step,
+ * O(E) once for the snapshot, O(steps·walks) total. Nothing is ever
+ * quadratic and no RNG state lives on the driver. Hub caveat: a node's
+ * out-neighborhood is one array row (per-row memory ∝ max degree) —
+ * cap or pre-split celebrity nodes upstream on power-law graphs (see
+ * the in-code note at the snapshot). The default `materialize`
+ * (localCheckpoint) is executor-local and non-recomputable: on
+ * clusters with executor churn pass `_.checkpoint(eager = true)`.
  */
 object Walks {
 

@@ -86,15 +86,18 @@ object ModelStore {
   }
 
   /** Save a trained bigram LM as three parquet tables under `path`
-    * (`vocab/`, `bigrams/`, `contexts/`). These are corpus-derived and
-    * potentially large — natural partitioning is kept (no coalesce). */
+    * (`vocab/`, `bigrams/`, `contexts/`). `vocab` is vocab-bounded and
+    * writes as one file; `bigrams`/`contexts` are CORPUS-derived
+    * (distinct observed bigrams/contexts grow with the corpus, not the
+    * vocab), so they write through an AQE REBALANCE instead — one file
+    * at small scale, advisory-sized files at large, and the upstream
+    * aggregation keeps its parallelism (a coalesce(1) here collapsed
+    * the final count stage AND the write onto a single task — ADVICE
+    * r14). */
   def saveBigramLm(lm: graft.text.NgramLm.BigramLm, path: String): Unit = {
-    // model artifacts are vocab-bounded — write each as ONE file instead
-    // of shuffle-partition-many tiny ones (guide §6 small-files; the
-    // store's other savers already coalesce(1), r14)
     lm.vocab.coalesce(1).write.mode("overwrite").parquet(s"$path/vocab")
-    lm.bigrams.coalesce(1).write.mode("overwrite").parquet(s"$path/bigrams")
-    lm.contexts.coalesce(1).write.mode("overwrite").parquet(s"$path/contexts")
+    lm.bigrams.hint("rebalance").write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.contexts.hint("rebalance").write.mode("overwrite").parquet(s"$path/contexts")
   }
 
   /** Load a bigram LM. `vocabSizeRow` (V = |vocab| + 1) is recomputed

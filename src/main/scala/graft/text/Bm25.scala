@@ -49,10 +49,22 @@ object Bm25 {
     * `corpus` rows are (idCol, textCol). Ids must be unique per side
     * (the library-wide contract). Documents with no tokens never match;
     * queries with no tokens (or only out-of-vocabulary tokens) emit no
-    * rows. */
+    * rows.
+    *
+    * `materialize` snapshots the term-frequency table, which feeds FOUR
+    * plan consumers (doc lengths twice — stats + the scoring join —
+    * document frequencies, and the postings probe); left lazy, Catalyst
+    * clones the whole corpus tokenization per consumer (pushed-down
+    * null filters specialize the clones past ReuseExchange — the
+    * Triangles lesson, r14; measured 4 executions in the r14 plan).
+    * Default `localCheckpoint(false)` is executor-local and
+    * non-recomputable — on clusters with executor churn (dynamic
+    * allocation, preemption) pass `identity` (pay the re-execution) or
+    * `_.checkpoint(eager = true)` (reliable snapshot). */
   def topK(queries: DataFrame, corpus: DataFrame,
       qIdCol: String, qTextCol: String, idCol: String, textCol: String,
-      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k: Int, k1: Double = 1.2, b: Double = 0.75,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(false)): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(qIdCol != idCol,
       s"qIdCol and idCol must differ (both are output columns), got '$qIdCol'")
@@ -60,13 +72,15 @@ object Bm25 {
     require(b >= 0 && b <= 1, s"b must be in [0, 1], got $b")
 
     // spread: tokenization fan-out is compute-bound; no-op at real
-    // scale, parallelizes under-split corpus scans (r14)
-    val tf = graft.toolbox.Partitions.spreadCompute(
+    // scale, parallelizes under-split corpus scans (r14). Snapshot the
+    // result: tf feeds four consumers (see scaladoc) and the snapshot
+    // runs the corpus pass ONCE instead of once per consumer (r15)
+    val tf = materialize(graft.toolbox.Partitions.spreadCompute(
         corpus.select(col(idCol).as("__doc"), col(textCol).as("__txt")))
       .select(col("__doc"),
         explode(TextFunctions.tokens(col("__txt"))).as("token"))
       .groupBy(col("__doc"), col("token"))
-      .agg(count(lit(1)).as("__tf"))
+      .agg(count(lit(1)).as("__tf")))
     val dl = tf.groupBy(col("__doc")).agg(sum(col("__tf")).as("__dl"))
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("__df"))
     // N and avgdl ride as ONE broadcast row — never a driver collect

@@ -30,6 +30,13 @@ import org.apache.spark.sql.DataFrame
  * decision, and inspecting `.rdd` there would materialize query stages.
  */
 object Partitions {
+  /** Note: inspecting the physical plan and `.rdd` here forces eager
+    * analysis + physical planning of `df` at COMPOSITION time (including
+    * driver-side file listing for scan-rooted frames), and the partition
+    * decision is frozen before execution — analysis errors surface at
+    * builder time, not action time. Acceptable for the scan-rooted
+    * kernels this serves; do not wrap exchange-bearing frames (the guard
+    * below returns them unchanged for exactly that reason). */
   def spreadCompute(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
     if (want <= 1) return df
@@ -38,6 +45,38 @@ object Partitions {
     // .rdd on an exchange-free plan compiles the subtree but runs no
     // job; the returned frame builds on the original logical plan
     if (!hasExchange && df.rdd.getNumPartitions < want) df.repartition(want)
+    else df
+  }
+
+  /** Exchange-side twin of [[spreadCompute]] for compute-heavy stages
+    * DOWNSTREAM of a shuffle (pair-verify joins and the like): AQE sizes
+    * post-shuffle partitions by BYTES, so a byte-small but
+    * per-row-expensive stage collapses onto 1-2 tasks while the other
+    * cores idle. Round-robin-repartitions `df` to defaultParallelism —
+    * but ONLY when the operator's SCAN-ROOTED input `gauge` arrives in
+    * fewer splits than the session has cores (the [[spreadCompute]]
+    * small-input signal: the stage's volume is proportional to the
+    * corpus, and a real-scale corpus arrives in ≥ cores splits). At
+    * scale this is a structural no-op, so it can never cap a
+    * production-scale stage at core count or add a payload shuffle.
+    * `gauge` must be exchange-free; exchange-bearing gauges return `df`
+    * unchanged (conservative).
+    *
+    * Round-robin, not keyed: a keyed repartition matching the upstream
+    * aggregate's (key, numPartitions) is ELIDED by EnsureRequirements
+    * and the surviving ENSURE_REQUIREMENTS exchange is AQE-coalesced
+    * right back to 1 task (measured, r15). A session-level variant
+    * (adaptive.coalescePartitions.minPartitionSize 1m → 64k) won
+    * 0.4-0.5 s on single-pass retrieval queries but cost the iterative
+    * operators more (per-round task overhead on ~50 KB state tables) —
+    * hence this per-operator form instead of a session constant. */
+  def floorWidth(df: DataFrame, gauge: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (want <= 1) return df
+    val gaugeHasExchange = gauge.queryExecution.sparkPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.Exchange])
+    if (!gaugeHasExchange && gauge.rdd.getNumPartitions < want)
+      df.repartition(want)
     else df
   }
 }
