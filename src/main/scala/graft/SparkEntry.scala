@@ -2964,8 +2964,17 @@ object SparkEntry {
     * little-endian u16. Assembled as hex by the SAME arithmetic the
     * DuckDB oracle uses, then `unhex`ed — the byte twin of
     * [[bmpAssets]]. */
+  /** Slim per-doc id spine for the synthetic-asset builders, floored at
+    * core width: asset generation (hex assembly) and the decode that
+    * follows are compute-bound, and the single-file documents scan
+    * otherwise pins the whole map-only family to 1-2 tasks
+    * (spreadCompute, r15 — only ids shuffle, never payloads; structural
+    * no-op on a real multi-split binary table). */
+  private def spreadDocIds(docs: DataFrame): DataFrame =
+    graft.toolbox.Partitions.spreadCompute(docs.select(col("doc_id")))
+
   private def wavAssets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"))
+    spreadDocIds(docs)
       .withColumn("n", (lit(120) + pmod(col("doc_id"), lit(5)) * 60).cast("int"))
       .withColumn("rate", (lit(1000) + pmod(col("doc_id"), lit(4)) * 500).cast("int"))
       .withColumn("hx", concat(
@@ -3032,7 +3041,7 @@ object SparkEntry {
       lit("1600" + "1000" + "03000000" + "0100000000001000800000AA00389B71"),
       lit("66616374" + "04000000"), expr(le32("n")),
       lit("64617461"), expr(le32("n*4")), stereoSamples)
-    docs.select(col("doc_id"))
+    spreadDocIds(docs)
       .withColumn("n", (lit(120) + pmod(col("doc_id"), lit(5)) * 60).cast("int"))
       .withColumn("rate", (lit(1000) + pmod(col("doc_id"), lit(4)) * 500).cast("int"))
       .withColumn("hx",
@@ -3043,7 +3052,7 @@ object SparkEntry {
   }
 
   private def bmpAssets(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"))
+    spreadDocIds(docs)
       .withColumn("bh", (pmod(col("doc_id"), lit(5)) + 2).cast("int"))
       .withColumn("hx", concat(
         lit("424D"), lpad(hex(col("bh") * 24 + 54), 2, "0"), lit("000000"),
@@ -3095,7 +3104,7 @@ object SparkEntry {
     val h124 = "424D" + "BA000000" + "00000000" + "8A000000" + "7C000000" +
       "04000000" + "04000000" + "0100" + "1800" + "00000000" + "30000000" +
       "130B0000" + "130B0000" + "00000000" + "00000000" + ("00" * 84)
-    docs.select(col("doc_id"))
+    spreadDocIds(docs)
       .withColumn("b0", pmod(col("doc_id") * 3, lit(128)).cast("int"))
       .withColumn("g0", pmod(col("doc_id") * 5, lit(128)).cast("int"))
       .withColumn("r0", pmod(col("doc_id") * 7, lit(256)).cast("int"))
@@ -3124,7 +3133,7 @@ object SparkEntry {
     def le32c(v: Int): String =
       f"${v & 0xff}%02X${(v >> 8) & 0xff}%02X${(v >> 16) & 0xff}%02X${(v >> 24) & 0xff}%02X"
     val z4 = le32c(0)
-    docs.select(col("doc_id"))
+    spreadDocIds(docs)
       .withColumn("nf", (lit(2) + pmod(col("doc_id"), lit(4))).cast("int"))
       .withColumn("w", (lit(32) + pmod(col("doc_id"), lit(3)) * 16).cast("int"))
       .withColumn("h", (lit(24) + pmod(col("doc_id"), lit(2)) * 8).cast("int"))
@@ -3199,7 +3208,7 @@ object SparkEntry {
         |    a2 || lpad(hex(pmod(doc_id*7 + i*13 + (1 + pmod(doc_id + i, 4) - r)*31 + x*3, 256)), 2, '0')
         |       || lpad(hex(pmod(doc_id*7 + i*13 + (1 + pmod(doc_id + i, 4) - r)*31 + x*3 + 85, 256)), 2, '0')
         |       || lpad(hex(pmod(doc_id*7 + i*13 + (1 + pmod(doc_id + i, 4) - r)*31 + x*3 + 170, 256)), 2, '0')))""".stripMargin
-    docs.select(col("doc_id"))
+    spreadDocIds(docs)
       .withColumn("nf", (lit(2) + pmod(col("doc_id"), lit(3))).cast("int"))
       // movi data: 'movi' + per frame (8-byte chunk header + whole BMP)
       .withColumn("movi", expr(
@@ -3276,7 +3285,7 @@ object SparkEntry {
     val v2 = Seq(lit(ftyp + "000001CE6D6F6F76")) ++ mvhdV0 ++
       trakV0("0", "0", "22050", soun) ++
       trakV0("w * 65536", "h * 65536", "ts", vide)
-    docs.select(col("doc_id"))
+    spreadDocIds(docs)
       .withColumn("w", (lit(160) + pmod(col("doc_id"), lit(4)) * 16).cast("int"))
       .withColumn("h", (lit(120) + pmod(col("doc_id"), lit(3)) * 8).cast("int"))
       .withColumn("ts", (lit(500) + pmod(col("doc_id"), lit(4)) * 250).cast("int"))
@@ -3316,7 +3325,7 @@ object SparkEntry {
     val v1 = Seq(lit(ftyp + "000001316D6F6F76")) ++ mvhdV0("0") ++ trakV0 ++
       Seq(lit(mvex),
         lit("000000106D6F6F66" + z * 8 + "0000000C6D646174" + z * 4))
-    docs.select(col("doc_id"))
+    spreadDocIds(docs)
       .withColumn("w", (lit(160) + pmod(col("doc_id"), lit(4)) * 16).cast("int"))
       .withColumn("h", (lit(120) + pmod(col("doc_id"), lit(3)) * 8).cast("int"))
       .withColumn("ts", (lit(500) + pmod(col("doc_id"), lit(4)) * 250).cast("int"))
@@ -3339,7 +3348,7 @@ object SparkEntry {
   private def mp4Assets(docs: DataFrame): DataFrame = {
     def be32(e: String): String = s"lpad(hex($e), 8, '0')"
     val matrix = "00010000" + "00000000" * 3 + "00010000" + "00000000" * 3 + "40000000"
-    docs.select(col("doc_id"))
+    spreadDocIds(docs)
       .withColumn("w", (lit(160) + pmod(col("doc_id"), lit(4)) * 16).cast("int"))
       .withColumn("h", (lit(120) + pmod(col("doc_id"), lit(3)) * 8).cast("int"))
       .withColumn("ts", (lit(500) + pmod(col("doc_id"), lit(4)) * 250).cast("int"))
