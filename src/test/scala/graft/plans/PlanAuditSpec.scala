@@ -530,7 +530,14 @@ class PlanAuditSpec extends AnyFlatSpec with Matchers {
     val plan = assets.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
     withClue(plan) {
       // decode/resize/histogram are mapPartitions — narrow end to end
-      plan.linesIterator.filter(_.contains("Exchange")).toSeq shouldBe empty
+      // AFTER the payloads exist. The only exchange allowed is the
+      // pre-generation doc-id spread (r15, spreadDocIds): a round-robin
+      // of the slim id spine BELOW asset assembly — binary content
+      // never crosses an exchange (no keyed shuffle anywhere).
+      val exchanges = plan.linesIterator.filter(_.contains("Exchange")).toSeq
+      exchanges.filterNot(_.contains("RoundRobinPartitioning")) shouldBe empty
+      exchanges.size should be <= 1
+      plan should not include "Exchange hashpartitioning"
     }
   }
 
